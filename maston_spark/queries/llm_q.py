@@ -1,0 +1,252 @@
+"""LLM training-data pipeline queries over `documents`/`embeddings`,
+each hash-checked against a DuckDB oracle built from the same
+deterministic md5-based constructions.
+
+The dedup queries self-exercise: the corpus is documents UNION a
+deterministic set of (near-)duplicate mutations, so exact-dup groups
+and LSH candidate pairs exist and recall is actually graded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maston_spark.llm import dedup as DD, similarity as SIM, text as TXT
+from maston_spark.queries import query
+from maston_spark.session import load_table
+
+
+def _dup_corpus(spark, sf_dir):
+    """documents + exact copies of every 7th doc (id + 1000000)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+def _neardup_corpus(spark, sf_dir):
+    """documents + near-dup mutations (3 tokens appended) of every 5th."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" xyz xyz xyz")).alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+@query(
+    "q40_dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def q40_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized content hash: one shuffle on a
+    uniform 128-bit key — the canonical 100 TB exact-dedup plan."""
+    return DD.exact_dedup_groups(_dup_corpus(spark, sf_dir))
+
+
+_MINHASH_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' xyz xyz xyz' FROM documents WHERE doc_id % 5 = 0),
+toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' '))
+           ELSE [] END) AS sh
+  FROM toks),
+sh2 AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+sig AS (
+  SELECT id, sh,
+         list_transform(range(0, 16),
+           s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || ':' || x)))) AS sig
+  FROM sh2),
+buckets AS (
+  SELECT id, b,
+         md5(array_to_string(sig[(b*4+1):(b*4+4)], '|')) AS bucket
+  FROM sig CROSS JOIN range(0, 4) r(b)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+jac AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+  FROM cand c
+  JOIN sh2 sa ON sa.id = c.id_a
+  JOIN sh2 sb ON sb.id = c.id_b)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
+"""
+
+
+@query("q41_dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q41_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH fuzzy dedup: shingle → 16-hash signature → 4
+    banded buckets → equi-join candidates → exact-Jaccard verify.
+    Never all-pairs: the only join key is the band bucket."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    cands = DD.minhash_lsh_candidates(corpus, shingle_n=3, num_hashes=16, band_size=4)
+    return DD.jaccard_verify(corpus, cands, shingle_n=3, threshold=0.2)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN substring(m, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+    bits AS (
+      SELECT doc_id,
+           {bit_sums}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS INT) AS simhash FROM bits
+    """
+
+
+@query("q42_dedup_simhash", oracle=_simhash_oracle())
+def q42_dedup_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.simhash16(d).select("doc_id", "simhash")
+
+
+@query(
+    "q43_cosine_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.v) AS s
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, round(s, 6) AS sim, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id) AS rn
+      FROM sims) WHERE rn <= 5
+    """,
+)
+def q43_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for a 10-vector broadcast query
+    set — the correctness baseline for ANN (one corpus scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, query_ids=list(range(10)), k=5)
+
+
+@query(
+    "q44_lsh_ann",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    comp AS (
+      SELECT p, d,
+             CASE WHEN substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM range(0, 6) r1(p) CROSS JOIN range(0, 64) r2(d)),
+    dots AS (
+      SELECT c.vec_id, comp.p, sum(c.v[comp.d + 1] * comp.w) AS dp
+      FROM c CROSS JOIN comp GROUP BY 1, 2),
+    buck AS (
+      SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN CAST(pow(2, p) AS INT) ELSE 0 END) AS INT) AS bucket
+      FROM dots GROUP BY 1),
+    cb AS (SELECT c.vec_id, c.v, b.bucket FROM c JOIN buck b USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, cb.vec_id AS neighbor_id, cb.bucket,
+             list_cosine_similarity(q.qv, cb.v) AS s
+      FROM cb JOIN q USING (bucket) WHERE cb.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, bucket, round(s, 6) AS sim, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id) AS rn
+      FROM sims) WHERE rn <= 3
+    """,
+)
+def q44_lsh_ann(spark, sf_dir):
+    """Sign-LSH bucketed ANN — the scale path: candidates come from a
+    bucket equi-join (linear), exact cosine only within the bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, query_ids=list(range(10)), k=3, n_planes=6, dims=64)
+
+
+@query(
+    "q45_text_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6)
+             AS avg_token_len,
+           round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE
+                 / len(toks), 6) AS stopword_ratio,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+    FROM t
+    """,
+)
+def q45_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.text_stats(d).select(
+        "doc_id",
+        "n_chars_computed",
+        "n_tokens",
+        "n_distinct_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "n_bpe_tokens",
+    )
+
+
+def _langid_oracle() -> str:
+    def score(lang):
+        words = ", ".join(f"'{w}'" for w in sorted(set(TXT.STOPWORDS[lang])))
+        return (
+            f"len(list_filter(list_distinct(toks), x -> list_contains([{words}], x)))"
+        )
+
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {score('de')} AS s_de, {score('en')} AS s_en,
+                 {score('es')} AS s_es, {score('fr')} AS s_fr
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM s
+    """
+
+
+@query("q46_lang_id", oracle=_langid_oracle())
+def q46_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return TXT.lang_id(d).select("doc_id", "lang", "lang_pred")
+
+
+@query(
+    "q47_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q47_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.fingerprint(d).select("doc_id", "fingerprint")

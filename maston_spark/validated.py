@@ -1,0 +1,333 @@
+"""Validated-ingest operators: safe deserialization, branch, process,
+error-header provenance, header flattening, safe serialization.
+
+These reproduce the semantics of the reference's serde/transformer
+layer (citations inline) as pure DataFrame column algebra. No Python
+runs per-row in any of these — everything is Catalyst expressions,
+so the whole layer stays inside whole-stage codegen and scales
+linearly with executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from maston_spark import errors as E
+
+OK = "ok"
+ERR = "err"
+
+
+def _mk_err(
+    code: Column,
+    message: Column,
+    target_class: Column,
+    exception_class: Column,
+    exception_message: Column,
+    stacktrace: Column,
+    raw_bytes: Column,
+    source_record: Column | None = None,
+) -> Column:
+    cols = [
+        code.alias("code"),
+        message.alias("message"),
+        target_class.alias("target_class"),
+        exception_class.alias("exception_class"),
+        exception_message.alias("exception_message"),
+        stacktrace.alias("stacktrace"),
+        raw_bytes.alias("raw_bytes"),
+    ]
+    if source_record is not None:
+        cols.append(source_record.alias("source_record"))
+    return F.struct(*cols)
+
+
+def safe_from_json(
+    df: DataFrame,
+    value_col: str,
+    schema,
+    target_class: str = "json",
+    options: dict | None = None,
+) -> DataFrame:
+    """Parse ``value_col`` as JSON into ``ok``; on failure fill ``err``.
+
+    Parity: serdes/VavrSafeDeserializer.java:29-39 +
+    serdes/JsonDeserializer.java:26-31 — try-deserialize, on failure
+    wrap the original bytes and a FAILED_TO_DESERIALIZE_RECORD code
+    instead of crashing. Spark's ``from_json`` returns NULL for
+    malformed input, which we route to the ``err`` struct, keeping
+    the raw payload in ``err.raw_bytes``.
+
+    A NULL input value (Kafka tombstone) stays valid with a NULL
+    ``ok``, mirroring Confluent deserializers returning null.
+
+    Implementation note: Spark's PERMISSIVE ``from_json`` returns a
+    row of NULLs (not a NULL row) for malformed input, so corruption
+    is detected via ``columnNameOfCorruptRecord`` appended to the
+    parse schema.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    corrupt = "__corrupt_record"
+    parse_schema = StructType(list(schema.fields) + [StructField(corrupt, StringType())])
+    opts = dict(options or {})
+    opts["columnNameOfCorruptRecord"] = corrupt
+
+    raw = F.col(value_col)
+    parsed = F.from_json(raw, parse_schema, opts)
+    is_err = raw.isNotNull() & (parsed.isNull() | parsed[corrupt].isNotNull())
+    ok = F.struct(*[parsed[f.name].alias(f.name) for f in schema.fields])
+    err = _mk_err(
+        code=F.lit(E.FAILED_TO_DESERIALIZE_RECORD),
+        message=F.concat(F.lit("unable to parse value as "), F.lit(target_class)),
+        target_class=F.lit(target_class),
+        exception_class=F.lit("JsonParseException"),
+        exception_message=F.concat(F.lit("malformed json: "), F.substring(raw, 1, 64)),
+        stacktrace=F.lit(None).cast("string"),
+        raw_bytes=raw.cast("binary"),
+        source_record=F.lit(None).cast(schema),
+    )
+    return df.withColumn(OK, F.when(~is_err & raw.isNotNull(), ok)).withColumn(
+        ERR, F.when(is_err, err)
+    )
+
+
+def safe_from_avro(
+    df: DataFrame,
+    value_col: str,
+    avro_schema_json: str,
+    target_class: str = "avro",
+    confluent_wire_format: bool = True,
+) -> DataFrame:
+    """Avro analogue of :func:`safe_from_json`.
+
+    Confluent wire format = 1 magic byte + 4-byte schema id before
+    the Avro body (parity: the registry-backed serde the reference
+    configures in properties/KafkaPropertiesBuilder.java:43-55), so
+    we strip 5 bytes before decoding. Uses PERMISSIVE mode so corrupt
+    records surface as NULL and get routed to ``err``.
+
+    Requires the spark-avro module on the classpath; callers should
+    guard with :func:`avro_available`.
+    """
+    from pyspark.sql.avro.functions import from_avro
+
+    raw = F.col(value_col).cast("binary")
+    body = (
+        F.expr(f"substring({value_col}, 6, length({value_col}) - 5)")
+        if confluent_wire_format
+        else raw
+    )
+    parsed = from_avro(body, avro_schema_json, {"mode": "PERMISSIVE"})
+    is_err = raw.isNotNull() & parsed.isNull()
+    err = _mk_err(
+        code=F.lit(E.FAILED_TO_DESERIALIZE_RECORD),
+        message=F.concat(F.lit("unable to decode avro as "), F.lit(target_class)),
+        target_class=F.lit(target_class),
+        exception_class=F.lit("AvroRuntimeException"),
+        exception_message=F.lit("malformed avro payload"),
+        stacktrace=F.lit(None).cast("string"),
+        raw_bytes=raw,
+    )
+    return df.withColumn(OK, F.when(~is_err, parsed)).withColumn(
+        ERR, F.when(is_err, err)
+    )
+
+
+def avro_available(spark) -> bool:
+    try:
+        spark.range(1).select(
+            F.expr("to_avro(id)")  # resolves only if spark-avro is loaded
+        ).collect()
+        return True
+    except Exception:
+        return False
+
+
+def branch_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split into (valid, invalid) — parity: the two-predicate branch
+    in topology/TopologyBuilder.java:36-37.
+
+    Both children share the parent plan; under ``foreachBatch`` the
+    caller should ``persist()`` the batch before branching so the
+    source is scanned once.
+    """
+    return df.filter(F.col(ERR).isNull()), df.filter(F.col(ERR).isNotNull())
+
+
+def process_validated(
+    df: DataFrame,
+    *,
+    error_when: Column,
+    error_code: str = E.FAILED_TO_PROCESS_RECORD,
+    error_message: Column | None = None,
+    transform: Callable[[Column], Column] | None = None,
+    target_class: str = "record",
+) -> DataFrame:
+    """Apply a business-rule processor to valid rows.
+
+    Parity: transformer/TransformerBuilder.java:34-73 — run the user
+    processor on each valid record; if it reports an error, replace
+    the value with invalid(error{sourceRecord=record}); already
+    invalid rows pass through untouched.
+
+    Expression fast path: ``error_when`` is a Column predicate over
+    ``ok.*``; rows (with ok non-null) matching it become errors with
+    ``source_record`` preserved. ``transform`` optionally rewrites
+    the surviving ``ok`` struct. This keeps the hot path 100%
+    JVM-side; use :func:`process_validated_pandas` for arbitrary
+    Python logic.
+    """
+    ok = F.col(OK)
+    ok_type = df.schema[OK].dataType
+    err_fields = [f.name for f in df.schema[ERR].dataType.fields] if ERR in df.columns else []
+    failing = F.col(ERR).isNull() & ok.isNotNull() & error_when
+    msg = error_message if error_message is not None else F.lit("record rejected by processor")
+    new_err = _mk_err(
+        code=F.lit(error_code),
+        message=msg,
+        target_class=F.lit(target_class),
+        exception_class=F.lit(None).cast("string"),
+        exception_message=F.lit(None).cast("string"),
+        stacktrace=F.lit(None).cast("string"),
+        raw_bytes=F.lit(None).cast("binary"),
+        source_record=ok,
+    )
+    prior_err = F.col(ERR)
+    if err_fields and "source_record" not in err_fields:
+        prior_err = prior_err.withField("source_record", F.lit(None).cast(ok_type))
+    out = df.withColumn(ERR, F.when(failing, new_err).otherwise(prior_err))
+    new_ok = F.when(F.col(ERR).isNull(), transform(ok) if transform else ok)
+    return out.withColumn(OK, new_ok)
+
+
+def process_validated_pandas(df: DataFrame, fn, output_schema) -> DataFrame:
+    """Arbitrary-Python processor via Arrow-batched ``mapInPandas``.
+
+    ``fn(pdf) -> pdf`` receives/returns pandas batches with ``ok``
+    and ``err`` (dict-encoded structs). ~10-100x faster than a
+    row-at-a-time Python UDF; still slower than the expression fast
+    path — prefer :func:`process_validated` when expressible.
+    """
+    return df.mapInPandas(fn, output_schema)
+
+
+def with_error_headers(
+    df: DataFrame,
+    app_id: str,
+    *,
+    headers_col: str = "headers",
+    topic_col: str | None = None,
+    partition_col: str | None = None,
+    offset_col: str | None = None,
+    timestamp_col: str | None = None,
+) -> DataFrame:
+    """Attach the 11 provenance headers for rows with a non-null ``err``.
+
+    Parity: error/KafkaErrorToHeaderBuilder.java:16-26 (keys) and
+    :39-80 (flush-then-write idempotency). Idempotency here =
+    existing ``maston.error.*`` headers are removed before the fresh
+    set is appended, so re-processing a record yields byte-identical
+    headers.
+    """
+
+    def b(col: Column) -> Column:  # header values are bytes on the wire
+        return F.encode(col.cast("string"), "UTF-8")
+
+    def hdr(key: str, val: Column) -> Column:
+        return F.struct(F.lit(key).alias("key"), b(val).alias("value"))
+
+    err = F.col(ERR)
+    meta = {
+        E.HEADER_SOURCE_TOPIC: F.col(topic_col) if topic_col else F.lit(None).cast("string"),
+        E.HEADER_SOURCE_PARTITION: F.col(partition_col) if partition_col else F.lit(None).cast("string"),
+        E.HEADER_SOURCE_OFFSET: F.col(offset_col) if offset_col else F.lit(None).cast("string"),
+        E.HEADER_TIMESTAMP: F.col(timestamp_col) if timestamp_col else F.lit(None).cast("string"),
+    }
+    new_headers = F.array(
+        hdr(E.HEADER_APP_ID, F.lit(app_id)),
+        hdr(E.HEADER_TIMESTAMP, meta[E.HEADER_TIMESTAMP]),
+        hdr(E.HEADER_SOURCE_TOPIC, meta[E.HEADER_SOURCE_TOPIC]),
+        hdr(E.HEADER_SOURCE_PARTITION, meta[E.HEADER_SOURCE_PARTITION]),
+        hdr(E.HEADER_SOURCE_OFFSET, meta[E.HEADER_SOURCE_OFFSET]),
+        hdr(E.HEADER_CODE, err["code"]),
+        hdr(E.HEADER_MESSAGE, err["message"]),
+        hdr(E.HEADER_TARGET_CLASS, err["target_class"]),
+        hdr(E.HEADER_EXCEPTION_CLASS, err["exception_class"]),
+        hdr(E.HEADER_EXCEPTION_MESSAGE, err["exception_message"]),
+        hdr(E.HEADER_EXCEPTION_STACKTRACE, err["stacktrace"]),
+    )
+    existing = (
+        F.col(headers_col)
+        if headers_col in df.columns
+        else F.lit(None).cast(E.HEADERS_TYPE)
+    )
+    # flush-then-write: strip any previous maston.error.* headers first
+    flushed = F.filter(
+        F.coalesce(existing, F.array().cast(E.HEADERS_TYPE)),
+        lambda h: ~h["key"].startswith("maston.error."),
+    )
+    return df.withColumn(
+        headers_col,
+        F.when(err.isNotNull(), F.concat(flushed, new_headers)).otherwise(existing),
+    )
+
+
+def flatten_headers(
+    df: DataFrame,
+    *,
+    headers_col: str = "headers",
+    keys: tuple[str, ...] = E.ALL_ERROR_HEADER_KEYS,
+    drop_headers: bool = True,
+) -> DataFrame:
+    """Promote headers to top-level string fields (``.`` → ``_``).
+
+    Parity: error/HeaderTo.java:39-196 — the Kafka Connect SMT that
+    lifts the 11 error headers onto the record before landing in a
+    search index, then removes the headers channel.
+    """
+    out = df
+    for key in keys:
+        field = key.replace(".", "_")
+        match = F.filter(F.col(headers_col), lambda h: h["key"] == F.lit(key))
+        out = out.withColumn(
+            field,
+            F.when(
+                F.size(match) > 0, F.decode(F.element_at(match, 1)["value"], "UTF-8")
+            ),
+        )
+    if drop_headers:
+        out = out.drop(headers_col)
+    return out
+
+
+def safe_serialize_json(df: DataFrame, out_col: str = "value_out") -> DataFrame:
+    """Sink-side safe serialization.
+
+    Parity: serdes/VavrSafeSerializer.java:26-52 — valid record →
+    serialized bytes; invalid with original bytes → bytes verbatim;
+    invalid with only a source record → re-serialized source record;
+    otherwise empty bytes (headers still carry the diagnostics).
+    Never throws.
+    """
+    err = F.col(ERR)
+    # err may or may not carry source_record depending on upstream ops
+    try:
+        err_fields = [f.name for f in df.schema[ERR].dataType.fields]
+    except Exception:
+        err_fields = []
+    src = (
+        F.to_json(err["source_record"]).cast("binary")
+        if "source_record" in err_fields
+        else F.lit(None).cast("binary")
+    )
+    out = (
+        F.when(err.isNull() & F.col(OK).isNotNull(), F.to_json(F.col(OK)).cast("binary"))
+        .when(err.isNotNull(), F.coalesce(err["raw_bytes"], src, F.lit(b"")))
+        .otherwise(F.lit(None).cast("binary"))
+    )
+    return df.withColumn(out_col, out)
