@@ -1,0 +1,72 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line.
+
+Execution is materialized through the no-op sink so timings measure
+distributed compute, not driver-side row collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",   # scan + hash agg
+    "q03_join_inner",        # broadcast join + agg
+    "q11_join_range",        # equi+range join
+    "q12_asof_join",         # as-of via single-shuffle window
+    "q20_window_rank",       # ranking windows
+    "q41_dedup_minhash_lsh", # MinHash-LSH fuzzy dedup
+    "q43_cosine_topk",       # embedding similarity
+    "q45_text_stats",        # text analysis
+    "q63_delta_expr",        # maston delta operator (expr path)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+
+    from maston_spark.queries import all_queries
+    from maston_spark.session import build_session
+
+    qs = all_queries()
+    spark = build_session("maston-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: spin up executors/codegen so q1 isn't charged JVM start
+    qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

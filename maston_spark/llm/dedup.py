@@ -67,24 +67,32 @@ def shingles(text_col, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
-    """MinHash signature: for seed s, min over shingles of
-    md5(s || ':' || shingle) — the md5 hex string ordering stands in
-    for a random permutation. Deterministic across engines."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingle_col, lambda sh: F.md5(F.concat(F.lit(f"{s}:"), sh))
-                )
-            )
-            for s in range(num_hashes)
-        ]
+def minhash_value(shingle_col, seed: int) -> Column:
+    """One MinHash component: min over shingles of md5(seed:shingle)
+    — the md5 hex ordering stands in for a random permutation.
+    Deterministic across engines."""
+    return F.array_min(
+        F.transform(shingle_col, lambda sh: F.md5(F.concat(F.lit(f"{seed}:"), sh)))
     )
 
 
-def lsh_bands(sig_col, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE) -> Column:
-    """Hash each band of the signature → array<struct<band, bucket>>."""
+def minhash_signature(shingle_col, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Full MinHash signature as one array column."""
+    return F.array(*[minhash_value(shingle_col, s) for s in range(num_hashes)])
+
+
+def lsh_band_buckets(
+    shingle_col, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE
+) -> Column:
+    """array<struct<band, bucket>> built so each minhash component
+    expression is referenced exactly ONCE.
+
+    Indexing a signature *expression* per band would make Catalyst
+    duplicate the whole 16-hash computation per reference (observed
+    16x slowdown); composing each band directly from its four
+    single-use component expressions keeps total work at one hash
+    pass.
+    """
     n_bands = num_hashes // band_size
     return F.array(
         *[
@@ -92,7 +100,11 @@ def lsh_bands(sig_col, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DE
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[sig_col[b * band_size + i] for i in range(band_size)]
+                        "|",
+                        *[
+                            minhash_value(shingle_col, b * band_size + i)
+                            for i in range(band_size)
+                        ],
                     )
                 ).alias("bucket"),
             )
@@ -112,11 +124,19 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band
     bucket. The join is per-bucket (equi on (band, bucket)) — never
     all-pairs; bucket sizes are bounded by collision probability, and
-    a pathological hot bucket is split by AQE skew join."""
+    a pathological hot bucket is split by AQE skew join.
+
+    The corpus is repartitioned before hashing: shingling + minhash
+    is the CPU-heavy stage, and document tables often arrive in few
+    splits; spreading it across the cluster costs one tiny shuffle.
+    """
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sig = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh"))
+        spread.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+        )
         .filter(F.size("sh") > 0)
-        .select("id", lsh_bands(minhash_signature("sh", num_hashes), num_hashes, band_size).alias("bands"))
+        .select("id", lsh_band_buckets("sh", num_hashes, band_size).alias("bands"))
     )
     buckets = sig.select("id", F.explode("bands").alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -144,7 +164,9 @@ def jaccard_verify(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (n-gram set overlap)."""
-    sh = df.select(
+    sh = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
