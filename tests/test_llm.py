@@ -1,0 +1,124 @@
+"""Goldens for the LLM-data-pipeline operators: dedup families,
+similarity search, text analysis. Small hand-built corpora with
+known duplicate structure; the sf0.001 tables for integration."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Row, functions as F
+
+from maston_spark.llm.dedup import (
+    jaccard_verify,
+    minhash_lsh_candidates,
+    shingles,
+)
+from maston_spark.llm.similarity import cosine, cosine_topk, lsh_topk
+from maston_spark.llm.text import fingerprint, lang_id, text_stats
+
+CORPUS = [
+    Row(doc_id=0, text="the quick brown fox jumps over the lazy dog near the river bank"),
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    Row(doc_id=2, text="completely different content about spark query engines and shuffles"),
+    Row(doc_id=3, text="the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+]
+
+
+def test_minhash_lsh_finds_near_and_exact_dups(spark):
+    df = spark.createDataFrame(CORPUS)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, text_col="text", id_col="doc_id").collect()
+    }
+    assert (0, 3) in pairs          # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup shares bands
+    assert all(a < b for a, b in pairs)  # canonical pair order
+    # the unrelated doc never pairs with anything
+    assert not any(2 in p for p in pairs)
+
+
+def test_jaccard_verify_scores(spark):
+    df = spark.createDataFrame(CORPUS)
+    cands = minhash_lsh_candidates(df, text_col="text", id_col="doc_id")
+    scored = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify(df, cands, text_col="text", id_col="doc_id").collect()
+    }
+    assert scored[(0, 3)] == 1.0
+    if (0, 1) in scored:
+        assert 0.5 < scored[(0, 1)] < 1.0
+
+
+def test_shingles_are_word_ngrams(spark):
+    df = spark.createDataFrame([Row(text="a b c d")])
+    out = df.select(shingles(F.col("text"), 3).alias("sh")).collect()[0].sh
+    assert sorted(out) == ["a b c", "b c d"]
+
+
+def test_cosine_topk_axis_vectors(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(x) for x in np.eye(4)[i % 4]])
+            for i in range(8)
+        ]
+    )
+    out = cosine_topk(emb, query_ids=[0], k=1).collect()
+    assert len(out) == 1
+    # only the other axis-0 vector (vec_id=4) has cosine 1 with query 0
+    assert out[0].neighbor_id == 4
+    assert abs(out[0].sim - 1.0) < 1e-6
+
+
+def test_lsh_topk_subset_of_exact(spark, sf_dir):
+    from maston_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_ids=[1, 2], k=5)
+    approx = lsh_topk(emb, query_ids=[1, 2], k=5)
+    # approximate neighbors must be drawn from the corpus and carry
+    # valid cosine values; recall vs exact is corpus-dependent but
+    # the top-1 exact neighbor usually shares the bucket
+    a = approx.collect()
+    assert all(-1.0 - 1e-9 <= r.sim <= 1.0 + 1e-9 for r in a)
+    assert all(r.query_id in (1, 2) for r in a)
+    assert exact.count() == 10
+
+
+def test_cosine_formula(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])])
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    exp = np.dot([1, 2, 3], [4, 5, 6]) / (
+        np.linalg.norm([1, 2, 3]) * np.linalg.norm([4, 5, 6])
+    )
+    assert math.isclose(got, exp, rel_tol=1e-9)
+
+
+def test_text_stats_fields(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="Hello world this is a test")])
+    row = text_stats(df, "text").collect()[0]
+    assert row.n_tokens == 6
+    assert row.n_distinct_tokens == 6
+    assert row.n_chars_computed == 26
+    assert 0.0 <= row.stopword_ratio <= 1.0
+    assert row.n_bpe_tokens == 6
+
+
+def test_lang_id_und_and_en(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat and the dog of a house"),
+            Row(doc_id=1, text="zzz qqq xxx"),
+        ]
+    )
+    got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="Hello   World"), Row(doc_id=1, text="hello world")]
+    )
+    fps = [r.fingerprint for r in fingerprint(df).collect()]
+    assert fps[0] == fps[1]

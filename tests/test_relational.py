@@ -1,0 +1,52 @@
+"""Goldens for the composed relational operators (as-of join,
+top-k per group) against hand-computed expectations."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from maston_spark.relational import asof_join, top_k_per_group
+
+
+def test_asof_join_backward_semantics(spark):
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", t=10, qty=1),
+            Row(sym="A", t=25, qty=2),
+            Row(sym="B", t=5, qty=3),
+        ]
+    )
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", t=8, px=100.0),
+            Row(sym="A", t=20, px=101.0),
+            Row(sym="A", t=30, px=102.0),
+            Row(sym="B", t=6, px=50.0),
+        ]
+    )
+    out = asof_join(
+        trades, quotes, by=["sym"], left_on="t", right_on="t",
+        right_vals=["px"], right_tiebreak="px",
+    )
+    got = {(r.sym, r.t): r.px_right for r in out.collect()}
+    assert got[("A", 10)] == 100.0   # latest quote <= 10 is t=8
+    assert got[("A", 25)] == 101.0   # t=20, not t=30
+    assert got[("B", 5)] is None     # no quote at or before t=5
+
+
+def test_asof_join_tie_takes_greatest_tiebreak(spark):
+    left = spark.createDataFrame([Row(k="x", t=10)])
+    right = spark.createDataFrame(
+        [Row(k="x", t=10, v=1.0), Row(k="x", t=10, v=9.0)]
+    )
+    out = asof_join(left, right, ["k"], "t", "t", ["v"], "v")
+    assert out.collect()[0].v_right == 9.0
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=i) for i in range(10)] + [Row(g="b", v=i) for i in range(3)]
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("a", 8), ("a", 9), ("b", 1), ("b", 2)]
