@@ -1,0 +1,96 @@
+"""Observability: error counters/rates as first-class query metrics.
+
+Parity: metrics/MetricsBuilder.java:19-61 registers two sensors per
+topology — deserialization-error count/rate and processing-error
+count/rate — tagged with the application id. Spark equivalents:
+
+- batch: ``Observation`` + :func:`observe_errors` — metrics computed
+  inside the job (no second scan), read on the driver after the
+  action;
+- streaming: :func:`observe_errors` + :class:`MetricsListener`
+  (a ``StreamingQueryListener``) — per-micro-batch observed rows
+  surface in ``QueryProgressEvent.observedMetrics``; rates derive
+  from batch duration.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+from maston_spark import errors as E
+
+METRIC_NAME = "maston_metrics"
+
+
+def error_metric_columns() -> list:
+    err_code = F.col("err.code")
+    return [
+        F.count(F.lit(1)).alias("n_records"),
+        F.count(F.col("err")).alias("n_errors"),
+        F.count(F.when(err_code == E.FAILED_TO_DESERIALIZE_RECORD, 1)).alias(
+            "n_deserialization_errors"
+        ),
+        F.count(F.when(err_code == E.FAILED_TO_PROCESS_RECORD, 1)).alias(
+            "n_processing_errors"
+        ),
+    ]
+
+
+def observe_errors(df: DataFrame, name: str = METRIC_NAME):
+    """Attach error counters to a validated DataFrame.
+
+    Batch: returns ``(df, Observation)`` — read ``observation.get``
+    after an action. Streaming: returns ``(df, None)`` — metrics
+    arrive via :class:`MetricsListener`.
+    """
+    if df.isStreaming:
+        return df.observe(name, *error_metric_columns()), None
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *error_metric_columns()), obs
+
+
+class MetricsListener(StreamingQueryListener):
+    """Collects observed metrics per micro-batch, thread-safe.
+
+    ``snapshot()`` returns a list of dicts (one per progress event
+    that carried our observation), each including the derived
+    ``errors_per_second`` rate — the analogue of the reference's
+    Kafka rate sensor.
+    """
+
+    def __init__(self, metric_name: str = METRIC_NAME):
+        self._name = metric_name
+        self._lock = threading.Lock()
+        self._rows: list[dict] = []
+
+    def onQueryStarted(self, event):  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        p = event.progress
+        om = p.observedMetrics or {}
+        row = om.get(self._name)
+        if row is None:
+            return
+        d = row.asDict()
+        dur = (p.durationMs or {}).get("triggerExecution")
+        if dur:
+            d["errors_per_second"] = round(d.get("n_errors", 0) * 1000.0 / dur, 6)
+        d["batch_id"] = p.batchId
+        with self._lock:
+            self._rows.append(d)
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+    def snapshot(self) -> list[dict]:
+        with self._lock:
+            return list(self._rows)

@@ -1,0 +1,231 @@
+"""Streaming layer tests: watermarked windows, in-stream dedup,
+stream-static joins, the two reference topologies end-to-end with
+memory/parquet sinks, and observe() metrics via the listener.
+
+All tests use the file replay source (the TopologyTestDriver
+analogue) + processAllAvailable, so they are deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from maston_spark.observability import MetricsListener, observe_errors
+from maston_spark.sources import file_stream, rate_stream, replay_stream
+from maston_spark.streaming.ops import (
+    drop_duplicates_within_watermark,
+    stream_static_join,
+    tumbling_window_agg,
+)
+from maston_spark.streaming.topology import delta_topology, simple_validated_topology
+
+SCHEMA = "business_key string, string_value string, seq bigint"
+
+
+def _tmp():
+    return tempfile.mkdtemp(prefix="stream_test_")
+
+
+def _payload(key, value, seq):
+    return json.dumps({"business_key": key, "string_value": value, "seq": seq})
+
+
+@pytest.fixture()
+def cleanup():
+    dirs = []
+    yield dirs
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(spark, df, name, chk, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"select * from {name}")
+
+
+def test_tumbling_window_agg_stream(spark, cleanup):
+    rows = [
+        Row(ts=datetime(2024, 1, 1, 0, m, s), k="a", v=1.0)
+        for m, s in [(0, 10), (0, 50), (1, 10), (2, 5)]
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows))
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    out = tumbling_window_agg(
+        stream, "ts", "1 minute", ["k"], [F.sum("v").alias("total")]
+    )
+    # append mode holds windows open until the watermark passes them;
+    # with a finite replay the last windows would never emit, so the
+    # test reads the full aggregation state via complete mode
+    got = _run_to_memory(spark, out, "tumbling_t", chk, mode="complete").collect()
+    by_start = {r.window_start.minute: r.total for r in got}
+    assert by_start == {0: 2.0, 1: 1.0, 2: 1.0}
+
+
+def test_drop_duplicates_within_watermark_stream(spark, cleanup):
+    rows = [
+        Row(ts=datetime(2024, 1, 1, 0, 0, i), event_id=i % 2, v=i) for i in range(6)
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows))
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    out = drop_duplicates_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    got = _run_to_memory(spark, out, "ddww_t", chk).collect()
+    assert sorted(r.event_id for r in got) == [0, 1]
+
+
+def test_stream_static_join_broadcasts_dim(spark, cleanup):
+    rows = [Row(nk=i % 3, v=float(i)) for i in range(9)]
+    stream, src = replay_stream(spark.createDataFrame(rows))
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    dim = spark.createDataFrame([Row(nk=i, name=f"n{i}") for i in range(3)])
+    out = stream_static_join(stream, dim, ["nk"])
+    got = _run_to_memory(spark, out, "ssj_t", chk).collect()
+    assert len(got) == 9 and all(r.name == f"n{r.nk}" for r in got)
+
+
+def test_rate_source_shape(spark):
+    df = rate_stream(spark, rows_per_second=5)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["timestamp", "value"]
+
+
+def test_simple_validated_topology_end_to_end(spark, cleanup):
+    good = _payload("key-1", "v1", 0)
+    bad = "not-json{{"
+    src_df = spark.createDataFrame([Row(value=good), Row(value=bad)])
+    stream, src = replay_stream(src_df)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    sunk: dict[str, list] = {"valid": [], "error": []}
+    metrics: list = []
+
+    q = simple_validated_topology(
+        stream,
+        SCHEMA,
+        app_id="t-app",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        on_metrics=lambda bid, c: metrics.append(c),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(sunk["valid"]) == 1 and len(sunk["error"]) == 1
+    ok_row = sunk["valid"][0]
+    assert ok_row.ok.business_key == "key-1"
+    assert json.loads(bytes(ok_row.value_out))["string_value"] == "v1"
+    err_row = sunk["error"][0]
+    # original bytes preserved verbatim + 11 provenance headers
+    assert bytes(err_row.value_out) == bad.encode()
+    assert len(err_row.headers) == 11
+    assert sum(m["valid"] for m in metrics) == 1
+    assert sum(m["error"] for m in metrics) == 1
+
+
+def test_delta_topology_reference_golden(spark, cleanup):
+    """The 6-record golden through the full topology: emits 0,2,3,5
+    to the valid sink, nothing to the error sink — parity:
+    VavrKStreamWithDeltaTopologyTest.java:312-331."""
+    seq = [
+        ("key-1", "should_pass"),
+        ("key-1", "should_not_pass"),
+        ("key-1", "should_pass"),
+        ("key-2", "should_pass"),
+        ("key-2", "should_not_pass"),
+        ("key-2", "should_pass"),
+    ]
+    src_df = spark.createDataFrame(
+        [Row(value=_payload(k, v, i)) for i, (k, v) in enumerate(seq)]
+    )
+    stream, src = replay_stream(src_df)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    q = delta_topology(
+        stream,
+        SCHEMA,
+        app_id="t-delta",
+        checkpoint=chk,
+        business_key=F.col("ok.business_key"),
+        order_cols=["ok.seq"],
+        is_updated=lambda old, new: new["ok"]["string_value"]
+        in old["ok"]["string_value"],
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sunk["error"] == []
+    assert sorted(r.ok.seq for r in sunk["valid"]) == [0, 2, 3, 5]
+
+
+def test_observe_errors_batch_and_listener(spark, cleanup):
+    from maston_spark.validated import safe_from_json
+
+    df = spark.createDataFrame(
+        [Row(value=_payload("k", "v", 0)), Row(value="junk((")]
+    )
+    validated = safe_from_json(df, "value", SCHEMA)
+    observed, obs = observe_errors(validated)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_records"] == 2
+    assert m["n_errors"] == 1
+    assert m["n_deserialization_errors"] == 1
+    assert m["n_processing_errors"] == 0
+
+    # streaming path: listener captures per-batch observed metrics
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream, src = replay_stream(df)
+        chk = _tmp()
+        cleanup.extend([src, chk])
+        sobs, _ = observe_errors(safe_from_json(stream, "value", SCHEMA))
+        q = (
+            sobs.writeStream.format("noop")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener delivery is async wrt processAllAvailable — poll
+        import time
+
+        rows = []
+        for _ in range(40):
+            rows = listener.snapshot()
+            if sum(r.get("n_records", 0) for r in rows) >= 2:
+                break
+            time.sleep(0.25)
+        assert sum(r.get("n_errors", 0) for r in rows) == 1
+        assert sum(r.get("n_records", 0) for r in rows) == 2
+    finally:
+        spark.streams.removeListener(listener)
