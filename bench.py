@@ -43,10 +43,15 @@ def main() -> None:
     spark = build_session("maston-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: spin up executors/codegen so q1 isn't charged JVM start
+    # warmup: spin up executors/codegen so q1 isn't charged JVM start,
+    # and the Arrow Python workers so the first pandas-UDF query isn't
+    # charged worker-pool start
     qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

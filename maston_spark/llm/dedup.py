@@ -67,32 +67,48 @@ def shingles(text_col, n: int = 3) -> Column:
     )
 
 
-def minhash_value(shingle_col, seed: int) -> Column:
-    """One MinHash component: min over shingles of md5(seed:shingle)
-    — the md5 hex ordering stands in for a random permutation.
-    Deterministic across engines."""
+# Universal-hash MinHash parameters. One md5 per shingle (the 32-bit
+# lane below), then each of the NUM_HASHES permutations is plain
+# integer arithmetic — 16x fewer digest computations than hashing
+# per (seed, shingle), and byte-identical in any SQL engine.
+MINHASH_PRIME = 4_294_967_311          # smallest prime > 2^32
+MINHASH_A0, MINHASH_B0 = 1_664_525, 1_013_904_223   # LCG-style constants
+
+
+def shingle_hash_lane(sh: Column) -> Column:
+    """32-bit integer lane of md5(shingle): first 8 hex digits."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+
+
+def shingle_hashes(shingle_col) -> Column:
+    """array<long>: one 32-bit hash per shingle (md5 computed ONCE).
+
+    Callers must materialize this in its own projection (a separate
+    ``select``) before fanning out to the per-seed mins — Catalyst's
+    CollapseProject keeps the boundary because the expression is
+    non-cheap, so the md5 pass runs once however many seeds read it.
+    """
+    return F.transform(shingle_col, shingle_hash_lane)
+
+
+def minhash_value(hashes_col, seed: int) -> Column:
+    """MinHash component ``seed``: min of (a_s*h + b_s) mod p."""
+    a, b = MINHASH_A0 + 2 * seed, MINHASH_B0 + seed
     return F.array_min(
-        F.transform(shingle_col, lambda sh: F.md5(F.concat(F.lit(f"{seed}:"), sh)))
+        F.transform(hashes_col, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
-    """Full MinHash signature as one array column."""
-    return F.array(*[minhash_value(shingle_col, s) for s in range(num_hashes)])
+def minhash_signature(hashes_col, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Full MinHash signature as one array column (input = the
+    materialized :func:`shingle_hashes` column)."""
+    return F.array(*[minhash_value(hashes_col, s) for s in range(num_hashes)])
 
 
 def lsh_band_buckets(
-    shingle_col, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE
+    hashes_col, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE
 ) -> Column:
-    """array<struct<band, bucket>> built so each minhash component
-    expression is referenced exactly ONCE.
-
-    Indexing a signature *expression* per band would make Catalyst
-    duplicate the whole 16-hash computation per reference (observed
-    16x slowdown); composing each band directly from its four
-    single-use component expressions keeps total work at one hash
-    pass.
-    """
+    """array<struct<band, bucket>> over the per-shingle hash column."""
     n_bands = num_hashes // band_size
     return F.array(
         *[
@@ -102,7 +118,7 @@ def lsh_band_buckets(
                     F.concat_ws(
                         "|",
                         *[
-                            minhash_value(shingle_col, b * band_size + i)
+                            minhash_value(hashes_col, b * band_size + i).cast("string")
                             for i in range(band_size)
                         ],
                     )
@@ -113,32 +129,157 @@ def lsh_band_buckets(
     )
 
 
-def minhash_lsh_candidates(
+def shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) with non-empty shingle sets — the shared upstream of
+    candidate generation AND verification. Callers that consume it
+    more than once should ``persist()`` it (at cluster scale: write
+    the signature table once, read many — shingling is the CPU-heavy
+    stage and must not be recomputed per consumer).
+
+    The corpus is repartitioned before shingling: document tables
+    often arrive in few splits; spreading the CPU-heavy stage across
+    the cluster costs one tiny shuffle.
+    """
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    return spread.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def lane_frame(shf: DataFrame) -> DataFrame:
+    """(id, hv): per-shingle 32-bit md5 lanes, distinct per doc.
+    This is the table to persist/write at scale — signatures,
+    candidate buckets, and hashed-shingle Jaccard all derive from it
+    with integer-only work."""
+    return shf.select("id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hv"))
+
+
+def candidates_from_lanes(
+    lf: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket, from
+    a :func:`lane_frame`. The join is per-bucket (equi on
+    (band, bucket)) — never all-pairs; bucket sizes are bounded by
+    collision probability, and a pathological hot bucket is split by
+    AQE skew join."""
+    hv = lf
+    # Explode the band array INLINE (generator = the array expression).
+    # Materializing it as a column first and exploding the attribute
+    # invites GeneratorNestedColumnAliasing to duplicate the whole
+    # 16-min computation per extracted field (measured 10x slower).
+    buckets = hv.select(
+        "id", F.explode(lsh_band_buckets("hv", num_hashes, band_size)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def shingle_lane_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, lane) — one row per shingle occurrence, fully codegen.
+
+    Higher-order functions (transform/aggregate) drop out of
+    whole-stage codegen into interpreted per-element evaluation —
+    measured ~10x slower than this explode + window + md5 shape on
+    the same corpus. Tokens explode to rows, ``lead`` builds the
+    n-gram within each doc (one hash shuffle on id), and the md5
+    lane is a plain codegen projection.
+    """
+    toks = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    cols = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, shingle_n)
+    ]
+    last = F.lead("tok", shingle_n - 1).over(w)
+    withs = toks.select("id", *cols, last.alias("__last"))
+    sh = withs.filter(F.col("__last").isNotNull()).select(
+        "id",
+        F.concat_ws(
+            " ", "tok", *[f"__t{i}" for i in range(1, shingle_n)]
+        ).alias("shingle"),
+    )
+    return sh.select("id", shingle_hash_lane(F.col("shingle")).alias("lane"))
+
+
+def minhash_frame(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """(id, hv, mh0..mh{n-1}): distinct lanes + all MinHash components
+    in ONE codegen aggregation over the exploded lane rows. Docs with
+    fewer than ``shingle_n`` tokens disappear (no shingles), matching
+    :func:`shingle_frame`'s non-empty filter.
+
+    This is the table to persist / write at scale: signatures and
+    hashed-shingle Jaccard both read from it."""
+    rows = shingle_lane_rows(df, text_col, id_col, shingle_n)
+    mins = [
+        F.min(
+            (F.lit(MINHASH_A0 + 2 * s) * F.col("lane") + F.lit(MINHASH_B0 + s))
+            % F.lit(MINHASH_PRIME)
+        ).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return rows.groupBy("id").agg(F.collect_set("lane").alias("hv"), *mins)
+
+
+def candidates_from_minhash(
+    mf: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band
-    bucket. The join is per-bucket (equi on (band, bucket)) — never
-    all-pairs; bucket sizes are bounded by collision probability, and
-    a pathological hot bucket is split by AQE skew join.
-
-    The corpus is repartitioned before hashing: shingling + minhash
-    is the CPU-heavy stage, and document tables often arrive in few
-    splits; spreading it across the cluster costs one tiny shuffle.
-    """
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    sig = (
-        spread.select(
-            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
-        .select("id", lsh_band_buckets("sh", num_hashes, band_size).alias("bands"))
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket, from
+    a :func:`minhash_frame`."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * band_size + i}").cast("string")
+                            for i in range(band_size)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    buckets = sig.select("id", F.explode("bands").alias("bb")).select(
+    buckets = mf.select("id", F.explode(bands).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = buckets.alias("a")
@@ -155,6 +296,42 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from raw text — convenience
+    wrapper over :func:`minhash_frame` + :func:`candidates_from_minhash`."""
+    return candidates_from_minhash(
+        minhash_frame(df, text_col, id_col, shingle_n, num_hashes),
+        num_hashes,
+        band_size,
+    )
+
+
+def jaccard_from_lanes(
+    lf: DataFrame, candidates: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Jaccard on candidate pairs over hashed shingles (32-bit md5
+    lanes): integer set intersection instead of string sets — same
+    result modulo negligible 32-bit collisions, and deterministic, so
+    an oracle computes it identically."""
+    a = lf.select(F.col("id").alias("id_a"), F.col("hv").alias("hv_a"))
+    b = lf.select(F.col("id").alias("id_b"), F.col("hv").alias("hv_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("hv_a", "hv_b"))
+    union = F.size(F.array_union("hv_a", "hv_b"))
+    return (
+        joined.select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     candidates: DataFrame,
@@ -163,14 +340,11 @@ def jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs only (n-gram set overlap)."""
-    sh = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
-    )
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    """Exact Jaccard on candidate pairs (n-gram string set overlap)
+    from raw text."""
+    shf = shingle_frame(df, text_col, id_col, shingle_n)
+    a = shf.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shf.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

@@ -68,11 +68,16 @@ sh AS (
            ELSE [] END) AS sh
   FROM toks),
 sh2 AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
-sig AS (
-  SELECT id, sh,
-         list_transform(range(0, 16),
-           s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || ':' || x)))) AS sig
+hv AS (
+  SELECT id, list_distinct(
+           list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hv
   FROM sh2),
+sig AS (
+  SELECT id,
+         list_transform(range(0, 16),
+           s -> list_min(list_transform(hv,
+                  h -> ((1664525 + 2*s) * h + 1013904223 + s) % 4294967311))) AS sig
+  FROM hv),
 buckets AS (
   SELECT id, b,
          md5(array_to_string(sig[(b*4+1):(b*4+4)], '|')) AS bucket
@@ -82,11 +87,11 @@ cand AS (
   FROM buckets a JOIN buckets b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
 jac AS (
   SELECT c.id_a, c.id_b,
-         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-               / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+         round(len(list_intersect(ha.hv, hb.hv))::DOUBLE
+               / len(list_distinct(ha.hv || hb.hv)), 6) AS jaccard
   FROM cand c
-  JOIN sh2 sa ON sa.id = c.id_a
-  JOIN sh2 sb ON sb.id = c.id_b)
+  JOIN hv ha ON ha.id = c.id_a
+  JOIN hv hb ON hb.id = c.id_b)
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
 """
 
@@ -95,10 +100,14 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
 def q41_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH fuzzy dedup: shingle → 16-hash signature → 4
     banded buckets → equi-join candidates → exact-Jaccard verify.
-    Never all-pairs: the only join key is the band bucket."""
+    Never all-pairs: the only join key is the band bucket. The
+    shingle frame is persisted and shared by all four consumers
+    (both join sides of candidates + both sides of verify) — the
+    cluster-scale pattern is writing the signature table once."""
     corpus = _neardup_corpus(spark, sf_dir)
-    cands = DD.minhash_lsh_candidates(corpus, shingle_n=3, num_hashes=16, band_size=4)
-    return DD.jaccard_verify(corpus, cands, shingle_n=3, threshold=0.2)
+    mf = DD.minhash_frame(corpus, shingle_n=3, num_hashes=16).persist()
+    cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
+    return DD.jaccard_from_lanes(mf, cands, threshold=0.2)
 
 
 def _simhash_oracle() -> str:
