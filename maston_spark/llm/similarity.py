@@ -132,6 +132,67 @@ def lsh_bucket(vec_col, n_planes: int, dims: int) -> Column:
     return bucket.cast("int")
 
 
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Never all-pairs: rows are sign-LSH bucketed (one scan), then each
+    bucket computes its pairwise cosine matrix with one numpy matmul
+    inside ``applyInPandas``. Bucket population is ~N/2^planes; a
+    pathological hot bucket is one partition's worth of work and can
+    be split by raising ``n_planes``. Recall misses only pairs whose
+    sign patterns differ — acceptable for near-dup thresholds, and
+    tunable with multiple hyperplane tables (OR-amplification) if
+    needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    H = hyperplane_matrix(n_planes, dims)
+    powers = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    def add_bucket(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["__vec"]), dtype=np.float64)
+            pdf = pdf.assign(bucket=(((M @ H.T) > 0).astype(np.int64) @ powers))
+            yield pdf
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        M = np.array(list(pdf["__vec"]), dtype=np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        ia, ib = np.nonzero(np.triu(S >= threshold, k=1))
+        # canonical id_a < id_b regardless of row order in the bucket
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "bucket": pdf["bucket"].iloc[0],
+                "cosine": np.round(S[ia, ib], 6),
+            }
+        )
+
+    bucketed = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(add_bucket, "__id long, __vec array<float>, bucket long")
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(pairs, "id_a long, id_b long, bucket long, cosine double")
+        .select("id_a", "id_b", "bucket", "cosine")
+    )
+
+
 def hyperplane_matrix(n_planes: int, dims: int):
     """The deterministic ±1 hyperplanes as a numpy matrix — same
     md5-derived values as :func:`hyperplane`, computed driver-side

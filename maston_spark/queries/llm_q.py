@@ -259,3 +259,86 @@ def q46_lang_id(spark, sf_dir):
 def q47_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.fingerprint(d).select("doc_id", "fingerprint")
+
+
+@query(
+    "q48_embedding_neardup",
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(range(1, 65), i -> v[i] + 0.1 * v[(i % 64) + 1])
+      FROM base WHERE vec_id % 10 = 0),
+    comp AS (
+      SELECT p, d,
+             CASE WHEN substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM range(0, 6) r1(p) CROSS JOIN range(0, 64) r2(d)),
+    dots AS (
+      SELECT c.vec_id, comp.p, sum(c.v[comp.d + 1] * comp.w) AS dp
+      FROM c CROSS JOIN comp GROUP BY 1, 2),
+    buck AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dp > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY 1),
+    cb AS (SELECT c.vec_id, c.v, b.bucket FROM c JOIN buck b USING (vec_id))
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.6
+    """,
+)
+def q48_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-LSH bucket (one vectorized
+    scan) then per-bucket pairwise numpy matmul — candidate work is
+    sum(bucket^2), never corpus^2. Self-exercising corpus: every
+    10th vector gets a deterministically perturbed twin (cosine
+    ≈0.95) so recall is actually graded."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 0.1 * embedding[(i + 1) % 64])"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    return SIM.embedding_neardup(corpus, threshold=0.6, n_planes=6, dims=64)
+
+
+@query("q49_media_features")  # rows-only: fake decode kernel has no SQL analogue
+def q49_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthesize media (binary+metadata),
+    hash JVM-side, decode/feature-extract via Arrow batches."""
+    from maston_spark.llm import multimodal as MM
+
+    media = MM.with_content_hash(MM.synthesize_media(spark, n=512, partitions=8))
+    feats = MM.extract_features(media, dim=16)
+    from pyspark.sql import functions as F
+
+    return feats.join(media.select("media_id", "content_hash"), "media_id").select(
+        "media_id", "kind", "n_bytes", "content_hash",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+@query("q50_frame_sample")  # rows-only: demuxer is stubbed deterministic
+def q50_frame_sample(spark, sf_dir):
+    """Video frame sampling: one row per sampled timestamp, emit
+    count bounded by metadata duration."""
+    from maston_spark.llm import multimodal as MM
+
+    media = MM.synthesize_media(spark, n=256, partitions=8)
+    frames = MM.sample_frames(media, every_ms=1000)
+    from pyspark.sql import functions as F
+
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )

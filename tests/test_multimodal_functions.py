@@ -1,0 +1,100 @@
+"""Tests for the multimodal column pipeline and the user-function
+surface (pandas UDFs, UDTFs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from maston_spark.functions import register_udtfs, weighted_mean, zscore
+from maston_spark.llm.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+    with_content_hash,
+)
+
+
+def test_media_table_schema_and_metadata(spark):
+    df = synthesize_media(spark, n=30)
+    rows = df.collect()
+    assert len(rows) == 30
+    kinds = {r.kind for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    img = next(r for r in rows if r.kind == "image")
+    assert img.meta.mime == "image/png" and img.meta.width >= 64
+    assert img.meta.duration_ms is None
+    aud = next(r for r in rows if r.kind == "audio")
+    assert aud.meta.sample_rate == 16000 and aud.meta.width is None
+
+
+def test_content_hash_is_jvm_side_and_stable(spark):
+    df = with_content_hash(synthesize_media(spark, n=10))
+    h1 = {r.media_id: r.content_hash for r in df.collect()}
+    h2 = {r.media_id: r.content_hash for r in df.collect()}
+    assert h1 == h2 and all(len(v) == 64 for v in h1.values())
+
+
+def test_extract_features_shape_and_determinism(spark):
+    feats = extract_features(synthesize_media(spark, n=12), dim=16).collect()
+    assert len(feats) == 12
+    assert all(len(r.feature) == 16 for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r.feature)
+    again = extract_features(synthesize_media(spark, n=12), dim=16).collect()
+    assert {r.media_id: r.feature for r in feats} == {
+        r.media_id: r.feature for r in again
+    }
+
+
+def test_sample_frames_counts_follow_metadata(spark):
+    media = synthesize_media(spark, n=12)
+    frames = sample_frames(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    durations = {
+        r.media_id: r.meta.duration_ms
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    assert len(got) == len(durations)
+    for r in got:
+        expected = (durations[r.media_id] + 999) // 1000
+        assert r["count"] == expected
+    assert all(len(f.frame) == 32 for f in frames.limit(5).collect())
+
+
+def test_resize_is_an_explicit_stub(spark):
+    with pytest.raises(Exception, match="codec library"):
+        resize_images(synthesize_media(spark, n=6), 32, 32).collect()
+
+
+def test_zscore_pandas_udf(spark):
+    # one partition → one Arrow batch (zscore is per-batch by design)
+    df = spark.createDataFrame([Row(v=float(x)) for x in (1, 2, 3, 4)]).coalesce(1)
+    out = [r.z for r in df.select(zscore("v").alias("z")).collect()]
+    assert abs(sum(out)) < 1e-9
+    assert max(out) > 1.0
+
+
+def test_weighted_mean_grouped_agg(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", x=1.0, w=1.0), Row(g="a", x=3.0, w=3.0), Row(g="b", x=5.0, w=2.0)]
+    )
+    got = {
+        r.g: r.wm
+        for r in df.groupBy("g").agg(weighted_mean("x", "w").alias("wm")).collect()
+    }
+    assert abs(got["a"] - 2.5) < 1e-9 and got["b"] == 5.0
+
+
+def test_udtf_split_words_and_running_count(spark):
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT s.* FROM VALUES ('hello big world') AS t(txt), "
+        "LATERAL split_words(t.txt) s"
+    ).collect()
+    assert [(r.word, r.idx) for r in rows] == [("hello", 0), ("big", 1), ("world", 2)]
+    rc = spark.sql(
+        "SELECT * FROM running_count(TABLE(SELECT id FROM range(4)) "
+        "WITH SINGLE PARTITION ORDER BY id)"
+    ).collect()
+    assert (rc[-1].n, rc[-1].total) == (4, 6)
