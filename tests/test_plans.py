@@ -1,0 +1,104 @@
+"""Plan-quality assertions: these lock in the scale properties the
+engine is designed around. A regression that turns a broadcast join
+into a cartesian product, or stops filter/column pushdown from
+reaching the parquet scan, fails HERE — not in a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from maston_spark.queries import all_queries
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir, qs):
+    """No registered query may plan a cartesian/nested-loop join,
+    except the deliberate tiny cross joins (q09 crosses two
+    5-25 row dimensions; q43/44 broadcast a 10-row query set)."""
+    allowed = {"q09_join_cross"}
+    offenders = {}
+    for name, q in qs.items():
+        if name in allowed:
+            continue
+        p = plan_of(q(spark, sf_dir))
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+    assert not offenders, f"cartesian joins leaked into: {offenders}"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir, qs):
+    """Fact-to-dimension equi-joins must broadcast the dimension."""
+    p = plan_of(qs["q03_join_inner"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_filter_and_projection_pushdown_reach_scan(spark, sf_dir):
+    from maston_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # only the two referenced columns are read from parquet
+    assert "ReadSchema: struct<l_quantity:double,l_shipdate:timestamp_ntz>" in p
+
+
+def test_flagship_aggregation_is_whole_stage_codegen(spark, sf_dir, qs):
+    df = qs["q01_pricing_summary"](spark, sf_dir)
+    df.collect()
+    # after execution AQE has finalized the plan; '*(N)' prefixes mark
+    # whole-stage-codegen stages, partial_sum proves map-side combine
+    p = plan_of(df)
+    assert "isFinalPlan=true" in p
+    assert "*(1) HashAggregate" in p or "*(2) HashAggregate" in p
+    assert "partial_sum" in p
+
+
+def test_validated_layer_stays_jvm_side(spark):
+    """The validated-ingest column algebra must not contain a Python
+    UDF node (BatchEvalPython/ArrowEvalPython) — it is pure Catalyst."""
+    from pyspark.sql import Row
+
+    from maston_spark.validated import safe_from_json, safe_serialize_json, with_error_headers
+
+    df = spark.createDataFrame([Row(value='{"a": 1}')])
+    out = safe_serialize_json(
+        with_error_headers(safe_from_json(df, "value", "a int"), app_id="x")
+    )
+    p = plan_of(out)
+    assert "EvalPython" not in p
+
+
+def test_minhash_single_hash_pass(spark, sf_dir):
+    """The MinHash plan computes the md5 lane ONCE; the 16 signature
+    mins are integer aggregates over it (regression guard for the
+    expression-duplication trap)."""
+    from maston_spark.session import load_table
+    from maston_spark.llm.dedup import minhash_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    p = optimized_of(minhash_frame(d))
+    assert p.count("md5") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_asof_join_single_shuffle(spark, sf_dir, qs):
+    """The as-of join must shuffle each side once (union+window
+    strategy), never range-join or nested-loop."""
+    p = plan_of(qs["q12_asof_join"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2

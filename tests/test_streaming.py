@@ -229,3 +229,44 @@ def test_observe_errors_batch_and_listener(spark, cleanup):
         assert sum(r.get("n_records", 0) for r in rows) == 2
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_stream_join(spark, cleanup):
+    """Watermarked stream-stream join through the replay source: the
+    time-bounded condition keeps state finite; results match the
+    batch join."""
+    from datetime import datetime, timedelta
+
+    from maston_spark.streaming.ops import stream_stream_join
+
+    base = datetime(2024, 1, 1)
+    left_rows = [Row(k=i % 3, lts=base + timedelta(seconds=10 * i), lv=i) for i in range(9)]
+    right_rows = [Row(k=i % 3, rts=base + timedelta(seconds=10 * i + 5), rv=i * 10) for i in range(9)]
+    ls, src1 = replay_stream(spark.createDataFrame(left_rows))
+    rs, src2 = replay_stream(spark.createDataFrame(right_rows))
+    chk = _tmp()
+    cleanup.extend([src1, src2, chk])
+    joined = stream_stream_join(
+        ls.withColumnRenamed("k", "lk"),
+        rs.withColumnRenamed("k", "rk"),
+        on=(
+            (F.col("lk") == F.col("rk"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("interval 6 seconds"))
+        ),
+        left_ts="lts",
+        right_ts="rts",
+        watermark="1 hour",
+    )
+    got = _run_to_memory(spark, joined, "ssj2_t", chk).collect()
+    # each left row i pairs exactly with right row i (same k, +5s)
+    assert len(got) == 9
+    assert all(r.rv == r.lv * 10 for r in got)
+
+
+def test_avro_gate_reports_unavailable_without_crashing(spark):
+    """spark-avro is not on this classpath; the serde layer must
+    detect that cleanly (prod deployments add the module jar)."""
+    from maston_spark.validated import avro_available, safe_from_avro
+
+    assert avro_available(spark) is False
