@@ -49,11 +49,19 @@ def simple_validated_topology(
     processor: Callable[[DataFrame], DataFrame] | None = None,
     trigger: dict | None = None,
     on_metrics: Callable[[int, dict[str, int]], None] | None = None,
+    emit_valid: bool = True,
 ):
     """Validated consumer: parse → (optional processor over the
     validated frame, e.g. :func:`maston_spark.validated.process_validated`)
     → split-sink. ``source`` is any streaming DataFrame with a string/
-    binary ``value_col`` (Kafka or test source)."""
+    binary ``value_col`` (Kafka or test source).
+
+    ``emit_valid=False`` reproduces the reference topology exactly:
+    successfully processed records terminate (the user processor is
+    side-effecting there) and ONLY failures flow to the error sink
+    (topology/TopologyBuilder.java:30-50 — valid branch ends at the
+    post-process invalid filter). The default generalizes to the
+    produce-both shape most Spark pipelines want."""
     validated = safe_from_json(
         source.withColumn(value_col, F.col(value_col).cast("string")),
         value_col,
@@ -62,7 +70,10 @@ def simple_validated_topology(
     if processor is not None:
         validated = processor(validated)
     fn = foreach_batch_split(
-        write_valid, write_error, app_id=app_id, on_metrics=on_metrics
+        write_valid if emit_valid else (lambda df: None),
+        write_error,
+        app_id=app_id,
+        on_metrics=on_metrics,
     )
     return _start_foreach_batch(validated, fn, checkpoint, trigger)
 
