@@ -1,0 +1,82 @@
+"""Partitioning strategies for cluster-scale joins: bucketing for
+co-located (shuffle-free) joins, and salting for skewed keys.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle of
+both sides. Bucketing pre-shuffles once at write time — every
+subsequent join on the bucket key is exchange-free. Salting splits a
+hot key across ``salt_n`` subkeys so no single task receives the
+whole key (AQE skew-join splitting handles moderate skew
+automatically; salting is for the pathological keys AQE can't split,
+e.g. a single key larger than an executor).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table. Joins and
+    aggregations on ``bucket_cols`` against tables bucketed the same
+    way need no exchange (and no sort, if sorted)."""
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, on: Sequence[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables — the plan must show zero
+    Exchange below the join."""
+    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_n: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skew.
+
+    The (large, skewed) ``left`` side gets a random-ish but
+    deterministic salt in [0, salt_n); the (smaller) ``right`` side
+    is replicated ``salt_n`` times with every salt value, so the join
+    key becomes (key, salt) and a hot key spreads across ``salt_n``
+    tasks. Row multiplicity is unchanged: each left row matches
+    exactly the one right replica carrying its salt.
+    """
+    salt = F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), salt_n)
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt_n).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = l_salted.join(r_salted, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def explain_has_exchange_below_join(df: DataFrame) -> bool:
+    """True if any Exchange sits below the topmost join in the
+    executed plan (used by tests to prove co-location)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    join_idx = next(
+        (i for i, ln in enumerate(lines) if "Join" in ln), None
+    )
+    if join_idx is None:
+        return False
+    return any("Exchange" in ln for ln in lines[join_idx:])

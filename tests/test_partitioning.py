@@ -1,0 +1,96 @@
+"""Bucketing and salting: the plans must prove the point —
+bucketed joins have no shuffle, salted joins preserve row counts
+while splitting hot keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from maston_spark.partitioning import (
+    bucketed_join,
+    explain_has_exchange_below_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    # warehouse dir is static config; tables land in ./spark-warehouse
+    # (gitignored) and are dropped on teardown
+    from maston_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+    write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed_tables):
+    # test tables are tiny, so the planner would broadcast (also a
+    # fine plan) — disable that to expose the bucketed co-location
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("lineitem_b").withColumnRenamed("l_orderkey", "o_orderkey")
+        joined = spark.table("orders_b").join(li, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and it is not just empty tables agreeing
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    from maston_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    plain = load_table(spark, sf, "orders").join(
+        load_table(spark, sf, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        "o_orderkey",
+    )
+    li = spark.table("lineitem_b").withColumnRenamed("l_orderkey", "o_orderkey")
+    bucketed = spark.table("orders_b").join(li, "o_orderkey")
+    assert bucketed.count() == plain.count()
+
+
+def test_salted_join_preserves_semantics(spark):
+    # left heavily skewed: 90% of rows share key 1
+    left = spark.createDataFrame(
+        [Row(k=1 if i % 10 else i, v=i) for i in range(1000)]
+    )
+    right = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(1000)])
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, "k", salt_n=8)
+    assert salted.count() == plain.count()
+    # spot-check content equality
+    a = {(r.k, r.v, r.name) for r in salted.collect()}
+    b = {(r.k, r.v, r.name) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_join_splits_hot_key(spark):
+    left = spark.createDataFrame([Row(k=1, v=i) for i in range(1000)])
+    right = spark.createDataFrame([Row(k=1, name="hot")])
+    salted = salted_join(left, right, "k", salt_n=8)
+    # the hot key's rows must actually spread over multiple salts
+    n_salts = (
+        left.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("k"), F.monotonically_increasing_id()), 8),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+    assert salted.count() == 1000
