@@ -83,6 +83,40 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     )
 
 
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality pre-filter: length window + punctuation and
+    stopword gates, composed into a [0,1] score. Thresholds mirror
+    common training-data pipeline defaults; everything is codegen."""
+    t = tokens(F.col(text_col))
+    stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_chars = F.length(text_col)
+    n_tokens = F.size(t)
+    stopword_ratio = F.round(
+        F.size(F.filter(t, lambda x: F.array_contains(stop_en, x))) / n_tokens, 6
+    )
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9 ]", "")) / n_chars, 6
+    )
+    upper_ratio = F.round(
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", "")) / n_chars, 6
+    )
+    out = df.select(
+        "*",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        upper_ratio.alias("upper_ratio"),
+    )
+    score = F.round(
+        F.when(F.col("n_tokens").between(20, 10000), F.lit(0.4)).otherwise(0.0)
+        + F.when(F.col("punct_ratio") < 0.2, F.lit(0.3)).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") > 0.01, F.lit(0.3)).otherwise(0.0),
+        6,
+    )
+    return out.withColumn("quality_score", score)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. Cross-engine stable."""

@@ -342,3 +342,138 @@ def q50_frame_sample(spark, sf_dir):
         F.count(F.lit(1)).alias("n_frames"),
         F.max("ts_ms").alias("last_ts_ms"),
     )
+
+
+@query(
+    "q51_quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE
+                   / len(toks), 6) AS stopword_ratio,
+             round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                   / length(text), 6) AS punct_ratio,
+             round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+                   / length(text), 6) AS upper_ratio
+      FROM t)
+    SELECT doc_id, n_chars, n_tokens, stopword_ratio, punct_ratio, upper_ratio,
+           round(
+             (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END), 6
+           ) AS quality_score
+    FROM m
+    """,
+)
+def q51_quality_score(spark, sf_dir):
+    """Document quality scoring: length window + punctuation and
+    stopword gates — the heuristic pre-filter of a training-data
+    pipeline, all codegen column algebra."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.quality_score(d).select(
+        "doc_id", "n_chars", "n_tokens", "stopword_ratio",
+        "punct_ratio", "upper_ratio", "quality_score",
+    )
+
+
+@query(
+    "q53_levenshtein_neardup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 11 = 0),
+    b AS (SELECT doc_id, text, md5(substr(text, 1, 32)) AS bucket FROM corpus)
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+           levenshtein(a.text, b2.text) AS edit_dist
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+    WHERE levenshtein(a.text, b2.text) <= 8
+    """,
+)
+def q53_levenshtein_neardup(spark, sf_dir):
+    """Edit-distance near-dup with prefix-hash bucketing: candidates
+    share a 32-char-prefix bucket (equi-join, linear), expensive
+    levenshtein runs only inside buckets."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tail = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    b = d.unionByName(tail).withColumn(
+        "bucket", F.md5(F.substring("text", 1, 32))
+    )
+    a2, b2 = b.alias("a"), b.alias("b")
+    return (
+        a2.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+    )
+
+
+@query(
+    "q54_chargram_jaccard",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, lower(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lower(text || ' xyz') FROM documents WHERE doc_id % 9 = 0),
+    g AS (
+      SELECT doc_id, text,
+             list_distinct(list_transform(range(1, length(text) - 3),
+                                          i -> substr(text, i, 4))) AS grams
+      FROM corpus WHERE length(text) >= 8),
+    b AS (SELECT doc_id, grams, md5(substr(text, 1, 4)) AS bucket FROM g)
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b2.grams))::DOUBLE
+                 / len(list_distinct(a.grams || b2.grams)), 6) AS jaccard
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+    WHERE round(len(list_intersect(a.grams, b2.grams))::DOUBLE
+          / len(list_distinct(a.grams || b2.grams)), 6) >= 0.8
+    """,
+)
+def q54_chargram_jaccard(spark, sf_dir):
+    """Character-4-gram Jaccard near-dup, bucketed by the 4-char text
+    prefix hash — the n-gram-family complement to word-shingle
+    MinHash. Candidate generation is the bucket equi-join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    tail = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lower(F.concat("text", F.lit(" xyz"))).alias("text"),
+    )
+    corpus = d.unionByName(tail).filter(F.length("text") >= 8)
+    g = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 4))")
+        ).alias("grams"),
+        F.md5(F.substring("text", 1, 4)).alias("bucket"),
+    )
+    a2, b2 = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        a2.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )

@@ -900,3 +900,32 @@ def q32_decimal_cast(spark, sf_dir):
         .cast("string")
         .alias("avg_qty_dec"),
     )
+
+
+@query(
+    "q52_pivot",
+    oracle="""
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS click_total,
+           round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 4) AS error_total,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase_total,
+           round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 4) AS signup_total,
+           round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 4) AS view_total
+    FROM events GROUP BY user_id
+    """,
+)
+def q52_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): one shuffle on user_id; the pivot
+    values are declared so Catalyst skips the extra distinct-scan."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.sum("value"))
+    )
+    for k in kinds:
+        out = out.withColumn(
+            f"{k}_total", F.round(F.coalesce(F.col(k), F.lit(0.0)), 4)
+        ).drop(k)
+    return out
