@@ -380,3 +380,62 @@ def simhash16(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
         term = F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return df.withColumn(out_col, fp.cast("int"))
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate clusters: per vertex, the min vertex id reachable
+    over the (undirected) edge set — the canonical cluster id.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-vertex min; converges in O(cluster
+    diameter) rounds (near-dup clusters are tiny, so 2-4 rounds in
+    practice; ``max_iters`` bounds pathological chains).
+    ``localCheckpoint`` cuts lineage each round — without it the plan
+    doubles per iteration and the job dies on plan size long before
+    data size matters at 100 TB.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("cluster").alias("n_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

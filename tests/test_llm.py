@@ -122,3 +122,16 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     )
     fps = [r.fingerprint for r in fingerprint(df).collect()]
     assert fps[0] == fps[1]
+
+
+def test_connected_components_known_graph(spark):
+    from maston_spark.llm.dedup import connected_components
+
+    verts = spark.createDataFrame([Row(id=i) for i in range(7)])
+    # components: {0,1,2,3} (chain), {4,5}, {6} singleton
+    edges = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
+         Row(id_a=4, id_b=5)]
+    )
+    got = {r.id: r.cluster for r in connected_components(verts, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
