@@ -136,3 +136,23 @@ def test_safe_serialize_reserializes_source_record_when_no_raw_bytes(spark):
     )
     out = safe_serialize_json(df).collect()[0]
     assert json.loads(bytes(out.value_out))["string_value"] == "v1"
+
+
+def test_process_validated_pandas_arrow_path(spark):
+    """The arbitrary-Python processor path: Arrow batches in/out,
+    same ok/err contract."""
+    import pandas as pd
+
+    from maston_spark.validated import process_validated_pandas
+
+    df = _parse(spark, [GOOD])
+
+    def upper_values(it):
+        for pdf in it:
+            for rec in pdf["ok"]:
+                if rec is not None:
+                    rec["string_value"] = rec["string_value"].upper()
+            yield pdf
+
+    out = process_validated_pandas(df, upper_values, df.schema)
+    assert out.collect()[0].ok.string_value == "V1"
