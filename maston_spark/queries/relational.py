@@ -929,3 +929,26 @@ def q52_pivot(spark, sf_dir):
             f"{k}_total", F.round(F.coalesce(F.col(k), F.lit(0.0)), 4)
         ).drop(k)
     return out
+
+
+@query(
+    "q56_map_fns",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS keys_csv,
+           json_extract(props, '$.k')::BIGINT AS k_value,
+           len(json_keys(props)) AS n_keys
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def q56_map_fns(spark, sf_dir):
+    """Map-typed columns: JSON → map<string,bigint>, key listing,
+    value access — all codegen."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )

@@ -270,3 +270,43 @@ def test_avro_gate_reports_unavailable_without_crashing(spark):
     from maston_spark.validated import avro_available, safe_from_avro
 
     assert avro_available(spark) is False
+
+
+def test_update_output_mode_windowed_agg(spark, cleanup):
+    """Update mode emits changed aggregate rows per trigger (the
+    low-latency alternative to append's watermark wait)."""
+    rows = [
+        Row(ts=datetime(2024, 1, 1, 0, 0, 10 * i), k="a", v=1.0) for i in range(4)
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows))
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 minute"), "k")
+        .agg(F.sum("v").alias("total"))
+        .select(F.col("window.start").alias("ws"), "k", "total")
+    )
+    got = _run_to_memory(spark, out, "upd_t", chk, mode="update").collect()
+    # final state for the single window must appear with total 4.0
+    assert max(r.total for r in got) == 4.0
+
+
+def test_available_now_trigger_drains_and_stops(spark, cleanup):
+    """availableNow: process everything currently available in
+    bounded micro-batches, then stop — the Kafka-backfill pattern."""
+    rows = [Row(x=i) for i in range(20)]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=1)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("avnow_t")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert not q.isActive  # drained and self-stopped
+    assert spark.sql("select count(*) n from avnow_t").collect()[0].n == 20
