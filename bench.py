@@ -56,7 +56,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # min of 2: steady-state, not scheduler noise
+        for _ in range(3):  # min of 3: steady-state, robust to host noise
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

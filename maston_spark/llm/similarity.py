@@ -288,3 +288,108 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "bucket", F.round("__sim", 6).alias("sim"), "rn")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    centroid_id_base: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other canonical ANN
+    scale path next to sign-LSH (:func:`lsh_topk`).
+
+    A coarse quantizer partitions the corpus into cells (each vector
+    belongs to its nearest centroid); a query probes only its
+    ``nprobe`` nearest cells, so exact cosine runs on ~nprobe/K of
+    the corpus. Here the quantizer is ``n_centroids`` deterministic
+    seed vectors (ids ``centroid_id_base..+K``) so the result is
+    reproducible and oracle-checkable; in production the centroids
+    come from an offline k-means over a sample — the engine-side
+    plumbing (assign, probe, within-cell search) is identical.
+
+    Executed as ONE vectorized corpus scan: the centroid matrix and
+    per-query probe sets ride in the UDF closure (a broadcast); each
+    Arrow batch assigns cells and computes all query similarities
+    with two numpy matmuls, emitting only local top-k per query. At
+    100 TB the cell id is precomputed and the table is PARTITIONED BY
+    cell, so a probe reads nprobe partitions and nothing else.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c_rows = (
+        corpus.filter(
+            (F.col(id_col) >= centroid_id_base)
+            & (F.col(id_col) < centroid_id_base + n_centroids)
+        )
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    # centroid index = vec_id - base, so cell ids are stable 0..K-1
+    C = np.empty((n_centroids, len(c_rows[0].cv)), dtype=np.float64)
+    for r in c_rows:
+        C[r.cid - centroid_id_base] = r.cv
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    q_rows = (
+        corpus.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    qids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    Q = np.array([r.qv for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # probe sets: nprobe nearest centroids per query (ties -> low cid,
+    # numpy argsort is stable so equal sims keep ascending-cid order)
+    qsims = Qn @ Cn.T
+    probes = np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf["__vec"]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            # cell assignment: argmax over centroid sims (ties -> low cid)
+            cells = np.argmax(Mn @ Cn.T, axis=1)
+            S = Mn @ Qn.T
+            out = []
+            for j in range(len(qids)):
+                mask = np.isin(cells, probes[j]) & (ids != qids[j])
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                s = S[:, j]
+                order = cand_idx[np.lexsort((ids[cand_idx], -s[cand_idx]))][:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": ids[order],
+                            "cell": cells[order],
+                            "__sim": s[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    sims = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(batches, "query_id long, neighbor_id long, cell int, __sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id", "cell", F.round("__sim", 6).alias("sim"), "rn"
+        )
+    )

@@ -540,3 +540,43 @@ def q55_dup_clusters(spark, sf_dir):
     edges = DD.jaccard_from_lanes(mf, cands, threshold=0.2)
     verts = corpus.select(F.col("doc_id").alias("id"))
     return DD.connected_components(verts, edges)
+
+
+@query(
+    "q57_ivf_ann",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT CAST(vec_id - 100 AS INT) AS cid, v AS cv
+             FROM c WHERE vec_id >= 100 AND vec_id < 108),
+    asgn AS (
+      SELECT c.vec_id, c.v, cent.cid,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.cid) AS rn
+      FROM c CROSS JOIN cent),
+    cells AS (SELECT vec_id, v, cid AS cell FROM asgn WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    pr AS (
+      SELECT q.query_id, q.qv, cent.cid,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS prn
+      FROM q CROSS JOIN cent),
+    probes AS (SELECT query_id, qv, cid AS cell FROM pr WHERE prn <= 2),
+    sims AS (
+      SELECT p.query_id, ce.vec_id AS neighbor_id, ce.cell,
+             list_cosine_similarity(p.qv, ce.v) AS s
+      FROM probes p JOIN cells ce USING (cell)
+      WHERE ce.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cell, round(s, 6) AS sim, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id) AS rn
+      FROM sims) WHERE rn <= 3
+    """,
+)
+def q57_ivf_ann(spark, sf_dir):
+    """IVF-partitioned ANN: coarse-quantize the corpus into cells,
+    probe the query's 2 nearest cells, exact cosine only within —
+    the partition-pruning ANN scale path (vs q44's sign-LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, query_ids=list(range(10)), k=3, n_centroids=8, nprobe=2
+    )

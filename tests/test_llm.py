@@ -135,3 +135,23 @@ def test_connected_components_known_graph(spark):
     )
     got = {r.id: r.cluster for r in connected_components(verts, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_ivf_topk_probes_and_ranks(spark, sf_dir):
+    from maston_spark.llm.similarity import ivf_topk
+    from maston_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = ivf_topk(emb, query_ids=[1, 2], k=3, n_centroids=8, nprobe=2).collect()
+    assert all(r.query_id in (1, 2) for r in got)
+    assert all(0 <= r.cell < 8 for r in got)
+    # a query probes nprobe cells, so its neighbors span at most 2 cells
+    for qid in (1, 2):
+        cells = {r.cell for r in got if r.query_id == qid}
+        assert 1 <= len(cells) <= 2
+    # per query: rn dense from 1, sims non-increasing in rn order
+    for qid in (1, 2):
+        rows = sorted((r for r in got if r.query_id == qid), key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
