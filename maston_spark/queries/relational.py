@@ -391,6 +391,9 @@ def q15_agg_approx(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.round(F.percentile_approx("l_extendedprice", 0.5, 1000), 2).alias(
+            "approx_median_price"
+        ),
     )
 
 
@@ -867,11 +870,15 @@ def q30_explode_wordcount(spark, sf_dir):
 )
 def q31_json_fns(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k BIGINT")
-    return ev.select(
+    # json_tuple is a generator, so it gets its own projection; the
+    # cast happens one select further out
+    with_tuple = ev.select(
+        "event_id", "props", F.json_tuple("props", "k").alias("k_str")
+    )
+    return with_tuple.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_path"),
-        parsed["k"].alias("k_tuple"),
+        F.col("k_str").cast("bigint").alias("k_tuple"),
         F.get_json_object("props", "$.missing").alias("missing_field"),
     )
 

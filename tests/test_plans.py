@@ -102,3 +102,18 @@ def test_asof_join_single_shuffle(spark, sf_dir, qs):
     p = plan_of(qs["q12_asof_join"](spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_sort_within_partitions_is_local(spark, sf_dir):
+    """sortWithinPartitions plans a non-global Sort with NO exchange —
+    the write-side clustering primitive (e.g. ordering rows inside
+    parquet files) that must never trigger a full shuffle."""
+    from maston_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    p = plan_of(o.sortWithinPartitions("o_orderdate"))
+    assert "Sort [o_orderdate" in p and "false, 0" in p  # global=false
+    assert "Exchange" not in p
+    # contrast: a global orderBy of the same column DOES exchange
+    pg = plan_of(o.orderBy("o_orderdate"))
+    assert "rangepartitioning" in pg.lower() or "Exchange" in pg
