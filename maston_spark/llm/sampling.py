@@ -1,0 +1,93 @@
+"""Deterministic sampling for training-data pipelines: reproducible
+train/val/test splits, fractional sampling, and weighted corpus
+mixing.
+
+Why not ``df.sample()``: engine-native samplers are seeded per
+partition, so the selected set changes with partitioning, retries,
+and engine version — unacceptable for a training corpus that must be
+reproducible and auditable. Here membership is a pure function of
+(salt, id): an md5 lane modulo a resolution, so the same document
+lands in the same split on any engine, any cluster size, any rerun
+(and the DuckDB oracle computes the identical assignment).
+
+Scale: everything below is one codegen projection/filter on the
+scan — no shuffle, no state, no RNG. At 100 TB the split column is
+typically written once as a partition column so downstream epochs
+prune to their split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# resolution of the hash bucket in which rates are expressed; rates
+# are exact multiples of 1/1000 so the filter compares integers only
+# (no float thresholds to disagree across engines)
+RESOLUTION = 1000
+
+
+def hash_bucket(id_col, salt: str) -> Column:
+    """Deterministic bucket in [0, RESOLUTION): integer lane of
+    md5('<salt>:<id>'), identical in any engine with md5."""
+    lane = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (lane % RESOLUTION).cast("int")
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/... per ``weights``).
+
+    Boundaries are cumulative weights scaled to RESOLUTION, so the
+    assignment is exact and order-independent.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = hash_bucket(id_col, salt)
+    expr = None
+    acc = 0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += round(weights[name] * RESOLUTION)
+        clause = F.when(b < acc, F.lit(name))
+        expr = clause if expr is None else expr.when(b < acc, F.lit(name))
+    expr = (expr if expr is not None else F).otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id hash."""
+    return df.filter(hash_bucket(id_col, salt) < round(fraction * RESOLUTION))
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixing: keep a per-source deterministic
+    fraction of rows (the 'upsample books, downsample web' knob of a
+    pretraining data recipe — here downsampling only; upsampling is
+    explode on a repeat count, same hash discipline)."""
+    rate = None
+    for src, r in rates.items():
+        thresh = F.lit(round(r * RESOLUTION))
+        clause = F.when(F.col(source_col) == src, thresh)
+        rate = clause if rate is None else rate.when(F.col(source_col) == src, thresh)
+    rate = (
+        rate.otherwise(F.lit(round(default_rate * RESOLUTION)))
+        if rate is not None
+        else F.lit(round(default_rate * RESOLUTION))
+    )
+    return df.filter(hash_bucket(id_col, salt) < rate)

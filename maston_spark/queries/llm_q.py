@@ -580,3 +580,51 @@ def q57_ivf_ann(spark, sf_dir):
     return SIM.ivf_topk(
         emb, query_ids=list(range(10)), k=3, n_centroids=8, nprobe=2
     )
+
+
+@query(
+    "q58_hash_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 1000 AS INT)
+             AS bucket,
+           CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 1000 < 800
+                THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 1000 < 900
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q58_hash_split(spark, sf_dir):
+    """Reproducible train/val/test assignment: membership is a pure
+    function of (salt, doc_id) — identical on any engine, cluster
+    size, or rerun, unlike seeded df.sample(). One codegen
+    projection, no shuffle."""
+    from maston_spark.llm import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SAMP.split_assign(d, weights={"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "lang", SAMP.hash_bucket("doc_id", "split").alias("bucket"), "split"
+    )
+
+
+@query(
+    "q59_source_mix",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 1000
+          < CASE WHEN source = 'src0' THEN 1000
+                 WHEN source = 'src1' THEN 500
+                 ELSE 250 END
+    """,
+)
+def q59_source_mix(spark, sf_dir):
+    """Weighted corpus mixing (the pretraining data-recipe knob):
+    keep a deterministic per-source fraction — src0 fully, src1 at
+    50%, everything else at 25%. Pure filter on the scan."""
+    from maston_spark.llm import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return SAMP.mix_sources(d, rates={"src0": 1.0, "src1": 0.5}, default_rate=0.25)

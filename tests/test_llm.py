@@ -155,3 +155,42 @@ def test_ivf_topk_probes_and_ranks(spark, sf_dir):
         assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
         sims = [r.sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from maston_spark.llm.sampling import sample_fraction, split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = split_assign(df).groupBy("split").count().collect()
+    s2 = split_assign(df).groupBy("split").count().collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # pure function
+    counts = {r["split"]: r["count"] for r in s1}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # fractional sample: deterministic subset of the right size
+    kept = sample_fraction(df, 0.1, id_col="doc_id")
+    n = kept.count()
+    assert abs(n / 2000 - 0.1) < 0.03
+    assert kept.intersect(sample_fraction(df, 0.1, id_col="doc_id")).count() == n
+
+
+def test_mix_sources_rates(spark):
+    from pyspark.sql import functions as F
+
+    from maston_spark.llm.sampling import mix_sources
+
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 3 == 0, "a")
+            .when(F.col("doc_id") % 3 == 1, "b")
+            .otherwise("c"),
+        )
+    )
+    kept = mix_sources(df, rates={"a": 1.0, "b": 0.5}, default_rate=0.0)
+    counts = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert counts["a"] == 1000            # rate 1.0 keeps everything
+    assert abs(counts["b"] - 500) < 80    # ~50%
+    assert "c" not in counts              # rate 0.0 drops all
