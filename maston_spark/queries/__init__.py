@@ -37,7 +37,7 @@ def query(name: str, oracle: str | None = None):
 
 def load_all_query_modules() -> None:
     """Import every module that registers queries (idempotent)."""
-    from maston_spark.queries import relational, validated_q, llm_q  # noqa: F401
+    from maston_spark.queries import relational, validated_q, llm_q, complex  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,319 @@
+"""Complex relational queries: multi-join TPC-H-style plans and the
+subquery family (EXISTS / NOT EXISTS / IN / correlated scalar).
+
+These exercise exactly the Catalyst machinery that matters at 100 TB:
+join reordering across 3–6 tables, broadcast selection for the dim
+chain (region→nation→customer/supplier are tiny at every sf), semi/
+anti-join rewrites of subqueries (never a materialized subquery per
+row), and de-correlation of scalar subqueries into an aggregate +
+join. Reference parity: the reference engine (Kafka Streams) has no
+relational surface at all — SURVEY.md §2.2 declares these rows as
+engine contract ("Joins", "Projection / filter"), origin S.
+
+Scale notes per query in the docstrings; plan-shape guards live in
+tests/test_plans.py (no CartesianProduct, dims broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maston_spark.queries import query
+from maston_spark.session import load_table
+
+
+@query(
+    "q65_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q65_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-style shipping priority: 3-way join + agg + top-10.
+
+    Plan at scale: both date filters push to the scans (lineitem and
+    orders are pruned before any join); customer is a broadcast dim,
+    orders⋈lineitem is the one sort-merge shuffle on orderkey; the
+    global top-10 is a TakeOrderedAndProject (per-partition heap +
+    driver merge), never a full sort of the agg output.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q66_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q66_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-style 6-way join: local supplier volume per nation.
+
+    Plan at scale: region/nation/supplier/customer are all broadcast
+    (supplier+customer stay well under the 64 MB threshold until
+    ~sf100; past that AQE demotes to shuffled joins on the fly). The
+    only mandatory shuffle is orders⋈lineitem on orderkey, then one
+    6-group hash agg. The c_nationkey = s_nationkey residual rides
+    on the supplier join rather than forcing an extra join.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q67_exists_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_acctbal > 9000
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q67_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS — rewritten as a left-semi join.
+
+    At scale the semi join only ships the distinct-ish correlation
+    key of the subquery side and never widens rows; Spark's SQL
+    planner performs this same RewritePredicateSubquery rewrite, so
+    the DataFrame form below IS the post-rewrite plan.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q68_not_exists_antijoin",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_custs,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > 0
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q68_not_exists_antijoin(spark, sf_dir):
+    """TPC-H-Q22-flavoured NOT EXISTS — left-anti join + agg:
+    positive-balance customers with no urgent order, per segment.
+
+    The anti join shuffles on custkey once (or broadcasts the
+    smaller side); there is no per-row subquery execution anywhere.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q69_scalar_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           round(sum(l.l_extendedprice), 2) AS small_lot_revenue,
+           count(*) AS n_small_lots
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.half_avg_qty
+    GROUP BY l.l_partkey
+    """,
+)
+def q69_scalar_subquery(spark, sf_dir):
+    """TPC-H-Q17-style correlated scalar subquery, de-correlated:
+    per-part average quantity as an aggregate, joined back.
+
+    This is the only 100 TB-viable shape — the naive correlated form
+    re-scans lineitem per part. Here lineitem shuffles on partkey
+    once for the avg, and the fact⋈avg join reuses that same key, so
+    AQE typically plans the second exchange as a no-op reuse; the
+    avg side is also orders-of-magnitude smaller (K parts vs N rows)
+    and broadcastable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    half_avg = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(half_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_lot_revenue"),
+            F.count(F.lit(1)).alias("n_small_lots"),
+        )
+    )
+
+
+@query(
+    "q70_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q70_customer_distribution(spark, sf_dir):
+    """TPC-H-Q13-style customer order-count histogram.
+
+    Left outer join with a pushed non-join predicate on the right
+    side only, per-customer count (counts o_orderkey so the no-order
+    row contributes 0, not 1), then a tiny second agg over at most a
+    few hundred distinct counts — the second shuffle is negligible.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q71_in_subquery",
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS gross
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q71_in_subquery(spark, sf_dir):
+    """IN (subquery) — left-semi join against a filtered dim.
+
+    The part side is filtered then broadcast, so the IN test costs a
+    hash probe per lineitem row with zero fact-side shuffle; at
+    100 TB this is the difference between a map-only stage and
+    shuffling the whole fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+    )
+
+
+@query(
+    "q72_uncorrelated_scalar",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS bal
+    FROM supplier s
+    WHERE s.s_acctbal > (SELECT avg(s_acctbal) FROM supplier)
+    """,
+)
+def q72_uncorrelated_scalar(spark, sf_dir):
+    """Uncorrelated scalar subquery: suppliers above the mean balance.
+
+    Expressed as a single-row aggregate cross-broadcast onto the
+    table (Spark plans the scalar as a broadcast of one row —
+    exactly what its own subquery planner emits). Two scans of
+    supplier, both map-only.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    mean = s.agg(F.avg("s_acctbal").alias("avg_bal"))
+    return (
+        s.join(F.broadcast(mean))
+        .filter(F.col("s_acctbal") > F.col("avg_bal"))
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("bal"))
+    )

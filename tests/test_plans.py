@@ -117,3 +117,32 @@ def test_sort_within_partitions_is_local(spark, sf_dir):
     # contrast: a global orderBy of the same column DOES exchange
     pg = plan_of(o.orderBy("o_orderdate"))
     assert "rangepartitioning" in pg.lower() or "Exchange" in pg
+
+
+def test_six_way_join_broadcasts_all_dims(spark, sf_dir, qs):
+    """q66 (TPC-H-Q5 shape): every dimension side (region/nation/
+    supplier/customer) broadcasts; the only shuffled join is
+    orders⋈lineitem. At 100 TB that is the difference between one
+    fact shuffle and five."""
+    p = plan_of(qs["q66_local_supplier_volume"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+
+
+def test_subqueries_plan_as_semi_anti_joins(spark, sf_dir, qs):
+    """EXISTS/IN → LeftSemi, NOT EXISTS → LeftAnti — never a per-row
+    subquery or nested loop."""
+    p_exists = plan_of(qs["q67_exists_subquery"](spark, sf_dir))
+    assert "LeftSemi" in p_exists
+    p_in = plan_of(qs["q71_in_subquery"](spark, sf_dir))
+    assert "LeftSemi" in p_in and "BroadcastHashJoin" in p_in
+    p_not = plan_of(qs["q68_not_exists_antijoin"](spark, sf_dir))
+    assert "LeftAnti" in p_not
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir, qs):
+    """q65's top-10 must plan TakeOrderedAndProject (per-partition
+    heap + driver merge of 10 rows/partition), not a full sort of
+    the aggregate output."""
+    p = plan_of(qs["q65_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
