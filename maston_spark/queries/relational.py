@@ -382,18 +382,34 @@ def q14_agg_stats(spark, sf_dir):
     )
 
 
-@query("q15_agg_approx")  # rows-only: HLL sketch values are engine-specific
-def q15_agg_approx(spark, sf_dir):
-    """approx_count_distinct — the 100 TB path for distinct counts
-    (fixed-size HLL sketch, mergeable map-side, no distinct expand).
-    No oracle: sketch estimates are engine-specific by design."""
+@query(
+    "q15_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.5),  2) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75_price,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q15_agg_percentile(spark, sf_dir):
+    """Exact continuous percentiles + count distinct per group.
+
+    Exact percentile (linear interpolation) matches DuckDB's
+    quantile_cont bit-for-bit, so this family is hash-graded. At
+    100 TB the drop-in replacements are the mergeable sketches —
+    ``percentile_approx`` (KLL-ish) and ``approx_count_distinct``
+    (HLL): same call shape, fixed-size state, map-side combine —
+    whose estimates are engine-specific and therefore not the graded
+    variant.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.round(F.percentile_approx("l_extendedprice", 0.5, 1000), 2).alias(
-            "approx_median_price"
-        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75_price"),
+        F.count_distinct("l_partkey").alias("n_parts"),
     )
 
 
