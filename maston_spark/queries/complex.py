@@ -43,10 +43,14 @@ def q65_shipping_priority(spark, sf_dir):
     """TPC-H-Q3-style shipping priority: 3-way join + agg + top-10.
 
     Plan at scale: both date filters push to the scans (lineitem and
-    orders are pruned before any join); customer is a broadcast dim,
-    orders⋈lineitem is the one sort-merge shuffle on orderkey; the
-    global top-10 is a TakeOrderedAndProject (per-partition heap +
-    driver merge), never a full sort of the agg output.
+    orders are pruned before any join); orders⋈lineitem is the one
+    sort-merge shuffle on orderkey; the global top-10 is a
+    TakeOrderedAndProject (per-partition heap + driver merge), never
+    a full sort of the agg output. customer scales with sf, so it
+    carries NO broadcast hint — below the 64 MB auto-threshold the
+    planner broadcasts it anyway, and past that AQE picks the join
+    strategy from runtime stats. (A user hint would be honored
+    unconditionally and OOM the build side at 100 TB.)
     """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -59,7 +63,7 @@ def q65_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -93,12 +97,16 @@ def q65_shipping_priority(spark, sf_dir):
 def q66_local_supplier_volume(spark, sf_dir):
     """TPC-H-Q5-style 6-way join: local supplier volume per nation.
 
-    Plan at scale: region/nation/supplier/customer are all broadcast
-    (supplier+customer stay well under the 64 MB threshold until
-    ~sf100; past that AQE demotes to shuffled joins on the fly). The
-    only mandatory shuffle is orders⋈lineitem on orderkey, then one
-    6-group hash agg. The c_nationkey = s_nationkey residual rides
-    on the supplier join rather than forcing an extra join.
+    Plan at scale: region (5 rows) and nation (25 rows) are bounded
+    at every sf and carry explicit broadcast hints. supplier and
+    customer GROW with sf, so they carry no hint: under the 64 MB
+    auto-threshold the planner broadcasts them on its own, and above
+    it the sort-merge path (plus AQE's runtime re-plan) takes over —
+    a user hint would be honored regardless of size and OOM at
+    100 TB. The only mandatory shuffle is orders⋈lineitem on
+    orderkey, then one 6-group hash agg. The
+    c_nationkey = s_nationkey residual rides on the supplier join
+    rather than forcing an extra join.
     """
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
@@ -111,9 +119,9 @@ def q66_local_supplier_volume(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -277,15 +285,17 @@ def q70_customer_distribution(spark, sf_dir):
 def q71_in_subquery(spark, sf_dir):
     """IN (subquery) — left-semi join against a filtered dim.
 
-    The part side is filtered then broadcast, so the IN test costs a
-    hash probe per lineitem row with zero fact-side shuffle; at
-    100 TB this is the difference between a map-only stage and
-    shuffling the whole fact table.
+    part scales with sf, so there is no forced broadcast hint: when
+    the filtered side fits under the auto-threshold the planner
+    broadcasts it (map-only semi probe, zero fact-side shuffle);
+    when it doesn't, a shuffled semi join is the correct plan and
+    AQE re-plans from runtime sizes — a forced hint would OOM the
+    build side at 100 TB instead of falling back.
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -148,6 +148,81 @@ def avro_available(spark) -> bool:
         return False
 
 
+def safe_from_avro_python(
+    df: DataFrame,
+    value_col: str,
+    avro_schema: dict,
+    target_class: str = "avro",
+    confluent_wire_format: bool = True,
+) -> DataFrame:
+    """Executable Avro fallback when the spark-avro jar is absent.
+
+    Decodes Confluent-framed Avro binary with the pure-Python codec
+    in :mod:`maston_spark.avro_codec` inside ``mapInPandas``
+    (Arrow-batched, per-partition, no shuffle). Same ok/err output
+    contract as :func:`safe_from_avro`; same never-throw semantics
+    as serdes/VavrSafeDeserializer.java:29-39 — any decode failure
+    (bad framing, truncated varint, trailing bytes) lands in ``err``
+    with the raw payload preserved. NULL input (tombstone) stays
+    valid with NULL ``ok``.
+    """
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from maston_spark import avro_codec as AC
+
+    ok_type = AC.record_struct_type(avro_schema)
+    err_type = StructType(
+        [
+            StructField("code", StringType()),
+            StructField("message", StringType()),
+            StructField("target_class", StringType()),
+            StructField("exception_class", StringType()),
+            StructField("exception_message", StringType()),
+            StructField("stacktrace", StringType()),
+            StructField("raw_bytes", BinaryType()),
+        ]
+    )
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(OK, ok_type), StructField(ERR, err_type)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            oks, errs = [], []
+            for v in pdf[value_col]:
+                if v is None:
+                    oks.append(None)
+                    errs.append(None)
+                    continue
+                raw = bytes(v)
+                try:
+                    body = (
+                        AC.confluent_unwrap(raw)[1] if confluent_wire_format else raw
+                    )
+                    oks.append(AC.decode_record(avro_schema, body))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — never-throw serde
+                    oks.append(None)
+                    errs.append(
+                        {
+                            "code": E.FAILED_TO_DESERIALIZE_RECORD,
+                            "message": f"unable to decode avro as {target_class}",
+                            "target_class": target_class,
+                            "exception_class": type(exc).__name__,
+                            "exception_message": str(exc)[:256],
+                            "stacktrace": None,
+                            "raw_bytes": raw,
+                        }
+                    )
+            out = pdf.copy()
+            out[OK] = oks
+            out[ERR] = errs
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 def branch_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split into (valid, invalid) — parity: the two-predicate branch
     in topology/TopologyBuilder.java:36-37.
