@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from maston_spark.delta import delta_dedup_fold
 from maston_spark.sinks import foreach_batch_split
@@ -35,6 +35,31 @@ def _start_foreach_batch(df: DataFrame, fn, checkpoint: str, trigger: dict | Non
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def _state_versions(spark, state_dir: str) -> list[int]:
+    """List committed state versions (``v<N>`` subdirs) via the Hadoop
+    FileSystem API, so the state table works on local FS, HDFS, or
+    object stores alike."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _drop_state_versions(spark, state_dir: str, versions: list[int]) -> None:
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    for v in versions:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir, f"v{v}"), True)
 
 
 def simple_validated_topology(
@@ -92,20 +117,32 @@ def delta_topology(
     value_col: str = "value",
     trigger: dict | None = None,
     on_metrics: Callable[[int, dict[str, int]], None] | None = None,
+    state_dir: str | None = "auto",
 ):
     """Delta consumer: parse → re-key by the recomputed business key
     → per-key emit-iff-updated → split-sink.
 
     The within-batch fold runs via ``applyInPandas`` inside
-    ``foreachBatch``; cross-batch suppression state lives in the
-    durable "last accepted" pattern of
-    :func:`maston_spark.delta.delta_dedup_stream` — use that directly
-    when the pipeline is pure-delta with no error channel. Here the
-    reference's exact shape (validated + delta + DLQ in one topology)
-    needs foreachBatch, so per-key state is recomputed per batch from
-    the batch plus optionally a compacted state table; the golden
-    tests drive one batch per input sequence, matching the
-    TopologyTestDriver semantics.
+    ``foreachBatch``. Cross-batch suppression state is DURABLE (the
+    reference's store persists across the stream —
+    topology/TopologyBuilder.java:66-69,87): the last accepted record
+    per key lives in a compacted parquet state table under
+    ``state_dir`` (default ``<checkpoint>/delta_state``), versioned
+    per batch-id so a batch retry rewrites its own version
+    idempotently instead of corrupting the table it reads. Each
+    micro-batch seeds the fold with the stored record per key, so a
+    record unchanged across two batches stays suppressed — the golden
+    sequence of topology/VavrKStreamWithDeltaTopologyTest.java:312-331
+    emits 0,2,3,5 regardless of how the records split into batches.
+
+    Scale note: the state rewrite per batch is a full compaction of
+    the active key set — one shuffle on the key plus a parquet write,
+    parallel across executors, no driver materialization. For
+    key-cardinality-bound state with TTL eviction prefer
+    :func:`maston_spark.delta.delta_dedup_stream` /
+    ``delta_dedup_tws`` (RocksDB state store) when the pipeline
+    doesn't need the validated+DLQ fan-out of this topology.
+    ``state_dir=None`` opts out (per-batch-only suppression).
     """
     key_col = (
         F.col(business_key) if isinstance(business_key, str) else business_key
@@ -124,21 +161,64 @@ def delta_topology(
     split = foreach_batch_split(
         write_valid, write_error, app_id=app_id, on_metrics=on_metrics
     )
+    sdir = f"{checkpoint.rstrip('/')}/delta_state" if state_dir == "auto" else state_dir
+    SEQ = "__seq"  # 0 = state seed (sorts before every batch row)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        accepted = None
         try:
             # invalid rows bypass the delta state entirely (the
             # reference's branch happens before the transformer)
             invalid = batch_df.filter(F.col("err").isNotNull())
             valid = batch_df.filter(F.col("err").isNull() & F.col(OK).isNotNull())
-            deduped = delta_dedup_fold(
-                valid, ["__business_key"], ord_aliases, is_updated
+            if sdir is None:
+                deduped = delta_dedup_fold(
+                    valid, ["__business_key"], ord_aliases, is_updated
+                )
+                split(deduped.unionByName(invalid).drop(*ord_aliases), batch_id)
+                return
+
+            combined = valid.withColumn(SEQ, F.lit(1))
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            # Retry corner: a crash after cleanup but before the
+            # checkpoint commit leaves only this batch's own version;
+            # seeding from it keeps already-stored records suppressed
+            # (at-least-once delivery still holds). Reading and then
+            # overwriting the same path needs the seed materialized
+            # first — localCheckpoint cuts the lineage eagerly.
+            seed_v = prior[-1] if prior else (batch_id if batch_id in versions else None)
+            if seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                if seed_v == batch_id:
+                    seed = seed.localCheckpoint(eager=True)
+                combined = combined.unionByName(seed.withColumn(SEQ, F.lit(0)))
+            accepted = delta_dedup_fold(
+                combined, ["__business_key"], [SEQ, *ord_aliases], is_updated
+            ).persist()
+            # last accepted per key (seed included, so idle keys keep
+            # their state) becomes the next compacted state version
+            w = Window.partitionBy("__business_key").orderBy(
+                F.col(SEQ).desc(), *[F.col(a).desc_nulls_last() for a in ord_aliases]
             )
-            split(
-                deduped.unionByName(invalid).drop(*ord_aliases), batch_id
+            new_state = (
+                accepted.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", SEQ)
             )
+            new_state.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+            emitted = accepted.filter(F.col(SEQ) == 1).drop(SEQ)
+            split(emitted.unionByName(invalid).drop(*ord_aliases), batch_id)
+            # old versions are only dropped after the sinks consumed
+            # this batch; a crash before this point leaves extra
+            # versions behind, which the next batch ignores (reads
+            # max(version < batch_id)) — never a correctness issue
+            _drop_state_versions(spark, sdir, prior)
         finally:
+            if accepted is not None:
+                accepted.unpersist()
             batch_df.unpersist()
 
     return _start_foreach_batch(validated, fn, checkpoint, trigger)

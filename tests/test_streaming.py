@@ -184,6 +184,57 @@ def test_delta_topology_reference_golden(spark, cleanup):
     assert sorted(r.ok.seq for r in sunk["valid"]) == [0, 2, 3, 5]
 
 
+def test_delta_topology_state_survives_micro_batches(spark, cleanup):
+    """The same golden sequence split across 3 micro-batches (2
+    records each) must STILL emit exactly 0,2,3,5: record 1
+    ("should_not_pass" arriving in a later batch than its
+    predecessor) stays suppressed because the last-accepted state is
+    durable across batches — parity with the reference's persistent
+    store (topology/TopologyBuilder.java:66-69,87), where
+    TopologyTestDriver pipes records one at a time."""
+    seq = [
+        ("key-1", "should_pass"),
+        ("key-1", "should_not_pass"),
+        ("key-1", "should_pass"),
+        ("key-2", "should_pass"),
+        ("key-2", "should_not_pass"),
+        ("key-2", "should_pass"),
+    ]
+    src_df = spark.createDataFrame(
+        [
+            Row(value=_payload(k, v, i), __replay_batch=i // 2)
+            for i, (k, v) in enumerate(seq)
+        ]
+    )
+    stream, src = replay_stream(src_df, batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    sunk: dict[str, list] = {"valid": [], "error": []}
+    batches: list = []
+
+    q = delta_topology(
+        stream,
+        SCHEMA,
+        app_id="t-delta-state",
+        checkpoint=chk,
+        business_key=F.col("ok.business_key"),
+        order_cols=["ok.seq"],
+        is_updated=lambda old, new: new["ok"]["string_value"]
+        in old["ok"]["string_value"],
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        on_metrics=lambda bid, c: batches.append(bid),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(batches) >= 2, "replay must actually span multiple micro-batches"
+    assert sunk["error"] == []
+    assert sorted(r.ok.seq for r in sunk["valid"]) == [0, 2, 3, 5]
+
+
 def test_observe_errors_batch_and_listener(spark, cleanup):
     from maston_spark.validated import safe_from_json
 
