@@ -139,31 +139,85 @@ def embedding_neardup(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 1024,
+    refine_step: int = 4,
+    max_levels: int = 3,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed with
+    ADAPTIVE bucket refinement.
 
-    Never all-pairs: rows are sign-LSH bucketed (one scan), then each
-    bucket computes its pairwise cosine matrix with one numpy matmul
-    inside ``applyInPandas``. Bucket population is ~N/2^planes; a
-    pathological hot bucket is one partition's worth of work and can
-    be split by raising ``n_planes``. Recall misses only pairs whose
-    sign patterns differ — acceptable for near-dup thresholds, and
-    tunable with multiple hyperplane tables (OR-amplification) if
-    needed.
+    Never all-pairs, and never an unbounded bucket either: every row
+    gets sign-LSH bucket ids at ``max_levels`` plane depths
+    (``n_planes``, ``+refine_step``, ``+2*refine_step`` — prefixes of
+    one hyperplane table, all from ONE corpus scan). A row's final
+    bucket is the shallowest level whose bucket population is
+    ≤ ``max_bucket_size``; oversized buckets therefore re-hash with
+    extra planes until they split. Per-level populations are tiny
+    aggregates (≤ 2^planes distinct buckets) broadcast-joined back —
+    the wide vector rows are never shuffled for counting.
+
+    Pairs then come from two paths:
+    - fast path (everything, normally): per final bucket, one numpy
+      pairwise matmul in ``applyInPandas`` — bounded at
+      ``max_bucket_size²`` memory per task by construction;
+    - degenerate path: buckets STILL oversized at the deepest level
+      (e.g. thousands of identical vectors — no hyperplane can split
+      them, and their output is inherently O(B²) pairs) switch to a
+      bucket-equi self-join with an expression-level cosine: the
+      sort-merge join spills instead of OOMing a single task.
+
+    Level selection is deterministic (population thresholds), so the
+    result stays oracle-checkable end-to-end.
     """
     import numpy as np
     import pandas as pd
 
-    H = hyperplane_matrix(n_planes, dims)
-    powers = (2 ** np.arange(n_planes)).astype(np.int64)
+    plane_counts = [n_planes + lv * refine_step for lv in range(max_levels)]
+    total = plane_counts[-1]
+    H = hyperplane_matrix(total, dims)
+    powers = (2 ** np.arange(total)).astype(np.int64)
+    bcols = [f"__b{lv}" for lv in range(max_levels)]
 
-    def add_bucket(it):
+    def add_buckets(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
             M = np.array(list(pdf["__vec"]), dtype=np.float64)
-            pdf = pdf.assign(bucket=(((M @ H.T) > 0).astype(np.int64) @ powers))
-            yield pdf
+            bits = ((M @ H.T) > 0).astype(np.int64)
+            assigns = {
+                bcols[lv]: bits[:, :pc] @ powers[:pc]
+                for lv, pc in enumerate(plane_counts)
+            }
+            yield pdf.assign(**assigns)
+
+    bucket_fields = ", ".join(f"{b} long" for b in bcols)
+    bucketed = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(add_buckets, f"__id long, __vec array<double>, {bucket_fields}")
+
+    # per-level bucket populations: ≤ 2^planes rows each — bounded at
+    # every corpus size, hence the explicit broadcast is safe
+    joined = bucketed
+    ccols = [f"__c{lv}" for lv in range(max_levels)]
+    for lv in range(max_levels):
+        sizes = bucketed.groupBy(bcols[lv]).agg(F.count(F.lit(1)).alias(ccols[lv]))
+        joined = joined.join(F.broadcast(sizes), bcols[lv])
+
+    lvl = F.lit(max_levels - 1)
+    fb = F.col(bcols[-1])
+    fsize = F.col(ccols[-1])
+    for lv in range(max_levels - 2, -1, -1):
+        fits = F.col(ccols[lv]) <= max_bucket_size
+        lvl = F.when(fits, F.lit(lv)).otherwise(lvl)
+        fb = F.when(fits, F.col(bcols[lv])).otherwise(fb)
+        fsize = F.when(fits, F.col(ccols[lv])).otherwise(fsize)
+    assigned = joined.select(
+        "__id",
+        "__vec",
+        lvl.cast("int").alias("lvl"),
+        fb.alias("bucket"),
+        fsize.alias("__fsize"),
+    )
 
     def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf["__id"].to_numpy(dtype=np.int64)
@@ -178,19 +232,36 @@ def embedding_neardup(
             {
                 "id_a": lo,
                 "id_b": hi,
+                "lvl": pdf["lvl"].iloc[0],
                 "bucket": pdf["bucket"].iloc[0],
                 "cosine": np.round(S[ia, ib], 6),
             }
         )
 
-    bucketed = corpus.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(add_bucket, "__id long, __vec array<float>, bucket long")
-    return (
-        bucketed.groupBy("bucket")
-        .applyInPandas(pairs, "id_a long, id_b long, bucket long, cosine double")
-        .select("id_a", "id_b", "bucket", "cosine")
+    out_schema = "id_a long, id_b long, lvl int, bucket long, cosine double"
+    fast = (
+        assigned.filter(F.col("__fsize") <= max_bucket_size)
+        .groupBy("lvl", "bucket")
+        .applyInPandas(pairs, out_schema)
     )
+
+    # degenerate buckets (deepest level, still oversized): join-based
+    # pair generation — shuffle-native and spill-safe
+    big = assigned.filter(F.col("__fsize") > max_bucket_size)
+    a = big.select(
+        "lvl", "bucket", F.col("__id").alias("id_a"), F.col("__vec").alias("__va")
+    )
+    b = big.select(
+        "lvl", "bucket", F.col("__id").alias("id_b"), F.col("__vec").alias("__vb")
+    )
+    slow = (
+        a.join(b, ["lvl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)  # threshold BEFORE rounding, like the fast path
+        .select("id_a", "id_b", "lvl", "bucket", F.round("__cos", 6).alias("cosine"))
+    )
+    return fast.select("id_a", "id_b", "lvl", "bucket", "cosine").unionByName(slow)
 
 
 def hyperplane_matrix(n_planes: int, dims: int):

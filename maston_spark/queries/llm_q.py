@@ -275,28 +275,46 @@ def q47_fingerprint(spark, sf_dir):
       SELECT p, d,
              CASE WHEN substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
                   THEN 1.0 ELSE -1.0 END AS w
-      FROM range(0, 6) r1(p) CROSS JOIN range(0, 64) r2(d)),
+      FROM range(0, 14) r1(p) CROSS JOIN range(0, 64) r2(d)),
     dots AS (
       SELECT c.vec_id, comp.p, sum(c.v[comp.d + 1] * comp.w) AS dp
       FROM c CROSS JOIN comp GROUP BY 1, 2),
     buck AS (
       SELECT vec_id,
-             CAST(sum(CASE WHEN dp > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
-                  AS BIGINT) AS bucket
+             CAST(sum(CASE WHEN p < 6 AND dp > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN p < 10 AND dp > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN dp > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b2
       FROM dots GROUP BY 1),
-    cb AS (SELECT c.vec_id, c.v, b.bucket FROM c JOIN buck b USING (vec_id))
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+    cnt AS (
+      SELECT vec_id, b0, b1, b2,
+             count(*) OVER (PARTITION BY b0) AS c0,
+             count(*) OVER (PARTITION BY b1) AS c1,
+             count(*) OVER (PARTITION BY b2) AS c2
+      FROM buck),
+    asg AS (
+      SELECT vec_id,
+             CASE WHEN c0 <= 16 THEN 0 WHEN c1 <= 16 THEN 1 ELSE 2 END AS lvl,
+             CASE WHEN c0 <= 16 THEN b0 WHEN c1 <= 16 THEN b1 ELSE b2 END AS bucket
+      FROM cnt),
+    cb AS (SELECT c.vec_id, c.v, a.lvl, a.bucket FROM c JOIN asg a USING (vec_id))
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.lvl, a.bucket,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-    FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM cb a JOIN cb b ON a.lvl = b.lvl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.6
     """,
 )
 def q48_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup: sign-LSH bucket (one vectorized
-    scan) then per-bucket pairwise numpy matmul — candidate work is
-    sum(bucket^2), never corpus^2. Self-exercising corpus: every
-    10th vector gets a deterministically perturbed twin (cosine
-    ≈0.95) so recall is actually graded."""
+    """Embedding-cosine near-dup: sign-LSH bucketing with ADAPTIVE
+    refinement (buckets over 16 rows re-hash at 10 then 14 planes —
+    prefixes of one hyperplane table), then per-bucket pairwise numpy
+    matmul — candidate work is sum(min(bucket, cap)^2) in the normal
+    case, never corpus^2 and never an unbounded single-task matmul.
+    The cap of 16 is deliberately below this dataset's hottest
+    6-plane bucket so the refinement path is exercised and graded by
+    the oracle, which re-derives the same level selection with window
+    counts. Self-exercising corpus: every 10th vector gets a
+    deterministically perturbed twin (cosine ≈0.95) so recall is
+    actually graded."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -307,7 +325,9 @@ def q48_embedding_neardup(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.unionByName(twins)
-    return SIM.embedding_neardup(corpus, threshold=0.6, n_planes=6, dims=64)
+    return SIM.embedding_neardup(
+        corpus, threshold=0.6, n_planes=6, dims=64, max_bucket_size=16
+    )
 
 
 @query("q49_media_features")  # rows-only: fake decode kernel has no SQL analogue

@@ -194,3 +194,64 @@ def test_mix_sources_rates(spark):
     assert counts["a"] == 1000            # rate 1.0 keeps everything
     assert abs(counts["b"] - 500) < 80    # ~50%
     assert "c" not in counts              # rate 0.0 drops all
+
+
+def test_embedding_neardup_splits_hot_bucket(spark):
+    """A cluster engineered to overflow one 6-plane bucket must
+    re-hash to deeper levels: every final (fast-path) bucket obeys
+    the cap, and the pair set still contains the true near-dups that
+    share the refined bucket."""
+    from maston_spark.llm.similarity import embedding_neardup, hyperplane_matrix
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    # 40 small perturbations of one vector -> they concentrate in a
+    # couple of hot 6-plane buckets (signs dominated by the base
+    # vector) but stay mutually near-duplicate (cosine ≥ 0.99)
+    vecs = [base + 0.05 * rng.randn(64) for _ in range(40)]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    # confirm the premise: every occupied 6-plane bucket overflows
+    # the cap (the cluster is tight, so rows concentrate in 1-2
+    # buckets of ~9+ members each)
+    H6 = hyperplane_matrix(6, 64)
+    M = np.array(vecs)
+    b6 = ((M @ H6.T) > 0).astype(np.int64) @ (2 ** np.arange(6))
+    _, counts = np.unique(b6, return_counts=True)
+    assert counts.min() > 8
+
+    out = embedding_neardup(
+        df, threshold=0.99, n_planes=6, dims=64, max_bucket_size=8
+    ).collect()
+    # refinement engaged: nothing was paired at level 0
+    assert all(r.lvl > 0 for r in out)
+    # fast-path guarantee: any NON-deepest-level bucket respects the
+    # cap (pairs <= cap*(cap-1)/2 per bucket); deepest-level buckets
+    # may stay oversized and are handled by the spill-safe join path
+    from collections import Counter
+
+    per_bucket = Counter((r.lvl, r.bucket) for r in out)
+    cap_pairs = 8 * 7 // 2
+    assert all(
+        n <= cap_pairs for (lvl, _), n in per_bucket.items() if lvl < 2
+    )
+    # and pairs that survive are genuinely near-duplicates
+    assert all(r.cosine >= 0.99 for r in out)
+    assert len(out) > 0
+
+
+def test_embedding_neardup_degenerate_identical_vectors(spark):
+    """Identical vectors can never be split by more hyperplanes; the
+    deepest-level oversize fallback must emit ALL pairs via the
+    spill-safe join path instead of one unbounded matmul task."""
+    from maston_spark.llm.similarity import embedding_neardup
+
+    v = [float(x) for x in np.arange(64) / 64.0 + 0.1]
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i in range(12)])
+    out = embedding_neardup(
+        df, threshold=0.9, n_planes=6, dims=64, max_bucket_size=4, max_levels=2
+    ).collect()
+    # all 12 identical vectors pair with each other: C(12,2) = 66
+    assert len(out) == 66
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in out)
