@@ -42,6 +42,9 @@ def bucketed_join(spark, left_table: str, right_table: str, on: Sequence[str], h
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
 
 
+_SALTED_JOIN_TYPES = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -51,14 +54,31 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with key salting for skew.
 
-    The (large, skewed) ``left`` side gets a random-ish but
-    deterministic salt in [0, salt_n); the (smaller) ``right`` side
-    is replicated ``salt_n`` times with every salt value, so the join
-    key becomes (key, salt) and a hot key spreads across ``salt_n``
-    tasks. Row multiplicity is unchanged: each left row matches
-    exactly the one right replica carrying its salt.
+    The (large, skewed) ``left`` side gets a salt in [0, salt_n)
+    derived from a stable hash of the FULL row content — so the
+    assignment is deterministic across retries, stage re-attempts,
+    and any repartitioning of the input (``monotonically_increasing_id``
+    would not be: it changes with partition layout). The (smaller)
+    ``right`` side is replicated ``salt_n`` times with every salt
+    value, so the join key becomes (key, salt) and a hot key spreads
+    across ``salt_n`` tasks. Row multiplicity is unchanged: each left
+    row matches exactly the one right replica carrying its salt.
+    Byte-identical duplicate left rows share a salt (their work
+    cannot be split deterministically without an arbitrary id); skew
+    relief comes from variation in the non-key columns.
+
+    Only left-preserving join types are valid: with the right side
+    replicated, ``right``/``full`` would emit each UNMATCHED right
+    row once per replica (salt_n copies instead of one). Flip the
+    sides (salting is asymmetric by design) or dedupe downstream.
     """
-    salt = F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), salt_n)
+    if how not in _SALTED_JOIN_TYPES:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTED_JOIN_TYPES)}; got {how!r} — "
+            "right/full would duplicate unmatched right rows salt_n times "
+            "(swap the sides instead: salting is left-side-specific)"
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_n)).cast("int")
     l_salted = left.withColumn("__salt", salt)
     r_salted = right.crossJoin(
         F.broadcast(

@@ -83,10 +83,10 @@ def test_salted_join_splits_hot_key(spark):
     right = spark.createDataFrame([Row(k=1, name="hot")])
     salted = salted_join(left, right, "k", salt_n=8)
     # the hot key's rows must actually spread over multiple salts
+    # (same content-derived salt expression the implementation uses)
     n_salts = (
         left.withColumn(
-            "__salt",
-            F.pmod(F.xxhash64(F.col("k"), F.monotonically_increasing_id()), 8),
+            "__salt", F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(8))
         )
         .select("__salt")
         .distinct()
@@ -94,3 +94,52 @@ def test_salted_join_splits_hot_key(spark):
     )
     assert n_salts > 1
     assert salted.count() == 1000
+
+
+def test_salted_join_deterministic_across_partitioning(spark):
+    """Retry/re-layout determinism: the same rows produce the same
+    join output regardless of how the input happens to be
+    partitioned (a monotonically_increasing_id-based salt would
+    change with layout; a content hash cannot)."""
+    rows = [Row(k=1 if i % 10 else i, v=i) for i in range(1000)]
+    right = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(1000)])
+    left_a = spark.createDataFrame(rows).repartition(2)
+    left_b = spark.createDataFrame(rows).repartition(13, "v")
+    out_a = sorted(
+        (r.k, r.v, r.name) for r in salted_join(left_a, right, "k").collect()
+    )
+    out_b = sorted(
+        (r.k, r.v, r.name) for r in salted_join(left_b, right, "k").collect()
+    )
+    assert out_a == out_b
+    # and the salt ASSIGNMENT itself is layout-independent, not just
+    # the joined multiset
+    def salts(df):
+        return {
+            (r.k, r.v): r.s
+            for r in df.withColumn(
+                "s", F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(8))
+            ).collect()
+        }
+
+    assert salts(left_a) == salts(left_b)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    left = spark.createDataFrame([Row(k=1, v=1)])
+    right = spark.createDataFrame([Row(k=2, name="unmatched")])
+    for how in ("right", "full", "right_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", how=how)
+
+
+def test_salted_join_left_outer_and_anti(spark):
+    """Left-preserving types stay exact: unmatched LEFT rows appear
+    once (never salt_n times)."""
+    left = spark.createDataFrame([Row(k=1, v=10), Row(k=99, v=20)])
+    right = spark.createDataFrame([Row(k=1, name="one")])
+    outer = salted_join(left, right, "k", salt_n=8, how="left")
+    assert outer.count() == 2
+    assert [r.v for r in outer.filter(F.col("name").isNull()).collect()] == [20]
+    anti = salted_join(left, right, "k", salt_n=8, how="left_anti")
+    assert [(r.k, r.v) for r in anti.collect()] == [(99, 20)]
