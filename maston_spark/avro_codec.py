@@ -119,7 +119,12 @@ def spark_type_for(sch: Any) -> DataType:
             raise ValueError(f"unsupported union {sch!r}")
         return spark_type_for(branches[0])
     if _is_decimal(sch):
-        return DecimalType(int(sch.get("precision", 38)), int(sch.get("scale", 0)))
+        # Avro allows arbitrary precision (the reference's test schema
+        # declares 64); Spark's DecimalType tops out at 38 digits, so
+        # the COLUMN type caps there — decode itself stays exact
+        # (Python Decimal), values wider than 38 digits overflow to
+        # NULL at the Arrow boundary rather than corrupting silently
+        return DecimalType(min(int(sch.get("precision", 38)), 38), int(sch.get("scale", 0)))
     t = _type_name(sch)
     mapping = {
         "null": StringType(),

@@ -1,0 +1,139 @@
+"""Avro codec + safe deserializer tests.
+
+Golden parity targets: the reference round-trips
+src/test/resources/dummy-avro-record.avsc (mandatory string,
+nullable string, nullable bytes-decimal) through
+VavrSafeDeserializer/VavrSafeSerializer; corrupt payloads become
+errors-as-data, never exceptions
+(serdes/VavrSafeDeserializer.java:29-39). Decimal decode parity:
+mapper/AvroByteBufferToBigDecimalMapper.java:13-26 (two's-complement
+big-endian unscaled int, union-wrapped).
+"""
+
+from __future__ import annotations
+
+import decimal
+import io
+
+import pytest
+from pyspark.sql import Row
+
+from maston_spark import avro_codec as AC
+
+DUMMY_SCHEMA = {
+    # same shape as dummy-avro-record.avsc
+    "name": "DummyAvroTest",
+    "type": "record",
+    "fields": [
+        {"name": "mandatoryStringValue", "type": "string"},
+        {"name": "mandatoryBusinessStringKey", "type": ["null", "string"], "default": None},
+        {"name": "nullableStringValue", "type": ["null", "string"], "default": None},
+        {
+            "name": "nullableDummyBigDecimal",
+            "type": [
+                "null",
+                {"logicalType": "decimal", "precision": 64, "scale": 0, "type": "bytes"},
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def test_zigzag_varint_roundtrip_edges():
+    for n in [0, -1, 1, -2, 63, 64, -64, -65, 2**31 - 1, -(2**31), 2**62, -(2**62)]:
+        out = io.BytesIO()
+        AC.write_long(out, n)
+        assert AC.read_long(io.BytesIO(out.getvalue())) == n
+
+
+def test_record_roundtrip_all_fields():
+    rec = {
+        "mandatoryStringValue": "test-1",
+        "mandatoryBusinessStringKey": "bk-1",
+        "nullableStringValue": None,
+        "nullableDummyBigDecimal": decimal.Decimal("12345678901234567890"),
+    }
+    body = AC.encode_record(DUMMY_SCHEMA, rec)
+    assert AC.decode_record(DUMMY_SCHEMA, body) == rec
+
+
+def test_decimal_negative_and_scale():
+    sch = {
+        "name": "D",
+        "type": "record",
+        "fields": [
+            {
+                "name": "amount",
+                "type": {"type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2},
+            }
+        ],
+    }
+    for v in ["-1234.56", "0.01", "-0.01", "0.00", "99999999.99"]:
+        body = AC.encode_record(sch, {"amount": decimal.Decimal(v)})
+        got = AC.decode_record(sch, body)["amount"]
+        assert got == decimal.Decimal(v)
+        # scale is preserved exactly (str equality, not just numeric)
+        assert str(got) == v
+
+
+def test_confluent_framing():
+    framed = AC.confluent_wrap(42, b"body")
+    assert framed[:1] == b"\x00" and len(framed) == 9
+    sid, body = AC.confluent_unwrap(framed)
+    assert sid == 42 and body == b"body"
+    with pytest.raises(AC.AvroDecodeError):
+        AC.confluent_unwrap(b"\x01xxxxbody")  # wrong magic
+    with pytest.raises(AC.AvroDecodeError):
+        AC.confluent_unwrap(b"\x00ab")  # shorter than the header
+
+
+def test_decode_rejects_truncation_and_trailing_bytes():
+    body = AC.encode_record(DUMMY_SCHEMA, {"mandatoryStringValue": "abc"})
+    with pytest.raises(AC.AvroDecodeError):
+        AC.decode_record(DUMMY_SCHEMA, body[:2])
+    with pytest.raises(AC.AvroDecodeError):
+        AC.decode_record(DUMMY_SCHEMA, body + b"\x00junk")
+
+
+def test_union_branch_out_of_range():
+    sch = {"name": "U", "type": "record",
+           "fields": [{"name": "x", "type": ["null", "string"]}]}
+    out = io.BytesIO()
+    AC.write_long(out, 7)  # invalid branch index
+    with pytest.raises(AC.AvroDecodeError):
+        AC.decode_record(sch, out.getvalue())
+
+
+def test_spark_type_mapping():
+    from pyspark.sql.types import DecimalType, LongType, StringType
+
+    st = AC.record_struct_type(DUMMY_SCHEMA)
+    assert isinstance(st["mandatoryStringValue"].dataType, StringType)
+    # avro precision 64 caps at Spark's DecimalType maximum of 38
+    assert st["nullableDummyBigDecimal"].dataType == DecimalType(38, 0)
+    assert AC.spark_type_for("long") == LongType()
+    with pytest.raises(ValueError):
+        AC.spark_type_for(["string", "long"])  # non-null union unsupported
+
+
+def test_safe_from_avro_python_never_throws(spark):
+    """DataFrame-level contract: good payload -> ok struct; corrupt
+    payload -> err with raw bytes preserved; NULL value (tombstone)
+    -> both NULL."""
+    from maston_spark.validated import safe_from_avro_python
+
+    good = AC.confluent_wrap(
+        7, AC.encode_record(DUMMY_SCHEMA, {"mandatoryStringValue": "ok-1"})
+    )
+    corrupt = good[:6]  # framing intact, body truncated
+    df = spark.createDataFrame(
+        [Row(id=1, value=good), Row(id=2, value=corrupt), Row(id=3, value=None)],
+        "id int, value binary",
+    )
+    rows = {r.id: r for r in safe_from_avro_python(df, "value", DUMMY_SCHEMA).collect()}
+    assert rows[1].ok.mandatoryStringValue == "ok-1" and rows[1].err is None
+    assert rows[2].ok is None
+    assert rows[2].err.code == "FAILED_TO_DESERIALIZE_RECORD"
+    assert bytes(rows[2].err.raw_bytes) == corrupt
+    assert rows[3].ok is None and rows[3].err is None
