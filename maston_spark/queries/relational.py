@@ -115,11 +115,19 @@ def q02_filter_predicates(spark, sf_dir):
     """,
 )
 def q03_join_inner(spark, sf_dir):
-    """Inner equi-join, dim side broadcast (customer ≪ orders)."""
+    """Inner equi-join customer ⨝ orders.
+
+    No broadcast hint: ``customer`` scales with sf, so a forced broadcast
+    would OOM the build side at cluster scale.  Below
+    ``spark.sql.autoBroadcastJoinThreshold`` (10 MB default, and under AQE's
+    runtime re-plan) the planner still picks broadcast-hash on small inputs;
+    past the threshold it falls back to sort-merge.  Hints are reserved for
+    bounded dims (nation/region) only.
+    """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

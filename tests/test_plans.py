@@ -41,9 +41,22 @@ def test_no_cartesian_products_anywhere(spark, sf_dir, qs):
 
 
 def test_dimension_joins_broadcast(spark, sf_dir, qs):
-    """Fact-to-dimension equi-joins must broadcast the dimension."""
+    """q03 carries no user hint: below autoBroadcastJoinThreshold the
+    planner chooses broadcast-hash on its own; with the threshold
+    disabled it must degrade to sort-merge — proving the broadcast is
+    planner-chosen, not hint-forced (a forced broadcast of the
+    sf-scaling customer table would OOM at cluster scale)."""
     p = plan_of(qs["q03_join_inner"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        p_no_auto = plan_of(qs["q03_join_inner"](spark, sf_dir))
+    finally:
+        spark.conf.set(key, prev)
+    assert "BroadcastHashJoin" not in p_no_auto
+    assert "SortMergeJoin" in p_no_auto or "ShuffledHashJoin" in p_no_auto
 
 
 def test_filter_and_projection_pushdown_reach_scan(spark, sf_dir):
