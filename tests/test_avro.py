@@ -137,3 +137,87 @@ def test_safe_from_avro_python_never_throws(spark):
     assert rows[2].err.code == "FAILED_TO_DESERIALIZE_RECORD"
     assert bytes(rows[2].err.raw_bytes) == corrupt
     assert rows[3].ok is None and rows[3].err is None
+
+
+def test_decimal_wider_than_spark_cap_nulls_not_crashes():
+    """A validly-encoded decimal wider than Spark's 38-digit cap is
+    legal under the reference's precision-64 schema
+    (dummy-avro-record.avsc:27-38) but unrepresentable in
+    decimal128 — pyarrow raises ArrowInvalid for such values, so the
+    decoder must null them BEFORE the Arrow boundary to keep the
+    never-throw contract (VavrSafeDeserializer.java:29-39)."""
+    sch = {
+        "name": "D", "type": "record",
+        "fields": [{"name": "amount", "type": {
+            "logicalType": "decimal", "precision": 64, "scale": 0, "type": "bytes"}}],
+    }
+    wide = decimal.Decimal(10) ** 40  # 41 digits > 38
+    body = AC.encode_record(sch, {"amount": wide})
+    assert AC.decode_record(sch, body)["amount"] is None
+    # boundary: exactly 38 digits survives
+    edge = decimal.Decimal(10) ** 37  # 38 digits
+    body = AC.encode_record(sch, {"amount": edge})
+    assert AC.decode_record(sch, body)["amount"] == edge
+    neg = -(decimal.Decimal(10) ** 40)
+    body = AC.encode_record(sch, {"amount": neg})
+    assert AC.decode_record(sch, body)["amount"] is None
+
+
+def test_decimal_scale_clamped_to_precision():
+    """Avro allows scale > Spark's 38 cap (e.g. precision 64 scale 40);
+    the column type clamps to decimal(38, 38) and only values exact at
+    the clamped scale survive decode."""
+    from pyspark.sql.types import DecimalType
+
+    sch = {
+        "name": "D", "type": "record",
+        "fields": [{"name": "amount", "type": {
+            "logicalType": "decimal", "precision": 64, "scale": 40, "type": "bytes"}}],
+    }
+    assert AC.record_struct_type(sch)["amount"].dataType == DecimalType(38, 38)
+    # unscaled 1 at scale 40 = 1E-40: not exact at scale 38 -> NULL
+    body = AC.encode_record(sch, {"amount": decimal.Decimal("1E-40")})
+    assert AC.decode_record(sch, body)["amount"] is None
+    # unscaled 100 at scale 40 = 1E-38: exact at scale 38 -> survives
+    body = AC.encode_record(sch, {"amount": decimal.Decimal("1E-38")})
+    assert AC.decode_record(sch, body)["amount"] == decimal.Decimal("1E-38")
+
+
+def test_oversized_varint_rejected_inside_try_decode():
+    """11-byte varints (and 10-byte ones overflowing 64 bits) must
+    raise AvroDecodeError during decode, not leak an out-of-int64
+    integer to the Arrow/LongType boundary."""
+    sch = {"name": "L", "type": "record",
+           "fields": [{"name": "x", "type": "long"}]}
+    eleven = b"\x80" * 10 + b"\x01"  # 11 bytes
+    with pytest.raises(AC.AvroDecodeError):
+        AC.decode_record(sch, eleven)
+    overflow = b"\x80" * 9 + b"\x7f"  # 10 bytes but bits past 2^64
+    with pytest.raises(AC.AvroDecodeError):
+        AC.decode_record(sch, overflow)
+    # io-based reader (public API) rejects the same inputs
+    with pytest.raises(AC.AvroDecodeError):
+        AC.read_long(io.BytesIO(eleven))
+    # legitimate 10-byte extremes still decode
+    for n in (2**63 - 1, -(2**63)):
+        out = io.BytesIO()
+        AC.write_long(out, n)
+        assert AC.read_long(io.BytesIO(out.getvalue())) == n
+
+
+def test_compiled_decoder_matches_reference_walker():
+    """compile_record_decoder is the hot path under mapInPandas; its
+    output must byte-for-byte match decode_record on the dummy shape."""
+    dec = AC.compile_record_decoder(DUMMY_SCHEMA)
+    recs = [
+        {"mandatoryStringValue": "a", "mandatoryBusinessStringKey": None,
+         "nullableStringValue": None, "nullableDummyBigDecimal": None},
+        {"mandatoryStringValue": "b", "mandatoryBusinessStringKey": "k",
+         "nullableStringValue": "v",
+         "nullableDummyBigDecimal": decimal.Decimal(-12345)},
+    ]
+    for rec in recs:
+        body = AC.encode_record(DUMMY_SCHEMA, rec)
+        assert dec(body) == AC.decode_record(DUMMY_SCHEMA, body) == rec
+    with pytest.raises(AC.AvroDecodeError):
+        dec(AC.encode_record(DUMMY_SCHEMA, recs[0]) + b"\x00")
