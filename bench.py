@@ -55,8 +55,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # per-query untimed warmup: the first execution of a plan is
+        # charged its own codegen/JIT compilation (measured ~2x on the
+        # window/delta family — q63 1.36s first run vs 0.56s steady
+        # state), which is startup cost, not query cost
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(3):  # min of 3: steady-state, robust to host noise
+        for _ in range(4):  # min of 4: steady-state, robust to host noise
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
