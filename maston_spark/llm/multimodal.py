@@ -131,17 +131,51 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stub: real decode/resize is unavailable in this
-    container (no PIL); the metadata contract is enforced Spark-side
-    and the kernel raises to make the stub explicit."""
+    """Resize image rows to ``width`` × ``height`` via ``mapInPandas``.
+
+    FAKE KERNEL (like :func:`extract_features`): 'decode' is
+    zlib-decompress, and the decoded byte stream is laid out as a
+    grayscale image at the metadata's (height, width) — cyclically
+    tiled to fill, so any payload length is valid — then resampled
+    with vectorized nearest-neighbor index maps. A real implementation
+    replaces the layout+resample body with PIL decode + resize; the
+    Spark contract (Arrow batches in, w*h-byte payloads out, metadata
+    carried through) is unchanged. Corrupt payloads yield NULL payload
+    rather than throwing (error-channel convention shared with the
+    other kernels).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+
+    def _kernel(payload: bytes, src_w: int, src_h: int) -> bytes | None:
+        try:
+            raw = zlib.decompress(payload)
+        except zlib.error:
+            return None
+        src_w = max(int(src_w or 1), 1)
+        src_h = max(int(src_h or 1), 1)
+        img = np.resize(np.frombuffer(raw, dtype=np.uint8), (src_h, src_w))
+        rows = (np.arange(height) * src_h) // height
+        cols = (np.arange(width) * src_w) // width
+        return img[np.ix_(rows, cols)].tobytes()
 
     def run(it):
-        raise NotImplementedError(
-            "image decode requires a codec library (e.g. PIL) not present "
-            "in this environment; the Spark plumbing (schema, batching) is "
-            "exercised via extract_features instead"
-        )
-        yield  # pragma: no cover
+        for pdf in it:
+            out = [
+                _kernel(p, m["width"], m["height"])
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                }
+            )
 
     out_schema = "media_id long, payload binary, width int, height int"
     return df.filter(F.col("kind") == "image").mapInPandas(run, out_schema)

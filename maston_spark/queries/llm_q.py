@@ -330,10 +330,66 @@ def q48_embedding_neardup(spark, sf_dir):
     )
 
 
-@query("q49_media_features")  # rows-only: fake decode kernel has no SQL analogue
+def _q49_oracle_sql(n: int = 512, dim: int = 16) -> str:
+    """Literal-rows golden oracle for q49.
+
+    The media table and every kernel are deterministic and independent
+    of ``sf_dir`` (synthesize_media seeds payloads from media_id), so
+    the full expected result can be recomputed here by a pure-Python
+    mirror of the kernels and embedded as a VALUES table the driver's
+    DuckDB side executes verbatim — turning the former rows-only check
+    into a value-hashed one.
+
+    Mirror notes (must stay bit-exact vs the Spark path):
+    - the float32 feature arithmetic reuses numpy exactly as
+      multimodal.extract_features does;
+    - ``F.aggregate(feature, 0.0D, a+x)`` folds left-to-right widening
+      each float32 to double — mirrored by the ``acc`` loop;
+    - Spark's ``round()`` on double is BigDecimal.valueOf(d) (shortest
+      repr) + HALF_UP — mirrored by Decimal(repr(acc)).quantize.
+    """
+    import decimal as _dec
+    import hashlib as _hl
+    import zlib as _zl
+
+    import numpy as _np
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for mid in range(n):
+        raw = _hl.sha256(f"media-{mid}".encode()).digest() * (8 + mid % 5)
+        payload = _zl.compress(raw)
+        a = _np.frombuffer(raw, dtype=_np.uint8).astype(_np.float32)
+        pad = (-len(a)) % dim
+        if pad:
+            a = _np.pad(a, (0, pad))
+        feat = a.reshape(-1, dim).mean(axis=0) / 255.0
+        acc = 0.0
+        for v in feat:
+            acc += float(v)
+        fs = float(
+            _dec.Decimal(repr(acc)).quantize(
+                _dec.Decimal("1E-6"), rounding=_dec.ROUND_HALF_UP
+            )
+        )
+        rows.append(
+            f"({mid},'{kinds[mid % 3]}',{len(payload)},"
+            f"'{_hl.sha256(payload).hexdigest()}',{fs!r})"
+        )
+    values = ",".join(rows)
+    return f"""
+    SELECT CAST(c0 AS BIGINT) AS media_id, c1 AS kind,
+           CAST(c2 AS INTEGER) AS n_bytes, c3 AS content_hash,
+           CAST(c4 AS DOUBLE) AS feature_sum
+    FROM (VALUES {values}) AS t(c0, c1, c2, c3, c4)
+    """
+
+
+@query("q49_media_features", oracle=_q49_oracle_sql())
 def q49_media_features(spark, sf_dir):
     """Multimodal plumbing: synthesize media (binary+metadata),
-    hash JVM-side, decode/feature-extract via Arrow batches."""
+    hash JVM-side, decode/feature-extract via Arrow batches.
+    Value-checked against a literal golden oracle (_q49_oracle_sql)."""
     from maston_spark.llm import multimodal as MM
 
     media = MM.with_content_hash(MM.synthesize_media(spark, n=512, partitions=8))
@@ -348,10 +404,30 @@ def q49_media_features(spark, sf_dir):
     )
 
 
-@query("q50_frame_sample")  # rows-only: demuxer is stubbed deterministic
+def _q50_oracle_sql(n: int = 256, every_ms: int = 1000) -> str:
+    """Literal-rows golden oracle for q50 — frame counts derive only
+    from the deterministic metadata (duration_ms = 1000 + mid*7 for
+    video rows, mid % 3 == 2), so expected rows are computed here."""
+    rows = []
+    for mid in range(n):
+        if mid % 3 != 2:
+            continue
+        dur = 1000 + mid * 7
+        n_frames = len(range(0, dur, every_ms))
+        rows.append(f"({mid},{n_frames},{(n_frames - 1) * every_ms})")
+    values = ",".join(rows)
+    return f"""
+    SELECT CAST(c0 AS BIGINT) AS media_id, CAST(c1 AS BIGINT) AS n_frames,
+           CAST(c2 AS INTEGER) AS last_ts_ms
+    FROM (VALUES {values}) AS t(c0, c1, c2)
+    """
+
+
+@query("q50_frame_sample", oracle=_q50_oracle_sql())
 def q50_frame_sample(spark, sf_dir):
     """Video frame sampling: one row per sampled timestamp, emit
-    count bounded by metadata duration."""
+    count bounded by metadata duration. Value-checked against a
+    literal golden oracle (_q50_oracle_sql)."""
     from maston_spark.llm import multimodal as MM
 
     media = MM.synthesize_media(spark, n=256, partitions=8)

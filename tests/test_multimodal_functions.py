@@ -47,6 +47,23 @@ def test_extract_features_shape_and_determinism(spark):
     }
 
 
+def test_extract_features_golden_mirror(spark):
+    """Golden value check: the feature vector for a fixed payload must
+    equal an independent numpy recomputation (same contract the q49
+    literal-rows oracle is built on)."""
+    import hashlib
+
+    import numpy as np
+
+    feats = {r.media_id: r.feature
+             for r in extract_features(synthesize_media(spark, n=2), dim=16).collect()}
+    for mid in (0, 1):
+        raw = hashlib.sha256(f"media-{mid}".encode()).digest() * (8 + mid % 5)
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        expected = (a.reshape(-1, 16).mean(axis=0) / 255.0).tolist()
+        assert feats[mid] == expected
+
+
 def test_sample_frames_counts_follow_metadata(spark):
     media = synthesize_media(spark, n=12)
     frames = sample_frames(media, every_ms=1000)
@@ -62,9 +79,44 @@ def test_sample_frames_counts_follow_metadata(spark):
     assert all(len(f.frame) == 32 for f in frames.limit(5).collect())
 
 
-def test_resize_is_an_explicit_stub(spark):
-    with pytest.raises(Exception, match="codec library"):
-        resize_images(synthesize_media(spark, n=6), 32, 32).collect()
+def test_resize_images_shapes_and_determinism(spark):
+    out = resize_images(synthesize_media(spark, n=9), 8, 4).collect()
+    # media_ids 0,3,6 are images
+    assert sorted(r.media_id for r in out) == [0, 3, 6]
+    assert all(r.width == 8 and r.height == 4 for r in out)
+    assert all(len(bytes(r.payload)) == 8 * 4 for r in out)
+    again = {r.media_id: bytes(r.payload)
+             for r in resize_images(synthesize_media(spark, n=9), 8, 4).collect()}
+    assert {r.media_id: bytes(r.payload) for r in out} == again
+
+
+def test_resize_images_golden_and_mirror(spark):
+    """Pin the kernel output for a fixed media_id against an
+    independent numpy mirror (golden value for the deterministic
+    fake-decode contract)."""
+    import hashlib
+    import zlib
+
+    import numpy as np
+
+    row = next(
+        r for r in resize_images(synthesize_media(spark, n=1), 5, 3).collect()
+        if r.media_id == 0
+    )
+    # mirror: payload 0 = zlib(sha256("media-0") * 8), meta 64x64
+    raw = hashlib.sha256(b"media-0").digest() * 8
+    img = np.resize(np.frombuffer(raw, dtype=np.uint8), (64, 64))
+    rows_ix = (np.arange(3) * 64) // 3
+    cols_ix = (np.arange(5) * 64) // 5
+    assert bytes(row.payload) == img[np.ix_(rows_ix, cols_ix)].tobytes()
+
+
+def test_resize_images_corrupt_payload_yields_null(spark):
+    corrupt = synthesize_media(spark, n=3).withColumn(
+        "payload", F.lit(b"not-zlib")
+    )
+    out = resize_images(corrupt, 4, 4).collect()
+    assert len(out) == 1 and out[0].payload is None
 
 
 def test_zscore_pandas_udf(spark):
