@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 from pyspark.sql import Row, functions as F
 
 from maston_spark.llm.dedup import (
@@ -135,6 +136,34 @@ def test_connected_components_known_graph(spark):
     )
     got = {r.id: r.cluster for r in connected_components(verts, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_batched_probe(spark, monkeypatch):
+    """The convergence probe must fire every probe_every rounds, not
+    every round — driver count() barriers are the scale cost of deep
+    clusters. A diameter-6 chain needs several propagation rounds;
+    with probe_every=3 the probe count must be at most ceil(rounds/3)
+    while the labels stay exact."""
+    from maston_spark.llm import dedup as DD
+
+    n = 7  # chain 0-1-2-...-6, diameter 6
+    verts = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n - 1)])
+
+    probes = []
+    cls = type(verts)  # concrete DataFrame class (classic/connect)
+    real_count = cls.count
+    monkeypatch.setattr(cls, "count", lambda self: probes.append(1) or real_count(self))
+
+    got = {r.id: r.cluster
+           for r in DD.connected_components(verts, edges, probe_every=3).collect()}
+    assert got == {i: 0 for i in range(n)}
+    # labels move 1 hop/round: converged after 6 rounds, detected at
+    # the round-9 probe -> probes at rounds 3, 6, 9 (vs 7+ unbatched)
+    assert 1 <= len(probes) <= 3
+
+    with pytest.raises(ValueError):
+        DD.connected_components(verts, edges, probe_every=0)
 
 
 def test_ivf_topk_probes_and_ranks(spark, sf_dir):
