@@ -62,6 +62,37 @@ def _drop_state_versions(spark, state_dir: str, versions: list[int]) -> None:
         fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir, f"v{v}"), True)
 
 
+def _ensure_state_owner(spark, state_dir: str, checkpoint: str) -> None:
+    """Guard against an explicit ``state_dir`` being reused with a
+    FRESH checkpoint: batch ids restart at 0 there, so the previous
+    run's ``v0`` would be mistaken for this run's own retry version
+    (the retry corner in the batch fn) and wrongly suppress
+    first-batch records. An ``_owner`` marker ties the state table to
+    the checkpoint it belongs to; on mismatch the stale versions are
+    dropped — a new checkpoint is a new stream, so its state starts
+    empty. A restart of the SAME checkpoint matches the marker and
+    keeps its durable state (that's the point of the table)."""
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    owner = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(checkpoint)).toString()
+    marker = jvm.org.apache.hadoop.fs.Path(state_dir, "_owner")
+    if fs.exists(marker):
+        ins = fs.open(marker)
+        try:
+            existing = bytes(ins.readAllBytes()).decode("utf-8")
+        finally:
+            ins.close()
+        if existing == owner:
+            return
+        _drop_state_versions(spark, state_dir, _state_versions(spark, state_dir))
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(owner.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def simple_validated_topology(
     source: DataFrame,
     value_schema,
@@ -162,6 +193,8 @@ def delta_topology(
         write_valid, write_error, app_id=app_id, on_metrics=on_metrics
     )
     sdir = f"{checkpoint.rstrip('/')}/delta_state" if state_dir == "auto" else state_dir
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
     SEQ = "__seq"  # 0 = state seed (sorts before every batch row)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:

@@ -49,17 +49,23 @@ def test_oracles_are_parseable_sql():
     """Cheap static sanity on every oracle: DuckDB can PREPARE it
     against empty views with the right names (catches typos/synax
     without running Spark)."""
+    import os
+
     import duckdb
+    import pytest
 
     import __spark_entry__ as m
+    from conftest import SF_DIR
 
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"test data dir {SF_DIR} not present")
     con = duckdb.connect()
     # minimal column surface used by the oracles
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
-        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.001/{t}.parquet') LIMIT 0")
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet') LIMIT 0")
     bad = {}
     for name, sql in m.oracle_sql().items():
         try:

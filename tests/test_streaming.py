@@ -235,6 +235,51 @@ def test_delta_topology_state_survives_micro_batches(spark, cleanup):
     assert sorted(r.ok.seq for r in sunk["valid"]) == [0, 2, 3, 5]
 
 
+def test_delta_topology_explicit_state_dir_not_mistaken_for_retry(spark, cleanup):
+    """An explicit state_dir reused with a FRESH checkpoint must start
+    empty. Batch ids restart at 0 for a new checkpoint, so without the
+    ``_owner`` guard the previous run's v0 would match the retry
+    corner (``batch_id in versions``) and wrongly suppress the new
+    stream's first-batch records."""
+
+    def run_once(records, checkpoint, state_dir):
+        src_df = spark.createDataFrame(
+            [Row(value=_payload(k, v, i)) for i, (k, v) in enumerate(records)]
+        )
+        stream, src = replay_stream(src_df)
+        cleanup.append(src)
+        sunk: dict[str, list] = {"valid": [], "error": []}
+        q = delta_topology(
+            stream,
+            SCHEMA,
+            app_id="t-delta-owner",
+            checkpoint=checkpoint,
+            business_key=F.col("ok.business_key"),
+            order_cols=["ok.seq"],
+            is_updated=lambda old, new: new["ok"]["string_value"]
+            in old["ok"]["string_value"],
+            write_valid=lambda df: sunk["valid"].extend(df.collect()),
+            write_error=lambda df: sunk["error"].extend(df.collect()),
+            state_dir=state_dir,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sunk
+
+    sdir = _tmp()
+    chk1, chk2 = _tmp(), _tmp()
+    cleanup.extend([sdir, chk1, chk2])
+    first = run_once([("key-1", "should_pass")], chk1, sdir)
+    assert sorted(r.ok.seq for r in first["valid"]) == [0]
+    # fresh checkpoint, same state dir: a new stream has no history,
+    # so its first record per key must be emitted even though the
+    # stale v0 the first run left behind would judge it not-updated
+    second = run_once([("key-1", "should_not_pass")], chk2, sdir)
+    assert sorted(r.ok.seq for r in second["valid"]) == [0]
+
+
 def test_observe_errors_batch_and_listener(spark, cleanup):
     from maston_spark.validated import safe_from_json
 
