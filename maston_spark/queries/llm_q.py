@@ -724,3 +724,88 @@ def q59_source_mix(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return SAMP.mix_sources(d, rates={"src0": 1.0, "src1": 0.5}, default_rate=0.25)
+
+
+@query(
+    "q74_repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t WHERE len(toks) >= 2),
+    c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(max(cnt) AS BIGINT) AS top_bigram_count,
+           round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_bigram_frac,
+           round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6)
+             AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q74_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: top-2-gram and duplicated-
+    2-gram occurrence fractions per document (boilerplate/spam
+    signal). Explode → two map-side-combinable hash aggs; see
+    :func:`maston_spark.llm.text.repetition_stats`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.repetition_stats(d)
+
+
+def _pii_corpus(spark, sf_dir):
+    """documents with deterministic PII-ish spans appended to every
+    11th doc, so the scrub actually exercises all three patterns."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +33612345"),
+        (F.col("doc_id") % 1000).cast("string"),
+    )
+    return d.withColumn(
+        "text", F.when(F.col("doc_id") % 11 == 0, injected).otherwise(F.col("text"))
+    )
+
+
+@query(
+    "q75_pii_scrub",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN text || ' contact user' || doc_id || '@example.com from 10.0.'
+                       || (doc_id % 256) || '.7 or +33612345' || (doc_id % 1000)
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_email,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS n_ipv4,
+           len(regexp_extract_all(text, '\+\d{7,15}')) AS n_phone,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+                 '\+\d{7,15}', '<PHONE>', 'g')) AS scrub_md5
+    FROM c
+    """,
+)
+def q75_pii_scrub(spark, sf_dir):
+    """PII count + redaction over a corpus with deterministic
+    injected spans; output the per-pattern counts and an md5 of the
+    scrubbed text (cross-engine-stable witness of the redaction).
+    See :func:`maston_spark.llm.text.pii_scrub`."""
+    d = _pii_corpus(spark, sf_dir)
+    return TXT.pii_scrub(d).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )

@@ -284,3 +284,50 @@ def test_embedding_neardup_degenerate_identical_vectors(spark):
     # all 12 identical vectors pair with each other: C(12,2) = 66
     assert len(out) == 66
     assert all(abs(r.cosine - 1.0) < 1e-9 for r in out)
+
+
+def test_repetition_stats_known_doc(spark):
+    from maston_spark.llm.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # bigrams: "a b","b a","a b","b a","a b" → 5 total,
+            # top "a b"=3, all 5 occurrences are of duplicated bigrams
+            Row(doc_id=1, text="a b a b a b"),
+            # 3 distinct bigrams, no repeats
+            Row(doc_id=2, text="w x y z"),
+            # single token → no bigrams → dropped
+            Row(doc_id=3, text="solo"),
+        ]
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_bigrams == 5
+    assert rows[1].top_bigram_count == 3
+    assert rows[1].top_bigram_frac == 0.6
+    assert rows[1].dup_bigram_frac == 1.0
+    assert rows[2].n_bigrams == 3
+    assert rows[2].top_bigram_count == 1
+    assert rows[2].dup_bigram_frac == 0.0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from maston_spark.llm.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail a.b+c@x-mail.org or b@c.io, ip 10.0.0.7, tel +33612345678",
+            ),
+            Row(doc_id=2, text="clean text with digits 1234 and a dot. end"),
+        ]
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (2, 1, 1)
+    assert (
+        rows[1].text_scrubbed
+        == "mail <EMAIL> or <EMAIL>, ip <IPV4>, tel <PHONE>"
+    )
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 0, 0)
+    assert rows[2].text_scrubbed == rows[2].text
