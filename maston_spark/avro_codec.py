@@ -331,7 +331,14 @@ def _compile(sch: Any):
             if end > len(data):
                 raise AvroDecodeError("truncated bytes/string")
             body = data[pos:end]
-            return (body.decode("utf-8") if _is_str else body), end
+            if not _is_str:
+                return body, end
+            try:
+                return body.decode("utf-8"), end
+            except UnicodeDecodeError as exc:
+                # Avro strings are UTF-8 by spec; anything else is a
+                # malformed payload, not a task-crashing surprise
+                raise AvroDecodeError(f"invalid utf-8 in string: {exc}") from exc
 
         return dec_bytes
     raise ValueError(f"unsupported avro type {sch!r}")

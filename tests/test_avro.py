@@ -221,3 +221,85 @@ def test_compiled_decoder_matches_reference_walker():
         assert dec(body) == AC.decode_record(DUMMY_SCHEMA, body) == rec
     with pytest.raises(AC.AvroDecodeError):
         dec(AC.encode_record(DUMMY_SCHEMA, recs[0]) + b"\x00")
+
+
+# ---------------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+RICH_SCHEMA = {
+    "name": "PropRecord",
+    "type": "record",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "os", "type": ["null", "string"], "default": None},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "b", "type": "boolean"},
+        {"name": "d", "type": "double"},
+        {"name": "by", "type": "bytes"},
+        {
+            "name": "dec",
+            "type": [
+                "null",
+                {"logicalType": "decimal", "precision": 12, "scale": 2, "type": "bytes"},
+            ],
+            "default": None,
+        },
+    ],
+}
+
+_records = st.fixed_dictionaries(
+    {
+        "s": st.text(max_size=50),
+        "os": st.none() | st.text(max_size=20),
+        "i": st.integers(-(2**31), 2**31 - 1),
+        "l": st.integers(-(2**63), 2**63 - 1),
+        "b": st.booleans(),
+        "d": st.floats(allow_nan=False),
+        "by": st.binary(max_size=40),
+        "dec": st.none()
+        | st.integers(-(10**12) + 1, 10**12 - 1).map(
+            lambda u: decimal.Decimal(u).scaleb(-2)
+        ),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_records)
+def test_prop_record_roundtrip(rec):
+    """encode → decode is the identity for every value in the domain
+    of the schema (unicode strings, int/long extremes, ±inf doubles,
+    signed decimals at the precision boundary)."""
+    out = AC.decode_record(RICH_SCHEMA, AC.encode_record(RICH_SCHEMA, rec))
+    assert out == rec
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_prop_decode_arbitrary_bytes_never_raises_foreign(data):
+    """The never-throw serde contract rests on the decoder raising
+    ONLY AvroDecodeError for malformed input — any other exception
+    type would escape safe_from_avro's except clause and crash the
+    task (parity: VavrSafeDeserializer.java:29-39 catches-all into
+    the invalid branch)."""
+    try:
+        AC.decode_record(DUMMY_SCHEMA, data)
+    except AC.AvroDecodeError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-(2**63), 2**63 - 1))
+def test_prop_varint_roundtrip_any_int64(n):
+    out = io.BytesIO()
+    AC.write_long(out, n)
+    assert AC.read_long(io.BytesIO(out.getvalue())) == n
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.binary(max_size=60))
+def test_prop_confluent_framing_roundtrip(schema_id, body):
+    sid, out = AC.confluent_unwrap(AC.confluent_wrap(schema_id, body))
+    assert (sid, out) == (schema_id, body)

@@ -165,3 +165,20 @@ def test_topk_is_take_ordered_not_global_sort(spark, sf_dir, qs):
     the aggregate output."""
     p = plan_of(qs["q65_shipping_priority"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_repetition_stats_partial_agg_and_pruned_scan(spark, sf_dir, qs):
+    """q74 must keep its scale shape: the parquet scan reads only
+    (doc_id, text), the <2-token filter runs before the bigram
+    explode, and BOTH aggregations partial-aggregate map-side before
+    their exchange (the exploded bigram stream must never hit a
+    shuffle uncombined)."""
+    df = qs["q74_repetition_stats"](spark, sf_dir)
+    p = plan_of(df)
+    assert "partial_count" in p, "first agg lost its map-side combine"
+    assert "partial_sum" in p, "second agg lost its map-side combine"
+    gen = p.index("Generate")
+    scan = p.rindex("Scan parquet")
+    assert gen < scan, "explode should sit directly above the scan"
+    read_schema = p[p.index("ReadSchema", scan):].splitlines()[0]
+    assert "text" in read_schema and "lang" not in read_schema, read_schema
