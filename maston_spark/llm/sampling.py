@@ -91,3 +91,42 @@ def mix_sources(
         else F.lit(round(default_rate * RESOLUTION))
     )
     return df.filter(hash_bucket(id_col, salt) < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document its
+    position in a stream of fixed-`capacity` context windows — the
+    standard pretraining packing strategy (documents are concatenated
+    in a deterministic order, then split every `capacity` units; a
+    document may straddle a window boundary).
+
+    Packing is SHARD-LOCAL: documents are assigned to
+    ``id % n_shards`` shards and packed within their shard in id
+    order. That keeps the running-total window function parallel
+    (one bounded partition per shard) instead of a single global
+    cumulative sum — the difference between a 100 TB job and a
+    single-task straggler. Output is fully deterministic: same ids →
+    same (shard, pack_id, pack_offset) on any cluster size or rerun.
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
+    return df.select(
+        id_col,
+        size_col,
+        shard.alias("shard"),
+    ).select(
+        id_col,
+        size_col,
+        "shard",
+        F.floor(start / capacity).cast("long").alias("pack_id"),
+        (start % capacity).cast("long").alias("pack_offset"),
+    )

@@ -809,3 +809,25 @@ def q75_pii_scrub(spark, sf_dir):
         "n_phone",
         F.md5("text_scrubbed").alias("scrub_md5"),
     )
+
+
+@query(
+    "q76_pack_sequences",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(doc_id % 8 AS INTEGER) AS shard,
+           CAST(floor((sum(n_chars) OVER w - n_chars) / 2048) AS BIGINT) AS pack_id,
+           CAST((sum(n_chars) OVER w - n_chars) % 2048 AS BIGINT) AS pack_offset
+    FROM documents
+    WINDOW w AS (PARTITION BY doc_id % 8 ORDER BY doc_id)
+    """,
+)
+def q76_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing of documents into 2048-char context
+    windows, shard-local (8 shards) so the running total stays
+    parallel at scale. See
+    :func:`maston_spark.llm.sampling.pack_sequences`."""
+    from maston_spark.llm import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SAMP.pack_sequences(d, capacity=2048, size_col="n_chars", n_shards=8)
