@@ -52,6 +52,8 @@ from pyspark.sql.types import (
 
 MAGIC = b"\x00"
 
+_INT32_MIN, _INT32_MAX = -(1 << 31), (1 << 31) - 1
+
 
 class AvroDecodeError(ValueError):
     pass
@@ -308,7 +310,20 @@ def _compile(sch: Any):
             return data[pos] != 0, pos + 1
 
         return dec_bool
-    if t in ("int", "long"):
+    if t == "int":
+
+        def dec_int(data, pos):
+            v, pos = _read_long_at(data, pos)
+            # Avro ints are 32-bit by spec; a varint outside that range
+            # is a malformed payload. Reject inside try-decode — letting
+            # it through would crash later at the Arrow/IntegerType
+            # boundary instead of landing in ``err``.
+            if not _INT32_MIN <= v <= _INT32_MAX:
+                raise AvroDecodeError("int out of 32-bit range")
+            return v, pos
+
+        return dec_int
+    if t == "long":
         return _read_long_at
     if t in ("float", "double"):
         width = 4 if t == "float" else 8
