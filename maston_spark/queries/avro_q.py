@@ -116,7 +116,7 @@ def q73_safe_avro(spark, sf_dir):
     the never-throw safe deserializer, surface decoded fields — the
     decimal comes back as DecimalType(12,2) — and error codes."""
     framed = encode_orders_avro(spark, sf_dir)
-    df = V.safe_from_avro_python(framed, "value", AVRO_SCHEMA)
+    df = V.safe_from_avro_arrow(framed, "value", AVRO_SCHEMA)
     return df.select(
         "o_orderkey",
         F.col("ok.id").alias("id_ok"),

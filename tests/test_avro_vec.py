@@ -1,0 +1,210 @@
+"""Vectorized Avro batch decoder tests.
+
+The vectorized engine (:mod:`maston_spark.avro_vec`) must be
+value-identical to the compiled per-record codec on every input —
+same decoded records, same rows classified as errors — because both
+implement the never-throw serde contract of
+serdes/VavrSafeDeserializer.java:29-39. These tests cross-check the
+two engines on adversarial payload mixes and pin the DataFrame-level
+behavior of ``safe_from_avro_arrow``.
+"""
+
+from __future__ import annotations
+
+import decimal
+import io
+import random
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import Row
+
+from maston_spark import avro_codec as AC
+from maston_spark import avro_vec as AV
+
+RICH = {
+    "name": "PropRecord",
+    "type": "record",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "os", "type": ["null", "string"], "default": None},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "b", "type": "boolean"},
+        {"name": "d", "type": "double"},
+        {"name": "f", "type": "float"},
+        {"name": "by", "type": "bytes"},
+        {
+            "name": "dec",
+            "type": [
+                "null",
+                {"logicalType": "decimal", "precision": 64, "scale": 0, "type": "bytes"},
+            ],
+            "default": None,
+        },
+        {
+            "name": "dec2",
+            "type": [
+                "null",
+                {"logicalType": "decimal", "precision": 64, "scale": 40, "type": "bytes"},
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def _rand_rec(rng, k):
+    s_choices = ["", "ascii", "üñïçødé ✓", "a" * 300, "\x00\x01", "日本語テキスト"]
+    return {
+        "s": rng.choice(s_choices),
+        "os": None if k % 3 == 0 else rng.choice(s_choices),
+        "i": rng.choice([0, 1, -1, 2**31 - 1, -(2**31), rng.randint(-(10**6), 10**6)]),
+        "l": rng.choice([0, -1, 2**63 - 1, -(2**63), rng.randint(-(10**12), 10**12)]),
+        "b": bool(k % 2),
+        "d": rng.choice([0.0, -0.0, 1.5, float("inf"), float("-inf"), 1e308, 5e-324]),
+        "f": rng.choice([0.0, 1.25, -3.5, 65504.0]),
+        "by": bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 50))),
+        # 10**30+ force the >8-byte-body per-record fallback; 10**40
+        # exceeds the 38-digit cap and must null
+        "dec": None
+        if k % 4 == 0
+        else decimal.Decimal(
+            rng.choice([0, 1, -1, 10**18, -(10**18), 10**30, -(10**30), 10**37, 10**40])
+        ),
+        # scale 40 > cap 38: only unscaled multiples of 100 survive
+        "dec2": None
+        if k % 5 == 0
+        else decimal.Decimal(rng.choice([0, 1, 100, 10**20])).scaleb(-40),
+    }
+
+
+def _invalid_utf8_payload() -> bytes:
+    """A framing-valid record whose mandatory string is not UTF-8."""
+    out = io.BytesIO()
+    AC.write_long(out, 3)
+    out.write(b"\xff\xfe\xfd")  # s: 3 bytes, invalid UTF-8
+    AC.write_long(out, 0)  # os -> null branch
+    AC.write_long(out, 0)  # i
+    AC.write_long(out, 0)  # l
+    out.write(b"\x00")  # b
+    out.write(b"\x00" * 8)  # d
+    out.write(b"\x00" * 4)  # f
+    AC.write_long(out, 0)  # by: empty
+    AC.write_long(out, 0)  # dec -> null
+    AC.write_long(out, 0)  # dec2 -> null
+    return AC.confluent_wrap(1, out.getvalue())
+
+
+def _cross_check(payloads):
+    """Both engines must agree row-for-row on ok values and err rows."""
+    arr = pa.array(payloads, type=pa.binary())
+    res = AV.compile_batch_decoder(RICH)(arr, True)
+    rd = AC.compile_record_decoder(RICH)
+    for i, p in enumerate(payloads):
+        got = res.ok[i].as_py()
+        if p is None:
+            assert got is None and i not in res.errors
+            continue
+        try:
+            if len(p) < 5 or p[0]:
+                raise AC.AvroDecodeError("not a Confluent-framed payload")
+            want = rd(bytes(p[5:]))
+        except Exception:
+            want = None
+        if want is None:
+            assert got is None and i in res.errors, f"row {i}: engines disagree on err"
+        else:
+            assert i not in res.errors, f"row {i}: vectorized flagged a good record"
+            assert got == want, f"row {i}: {got!r} != {want!r}"
+
+
+def test_vectorized_matches_per_record_on_adversarial_mix():
+    rng = random.Random(11)
+    payloads = []
+    for k in range(1500):
+        r = rng.random()
+        if r < 0.05:
+            payloads.append(None)  # tombstone
+        elif r < 0.15:
+            payloads.append(bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 30))))
+        else:
+            framed = AC.confluent_wrap(1, AC.encode_record(RICH, _rand_rec(rng, k)))
+            if r < 0.20:
+                framed = framed[: rng.randint(0, len(framed))]  # truncate anywhere
+            elif r < 0.22:
+                framed = framed + b"\x00trail"
+            payloads.append(framed)
+    payloads.append(_invalid_utf8_payload())
+    _cross_check(payloads)
+
+
+def test_vectorized_all_corrupt_and_all_null_batches():
+    _cross_check([None] * 8)
+    _cross_check([b"", b"\x00", b"\x01234567", b"\x00\x00\x00\x00\x2a\xff"] * 4)
+
+
+def test_vectorized_wide_decimal_falls_back_to_exact_value():
+    """9+-byte decimal bodies (legal under precision 64) take the
+    per-record path and still decode to the exact value."""
+    wide = decimal.Decimal(10**30)
+    rec = {
+        "s": "x", "os": None, "i": 1, "l": 2, "b": True, "d": 0.5, "f": 0.25,
+        "by": b"", "dec": wide, "dec2": None,
+    }
+    payload = AC.confluent_wrap(1, AC.encode_record(RICH, rec))
+    res = AV.compile_batch_decoder(RICH)(pa.array([payload], type=pa.binary()), True)
+    assert not res.errors
+    assert res.ok[0].as_py()["dec"] == wide
+
+
+def test_compile_batch_decoder_rejects_unsupported_schema():
+    with pytest.raises(ValueError):
+        AV.compile_batch_decoder(
+            {"name": "A", "type": "record",
+             "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}]}
+        )
+
+
+def test_safe_from_avro_arrow_dataframe_contract(spark):
+    """DataFrame-level: good -> ok struct; corrupt -> err with raw
+    bytes preserved; NULL (tombstone) -> both NULL. Same contract as
+    safe_from_avro_python (VavrSafeDeserializer.java:29-39)."""
+    from maston_spark.validated import safe_from_avro_arrow
+
+    sch = {
+        "name": "T", "type": "record",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "string"], "default": None},
+        ],
+    }
+    good = AC.confluent_wrap(7, AC.encode_record(sch, {"k": 9, "v": "ok"}))
+    corrupt = good[:6]
+    df = spark.createDataFrame(
+        [Row(id=1, value=good), Row(id=2, value=corrupt), Row(id=3, value=None)],
+        "id int, value binary",
+    )
+    rows = {r.id: r for r in safe_from_avro_arrow(df, "value", sch).collect()}
+    assert rows[1].ok.k == 9 and rows[1].ok.v == "ok" and rows[1].err is None
+    assert rows[2].ok is None
+    assert rows[2].err.code == "FAILED_TO_DESERIALIZE_RECORD"
+    assert rows[2].err.exception_class == "AvroDecodeError"
+    assert bytes(rows[2].err.raw_bytes) == corrupt
+    assert rows[3].ok is None and rows[3].err is None
+
+
+def test_safe_from_avro_arrow_unsupported_schema_falls_back(spark):
+    """Schemas outside the vectorizable subset transparently use the
+    per-record mapInPandas path — same output columns."""
+    from maston_spark.validated import safe_from_avro_arrow
+
+    sch = {
+        "name": "A", "type": "record",
+        "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}],
+    }
+    df = spark.createDataFrame([Row(id=1, value=None)], "id int, value binary")
+    with pytest.raises(ValueError):
+        # the per-record codec doesn't support arrays either — the
+        # fallback surfaces ITS error, proving delegation happened
+        safe_from_avro_arrow(df, "value", sch)
