@@ -103,6 +103,7 @@ def delta_dedup_stream(
     order_cols: Sequence[str],
     is_updated: Callable[[dict, dict], bool],
     timeout_conf: str = "NoTimeout",
+    state_ttl_ms: int | None = None,
 ):
     """Streaming delta with persistent per-key state.
 
@@ -112,6 +113,14 @@ def delta_dedup_stream(
     (topology/TopologyBuilder.java:66-69,87). Micro-batch rows are
     sorted by ``order_cols`` before the fold so per-key arrival
     order matches offset order.
+
+    ``state_ttl_ms`` bounds state size — the 100 TB lever the
+    reference's store lacks (its RocksDB store grows with the full
+    key universe forever). When set, the operator switches to
+    ``ProcessingTimeTimeout``: a key idle longer than the TTL is
+    evicted on a later trigger, and its next record re-emits as
+    first-seen. Eviction timestamps are re-armed on every batch that
+    touches the key, so only genuinely idle keys age out.
 
     Exceptions inside the fold are captured per-key and surfaced as
     suppressed output rather than a crashed query (parity:
@@ -126,8 +135,17 @@ def delta_dedup_stream(
     order_list = list(order_cols)
     field_names = [f.name for f in schema.fields]
     state_schema = schema  # last accepted record, same shape
+    ttl = int(state_ttl_ms) if state_ttl_ms else None
+    if ttl and timeout_conf == "NoTimeout":
+        timeout_conf = "ProcessingTimeTimeout"
 
     def fn(key, pdfs, state: GroupState):
+        if ttl and state.hasTimedOut:
+            # idle past the TTL: evict; the key's next record is
+            # first-seen again
+            state.remove()
+            yield pd.DataFrame(columns=field_names)
+            return
         last = None
         if state.exists:
             last = dict(zip(field_names, state.get))
@@ -148,6 +166,10 @@ def delta_dedup_stream(
             keep_frames.append(pdf[pd.Series(keep, index=pdf.index)])
         if last is not None:
             state.update(tuple(last[n] for n in field_names))
+        if ttl:
+            # timeouts clear on every invocation — re-arm so the TTL
+            # measures idleness, not lifetime
+            state.setTimeoutDuration(ttl)
         out = pd.concat(keep_frames) if keep_frames else pd.DataFrame(columns=field_names)
         yield out
 

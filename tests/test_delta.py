@@ -163,6 +163,75 @@ def test_delta_stream_state_survives_across_batches(spark):
         shutil.rmtree(chk, ignore_errors=True)
 
 
+def test_delta_stream_ttl_evicts_idle_key(spark):
+    """With ``state_ttl_ms``, a key idle past the TTL is evicted and
+    its next (duplicate) record re-emits as first-seen — the bounded-
+    state behavior the reference's ever-growing store lacks.
+
+    Drive: b1 = key A (emits, arms TTL) → idle past TTL (an empty
+    trigger fires A's timeout → eviction) → b2 = duplicate of A
+    (re-emits because state is gone). Without TTL, seq 1 would be
+    suppressed (see test_delta_stream_state_survives_across_batches).
+
+    NOTE: with ProcessingTimeTimeout the micro-batch engine keeps
+    scheduling (empty) batches to service timers, so
+    ``processAllAvailable()`` never settles — the sink is POLLED with
+    a deadline instead.
+    """
+    import time
+
+    def wait_rows(n, deadline_s=60.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < deadline_s:
+            if spark.sql("select * from delta_ttl").count() >= n:
+                return
+            time.sleep(0.2)
+        raise AssertionError(
+            f"sink did not reach {n} rows in {deadline_s}s: "
+            f"{spark.sql('select * from delta_ttl').collect()}"
+        )
+
+    src = tempfile.mkdtemp(prefix="delta_ttl_src_")
+    chk = tempfile.mkdtemp(prefix="delta_ttl_chk_")
+    try:
+        schema = spark.createDataFrame(
+            [Row(seq=0, business_key="A", string_value="x")]
+        ).schema
+        stream = spark.readStream.schema(schema).parquet(src + "/b*")
+        out = delta_dedup_stream(
+            stream,
+            ["business_key"],
+            ["seq"],
+            changed_predicate(["string_value"]),
+            state_ttl_ms=500,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("delta_ttl")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            spark.createDataFrame(
+                [Row(seq=0, business_key="A", string_value="x")]
+            ).coalesce(1).write.parquet(src + "/b1")
+            wait_rows(1)
+            time.sleep(2.0)  # idle past the 500 ms TTL → timer evicts A
+            spark.createDataFrame(
+                [Row(seq=1, business_key="A", string_value="x")]  # dup of seq 0
+            ).coalesce(1).write.parquet(src + "/b2")
+            # seq 1 appears ONLY if the TTL evicted A's state
+            wait_rows(2)
+            emitted = _emitted(spark.sql("select * from delta_ttl").collect())
+        finally:
+            q.stop()
+        assert emitted == [0, 1]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
 def _protobuf_ok() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
