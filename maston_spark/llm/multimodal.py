@@ -187,24 +187,33 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     a real implementation calls the demuxer). Explodes ~duration/
     every_ms rows per video; output is evenly sized because the
     emit count is bounded by metadata, not payload size."""
+    import numpy as np
     import pandas as pd
 
     def run(it):
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = r["meta"]["duration_ms"] or 0
-                for ts in range(0, int(dur), every_ms):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "ts_ms": ts,
-                            "frame": hashlib.sha256(
-                                f"{r['media_id']}:{ts}".encode()
-                            ).digest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "ts_ms", "frame"])
+            dur = np.asarray(
+                [int(m["duration_ms"] or 0) for m in pdf["meta"]], dtype=np.int64
+            )
+            counts = (np.maximum(dur, 0) + every_ms - 1) // every_ms
+            total = int(counts.sum())
+            media_ids = np.repeat(pdf["media_id"].to_numpy(np.int64), counts)
+            pref = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            ts = (
+                (np.arange(total, dtype=np.int64) - np.repeat(pref, counts))
+                * every_ms
+            ).astype(np.int32)
+            # the hash IS the fake decode kernel — per emitted frame by
+            # nature (a real demuxer call replaces it), but the row
+            # expansion above is pure numpy
+            frames = [
+                hashlib.sha256(f"{m}:{t}".encode()).digest()
+                for m, t in zip(media_ids.tolist(), ts.tolist())
+            ]
+            yield pd.DataFrame(
+                {"media_id": media_ids, "ts_ms": ts, "frame": frames},
+                columns=["media_id", "ts_ms", "frame"],
+            )
 
     return df.filter(F.col("kind") == "video").mapInPandas(
         run, "media_id long, ts_ms int, frame binary"
