@@ -32,7 +32,16 @@ def tokens(col) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality stats: lengths, token counts, ratios."""
+    """Per-document quality stats: lengths, token counts, ratios.
+
+    ``avg_token_len``'s numerator (total token chars) is
+    ``length(concat_ws('', tokens))`` — one codegen string op instead
+    of a per-element higher-order ``aggregate`` lambda. A/B at sf0.1
+    (min-of-4, noop sink): concat_ws 0.119 s vs aggregate 0.227 s vs
+    explode+agg 0.236 s, values identical — so the single-expression
+    form is both the fastest and the simplest shape here, and it
+    keeps the whole operator one scan with agg-only shuffle.
+    """
     t = tokens(F.col(text_col))
     stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     n_tokens = F.size(t)
@@ -41,15 +50,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(text_col).alias("n_chars_computed"),
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
-        F.round(
-            F.aggregate(
-                F.transform(t, lambda x: F.length(x)),
-                F.lit(0).cast("bigint"),
-                lambda a, x: a + x,
-            )
-            / n_tokens,
-            6,
-        ).alias("avg_token_len"),
+        F.round(F.length(F.concat_ws("", t)) / n_tokens, 6).alias("avg_token_len"),
         F.round(
             F.size(F.filter(t, lambda x: F.array_contains(stop_en, x))) / n_tokens, 6
         ).alias("stopword_ratio"),
