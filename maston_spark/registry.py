@@ -1,0 +1,168 @@
+"""Confluent Schema Registry client (driver-side, REST).
+
+Parity: the reference wires registry URL + basic auth into its serde
+layer via properties/KafkaPropertiesBuilder.java:43-55 and lets the
+Confluent deserializer fetch schemas by the 4-byte id in the wire
+format. Here the *driver* resolves the schema once (by subject or by
+id) and bakes it into the task closure — executors never talk to the
+registry, which is the right shape for Spark: one metadata fetch per
+query instead of per-executor cache warm-up, and no registry
+availability dependency in the hot path.
+
+The HTTP transport is injectable (``opener``), so tests exercise the
+full client (URL construction, basic auth, caching, error mapping)
+without a network; the default opener is stdlib ``urllib``.
+
+Public REST endpoints used (Confluent Schema Registry API, public
+docs): ``GET /subjects/{subject}/versions/{version}`` and
+``GET /schemas/ids/{id}``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from dataclasses import dataclass
+from typing import Any, Callable
+
+__all__ = ["RegisteredSchema", "SchemaRegistryClient", "SchemaRegistryError"]
+
+
+class SchemaRegistryError(RuntimeError):
+    """Registry-level failure (HTTP error, malformed response)."""
+
+    def __init__(self, message: str, status: int | None = None):
+        super().__init__(message)
+        self.status = status
+
+
+@dataclass(frozen=True)
+class RegisteredSchema:
+    subject: str | None
+    schema_id: int
+    version: int | None
+    schema: dict  # parsed Avro schema (json.loads of the registry payload)
+
+
+def _default_opener(url: str, headers: dict[str, str], timeout: float) -> tuple[int, bytes]:
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as exc:  # non-2xx still carries a body
+        return exc.code, exc.read()
+
+
+class SchemaRegistryClient:
+    """Fetch-by-subject / fetch-by-id with basic auth and caching.
+
+    ``opener(url, headers, timeout) -> (status, body)`` is the whole
+    transport surface — swap it in tests. Schemas are cached by id
+    and by (subject, version): registry schemas are immutable per id,
+    so the cache never invalidates (matching the Confluent client).
+    """
+
+    def __init__(
+        self,
+        url: str,
+        basic_auth_user_info: str | None = None,
+        timeout: float = 30.0,
+        opener: Callable[[str, dict[str, str], float], tuple[int, bytes]] | None = None,
+    ):
+        if not url:
+            raise ValueError("schema registry url is required")
+        self._base = url.rstrip("/")
+        self._timeout = timeout
+        self._opener = opener or _default_opener
+        self._headers = {"Accept": "application/vnd.schemaregistry.v1+json"}
+        if basic_auth_user_info:
+            token = base64.b64encode(basic_auth_user_info.encode()).decode()
+            self._headers["Authorization"] = f"Basic {token}"
+        self._by_id: dict[int, RegisteredSchema] = {}
+        self._by_subject: dict[tuple[str, str], RegisteredSchema] = {}
+
+    @classmethod
+    def from_config(cls, cfg, **kwargs) -> "SchemaRegistryClient":
+        """Build from :class:`maston_spark.config.KafkaConfig` (parity:
+        KafkaPropertiesBuilder.java:43-55 — URL + USER_INFO auth)."""
+        return cls(
+            url=cfg.schema_registry_url,
+            basic_auth_user_info=cfg.schema_registry_basic_auth_user_info,
+            **kwargs,
+        )
+
+    def _get(self, path: str) -> Any:
+        url = f"{self._base}{path}"
+        try:
+            status, body = self._opener(url, dict(self._headers), self._timeout)
+        except SchemaRegistryError:
+            raise
+        except Exception as exc:
+            raise SchemaRegistryError(f"registry request failed: {url}: {exc}") from exc
+        if status != 200:
+            raise SchemaRegistryError(
+                f"registry returned HTTP {status} for {url}: {body[:200]!r}",
+                status=status,
+            )
+        try:
+            return json.loads(body)
+        except ValueError as exc:
+            raise SchemaRegistryError(f"malformed registry response from {url}") from exc
+
+    def get_latest(self, subject: str) -> RegisteredSchema:
+        return self.get_version(subject, "latest")
+
+    def get_version(self, subject: str, version: int | str) -> RegisteredSchema:
+        key = (subject, str(version))
+        if key in self._by_subject:
+            return self._by_subject[key]
+        payload = self._get(f"/subjects/{subject}/versions/{version}")
+        try:
+            reg = RegisteredSchema(
+                subject=payload.get("subject", subject),
+                schema_id=int(payload["id"]),
+                version=int(payload["version"]),
+                schema=json.loads(payload["schema"]),
+            )
+        except (KeyError, ValueError, TypeError) as exc:
+            raise SchemaRegistryError(
+                f"unexpected registry payload for {subject}/{version}: {payload!r}"
+            ) from exc
+        self._by_subject[key] = reg
+        self._by_id[reg.schema_id] = reg
+        # "latest" resolves to a concrete version — cache both keys
+        if str(version) == "latest":
+            self._by_subject[(subject, str(reg.version))] = reg
+        return reg
+
+    def get_by_id(self, schema_id: int) -> RegisteredSchema:
+        if schema_id in self._by_id:
+            return self._by_id[schema_id]
+        payload = self._get(f"/schemas/ids/{schema_id}")
+        try:
+            reg = RegisteredSchema(
+                subject=None,
+                schema_id=schema_id,
+                version=None,
+                schema=json.loads(payload["schema"]),
+            )
+        except (KeyError, ValueError, TypeError) as exc:
+            raise SchemaRegistryError(
+                f"unexpected registry payload for id {schema_id}: {payload!r}"
+            ) from exc
+        self._by_id[schema_id] = reg
+        return reg
+
+
+def resolve_avro_schema(cfg, subject: str, opener=None) -> dict:
+    """One-call sugar for the serde layer: KafkaConfig → parsed Avro
+    schema dict for ``subject``'s latest version, ready for
+    ``validated.safe_from_avro_arrow``. The returned dict is what the
+    driver bakes into the task closure."""
+    client = SchemaRegistryClient.from_config(cfg, opener=opener) if opener else (
+        SchemaRegistryClient.from_config(cfg)
+    )
+    return client.get_latest(subject).schema

@@ -1,75 +1,122 @@
-"""Registry integrity — the guard the round-3 regression taught us.
+"""Schema Registry client tests — mocked transport, no network.
 
-A single dangling import or phantom _PRIORITY entry in the query
-registry takes down EVERY official gate at once (the driver imports
-the registry before grading anything), so these checks run first and
-fast: no Spark session, no data, just the contract between
-__spark_entry__ and the registry.
+Parity target: properties/KafkaPropertiesBuilder.java:43-55 (registry
+URL + USER_INFO basic auth feeding the Avro serde layer). The wire
+format side (magic byte + 4-byte schema id) is covered by the codec
+tests; these pin the driver-side fetch: URL construction, auth
+header, caching, and error mapping.
 """
 
 from __future__ import annotations
 
+import base64
+import json
 
-def test_registry_imports_and_is_nonempty():
-    from maston_spark.queries import all_oracles, all_queries
+import pytest
 
-    qs, osql = all_queries(), all_oracles()
-    assert len(qs) >= 70
-    assert set(osql) <= set(qs)
+from maston_spark.config import KafkaConfig
+from maston_spark.registry import (
+    SchemaRegistryClient,
+    SchemaRegistryError,
+    resolve_avro_schema,
+)
 
-
-def test_priority_list_has_no_phantom_entries():
-    """Every name in _PRIORITY must be REGISTERED — a priority entry
-    for a query that doesn't exist means a planned module was never
-    written (or an import silently vanished)."""
-    from maston_spark.queries import _PRIORITY, REGISTRY, load_all_query_modules
-
-    load_all_query_modules()
-    missing = [n for n in _PRIORITY if n not in REGISTRY]
-    assert not missing, f"_PRIORITY names with no registered query: {missing}"
-
-
-def test_entry_module_contract():
-    import __spark_entry__ as m
-
-    assert callable(m.entry)
-    qs = m.queries()
-    osql = m.oracle_sql()
-    assert len(qs) >= 70
-    # every oracle belongs to a registered query
-    assert set(osql) <= set(qs)
-    # every callable has the (spark, sf_dir) arity
-    import inspect
-
-    for name, fn in qs.items():
-        assert len(inspect.signature(fn).parameters) == 2, name
+SCHEMA = {
+    "name": "DummyAvroTest",
+    "type": "record",
+    "fields": [{"name": "id", "type": "long"}],
+}
 
 
-def test_oracles_are_parseable_sql():
-    """Cheap static sanity on every oracle: DuckDB can PREPARE it
-    against empty views with the right names (catches typos/synax
-    without running Spark)."""
-    import os
+class FakeTransport:
+    """Records requests; serves canned registry responses."""
 
-    import duckdb
-    import pytest
+    def __init__(self):
+        self.calls: list[tuple[str, dict]] = []
+        self.routes = {
+            "/subjects/orders-value/versions/latest": {
+                "subject": "orders-value", "id": 42, "version": 3,
+                "schema": json.dumps(SCHEMA),
+            },
+            "/subjects/orders-value/versions/3": {
+                "subject": "orders-value", "id": 42, "version": 3,
+                "schema": json.dumps(SCHEMA),
+            },
+            "/schemas/ids/42": {"schema": json.dumps(SCHEMA)},
+        }
 
-    import __spark_entry__ as m
-    from conftest import SF_DIR
+    def __call__(self, url, headers, timeout):
+        self.calls.append((url, headers))
+        path = url.split("http://reg:8081", 1)[1]
+        if path in self.routes:
+            return 200, json.dumps(self.routes[path]).encode()
+        return 404, b'{"error_code": 40401, "message": "Subject not found"}'
 
-    if not os.path.isdir(SF_DIR):
-        pytest.skip(f"test data dir {SF_DIR} not present")
-    con = duckdb.connect()
-    # minimal column surface used by the oracles
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet') LIMIT 0")
-    bad = {}
-    for name, sql in m.oracle_sql().items():
-        try:
-            con.sql(f"SELECT * FROM ({sql}) q LIMIT 0")
-        except Exception as e:  # noqa: BLE001
-            bad[name] = str(e)[:120]
-    assert not bad, f"oracles that fail to parse/bind: {bad}"
+
+@pytest.fixture()
+def transport():
+    return FakeTransport()
+
+
+@pytest.fixture()
+def client(transport):
+    return SchemaRegistryClient(
+        "http://reg:8081/", basic_auth_user_info="user:secret", opener=transport
+    )
+
+
+def test_get_latest_parses_and_caches(client, transport):
+    reg = client.get_latest("orders-value")
+    assert reg.schema_id == 42 and reg.version == 3
+    assert reg.schema == SCHEMA
+    # cached: latest, the concrete version, and the id — no new calls
+    client.get_latest("orders-value")
+    client.get_version("orders-value", 3)
+    client.get_by_id(42)
+    assert len(transport.calls) == 1
+
+
+def test_basic_auth_header_and_url(client, transport):
+    client.get_latest("orders-value")
+    url, headers = transport.calls[0]
+    assert url == "http://reg:8081/subjects/orders-value/versions/latest"
+    expected = base64.b64encode(b"user:secret").decode()
+    assert headers["Authorization"] == f"Basic {expected}"
+
+
+def test_get_by_id(client, transport):
+    reg = client.get_by_id(42)
+    assert reg.schema == SCHEMA and reg.subject is None
+    assert transport.calls[0][0] == "http://reg:8081/schemas/ids/42"
+
+
+def test_unknown_subject_maps_to_registry_error(client):
+    with pytest.raises(SchemaRegistryError) as ei:
+        client.get_latest("nope-value")
+    assert ei.value.status == 404
+
+
+def test_malformed_payload_raises(transport):
+    transport.routes["/subjects/orders-value/versions/latest"] = {"bogus": 1}
+    c = SchemaRegistryClient("http://reg:8081", opener=transport)
+    with pytest.raises(SchemaRegistryError):
+        c.get_latest("orders-value")
+
+
+def test_from_kafka_config_roundtrip(transport):
+    """KafkaConfig carries the registry coordinates the reference's
+    properties builder does; from_config consumes them directly."""
+    cfg = KafkaConfig(
+        bootstrap_servers="b:9092",
+        schema_registry_url="http://reg:8081",
+        schema_registry_basic_auth_user_info="user:secret",
+    )
+    assert cfg.registry_config()["schema.registry.url"] == "http://reg:8081"
+    assert cfg.registry_config()["basic.auth.credentials.source"] == "USER_INFO"
+    schema = resolve_avro_schema(cfg, "orders-value", opener=transport)
+    assert schema == SCHEMA
+
+
+def test_missing_url_rejected():
+    with pytest.raises(ValueError):
+        SchemaRegistryClient("")
