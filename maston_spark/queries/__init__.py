@@ -73,7 +73,7 @@ _PRIORITY = [
     "q73_safe_avro",
     # LLM-pipeline additions past the driver's 50-query graded window
     # (locally oracle-verified; first in line if the window widens)
-    "q74_repetition_stats", "q75_pii_scrub",
+    "q74_repetition_stats", "q75_pii_scrub", "q76_pack_sequences",
 ]
 
 
