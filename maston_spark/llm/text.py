@@ -194,6 +194,85 @@ def pii_scrub(
     return out.withColumn(out_col, scrubbed)
 
 
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination scan: per corpus document, the
+    fraction of its distinct n-token grams that appear anywhere in
+    the benchmark (eval-set) corpus — the decontamination gate every
+    pretraining pipeline runs (cf. the n-gram overlap checks in the
+    GPT-3/PaLM dataset reports; public methodology).
+
+    Distributed shape: both sides explode to (id, gram), distinct,
+    then a LEFT equi-join on the gram string and one per-doc agg.
+    The benchmark side is an eval suite — tiny relative to the
+    corpus — so the planner broadcasts it under the auto-threshold
+    and the corpus grams never shuffle; with a huge benchmark the
+    same plan degrades gracefully to a sort-merge join on the gram.
+    Docs with fewer than ``n`` tokens have no grams and drop out
+    (the oracle mirrors this).
+    """
+    gram_expr = (
+        f"explode(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
+    )
+
+    def grams(d: DataFrame) -> DataFrame:
+        return (
+            d.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+            .filter(F.size("__toks") >= n)
+            .select(id_col, F.expr(gram_expr).alias("__gram"))
+            .distinct()
+        )
+
+    bench_grams = grams(benchmark).select("__gram").distinct()
+    corpus_grams = grams(df)
+    joined = corpus_grams.join(
+        bench_grams.withColumn("__hit", F.lit(1)), on="__gram", how="left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("contamination_frac"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-k n-grams by occurrence count (vocabulary /
+    BPE-merge seeding, boilerplate discovery). Deterministic order:
+    count desc, gram asc.
+
+    Distributed shape: explode → hash agg with map-side combine →
+    global top-k, which Spark executes as per-partition top-k +
+    single small merge (TakeOrderedAndProject) — the count table
+    never collects anywhere, only k rows reach the final stage.
+    """
+    gram_expr = (
+        f"explode(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
+    )
+    return (
+        df.select(tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(F.expr(gram_expr).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. Cross-engine stable."""

@@ -327,3 +327,173 @@ def q72_uncorrelated_scalar(spark, sf_dir):
         .filter(F.col("s_acctbal") > F.col("avg_bal"))
         .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("bal"))
     )
+
+
+@query(
+    "q79_market_share",
+    oracle="""
+    WITH le AS (
+      SELECT l_orderkey, l_suppkey,
+             -- price has 2 decimals and discount 2, so the product is
+             -- EXACT at 4 decimals: decimal(18,4) sums are then exact
+             -- in both engines regardless of summation order (a plain
+             -- double sum of ~1e8 flips the 2-dp rounding boundary)
+             CAST(round(l_extendedprice * (1 - l_discount), 4)
+                  AS DECIMAL(18,4)) AS rev
+      FROM lineitem)
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2' THEN l.rev
+                          ELSE 0 END) AS DOUBLE), 2) AS nation_revenue,
+           round(CAST(sum(l.rev) AS DOUBLE), 2) AS total_revenue,
+           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2' THEN l.rev
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(l.rev) AS DOUBLE), 6) AS mkt_share
+    FROM le l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN region r    ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q79_market_share(spark, sf_dir):
+    """TPC-H-Q8-style market share: NATION_2 suppliers' revenue share
+    of all sales to ASIA customers, per order year — a 6-table join
+    with two independent dim chains (customer→nation→region and
+    supplier→nation).
+
+    Plan at scale: both dim chains (nation/region/supplier) sit far
+    under the broadcast threshold, so the lineitem fact shuffles only
+    once — for the orders equi-join on orderkey; the region filter
+    prunes the customer-side chain before it touches the fact. No
+    hints: the planner/AQE must keep choosing this shape as sf grows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    cust_chain = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        n.select(
+            F.col("n_nationkey").alias("sn_nationkey"),
+            F.col("n_name").alias("sn_name"),
+        ),
+        s.s_nationkey == F.col("sn_nationkey"),
+    ).select("s_suppkey", "sn_name")
+    # price×(1-discount) is exact at 4 decimals (2 dp × 2 dp), so the
+    # decimal(18,4) sum is summation-order-independent — a double sum
+    # of ~1e8 would flip the 2-dp rounding boundary between engines
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    li = li.withColumn("rev", rev)
+    nation_rev = F.when(F.col("sn_name") == "NATION_2", F.col("rev")).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_chain, o.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(F.sum(nation_rev).cast("double"), 2).alias("nation_revenue"),
+            F.round(F.sum("rev").cast("double"), 2).alias("total_revenue"),
+            F.round(
+                F.sum(nation_rev).cast("double") / F.sum("rev").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q80_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+)
+def q80_promo_revenue(spark, sf_dir):
+    """TPC-H-Q14-style promo revenue: the PROMO-part share of one
+    ship-month's revenue.
+
+    Plan at scale: the month predicate pushes to the lineitem scan
+    (PushedFilters), part joins broadcast-or-SMJ under planner
+    choice, and the whole thing reduces to a single scalar row via a
+    partial+final agg — nothing but two numbers crosses the wire
+    after the map side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias(
+            "promo_revenue_pct"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "q81_priority_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q81_priority_linestatus(spark, sf_dir):
+    """TPC-H-Q12-style priority split: per line status, how many 1997
+    shipments belonged to high- vs low-priority orders (the dataset
+    has no l_shipmode; l_linestatus plays its grouping role).
+
+    Plan at scale: year predicate pushed to the lineitem scan; ONE
+    sort-merge shuffle on orderkey; conditional counts fold into the
+    same partial agg — the classic fact⋈fact + pivot-style
+    conditional aggregation shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -831,3 +831,58 @@ def q76_pack_sequences(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return SAMP.pack_sequences(d, capacity=2048, size_col="n_chars", n_shards=8)
+
+
+@query(
+    "q77_contamination",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS gram
+          FROM t WHERE len(toks) >= 3),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g),
+    bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM dg WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS contamination_frac
+    FROM corpus c LEFT JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def q77_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: fraction of each corpus doc's
+    distinct 3-gram windows that appear in a held-out eval set
+    (docs with doc_id % 97 == 0). Real pipelines use 8-13-grams;
+    n=3 here because the synthetic corpus has no natural long-range
+    overlap, and the operator is n-parametric either way. See
+    :func:`maston_spark.llm.text.contamination_check`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return TXT.contamination_check(corpus, bench, n=3)
+
+
+@query(
+    "q78_top_ngrams",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT unnest(list_transform(range(1, len(toks)),
+            i -> array_to_string(toks[i:i+1], ' '))) AS gram
+          FROM t WHERE len(toks) >= 2)
+    SELECT gram, count(*) AS n_occurrences
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC
+    LIMIT 100
+    """,
+)
+def q78_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-100 bigrams by occurrence (vocab/boilerplate
+    discovery). Executes as map-side-combined hash agg + per-partition
+    top-k merge (TakeOrderedAndProject) — only k rows cross the final
+    stage. See :func:`maston_spark.llm.text.top_ngrams`."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return TXT.top_ngrams(d, n=2, k=100)

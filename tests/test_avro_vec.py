@@ -166,6 +166,45 @@ def test_compile_batch_decoder_rejects_unsupported_schema():
         )
 
 
+# ---------------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_records = st.fixed_dictionaries(
+    {
+        "s": st.text(max_size=40),
+        "os": st.none() | st.text(max_size=15),
+        "i": st.integers(-(2**31), 2**31 - 1),
+        "l": st.integers(-(2**63), 2**63 - 1),
+        "b": st.booleans(),
+        "d": st.floats(allow_nan=False),
+        "f": st.just(0.0),
+        "by": st.binary(max_size=30),
+        "dec": st.none() | st.integers(-(10**40), 10**40).map(decimal.Decimal),
+        "dec2": st.none()
+        | st.integers(-(10**20), 10**20).map(lambda u: decimal.Decimal(u).scaleb(-40)),
+    }
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_records, min_size=1, max_size=8))
+def test_prop_engines_agree_on_valid_records(recs):
+    """For every well-formed batch, the vectorized engine decodes the
+    exact same values as the per-record codec (incl. >8-byte decimal
+    fallback, 38-digit nulling, scale-40 clamping, unicode)."""
+    payloads = [AC.confluent_wrap(1, AC.encode_record(RICH, r)) for r in recs]
+    _cross_check(payloads)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.binary(max_size=60), min_size=1, max_size=8))
+def test_prop_engines_agree_on_arbitrary_bytes(payloads):
+    """Garbage in -> both engines flag the same rows as errors and
+    never throw (never-throw serde parity across engines)."""
+    _cross_check(payloads)
+
+
 def test_safe_from_avro_arrow_dataframe_contract(spark):
     """DataFrame-level: good -> ok struct; corrupt -> err with raw
     bytes preserved; NULL (tombstone) -> both NULL. Same contract as
