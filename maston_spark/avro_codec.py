@@ -385,6 +385,137 @@ def decode_record(schema: dict, payload: bytes) -> dict:
     return dec(bytes(payload))
 
 
+# --------------------------------------------------------------- object container files
+
+OCF_MAGIC = b"Obj\x01"
+_DEFAULT_SYNC = bytes(range(16))  # deterministic test-friendly marker
+
+
+def compile_block_decoder(schema: dict):
+    """Compiled ``(block_bytes, count) -> list[dict]`` decoder for an
+    OCF data block: ``count`` records back to back, no per-record
+    framing. Shares the per-field closures with
+    :func:`compile_record_decoder`."""
+    fields = [(f["name"], _compile(f["type"])) for f in schema["fields"]]
+
+    def decode(payload: bytes, count: int) -> list[dict]:
+        pos, out = 0, []
+        for _ in range(count):
+            rec = {}
+            for name, dec in fields:
+                rec[name], pos = dec(payload, pos)
+            out.append(rec)
+        if pos != len(payload):
+            raise AvroDecodeError("trailing bytes after block records")
+        return out
+
+    return decode
+
+
+def write_ocf(
+    schema: dict,
+    records: list[dict],
+    codec: str = "deflate",
+    block_size: int = 1000,
+) -> bytes:
+    """Serialize records into Avro Object Container File bytes
+    (spec: header = magic + metadata map {avro.schema, avro.codec} +
+    sync marker; then blocks of (count, byte-size, data, sync)).
+    ``deflate`` is raw zlib (RFC 1951, no zlib header) per the spec.
+    Used as the local writer for test fixtures; the distributed READ
+    side is :func:`maston_spark.sources.avro_file_source`.
+    """
+    import zlib
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported OCF codec {codec!r}")
+    out = io.BytesIO()
+    out.write(OCF_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        write_long(out, len(kb))
+        out.write(kb)
+        write_long(out, len(v))
+        out.write(v)
+    write_long(out, 0)  # end of metadata map
+    out.write(_DEFAULT_SYNC)
+    for i in range(0, len(records), block_size):
+        chunk = records[i : i + block_size]
+        body = b"".join(encode_record(schema, r) for r in chunk)
+        if codec == "deflate":
+            co = zlib.compressobj(wbits=-15)  # raw deflate per spec
+            body = co.compress(body) + co.flush()
+        write_long(out, len(chunk))
+        write_long(out, len(body))
+        out.write(body)
+        out.write(_DEFAULT_SYNC)
+    return out.getvalue()
+
+
+def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
+    """Parse Object Container File bytes -> (schema, records).
+
+    Strict by design: a malformed container raises
+    :class:`AvroDecodeError` (file corruption is a different failure
+    domain from per-record serde, where never-throw applies)."""
+    import zlib
+
+    buf = io.BytesIO(data)
+    if buf.read(4) != OCF_MAGIC:
+        raise AvroDecodeError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = read_long(buf)
+        if n == 0:
+            break
+        if n < 0:  # negative block count form: size prefix follows
+            n = -n
+            read_long(buf)
+        for _ in range(n):
+            klen = read_long(buf)
+            key = buf.read(klen).decode("utf-8")
+            vlen = read_long(buf)
+            meta[key] = buf.read(vlen)
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise AvroDecodeError("truncated OCF header")
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except (KeyError, ValueError) as exc:
+        raise AvroDecodeError(f"bad avro.schema metadata: {exc}") from exc
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise AvroDecodeError(f"unsupported OCF codec {codec!r}")
+    block_decode = compile_block_decoder(schema)
+    records: list[dict] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break  # clean EOF at a block boundary
+        buf.seek(-1, 1)
+        count = read_long(buf)
+        size = read_long(buf)
+        if count < 0 or size < 0:
+            raise AvroDecodeError("negative OCF block count/size")
+        body = buf.read(size)
+        if len(body) != size:
+            raise AvroDecodeError("truncated OCF block")
+        if codec == "deflate":
+            try:
+                body = zlib.decompress(body, wbits=-15)
+            except zlib.error as exc:
+                raise AvroDecodeError(f"bad deflate block: {exc}") from exc
+        records.extend(block_decode(body, count))
+        if buf.read(16) != sync:
+            raise AvroDecodeError("OCF sync marker mismatch")
+    return schema, records
+
+
 # --------------------------------------------------------------- confluent framing
 
 

@@ -77,6 +77,66 @@ def file_stream(
     return reader.load(path)
 
 
+def avro_file_source(
+    spark: SparkSession,
+    path: str,
+    avro_schema: dict,
+    with_file_path: bool = False,
+) -> DataFrame:
+    """Batch source for Avro Object Container Files without the
+    spark-avro jar: ``binaryFile`` scan + the pure-Python OCF parser
+    (:func:`maston_spark.avro_codec.read_ocf`) inside ``mapInPandas``.
+
+    Parallelism unit = the file (each executor task parses whole
+    containers; null + deflate codecs per the public Avro spec). The
+    jar-backed reader additionally splits WITHIN a file at sync
+    markers — at 100 TB prefer it when available; this path exists so
+    an Avro lake is readable in jar-less deployments, consistent with
+    the Confluent-framed streaming serde
+    (`validated.safe_from_avro_arrow`).
+
+    ``avro_schema`` pins the expected reader schema: files whose
+    embedded writer schema differs raise (no schema-resolution pass),
+    which surfaces drift instead of silently mis-typing columns.
+    """
+    import pandas as pd
+
+    from maston_spark import avro_codec as AC
+
+    out_type = AC.record_struct_type(avro_schema)
+    names = [f.name for f in out_type.fields]
+    ddl_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_type.fields)
+    out_schema = (ddl_fields + ", _file string") if with_file_path else ddl_fields
+    expected = AC.json.dumps(avro_schema, sort_keys=True)
+
+    def parse(batches):
+        for pdf in batches:
+            frames = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                schema, records = AC.read_ocf(bytes(content))
+                if AC.json.dumps(schema, sort_keys=True) != expected:
+                    raise AC.AvroDecodeError(
+                        f"writer schema of {fpath} differs from reader schema"
+                    )
+                frame = pd.DataFrame(records, columns=names)
+                if with_file_path:
+                    frame["_file"] = fpath
+                frames.append(frame)
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(columns=names + (["_file"] if with_file_path else []))
+            )
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("path", "content")
+    )
+    return binary.mapInPandas(parse, out_schema)
+
+
 def rate_stream(
     spark: SparkSession, rows_per_second: int = 10, num_partitions: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,114 @@
+"""Avro Object Container File round-trip + Spark source tests.
+
+The OCF layer (public Avro 1.x spec: magic, metadata map, sync-marked
+blocks, null/deflate codecs) complements the Confluent-framed
+streaming serde — it makes an Avro file lake readable without the
+spark-avro jar. Reference context: the reference consumes registry-
+framed Avro from Kafka (properties/KafkaPropertiesBuilder.java:43-55);
+the file-container format is the at-rest sibling of that wire format.
+"""
+
+from __future__ import annotations
+
+import decimal
+import os
+
+import pytest
+
+from maston_spark import avro_codec as AC
+
+SCHEMA = {
+    "name": "OcfRec",
+    "type": "record",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": ["null", "double"], "default": None},
+        {
+            "name": "amount",
+            "type": [
+                "null",
+                {"type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2},
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+def _records(n: int) -> list[dict]:
+    return [
+        {
+            "id": i,
+            "name": f"rec-{i}",
+            "score": None if i % 3 == 0 else i / 4.0,
+            "amount": None if i % 5 == 0 else decimal.Decimal(i * 7).scaleb(-2),
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_roundtrip(codec):
+    recs = _records(2500)  # > block_size, so multiple blocks
+    data = AC.write_ocf(SCHEMA, recs, codec=codec, block_size=1000)
+    schema, out = AC.read_ocf(data)
+    assert schema == SCHEMA
+    assert out == recs
+
+
+def test_ocf_rejects_corruption():
+    data = AC.write_ocf(SCHEMA, _records(10))
+    with pytest.raises(AC.AvroDecodeError):
+        AC.read_ocf(b"NOPE" + data[4:])  # wrong magic
+    with pytest.raises(AC.AvroDecodeError):
+        AC.read_ocf(data[:-8])  # truncated final sync
+    # flip a byte inside the deflate block body
+    corrupt = bytearray(data)
+    corrupt[len(data) // 2] ^= 0xFF
+    with pytest.raises(AC.AvroDecodeError):
+        AC.read_ocf(bytes(corrupt))
+
+
+def test_ocf_empty_file_roundtrip():
+    data = AC.write_ocf(SCHEMA, [])
+    schema, out = AC.read_ocf(data)
+    assert schema == SCHEMA and out == []
+
+
+def test_avro_file_source_reads_container_lake(spark, tmp_path):
+    """Distributed read: several .avro files -> one DataFrame with
+    the schema's Spark types (decimal comes back as decimal(12,2)),
+    one task per file."""
+    from maston_spark.sources import avro_file_source
+
+    recs = _records(300)
+    for i in range(3):
+        chunk = recs[i * 100 : (i + 1) * 100]
+        (tmp_path / f"part-{i}.avro").write_bytes(
+            AC.write_ocf(SCHEMA, chunk, codec="deflate" if i % 2 else "null")
+        )
+    (tmp_path / "ignored.txt").write_text("not avro")  # glob-filtered out
+
+    df = avro_file_source(spark, str(tmp_path), SCHEMA, with_file_path=True)
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 300
+    assert rows[7].name == "rec-7" and rows[7].score == 7 / 4.0
+    assert rows[7].amount == decimal.Decimal("0.49")
+    assert rows[0].score is None and rows[5].amount is None
+    assert os.path.basename(rows[7]._file).startswith("part-")
+    assert dict(df.dtypes)["amount"] == "decimal(12,2)"
+
+
+def test_avro_file_source_rejects_schema_drift(spark, tmp_path):
+    from maston_spark.sources import avro_file_source
+
+    other = {
+        "name": "Other",
+        "type": "record",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    (tmp_path / "drift.avro").write_bytes(AC.write_ocf(other, [{"id": 1}]))
+    df = avro_file_source(spark, str(tmp_path), SCHEMA)
+    with pytest.raises(Exception, match="differs from reader schema"):
+        df.collect()
