@@ -143,3 +143,47 @@ def test_salted_join_left_outer_and_anti(spark):
     assert [r.v for r in outer.filter(F.col("name").isNull()).collect()] == [20]
     anti = salted_join(left, right, "k", salt_n=8, how="left_anti")
     assert [(r.k, r.v) for r in anti.collect()] == [(99, 20)]
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Moderate skew is AQE's job (salting is reserved for keys AQE
+    can't split): with one key holding ~95% of the left side, the
+    final adaptive plan must mark the sort-merge join skew-handled
+    and read the hot partition as split sub-partitions."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    # test-sized thresholds: production defaults (256 MB) would need
+    # gigabytes of shuffle data to trip; the MECHANISM is the same
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+            F.concat(F.lit("pad-"), F.col("id"), F.lit("x" * 50)).alias("pad"),
+        )
+        right = spark.range(50_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("name")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # materialize THIS plan so AQE finalizes it
+        assert len(rows) == 192_500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan, plan[:2000]  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
