@@ -27,7 +27,31 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from maston_spark.delta import delta_dedup_fold
 from maston_spark.sinks import foreach_batch_split
-from maston_spark.validated import OK, safe_from_json
+from maston_spark.validated import OK, safe_from_avro_arrow, safe_from_json
+
+
+def _parse_validated(source: DataFrame, value_col: str, value_schema, value_format: str) -> DataFrame:
+    """Serde dispatch for the topologies — the analogue of the
+    reference's two consumer entry points:
+    ``SimpleAvroStreamConsumer.buildAndStartWithValidation`` (its
+    primary API, registry-framed Avro) and the JSON variant.
+    ``value_schema`` is a DDL/StructType for json, a parsed Avro
+    schema dict for avro (resolve via
+    :func:`maston_spark.registry.resolve_avro_schema` when a Schema
+    Registry holds it)."""
+    if value_format == "json":
+        return safe_from_json(
+            source.withColumn(value_col, F.col(value_col).cast("string")),
+            value_col,
+            value_schema,
+        )
+    if value_format == "avro":
+        return safe_from_avro_arrow(
+            source.withColumn(value_col, F.col(value_col).cast("binary")),
+            value_col,
+            value_schema,
+        )
+    raise ValueError(f"unsupported value_format {value_format!r}")
 
 
 def _start_foreach_batch(df: DataFrame, fn, checkpoint: str, trigger: dict | None):
@@ -106,6 +130,7 @@ def simple_validated_topology(
     trigger: dict | None = None,
     on_metrics: Callable[[int, dict[str, int]], None] | None = None,
     emit_valid: bool = True,
+    value_format: str = "json",
 ):
     """Validated consumer: parse → (optional processor over the
     validated frame, e.g. :func:`maston_spark.validated.process_validated`)
@@ -118,11 +143,7 @@ def simple_validated_topology(
     (topology/TopologyBuilder.java:30-50 — valid branch ends at the
     post-process invalid filter). The default generalizes to the
     produce-both shape most Spark pipelines want."""
-    validated = safe_from_json(
-        source.withColumn(value_col, F.col(value_col).cast("string")),
-        value_col,
-        value_schema,
-    )
+    validated = _parse_validated(source, value_col, value_schema, value_format)
     if processor is not None:
         validated = processor(validated)
     fn = foreach_batch_split(
@@ -149,6 +170,7 @@ def delta_topology(
     trigger: dict | None = None,
     on_metrics: Callable[[int, dict[str, int]], None] | None = None,
     state_dir: str | None = "auto",
+    value_format: str = "json",
 ):
     """Delta consumer: parse → re-key by the recomputed business key
     → per-key emit-iff-updated → split-sink.
@@ -178,10 +200,8 @@ def delta_topology(
     key_col = (
         F.col(business_key) if isinstance(business_key, str) else business_key
     ).alias("__business_key")
-    validated = safe_from_json(
-        source.withColumn(value_col, F.col(value_col).cast("string")),
-        value_col,
-        value_schema,
+    validated = _parse_validated(
+        source, value_col, value_schema, value_format
     ).withColumn("__business_key", key_col)
     # applyInPandas sorts by flat column names only — materialize
     # (possibly nested) order expressions as temp columns

@@ -406,3 +406,61 @@ def test_available_now_trigger_drains_and_stops(spark, cleanup):
     q.awaitTermination(60)
     assert not q.isActive  # drained and self-stopped
     assert spark.sql("select count(*) n from avnow_t").collect()[0].n == 20
+
+
+def test_avro_validated_topology_end_to_end(spark, cleanup):
+    """The reference's PRIMARY entry point is the registry-framed
+    Avro consumer (consumer/SimpleAvroStreamConsumer.java:33-53);
+    this drives the same topology with value_format='avro': framed
+    Avro in → vectorized safe decode → valid/error fan-out, corrupt
+    payloads landing in the error sink with the raw bytes and
+    provenance headers intact."""
+    from maston_spark import avro_codec as AC
+
+    avro_schema = {
+        "name": "Rec", "type": "record",
+        "fields": [
+            {"name": "business_key", "type": "string"},
+            {"name": "string_value", "type": ["null", "string"], "default": None},
+            {"name": "seq", "type": "long"},
+        ],
+    }
+    good = AC.confluent_wrap(
+        7,
+        AC.encode_record(
+            avro_schema,
+            {"business_key": "key-1", "string_value": "v1", "seq": 0},
+        ),
+    )
+    bad = good[:6]  # framing intact, body truncated mid-record
+    src_df = spark.createDataFrame([Row(value=good), Row(value=bad)])
+    stream, src = replay_stream(src_df)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    q = simple_validated_topology(
+        stream,
+        avro_schema,
+        app_id="t-avro-app",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        value_format="avro",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(sunk["valid"]) == 1 and len(sunk["error"]) == 1
+    ok_row = sunk["valid"][0]
+    assert ok_row.ok.business_key == "key-1" and ok_row.ok.seq == 0
+    err_row = sunk["error"][0]
+    assert err_row.err.code == "FAILED_TO_DESERIALIZE_RECORD"
+    assert bytes(err_row.err.raw_bytes) == bad
+    hdr = {
+        h.key: bytes(h.value).decode() for h in err_row.headers if h.value is not None
+    }
+    assert hdr["maston.error.application.id"] == "t-avro-app"
+    assert hdr["maston.error.exception.class"] == "AvroDecodeError"
