@@ -149,6 +149,14 @@ def spark_type_for(sch: Any) -> DataType:
         p, s = _capped_decimal(sch)
         return DecimalType(p, s)
     t = _type_name(sch)
+    if t == "array":
+        from pyspark.sql.types import ArrayType
+
+        return ArrayType(spark_type_for(sch["items"]))
+    if t == "map":  # Avro map keys are always strings
+        from pyspark.sql.types import MapType
+
+        return MapType(StringType(), spark_type_for(sch["values"]))
     mapping = {
         "null": StringType(),
         "boolean": BooleanType(),
@@ -194,6 +202,26 @@ def _encode_value(out: io.BytesIO, sch: Any, val: Any) -> None:
         out.write(body)
         return
     t = _type_name(sch)
+    if t == "array":
+        # block encoding: non-empty blocks of (count, items...), then 0
+        items = list(val)
+        if items:
+            write_long(out, len(items))
+            for item in items:
+                _encode_value(out, sch["items"], item)
+        write_long(out, 0)
+        return
+    if t == "map":
+        entries = dict(val)
+        if entries:
+            write_long(out, len(entries))
+            for k, v in entries.items():
+                kb = str(k).encode("utf-8")
+                write_long(out, len(kb))
+                out.write(kb)
+                _encode_value(out, sch["values"], v)
+        write_long(out, 0)
+        return
     if t == "null":
         return
     if t == "boolean":
@@ -300,6 +328,39 @@ def _compile(sch: Any):
 
         return dec_decimal
     t = _type_name(sch)
+    if t == "array" or t == "map":
+        is_map = t == "map"
+        child = _compile(sch["values"] if is_map else sch["items"])
+        # cap guards a malicious count varint from pre-allocating/looping
+        # past the payload: each element consumes ≥1 byte, so count can
+        # never legitimately exceed the remaining bytes
+        def dec_blocks(data, pos, _child=child, _is_map=is_map):
+            out = {} if _is_map else []
+            while True:
+                count, pos = _read_long_at(data, pos)
+                if count == 0:
+                    return out, pos
+                if count < 0:  # negative form: |count| items, size prefix
+                    count = -count
+                    _, pos = _read_long_at(data, pos)
+                if count > len(data) - pos + 1:
+                    raise AvroDecodeError("array/map count exceeds payload")
+                for _ in range(count):
+                    if _is_map:
+                        klen, pos = _read_long_at(data, pos)
+                        if klen < 0 or pos + klen > len(data):
+                            raise AvroDecodeError("bad map key length")
+                        try:
+                            key = data[pos : pos + klen].decode("utf-8")
+                        except UnicodeDecodeError as exc:
+                            raise AvroDecodeError("invalid utf-8 map key") from exc
+                        pos += klen
+                        out[key], pos = _child(data, pos)
+                    else:
+                        v, pos = _child(data, pos)
+                        out.append(v)
+
+        return dec_blocks
     if t == "null":
         return lambda data, pos: (None, pos)
     if t == "boolean":

@@ -303,3 +303,65 @@ def test_prop_varint_roundtrip_any_int64(n):
 def test_prop_confluent_framing_roundtrip(schema_id, body):
     sid, out = AC.confluent_unwrap(AC.confluent_wrap(schema_id, body))
     assert (sid, out) == (schema_id, body)
+
+
+ARRAY_MAP_SCHEMA = {
+    "name": "Nested",
+    "type": "record",
+    "fields": [
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "scores", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "maybe_list",
+            "type": ["null", {"type": "array", "items": ["null", "long"]}],
+            "default": None,
+        },
+    ],
+}
+
+
+def test_array_map_roundtrip():
+    rec = {
+        "tags": ["a", "üñï", "", "d"],
+        "scores": {"x": 1, "y": -(2**62), "": 0},
+        "maybe_list": [1, None, 3],
+    }
+    body = AC.encode_record(ARRAY_MAP_SCHEMA, rec)
+    assert AC.decode_record(ARRAY_MAP_SCHEMA, body) == rec
+    empty = {"tags": [], "scores": {}, "maybe_list": None}
+    assert AC.decode_record(
+        ARRAY_MAP_SCHEMA, AC.encode_record(ARRAY_MAP_SCHEMA, empty)
+    ) == empty
+
+
+def test_array_map_spark_types():
+    from pyspark.sql.types import ArrayType, LongType, MapType, StringType
+
+    st = AC.record_struct_type(ARRAY_MAP_SCHEMA)
+    assert st["tags"].dataType == ArrayType(StringType())
+    assert st["scores"].dataType == MapType(StringType(), LongType())
+    assert st["maybe_list"].dataType == ArrayType(LongType())
+
+
+def test_array_count_bomb_rejected():
+    """A count varint claiming more elements than the payload has
+    bytes must raise (inside try-decode), not loop/allocate."""
+    import io as _io
+
+    out = _io.BytesIO()
+    AC.write_long(out, 2**40)  # absurd block count for `tags`
+    with pytest.raises(AC.AvroDecodeError):
+        AC.decode_record(ARRAY_MAP_SCHEMA, out.getvalue())
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.text(max_size=15), max_size=8),
+    st.dictionaries(st.text(max_size=8), st.integers(-(2**63), 2**63 - 1), max_size=6),
+    st.none() | st.lists(st.none() | st.integers(-(2**31), 2**31), max_size=6),
+)
+def test_prop_array_map_roundtrip(tags, scores, maybe):
+    rec = {"tags": tags, "scores": scores, "maybe_list": maybe}
+    assert AC.decode_record(
+        ARRAY_MAP_SCHEMA, AC.encode_record(ARRAY_MAP_SCHEMA, rec)
+    ) == rec

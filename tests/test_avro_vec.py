@@ -234,16 +234,27 @@ def test_safe_from_avro_arrow_dataframe_contract(spark):
 
 
 def test_safe_from_avro_arrow_unsupported_schema_falls_back(spark):
-    """Schemas outside the vectorizable subset transparently use the
-    per-record mapInPandas path — same output columns."""
+    """Schemas outside the VECTORIZABLE subset (arrays/maps)
+    transparently delegate to the per-record mapInPandas path — same
+    ok/err output contract, values decoded by the full codec."""
     from maston_spark.validated import safe_from_avro_arrow
 
     sch = {
         "name": "A", "type": "record",
-        "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}],
+        "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
     }
-    df = spark.createDataFrame([Row(id=1, value=None)], "id int, value binary")
     with pytest.raises(ValueError):
-        # the per-record codec doesn't support arrays either — the
-        # fallback surfaces ITS error, proving delegation happened
-        safe_from_avro_arrow(df, "value", sch)
+        AV.compile_batch_decoder(sch)  # not vectorizable...
+    good = AC.confluent_wrap(
+        1, AC.encode_record(sch, {"xs": [1, 2, 3], "m": {"a": "x", "b": "y"}})
+    )
+    df = spark.createDataFrame(
+        [Row(id=1, value=good), Row(id=2, value=good[:6])], "id int, value binary"
+    )
+    rows = {r.id: r for r in safe_from_avro_arrow(df, "value", sch).collect()}
+    # ...but the operator still works via the per-record fallback
+    assert rows[1].ok.xs == [1, 2, 3] and rows[1].ok.m == {"a": "x", "b": "y"}
+    assert rows[2].ok is None and rows[2].err.code == "FAILED_TO_DESERIALIZE_RECORD"
