@@ -75,7 +75,7 @@ _PRIORITY = [
     # (locally oracle-verified; first in line if the window widens)
     "q74_repetition_stats", "q75_pii_scrub", "q76_pack_sequences",
     "q77_contamination", "q78_top_ngrams", "q79_market_share",
-    "q80_promo_revenue", "q81_priority_linestatus",
+    "q80_promo_revenue", "q81_priority_linestatus", "q82_corr_covar",
 ]
 
 

@@ -983,3 +983,82 @@ def q56_map_fns(spark, sf_dir):
         F.element_at(m, "k").alias("k_value"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@query(
+    "q82_corr_covar",
+    oracle="""
+    WITH e AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(18,0)) AS q,
+             CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS p,
+             CAST(round(l_quantity * l_extendedprice, 2) AS DECIMAL(28,2)) AS qp,
+             CAST(l_quantity * l_quantity AS DECIMAL(28,0)) AS qq,
+             CAST(round(l_extendedprice * l_extendedprice, 4) AS DECIMAL(38,4)) AS pp
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(q) AS sq, sum(p) AS sp, sum(qp) AS sqp,
+             sum(qq) AS sqq, sum(pp) AS spp
+      FROM e GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+                 / (n - 1), 4) AS covar_qty_price,
+           round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+                 / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+                        * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n)),
+                 6) AS corr_qty_price
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q82_corr_covar(spark, sf_dir):
+    """Sample covariance and Pearson correlation of quantity vs
+    extended price per return flag.
+
+    Cross-engine float discipline: both engines compute the moment
+    sums (Σq, Σp, Σqp, Σq², Σp²) as EXACT decimals — the inputs are
+    exact at 0/2 decimals so every product is exact at ≤4 — and only
+    the final covariance/correlation formula runs in doubles on
+    identical sums. Spark's built-in `corr`/`covar_samp` aggregate in
+    doubles, where 600k-row summation order flips low bits per
+    engine; this shape is how to get hash-stable second-moment stats
+    at any scale (and it is one map-side-combinable hash agg, same
+    cost as the built-in).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,0)").alias("q"),
+        F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)").alias("p"),
+        F.round(F.col("l_quantity") * F.col("l_extendedprice"), 2)
+        .cast("decimal(28,2)")
+        .alias("qp"),
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,0)").alias("qq"),
+        F.round(F.col("l_extendedprice") * F.col("l_extendedprice"), 4)
+        .cast("decimal(38,4)")
+        .alias("pp"),
+    )
+    s = e.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("qp").alias("sqp"),
+        F.sum("qq").alias("sqq"),
+        F.sum("pp").alias("spp"),
+    )
+    n = F.col("n")
+    sq = F.col("sq").cast("double")
+    sp = F.col("sp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    sqq = F.col("sqq").cast("double")
+    spp = F.col("spp").cast("double")
+    cov = (sqp - sq * sp / n) / (n - 1)
+    corr = (sqp - sq * sp / n) / F.sqrt(
+        (sqq - sq * sq / n) * (spp - sp * sp / n)
+    )
+    return s.select(
+        "l_returnflag",
+        n.alias("n"),
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
