@@ -886,3 +886,53 @@ def q78_top_ngrams(spark, sf_dir):
     stage. See :func:`maston_spark.llm.text.top_ngrams`."""
     d = load_table(spark, sf_dir, "documents").select("text")
     return TXT.top_ngrams(d, n=2, k=100)
+
+
+@query(
+    "q83_quantize_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             CASE WHEN amax > 0 THEN amax / 127.0 END AS q_scale
+      FROM v),
+    q AS (
+      SELECT vec_id, q_scale,
+             list_transform(e, x -> CAST(round(x / q_scale) AS INTEGER)) AS qv,
+             list_max(list_transform(
+               list_zip(e, list_transform(e, x -> round(x / q_scale))),
+               p -> abs(p[1] - p[2] * q_scale))) AS err
+      FROM s)
+    SELECT vec_id,
+           round(q_scale, 9) AS q_scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INTEGER) AS q_min,
+           CAST(list_max(qv) AS INTEGER) AS q_max,
+           round(err, 9) AS q_err_r
+    FROM q
+    """,
+)
+def q83_quantize_embeddings(spark, sf_dir):
+    """Int8 absmax quantization over the embeddings table; output the
+    per-vector scale, quantized-value stats, and max reconstruction
+    error. See :func:`maston_spark.llm.similarity.quantize_embeddings`
+    (one codegen projection, scan-speed at any scale)."""
+    from maston_spark.llm.similarity import quantize_embeddings
+
+    d = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = quantize_embeddings(d)
+    return out.select(
+        "vec_id",
+        F.round(F.col("q_scale"), 9).alias("q_scale_r"),
+        F.aggregate(
+            F.col("q_vec"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("q_vec").alias("q_min"),
+        F.array_max("q_vec").alias("q_max"),
+        F.round(F.col("q_max_abs_err"), 9).alias("q_err_r"),
+    )
