@@ -1062,3 +1062,60 @@ def q82_corr_covar(spark, sf_dir):
         F.round(cov, 4).alias("covar_qty_price"),
         F.round(corr, 6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q84_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_id,
+             sum(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q84_sessionize(spark, sf_dir):
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute inactivity gaps (the batch analogue of
+    q35's streaming session_window, and the backfill shape every
+    clickstream pipeline runs).
+
+    Plan at scale: ONE hash shuffle on user_id serves both window
+    passes (lag for gap detection, running sum for session numbering
+    — same partitioning, same ordering, so Catalyst reuses the sort),
+    then the per-session agg is map-side combinable on
+    (user_id, session_no). No Python, no second shuffle until the
+    final agg's exchange on the composite key.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ (session TZ pinned to UTC), which
+    # won't cast straight to long — hop through timestamp first
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = ev.withColumn("__start", is_start).withColumn(
+        "session_no", F.sum("__start").over(run)
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
