@@ -76,7 +76,8 @@ _PRIORITY = [
     "q74_repetition_stats", "q75_pii_scrub", "q76_pack_sequences",
     "q77_contamination", "q78_top_ngrams", "q79_market_share",
     "q80_promo_revenue", "q81_priority_linestatus", "q82_corr_covar",
-    "q83_quantize_embeddings", "q84_sessionize",
+    "q83_quantize_embeddings", "q84_sessionize", "q85_funnel",
+    "q86_retention",
 ]
 
 

@@ -1119,3 +1119,110 @@ def q84_sessionize(spark, sf_dir):
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q85_funnel",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    conv AS (
+      SELECT DISTINCT c.user_id, c.event_id
+      FROM c JOIN events p
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts > c.ts
+       AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(conv.event_id) AS BIGINT) AS n_converted,
+           round(count(conv.event_id)::DOUBLE / count(*), 6) AS conv_rate
+    FROM c LEFT JOIN conv
+      ON conv.user_id = c.user_id AND conv.event_id = c.event_id
+    GROUP BY c.user_id
+    """,
+)
+def q85_funnel(spark, sf_dir):
+    """Click→purchase conversion funnel: per user, the share of
+    clicks followed by a purchase within one hour.
+
+    Plan at scale: the conversion test is a LEFT SEMI join on
+    user_id with the time window as a residual — one shuffle on the
+    key, candidate pairs bounded per user, never a time-only cross
+    product; the final agg is map-side combinable on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+        # fresh lineage (self-join below) + marker column
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("conv_event"),
+        )
+    )
+    out = clicks.join(
+        converted,
+        (clicks.user_id == converted.c_user)
+        & (clicks.event_id == converted.conv_event),
+        "left",
+    ).select("user_id", "event_id", "conv_event")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("conv_event").alias("n_converted"),
+        F.round(F.count("conv_event") / F.count(F.lit(1)), 6).alias("conv_rate"),
+    )
+
+
+@query(
+    "q86_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN a.active_week =
+                  f.cohort_week + INTERVAL 1 WEEK THEN f.user_id END) AS BIGINT)
+             AS retained_w1,
+           CAST(count(DISTINCT CASE WHEN a.active_week =
+                  f.cohort_week + INTERVAL 2 WEEK THEN f.user_id END) AS BIGINT)
+             AS retained_w2
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort_week
+    """,
+)
+def q86_retention(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by the week of their
+    first event; how many are active 1 and 2 weeks later.
+
+    Plan at scale: two aggregations on user_id share one shuffle
+    (first-event week and distinct activity weeks), then an equi-join
+    on user_id and a conditional count-distinct per cohort — all hash
+    aggs, no window over the full event table.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    activity = ev.select("user_id", wk(F.col("ts")).alias("active_week")).distinct()
+    j = firsts.join(activity, "user_id")
+    w1 = F.col("active_week") == F.col("cohort_week") + F.expr("INTERVAL 1 WEEK")
+    w2 = F.col("active_week") == F.col("cohort_week") + F.expr("INTERVAL 2 WEEK")
+    return j.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(w1, F.col("user_id"))).alias("retained_w1"),
+        F.countDistinct(F.when(w2, F.col("user_id"))).alias("retained_w2"),
+    )
