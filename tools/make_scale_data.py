@@ -54,13 +54,19 @@ def main() -> None:
             for c in cols
         }
         repl = ", ".join(f"t.{c} + r.i * {strides[c]} AS {c}" for c in cols)
-        con.sql(
-            f"COPY (SELECT t.* REPLACE ({repl}) "
-            f"FROM '{src}/{t}.parquet' t, range({factor}) r(i)) "
-            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
-        )
-        n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
-        print(f"{t}: x{factor} -> {n} rows (shifted {cols})")
+        # one file PER COPY (hive-partitioned by the copy index, then
+        # flattened): a single big file would scan as one Spark input
+        # split and serialize the whole table through one task —
+        # nothing like a real lake, where facts are always many files
+        os.makedirs(f"{dst}/{t}.parquet", exist_ok=True)
+        for i in range(factor):
+            con.sql(
+                f"COPY (SELECT t.* REPLACE ({repl}) "
+                f"FROM '{src}/{t}.parquet' t, (SELECT {i}::BIGINT AS i) r) "
+                f"TO '{dst}/{t}.parquet/part-{i:03d}.parquet' (FORMAT PARQUET)"
+            )
+        n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet/*.parquet'").fetchone()[0]
+        print(f"{t}: x{factor} -> {n} rows in {factor} files (shifted {cols})")
 
 
 if __name__ == "__main__":
