@@ -538,10 +538,23 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
             n = -n
             read_long(buf)
         for _ in range(n):
+            # validate lengths before read(): a corrupt negative varint
+            # would make read(-1) slurp the rest of the file and fail
+            # far from the corruption point
             klen = read_long(buf)
-            key = buf.read(klen).decode("utf-8")
+            if klen < 0:
+                raise AvroDecodeError("truncated OCF header")
+            kraw = buf.read(klen)
+            if len(kraw) != klen:
+                raise AvroDecodeError("truncated OCF header")
+            key = kraw.decode("utf-8")
             vlen = read_long(buf)
-            meta[key] = buf.read(vlen)
+            if vlen < 0:
+                raise AvroDecodeError("truncated OCF header")
+            vraw = buf.read(vlen)
+            if len(vraw) != vlen:
+                raise AvroDecodeError("truncated OCF header")
+            meta[key] = vraw
     sync = buf.read(16)
     if len(sync) != 16:
         raise AvroDecodeError("truncated OCF header")
@@ -575,6 +588,135 @@ def read_ocf(data: bytes) -> tuple[dict, list[dict]]:
         if buf.read(16) != sync:
             raise AvroDecodeError("OCF sync marker mismatch")
     return schema, records
+
+
+# --------------------------------------------------------------- schema resolution
+
+# Avro-spec type promotions (writer -> reader), Avro 1.x spec
+# "Schema Resolution": int→long/float/double, long→float/double,
+# float→double, string↔bytes.
+_PROMOTIONS = {
+    ("int", "long"),
+    ("int", "float"),
+    ("int", "double"),
+    ("long", "float"),
+    ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"),
+    ("bytes", "string"),
+}
+
+
+def _nullable_parts(sch: Any) -> tuple[bool, Any]:
+    """(is_nullable, non-null branch) for ``["null", X]`` unions."""
+    if isinstance(sch, list):
+        branches = [b for b in sch if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"unsupported union {sch!r}")
+        return ("null" in sch), branches[0]
+    return False, sch
+
+
+def _base_name(sch: Any) -> Any:
+    if _is_decimal(sch):
+        return ("decimal", int(sch.get("precision", 0)), int(sch.get("scale", 0)))
+    return _type_name(sch)
+
+
+def resolution_spec(writer: dict, reader: dict) -> list[tuple]:
+    """Compile the Avro schema-resolution plan reader←writer.
+
+    Returns one entry per READER field, in reader order:
+
+    - ``("copy", writer_field_name, promote)`` — value decoded with
+      the writer schema carries over; ``promote`` is ``None`` or the
+      ``(writer_base, reader_base)`` promotion pair to apply.
+    - ``("default", value)`` — field absent from the writer; fill
+      with the reader default (``None`` allowed for nullable fields).
+
+    Writer-only fields are implicitly skipped (the decoder must still
+    read them to advance, but they don't appear in the output).
+
+    Parity: Avro 1.x spec "Schema Resolution" — fields matched by
+    name, writer→reader promotions, reader defaults for missing
+    fields. This mirrors what the reference's Confluent
+    ``SpecificAvroDeserializer`` does per record when the topic holds
+    multiple schema versions (the registry resolves the *writer*
+    schema by the frame's schema id —
+    properties/KafkaPropertiesBuilder.java:43-55).
+
+    Raises ``ValueError`` for unresolvable pairs (config error —
+    surfaces driver-side at compile time, never in tasks).
+    """
+    by_name = {f["name"]: f for f in writer["fields"]}
+    spec: list[tuple] = []
+    for rf in reader["fields"]:
+        name = rf["name"]
+        wf = by_name.get(name)
+        if wf is None:
+            if "default" in rf:
+                spec.append(("default", rf["default"]))
+                continue
+            r_nullable, _ = _nullable_parts(rf["type"])
+            if r_nullable:
+                spec.append(("default", None))
+                continue
+            raise ValueError(
+                f"reader field {name!r} missing from writer and has no default"
+            )
+        w_nullable, w_base = _nullable_parts(wf["type"])
+        r_nullable, r_base = _nullable_parts(rf["type"])
+        if w_nullable and not r_nullable:
+            raise ValueError(
+                f"field {name!r}: writer nullable but reader non-nullable"
+            )
+        wb, rb = _base_name(w_base), _base_name(r_base)
+        if wb == rb:
+            spec.append(("copy", name, None))
+        elif (wb, rb) in _PROMOTIONS:
+            spec.append(("copy", name, (wb, rb)))
+        else:
+            raise ValueError(
+                f"field {name!r}: cannot resolve writer {wb!r} to reader {rb!r}"
+            )
+    return spec
+
+
+def _promote_py(value: Any, promote: tuple | None) -> Any:
+    if value is None or promote is None:
+        return value
+    _, rb = promote
+    if rb in ("long", "int"):
+        return int(value)
+    if rb in ("float", "double"):
+        return float(value)
+    if rb == "string":
+        return bytes(value).decode("utf-8")
+    if rb == "bytes":
+        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    return value
+
+
+def compile_resolving_record_decoder(writer: dict, reader: dict):
+    """Per-record ``payload -> reader-shaped dict`` decoder: decode
+    with the WRITER schema (positions/branches follow the bytes that
+    were actually written), then project to the reader shape per
+    :func:`resolution_spec`."""
+    decode = compile_record_decoder(writer)
+    spec = resolution_spec(writer, reader)
+    names = [f["name"] for f in reader["fields"]]
+
+    def decode_resolved(payload: bytes) -> dict:
+        rec = decode(payload)
+        out = {}
+        for name, entry in zip(names, spec):
+            if entry[0] == "default":
+                out[name] = entry[1]
+            else:
+                out[name] = _promote_py(rec[entry[1]], entry[2])
+        return out
+
+    return decode_resolved
 
 
 # --------------------------------------------------------------- confluent framing

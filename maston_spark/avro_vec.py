@@ -61,7 +61,13 @@ from maston_spark.avro_codec import (
     compile_record_decoder,
 )
 
-__all__ = ["compile_batch_decoder", "BatchDecodeResult"]
+__all__ = [
+    "compile_batch_decoder",
+    "BatchDecodeResult",
+    "arrow_type_for",
+    "arrow_struct_type",
+    "resolve_struct",
+]
 
 _INT32_MIN, _INT32_MAX = -(1 << 31), (1 << 31) - 1
 
@@ -215,6 +221,13 @@ class _BinCol:
                 prev = i + 1
             values, offs = out, new_offs
         typ = pa.string() if self.is_str else pa.binary()
+        if int(offs[-1]) >= 2**31:
+            # int32 Arrow offsets would silently wrap and corrupt
+            # values; fail loudly with the actionable knob instead
+            raise AvroDecodeError(
+                "batch string/bytes payload exceeds 2 GiB; lower "
+                "spark.sql.execution.arrow.maxRecordsPerBatch"
+            )
         arr = pa.Array.from_buffers(
             typ, len(self.valid),
             [_validity(self.valid),
@@ -431,6 +444,72 @@ class BatchDecodeResult:
     def __init__(self, ok: pa.StructArray, errors: dict[int, Exception]):
         self.ok = ok
         self.errors = errors
+
+
+def arrow_type_for(sch: Any) -> pa.DataType:
+    """Arrow type a decoded Avro (sub)schema yields — the pyarrow
+    twin of :func:`maston_spark.avro_codec.spark_type_for` for the
+    vectorizable subset."""
+    if isinstance(sch, list):
+        branches = [b for b in sch if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"unsupported union {sch!r}")
+        return arrow_type_for(branches[0])
+    if _is_decimal(sch):
+        p, s = _capped_decimal(sch)
+        return pa.decimal128(p, s)
+    t = _type_name(sch)
+    mapping = {
+        "boolean": pa.bool_(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "bytes": pa.binary(),
+        "string": pa.string(),
+    }
+    if t in mapping:
+        return mapping[t]
+    raise ValueError(f"unsupported avro type {sch!r}")
+
+
+def arrow_struct_type(schema: dict) -> pa.DataType:
+    return pa.struct(
+        [pa.field(f["name"], arrow_type_for(f["type"])) for f in schema["fields"]]
+    )
+
+
+def resolve_struct(ok: pa.StructArray, spec: list, reader: dict) -> pa.StructArray:
+    """Project a WRITER-shaped decoded StructArray to the READER
+    shape per :func:`maston_spark.avro_codec.resolution_spec` —
+    whole-column Arrow ops (select / cast / constant fill), zero
+    per-record Python. Row validity carries over from ``ok``.
+    """
+    import pyarrow.compute as pc
+
+    n = len(ok)
+    arrays, names = [], []
+    for rf, entry in zip(reader["fields"], spec):
+        names.append(rf["name"])
+        typ = arrow_type_for(rf["type"])
+        if entry[0] == "default":
+            v = entry[1]
+            if v is None:
+                arrays.append(pa.nulls(n, typ))
+            else:
+                if pa.types.is_binary(typ) and isinstance(v, str):
+                    v = v.encode("latin-1")  # Avro JSON bytes-default encoding
+                arrays.append(pa.array([v] * n, type=typ))
+        else:
+            arr = ok.field(entry[1])
+            if arr.type != typ:
+                # Avro-spec promotions (int→long/float/double, …,
+                # string↔bytes). Writer strings are already UTF-8
+                # validated, so binary→string casts cannot fail.
+                arr = arr.cast(typ)
+            arrays.append(arr)
+    mask = pc.invert(ok.is_valid())
+    return pa.StructArray.from_arrays(arrays, names=names, mask=mask)
 
 
 def compile_batch_decoder(schema: dict):

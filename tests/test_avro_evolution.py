@@ -1,0 +1,218 @@
+"""Avro schema evolution: per-record Confluent schema-id dispatch.
+
+Parity target: the reference's registry-backed serde resolves the
+WRITER schema by the 5-byte frame's schema id per record
+(serdes/VavrSafeSerdesBuilder.java:17-23, registry config
+properties/KafkaPropertiesBuilder.java:43-55), so a topic holding
+two live schema versions decodes both — old-version records resolve
+against the reader schema per the Avro spec (name matching,
+defaults, promotions). Never-throw contract unchanged
+(serdes/VavrSafeDeserializer.java:29-39).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from maston_spark import avro_codec as AC
+from maston_spark.registry import SchemaRegistryClient
+from maston_spark.validated import (
+    distinct_schema_ids,
+    safe_from_avro_evolving,
+    safe_from_avro_registry,
+)
+
+V1 = {
+    "name": "Order",
+    "type": "record",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "qty", "type": "int"},
+    ],
+}
+
+# evolved: qty widened int->long, nullable note added, tag added with
+# a default, and a writer-only field does NOT exist here (see V3)
+V2 = {
+    "name": "Order",
+    "type": "record",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "qty", "type": "long"},
+        {"name": "note", "type": ["null", "string"], "default": None},
+        {"name": "tag", "type": "string", "default": "untagged"},
+    ],
+}
+
+# a writer version carrying a field the reader dropped
+V3 = {
+    "name": "Order",
+    "type": "record",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "qty", "type": "long"},
+        {"name": "legacy_flag", "type": "boolean"},
+        {"name": "note", "type": ["null", "string"], "default": None},
+        {"name": "tag", "type": "string", "default": "untagged"},
+    ],
+}
+
+
+# ------------------------------------------------------------ spec
+
+
+def test_resolution_spec_shapes():
+    spec = AC.resolution_spec(V1, V2)
+    assert spec == [
+        ("copy", "key", None),
+        ("copy", "qty", ("int", "long")),
+        ("default", None),
+        ("default", "untagged"),
+    ]
+    # identical schemas: all plain copies
+    assert all(e[0] == "copy" and e[2] is None for e in AC.resolution_spec(V2, V2))
+    # writer-only fields are skipped implicitly
+    assert [e[1] for e in AC.resolution_spec(V3, V2) if e[0] == "copy"] == [
+        "key",
+        "qty",
+        "note",
+        "tag",
+    ]
+
+
+def test_resolution_spec_errors():
+    no_default = {
+        "name": "R",
+        "type": "record",
+        "fields": [{"name": "required_new", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        AC.resolution_spec(V1, no_default)
+    narrowing = {
+        "name": "R",
+        "type": "record",
+        "fields": [{"name": "qty", "type": "int"}],
+    }
+    with pytest.raises(ValueError, match="cannot resolve"):
+        AC.resolution_spec(V2, narrowing)
+    nullability_loss = {
+        "name": "R",
+        "type": "record",
+        "fields": [{"name": "note", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="non-nullable"):
+        AC.resolution_spec(V2, nullability_loss)
+
+
+def test_resolving_record_decoder():
+    dec = AC.compile_resolving_record_decoder(V1, V2)
+    body = AC.encode_record(V1, {"key": "a", "qty": 7})
+    assert dec(body) == {"key": "a", "qty": 7, "note": None, "tag": "untagged"}
+    dec3 = AC.compile_resolving_record_decoder(V3, V2)
+    body3 = AC.encode_record(
+        V3, {"key": "c", "qty": 9, "legacy_flag": True, "note": "n", "tag": "t"}
+    )
+    assert dec3(body3) == {"key": "c", "qty": 9, "note": "n", "tag": "t"}
+
+
+# ------------------------------------------------------------ end-to-end
+
+
+def _mixed_frame(spark):
+    rows = [
+        Row(k="v1", value=AC.confluent_wrap(1, AC.encode_record(V1, {"key": "a", "qty": 7}))),
+        Row(
+            k="v2",
+            value=AC.confluent_wrap(
+                2, AC.encode_record(V2, {"key": "b", "qty": 8, "note": "hi", "tag": "t2"})
+            ),
+        ),
+        Row(
+            k="v3",
+            value=AC.confluent_wrap(
+                3,
+                AC.encode_record(
+                    V3, {"key": "c", "qty": 9, "legacy_flag": True, "note": None, "tag": "t3"}
+                ),
+            ),
+        ),
+        Row(k="tombstone", value=None),
+        Row(k="badframe", value=b"\x01\x02\x03"),
+        Row(k="unknown", value=AC.confluent_wrap(99, b"\x02")),
+        Row(k="corrupt", value=AC.confluent_wrap(1, b"\xff")),  # truncated varint
+    ]
+    return spark.createDataFrame(rows, "k string, value binary")
+
+
+def test_safe_from_avro_evolving_mixed_batch(spark):
+    df = _mixed_frame(spark)
+    out = {
+        r["k"]: r
+        for r in safe_from_avro_evolving(
+            df, "value", V2, {1: V1, 2: V2, 3: V3}
+        ).collect()
+    }
+    assert out["v1"]["err"] is None
+    assert out["v1"]["ok"].asDict() == {
+        "key": "a", "qty": 7, "note": None, "tag": "untagged"
+    }
+    assert out["v2"]["ok"].asDict() == {"key": "b", "qty": 8, "note": "hi", "tag": "t2"}
+    assert out["v3"]["ok"].asDict() == {"key": "c", "qty": 9, "note": None, "tag": "t3"}
+    assert out["tombstone"]["ok"] is None and out["tombstone"]["err"] is None
+    assert out["badframe"]["ok"] is None
+    assert "not a Confluent-framed payload" in out["badframe"]["err"]["exception_message"]
+    assert out["badframe"]["err"]["raw_bytes"] == b"\x01\x02\x03"
+    assert "unknown schema id 99" in out["unknown"]["err"]["exception_message"]
+    assert out["corrupt"]["ok"] is None and out["corrupt"]["err"] is not None
+
+
+def test_safe_from_avro_evolving_single_id_steady_state(spark):
+    rows = [
+        Row(k=f"r{i}", value=AC.confluent_wrap(1, AC.encode_record(V1, {"key": f"k{i}", "qty": i})))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "k string, value binary")
+    got = safe_from_avro_evolving(df, "value", V2, {1: V1}).select("ok.*").collect()
+    assert len(got) == 50
+    assert all(r["tag"] == "untagged" and r["note"] is None for r in got)
+    assert sorted(r["qty"] for r in got) == list(range(50))
+
+
+def test_distinct_schema_ids(spark):
+    ids = distinct_schema_ids(_mixed_frame(spark), "value")
+    assert ids == [1, 2, 3, 99]
+
+
+def test_safe_from_avro_registry_mocked(spark):
+    payloads = {
+        "/subjects/orders-value/versions/latest": {
+            "subject": "orders-value", "id": 2, "version": 2, "schema": json.dumps(V2)
+        },
+        "/schemas/ids/1": {"schema": json.dumps(V1)},
+        "/schemas/ids/2": {"schema": json.dumps(V2)},
+        "/schemas/ids/3": {"schema": json.dumps(V3)},
+        "/schemas/ids/99": {"schema": json.dumps(V1)},  # registry knows it; decode fails
+    }
+    calls: list[str] = []
+
+    def opener(url, headers, timeout):
+        path = url.replace("http://reg:8081", "")
+        calls.append(path)
+        return 200, json.dumps(payloads[path]).encode()
+
+    client = SchemaRegistryClient("http://reg:8081", opener=opener)
+    df = _mixed_frame(spark)
+    out = {
+        r["k"]: r
+        for r in safe_from_avro_registry(
+            df, "value", client, "orders-value"
+        ).collect()
+    }
+    assert out["v1"]["ok"]["qty"] == 7 and out["v1"]["ok"]["tag"] == "untagged"
+    assert out["v3"]["ok"]["key"] == "c"
+    assert out["corrupt"]["err"] is not None
+    # driver-side resolution only: one latest + one per observed id
+    assert calls.count("/subjects/orders-value/versions/latest") == 1
