@@ -1070,7 +1070,8 @@ def q82_corr_covar(spark, sf_dir):
     WITH g AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800 * 1000000
                   THEN 1 ELSE 0 END AS is_start
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1102,11 +1103,15 @@ def q84_sessionize(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # events.ts is TIMESTAMP_NTZ (session TZ pinned to UTC), which
-    # won't cast straight to long — hop through timestamp first
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # won't cast straight to long — hop through timestamp first.
+    # Gap test at MICROSECOND precision (full stored precision after
+    # the nanos→micros load), matching the oracle's epoch_us compare:
+    # whole-second truncation would misclassify a true gap in
+    # (1800 s, 1801 s) whose floor-second difference is exactly 1800.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     is_start = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -22,8 +22,11 @@ from __future__ import annotations
 
 import base64
 import json
+import time
 from dataclasses import dataclass
 from typing import Any, Callable
+
+_now = time.monotonic
 
 __all__ = ["RegisteredSchema", "SchemaRegistryClient", "SchemaRegistryError"]
 
@@ -44,11 +47,17 @@ class RegisteredSchema:
     schema: dict  # parsed Avro schema (json.loads of the registry payload)
 
 
-def _default_opener(url: str, headers: dict[str, str], timeout: float) -> tuple[int, bytes]:
+def _default_opener(
+    url: str,
+    headers: dict[str, str],
+    timeout: float,
+    method: str = "GET",
+    body: bytes | None = None,
+) -> tuple[int, bytes]:
     import urllib.error
     import urllib.request
 
-    req = urllib.request.Request(url, headers=headers)
+    req = urllib.request.Request(url, headers=headers, data=body, method=method)
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
             return resp.status, resp.read()
@@ -60,9 +69,13 @@ class SchemaRegistryClient:
     """Fetch-by-subject / fetch-by-id with basic auth and caching.
 
     ``opener(url, headers, timeout) -> (status, body)`` is the whole
-    transport surface — swap it in tests. Schemas are cached by id
-    and by (subject, version): registry schemas are immutable per id,
-    so the cache never invalidates (matching the Confluent client).
+    transport surface — swap it in tests (write-path openers take two
+    extra positional args: ``method`` and ``body``). Only IMMUTABLE
+    lookups cache — by id and by concrete (subject, version); the
+    mutable ``latest`` resolves through the network on each call
+    (optionally within ``latest_ttl`` seconds), matching the
+    Confluent client's cache discipline — a long-lived driver
+    observes newly registered versions.
     """
 
     def __init__(
@@ -71,18 +84,21 @@ class SchemaRegistryClient:
         basic_auth_user_info: str | None = None,
         timeout: float = 30.0,
         opener: Callable[[str, dict[str, str], float], tuple[int, bytes]] | None = None,
+        latest_ttl: float = 0.0,
     ):
         if not url:
             raise ValueError("schema registry url is required")
         self._base = url.rstrip("/")
         self._timeout = timeout
         self._opener = opener or _default_opener
+        self._latest_ttl = latest_ttl
         self._headers = {"Accept": "application/vnd.schemaregistry.v1+json"}
         if basic_auth_user_info:
             token = base64.b64encode(basic_auth_user_info.encode()).decode()
             self._headers["Authorization"] = f"Basic {token}"
         self._by_id: dict[int, RegisteredSchema] = {}
         self._by_subject: dict[tuple[str, str], RegisteredSchema] = {}
+        self._latest: dict[str, tuple[float, RegisteredSchema]] = {}
 
     @classmethod
     def from_config(cls, cfg, **kwargs) -> "SchemaRegistryClient":
@@ -116,9 +132,14 @@ class SchemaRegistryClient:
         return self.get_version(subject, "latest")
 
     def get_version(self, subject: str, version: int | str) -> RegisteredSchema:
+        is_latest = str(version) == "latest"
         key = (subject, str(version))
-        if key in self._by_subject:
+        if not is_latest and key in self._by_subject:
             return self._by_subject[key]
+        if is_latest and self._latest_ttl > 0:
+            hit = self._latest.get(subject)
+            if hit is not None and _now() - hit[0] < self._latest_ttl:
+                return hit[1]
         payload = self._get(f"/subjects/{subject}/versions/{version}")
         try:
             reg = RegisteredSchema(
@@ -131,11 +152,12 @@ class SchemaRegistryClient:
             raise SchemaRegistryError(
                 f"unexpected registry payload for {subject}/{version}: {payload!r}"
             ) from exc
-        self._by_subject[key] = reg
         self._by_id[reg.schema_id] = reg
-        # "latest" resolves to a concrete version — cache both keys
-        if str(version) == "latest":
-            self._by_subject[(subject, str(reg.version))] = reg
+        # only the IMMUTABLE concrete-version key caches; "latest" is
+        # mutable and only enters the TTL side-cache
+        self._by_subject[(subject, str(reg.version))] = reg
+        if is_latest:
+            self._latest[subject] = (_now(), reg)
         return reg
 
     def get_by_id(self, schema_id: int) -> RegisteredSchema:
@@ -155,6 +177,86 @@ class SchemaRegistryClient:
             ) from exc
         self._by_id[schema_id] = reg
         return reg
+
+    # ---------------------------------------------------------- write path
+
+    def _post(self, path: str, payload: dict) -> Any:
+        url = f"{self._base}{path}"
+        headers = dict(self._headers)
+        headers["Content-Type"] = "application/vnd.schemaregistry.v1+json"
+        body = json.dumps(payload).encode()
+        try:
+            status, resp = self._opener(url, headers, self._timeout, "POST", body)
+        except SchemaRegistryError:
+            raise
+        except Exception as exc:
+            raise SchemaRegistryError(f"registry request failed: {url}: {exc}") from exc
+        if status == 404:
+            raise SchemaRegistryError(f"subject/schema not found at {url}", status=404)
+        if status != 200:
+            raise SchemaRegistryError(
+                f"registry returned HTTP {status} for {url}: {resp[:200]!r}",
+                status=status,
+            )
+        try:
+            return json.loads(resp)
+        except ValueError as exc:
+            raise SchemaRegistryError(f"malformed registry response from {url}") from exc
+
+    def register_schema(self, subject: str, schema: dict) -> int:
+        """``POST /subjects/{subject}/versions`` — register (or no-op
+        if already registered) and return the schema id. The produce-
+        side half the fetch-only client lacked; parity with the
+        Confluent serializer when ``AUTO_REGISTER_SCHEMAS`` is on
+        (properties/KafkaPropertiesBuilder.java:67, README.md:139)."""
+        payload = self._post(
+            f"/subjects/{subject}/versions", {"schema": json.dumps(schema)}
+        )
+        try:
+            return int(payload["id"])
+        except (KeyError, ValueError, TypeError) as exc:
+            raise SchemaRegistryError(
+                f"unexpected register response for {subject}: {payload!r}"
+            ) from exc
+
+    def lookup_schema(self, subject: str, schema: dict) -> RegisteredSchema:
+        """``POST /subjects/{subject}`` — find the id/version an
+        EXISTING schema is registered under (no registration)."""
+        payload = self._post(f"/subjects/{subject}", {"schema": json.dumps(schema)})
+        try:
+            reg = RegisteredSchema(
+                subject=payload.get("subject", subject),
+                schema_id=int(payload["id"]),
+                version=int(payload["version"]),
+                schema=json.loads(payload["schema"]),
+            )
+        except (KeyError, ValueError, TypeError) as exc:
+            raise SchemaRegistryError(
+                f"unexpected lookup response for {subject}: {payload!r}"
+            ) from exc
+        self._by_id[reg.schema_id] = reg
+        self._by_subject[(subject, str(reg.version))] = reg
+        return reg
+
+    def schema_id_for(self, subject: str, schema: dict, auto_register: bool) -> int:
+        """Confluent serializer semantics for ``AUTO_REGISTER_SCHEMAS``
+        (properties/KafkaPropertiesBuilder.java:67): with the flag on,
+        an unregistered schema is registered and its new id returned;
+        with it off, only an already-registered schema resolves — an
+        unknown one raises, so a misconfigured producer fails fast
+        instead of silently mutating the subject."""
+        try:
+            return self.lookup_schema(subject, schema).schema_id
+        except SchemaRegistryError as exc:
+            if exc.status != 404:
+                raise
+        if auto_register:
+            return self.register_schema(subject, schema)
+        raise SchemaRegistryError(
+            f"schema not registered under subject {subject!r} and "
+            "auto.register.schemas is disabled",
+            status=404,
+        )
 
 
 def resolve_avro_schema(cfg, subject: str, opener=None) -> dict:

@@ -45,11 +45,14 @@ class FakeTransport:
             "/schemas/ids/42": {"schema": json.dumps(SCHEMA)},
         }
 
-    def __call__(self, url, headers, timeout):
+    def __call__(self, url, headers, timeout, method="GET", body=None):
         self.calls.append((url, headers))
+        self.requests = getattr(self, "requests", [])
+        self.requests.append((method, url, body))
         path = url.split("http://reg:8081", 1)[1]
-        if path in self.routes:
-            return 200, json.dumps(self.routes[path]).encode()
+        key = path if method == "GET" else f"{method} {path}"
+        if key in self.routes:
+            return 200, json.dumps(self.routes[key]).encode()
         return 404, b'{"error_code": 40401, "message": "Subject not found"}'
 
 
@@ -65,14 +68,25 @@ def client(transport):
     )
 
 
-def test_get_latest_parses_and_caches(client, transport):
+def test_get_latest_parses_and_caches_immutables_only(client, transport):
     reg = client.get_latest("orders-value")
     assert reg.schema_id == 42 and reg.version == 3
     assert reg.schema == SCHEMA
-    # cached: latest, the concrete version, and the id — no new calls
-    client.get_latest("orders-value")
+    # immutable keys cached: the concrete version and the id
     client.get_version("orders-value", 3)
     client.get_by_id(42)
+    assert len(transport.calls) == 1
+    # but "latest" is MUTABLE — it resolves through the network each
+    # call (Confluent client discipline), so a long-lived driver sees
+    # newly registered versions
+    client.get_latest("orders-value")
+    assert len(transport.calls) == 2
+
+
+def test_get_latest_ttl_caches_within_window(transport):
+    c = SchemaRegistryClient("http://reg:8081", opener=transport, latest_ttl=300.0)
+    c.get_latest("orders-value")
+    c.get_latest("orders-value")
     assert len(transport.calls) == 1
 
 
@@ -120,3 +134,55 @@ def test_from_kafka_config_roundtrip(transport):
 def test_missing_url_rejected():
     with pytest.raises(ValueError):
         SchemaRegistryClient("")
+
+
+# ---------------------------------------------------------------- write path
+
+
+def test_register_schema_posts_and_returns_id(client, transport):
+    transport.routes["POST /subjects/orders-value/versions"] = {"id": 43}
+    sid = client.register_schema("orders-value", SCHEMA)
+    assert sid == 43
+    method, url, body = transport.requests[-1]
+    assert method == "POST"
+    assert url == "http://reg:8081/subjects/orders-value/versions"
+    assert json.loads(json.loads(body)["schema"]) == SCHEMA
+
+
+def test_lookup_schema_resolves_existing(client, transport):
+    transport.routes["POST /subjects/orders-value"] = {
+        "subject": "orders-value", "id": 42, "version": 3,
+        "schema": json.dumps(SCHEMA),
+    }
+    reg = client.lookup_schema("orders-value", SCHEMA)
+    assert reg.schema_id == 42 and reg.version == 3
+    # lookup primes the immutable caches
+    client.get_by_id(42)
+    client.get_version("orders-value", 3)
+    assert len([r for r in transport.requests if r[0] == "GET"]) == 0
+
+
+def test_schema_id_for_auto_register_on(client, transport):
+    # unknown schema: lookup 404s, auto-register path registers it
+    transport.routes["POST /subjects/orders-value/versions"] = {"id": 44}
+    sid = client.schema_id_for("orders-value", SCHEMA, auto_register=True)
+    assert sid == 44
+    assert [m for m, _, _ in transport.requests] == ["POST", "POST"]
+
+
+def test_schema_id_for_auto_register_off_fails_fast(client, transport):
+    # parity: AUTO_REGISTER_SCHEMAS=false — an unregistered schema is
+    # a config error, not a silent subject mutation
+    with pytest.raises(SchemaRegistryError) as ei:
+        client.schema_id_for("orders-value", SCHEMA, auto_register=False)
+    assert "auto.register.schemas" in str(ei.value)
+    assert len(transport.requests) == 1  # lookup only, no register
+
+
+def test_schema_id_for_existing_skips_register(client, transport):
+    transport.routes["POST /subjects/orders-value"] = {
+        "subject": "orders-value", "id": 42, "version": 3,
+        "schema": json.dumps(SCHEMA),
+    }
+    assert client.schema_id_for("orders-value", SCHEMA, auto_register=True) == 42
+    assert len(transport.requests) == 1
