@@ -15,6 +15,7 @@ count/rate — tagged with the application id. Spark equivalents:
 
 from __future__ import annotations
 
+import logging
 import threading
 
 from pyspark.sql import DataFrame, functions as F
@@ -23,6 +24,58 @@ from pyspark.sql.streaming import StreamingQueryListener
 from maston_spark import errors as E
 
 METRIC_NAME = "maston_metrics"
+
+RECORD_LOGGER = logging.getLogger("maston_spark.records")
+
+
+def log_consumed_records(
+    df: DataFrame,
+    batch_id: int,
+    *,
+    logger: logging.Logger = RECORD_LOGGER,
+    limit: int = 1000,
+) -> None:
+    """Per-record debug logging of a consumed micro-batch.
+
+    Parity: interceptor/DefaultKafkaConsumerInterceptor.java:14-23
+    (and the producer twin) — log ``topic/partition/key`` per record
+    when the interceptor toggle is on
+    (properties/KafkaPropertiesBuilder.java:77-82). Spark deviation,
+    by design: per-record logging on 1000 executors over 100 TB is
+    an outage, not observability — so the toggle logs a BOUNDED
+    sample (``limit`` records) per micro-batch on the driver, plus
+    the batch row count, and short-circuits entirely unless the
+    logger is at DEBUG.
+    """
+    if not logger.isEnabledFor(logging.DEBUG):
+        return
+    cols = [c for c in ("topic", "partition", "key") if c in df.columns]
+    if not cols:
+        logger.debug("onConsume batch=%s (no topic/partition/key columns)", batch_id)
+        return
+    sample = df.select(*cols).limit(limit).collect()
+    for r in sample:
+        logger.debug(
+            "onConsume batch=%s %s",
+            batch_id,
+            " ".join(f"{c}={r[c]!r}" for c in cols),
+        )
+
+
+def with_record_logging(
+    fn,
+    *,
+    logger: logging.Logger = RECORD_LOGGER,
+    limit: int = 1000,
+):
+    """Wrap a ``foreachBatch`` function with the consumed-record
+    logging interceptor (see :func:`log_consumed_records`)."""
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        log_consumed_records(batch_df, batch_id, logger=logger, limit=limit)
+        fn(batch_df, batch_id)
+
+    return wrapped
 
 
 def error_metric_columns() -> list:

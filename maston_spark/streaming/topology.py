@@ -26,6 +26,7 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from maston_spark.delta import delta_dedup_fold
+from maston_spark.observability import with_record_logging
 from maston_spark.sinks import foreach_batch_split
 from maston_spark.validated import OK, safe_from_avro_arrow, safe_from_json
 
@@ -131,6 +132,7 @@ def simple_validated_topology(
     on_metrics: Callable[[int, dict[str, int]], None] | None = None,
     emit_valid: bool = True,
     value_format: str = "json",
+    log_records: bool = False,
 ):
     """Validated consumer: parse → (optional processor over the
     validated frame, e.g. :func:`maston_spark.validated.process_validated`)
@@ -152,6 +154,10 @@ def simple_validated_topology(
         app_id=app_id,
         on_metrics=on_metrics,
     )
+    if log_records:
+        # parity: the enable/disable interceptor toggle of
+        # KafkaPropertiesBuilder.java:77-82
+        fn = with_record_logging(fn)
     return _start_foreach_batch(validated, fn, checkpoint, trigger)
 
 
@@ -171,6 +177,7 @@ def delta_topology(
     on_metrics: Callable[[int, dict[str, int]], None] | None = None,
     state_dir: str | None = "auto",
     value_format: str = "json",
+    log_records: bool = False,
 ):
     """Delta consumer: parse → re-key by the recomputed business key
     → per-key emit-iff-updated → split-sink.
@@ -274,4 +281,6 @@ def delta_topology(
                 accepted.unpersist()
             batch_df.unpersist()
 
+    if log_records:
+        fn = with_record_logging(fn)
     return _start_foreach_batch(validated, fn, checkpoint, trigger)

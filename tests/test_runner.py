@@ -1,0 +1,154 @@
+"""Fail-fast lifecycle runner (S19) + record-logging interceptor (S18).
+
+Parity targets:
+- KafkaStreamsDecorator.java:24-43 — start, busy-wait to RUNNING,
+  shutdown hook, uncaught-exception → exit(1) (the k8s restart
+  model). run_forever reproduces: terminal query exception → stop
+  siblings → run hooks → on_exit(1).
+- interceptor/DefaultKafkaConsumerInterceptor.java:14-23 +
+  KafkaPropertiesBuilder.java:77-82 — per-record consumed logging
+  behind an enable toggle; here a bounded driver-side sample per
+  micro-batch at DEBUG.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+
+from maston_spark.sources import replay_stream
+from maston_spark.streaming.runner import run_forever
+from maston_spark.streaming.topology import simple_validated_topology
+
+SCHEMA = "business_key string, string_value string, seq bigint"
+
+
+def _tmp():
+    return tempfile.mkdtemp(prefix="runner_test_")
+
+
+@pytest.fixture()
+def cleanup():
+    dirs = []
+    yield dirs
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _payload(key, value, seq):
+    return json.dumps({"business_key": key, "string_value": value, "seq": seq})
+
+
+def _start_query(spark, cleanup, fn, rows=3, trigger=None):
+    src_df = spark.createDataFrame([Row(value=_payload(f"k{i}", "v", i)) for i in range(rows)])
+    stream, src = replay_stream(src_df)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    writer = stream.writeStream.foreachBatch(fn).option("checkpointLocation", chk)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def test_run_forever_fail_fast_exits_nonzero_and_runs_hooks(spark, cleanup):
+    def boom(df, bid):
+        raise RuntimeError("injected batch failure")
+
+    q = _start_query(spark, cleanup, boom)
+    exits: list[int] = []
+    hooks: list[str] = []
+    rc = run_forever(
+        q,
+        on_exit=exits.append,
+        shutdown_hooks=[lambda: hooks.append("closed")],
+        poll_interval=0.05,
+        install_signal_handlers=False,
+    )
+    assert rc == 1
+    assert exits == [1]
+    assert hooks == ["closed"]
+    assert not q.isActive
+    # the terminal exception is surfaced on the handle, not swallowed
+    assert "injected batch failure" in str(q.exception())
+
+
+def test_run_forever_clean_stop_returns_zero(spark, cleanup):
+    q = _start_query(
+        spark, cleanup, lambda df, bid: None, trigger={"availableNow": True}
+    )
+    exits: list[int] = []
+    rc = run_forever(
+        q, on_exit=exits.append, poll_interval=0.05, install_signal_handlers=False
+    )
+    assert rc == 0
+    assert exits == []  # clean stop is not a failure
+
+
+def test_run_forever_failure_stops_sibling_queries(spark, cleanup):
+    def boom(df, bid):
+        raise RuntimeError("sibling takedown")
+
+    healthy = _start_query(spark, cleanup, lambda df, bid: None)
+    failing = _start_query(spark, cleanup, boom)
+    rc = run_forever(
+        [healthy, failing],
+        on_exit=lambda code: None,
+        poll_interval=0.05,
+        install_signal_handlers=False,
+    )
+    assert rc == 1
+    # the reference's shutdown hook closes the whole app: the healthy
+    # sibling must not keep running in a half-dead application
+    assert not healthy.isActive
+
+
+def test_record_logging_toggle_on(spark, cleanup, caplog):
+    src_df = spark.createDataFrame(
+        [Row(key=f"k{i}", value=_payload(f"k{i}", "v", i)) for i in range(3)]
+    )
+    stream, src = replay_stream(src_df)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    with caplog.at_level(logging.DEBUG, logger="maston_spark.records"):
+        q = simple_validated_topology(
+            stream,
+            SCHEMA,
+            app_id="t-log",
+            checkpoint=chk,
+            write_valid=lambda df: None,
+            write_error=lambda df: None,
+            log_records=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    lines = [r.message for r in caplog.records if r.name == "maston_spark.records"]
+    assert any("onConsume" in ln and "key=" in ln for ln in lines)
+    assert sum("key='k0'" in ln for ln in lines) == 1
+
+
+def test_record_logging_toggle_off_by_default(spark, cleanup, caplog):
+    src_df = spark.createDataFrame([Row(key="k0", value=_payload("k0", "v", 0))])
+    stream, src = replay_stream(src_df)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    with caplog.at_level(logging.DEBUG, logger="maston_spark.records"):
+        q = simple_validated_topology(
+            stream,
+            SCHEMA,
+            app_id="t-nolog",
+            checkpoint=chk,
+            write_valid=lambda df: None,
+            write_error=lambda df: None,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert not [r for r in caplog.records if r.name == "maston_spark.records"]
