@@ -24,7 +24,10 @@ HEADLINE = [
     "q41_dedup_minhash_lsh", # MinHash-LSH fuzzy dedup
     "q43_cosine_topk",       # embedding similarity
     "q45_text_stats",        # text analysis
+    "q48_embedding_neardup", # adaptive-LSH embedding near-dup (heavy ANN path)
+    "q55_dup_clusters",      # connected components (iterative)
     "q63_delta_expr",        # maston delta operator (expr path)
+    "q79_market_share",      # 6-way join (heaviest relational plan)
 ]
 
 
@@ -53,8 +56,18 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # isolate queries from each other: q55's localCheckpoint
+        # lineage cuts and any cached batches stay live until the
+        # driver GC drops their references, inflating whatever runs
+        # next (measured: q63 0.31s isolated vs 1.08s right after
+        # q55). Clearing between queries measures steady-state cost
+        # of THIS query, not the previous query's residue.
+        spark.catalog.clearCache()
+        gc.collect()
         # per-query untimed warmup: the first execution of a plan is
         # charged its own codegen/JIT compilation (measured ~2x on the
         # window/delta family — q63 1.36s first run vs 0.56s steady

@@ -697,6 +697,22 @@ def _promote_py(value: Any, promote: tuple | None) -> Any:
     return value
 
 
+def resolve_records(writer: dict, reader: dict, records: list[dict]) -> list[dict]:
+    """Project already-decoded WRITER-shaped record dicts to the
+    READER shape per :func:`resolution_spec` — the OCF-read twin of
+    :func:`compile_resolving_record_decoder` (there the bytes still
+    need decoding; here :func:`read_ocf` already yielded dicts)."""
+    spec = resolution_spec(writer, reader)
+    names = [f["name"] for f in reader["fields"]]
+    return [
+        {
+            name: (entry[1] if entry[0] == "default" else _promote_py(rec[entry[1]], entry[2]))
+            for name, entry in zip(names, spec)
+        }
+        for rec in records
+    ]
+
+
 def compile_resolving_record_decoder(writer: dict, reader: dict):
     """Per-record ``payload -> reader-shaped dict`` decoder: decode
     with the WRITER schema (positions/branches follow the bytes that

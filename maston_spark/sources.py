@@ -95,9 +95,15 @@ def avro_file_source(
     the Confluent-framed streaming serde
     (`validated.safe_from_avro_arrow`).
 
-    ``avro_schema`` pins the expected reader schema: files whose
-    embedded writer schema differs raise (no schema-resolution pass),
-    which surfaces drift instead of silently mis-typing columns.
+    ``avro_schema`` is the READER schema. Each OCF embeds its own
+    WRITER schema; files written under an older (or newer) version
+    resolve per the Avro spec — name matching, reader defaults for
+    missing fields, int→long-style promotions
+    (:func:`maston_spark.avro_codec.resolution_spec`) — so one call
+    reads a lake whose files span schema versions, exactly how the
+    jar-backed reader and the reference's registry serde behave. A
+    writer schema that CANNOT resolve (incompatible types, missing
+    default) still raises: that's drift, not evolution.
     """
     import pandas as pd
 
@@ -115,9 +121,13 @@ def avro_file_source(
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 schema, records = AC.read_ocf(bytes(content))
                 if AC.json.dumps(schema, sort_keys=True) != expected:
-                    raise AC.AvroDecodeError(
-                        f"writer schema of {fpath} differs from reader schema"
-                    )
+                    try:
+                        records = AC.resolve_records(schema, avro_schema, records)
+                    except ValueError as exc:
+                        raise AC.AvroDecodeError(
+                            f"writer schema of {fpath} cannot resolve to "
+                            f"the reader schema: {exc}"
+                        ) from exc
                 frame = pd.DataFrame(records, columns=names)
                 if with_file_path:
                     frame["_file"] = fpath

@@ -100,7 +100,9 @@ def test_avro_file_source_reads_container_lake(spark, tmp_path):
     assert dict(df.dtypes)["amount"] == "decimal(12,2)"
 
 
-def test_avro_file_source_rejects_schema_drift(spark, tmp_path):
+def test_avro_file_source_rejects_unresolvable_drift(spark, tmp_path):
+    """A writer schema missing a reader field that has NO default is
+    drift, not evolution — it still fails loudly."""
     from maston_spark.sources import avro_file_source
 
     other = {
@@ -110,5 +112,39 @@ def test_avro_file_source_rejects_schema_drift(spark, tmp_path):
     }
     (tmp_path / "drift.avro").write_bytes(AC.write_ocf(other, [{"id": 1}]))
     df = avro_file_source(spark, str(tmp_path), SCHEMA)
-    with pytest.raises(Exception, match="differs from reader schema"):
+    with pytest.raises(Exception, match="cannot resolve"):
         df.collect()
+
+
+def test_avro_file_source_resolves_evolved_writer_schemas(spark, tmp_path):
+    """One call reads files whose embedded writer schemas span
+    versions: an old file (no score/amount, int id) and a current
+    file resolve to the same reader shape — defaults filled,
+    int→long promoted (VERDICT r6 item 3)."""
+    from maston_spark.sources import avro_file_source
+
+    old_schema = {
+        "name": "OcfRec",
+        "type": "record",
+        "fields": [
+            {"name": "id", "type": "int"},  # promotes to reader's long
+            {"name": "name", "type": "string"},
+            {"name": "retired_field", "type": "string"},  # reader dropped it
+        ],
+    }
+    old_recs = [
+        {"id": 1000 + i, "name": f"old-{i}", "retired_field": "x"} for i in range(5)
+    ]
+    (tmp_path / "old.avro").write_bytes(AC.write_ocf(old_schema, old_recs))
+    (tmp_path / "new.avro").write_bytes(AC.write_ocf(SCHEMA, _records(5)))
+
+    df = avro_file_source(spark, str(tmp_path), SCHEMA)
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 10
+    # evolved file: defaults for the added nullable fields, promotion applied
+    assert rows[1003].name == "old-3"
+    assert rows[1003].score is None and rows[1003].amount is None
+    assert "retired_field" not in df.columns
+    # current file unaffected
+    assert rows[1].score == 0.25
+    assert dict(df.dtypes)["id"] == "bigint"
