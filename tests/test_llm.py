@@ -134,8 +134,18 @@ def test_connected_components_known_graph(spark):
         [Row(id_a=0, id_b=1), Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
          Row(id_a=4, id_b=5)]
     )
+    expected = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+    # default: small-graph union-find fast path
     got = {r.id: r.cluster for r in connected_components(verts, edges).collect()}
-    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+    assert got == expected
+    # distributed min-label propagation must agree exactly
+    got_dist = {
+        r.id: r.cluster
+        for r in connected_components(
+            verts, edges, small_graph_max_edges=0
+        ).collect()
+    }
+    assert got_dist == expected
 
 
 def test_connected_components_batched_probe(spark, monkeypatch):
@@ -156,14 +166,16 @@ def test_connected_components_batched_probe(spark, monkeypatch):
     monkeypatch.setattr(cls, "count", lambda self: probes.append(1) or real_count(self))
 
     got = {r.id: r.cluster
-           for r in DD.connected_components(verts, edges, probe_every=3).collect()}
+           for r in DD.connected_components(
+               verts, edges, probe_every=3, small_graph_max_edges=0
+           ).collect()}
     assert got == {i: 0 for i in range(n)}
     # labels move 1 hop/round: converged after 6 rounds, detected at
     # the round-9 probe -> probes at rounds 3, 6, 9 (vs 7+ unbatched)
     assert 1 <= len(probes) <= 3
 
     with pytest.raises(ValueError):
-        DD.connected_components(verts, edges, probe_every=0)
+        DD.connected_components(verts, edges, probe_every=0, small_graph_max_edges=0)
 
 
 def test_ivf_topk_probes_and_ranks(spark, sf_dir):
