@@ -125,3 +125,116 @@ def q73_safe_avro(spark, sf_dir):
         F.col("ok.amount").cast("string").alias("amount_str"),
         F.col("err.code").alias("err_code"),
     )
+
+
+# ------------------------------------------------------ schema evolution
+
+# Writer v1: the topic's ORIGINAL schema — no status, 32-bit id, and
+# a field the current reader has since dropped.
+EVO_V1 = {
+    "name": "OrderEvt",
+    "type": "record",
+    "fields": [
+        {"name": "id", "type": "int"},  # reader widened to long
+        {"name": "priority", "type": "string"},
+        {"name": "legacy_code", "type": "string"},  # reader dropped it
+    ],
+}
+
+# Writer v2 == the reader: long id, nullable status, a tag added
+# with a default so v1 records resolve.
+EVO_V2 = {
+    "name": "OrderEvt",
+    "type": "record",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "status", "type": ["null", "string"], "default": None},
+        {"name": "priority", "type": "string"},
+        {"name": "region_tag", "type": "string", "default": "legacy"},
+    ],
+}
+
+EVO_IDS = {1: EVO_V1, 2: EVO_V2}
+
+
+def encode_orders_avro_mixed(spark, sf_dir):
+    """orders -> Confluent-framed Avro with TWO live schema versions
+    on the same 'topic': even keys carry v1 frames (schema id 1), odd
+    keys v2 (schema id 2); key%19==0 frames with an UNREGISTERED id
+    (99) — the record a consumer sees when a producer races ahead of
+    the registry mirror."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    out_schema = StructType(
+        [StructField("o_orderkey", LongType()), StructField("value", BinaryType())]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            values = []
+            for k, st, pr in zip(
+                pdf["o_orderkey"], pdf["o_orderstatus"], pdf["o_orderpriority"]
+            ):
+                k = int(k)
+                if k % 2 == 0:
+                    body = AC.encode_record(
+                        EVO_V1, {"id": k, "priority": pr, "legacy_code": "L"}
+                    )
+                    sid = 1
+                else:
+                    body = AC.encode_record(
+                        EVO_V2,
+                        {
+                            "id": k,
+                            "status": None if k % 5 == 0 else st,
+                            "priority": pr,
+                            "region_tag": f"r{k % 3}",
+                        },
+                    )
+                    sid = 2
+                if k % 19 == 0:
+                    sid = 99  # unknown to the registry set
+                values.append(AC.confluent_wrap(sid, body))
+            yield type(pdf)({"o_orderkey": pdf["o_orderkey"], "value": values})
+
+    return orders.mapInPandas(enc, out_schema)
+
+
+@query(
+    "q87_avro_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 19 <> 0 THEN o_orderkey END AS id_ok,
+           CASE WHEN o_orderkey % 19 <> 0 AND o_orderkey % 2 <> 0
+                     AND o_orderkey % 5 <> 0
+                THEN o_orderstatus END AS status_ok,
+           CASE WHEN o_orderkey % 19 <> 0 THEN o_orderpriority END AS priority_ok,
+           CASE WHEN o_orderkey % 19 <> 0 THEN
+             CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+                  ELSE 'r' || CAST(o_orderkey % 3 AS VARCHAR) END
+           END AS tag,
+           CASE WHEN o_orderkey % 19 = 0
+                THEN 'FAILED_TO_DESERIALIZE_RECORD' END AS err_code
+    FROM orders
+    """,
+)
+def q87_avro_evolution(spark, sf_dir):
+    """Schema-evolution round-trip: one stream mixing two live schema
+    versions per record (Confluent schema-id dispatch), decoded
+    against the current reader schema — v1 rows get the int→long
+    promotion, the added nullable status as NULL, and the
+    ``region_tag`` default; writer-only ``legacy_code`` is dropped;
+    frames with an id outside the registry set become err rows
+    (never-throw). Parity: serdes/VavrSafeSerdesBuilder.java:17-23 +
+    properties/KafkaPropertiesBuilder.java:43-55."""
+    framed = encode_orders_avro_mixed(spark, sf_dir)
+    df = V.safe_from_avro_evolving(framed, "value", EVO_V2, EVO_IDS)
+    return df.select(
+        "o_orderkey",
+        F.col("ok.id").alias("id_ok"),
+        F.col("ok.status").alias("status_ok"),
+        F.col("ok.priority").alias("priority_ok"),
+        F.col("ok.region_tag").alias("tag"),
+        F.col("err.code").alias("err_code"),
+    )
