@@ -182,3 +182,29 @@ def test_repetition_stats_partial_agg_and_pruned_scan(spark, sf_dir, qs):
     assert gen < scan, "explode should sit directly above the scan"
     read_schema = p[p.index("ReadSchema", scan):].splitlines()[0]
     assert "text" in read_schema and "lang" not in read_schema, read_schema
+
+
+def test_avro_evolution_serde_is_exchange_free(spark, sf_dir, qs):
+    """q87's whole encode→id-dispatch→decode→project chain must be
+    a shuffle-free map pipeline over a pruned 3-column scan — the
+    serde never repartitions, so it scales linearly with input
+    splits regardless of how many schema versions are live."""
+    p = plan_of(qs["q87_avro_evolution"](spark, sf_dir))
+    assert "Exchange" not in p, "serde chain grew a shuffle"
+    scan = p.rindex("Scan parquet")
+    read_schema = p[p.index("ReadSchema", scan):].splitlines()[0]
+    assert "o_totalprice" not in read_schema and "o_orderkey" in read_schema
+
+
+def test_embedding_neardup_single_shuffle_no_joins(spark, sf_dir, qs):
+    """q48's steady-state plan (no degenerate buckets): exactly ONE
+    exchange — the hash repartition on (lvl, bucket) that co-locates
+    each bucket for pair generation — reading the persisted hashed
+    corpus; zero joins and zero broadcasts (bucket populations ride
+    in the task closure, bounded by plane depth)."""
+    df = qs["q48_embedding_neardup"](spark, sf_dir)
+    p = plan_of(df)
+    assert p.count("Exchange") == 1, p
+    assert "Join" not in p and "BroadcastExchange" not in p
+    assert "InMemoryTableScan" in p, "hashed corpus is not persisted"
+    spark.catalog.clearCache()
