@@ -130,3 +130,56 @@ def pack_sequences(
         F.floor(start / capacity).cast("long").alias("pack_id"),
         (start % capacity).cast("long").alias("pack_offset"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    order_col: str = "quality_score",
+    id_col: str = "doc_id",
+    cap: int = 100,
+) -> DataFrame:
+    """Per-domain quota: keep the top ``cap`` rows of each domain,
+    ranked by ``order_col`` desc with ``id_col`` as deterministic
+    tie-break — the web-corpus curation step that stops a single
+    crawl-heavy domain from dominating the training mix (every
+    CommonCrawl-scale pipeline runs some form of this).
+
+    Scale shape: an Arrow-batched LOCAL prune first — within each
+    input batch only a domain's top ``cap`` can survive globally, so
+    per-task output is ≤ cap rows per (batch, domain) — then ONE hash
+    shuffle on the domain for the exact ranking window. The local
+    prune bounds shuffle volume at tasks × domains × cap rows
+    regardless of how skewed the hot domain is; without it, a domain
+    with a billion rows would funnel a billion rows into one window
+    partition.
+
+    Deterministic and oracle-checkable: rank = row_number over
+    (domain, order desc, id), identical in any engine.
+    """
+    from pyspark.sql import Window
+
+    def local_prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(
+                    [domain_col, order_col, id_col],
+                    ascending=[True, False, True],
+                )
+                .groupby(domain_col, sort=False)
+                .head(cap)
+            )
+
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    pruned = df.mapInPandas(local_prune, ddl)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        pruned.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= cap)
+    )

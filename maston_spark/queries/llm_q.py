@@ -936,3 +936,48 @@ def q83_quantize_embeddings(spark, sf_dir):
         F.array_max("q_vec").alias("q_max"),
         F.round(F.col("q_max_abs_err"), 9).alias("q_err_r"),
     )
+
+
+@query(
+    "q88_domain_cap",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+               FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             len(toks) AS n_tokens,
+             round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE
+                   / len(toks), 6) AS stopword_ratio,
+             round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                   / length(text), 6) AS punct_ratio
+      FROM t),
+    s AS (
+      SELECT doc_id, source,
+             round(
+               (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END), 6
+             ) AS quality_score
+      FROM m),
+    r AS (
+      SELECT doc_id, source, quality_score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality_score DESC, doc_id) AS domain_rank
+      FROM s)
+    SELECT doc_id, source, quality_score, CAST(domain_rank AS BIGINT) AS domain_rank
+    FROM r WHERE domain_rank <= 25
+    """,
+)
+def q88_domain_cap(spark, sf_dir):
+    """Per-domain quota sampling: score every document, keep each
+    source's top 25 by quality (deterministic doc_id tie-break) —
+    the anti-domination curation step of a web-scale corpus. See
+    :func:`maston_spark.llm.sampling.domain_cap` for the
+    local-prune-then-one-shuffle scale shape."""
+    from maston_spark.llm import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = TXT.quality_score(d).select("doc_id", "source", "quality_score")
+    return SAMP.domain_cap(
+        scored, domain_col="source", order_col="quality_score", cap=25
+    ).select("doc_id", "source", "quality_score", "domain_rank")

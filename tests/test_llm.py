@@ -343,3 +343,31 @@ def test_pii_scrub_counts_and_redacts(spark):
     )
     assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 0, 0)
     assert rows[2].text_scrubbed == rows[2].text
+
+
+def test_domain_cap_exact_and_deterministic(spark):
+    """Per-domain quota: exactly min(cap, |domain|) rows survive,
+    ranked by score desc with id tie-break; ranks are dense from 1."""
+    from maston_spark.llm.sampling import domain_cap
+
+    rows = [
+        Row(doc_id=i, source=f"d{i % 3}", quality_score=float((i * 7) % 10))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    got = domain_cap(df, cap=5).collect()
+    by_dom: dict = {}
+    for r in got:
+        by_dom.setdefault(r.source, []).append(r)
+    assert set(by_dom) == {"d0", "d1", "d2"}
+    for dom, rs in by_dom.items():
+        assert len(rs) == 5
+        assert sorted(r.domain_rank for r in rs) == [1, 2, 3, 4, 5]
+        # rank order == (score desc, doc_id asc)
+        ordered = sorted(rs, key=lambda r: (-r.quality_score, r.doc_id))
+        assert [r.domain_rank for r in ordered] == [1, 2, 3, 4, 5]
+    # determinism across reruns
+    again = domain_cap(df, cap=5).collect()
+    assert sorted((r.doc_id, r.domain_rank) for r in got) == sorted(
+        (r.doc_id, r.domain_rank) for r in again
+    )
