@@ -28,7 +28,12 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from maston_spark.delta import delta_dedup_fold
 from maston_spark.observability import with_record_logging
 from maston_spark.sinks import foreach_batch_split
-from maston_spark.validated import OK, safe_from_avro_arrow, safe_from_json
+from maston_spark.validated import (
+    OK,
+    safe_from_avro_arrow,
+    safe_from_avro_evolving,
+    safe_from_json,
+)
 
 
 def _parse_validated(source: DataFrame, value_col: str, value_schema, value_format: str) -> DataFrame:
@@ -39,7 +44,11 @@ def _parse_validated(source: DataFrame, value_col: str, value_schema, value_form
     ``value_schema`` is a DDL/StructType for json, a parsed Avro
     schema dict for avro (resolve via
     :func:`maston_spark.registry.resolve_avro_schema` when a Schema
-    Registry holds it)."""
+    Registry holds it). For ``avro-evolving`` — a topic with multiple
+    live schema versions, the Confluent serde's normal operating mode
+    (serdes/VavrSafeSerdesBuilder.java:17-23) — ``value_schema`` is
+    ``(reader_schema, {schema_id: writer_schema})``; records dispatch
+    per the frame's schema id and resolve to the reader shape."""
     if value_format == "json":
         return safe_from_json(
             source.withColumn(value_col, F.col(value_col).cast("string")),
@@ -51,6 +60,14 @@ def _parse_validated(source: DataFrame, value_col: str, value_schema, value_form
             source.withColumn(value_col, F.col(value_col).cast("binary")),
             value_col,
             value_schema,
+        )
+    if value_format == "avro-evolving":
+        reader, writers_by_id = value_schema
+        return safe_from_avro_evolving(
+            source.withColumn(value_col, F.col(value_col).cast("binary")),
+            value_col,
+            reader,
+            writers_by_id,
         )
     raise ValueError(f"unsupported value_format {value_format!r}")
 

@@ -464,3 +464,60 @@ def test_avro_validated_topology_end_to_end(spark, cleanup):
     }
     assert hdr["maston.error.application.id"] == "t-avro-app"
     assert hdr["maston.error.exception.class"] == "AvroDecodeError"
+
+
+def test_avro_evolving_topology_mixed_versions(spark, cleanup):
+    """Topology consuming a topic with TWO live schema versions
+    (value_format='avro-evolving'): v1 frames resolve to the reader
+    shape (defaults filled, int->long promoted), v2 frames decode
+    directly, unknown schema ids land in the error sink — the
+    Confluent serde's normal operating mode
+    (serdes/VavrSafeSerdesBuilder.java:17-23)."""
+    from maston_spark import avro_codec as AC
+
+    v1 = {
+        "name": "Rec", "type": "record",
+        "fields": [
+            {"name": "business_key", "type": "string"},
+            {"name": "seq", "type": "int"},
+        ],
+    }
+    v2 = {
+        "name": "Rec", "type": "record",
+        "fields": [
+            {"name": "business_key", "type": "string"},
+            {"name": "string_value", "type": ["null", "string"], "default": None},
+            {"name": "seq", "type": "long"},
+        ],
+    }
+    rows = [
+        Row(value=AC.confluent_wrap(1, AC.encode_record(v1, {"business_key": "old", "seq": 1}))),
+        Row(value=AC.confluent_wrap(2, AC.encode_record(v2, {"business_key": "new", "string_value": "x", "seq": 2}))),
+        Row(value=AC.confluent_wrap(9, b"\x02")),  # unregistered id
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows))
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    q = simple_validated_topology(
+        stream,
+        (v2, {1: v1, 2: v2}),
+        app_id="t-evo-app",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        value_format="avro-evolving",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(sunk["valid"]) == 2 and len(sunk["error"]) == 1
+    by_key = {r.ok.business_key: r.ok for r in sunk["valid"]}
+    assert by_key["old"].string_value is None and by_key["old"].seq == 1
+    assert by_key["new"].string_value == "x" and by_key["new"].seq == 2
+    err = sunk["error"][0].err
+    assert err.code == "FAILED_TO_DESERIALIZE_RECORD"
+    assert "unknown schema id 9" in err.exception_message
