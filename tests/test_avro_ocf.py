@@ -148,3 +148,21 @@ def test_avro_file_source_resolves_evolved_writer_schemas(spark, tmp_path):
     # current file unaffected
     assert rows[1].score == 0.25
     assert dict(df.dtypes)["id"] == "bigint"
+
+
+def test_ocf_corrupt_metadata_length_fails_cleanly():
+    """A negative metadata key/value length varint must raise a clean
+    AvroDecodeError at the corruption point, not read(-1) the rest of
+    the file and fail somewhere downstream."""
+    import io
+
+    data = bytearray(AC.write_ocf(SCHEMA, _records(3), codec="null"))
+    # header layout: magic(4) + map-count varint, then first key length
+    # varint — overwrite it with -1 (zigzag 0x01)
+    pos = 4
+    buf = io.BytesIO(bytes(data[pos:]))
+    AC.read_long(buf)  # skip the map-count varint
+    klen_pos = pos + buf.tell()
+    data[klen_pos] = 0x01  # zigzag(-1)
+    with pytest.raises(AC.AvroDecodeError, match="truncated OCF header"):
+        AC.read_ocf(bytes(data))
