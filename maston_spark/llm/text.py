@@ -278,3 +278,55 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     whitespace-normalized, lowercased text. Cross-engine stable."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.withColumn(out_col, F.md5(norm))
+
+
+def corpus_frequency_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-shape corpus-frequency scoring: how COMMON each
+    document's bigrams are across the whole corpus. Training-data
+    pipelines use the statistical twin of this (a KenLM perplexity
+    filter) to separate fluent text from gibberish; here the language
+    model is the corpus itself — per-doc mean corpus frequency of its
+    bigrams, in exact integer arithmetic so the score is
+    engine-portable (no log/float summation-order hazards).
+
+    Distributed shape — the real pipeline shape at 100 TB:
+    1. one explode + hash agg builds the corpus bigram table
+       (map-side combined; key cardinality ≈ distinct bigrams);
+    2. per-doc bigram multiset joins the table ON THE BIGRAM — a
+       shuffle join whose both sides are combiner-reduced slim rows,
+       never raw text;
+    3. per-doc agg of integer sums; the only division happens at the
+       end, rounded identically in both engines.
+    """
+    toks = tokens(F.col(text_col))
+    d2 = df.select(id_col, toks.alias("__toks")).filter(F.size("__toks") >= 2)
+    bg = d2.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__toks"), i + 1),
+                    F.element_at(F.col("__toks"), i + 2),
+                ),
+            )
+        ).alias("__bigram"),
+    )
+    # per-(doc, bigram) multiplicities — combiner-reduced before any join
+    doc_bg = bg.groupBy(id_col, "__bigram").agg(F.count(F.lit(1)).alias("__m"))
+    # corpus frequency per bigram, derived from the same reduced table
+    corpus = doc_bg.groupBy("__bigram").agg(F.sum("__m").alias("__cf"))
+    joined = doc_bg.join(corpus, "__bigram")
+    return joined.groupBy(id_col).agg(
+        F.sum("__m").alias("n_bigrams"),
+        F.sum(F.col("__m") * F.col("__cf")).alias("sum_corpus_freq"),
+        F.round(F.sum(F.col("__m") * F.col("__cf")) / F.sum("__m"), 6).alias(
+            "avg_corpus_freq"
+        ),
+        F.sum(F.when(F.col("__cf") == 1, F.col("__m")).otherwise(F.lit(0))).alias(
+            "n_hapax"
+        ),
+    )

@@ -77,7 +77,7 @@ _PRIORITY = [
     "q77_contamination", "q78_top_ngrams", "q79_market_share",
     "q80_promo_revenue", "q81_priority_linestatus", "q82_corr_covar",
     "q83_quantize_embeddings", "q84_sessionize", "q85_funnel",
-    "q86_retention", "q87_avro_evolution", "q88_domain_cap",
+    "q86_retention", "q87_avro_evolution", "q88_domain_cap", "q89_corpus_freq",
 ]
 
 

@@ -981,3 +981,34 @@ def q88_domain_cap(spark, sf_dir):
     return SAMP.domain_cap(
         scored, domain_col="source", order_col="quality_score", cap=25
     ).select("doc_id", "source", "quality_score", "domain_rank")
+
+
+@query(
+    "q89_corpus_freq",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM t WHERE len(toks) >= 2),
+    doc_bg AS (
+      SELECT doc_id, bigram, count(*) AS m FROM bg GROUP BY 1, 2),
+    corpus AS (
+      SELECT bigram, sum(m) AS cf FROM doc_bg GROUP BY 1)
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           CAST(sum(m * cf) AS BIGINT) AS sum_corpus_freq,
+           round(sum(m * cf) / sum(m), 6) AS avg_corpus_freq,
+           CAST(sum(CASE WHEN cf = 1 THEN m ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM doc_bg JOIN corpus USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def q89_corpus_freq(spark, sf_dir):
+    """Corpus-frequency document scoring (the integer-exact analogue
+    of a KenLM perplexity filter): per doc, mean corpus frequency of
+    its bigrams plus its hapax count — rare-ngram documents are the
+    gibberish candidates. See
+    :func:`maston_spark.llm.text.corpus_frequency_score`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.corpus_frequency_score(d)
