@@ -216,3 +216,45 @@ def test_safe_from_avro_registry_mocked(spark):
     assert out["corrupt"]["err"] is not None
     # driver-side resolution only: one latest + one per observed id
     assert calls.count("/subjects/orders-value/versions/latest") == 1
+
+
+def test_evolving_decimal_passthrough(spark):
+    """Decimal logical-type fields ride through the evolution path
+    unchanged (same (p, s) on both sides = plain column copy in
+    resolve_struct), including the vectorized decode."""
+    import decimal
+
+    dec_schema = {
+        "name": "Pay",
+        "type": "record",
+        "fields": [
+            {"name": "key", "type": "string"},
+            {
+                "name": "amount",
+                "type": [
+                    "null",
+                    {"type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2},
+                ],
+                "default": None,
+            },
+        ],
+    }
+    reader = {
+        "name": "Pay",
+        "type": "record",
+        "fields": dec_schema["fields"] + [
+            {"name": "note", "type": ["null", "string"], "default": None}
+        ],
+    }
+    rows = [
+        Row(value=AC.confluent_wrap(5, AC.encode_record(
+            dec_schema, {"key": f"k{i}", "amount": decimal.Decimal(i * 7).scaleb(-2)}
+        )))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "value binary")
+    out = safe_from_avro_evolving(df, "value", reader, {5: dec_schema}).select("ok.*")
+    got = {r.key: r for r in out.collect()}
+    assert got["k3"].amount == decimal.Decimal("0.21")
+    assert got["k3"].note is None
+    assert dict(out.dtypes)["amount"] == "decimal(12,2)"
