@@ -330,3 +330,62 @@ def corpus_frequency_score(
             "n_hapax"
         ),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, public): hash every character k-gram of the normalized
+    text, slide a ``window`` over consecutive k-gram hashes, and keep
+    each window's minimum — the classic local fingerprinting scheme
+    behind MOSS-style near-dup/plagiarism detection, guaranteeing a
+    shared fingerprint for any match of length ≥ window + k - 1.
+
+    One row per (doc, distinct fingerprint). Shape: positions explode
+    to rows, ONE md5 per k-gram (codegen — same OUTPUT as a rolling
+    Rabin-Karp hash, and the 32-bit md5 lane is computable
+    identically in the oracle), then the window minimum is a frame
+    aggregate over the per-doc position order — one hash shuffle on
+    the doc id, O(len) hashes per doc. Deliberately NOT nested
+    ``transform`` lambdas: Catalyst's projection collapse inlines an
+    array-expression reference into the consuming lambda, so an
+    array-of-hashes referenced from a sliding-window transform would
+    recompute every k-gram hash once per window — O(len²) md5 calls
+    per document.
+    """
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    d = df.select(id_col, norm.alias("__norm")).filter(
+        F.length("__norm") >= k + window - 1
+    )
+    pos = d.select(
+        id_col,
+        "__norm",
+        (F.length("__norm") - (k - 1)).alias("__n"),
+        F.explode(F.sequence(F.lit(1), F.length("__norm") - (k - 1))).alias("__pos"),
+    )
+    hashed = pos.select(
+        id_col,
+        "__n",
+        "__pos",
+        F.conv(
+            F.substring(F.md5(F.substring(F.col("__norm"), F.col("__pos"), F.lit(k))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    return (
+        hashed.withColumn("__wm", F.min("__h").over(w))
+        .filter(F.col("__pos") <= F.col("__n") - (window - 1))
+        .select(id_col, F.col("__wm").alias("fingerprint"))
+        .distinct()
+    )

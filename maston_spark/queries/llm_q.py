@@ -1012,3 +1012,32 @@ def q89_corpus_freq(spark, sf_dir):
     :func:`maston_spark.llm.text.corpus_frequency_score`."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.corpus_frequency_score(d)
+
+
+@query(
+    "q90_winnow_fingerprints",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, length(norm) - 8 + 2),
+                   i -> ('0x' || substr(md5(substring(norm, i, 8)), 1, 8))::BIGINT)
+                 AS hs
+          FROM t WHERE length(norm) >= 8),
+    m AS (SELECT doc_id,
+                 list_sort(list_distinct(
+                   list_transform(range(1, len(hs) - 4 + 2),
+                     j -> list_min(list_slice(hs, j, j + 3))))) AS fps
+          FROM g WHERE len(hs) >= 4)
+    SELECT doc_id, unnest(fps) AS fingerprint FROM m
+    """,
+)
+def q90_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (MOSS-style local document
+    fingerprinting): k-gram hash minima over sliding windows — the
+    rolling-hash fingerprint family, guaranteeing shared prints for
+    any sufficiently long match. See
+    :func:`maston_spark.llm.text.winnow_fingerprints`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.winnow_fingerprints(d, k=8, window=4)
