@@ -1041,3 +1041,92 @@ def q90_winnow_fingerprints(spark, sf_dir):
     :func:`maston_spark.llm.text.winnow_fingerprints`."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.winnow_fingerprints(d, k=8, window=4)
+
+
+@query(
+    "q91_dedup_keepers",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xyz xyz xyz' FROM documents WHERE doc_id % 5 = 0),
+    toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+      SELECT id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS sh
+      FROM toks),
+    sh2 AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+    hv AS (
+      SELECT id, list_distinct(
+               list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hv
+      FROM sh2),
+    sig AS (
+      SELECT id,
+             list_transform(range(0, 16),
+               s -> list_min(list_transform(hv,
+                      h -> ((1664525 + 2*s) * h + 1013904223 + s) % 4294967311))) AS sig
+      FROM hv),
+    buckets AS (
+      SELECT id, b,
+             md5(array_to_string(sig[(b*4+1):(b*4+4)], '|')) AS bucket
+      FROM sig CROSS JOIN range(0, 4) r(b)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+    jac AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN hv ha ON ha.id = c.id_a
+      JOIN hv hb ON hb.id = c.id_b
+      WHERE round(len(list_intersect(ha.hv, hb.hv))::DOUBLE
+                  / len(list_distinct(ha.hv || hb.hv)), 6) >= 0.2),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION SELECT id_b, id_a FROM jac),
+    reach AS (
+      SELECT id, id AS r FROM corpus
+      UNION
+      SELECT s.b AS id, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+    clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    ranked AS (
+      SELECT cl.cluster, cl.id, length(c.text) AS n_chars,
+             row_number() OVER (PARTITION BY cl.cluster
+                                ORDER BY length(c.text) DESC, cl.id) AS rn
+      FROM clusters cl JOIN corpus c ON c.id = cl.id)
+    SELECT cluster,
+           CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY cluster
+    """,
+)
+def q91_dedup_keepers(spark, sf_dir):
+    """The LAST step of a dedup pipeline: per duplicate cluster,
+    choose ONE keeper (longest document wins — keep the most complete
+    version — deterministic id tie-break) and count what gets
+    dropped. Composition of the cluster operator
+    (:func:`maston_spark.llm.dedup.connected_components`) with a
+    per-cluster ranking window: one extra shuffle on the cluster id
+    over slim (id, cluster, n_chars) rows."""
+    from pyspark.sql import Window
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    mf = DD.minhash_frame(corpus, shingle_n=3, num_hashes=16).persist()
+    cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
+    edges = DD.jaccard_from_lanes(mf, cands, threshold=0.2)
+    verts = corpus.select(F.col("doc_id").alias("id"))
+    clusters = DD.connected_components(verts, edges)
+    sized = clusters.join(
+        corpus.select(F.col("doc_id").alias("id"), F.length("text").alias("__nc")),
+        "id",
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("__nc").desc(), F.col("id"))
+    ranked = sized.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("cluster").agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("id"))).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
