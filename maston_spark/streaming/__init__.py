@@ -6,6 +6,7 @@ from maston_spark.streaming.ops import (  # noqa: F401
     stream_stream_join,
     tumbling_window_agg,
 )
+from maston_spark.streaming.runner import run_forever  # noqa: F401
 from maston_spark.streaming.topology import (  # noqa: F401
     delta_topology,
     simple_validated_topology,
