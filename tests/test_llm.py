@@ -371,3 +371,24 @@ def test_domain_cap_exact_and_deterministic(spark):
     assert sorted((r.doc_id, r.domain_rank) for r in got) == sorted(
         (r.doc_id, r.domain_rank) for r in again
     )
+
+
+def test_winnowing_guarantee_shared_fingerprint(spark):
+    """Winnowing's core property (Schleimer et al.): two documents
+    sharing a substring of length >= window + k - 1 share at least
+    one fingerprint; unrelated docs (different alphabets) share
+    none."""
+    from maston_spark.llm.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        Row(doc_id=0, text=f"PREFIX A {shared} SUFFIX ONE"),
+        Row(doc_id=1, text=f"other lead-in {shared} different tail"),
+        Row(doc_id=2, text="zzz qqq www eee rrr ttt yyy uuu iii ooo ppp"),
+    ]
+    df = spark.createDataFrame(rows)
+    fps: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in winnow_fingerprints(df, k=8, window=4).collect():
+        fps[r.doc_id].add(r.fingerprint)
+    assert fps[0] & fps[1], "docs sharing a long substring must share a print"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
