@@ -238,3 +238,60 @@ def q87_avro_evolution(spark, sf_dir):
         F.col("ok.region_tag").alias("tag"),
         F.col("err.code").alias("err_code"),
     )
+
+
+ERR_DDL = (
+    "struct<code:string,message:string,target_class:string,"
+    "exception_class:string,exception_message:string,"
+    "stacktrace:string,raw_bytes:binary>"
+)
+
+
+@query(
+    "q92_avro_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS id_rt,
+           CASE WHEN o_orderkey % 5 <> 0 THEN o_orderstatus END AS status_rt,
+           o_orderpriority AS priority_rt,
+           CAST(((o_orderkey * 137) % 1000000) // 100 AS VARCHAR)
+           || '.' ||
+           lpad(CAST(((o_orderkey * 137) % 1000000) % 100 AS VARCHAR), 2, '0')
+             AS amount_str
+    FROM orders
+    """,
+)
+def q92_avro_roundtrip(spark, sf_dir):
+    """PRODUCE-side serde closure: build validated records from
+    orders, serialize with the Confluent-framed Avro safe serializer
+    (parity: serdes/VavrSafeSerializer.java:26-52 over the registry
+    Avro serializer), then decode the produced bytes with the safe
+    deserializer — the oracle is the identity on the source table,
+    so any asymmetry between the encoder and decoder (framing,
+    unions, decimal scaling) fails the hash."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    cents = (F.col("o_orderkey") * 137) % 1_000_000
+    ok = F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_orderstatus")).alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        (cents.cast("decimal(14,0)") / 100).cast("decimal(12,2)").alias("amount"),
+    )
+    validated = orders.select(
+        "o_orderkey", ok.alias("ok"), F.lit(None).cast(ERR_DDL).alias("err")
+    )
+    framed = V.safe_serialize_avro(validated, AVRO_SCHEMA, SCHEMA_ID)
+    decoded = V.safe_from_avro_arrow(
+        framed.select("o_orderkey", F.col("value_out").alias("value")),
+        "value",
+        AVRO_SCHEMA,
+    )
+    return decoded.select(
+        "o_orderkey",
+        F.col("ok.id").alias("id_rt"),
+        F.col("ok.status").alias("status_rt"),
+        F.col("ok.priority").alias("priority_rt"),
+        F.col("ok.amount").cast("string").alias("amount_str"),
+    )

@@ -775,3 +775,74 @@ def safe_serialize_json(df: DataFrame, out_col: str = "value_out") -> DataFrame:
         .otherwise(F.lit(None).cast("binary"))
     )
     return df.withColumn(out_col, out)
+
+
+def safe_serialize_avro(
+    df: DataFrame,
+    avro_schema: dict,
+    schema_id: int,
+    out_col: str = "value_out",
+) -> DataFrame:
+    """Produce-side Avro safe serializer — the Confluent-framed twin
+    of :func:`safe_serialize_json`.
+
+    Parity: serdes/VavrSafeSerializer.java:26-52 wrapping the
+    registry Avro serializer — valid record → magic byte + 4-byte
+    ``schema_id`` + Avro body; invalid with original bytes → bytes
+    verbatim; invalid with only a source record → re-serialized
+    source record; otherwise empty bytes (headers still carry the
+    diagnostics). Never throws: a record the schema cannot encode
+    degrades to empty bytes rather than failing the task.
+
+    ``schema_id`` is what the registry assigned the schema — resolve
+    driver-side via
+    :meth:`maston_spark.registry.SchemaRegistryClient.schema_id_for`
+    (which honors the reference's AUTO_REGISTER_SCHEMAS flag).
+    Runs Arrow-batched per partition (``mapInPandas``); the encoder
+    closures compile once per executor.
+    """
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from maston_spark import avro_codec as AC
+
+    names = [f["name"] for f in avro_schema["fields"]]
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
+    try:
+        err_fields = [f.name for f in df.schema[ERR].dataType.fields]
+    except Exception:
+        err_fields = []
+    has_src = "source_record" in err_fields
+
+    def run(batches):
+        for pdf in batches:
+            values: list = []
+            for ok, err in zip(pdf[OK], pdf[ERR]):
+                if err is None and ok is not None:
+                    rec = dict(ok)
+                elif err is not None:
+                    raw = err.get("raw_bytes")
+                    if raw is not None:
+                        values.append(bytes(raw))
+                        continue
+                    src = err.get("source_record") if has_src else None
+                    if src is None:
+                        values.append(b"")
+                        continue
+                    rec = dict(src)
+                else:
+                    values.append(None)
+                    continue
+                try:
+                    values.append(
+                        AC.confluent_wrap(
+                            schema_id,
+                            AC.encode_record(avro_schema, {n: rec.get(n) for n in names}),
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — never-throw serializer
+                    values.append(b"")
+            out = pdf.copy()
+            out[out_col] = values
+            yield out
+
+    return df.mapInPandas(run, out_schema)

@@ -258,3 +258,45 @@ def test_evolving_decimal_passthrough(spark):
     assert got["k3"].amount == decimal.Decimal("0.21")
     assert got["k3"].note is None
     assert dict(out.dtypes)["amount"] == "decimal(12,2)"
+
+
+def test_safe_serialize_avro_fallback_branches(spark):
+    """Producer-side never-throw contract
+    (serdes/VavrSafeSerializer.java:26-52): valid → framed Avro;
+    err with raw bytes → verbatim; err with only a source record →
+    re-serialized; bare err → empty bytes; all-null → null."""
+    from maston_spark.validated import safe_serialize_avro
+
+    schema = {
+        "name": "Rec",
+        "type": "record",
+        "fields": [
+            {"name": "key", "type": "string"},
+            {"name": "qty", "type": "long"},
+        ],
+    }
+    err_ddl = (
+        "struct<code:string,message:string,target_class:string,"
+        "exception_class:string,exception_message:string,"
+        "stacktrace:string,raw_bytes:binary,"
+        "source_record:struct<key:string,qty:bigint>>"
+    )
+    df = spark.createDataFrame(
+        [
+            ("valid", {"key": "a", "qty": 7}, None),
+            ("raw", None, {"code": "X", "raw_bytes": b"orig-bytes"}),
+            ("src", None, {"code": "X", "source_record": {"key": "s", "qty": 1}}),
+            ("bare", None, {"code": "X"}),
+            ("null", None, None),
+        ],
+        f"k string, ok struct<key:string,qty:bigint>, err {err_ddl}",
+    )
+    out = {r.k: r.value_out for r in safe_serialize_avro(df, schema, 7).collect()}
+    sid, body = AC.confluent_unwrap(bytes(out["valid"]))
+    assert sid == 7
+    assert AC.decode_record(schema, body) == {"key": "a", "qty": 7}
+    assert bytes(out["raw"]) == b"orig-bytes"
+    sid2, body2 = AC.confluent_unwrap(bytes(out["src"]))
+    assert AC.decode_record(schema, body2) == {"key": "s", "qty": 1}
+    assert bytes(out["bare"]) == b""
+    assert out["null"] is None
