@@ -58,13 +58,19 @@ def split_sink_batch(
     write_valid: Callable[[DataFrame], None],
     write_error: Callable[[DataFrame], None],
     app_id: str = "maston-spark",
+    serialize: Callable[[DataFrame], DataFrame] | None = None,
 ) -> dict[str, int]:
     """One micro-batch (or batch job) through the reference topology's
     fan-out: serialize safely, attach provenance headers to errors,
     route. Returns counts for metrics. ``persist`` guarantees the
     upstream compute runs once even though two sinks consume it.
+
+    ``serialize`` picks the value serializer (default JSON; pass
+    ``lambda d: safe_serialize_avro(d, schema, schema_id)`` for the
+    reference's registry-framed Avro produce side).
     """
-    prepared = safe_serialize_json(with_error_headers(df, app_id=app_id)).persist()
+    ser = serialize or safe_serialize_json
+    prepared = ser(with_error_headers(df, app_id=app_id)).persist()
     try:
         valid, invalid = branch_valid(prepared)
         n_ok, n_err = valid.count(), invalid.count()
@@ -80,11 +86,14 @@ def foreach_batch_split(
     write_error: Callable[[DataFrame], None],
     app_id: str = "maston-spark",
     on_metrics: Callable[[int, dict[str, int]], None] | None = None,
+    serialize: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """Build the ``foreachBatch`` function for a validated stream."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        counts = split_sink_batch(batch_df, write_valid, write_error, app_id=app_id)
+        counts = split_sink_batch(
+            batch_df, write_valid, write_error, app_id=app_id, serialize=serialize
+        )
         if on_metrics is not None:
             on_metrics(batch_id, counts)
 

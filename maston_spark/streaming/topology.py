@@ -150,6 +150,7 @@ def simple_validated_topology(
     emit_valid: bool = True,
     value_format: str = "json",
     log_records: bool = False,
+    serialize=None,
 ):
     """Validated consumer: parse → (optional processor over the
     validated frame, e.g. :func:`maston_spark.validated.process_validated`)
@@ -170,6 +171,7 @@ def simple_validated_topology(
         write_error,
         app_id=app_id,
         on_metrics=on_metrics,
+        serialize=serialize,
     )
     if log_records:
         # parity: the enable/disable interceptor toggle of
@@ -195,6 +197,7 @@ def delta_topology(
     state_dir: str | None = "auto",
     value_format: str = "json",
     log_records: bool = False,
+    serialize=None,
 ):
     """Delta consumer: parse → re-key by the recomputed business key
     → per-key emit-iff-updated → split-sink.
@@ -234,7 +237,8 @@ def delta_topology(
         validated = validated.withColumn(alias, F.col(c) if isinstance(c, str) else c)
 
     split = foreach_batch_split(
-        write_valid, write_error, app_id=app_id, on_metrics=on_metrics
+        write_valid, write_error, app_id=app_id, on_metrics=on_metrics,
+        serialize=serialize,
     )
     sdir = f"{checkpoint.rstrip('/')}/delta_state" if state_dir == "auto" else state_dir
     if sdir is not None:

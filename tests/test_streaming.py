@@ -521,3 +521,47 @@ def test_avro_evolving_topology_mixed_versions(spark, cleanup):
     err = sunk["error"][0].err
     assert err.code == "FAILED_TO_DESERIALIZE_RECORD"
     assert "unknown schema id 9" in err.exception_message
+
+
+def test_avro_topology_produces_avro_bytes(spark, cleanup):
+    """Avro in AND Avro out: the topology's produce side uses the
+    Confluent-framed Avro safe serializer (serialize= hook), so the
+    valid sink receives framed Avro bytes that decode back to the
+    processed record — the reference's full registry-serde loop."""
+    from maston_spark import avro_codec as AC
+    from maston_spark.validated import safe_serialize_avro
+
+    avro_schema = {
+        "name": "Rec", "type": "record",
+        "fields": [
+            {"name": "business_key", "type": "string"},
+            {"name": "seq", "type": "long"},
+        ],
+    }
+    good = AC.confluent_wrap(
+        7, AC.encode_record(avro_schema, {"business_key": "key-9", "seq": 3})
+    )
+    stream, src = replay_stream(spark.createDataFrame([Row(value=good)]))
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    q = simple_validated_topology(
+        stream,
+        avro_schema,
+        app_id="t-avro-out",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        value_format="avro",
+        serialize=lambda d: safe_serialize_avro(d, avro_schema, 7),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(sunk["valid"]) == 1 and not sunk["error"]
+    sid, body = AC.confluent_unwrap(bytes(sunk["valid"][0].value_out))
+    assert sid == 7
+    assert AC.decode_record(avro_schema, body) == {"business_key": "key-9", "seq": 3}
