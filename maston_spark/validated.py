@@ -805,20 +805,24 @@ def safe_serialize_avro(
 
     from maston_spark import avro_codec as AC
 
-    names = [f["name"] for f in avro_schema["fields"]]
     out_schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
     try:
         err_fields = [f.name for f in df.schema[ERR].dataType.fields]
     except Exception:
         err_fields = []
     has_src = "source_record" in err_fields
+    # encoder closures compile ONCE (driver side, shipped in the task
+    # closure) — per record only value-appending closures run; the
+    # 5-byte Confluent frame is a precomputed constant prefix
+    encode = AC.compile_record_encoder(avro_schema)
+    frame = AC.confluent_wrap(schema_id, b"")  # 5-byte constant prefix
 
     def run(batches):
         for pdf in batches:
             values: list = []
             for ok, err in zip(pdf[OK], pdf[ERR]):
                 if err is None and ok is not None:
-                    rec = dict(ok)
+                    rec = ok
                 elif err is not None:
                     raw = err.get("raw_bytes")
                     if raw is not None:
@@ -828,17 +832,12 @@ def safe_serialize_avro(
                     if src is None:
                         values.append(b"")
                         continue
-                    rec = dict(src)
+                    rec = src
                 else:
                     values.append(None)
                     continue
                 try:
-                    values.append(
-                        AC.confluent_wrap(
-                            schema_id,
-                            AC.encode_record(avro_schema, {n: rec.get(n) for n in names}),
-                        )
-                    )
+                    values.append(frame + encode(rec))
                 except Exception:  # noqa: BLE001 — never-throw serializer
                     values.append(b"")
             out = pdf.copy()
