@@ -85,12 +85,35 @@ def bench_vectorized(data: list[bytes], reps: int, batch: int = 10_000) -> float
     return best
 
 
+def bench_encode(n: int, reps: int) -> float:
+    """Compiled encoder (the safe-serializer hot loop,
+    serdes/VavrSafeSerializer.java:26-52)."""
+    enc = AC.compile_record_encoder(AVRO_SCHEMA)
+    recs = [
+        {
+            "id": k,
+            "status": None if k % 5 == 0 else "OK",
+            "priority": f"{k % 5}-PRIO",
+            "amount": decimal.Decimal((k * 137) % 1_000_000).scaleb(-2),
+        }
+        for k in range(1, n + 1)
+    ]
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for r in recs:
+            enc(r)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     data = payloads(n)
     reps = 3
     t_rec = bench_per_record(data, reps)
     t_vec = bench_vectorized(data, reps)
+    t_enc = bench_encode(n, reps)
     print(
         json.dumps(
             {
@@ -98,6 +121,7 @@ def main() -> None:
                 "per_record_ns_per_row": round(t_rec / n * 1e9, 1),
                 "vectorized_ns_per_row": round(t_vec / n * 1e9, 1),
                 "speedup": round(t_rec / t_vec, 2),
+                "encode_ns_per_row": round(t_enc / n * 1e9, 1),
             }
         )
     )
