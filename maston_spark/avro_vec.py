@@ -59,10 +59,12 @@ from maston_spark.avro_codec import (
     _is_decimal,
     _type_name,
     compile_record_decoder,
+    compile_record_encoder,
 )
 
 __all__ = [
     "compile_batch_decoder",
+    "compile_batch_encoder",
     "BatchDecodeResult",
     "arrow_type_for",
     "arrow_struct_type",
@@ -615,3 +617,357 @@ def compile_batch_decoder(schema: dict):
         return BatchDecodeResult(ok, errors)
 
     return decode
+
+
+# ------------------------------------------------------------------ encoder
+#
+# The vectorized ENCODE twin: per-record Python becomes per-field
+# numpy passes that compute every row's byte length, then scatter the
+# bytes into one contiguous output buffer (the Arrow binary layout)
+# with fancy-indexed writes. Varints write ≤10 masked passes (one per
+# possible byte); strings/bytes gather straight from the input Arrow
+# buffers; decimals (precision ≤ 18) shift out big-endian bytes from
+# the decimal128 words. Rows the vectorized pass cannot encode
+# (required-field null, >int64 decimal) are bailed to the compiled
+# per-record encoder, mirroring the decoder's fallback contract.
+
+
+class _EncSt:
+    __slots__ = ("bail",)
+
+    def __init__(self, n: int):
+        self.bail = np.zeros(n, dtype=bool)
+
+
+def _varint_lengths(u: np.ndarray) -> np.ndarray:
+    """Byte count of each zigzag-encoded (uint64) varint value."""
+    n = np.ones(len(u), dtype=np.int64)
+    for k in range(1, 10):
+        n += (u >= np.uint64(1 << (7 * k))).astype(np.int64)
+    return n
+
+
+def _write_varints(buf, dest, u, nbytes, act) -> None:
+    """Write varint bytes of ``u`` at ``dest`` for rows in ``act``."""
+    for k in range(10):
+        sel = act & (nbytes > k)
+        if not sel.any():
+            break
+        b = (u[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        more = (nbytes[sel] - 1) > k
+        buf[dest[sel] + k] = (b | (more.astype(np.uint64) << np.uint64(7))).astype(
+            np.uint8
+        )
+
+
+def _zigzag_u64(v: np.ndarray) -> np.ndarray:
+    return ((v.astype(np.int64) << 1) ^ (v.astype(np.int64) >> 63)).astype(np.uint64)
+
+
+def _arr_np_valid(arr: pa.Array):
+    return arr.is_valid().to_numpy(zero_copy_only=False)
+
+
+def _compile_field_encoder(sch: Any):
+    """Compile to ``fn(arr, st, excluded) -> (lengths, write)``.
+
+    ``excluded`` marks rows this field must not touch (record-null or
+    union-null upstream); ``lengths`` is per-row byte count (garbage
+    on excluded rows — the caller zeroes them); ``write(buf, dest,
+    live)`` scatters bytes for rows in ``live`` (callers pass
+    ``~record_null & ~st.bail`` evaluated at write time).
+    """
+    if isinstance(sch, list):
+        if len(sch) != 2 or "null" not in sch:
+            raise ValueError(f"unsupported union {sch!r}")
+        null_idx = sch.index("null")
+        child = _compile_field_encoder(sch[1 - null_idx])
+        null_byte = np.uint8((null_idx << 1))
+        val_byte = np.uint8(((1 - null_idx) << 1))
+
+        def enc_union(arr, st, excluded):
+            isnull = ~_arr_np_valid(arr)
+            clen, cwrite = child(arr, st, excluded | isnull)
+            lengths = 1 + np.where(isnull, 0, clen)
+
+            def write(buf, dest, live):
+                buf[dest[live]] = np.where(isnull[live], null_byte, val_byte)
+                cwrite(buf, dest + 1, live & ~isnull)
+
+            return lengths, write
+
+        return enc_union
+
+    if _is_decimal(sch):
+        p, s = _capped_decimal(sch)
+        if p > 18:
+            raise ValueError("vectorized encoder covers decimal precision <= 18")
+
+        def enc_decimal(arr, st, excluded):
+            n = len(arr)
+            st.bail |= ~excluded & ~_arr_np_valid(arr)  # required null
+            bufs = arr.buffers()
+            if bufs[1] is not None:
+                words = np.frombuffer(bufs[1], dtype=np.int64)[
+                    2 * arr.offset : 2 * (arr.offset + n)
+                ].reshape(-1, 2)
+                v, hi = words[:, 0].copy(), words[:, 1]
+                st.bail |= ~excluded & (hi != (v >> 63))  # beyond int64
+            else:
+                v = np.zeros(n, dtype=np.int64)
+            # byte-parity with the per-record encoder's
+            # max(1, (bit_length + 8) // 8): |v| >= 2^(8k-1) adds a byte
+            # (so -128 encodes as the same sign-extended 2 bytes)
+            av = np.abs(v)
+            nb = np.ones(n, dtype=np.int64)
+            for k in range(1, 8):
+                nb += (av >= (np.int64(1) << np.int64(8 * k - 1))).astype(np.int64)
+            lengths = 1 + nb  # 1-byte varint length prefix + body
+
+            def write(buf, dest, live):
+                buf[dest[live]] = (nb[live] << 1).astype(np.uint8)  # zigzag(len)
+                for j in range(8):
+                    sel = live & (nb > j)
+                    if not sel.any():
+                        break
+                    shift = (nb[sel] - 1 - j) * 8
+                    buf[dest[sel] + 1 + j] = ((v[sel] >> shift) & 0xFF).astype(np.uint8)
+
+            return lengths, write
+
+        return enc_decimal
+
+    t = _type_name(sch)
+    if t in ("int", "long"):
+
+        def enc_intlong(arr, st, excluded):
+            st.bail |= ~excluded & ~_arr_np_valid(arr)
+            v = arr.to_numpy(zero_copy_only=False)
+            v = np.nan_to_num(v).astype(np.int64)
+            u = _zigzag_u64(v)
+            nb = _varint_lengths(u)
+
+            def write(buf, dest, live):
+                _write_varints(buf, dest, u, nb, live)
+
+            return nb, write
+
+        return enc_intlong
+
+    if t == "boolean":
+
+        def enc_bool(arr, st, excluded):
+            st.bail |= ~excluded & ~_arr_np_valid(arr)
+            v = arr.fill_null(False).to_numpy(zero_copy_only=False)
+
+            def write(buf, dest, live):
+                buf[dest[live]] = (v[live] != 0).astype(np.uint8)
+
+            return np.ones(len(arr), dtype=np.int64), write
+
+        return enc_bool
+
+    if t in ("float", "double"):
+        width = 4 if t == "float" else 8
+        dt = np.dtype("<f4") if t == "float" else np.dtype("<f8")
+
+        def enc_fp(arr, st, excluded, _w=width, _dt=dt):
+            st.bail |= ~excluded & ~_arr_np_valid(arr)
+            v = np.nan_to_num(
+                arr.to_numpy(zero_copy_only=False), nan=0.0, posinf=np.inf, neginf=-np.inf
+            ).astype(_dt)
+            # nan_to_num would corrupt real NaNs — restore them
+            raw_valid = _arr_np_valid(arr)
+            orig = arr.to_numpy(zero_copy_only=False)
+            nanmask = raw_valid & np.isnan(orig.astype(np.float64))
+            if nanmask.any():
+                v[nanmask] = np.nan
+            vb = v.view(np.uint8).reshape(-1, _w)
+
+            def write(buf, dest, live):
+                for j in range(_w):
+                    buf[dest[live] + j] = vb[live, j]
+
+            return np.full(len(arr), _w, dtype=np.int64), write
+
+        return enc_fp
+
+    if t in ("bytes", "string"):
+
+        def enc_bytes(arr, st, excluded):
+            n = len(arr)
+            st.bail |= ~excluded & ~_arr_np_valid(arr)
+            bufs = arr.buffers()
+            odt = np.int64 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else np.int32
+            offs = (
+                np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + n + 1].astype(np.int64)
+                if bufs[1] is not None
+                else np.zeros(n + 1, dtype=np.int64)
+            )
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            starts, blen = offs[:-1], offs[1:] - offs[:-1]
+            u = _zigzag_u64(blen)
+            nb = _varint_lengths(u)
+
+            def write(buf, dest, live):
+                _write_varints(buf, dest, u, nb, live)
+                total = int(blen[live].sum())
+                if total:
+                    src = np.repeat(starts[live], blen[live]) + _within(blen[live], total)
+                    dst = np.repeat(dest[live] + nb[live], blen[live]) + _within(
+                        blen[live], total
+                    )
+                    buf[dst] = data[src]
+
+            return nb + blen, write
+
+        return enc_bytes
+
+    raise ValueError(f"unsupported avro type {sch!r}")
+
+
+def _within(lens: np.ndarray, total: int) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] — per-chunk positions for gathers."""
+    pref = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(pref, lens)
+
+
+def patch_binary(arr: pa.Array, patched: dict[int, bytes]) -> pa.Array:
+    """Rebuild a Binary array with ``patched`` rows replaced (rows
+    become valid) — vectorized segment copies between the (few)
+    patch points, the same splice the decoder's fallback uses."""
+    n = len(arr)
+    valid = arr.is_valid().to_numpy(zero_copy_only=False).copy()
+    bufs = arr.buffers()
+    offs = (
+        np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1].astype(
+            np.int64
+        )
+        if bufs[1] is not None
+        else np.zeros(n + 1, dtype=np.int64)
+    )
+    values = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    lens = offs[1:] - offs[:-1]
+    new_lens = lens.copy()
+    for i, b in patched.items():
+        new_lens[i] = len(b)
+        valid[i] = True
+    new_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=new_offs[1:])
+    out = np.empty(int(new_offs[-1]), dtype=np.uint8)
+    for i, b in patched.items():
+        out[new_offs[i] : new_offs[i] + len(b)] = np.frombuffer(b, dtype=np.uint8)
+    prev = 0
+    for i in sorted(patched) + [n]:
+        if i > prev:
+            s0, s1 = offs[prev], offs[i]
+            out[new_offs[prev] : new_offs[prev] + (s1 - s0)] = values[s0:s1]
+        prev = i + 1
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [
+            _validity(valid),
+            pa.py_buffer(np.ascontiguousarray(new_offs.astype(np.int32)).tobytes()),
+            pa.py_buffer(out.tobytes()),
+        ],
+    )
+
+
+def compile_batch_encoder(schema: dict):
+    """Compile ``schema`` into ``fn(struct_array, prefix) -> pa.BinaryArray``.
+
+    ``struct_array`` holds the records (null rows → null output);
+    ``prefix`` (e.g. the 5-byte Confluent frame) is prepended to every
+    encoded value. Rows the vectorized pass cannot encode fall back to
+    the compiled per-record encoder; a record that ALSO fails there
+    (e.g. null for a required field) encodes as EMPTY bytes — the
+    never-throw serializer contract
+    (serdes/VavrSafeSerializer.java:26-52).
+
+    Raises ``ValueError`` at compile time for schema features outside
+    the vectorizable subset, so callers fall back wholesale.
+    """
+    field_comps = [_compile_field_encoder(f["type"]) for f in schema["fields"]]
+    record_encode = compile_record_encoder(schema)
+
+    def encode(struct_array: pa.Array, prefix: bytes = b"") -> pa.BinaryArray:
+        if isinstance(struct_array, pa.ChunkedArray):
+            struct_array = struct_array.combine_chunks()
+        n = len(struct_array)
+        row_null = ~struct_array.is_valid().to_numpy(zero_copy_only=False)
+        st = _EncSt(n)
+        pairs = []
+        for i, comp in enumerate(field_comps):
+            pairs.append(comp(struct_array.field(i), st, row_null | st.bail))
+        L = np.vstack([p[0] for p in pairs]) if pairs else np.zeros((0, n), np.int64)
+        dead = row_null | st.bail
+        L[:, dead] = 0
+        plen = len(prefix)
+        row_total = np.where(dead, 0, L.sum(axis=0) + plen)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(row_total, out=offs[1:])
+        buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+        live = ~dead
+        if plen and live.any():
+            k = int(live.sum())
+            pidx = np.repeat(offs[:-1][live], plen) + np.tile(
+                np.arange(plen, dtype=np.int64), k
+            )
+            buf[pidx] = np.tile(np.frombuffer(prefix, dtype=np.uint8), k)
+        dest = offs[:-1] + plen
+        for (lengths, write), row in zip(pairs, L):
+            write(buf, dest, live)
+            dest = dest + row
+        out_offs = offs
+        values = buf
+        bailed = np.nonzero(st.bail & ~row_null)[0]
+        if len(bailed):
+            # splice per-record encodes (or empty bytes) into the buffer
+            patched: dict[int, bytes] = {}
+            for i in bailed:
+                i = int(i)
+                try:
+                    patched[i] = prefix + record_encode(struct_array[i].as_py())
+                except Exception:  # noqa: BLE001 — never-throw serializer
+                    patched[i] = b""
+            extra = np.zeros(n, dtype=np.int64)
+            for i, b in patched.items():
+                extra[i] = len(b)
+            lens = out_offs[1:] - out_offs[:-1]
+            new_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens + extra, out=new_offs[1:])
+            out = np.empty(int(new_offs[-1]), dtype=np.uint8)
+            for i, b in patched.items():
+                out[new_offs[i] : new_offs[i] + len(b)] = np.frombuffer(b, dtype=np.uint8)
+            prev = 0
+            for i in sorted(patched) + [n]:
+                if i > prev:
+                    s0, s1 = out_offs[prev], out_offs[i]
+                    out[new_offs[prev] : new_offs[prev] + (s1 - s0)] = values[s0:s1]
+                prev = i + 1
+            values, out_offs = out, new_offs
+        if int(out_offs[-1]) >= 2**31:
+            raise AvroDecodeError(
+                "batch encoded payload exceeds 2 GiB; lower "
+                "spark.sql.execution.arrow.maxRecordsPerBatch"
+            )
+        return pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [
+                _validity(~row_null),
+                pa.py_buffer(np.ascontiguousarray(out_offs.astype(np.int32)).tobytes()),
+                pa.py_buffer(values.tobytes()),
+            ],
+        )
+
+    return encode

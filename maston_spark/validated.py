@@ -811,11 +811,62 @@ def safe_serialize_avro(
     except Exception:
         err_fields = []
     has_src = "source_record" in err_fields
-    # encoder closures compile ONCE (driver side, shipped in the task
-    # closure) — per record only value-appending closures run; the
-    # 5-byte Confluent frame is a precomputed constant prefix
+    # encoders compile ONCE (driver side, shipped in the task closure);
+    # the 5-byte Confluent frame is a precomputed constant prefix
     encode = AC.compile_record_encoder(avro_schema)
-    frame = AC.confluent_wrap(schema_id, b"")  # 5-byte constant prefix
+    frame = AC.confluent_wrap(schema_id, b"")
+
+    try:
+        from maston_spark import avro_vec as AV
+
+        batch_encode = AV.compile_batch_encoder(avro_schema)
+    except ValueError:
+        batch_encode = None
+
+    if batch_encode is not None:
+        # VECTORIZED produce path (mapInArrow): the whole ok column
+        # encodes as per-field numpy passes (~2.6× the compiled
+        # per-record loop, see tools/bench_avro.py); only the (rare)
+        # err rows take per-row Python, spliced in with one rebuild.
+        import numpy as np
+        import pyarrow as pa
+
+        from maston_spark.avro_vec import patch_binary
+
+        def run_arrow(batches):
+            for batch in batches:
+                names = list(batch.schema.names)
+                ok = batch.column(names.index(OK))
+                err = batch.column(names.index(ERR))
+                if isinstance(ok, pa.ChunkedArray):
+                    ok = ok.combine_chunks()
+                if isinstance(err, pa.ChunkedArray):
+                    err = err.combine_chunks()
+                encoded = batch_encode(ok, frame)
+                err_rows = np.nonzero(
+                    err.is_valid().to_numpy(zero_copy_only=False)
+                )[0]
+                patched: dict[int, bytes] = {}
+                for i in err_rows:
+                    e = err[int(i)].as_py()
+                    raw = e.get("raw_bytes")
+                    if raw is not None:
+                        patched[int(i)] = bytes(raw)
+                        continue
+                    src = e.get("source_record") if has_src else None
+                    if src is None:
+                        patched[int(i)] = b""
+                        continue
+                    try:
+                        patched[int(i)] = frame + encode(src)
+                    except Exception:  # noqa: BLE001 — never-throw
+                        patched[int(i)] = b""
+                out = patch_binary(encoded, patched) if patched else encoded
+                yield pa.RecordBatch.from_arrays(
+                    list(batch.columns) + [out], names=names + [out_col]
+                )
+
+        return df.mapInArrow(run_arrow, out_schema)
 
     def run(batches):
         for pdf in batches:

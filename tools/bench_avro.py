@@ -107,6 +107,30 @@ def bench_encode(n: int, reps: int) -> float:
     return best
 
 
+def bench_encode_vectorized(n: int, reps: int, batch: int = 10_000) -> float:
+    recs = [
+        {
+            "id": k,
+            "status": None if k % 5 == 0 else "OK",
+            "priority": f"{k % 5}-PRIO",
+            "amount": decimal.Decimal((k * 137) % 1_000_000).scaleb(-2),
+        }
+        for k in range(1, n + 1)
+    ]
+    typ = AV.arrow_struct_type(AVRO_SCHEMA)
+    arrs = [
+        pa.array(recs[i : i + batch], type=typ) for i in range(0, len(recs), batch)
+    ]
+    enc = AV.compile_batch_encoder(AVRO_SCHEMA)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for a in arrs:
+            enc(a, b"\x00\x00\x00\x00\x2a")
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     data = payloads(n)
@@ -114,6 +138,7 @@ def main() -> None:
     t_rec = bench_per_record(data, reps)
     t_vec = bench_vectorized(data, reps)
     t_enc = bench_encode(n, reps)
+    t_enc_vec = bench_encode_vectorized(n, reps)
     print(
         json.dumps(
             {
@@ -122,6 +147,8 @@ def main() -> None:
                 "vectorized_ns_per_row": round(t_vec / n * 1e9, 1),
                 "speedup": round(t_rec / t_vec, 2),
                 "encode_ns_per_row": round(t_enc / n * 1e9, 1),
+                "encode_vectorized_ns_per_row": round(t_enc_vec / n * 1e9, 1),
+                "encode_speedup": round(t_enc / t_enc_vec, 2),
             }
         )
     )
