@@ -389,3 +389,39 @@ def winnow_fingerprints(
         .select(id_col, F.col("__wm").alias("fingerprint"))
         .distinct()
     )
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    max_doc_freq: int = 64,
+    min_shared: int = 20,
+) -> DataFrame:
+    """MOSS-style near-duplicate candidates: document pairs sharing at
+    least ``min_shared`` winnowing fingerprints.
+
+    The join key is the fingerprint — never all-pairs — and
+    fingerprints appearing in more than ``max_doc_freq`` documents
+    are dropped first (boilerplate "stop-prints", the standard MOSS
+    practice), which BOUNDS the self-join fan-out per key at
+    ``max_doc_freq``² regardless of corpus size; the pair count agg
+    is map-side combinable on the (id_a, id_b) key.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    freq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
+    rare = fps.join(
+        freq.filter(F.col("__df") <= max_doc_freq).select("fingerprint"),
+        "fingerprint",
+    )
+    a = rare.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = rare.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1130,3 +1130,46 @@ def q91_dedup_keepers(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+@query(
+    "q93_winnow_neardup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xyz xyz xyz' FROM documents WHERE doc_id % 5 = 0),
+    t AS (SELECT doc_id,
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+          FROM corpus),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, length(norm) - 8 + 2),
+                   i -> ('0x' || substr(md5(substring(norm, i, 8)), 1, 8))::BIGINT)
+                 AS hs
+          FROM t WHERE length(norm) >= 8),
+    m AS (SELECT doc_id,
+                 list_distinct(
+                   list_transform(range(1, len(hs) - 4 + 2),
+                     j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+          FROM g WHERE len(hs) >= 4),
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM m),
+    freq AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= 64),
+    rare AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN freq USING (fingerprint))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM rare a JOIN rare b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 20
+    """,
+)
+def q93_winnow_neardup(spark, sf_dir):
+    """MOSS-style near-dup candidates: pairs sharing >= 20 winnowing
+    fingerprints, with boilerplate stop-prints (doc frequency > 64)
+    dropped first so the fingerprint self-join fan-out stays bounded.
+    The sixth near-dup family (local-fingerprint based), completing
+    exact/minhash/simhash/chargram/embedding. See
+    :func:`maston_spark.llm.text.winnow_neardup_pairs`."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return TXT.winnow_neardup_pairs(
+        corpus, k=8, window=4, max_doc_freq=64, min_shared=20
+    )
