@@ -773,15 +773,10 @@ def _compile_field_encoder(sch: Any):
 
         def enc_fp(arr, st, excluded, _w=width, _dt=dt):
             st.bail |= ~excluded & ~_arr_np_valid(arr)
-            v = np.nan_to_num(
-                arr.to_numpy(zero_copy_only=False), nan=0.0, posinf=np.inf, neginf=-np.inf
-            ).astype(_dt)
-            # nan_to_num would corrupt real NaNs — restore them
-            raw_valid = _arr_np_valid(arr)
-            orig = arr.to_numpy(zero_copy_only=False)
-            nanmask = raw_valid & np.isnan(orig.astype(np.float64))
-            if nanmask.any():
-                v[nanmask] = np.nan
+            # null positions surface as NaN here, but null rows are never
+            # written (excluded by the union wrapper or bailed above), so
+            # genuine NaN values pass through untouched
+            v = arr.to_numpy(zero_copy_only=False).astype(_dt)
             vb = v.view(np.uint8).reshape(-1, _w)
 
             def write(buf, dest, live):
