@@ -30,6 +30,7 @@ from maston_spark.observability import with_record_logging
 from maston_spark.sinks import foreach_batch_split
 from maston_spark.validated import (
     OK,
+    distinct_schema_ids,
     safe_from_avro_arrow,
     safe_from_avro_evolving,
     safe_from_json,
@@ -178,6 +179,69 @@ def simple_validated_topology(
         # KafkaPropertiesBuilder.java:77-82
         fn = with_record_logging(fn)
     return _start_foreach_batch(validated, fn, checkpoint, trigger)
+
+
+def dynamic_avro_topology(
+    source: DataFrame,
+    client,
+    subject: str,
+    *,
+    app_id: str,
+    checkpoint: str,
+    write_valid: Callable[[DataFrame], None],
+    write_error: Callable[[DataFrame], None],
+    value_col: str = "value",
+    processor: Callable[[DataFrame], DataFrame] | None = None,
+    trigger: dict | None = None,
+    on_metrics: Callable[[int, dict[str, int]], None] | None = None,
+    reader_schema: dict | None = None,
+    log_records: bool = False,
+    serialize=None,
+):
+    """Validated Avro consumer that resolves NEW writer schema ids at
+    RUNTIME — no restart when a producer rolls out a schema version.
+
+    Parity: the Confluent deserializer the reference wires in
+    (serdes/VavrSafeSerdesBuilder.java:17-23) fetches unknown schema
+    ids from the registry lazily as records arrive. The static
+    topologies bake a fixed id set at start; here the serde moves
+    INSIDE ``foreachBatch``: each micro-batch's distinct ids (one
+    tiny JVM-side aggregate) resolve through the cached
+    :class:`~maston_spark.registry.SchemaRegistryClient` driver-side,
+    then the batch decodes with :func:`safe_from_avro_evolving`.
+    Already-seen ids cost nothing (client cache); ids the registry
+    doesn't know yet land in ``err`` THIS batch and retry resolution
+    next batch — at-least-once semantics preserved either way.
+
+    Scale: the per-batch driver work is O(distinct new ids), not
+    O(records); executors still never talk to the registry.
+    """
+    reader = reader_schema or client.get_latest(subject).schema
+    writers: dict[int, dict] = {}
+    split = foreach_batch_split(
+        write_valid, write_error, app_id=app_id, on_metrics=on_metrics,
+        serialize=serialize,
+    )
+    if log_records:
+        split = with_record_logging(split)
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        raw = batch_df.withColumn(value_col, F.col(value_col).cast("binary")).persist()
+        try:
+            for sid in distinct_schema_ids(raw, value_col):
+                if sid not in writers:
+                    try:
+                        writers[sid] = client.get_by_id(sid).schema
+                    except Exception:  # noqa: BLE001 — unknown id → err rows
+                        pass
+            validated = safe_from_avro_evolving(raw, value_col, reader, writers)
+            if processor is not None:
+                validated = processor(validated)
+            split(validated, batch_id)
+        finally:
+            raw.unpersist()
+
+    return _start_foreach_batch(source, fn, checkpoint, trigger)
 
 
 def delta_topology(

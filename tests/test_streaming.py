@@ -565,3 +565,73 @@ def test_avro_topology_produces_avro_bytes(spark, cleanup):
     sid, body = AC.confluent_unwrap(bytes(sunk["valid"][0].value_out))
     assert sid == 7
     assert AC.decode_record(avro_schema, body) == {"business_key": "key-9", "seq": 3}
+
+
+def test_dynamic_avro_topology_resolves_new_schema_at_runtime(spark, cleanup):
+    """A schema version that appears MID-STREAM decodes without a
+    restart: batch 0 carries only v1 frames; batch 1 introduces v2
+    (resolved through the registry client at runtime) plus an id the
+    registry doesn't know (err row). Parity: the Confluent
+    deserializer's lazy fetch-by-id."""
+    import json as _json
+
+    from maston_spark import avro_codec as AC
+    from maston_spark.registry import SchemaRegistryClient
+    from maston_spark.streaming.topology import dynamic_avro_topology
+
+    v1 = {"name": "Rec", "type": "record", "fields": [
+        {"name": "business_key", "type": "string"},
+        {"name": "seq", "type": "long"},
+    ]}
+    v2 = {"name": "Rec", "type": "record", "fields": [
+        {"name": "business_key", "type": "string"},
+        {"name": "note", "type": ["null", "string"], "default": None},
+        {"name": "seq", "type": "long"},
+    ]}
+    payloads = {
+        "/subjects/orders-value/versions/latest": {
+            "subject": "orders-value", "id": 2, "version": 2,
+            "schema": _json.dumps(v2),
+        },
+        "/schemas/ids/1": {"schema": _json.dumps(v1)},
+        "/schemas/ids/2": {"schema": _json.dumps(v2)},
+    }
+
+    def opener(url, headers, timeout):
+        path = url.split("http://reg:8081", 1)[1]
+        if path in payloads:
+            return 200, _json.dumps(payloads[path]).encode()
+        return 404, b'{"error_code": 40401}'
+
+    client = SchemaRegistryClient("http://reg:8081", opener=opener)
+    rows = [
+        Row(__replay_batch=0, value=AC.confluent_wrap(
+            1, AC.encode_record(v1, {"business_key": "old", "seq": 1}))),
+        Row(__replay_batch=1, value=AC.confluent_wrap(
+            2, AC.encode_record(v2, {"business_key": "new", "note": "n", "seq": 2}))),
+        Row(__replay_batch=1, value=AC.confluent_wrap(9, b"\x02")),
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=2)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    q = dynamic_avro_topology(
+        stream,
+        client,
+        "orders-value",
+        app_id="t-dyn",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(sunk["valid"]) == 2 and len(sunk["error"]) == 1
+    by_key = {r.ok.business_key: r.ok for r in sunk["valid"]}
+    assert by_key["old"].note is None and by_key["old"].seq == 1
+    assert by_key["new"].note == "n" and by_key["new"].seq == 2
+    assert "unknown schema id 9" in sunk["error"][0].err.exception_message
