@@ -9,5 +9,6 @@ from maston_spark.streaming.ops import (  # noqa: F401
 from maston_spark.streaming.runner import run_forever  # noqa: F401
 from maston_spark.streaming.topology import (  # noqa: F401
     delta_topology,
+    dynamic_avro_topology,
     simple_validated_topology,
 )
