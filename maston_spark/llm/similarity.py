@@ -582,3 +582,110 @@ def quantize_embeddings(
         .withColumn(out_col, F.when(scale.isNotNull(), q))
         .withColumn("q_max_abs_err", F.when(scale.isNotNull(), err))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    centroid_id_base: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): cluster embeddings with a coarse quantizer, then WITHIN
+    each cell drop every vector that has a near-identical neighbor
+    (cosine ≥ ``threshold``) with a smaller id — the deterministic
+    keep-one rule, so results are reproducible and oracle-checkable.
+    Comparisons never cross cells: candidate work is Σ cell², the
+    same bounded-bucket shape as :func:`embedding_neardup`, with the
+    cells doubling as the table's partition key at 100 TB.
+
+    Centroids are the deterministic seed vectors (ids
+    ``centroid_id_base..+K``) shared with :func:`ivf_topk`;
+    production swaps in offline k-means — identical plumbing.
+
+    Output: one row per vector — its cell, whether it is KEPT, and
+    the id of the smaller-id near-duplicate that evicted it (null for
+    keepers).
+    """
+    import numpy as np
+    import pandas as pd
+
+    c_rows = (
+        corpus.filter(
+            (F.col(id_col) >= centroid_id_base)
+            & (F.col(id_col) < centroid_id_base + n_centroids)
+        )
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    C = np.empty((n_centroids, len(c_rows[0].cv)), dtype=np.float64)
+    for r in c_rows:
+        C[r.cid - centroid_id_base] = r.cv
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["__vec"]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            yield pdf.assign(cell=np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
+
+    cells = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(assign, "__id long, __vec array<double>, cell int")
+
+    def dedup_cell(batches):
+        # cells arrive hash-partitioned and sorted; many cells per
+        # Arrow batch with a boundary carry (the per-group
+        # applyInPandas overhead lesson from embedding_neardup)
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last_cell = pdf["cell"].iloc[-1]
+            tail = pdf["cell"] == last_cell
+            carry = pdf[tail]
+            body = pdf[~tail]
+            outs = [
+                _dedup_one_cell(g, threshold)
+                for _, g in body.groupby("cell", sort=False)
+            ]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if carry is not None and len(carry):
+            yield _dedup_one_cell(carry, threshold)
+
+    def _dedup_one_cell(g: "pd.DataFrame", t: float) -> "pd.DataFrame":
+        ids = g["__id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids_s = ids[order]
+        M = np.array(list(g["__vec"]), dtype=np.float64)[order]
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        # evicted iff ANY smaller-id vector is within threshold;
+        # evicted_by = the smallest such id (order-free rule — exactly
+        # mirrorable in set-based SQL, unlike a greedy keeper sweep)
+        tri = np.tril(S >= t, k=-1)
+        has = tri.any(axis=1)
+        first = tri.argmax(axis=1)
+        evicted_by = np.where(has, ids_s[first], -1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids_s,
+                "cell": g["cell"].iloc[0],
+                "kept": evicted_by < 0,
+                "evicted_by": np.where(evicted_by < 0, None, evicted_by),
+            }
+        )
+
+    return (
+        cells.repartition("cell")
+        .sortWithinPartitions("cell")
+        .mapInPandas(dedup_cell, "vec_id long, cell int, kept boolean, evicted_by long")
+    )

@@ -79,7 +79,7 @@ _PRIORITY = [
     "q83_quantize_embeddings", "q84_sessionize", "q85_funnel",
     "q86_retention", "q87_avro_evolution", "q88_domain_cap", "q89_corpus_freq",
     "q90_winnow_fingerprints", "q91_dedup_keepers", "q92_avro_roundtrip",
-    "q93_winnow_neardup",
+    "q93_winnow_neardup", "q94_semantic_dedup",
 ]
 
 

@@ -1173,3 +1173,53 @@ def q93_winnow_neardup(spark, sf_dir):
     return TXT.winnow_neardup_pairs(
         corpus, k=8, window=4, max_doc_freq=64, min_shared=20
     )
+
+
+@query(
+    "q94_semantic_dedup",
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(range(1, 65), i -> v[i] + 0.1 * v[(i % 64) + 1])
+      FROM base WHERE vec_id % 10 = 0),
+    cent AS (SELECT CAST(vec_id - 100 AS INT) AS cid, v AS cv
+             FROM base WHERE vec_id >= 100 AND vec_id < 108),
+    asgn AS (
+      SELECT c.vec_id, c.v, cent.cid,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.cid) AS rn
+      FROM c CROSS JOIN cent),
+    cells AS (SELECT vec_id, v, cid AS cell FROM asgn WHERE rn = 1),
+    ev AS (
+      SELECT a.vec_id, min(b.vec_id) AS evicted_by
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+       AND list_cosine_similarity(a.v, b.v) >= 0.9
+      GROUP BY 1)
+    SELECT c2.vec_id, c2.cell,
+           (e.evicted_by IS NULL) AS kept,
+           e.evicted_by
+    FROM cells c2 LEFT JOIN ev e ON e.vec_id = c2.vec_id
+    """,
+)
+def q94_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: coarse-quantize
+    embeddings into cells, drop every vector with a smaller-id
+    near-identical neighbor (cosine >= 0.9) in its cell. The corpus
+    self-exercises with deterministic perturbed twins (cos ~0.95) so
+    eviction actually fires and recall is graded. See
+    :func:`maston_spark.llm.similarity.semantic_dedup`."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 0.1 * embedding[(i + 1) % 64])"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    return SIM.semantic_dedup(corpus, threshold=0.9)
