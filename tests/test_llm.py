@@ -392,3 +392,30 @@ def test_winnowing_guarantee_shared_fingerprint(spark):
         fps[r.doc_id].add(r.fingerprint)
     assert fps[0] & fps[1], "docs sharing a long substring must share a print"
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_semantic_dedup_evicts_twin_keeps_original(spark):
+    """SemDeDup rule: a near-identical pair in the same cell keeps
+    the smaller id; vectors with no close neighbor survive."""
+    import numpy as np
+
+    from maston_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=8)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # centroids at ids 100..107 (already in range above); add a twin
+    twin_src = rows[5].embedding
+    rows.append(Row(vec_id=500, embedding=[x * 1.0001 for x in twin_src]))
+    df = spark.createDataFrame(rows)
+    got = {r.vec_id: r for r in semantic_dedup(
+        df, threshold=0.99, n_centroids=8, centroid_id_base=100
+    ).collect()}
+    assert len(got) == 121
+    assert got[5].kept is True
+    assert got[500].kept is False and got[500].evicted_by == 5
+    # same cell by construction (identical direction)
+    assert got[500].cell == got[5].cell
+    assert sum(1 for r in got.values() if not r.kept) >= 1
