@@ -506,8 +506,11 @@ def resolve_struct(ok: pa.StructArray, spec: list, reader: dict) -> pa.StructArr
             arr = ok.field(entry[1])
             if arr.type != typ:
                 # Avro-spec promotions (int→long/float/double, …,
-                # string↔bytes). Writer strings are already UTF-8
-                # validated, so binary→string casts cannot fail.
+                # string↔bytes). string→bytes cannot fail; bytes→string
+                # validates UTF-8 and raises ArrowInvalid on non-UTF8
+                # writer bytes — callers (validated.py dec_fast) catch
+                # that and re-route the group per record so only the
+                # offending rows become err rows.
                 arr = arr.cast(typ)
             arrays.append(arr)
     mask = pc.invert(ok.is_valid())
@@ -742,8 +745,12 @@ def _compile_field_encoder(sch: Any):
 
         def enc_intlong(arr, st, excluded):
             st.bail |= ~excluded & ~_arr_np_valid(arr)
-            v = arr.to_numpy(zero_copy_only=False)
-            v = np.nan_to_num(v).astype(np.int64)
+            # fill_null keeps the numpy dtype integral: a bare to_numpy on a
+            # nullable int64 column with any null converts the WHOLE column to
+            # float64, silently rounding valid values above 2^53 (epoch-nanos,
+            # snowflake ids) before varint encoding. Null rows themselves are
+            # excluded/bailed, so the 0 filler is never written.
+            v = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
             u = _zigzag_u64(v)
             nb = _varint_lengths(u)
 

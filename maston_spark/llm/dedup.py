@@ -419,6 +419,12 @@ def connected_components(
         .unionByName(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
+        # self-loops carry no connectivity (min label over {self} is a
+        # no-op) and would strand their vertex between the paths: it
+        # lands in `endpoints` (so not isolated) yet the fast path's
+        # a < b filter never unions it — drop them so a self-loop-only
+        # vertex is classified isolated (own cluster) on both paths
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=False)
     )

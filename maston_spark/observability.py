@@ -43,9 +43,10 @@ def log_consumed_records(
     (properties/KafkaPropertiesBuilder.java:77-82). Spark deviation,
     by design: per-record logging on 1000 executors over 100 TB is
     an outage, not observability — so the toggle logs a BOUNDED
-    sample (``limit`` records) per micro-batch on the driver, plus
-    the batch row count, and short-circuits entirely unless the
-    logger is at DEBUG.
+    sample (``limit`` records) per micro-batch on the driver — with
+    the exact batch row count when it fits the sample, else a
+    "truncated" marker (a full count would add a job per batch) —
+    and short-circuits entirely unless the logger is at DEBUG.
     """
     if not logger.isEnabledFor(logging.DEBUG):
         return
@@ -53,7 +54,16 @@ def log_consumed_records(
     if not cols:
         logger.debug("onConsume batch=%s (no topic/partition/key columns)", batch_id)
         return
-    sample = df.select(*cols).limit(limit).collect()
+    # over-fetch by one: len <= limit means the sample IS the batch,
+    # so the logged count is exact without a count() job
+    sample = df.select(*cols).limit(limit + 1).collect()
+    if len(sample) > limit:
+        logger.debug(
+            "onConsume batch=%s rows>%d (sample truncated)", batch_id, limit
+        )
+        sample = sample[:limit]
+    else:
+        logger.debug("onConsume batch=%s rows=%d", batch_id, len(sample))
     for r in sample:
         logger.debug(
             "onConsume batch=%s %s",

@@ -95,11 +95,19 @@ def run_forever(
         # parity: busy-wait to RUNNING (:31-33) — each query must come
         # up active (or already have failed fast at startup)
         for q in qs:
-            while not q.isActive:
+            if not q.isActive:
                 exc = q.exception()
                 if exc is not None:
                     return _fail(exc)
-                time.sleep(poll_interval)
+                # started handles are active or terminated — inactive with
+                # no exception means it already finished cleanly (e.g. an
+                # availableNow trigger that drained before we got here);
+                # waiting for isActive would spin forever
+                logger.info(
+                    "streaming query already finished: name=%s id=%s runId=%s",
+                    q.name, q.id, q.runId,
+                )
+                continue
             logger.info(
                 "streaming query running: name=%s id=%s runId=%s",
                 q.name, q.id, q.runId,

@@ -298,9 +298,8 @@ def safe_from_avro_evolving(
 
     def _make_group_decoder(writer: dict):
         spec = AC.resolution_spec(writer, reader_schema)
-        try:
-            batch_decode = AV.compile_batch_decoder(writer)
-        except ValueError:
+
+        def _make_slow():
             rec_decode = AC.compile_resolving_record_decoder(writer, reader_schema)
 
             def dec_slow(sub: pa.Array):
@@ -317,9 +316,25 @@ def safe_from_avro_evolving(
 
             return dec_slow
 
+        try:
+            batch_decode = AV.compile_batch_decoder(writer)
+        except ValueError:
+            return _make_slow()
+
+        slow_holder: list = []
+
         def dec_fast(sub: pa.Array):
             res = batch_decode(sub, True)
-            return AV.resolve_struct(res.ok, spec, reader_schema), res.errors
+            try:
+                return AV.resolve_struct(res.ok, spec, reader_schema), res.errors
+            except pa.ArrowInvalid:
+                # A bytes→string promotion cast validates UTF-8 whole-column
+                # and raises on any non-UTF8 writer bytes. Never-throw
+                # contract: re-decode the group per record so only the bad
+                # rows become err rows instead of the cast killing the task.
+                if not slow_holder:
+                    slow_holder.append(_make_slow())
+                return slow_holder[0](sub)
 
         return dec_fast
 

@@ -300,3 +300,44 @@ def test_safe_serialize_avro_fallback_branches(spark):
     assert AC.decode_record(schema, body2) == {"key": "s", "qty": 1}
     assert bytes(out["bare"]) == b""
     assert out["null"] is None
+
+
+def test_evolving_bytes_to_string_non_utf8_becomes_err_row(spark):
+    """bytes→string promotion with NON-UTF8 writer bytes: the
+    vectorized path's whole-column cast validates UTF-8 and raises
+    ArrowInvalid — never-throw contract requires the bad ROW to
+    become an err row, not the cast to kill the task
+    (serdes/VavrSafeDeserializer.java:29-39). Good rows in the same
+    batch still decode."""
+    writer = {
+        "name": "Blob",
+        "type": "record",
+        "fields": [
+            {"name": "key", "type": "string"},
+            {"name": "data", "type": "bytes"},
+        ],
+    }
+    reader = {
+        "name": "Blob",
+        "type": "record",
+        "fields": [
+            {"name": "key", "type": "string"},
+            {"name": "data", "type": "string"},  # bytes→string promotion
+        ],
+    }
+    rows = [
+        Row(k="good", value=AC.confluent_wrap(
+            9, AC.encode_record(writer, {"key": "a", "data": b"plain ascii"}))),
+        Row(k="bad", value=AC.confluent_wrap(
+            9, AC.encode_record(writer, {"key": "b", "data": b"\xff\xfe\x80"}))),
+        Row(k="utf8", value=AC.confluent_wrap(
+            9, AC.encode_record(writer, {"key": "c", "data": "é中".encode()}))),
+    ]
+    df = spark.createDataFrame(rows, "k string, value binary")
+    out = {r["k"]: r for r in
+           safe_from_avro_evolving(df, "value", reader, {9: writer}).collect()}
+    assert out["good"]["ok"]["data"] == "plain ascii"
+    assert out["utf8"]["ok"]["data"] == "é中"
+    assert out["bad"]["ok"] is None
+    assert out["bad"]["err"] is not None
+    assert out["bad"]["err"]["raw_bytes"] == bytes(rows[1].value)

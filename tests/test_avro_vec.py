@@ -316,3 +316,37 @@ def test_batch_encoder_byte_parity_with_per_record():
     o2 = AV.compile_batch_encoder(schema)(arr2, b"")
     assert o2[1].as_py() is None
     assert o2[0].as_py() == per_rec(recs[0]) and o2[2].as_py() == per_rec(recs[1])
+
+
+def test_enc_intlong_nullable_large_values_survive_null_in_batch():
+    """A null anywhere in a nullable int/long column must not change
+    how the VALID rows encode: pyarrow's bare to_numpy converts the
+    whole column to float64 when nulls are present, silently rounding
+    values above 2^53 (epoch-nanos, snowflake ids) before varint
+    encoding. The encoder fills nulls first so the dtype stays
+    integral (the filler is never written — null rows are handled by
+    the union wrapper)."""
+    import pyarrow as pa
+
+    from maston_spark import avro_codec as AC
+    from maston_spark import avro_vec as AV
+
+    schema = {
+        "name": "R", "type": "record",
+        "fields": [
+            {"name": "ts", "type": ["null", "long"], "default": None},
+            {"name": "n", "type": ["null", "int"], "default": None},
+        ],
+    }
+    recs = [
+        {"ts": 2**60 + 1, "n": 7},
+        {"ts": None, "n": None},          # the poison row
+        {"ts": -(2**60 + 3), "n": -(2**31)},
+        {"ts": 2**53 + 1, "n": 2**31 - 1},
+        {"ts": 2**62 + 12345, "n": 0},
+    ]
+    per_rec = AC.compile_record_encoder(schema)
+    expected = [per_rec(r) for r in recs]
+    arr = pa.array(recs, type=AV.arrow_struct_type(schema))
+    out = AV.compile_batch_encoder(schema)(arr, b"")
+    assert [out[i].as_py() for i in range(len(recs))] == expected

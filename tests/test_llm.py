@@ -148,6 +148,27 @@ def test_connected_components_known_graph(spark):
     assert got_dist == expected
 
 
+def test_connected_components_self_loop_only_vertex(spark):
+    """A vertex whose ONLY edge is a self-loop carries no
+    connectivity: it must come back as its own singleton cluster on
+    BOTH paths (the fast path's a<b filter used to drop it from the
+    output entirely — it sat in endpoints but never entered seen)."""
+    from maston_spark.llm.dedup import connected_components
+
+    verts = spark.createDataFrame([Row(id=i) for i in range(4)])
+    edges = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=2, id_b=2)]  # 2 is self-loop-only
+    )
+    expected = {0: 0, 1: 0, 2: 2, 3: 3}
+    got_fast = {r.id: r.cluster for r in connected_components(verts, edges).collect()}
+    assert got_fast == expected
+    got_dist = {
+        r.id: r.cluster
+        for r in connected_components(verts, edges, small_graph_max_edges=0).collect()
+    }
+    assert got_dist == expected
+
+
 def test_connected_components_batched_probe(spark, monkeypatch):
     """The convergence probe must fire every probe_every rounds, not
     every round — driver count() barriers are the scale cost of deep

@@ -152,3 +152,24 @@ def test_record_logging_toggle_off_by_default(spark, cleanup, caplog):
         finally:
             q.stop()
     assert not [r for r in caplog.records if r.name == "maston_spark.records"]
+
+
+def test_run_forever_query_already_finished_before_call(spark, cleanup):
+    """A query that terminated CLEANLY before run_forever is called
+    (isActive False, exception None — e.g. an availableNow trigger
+    that drained) must be treated as already-stopped, not busy-waited
+    forever in the startup loop."""
+    import time as _time
+
+    q = _start_query(
+        spark, cleanup, lambda df, bid: None, trigger={"availableNow": True}
+    )
+    q.awaitTermination(30)
+    assert not q.isActive and q.exception() is None
+    t0 = _time.monotonic()
+    rc = run_forever(
+        q, on_exit=lambda code: None, poll_interval=0.05,
+        install_signal_handlers=False,
+    )
+    assert rc == 0
+    assert _time.monotonic() - t0 < 10  # returned, did not spin
