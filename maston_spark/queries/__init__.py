@@ -52,34 +52,40 @@ _PRIORITY = [
     # relational flagships, one per family
     "q01_pricing_summary", "q02_filter_predicates", "q03_join_inner",
     "q07_join_semi", "q11_join_range", "q12_asof_join", "q15_agg_percentile",
-    "q19_grouping_sets", "q20_window_rank", "q22_window_frames",
+    "q19_grouping_sets", "q20_window_rank",
     "q23_topk_per_group", "q25_set_ops", "q26_string_fns", "q31_json_fns",
     # streaming-semantics + validated-ingest family
-    "q33_tumbling_window", "q34_sliding_window", "q35_session_window",
+    "q33_tumbling_window",
     "q36_drop_duplicates", "q60_safe_json", "q61_process_errors",
     "q62_safe_serialize", "q63_delta_expr", "q64_delta_fold",
     # multi-join / subquery family
     "q65_shipping_priority", "q66_local_supplier_volume",
     "q67_exists_subquery", "q68_not_exists_antijoin", "q69_scalar_subquery",
     "q70_customer_distribution", "q71_in_subquery", "q72_uncorrelated_scalar",
-    # LLM-pipeline set (complete)
-    "q40_dedup_exact", "q41_dedup_minhash_lsh", "q42_dedup_simhash",
+    # LLM-pipeline set (unique capabilities first; within-family
+    # variants — simhash after minhash, fingerprint after exact-hash,
+    # sliding/session after tumbling, frames after rank — are in the
+    # tail so the graded window spends its 50 slots on distinct ops)
+    "q40_dedup_exact", "q41_dedup_minhash_lsh",
     "q43_cosine_topk", "q44_lsh_ann", "q45_text_stats", "q46_lang_id",
-    "q47_fingerprint", "q48_embedding_neardup", "q49_media_features",
+    "q48_embedding_neardup", "q49_media_features",
     "q50_frame_sample", "q51_quality_score", "q53_levenshtein_neardup",
     "q54_chargram_jaccard", "q55_dup_clusters", "q57_ivf_ann",
     "q58_hash_split", "q59_source_mix",
-    # Avro serde round-trip (Confluent wire format)
-    "q73_safe_avro",
-    # LLM-pipeline additions past the driver's 50-query graded window
-    # (locally oracle-verified; first in line if the window widens)
+    "q88_domain_cap", "q90_winnow_fingerprints", "q94_semantic_dedup",
+    # Avro serde round-trips (Confluent wire format, schema evolution)
+    "q73_safe_avro", "q87_avro_evolution", "q92_avro_roundtrip",
+    # past the driver's 50-query graded window (locally
+    # oracle-verified; first in line if the window widens)
     "q74_repetition_stats", "q75_pii_scrub", "q76_pack_sequences",
     "q77_contamination", "q78_top_ngrams", "q79_market_share",
     "q80_promo_revenue", "q81_priority_linestatus", "q82_corr_covar",
     "q83_quantize_embeddings", "q84_sessionize", "q85_funnel",
-    "q86_retention", "q87_avro_evolution", "q88_domain_cap", "q89_corpus_freq",
-    "q90_winnow_fingerprints", "q91_dedup_keepers", "q92_avro_roundtrip",
-    "q93_winnow_neardup", "q94_semantic_dedup",
+    "q86_retention", "q89_corpus_freq", "q91_dedup_keepers",
+    "q93_winnow_neardup",
+    # within-family siblings of already-graded flagships
+    "q22_window_frames", "q34_sliding_window", "q35_session_window",
+    "q42_dedup_simhash", "q47_fingerprint",
 ]
 
 

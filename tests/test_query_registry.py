@@ -68,3 +68,31 @@ def test_oracles_are_parseable_sql():
         except Exception as e:  # noqa: BLE001
             bad[name] = str(e)[:120]
     assert not bad, f"oracles that fail to parse/bind: {bad}"
+
+
+def test_graded_window_covers_unique_capabilities():
+    """The driver grades the FIRST 50 registered queries. Pin that
+    every unique capability sits inside that window — schema
+    evolution (q87), produce-side framing round-trip (q92), domain
+    quotas (q88), winnowing (q90), semantic dedup (q94) — and that
+    only within-family siblings of already-graded flagships sit
+    outside it."""
+    from maston_spark.queries import all_queries
+
+    window = list(all_queries())[:50]
+    for must in (
+        "q87_avro_evolution", "q88_domain_cap", "q90_winnow_fingerprints",
+        "q92_avro_roundtrip", "q94_semantic_dedup",
+    ):
+        assert must in window, must
+    # demoted siblings: each has a same-family flagship in the window
+    siblings = {
+        "q22_window_frames": "q20_window_rank",
+        "q34_sliding_window": "q33_tumbling_window",
+        "q35_session_window": "q33_tumbling_window",
+        "q42_dedup_simhash": "q41_dedup_minhash_lsh",
+        "q47_fingerprint": "q40_dedup_exact",
+    }
+    for demoted, flagship in siblings.items():
+        assert demoted not in window, demoted
+        assert flagship in window, flagship
