@@ -591,15 +591,30 @@ def semantic_dedup(
     centroid_id_base: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public): cluster embeddings with a coarse quantizer, then WITHIN
     each cell drop every vector that has a near-identical neighbor
     (cosine ≥ ``threshold``) with a smaller id — the deterministic
     keep-one rule, so results are reproducible and oracle-checkable.
-    Comparisons never cross cells: candidate work is Σ cell², the
-    same bounded-bucket shape as :func:`embedding_neardup`, with the
-    cells doubling as the table's partition key at 100 TB.
+    Comparisons never cross cells.
+
+    Scale shape: rows stream through ``mapInPandas`` sorted by
+    (cell, id), and the keep-one rule runs BLOCKWISE — each ≤
+    ``block_size`` row-block is compared against the cell's already-
+    seen smaller-id prefix one stored block at a time (row-block ×
+    prefix-block matmuls with a running min ``evicted_by``), then
+    appended to the prefix. Peak scratch per task is one
+    ``block_size²`` similarity tile — never the cell² matrix — and
+    the only per-cell residency is the prefix of normalized vectors
+    (cell × dim float64), the irreducible state of the exact rule.
+    Prefix scans early-out per row: blocks ascend in id, so the first
+    match IS the min id, and fully-evicted blocks skip remaining
+    matmuls. Cell size itself is controlled by the quantizer
+    (``n_centroids`` — production uses enough centroids that a cell
+    is ~corpus/K); the cells double as the table's partition key at
+    100 TB.
 
     Centroids are the deterministic seed vectors (ids
     ``centroid_id_base..+K``) shared with :func:`ivf_topk`;
@@ -637,55 +652,71 @@ def semantic_dedup(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).mapInPandas(assign, "__id long, __vec array<double>, cell int")
 
-    def dedup_cell(batches):
-        # cells arrive hash-partitioned and sorted; many cells per
-        # Arrow batch with a boundary carry (the per-group
-        # applyInPandas overhead lesson from embedding_neardup)
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
-                continue
-            last_cell = pdf["cell"].iloc[-1]
-            tail = pdf["cell"] == last_cell
-            carry = pdf[tail]
-            body = pdf[~tail]
-            outs = [
-                _dedup_one_cell(g, threshold)
-                for _, g in body.groupby("cell", sort=False)
-            ]
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-        if carry is not None and len(carry):
-            yield _dedup_one_cell(carry, threshold)
-
-    def _dedup_one_cell(g: "pd.DataFrame", t: float) -> "pd.DataFrame":
-        ids = g["__id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)
-        ids_s = ids[order]
-        M = np.array(list(g["__vec"]), dtype=np.float64)[order]
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = Mn @ Mn.T
+    def _process_block(ids_blk, Mn_blk, cell, prefix):
         # evicted iff ANY smaller-id vector is within threshold;
         # evicted_by = the smallest such id (order-free rule — exactly
-        # mirrorable in set-based SQL, unlike a greedy keeper sweep)
-        tri = np.tril(S >= t, k=-1)
-        has = tri.any(axis=1)
-        first = tri.argmax(axis=1)
-        evicted_by = np.where(has, ids_s[first], -1)
+        # mirrorable in set-based SQL, unlike a greedy keeper sweep).
+        # Prefix blocks ascend in id and every prefix id < every id in
+        # this block, so the first match while scanning prefix blocks
+        # in order is the global min; rows with a match need no
+        # further comparisons.
+        nb = len(ids_blk)
+        evicted_by = np.full(nb, -1, dtype=np.int64)
+        for p_ids, p_Mn in prefix:
+            open_rows = np.flatnonzero(evicted_by < 0)
+            if not len(open_rows):
+                break
+            hit = (Mn_blk[open_rows] @ p_Mn.T) >= threshold
+            has = hit.any(axis=1)
+            evicted_by[open_rows[has]] = p_ids[hit.argmax(axis=1)[has]]
+        open_mask = evicted_by < 0
+        if open_mask.any() and nb > 1:
+            # within-block pairs: the one bounded block² tile
+            tri = np.tril(Mn_blk @ Mn_blk.T >= threshold, k=-1)
+            has = tri.any(axis=1)
+            cand = np.where(has, ids_blk[tri.argmax(axis=1)], -1)
+            evicted_by = np.where(open_mask, cand, evicted_by)
+        prefix.append((ids_blk, Mn_blk))
         return pd.DataFrame(
             {
-                "vec_id": ids_s,
-                "cell": g["cell"].iloc[0],
+                "vec_id": ids_blk,
+                "cell": cell,
                 "kept": evicted_by < 0,
                 "evicted_by": np.where(evicted_by < 0, None, evicted_by),
             }
         )
 
+    def dedup_cells(batches):
+        # rows arrive hash-partitioned by cell and sorted by
+        # (cell, id); cells are contiguous, so the only cross-batch
+        # state is the CURRENT cell's prefix — no frame concat, no
+        # unbounded carry (the per-group applyInPandas overhead
+        # lesson from embedding_neardup still applies: many cells
+        # stream through one task)
+        cur_cell = None
+        prefix: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells_np = pdf["cell"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, cells_np[1:] != cells_np[:-1]])
+            for s, e in zip(starts, np.r_[starts[1:], len(pdf)]):
+                cell = int(cells_np[s])
+                if cell != cur_cell:
+                    cur_cell, prefix = cell, []
+                g = pdf.iloc[s:e]
+                ids = g["__id"].to_numpy(dtype=np.int64)
+                order = np.argsort(ids)  # in-batch safety; cheap when sorted
+                ids = ids[order]
+                M = np.array(list(g["__vec"]), dtype=np.float64)[order]
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                for b in range(0, len(ids), block_size):
+                    yield _process_block(
+                        ids[b: b + block_size], Mn[b: b + block_size], cell, prefix
+                    )
+
     return (
         cells.repartition("cell")
-        .sortWithinPartitions("cell")
-        .mapInPandas(dedup_cell, "vec_id long, cell int, kept boolean, evicted_by long")
+        .sortWithinPartitions("cell", "__id")
+        .mapInPandas(dedup_cells, "vec_id long, cell int, kept boolean, evicted_by long")
     )

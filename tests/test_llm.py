@@ -440,3 +440,52 @@ def test_semantic_dedup_evicts_twin_keeps_original(spark):
     # same cell by construction (identical direction)
     assert got[500].cell == got[5].cell
     assert sum(1 for r in got.values() if not r.kept) >= 1
+
+
+def test_semantic_dedup_blockwise_matches_naive_on_oversized_cell(spark):
+    """Per-task memory bound: a cell much larger than block_size must
+    stream through row-block × prefix-block tiles, never a cell²
+    matrix — and produce EXACTLY the keep-one result of the naive
+    all-pairs rule (any smaller-id neighbor ≥ threshold evicts;
+    evicted_by = the smallest such id)."""
+    import numpy as np
+
+    from maston_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    d, n = 8, 150
+    # base directions reused with tiny perturbations -> plenty of
+    # near-dup pairs at various id distances (within- and cross-block)
+    base = rng.normal(size=(12, d))
+    rows = []
+    vecs = {}
+    for i in range(n):
+        v = base[i % 12] + rng.normal(size=d) * (0.0005 if i % 3 else 1.0)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+        vecs[i] = v
+    df = spark.createDataFrame(rows)
+
+    def run(bs):
+        return {
+            r.vec_id: (r.kept, r.evicted_by, r.cell)
+            for r in semantic_dedup(
+                df, threshold=0.995, n_centroids=8, centroid_id_base=100,
+                block_size=bs,
+            ).collect()
+        }
+
+    tiny = run(7)       # forces many blocks + cross-batch prefix reuse
+    assert run(10_000) == tiny  # single-block path agrees exactly
+
+    # naive reference: per cell, all-pairs keep-one
+    cells = {}
+    for i, (kept, ev, cell) in tiny.items():
+        cells.setdefault(cell, []).append(i)
+    Mn = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in vecs}
+    for cell, ids in cells.items():
+        for i in sorted(ids):
+            smaller = [j for j in ids if j < i and float(Mn[j] @ Mn[i]) >= 0.995]
+            if smaller:
+                assert tiny[i] == (False, min(smaller), cell), i
+            else:
+                assert tiny[i] == (True, None, cell), i
