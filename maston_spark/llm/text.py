@@ -338,6 +338,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
+    positions_per_shard: int = 4096,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     SIGMOD'03, public): hash every character k-gram of the normalized
@@ -357,35 +358,80 @@ def winnow_fingerprints(
     array-of-hashes referenced from a sliding-window transform would
     recompute every k-gram hash once per window — O(len²) md5 calls
     per document.
+
+    Straggler bound: the window partitions by (doc, position shard),
+    not the bare doc id — each shard owns ``positions_per_shard``
+    window starts and carries a ``window + k − 2`` character overlap
+    so every window-min is computed from exactly the same k-gram
+    hashes as the unsharded scheme (identical output, property- and
+    equivalence-tested). Without this, ONE pathological document
+    (1 GB of text → ~10⁹ exploded rows) is a single straggler task;
+    with it, the largest window partition is ~``positions_per_shard``
+    rows regardless of document length.
     """
     from pyspark.sql import Window
 
+    B = int(positions_per_shard)
+    if B < 1:
+        raise ValueError("positions_per_shard must be >= 1")
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     d = df.select(id_col, norm.alias("__norm")).filter(
         F.length("__norm") >= k + window - 1
     )
-    pos = d.select(
+    # window-start positions 1..__nstarts; shard s owns starts
+    # [s*B+1, (s+1)*B] and its chunk carries window+k-2 overlap chars
+    # so the shard computes every hash its own window-mins need
+    sharded = d.select(
         id_col,
+        (F.length("__norm") - (k - 1) - (window - 1)).alias("__nstarts"),
         "__norm",
-        (F.length("__norm") - (k - 1)).alias("__n"),
-        F.explode(F.sequence(F.lit(1), F.length("__norm") - (k - 1))).alias("__pos"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.length("__norm") - (k - 1) - (window - 1) - 1) / B).cast("long"),
+            )
+        ).alias("__s"),
+    ).select(
+        id_col,
+        "__nstarts",
+        "__s",
+        F.substring(
+            F.col("__norm"), (F.col("__s") * B + 1).cast("int"), B + window + k - 2
+        ).alias("__chunk"),
+    )
+    pos = sharded.select(
+        id_col,
+        "__nstarts",
+        "__s",
+        "__chunk",
+        F.explode(
+            F.sequence(F.lit(1), F.length("__chunk") - (k - 1))
+        ).alias("__lpos"),
     )
     hashed = pos.select(
         id_col,
-        "__n",
-        "__pos",
+        "__nstarts",
+        "__s",
+        "__lpos",
         F.conv(
-            F.substring(F.md5(F.substring(F.col("__norm"), F.col("__pos"), F.lit(k))), 1, 8),
+            F.substring(
+                F.md5(F.substring(F.col("__chunk"), F.col("__lpos"), F.lit(k))), 1, 8
+            ),
             16,
             10,
         )
         .cast("long")
         .alias("__h"),
     )
-    w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    w = Window.partitionBy(id_col, "__s").orderBy("__lpos").rowsBetween(0, window - 1)
     return (
         hashed.withColumn("__wm", F.min("__h").over(w))
-        .filter(F.col("__pos") <= F.col("__n") - (window - 1))
+        # emit only window starts the shard OWNS (overlap rows feed
+        # frames but don't emit) that exist in the unsharded scheme
+        .filter(
+            (F.col("__lpos") <= B)
+            & (F.col("__s") * B + F.col("__lpos") <= F.col("__nstarts"))
+        )
         .select(id_col, F.col("__wm").alias("fingerprint"))
         .distinct()
     )

@@ -489,3 +489,38 @@ def test_semantic_dedup_blockwise_matches_naive_on_oversized_cell(spark):
                 assert tiny[i] == (False, min(smaller), cell), i
             else:
                 assert tiny[i] == (True, None, cell), i
+
+
+def test_winnowing_sharded_equals_unsharded(spark):
+    """Position-block sharding is a pure parallelism change: with the
+    window+k-2 overlap, every shard computes the same window-mins the
+    unsharded scheme would, so fingerprint sets are IDENTICAL even
+    when one document is 10x the median and spans many shards."""
+    import random
+
+    from maston_spark.llm.text import winnow_fingerprints
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [
+        Row(doc_id=i, text=" ".join(rng.choice(words) for _ in range(40)))
+        for i in range(6)
+    ]
+    # the straggler: 10x median, crosses MANY shard boundaries at B=17
+    docs.append(
+        Row(doc_id=99, text=" ".join(rng.choice(words) for _ in range(400)))
+    )
+    df = spark.createDataFrame(docs)
+
+    def run(b):
+        out = {}
+        for r in winnow_fingerprints(
+            df, k=8, window=4, positions_per_shard=b
+        ).collect():
+            out.setdefault(r.doc_id, set()).add(r.fingerprint)
+        return out
+
+    big = run(1_000_000)          # effectively unsharded
+    assert run(17) == big         # shard boundaries everywhere
+    assert run(1) == big          # degenerate one-start-per-shard
+    assert len(big[99]) > 50      # the big doc actually exercised it
