@@ -72,6 +72,45 @@ def log_consumed_records(
         )
 
 
+def log_produced_records(
+    df: DataFrame,
+    batch_id: int,
+    *,
+    logger: logging.Logger = RECORD_LOGGER,
+    limit: int = 1000,
+) -> None:
+    """Producer twin of :func:`log_consumed_records`.
+
+    Parity: interceptor/DefaultKafkaProducerInterceptor.java:13-25 —
+    log ``topic/partition/key/value`` on send (acks only at debug to
+    avoid over-logging). Same Spark deviation as the consumer side:
+    a BOUNDED driver-side sample per micro-batch, short-circuited
+    entirely unless the logger is at DEBUG, with the exact row count
+    when the batch fits the sample.
+    """
+    if not logger.isEnabledFor(logging.DEBUG):
+        return
+    cols = [
+        c for c in ("topic", "partition", "key", "value", "value_out")
+        if c in df.columns
+    ]
+    if not cols:
+        logger.debug("onSend batch=%s (no kafka record columns)", batch_id)
+        return
+    sample = df.select(*cols).limit(limit + 1).collect()
+    if len(sample) > limit:
+        logger.debug("onSend batch=%s rows>%d (sample truncated)", batch_id, limit)
+        sample = sample[:limit]
+    else:
+        logger.debug("onSend batch=%s rows=%d", batch_id, len(sample))
+    for r in sample:
+        logger.debug(
+            "onSend batch=%s %s",
+            batch_id,
+            " ".join(f"{c}={r[c]!r}" for c in cols),
+        )
+
+
 def with_record_logging(
     fn,
     *,

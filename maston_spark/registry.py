@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import base64
 import json
+import threading
 import time
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -76,6 +78,14 @@ class SchemaRegistryClient:
     (optionally within ``latest_ttl`` seconds), matching the
     Confluent client's cache discipline — a long-lived driver
     observes newly registered versions.
+
+    Thread-safe: ``dynamic_avro_topology`` resolves ids inside
+    ``foreachBatch`` where several streams can share one client, so
+    reads hold a lock across check+fetch+store — two threads asking
+    for the same id produce ONE network call (single-flight), and
+    cache mutation never races. Caches are LRU-bounded
+    (``max_cache`` entries per cache) so a pathological id churn
+    can't grow driver memory unboundedly.
     """
 
     def __init__(
@@ -85,20 +95,39 @@ class SchemaRegistryClient:
         timeout: float = 30.0,
         opener: Callable[[str, dict[str, str], float], tuple[int, bytes]] | None = None,
         latest_ttl: float = 0.0,
+        max_cache: int = 1024,
     ):
         if not url:
             raise ValueError("schema registry url is required")
+        if max_cache < 1:
+            raise ValueError("max_cache must be >= 1")
         self._base = url.rstrip("/")
         self._timeout = timeout
         self._opener = opener or _default_opener
         self._latest_ttl = latest_ttl
+        self._max_cache = max_cache
         self._headers = {"Accept": "application/vnd.schemaregistry.v1+json"}
         if basic_auth_user_info:
             token = base64.b64encode(basic_auth_user_info.encode()).decode()
             self._headers["Authorization"] = f"Basic {token}"
-        self._by_id: dict[int, RegisteredSchema] = {}
-        self._by_subject: dict[tuple[str, str], RegisteredSchema] = {}
-        self._latest: dict[str, tuple[float, RegisteredSchema]] = {}
+        self._lock = threading.RLock()
+        self._by_id: OrderedDict[int, RegisteredSchema] = OrderedDict()
+        self._by_subject: OrderedDict[tuple[str, str], RegisteredSchema] = OrderedDict()
+        self._latest: OrderedDict[str, tuple[float, RegisteredSchema]] = OrderedDict()
+
+    def _cache_put(self, cache: OrderedDict, key, value) -> None:
+        # caller holds self._lock
+        cache[key] = value
+        cache.move_to_end(key)
+        while len(cache) > self._max_cache:
+            cache.popitem(last=False)
+
+    def _cache_hit(self, cache: OrderedDict, key):
+        # caller holds self._lock; None = miss (values are never None)
+        value = cache.get(key)
+        if value is not None:
+            cache.move_to_end(key)
+        return value
 
     @classmethod
     def from_config(cls, cfg, **kwargs) -> "SchemaRegistryClient":
@@ -132,51 +161,60 @@ class SchemaRegistryClient:
         return self.get_version(subject, "latest")
 
     def get_version(self, subject: str, version: int | str) -> RegisteredSchema:
-        is_latest = str(version) == "latest"
-        key = (subject, str(version))
-        if not is_latest and key in self._by_subject:
-            return self._by_subject[key]
-        if is_latest and self._latest_ttl > 0:
-            hit = self._latest.get(subject)
-            if hit is not None and _now() - hit[0] < self._latest_ttl:
-                return hit[1]
-        payload = self._get(f"/subjects/{subject}/versions/{version}")
-        try:
-            reg = RegisteredSchema(
-                subject=payload.get("subject", subject),
-                schema_id=int(payload["id"]),
-                version=int(payload["version"]),
-                schema=json.loads(payload["schema"]),
-            )
-        except (KeyError, ValueError, TypeError) as exc:
-            raise SchemaRegistryError(
-                f"unexpected registry payload for {subject}/{version}: {payload!r}"
-            ) from exc
-        self._by_id[reg.schema_id] = reg
-        # only the IMMUTABLE concrete-version key caches; "latest" is
-        # mutable and only enters the TTL side-cache
-        self._by_subject[(subject, str(reg.version))] = reg
-        if is_latest:
-            self._latest[subject] = (_now(), reg)
-        return reg
+        # the lock spans check+fetch+store: concurrent same-key calls
+        # are single-flight (one network round trip), and a fetch for
+        # one key briefly serializes others — the right trade for a
+        # driver-side metadata client (fetches are rare, races aren't)
+        with self._lock:
+            is_latest = str(version) == "latest"
+            key = (subject, str(version))
+            if not is_latest:
+                hit = self._cache_hit(self._by_subject, key)
+                if hit is not None:
+                    return hit
+            if is_latest and self._latest_ttl > 0:
+                hit = self._cache_hit(self._latest, subject)
+                if hit is not None and _now() - hit[0] < self._latest_ttl:
+                    return hit[1]
+            payload = self._get(f"/subjects/{subject}/versions/{version}")
+            try:
+                reg = RegisteredSchema(
+                    subject=payload.get("subject", subject),
+                    schema_id=int(payload["id"]),
+                    version=int(payload["version"]),
+                    schema=json.loads(payload["schema"]),
+                )
+            except (KeyError, ValueError, TypeError) as exc:
+                raise SchemaRegistryError(
+                    f"unexpected registry payload for {subject}/{version}: {payload!r}"
+                ) from exc
+            self._cache_put(self._by_id, reg.schema_id, reg)
+            # only the IMMUTABLE concrete-version key caches; "latest" is
+            # mutable and only enters the TTL side-cache
+            self._cache_put(self._by_subject, (subject, str(reg.version)), reg)
+            if is_latest:
+                self._cache_put(self._latest, subject, (_now(), reg))
+            return reg
 
     def get_by_id(self, schema_id: int) -> RegisteredSchema:
-        if schema_id in self._by_id:
-            return self._by_id[schema_id]
-        payload = self._get(f"/schemas/ids/{schema_id}")
-        try:
-            reg = RegisteredSchema(
-                subject=None,
-                schema_id=schema_id,
-                version=None,
-                schema=json.loads(payload["schema"]),
-            )
-        except (KeyError, ValueError, TypeError) as exc:
-            raise SchemaRegistryError(
-                f"unexpected registry payload for id {schema_id}: {payload!r}"
-            ) from exc
-        self._by_id[schema_id] = reg
-        return reg
+        with self._lock:
+            hit = self._cache_hit(self._by_id, schema_id)
+            if hit is not None:
+                return hit
+            payload = self._get(f"/schemas/ids/{schema_id}")
+            try:
+                reg = RegisteredSchema(
+                    subject=None,
+                    schema_id=schema_id,
+                    version=None,
+                    schema=json.loads(payload["schema"]),
+                )
+            except (KeyError, ValueError, TypeError) as exc:
+                raise SchemaRegistryError(
+                    f"unexpected registry payload for id {schema_id}: {payload!r}"
+                ) from exc
+            self._cache_put(self._by_id, schema_id, reg)
+            return reg
 
     # ---------------------------------------------------------- write path
 

@@ -59,6 +59,8 @@ def split_sink_batch(
     write_error: Callable[[DataFrame], None],
     app_id: str = "maston-spark",
     serialize: Callable[[DataFrame], DataFrame] | None = None,
+    log_produced: bool = False,
+    batch_id: int = -1,
 ) -> dict[str, int]:
     """One micro-batch (or batch job) through the reference topology's
     fan-out: serialize safely, attach provenance headers to errors,
@@ -67,13 +69,20 @@ def split_sink_batch(
 
     ``serialize`` picks the value serializer (default JSON; pass
     ``lambda d: safe_serialize_avro(d, schema, schema_id)`` for the
-    reference's registry-framed Avro produce side).
+    reference's registry-framed Avro produce side). ``log_produced``
+    enables the producer-interceptor sample
+    (:func:`maston_spark.observability.log_produced_records`) on the
+    valid branch right before the sink write.
     """
     ser = serialize or safe_serialize_json
     prepared = ser(with_error_headers(df, app_id=app_id)).persist()
     try:
         valid, invalid = branch_valid(prepared)
         n_ok, n_err = valid.count(), invalid.count()
+        if log_produced:
+            from maston_spark.observability import log_produced_records
+
+            log_produced_records(valid, batch_id)
         write_valid(valid)
         write_error(invalid)
         return {"valid": n_ok, "error": n_err}
@@ -87,12 +96,14 @@ def foreach_batch_split(
     app_id: str = "maston-spark",
     on_metrics: Callable[[int, dict[str, int]], None] | None = None,
     serialize: Callable[[DataFrame], DataFrame] | None = None,
+    log_produced: bool = False,
 ):
     """Build the ``foreachBatch`` function for a validated stream."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         counts = split_sink_batch(
-            batch_df, write_valid, write_error, app_id=app_id, serialize=serialize
+            batch_df, write_valid, write_error, app_id=app_id, serialize=serialize,
+            log_produced=log_produced, batch_id=batch_id,
         )
         if on_metrics is not None:
             on_metrics(batch_id, counts)

@@ -173,6 +173,7 @@ def simple_validated_topology(
         app_id=app_id,
         on_metrics=on_metrics,
         serialize=serialize,
+        log_produced=log_records,
     )
     if log_records:
         # parity: the enable/disable interceptor toggle of
@@ -220,7 +221,7 @@ def dynamic_avro_topology(
     writers: dict[int, dict] = {}
     split = foreach_batch_split(
         write_valid, write_error, app_id=app_id, on_metrics=on_metrics,
-        serialize=serialize,
+        serialize=serialize, log_produced=log_records,
     )
     if log_records:
         split = with_record_logging(split)
@@ -302,7 +303,7 @@ def delta_topology(
 
     split = foreach_batch_split(
         write_valid, write_error, app_id=app_id, on_metrics=on_metrics,
-        serialize=serialize,
+        serialize=serialize, log_produced=log_records,
     )
     sdir = f"{checkpoint.rstrip('/')}/delta_state" if state_dir == "auto" else state_dir
     if sdir is not None:

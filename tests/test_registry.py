@@ -186,3 +186,54 @@ def test_schema_id_for_existing_skips_register(client, transport):
     }
     assert client.schema_id_for("orders-value", SCHEMA, auto_register=True) == 42
     assert len(transport.requests) == 1
+
+
+def test_concurrent_get_by_id_single_flight():
+    """Two threads fetching the SAME id must produce ONE network
+    call — dynamic_avro_topology resolves ids inside foreachBatch
+    where several streams can share a client."""
+    import threading
+
+    calls: list[str] = []
+    release = threading.Event()
+
+    def slow_opener(url, headers, timeout, method="GET", body=None):
+        calls.append(url)
+        release.wait(5)  # hold the first fetch open to widen the race
+        return 200, json.dumps({"schema": json.dumps(SCHEMA)}).encode()
+
+    client = SchemaRegistryClient("http://reg:8081", opener=slow_opener)
+    got: list = []
+    threads = [
+        threading.Thread(target=lambda: got.append(client.get_by_id(7)))
+        for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    # let both threads reach the client before the fetch completes
+    import time
+
+    time.sleep(0.2)
+    release.set()
+    for t in threads:
+        t.join(10)
+    assert len(got) == 2 and got[0] is got[1]
+    assert len(calls) == 1
+
+
+def test_cache_lru_bound_evicts_oldest(transport):
+    for i in (1, 2, 3):
+        transport.routes[f"/schemas/ids/{i}"] = {"schema": json.dumps(SCHEMA)}
+    client = SchemaRegistryClient(
+        "http://reg:8081", opener=transport, max_cache=2
+    )
+    client.get_by_id(1)
+    client.get_by_id(2)
+    client.get_by_id(1)      # refresh 1 -> 2 is now oldest
+    client.get_by_id(3)      # evicts 2
+    n0 = len(transport.calls)
+    client.get_by_id(1)      # still cached
+    client.get_by_id(3)      # still cached
+    assert len(transport.calls) == n0
+    client.get_by_id(2)      # evicted -> refetched
+    assert len(transport.calls) == n0 + 1

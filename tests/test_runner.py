@@ -130,7 +130,9 @@ def test_record_logging_toggle_on(spark, cleanup, caplog):
             q.stop()
     lines = [r.message for r in caplog.records if r.name == "maston_spark.records"]
     assert any("onConsume" in ln and "key=" in ln for ln in lines)
-    assert sum("key='k0'" in ln for ln in lines) == 1
+    # one consumer-side sample per record (the producer twin logs its
+    # own 'onSend' lines for the same keys — counted separately)
+    assert sum("key='k0'" in ln and "onConsume" in ln for ln in lines) == 1
 
 
 def test_record_logging_toggle_off_by_default(spark, cleanup, caplog):
@@ -173,3 +175,35 @@ def test_run_forever_query_already_finished_before_call(spark, cleanup):
     )
     assert rc == 0
     assert _time.monotonic() - t0 < 10  # returned, did not spin
+
+
+def test_produced_record_logging_twin(spark, cleanup, caplog):
+    """S18 producer side (DefaultKafkaProducerInterceptor.java:13-25):
+    the same log_records toggle samples the VALID branch at the sink
+    ('onSend'), bounded and DEBUG-gated like the consumer twin; off by
+    default."""
+    def _run(log_records):
+        src_df = spark.createDataFrame(
+            [Row(key=f"k{i}", value=_payload(f"k{i}", "v", i)) for i in range(3)]
+        )
+        stream, src = replay_stream(src_df)
+        chk = _tmp()
+        cleanup.extend([src, chk])
+        caplog.clear()
+        with caplog.at_level(logging.DEBUG, logger="maston_spark.records"):
+            q = simple_validated_topology(
+                stream, SCHEMA, app_id="t-prod-log", checkpoint=chk,
+                write_valid=lambda df: None, write_error=lambda df: None,
+                log_records=log_records,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return [r.message for r in caplog.records if r.name == "maston_spark.records"]
+
+    lines = _run(True)
+    sends = [ln for ln in lines if "onSend" in ln]
+    assert any("value_out=" in ln for ln in sends)  # the serialized record
+    assert any("rows=3" in ln for ln in sends)      # exact count, batch fits sample
+    assert not [ln for ln in _run(False) if "onSend" in ln]
