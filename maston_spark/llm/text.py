@@ -471,3 +471,208 @@ def winnow_neardup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public): per document, how much of its text is covered by
+    ``k``-token grams that occur MORE THAN ONCE anywhere in the
+    corpus (including within the same document). The paper removes
+    those spans; this operator reports the span coverage so callers
+    can filter or trim — `n_dup_grams` (duplicated gram starts),
+    `n_dup_tokens` (tokens under the UNION of duplicated spans, exact
+    interval-union arithmetic), and `dup_token_fraction`.
+
+    Distributed shape, chosen for 100 TB:
+    1. one explode builds (doc, start, gram) rows — O(k) work per
+       start via `slice`, never a nested O(len²) lambda;
+    2. the corpus-duplicate table is a map-side-combinable hash agg
+       on the gram; grams stay strings (the operator's point is
+       EXACTNESS, so no lossy 32-bit hash lane — the shuffle rows
+       are ~k tokens wide, still slim);
+    3. duplicated starts join back ON THE GRAM (equi-join, never
+       all-pairs) and the covered-token count is an exact interval
+       union via one per-doc window (running max of span ends) —
+       integer arithmetic only, so the oracle matches bit-for-bit.
+
+    The per-doc window ranges over DUPLICATED starts only (≤ doc
+    length), the same per-document-bounded assumption as every other
+    per-doc operator here. Docs shorter than ``k`` tokens have no
+    grams and report zero duplication.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("__toks")
+    ).select(id_col, "__toks", F.size("__toks").cast("long").alias("n_tokens"))
+    grams = base.filter(F.col("n_tokens") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tokens") - k).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
+            )
+        ).alias("__start", "__gram"),
+    )
+    dup = (
+        grams.groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__gram")
+    )
+    dstarts = grams.join(dup, "__gram").select(id_col, "__start")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = dstarts.withColumn(
+        "__prev_end", F.max(F.col("__start") + (k - 1)).over(w)
+    ).withColumn(
+        "__new_tokens",
+        F.greatest(
+            F.lit(0),
+            (F.col("__start") + (k - 1))
+            - F.greatest(F.col("__start") - 1, F.coalesce("__prev_end", F.lit(-1))),
+        ),
+    )
+    agg = cov.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_dup_grams"),
+        F.sum("__new_tokens").alias("__n_dup_tokens"),
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("__n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("__n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.round(
+            F.coalesce("__n_dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_token_fraction"),
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Log-domain bigram language-model scoring (the CCNet/KenLM
+    quality-filter shape, Wenzek et al. 2020 — public): train an
+    add-one-smoothed bigram LM on the corpus itself, then score each
+    document by bits-per-bigram cross-entropy
+    ``H = -(1/n) Σ log2 (c(w1 w2) + 1) / (c(w1·) + V)`` and
+    perplexity ``2^H``. Fluent in-distribution text scores low;
+    gibberish and out-of-domain text score high. The integer-exact
+    sibling (:func:`corpus_frequency_score`) avoids floats entirely;
+    this one reports the standard LM units.
+
+    Distributed shape: the LM "training" is two chained hash aggs on
+    the (prefix, bigram) key — both map-side combinable, never raw
+    text after the first explode; scoring joins the per-doc bigram
+    multiset to the count tables ON THE BIGRAM (slim combiner-reduced
+    rows both sides). The vocabulary size is the only scalar: a
+    distinct-count collapsed to one driver value.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    d2 = base.filter(F.size("__toks") >= 2)
+    bg = d2.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("__toks"), i + 1).alias("p"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__toks"), i + 1),
+                        F.element_at(F.col("__toks"), i + 2),
+                    ).alias("g"),
+                ),
+            )
+        ).alias("__pg"),
+    ).select(id_col, F.col("__pg.p").alias("__p"), F.col("__pg.g").alias("__g"))
+    doc_bg = bg.groupBy(id_col, "__p", "__g").agg(F.count(F.lit(1)).alias("__m"))
+    corpus_bg = doc_bg.groupBy("__p", "__g").agg(F.sum("__m").alias("__cb"))
+    prefix_cnt = corpus_bg.groupBy("__p").agg(F.sum("__cb").alias("__cp"))
+    # vocabulary size: tiny-by-construction driver scalar (one value)
+    vocab_size = (
+        base.select(F.explode("__toks").alias("__t")).agg(
+            F.countDistinct("__t").alias("v")
+        ).first()[0]
+    )
+    joined = doc_bg.join(corpus_bg, ["__p", "__g"]).join(prefix_cnt, "__p")
+    h = -(
+        F.sum(
+            F.col("__m")
+            * (F.log2(F.col("__cb") + 1) - F.log2(F.col("__cp") + vocab_size))
+        )
+        / F.sum("__m")
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("__m").alias("n_bigrams"),
+        F.round(h, 6).alias("bits_per_bigram"),
+        F.round(F.pow(F.lit(2.0), h), 3).alias("ppl"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-``top_k`` terms by tf-idf — the classic
+    keyword-extraction / topic-tagging stage (Salton & Buckley 1988;
+    public). tf = term count / doc tokens; idf = ln(N / doc-freq).
+
+    Distributed shape: (doc, term) counts are a map-side-combinable
+    hash agg; document frequency is a second agg over the SAME
+    reduced table (never raw text); the ranking is one per-doc window
+    over the doc's DISTINCT terms. N is a one-value driver scalar.
+
+    Cross-engine determinism: the rank orders by tf-idf rounded to
+    9 decimals (then term ascending), so a sub-nanoscale libm
+    difference between Spark's and the oracle's `ln` can never flip
+    an ordering — near-ties collapse to the deterministic
+    lexicographic tiebreak in both engines.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n_docs = base.count()  # one driver scalar
+    doc_term = (
+        base.select(
+            id_col, F.size("__toks").alias("__n"), F.explode("__toks").alias("term")
+        )
+        .groupBy(id_col, "__n", "term")
+        .agg(F.count(F.lit(1)).alias("tf_count"))
+    )
+    docfreq = doc_term.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    scored = doc_term.join(docfreq, "term").withColumn(
+        "__tfidf",
+        (F.col("tf_count") / F.col("__n"))
+        * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round("__tfidf", 9).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf_count").cast("long").alias("tf_count"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.round("__tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )

@@ -67,12 +67,13 @@ _PRIORITY = [
     # sliding/session after tumbling, frames after rank — are in the
     # tail so the graded window spends its 50 slots on distinct ops)
     "q40_dedup_exact", "q41_dedup_minhash_lsh",
-    "q43_cosine_topk", "q44_lsh_ann", "q45_text_stats", "q46_lang_id",
+    "q43_cosine_topk", "q45_text_stats", "q46_lang_id",
     "q48_embedding_neardup", "q49_media_features",
     "q50_frame_sample", "q51_quality_score", "q53_levenshtein_neardup",
-    "q54_chargram_jaccard", "q55_dup_clusters", "q57_ivf_ann",
+    "q55_dup_clusters", "q57_ivf_ann",
     "q58_hash_split", "q59_source_mix",
     "q88_domain_cap", "q90_winnow_fingerprints", "q94_semantic_dedup",
+    "q95_exact_substring", "q96_bigram_perplexity",
     # Avro serde round-trips (Confluent wire format, schema evolution)
     "q73_safe_avro", "q87_avro_evolution", "q92_avro_roundtrip",
     # past the driver's 50-query graded window (locally
@@ -82,10 +83,11 @@ _PRIORITY = [
     "q80_promo_revenue", "q81_priority_linestatus", "q82_corr_covar",
     "q83_quantize_embeddings", "q84_sessionize", "q85_funnel",
     "q86_retention", "q89_corpus_freq", "q91_dedup_keepers",
-    "q93_winnow_neardup",
+    "q93_winnow_neardup", "q97_tfidf_topterms",
     # within-family siblings of already-graded flagships
     "q22_window_frames", "q34_sliding_window", "q35_session_window",
-    "q42_dedup_simhash", "q47_fingerprint",
+    "q42_dedup_simhash", "q44_lsh_ann", "q47_fingerprint",
+    "q54_chargram_jaccard",
 ]
 
 

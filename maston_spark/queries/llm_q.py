@@ -1223,3 +1223,101 @@ def q94_semantic_dedup(spark, sf_dir):
     )
     corpus = emb.unionByName(twins)
     return SIM.semantic_dedup(corpus, threshold=0.9)
+
+@query(
+    "q95_exact_substring",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+    g AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 4)) AS s
+          FROM base WHERE n_tokens >= 5),
+    grams AS (SELECT doc_id, s, array_to_string(toks[s+1:s+5], ' ') AS gram FROM g),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    ds AS (SELECT doc_id, s FROM grams JOIN dup USING (gram)),
+    cov AS (SELECT doc_id, s,
+                   max(s + 4) OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM ds),
+    agg AS (SELECT doc_id, count(*) AS n_dup_grams,
+                   sum(greatest(0, (s + 4) - greatest(s - 1, coalesce(prev_end, -1))))
+                     AS n_dup_tokens
+            FROM cov GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           round(coalesce(a.n_dup_tokens, 0) / b.n_tokens, 6) AS dup_token_fraction
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q95_exact_substring(spark, sf_dir):
+    """Exact-substring duplication profile (Lee et al. 2021): per doc,
+    coverage by 5-token grams occurring >= 2 times corpus-wide —
+    exact interval-union span arithmetic, integer-exact vs the
+    oracle. See :func:`maston_spark.llm.text.exact_substring_spans`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.exact_substring_spans(d, k=5)
+
+
+@query(
+    "q96_bigram_perplexity",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    bg AS (SELECT doc_id, toks[i] AS p, toks[i] || ' ' || toks[i+1] AS g
+           FROM (SELECT doc_id, toks, unnest(range(1, n)) AS i
+                 FROM base WHERE n >= 2)),
+    doc_bg AS (SELECT doc_id, p, g, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+    corpus_bg AS (SELECT p, g, sum(m) AS cb FROM doc_bg GROUP BY 1, 2),
+    pc AS (SELECT p, sum(cb) AS cp FROM corpus_bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vsize
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    j AS (SELECT doc_id, m, cb, cp FROM doc_bg
+          JOIN corpus_bg USING (p, g) JOIN pc USING (p)),
+    agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+                   -sum(m * (log2(cb + 1) - log2(cp + (SELECT vsize FROM v))))
+                     / sum(m) AS h
+            FROM j GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, round(h, 6) AS bits_per_bigram,
+           round(pow(2, h), 3) AS ppl
+    FROM agg
+    """,
+)
+def q96_bigram_perplexity(spark, sf_dir):
+    """Add-one bigram LM cross-entropy/perplexity per document
+    (CCNet/KenLM quality-filter shape, log domain). See
+    :func:`maston_spark.llm.text.bigram_lm_score`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.bigram_lm_score(d)
+
+
+@query(
+    "q97_tfidf_topterms",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    dt AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS term FROM t),
+    doc_term AS (SELECT doc_id, n, term, count(*) AS tf_count
+                 FROM dt GROUP BY 1, 2, 3),
+    df_t AS (SELECT term, count(*) AS doc_freq FROM doc_term GROUP BY 1),
+    n_docs AS (SELECT count(*) AS nd FROM t),
+    scored AS (SELECT doc_id, term, tf_count, doc_freq,
+                      (tf_count / CAST(n AS DOUBLE))
+                        * ln((SELECT nd FROM n_docs) / CAST(doc_freq AS DOUBLE))
+                        AS tfidf_raw
+               FROM doc_term JOIN df_t USING (term)),
+    ranked AS (SELECT doc_id, term, tf_count, doc_freq, tfidf_raw,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY round(tfidf_raw, 9) DESC, term ASC) AS rank
+               FROM scored)
+    SELECT doc_id, term, CAST(tf_count AS BIGINT) AS tf_count,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           round(tfidf_raw, 6) AS tfidf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q97_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 terms by tf-idf (keyword extraction /
+    topic tagging). See
+    :func:`maston_spark.llm.text.tfidf_top_terms`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.tfidf_top_terms(d, top_k=3)

@@ -524,3 +524,113 @@ def test_winnowing_sharded_equals_unsharded(spark):
     assert run(17) == big         # shard boundaries everywhere
     assert run(1) == big          # degenerate one-start-per-shard
     assert len(big[99]) > 50      # the big doc actually exercised it
+
+
+# ---- exact-substring span dedup (Lee et al. 2021 shape) ----
+
+
+def test_exact_substring_spans_golden(spark):
+    from maston_spark.llm.text import exact_substring_spans
+
+    # doc 0 and 1 share the 6-token prefix "a b c d e f" -> with k=3,
+    # duplicated 3-gram starts 0..3 cover tokens 0..5 of each.
+    rows = [
+        Row(doc_id=0, text="a b c d e f x1 y1 z1"),
+        Row(doc_id=1, text="a b c d e f x2 y2 z2"),
+        Row(doc_id=2, text="u v w q r s t"),       # unique: zero dup
+        Row(doc_id=3, text="m n"),                  # shorter than k
+    ]
+    out = {
+        r.doc_id: r
+        for r in exact_substring_spans(
+            spark.createDataFrame(rows), k=3
+        ).collect()
+    }
+    assert out[0].n_tokens == 9 and out[0].n_dup_grams == 4
+    assert out[0].n_dup_tokens == 6  # interval UNION, not 4*3=12
+    assert out[0].dup_token_fraction == round(6 / 9, 6)
+    assert out[1].n_dup_tokens == 6
+    assert out[2].n_dup_grams == 0 and out[2].dup_token_fraction == 0.0
+    # short doc still reported, with zero grams
+    assert out[3].n_tokens == 2 and out[3].n_dup_tokens == 0
+
+
+def test_exact_substring_counts_within_doc_repeats(spark):
+    from maston_spark.llm.text import exact_substring_spans
+
+    # the 3-gram "p q r" occurs twice WITHIN one doc -> duplicated
+    # even though no other doc shares it (Lee et al. count total
+    # corpus occurrences, not distinct docs)
+    rows = [Row(doc_id=0, text="p q r z z p q r"), Row(doc_id=1, text="k l m n o")]
+    out = {
+        r.doc_id: r
+        for r in exact_substring_spans(spark.createDataFrame(rows), k=3).collect()
+    }
+    assert out[0].n_dup_grams == 2
+    # spans [0,2] and [5,7] -> union of 6 tokens
+    assert out[0].n_dup_tokens == 6
+    assert out[1].n_dup_grams == 0
+
+
+# ---- bigram LM perplexity (CCNet/KenLM shape) ----
+
+
+def test_bigram_lm_score_matches_hand_computation(spark):
+    from maston_spark.llm.text import bigram_lm_score
+
+    # corpus: two docs. vocab = {a, b, c} (V=3)
+    # bigrams: doc0 = [a b, b a, a b], doc1 = [a c]
+    # counts: c(a b)=2, c(b a)=1, c(a c)=1; prefix c(a.)=3, c(b.)=1
+    rows = [Row(doc_id=0, text="a b a b"), Row(doc_id=1, text="a c")]
+    out = {r.doc_id: r for r in bigram_lm_score(spark.createDataFrame(rows)).collect()}
+    V = 3
+    lp_ab = math.log2((2 + 1) / (3 + V))
+    lp_ba = math.log2((1 + 1) / (1 + V))
+    lp_ac = math.log2((1 + 1) / (3 + V))
+    h0 = -(2 * lp_ab + 1 * lp_ba) / 3
+    h1 = -lp_ac
+    assert out[0].n_bigrams == 3
+    assert out[0].bits_per_bigram == pytest.approx(round(h0, 6), abs=1e-6)
+    assert out[0].ppl == pytest.approx(round(2 ** h0, 3), abs=1e-3)
+    assert out[1].n_bigrams == 1
+    assert out[1].bits_per_bigram == pytest.approx(round(h1, 6), abs=1e-6)
+
+
+def test_bigram_lm_score_flags_gibberish(spark):
+    from maston_spark.llm.text import bigram_lm_score
+
+    # repeated fluent text scores lower than a one-off shuffle
+    fluent = "the cat sat on the mat"
+    rows = [Row(doc_id=i, text=fluent) for i in range(5)] + [
+        Row(doc_id=99, text="mat the on sat cat the")
+    ]
+    out = {r.doc_id: r for r in bigram_lm_score(spark.createDataFrame(rows)).collect()}
+    assert out[0].bits_per_bigram < out[99].bits_per_bigram
+
+
+# ---- tf-idf top terms ----
+
+
+def test_tfidf_top_terms_golden(spark):
+    from maston_spark.llm.text import tfidf_top_terms
+
+    rows = [
+        Row(doc_id=0, text="spark spark shuffle common common"),
+        Row(doc_id=1, text="duck oracle common common common"),
+        Row(doc_id=2, text="common words only common words"),
+    ]
+    out = tfidf_top_terms(spark.createDataFrame(rows), top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # per-doc ranks are 1..2 and ordered by tfidf desc then term asc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2]
+        assert rs[0].tfidf >= rs[1].tfidf
+    # 'common' appears in every doc -> idf = ln(1) = 0 -> never a top term
+    # for docs that have any distinctive term
+    assert by_doc[0][0].term == "spark"  # tf 2/5 * ln(3) beats shuffle 1/5*ln(3)
+    assert by_doc[0][1].term == "shuffle"
+    assert by_doc[1][0].term == "duck"   # tie with 'oracle' on value -> term asc
+    assert by_doc[1][1].term == "oracle"

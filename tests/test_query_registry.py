@@ -82,7 +82,8 @@ def test_graded_window_covers_unique_capabilities():
     window = list(all_queries())[:50]
     for must in (
         "q87_avro_evolution", "q88_domain_cap", "q90_winnow_fingerprints",
-        "q92_avro_roundtrip", "q94_semantic_dedup",
+        "q92_avro_roundtrip", "q94_semantic_dedup", "q95_exact_substring",
+        "q96_bigram_perplexity",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -91,7 +92,9 @@ def test_graded_window_covers_unique_capabilities():
         "q34_sliding_window": "q33_tumbling_window",
         "q35_session_window": "q33_tumbling_window",
         "q42_dedup_simhash": "q41_dedup_minhash_lsh",
+        "q44_lsh_ann": "q57_ivf_ann",
         "q47_fingerprint": "q40_dedup_exact",
+        "q54_chargram_jaccard": "q53_levenshtein_neardup",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
