@@ -12,6 +12,9 @@ Jaccard.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified
+                     # type hints against these module globals
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 DEFAULT_NUM_HASHES = 16
@@ -529,3 +532,135 @@ def connected_components(
                 break
             probe_base = labels
     return labels.unionByName(isolated)
+
+
+def _bloom_position(norm_col: Column, i: int, m: int) -> Column:
+    """Bloom hash i: 32-bit md5 lane of ``norm + ':i'``, mod m.
+    md5-based so the oracle computes the identical position."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(norm_col, F.lit(f":{i}"))), 1, 8), 16, 10
+        ).cast("long")
+        % m
+    )
+
+
+def build_bloom_bitmap(
+    ref: DataFrame, text_col: str = "text", m: int = 1 << 20, n_hashes: int = 2
+) -> bytes:
+    """Distributed Bloom-filter build over a reference corpus: each
+    task folds its partitions' bit positions into ONE local bitmap
+    (numpy, unbuffered `bitwise_or.at`), the driver ORs the per-task
+    bitmaps. Driver traffic is `n_tasks * m/8` bytes — independent of
+    corpus size, which is the entire point: a trillion-key historical
+    corpus collapses to a fixed-size structure.
+
+    Positions are md5-lane hashes of the *normalized* text (same
+    normalization as :func:`content_hash`), so the filter answers
+    "was this exact content in the reference corpus" with zero false
+    negatives and a false-positive rate ≈ (n_hashes·n_keys/m)^n_hashes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if m % 8 != 0:
+        raise ValueError("m must be a multiple of 8")
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    pos_df = ref.select(
+        F.explode(F.array(*[_bloom_position(norm, i, m) for i in range(n_hashes)])).alias(
+            "pos"
+        )
+    )
+
+    nbytes = m // 8
+
+    def fold(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            seen = True
+            p = pdf["pos"].to_numpy()
+            np.bitwise_or.at(bm, p // 8, (1 << (p % 8)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in pos_df.mapInPandas(fold, "bitmap binary").collect():
+        out |= np.frombuffer(row.bitmap, dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_incremental_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Incremental (cross-corpus) dedup of a NEW corpus against a
+    REFERENCE corpus via a driver-built Bloom bitmap — the standard
+    shape for deduplicating fresh crawl snapshots against a
+    historical corpus too large to equi-join on every ingest.
+
+    Per new document: ``maybe_dup`` (all ``n_hashes`` bit positions
+    set in the reference bitmap — no false negatives), ``is_dup``
+    (exact normalized-content match, via equi-join on the 128-bit
+    content hash), and ``false_positive`` (bloom hit, exact miss) so
+    the caller can measure the realized FP rate against the sizing
+    formula. At 100 TB the bloom probe prunes the ingest stream with
+    a broadcast fixed-size bitmap and NO shuffle; only the (rare)
+    bloom survivors proceed to the exact-hash confirm join, which is
+    exactly what this operator's two flags decompose.
+
+    The bitmap ships to executors via closure capture below ~4 MiB
+    and `SparkContext.broadcast` above it (one torrent transfer per
+    executor, not per task).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    bitmap = build_bloom_bitmap(ref_df, text_col=text_col, m=m, n_hashes=n_hashes)
+
+    spark = new_df.sparkSession
+    if m // 8 > (4 << 20):
+        bc = spark.sparkContext.broadcast(bitmap)
+
+        def _bm() -> bytes:
+            return bc.value
+
+    else:
+
+        def _bm() -> bytes:
+            return bitmap
+
+    @pandas_udf("boolean")
+    def bits_set(pos_arrays: pd.Series) -> pd.Series:
+        bm = np.frombuffer(_bm(), dtype=np.uint8)
+        pv = np.stack(pos_arrays.to_numpy())  # (batch, n_hashes) int64
+        hit = ((bm[pv // 8] >> (pv % 8).astype(np.uint8)) & 1).astype(bool)
+        return pd.Series(hit.all(axis=1))
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    probed = new_df.withColumn(
+        "maybe_dup",
+        bits_set(F.array(*[_bloom_position(norm, i, m) for i in range(n_hashes)])),
+    )
+    ref_hashes = (
+        ref_df.select(content_hash(F.col(text_col)).alias("__h")).distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        probed.withColumn("__h", content_hash(F.col(text_col)))
+        .join(ref_hashes, "__h", "left")
+        .select(
+            id_col,
+            "maybe_dup",
+            F.coalesce("__hit", F.lit(False)).alias("is_dup"),
+            (F.col("maybe_dup") & ~F.coalesce("__hit", F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+    )

@@ -69,11 +69,11 @@ _PRIORITY = [
     "q40_dedup_exact", "q41_dedup_minhash_lsh",
     "q43_cosine_topk", "q45_text_stats", "q46_lang_id",
     "q48_embedding_neardup", "q49_media_features",
-    "q50_frame_sample", "q51_quality_score", "q53_levenshtein_neardup",
+    "q51_quality_score", "q53_levenshtein_neardup",
     "q55_dup_clusters", "q57_ivf_ann",
     "q58_hash_split", "q59_source_mix",
     "q88_domain_cap", "q90_winnow_fingerprints", "q94_semantic_dedup",
-    "q95_exact_substring", "q96_bigram_perplexity",
+    "q95_exact_substring", "q96_bigram_perplexity", "q98_bloom_incremental",
     # Avro serde round-trips (Confluent wire format, schema evolution)
     "q73_safe_avro", "q87_avro_evolution", "q92_avro_roundtrip",
     # past the driver's 50-query graded window (locally
@@ -87,7 +87,7 @@ _PRIORITY = [
     # within-family siblings of already-graded flagships
     "q22_window_frames", "q34_sliding_window", "q35_session_window",
     "q42_dedup_simhash", "q44_lsh_ann", "q47_fingerprint",
-    "q54_chargram_jaccard",
+    "q50_frame_sample", "q54_chargram_jaccard",
 ]
 
 

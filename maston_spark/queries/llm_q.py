@@ -1321,3 +1321,57 @@ def q97_tfidf_topterms(spark, sf_dir):
     :func:`maston_spark.llm.text.tfidf_top_terms`."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.tfidf_top_terms(d, top_k=3)
+
+@query(
+    "q98_bloom_incremental",
+    oracle="""
+    WITH ref AS (SELECT doc_id, text FROM documents),
+    newdocs AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM ref WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' fresh tail' AS text
+      FROM ref WHERE doc_id % 5 = 0
+    ),
+    rnorm AS (SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+              FROM ref),
+    refpos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([
+          ('0x' || substr(md5(norm || ':0'), 1, 8))::BIGINT % 4096,
+          ('0x' || substr(md5(norm || ':1'), 1, 8))::BIGINT % 4096
+        ]) AS pos FROM rnorm)),
+    nnorm AS (SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+              FROM newdocs),
+    npos AS (SELECT doc_id, i,
+                    ('0x' || substr(md5(norm || ':' || i), 1, 8))::BIGINT % 4096 AS pos
+             FROM nnorm, (SELECT unnest([0, 1]) AS i)),
+    bloom AS (SELECT doc_id, bool_and(r.pos IS NOT NULL) AS maybe_dup
+              FROM npos n LEFT JOIN refpos r USING (pos) GROUP BY doc_id),
+    exact AS (SELECT n.doc_id,
+                     max(CASE WHEN rh.h IS NOT NULL THEN 1 ELSE 0 END) = 1 AS is_dup
+              FROM (SELECT doc_id, md5(norm) AS h FROM nnorm) n
+              LEFT JOIN (SELECT DISTINCT md5(norm) AS h FROM rnorm) rh USING (h)
+              GROUP BY n.doc_id)
+    SELECT doc_id, maybe_dup, is_dup,
+           (maybe_dup AND NOT is_dup) AS false_positive
+    FROM bloom JOIN exact USING (doc_id)
+    """,
+)
+def q98_bloom_incremental(spark, sf_dir):
+    """Bloom-filter incremental dedup: flag a NEW corpus (exact
+    copies of every 7th reference doc + genuinely fresh docs) against
+    the `documents` reference via a distributed-built bitmap.
+    ``m=4096`` is deliberately small so the ``false_positive``
+    column is exercised at test scale. See
+    :func:`maston_spark.llm.dedup.bloom_incremental_dedup`."""
+    ref = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = ref.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).unionByName(
+        ref.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" fresh tail")).alias("text"),
+        )
+    )
+    return DD.bloom_incremental_dedup(new, ref, m=4096, n_hashes=2)

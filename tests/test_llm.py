@@ -634,3 +634,58 @@ def test_tfidf_top_terms_golden(spark):
     assert by_doc[0][1].term == "shuffle"
     assert by_doc[1][0].term == "duck"   # tie with 'oracle' on value -> term asc
     assert by_doc[1][1].term == "oracle"
+
+
+# ---- bloom incremental dedup ----
+
+
+def test_bloom_incremental_dedup_no_false_negatives(spark):
+    from maston_spark.llm.dedup import bloom_incremental_dedup
+
+    ref = spark.createDataFrame(CORPUS)
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=CORPUS[0].text),            # exact dup
+            Row(doc_id=101, text="  THE quick   brown fox jumps over the lazy dog near the river bank "),  # dup after normalization
+            Row(doc_id=102, text="entirely novel document text here"),
+        ]
+    )
+    out = {r.doc_id: r for r in bloom_incremental_dedup(new, ref, m=1 << 20).collect()}
+    # zero false negatives: every exact dup is flagged by BOTH signals
+    assert out[100].maybe_dup and out[100].is_dup and not out[100].false_positive
+    assert out[101].maybe_dup and out[101].is_dup  # normalization applied
+    # big m -> no false positives at this scale
+    assert not out[102].maybe_dup and not out[102].is_dup
+
+
+def test_bloom_bitmap_matches_position_set_semantics(spark):
+    """The bitmap probe must agree exactly with the declarative
+    'all k positions in the reference position set' semantics the
+    oracle computes — including at tiny m where collisions abound."""
+    from pyspark.sql import functions as F
+
+    from maston_spark.llm.dedup import _bloom_position, bloom_incremental_dedup
+
+    m, k = 16, 2  # tiny: plenty of FPs by construction
+    ref = spark.createDataFrame(CORPUS)
+    new = spark.createDataFrame(
+        [Row(doc_id=i, text=f"synthetic doc number {i} with words") for i in range(40)]
+    )
+    got = {r.doc_id: r.maybe_dup for r in bloom_incremental_dedup(
+        new, ref, m=m, n_hashes=k).collect()}
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    refpos = {
+        r.pos
+        for r in ref.select(
+            F.explode(F.array(*[_bloom_position(norm, i, m) for i in range(k)])).alias("pos")
+        ).collect()
+    }
+    expected = {
+        r.doc_id: all(r[f"p{i}"] in refpos for i in range(k))
+        for r in new.select(
+            "doc_id", *[_bloom_position(norm, i, m).alias(f"p{i}") for i in range(k)]
+        ).collect()
+    }
+    assert got == expected
+    assert any(expected.values())  # tiny m actually produced bloom hits

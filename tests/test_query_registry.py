@@ -83,7 +83,7 @@ def test_graded_window_covers_unique_capabilities():
     for must in (
         "q87_avro_evolution", "q88_domain_cap", "q90_winnow_fingerprints",
         "q92_avro_roundtrip", "q94_semantic_dedup", "q95_exact_substring",
-        "q96_bigram_perplexity",
+        "q96_bigram_perplexity", "q98_bloom_incremental",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -94,6 +94,7 @@ def test_graded_window_covers_unique_capabilities():
         "q42_dedup_simhash": "q41_dedup_minhash_lsh",
         "q44_lsh_ann": "q57_ivf_ann",
         "q47_fingerprint": "q40_dedup_exact",
+        "q50_frame_sample": "q49_media_features",
         "q54_chargram_jaccard": "q53_levenshtein_neardup",
     }
     for demoted, flagship in siblings.items():
