@@ -428,7 +428,11 @@ def connected_components(
         # a < b filter never unions it — drop them so a self-loop-only
         # vertex is classified isolated (own cluster) on both paths
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        # NO distinct: duplicate edges are harmless on both paths
+        # (union-find skips same-root unions; the loop's per-vertex
+        # min-agg is idempotent), and every edge producer in this
+        # package emits distinct pairs anyway — a distinct here would
+        # be one more full shuffle of the edge set for nothing
         .localCheckpoint(eager=False)
     )
     # iterate over the ACTIVE subgraph only: a vertex touching no edge
@@ -457,8 +461,18 @@ def connected_components(
     # way: edge endpoints reference vertex ids (true for every edge
     # producer in this package).
     if small_graph_max_edges:
-        n_sym = sym.count()  # materializes the reusable checkpoint
-        if n_sym <= 2 * small_graph_max_edges:
+        # ONE job decides budget AND fetches the edges: collect at most
+        # budget+1 canonical (a < b) edge rows — if the limit row
+        # arrives, the graph exceeds the budget and the collected
+        # prefix is discarded in favor of the distributed loop. This
+        # replaces the former count()-then-collect() pair (two full
+        # passes, two driver barriers) with a single pass.
+        edge_rows = (
+            sym.filter(F.col("a") < F.col("b"))
+            .limit(small_graph_max_edges + 1)
+            .collect()
+        )
+        if len(edge_rows) <= small_graph_max_edges:
             parent: dict = {}
 
             def find(x):
@@ -470,7 +484,7 @@ def connected_components(
                 return root
 
             seen = set()
-            for r in sym.filter(F.col("a") < F.col("b")).collect():
+            for r in edge_rows:
                 a, b = r["a"], r["b"]
                 seen.add(a)
                 seen.add(b)
