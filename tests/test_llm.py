@@ -689,3 +689,50 @@ def test_bloom_bitmap_matches_position_set_semantics(spark):
     }
     assert got == expected
     assert any(expected.values())  # tiny m actually produced bloom hits
+
+
+def test_exact_substring_spans_matches_bruteforce_on_random_corpus(spark):
+    """Seeded randomized equivalence vs a direct transcription of the
+    Lee-et-al. semantics: duplicated k-gram = k-token window occurring
+    >= 2 times corpus-wide; coverage = |union of duplicated windows|.
+    Random small-vocab docs make collisions/overlaps/within-doc
+    repeats all common."""
+    import random
+
+    from maston_spark.llm.text import exact_substring_spans
+
+    rng = random.Random(8451)
+    k = 4
+    docs = {
+        i: [rng.choice("abcdefg") for _ in range(rng.randint(1, 30))]
+        for i in range(30)
+    }
+    # brute force
+    from collections import Counter
+
+    counts = Counter()
+    for toks in docs.values():
+        for s in range(len(toks) - k + 1):
+            counts[tuple(toks[s : s + k])] += 1
+    expected = {}
+    for i, toks in docs.items():
+        starts = [
+            s
+            for s in range(len(toks) - k + 1)
+            if counts[tuple(toks[s : s + k])] >= 2
+        ]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + k))
+        expected[i] = (len(toks), len(starts), len(covered))
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(t)) for i, t in docs.items()]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_grams, r.n_dup_tokens)
+        for r in exact_substring_spans(df, k=k).collect()
+    }
+    assert got == expected
+    # the random corpus actually exercised duplication
+    assert any(v[1] > 0 for v in expected.values())
