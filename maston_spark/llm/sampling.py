@@ -183,3 +183,132 @@ def domain_cap(
         pruned.withColumn("domain_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("domain_rank") <= cap)
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Token-window chunking with overlap — the RAG / context-window
+    preparation step: split each document's token stream into
+    ``chunk_size``-token windows starting every
+    ``chunk_size - overlap`` tokens, so consecutive chunks share
+    ``overlap`` tokens and no retrieval boundary loses context.
+
+    Scale shape: pure codegen — one `split`, one `posexplode` of a
+    per-row `sequence` of starts, one `slice`+`array_join`. No
+    shuffle, no UDF, no state; output rows ≈ input tokens /
+    (chunk_size - overlap), generated task-locally so chunking 100 TB
+    is a map-only job that parallelizes with the input file layout.
+
+    Deterministic: chunk boundaries are a pure function of the token
+    count, identical on any engine (the DuckDB oracle reproduces them
+    with `range()` + list slicing).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0)), F.lit(stride)
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "__toks",
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.least(
+            F.lit(chunk_size), F.col("n_tokens") - F.col("chunk_start")
+        ).cast("int").alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("chunk_start") + 1, chunk_size), " "
+        ).alias("chunk_text"),
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., NeurIPS 2023,
+    "Data Selection for Language Models via Importance Resampling";
+    public): score every document by how target-like its hashed
+    bag-of-words is. Features are md5 lanes of each token modulo
+    ``n_buckets``; the target distribution ``p`` comes from the rows
+    matching ``target_filter``, the raw distribution ``q`` from the
+    whole corpus, both add-one smoothed. A document's log-weight is
+    ``sum_b count_b * (ln p_b - ln q_b)`` — resample with weights
+    ``exp(log_w)`` to shift the corpus toward the target domain.
+
+    Scale shape: token→bucket counting is a map-side-combinable hash
+    agg on (doc, bucket); the two distributions reduce the SAME
+    (doc, bucket) table to ``n_buckets`` rows (a broadcast-size
+    side); the per-doc score is one more combinable agg. Raw text
+    crosses no shuffle — only (doc, bucket, count) rows do. The
+    corpus tokenizes twice (distribution build + probe join); for a
+    one-pass run at extreme scale, persist the reduced (doc, bucket,
+    count) table between the two uses.
+
+    Cross-engine determinism: the per-bucket log-ratio is rounded to
+    9 decimals and summed as DECIMAL(28,9) — decimal addition is
+    exact and order-independent, so Spark's unordered aggregation
+    and the oracle's produce bit-identical sums.
+    """
+    tok = F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    lane = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+    doc_bucket = (
+        df.select(F.col(id_col), F.col(text_col), target_filter.alias("__tgt"))
+        .select(id_col, "__tgt", tok)
+        .select(id_col, "__tgt", lane)
+        .groupBy(id_col, "__tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # n_buckets-row distribution table: smoothed target + raw log-probs.
+    # Totals come from an unpartitioned window over the SAME tiny
+    # table (n_buckets rows in one task) — not a separate agg branch,
+    # which would re-tokenize the whole corpus a third time.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    dist = (
+        doc_bucket.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("q_cnt"),
+            F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))).alias(
+                "p_cnt"
+            ),
+        )
+    )
+    log_ratio = F.round(
+        F.log((F.col("p_cnt") + 1) / (F.sum("p_cnt").over(w_all) + n_buckets))
+        - F.log((F.col("q_cnt") + 1) / (F.sum("q_cnt").over(w_all) + n_buckets)),
+        9,
+    ).alias("log_ratio")
+    dist = dist.select("bucket", log_ratio)
+    contrib = (F.col("cnt") * F.col("log_ratio")).cast("decimal(28,9)")
+    return (
+        doc_bucket.join(F.broadcast(dist), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("log_weight"),
+        )
+    )

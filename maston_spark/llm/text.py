@@ -676,3 +676,42 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical diversity: distinct-token count,
+    type-token ratio, and Shannon entropy of the within-document
+    token distribution — the standard "is this document degenerate
+    repetition or real language" signals used alongside Gopher's
+    repetition rules (Rae et al. 2021; public).
+
+    Scale shape: one map-side-combinable (doc, term) count agg, then
+    one per-doc agg — raw text never shuffles, only (doc, term,
+    count) rows. No window, no UDF, all codegen.
+
+    Cross-engine determinism: each term's entropy contribution
+    ``-p*ln p`` is rounded to 9 decimals and summed as
+    DECIMAL(28,9) (exact, order-independent), so Spark's unordered
+    sum and the oracle's match bit-for-bit.
+    """
+    toks = tokens(F.col(text_col))
+    doc_term = (
+        df.select(F.col(id_col), F.size(toks).alias("n_tokens"), F.explode(toks).alias("term"))
+        .groupBy(id_col, "n_tokens", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = F.col("cnt") / F.col("n_tokens")
+    contrib = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+    return doc_term.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.round(F.count(F.lit(1)) / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        F.round(F.sum(contrib).cast("double"), 6).alias("entropy"),
+    ).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "distinct_tokens",
+        "type_token_ratio",
+        "entropy",
+    )

@@ -58,10 +58,12 @@ _PRIORITY = [
     "q33_tumbling_window",
     "q36_drop_duplicates", "q60_safe_json", "q61_process_errors",
     "q62_safe_serialize", "q63_delta_expr", "q64_delta_fold",
-    # multi-join / subquery family
+    # multi-join / subquery family (q67 exists / q71 in-subquery are
+    # demoted siblings: both rewrite to the same semi-join physical
+    # family as graded q07; q68 stays for the anti-join rewrite)
     "q65_shipping_priority", "q66_local_supplier_volume",
-    "q67_exists_subquery", "q68_not_exists_antijoin", "q69_scalar_subquery",
-    "q70_customer_distribution", "q71_in_subquery", "q72_uncorrelated_scalar",
+    "q68_not_exists_antijoin", "q69_scalar_subquery",
+    "q70_customer_distribution", "q72_uncorrelated_scalar",
     # LLM-pipeline set (unique capabilities first; within-family
     # variants — simhash after minhash, fingerprint after exact-hash,
     # sliding/session after tumbling, frames after rank — are in the
@@ -74,6 +76,7 @@ _PRIORITY = [
     "q58_hash_split", "q59_source_mix",
     "q88_domain_cap", "q90_winnow_fingerprints", "q94_semantic_dedup",
     "q95_exact_substring", "q96_bigram_perplexity", "q98_bloom_incremental",
+    "q99_chunk_overlap", "q100_dsir_weights",
     # Avro serde round-trips (Confluent wire format, schema evolution)
     "q73_safe_avro", "q87_avro_evolution", "q92_avro_roundtrip",
     # past the driver's 50-query graded window (locally
@@ -83,7 +86,8 @@ _PRIORITY = [
     "q80_promo_revenue", "q81_priority_linestatus", "q82_corr_covar",
     "q83_quantize_embeddings", "q84_sessionize", "q85_funnel",
     "q86_retention", "q89_corpus_freq", "q91_dedup_keepers",
-    "q93_winnow_neardup", "q97_tfidf_topterms",
+    "q93_winnow_neardup", "q97_tfidf_topterms", "q101_lexical_diversity",
+    "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships
     "q22_window_frames", "q34_sliding_window", "q35_session_window",
     "q42_dedup_simhash", "q44_lsh_ann", "q47_fingerprint",

@@ -1375,3 +1375,93 @@ def q98_bloom_incremental(spark, sf_dir):
         )
     )
     return DD.bloom_incremental_dedup(new, ref, m=4096, n_hashes=2)
+
+
+@query(
+    "q99_chunk_overlap",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    s AS (SELECT doc_id, toks, n,
+                 unnest(range(0, greatest(n, 1), 48)) AS chunk_start
+          FROM t2)
+    SELECT doc_id,
+           CAST(chunk_start // 48 AS INT) AS chunk_id,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(least(64, n - chunk_start) AS INT) AS chunk_len,
+           array_to_string(toks[chunk_start + 1 : chunk_start + 64], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def q99_chunk_overlap(spark, sf_dir):
+    """Token-window chunking with 16-token overlap (RAG prep). See
+    :func:`maston_spark.llm.sampling.chunk_tokens`."""
+    from maston_spark.llm import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return SAMP.chunk_tokens(d, chunk_size=64, overlap=16).drop("n_tokens")
+
+
+@query(
+    "q100_dsir_weights",
+    oracle="""
+    WITH base AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    db AS (SELECT doc_id, tgt,
+                  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket,
+                  count(*) AS cnt
+           FROM base GROUP BY 1, 2, 3),
+    dist AS (SELECT bucket, sum(cnt) AS q_cnt,
+                    sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS p_cnt
+             FROM db GROUP BY 1),
+    tot AS (SELECT sum(q_cnt) AS q_tot, sum(p_cnt) AS p_tot FROM dist),
+    lr AS (SELECT bucket,
+                  round(ln((p_cnt + 1) / CAST(p_tot + 256 AS DOUBLE))
+                      - ln((q_cnt + 1) / CAST(q_tot + 256 AS DOUBLE)), 9)
+                    AS log_ratio
+           FROM dist, tot)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(cnt * log_ratio AS DECIMAL(28,9))) AS DOUBLE), 6)
+             AS log_weight
+    FROM db JOIN lr USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def q100_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: hashed bag-of-words likelihood ratio
+    of a target domain (sources src0/src1) vs the raw corpus. See
+    :func:`maston_spark.llm.sampling.dsir_log_weights`."""
+    from maston_spark.llm import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return SAMP.dsir_log_weights(
+        d, target_filter=F.col("source").isin("src0", "src1"), n_buckets=256
+    )
+
+
+@query(
+    "q101_lexical_diversity",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    dt AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM t),
+    g AS (SELECT doc_id, n_tokens, term, count(*) AS cnt
+          FROM dt GROUP BY 1, 2, 3)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           round(count(*) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+           round(CAST(sum(CAST(round(
+                   -(cnt / CAST(n_tokens AS DOUBLE))
+                     * ln(cnt / CAST(n_tokens AS DOUBLE)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+    FROM g GROUP BY doc_id, n_tokens
+    """,
+)
+def q101_lexical_diversity(spark, sf_dir):
+    """Distinct-token count, type-token ratio, and within-document
+    Shannon entropy. See
+    :func:`maston_spark.llm.text.lexical_diversity`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.lexical_diversity(d)

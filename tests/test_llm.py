@@ -736,3 +736,80 @@ def test_exact_substring_spans_matches_bruteforce_on_random_corpus(spark):
     assert got == expected
     # the random corpus actually exercised duplication
     assert any(v[1] > 0 for v in expected.values())
+
+
+def test_chunk_tokens_boundaries_and_overlap(spark):
+    from maston_spark.llm.sampling import chunk_tokens
+
+    # 10 tokens, chunk_size=4, overlap=2 -> stride 2, starts 0,2,4,6,8
+    doc = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, doc), (2, "solo")], "doc_id long, text string")
+    out = chunk_tokens(df, chunk_size=4, overlap=2)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert [k for k in rows if k[0] == 1] == [(1, i) for i in range(5)]
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t2 t3 t4 t5"  # 2-token overlap
+    assert rows[(1, 4)].chunk_text == "t8 t9"  # short tail chunk
+    assert rows[(1, 4)].chunk_len == 2
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = rows[(1, 0)].chunk_text.split(), rows[(1, 1)].chunk_text.split()
+    assert a[-2:] == b[:2]
+    # a document shorter than one chunk yields exactly one chunk
+    assert rows[(2, 0)].chunk_text == "solo" and rows[(2, 0)].chunk_len == 1
+    # exact-multiple length: last start covers new tokens only
+    df3 = spark.createDataFrame([(3, "a b c d")], "doc_id long, text string")
+    out3 = chunk_tokens(df3, chunk_size=2, overlap=0).collect()
+    assert sorted(r.chunk_text for r in out3) == ["a b", "c d"]
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from maston_spark.llm.sampling import chunk_tokens
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, chunk_size=4, overlap=4)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from maston_spark.llm.sampling import dsir_log_weights
+
+    # target docs speak "alpha beta", raw background speaks "zig zag";
+    # a fresh doc written in target language must outscore one written
+    # in background language.
+    rows = (
+        [(i, "alpha beta alpha beta", "tgt") for i in range(10)]
+        + [(100 + i, "zig zag zig zag", "bg") for i in range(10)]
+        + [(900, "alpha beta alpha beta", "probe_t"), (901, "zig zag zig zag", "probe_b")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_log_weights(
+        df, target_filter=F.col("source") == "tgt", n_buckets=64
+    )
+    w = {r.doc_id: r.log_weight for r in out.collect()}
+    assert w[900] > w[901]
+    assert w[900] > 0 > w[901]
+    # token counts survive the agg
+    n = {r.doc_id: r.n_tokens for r in out.collect()}
+    assert n[900] == 4
+
+
+def test_lexical_diversity_entropy_golden(spark):
+    import math
+
+    from maston_spark.llm.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lexical_diversity(df).collect()}
+    assert out[1].distinct_tokens == 1 and out[1].entropy == 0.0
+    assert out[2].type_token_ratio == 1.0
+    assert abs(out[2].entropy - round(math.log(4), 6)) < 1e-9
+    # two tokens at p=.5 each: entropy = ln 2
+    assert abs(out[3].entropy - round(math.log(2), 6)) < 1e-9
+    assert out[3].distinct_tokens == 2 and out[3].type_token_ratio == 0.5
