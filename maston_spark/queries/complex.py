@@ -497,3 +497,99 @@ def q81_priority_linestatus(spark, sf_dir):
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "q102_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q102_large_volume_customer(spark, sf_dir):
+    """TPC-H-Q18-style large-volume customers: who placed orders
+    totalling > 300 units.
+
+    Spark-first shape: the IN-subquery is pre-aggregated on lineitem
+    FIRST (map-side-combinable sum per orderkey, then the HAVING
+    filter) and used as a semi-join — at 100 TB the filter reduces
+    lineitem to the rare heavy orders BEFORE the customer/orders
+    joins, and quantity sums are exact (integral doubles), so the
+    HAVING threshold is engine-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(big, orders.o_orderkey == big.big_orderkey, "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q103_small_quantity_revenue",
+    oracle="""
+    WITH lim AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                 AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN lim   ON lim.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4' AND l.l_quantity < lim.qty_lim
+    """,
+)
+def q103_small_quantity_revenue(spark, sf_dir):
+    """TPC-H-Q17-style small-quantity-order revenue: yearly revenue
+    lost if below-20%-of-average-quantity orders of one brand were
+    not filled.
+
+    Spark-first shape: the correlated aggregate subquery is
+    DECORRELATED by hand into a per-part average (combinable agg)
+    joined back on partkey — Catalyst plans two shuffles on
+    l_partkey and broadcast-joins the part dim. Revenue sums as
+    DECIMAL(18,4) so the single-row answer is summation-order-exact
+    across engines (l_extendedprice is not 2-dp clean).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lim = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#4")),
+                li.l_partkey == part.p_partkey)
+        .join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
