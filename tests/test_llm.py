@@ -813,3 +813,36 @@ def test_lexical_diversity_entropy_golden(spark):
     # two tokens at p=.5 each: entropy = ln 2
     assert abs(out[3].entropy - round(math.log(2), 6)) < 1e-9
     assert out[3].distinct_tokens == 2 and out[3].type_token_ratio == 0.5
+
+
+def test_chunk_tokens_coverage_property(spark):
+    """Property over random (n_tokens, chunk_size, overlap): chunk
+    starts tile [0, n) with the declared stride, every token appears
+    in at least one chunk, and consecutive chunks share exactly
+    `overlap` tokens (except a shorter tail)."""
+    import random
+
+    rng = random.Random(8)
+    cases = [
+        (rng.randint(1, 40), rng.randint(2, 12)) for _ in range(12)
+    ]
+    from maston_spark.llm.sampling import chunk_tokens
+
+    for n, size in cases:
+        overlap = rng.randint(0, size - 1)
+        stride = size - overlap
+        doc = " ".join(f"w{i}" for i in range(n))
+        df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+        rows = sorted(
+            chunk_tokens(df, chunk_size=size, overlap=overlap).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        starts = [r.chunk_start for r in rows]
+        assert starts == list(range(0, n, stride)), (n, size, overlap)
+        covered = set()
+        for r in rows:
+            toks = r.chunk_text.split()
+            assert len(toks) == r.chunk_len <= size
+            assert toks == [f"w{i}" for i in range(r.chunk_start, r.chunk_start + r.chunk_len)]
+            covered.update(range(r.chunk_start, r.chunk_start + r.chunk_len))
+        assert covered == set(range(n)), (n, size, overlap)
