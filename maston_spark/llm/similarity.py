@@ -720,3 +720,74 @@ def semantic_dedup(
         .sortWithinPartitions("cell", "__id")
         .mapInPandas(dedup_cells, "vec_id long, cell int, kept boolean, evicted_by long")
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact covariance matrix of an embedding column — the
+    precursor to PCA / ZCA whitening and Mahalanobis ANN (public
+    linear algebra; the d x d matrix is eigendecomposed driver-side
+    afterwards, it's tiny). Returns the upper triangle as
+    ``(i, j, cov)`` rows with the unbiased (N-1) estimator.
+
+    Scale shape: NO self-join — two CHAINED generators (posexplode
+    of the vector, then posexplode again per element) emit the d²/2
+    per-row products straight into a map-side-combinable hash agg,
+    so each task reduces to at most d²/2 partial rows before the
+    single shuffle. Per-dimension sums reduce the same way to d rows
+    and broadcast back. At d=1024 the generator fan-out is 0.5M rows
+    per input row — all consumed inside one codegen stage, never
+    materialized or shuffled raw.
+
+    Cross-engine determinism: element products and per-dimension
+    sums are rounded to 9 decimals and summed as DECIMAL(38,9)
+    (exact, order-independent); the final covariance combines those
+    exact sums with IEEE double ops, identical on any engine.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("__v"))
+    elems = base.select("__v", F.posexplode("__v").alias("i", "xi"))
+    pairs = (
+        elems.select("i", "xi", F.posexplode("__v").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.round(F.col("xi") * F.col("xj"), 9).cast("decimal(38,9)")).alias(
+                "s_ij"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    dims = (
+        base.select(F.posexplode("__v").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum(F.round(F.col("xi"), 9).cast("decimal(38,9)")).alias("s"))
+    )
+    return (
+        pairs.join(F.broadcast(dims.select(F.col("i"), F.col("s").alias("s_i"))), "i")
+        .join(
+            F.broadcast(dims.select(F.col("i").alias("j"), F.col("s").alias("s_j"))),
+            "j",
+        )
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            # + 0.0 canonicalizes IEEE negative zero (round() of a
+            # tiny negative cov yields -0.0, which hashes differently
+            # from 0.0 even though it compares equal)
+            (
+                F.round(
+                    (
+                        F.col("s_ij").cast("double")
+                        - F.col("s_i").cast("double")
+                        * F.col("s_j").cast("double")
+                        / F.col("n")
+                    )
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""Data profiling: exact per-column statistics in ONE table scan.
+
+Every analytics engine ships a DESCRIBE/SUMMARY; this one is exact
+(count distinct, not a sketch) and oracle-checkable, built for audit
+reports on curated training corpora where "how many distinct values,
+how many nulls" must be a number you can reproduce, not an estimate.
+Spark's own ``df.summary()`` uses approximate percentiles and isn't
+deterministic across partitionings; this is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Long-format exact profile of numeric columns: one output row
+    per column with row/null/distinct counts and min/max.
+
+    Scale shape: the columns are stacked into (column, value) pairs
+    by a single generator — ONE scan of the table regardless of how
+    many columns are profiled — and every statistic is a map-side-
+    combinable aggregate. ``n_distinct`` is exact: Spark plans a
+    partial distinct per (column, value) before the final count, so
+    the shuffle carries at most the distinct set, not the raw rows.
+    min/max/counts are order-independent, so no rounding tricks are
+    needed; values pass through as doubles untouched.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        pairs.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+        )
+        .select(
+            "column",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_val",
+            "max_val",
+        )
+    )

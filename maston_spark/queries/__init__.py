@@ -88,6 +88,7 @@ _PRIORITY = [
     "q86_retention", "q89_corpus_freq", "q91_dedup_keepers",
     "q93_winnow_neardup", "q97_tfidf_topterms", "q101_lexical_diversity",
     "q102_large_volume_customer", "q103_small_quantity_revenue",
+    "q104_embedding_covariance", "q105_profile_numeric",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships
     "q22_window_frames", "q34_sliding_window", "q35_session_window",

@@ -1465,3 +1465,62 @@ def q101_lexical_diversity(spark, sf_dir):
     :func:`maston_spark.llm.text.lexical_diversity`."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.lexical_diversity(d)
+
+
+@query(
+    "q104_embedding_covariance",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    x AS (SELECT vec_id, gs - 1 AS i, CAST(embedding[gs] AS DOUBLE) AS xi
+          FROM e, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS gs) t),
+    p AS (SELECT a.i AS i, b.i AS j,
+                 sum(CAST(round(a.xi * b.xi, 9) AS DECIMAL(38,9))) AS s_ij,
+                 count(*) AS n
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+          GROUP BY 1, 2),
+    d AS (SELECT i, sum(CAST(round(xi, 9) AS DECIMAL(38,9))) AS s
+          FROM x GROUP BY 1)
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+           round((CAST(s_ij AS DOUBLE)
+                  - CAST(di.s AS DOUBLE) * CAST(dj.s AS DOUBLE) / n)
+                 / (n - 1), 6) + 0.0 AS cov
+    FROM p JOIN d di ON di.i = p.i JOIN d dj ON dj.i = p.j
+    """,
+)
+def q104_embedding_covariance(spark, sf_dir):
+    """Exact upper-triangle covariance matrix of the embedding
+    column (PCA/whitening precursor). See
+    :func:`maston_spark.llm.similarity.embedding_covariance`."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.embedding_covariance(e)
+
+
+@query(
+    "q105_profile_numeric",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'l_quantity' AS "column", l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           min(v) AS min_val, max(v) AS max_val
+    FROM pairs GROUP BY "column"
+    """,
+)
+def q105_profile_numeric(spark, sf_dir):
+    """Exact one-scan numeric profile of lineitem's measure columns.
+    See :func:`maston_spark.profiling.profile_numeric`."""
+    from maston_spark.profiling import profile_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

@@ -846,3 +846,37 @@ def test_chunk_tokens_coverage_property(spark):
             assert toks == [f"w{i}" for i in range(r.chunk_start, r.chunk_start + r.chunk_len)]
             covered.update(range(r.chunk_start, r.chunk_start + r.chunk_len))
         assert covered == set(range(n)), (n, size, overlap)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from maston_spark.llm.similarity import embedding_covariance
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df).collect()}
+    C = np.cov(X.astype(np.float64), rowvar=False, ddof=1)
+    assert len(got) == 5 * 6 // 2  # upper triangle only
+    for (i, j), v in got.items():
+        assert i <= j
+        assert abs(v - C[i, j]) < 1e-5, (i, j, v, C[i, j])
+
+
+def test_profile_numeric_golden(spark):
+    from maston_spark.profiling import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.5), (2.0, None), (3.0, -1.0)],
+        "a double, b double",
+    )
+    prof = {r.column: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert prof["a"].n_rows == 4 and prof["a"].n_nulls == 0
+    assert prof["a"].n_distinct == 3
+    assert prof["a"].min_val == 1.0 and prof["a"].max_val == 3.0
+    assert prof["b"].n_nulls == 2 and prof["b"].n_distinct == 2
+    assert prof["b"].min_val == -1.0 and prof["b"].max_val == 5.5
