@@ -746,8 +746,22 @@ def embedding_covariance(
     exact sums with IEEE double ops, identical on any engine.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col), v.alias("__v"))
+    # hash-repartition on the id so pair generation parallelizes by
+    # ROW COUNT, not input file layout (a single-file table would
+    # otherwise run the whole d²/2 fan-out in one task); the shuffle
+    # moves only N·d doubles — 1/d² of the generated volume. The
+    # partition count is EXPLICIT: AQE would coalesce this small
+    # shuffle to one partition by byte size, which is exactly wrong
+    # for a generator whose output is d² times its input.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col), v.alias("__v")).repartition(
+        n_parts, F.col(id_col)
+    )
     elems = base.select("__v", F.posexplode("__v").alias("i", "xi"))
+    # explode-then-filter beats slicing the tail before the second
+    # generator: a per-element dynamic slice allocates a fresh array
+    # per (row, i) — O(N·d) copies — while the filter discards rows
+    # inside codegen with no allocation (measured 2x)
     pairs = (
         elems.select("i", "xi", F.posexplode("__v").alias("j", "xj"))
         .filter(F.col("j") >= F.col("i"))

@@ -593,3 +593,53 @@ def q103_small_quantity_revenue(spark, sf_dir):
             ).alias("avg_yearly")
         )
     )
+
+
+@query(
+    "q106_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3%'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q106_parts_supplier_counts(spark, sf_dir):
+    """TPC-H-Q16-style supplier counts per part group, excluding a
+    supplier set via NOT IN — the null-aware anti-join rewrite
+    family (a distinct physical operator from q68's NOT EXISTS
+    regular anti-join: NOT IN must treat a NULL on either side as
+    "unknown", so Catalyst plans a null-aware anti join unless it
+    can prove non-nullability).
+
+    Scale: part's brand/size filters broadcast-prune lineitem before
+    the distinct-count shuffle; the excluded supplier set is tiny and
+    broadcast. count(DISTINCT) plans partial distinct per group
+    before the final exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    excluded = supp.filter(F.col("s_name").like("%3%")).select("s_suppkey")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    li_kept = li.join(
+        excluded, li.l_suppkey == excluded.s_suppkey, "left_anti"
+    )
+    return (
+        li_kept.join(F.broadcast(pf), li_kept.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
