@@ -89,7 +89,8 @@ _PRIORITY = [
     "q93_winnow_neardup", "q97_tfidf_topterms", "q101_lexical_diversity",
     "q102_large_volume_customer", "q103_small_quantity_revenue",
     "q104_embedding_covariance", "q105_profile_numeric",
-    "q106_parts_supplier_counts",
+    "q106_parts_supplier_counts", "q107_returned_item_revenue",
+    "q108_discounted_revenue_dnf",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships
     "q22_window_frames", "q34_sliding_window", "q35_session_window",

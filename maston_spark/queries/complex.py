@@ -643,3 +643,116 @@ def q106_parts_supplier_counts(spark, sf_dir):
             F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
         )
     )
+
+
+@query(
+    "q107_returned_item_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+           c.c_acctbal, n.n_name, c.c_mktsegment
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q107_returned_item_revenue(spark, sf_dir):
+    """TPC-H-Q10-style returned-item reporting: top-20 customers by
+    revenue lost to returns in a six-month window.
+
+    Plan at scale: both the returnflag filter and the orderdate
+    window push to the scans; orders joins lineitem on the one
+    mandatory orderkey shuffle; nation (25 rows) broadcasts; the
+    top-20 is TakeOrderedAndProject. Revenue is rounded per-item to
+    6 dp then summed as DECIMAL(18,6), so the customer ranking is
+    summation-order-exact across engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    item = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "n_name")
+        .agg(F.round(F.sum(item).cast("double"), 2).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
+            "c_mktsegment",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q108_discounted_revenue_dnf",
+    oracle="""
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q108_discounted_revenue_dnf(spark, sf_dir):
+    """TPC-H-Q19-style discounted revenue with an OR-of-ANDs (DNF)
+    join predicate mixing both tables' columns.
+
+    Plan at scale: Catalyst extracts the single-table conjuncts from
+    the DNF — the p_brand/p_size disjunction prunes part AT THE SCAN
+    (PushedFilters carries the Or), and the l_quantity range union
+    (1..30) prunes lineitem — before the equi-join on partkey; the
+    mixed residual evaluates post-join. Without that extraction this
+    family degenerates to a filter over the full join product.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    item = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(18,6)")
+    return j.filter(cond).agg(
+        F.round(F.sum(item).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
