@@ -73,7 +73,7 @@ _PRIORITY = [
     "q48_embedding_neardup", "q49_media_features",
     "q51_quality_score", "q53_levenshtein_neardup",
     "q55_dup_clusters", "q57_ivf_ann",
-    "q58_hash_split", "q59_source_mix",
+    "q58_hash_split", "q104_embedding_covariance",
     "q88_domain_cap", "q90_winnow_fingerprints", "q94_semantic_dedup",
     "q95_exact_substring", "q96_bigram_perplexity", "q98_bloom_incremental",
     "q99_chunk_overlap", "q100_dsir_weights",
@@ -88,7 +88,7 @@ _PRIORITY = [
     "q86_retention", "q89_corpus_freq", "q91_dedup_keepers",
     "q93_winnow_neardup", "q97_tfidf_topterms", "q101_lexical_diversity",
     "q102_large_volume_customer", "q103_small_quantity_revenue",
-    "q104_embedding_covariance", "q105_profile_numeric",
+    "q59_source_mix", "q105_profile_numeric",
     "q106_parts_supplier_counts", "q107_returned_item_revenue",
     "q108_discounted_revenue_dnf",
     "q67_exists_subquery", "q71_in_subquery",
