@@ -399,6 +399,19 @@ def winnow_fingerprints(
             F.col("__norm"), (F.col("__s") * B + 1).cast("int"), B + window + k - 2
         ).alias("__chunk"),
     )
+    # Explicit-count repartition on the window's OWN keys, at CHUNK
+    # granularity: (a) the per-position md5 hashing below lands
+    # after this exchange, so it parallelizes by chunk count instead
+    # of input file layout (a single-file corpus would otherwise
+    # hash everything in one task — measured 3.5 s → ~1 s at sf0.1);
+    # (b) HashPartitioning(id, __s) satisfies the window's required
+    # distribution, so this REPLACES the window's position-level
+    # exchange (~len rows) with a chunk-level one (~len/B rows) —
+    # one shuffle either way, ours is the cheaper one. The count is
+    # explicit because AQE would coalesce a small chunk shuffle into
+    # few partitions, exactly wrong ahead of a B-fold generator.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sharded = sharded.repartition(n_parts, F.col(id_col), F.col("__s"))
     pos = sharded.select(
         id_col,
         "__nstarts",
