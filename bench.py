@@ -28,6 +28,11 @@ HEADLINE = [
     "q55_dup_clusters",      # connected components (iterative)
     "q63_delta_expr",        # maston delta operator (expr path)
     "q79_market_share",      # 6-way join (heaviest relational plan)
+    # round-8 additions: the new heavy flagships
+    "q90_winnow_fingerprints",  # winnowing (sharded windows, chunk-level repartition)
+    "q94_semantic_dedup",       # SemDeDup (blockwise keep-one)
+    "q100_dsir_weights",        # DSIR hashed bag-of-words importance weights
+    "q104_embedding_covariance",# exact d x d covariance (pair generator)
 ]
 
 

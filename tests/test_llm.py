@@ -880,3 +880,65 @@ def test_profile_numeric_golden(spark):
     assert prof["a"].min_val == 1.0 and prof["a"].max_val == 3.0
     assert prof["b"].n_nulls == 2 and prof["b"].n_distinct == 2
     assert prof["b"].min_val == -1.0 and prof["b"].max_val == 5.5
+
+
+def test_dsir_weights_match_numpy_reference(spark):
+    """DSIR log-weights against a direct numpy re-implementation of
+    the same hashed bag-of-words likelihood ratio (add-one smoothed,
+    9-dp-rounded log-ratios)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from maston_spark.llm.sampling import dsir_log_weights
+
+    m = 16
+    docs = {
+        1: ("alpha beta gamma", True),
+        2: ("beta beta delta", True),
+        3: ("zig zag zig", False),
+        4: ("alpha zag beta zig", False),
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % m
+
+    p_cnt = [0] * m
+    q_cnt = [0] * m
+    per_doc = {}
+    for did, (text, tgt) in docs.items():
+        counts = {}
+        for t in text.split():
+            b = bucket(t)
+            counts[b] = counts.get(b, 0) + 1
+            q_cnt[b] += 1
+            if tgt:
+                p_cnt[b] += 1
+        per_doc[did] = counts
+    p_tot, q_tot = sum(p_cnt), sum(q_cnt)
+    lr = [
+        round(
+            math.log((p_cnt[b] + 1) / (p_tot + m))
+            - math.log((q_cnt[b] + 1) / (q_tot + m)),
+            9,
+        )
+        for b in range(m)
+    ]
+    expected = {
+        did: round(sum(c * lr[b] for b, c in counts.items()), 6)
+        for did, counts in per_doc.items()
+    }
+
+    df = spark.createDataFrame(
+        [(did, text, tgt) for did, (text, tgt) in docs.items()],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    got = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(
+            df, target_filter=F.col("is_tgt"), n_buckets=m
+        ).collect()
+    }
+    for did, w in expected.items():
+        assert abs(got[did] - w) < 1e-9, (did, got[did], w)
