@@ -274,8 +274,17 @@ def dsir_log_weights(
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
         % n_buckets
     ).alias("bucket")
+    # Explicit-count repartition on the doc id BEFORE tokenizing:
+    # HashPartitioning(id) satisfies every downstream grouping that
+    # contains the id, so the (doc, bucket) count agg and the final
+    # per-doc score agg run exchange-free — one text-level shuffle
+    # (fewer bytes than the exploded token rows it replaces) instead
+    # of two token-level ones, and the md5 hashing parallelizes by
+    # row count, not input file layout.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     doc_bucket = (
         df.select(F.col(id_col), F.col(text_col), target_filter.alias("__tgt"))
+        .repartition(n_parts, F.col(id_col))
         .select(id_col, "__tgt", tok)
         .select(id_col, "__tgt", lane)
         .groupBy(id_col, "__tgt", "bucket")

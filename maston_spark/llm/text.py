@@ -657,7 +657,13 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("__toks"))
+    # pre-partition on the doc id (explicit count): the (doc, term)
+    # agg and the per-doc ranking window both contain the id, so
+    # they run exchange-free off this one text-level shuffle
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col), toks.alias("__toks")
+    )
     n_docs = base.count()  # one driver scalar
     doc_term = (
         base.select(
@@ -710,8 +716,14 @@ def lexical_diversity(
     sum and the oracle's match bit-for-bit.
     """
     toks = tokens(F.col(text_col))
+    # pre-partition on the doc id (explicit count): both groupings
+    # below contain the id, so they run exchange-free off this one
+    # text-level shuffle, and tokenization parallelizes by row count
+    # instead of input file layout (same pattern as dsir_log_weights)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     doc_term = (
-        df.select(F.col(id_col), F.size(toks).alias("n_tokens"), F.explode(toks).alias("term"))
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), F.size(toks).alias("n_tokens"), F.explode(toks).alias("term"))
         .groupBy(id_col, "n_tokens", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
