@@ -135,7 +135,15 @@ def repetition_stats(
     have no bigrams and drop out (the oracle mirrors this).
     """
     toks = tokens(F.col(text_col))
-    d2 = df.select(id_col, toks.alias("__toks")).filter(F.size("__toks") >= 2)
+    # pre-partition on the doc id (explicit count): both aggs below
+    # contain the id, so the whole operator runs exchange-free off
+    # one text-level shuffle (same pattern as corpus_frequency_score)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    d2 = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(id_col, toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+    )
     bg = d2.select(
         id_col,
         F.explode(
@@ -301,7 +309,16 @@ def corpus_frequency_score(
        end, rounded identically in both engines.
     """
     toks = tokens(F.col(text_col))
-    d2 = df.select(id_col, toks.alias("__toks")).filter(F.size("__toks") >= 2)
+    # pre-partition on the doc id (explicit count): the (doc, bigram)
+    # agg contains the id, so it runs exchange-free off this one
+    # text-level shuffle, and bigram materialization parallelizes by
+    # row count instead of input file layout
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    d2 = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(id_col, toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+    )
     bg = d2.select(
         id_col,
         F.explode(
@@ -591,7 +608,13 @@ def bigram_lm_score(
     distinct-count collapsed to one driver value.
     """
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("__toks"))
+    # pre-partition on the doc id (explicit count) — same pattern as
+    # corpus_frequency_score: the (doc, prefix, bigram) agg contains
+    # the id, so it runs exchange-free off one text-level shuffle
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col), toks.alias("__toks")
+    )
     d2 = base.filter(F.size("__toks") >= 2)
     bg = d2.select(
         id_col,
