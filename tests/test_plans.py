@@ -208,3 +208,16 @@ def test_embedding_neardup_single_shuffle_no_joins(spark, sf_dir, qs):
     assert "Join" not in p and "BroadcastExchange" not in p
     assert "InMemoryTableScan" in p, "hashed corpus is not persisted"
     spark.catalog.clearCache()
+
+
+def test_doc_prepartition_makes_text_aggs_exchange_free(spark, sf_dir, qs):
+    """The doc-id pre-partition pattern: lexical diversity and
+    repetition stats must plan EXACTLY ONE hash exchange (the
+    explicit repartition) — every downstream grouping contains the
+    id, so Spark's subset-partitioning rule elides their exchanges.
+    A second hashpartitioning exchange means the pattern regressed
+    into a token-level shuffle."""
+    for name in ("q101_lexical_diversity", "q74_repetition_stats"):
+        p = plan_of(qs[name](spark, sf_dir))
+        n = p.count("Exchange hashpartitioning")
+        assert n == 1, f"{name}: expected 1 hash exchange, got {n}\n{p}"
