@@ -230,8 +230,14 @@ def contamination_check(
     )
 
     def grams(d: DataFrame) -> DataFrame:
+        # pre-partition on the doc id (explicit count): the distinct
+        # on (id, gram) and the final per-doc agg both contain the
+        # id, so they run exchange-free off this one text-level
+        # shuffle (same pattern as the bigram family)
+        n_parts = d.sparkSession.sparkContext.defaultParallelism
         return (
-            d.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+            d.repartition(n_parts, F.col(id_col))
+            .select(id_col, tokens(F.col(text_col)).alias("__toks"))
             .filter(F.size("__toks") >= n)
             .select(id_col, F.expr(gram_expr).alias("__gram"))
             .distinct()
