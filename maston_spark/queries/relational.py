@@ -1231,3 +1231,55 @@ def q86_retention(spark, sf_dir):
         F.countDistinct(F.when(w1, F.col("user_id"))).alias("retained_w1"),
         F.countDistinct(F.when(w2, F.col("user_id"))).alias("retained_w2"),
     )
+
+
+@query(
+    "q110_event_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM ordered WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+)
+def q110_event_paths(spark, sf_dir):
+    """Event-sequence mining: the corpus-wide top-20 three-step user
+    journeys (consecutive event-type triples per user, ordered by
+    event time).
+
+    Scale shape: ONE hash shuffle on the user id for the ordering
+    window (`lead` builds the triple in place — no per-user
+    collect_list materialization, so a hyperactive user costs a
+    sorted partition, not a driver-sized array), then a
+    combiner-reduced count on the path string (≤ |event_types|³ keys)
+    and a TakeOrderedAndProject top-20. Deterministic: the window
+    orders by (ts, event_id) so same-timestamp events can't flip
+    paths between engines.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("__e2"),
+        F.lead("event_type", 2).over(w).alias("__e3"),
+    )
+    return (
+        steps.filter(F.col("__e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "__e2", "__e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(20)
+    )
