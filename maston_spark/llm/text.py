@@ -769,3 +769,90 @@ def lexical_diversity(
         "type_token_ratio",
         "entropy",
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-substring REMOVAL (the transform half of Lee et al.
+    2021; :func:`exact_substring_spans` is the reporting half):
+    rewrite each document with every token under the union of
+    corpus-duplicated ``k``-gram spans removed, keeping the
+    surviving tokens in their original order.
+
+    Distributed shape: the duplicated-gram table is the same
+    combiner-reduced gram agg as the spans operator; duplicated
+    starts explode to at most k covered positions each (dup spans
+    are the RARE subset); the corpus tokens anti-join those
+    positions on (doc, position) — the doc-id pre-partition makes
+    the token side exchange-free — and each document reassembles
+    with one bounded per-doc sort (same per-document size assumption
+    as every per-doc operator here; no driver collection anywhere).
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with spans)
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(F.col(text_col))
+    base = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, "__toks", F.size("__toks").cast("long").alias("n_tokens"))
+    )
+    grams = base.filter(F.col("n_tokens") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tokens") - k).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
+            )
+        ).alias("__start", "__gram"),
+    )
+    dup = (
+        grams.groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__gram")
+    )
+    covered = (
+        grams.join(dup, "__gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__start") + (k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    tok_rows = base.select(
+        id_col, "n_tokens", F.posexplode("__toks").alias("__pos", "__tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+        ).alias("text_dedup"),
+    )
+    # docs whose every token is covered vanish from `kept`; restore
+    # them with an empty rewrite so the output is total
+    return (
+        base.select(id_col, "n_tokens")
+        .join(rebuilt, [id_col, "n_tokens"], "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias(
+                "n_kept_tokens"
+            ),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

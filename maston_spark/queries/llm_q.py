@@ -1524,3 +1524,38 @@ def q105_profile_numeric(spark, sf_dir):
     return profile_numeric(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+@query(
+    "q111_exact_substring_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+    g AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 4)) AS s
+          FROM base WHERE n_tokens >= 5),
+    grams AS (SELECT doc_id, s, array_to_string(toks[s+1:s+5], ' ') AS gram FROM g),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 5)) AS pos
+            FROM grams JOIN dup USING (gram)),
+    tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+            FROM base, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN cov
+               ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+             WHERE cov.pos IS NULL),
+    reb AS (SELECT doc_id, count(*) AS n_kept_tokens,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+            FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+           coalesce(r.text_dedup, '') AS text_dedup
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q111_exact_substring_dedup(spark, sf_dir):
+    """Exact-substring REMOVAL: rewrite each document with all
+    corpus-duplicated 5-gram spans removed (the transform half of
+    Lee et al. 2021; q95 is the reporting half). See
+    :func:`maston_spark.llm.text.exact_substring_dedup`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.exact_substring_dedup(d, k=5)

@@ -942,3 +942,33 @@ def test_dsir_weights_match_numpy_reference(spark):
     }
     for did, w in expected.items():
         assert abs(got[did] - w) < 1e-9, (did, got[did], w)
+
+
+def test_exact_substring_dedup_consistent_with_spans(spark):
+    """The removal transform must drop EXACTLY the tokens the spans
+    operator reports as covered, and surviving tokens keep their
+    original order."""
+    from maston_spark.llm.text import exact_substring_dedup, exact_substring_spans
+
+    rows = [
+        (1, "a b c d e x y z"),       # shares 'a b c d e' with doc 2
+        (2, "q r a b c d e s t"),
+        (3, "u v w p n m o j k l"),   # unique — untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {r.doc_id: r for r in exact_substring_spans(df, k=5).collect()}
+    dedup = {r.doc_id: r for r in exact_substring_dedup(df, k=5).collect()}
+    for did in (1, 2, 3):
+        assert dedup[did].n_tokens == spans[did].n_tokens
+        assert (
+            dedup[did].n_tokens - dedup[did].n_kept_tokens
+            == spans[did].n_dup_tokens
+        ), did
+    assert dedup[1].text_dedup == "x y z"
+    assert dedup[2].text_dedup == "q r s t"
+    assert dedup[3].text_dedup == rows[2][1]
+    # order preserved: surviving tokens appear as a subsequence
+    for did, text in rows:
+        kept = dedup[did].text_dedup.split() if dedup[did].text_dedup else []
+        it = iter(text.split())
+        assert all(t in it for t in kept), did
