@@ -57,3 +57,39 @@ def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
             "max_val",
         )
     )
+
+
+def profile_strings(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Long-format exact profile of string columns: row/null/distinct
+    counts, min/max/avg length, and empty-string count — one table
+    scan for any number of columns, same stacked-generator shape as
+    :func:`profile_numeric`. Length stats are integers (exact,
+    order-independent); avg_len divides two exact sums and rounds
+    identically in any engine.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    ln = F.length("v")
+    return (
+        pairs.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("long")).cast("long").alias("n_nulls"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+            F.sum((ln == 0).cast("long")).cast("long").alias("n_empty"),
+            F.min(ln).cast("long").alias("min_len"),
+            F.max(ln).cast("long").alias("max_len"),
+            F.round(F.sum(ln) / F.count("v"), 6).alias("avg_len"),
+        )
+    )

@@ -1559,3 +1559,38 @@ def q111_exact_substring_dedup(spark, sf_dir):
     :func:`maston_spark.llm.text.exact_substring_dedup`."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.exact_substring_dedup(d, k=5)
+
+
+@query(
+    "q112_profile_strings",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'c_name' AS "column", c_name AS v FROM customer
+      UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+    ),
+    p2 AS (
+      SELECT "column", v FROM pairs
+      UNION ALL SELECT 'p_type', p_type FROM part
+      UNION ALL SELECT 'p_brand', p_brand FROM part
+    )
+    SELECT "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN len(v) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(min(len(v)) AS BIGINT) AS min_len,
+           CAST(max(len(v)) AS BIGINT) AS max_len,
+           round(sum(len(v)) / CAST(count(v) AS DOUBLE), 6) AS avg_len
+    FROM p2 GROUP BY "column"
+    """,
+)
+def q112_profile_strings(spark, sf_dir):
+    """Exact one-scan-per-table string profile over customer and part
+    text columns. See :func:`maston_spark.profiling.profile_strings`."""
+    from maston_spark.profiling import profile_strings
+
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    return profile_strings(c, ["c_name", "c_mktsegment"]).unionByName(
+        profile_strings(p, ["p_type", "p_brand"])
+    )

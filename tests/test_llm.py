@@ -972,3 +972,18 @@ def test_exact_substring_dedup_consistent_with_spans(spark):
         kept = dedup[did].text_dedup.split() if dedup[did].text_dedup else []
         it = iter(text.split())
         assert all(t in it for t in kept), did
+
+
+def test_profile_strings_golden(spark):
+    from maston_spark.profiling import profile_strings
+
+    df = spark.createDataFrame(
+        [("abc", "x"), ("", None), ("abcde", "x")], "a string, b string"
+    )
+    prof = {r.column: r for r in profile_strings(df, ["a", "b"]).collect()}
+    assert prof["a"].n_rows == 3 and prof["a"].n_nulls == 0
+    assert prof["a"].n_empty == 1 and prof["a"].n_distinct == 3
+    assert prof["a"].min_len == 0 and prof["a"].max_len == 5
+    assert abs(prof["a"].avg_len - round(8 / 3, 6)) < 1e-9
+    assert prof["b"].n_nulls == 1 and prof["b"].n_distinct == 1
+    assert prof["b"].avg_len == 1.0  # null excluded from count(v)
