@@ -1594,3 +1594,80 @@ def q112_profile_strings(spark, sf_dir):
     return profile_strings(c, ["c_name", "c_mktsegment"]).unionByName(
         profile_strings(p, ["p_type", "p_brand"])
     )
+
+
+@query(
+    "q113_curation_pipeline",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, text,
+                      string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, source, text,
+             round(
+               (CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                              / length(text), 6) < 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN round(len(list_filter(toks,
+                                x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE
+                              / len(toks), 6) > 0.01 THEN 0.3 ELSE 0.0 END), 6
+             ) AS quality_score
+      FROM t),
+    gated AS (SELECT * FROM scored WHERE quality_score >= 0.7),
+    hashed AS (SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                      AS content_hash FROM gated),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_hash
+                                     ORDER BY doc_id) AS __rn
+        FROM hashed) WHERE __rn = 1),
+    capped AS (
+      SELECT * FROM (
+        SELECT doc_id, source, quality_score,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id) AS domain_rank
+        FROM deduped) WHERE domain_rank <= 15)
+    SELECT doc_id, source, quality_score,
+           CAST(domain_rank AS BIGINT) AS domain_rank,
+           CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 1000 < 800
+                THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 1000 < 900
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM capped
+    """,
+)
+def q113_curation_pipeline(spark, sf_dir):
+    """End-to-end curation pipeline, four operators composed the way
+    a training-data run chains them: quality gate (>= 0.7) → exact
+    content dedup (min doc id per normalized hash) → per-source
+    quota (top 15 by quality) → deterministic split assignment.
+
+    One logical plan: Catalyst evaluates the quality gate AT THE
+    SCAN (DataFilters on the parquet read), both windows get a
+    partial+final WindowGroupLimit (map-side top-k pruning before
+    the shuffle), and the split is a pure projection — the whole
+    pipeline is TWO exchanges end-to-end (content hash, then
+    source) at any scale.
+    """
+    from pyspark.sql import Window
+
+    from maston_spark.llm import dedup as _DD, sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = TXT.quality_score(d).filter(F.col("quality_score") >= 0.7)
+    hashed = scored.withColumn("content_hash", _DD.content_hash(F.col("text")))
+    w_dedup = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = (
+        hashed.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+    )
+    w_cap = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    capped = (
+        deduped.withColumn("domain_rank", F.row_number().over(w_cap).cast("long"))
+        .filter(F.col("domain_rank") <= 15)
+    )
+    return SAMP.split_assign(capped, salt="split").select(
+        "doc_id", "source", "quality_score", "domain_rank", "split"
+    )
