@@ -1283,3 +1283,83 @@ def q110_event_paths(spark, sf_dir):
         .orderBy(F.col("n_paths").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "q114_table_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 1.5, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 3000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey
+    FROM a FULL OUTER JOIN b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+       OR a.o_totalprice  IS DISTINCT FROM b.o_totalprice
+    """,
+)
+def q114_table_diff(spark, sf_dir):
+    """Snapshot diff (CDC-style audit): classify every key as
+    added / removed / changed between two table versions — the
+    data-engineering primitive behind incremental-load validation
+    and replication checks. The 'b' snapshot is a deterministic
+    mutation of orders (every 13th key dropped, every 7th price
+    bumped, every 11th cloned under a new key).
+
+    Scale shape: ONE full-outer sort-merge join on the key (both
+    sides shuffle once), change detection is null-safe column
+    comparison (`eqNullSafe` — no row hashing, no string
+    concatenation, so float formatting can never disagree between
+    engines), unchanged rows drop before anything downstream.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.round(F.col("o_totalprice") + 1.5, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 3000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    a = o.alias("a")
+    bb = b.alias("b")
+    j = a.join(bb, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+        | ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
+    )
+    return j.filter(changed).select(
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+    )
