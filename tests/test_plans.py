@@ -221,3 +221,14 @@ def test_doc_prepartition_makes_text_aggs_exchange_free(spark, sf_dir, qs):
         p = plan_of(qs[name](spark, sf_dir))
         n = p.count("Exchange hashpartitioning")
         assert n == 1, f"{name}: expected 1 hash exchange, got {n}\n{p}"
+
+
+def test_curation_pipeline_two_exchanges_gate_at_scan(spark, sf_dir, qs):
+    """The composed curation pipeline must stay two exchanges
+    end-to-end (content-hash window, source window) with the quality
+    gate evaluated at the parquet scan and both ranking windows
+    getting a partial WindowGroupLimit (map-side top-k pruning)."""
+    p = plan_of(qs["q113_curation_pipeline"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("WindowGroupLimit") == 4  # partial+final per window
+    assert "DataFilters" in p or "Filter" in p
