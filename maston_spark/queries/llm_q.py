@@ -482,7 +482,14 @@ def q51_quality_score(spark, sf_dir):
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 11 = 0),
-    b AS (SELECT doc_id, text, md5(substr(text, 1, 32)) AS bucket FROM corpus)
+    uniq AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM corpus) WHERE rn = 1),
+    b0 AS (SELECT doc_id, text, md5(substr(text, 1, 32)) AS bucket FROM uniq),
+    keep AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 64),
+    b AS (SELECT b0.* FROM b0 JOIN keep USING (bucket))
     SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
            levenshtein(a.text, b2.text) AS edit_dist
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
@@ -492,15 +499,42 @@ def q51_quality_score(spark, sf_dir):
 def q53_levenshtein_neardup(spark, sf_dir):
     """Edit-distance near-dup with prefix-hash bucketing: candidates
     share a 32-char-prefix bucket (equi-join, linear), expensive
-    levenshtein runs only inside buckets."""
+    levenshtein runs only inside buckets.
+
+    Scale guards (standard pipeline ordering): exact duplicates are
+    removed FIRST (min doc id per content hash — edit distance on
+    identical text is wasted quadratic work), and buckets larger
+    than 64 members are dropped as boilerplate-prefix stop-buckets,
+    bounding the in-bucket pair fan-out at 64² regardless of corpus
+    size (the full-catalog 10x sweep caught the unguarded version
+    going superlinear: 6.4 s → 107 s).
+    """
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tail = d.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat("text", F.lit(" zz")).alias("text"),
     )
-    b = d.unionByName(tail).withColumn(
-        "bucket", F.md5(F.substring("text", 1, 32))
+    corpus = d.unionByName(tail)
+    w_h = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        corpus.withColumn("__rn", F.row_number().over(w_h))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
+    b0 = uniq.withColumn("bucket", F.md5(F.substring("text", 1, 32)))
+    keep = (
+        b0.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= 64)
+        .select("bucket")
+    )
+    # explicit-count repartition: AQE would coalesce this small
+    # bucket shuffle to one partition, serializing the expensive
+    # per-pair levenshtein work of the self-join that follows
+    n_parts = spark.sparkContext.defaultParallelism
+    b = b0.join(keep, "bucket").repartition(n_parts, F.col("bucket"))
     a2, b2 = b.alias("a"), b.alias("b")
     return (
         a2.join(
@@ -524,12 +558,19 @@ def q53_levenshtein_neardup(spark, sf_dir):
       SELECT doc_id, lower(text) AS text FROM documents
       UNION ALL
       SELECT doc_id + 1000000, lower(text || ' xyz') FROM documents WHERE doc_id % 9 = 0),
-    g AS (
-      SELECT doc_id, text,
+    uniq AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM corpus WHERE length(text) >= 8) WHERE rn = 1),
+    g0 AS (
+      SELECT doc_id,
              list_distinct(list_transform(range(1, length(text) - 3),
-                                          i -> substr(text, i, 4))) AS grams
-      FROM corpus WHERE length(text) >= 8),
-    b AS (SELECT doc_id, grams, md5(substr(text, 1, 4)) AS bucket FROM g)
+                                          i -> substr(text, i, 4))) AS grams,
+             md5(substr(text, 1, 16)) AS bucket
+      FROM uniq),
+    keep AS (SELECT bucket FROM g0 GROUP BY bucket HAVING count(*) <= 256),
+    b AS (SELECT g0.* FROM g0 JOIN keep USING (bucket))
     SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
            round(len(list_intersect(a.grams, b2.grams))::DOUBLE
                  / len(list_distinct(a.grams || b2.grams)), 6) AS jaccard
@@ -539,9 +580,21 @@ def q53_levenshtein_neardup(spark, sf_dir):
     """,
 )
 def q54_chargram_jaccard(spark, sf_dir):
-    """Character-4-gram Jaccard near-dup, bucketed by the 4-char text
-    prefix hash — the n-gram-family complement to word-shingle
-    MinHash. Candidate generation is the bucket equi-join."""
+    """Character-4-gram Jaccard near-dup, bucketed by the 16-char
+    text prefix hash — the n-gram-family complement to word-shingle
+    MinHash. Candidate generation is the bucket equi-join.
+
+    Scale guards (the full-catalog 10x sweep caught the unguarded
+    version at 77 s even at sf0.1): the original 4-char prefix put
+    ~2% of the corpus in EVERY bucket — quadratic pair fan-out with
+    a full gram-set intersection per pair. Now: exact duplicates
+    removed first, a 16-char prefix (true near-dups still share it;
+    random collisions mostly don't), and buckets larger than 256
+    dropped as boilerplate stop-buckets — in-bucket fan-out bounded
+    at 256² regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("text")
     )
@@ -549,14 +602,37 @@ def q54_chargram_jaccard(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.lower(F.concat("text", F.lit(" xyz"))).alias("text"),
     )
-    corpus = d.unionByName(tail).filter(F.length("text") >= 8)
-    g = corpus.select(
+    n_parts = spark.sparkContext.defaultParallelism
+    corpus = (
+        d.unionByName(tail)
+        .filter(F.length("text") >= 8)
+        # explicit-count repartition feeding the dedup window: AQE
+        # would coalesce the window exchange to one partition and
+        # serialize the gram-set construction that follows
+        .repartition(n_parts, F.md5("text"))
+    )
+    w_h = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        corpus.withColumn("__rn", F.row_number().over(w_h))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    g0 = uniq.select(
         "doc_id",
         F.array_distinct(
             F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 4))")
         ).alias("grams"),
-        F.md5(F.substring("text", 1, 4)).alias("bucket"),
+        F.md5(F.substring("text", 1, 16)).alias("bucket"),
     )
+    keep = (
+        g0.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= 256)
+        .select("bucket")
+    )
+    # same AQE-coalesce guard for the self-join: the per-pair
+    # gram-set intersection must stay parallel
+    g = g0.join(keep, "bucket").repartition(n_parts, F.col("bucket"))
     a2, b2 = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
