@@ -1,0 +1,81 @@
+"""Two-scale full-catalog sweep: time EVERY registered query once at
+two SF directories and flag superlinear outliers.
+
+The graded window and the headline bench can both miss a quadratic
+candidate generator hiding in the tail — this sweep is what caught
+q53/q54's unbounded prefix buckets in round 8 (77 s at sf0.1, 823 s
+at 10x, fixed to ~1 s each). Run it whenever an operator family
+changes shape.
+
+Usage: python tools/sweep_scale.py [SF_DIR_A] [SF_DIR_B] [OUT_JSON]
+Defaults: /root/testdata/sf0.1  ./_scale_data/sf1  ./_sweep.json
+(generate the scale dir first: python tools/make_scale_data.py)
+
+Single-shot timings (no warmup, no min-of-4): noisy for absolute
+numbers, reliable for the 10x-blowup signal the sweep exists for.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    a_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    b_dir = sys.argv[2] if len(sys.argv) > 2 else "./_scale_data/sf1"
+    out = sys.argv[3] if len(sys.argv) > 3 else "./_sweep.json"
+
+    from maston_spark.queries import all_queries
+    from maston_spark.session import build_session
+
+    qs = all_queries()
+    spark = build_session("sweep-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    res: dict[str, dict[str, object]] = {}
+    for sf_dir, tag in ((a_dir, "a"), (b_dir, "b")):
+        for name in qs:
+            spark.catalog.clearCache()
+            gc.collect()
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt: object = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — a sweep must finish
+                dt = f"ERR:{type(e).__name__}"
+            res.setdefault(name, {})[tag] = dt
+            print(f"{name}@{tag}: {dt}", flush=True)
+
+    json.dump(res, open(out, "w"), indent=1)
+    ok = {
+        k: v
+        for k, v in res.items()
+        if isinstance(v.get("a"), float) and isinstance(v.get("b"), float)
+    }
+    tot_a = round(sum(v["a"] for v in ok.values()), 1)
+    tot_b = round(sum(v["b"] for v in ok.values()), 1)
+    print(f"TOTAL {a_dir}: {tot_a}s  {b_dir}: {tot_b}s")
+    # outlier = 10x data costing >5x time (and not just fixed overhead)
+    bad = {
+        k: v for k, v in ok.items() if v["b"] > max(5 * v["a"], v["a"] + 2)
+    }
+    print("OUTLIERS:", json.dumps(bad))
+    errs = {k: v for k, v in res.items() if k not in ok}
+    print("ERRORS:", json.dumps(errs))
+    if bad or errs:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
