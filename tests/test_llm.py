@@ -987,3 +987,33 @@ def test_profile_strings_golden(spark):
     assert abs(prof["a"].avg_len - round(8 / 3, 6)) < 1e-9
     assert prof["b"].n_nulls == 1 and prof["b"].n_distinct == 1
     assert prof["b"].avg_len == 1.0  # null excluded from count(v)
+
+
+def test_new_operators_handle_empty_input(spark):
+    """Every round-8 operator must return an EMPTY (not failing)
+    result on an empty corpus — the repartition/window machinery has
+    zero-row edge paths that only this exercises."""
+    from pyspark.sql import functions as F
+
+    from maston_spark.llm.sampling import chunk_tokens, dsir_log_weights
+    from maston_spark.llm.text import (
+        exact_substring_dedup,
+        lexical_diversity,
+    )
+    from maston_spark.profiling import profile_numeric, profile_strings
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_src = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert chunk_tokens(empty_docs).count() == 0
+    assert lexical_diversity(empty_docs).count() == 0
+    assert exact_substring_dedup(empty_docs).count() == 0
+    assert (
+        dsir_log_weights(empty_src, target_filter=F.col("source") == "x").count()
+        == 0
+    )
+    empty_num = spark.createDataFrame([], "a double, b double")
+    prof = {r.column: r for r in profile_numeric(empty_num, ["a", "b"]).collect()}
+    # stacked generator yields no rows -> no groups at all (valid empty profile)
+    assert prof == {} or all(p.n_rows == 0 for p in prof.values())
+    empty_str = spark.createDataFrame([], "a string")
+    assert profile_strings(empty_str, ["a"]).count() == 0
