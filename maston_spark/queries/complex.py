@@ -824,3 +824,87 @@ def q109_volume_shipping(spark, sf_dir):
         .agg(F.round(F.sum(volume).cast("double"), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "q115_order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q115_order_priority_check(spark, sf_dir):
+    """TPC-H-Q4-style order priority checking: orders in a quarter
+    with at least one lineitem shipped after the order date, counted
+    per priority.
+
+    The correlated EXISTS carries a NON-equi conjunct
+    (l_shipdate > o_orderdate) on top of the key equality — Catalyst
+    rewrites it to a left-semi join with the inequality as the join
+    residual, so the subquery never executes per row and lineitem
+    shuffles once on orderkey. The quarter filter prunes orders at
+    the scan before the join.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q116_price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 25000) * 25000 AS DOUBLE) AS bucket_low,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(18,6)))
+                 AS DOUBLE), 2) AS total_value
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q116_price_histogram(spark, sf_dir):
+    """Exact equi-width histogram of order values (25k buckets) —
+    the deterministic profiling twin of Spark's approximate
+    `histogram_numeric`: bucket = floor(value/width), one
+    combiner-reduced agg, bucket count bounded by the value range.
+    Per-bucket sums go through DECIMAL(18,6) so totals are
+    summation-order-exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000)
+    return (
+        o.groupBy(
+            bucket.cast("long").alias("bucket"),
+            (bucket * 25000).cast("double").alias("bucket_low"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
