@@ -1747,3 +1747,71 @@ def q113_curation_pipeline(spark, sf_dir):
     return SAMP.split_assign(capped, salt="split").select(
         "doc_id", "source", "quality_score", "domain_rank", "split"
     )
+
+
+@query(
+    "q117_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM tf),
+    xy AS (
+      SELECT CAST(round(ln(rank), 9) AS DECIMAL(28,9)) AS x,
+             CAST(round(ln(freq), 9) AS DECIMAL(28,9)) AS y,
+             CAST(round(ln(rank) * ln(rank), 9) AS DECIMAL(28,9)) AS xx,
+             CAST(round(ln(rank) * ln(freq), 9) AS DECIMAL(28,9)) AS xy
+      FROM ranked)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round((count(*) * CAST(sum(xy) AS DOUBLE)
+                  - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                 / (count(*) * CAST(sum(xx) AS DOUBLE)
+                    - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6)
+             AS zipf_slope
+    FROM xy
+    """,
+)
+def q117_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary: the
+    least-squares slope of ln(freq) vs ln(rank) — the classic
+    "does this corpus look like natural language" lexical statistic
+    (Zipf's law slope ≈ −1 for real text; public).
+
+    Scale shape: term frequencies are one combiner-reduced hash agg
+    (shuffle carries the VOCABULARY, not the corpus); the global
+    rank window runs over vocabulary rows only (bounded by distinct
+    terms, not corpus size); the regression sums are
+    round-to-9 → DECIMAL(28,9) so the single-row answer is
+    summation-order-exact across engines.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    tf = (
+        d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = tf.select("freq", F.row_number().over(w).alias("rank"))
+    lx, ly = F.log("rank"), F.log("freq")
+    dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    xy = ranked.select(
+        dec(lx).alias("x"),
+        dec(ly).alias("y"),
+        dec(lx * lx).alias("xx"),
+        dec(lx * ly).alias("xy"),
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
+    sxx, sxy = F.sum("xx").cast("double"), F.sum("xy").cast("double")
+    return xy.agg(
+        n.cast("long").alias("n_terms"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "zipf_slope"
+        ),
+    )
