@@ -1345,21 +1345,9 @@ def q114_table_diff(spark, sf_dir):
             )
         )
     )
-    a = o.alias("a")
-    bb = b.alias("b")
-    j = a.join(bb, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
-    changed = (
-        F.col("a.o_orderkey").isNull()
-        | F.col("b.o_orderkey").isNull()
-        | ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
-        | ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
-    )
-    return j.filter(changed).select(
-        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
-        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
-        .otherwise(F.lit("changed"))
-        .alias("change_type"),
-        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
-            "o_orderkey"
-        ),
-    )
+    from maston_spark.relational import snapshot_diff
+
+    return snapshot_diff(
+        o, b, key_cols=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    ).select("change_type", "o_orderkey")

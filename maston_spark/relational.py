@@ -84,3 +84,44 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Classify every key as ``added`` / ``removed`` / ``changed``
+    between two snapshots of a table — the CDC-style audit primitive
+    behind incremental-load validation and replication checks
+    (unchanged rows are dropped).
+
+    Scale shape: ONE full-outer sort-merge join on the key columns
+    (each side shuffles once); change detection is null-safe column
+    comparison (`eqNullSafe`) — no row hashing and no string
+    concatenation, so float formatting can never disagree across
+    engines or versions. Output carries the key columns plus
+    ``change_type``.
+    """
+    aj, bj = a.alias("a"), b.alias("b")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        cond = c if cond is None else cond & c
+    j = aj.join(bj, cond, "full_outer")
+    a_absent = F.col(f"a.{key_cols[0]}").isNull()
+    b_absent = F.col(f"b.{key_cols[0]}").isNull()
+    changed = a_absent | b_absent
+    for c in compare_cols:
+        changed = changed | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    return j.filter(changed).select(
+        *[
+            F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+            for k in key_cols
+        ],
+        F.when(a_absent, F.lit("added"))
+        .when(b_absent, F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    )

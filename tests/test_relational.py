@@ -50,3 +50,22 @@ def test_top_k_per_group(spark):
     out = top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
     got = sorted((r.g, r.v) for r in out.collect())
     assert got == [("a", 8), ("a", 9), ("b", 1), ("b", 2)]
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from maston_spark.relational import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", None), (4, "w", 4.0)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0),        # unchanged -> dropped
+         (2, "y", 2.5),        # value changed
+         (3, "z", 3.0),        # null -> value (null-safe change)
+         (5, "n", 5.0)],       # added; 4 removed
+        "k long, s string, v double",
+    )
+    out = {r.k: r.change_type for r in
+           snapshot_diff(a, b, ["k"], ["s", "v"]).collect()}
+    assert out == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
