@@ -890,21 +890,25 @@ def q116_price_histogram(spark, sf_dir):
     Per-bucket sums go through DECIMAL(18,6) so totals are
     summation-order-exact.
     """
+    from maston_spark.relational import histogram_exact
+
     o = load_table(spark, sf_dir, "orders")
-    bucket = F.floor(F.col("o_totalprice") / 25000)
+    hist = histogram_exact(o, "o_totalprice", 25000.0)
+    sums = o.groupBy(
+        F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")
+            ).cast("double"),
+            2,
+        ).alias("total_value")
+    )
     return (
-        o.groupBy(
-            bucket.cast("long").alias("bucket"),
-            (bucket * 25000).cast("double").alias("bucket_low"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(
-                F.sum(
-                    F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")
-                ).cast("double"),
-                2,
-            ).alias("total_value"),
+        hist.join(sums, "bucket")
+        .select(
+            "bucket", "bucket_low",
+            F.col("n_rows").alias("n_orders"), "total_value",
         )
         .orderBy("bucket")
     )

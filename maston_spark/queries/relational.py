@@ -1264,25 +1264,10 @@ def q110_event_paths(spark, sf_dir):
     orders by (ts, event_id) so same-timestamp events can't flip
     paths between engines.
     """
-    from pyspark.sql import Window
+    from maston_spark.relational import event_paths
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = e.select(
-        "event_type",
-        F.lead("event_type", 1).over(w).alias("__e2"),
-        F.lead("event_type", 2).over(w).alias("__e3"),
-    )
-    return (
-        steps.filter(F.col("__e3").isNotNull())
-        .select(
-            F.concat_ws(">", "event_type", "__e2", "__e3").alias("path")
-        )
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
-        .orderBy(F.col("n_paths").desc(), "path")
-        .limit(20)
-    )
+    return event_paths(e, n_steps=3, top_k=20)
 
 
 @query(

@@ -125,3 +125,63 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("change_type"),
     )
+
+
+def event_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    n_steps: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-``top_k`` ``n_steps``-event user journeys:
+    consecutive event-type windows per user, ordered by
+    ``order_cols`` (include a unique tiebreaker so same-timestamp
+    events can't reorder between runs).
+
+    Scale shape: ONE hash shuffle on the user id for the ordering
+    window — `lead` builds the path in place, so a hyperactive user
+    costs a sorted partition, never a collected array — then a
+    combiner-reduced count on the path string (≤ |event types|^n
+    keys) and a TakeOrderedAndProject top-k.
+    """
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w).alias(f"__e{i}")
+        for i in range(1, n_steps)
+    ]
+    last = F.lead(type_col, n_steps - 1).over(w)
+    return (
+        df.select(*steps, last.alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", type_col, *[f"__e{i}" for i in range(1, n_steps)]
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(top_k)
+    )
+
+
+def histogram_exact(
+    df: DataFrame, value_col: str, width: float
+) -> DataFrame:
+    """Deterministic equi-width histogram — the exact twin of
+    Spark's approximate `histogram_numeric`: bucket =
+    floor(value/width), one combiner-reduced aggregate whose shuffle
+    is bounded by the value range, not the row count. Null values
+    are excluded (no bucket)."""
+    bucket = F.floor(F.col(value_col) / width)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            bucket.cast("long").alias("bucket"),
+            (bucket * width).cast("double").alias("bucket_low"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("bucket")
+    )

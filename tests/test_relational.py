@@ -69,3 +69,28 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     out = {r.k: r.change_type for r in
            snapshot_diff(a, b, ["k"], ["s", "v"]).collect()}
     assert out == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_event_paths_orders_and_counts(spark):
+    from maston_spark.relational import event_paths
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        (3, 5, "x"),  # too short for any 3-path
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    df = df.withColumn("ts", (F.col("event_id") * 1000).cast("timestamp"))
+    out = {r.path: r.n_paths for r in event_paths(df).collect()}
+    assert out == {"a>b>c": 2, "b>c>b": 1}
+
+
+def test_histogram_exact_buckets(spark):
+    from maston_spark.relational import histogram_exact
+
+    df = spark.createDataFrame(
+        [(0.5,), (9.9,), (10.0,), (25.0,), (None,)], "v double"
+    )
+    rows = {r.bucket: (r.bucket_low, r.n_rows) for r in
+            histogram_exact(df, "v", 10.0).collect()}
+    assert rows == {0: (0.0, 2), 1: (10.0, 1), 2: (20.0, 1)}
