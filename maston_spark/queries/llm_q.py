@@ -1815,3 +1815,64 @@ def q117_zipf_fit(spark, sf_dir):
             "zipf_slope"
         ),
     )
+
+
+@query(
+    "q118_pagerank",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    edges AS (
+      SELECT p AS src, 1000000 + s AS dst FROM pairs
+      UNION ALL
+      SELECT 1000000 + s, p FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM nodes),
+    c1 AS (SELECT e.dst AS node,
+                  CAST(round(0.85 * r.rank / deg.d, 9) AS DECIMAL(28,9)) AS c
+           FROM edges e JOIN r0 r ON e.src = r.node JOIN deg ON deg.src = e.src),
+    r1 AS (SELECT nodes.node,
+                  round(round(0.15 / (SELECT n FROM nn), 9)
+                        + coalesce(CAST(s.t AS DOUBLE), 0.0), 9) AS rank
+           FROM nodes LEFT JOIN
+             (SELECT node, sum(c) AS t FROM c1 GROUP BY node) s USING (node)),
+    c2 AS (SELECT e.dst AS node,
+                  CAST(round(0.85 * r.rank / deg.d, 9) AS DECIMAL(28,9)) AS c
+           FROM edges e JOIN r1 r ON e.src = r.node JOIN deg ON deg.src = e.src),
+    r2 AS (SELECT nodes.node,
+                  round(round(0.15 / (SELECT n FROM nn), 9)
+                        + coalesce(CAST(s.t AS DOUBLE), 0.0), 9) AS rank
+           FROM nodes LEFT JOIN
+             (SELECT node, sum(c) AS t FROM c2 GROUP BY node) s USING (node)),
+    c3 AS (SELECT e.dst AS node,
+                  CAST(round(0.85 * r.rank / deg.d, 9) AS DECIMAL(28,9)) AS c
+           FROM edges e JOIN r2 r ON e.src = r.node JOIN deg ON deg.src = e.src),
+    r3 AS (SELECT nodes.node,
+                  round(round(0.15 / (SELECT n FROM nn), 9)
+                        + coalesce(CAST(s.t AS DOUBLE), 0.0), 9) AS rank
+           FROM nodes LEFT JOIN
+             (SELECT node, sum(c) AS t FROM c3 GROUP BY node) s USING (node))
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def q118_pagerank(spark, sf_dir):
+    """Three power iterations of PageRank over the bipartite
+    part↔supplier graph (supplier nodes offset by 1,000,000) —
+    iterative graph centrality beyond connected components. See
+    :func:`maston_spark.graph.pagerank`."""
+    from maston_spark.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = pairs.select(
+        F.col("p").alias("src"), (F.lit(1000000) + F.col("s")).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.lit(1000000) + F.col("s")).alias("src"), F.col("p").alias("dst")
+        )
+    )
+    return pagerank(edges, iterations=3, damping=0.85)

@@ -94,3 +94,23 @@ def test_histogram_exact_buckets(spark):
     rows = {r.bucket: (r.bucket_low, r.n_rows) for r in
             histogram_exact(df, "v", 10.0).collect()}
     assert rows == {0: (0.0, 2), 1: (10.0, 1), 2: (20.0, 1)}
+
+
+def test_pagerank_cycle_and_star(spark):
+    from maston_spark.graph import pagerank
+
+    # 3-cycle: uniform distribution is stationary -> all ranks equal
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    r = {x.node: x.rank for x in pagerank(cyc, iterations=4).collect()}
+    assert len(set(r.values())) == 1
+    assert abs(sum(r.values()) - 1.0) < 1e-5
+    # star: hub 1 exchanges with leaves 2,3 -> hub outranks the
+    # leaves, leaves tie by symmetry
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 1)], "src long, dst long"
+    )
+    r = {x.node: x.rank for x in pagerank(star, iterations=6).collect()}
+    assert r[1] > r[2] == r[3]
+    assert abs(sum(r.values()) - 1.0) < 1e-4
