@@ -21,6 +21,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -50,7 +51,7 @@ def pagerank(
     base = round((1.0 - damping) / n, 9)
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
     ranks = nodes.select("node", F.lit(round(1.0 / n, 9)).alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             edges.join(ranks, edges[src_col] == ranks["node"])
             .join(deg, src_col)
@@ -73,4 +74,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # lazy lineage cut every few iterations: the plan otherwise
+        # grows one join+agg deeper per iteration, and past ~10
+        # levels analysis time dominates the actual work (same
+        # pattern as connected_components' label-propagation loop)
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
