@@ -822,3 +822,94 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over an embedding column — the
+    training step behind every IVF/coarse-quantizer index (public
+    algorithm). Deterministic end-to-end: centroids initialize from
+    the ``k`` smallest-id vectors, assignment breaks distance ties
+    on centroid id after rounding to 9 decimals, and centroid
+    updates sum per-dimension as DECIMAL(28,9) (exact,
+    order-independent) — so a SQL oracle can replay the identical
+    fixed iterations.
+
+    Scale shape per iteration: assignment is a BROADCAST nested-loop
+    join of the corpus against k centroid rows (k·N slim rows, never
+    a shuffle of the vectors); the squared distance is one
+    sequential fold per pair; the update is an explode to
+    (cluster, dim) rows feeding a combiner-reduced decimal agg of at
+    most k·d groups. The corpus is scanned once per iteration —
+    Lloyd's lower bound.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    centroids = (
+        base.orderBy("__id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("__id"))
+            .cast("int")
+            .alias("__cid"),
+            F.col("__v").alias("__c"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    assigned = None
+    for it in range(iterations):
+        pairs = base.join(F.broadcast(centroids))
+        w = Window.partitionBy("__id").orderBy(
+            F.col("__d").asc(), F.col("__cid").asc()
+        )
+        assigned = (
+            pairs.select(
+                "__id", "__v", "__cid", F.round(dist, 9).alias("__d")
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        if it == iterations - 1:
+            break
+        dims = assigned.select(
+            "__cid", F.posexplode("__v").alias("__dim", "__x")
+        )
+        upd = (
+            dims.groupBy("__cid", "__dim")
+            .agg(
+                F.sum(F.round(F.col("__x"), 9).cast("decimal(28,9)")).alias(
+                    "__s"
+                ),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "__cid",
+                "__dim",
+                F.round(F.col("__s").cast("double") / F.col("__n"), 9).alias(
+                    "__m"
+                ),
+            )
+        )
+        centroids = upd.groupBy("__cid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__dim"), F.col("__m")))
+                ),
+                lambda s: s["__m"],
+            ).alias("__c")
+        )
+    return assigned.select(
+        F.col("__id").alias(id_col),
+        F.col("__cid").alias("cluster"),
+        F.round("__d", 6).alias("sq_dist"),
+    )

@@ -1876,3 +1876,42 @@ def q118_pagerank(spark, sf_dir):
         )
     )
     return pagerank(edges, iterations=3, damping=0.85)
+
+
+@query(
+    "q119_kmeans",
+    oracle="""
+    WITH e AS (SELECT vec_id AS id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cid, v AS c
+           FROM (SELECT id, v FROM e ORDER BY id LIMIT 4)),
+    p1 AS (SELECT e.id, e.v, c0.cid,
+                  round(list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))), 9) AS d
+           FROM e, c0),
+    a1 AS (SELECT id, v, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM p1) WHERE rn = 1),
+    dims AS (SELECT cid, i - 1 AS dim, v[i] AS x
+             FROM a1, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) t),
+    upd AS (SELECT cid, dim,
+                   round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9)))
+                         AS DOUBLE) / count(*), 9) AS m
+            FROM dims GROUP BY 1, 2),
+    c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM upd GROUP BY cid),
+    p2 AS (SELECT e.id, c1.cid,
+                  round(list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))), 9) AS d
+           FROM e, c1)
+    SELECT id AS vec_id, cid AS cluster, round(d, 6) AS sq_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+      FROM p2) WHERE rn = 1
+    """,
+)
+def q119_kmeans(spark, sf_dir):
+    """Two Lloyd iterations of k-means (k=4) over the embeddings —
+    the deterministic coarse-quantizer training step. See
+    :func:`maston_spark.llm.similarity.kmeans_lloyd`."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.kmeans_lloyd(e, k=4, iterations=2)

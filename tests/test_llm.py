@@ -1017,3 +1017,21 @@ def test_new_operators_handle_empty_input(spark):
     assert prof == {} or all(p.n_rows == 0 for p in prof.values())
     empty_str = spark.createDataFrame([], "a string")
     assert profile_strings(empty_str, ["a"]).count() == 0
+
+
+def test_kmeans_lloyd_separates_obvious_clusters(spark):
+    from maston_spark.llm.similarity import kmeans_lloyd
+
+    # two tight groups far apart in 2-D; k=2 must split them and
+    # every member must sit nearer its own centroid
+    pts = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [100.0, 100.0 + 0.01 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=2, iterations=3)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 10
+    left = {rows[i].cluster for i in range(5)}
+    right = {rows[10 + i].cluster for i in range(5)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    assert all(rows[i].sq_dist < 1.0 for i in rows)
