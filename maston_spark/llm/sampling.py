@@ -321,3 +321,46 @@ def dsir_log_weights(
             F.round(F.sum(contrib).cast("double"), 6).alias("log_weight"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis 2006, public): each row draws
+    ``u = md5_lane(salt:id) / 2^32`` — a pure function of (salt, id),
+    so the same corpus gives the same sample on any engine, cluster
+    size, or rerun — and the ``n`` rows with the largest
+    ``u^(1/weight)`` keys are the sample. Heavier rows win
+    proportionally more often, the classic quality-weighted corpus
+    subsampling step.
+
+    Scale shape: the key is one codegen projection; the top-n is a
+    global TakeOrderedAndProject (per-partition heaps of n, driver
+    merge of partitions × n) — no full sort, no shuffle of the
+    corpus. Keys round to 9 decimals with the id as tiebreak so a
+    sub-ulp libm difference between engines can never flip the
+    cutoff.
+    """
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (lane + F.lit(0.5)) / F.lit(float(1 << 32))  # (0,1), never 0
+    key = F.round(
+        F.exp(F.log(u) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.select("*", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

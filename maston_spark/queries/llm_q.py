@@ -1915,3 +1915,27 @@ def q119_kmeans(spark, sf_dir):
     :func:`maston_spark.llm.similarity.kmeans_lloyd`."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.kmeans_lloyd(e, k=4, iterations=2)
+
+
+@query(
+    "q120_weighted_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(exp(ln((('0x' || substr(md5('wsample:' || doc_id), 1, 8))::BIGINT
+                         + 0.5) / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+    FROM documents
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def q120_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis-Spirakis weighted sample: 100 docs
+    weighted by length. See
+    :func:`maston_spark.llm.sampling.weighted_sample`."""
+    from maston_spark.llm import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return SAMP.weighted_sample(d, n=100, weight_col="n_chars")

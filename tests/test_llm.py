@@ -1035,3 +1035,17 @@ def test_kmeans_lloyd_separates_obvious_clusters(spark):
     right = {rows[10 + i].cluster for i in range(5)}
     assert len(left) == 1 and len(right) == 1 and left != right
     assert all(rows[i].sq_dist < 1.0 for i in rows)
+
+
+def test_weighted_sample_favors_heavy_rows_deterministically(spark):
+    from maston_spark.llm.sampling import weighted_sample
+
+    # 50 light rows (w=1) vs 50 heavy rows (w=100): the heavy side
+    # must dominate the sample, and two runs must agree exactly
+    rows = [(i, 1.0) for i in range(50)] + [(100 + i, 100.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s1 = sorted(r.doc_id for r in weighted_sample(df, 20, "w").collect())
+    s2 = sorted(r.doc_id for r in weighted_sample(df, 20, "w").collect())
+    assert s1 == s2 and len(s1) == 20
+    heavy = sum(1 for i in s1 if i >= 100)
+    assert heavy >= 15  # w=100 vs w=1 -> overwhelming odds per slot
