@@ -1336,3 +1336,40 @@ def q114_table_diff(spark, sf_dir):
         o, b, key_cols=["o_orderkey"],
         compare_cols=["o_orderstatus", "o_totalprice"],
     ).select("change_type", "o_orderkey")
+
+
+@query(
+    "q121_argmax_by",
+    oracle="""
+    SELECT source,
+           arg_max(doc_id, n_chars * 1000000 + doc_id) AS longest_doc,
+           arg_min(doc_id, n_chars * 1000000 + doc_id) AS shortest_doc,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def q121_argmax_by(spark, sf_dir):
+    """Arg-max aggregation family (`max_by`/`min_by`): per source,
+    which document is longest/shortest — the join-free alternative
+    to the window-rank idiom for single-winner lookups (one
+    combiner-reduced agg instead of shuffle + sort + filter).
+
+    Determinism: the ordering key is ``n_chars * 1e6 + doc_id`` —
+    globally unique, so length ties can't make `max_by` pick
+    different winners across engines or retries (bare `max_by` on a
+    tied key is nondeterministic by contract in BOTH engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("n_chars") * 1000000 + F.col("doc_id")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.max_by("doc_id", key).alias("longest_doc"),
+            F.min_by("doc_id", key).alias("shortest_doc"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+        )
+        .orderBy("source")
+    )
