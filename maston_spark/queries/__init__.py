@@ -95,7 +95,7 @@ _PRIORITY = [
     "q112_profile_strings", "q113_curation_pipeline", "q114_table_diff",
     "q115_order_priority_check", "q116_price_histogram", "q117_zipf_fit",
     "q118_pagerank", "q119_kmeans", "q120_weighted_sample",
-    "q121_argmax_by",
+    "q121_argmax_by", "q122_media_neardup",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships
     "q22_window_frames", "q34_sliding_window", "q35_session_window",

@@ -1939,3 +1939,84 @@ def q120_weighted_sample(spark, sf_dir):
         "doc_id", "source", "n_chars"
     )
     return SAMP.weighted_sample(d, n=100, weight_col="n_chars")
+
+
+def _q122_oracle_sql(n: int = 256) -> str:
+    """Literal-rows golden oracle for q122: replicate the synthetic
+    payload + feature kernel in plain numpy for ids 0..n-1 plus the
+    every-7th twins, group by the rounded feature tuple, and emit
+    star pairs (group min ↔ each other member)."""
+    import hashlib
+    import zlib
+
+    import numpy as np
+
+    def feat(mid: int):
+        raw = zlib.decompress(
+            zlib.compress(
+                hashlib.sha256(f"media-{mid}".encode()).digest() * (8 + mid % 5)
+            )
+        )
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        pad = (-len(a)) % 16
+        if pad:
+            a = np.pad(a, (0, pad))
+        return tuple(
+            round(float(x), 6) for x in (a.reshape(-1, 16).mean(axis=0) / 255.0)
+        )
+
+    groups: dict[tuple, list[int]] = {}
+    for mid in range(n):
+        groups.setdefault(feat(mid), []).append(mid)
+    for mid in range(0, n, 7):
+        groups.setdefault(feat(mid), []).append(1000000 + mid)
+    rows = []
+    for members in groups.values():
+        members = sorted(members)
+        for other in members[1:]:
+            rows.append(f"({members[0]},{other})")
+    values = ",".join(sorted(rows, key=lambda s: eval(s)))
+    return f"""
+    SELECT CAST(c0 AS BIGINT) AS id_a, CAST(c1 AS BIGINT) AS id_b
+    FROM (VALUES {values}) AS t(c0, c1)
+    """
+
+
+@query("q122_media_neardup", oracle=_q122_oracle_sql())
+def q122_media_neardup(spark, sf_dir):
+    """Multimodal perceptual dedup: media whose extracted feature
+    vectors coincide (rounded to 6 dp) — the image/audio dedup step
+    of a multimodal corpus pipeline, run on features rather than
+    raw bytes so re-encoded twins still collide. The corpus is the
+    synthetic media table plus exact twins of every 7th item under
+    new ids; pairs are (group-min id ↔ member).
+
+    Scale shape: the feature key is one md5 projection; grouping is
+    a combiner-reduced agg on the 128-bit key (no skew); pairs come
+    from ONE equi-join of the key table against its per-key minimum
+    — never an all-pairs comparison.
+    """
+    from maston_spark.llm import multimodal as MM
+
+    media = MM.synthesize_media(spark, n=256, partitions=8)
+    twins = media.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 1000000).alias("media_id"),
+        "kind", "payload", "meta",
+    )
+    corpus = media.unionByName(twins)
+    feats = MM.extract_features(corpus, dim=16)
+    key = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"), lambda x: F.round(x.cast("double"), 6).cast("string")
+            ),
+        )
+    )
+    grp = feats.select("media_id", key.alias("__k"))
+    mins = grp.groupBy("__k").agg(F.min("media_id").alias("id_a"))
+    return (
+        grp.join(mins, "__k")
+        .filter(F.col("media_id") != F.col("id_a"))
+        .select("id_a", F.col("media_id").alias("id_b"))
+    )
