@@ -85,7 +85,7 @@ def test_graded_window_covers_unique_capabilities():
         "q92_avro_roundtrip", "q94_semantic_dedup", "q95_exact_substring",
         "q96_bigram_perplexity", "q98_bloom_incremental",
         "q99_chunk_overlap", "q100_dsir_weights",
-        "q104_embedding_covariance",
+        "q104_embedding_covariance", "q118_pagerank", "q119_kmeans",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -95,6 +95,8 @@ def test_graded_window_covers_unique_capabilities():
         "q71_in_subquery": "q07_join_semi",
         "q101_lexical_diversity": "q45_text_stats",
         "q59_source_mix": "q58_hash_split",
+        "q66_local_supplier_volume": "q65_shipping_priority",
+        "q72_uncorrelated_scalar": "q69_scalar_subquery",
         "q34_sliding_window": "q33_tumbling_window",
         "q35_session_window": "q33_tumbling_window",
         "q42_dedup_simhash": "q41_dedup_minhash_lsh",
