@@ -856,3 +856,239 @@ def exact_substring_dedup(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 lexical ranking of documents against a fixed query
+    term set (Robertson et al.; Lucene's ``ln(1 + (N-df+0.5)/(df+0.5))``
+    idf variant) — the retrieval twin of the embedding cosine top-k,
+    and the standard first stage of hybrid (lexical+vector) search.
+
+    Distributed shape — what survives 100 TB:
+    - corpus stats (N, avgdl) come from ONE slim aggregate (two longs),
+      broadcast-cross-joined back (a 1-row broadcast, not a collect);
+    - per-token work filters the token ARRAY to the query vocabulary
+      BEFORE exploding, so the explode emits only query-term hits
+      (|hits| rows, not |tokens| rows);
+    - document frequency is a tiny per-term aggregate (≤ |query| rows)
+      broadcast back into the scoring join;
+    - the final global top-k is `orderBy().limit(k)` which Spark
+      executes as per-partition top-k + single k-row merge
+      (TakeOrderedAndProject) — the score table never collects.
+
+    Per-term scores are rounded to 9 decimals and summed in
+    DECIMAL(28,9) so the per-document sum is independent of partition
+    merge order (exact cross-engine hash parity).
+    """
+    qset = F.array(*[F.lit(t) for t in query_terms])
+    base = df.select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        F.size("__toks").alias("dl"),
+        F.filter(F.col("__toks"), lambda x: F.array_contains(qset, x)).alias(
+            "__hits"
+        ),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.filter(F.size("__hits") > 0)
+        .select(id_col, "dl", F.explode("__hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__score_t",
+            F.col("__idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.round(
+            F.sum(F.round(F.col("__score_t"), 9).cast("decimal(28,9)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("bm25"),
+    )
+    return per_doc.orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    ).limit(top_k)
+
+
+def top_pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-wide collocation extraction: top-k adjacent-token
+    bigrams by pointwise mutual information,
+    ``PMI(a,b) = ln(c_ab·T / (c_a·c_b))`` (Church & Hanks 1990) —
+    phrase-mining / tokenizer-merge seeding over a training corpus.
+
+    Distributed shape: bigram and unigram counts are two hash
+    aggregates with map-side combine; the ``min_count`` support
+    filter shrinks the bigram table BEFORE the two vocabulary joins
+    (rare noise pairs — the vast majority at web scale — never reach
+    a join); corpus total T is a 1-row broadcast. Bigram generation
+    is pure column algebra (two `slice`+`zip_with` over the token
+    array — the lambda touches only attribute inputs, keeping the
+    operator O(len) per row under projection collapse).
+
+    Deterministic order: PMI (rounded to 9) desc, bigram asc.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    parts = toks.select(
+        F.slice(F.col("__toks"), 1, F.size("__toks") - 1).alias("__a"),
+        F.slice(F.col("__toks"), 2, F.size("__toks") - 1).alias("__b"),
+        F.col("__toks"),
+    )
+    bigrams = (
+        parts.select(
+            F.explode(
+                F.zip_with(
+                    "__a", "__b", lambda a, b: F.concat(a, F.lit(" "), b)
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("t_tokens"))
+    sp = F.split(F.col("bigram"), " ", 2)
+    scored = (
+        bigrams.withColumn("w1", sp.getItem(0))
+        .withColumn("w2", sp.getItem(1))
+        .join(
+            F.broadcast(uni.select(F.col("__t").alias("w1"), F.col("c").alias("c_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("__t").alias("w2"), F.col("c").alias("c_b"))),
+            "w2",
+        )
+        .join(F.broadcast(total))
+        .withColumn(
+            "__pmi",
+            F.log(
+                (F.col("c_ab").cast("double") * F.col("t_tokens"))
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            # + 0.0 canonicalizes IEEE -0.0 (round of a tiny negative
+            # PMI) so cross-engine hashing can't split on zero's sign
+            (F.round("__pmi", 6) + F.lit(0.0)).alias("pmi"),
+        )
+        .orderBy(F.round("__pmi", 9).desc(), F.col("bigram").asc())
+        .limit(top_k)
+    )
+
+
+def source_token_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-distribution divergence from the corpus:
+    ``KL(P_s ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t))`` — the
+    data-mixing diagnostic (DoReMi / DSIR family): sources with high
+    KL are lexically distinctive and get re-weighted when composing a
+    training mix.
+
+    Distributed shape: one explode feeds BOTH count tables
+    ((source, term) and term marginals — the latter derived from the
+    former, so the corpus is tokenized once); per-source and corpus
+    totals are slim aggregates broadcast back; the per-term
+    contribution is rounded to 9 decimals and summed in
+    DECIMAL(28,9), making the reduction order-independent (exact
+    cross-engine parity). Output is |sources| rows.
+
+    KL here is always finite: every source term is a corpus term, so
+    ``p_c(t) > 0`` wherever ``p_s(t) > 0``.
+    """
+    st = (
+        df.select(group_col, F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy(group_col, "__t")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    term = st.groupBy("__t").agg(F.sum("c_st").alias("c_t"))
+    s_tot = st.groupBy(group_col).agg(F.sum("c_st").alias("t_s"))
+    grand = term.agg(F.sum("c_t").alias("t_all"))
+    contrib = (
+        st.join(F.broadcast(term), "__t")
+        .join(F.broadcast(s_tot), group_col)
+        .join(F.broadcast(grand))
+        .withColumn(
+            "__p_s", F.col("c_st").cast("double") / F.col("t_s")
+        )
+        .withColumn(
+            "__p_c", F.col("c_t").cast("double") / F.col("t_all")
+        )
+        .withColumn(
+            "__kl_t", F.col("__p_s") * F.log(F.col("__p_s") / F.col("__p_c"))
+        )
+    )
+    return (
+        contrib.groupBy(group_col)
+        .agg(
+            F.max("t_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_terms"),
+            # + 0.0: a near-zero KL sum can round to IEEE -0.0, which
+            # hashes differently from 0.0 cross-engine
+            (
+                F.round(
+                    F.sum(
+                        F.round(F.col("__kl_t"), 9).cast("decimal(28,9)")
+                    ).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("kl_vs_corpus"),
+        )
+        .orderBy(group_col)
+    )

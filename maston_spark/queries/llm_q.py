@@ -2020,3 +2020,103 @@ def q122_media_neardup(spark, sf_dir):
         .filter(F.col("media_id") != F.col("id_a"))
         .select("id_a", F.col("media_id").alias("id_b"))
     )
+
+
+@query(
+    "q123_bm25_rank",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS dl,
+                    list_filter(toks, x -> list_contains(
+                      ['spark', 'window', 'merge', 'dup'], x)) AS hits
+             FROM t),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM base),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(hits) AS term
+                 FROM base WHERE len(hits) > 0)
+           GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score_t
+      FROM tf JOIN dft USING (term), stats),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+             round(CAST(sum(CAST(round(score_t, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE), 6) AS bm25
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_terms_matched, bm25
+    FROM per_doc ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q123_bm25_rank(spark, sf_dir):
+    """Okapi BM25 lexical retrieval: top-20 documents for a 4-term
+    query (3 common + 1 rare term so idf actually differentiates).
+    See :func:`maston_spark.llm.text.bm25_rank`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.bm25_rank(d, ["spark", "window", "merge", "dup"])
+
+
+@query(
+    "q124_pmi_bigrams",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    bgr AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM (SELECT toks FROM t WHERE len(toks) >= 2),
+                 LATERAL (SELECT unnest(range(1, len(toks))) AS i) r),
+    big AS (SELECT bigram, count(*) AS c_ab FROM bgr
+            GROUP BY 1 HAVING count(*) >= 5),
+    u AS (SELECT w, count(*) AS c
+          FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tokens FROM u),
+    sc AS (SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+                  ln((CAST(c_ab AS DOUBLE) * t_tokens)
+                     / (CAST(ua.c AS DOUBLE) * ub.c)) AS pmi_raw
+           FROM big
+           JOIN u ua ON ua.w = string_split(bigram, ' ')[1]
+           JOIN u ub ON ub.w = string_split(bigram, ' ')[2], tot)
+    SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           round(pmi_raw, 6) + 0.0 AS pmi
+    FROM sc ORDER BY round(pmi_raw, 9) DESC, bigram ASC LIMIT 20
+    """,
+)
+def q124_pmi_bigrams(spark, sf_dir):
+    """Top-20 adjacent-token collocations by pointwise mutual
+    information (support >= 5). See
+    :func:`maston_spark.llm.text.top_pmi_bigrams`."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return TXT.top_pmi_bigrams(d, min_count=5, top_k=20)
+
+
+@query(
+    "q125_source_kl",
+    oracle="""
+    WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+    g AS (SELECT source, w, count(*) AS c_st FROM st GROUP BY 1, 2),
+    term AS (SELECT w, sum(c_st) AS c_t FROM g GROUP BY 1),
+    stot AS (SELECT source, sum(c_st) AS t_s FROM g GROUP BY 1),
+    tot AS (SELECT sum(c_t) AS t_all FROM term),
+    c AS (SELECT g.source, t_s,
+                 CAST(c_st AS DOUBLE) / t_s AS p_s,
+                 CAST(c_t AS DOUBLE) / t_all AS p_c
+          FROM g JOIN term USING (w) JOIN stot USING (source), tot)
+    SELECT source, CAST(max(t_s) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_terms,
+           round(CAST(sum(CAST(round(p_s * ln(p_s / p_c), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0
+             AS kl_vs_corpus
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def q125_source_kl(spark, sf_dir):
+    """Per-source token-distribution KL divergence from the corpus
+    (data-mixing diagnostic). See
+    :func:`maston_spark.llm.text.source_token_kl`."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return TXT.source_token_kl(d)

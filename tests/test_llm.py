@@ -1049,3 +1049,95 @@ def test_weighted_sample_favors_heavy_rows_deterministically(spark):
     assert s1 == s2 and len(s1) == 20
     heavy = sum(1 for i in s1 if i >= 100)
     assert heavy >= 15  # w=100 vs w=1 -> overwhelming odds per slot
+
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    from maston_spark.llm.text import bm25_rank
+
+    docs = [
+        (0, "cat dog fish"),
+        (1, "cat cat cat dog"),
+        (2, "fish fish bird bird bird bird"),
+        (3, "dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in bm25_rank(df, ["cat", "bird"], top_k=10).collect()}
+
+    # hand-computed Okapi BM25 (k1=1.2, b=0.75, Lucene idf)
+    corpus = {i: t.split() for i, t in docs}
+    n, avgdl = len(corpus), sum(len(t) for t in corpus.values()) / len(corpus)
+
+    def idf(term):
+        dfreq = sum(1 for t in corpus.values() if term in t)
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def score(i):
+        s, matched = 0.0, 0
+        for term in ("cat", "bird"):
+            tf = corpus[i].count(term)
+            if tf == 0:
+                continue
+            matched += 1
+            dl = len(corpus[i])
+            s += idf(term) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return matched, s
+
+    expect = {i: score(i) for i in corpus if score(i)[0] > 0}
+    assert set(got) == set(expect)
+    for i, (matched, s) in expect.items():
+        assert got[i].n_terms_matched == matched
+        assert abs(got[i].bm25 - s) < 1e-5, (i, got[i].bm25, s)
+    # doc 1 (3x cat, short) must outrank doc 0 (1x cat)
+    assert got[1].bm25 > got[0].bm25
+
+
+def test_pmi_flags_collocations(spark):
+    from maston_spark.llm.text import top_pmi_bigrams
+
+    # "new york" always adjacent; "dog"/"fish" never adjacent to each other
+    rows = [("new york is big",)] * 6 + [("dog runs",)] * 6 + [("fish swims",)] * 6
+    df = spark.createDataFrame(rows, "text string")
+    got = {r.bigram: r for r in top_pmi_bigrams(df, min_count=5, top_k=50).collect()}
+    assert "new york" in got
+    assert got["new york"].c_ab == 6 and got["new york"].c_a == 6
+    # support filter: nothing below min_count
+    assert all(r.c_ab >= 5 for r in got.values())
+    # perfect collocation over a 48-token corpus: pmi = ln(6*48/(6*6)) = ln 8
+    import math
+
+    assert abs(got["new york"].pmi - math.log(6 * 48 / 36)) < 1e-6
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    from maston_spark.llm.text import source_token_kl
+
+    # two sources with IDENTICAL token distributions -> KL == 0 for both;
+    # a third, disjoint source -> strictly positive for all three
+    rows = (
+        [(0, "a a b", "s0"), (1, "a a b", "s1")] * 5
+        + [(2, "z z z", "s2")] * 5
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in source_token_kl(df).collect()}
+    assert set(got) == {"s0", "s1", "s2"}
+    assert got["s0"].kl_vs_corpus == got["s1"].kl_vs_corpus > 0
+    assert got["s2"].kl_vs_corpus > got["s0"].kl_vs_corpus
+    assert got["s0"].n_tokens == 15 and got["s0"].n_distinct_terms == 2
+
+    # single source == corpus -> exact zero
+    one = spark.createDataFrame(
+        [(0, "x y z", "only")], "doc_id long, text string, source string"
+    )
+    assert source_token_kl(one).collect()[0].kl_vs_corpus == 0.0
+
+
+def test_retrieval_operators_handle_empty_input(spark):
+    from maston_spark.llm.text import bm25_rank, source_token_kl, top_pmi_bigrams
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_src = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert bm25_rank(empty_docs, ["x"]).count() == 0
+    assert top_pmi_bigrams(empty_docs).count() == 0
+    assert source_token_kl(empty_src).count() == 0
