@@ -114,3 +114,57 @@ def test_pagerank_cycle_and_star(spark):
     r = {x.node: x.rank for x in pagerank(star, iterations=6).collect()}
     assert r[1] > r[2] == r[3]
     assert abs(sum(r.values()) - 1.0) < 1e-4
+
+
+def test_exact_percentiles_matches_quantile_cont(spark):
+    """Order-statistics rewrite implements the percentile_cont
+    contract: exact (bit-for-bit) parity with DuckDB's quantile_cont
+    — the oracle engine — and 1-ulp-level agreement with Spark's
+    built-in `percentile`, whose interpolation uses the weighted
+    form `v_lo*(hi-rank) + v_hi*(rank-lo)` instead of
+    `v_lo + frac*(v_hi-v_lo)`. Ties, singleton groups, and nulls
+    included."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from maston_spark.relational import exact_percentiles
+
+    rng = random.Random(42)
+    rows = []
+    for g, size in (("a", 997), ("b", 40), ("c", 1), ("d", 2)):
+        for _ in range(size):
+            # coarse grid -> plenty of duplicate values per group
+            rows.append((g, round(rng.uniform(0, 50), 1)))
+    rows += [("a", None), ("b", None)]  # nulls are excluded, not counted
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    ps = (0.0, 0.25, 0.5, 0.9, 1.0)
+    als = tuple(f"p{int(p * 100)}" for p in ps)
+    got = {r.g: r for r in exact_percentiles(df, "g", "v", ps, als).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sel = ", ".join(
+        f"quantile_cont(v, {p}) AS {a}" for p, a in zip(ps, als)
+    )
+    oracle = {
+        r[0]: r[1:]
+        for r in con.execute(f"SELECT g, {sel} FROM t GROUP BY g").fetchall()
+    }
+    assert set(got) == set(oracle)
+    for g in oracle:
+        for i, a in enumerate(als):
+            assert got[g][a] == oracle[g][i], (g, a, got[g][a], oracle[g][i])
+
+    ref = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(p)).alias(a) for p, a in zip(ps, als)])
+        .collect()
+    }
+    for g in ref:
+        for a in als:
+            assert abs(got[g][a] - ref[g][a]) < 1e-9 * max(1.0, abs(ref[g][a]))
