@@ -37,6 +37,28 @@ def hash_bucket(id_col, salt: str) -> Column:
     return (lane % RESOLUTION).cast("int")
 
 
+def split_expr(
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> Column:
+    """The split-assignment EXPRESSION: 'train'/'val'/... as a pure
+    function of (salt, id). Exposed separately from
+    :func:`split_assign` so pair-shaped frames (e.g. the cross-split
+    leakage audit) can evaluate membership for both endpoint ids as
+    projections, with no join against an assignment table."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = hash_bucket(id_col, salt)
+    expr = None
+    acc = 0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += round(weights[name] * RESOLUTION)
+        clause = F.when(b < acc, F.lit(name))
+        expr = clause if expr is None else expr.when(b < acc, F.lit(name))
+    return (expr if expr is not None else F).otherwise(F.lit(names[-1]))
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -48,17 +70,7 @@ def split_assign(
     Boundaries are cumulative weights scaled to RESOLUTION, so the
     assignment is exact and order-independent.
     """
-    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-    b = hash_bucket(id_col, salt)
-    expr = None
-    acc = 0
-    names = list(weights)
-    for name in names[:-1]:
-        acc += round(weights[name] * RESOLUTION)
-        clause = F.when(b < acc, F.lit(name))
-        expr = clause if expr is None else expr.when(b < acc, F.lit(name))
-    expr = (expr if expr is not None else F).otherwise(F.lit(names[-1]))
-    return df.withColumn("split", expr)
+    return df.withColumn("split", split_expr(id_col, weights, salt))
 
 
 def sample_fraction(

@@ -2120,3 +2120,67 @@ def q125_source_kl(spark, sf_dir):
     :func:`maston_spark.llm.text.source_token_kl`."""
     d = load_table(spark, sf_dir, "documents").select("source", "text")
     return TXT.source_token_kl(d)
+
+
+@query(
+    "q126_split_leakage",
+    oracle=_MINHASH_ORACLE.replace(
+        "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2",
+        """, sp AS (
+      SELECT id_a, id_b,
+             CASE WHEN ('0x' || substr(md5('split:' || id_a), 1, 8))::BIGINT % 1000 < 800
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || id_a), 1, 8))::BIGINT % 1000 < 900
+                  THEN 'val' ELSE 'test' END AS sa,
+             CASE WHEN ('0x' || substr(md5('split:' || id_b), 1, 8))::BIGINT % 1000 < 800
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || id_b), 1, 8))::BIGINT % 1000 < 900
+                  THEN 'val' ELSE 'test' END AS sb
+      FROM jac WHERE jaccard >= 0.2),
+    agg AS (
+      SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM sp GROUP BY 1, 2),
+    tot AS (SELECT sum(n_pairs) AS t FROM agg)
+    SELECT split_lo, split_hi, n_pairs,
+           (split_lo <> split_hi) AS is_leak,
+           round(CAST(n_pairs AS DOUBLE) / t, 6) AS frac_of_pairs
+    FROM agg, tot""",
+    ),
+)
+def q126_split_leakage(spark, sf_dir):
+    """Cross-split near-dup leakage audit: did dedup happen BEFORE
+    the train/val/test split? Every MinHash near-dup pair (the q41
+    candidate+verify pipeline) is classified by the splits of its two
+    endpoints; pairs straddling two splits are evaluation
+    contamination (the test set 'leaks' into training through a
+    near-copy). The standard post-split sanity gate in a pretraining
+    pipeline (cf. the dedup-then-split ordering in Gopher/CCNet).
+
+    Distributed shape: split membership is a PURE PROJECTION of the
+    endpoint id (`split_expr`) — no join against an assignment table
+    — so the audit costs exactly one near-dup detection plus a
+    6-row aggregate."""
+    from maston_spark.llm import sampling as SAMP
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    mf = DD.minhash_frame(corpus, shingle_n=3, num_hashes=16).persist()
+    cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
+    pairs = DD.jaccard_from_lanes(mf, cands, threshold=0.2)
+    sp = pairs.select(
+        SAMP.split_expr("id_a").alias("sa"), SAMP.split_expr("id_b").alias("sb")
+    )
+    agg = sp.groupBy(
+        F.least("sa", "sb").alias("split_lo"),
+        F.greatest("sa", "sb").alias("split_hi"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    tot = agg.agg(F.sum("n_pairs").alias("t"))
+    return agg.join(F.broadcast(tot)).select(
+        "split_lo",
+        "split_hi",
+        "n_pairs",
+        (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+        F.round(F.col("n_pairs").cast("double") / F.col("t"), 6).alias(
+            "frac_of_pairs"
+        ),
+    )

@@ -1141,3 +1141,27 @@ def test_retrieval_operators_handle_empty_input(spark):
     assert bm25_rank(empty_docs, ["x"]).count() == 0
     assert top_pmi_bigrams(empty_docs).count() == 0
     assert source_token_kl(empty_src).count() == 0
+
+
+def test_split_leakage_audit_classifies_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from maston_spark.llm.sampling import split_assign, split_expr
+    from maston_spark.queries import all_queries
+
+    # split_expr is the projection twin of split_assign
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = split_assign(df).select("doc_id", "split")
+    b = df.select("doc_id", split_expr("doc_id").alias("split"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    rows = all_queries()["q126_split_leakage"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    # partition of all near-dup pairs: fractions sum to 1
+    assert abs(sum(r.frac_of_pairs for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.split_lo <= r.split_hi
+        assert r.is_leak == (r.split_lo != r.split_hi)
+    # the injected near-dups (id, id+1000000) land in independent
+    # hash splits, so SOME cross-split leak must be detected
+    assert any(r.is_leak for r in rows)
