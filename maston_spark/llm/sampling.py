@@ -376,3 +376,92 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Quality-ordered corpus selection under a global token budget:
+    keep the best-scoring documents, in (score desc, id) order, while
+    the running token total stays within ``budget`` (the
+    DCLM/FineWeb-style 'take the top N tokens by quality' selection
+    step). Documents are never split; the first document that would
+    overflow the budget — and everything after it — is dropped.
+
+    The naive formulation is ``sum(w) OVER (ORDER BY score DESC)`` —
+    a GLOBAL ordered cumulative sum, which every engine executes as
+    a single-task window (the whole corpus through one reducer: the
+    canonical 100 TB straggler). Here it is a distributed two-phase
+    prefix sum instead:
+
+    1. ``repartitionByRange`` on the sort key (one range exchange —
+       the only full-data shuffle) + ``sortWithinPartitions``, then
+       persist so phases see identical partition boundaries (range
+       boundaries come from sampling and are not stable across
+       re-execution).
+    2. A slim per-partition aggregate (|partitions| rows) collects
+       partition token totals; the driver turns them into exclusive
+       prefix OFFSETS — the only driver-side data is one long per
+       partition.
+    3. One Arrow-batched ``mapInPandas`` pass adds
+       ``offset[partition] + local running sum`` and cuts at the
+       budget — partitions entirely past the budget emit nothing
+       without scanning (their offset already exceeds it).
+
+    Weights must be integral (token counts): the prefix sums are
+    exact, so the selection boundary is deterministic on any cluster
+    size. Ties on score are broken by ``id_col``, making the order
+    total and the result engine-independent.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ordered = (
+        df.repartitionByRange(p, F.col(score_col).desc(), F.col(id_col).asc())
+        .sortWithinPartitions(F.col(score_col).desc(), F.col(id_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ordered.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("t"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid])
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ordered.schema.fields
+        if f.name != "__pid"
+    ) + ", cum_tokens long"
+
+    def cut(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["__pid"].iloc[0])]
+            if run > budget:
+                return  # whole remainder of this partition is past the cut
+            w = pdf[weight_col].astype("int64")
+            cum = w.cumsum() + run
+            run = int(cum.iloc[-1])
+            keep = pdf.loc[(cum <= budget).to_numpy()].drop(columns="__pid")
+            keep = keep.assign(cum_tokens=cum[(cum <= budget)].to_numpy())
+            if len(keep):
+                yield keep
+            if run > budget:
+                return
+
+    return ordered.mapInPandas(cut, out_schema)

@@ -2184,3 +2184,41 @@ def q126_split_leakage(spark, sf_dir):
             "frac_of_pairs"
         ),
     )
+
+
+@query(
+    "q127_budget_select",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+                   AS score,
+                 CAST(len(toks) AS BIGINT) AS n_tokens
+          FROM t),
+    c AS (SELECT doc_id, score, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM s)
+    SELECT doc_id, score, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 20000
+    """,
+)
+def q127_budget_select(spark, sf_dir):
+    """Token-budget corpus selection: the top-quality documents
+    (distinct-token ratio, id tie-break) until a 20k-token budget is
+    filled — the DCLM/FineWeb 'take the best N tokens' step, as a
+    distributed two-phase prefix sum instead of the single-task
+    global window the SQL formulation implies. See
+    :func:`maston_spark.llm.sampling.budget_select`."""
+    from maston_spark.llm import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", TXT.tokens(F.col("text")).alias("__toks"))
+    base = toks.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("__toks")) / F.size("__toks"), 6
+        ).alias("score"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+    )
+    return SAMP.budget_select(base, budget=20000)

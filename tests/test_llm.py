@@ -1165,3 +1165,52 @@ def test_split_leakage_audit_classifies_pairs(spark, sf_dir):
     # the injected near-dups (id, id+1000000) land in independent
     # hash splits, so SOME cross-split leak must be detected
     assert any(r.is_leak for r in rows)
+
+
+def test_budget_select_matches_global_window(spark):
+    """Two-phase distributed prefix sum must equal the naive global
+    ordered window cut — ties, exact budget hits, and a first-doc
+    overflow included."""
+    import random
+
+    from pyspark.sql import Window
+
+    from maston_spark.llm.sampling import budget_select
+
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.choice([0.2, 0.5, 0.5, 0.9]), 6), rng.randint(1, 50))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+
+    def naive(budget):
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return {
+            (r.doc_id, r.cum_tokens)
+            for r in df.select(
+                "doc_id", F.sum("n_tokens").over(w).alias("cum_tokens")
+            )
+            .filter(F.col("cum_tokens") <= budget)
+            .collect()
+        }
+
+    for budget in (0, 37, 1000, 10**9):
+        got = {
+            (r.doc_id, r.cum_tokens)
+            for r in budget_select(df, budget, num_partitions=7).collect()
+        }
+        assert got == naive(budget), budget
+
+    # exact budget boundary: cum == budget is kept
+    small = spark.createDataFrame(
+        [(0, 1.0, 10), (1, 0.9, 10), (2, 0.8, 10)],
+        "doc_id long, score double, n_tokens long",
+    )
+    kept = {r.doc_id for r in budget_select(small, 20, num_partitions=3).collect()}
+    assert kept == {0, 1}
+
+    empty = spark.createDataFrame([], "doc_id long, score double, n_tokens long")
+    assert budget_select(empty, 100).count() == 0
