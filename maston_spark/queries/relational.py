@@ -1385,3 +1385,46 @@ def q121_argmax_by(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q128_robust_outliers",
+    oracle="""
+    WITH v AS (SELECT o_orderpriority, o_totalprice AS x FROM orders),
+    med AS (SELECT o_orderpriority, quantile_cont(x, 0.5) AS med
+            FROM v GROUP BY 1),
+    dev AS (SELECT v.o_orderpriority, med, abs(x - med) AS d
+            FROM v JOIN med USING (o_orderpriority)),
+    mad AS (SELECT o_orderpriority, quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT dev.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(max(dev.med), 2) AS median,
+           round(max(mad.mad), 4) AS mad,
+           CAST(sum(CASE WHEN d > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN d > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+    FROM dev JOIN mad USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def q128_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier gate per order priority: the
+    distribution-free data-quality check, built on the distributed
+    order-statistics operator twice. See
+    :func:`maston_spark.relational.robust_outlier_stats`."""
+    from maston_spark.relational import robust_outlier_stats
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    r = robust_outlier_stats(o, "o_orderpriority", "o_totalprice")
+    return r.select(
+        "o_orderpriority",
+        "n_rows",
+        F.round("median", 2).alias("median"),
+        F.round("mad", 4).alias("mad"),
+        "n_outliers",
+        "outlier_frac",
+    )

@@ -168,3 +168,24 @@ def test_exact_percentiles_matches_quantile_cont(spark):
     for g in ref:
         for a in als:
             assert abs(got[g][a] - ref[g][a]) < 1e-9 * max(1.0, abs(ref[g][a]))
+
+
+def test_robust_outlier_stats_golden(spark):
+    """Median/MAD and the k·1.4826·MAD rule against a hand-computed
+    group: values 1..9 plus one wild outlier."""
+    from maston_spark.relational import robust_outlier_stats
+
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    rows += [("h", 5.0), ("h", 5.0)]  # MAD = 0: only exact-median rows survive
+    df = spark.createDataFrame(rows, "grp string, x double")
+    got = {r.grp: r for r in robust_outlier_stats(df, "grp", "x").collect()}
+
+    # group g: n=10, median = (5+6)/2 = 5.5, devs sorted:
+    # [0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5] -> MAD = 2.5
+    # threshold = 3*1.4826*2.5 = 11.1195 -> only 1000.0 flagged
+    g = got["g"]
+    assert g.n_rows == 10 and g.median == 5.5 and g.mad == 2.5
+    assert g.n_outliers == 1 and abs(g.outlier_frac - 0.1) < 1e-9
+    # group h: MAD 0 -> threshold 0 -> no deviation exceeds it
+    h = got["h"]
+    assert h.median == 5.0 and h.mad == 0.0 and h.n_outliers == 0
