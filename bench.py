@@ -33,6 +33,10 @@ HEADLINE = [
     "q94_semantic_dedup",       # SemDeDup (blockwise keep-one)
     "q100_dsir_weights",        # DSIR hashed bag-of-words importance weights
     "q104_embedding_covariance",# exact d x d covariance (pair generator)
+    # round-8 closers
+    "q15_agg_percentile",       # distributed order statistics (exact_percentiles)
+    "q123_bm25_rank",           # BM25 lexical retrieval (filter-before-explode)
+    "q127_budget_select",       # global token-budget cut (two-phase prefix sum)
 ]
 
 

@@ -492,7 +492,12 @@ def winnow_neardup_pairs(
     ``max_doc_freq``² regardless of corpus size; the pair count agg
     is map-side combinable on the (id_a, id_b) key.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    # persist: the fingerprint table feeds the doc-frequency agg AND
+    # both self-join sides — without it the whole winnowing pipeline
+    # (per-position md5 + window mins) recomputes per consumer
+    # (measured 2.76 s -> 1.64 s warm at sf0.1). Same pattern as the
+    # MinHash signature frame in q41.
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).persist()
     freq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
     rare = fps.join(
         freq.filter(F.col("__df") <= max_doc_freq).select("fingerprint"),
