@@ -86,6 +86,7 @@ def test_graded_window_covers_unique_capabilities():
         "q96_bigram_perplexity", "q98_bloom_incremental",
         "q99_chunk_overlap", "q100_dsir_weights",
         "q104_embedding_covariance", "q118_pagerank", "q119_kmeans",
+        "q123_bm25_rank", "q127_budget_select",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -94,7 +95,9 @@ def test_graded_window_covers_unique_capabilities():
         "q67_exists_subquery": "q07_join_semi",
         "q71_in_subquery": "q07_join_semi",
         "q101_lexical_diversity": "q45_text_stats",
-        "q59_source_mix": "q58_hash_split",
+        "q59_source_mix": "q88_domain_cap",
+        "q58_hash_split": "q88_domain_cap",
+        "q64_delta_fold": "q63_delta_expr",
         "q66_local_supplier_volume": "q65_shipping_priority",
         "q72_uncorrelated_scalar": "q69_scalar_subquery",
         "q34_sliding_window": "q33_tumbling_window",
