@@ -189,3 +189,49 @@ def test_robust_outlier_stats_golden(spark):
     # group h: MAD 0 -> threshold 0 -> no deviation exceeds it
     h = got["h"]
     assert h.median == 5.0 and h.mad == 0.0 and h.n_outliers == 0
+
+
+def test_exact_percentiles_fuzz_many_group_shapes(spark):
+    """One Spark run over 40 randomized groups — varied sizes (1..400),
+    tie densities (coarse grids), and value scales — each checked
+    bit-for-bit against DuckDB quantile_cont at awkward percentile
+    fractions. Guards the interpolation-formula parity (the weighted
+    form) against regressions across group shapes."""
+    import random
+
+    import duckdb
+
+    from maston_spark.relational import exact_percentiles
+
+    rng = random.Random(123)
+    rows = []
+    for gi in range(40):
+        size = rng.choice([1, 2, 3, 5, 17, 100, 400])
+        grid = rng.choice([1, 2, 10, 1000])  # small grid => heavy ties
+        scale = rng.choice([1.0, 1e-6, 1e6])
+        for _ in range(size):
+            rows.append((f"g{gi}", round(rng.randint(0, grid) * scale, 9)))
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    ps = (0.1, 1.0 / 3.0, 0.5, 0.9)
+    als = ("p10", "p33", "p50", "p90")
+    got = {r.g: r for r in exact_percentiles(df, "g", "v", ps, als).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sel = ", ".join(
+        f"quantile_cont(v, {p!r}) AS {a}" for p, a in zip(ps, als)
+    )
+    oracle = {
+        r[0]: r[1:]
+        for r in con.execute(f"SELECT g, {sel} FROM t GROUP BY g").fetchall()
+    }
+    assert set(got) == set(oracle)
+    mismatches = [
+        (g, a, got[g][a], oracle[g][i])
+        for g in oracle
+        for i, a in enumerate(als)
+        if got[g][a] != oracle[g][i]
+    ]
+    assert not mismatches, mismatches[:5]
