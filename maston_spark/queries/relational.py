@@ -394,9 +394,9 @@ def q14_agg_stats(spark, sf_dir):
     "q15_agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price,
-           round(quantile_cont(l_extendedprice, 0.5),  2) AS median_price,
-           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75_price,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.5),  4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
            count(DISTINCT l_partkey) AS n_parts
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -423,9 +423,15 @@ def q15_agg_percentile(spark, sf_dir):
         ("p25_price", "median_price", "p75_price"),
     ).select(
         "l_returnflag",
-        F.round("p25_price", 2).alias("p25_price"),
-        F.round("median_price", 2).alias("median_price"),
-        F.round("p75_price", 2).alias("p75_price"),
+        # round to 4, NOT 2: quartiles of 2-decimal prices are exact
+        # multiples of 0.0025 — grid points of the 4-decimal grid, so
+        # rounding is the identity in both engines. At 2 decimals a
+        # median like 52724.245 is a rounding-grid MIDPOINT whose
+        # nearest double (…2449999…) Spark's BigDecimal half-up sends
+        # DOWN while DuckDB's round sends UP (caught at sf0.001).
+        F.round("p25_price", 4).alias("p25_price"),
+        F.round("median_price", 4).alias("median_price"),
+        F.round("p75_price", 4).alias("p75_price"),
     )
     dis = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_parts")
