@@ -1405,7 +1405,7 @@ def q121_argmax_by(spark, sf_dir):
             FROM dev GROUP BY 1)
     SELECT dev.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_rows,
-           round(max(dev.med), 2) AS median,
+           round(max(dev.med), 4) AS median,
            round(max(mad.mad), 4) AS mad,
            CAST(sum(CASE WHEN d > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers,
@@ -1429,7 +1429,9 @@ def q128_robust_outliers(spark, sf_dir):
     return r.select(
         "o_orderpriority",
         "n_rows",
-        F.round("median", 2).alias("median"),
+        # 4 not 2: medians of 2-decimal data are multiples of 0.005 —
+        # 2-decimal rounding-grid midpoints (see q15)
+        F.round("median", 4).alias("median"),
         F.round("mad", 4).alias("mad"),
         "n_outliers",
         "outlier_frac",
