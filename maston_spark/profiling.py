@@ -93,3 +93,45 @@ def profile_strings(df: DataFrame, columns: list[str]) -> DataFrame:
             F.round(F.sum(ln) / F.count("v"), 6).alias("avg_len"),
         )
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Join/grouping-key skew diagnostic: per hot key, its row count,
+    share of the table, and the ratio to a perfectly uniform key —
+    the numbers that decide whether a planned shuffle needs salting
+    or AQE skew-join handling BEFORE the job runs at 100 TB (a key
+    holding 10% of a 100 TB table is a 10 TB straggler partition).
+
+    One hash aggregate with map-side combine (shuffle bounded by
+    distinct keys), one slim global aggregate broadcast back, and a
+    top-k that Spark executes as per-partition top-k + k-row merge.
+    Null keys count as a key (they hash-partition together in joins,
+    which is exactly when they hurt).
+
+    Output: the ``top_k`` hottest keys with ``n_rows``, ``row_frac``
+    (share of all rows), and ``skew_ratio`` (n_rows / (total/distinct)
+    — 1.0 means perfectly uniform; the salting threshold in
+    `partitioning.py` keys off this number).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(stats))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_frac"),
+            F.round(
+                F.col("n_rows") / (F.col("__total") / F.col("__n_keys")), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )

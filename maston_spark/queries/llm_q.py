@@ -2222,3 +2222,25 @@ def q127_budget_select(spark, sf_dir):
         F.size("__toks").cast("long").alias("n_tokens"),
     )
     return SAMP.budget_select(base, budget=20000)
+
+
+@query(
+    "q129_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+    s AS (SELECT sum(n) AS total, count(*) AS nk FROM c)
+    SELECT CAST(key AS VARCHAR) AS key, CAST(n AS BIGINT) AS n_rows,
+           round(n / CAST(total AS DOUBLE), 6) AS row_frac,
+           round(n / (CAST(total AS DOUBLE) / nk), 6) AS skew_ratio
+    FROM c, s ORDER BY n DESC, CAST(key AS VARCHAR) ASC LIMIT 10
+    """,
+)
+def q129_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic on the event stream's user id: the
+    pre-flight check that decides whether a shuffle needs salting or
+    AQE skew handling. See
+    :func:`maston_spark.profiling.key_skew_report`."""
+    from maston_spark.profiling import key_skew_report
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    return key_skew_report(e, "user_id", top_k=10)

@@ -235,3 +235,22 @@ def test_exact_percentiles_fuzz_many_group_shapes(spark):
         if got[g][a] != oracle[g][i]
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_key_skew_report_golden(spark):
+    from pyspark.sql import functions as F
+
+    from maston_spark.profiling import key_skew_report
+
+    # key "hot" holds 80 of 100 rows; 20 singleton keys; 1 null-key row
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(19)] + [(None,)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.key: r for r in key_skew_report(df, "k", top_k=5).collect()}
+    assert len(got) == 5
+    hot = got["hot"]
+    # 21 distinct keys (null counts), uniform share = 100/21
+    assert hot.n_rows == 80
+    assert abs(hot.row_frac - 0.8) < 1e-9
+    assert abs(hot.skew_ratio - 80 / (100 / 21)) < 1e-4
+    # every non-hot key in the report is a singleton
+    assert all(r.n_rows == 1 for k, r in got.items() if k != "hot")
