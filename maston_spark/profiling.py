@@ -135,3 +135,50 @@ def key_skew_report(
         .orderBy(F.col("n_rows").desc(), F.col("key").asc())
         .limit(top_k)
     )
+
+
+def chi2_contingency(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the audit that catches confounded corpus dimensions
+    (is `lang` independent of `source`? if not, per-source sampling
+    reshapes the language mix). Returns one row: the statistic,
+    degrees of freedom, cell/grand counts.
+
+    Scale shape: ONE combiner-reduced count aggregate over the
+    corpus (shuffle bounded by |a|×|b| cells, not rows); marginals
+    and the grand total derive from the cell table (slim aggs,
+    broadcast back); the (o−e)²/e terms are rounded to 9 decimals
+    and summed in DECIMAL(28,9) so the statistic is independent of
+    partition merge order (exact cross-engine parity). Nulls count
+    as a category (they are a real value of the dimension).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    row_t = cells.groupBy("__a").agg(F.sum("__o").alias("__rt"))
+    col_t = cells.groupBy("__b").agg(F.sum("__o").alias("__ct"))
+    grand = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count(F.lit(1)).alias("__cells"),
+        F.count_distinct("__a").alias("__ra"),
+        F.count_distinct("__b").alias("__cb"),
+    )
+    e = (F.col("__rt") * F.col("__ct")) / F.col("__n")
+    term = (F.col("__o") - e) * (F.col("__o") - e) / e
+    return (
+        cells.join(F.broadcast(row_t), "__a")
+        .join(F.broadcast(col_t), "__b")
+        .join(F.broadcast(grand))
+        .agg(
+            F.round(
+                F.sum(F.round(term, 9).cast("decimal(28,9)")).cast("double"), 6
+            ).alias("chi2"),
+            ((F.max("__ra") - 1) * (F.max("__cb") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.max("__cells").cast("long").alias("n_cells"),
+            F.max("__n").cast("long").alias("n_rows"),
+        )
+    )

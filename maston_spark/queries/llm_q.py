@@ -2244,3 +2244,63 @@ def q129_key_skew(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events").select("user_id")
     return key_skew_report(e, "user_id", top_k=10)
+
+
+@query(
+    "q130_chi2_lang_source",
+    oracle="""
+    WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+                   FROM documents GROUP BY 1, 2),
+    rt AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+    g AS (SELECT sum(o) AS n, count(*) AS n_cells,
+                 count(DISTINCT a) AS ra, count(DISTINCT b) AS cb
+          FROM cells),
+    terms AS (
+      SELECT (o - (rt * ct) / CAST(n AS DOUBLE))
+             * (o - (rt * ct) / CAST(n AS DOUBLE))
+             / ((rt * ct) / CAST(n AS DOUBLE)) AS term,
+             n_cells, ra, cb, n
+      FROM cells JOIN rt USING (a) JOIN ct USING (b), g)
+    SELECT round(CAST(sum(CAST(round(term, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE), 6) AS chi2,
+           CAST((max(ra) - 1) * (max(cb) - 1) AS BIGINT) AS dof,
+           CAST(max(n_cells) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n_rows
+    FROM terms
+    """,
+)
+def q130_chi2_lang_source(spark, sf_dir):
+    """Chi-square independence test of lang × source over the corpus
+    (confounded-dimension audit for sampling decisions). See
+    :func:`maston_spark.profiling.chi2_contingency`."""
+    from maston_spark.profiling import chi2_contingency
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    return chi2_contingency(d, "lang", "source")
+
+
+@query(
+    "q131_decayed_engagement",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS r FROM events),
+    aged AS (SELECT user_id, value,
+                    CAST(floor(date_diff('day', CAST(ts AS DATE),
+                                         CAST(r AS DATE)) / 7) AS BIGINT) AS k
+             FROM events, ref)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value * power(0.5, k), 9)
+                               AS DECIMAL(28,9))) AS DOUBLE), 6)
+             AS decayed_sum
+    FROM aged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q131_decayed_engagement(spark, sf_dir):
+    """Recency-weighted per-user engagement over the event stream:
+    half-life-bucketed exponential decay with exact power-of-two
+    weights (never libm exp). See
+    :func:`maston_spark.relational.decayed_sum`."""
+    from maston_spark.relational import decayed_sum
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return decayed_sum(e, "user_id", "ts", "value", half_life_days=7)

@@ -320,3 +320,54 @@ def robust_outlier_stats(
             F.sum(F.when(is_out, 1).otherwise(0)) / F.count(F.lit(1)), 6
         ).alias("outlier_frac"),
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Per-group time-decayed engagement: ``Σ value · 0.5^age``, with
+    age measured in whole ``half_life_days`` buckets behind the
+    NEWEST event in the table — the recency-weighted feature
+    (engagement scores, freshness-weighted revenue) every
+    feature-engineering pipeline computes over an event stream.
+
+    Determinism over libm: the decay weight is ``0.5^k`` for INTEGER
+    k — an exact IEEE power of two — never ``exp(−λ·Δt)``, whose
+    last-ulp value is libm-implementation-specific and would make the
+    result engine-dependent. Bucketed decay trades smoothness for a
+    bit-reproducible number; per-group sums go through the
+    round(9)+DECIMAL(28,9) reduction so partition order can't move a
+    rounding boundary.
+
+    Scale shape: the reference timestamp is ONE slim aggregate
+    broadcast back (no window, no collect of data rows); the decayed
+    sum is a plain combiner-reduced hash agg — one shuffle on the
+    group key.
+    """
+    ref = df.agg(F.max(ts_col).alias("__ref"))
+    aged = df.join(F.broadcast(ref)).select(
+        group_col,
+        value_col,
+        F.floor(
+            F.datediff(F.col("__ref"), F.col(ts_col))
+            / F.lit(int(half_life_days))
+        ).alias("__k"),
+    )
+    w = F.pow(F.lit(0.5), F.col("__k"))
+    return (
+        aged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.round(F.col(value_col) * w, 9).cast("decimal(28,9)")
+                ).cast("double"),
+                6,
+            ).alias("decayed_sum"),
+        )
+        .orderBy(group_col)
+    )

@@ -254,3 +254,51 @@ def test_key_skew_report_golden(spark):
     assert abs(hot.skew_ratio - 80 / (100 / 21)) < 1e-4
     # every non-hot key in the report is a singleton
     assert all(r.n_rows == 1 for k, r in got.items() if k != "hot")
+
+
+def test_chi2_contingency_matches_numpy(spark):
+    import numpy as np
+
+    from maston_spark.profiling import chi2_contingency
+
+    # 2x3 table with a clear dependence
+    obs = {("x", "p"): 30, ("x", "q"): 10, ("x", "r"): 5,
+           ("y", "p"): 5, ("y", "q"): 20, ("y", "r"): 30}
+    rows = [(a, b) for (a, b), n in obs.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi2_contingency(df, "a", "b").collect()[0]
+
+    t = np.array([[30, 10, 5], [5, 20, 30]], dtype=float)
+    e = t.sum(1, keepdims=True) * t.sum(0, keepdims=True) / t.sum()
+    chi2 = float(((t - e) ** 2 / e).sum())
+    assert got.dof == 2 and got.n_cells == 6 and got.n_rows == 100
+    assert abs(got.chi2 - chi2) < 1e-6
+
+    # independent columns -> chi2 == 0 exactly
+    ind = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(10)]
+    z = chi2_contingency(
+        spark.createDataFrame(ind, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert z.chi2 == 0.0 and z.dof == 1
+
+
+def test_decayed_sum_power_of_two_weights(spark):
+    import datetime
+
+    from maston_spark.relational import decayed_sum
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        # user 1: value 8 now, 8 one half-life ago, 8 two half-lives ago
+        (1, base, 8.0),
+        (1, base - datetime.timedelta(days=7), 8.0),
+        (1, base - datetime.timedelta(days=14), 8.0),
+        # user 2: a single event 3 days old (same bucket as newest)
+        (2, base - datetime.timedelta(days=3), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in decayed_sum(df, "user_id", "ts", "value", 7).collect()}
+    # 8*1 + 8*0.5 + 8*0.25 = 14.0 exactly (powers of two)
+    assert got[1].decayed_sum == 14.0 and got[1].n_events == 3
+    # 3 days < one half-life -> bucket 0 -> full weight
+    assert got[2].decayed_sum == 10.0
