@@ -913,3 +913,62 @@ def kmeans_lloyd(
         F.col("__cid").alias("cluster"),
         F.round("__d", 6).alias("sq_dist"),
     )
+
+
+def rp_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim``
+    components with a deterministic ±1 matrix (Achlioptas 2003):
+    ``y_j = (1/√d) Σ_i sign(j,i) · x_i``, sign drawn from the same
+    md5 convention as the LSH hyperplanes. The dimensionality
+    reduction that feeds cheap ANN / clustering when d is large —
+    and, unlike PCA, it needs no training pass, no eigensolver, and
+    is exactly reproducible on any engine.
+
+    Exactness: with ±1 entries the per-term product is a sign flip,
+    and for power-of-two d the 1/√d scale is exact — every term is
+    ±x_i/√d with NO rounding, so the decimal-summed components are
+    bit-identical cross-engine. Output is long format
+    ``(id, component j, y)``.
+
+    Scale shape: the term generator is the q104 class — explode to
+    n·d·k rows after an explicit-count repartition (AQE would
+    coalesce the slim pre-fan-out shuffle), then one combiner-reduced
+    hash agg down to n·k rows. The projection matrix never
+    materializes anywhere.
+    """
+    k = int(out_dim)
+    x = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
+        id_col, F.posexplode(as_double(F.col(vec_col))).alias("__i", "__xi")
+    )
+    terms = x.select(
+        id_col,
+        "__i",
+        "__xi",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j"),
+    )
+    sign = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("rp:"), F.col("__j"), F.lit(":"), F.col("__i"))),
+            1,
+            1,
+        )
+        >= "8",
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    term = (F.col("__xi") * sign) / F.sqrt(F.lit(int(dims)).cast("double"))
+    return (
+        terms.groupBy(id_col, F.col("__j").alias("component"))
+        .agg(
+            F.round(
+                F.sum(F.round(term, 9).cast("decimal(28,9)")).cast("double"), 6
+            ).alias("y")
+        )
+    )

@@ -2304,3 +2304,29 @@ def q131_decayed_engagement(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return decayed_sum(e, "user_id", "ts", "value", half_life_days=7)
+
+
+@query(
+    "q132_rp_project",
+    oracle="""
+    WITH x AS (SELECT vec_id, gs - 1 AS i, CAST(embedding[gs] AS DOUBLE) AS xi
+               FROM embeddings,
+                    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS gs) t),
+    terms AS (SELECT vec_id, j,
+                     (xi * CASE WHEN substring(md5('rp:' || j || ':' || i), 1, 1)
+                                     >= '8'
+                                THEN 1.0 ELSE -1.0 END) / sqrt(64.0) AS term
+              FROM x, (SELECT unnest(range(0, 16)) AS j) r)
+    SELECT vec_id, CAST(j AS INT) AS component,
+           round(CAST(sum(CAST(round(term, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+             AS y
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def q132_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 random projection of the embedding
+    corpus to 16 components (training-free dimensionality reduction
+    for ANN/clustering). See
+    :func:`maston_spark.llm.similarity.rp_project`."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.rp_project(e, out_dim=16, dims=64)

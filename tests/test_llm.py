@@ -1214,3 +1214,32 @@ def test_budget_select_matches_global_window(spark):
 
     empty = spark.createDataFrame([], "doc_id long, score double, n_tokens long")
     assert budget_select(empty, 100).count() == 0
+
+
+def test_rp_project_matches_numpy_sign_matrix(spark):
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from maston_spark.llm.similarity import rp_project
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(20, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.component): r.y
+        for r in rp_project(df, out_dim=4, dims=8).collect()
+    }
+    assert len(got) == 20 * 4
+
+    def sign(j, i):
+        return 1.0 if hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0] >= "8" else -1.0
+
+    R = np.array([[sign(j, i) for i in range(8)] for j in range(4)])
+    Y = (X.astype(np.float64) @ R.T) / math.sqrt(8.0)
+    for (vid, j), y in got.items():
+        assert abs(y - Y[vid, j]) < 1e-6, (vid, j, y, Y[vid, j])
