@@ -2330,3 +2330,34 @@ def q132_rp_project(spark, sf_dir):
     :func:`maston_spark.llm.similarity.rp_project`."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.rp_project(e, out_dim=16, dims=64)
+
+
+@query(
+    "q133_engagement_trend",
+    oracle="""
+    WITH ref AS (SELECT min(ts) AS t0 FROM events),
+    base AS (SELECT user_id,
+                    (epoch_us(ts) - epoch_us(t0)) / 1000000.0 AS x,
+                    CAST(value AS DOUBLE) AS y
+             FROM events, ref),
+    m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+          FROM base GROUP BY 1)
+    SELECT user_id, n,
+           round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                      ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END * 86400.0, 6) AS slope_per_day
+    FROM m ORDER BY user_id
+    """,
+)
+def q133_engagement_trend(spark, sf_dir):
+    """Per-user OLS engagement trend (value per day) over the event
+    stream — closed-form moment sums, decimal-exact. See
+    :func:`maston_spark.relational.group_trend`."""
+    from maston_spark.relational import group_trend
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return group_trend(e, "user_id", "ts", "value")

@@ -371,3 +371,66 @@ def decayed_sum(
         )
         .orderBy(group_col)
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group OLS trend: the least-squares slope of ``value`` over
+    time (per day) — the 'is this user's engagement rising or
+    falling' feature, computed closed-form from moment sums (never an
+    iterative solver).
+
+    Determinism: x is seconds since the table's EARLIEST timestamp (a
+    1-row broadcast — centering keeps x² sums inside DECIMAL(38,9)
+    range and the slope is shift-invariant); the four moment sums
+    round each term to 9 decimals and accumulate in DECIMAL(38,9), so
+    partition order can't move them; the closed-form
+    ``(n·Sxy − Sx·Sy) / (n·Sxx − Sx²)`` then runs on identical
+    doubles in any engine. Groups with a single row or zero x
+    variance yield an EXPLICIT null slope (engines disagree on
+    double 0/0 — Spark nulls, IEEE nans — so the guard is spelled
+    out).
+
+    One shuffle on the group key; everything else is a 1-row
+    broadcast and scalar math on |groups| rows.
+    """
+    ref = df.agg(F.min(ts_col).alias("__t0"))
+    base = df.join(F.broadcast(ref)).select(
+        group_col,
+        # exact integer microsecond delta, then ONE double division —
+        # unix_timestamp would TRUNCATE sub-second fractions and
+        # silently diverge from the oracle's epoch arithmetic
+        (
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(F.col("__t0").cast("timestamp"))
+            )
+            / F.lit(1000000.0)
+        ).alias("__x"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+
+    def dsum(c):
+        return F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+
+    m = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("__x")).alias("sx"),
+        dsum(F.col("__y")).alias("sy"),
+        dsum(F.col("__x") * F.col("__y")).alias("sxy"),
+        dsum(F.col("__x") * F.col("__x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # explicit zero-variance guard: engines disagree on double 0/0
+    # (Spark -> null, IEEE -> nan), so make the null explicit
+    slope_per_sec = F.when(den == 0, F.lit(None)).otherwise(num / den)
+    return m.select(
+        group_col,
+        "n",
+        F.round(slope_per_sec * F.lit(86400.0), 6).alias("slope_per_day"),
+    ).orderBy(group_col)

@@ -302,3 +302,24 @@ def test_decayed_sum_power_of_two_weights(spark):
     assert got[1].decayed_sum == 14.0 and got[1].n_events == 3
     # 3 days < one half-life -> bucket 0 -> full weight
     assert got[2].decayed_sum == 10.0
+
+
+def test_group_trend_golden(spark):
+    import datetime
+
+    from maston_spark.relational import group_trend
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = (
+        # user 1: value rises exactly 2/day -> slope 2.0
+        [(1, base + datetime.timedelta(days=i), 10.0 + 2.0 * i) for i in range(5)]
+        # user 2: constant -> slope 0
+        + [(2, base + datetime.timedelta(days=i), 7.0) for i in range(3)]
+        # user 3: single event -> zero variance -> null
+        + [(3, base, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in group_trend(df, "user_id", "ts", "value").collect()}
+    assert got[1].slope_per_day == 2.0 and got[1].n == 5
+    assert got[2].slope_per_day == 0.0
+    assert got[3].slope_per_day is None and got[3].n == 1
