@@ -2361,3 +2361,28 @@ def q133_engagement_trend(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return group_trend(e, "user_id", "ts", "value")
+
+
+@query(
+    "q134_quantile_bins",
+    oracle="""
+    WITH e AS (SELECT quantile_cont(l_extendedprice,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+               FROM lineitem),
+    b AS (SELECT l_extendedprice AS x,
+                 CAST(len(list_filter(qs, q -> x > q)) AS INT) AS bin
+          FROM lineitem, e
+          WHERE l_extendedprice IS NOT NULL)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_val, max(x) AS max_val
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def q134_quantile_bins(spark, sf_dir):
+    """Decile binning of lineitem prices (equal-frequency
+    discretization). See
+    :func:`maston_spark.relational.quantile_bins`."""
+    from maston_spark.relational import quantile_bins
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return quantile_bins(li, "l_extendedprice", n_bins=10)

@@ -434,3 +434,47 @@ def group_trend(
         "n",
         F.round(slope_per_sec * F.lit(86400.0), 6).alias("slope_per_day"),
     ).orderBy(group_col)
+
+
+def quantile_bins(
+    df: DataFrame, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Equal-frequency (quantile) binning: assign every row to one of
+    ``n_bins`` buckets cut at the exact ``i/n_bins`` percentiles —
+    the feature-prep discretization that equi-width histograms can't
+    provide on skewed data (each bin holds ~the same row count by
+    construction). Returns per-bin row counts and the observed
+    value range.
+
+    The interior cut points come from :func:`exact_percentiles`
+    (distributed order statistics — the percentile_cont contract,
+    bit-identical to the oracle), broadcast back as ONE row; the bin
+    id is then a pure projection ``Σ (x > edge_i)`` — ties land in
+    the lower bin in both engines because the comparison is on
+    identical doubles. Bin min/max are untouched data values (no
+    arithmetic), so the whole output is exact. Empty bins (possible
+    under heavy ties) are absent from the output in both engines.
+    """
+    n = int(n_bins)
+    if n < 2:
+        raise ValueError("n_bins must be >= 2")
+    ps = [i / n for i in range(1, n)]
+    als = [f"__e{i}" for i in range(1, n)]
+    edges = exact_percentiles(
+        df.select(F.lit(1).alias("__g"), value_col), "__g", value_col, ps, als
+    ).drop("__g")
+    bucket = None
+    for a in als:
+        term = F.when(F.col(value_col) > F.col(a), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(edges))
+        .groupBy(bucket.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
+        .orderBy("bin")
+    )

@@ -323,3 +323,26 @@ def test_group_trend_golden(spark):
     assert got[1].slope_per_day == 2.0 and got[1].n == 5
     assert got[2].slope_per_day == 0.0
     assert got[3].slope_per_day is None and got[3].n == 1
+
+
+def test_quantile_bins_equal_frequency(spark):
+    import pytest
+
+    from maston_spark.relational import quantile_bins
+
+    # 0..99 -> quartiles must hold exactly 25 each (cuts at 24.75,
+    # 49.5, 74.25; ties impossible on integers)
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    got = {r.bin: r for r in quantile_bins(df, "v", n_bins=4).collect()}
+    assert {b: r.n_rows for b, r in got.items()} == {0: 25, 1: 25, 2: 25, 3: 25}
+    assert got[0].min_val == 0.0 and got[0].max_val == 24.0
+    assert got[3].min_val == 75.0 and got[3].max_val == 99.0
+
+    # heavy ties: a value equal to an edge lands in the LOWER bin,
+    # and bins swallowed by the tie mass are absent
+    tied = spark.createDataFrame([(1.0,)] * 90 + [(2.0,)] * 10, "v double")
+    bins = {r.bin: r.n_rows for r in quantile_bins(tied, "v", n_bins=4).collect()}
+    assert bins == {0: 90, 3: 10}
+
+    with pytest.raises(ValueError):
+        quantile_bins(df, "v", n_bins=1)
