@@ -232,3 +232,36 @@ def test_curation_pipeline_two_exchanges_gate_at_scan(spark, sf_dir, qs):
     assert p.count("Exchange hashpartitioning") == 2, p
     assert p.count("WindowGroupLimit") == 4  # partial+final per window
     assert "DataFilters" in p or "Filter" in p
+
+
+def test_budget_select_single_range_exchange(spark, sf_dir, qs):
+    """q127's global ordered cut must NOT plan the naive global
+    window (a single-partition Exchange SinglePartition + Window) —
+    the whole point of the two-phase prefix sum. Exactly one
+    range exchange on the sort key feeds the Arrow cut."""
+    p = plan_of(qs["q127_budget_select"](spark, sf_dir))
+    assert "SinglePartition" not in p, p
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+    assert p.count("MapInPandas") == 1
+
+
+def test_bm25_broadcasts_stats_and_df(spark, sf_dir, qs):
+    """q123's corpus stats (1 row) and per-term document frequencies
+    (<= |query| rows) must reach the scoring join as broadcasts; the
+    corpus itself is never broadcast and never cartesian-joined."""
+    p = plan_of(qs["q123_bm25_rank"](spark, sf_dir))
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # only the 1-row stats
+    assert "BroadcastHashJoin" in p  # df_t equi-join
+    assert "CartesianProduct" not in p
+    # global top-k compiles to per-partition top-k + k-row merge
+    assert "TakeOrderedAndProject" in p
+
+
+def test_exact_percentiles_no_object_hash_aggregate(spark, sf_dir, qs):
+    """q15 must stay on codegen hash aggregates + one window — the
+    builtin percentile's ObjectHashAggregate (per-group value buffer)
+    is the unbounded-state shape the rewrite exists to avoid."""
+    p = plan_of(qs["q15_agg_percentile"](spark, sf_dir))
+    assert "ObjectHashAggregate" not in p, p
+    assert "percentile" not in p.lower(), p
