@@ -71,7 +71,10 @@ _PRIORITY = [
     # families instead)
     "q65_shipping_priority", "q118_pagerank",
     "q68_not_exists_antijoin", "q69_scalar_subquery",
-    "q70_customer_distribution", "q119_kmeans",
+    # (q70 customer-distribution is a join+group-count histogram —
+    # its join family is graded via q03/q04/q07 and its histogram
+    # family via q116/q23; the slot grades the robust-stats family)
+    "q128_robust_outliers", "q119_kmeans",
     # LLM-pipeline set (unique capabilities first; within-family
     # variants — simhash after minhash, fingerprint after exact-hash,
     # sliding/session after tumbling, frames after rank — are in the
@@ -109,7 +112,8 @@ _PRIORITY = [
     "q66_local_supplier_volume", "q72_uncorrelated_scalar", "q120_weighted_sample",
     "q121_argmax_by", "q122_media_neardup",
     "q124_pmi_bigrams", "q125_source_kl",
-    "q126_split_leakage", "q128_robust_outliers", "q129_key_skew",
+    "q70_customer_distribution",
+    "q126_split_leakage", "q129_key_skew",
     "q130_chi2_lang_source", "q131_decayed_engagement", "q132_rp_project",
     "q133_engagement_trend", "q134_quantile_bins",
     "q67_exists_subquery", "q71_in_subquery",

@@ -86,7 +86,7 @@ def test_graded_window_covers_unique_capabilities():
         "q96_bigram_perplexity", "q98_bloom_incremental",
         "q99_chunk_overlap", "q100_dsir_weights",
         "q104_embedding_covariance", "q118_pagerank", "q119_kmeans",
-        "q123_bm25_rank", "q127_budget_select",
+        "q123_bm25_rank", "q127_budget_select", "q128_robust_outliers",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -98,6 +98,7 @@ def test_graded_window_covers_unique_capabilities():
         "q59_source_mix": "q88_domain_cap",
         "q58_hash_split": "q88_domain_cap",
         "q64_delta_fold": "q63_delta_expr",
+        "q70_customer_distribution": "q03_join_inner",
         "q66_local_supplier_volume": "q65_shipping_priority",
         "q72_uncorrelated_scalar": "q69_scalar_subquery",
         "q34_sliding_window": "q33_tumbling_window",
