@@ -2386,3 +2386,45 @@ def q134_quantile_bins(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     return quantile_bins(li, "l_extendedprice", n_bins=10)
+
+
+@query(
+    "q135_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    conv AS (
+      SELECT coalesce(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                           THEN touch END, '(none)') AS attributed_to
+      FROM c WHERE event_type = 'purchase'),
+    g AS (SELECT attributed_to, CAST(count(*) AS BIGINT) AS n_conversions
+          FROM conv GROUP BY 1),
+    t AS (SELECT sum(n_conversions) AS tt FROM g)
+    SELECT attributed_to, n_conversions,
+           round(n_conversions / CAST(tt AS DOUBLE), 6) AS conversion_share
+    FROM g, t ORDER BY attributed_to
+    """,
+)
+def q135_attribution(spark, sf_dir):
+    """Last-touch purchase attribution over the event stream
+    (click/view touches, 7-day lookback) — an as-of join expressed as
+    one user-partitioned window, no self-join. See
+    :func:`maston_spark.relational.last_touch_attribution`."""
+    from maston_spark.relational import last_touch_attribution
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return last_touch_attribution(
+        e, "user_id", "event_type", "purchase", ["click", "view"],
+        order_cols=("ts", "event_id"), lookback_days=7,
+    )

@@ -478,3 +478,76 @@ def quantile_bins(
         )
         .orderBy("bin")
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    lookback_days: int | None = 7,
+) -> DataFrame:
+    """Last-touch conversion attribution: for every conversion event,
+    credit the most recent preceding touch event (of
+    ``touch_types``) by the same user within ``lookback_days`` —
+    the standard marketing/product-analytics attribution query, and
+    an as-of join expressed WITHOUT a join: one user-partitioned
+    window carries the latest touch (type + timestamp) forward, so
+    the whole operator is a single hash shuffle on the user id
+    (the same union+window discipline as :func:`asof_join`).
+
+    Conversions with no touch in the window attribute to
+    ``'(none)'``. A touch at the conversion's exact timestamp counts
+    (<=-semantics via the window ordering); ``order_cols`` must end
+    in a unique tiebreaker so same-timestamp events cannot reorder
+    between engines. Output: attributed touch type, conversion
+    count, and share of all conversions.
+    """
+    from pyspark.sql import Window
+
+    is_touch = F.col(type_col).isin(*touch_types)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_col = order_cols[0]
+    carried = df.select(
+        user_col,
+        type_col,
+        *[F.col(c) for c in order_cols],
+        F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True)
+        .over(w)
+        .alias("__touch"),
+        F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias("__touch_ts"),
+    ).filter(F.col(type_col) == conversion_type)
+    if lookback_days is not None:
+        in_window = F.col("__touch_ts") >= (
+            F.col(ts_col) - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        )
+    else:
+        in_window = F.lit(True)
+    attributed = carried.select(
+        F.coalesce(
+            F.when(in_window, F.col("__touch")), F.lit("(none)")
+        ).alias("attributed_to")
+    )
+    counts = attributed.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions")
+    )
+    total = counts.agg(F.sum("n_conversions").alias("__t"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "attributed_to",
+            "n_conversions",
+            F.round(F.col("n_conversions") / F.col("__t"), 6).alias(
+                "conversion_share"
+            ),
+        )
+        .orderBy("attributed_to")
+    )

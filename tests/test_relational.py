@@ -346,3 +346,41 @@ def test_quantile_bins_equal_frequency(spark):
 
     with pytest.raises(ValueError):
         quantile_bins(df, "v", n_bins=1)
+
+
+def test_last_touch_attribution_golden(spark):
+    import datetime
+
+    from maston_spark.relational import last_touch_attribution
+
+    t0 = datetime.datetime(2026, 1, 10)
+
+    def ev(i, u, typ, days_offset):
+        return (i, u, typ, t0 + datetime.timedelta(days=days_offset))
+
+    rows = [
+        # user 1: click -> purchase (1 day later) => click
+        ev(1, 1, "click", 0), ev(2, 1, "purchase", 1),
+        # user 2: view then click then purchase => click (LAST touch)
+        ev(3, 2, "view", 0), ev(4, 2, "click", 1), ev(5, 2, "purchase", 2),
+        # user 3: touch 10 days before purchase -> outside 7d lookback
+        ev(6, 3, "view", 0), ev(7, 3, "purchase", 10),
+        # user 4: purchase with no touches at all
+        ev(8, 4, "purchase", 0),
+        # user 5: touch AFTER the purchase never attributes
+        ev(9, 5, "purchase", 0), ev(10, 5, "click", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.attributed_to: r
+        for r in last_touch_attribution(
+            df, "user_id", "event_type", "purchase", ["click", "view"],
+            order_cols=("ts", "event_id"), lookback_days=7,
+        ).collect()
+    }
+    assert got["click"].n_conversions == 2      # users 1, 2
+    assert got["(none)"].n_conversions == 3     # users 3 (stale), 4, 5
+    assert "view" not in got                    # never the LAST touch here
+    assert abs(sum(r.conversion_share for r in got.values()) - 1.0) < 1e-9
