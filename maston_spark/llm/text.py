@@ -1097,3 +1097,78 @@ def source_token_kl(
         )
         .orderBy(group_col)
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    joiner: str = "+",
+) -> "DataFrame":
+    """Fixed-iteration BPE merge training (Sennrich et al. 2016): per
+    round, count all adjacent token pairs over the corpus, pick the
+    most frequent (count desc, pair asc — deterministic), fuse it
+    everywhere, repeat. Returns the merge table
+    ``(step, pair, pair_count)`` — the artifact a tokenizer trainer
+    persists; joins the engine's fixed-iteration family (PageRank,
+    k-means Lloyd).
+
+    Distributed shape per round: ONE pair-count hash aggregate with
+    map-side combine (shuffle bounded by vocabulary², in practice the
+    distinct-pair count) and a 1-row TakeOrdered collect — the corpus
+    never leaves the cluster; the only driver data is the winning
+    pair. Merge application is a literal space-delimited
+    ``replace(' a b ', ' a+b ')`` over the padded text — leftmost
+    non-overlapping WITH separator consumption, so a run like
+    ``a a a a`` fuses to ``a+a a a`` (not textbook BPE's ``aa aa``);
+    the deviation is deliberate: both engines implement the identical
+    replace semantics, which keeps every round bit-reproducible and
+    oracle-checkable, and token runs are vanishingly rare in real
+    text.
+
+    The working column re-derives from the ORIGINAL text each round
+    via the accumulated merge list (a chain of n replaces — pure
+    projection), so no intermediate corpus is persisted or shuffled.
+    """
+    merges: list[tuple[int, str, int]] = []
+
+    def current(col):
+        s = F.concat(F.lit(" "), col, F.lit(" "))
+        for _, pair, _ in merges:
+            s = F.replace(
+                s,
+                F.lit(f" {pair} "),
+                F.lit(" " + pair.replace(" ", joiner) + " "),
+            )
+        return s
+
+    for step in range(1, int(n_merges) + 1):
+        toks = F.split(F.trim(current(F.col(text_col))), r"\s+")
+        parts = df.select(toks.alias("__toks")).filter(
+            F.size("__toks") >= 2
+        ).select(
+            F.slice(F.col("__toks"), 1, F.size("__toks") - 1).alias("__a"),
+            F.slice(F.col("__toks"), 2, F.size("__toks") - 1).alias("__b"),
+        )
+        top = (
+            parts.select(
+                F.explode(
+                    F.zip_with(
+                        "__a", "__b", lambda a, b: F.concat(a, F.lit(" "), b)
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merges.append((step, top[0]["pair"], int(top[0]["c"])))
+
+    return df.sparkSession.createDataFrame(
+        [(s, p, c) for s, p, c in merges],
+        "step int, pair string, pair_count long",
+    )

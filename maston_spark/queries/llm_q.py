@@ -2428,3 +2428,45 @@ def q135_attribution(spark, sf_dir):
         e, "user_id", "event_type", "purchase", ["click", "view"],
         order_cols=("ts", "event_id"), lookback_days=7,
     )
+
+
+@query(
+    "q136_bpe_merges",
+    oracle="""
+    WITH t0 AS (SELECT ' ' || text || ' ' AS s FROM documents),
+    p1 AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair, count(*) AS c
+           FROM (SELECT string_split(trim(s), ' ') AS toks FROM t0),
+                LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+           GROUP BY 1),
+    b1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+    t1 AS (SELECT replace(s, ' ' || (SELECT pair FROM b1) || ' ',
+                          ' ' || replace((SELECT pair FROM b1), ' ', '+') || ' ')
+                  AS s FROM t0),
+    p2 AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair, count(*) AS c
+           FROM (SELECT string_split(trim(s), ' ') AS toks FROM t1),
+                LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+           GROUP BY 1),
+    b2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+    t2 AS (SELECT replace(s, ' ' || (SELECT pair FROM b2) || ' ',
+                          ' ' || replace((SELECT pair FROM b2), ' ', '+') || ' ')
+                  AS s FROM t1),
+    p3 AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair, count(*) AS c
+           FROM (SELECT string_split(trim(s), ' ') AS toks FROM t2),
+                LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+           GROUP BY 1),
+    b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS step, pair, CAST(c AS BIGINT) AS pair_count FROM b1
+      UNION ALL
+      SELECT CAST(2 AS INT), pair, CAST(c AS BIGINT) FROM b2
+      UNION ALL
+      SELECT CAST(3 AS INT), pair, CAST(c AS BIGINT) FROM b3)
+    ORDER BY step
+    """,
+)
+def q136_bpe_merges(spark, sf_dir):
+    """Three rounds of BPE merge training over the corpus — the
+    iterative tokenizer-training step (pair count -> top merge ->
+    refuse, repeat). See :func:`maston_spark.llm.text.bpe_merges`."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return TXT.bpe_merges(d, n_merges=3)

@@ -1243,3 +1243,25 @@ def test_rp_project_matches_numpy_sign_matrix(spark):
     Y = (X.astype(np.float64) @ R.T) / math.sqrt(8.0)
     for (vid, j), y in got.items():
         assert abs(y - Y[vid, j]) < 1e-6, (vid, j, y, Y[vid, j])
+
+
+def test_bpe_merges_golden(spark):
+    from maston_spark.llm.text import bpe_merges
+
+    # "low low low lower" x2: round 1 fuses 'low low' (4 occurrences
+    # beat 'low lower' at 2); round 2 sees [low+low, low, lower] x2
+    rows = [("low low low lower",)] * 2 + [("new new",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {r.step: r for r in bpe_merges(df, n_merges=2).collect()}
+    assert got[1].pair == "low low" and got[1].pair_count == 4
+    # after fusing leftmost 'low low' (separator consumed), each doc
+    # is [low+low, low, lower]; 'new new' still has count 1 -> the
+    # round-2 winner is a count-2 pair, lexicographically smallest
+    assert got[2].pair_count == 2
+    assert got[2].pair in ("low lower", "low+low low")
+    # deterministic tie-break: count desc then pair asc
+    assert got[2].pair == min("low lower", "low+low low")
+
+    # merges never exceed available pairs; empty corpus -> no rows
+    empty = spark.createDataFrame([], "text string")
+    assert bpe_merges(empty, n_merges=2).count() == 0
