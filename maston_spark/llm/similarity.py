@@ -972,3 +972,111 @@ def rp_project(
             ).alias("y")
         )
     )
+
+
+def label_centroid_similarity(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding centroids and their pairwise cosine — the
+    class-separation diagnostic run before trusting labels for
+    stratified sampling or classifier-based filtering (two labels
+    whose centroids sit at cosine ~1 are not separable classes).
+    Returns one row per unordered label pair:
+    ``(label_a, label_b, n_a, n_b, cosine)``.
+
+    Distributed shape: the corpus is touched ONCE — a posexplode
+    generator feeds a (label, dim) hash agg with map-side combine,
+    so at most |labels| x d partial rows leave each task; everything
+    after (norms, the dim-keyed centroid self-join, the pair agg)
+    operates on |labels| x d rows, which is KB-sized at any corpus
+    scale. Cross-engine determinism: per-dimension sums and all dot
+    products are rounded to 9 decimals and summed as DECIMAL(38,9)
+    (exact, order-independent); the final cosine combines those
+    exact sums with IEEE double ops (division, sqrt — both correctly
+    rounded per IEEE 754, identical on any engine).
+    """
+    x = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("dim", "x"),
+    )
+    cent = (
+        x.groupBy("label", "dim")
+        .agg(
+            F.sum(F.round("x", 9).cast("decimal(38,9)")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("c"),
+        )
+        .persist()
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("c") * F.col("c"), 9).cast("decimal(38,9)")).alias(
+            "nrm"
+        ),
+        F.max("n").alias("n_vectors"),
+    )
+    dots = (
+        cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"))
+        .join(
+            cent.select(
+                F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+            ),
+            "dim",
+        )
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(F.col("ca") * F.col("cb"), 9).cast("decimal(38,9)")
+            ).alias("dot")
+        )
+    )
+    return (
+        dots.join(
+            F.broadcast(
+                norms.select(
+                    F.col("label").alias("label_a"),
+                    F.col("nrm").alias("nrm_a"),
+                    F.col("n_vectors").alias("n_a"),
+                )
+            ),
+            "label_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(
+                    F.col("label").alias("label_b"),
+                    F.col("nrm").alias("nrm_b"),
+                    F.col("n_vectors").alias("n_b"),
+                )
+            ),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.when(
+                (F.col("nrm_a") > 0) & (F.col("nrm_b") > 0),
+                # + 0.0 canonicalizes IEEE -0.0 (a tiny negative dot
+                # rounds to -0.0, which hashes unlike 0.0 cross-engine)
+                F.round(
+                    F.col("dot").cast("double")
+                    / F.sqrt(
+                        F.col("nrm_a").cast("double")
+                        * F.col("nrm_b").cast("double")
+                    ),
+                    6,
+                )
+                + F.lit(0.0),
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -1172,3 +1172,78 @@ def bpe_merges(
         [(s, p, c) for s, p, c in merges],
         "step int, pair string, pair_count long",
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard overlap between corpus sources —
+    the data-mixing diagnostic that answers "which of my sources are
+    near-copies of each other?" before choosing mixture weights
+    (complements :func:`source_token_kl`, which compares each source
+    to the corpus, not sources to each other). Returns one row per
+    unordered source pair that shares at least one term:
+    ``(source_a, source_b, vocab_a, vocab_b, n_shared, jaccard)``.
+
+    Distributed shape: ONE tokenize feeds a distinct (source, term)
+    table — bounded by |sources| x |vocab|, orders of magnitude
+    smaller than the corpus, reached through a hash agg with partial
+    combine — persisted across its three consumers (two self-join
+    sides + per-source sizes). The self-join keys on the term, so
+    per-key fan-out is at most |sources| rows a side (|sources|^2
+    pairs per term) and the pair agg combines map-side down to at
+    most |sources|^2/2 output rows. Size lookups are broadcast
+    joins of |sources|-row tables. Nothing driver-side.
+    """
+    st = (
+        df.select(
+            F.col(source_col).alias("__src"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .distinct()
+        .persist()
+    )
+    sizes = st.groupBy("__src").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab")
+    )
+    inter = (
+        st.select(F.col("__src").alias("source_a"), "__tok")
+        .join(st.select(F.col("__src").alias("source_b"), "__tok"), "__tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__src").alias("source_a"),
+                    F.col("vocab").alias("vocab_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__src").alias("source_b"),
+                    F.col("vocab").alias("vocab_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -2470,3 +2470,75 @@ def q136_bpe_merges(spark, sf_dir):
     refuse, repeat). See :func:`maston_spark.llm.text.bpe_merges`."""
     d = load_table(spark, sf_dir, "documents").select("text")
     return TXT.bpe_merges(d, n_merges=3)
+
+
+@query(
+    "q137_source_overlap",
+    oracle="""
+    WITH st AS (SELECT DISTINCT source, w FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents) u
+          WHERE w <> ''),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab
+              FROM st GROUP BY 1),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT source_a, source_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+           n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / (sa.vocab + sb.vocab - n_shared), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q137_source_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources (which corpora
+    are near-copies? — the mixing-weights pre-flight). See
+    :func:`maston_spark.llm.text.source_vocab_overlap`."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return TXT.source_vocab_overlap(d)
+
+
+@query(
+    "q138_label_centroids",
+    oracle="""
+    WITH x AS (SELECT label, gs - 1 AS dim, CAST(embedding[gs] AS DOUBLE) AS x
+               FROM embeddings,
+                    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS gs) t),
+    cent AS (SELECT label, dim,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                      / count(*) AS c
+             FROM x GROUP BY 1, 2),
+    norms AS (SELECT label,
+                     sum(CAST(round(c * c, 9) AS DECIMAL(38,9))) AS nrm,
+                     max(n) AS n_vectors
+              FROM cent GROUP BY 1),
+    dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                    sum(CAST(round(a.c * b.c, 9) AS DECIMAL(38,9))) AS dot
+             FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+             GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           CAST(na.n_vectors AS BIGINT) AS n_a,
+           CAST(nb.n_vectors AS BIGINT) AS n_b,
+           CASE WHEN na.nrm > 0 AND nb.nrm > 0 THEN
+             round(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+             + 0.0
+           END AS cosine
+    FROM dots
+    JOIN norms na ON na.label = label_a
+    JOIN norms nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def q138_label_centroids(spark, sf_dir):
+    """Per-label centroid pairwise cosine (class-separation audit
+    before label-stratified sampling). See
+    :func:`maston_spark.llm.similarity.label_centroid_similarity`."""
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return SIM.label_centroid_similarity(e)

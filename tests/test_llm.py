@@ -1265,3 +1265,53 @@ def test_bpe_merges_golden(spark):
     # merges never exceed available pairs; empty corpus -> no rows
     empty = spark.createDataFrame([], "text string")
     assert bpe_merges(empty, n_merges=2).count() == 0
+
+
+def test_source_vocab_overlap_golden(spark):
+    from maston_spark.llm.text import source_vocab_overlap
+
+    rows = [
+        ("s1", "a b c"),
+        ("s1", "c d"),       # s1 vocab = {a,b,c,d}
+        ("s2", "c d e"),     # s2 vocab = {c,d,e}
+        ("s3", "x y"),       # s3 vocab = {x,y} — disjoint from s1/s2
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r.source_a, r.source_b): r for r in source_vocab_overlap(df).collect()}
+    # disjoint pairs don't appear (inner join on shared terms)
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    assert (r.vocab_a, r.vocab_b, r.n_shared) == (4, 3, 2)
+    assert abs(r.jaccard - 2 / 5) < 1e-9
+
+    # empty corpus -> no rows, not an error
+    empty = spark.createDataFrame([], "source string, text string")
+    assert source_vocab_overlap(empty).count() == 0
+
+
+def test_label_centroid_similarity_golden(spark):
+    from maston_spark.llm.similarity import label_centroid_similarity
+
+    rows = [
+        # label 0: centroid (1, 0)
+        (0, [1.0, 0.0]), (0, [1.0, 0.0]),
+        # label 1: centroid (0, 2)  -> orthogonal to label 0
+        (1, [0.0, 1.0]), (1, [0.0, 3.0]),
+        # label 2: centroid (2, 0)  -> parallel to label 0
+        (2, [2.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {(r.label_a, r.label_b): r for r in label_centroid_similarity(df).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert got[(0, 1)].cosine == 0.0
+    assert got[(0, 2)].cosine == 1.0
+    assert got[(1, 2)].cosine == 0.0
+    assert (got[(0, 1)].n_a, got[(0, 1)].n_b) == (2, 2)
+    assert got[(0, 2)].n_b == 1
+
+    # an all-zero centroid yields NULL cosine, never a divide error
+    z = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])], "label int, embedding array<float>"
+    )
+    [zr] = label_centroid_similarity(z).collect()
+    assert zr.cosine is None
