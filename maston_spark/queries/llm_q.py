@@ -2542,3 +2542,39 @@ def q138_label_centroids(spark, sf_dir):
     :func:`maston_spark.llm.similarity.label_centroid_similarity`."""
     e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
     return SIM.label_centroid_similarity(e)
+
+
+@query(
+    "q139_gapfill",
+    oracle="""
+    WITH b AS (SELECT event_type AS series,
+                      time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n,
+                      round(CAST(sum(CAST(round(value, 9) AS DECIMAL(38,9)))
+                                 AS DOUBLE), 4) + 0.0 AS sum_value
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT series, min(bucket) AS lo, max(bucket) AS hi
+          FROM b GROUP BY 1),
+    f AS (SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS bucket
+          FROM r),
+    j AS (SELECT f.series, f.bucket, b.n, b.sum_value
+          FROM f LEFT JOIN b ON b.series = f.series AND b.bucket = f.bucket)
+    SELECT series, bucket,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           sum_value,
+           (n IS NULL) AS is_gap,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY series ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+    FROM j
+    """,
+)
+def q139_gapfill(spark, sf_dir):
+    """Hourly gap-fill with LOCF over the event stream (TimescaleDB
+    time_bucket_gapfill shape). See
+    :func:`maston_spark.relational.gapfill_locf`."""
+    from maston_spark.relational import gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return gapfill_locf(ev, "event_type", "ts", "value", bucket="1 hour")

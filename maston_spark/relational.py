@@ -551,3 +551,73 @@ def last_touch_attribution(
         )
         .orderBy("attributed_to")
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Time-bucketed gap-fill with last-observation-carried-forward —
+    the TimescaleDB ``time_bucket_gapfill`` / ``locf`` shape: bucket
+    events per series, then emit EVERY bucket between each series'
+    first and last observation, with missing buckets flagged and
+    their value carried forward from the last observed bucket.
+    Returns ``(series, bucket, n_events, sum_value, is_gap,
+    locf_sum)`` rows; ``sum_value`` is NULL on gap rows.
+
+    Distributed shape: the raw corpus is touched ONCE by a
+    (series, bucket) hash agg with map-side combine; everything
+    after — per-series bounds, the `sequence()` bucket generator,
+    the left join, the LOCF window — runs on the AGGREGATED frame,
+    whose size is series x time-range, independent of event count.
+    The LOCF window partitions by series over time-ordered buckets,
+    bounded by the time range, not the corpus. Sums are
+    decimal-exact (round-9 then DECIMAL(38,9)) so partial-agg
+    reordering cannot flip a rounding boundary cross-engine.
+    """
+    b = (
+        df.groupBy(
+            F.col(series_col).alias("series"),
+            F.window(F.col(ts_col), bucket)["start"].alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.round(
+                    F.sum(
+                        F.round(F.col(value_col), 9).cast("decimal(38,9)")
+                    ).cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("sum_value"),
+        )
+    )
+    bounds = b.groupBy("series").agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    full = bounds.select(
+        "series",
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {bucket})")
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        full.join(b, ["series", "bucket"], "left")
+        .select(
+            "series",
+            "bucket",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            "sum_value",
+            F.col("n").isNull().alias("is_gap"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
+        )
+    )

@@ -384,3 +384,32 @@ def test_last_touch_attribution_golden(spark):
     assert got["(none)"].n_conversions == 3     # users 3 (stale), 4, 5
     assert "view" not in got                    # never the LAST touch here
     assert abs(sum(r.conversion_share for r in got.values()) - 1.0) < 1e-9
+
+
+def test_gapfill_locf_golden(spark):
+    from datetime import datetime
+
+    from maston_spark.relational import gapfill_locf
+
+    rows = [
+        # series 'a': observations in hours 0 and 3 -> hours 1,2 are gaps
+        ("a", datetime(2024, 1, 1, 0, 15), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 45), 2.0),
+        ("a", datetime(2024, 1, 1, 3, 30), 10.0),
+        # series 'b': single observation -> no gaps, range is one bucket
+        ("b", datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, value double")
+    got = {
+        (r.series, r.bucket.hour): r
+        for r in gapfill_locf(df, "s", "ts", "value").collect()
+    }
+    assert len(got) == 5  # a: hours 0..3 (4 buckets), b: hour 5
+    a0, a1, a2, a3 = (got[("a", h)] for h in range(4))
+    assert (a0.n_events, a0.sum_value, a0.is_gap, a0.locf_sum) == (2, 3.0, False, 3.0)
+    # gap buckets: no sum, flagged, value carried forward
+    assert (a1.n_events, a1.sum_value, a1.is_gap, a1.locf_sum) == (0, None, True, 3.0)
+    assert (a2.n_events, a2.sum_value, a2.is_gap, a2.locf_sum) == (0, None, True, 3.0)
+    assert (a3.n_events, a3.sum_value, a3.is_gap, a3.locf_sum) == (1, 10.0, False, 10.0)
+    b5 = got[("b", 5)]
+    assert (b5.n_events, b5.is_gap, b5.locf_sum) == (1, False, 7.0)
