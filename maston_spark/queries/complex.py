@@ -912,3 +912,77 @@ def q116_price_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q140_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+    cand AS (
+      SELECT * FROM late l1
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey))
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM cand JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q140_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21-style "suppliers who kept orders waiting": late
+    line items (shipped >60 days after the order date) in
+    multi-supplier orders where that supplier was the ONLY late one.
+    The hardest subquery plan in the catalog: a fact⋈fact equi join
+    (lineitem⋈orders on orderkey) feeding BOTH a semi join (another
+    supplier exists on the order) and an anti join (no OTHER late
+    supplier on the order) against the same fact. All three joins
+    key on l_orderkey — at test SF Catalyst broadcasts the smaller
+    projections and sort-merges the anti stage; at cluster scale AQE
+    plans shuffle joins that share the orderkey partitioning, so the
+    chain costs one fact exchange, never a cartesian. The supplier
+    name lookup broadcasts, and the final top-20 is
+    TakeOrderedAndProject (only 20 rows cross the last stage). Adapted predicate: the synthetic lineitem carries no
+    commit/receipt dates, so "late" is shipdate > orderdate + 60d.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("__k"), F.col("l_suppkey").alias("__s")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("__lk"), F.col("l_suppkey").alias("__ls")
+    )
+    cand = late.join(
+        others,
+        (late.l_orderkey == others.__k) & (late.l_suppkey != others.__s),
+        "leftsemi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("__lk"))
+        & (F.col("l_suppkey") != F.col("__ls")),
+        "left_anti",
+    )
+    return (
+        cand.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
