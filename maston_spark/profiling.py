@@ -182,3 +182,112 @@ def chi2_contingency(
             F.max("__n").cast("long").alias("n_rows"),
         )
     )
+
+
+def constraint_report(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality constraint validation (the
+    Deequ/Great-Expectations shape): evaluate a rule list against a
+    table in as few passes as the rule kinds allow and return one
+    ``(rule, n_rows, n_violations, passed)`` row per rule — the gate
+    a curation pipeline runs before promoting a snapshot.
+
+    Rule dicts (``name`` optional, defaults to ``kind:col``):
+    - ``{"kind": "not_null", "col": c}`` — NULLs are violations
+    - ``{"kind": "unique", "cols": [c, ...]}`` — violations = rows
+      in excess of the first per distinct key (count - countDistinct)
+    - ``{"kind": "range", "col": c, "min": lo, "max": hi}`` —
+      non-null values outside the inclusive bounds
+    - ``{"kind": "accepted_values", "col": c, "values": [...]}`` —
+      non-null values outside the allow-list
+    - ``{"kind": "foreign_key", "col": c, "ref": DataFrame,
+      "ref_col": rc}`` — non-null keys with no referenced row
+      (SQL FK semantics: NULL keys are not violations)
+
+    Distributed shape: every scalar rule (not_null / range /
+    accepted_values / unique) FUSES into one aggregation over one
+    column-pruned scan — conditional counts plus exact distinct
+    counts, all combiner-reduced to a single row, unpivoted with
+    ``stack`` driver-free. Each foreign-key rule adds one left join
+    against the DISTINCT referenced keys (no fan-out by
+    construction) feeding a 1-row conditional count. Output is
+    |rules| rows regardless of table size.
+    """
+    exprs, names, fk_rules = [], [], []
+    for r in rules:
+        kind = r["kind"]
+        if kind == "foreign_key":
+            fk_rules.append((r.get("name") or f"{kind}:{r['col']}", r))
+            continue
+        if kind == "not_null":
+            name = r.get("name") or f"{kind}:{r['col']}"
+            e = F.count(F.when(F.col(r["col"]).isNull(), 1))
+        elif kind == "range":
+            name = r.get("name") or f"{kind}:{r['col']}"
+            c = F.col(r["col"])
+            cond = F.lit(False)
+            if "min" in r:
+                cond = cond | (c < F.lit(r["min"]))
+            if "max" in r:
+                cond = cond | (c > F.lit(r["max"]))
+            e = F.count(F.when(cond, 1))
+        elif kind == "accepted_values":
+            name = r.get("name") or f"{kind}:{r['col']}"
+            c = F.col(r["col"])
+            e = F.count(F.when(c.isNotNull() & ~c.isin(r["values"]), 1))
+        elif kind == "unique":
+            name = r.get("name") or f"{kind}:{','.join(r['cols'])}"
+            e = F.count(F.lit(1)) - F.count_distinct(
+                *[F.col(c) for c in r["cols"]]
+            )
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+        exprs.append(e.cast("long").alias(f"__r{len(names)}"))
+        names.append(name)
+    parts = []
+    if names:
+        agg = df.agg(F.count(F.lit(1)).cast("long").alias("__n"), *exprs)
+        stack_args = ", ".join(
+            f"{_sql_str(n)}, __r{i}" for i, n in enumerate(names)
+        )
+        parts.append(
+            agg.select(
+                F.expr(
+                    f"stack({len(names)}, {stack_args}) as (rule, n_violations)"
+                ),
+                F.col("__n").alias("n_rows"),
+            ).select("rule", "n_rows", "n_violations")
+        )
+    for name, r in fk_rules:
+        ref_keys = (
+            r["ref"].select(F.col(r["ref_col"]).alias("__k")).distinct()
+        )
+        joined = df.select(F.col(r["col"]).alias("__k")).join(
+            ref_keys.withColumn("__hit", F.lit(1)), "__k", "left"
+        )
+        parts.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count(
+                    F.when(
+                        F.col("__k").isNotNull() & F.col("__hit").isNull(), 1
+                    )
+                )
+                .cast("long")
+                .alias("n_violations"),
+            ).select(
+                F.lit(name).alias("rule"), "n_rows", "n_violations"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

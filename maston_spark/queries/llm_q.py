@@ -2578,3 +2578,69 @@ def q139_gapfill(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     return gapfill_locf(ev, "event_type", "ts", "value", bucket="1 hour")
+
+
+@query(
+    "q141_data_quality",
+    oracle="""
+    WITH rep AS (
+      SELECT 'accepted_values:lang' AS rule,
+             (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM documents
+              WHERE lang IS NOT NULL
+                AND lang NOT IN ('en', 'es', 'de', 'fr')) AS n_violations
+      UNION ALL
+      SELECT 'foreign_key:l_orderkey',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE l_orderkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'not_null:text',
+             (SELECT CAST(count(*) AS BIGINT) FROM documents),
+             (SELECT CAST(count(*) AS BIGINT) FROM documents
+              WHERE text IS NULL)
+      UNION ALL
+      SELECT 'range:n_chars',
+             (SELECT CAST(count(*) AS BIGINT) FROM documents),
+             (SELECT CAST(count(*) AS BIGINT) FROM documents
+              WHERE n_chars < 0 OR n_chars > 300)
+      UNION ALL
+      SELECT 'unique:doc_id',
+             (SELECT CAST(count(*) AS BIGINT) FROM documents),
+             (SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+              FROM documents))
+    SELECT rule, n_rows, n_violations, (n_violations = 0) AS passed
+    FROM rep ORDER BY rule
+    """,
+)
+def q141_data_quality(spark, sf_dir):
+    """Deequ-style declarative constraint report over the corpus
+    snapshot plus a cross-table referential check — the promotion
+    gate of a curation pipeline. See
+    :func:`maston_spark.profiling.constraint_report`."""
+    from maston_spark.profiling import constraint_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    doc_report = constraint_report(
+        docs,
+        [
+            {"kind": "unique", "cols": ["doc_id"]},
+            {"kind": "not_null", "col": "text"},
+            {"kind": "range", "col": "n_chars", "min": 0, "max": 300},
+            {
+                "kind": "accepted_values",
+                "col": "lang",
+                "values": ["en", "es", "de", "fr"],
+            },
+        ],
+    )
+    fk_report = constraint_report(
+        li,
+        [{"kind": "foreign_key", "col": "l_orderkey", "ref": orders,
+          "ref_col": "o_orderkey"}],
+    )
+    return doc_report.unionByName(fk_report).orderBy("rule")

@@ -1315,3 +1315,44 @@ def test_label_centroid_similarity_golden(spark):
     )
     [zr] = label_centroid_similarity(z).collect()
     assert zr.cosine is None
+
+
+def test_constraint_report_counts_each_violation_kind(spark):
+    from maston_spark.profiling import constraint_report
+
+    rows = [
+        (1, "a", 10, "en"),
+        (1, None, 500, "en"),   # dup id, null text, out-of-range
+        (2, "b", -5, "xx"),     # below range, bad lang
+        (3, "c", 50, None),     # NULL lang is NOT an accepted_values violation
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, n int, lang string")
+    rep = {
+        r.rule: r
+        for r in constraint_report(
+            df,
+            [
+                {"kind": "unique", "cols": ["id"]},
+                {"kind": "not_null", "col": "text"},
+                {"kind": "range", "col": "n", "min": 0, "max": 300},
+                {"kind": "accepted_values", "col": "lang", "values": ["en"]},
+            ],
+        ).collect()
+    }
+    assert all(r.n_rows == 4 for r in rep.values())
+    assert rep["unique:id"].n_violations == 1
+    assert rep["not_null:text"].n_violations == 1
+    assert rep["range:n"].n_violations == 2
+    assert rep["accepted_values:lang"].n_violations == 1
+    assert not rep["range:n"].passed and rep.get("unique:id").passed is False
+
+    # FK: NULL keys are not violations (SQL semantics); missing refs are
+    child = spark.createDataFrame(
+        [(1,), (2,), (None,), (9,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    [fk] = constraint_report(
+        child,
+        [{"kind": "foreign_key", "col": "k", "ref": parent, "ref_col": "pk"}],
+    ).collect()
+    assert (fk.n_rows, fk.n_violations, fk.passed) == (4, 1, False)
