@@ -1080,3 +1080,51 @@ def label_centroid_similarity(
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the sign-LSH ANN path against the exact
+    brute-force baseline — the evaluation harness that decides
+    whether an ANN configuration (plane count, probe depth) is good
+    enough to replace the exact scan at corpus scale. Returns one
+    ``(query_id, n_exact, n_hits, recall)`` row per query.
+
+    Distributed shape: both sides reuse the existing operators
+    (:func:`cosine_topk` — one corpus scan, per-batch local top-k;
+    :func:`lsh_topk` — bucket equi-join candidates). Their outputs
+    are k rows per query, so the comparison join and the per-query
+    agg run on |queries| x k rows — driver-free and negligible at
+    any corpus size.
+    """
+    exact = cosine_topk(corpus, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    approx = lsh_topk(
+        corpus, query_ids, k=k, n_planes=n_planes, dims=dims,
+        id_col=id_col, vec_col=vec_col,
+    )
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__hit").cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
