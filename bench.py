@@ -37,6 +37,7 @@ HEADLINE = [
     "q15_agg_percentile",       # distributed order statistics (exact_percentiles)
     "q123_bm25_rank",           # BM25 lexical retrieval (filter-before-explode)
     "q127_budget_select",       # global token-budget cut (two-phase prefix sum)
+    "q140_waiting_supplier",    # TPC-H Q21 shape (fact semi+anti join chain)
 ]
 
 
