@@ -986,3 +986,58 @@ def q140_waiting_supplier(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q143_cdc_upsert",
+    oracle="""
+    WITH ch AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice,
+             o_orderdate, o_orderpriority, 'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 'D', 2
+      FROM orders WHERE o_orderkey % 7 = 3),
+    u AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 'I' AS op, -1 AS seq
+      FROM orders
+      UNION ALL SELECT * FROM ch),
+    r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY seq DESC) AS rn
+          FROM u)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q143_cdc_upsert(spark, sf_dir):
+    """CDC MERGE maintenance: apply an update+delete change stream
+    (derived deterministically from the orders table: every 10th key
+    repriced, every key ≡3 mod 7 deleted, deletes sequenced after
+    updates) to the orders snapshot — latest change per key wins.
+    One union + one key shuffle. See
+    :func:`maston_spark.relational.cdc_apply`."""
+    from maston_spark.relational import cdc_apply
+
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    return cdc_apply(
+        o, updates.unionByName(deletes), key_cols=["o_orderkey"], seq_col="seq"
+    )

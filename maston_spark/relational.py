@@ -621,3 +621,49 @@ def gapfill_locf(
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
         )
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change stream to a snapshot (the MERGE / upsert
+    maintenance step of an incremental lakehouse table): for each
+    key, the highest-``seq_col`` change wins; a winning delete row
+    removes the key; keys untouched by the stream keep their base
+    row. ``changes`` must carry the base columns plus ``op_col`` and
+    ``seq_col``; base rows rank below every change (seq −1).
+
+    Distributed shape: ONE union + ONE hash shuffle on the key — the
+    per-key winner is a ``row_number`` over (key) ordered by seq
+    descending, so the operator costs exactly one exchange
+    regardless of snapshot or stream size (the same plan MERGE
+    compiles to when the whole key space changes; for sparse change
+    sets an engine with file-level pruning skips untouched files —
+    at the DataFrame level that optimization belongs to the table
+    format, not the operator).
+    """
+    data_cols = [c for c in base.columns]
+    b = (
+        base.select(*data_cols)
+        .withColumn("__op", F.lit("I"))
+        .withColumn("__seq", F.lit(-1).cast("long"))
+    )
+    ch = changes.select(
+        *data_cols,
+        F.col(op_col).alias("__op"),
+        F.col(seq_col).cast("long").alias("__seq"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col("__seq").desc()
+    )
+    return (
+        b.unionByName(ch)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__op") != delete_op))
+        .select(*data_cols)
+    )

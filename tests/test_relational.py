@@ -413,3 +413,32 @@ def test_gapfill_locf_golden(spark):
     assert (a3.n_events, a3.sum_value, a3.is_gap, a3.locf_sum) == (1, 10.0, False, 10.0)
     b5 = got[("b", 5)]
     assert (b5.n_events, b5.is_gap, b5.locf_sum) == (1, False, 7.0)
+
+
+def test_cdc_apply_merge_semantics(spark):
+    from maston_spark.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),   # update key 2
+            (2, "b3", "U", 5),   # later update wins
+            (3, "c", "D", 1),    # delete key 3
+            (4, "d", "U", 1),    # insert-by-upsert of a new key
+            (5, "e", "U", 1),    # inserted then deleted -> absent
+            (5, "e", "D", 2),
+        ],
+        "k long, v string, op string, seq long",
+    )
+    got = {
+        r.k: r.v for r in cdc_apply(base, changes, ["k"], "seq").collect()
+    }
+    assert got == {1: "a", 2: "b3", 4: "d"}
+
+    # empty change stream is the identity
+    empty = spark.createDataFrame([], "k long, v string, op string, seq long")
+    assert {
+        r.k for r in cdc_apply(base, empty, ["k"], "seq").collect()
+    } == {1, 2, 3}
