@@ -374,6 +374,7 @@ def lsh_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine *within* the query's sign-LSH
     bucket, as ONE vectorized corpus scan.
@@ -384,12 +385,23 @@ def lsh_topk(
     At 100 TB the bucket column is precomputed/persisted with the
     corpus; this operator then reads one bucket-pruned partition set
     per query batch.
+
+    ``max_hamming > 0`` turns this into MULTI-PROBE LSH (Lv et al.
+    2007's idea in sign-LSH form): a corpus row is a candidate when
+    its bucket differs from the query's in at most ``max_hamming``
+    plane bits, widening recall without re-hashing — each probe
+    level multiplies candidates by ~C(n_planes, h), still a
+    vanishing fraction of the corpus. The mask is a popcount lookup
+    on the XOR of bucket ids, so the scan stays one numpy pass.
     """
     import numpy as np
     import pandas as pd
 
     H = hyperplane_matrix(n_planes, dims)
     powers = (2 ** np.arange(n_planes)).astype(np.int64)
+    popcnt = np.array(
+        [bin(i).count("1") for i in range(1 << n_planes)], dtype=np.int64
+    )
 
     def bucket_of(M: "np.ndarray") -> "np.ndarray":
         return ((M @ H.T) > 0).astype(np.int64) @ powers
@@ -415,7 +427,9 @@ def lsh_topk(
             S = Mn @ Qn.T
             out = []
             for j in range(len(qids)):
-                mask = (b == qbuckets[j]) & (ids != qids[j])
+                mask = (popcnt[np.bitwise_xor(b, qbuckets[j])] <= max_hamming) & (
+                    ids != qids[j]
+                )
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
@@ -1090,6 +1104,7 @@ def ann_recall(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_hamming: int = 0,
 ) -> DataFrame:
     """Recall@k of the sign-LSH ANN path against the exact
     brute-force baseline — the evaluation harness that decides
@@ -1107,7 +1122,7 @@ def ann_recall(
     exact = cosine_topk(corpus, query_ids, k=k, id_col=id_col, vec_col=vec_col)
     approx = lsh_topk(
         corpus, query_ids, k=k, n_planes=n_planes, dims=dims,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, max_hamming=max_hamming,
     )
     hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),

@@ -2702,3 +2702,66 @@ def q142_ann_recall(spark, sf_dir):
     return SIM.ann_recall(
         emb, query_ids=list(range(10)), k=3, n_planes=6, dims=64
     )
+
+
+@query(
+    "q144_multiprobe_recall",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    esims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.v) AS s
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rn
+        FROM esims) WHERE rn <= 3),
+    comp AS (
+      SELECT p, d,
+             CASE WHEN substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM range(0, 6) r1(p) CROSS JOIN range(0, 64) r2(d)),
+    dots AS (
+      SELECT c.vec_id, comp.p, sum(c.v[comp.d + 1] * comp.w) AS dp
+      FROM c CROSS JOIN comp GROUP BY 1, 2),
+    buck AS (
+      SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN CAST(pow(2, p) AS INT) ELSE 0 END) AS INT) AS bucket
+      FROM dots GROUP BY 1),
+    cb AS (SELECT c.vec_id, c.v, b.bucket FROM c JOIN buck b USING (vec_id)),
+    qb AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+           FROM cb WHERE vec_id < 10),
+    asims AS (
+      SELECT qb.query_id, cb.vec_id AS neighbor_id,
+             list_cosine_similarity(qb.qv, cb.v) AS s
+      FROM cb JOIN qb
+        ON bit_count(xor(cb.bucket::BIGINT, qb.qbucket::BIGINT)) <= 1
+      WHERE cb.vec_id <> qb.query_id),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rn
+        FROM asims) WHERE rn <= 3)
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q144_multiprobe_recall(spark, sf_dir):
+    """Recall@3 of MULTI-PROBE sign-LSH (probing every bucket within
+    Hamming distance 1 of the query's) against the exact baseline —
+    paired with q142's single-bucket recall, this measures what one
+    probe level buys. See
+    :func:`maston_spark.llm.similarity.ann_recall` with
+    ``max_hamming=1``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_recall(
+        emb, query_ids=list(range(10)), k=3, n_planes=6, dims=64, max_hamming=1
+    )

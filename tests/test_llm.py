@@ -1356,3 +1356,20 @@ def test_constraint_report_counts_each_violation_kind(spark):
         [{"kind": "foreign_key", "col": "k", "ref": parent, "ref_col": "pk"}],
     ).collect()
     assert (fk.n_rows, fk.n_violations, fk.passed) == (4, 1, False)
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    from maston_spark.llm.similarity import ann_recall
+
+    from maston_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r0 = {r.query_id: r.recall for r in ann_recall(
+        emb, list(range(10)), k=3, max_hamming=0).collect()}
+    r1 = {r.query_id: r.recall for r in ann_recall(
+        emb, list(range(10)), k=3, max_hamming=1).collect()}
+    # probing more buckets can only add candidates -> recall is monotone
+    assert all(r1[q] >= r0[q] for q in r0)
+    # probing EVERY bucket (hamming <= n_planes) IS the exact scan
+    rfull = ann_recall(emb, list(range(10)), k=3, max_hamming=6).collect()
+    assert all(r.recall == 1.0 for r in rfull)
