@@ -1143,3 +1143,114 @@ def ann_recall(
         )
         .orderBy("query_id")
     )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k retrieval in the int8-quantized domain: vectors are
+    absmax-quantized (:func:`quantize_embeddings` — the exact
+    transform q83 hash-verifies cross-engine) and ranked by the raw
+    INTEGER dot product of quantized vectors. Every score is exact
+    int64 arithmetic, so the ranking is bit-deterministic on any
+    engine — no float summation order anywhere past quantization.
+    Note the metric: per-vector absmax scaling makes the integer dot
+    an (amax-normalized) similarity, not the raw float dot — closer
+    to cosine when vector norms are comparable; :func:`int8_recall`
+    measures exactly that gap.
+
+    Scale shape mirrors :func:`cosine_topk`: tiny quantized query
+    matrix in the closure, ONE corpus scan, per-batch numpy int64
+    matmul, local top-k per batch (the (dot desc, id asc) order is
+    total), exact global top-k window on k·batches rows. At 100 TB
+    the int8 corpus is 4× smaller to scan than the float one — that,
+    plus integer SIMD, is the point of quantized retrieval.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qz = (
+        quantize_embeddings(corpus, vec_col=vec_col)
+        .select(F.col(id_col).alias("__id"), F.col("q_vec").alias("__qv"))
+        # all-zero vectors have no quantized form (NULL scale) and can
+        # never rank: drop them before the matmul
+        .filter(F.col("__qv").isNotNull())
+    )
+    q_rows = qz.filter(F.col("__id").isin(query_ids)).collect()
+    qids = np.array([r["__id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["__qv"] for r in q_rows], dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf["__qv"]), dtype=np.int64)
+            D = M @ Q.T  # exact int64: |q| <= 127, d = 64 -> far from overflow
+            out = []
+            for j in range(len(qids)):
+                d = D[:, j]
+                cand_idx = np.nonzero(ids != qids[j])[0]
+                if len(cand_idx) == 0:
+                    continue
+                order = cand_idx[np.lexsort((ids[cand_idx], -d[cand_idx]))][:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": ids[order],
+                            "dot": d[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    sims = qz.mapInPandas(
+        batches, "query_id long, neighbor_id long, dot long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "dot", "rn")
+    )
+
+
+def int8_recall(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of int8-dot retrieval against the exact float cosine
+    baseline — what 4× compression costs in ranking quality. Same
+    |queries|×k comparison shape as :func:`ann_recall`."""
+    exact = cosine_topk(corpus, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    approx = int8_topk(corpus, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__hit").cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -2765,3 +2765,54 @@ def q144_multiprobe_recall(spark, sf_dir):
     return SIM.ann_recall(
         emb, query_ids=list(range(10)), k=3, n_planes=6, dims=64, max_hamming=1
     )
+
+
+@query(
+    "q145_int8_recall",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    esims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.v) AS s
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rn
+        FROM esims) WHERE rn <= 3),
+    vz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax
+           FROM c),
+    qz AS (SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+               AS qv8
+           FROM vz WHERE amax > 0),
+    qq AS (SELECT vec_id AS query_id, qv8 AS qq8 FROM qz WHERE vec_id < 10),
+    dots AS (
+      SELECT qq.query_id, cz.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(cz.qv8, qq.qq8),
+                                          p -> p[1] * p[2])) AS BIGINT) AS dot
+      FROM qz cz CROSS JOIN qq WHERE cz.vec_id <> qq.query_id),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, neighbor_id) AS rn
+        FROM dots) WHERE rn <= 3)
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q145_int8_recall(spark, sf_dir):
+    """Recall@3 of int8-quantized integer-dot retrieval (exact int64
+    scoring over q83's absmax quantization) against the exact float
+    cosine baseline — the ranking cost of 4x vector compression. See
+    :func:`maston_spark.llm.similarity.int8_recall`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.int8_recall(emb, query_ids=list(range(10)), k=3)

@@ -1373,3 +1373,32 @@ def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
     # probing EVERY bucket (hamming <= n_planes) IS the exact scan
     rfull = ann_recall(emb, list(range(10)), k=3, max_hamming=6).collect()
     assert all(r.recall == 1.0 for r in rfull)
+
+def test_int8_topk_matches_exact_integer_ranking(spark):
+    import numpy as np
+
+    from maston_spark.llm.similarity import int8_topk
+
+    # every vector gets amax == 1.0 (component 0 pinned) and all other
+    # components are multiples of 1/127, so quantization recovers the
+    # integer grid EXACTLY: the operator's ranking must equal the
+    # numpy int64 dot ranking with (dot desc, id asc) tie-break
+    rng = np.random.default_rng(7)
+    N = rng.integers(-127, 128, size=(30, 8))
+    N[:, 0] = 127
+    X = N.astype(np.float64) / 127.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.query_id, r.rn): (r.neighbor_id, r.dot)
+        for r in int8_topk(df, query_ids=[0, 1], k=3).collect()
+    }
+    ids = np.arange(len(N))
+    for q in (0, 1):
+        d = N @ N[q]
+        mask = ids != q
+        order = ids[mask][np.lexsort((ids[mask], -d[mask]))][:3]
+        for rn, nid in enumerate(order, start=1):
+            assert got[(q, rn)] == (nid, int(d[nid])), (q, rn)
