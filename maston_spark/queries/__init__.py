@@ -119,7 +119,7 @@ _PRIORITY = [
     "q136_bpe_merges", "q137_source_overlap", "q138_label_centroids",
     "q139_gapfill", "q140_waiting_supplier", "q141_data_quality",
     "q142_ann_recall", "q143_cdc_upsert", "q144_multiprobe_recall",
-    "q145_int8_recall",
+    "q145_int8_recall", "q146_gapfill_interp",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships
     "q22_window_frames", "q34_sliding_window", "q35_session_window",

@@ -2816,3 +2816,57 @@ def q145_int8_recall(spark, sf_dir):
     :func:`maston_spark.llm.similarity.int8_recall`."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.int8_recall(emb, query_ids=list(range(10)), k=3)
+
+
+@query(
+    "q146_gapfill_interp",
+    oracle="""
+    WITH b AS (SELECT event_type AS series,
+                      time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n,
+                      round(CAST(sum(CAST(round(value, 9) AS DECIMAL(38,9)))
+                                 AS DOUBLE), 4) + 0.0 AS sum_value
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT series, min(bucket) AS lo, max(bucket) AS hi
+          FROM b GROUP BY 1),
+    f AS (SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS bucket
+          FROM r),
+    j AS (SELECT f.series, f.bucket, b.n, b.sum_value
+          FROM f LEFT JOIN b ON b.series = f.series AND b.bucket = f.bucket),
+    wv AS (
+      SELECT series, bucket,
+             CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+             sum_value,
+             (n IS NULL) AS is_gap,
+             last_value(sum_value IGNORE NULLS) OVER w1 AS locf_sum,
+             last_value(CASE WHEN n IS NOT NULL THEN bucket END
+                        IGNORE NULLS) OVER w1 AS pb,
+             first_value(sum_value IGNORE NULLS) OVER w2 AS nv,
+             first_value(CASE WHEN n IS NOT NULL THEN bucket END
+                         IGNORE NULLS) OVER w2 AS nb
+      FROM j
+      WINDOW w1 AS (PARTITION BY series ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY series ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT series, bucket, n_events, sum_value, is_gap, locf_sum,
+           CASE WHEN n_events > 0 THEN sum_value
+                ELSE locf_sum + (nv - locf_sum)
+                     * ((epoch(bucket) - epoch(pb))
+                        / (epoch(nb) - epoch(pb)))
+           END AS interp_sum
+    FROM wv
+    """,
+)
+def q146_gapfill_interp(spark, sf_dir):
+    """Gap-fill with LOCF plus linear interpolation between the
+    surrounding observations (TimescaleDB `interpolate`). See
+    :func:`maston_spark.relational.gapfill_locf` with
+    ``interpolate=True``."""
+    from maston_spark.relational import gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return gapfill_locf(
+        ev, "event_type", "ts", "value", bucket="1 hour", interpolate=True
+    )

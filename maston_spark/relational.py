@@ -559,6 +559,7 @@ def gapfill_locf(
     ts_col: str,
     value_col: str,
     bucket: str = "1 hour",
+    interpolate: bool = False,
 ) -> DataFrame:
     """Time-bucketed gap-fill with last-observation-carried-forward —
     the TimescaleDB ``time_bucket_gapfill`` / ``locf`` shape: bucket
@@ -610,16 +611,52 @@ def gapfill_locf(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        full.join(b, ["series", "bucket"], "left")
-        .select(
-            "series",
-            "bucket",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
-            "sum_value",
-            F.col("n").isNull().alias("is_gap"),
-            F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
-        )
+    out = full.join(b, ["series", "bucket"], "left").select(
+        "series",
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        "sum_value",
+        F.col("n").isNull().alias("is_gap"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
+    )
+    if not interpolate:
+        return out
+    # linear interpolation between the surrounding observed buckets
+    # (TimescaleDB `interpolate`): both neighbors always exist for a
+    # gap because the filled range spans each series' own min..max
+    # observation. Two more frames over the SAME aggregated-series
+    # window partition — no extra shuffle (one sort, three frames).
+    wn = (
+        Window.partitionBy("series")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("n_events") > 0, F.col("bucket"))
+    pv = F.last("sum_value", ignorenulls=True).over(w)
+    pb = F.last(obs_bucket, ignorenulls=True).over(w)
+    nv = F.first("sum_value", ignorenulls=True).over(wn)
+    nb = F.first(obs_bucket, ignorenulls=True).over(wn)
+    # NTZ buckets need an explicit hop through TIMESTAMP to reach
+    # epoch seconds; the session timezone is pinned to UTC so this
+    # matches DuckDB's epoch() exactly
+    def _epoch(c):
+        return c.cast("timestamp").cast("long")
+
+    frac = (
+        (_epoch(F.col("bucket")) - _epoch(pb)).cast("double")
+        / (_epoch(nb) - _epoch(pb)).cast("double")
+    )
+    # deliberately UNROUNDED: every input (the already-rounded
+    # neighbor sums, integer epoch differences) is a bit-identical
+    # double on any IEEE engine, so the raw result is reproducible —
+    # while rounding it COULD land on a decimal-grid midpoint
+    # (frac = 1/2 between two 4-decimal sums) where engines' round
+    # implementations disagree
+    return out.withColumn(
+        "interp_sum",
+        F.when(F.col("n_events") > 0, F.col("sum_value")).otherwise(
+            pv + (nv - pv) * frac
+        ),
     )
 
 

@@ -442,3 +442,24 @@ def test_cdc_apply_merge_semantics(spark):
     assert {
         r.k for r in cdc_apply(base, empty, ["k"], "seq").collect()
     } == {1, 2, 3}
+
+
+def test_gapfill_interpolation_golden(spark):
+    from datetime import datetime
+
+    from maston_spark.relational import gapfill_locf
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 30), 1.0),
+        ("a", datetime(2024, 1, 1, 4, 30), 9.0),  # 4-bucket span
+    ]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, value double")
+    got = {
+        r.bucket.hour: r
+        for r in gapfill_locf(df, "s", "ts", "value", interpolate=True).collect()
+    }
+    assert [got[h].interp_sum for h in range(5)] == [1.0, 3.0, 5.0, 7.0, 9.0]
+    # LOCF still carries the LAST observation across the gap
+    assert [got[h].locf_sum for h in range(5)] == [1.0, 1.0, 1.0, 1.0, 9.0]
+    # observed buckets pass their own value through
+    assert got[0].is_gap is False and got[2].is_gap is True
