@@ -53,7 +53,10 @@ _PRIORITY = [
     "q01_pricing_summary", "q02_filter_predicates", "q03_join_inner",
     "q07_join_semi", "q11_join_range", "q12_asof_join", "q15_agg_percentile",
     "q19_grouping_sets", "q20_window_rank",
-    "q23_topk_per_group", "q25_set_ops", "q26_string_fns", "q31_json_fns",
+    # (q23 top-k-per-group is a row_number window — the same physical
+    # family as graded q20; its slot grades the time-series gap-fill
+    # family instead)
+    "q139_gapfill", "q25_set_ops", "q26_string_fns", "q31_json_fns",
     # streaming-semantics + validated-ingest family
     "q33_tumbling_window",
     "q36_drop_duplicates", "q60_safe_json", "q61_process_errors",
@@ -82,7 +85,10 @@ _PRIORITY = [
     "q40_dedup_exact", "q41_dedup_minhash_lsh",
     "q43_cosine_topk", "q45_text_stats", "q46_lang_id",
     "q48_embedding_neardup", "q49_media_features",
-    "q51_quality_score", "q53_levenshtein_neardup",
+    # (q51 quality-score shares the length/punct/stopword-ratio family
+    # with graded q45 text_stats; its slot grades the declarative
+    # data-quality constraint family instead)
+    "q141_data_quality", "q53_levenshtein_neardup",
     "q55_dup_clusters", "q57_ivf_ann",
     # (q58_hash_split is a pure projection whose hash-sampling family
     # stays graded via q88_domain_cap; its slot grades the two-phase
@@ -117,9 +123,9 @@ _PRIORITY = [
     "q130_chi2_lang_source", "q131_decayed_engagement", "q132_rp_project",
     "q133_engagement_trend", "q134_quantile_bins", "q135_attribution",
     "q136_bpe_merges", "q137_source_overlap", "q138_label_centroids",
-    "q139_gapfill", "q140_waiting_supplier", "q141_data_quality",
-    "q142_ann_recall", "q143_cdc_upsert", "q144_multiprobe_recall",
-    "q145_int8_recall", "q146_gapfill_interp",
+    "q140_waiting_supplier", "q142_ann_recall", "q143_cdc_upsert",
+    "q144_multiprobe_recall", "q145_int8_recall", "q146_gapfill_interp",
+    "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships
     "q22_window_frames", "q34_sliding_window", "q35_session_window",

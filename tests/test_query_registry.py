@@ -87,6 +87,7 @@ def test_graded_window_covers_unique_capabilities():
         "q99_chunk_overlap", "q100_dsir_weights",
         "q104_embedding_covariance", "q118_pagerank", "q119_kmeans",
         "q123_bm25_rank", "q127_budget_select", "q128_robust_outliers",
+        "q139_gapfill", "q141_data_quality",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -108,6 +109,8 @@ def test_graded_window_covers_unique_capabilities():
         "q47_fingerprint": "q40_dedup_exact",
         "q50_frame_sample": "q49_media_features",
         "q54_chargram_jaccard": "q53_levenshtein_neardup",
+        "q23_topk_per_group": "q20_window_rank",
+        "q51_quality_score": "q45_text_stats",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
