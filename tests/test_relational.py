@@ -463,3 +463,39 @@ def test_gapfill_interpolation_golden(spark):
     assert [got[h].locf_sum for h in range(5)] == [1.0, 1.0, 1.0, 1.0, 9.0]
     # observed buckets pass their own value through
     assert got[0].is_gap is False and got[2].is_gap is True
+
+
+# ---------------------------------------------------------- property test
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_change = st.tuples(
+    st.integers(min_value=0, max_value=6),           # key
+    st.text(alphabet="abc", min_size=1, max_size=2), # value
+    st.sampled_from(["U", "D"]),                     # op
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(changes=st.lists(_change, min_size=0, max_size=12))
+def test_cdc_apply_matches_sequential_replay(spark, changes):
+    from maston_spark.relational import cdc_apply
+
+    base_rows = [(k, f"base{k}") for k in range(4)]
+    # seq = log position (unique per change, monotonically increasing)
+    ch_rows = [(k, v, op, i) for i, (k, v, op) in enumerate(changes)]
+
+    # reference: replay the log sequentially over a dict
+    state = dict(base_rows)
+    for k, v, op, _ in ch_rows:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    base = spark.createDataFrame(base_rows, "k long, v string")
+    ch = spark.createDataFrame(
+        ch_rows, "k long, v string, op string, seq long"
+    ) if ch_rows else spark.createDataFrame([], "k long, v string, op string, seq long")
+    got = {r.k: r.v for r in cdc_apply(base, ch, ["k"], "seq").collect()}
+    assert got == state
