@@ -109,3 +109,59 @@ class KafkaConfig:
             cfg["basic.auth.credentials.source"] = self.basic_auth_credentials_source
         cfg["auto.register.schemas"] = str(self.schema_auto_register).lower()
         return cfg
+
+
+@dataclass(frozen=True)
+class TopicBinding:
+    """One consumer domain from the reference's ``kafka.consumer``
+    yaml section: the input topic plus its error (DLQ) topic, and —
+    for the delta topology — the output topic."""
+
+    topic: str
+    error_topic: str
+    output_topic: str | None = None
+
+
+def config_from_mapping(
+    mapping: dict,
+) -> tuple[KafkaConfig, dict[str, TopicBinding], bool]:
+    """Bind the reference's ``application.yml`` shape
+    (``README.md:129-166``: ``kafka.common`` kebab-case client
+    properties + ``kafka.consumer.<domain>`` topic bindings) to
+    :class:`KafkaConfig` — so a reference deployment's existing yaml
+    (parsed with any yaml loader) drops in unchanged.
+
+    Returns ``(config, consumers, log_records)``:
+    ``consumers`` maps each domain name to its
+    :class:`TopicBinding`; ``log_records`` carries the reference's
+    ``enabled-default-consumer-interceptor`` toggle (its Spark
+    equivalent is the ``log_records`` flag on both topologies). Keys
+    of ``kafka.common`` that have no KafkaConfig field land in
+    ``extra`` verbatim rather than erroring, mirroring Spring's
+    lenient relaxed binding.
+    """
+    kafka = mapping.get("kafka", mapping)
+    common = dict(kafka.get("common", {}))
+    log_records = bool(common.pop("enabled-default-consumer-interceptor", False))
+    fields = {
+        f.name.replace("_", "-"): f.name
+        for f in KafkaConfig.__dataclass_fields__.values()
+    }
+    kwargs: dict = {}
+    extra: dict = {}
+    for key, value in common.items():
+        name = fields.get(key)
+        if name is None or name == "extra":
+            extra[key] = value
+        else:
+            kwargs[name] = value
+    cfg = KafkaConfig(extra=extra, **kwargs)
+    consumers = {
+        domain: TopicBinding(
+            topic=binding["topic"],
+            error_topic=binding["error-topic"],
+            output_topic=binding.get("output-topic"),
+        )
+        for domain, binding in dict(kafka.get("consumer", {})).items()
+    }
+    return cfg, consumers, log_records

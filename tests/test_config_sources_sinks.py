@@ -78,3 +78,58 @@ def test_to_kafka_records_shape(spark):
     assert dict(out.dtypes)["key"] == "binary"
     row = out.collect()[0]
     assert bytes(row.value) == b"payload"
+
+
+def test_config_from_mapping_binds_reference_yaml_shape():
+    """The exact yaml structure from the reference README
+    (README.md:129-166) binds without modification."""
+    from maston_spark.config import config_from_mapping
+
+    mapping = {
+        "kafka": {
+            "common": {
+                "bootstrap-servers": "broker:9092",
+                "schema-registry-url": "https://sr:8081",
+                "security-protocol": "SASL_SSL",
+                "basic-auth-credentials-source": "USER_INFO",
+                "schema-auto-register": False,
+                "schema-registry-basic-auth-user-info": "u:p",
+                "sasl-mechanism": "PLAIN",
+                "sasl-jaas-config": "org.apache.kafka... required;",
+                "ssl-endpoint-identification-algorithm": "https",
+                "enabled-default-consumer-interceptor": True,
+                "application-id": "my-app",
+                "some-future-knob": "kept",
+            },
+            "consumer": {
+                "your-topic-domain": {
+                    "topic": "in-topic",
+                    "error-topic": "err-topic",
+                },
+                "delta-domain": {
+                    "topic": "in2",
+                    "error-topic": "err2",
+                    "output-topic": "out2",
+                },
+            },
+        }
+    }
+    cfg, consumers, log_records = config_from_mapping(mapping)
+    assert cfg.bootstrap_servers == "broker:9092"
+    assert cfg.application_id == "my-app"
+    assert cfg.security_protocol == "SASL_SSL"
+    assert cfg.sasl_mechanism == "PLAIN"
+    assert cfg.schema_registry_url == "https://sr:8081"
+    assert cfg.schema_registry_basic_auth_user_info == "u:p"
+    assert cfg.schema_auto_register is False
+    # unknown keys survive in extra (relaxed binding), not an error
+    assert cfg.extra == {"some-future-knob": "kept"}
+    assert log_records is True
+    assert consumers["your-topic-domain"].topic == "in-topic"
+    assert consumers["your-topic-domain"].error_topic == "err-topic"
+    assert consumers["your-topic-domain"].output_topic is None
+    assert consumers["delta-domain"].output_topic == "out2"
+    # the bound config produces working source/sink options
+    opts = cfg.source_options("in-topic")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
