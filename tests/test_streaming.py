@@ -635,3 +635,52 @@ def test_dynamic_avro_topology_resolves_new_schema_at_runtime(spark, cleanup):
     assert by_key["old"].note is None and by_key["old"].seq == 1
     assert by_key["new"].note == "n" and by_key["new"].seq == 2
     assert "unknown schema id 9" in sunk["error"][0].err.exception_message
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, cleanup):
+    """Left-outer stream-stream join: an unmatched left row is held
+    back until BOTH watermarks pass its join bound, then emitted with
+    a null right side (Spark schedules the no-data micro-batch that
+    finalizes it). A second replay batch far in the future advances
+    the watermark; the advancing rows themselves stay unemitted (the
+    watermark never passes them)."""
+    from datetime import datetime, timedelta
+
+    from maston_spark.streaming.ops import stream_stream_join
+
+    base = datetime(2024, 1, 1)
+    far = base + timedelta(hours=1)
+    left_rows = [
+        Row(lk=0, lts=base, lv=1, __replay_batch=0),
+        Row(lk=1, lts=base, lv=2, __replay_batch=0),
+        Row(lk=2, lts=base, lv=3, __replay_batch=0),   # no right match
+        Row(lk=99, lts=far, lv=99, __replay_batch=1),  # watermark pusher
+    ]
+    right_rows = [
+        Row(rk=0, rts=base + timedelta(seconds=5), rv=10, __replay_batch=0),
+        Row(rk=1, rts=base + timedelta(seconds=5), rv=20, __replay_batch=0),
+        Row(rk=98, rts=far, rv=98, __replay_batch=1),  # watermark pusher
+    ]
+    ls, src1 = replay_stream(spark.createDataFrame(left_rows), batches=2)
+    rs, src2 = replay_stream(spark.createDataFrame(right_rows), batches=2)
+    chk = _tmp()
+    cleanup.extend([src1, src2, chk])
+    joined = stream_stream_join(
+        ls,
+        rs,
+        on=(
+            (F.col("lk") == F.col("rk"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("interval 6 seconds"))
+        ),
+        left_ts="lts",
+        right_ts="rts",
+        watermark="5 seconds",
+        how="left_outer",
+    )
+    got = {r.lk: r for r in _run_to_memory(spark, joined, "ssj_lo_t", chk).collect()}
+    assert got[0].rv == 10 and got[1].rv == 20
+    # the unmatched key emits null-padded ONLY because the watermark passed
+    assert got[2].rv is None and got[2].lv == 3
+    # the pusher rows are still inside the watermark -> not finalized
+    assert 99 not in got
