@@ -684,3 +684,51 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, cleanu
     assert got[2].rv is None and got[2].lv == 3
     # the pusher rows are still inside the watermark -> not finalized
     assert 99 not in got
+
+
+def test_streaming_cdc_upsert_maintains_snapshot(spark, cleanup):
+    """Streamed change feed -> foreachBatch(cdc_apply) maintains a
+    parquet snapshot: the batch MERGE operator doubles as the
+    streaming upsert sink (grouped by replay batch to prove
+    cross-batch convergence equals one-shot application)."""
+    import os
+
+    from maston_spark.relational import cdc_apply
+
+    base_rows = [Row(k=1, v="a"), Row(k=2, v="b")]
+    changes = [
+        Row(k=2, v="b2", op="U", seq=0, __replay_batch=0),
+        Row(k=3, v="c", op="U", seq=1, __replay_batch=0),
+        Row(k=1, v="x", op="D", seq=2, __replay_batch=1),
+        Row(k=3, v="c2", op="U", seq=3, __replay_batch=1),
+    ]
+    snap_dir = _tmp()
+    chk = _tmp()
+    cleanup.extend([snap_dir, chk])
+    snap_path = os.path.join(snap_dir, "snapshot")
+    spark.createDataFrame(base_rows).write.mode("overwrite").parquet(snap_path)
+    ch_stream, src = replay_stream(spark.createDataFrame(changes), batches=2)
+    cleanup.append(src)
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        current = spark.read.parquet(snap_path)
+        merged = cdc_apply(
+            current, batch_df.select("k", "v", "op", "seq"), ["k"], "seq"
+        ).collect()  # materialize BEFORE overwriting the input path
+        spark.createDataFrame(
+            merged, "k long, v string"
+        ).write.mode("overwrite").parquet(snap_path)
+
+    q = (
+        ch_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.k: r.v for r in spark.read.parquet(snap_path).collect()}
+    assert got == {2: "b2", 3: "c2"}
