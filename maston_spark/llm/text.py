@@ -1247,3 +1247,41 @@ def source_vocab_overlap(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def ccnet_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score
+    every document with the corpus-trained bigram LM
+    (:func:`bigram_lm_score`) and bucket by perplexity TERCILES —
+    head = most fluent third (kept), middle (kept with caution),
+    tail = most perplex third (dropped or down-weighted). The
+    canonical CCNet curation gate, composed from two already-verified
+    operators.
+
+    Distributed shape: the LM scoring is the q96 plan (combiner
+    count aggs + broadcast vocabulary stats); the tercile cut points
+    come from :func:`maston_spark.relational.exact_percentiles`
+    (distributed order statistics) and broadcast back as ONE row;
+    the bucket label is a pure projection — no global sort, no
+    single-partition window anywhere.
+    """
+    from maston_spark.relational import exact_percentiles
+
+    scored = bigram_lm_score(df, id_col=id_col, text_col=text_col)
+    edges = exact_percentiles(
+        scored.select(F.lit(1).alias("__g"), "bits_per_bigram"),
+        "__g",
+        "bits_per_bigram",
+        [1 / 3, 2 / 3],
+        ["__e1", "__e2"],
+    ).drop("__g")
+    bucket = (
+        F.when(F.col("bits_per_bigram") > F.col("__e2"), F.lit("tail"))
+        .when(F.col("bits_per_bigram") > F.col("__e1"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return scored.join(F.broadcast(edges)).select(
+        id_col, "n_bigrams", "bits_per_bigram", "ppl", bucket.alias("ccnet_bucket")
+    )

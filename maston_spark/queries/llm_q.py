@@ -2870,3 +2870,27 @@ def q146_gapfill_interp(spark, sf_dir):
     return gapfill_locf(
         ev, "event_type", "ts", "value", bucket="1 hour", interpolate=True
     )
+
+
+from maston_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_CCNET_ORACLE = f"""
+    WITH scored AS ({_REG["q96_bigram_perplexity"].oracle}),
+    e AS (SELECT quantile_cont(bits_per_bigram,
+            [0.3333333333333333, 0.6666666666666666]) AS qs
+          FROM scored)
+    SELECT doc_id, n_bigrams, bits_per_bigram, ppl,
+           CASE WHEN bits_per_bigram > qs[2] THEN 'tail'
+                WHEN bits_per_bigram > qs[1] THEN 'middle'
+                ELSE 'head' END AS ccnet_bucket
+    FROM scored, e
+    """
+
+
+@query("q147_ccnet_buckets", oracle=_CCNET_ORACLE)
+def q147_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles over the corpus
+    (the canonical LM-based curation gate). See
+    :func:`maston_spark.llm.text.ccnet_buckets`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.ccnet_buckets(d)

@@ -1402,3 +1402,22 @@ def test_int8_topk_matches_exact_integer_ranking(spark):
         order = ids[mask][np.lexsort((ids[mask], -d[mask]))][:3]
         for rn, nid in enumerate(order, start=1):
             assert got[(q, rn)] == (nid, int(d[nid])), (q, rn)
+
+
+def test_ccnet_buckets_terciles(spark, sf_dir):
+    from maston_spark.llm.text import ccnet_buckets
+    from maston_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = ccnet_buckets(d).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.ccnet_bucket, []).append(r.bits_per_bigram)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # terciles: each bucket holds ~1/3 of the corpus
+    n = len(rows)
+    for vals in by_bucket.values():
+        assert abs(len(vals) - n / 3) <= n * 0.05
+    # ordering invariant: every head score <= every middle <= every tail
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
