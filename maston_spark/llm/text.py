@@ -1285,3 +1285,80 @@ def ccnet_buckets(
     return scored.join(F.broadcast(edges)).select(
         id_col, "n_bigrams", "bits_per_bigram", "ppl", bucket.alias("ccnet_bucket")
     )
+
+
+def gopher_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 10.0,
+    min_stopword_ratio: float = 0.02,
+    max_top_bigram_frac: float = 0.08,
+    max_dup_bigram_frac: float = 0.10,
+) -> DataFrame:
+    """Gopher-style quality-filter battery (Rae et al. 2021 app. A
+    — public; thresholds adapted to this corpus's synthetic scale):
+    every document gets a ``keep`` verdict plus the ordered list of
+    rules it failed — token-count bounds, mean-word-length band,
+    stopword floor, and the two repetition caps. The standard
+    rule-based curation gate run before any model-based filter.
+
+    Distributed shape: composes two already-verified one-scan
+    operators (:func:`text_stats` — projection+agg only — and
+    :func:`repetition_stats` — doc-id-pre-partitioned, exchange-free
+    off one shuffle) with an id-keyed join; the verdict and reason
+    list are pure projections. Docs with <2 tokens have no bigram
+    stats; their repetition fractions coalesce to 0 (can't fail a
+    repetition cap without bigrams).
+    """
+    s = text_stats(df.select(id_col, text_col), text_col).select(
+        id_col, "n_tokens", "avg_token_len", "stopword_ratio"
+    )
+    r = repetition_stats(df, id_col=id_col, text_col=text_col).select(
+        id_col, "top_bigram_frac", "dup_bigram_frac"
+    )
+    j = (
+        s.join(r, id_col, "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        .withColumn("dup_bigram_frac", F.coalesce("dup_bigram_frac", F.lit(0.0)))
+    )
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens")),
+            F.when(F.col("n_tokens") > max_tokens, F.lit("too_many_tokens")),
+            F.when(
+                F.col("avg_token_len") < min_avg_token_len,
+                F.lit("avg_token_len_low"),
+            ),
+            F.when(
+                F.col("avg_token_len") > max_avg_token_len,
+                F.lit("avg_token_len_high"),
+            ),
+            F.when(
+                F.col("stopword_ratio") < min_stopword_ratio,
+                F.lit("stopword_ratio_low"),
+            ),
+            F.when(
+                F.col("top_bigram_frac") > max_top_bigram_frac,
+                F.lit("top_bigram_frac_high"),
+            ),
+            F.when(
+                F.col("dup_bigram_frac") > max_dup_bigram_frac,
+                F.lit("dup_bigram_frac_high"),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return j.select(
+        id_col,
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+        F.array_join(reasons, ",").alias("fail_reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

@@ -2894,3 +2894,54 @@ def q147_ccnet_buckets(spark, sf_dir):
     :func:`maston_spark.llm.text.ccnet_buckets`."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.ccnet_buckets(d)
+
+
+@query(
+    "q148_gopher_gate",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                       / len(toks), 6) AS avg_token_len,
+                 round(len(list_filter(toks,
+                         x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE
+                       / len(toks), 6) AS stopword_ratio
+          FROM t),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t WHERE len(toks) >= 2),
+    c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2),
+    r AS (SELECT doc_id,
+                 round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_bigram_frac,
+                 round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+                       / sum(cnt), 6) AS dup_bigram_frac
+          FROM c GROUP BY 1),
+    j AS (SELECT s.doc_id, n_tokens, avg_token_len, stopword_ratio,
+                 coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+                 coalesce(dup_bigram_frac, 0.0) AS dup_bigram_frac
+          FROM s LEFT JOIN r ON r.doc_id = s.doc_id),
+    g AS (SELECT *,
+                 list_filter([
+                   CASE WHEN n_tokens < 20 THEN 'too_few_tokens' END,
+                   CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+                   CASE WHEN avg_token_len < 3.0 THEN 'avg_token_len_low' END,
+                   CASE WHEN avg_token_len > 10.0 THEN 'avg_token_len_high' END,
+                   CASE WHEN stopword_ratio < 0.02 THEN 'stopword_ratio_low' END,
+                   CASE WHEN top_bigram_frac > 0.08 THEN 'top_bigram_frac_high' END,
+                   CASE WHEN dup_bigram_frac > 0.10 THEN 'dup_bigram_frac_high' END
+                 ], x -> x IS NOT NULL) AS fail_reasons
+          FROM j)
+    SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+           top_bigram_frac, dup_bigram_frac,
+           coalesce(array_to_string(fail_reasons, ','), '') AS fail_reasons,
+           (len(fail_reasons) = 0) AS keep
+    FROM g
+    """,
+)
+def q148_gopher_gate(spark, sf_dir):
+    """Gopher rule-battery quality gate: per-doc keep/drop verdict
+    with the ordered fail-reason list. See
+    :func:`maston_spark.llm.text.gopher_gate`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.gopher_gate(d)

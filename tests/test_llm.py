@@ -1421,3 +1421,24 @@ def test_ccnet_buckets_terciles(spark, sf_dir):
     # ordering invariant: every head score <= every middle <= every tail
     assert max(by_bucket["head"]) <= min(by_bucket["middle"])
     assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_gopher_gate_reasons(spark):
+    from maston_spark.llm.text import gopher_gate
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog while birds "
+            "sing and children play near those quiet rivers today"),  # clean
+        (2, "spam spam spam spam spam spam spam spam spam spam spam "
+            "spam spam spam spam spam spam spam spam spam spam"),   # repetitive
+        (3, "tiny doc"),                                            # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_gate(df, min_tokens=5).collect()}
+    assert got[1].keep and got[1].fail_reasons == ""
+    assert not got[2].keep
+    reasons2 = got[2].fail_reasons.split(",")
+    assert "top_bigram_frac_high" in reasons2 and "dup_bigram_frac_high" in reasons2
+    assert not got[3].keep and "too_few_tokens" in got[3].fail_reasons
+    # reason order is the declared rule order
+    assert got[2].fail_reasons.index("top_bigram") < got[2].fail_reasons.index("dup_bigram")
