@@ -187,3 +187,41 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hive_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Directory-partitioned layout (partitionBy on write) + a filter
+    on the partition column → the scan lists ONLY the matching
+    partition directories (PartitionFilters, not a post-scan filter).
+    The file-layout half of the pruning story: PushedFilters skip row
+    groups inside files, PartitionFilters skip whole directories —
+    at 100 TB the latter is the difference between touching one
+    day's directories and listing the entire table."""
+    import io
+    from contextlib import redirect_stdout
+
+    from maston_spark.session import load_table
+
+    path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0]
+    # physical proof: only the matching partition directory is read
+    # (input_file_name() reflects execution, unlike inputFiles(),
+    # which lists the whole resolved relation before pruning)
+    files = [
+        r.f
+        for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all("event_type=purchase" in f for f in files)
+    # and the values survive the round-trip
+    n = df.count()
+    expected = ev.filter(F.col("event_type") == "purchase").count()
+    assert n == expected > 0
