@@ -225,3 +225,33 @@ def test_hive_partitioned_write_prunes_partitions(spark, tmp_path):
     n = df.count()
     expected = ev.filter(F.col("event_type") == "purchase").count()
     assert n == expected > 0
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: the partition predicate is NOT in
+    the query — it's implied by a filtered dimension join, and Spark
+    injects a runtime `dynamicpruning` subquery into the fact scan's
+    PartitionFilters. THE star-join optimization at 100 TB: the fact
+    side skips whole partition directories from a predicate that
+    only exists on the dim. (File-level physical evidence for the
+    pruning mechanism itself is in
+    test_hive_partitioned_write_prunes_partitions; here the marker
+    plus result equality pin that the dim filter REACHED the fact
+    scan as a partition filter.)"""
+    from maston_spark.session import load_table
+
+    path = str(tmp_path / "events_dpp")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("view", 2), ("click", 3)], "event_type string, w int"
+    ).filter(F.col("w") == 1)
+    joined = fact.join(dim, "event_type")
+
+    n = joined.count()
+    rows = joined.collect()  # finalize the adaptive plan for THIS df
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    assert n == len(rows) == ev.filter(F.col("event_type") == "purchase").count()
+    assert all(r.event_type == "purchase" for r in rows)
