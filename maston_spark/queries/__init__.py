@@ -125,7 +125,7 @@ _PRIORITY = [
     "q136_bpe_merges", "q137_source_overlap", "q138_label_centroids",
     "q140_waiting_supplier", "q142_ann_recall", "q143_cdc_upsert",
     "q144_multiprobe_recall", "q145_int8_recall", "q146_gapfill_interp",
-    "q147_ccnet_buckets", "q148_gopher_gate",
+    "q147_ccnet_buckets", "q148_gopher_gate", "q149_k_anonymity",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships

@@ -2945,3 +2945,25 @@ def q148_gopher_gate(spark, sf_dir):
     :func:`maston_spark.llm.text.gopher_gate`."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.gopher_gate(d)
+
+
+@query(
+    "q149_k_anonymity",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS class_size,
+           (count(*) < 10) AS at_risk
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+)
+def q149_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over (mktsegment, nationkey) quasi-
+    identifiers: equivalence classes smaller than k=10 are
+    re-identification risks. See
+    :func:`maston_spark.profiling.k_anonymity_report`."""
+    from maston_spark.profiling import k_anonymity_report
+
+    c = load_table(spark, sf_dir, "customer")
+    return k_anonymity_report(c, ["c_mktsegment", "c_nationkey"], k=10)

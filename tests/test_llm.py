@@ -1442,3 +1442,15 @@ def test_gopher_gate_reasons(spark):
     assert not got[3].keep and "too_few_tokens" in got[3].fail_reasons
     # reason order is the declared rule order
     assert got[2].fail_reasons.index("top_bigram") < got[2].fail_reasons.index("dup_bigram")
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from maston_spark.profiling import k_anonymity_report
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 3
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    got = {
+        (r.seg, r.nat): (r.class_size, r.at_risk)
+        for r in k_anonymity_report(df, ["seg", "nat"], k=3).collect()
+    }
+    assert got == {("a", 1): (5, False), ("a", 2): (2, True), ("b", 1): (3, False)}
