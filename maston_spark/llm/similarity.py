@@ -1254,3 +1254,107 @@ def int8_recall(
         )
         .orderBy("query_id")
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011 — the PQ
+    half of IVF-PQ, the index layout ANN serving actually uses at
+    corpus scale): split each vector into ``m`` contiguous
+    ``sub_dim``-dim subvectors, train a tiny ``k``-centroid
+    codebook per subspace with ONE deterministic Lloyd iteration
+    (same init/tie/update discipline as :func:`kmeans_lloyd`), and
+    emit each vector's code per subspace plus its quantization
+    error. d-dim float32 vectors compress to m log2(k)-bit codes —
+    the 32×–64× memory cut that lets a 100 TB corpus' index fit in
+    RAM. Returns ``(vec_id, subspace, code, sq_dist)`` rows.
+
+    Distributed shape: ONE generator explodes each row to its m
+    subvectors (consumed inside codegen); every later stage keys on
+    the subspace, so all m codebooks train in the SAME broadcast
+    joins and combiner aggregations — no per-subspace jobs, no
+    driver loops; the corpus is scanned once per Lloyd phase, m·k
+    codebook rows broadcast.
+    """
+    v = as_double(F.col(vec_col))
+    sub = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("__s"),
+                        F.slice(v, s * sub_dim + 1, sub_dim).alias("__sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select("__id", F.col("__e.__s").alias("__s"), F.col("__e.__sv").alias("__sv"))
+    first_ids = (
+        df.select(F.col(id_col).alias("__id"))
+        .orderBy("__id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("__id")).cast("int").alias("__cid"),
+            "__id",
+        )
+    )
+    cent0 = sub.join(F.broadcast(first_ids), "__id").select(
+        "__s", "__cid", F.col("__sv").alias("__c")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__sv"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        9,
+    )
+    w = Window.partitionBy("__id", "__s").orderBy(
+        F.col("__d").asc(), F.col("__cid").asc()
+    )
+    a1 = (
+        sub.join(F.broadcast(cent0), "__s")
+        .select("__id", "__s", "__sv", "__cid", dist.alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    upd = (
+        a1.select("__s", "__cid", F.posexplode("__sv").alias("__dim", "__x"))
+        .groupBy("__s", "__cid", "__dim")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.round("__x", 9).cast("decimal(28,9)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                )
+            ).alias("__m")
+        )
+    )
+    c1 = upd.groupBy("__s", "__cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+            lambda t: t["__m"],
+        ).alias("__c")
+    )
+    return (
+        sub.join(F.broadcast(c1), "__s")
+        .select("__id", "__s", "__cid", dist.alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__s").alias("subspace"),
+            F.col("__cid").alias("code"),
+            (F.round("__d", 6) + F.lit(0.0)).alias("sq_dist"),
+        )
+        .orderBy(id_col, "subspace")
+    )

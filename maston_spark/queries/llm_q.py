@@ -2967,3 +2967,52 @@ def q149_k_anonymity(spark, sf_dir):
 
     c = load_table(spark, sf_dir, "customer")
     return k_anonymity_report(c, ["c_mktsegment", "c_nationkey"], k=10)
+
+
+@query(
+    "q150_pq_codes",
+    oracle="""
+    WITH e AS (SELECT vec_id AS id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sub AS (SELECT id, s, v[(s*8+1):(s*8+8)] AS sv
+            FROM e, range(0, 8) t(s)),
+    ids AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cid, id
+            FROM (SELECT id FROM e ORDER BY id LIMIT 4)),
+    c0 AS (SELECT sub.s, ids.cid, sub.sv AS c FROM sub JOIN ids USING (id)),
+    p1 AS (SELECT sub.id, sub.s, sub.sv, c0.cid,
+                  round(list_sum(list_transform(range(1, 9),
+                        i -> (sub.sv[i] - c0.c[i]) * (sub.sv[i] - c0.c[i]))), 9)
+                    AS d
+           FROM sub JOIN c0 ON c0.s = sub.s),
+    a1 AS (SELECT id, s, sv, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY id, s
+                                          ORDER BY d, cid) AS rn
+             FROM p1) WHERE rn = 1),
+    dims AS (SELECT s, cid, i - 1 AS dim, sv[i] AS x
+             FROM a1, LATERAL (SELECT unnest(range(1, 9)) AS i) t),
+    upd AS (SELECT s, cid, dim,
+                   round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9)))
+                         AS DOUBLE) / count(*), 9) AS mval
+            FROM dims GROUP BY 1, 2, 3),
+    c1 AS (SELECT s, cid, list(mval ORDER BY dim) AS c FROM upd GROUP BY 1, 2),
+    p2 AS (SELECT sub.id, sub.s, c1.cid,
+                  round(list_sum(list_transform(range(1, 9),
+                        i -> (sub.sv[i] - c1.c[i]) * (sub.sv[i] - c1.c[i]))), 9)
+                    AS d
+           FROM sub JOIN c1 ON c1.s = sub.s)
+    SELECT id AS vec_id, s AS subspace, cid AS code,
+           round(d, 6) + 0.0 AS sq_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY id, s
+                                       ORDER BY d, cid) AS rn
+          FROM p2) WHERE rn = 1
+    ORDER BY vec_id, subspace
+    """,
+)
+def q150_pq_codes(spark, sf_dir):
+    """Product-quantization encode (Jégou et al. 2011): 8 subspaces
+    x 4-centroid codebooks, one deterministic Lloyd iteration — the
+    PQ half of IVF-PQ. See
+    :func:`maston_spark.llm.similarity.pq_codes`."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.pq_codes(emb, m=8, sub_dim=8, k=4)

@@ -1454,3 +1454,33 @@ def test_k_anonymity_flags_small_classes(spark):
         for r in k_anonymity_report(df, ["seg", "nat"], k=3).collect()
     }
     assert got == {("a", 1): (5, False), ("a", 2): (2, True), ("b", 1): (3, False)}
+
+
+def test_pq_codes_recovers_planted_codebook(spark):
+    import numpy as np
+
+    from maston_spark.llm.similarity import pq_codes
+
+    # plant 4 well-separated prototypes per subspace; every vector is
+    # an exact prototype copy, so one Lloyd iteration must assign
+    # zero quantization error and identical codes for identical rows
+    rng = np.random.default_rng(3)
+    protos = rng.normal(size=(4, 16)) * 10.0
+    assign = rng.integers(0, 4, size=30)
+    # ids 0..3 seed the codebook: make them the 4 distinct prototypes
+    assign[:4] = np.arange(4)
+    X = protos[assign]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    got = pq_codes(df, m=2, sub_dim=8, k=4).collect()
+    assert len(got) == 30 * 2
+    # zero reconstruction error everywhere (exact prototype copies)
+    assert all(r.sq_dist == 0.0 for r in got)
+    # identical vectors get identical per-subspace codes
+    codes = {}
+    for r in got:
+        codes.setdefault(r.vec_id, {})[r.subspace] = r.code
+    for i in range(30):
+        assert codes[i] == codes[int(np.nonzero(assign[:4] == assign[i])[0][0])]
