@@ -1256,32 +1256,19 @@ def int8_recall(
     )
 
 
-def pq_codes(
+def _pq_train(
     df: DataFrame,
-    m: int = 8,
-    sub_dim: int = 8,
-    k: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization encoding (Jégou et al. 2011 — the PQ
-    half of IVF-PQ, the index layout ANN serving actually uses at
-    corpus scale): split each vector into ``m`` contiguous
-    ``sub_dim``-dim subvectors, train a tiny ``k``-centroid
-    codebook per subspace with ONE deterministic Lloyd iteration
-    (same init/tie/update discipline as :func:`kmeans_lloyd`), and
-    emit each vector's code per subspace plus its quantization
-    error. d-dim float32 vectors compress to m log2(k)-bit codes —
-    the 32×–64× memory cut that lets a 100 TB corpus' index fit in
-    RAM. Returns ``(vec_id, subspace, code, sq_dist)`` rows.
-
-    Distributed shape: ONE generator explodes each row to its m
-    subvectors (consumed inside codegen); every later stage keys on
-    the subspace, so all m codebooks train in the SAME broadcast
-    joins and combiner aggregations — no per-subspace jobs, no
-    driver loops; the corpus is scanned once per Lloyd phase, m·k
-    codebook rows broadcast.
-    """
+    m: int,
+    sub_dim: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared PQ training: explode subvectors, seed codebooks from
+    the k smallest-id vectors, run ONE deterministic Lloyd iteration.
+    Returns (sub, codebook) — the exploded (id, subspace, subvector)
+    frame and the trained (subspace, cid, centroid) frame (m·k
+    rows)."""
     v = as_double(F.col(vec_col))
     sub = df.select(
         F.col(id_col).alias("__id"),
@@ -1309,20 +1296,12 @@ def pq_codes(
     cent0 = sub.join(F.broadcast(first_ids), "__id").select(
         "__s", "__cid", F.col("__sv").alias("__c")
     )
-    dist = F.round(
-        F.aggregate(
-            F.zip_with(F.col("__sv"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ),
-        9,
-    )
     w = Window.partitionBy("__id", "__s").orderBy(
         F.col("__d").asc(), F.col("__cid").asc()
     )
     a1 = (
         sub.join(F.broadcast(cent0), "__s")
-        .select("__id", "__s", "__sv", "__cid", dist.alias("__d"))
+        .select("__id", "__s", "__sv", "__cid", _pq_dist().alias("__d"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
     )
@@ -1339,15 +1318,59 @@ def pq_codes(
             ).alias("__m")
         )
     )
-    c1 = upd.groupBy("__s", "__cid").agg(
+    codebook = upd.groupBy("__s", "__cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
             lambda t: t["__m"],
         ).alias("__c")
     )
+    return sub, codebook
+
+
+def _pq_dist() -> Column:
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col("__sv"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        9,
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011 — the PQ
+    half of IVF-PQ, the index layout ANN serving actually uses at
+    corpus scale): split each vector into ``m`` contiguous
+    ``sub_dim``-dim subvectors, train a tiny ``k``-centroid
+    codebook per subspace with ONE deterministic Lloyd iteration
+    (same init/tie/update discipline as :func:`kmeans_lloyd`), and
+    emit each vector's code per subspace plus its quantization
+    error. d-dim float32 vectors compress to m log2(k)-bit codes —
+    the 32×–64× memory cut that lets a 100 TB corpus' index fit in
+    RAM. Returns ``(vec_id, subspace, code, sq_dist)`` rows.
+
+    Distributed shape: ONE generator explodes each row to its m
+    subvectors (consumed inside codegen); every later stage keys on
+    the subspace, so all m codebooks train in the SAME broadcast
+    joins and combiner aggregations — no per-subspace jobs, no
+    driver loops; the corpus is scanned once per Lloyd phase, m·k
+    codebook rows broadcast.
+    """
+    sub, codebook = _pq_train(df, m, sub_dim, k, id_col, vec_col)
+    w = Window.partitionBy("__id", "__s").orderBy(
+        F.col("__d").asc(), F.col("__cid").asc()
+    )
     return (
-        sub.join(F.broadcast(c1), "__s")
-        .select("__id", "__s", "__cid", dist.alias("__d"))
+        sub.join(F.broadcast(codebook), "__s")
+        .select("__id", "__s", "__cid", _pq_dist().alias("__d"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
@@ -1357,4 +1380,76 @@ def pq_codes(
             (F.round("__d", 6) + F.lit(0.0)).alias("sq_dist"),
         )
         .orderBy(id_col, "subspace")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k_neighbors: int = 3,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search
+    half of IVF-PQ: each query precomputes an m×k table of squared
+    distances from its subvectors to every codebook centroid; a
+    candidate's approximate distance is then the SUM of m table
+    lookups selected by its stored codes, never a d-dim float op per
+    candidate. Returns ``(query_id, neighbor_id, adc_dist, rn)``.
+
+    Distributed shape: the distance table is |queries|·m·k rows
+    (KB-sized, broadcast); the corpus side is its CODES — m ints per
+    vector instead of d floats, the whole point of PQ — joined to
+    the table on (subspace, code) and summed per (query, vector)
+    with map-side combine (decimal-exact, order-independent). At
+    100 TB the scan reads the compact code table; the original
+    vectors are never touched after encoding.
+    """
+    sub, codebook = _pq_train(corpus, m, sub_dim, k, id_col, vec_col)
+    w = Window.partitionBy("__id", "__s").orderBy(
+        F.col("__d").asc(), F.col("__cid").asc()
+    )
+    codes = (
+        sub.join(F.broadcast(codebook), "__s")
+        .select("__id", "__s", "__cid", _pq_dist().alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__s", "__cid")
+    )
+    qtable = (
+        sub.filter(F.col("__id").isin(query_ids))
+        .join(F.broadcast(codebook), "__s")
+        .select(
+            F.col("__id").alias("query_id"),
+            "__s",
+            "__cid",
+            _pq_dist().alias("__qd"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qtable), ["__s", "__cid"])
+        .filter(F.col("__id") != F.col("query_id"))
+        .groupBy("query_id", F.col("__id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("__qd").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("__dist")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k_neighbors)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("__dist", 6) + F.lit(0.0)).alias("adc_dist"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
     )

@@ -3016,3 +3016,71 @@ def q150_pq_codes(spark, sf_dir):
     :func:`maston_spark.llm.similarity.pq_codes`."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.pq_codes(emb, m=8, sub_dim=8, k=4)
+
+
+_PQ_TRAIN_SQL = """
+    WITH e AS (SELECT vec_id AS id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sub AS (SELECT id, s, v[(s*8+1):(s*8+8)] AS sv
+            FROM e, range(0, 8) t(s)),
+    ids AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cid, id
+            FROM (SELECT id FROM e ORDER BY id LIMIT 4)),
+    c0 AS (SELECT sub.s, ids.cid, sub.sv AS c FROM sub JOIN ids USING (id)),
+    p1 AS (SELECT sub.id, sub.s, sub.sv, c0.cid,
+                  round(list_sum(list_transform(range(1, 9),
+                        i -> (sub.sv[i] - c0.c[i]) * (sub.sv[i] - c0.c[i]))), 9)
+                    AS d
+           FROM sub JOIN c0 ON c0.s = sub.s),
+    a1 AS (SELECT id, s, sv, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY id, s
+                                          ORDER BY d, cid) AS rn
+             FROM p1) WHERE rn = 1),
+    dims AS (SELECT s, cid, i - 1 AS dim, sv[i] AS x
+             FROM a1, LATERAL (SELECT unnest(range(1, 9)) AS i) t),
+    upd AS (SELECT s, cid, dim,
+                   round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9)))
+                         AS DOUBLE) / count(*), 9) AS mval
+            FROM dims GROUP BY 1, 2, 3),
+    c1 AS (SELECT s, cid, list(mval ORDER BY dim) AS c FROM upd GROUP BY 1, 2),
+    p2 AS (SELECT sub.id, sub.s, c1.cid,
+                  round(list_sum(list_transform(range(1, 9),
+                        i -> (sub.sv[i] - c1.c[i]) * (sub.sv[i] - c1.c[i]))), 9)
+                    AS d
+           FROM sub JOIN c1 ON c1.s = sub.s),
+    codes AS (SELECT id, s, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY id, s
+                                             ORDER BY d, cid) AS rn
+                FROM p2) WHERE rn = 1)
+"""
+
+
+@query(
+    "q151_pq_adc",
+    oracle=_PQ_TRAIN_SQL
+    + """
+    , qt AS (SELECT q.id AS query_id, c1.s, c1.cid,
+                    round(list_sum(list_transform(range(1, 9),
+                          i -> (q.sv[i] - c1.c[i]) * (q.sv[i] - c1.c[i]))), 9)
+                      AS qd
+             FROM (SELECT id, s, sv FROM sub WHERE id < 10) q
+             JOIN c1 ON c1.s = q.s),
+    adc AS (SELECT qt.query_id, codes.id AS neighbor_id,
+                   CAST(sum(CAST(qd AS DECIMAL(38,9))) AS DOUBLE) AS dist
+            FROM codes JOIN qt ON qt.s = codes.s AND qt.cid = codes.cid
+            WHERE codes.id <> qt.query_id
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, round(dist, 6) + 0.0 AS adc_dist, rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, neighbor_id) AS rn
+          FROM adc) WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+)
+def q151_pq_adc(spark, sf_dir):
+    """Asymmetric-distance top-3 over PQ codes (the search half of
+    IVF-PQ: per-query m x k distance table, candidates scored by m
+    table lookups on their stored codes). See
+    :func:`maston_spark.llm.similarity.pq_adc_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.pq_adc_topk(emb, query_ids=list(range(10)), k_neighbors=3)

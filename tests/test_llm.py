@@ -1484,3 +1484,35 @@ def test_pq_codes_recovers_planted_codebook(spark):
         codes.setdefault(r.vec_id, {})[r.subspace] = r.code
     for i in range(30):
         assert codes[i] == codes[int(np.nonzero(assign[:4] == assign[i])[0][0])]
+
+
+def test_pq_adc_exact_on_planted_codebook(spark):
+    import numpy as np
+
+    from maston_spark.llm.similarity import pq_adc_topk
+
+    # prototype-pure corpus (zero quantization error): ADC distance
+    # equals TRUE squared distance, so the ADC ranking must equal the
+    # exact L2 ranking
+    rng = np.random.default_rng(5)
+    protos = rng.normal(size=(4, 16)) * 10.0
+    assign = rng.integers(0, 4, size=30)
+    assign[:4] = np.arange(4)
+    X = protos[assign]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in pq_adc_topk(df, query_ids=[0, 1], k_neighbors=3,
+                             m=2, sub_dim=8, k=4).collect()
+    }
+    Xf = np.array([np.array(x, dtype=np.float32) for x in X.tolist()]).astype(np.float64)
+    ids = np.arange(len(X))
+    for q in (0, 1):
+        d = ((Xf - Xf[q]) ** 2).sum(axis=1)
+        mask = ids != q
+        order = ids[mask][np.lexsort((ids[mask], d[mask]))][:3]
+        for rn, nid in enumerate(order, start=1):
+            assert got[(q, rn)] == nid, (q, rn, got[(q, rn)], nid)
