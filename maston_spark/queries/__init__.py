@@ -126,7 +126,7 @@ _PRIORITY = [
     "q140_waiting_supplier", "q142_ann_recall", "q143_cdc_upsert",
     "q144_multiprobe_recall", "q145_int8_recall", "q146_gapfill_interp",
     "q147_ccnet_buckets", "q148_gopher_gate", "q149_k_anonymity",
-    "q150_pq_codes", "q151_pq_adc",
+    "q150_pq_codes", "q151_pq_adc", "q152_dedup_report",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships

@@ -3084,3 +3084,116 @@ def q151_pq_adc(spark, sf_dir):
     :func:`maston_spark.llm.similarity.pq_adc_topk`."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.pq_adc_topk(emb, query_ids=list(range(10)), k_neighbors=3)
+
+
+_REPORT_CORPUS_SQL = """WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' xyz xyz xyz' FROM documents
+  WHERE doc_id % 5 = 0),"""
+
+_REPORT_TAIL_SQL = """, nd AS (
+      SELECT DISTINCT id_b AS id FROM jac WHERE jaccard >= 0.2),
+    eh AS (
+      SELECT id,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ORDER BY id) AS rn
+      FROM corpus),
+    rep AS (
+      SELECT eh.id,
+             CASE WHEN eh.id >= 2000000 THEN 'planted_near'
+                  WHEN eh.id >= 1000000 THEN 'planted_exact'
+                  ELSE 'original' END AS band,
+             CASE WHEN eh.rn > 1 THEN 1 ELSE 0 END AS is_exact_dup,
+             CASE WHEN nd.id IS NOT NULL THEN 1 ELSE 0 END AS is_near_dup
+      FROM eh LEFT JOIN nd ON nd.id = eh.id)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_exact_dup) AS BIGINT) AS n_exact_dup_docs,
+           CAST(sum(is_near_dup) AS BIGINT) AS n_neardup_docs,
+           round(sum(is_exact_dup)::DOUBLE / count(*), 6) AS exact_dup_rate,
+           round(sum(is_near_dup)::DOUBLE / count(*), 6) AS neardup_rate
+    FROM rep GROUP BY band ORDER BY band"""
+
+
+@query(
+    "q152_dedup_report",
+    oracle=_MINHASH_ORACLE.replace(
+        """WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' xyz xyz xyz' FROM documents WHERE doc_id % 5 = 0),""",
+        _REPORT_CORPUS_SQL,
+    ).replace(
+        "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2",
+        _REPORT_TAIL_SQL,
+    ),
+)
+def q152_dedup_report(spark, sf_dir):
+    """Dedup-effectiveness report — the dashboard a curation run
+    actually produces: over a corpus with PLANTED exact duplicates
+    (every 7th doc re-ingested) and near duplicates (every 5th doc
+    with 3 tokens appended), report per provenance band how many
+    docs the exact-hash and MinHash near-dup detectors flag. The
+    planted bands must light up (~100% exact rate on re-ingested
+    copies, high near-dup rate on mutations) while the original
+    band stays low — the self-check that the dedup battery works
+    before trusting it on unlabeled data.
+
+    Distributed shape: composes the verified q40/q41 pipelines —
+    one content-hash window, one persisted minhash signature table —
+    and reduces to |bands| rows with a combiner agg; nothing new
+    shuffles beyond the component operators.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_planted = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near_planted = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" xyz xyz xyz")).alias("text"),
+    )
+    corpus = d.unionByName(exact_planted).unionByName(near_planted)
+
+    w = Window.partitionBy(DD.content_hash(F.col("text"))).orderBy("doc_id")
+    eh = corpus.select(
+        "doc_id",
+        (F.row_number().over(w) > 1).cast("int").alias("is_exact_dup"),
+    )
+    mf = DD.minhash_frame(corpus, shingle_n=3, num_hashes=16).persist()
+    cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
+    pairs = DD.jaccard_from_lanes(mf, cands, threshold=0.2)
+    nd = pairs.select(F.col("id_b").alias("doc_id")).distinct().withColumn(
+        "__nd", F.lit(1)
+    )
+    band = (
+        F.when(F.col("doc_id") >= 2000000, F.lit("planted_near"))
+        .when(F.col("doc_id") >= 1000000, F.lit("planted_exact"))
+        .otherwise(F.lit("original"))
+    )
+    return (
+        eh.join(nd, "doc_id", "left")
+        .select(
+            band.alias("band"),
+            "is_exact_dup",
+            F.coalesce("__nd", F.lit(0)).alias("is_near_dup"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_exact_dup").cast("long").alias("n_exact_dup_docs"),
+            F.sum("is_near_dup").cast("long").alias("n_neardup_docs"),
+            F.round(
+                F.sum("is_exact_dup") / F.count(F.lit(1)), 6
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.sum("is_near_dup") / F.count(F.lit(1)), 6
+            ).alias("neardup_rate"),
+        )
+        .orderBy("band")
+    )
