@@ -422,11 +422,12 @@ def budget_select(
 
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ordered = (
+    from maston_spark.caching import scoped_persist
+
+    ordered = scoped_persist(
         df.repartitionByRange(p, F.col(score_col).desc(), F.col(id_col).asc())
         .sortWithinPartitions(F.col(score_col).desc(), F.col(id_col).asc())
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
     totals = {
         r["__pid"]: r["t"]

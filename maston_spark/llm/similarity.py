@@ -205,10 +205,12 @@ def embedding_neardup(
     # storage once, which callers can do by persisting upstream.
     from pyspark import StorageLevel
 
-    bucketed = (
+    from maston_spark.caching import scoped_persist
+
+    bucketed = scoped_persist(
         corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-        .mapInPandas(add_buckets, f"__id long, __vec array<double>, {bucket_fields}")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .mapInPandas(add_buckets, f"__id long, __vec array<double>, {bucket_fields}"),
+        StorageLevel.MEMORY_AND_DISK,
     )
 
     # per-level bucket populations in ONE tiny aggregation: explode
@@ -391,17 +393,31 @@ def lsh_topk(
     its bucket differs from the query's in at most ``max_hamming``
     plane bits, widening recall without re-hashing — each probe
     level multiplies candidates by ~C(n_planes, h), still a
-    vanishing fraction of the corpus. The mask is a popcount lookup
-    on the XOR of bucket ids, so the scan stays one numpy pass.
+    vanishing fraction of the corpus. The mask is an ARITHMETIC
+    popcount (SWAR bit-twiddling) on the XOR of bucket ids — O(1)
+    scratch per batch regardless of n_planes (a 2**n_planes lookup
+    table would be 8 GB per task at n_planes=30), so the scan stays
+    one numpy pass.
     """
     import numpy as np
     import pandas as pd
 
+    if not 0 < n_planes <= 62:
+        raise ValueError(f"n_planes must be in 1..62, got {n_planes}")
     H = hyperplane_matrix(n_planes, dims)
     powers = (2 ** np.arange(n_planes)).astype(np.int64)
-    popcnt = np.array(
-        [bin(i).count("1") for i in range(1 << n_planes)], dtype=np.int64
-    )
+
+    def popcount64(x: "np.ndarray") -> "np.ndarray":
+        # SWAR popcount over uint64 — constant memory, vectorized
+        x = x.astype(np.uint64)
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+            np.int64
+        )
 
     def bucket_of(M: "np.ndarray") -> "np.ndarray":
         return ((M @ H.T) > 0).astype(np.int64) @ powers
@@ -427,7 +443,7 @@ def lsh_topk(
             S = Mn @ Qn.T
             out = []
             for j in range(len(qids)):
-                mask = (popcnt[np.bitwise_xor(b, qbuckets[j])] <= max_hamming) & (
+                mask = (popcount64(np.bitwise_xor(b, qbuckets[j])) <= max_hamming) & (
                     ids != qids[j]
                 )
                 cand_idx = np.nonzero(mask)[0]
@@ -862,6 +878,27 @@ def kmeans_lloyd(
     most k·d groups. The corpus is scanned once per iteration —
     Lloyd's lower bound.
     """
+    assigned, _ = _kmeans_fit(df, k, iterations, id_col, vec_col)
+    return assigned.select(
+        F.col("__id").alias(id_col),
+        F.col("__cid").alias("cluster"),
+        F.round("__d", 6).alias("sq_dist"),
+    )
+
+
+def _kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared Lloyd fit (see :func:`kmeans_lloyd` for the discipline).
+    Returns ``(assigned, centroids)`` — the final assignment frame
+    (``__id``, ``__v``, ``__cid``, ``__d``) and the centroid frame
+    (``__cid``, ``__c``) USED for that final assignment, so a caller
+    (e.g. :func:`ivf_pq_topk`) can probe queries against exactly the
+    cells the corpus was partitioned by."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
     centroids = (
@@ -922,11 +959,7 @@ def kmeans_lloyd(
                 lambda s: s["__m"],
             ).alias("__c")
         )
-    return assigned.select(
-        F.col("__id").alias(id_col),
-        F.col("__cid").alias("cluster"),
-        F.round("__d", 6).alias("sq_dist"),
-    )
+    return assigned, centroids
 
 
 def rp_project(
@@ -938,15 +971,18 @@ def rp_project(
 ) -> DataFrame:
     """Johnson–Lindenstrauss random projection to ``out_dim``
     components with a deterministic ±1 matrix (Achlioptas 2003):
-    ``y_j = (1/√d) Σ_i sign(j,i) · x_i``, sign drawn from the same
-    md5 convention as the LSH hyperplanes. The dimensionality
-    reduction that feeds cheap ANN / clustering when d is large —
-    and, unlike PCA, it needs no training pass, no eigensolver, and
-    is exactly reproducible on any engine.
+    ``y_j = (1/√k) Σ_i sign(j,i) · x_i`` with k = ``out_dim`` — the
+    standard JL normalization, under which E‖y‖² = ‖x‖² and pairwise
+    DISTANCES (not just relative geometry) are preserved within the
+    JL distortion bound. Sign is drawn from the same md5 convention
+    as the LSH hyperplanes. The dimensionality reduction that feeds
+    cheap ANN / clustering when d is large — and, unlike PCA, it
+    needs no training pass, no eigensolver, and is exactly
+    reproducible on any engine.
 
     Exactness: with ±1 entries the per-term product is a sign flip,
-    and for power-of-two d the 1/√d scale is exact — every term is
-    ±x_i/√d with NO rounding, so the decimal-summed components are
+    and for power-of-two k the 1/√k scale is exact — every term is
+    ±x_i/√k with NO rounding, so the decimal-summed components are
     bit-identical cross-engine. Output is long format
     ``(id, component j, y)``.
 
@@ -977,7 +1013,7 @@ def rp_project(
         >= "8",
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
-    term = (F.col("__xi") * sign) / F.sqrt(F.lit(int(dims)).cast("double"))
+    term = (F.col("__xi") * sign) / F.sqrt(F.lit(k).cast("double"))
     return (
         terms.groupBy(id_col, F.col("__j").alias("component"))
         .agg(
@@ -1009,13 +1045,15 @@ def label_centroid_similarity(
     exact sums with IEEE double ops (division, sqrt — both correctly
     rounded per IEEE 754, identical on any engine).
     """
+    from maston_spark.caching import scoped_persist
+
     x = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(
             F.transform(F.col(vec_col), lambda v: v.cast("double"))
         ).alias("dim", "x"),
     )
-    cent = (
+    cent = scoped_persist(
         x.groupBy("label", "dim")
         .agg(
             F.sum(F.round("x", 9).cast("decimal(38,9)")).alias("s"),
@@ -1027,7 +1065,6 @@ def label_centroid_similarity(
             "n",
             (F.col("s").cast("double") / F.col("n")).alias("c"),
         )
-        .persist()
     )
     norms = cent.groupBy("label").agg(
         F.sum(F.round(F.col("c") * F.col("c"), 9).cast("decimal(38,9)")).alias(
@@ -1338,6 +1375,21 @@ def _pq_dist() -> Column:
     )
 
 
+def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-codebook-centroid assignment per (vector, subspace):
+    broadcast the m·k codebook, one fold per pair, deterministic
+    (distance, cid) tie-break. Returns (__id, __s, __cid, __d)."""
+    w = Window.partitionBy("__id", "__s").orderBy(
+        F.col("__d").asc(), F.col("__cid").asc()
+    )
+    return (
+        sub.join(F.broadcast(codebook), "__s")
+        .select("__id", "__s", "__cid", _pq_dist().alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+
+
 def pq_codes(
     df: DataFrame,
     m: int = 8,
@@ -1365,14 +1417,8 @@ def pq_codes(
     codebook rows broadcast.
     """
     sub, codebook = _pq_train(df, m, sub_dim, k, id_col, vec_col)
-    w = Window.partitionBy("__id", "__s").orderBy(
-        F.col("__d").asc(), F.col("__cid").asc()
-    )
     return (
-        sub.join(F.broadcast(codebook), "__s")
-        .select("__id", "__s", "__cid", _pq_dist().alias("__d"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        _pq_assign(sub, codebook)
         .select(
             F.col("__id").alias(id_col),
             F.col("__s").alias("subspace"),
@@ -1409,16 +1455,7 @@ def pq_adc_topk(
     vectors are never touched after encoding.
     """
     sub, codebook = _pq_train(corpus, m, sub_dim, k, id_col, vec_col)
-    w = Window.partitionBy("__id", "__s").orderBy(
-        F.col("__d").asc(), F.col("__cid").asc()
-    )
-    codes = (
-        sub.join(F.broadcast(codebook), "__s")
-        .select("__id", "__s", "__cid", _pq_dist().alias("__d"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "__s", "__cid")
-    )
+    codes = _pq_assign(sub, codebook).select("__id", "__s", "__cid")
     qtable = (
         sub.filter(F.col("__id").isin(query_ids))
         .join(F.broadcast(codebook), "__s")
@@ -1452,4 +1489,246 @@ def pq_adc_topk(
             "rn",
         )
         .orderBy("query_id", "rn")
+    )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 as a sequential zip_with fold, rounded to 9
+    decimals — the same left-to-right summation a SQL oracle's list
+    fold performs, so the value is bit-identical cross-engine."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        9,
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k by brute force — the ground-truth
+    baseline the L2-metric ANN paths (:func:`ivf_pq_topk`) are
+    recall-measured against, as pure DataFrame algebra: the |q|
+    query rows broadcast against ONE corpus scan, one sequential
+    fold per pair (codegen, no Python), per-query top-k via a
+    row_number window over the |q|·N slim distance rows with a total
+    (distance, id) order. Returns ``(query_id, neighbor_id,
+    sq_dist, rn)``."""
+    v = as_double(F.col(vec_col))
+    base = corpus.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    q = base.filter(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        base.join(F.broadcast(q))
+        .filter(F.col("__id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            _sq_l2(F.col("__v"), F.col("__qv")).alias("__d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("__d", 6) + F.lit(0.0)).alias("sq_dist"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+def _ivf_pq_build(
+    corpus: DataFrame,
+    query_ids: list[int],
+    n_cells: int,
+    nprobe: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF front half: Lloyd-train ``n_cells`` coarse cells
+    (:func:`_kmeans_fit`), assign the corpus, probe each query's
+    ``nprobe`` nearest cells against the SAME final centroids, and
+    emit the candidate set. Returns
+    ``(cell, __nid, __nv, query_id, __qv)`` — one row per
+    (query, candidate) pair, ~``nprobe/n_cells`` of the corpus per
+    query and never an all-pairs product."""
+    assigned, cents = _kmeans_fit(corpus, n_cells, iterations, id_col, vec_col)
+    cells = assigned.select(
+        F.col("__id").alias("__nid"),
+        F.col("__cid").alias("cell"),
+        F.col("__v").alias("__nv"),
+    )
+    qv = assigned.filter(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__pd").asc(), F.col("__cid").asc()
+    )
+    probes = (
+        qv.join(F.broadcast(cents))
+        .select(
+            "query_id", "__qv", "__cid",
+            _sq_l2(F.col("__qv"), F.col("__c")).alias("__pd"),
+        )
+        .withColumn("__prn", F.row_number().over(wp))
+        .filter(F.col("__prn") <= nprobe)
+        .select("query_id", "__qv", F.col("__cid").alias("cell"))
+    )
+    return cells.join(F.broadcast(probes), "cell").filter(
+        F.col("__nid") != F.col("query_id")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k_neighbors: int = 3,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    iterations: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (Jégou et al. 2011 — the
+    index layout large-scale ANN serving actually runs): Lloyd-trained
+    coarse cells prune the corpus to each query's ``nprobe`` nearest
+    cells (:func:`_ivf_pq_build`), and the surviving candidates are
+    scored by ASYMMETRIC DISTANCE — m table lookups on their stored
+    PQ codes (:func:`_pq_train` / :func:`_pq_assign`), never a d-dim
+    float op per candidate. Returns ``(query_id, neighbor_id, cell,
+    adc_dist, rn)``, rn ≤ ``k_neighbors``.
+
+    100 TB shape — why this is THE scale path: (1) the corpus table
+    is partitioned by ``cell``, so a probe reads ``nprobe/n_cells``
+    of the files and nothing else (the same directory-pruning
+    mechanics as q57's IVF, now with trained cells); (2) past
+    encoding, search touches only the CODE table — m small ints per
+    vector, a 32–64× scan reduction — the float vectors are never
+    read again; (3) everything per-query that joins the corpus
+    (probe set, m·k ADC table) is KB-sized and broadcast, so the
+    whole search is one shuffle-free scan of the pruned code
+    partitions plus a |q|·k-row top-k window. Deterministic
+    end-to-end (decimal-exact sums, (distance, id) tie-breaks), so a
+    SQL oracle replays it bit-for-bit.
+    """
+    cand = _ivf_pq_build(
+        corpus, query_ids, n_cells, nprobe, iterations, id_col, vec_col
+    ).select("query_id", "__nid", "cell")
+    sub, codebook = _pq_train(corpus, m, sub_dim, k, id_col, vec_col)
+    codes = _pq_assign(sub, codebook).select(
+        F.col("__id").alias("__nid"), "__s", "__cid"
+    )
+    qtable = (
+        sub.filter(F.col("__id").isin(query_ids))
+        .join(F.broadcast(codebook), "__s")
+        .select(
+            F.col("__id").alias("query_id"), "__s", "__cid",
+            _pq_dist().alias("__qd"),
+        )
+    )
+    adc = (
+        cand.join(codes, "__nid")
+        .join(F.broadcast(qtable), ["query_id", "__s", "__cid"])
+        .groupBy("query_id", F.col("__nid").alias("neighbor_id"), "cell")
+        .agg(
+            F.sum(F.col("__qd").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("__dist")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k_neighbors)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (F.round("__dist", 6) + F.lit(0.0)).alias("adc_dist"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+def ivf_pq_recall(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k_neighbors: int = 3,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    iterations: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k harness that DECOMPOSES the IVF-PQ error budget:
+    against the exact brute-force L2 top-k (:func:`l2_topk`), it
+    measures (a) IVF-FLAT — exact L2 restricted to the probed cells,
+    i.e. pure cell-pruning loss — and (b) IVF-PQ — the same
+    candidates scored by ADC, adding the quantization loss. One row
+    per query: ``(query_id, n_exact, hits_flat, recall_flat,
+    hits_pq, recall_pq)``; recall_flat − recall_pq is what PQ
+    compression costs, 1 − recall_flat is what probing too few cells
+    costs — the two knobs (nprobe, m·k) an operator tunes at corpus
+    scale. Comparison joins run on |q|·k rows — negligible anywhere.
+    """
+    exact = l2_topk(
+        corpus, query_ids, k=k_neighbors, id_col=id_col, vec_col=vec_col
+    )
+    cand = _ivf_pq_build(
+        corpus, query_ids, n_cells, nprobe, iterations, id_col, vec_col
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("__fd").asc(), F.col("__nid").asc()
+    )
+    flat = (
+        cand.select(
+            "query_id", "__nid", _sq_l2(F.col("__nv"), F.col("__qv")).alias("__fd")
+        )
+        .withColumn("__rn", F.row_number().over(wf))
+        .filter(F.col("__rn") <= k_neighbors)
+        .select("query_id", F.col("__nid").alias("neighbor_id"), F.lit(1).alias("__f"))
+    )
+    pq = ivf_pq_topk(
+        corpus, query_ids, k_neighbors=k_neighbors, n_cells=n_cells,
+        nprobe=nprobe, iterations=iterations, m=m, sub_dim=sub_dim, k=k,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__p"))
+    j = (
+        exact.select("query_id", "neighbor_id")
+        .join(flat, ["query_id", "neighbor_id"], "left")
+        .join(pq, ["query_id", "neighbor_id"], "left")
+    )
+    n = F.count(F.lit(1))
+    return (
+        j.groupBy("query_id")
+        .agg(
+            n.cast("long").alias("n_exact"),
+            F.count("__f").cast("long").alias("hits_flat"),
+            F.round(F.count("__f") / n, 6).alias("recall_flat"),
+            F.count("__p").cast("long").alias("hits_pq"),
+            F.round(F.count("__p") / n, 6).alias("recall_pq"),
+        )
+        .orderBy("query_id")
     )

@@ -497,7 +497,11 @@ def winnow_neardup_pairs(
     # (per-position md5 + window mins) recomputes per consumer
     # (measured 2.76 s -> 1.64 s warm at sf0.1). Same pattern as the
     # MinHash signature frame in q41.
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).persist()
+    from maston_spark.caching import scoped_persist
+
+    fps = scoped_persist(
+        winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    )
     freq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
     rare = fps.join(
         freq.filter(F.col("__df") <= max_doc_freq).select("fingerprint"),
@@ -1195,14 +1199,15 @@ def source_vocab_overlap(
     most |sources|^2/2 output rows. Size lookups are broadcast
     joins of |sources|-row tables. Nothing driver-side.
     """
-    st = (
+    from maston_spark.caching import scoped_persist
+
+    st = scoped_persist(
         df.select(
             F.col(source_col).alias("__src"),
             F.explode(tokens(F.col(text_col))).alias("__tok"),
         )
         .filter(F.col("__tok") != "")
         .distinct()
-        .persist()
     )
     sizes = st.groupBy("__src").agg(
         F.count(F.lit(1)).cast("long").alias("vocab")

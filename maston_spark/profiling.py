@@ -152,18 +152,26 @@ def chi2_contingency(
     broadcast back); the (o−e)²/e terms are rounded to 9 decimals
     and summed in DECIMAL(28,9) so the statistic is independent of
     partition merge order (exact cross-engine parity). Nulls count
-    as a category (they are a real value of the dimension).
+    as a category (they are a real value of the dimension) — in the
+    cells, the marginals, AND the degrees of freedom: r and c are
+    the marginal-table row counts (null-inclusive), never a
+    null-skipping count_distinct, so statistic and dof stay
+    consistent when a dimension contains NULL.
     """
     cells = df.groupBy(
         F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
     ).agg(F.count(F.lit(1)).alias("__o"))
     row_t = cells.groupBy("__a").agg(F.sum("__o").alias("__rt"))
     col_t = cells.groupBy("__b").agg(F.sum("__o").alias("__ct"))
-    grand = cells.agg(
-        F.sum("__o").alias("__n"),
-        F.count(F.lit(1)).alias("__cells"),
-        F.count_distinct("__a").alias("__ra"),
-        F.count_distinct("__b").alias("__cb"),
+    ra = row_t.agg(F.count(F.lit(1)).alias("__ra"))
+    cb = col_t.agg(F.count(F.lit(1)).alias("__cb"))
+    grand = (
+        cells.agg(
+            F.sum("__o").alias("__n"),
+            F.count(F.lit(1)).alias("__cells"),
+        )
+        .join(F.broadcast(ra))
+        .join(F.broadcast(cb))
     )
     e = (F.col("__rt") * F.col("__ct")) / F.col("__n")
     term = (F.col("__o") - e) * (F.col("__o") - e) / e

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from maston_spark.llm import dedup as DD, similarity as SIM, text as TXT
+from maston_spark.caching import scoped_persist
 from maston_spark.queries import query
 from maston_spark.session import load_table
 
@@ -105,7 +106,7 @@ def q41_dedup_minhash_lsh(spark, sf_dir):
     (both join sides of candidates + both sides of verify) — the
     cluster-scale pattern is writing the signature table once."""
     corpus = _neardup_corpus(spark, sf_dir)
-    mf = DD.minhash_frame(corpus, shingle_n=3, num_hashes=16).persist()
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
     cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
     return DD.jaccard_from_lanes(mf, cands, threshold=0.2)
 
@@ -707,7 +708,7 @@ def q55_dup_clusters(spark, sf_dir):
     min-label propagation. The step a real dedup pipeline runs before
     choosing one keeper per cluster."""
     corpus = _neardup_corpus(spark, sf_dir)
-    mf = DD.minhash_frame(corpus, shingle_n=3, num_hashes=16).persist()
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
     cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
     edges = DD.jaccard_from_lanes(mf, cands, threshold=0.2)
     verts = corpus.select(F.col("doc_id").alias("id"))
@@ -1190,7 +1191,7 @@ def q91_dedup_keepers(spark, sf_dir):
     from pyspark.sql import Window
 
     corpus = _neardup_corpus(spark, sf_dir)
-    mf = DD.minhash_frame(corpus, shingle_n=3, num_hashes=16).persist()
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
     cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
     edges = DD.jaccard_from_lanes(mf, cands, threshold=0.2)
     verts = corpus.select(F.col("doc_id").alias("id"))
@@ -2164,7 +2165,7 @@ def q126_split_leakage(spark, sf_dir):
     from maston_spark.llm import sampling as SAMP
 
     corpus = _neardup_corpus(spark, sf_dir)
-    mf = DD.minhash_frame(corpus, shingle_n=3, num_hashes=16).persist()
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
     cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
     pairs = DD.jaccard_from_lanes(mf, cands, threshold=0.2)
     sp = pairs.select(
@@ -2254,7 +2255,8 @@ def q129_key_skew(spark, sf_dir):
     rt AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
     ct AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
     g AS (SELECT sum(o) AS n, count(*) AS n_cells,
-                 count(DISTINCT a) AS ra, count(DISTINCT b) AS cb
+                 (SELECT count(*) FROM rt) AS ra,
+                 (SELECT count(*) FROM ct) AS cb
           FROM cells),
     terms AS (
       SELECT (o - (rt * ct) / CAST(n AS DOUBLE))
@@ -2315,7 +2317,7 @@ def q131_decayed_engagement(spark, sf_dir):
     terms AS (SELECT vec_id, j,
                      (xi * CASE WHEN substring(md5('rp:' || j || ':' || i), 1, 1)
                                      >= '8'
-                                THEN 1.0 ELSE -1.0 END) / sqrt(64.0) AS term
+                                THEN 1.0 ELSE -1.0 END) / sqrt(16.0) AS term
               FROM x, (SELECT unnest(range(0, 16)) AS j) r)
     SELECT vec_id, CAST(j AS INT) AS component,
            round(CAST(sum(CAST(round(term, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
@@ -3018,10 +3020,14 @@ def q150_pq_codes(spark, sf_dir):
     return SIM.pq_codes(emb, m=8, sub_dim=8, k=4)
 
 
-_PQ_TRAIN_SQL = """
+_E_CTE = """
     WITH e AS (SELECT vec_id AS id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+               FROM embeddings)"""
+
+# PQ training CTE chain (assumes `e` is already defined): subvector
+# explode -> seed codebooks -> one Lloyd iteration -> final codes.
+_PQ_CTES = """
     sub AS (SELECT id, s, v[(s*8+1):(s*8+8)] AS sv
             FROM e, range(0, 8) t(s)),
     ids AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cid, id
@@ -3052,6 +3058,62 @@ _PQ_TRAIN_SQL = """
                 SELECT *, row_number() OVER (PARTITION BY id, s
                                              ORDER BY d, cid) AS rn
                 FROM p2) WHERE rn = 1)
+"""
+
+_PQ_TRAIN_SQL = _E_CTE + "," + _PQ_CTES
+
+# IVF-PQ shared oracle half: coarse k-means cells (the q119 chain,
+# k=4 / 2 iterations, CTEs prefixed k*), per-query nprobe=2 probes
+# against the SAME final centroids, candidate pairs, then the PQ
+# chain and the per-candidate ADC sums.
+_IVFPQ_CTES = _E_CTE + """,
+    kc0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cid, v AS c
+            FROM (SELECT id, v FROM e ORDER BY id LIMIT 4)),
+    kp1 AS (SELECT e.id, e.v, kc0.cid,
+                   round(list_sum(list_transform(range(1, len(e.v) + 1),
+                         i -> (e.v[i] - kc0.c[i]) * (e.v[i] - kc0.c[i]))), 9)
+                     AS d
+            FROM e, kc0),
+    ka1 AS (SELECT id, v, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY id
+                                           ORDER BY d, cid) AS rn
+              FROM kp1) WHERE rn = 1),
+    kdims AS (SELECT cid, i - 1 AS dim, v[i] AS x
+              FROM ka1, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) t),
+    kupd AS (SELECT cid, dim,
+                    round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9)))
+                          AS DOUBLE) / count(*), 9) AS mval
+             FROM kdims GROUP BY 1, 2),
+    kc1 AS (SELECT cid, list(mval ORDER BY dim) AS c FROM kupd GROUP BY cid),
+    kp2 AS (SELECT e.id, kc1.cid,
+                   round(list_sum(list_transform(range(1, len(e.v) + 1),
+                         i -> (e.v[i] - kc1.c[i]) * (e.v[i] - kc1.c[i]))), 9)
+                     AS d
+            FROM e, kc1),
+    cells AS (SELECT id, cid AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY id
+                                             ORDER BY d, cid) AS rn
+                FROM kp2) WHERE rn = 1),
+    probes AS (SELECT id AS query_id, cid AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id
+                                              ORDER BY d, cid) AS rn
+                 FROM kp2 WHERE id < 10) WHERE rn <= 2),
+    cand AS (SELECT p.query_id, c.id AS nid, c.cell
+             FROM probes p JOIN cells c USING (cell)
+             WHERE c.id <> p.query_id),""" + _PQ_CTES + """,
+    qt AS (SELECT q.id AS query_id, c1.s, c1.cid,
+                  round(list_sum(list_transform(range(1, 9),
+                        i -> (q.sv[i] - c1.c[i]) * (q.sv[i] - c1.c[i]))), 9)
+                    AS qd
+           FROM (SELECT id, s, sv FROM sub WHERE id < 10) q
+           JOIN c1 ON c1.s = q.s),
+    adc AS (SELECT cand.query_id, cand.nid AS neighbor_id, cand.cell,
+                   CAST(sum(CAST(qd AS DECIMAL(38,9))) AS DOUBLE) AS dist
+            FROM cand
+            JOIN codes ON codes.id = cand.nid
+            JOIN qt ON qt.query_id = cand.query_id
+                   AND qt.s = codes.s AND qt.cid = codes.cid
+            GROUP BY 1, 2, 3)
 """
 
 
@@ -3165,7 +3227,7 @@ def q152_dedup_report(spark, sf_dir):
         "doc_id",
         (F.row_number().over(w) > 1).cast("int").alias("is_exact_dup"),
     )
-    mf = DD.minhash_frame(corpus, shingle_n=3, num_hashes=16).persist()
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
     cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
     pairs = DD.jaccard_from_lanes(mf, cands, threshold=0.2)
     nd = pairs.select(F.col("id_b").alias("doc_id")).distinct().withColumn(
@@ -3196,4 +3258,83 @@ def q152_dedup_report(spark, sf_dir):
             ).alias("neardup_rate"),
         )
         .orderBy("band")
+    )
+
+
+@query(
+    "q153_ivf_pq",
+    oracle=_IVFPQ_CTES
+    + """
+    SELECT query_id, neighbor_id, cell, round(dist, 6) + 0.0 AS adc_dist, rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, neighbor_id) AS rn
+          FROM adc) WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+)
+def q153_ivf_pq(spark, sf_dir):
+    """IVF-PQ ANN: Lloyd-trained coarse cells (4, 2 iterations) prune
+    to 2 probed cells per query; candidates scored by asymmetric
+    distance over 8x4 PQ codebooks — the composed 100 TB index
+    (cells partition the table, search reads codes only). See
+    :func:`maston_spark.llm.similarity.ivf_pq_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.ivf_pq_topk(
+        emb, query_ids=list(range(10)), k_neighbors=3,
+        n_cells=4, nprobe=2, iterations=2, m=8, sub_dim=8, k=4,
+    )
+
+
+@query(
+    "q154_ivfpq_recall",
+    oracle=_IVFPQ_CTES
+    + """
+    , ex AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+                    round(list_sum(list_transform(range(1, len(a.v) + 1),
+                          i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 9) AS d
+             FROM (SELECT * FROM e WHERE id < 10) a
+             JOIN e b ON b.id <> a.id),
+    ext AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY d, neighbor_id) AS rn
+              FROM ex) WHERE rn <= 3),
+    fl0 AS (SELECT cand.query_id, cand.nid,
+                   round(list_sum(list_transform(range(1, len(cv.v) + 1),
+                         i -> (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]))), 9)
+                     AS fd
+            FROM cand
+            JOIN e cv ON cv.id = cand.nid
+            JOIN e qv ON qv.id = cand.query_id),
+    fl AS (SELECT query_id, nid AS neighbor_id, 1 AS fmark FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY fd, nid) AS rn
+             FROM fl0) WHERE rn <= 3),
+    pq AS (SELECT query_id, neighbor_id, 1 AS pmark FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, neighbor_id) AS rn
+             FROM adc) WHERE rn <= 3)
+    SELECT ext.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(fmark) AS BIGINT) AS hits_flat,
+           round(count(fmark) / CAST(count(*) AS DOUBLE), 6) AS recall_flat,
+           CAST(count(pmark) AS BIGINT) AS hits_pq,
+           round(count(pmark) / CAST(count(*) AS DOUBLE), 6) AS recall_pq
+    FROM ext
+    LEFT JOIN fl ON fl.query_id = ext.query_id
+                AND fl.neighbor_id = ext.neighbor_id
+    LEFT JOIN pq ON pq.query_id = ext.query_id
+                AND pq.neighbor_id = ext.neighbor_id
+    GROUP BY ext.query_id
+    ORDER BY ext.query_id
+    """,
+)
+def q154_ivfpq_recall(spark, sf_dir):
+    """Recall@3 decomposition of the IVF-PQ error budget vs exact
+    brute-force L2: IVF-flat (cell-pruning loss only) and IVF-PQ
+    (plus ADC quantization loss) per query. See
+    :func:`maston_spark.llm.similarity.ivf_pq_recall`."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.ivf_pq_recall(
+        emb, query_ids=list(range(10)), k_neighbors=3,
+        n_cells=4, nprobe=2, iterations=2, m=8, sub_dim=8, k=4,
     )

@@ -675,6 +675,13 @@ def cdc_apply(
     row. ``changes`` must carry the base columns plus ``op_col`` and
     ``seq_col``; base rows rank below every change (seq −1).
 
+    Determinism: when two change rows for the same key share a seq
+    value (common when seq is a timestamp), the winner is still
+    total-ordered — ties break on op descending (an upsert outranks
+    a delete at the same instant, the lakehouse MERGE convention)
+    and then on the full row payload, so replays produce the same
+    snapshot regardless of shuffle arrival order.
+
     Distributed shape: ONE union + ONE hash shuffle on the key — the
     per-key winner is a ``row_number`` over (key) ordered by seq
     descending, so the operator costs exactly one exchange
@@ -695,9 +702,11 @@ def cdc_apply(
         F.col(op_col).alias("__op"),
         F.col(seq_col).cast("long").alias("__seq"),
     )
-    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
-        F.col("__seq").desc()
-    )
+    payload = [c for c in data_cols if c not in key_cols]
+    order = [F.col("__seq").desc(), F.col("__op").desc()]
+    if payload:
+        order.append(F.struct(*[F.col(c) for c in payload]).desc())
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
     return (
         b.unionByName(ch)
         .withColumn("__rn", F.row_number().over(w))

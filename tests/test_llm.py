@@ -1239,8 +1239,9 @@ def test_rp_project_matches_numpy_sign_matrix(spark):
     def sign(j, i):
         return 1.0 if hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0] >= "8" else -1.0
 
+    # standard JL normalization: 1/sqrt(out_dim), not 1/sqrt(d)
     R = np.array([[sign(j, i) for i in range(8)] for j in range(4)])
-    Y = (X.astype(np.float64) @ R.T) / math.sqrt(8.0)
+    Y = (X.astype(np.float64) @ R.T) / math.sqrt(4.0)
     for (vid, j), y in got.items():
         assert abs(y - Y[vid, j]) < 1e-6, (vid, j, y, Y[vid, j])
 
