@@ -56,11 +56,17 @@ _PRIORITY = [
     # (q23 top-k-per-group is a row_number window — the same physical
     # family as graded q20; its slot grades the time-series gap-fill
     # family instead)
-    "q139_gapfill", "q25_set_ops", "q26_string_fns", "q31_json_fns",
+    # (q31 json-fns is a scalar-function sibling of graded q26; its
+    # slot grades the CDC upsert-apply family instead)
+    "q139_gapfill", "q25_set_ops", "q26_string_fns", "q143_cdc_upsert",
     # streaming-semantics + validated-ingest family
+    # (q36 drop_duplicates' streaming-dedup family stays graded via
+    # q33+q63; its slot grades the composed Gopher rule-battery gate.
+    # q62 safe-serialize's produce side is graded via the q92 Avro
+    # round-trip; its slot grades PQ asymmetric-distance search)
     "q33_tumbling_window",
-    "q36_drop_duplicates", "q60_safe_json", "q61_process_errors",
-    "q62_safe_serialize", "q63_delta_expr",
+    "q148_gopher_gate", "q60_safe_json", "q61_process_errors",
+    "q151_pq_adc", "q63_delta_expr",
     # (q64_delta_fold is the within-family sibling of q63 — same S11
     # delta operator, fold predicate path; demoted so the graded
     # window spends its slot on the BM25 retrieval family instead)
@@ -82,25 +88,38 @@ _PRIORITY = [
     # variants — simhash after minhash, fingerprint after exact-hash,
     # sliding/session after tumbling, frames after rank — are in the
     # tail so the graded window spends its 50 slots on distinct ops)
+    # (q46 lang-id shares the regexp-text family with graded q45;
+    # its slot grades the PQ code-table encoding half)
     "q40_dedup_exact", "q41_dedup_minhash_lsh",
-    "q43_cosine_topk", "q45_text_stats", "q46_lang_id",
+    "q43_cosine_topk", "q45_text_stats", "q150_pq_codes",
     "q48_embedding_neardup", "q49_media_features",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
     # data-quality constraint family instead)
+    # (q57 IVF-flat's coarse-cell pruning family stays graded via
+    # q153, which composes the SAME nprobe plumbing with trained
+    # cells + ADC scoring — the full 100 TB index)
     "q141_data_quality", "q53_levenshtein_neardup",
-    "q55_dup_clusters", "q57_ivf_ann",
+    "q55_dup_clusters", "q153_ivf_pq",
     # (q58_hash_split is a pure projection whose hash-sampling family
     # stays graded via q88_domain_cap; its slot grades the two-phase
     # budget-selection primitive instead)
     "q127_budget_select", "q104_embedding_covariance",
     "q88_domain_cap", "q90_winnow_fingerprints", "q94_semantic_dedup",
+    # (q99 chunk-overlap is map-only chunking, family kept by
+    # q88/q127; its slot grades the planted-dup dedup-effectiveness
+    # report, which composes q40+q41 end-to-end)
     "q95_exact_substring", "q96_bigram_perplexity", "q98_bloom_incremental",
-    "q99_chunk_overlap", "q100_dsir_weights",
+    "q152_dedup_report", "q100_dsir_weights",
     # Avro serde round-trips (Confluent wire format, schema evolution)
     "q73_safe_avro", "q87_avro_evolution", "q92_avro_roundtrip",
     # past the driver's 50-query graded window (locally
-    # oracle-verified; first in line if the window widens)
+    # oracle-verified; first in line if the window widens).
+    # The round-9 demotions lead: each one's physical family is
+    # graded by the flagship named in the comments above.
+    "q31_json_fns", "q36_drop_duplicates", "q46_lang_id",
+    "q62_safe_serialize", "q99_chunk_overlap", "q57_ivf_ann",
+    "q154_ivfpq_recall",
     "q74_repetition_stats", "q75_pii_scrub", "q76_pack_sequences",
     "q77_contamination", "q78_top_ngrams", "q79_market_share",
     "q80_promo_revenue", "q81_priority_linestatus", "q82_corr_covar",
@@ -123,10 +142,9 @@ _PRIORITY = [
     "q130_chi2_lang_source", "q131_decayed_engagement", "q132_rp_project",
     "q133_engagement_trend", "q134_quantile_bins", "q135_attribution",
     "q136_bpe_merges", "q137_source_overlap", "q138_label_centroids",
-    "q140_waiting_supplier", "q142_ann_recall", "q143_cdc_upsert",
+    "q140_waiting_supplier", "q142_ann_recall",
     "q144_multiprobe_recall", "q145_int8_recall", "q146_gapfill_interp",
-    "q147_ccnet_buckets", "q148_gopher_gate", "q149_k_anonymity",
-    "q150_pq_codes", "q151_pq_adc", "q152_dedup_report",
+    "q147_ccnet_buckets", "q149_k_anonymity",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships

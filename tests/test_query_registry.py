@@ -84,14 +84,24 @@ def test_graded_window_covers_unique_capabilities():
         "q87_avro_evolution", "q88_domain_cap", "q90_winnow_fingerprints",
         "q92_avro_roundtrip", "q94_semantic_dedup", "q95_exact_substring",
         "q96_bigram_perplexity", "q98_bloom_incremental",
-        "q99_chunk_overlap", "q100_dsir_weights",
+        "q100_dsir_weights",
         "q104_embedding_covariance", "q118_pagerank", "q119_kmeans",
         "q123_bm25_rank", "q127_budget_select", "q128_robust_outliers",
         "q139_gapfill", "q141_data_quality",
+        # round-9 promotions: the novel round-8 operators plus the
+        # composed IVF-PQ flagship are driver-graded
+        "q143_cdc_upsert", "q148_gopher_gate", "q150_pq_codes",
+        "q151_pq_adc", "q152_dedup_report", "q153_ivf_pq",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
     siblings = {
+        "q31_json_fns": "q26_string_fns",
+        "q36_drop_duplicates": "q33_tumbling_window",
+        "q46_lang_id": "q45_text_stats",
+        "q62_safe_serialize": "q92_avro_roundtrip",
+        "q99_chunk_overlap": "q88_domain_cap",
+        "q57_ivf_ann": "q153_ivf_pq",
         "q22_window_frames": "q20_window_rank",
         "q67_exists_subquery": "q07_join_semi",
         "q71_in_subquery": "q07_join_semi",
@@ -105,7 +115,7 @@ def test_graded_window_covers_unique_capabilities():
         "q34_sliding_window": "q33_tumbling_window",
         "q35_session_window": "q33_tumbling_window",
         "q42_dedup_simhash": "q41_dedup_minhash_lsh",
-        "q44_lsh_ann": "q57_ivf_ann",
+        "q44_lsh_ann": "q153_ivf_pq",
         "q47_fingerprint": "q40_dedup_exact",
         "q50_frame_sample": "q49_media_features",
         "q54_chargram_jaccard": "q53_levenshtein_neardup",
