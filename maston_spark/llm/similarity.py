@@ -634,8 +634,9 @@ def quantize_embeddings(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 8,
-    centroid_id_base: int = 100,
+    n_centroids: int | None = None,
+    target_cell_rows: int = 4096,
+    iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 1024,
@@ -647,6 +648,17 @@ def semantic_dedup(
     keep-one rule, so results are reproducible and oracle-checkable.
     Comparisons never cross cells.
 
+    Quantizer — CORPUS-SCALED, trained: embeddings are L2-normalized
+    (decimal-exact: rounded fold for ‖x‖², rounded division, so any
+    engine replays it bit-for-bit) and clustered by the shared Lloyd
+    fit (:func:`_kmeans_fit` — the SemDeDup paper's k-means-on-the-
+    sphere step). ``n_centroids`` defaults to
+    ``K = max(1, ceil(n / target_cell_rows))`` from one metadata-cheap
+    ``count()``, so EXPECTED cell size tracks ``target_cell_rows``
+    (default 4096 ≈ 2 MB of float64 prefix at d=64) no matter how the
+    corpus grows — the knob is the per-task residency bound, not a
+    magic K. Pass ``n_centroids`` to pin K explicitly.
+
     Scale shape: rows stream through ``mapInPandas`` sorted by
     (cell, id), and the keep-one rule runs BLOCKWISE — each ≤
     ``block_size`` row-block is compared against the cell's already-
@@ -655,49 +667,39 @@ def semantic_dedup(
     appended to the prefix. Peak scratch per task is one
     ``block_size²`` similarity tile — never the cell² matrix — and
     the only per-cell residency is the prefix of normalized vectors
-    (cell × dim float64), the irreducible state of the exact rule.
-    Prefix scans early-out per row: blocks ascend in id, so the first
-    match IS the min id, and fully-evicted blocks skip remaining
-    matmuls. Cell size itself is controlled by the quantizer
-    (``n_centroids`` — production uses enough centroids that a cell
-    is ~corpus/K); the cells double as the table's partition key at
-    100 TB.
+    (cell × dim float64), the irreducible state of the exact rule —
+    ``≈ target_cell_rows × d × 8`` bytes under the default K (a
+    skewed cell degrades residency, never correctness: the prefix
+    streams block-at-a-time regardless). Prefix scans early-out per
+    row: blocks ascend in id, so the first match IS the min id, and
+    fully-evicted blocks skip remaining matmuls. The trained cells
+    double as the table's partition key at 100 TB.
 
-    Centroids are the deterministic seed vectors (ids
-    ``centroid_id_base..+K``) shared with :func:`ivf_topk`;
-    production swaps in offline k-means — identical plumbing.
-
-    Output: one row per vector — its cell, whether it is KEPT, and
-    the id of the smaller-id near-duplicate that evicted it (null for
-    keepers).
+    Output: one row per vector — its cell (1-based trained-centroid
+    id), whether it is KEPT, and the id of the smaller-id
+    near-duplicate that evicted it (null for keepers).
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    c_rows = (
-        corpus.filter(
-            (F.col(id_col) >= centroid_id_base)
-            & (F.col(id_col) < centroid_id_base + n_centroids)
-        )
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .collect()
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ss = F.round(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, t: a + t
+        ),
+        9,
     )
-    C = np.empty((n_centroids, len(c_rows[0].cv)), dtype=np.float64)
-    for r in c_rows:
-        C[r.cid - centroid_id_base] = r.cv
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-
-    def assign(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            M = np.array(list(pdf["__vec"]), dtype=np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            yield pdf.assign(cell=np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
-
-    cells = corpus.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(assign, "__id long, __vec array<double>, cell int")
+    nv = F.transform(v, lambda x: F.round(x / F.sqrt(ss), 9))
+    normed = corpus.select(F.col(id_col).alias("__id"), nv.alias("__nv"))
+    k = n_centroids
+    if k is None:
+        k = max(1, math.ceil(corpus.count() / target_cell_rows))
+    assigned, _ = _kmeans_fit(normed, k, iterations, "__id", "__nv")
+    cells = assigned.select(
+        "__id", F.col("__v").alias("__vec"), F.col("__cid").alias("cell")
+    )
 
     def _process_block(ids_blk, Mn_blk, cell, prefix):
         # evicted iff ANY smaller-id vector is within threshold;

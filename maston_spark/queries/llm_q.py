@@ -1262,14 +1262,38 @@ def q93_winnow_neardup(spark, sf_dir):
       SELECT vec_id + 1000000,
              list_transform(range(1, 65), i -> v[i] + 0.1 * v[(i % 64) + 1])
       FROM base WHERE vec_id % 10 = 0),
-    cent AS (SELECT CAST(vec_id - 100 AS INT) AS cid, v AS cv
-             FROM base WHERE vec_id >= 100 AND vec_id < 108),
-    asgn AS (
-      SELECT c.vec_id, c.v, cent.cid,
-             row_number() OVER (PARTITION BY c.vec_id
-               ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.cid) AS rn
-      FROM c CROSS JOIN cent),
-    cells AS (SELECT vec_id, v, cid AS cell FROM asgn WHERE rn = 1),
+    e AS (SELECT vec_id AS id,
+                 list_transform(v, x -> round(x / sqrt(
+                   round(list_sum(list_transform(v, y -> y * y)), 9)), 9)) AS nv
+          FROM c),
+    seeds AS (SELECT id, nv, row_number() OVER (ORDER BY id) AS rn FROM e),
+    kc0 AS (SELECT CAST(rn AS INT) AS cid, nv AS cv FROM seeds
+            WHERE rn <= (SELECT greatest(1, ceil(count(*) / 64.0)) FROM c)),
+    kp1 AS (SELECT e.id, e.nv, kc0.cid,
+                   round(list_sum(list_transform(range(1, len(e.nv) + 1),
+                         i -> (e.nv[i] - kc0.cv[i]) * (e.nv[i] - kc0.cv[i]))), 9)
+                     AS d
+            FROM e, kc0),
+    ka1 AS (SELECT id, nv, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY id
+                                           ORDER BY d, cid) AS rn
+              FROM kp1) WHERE rn = 1),
+    kdims AS (SELECT cid, i - 1 AS dim, nv[i] AS x
+              FROM ka1, LATERAL (SELECT unnest(range(1, len(nv) + 1)) AS i) t),
+    kupd AS (SELECT cid, dim,
+                    round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9)))
+                          AS DOUBLE) / count(*), 9) AS mval
+             FROM kdims GROUP BY 1, 2),
+    kc1 AS (SELECT cid, list(mval ORDER BY dim) AS cv FROM kupd GROUP BY cid),
+    kp2 AS (SELECT e.id, e.nv, kc1.cid,
+                   round(list_sum(list_transform(range(1, len(e.nv) + 1),
+                         i -> (e.nv[i] - kc1.cv[i]) * (e.nv[i] - kc1.cv[i]))), 9)
+                     AS d
+            FROM e, kc1),
+    cells AS (SELECT id AS vec_id, nv AS v, cid AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY id
+                                             ORDER BY d, cid) AS rn
+                FROM kp2) WHERE rn = 1),
     ev AS (
       SELECT a.vec_id, min(b.vec_id) AS evicted_by
       FROM cells a JOIN cells b
@@ -1277,17 +1301,18 @@ def q93_winnow_neardup(spark, sf_dir):
        AND list_cosine_similarity(a.v, b.v) >= 0.9
       GROUP BY 1)
     SELECT c2.vec_id, c2.cell,
-           (e.evicted_by IS NULL) AS kept,
-           e.evicted_by
-    FROM cells c2 LEFT JOIN ev e ON e.vec_id = c2.vec_id
+           (e2.evicted_by IS NULL) AS kept,
+           e2.evicted_by
+    FROM cells c2 LEFT JOIN ev e2 ON e2.vec_id = c2.vec_id
     """,
 )
 def q94_semantic_dedup(spark, sf_dir):
-    """SemDeDup-style semantic deduplication: coarse-quantize
-    embeddings into cells, drop every vector with a smaller-id
-    near-identical neighbor (cosine >= 0.9) in its cell. The corpus
-    self-exercises with deterministic perturbed twins (cos ~0.95) so
-    eviction actually fires and recall is graded. See
+    """SemDeDup-style semantic deduplication: quantize normalized
+    embeddings into CORPUS-SCALED Lloyd-trained cells
+    (K = ceil(n / target_cell_rows)), drop every vector with a
+    smaller-id near-identical neighbor (cosine >= 0.9) in its cell.
+    The corpus self-exercises with deterministic perturbed twins
+    (cos ~0.95) so eviction actually fires and recall is graded. See
     :func:`maston_spark.llm.similarity.semantic_dedup`."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1299,7 +1324,7 @@ def q94_semantic_dedup(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.unionByName(twins)
-    return SIM.semantic_dedup(corpus, threshold=0.9)
+    return SIM.semantic_dedup(corpus, threshold=0.9, target_cell_rows=64)
 
 @query(
     "q95_exact_substring",

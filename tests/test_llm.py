@@ -427,12 +427,11 @@ def test_semantic_dedup_evicts_twin_keeps_original(spark):
     for i in range(120):
         v = rng.normal(size=8)
         rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
-    # centroids at ids 100..107 (already in range above); add a twin
     twin_src = rows[5].embedding
     rows.append(Row(vec_id=500, embedding=[x * 1.0001 for x in twin_src]))
     df = spark.createDataFrame(rows)
     got = {r.vec_id: r for r in semantic_dedup(
-        df, threshold=0.99, n_centroids=8, centroid_id_base=100
+        df, threshold=0.99, n_centroids=8
     ).collect()}
     assert len(got) == 121
     assert got[5].kept is True
@@ -469,8 +468,7 @@ def test_semantic_dedup_blockwise_matches_naive_on_oversized_cell(spark):
         return {
             r.vec_id: (r.kept, r.evicted_by, r.cell)
             for r in semantic_dedup(
-                df, threshold=0.995, n_centroids=8, centroid_id_base=100,
-                block_size=bs,
+                df, threshold=0.995, n_centroids=8, block_size=bs,
             ).collect()
         }
 
@@ -489,6 +487,43 @@ def test_semantic_dedup_blockwise_matches_naive_on_oversized_cell(spark):
                 assert tiny[i] == (False, min(smaller), cell), i
             else:
                 assert tiny[i] == (True, None, cell), i
+
+
+def test_semantic_dedup_corpus_scaled_k_bounds_prefix(spark):
+    """Default wiring trains K = ceil(n / target_cell_rows) Lloyd
+    centroids, so a corpus that a fixed-K seed quantizer would cram
+    into ONE oversized cell (one prefix = whole corpus resident in a
+    single task) is split into ~n/target cells — per-task prefix
+    bytes stay bounded by ~target_cell_rows x d x 8."""
+    import numpy as np
+
+    from maston_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    d, n, target = 8, 400, 100
+    # 4 well-separated directions, ids interleaved so the first-K
+    # Lloyd seeds land one per direction
+    dirs = np.eye(d)[:4] * 10.0
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[
+                float(x) for x in dirs[i % 4] + rng.normal(size=d) * 0.05
+            ],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows)
+    out = semantic_dedup(df, threshold=0.999, target_cell_rows=target).collect()
+    assert len(out) == n
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r.cell] = sizes.get(r.cell, 0) + 1
+    # K = ceil(400/100) = 4 trained cells, all materialized
+    assert len(sizes) == 4, sizes
+    # residency bound: max prefix is max cell size x d x 8 bytes —
+    # within 1.5x of the target under the corpus-scaled default
+    assert max(sizes.values()) <= 1.5 * target, sizes
 
 
 def test_winnowing_sharded_equals_unsharded(spark):
