@@ -69,6 +69,7 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         # isolate queries from each other: q55's localCheckpoint
         # lineage cuts and any cached batches stay live until the
@@ -83,12 +84,22 @@ def main() -> None:
         # window/delta family — q63 1.36s first run vs 0.56s steady
         # state), which is startup cost, not query cost
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(4):  # min of 4: steady-state, robust to host noise
+        runs: list[float] = []
+        for _ in range(4):  # 4 timed runs: steady-state, robust to host noise
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        # dispersion per query so round-over-round deltas can be
+        # attributed: a shifted MIN with a stable spread is a real
+        # regression; min+median both drifting with a wide spread is
+        # host noise (see SCALE.md bench-variance note)
+        dispersion[name] = {
+            "min": round(runs[0], 3),
+            "median": round((runs[1] + runs[2]) / 2, 3),
+            "spread": round(runs[-1] - runs[0], 3),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -98,6 +109,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "dispersion": dispersion,
                 "sf": sf,
             }
         )

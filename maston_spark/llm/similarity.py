@@ -900,38 +900,83 @@ def _kmeans_fit(
     (``__id``, ``__v``, ``__cid``, ``__d``) and the centroid frame
     (``__cid``, ``__c``) USED for that final assignment, so a caller
     (e.g. :func:`ivf_pq_topk`) can probe queries against exactly the
-    cells the corpus was partitioned by."""
+    cells the corpus was partitioned by.
+
+    Assignment is a BLOCKWISE NUMPY SCAN against broadcast centroids
+    (the faiss coarse-assign shape), not a k·N row join: per block,
+    a BLAS ``‖x‖²−2xCᵀ+‖c‖²`` matrix prunes to the candidates within
+    1e-6 of the block minimum, and only those few get the EXACT
+    sequential left-fold distance the oracle replays (the fold and
+    the expansion differ by ≲1e-12, and rounding to 9 decimals can
+    only flip a winner within 2e-9 — so every possible winner is in
+    the shortlist and the reported ``__d``/argmin are bit-identical
+    to folding every pair). With K ∝ corpus (semantic_dedup's
+    corpus-scaled quantizer) the k·N DataFrame join shuffled k·N
+    vector-carrying rows per iteration; this shape moves only the
+    k×d centroid matrix (broadcast) and N result rows.
+
+    The centroid UPDATE stays a DataFrame agg — explode to
+    (cluster, dim), decimal-exact mean, collect k×d back (the
+    bounded centroid collect every Lloyd implementation has).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
-    centroids = (
-        base.orderBy("__id")
-        .limit(k)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("__id"))
-            .cast("int")
-            .alias("__cid"),
-            F.col("__v").alias("__c"),
+    seed = sorted(
+        base.orderBy("__id").limit(k).collect(), key=lambda r: r["__id"]
+    )
+    cid_list = list(range(1, len(seed) + 1))
+    C = np.array([r["__v"] for r in seed], dtype=np.float64)
+    d_dim = C.shape[1] if len(seed) else 0
+    out_schema = "__id long, __v array<double>, __cid int, __d double"
+
+    def assign_with(Cm: "np.ndarray", cids: list[int]):
+        bc = spark.sparkContext.broadcast(
+            (Cm, np.array(cids, dtype=np.int32))
         )
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    assigned = None
+
+        def fn(it):
+            Cb, cid_arr = bc.value
+            if Cb.shape[0] == 0:
+                return
+            cn2 = (Cb * Cb).sum(axis=1)
+            # sub-block so the BLAS distance matrix stays ~32 MB
+            blk = max(1, (1 << 22) // Cb.shape[0])
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["__v"]), dtype=np.float64)
+                win_c = np.empty(len(X), dtype=np.int64)
+                win_d = np.empty(len(X), dtype=np.float64)
+                for s in range(0, len(X), blk):
+                    Xb = X[s : s + blk]
+                    D = (
+                        (Xb * Xb).sum(axis=1)[:, None]
+                        - 2.0 * (Xb @ Cb.T)
+                        + cn2[None, :]
+                    )
+                    m = D.min(axis=1)
+                    rr, cc = np.nonzero(D <= m[:, None] + 1e-6)
+                    # exact left fold, same IEEE op order as
+                    # F.aggregate / the oracle's list_sum
+                    acc = np.zeros(len(rr))
+                    for i in range(d_dim):
+                        diff = Xb[rr, i] - Cb[cc, i]
+                        acc += diff * diff
+                    dr = np.round(acc, 9)
+                    order = np.lexsort((cc, dr, rr))
+                    first = np.unique(rr[order], return_index=True)[1]
+                    win_c[s : s + len(Xb)] = cc[order][first]
+                    win_d[s : s + len(Xb)] = dr[order][first]
+                yield pdf.assign(__cid=cid_arr[win_c], __d=win_d)
+
+        return base.mapInPandas(fn, out_schema)
+
+    assigned = base.mapInPandas(lambda it: iter([]), out_schema)
     for it in range(iterations):
-        pairs = base.join(F.broadcast(centroids))
-        w = Window.partitionBy("__id").orderBy(
-            F.col("__d").asc(), F.col("__cid").asc()
-        )
-        assigned = (
-            pairs.select(
-                "__id", "__v", "__cid", F.round(dist, 9).alias("__d")
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-        )
+        assigned = assign_with(C, cid_list)
         if it == iterations - 1:
             break
         dims = assigned.select(
@@ -953,14 +998,31 @@ def _kmeans_fit(
                 ),
             )
         )
-        centroids = upd.groupBy("__cid").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__dim"), F.col("__m")))
-                ),
-                lambda s: s["__m"],
-            ).alias("__c")
+        cent_rows = sorted(
+            upd.groupBy("__cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__dim"), F.col("__m")))
+                    ),
+                    lambda s: s["__m"],
+                ).alias("__c")
+            )
+            .collect(),
+            key=lambda r: r["__cid"],
         )
+        cid_list = [r["__cid"] for r in cent_rows]
+        C = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
+    if cid_list:
+        centroids = spark.createDataFrame(
+            [
+                (int(c), [float(x) for x in vec])
+                for c, vec in zip(cid_list, C)
+            ],
+            "__cid int, __c array<double>",
+        )
+    else:
+        centroids = spark.createDataFrame([], "__cid int, __c array<double>")
     return assigned, centroids
 
 

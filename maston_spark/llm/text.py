@@ -785,12 +785,25 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact-substring REMOVAL (the transform half of Lee et al.
     2021; :func:`exact_substring_spans` is the reporting half):
     rewrite each document with every token under the union of
     corpus-duplicated ``k``-gram spans removed, keeping the
     surviving tokens in their original order.
+
+    ``keep_first=True`` is the paper's granularity: Lee et al.
+    remove all but ONE occurrence of each duplicated substring, so
+    the corpus keeps exactly one copy of the text instead of losing
+    it everywhere. The exempt occurrence is the total-order minimum
+    (doc_id, start) per gram — deterministic under any shuffle
+    order. A token of an exempt occurrence can still fall inside a
+    non-exempt occurrence of a DIFFERENT duplicated gram; coverage
+    is the union over non-exempt occurrences, exactly as the default
+    is the union over all of them. The default (``False``) removes
+    every occurrence — the stricter variant used when any duplicated
+    span is treated as boilerplate.
 
     Distributed shape: the duplicated-gram table is the same
     combiner-reduced gram agg as the spans operator; duplicated
@@ -800,6 +813,9 @@ def exact_substring_dedup(
     the token side exchange-free — and each document reassembles
     with one bounded per-doc sort (same per-document size assumption
     as every per-doc operator here; no driver collection anywhere).
+    The keep-first exemption adds one min-struct aggregate on the
+    SAME gram key the dup filter already shuffled on (co-partitioned
+    — no extra exchange), never a window over all occurrences.
     """
     from pyspark.sql import Window  # noqa: F401  (parity with spans)
 
@@ -825,8 +841,23 @@ def exact_substring_dedup(
         .filter(F.col("__c") >= 2)
         .select("__gram")
     )
+    occ = grams.join(dup, "__gram")
+    if keep_first:
+        # exempt the per-gram minimum (doc_id, start) occurrence;
+        # min over a struct is lexicographic, so the exemption is the
+        # paper's "keep the first occurrence" under the corpus total
+        # order — one more agg + join on the already-shuffled gram key
+        first = occ.groupBy("__gram").agg(
+            F.min(F.struct(F.col(id_col), F.col("__start"))).alias("__f")
+        )
+        occ = occ.join(first, "__gram").filter(
+            ~(
+                (F.col(id_col) == F.col("__f")[id_col])
+                & (F.col("__start") == F.col("__f")["__start"])
+            )
+        ).drop("__f")
     covered = (
-        grams.join(dup, "__gram")
+        occ
         .select(
             id_col,
             F.explode(

@@ -1664,6 +1664,48 @@ def q111_exact_substring_dedup(spark, sf_dir):
 
 
 @query(
+    "q155_keep_first_substring",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+    g AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 4)) AS s
+          FROM base WHERE n_tokens >= 5),
+    grams AS (SELECT doc_id, s, array_to_string(toks[s+1:s+5], ' ') AS gram FROM g),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    occ AS (SELECT grams.doc_id, grams.s, grams.gram,
+                   row_number() OVER (PARTITION BY grams.gram
+                                      ORDER BY grams.doc_id, grams.s) AS rn
+            FROM grams JOIN dup USING (gram)),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 5)) AS pos
+            FROM occ WHERE rn > 1),
+    tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+            FROM base, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN cov
+               ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+             WHERE cov.pos IS NULL),
+    reb AS (SELECT doc_id, count(*) AS n_kept_tokens,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+            FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+           coalesce(r.text_dedup, '') AS text_dedup
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q155_keep_first_substring(spark, sf_dir):
+    """Exact-substring removal at Lee et al. 2021's granularity:
+    every duplicated 5-gram span is removed EXCEPT its first
+    occurrence under the (doc_id, start) total order, so the corpus
+    keeps exactly one copy of duplicated text instead of losing it
+    everywhere (q111 is the remove-all sibling). See
+    :func:`maston_spark.llm.text.exact_substring_dedup`
+    (``keep_first=True``)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.exact_substring_dedup(d, k=5, keep_first=True)
+
+
+@query(
     "q112_profile_strings",
     oracle="""
     WITH pairs AS (

@@ -1009,6 +1009,47 @@ def test_exact_substring_dedup_consistent_with_spans(spark):
         assert all(t in it for t in kept), did
 
 
+def test_exact_substring_dedup_keep_first_exempts_min_occurrence(spark):
+    """keep_first=True is Lee et al.'s granularity: each duplicated
+    gram's FIRST occurrence (min (doc_id, start)) survives; later
+    occurrences are removed. The default removes all of them."""
+    from maston_spark.llm.text import exact_substring_dedup
+
+    rows = [
+        (1, "a b c d e x y z"),       # first occurrence of 'a b c d e'
+        (2, "q r a b c d e s t"),     # later occurrence — removed
+        (3, "a b c d e"),             # later occurrence — fully removed
+        (4, "u v w p n m o j k l"),   # unique — untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kf = {r.doc_id: r for r in
+          exact_substring_dedup(df, k=5, keep_first=True).collect()}
+    # doc 1 holds the min (doc_id, start) occurrence: kept intact
+    assert kf[1].text_dedup == "a b c d e x y z"
+    assert kf[1].n_kept_tokens == 8
+    # docs 2 and 3 lose the span; surviving tokens keep order
+    assert kf[2].text_dedup == "q r s t"
+    assert kf[3].text_dedup == "" and kf[3].n_kept_tokens == 0
+    assert kf[4].text_dedup == rows[3][1]
+    # remove-all default: the span vanishes from doc 1 too
+    ra = {r.doc_id: r for r in exact_substring_dedup(df, k=5).collect()}
+    assert ra[1].text_dedup == "x y z"
+
+
+def test_exact_substring_dedup_keep_first_within_doc_repeat(spark):
+    """A gram duplicated WITHIN one document keeps only its earliest
+    start under keep_first (ties on doc_id break on start)."""
+    from maston_spark.llm.text import exact_substring_dedup
+
+    # 'a b c' appears at starts 0 and 4 in the same doc
+    df = spark.createDataFrame(
+        [(7, "a b c z a b c")], "doc_id long, text string"
+    )
+    out = exact_substring_dedup(df, k=3, keep_first=True).collect()[0]
+    assert out.text_dedup == "a b c z"
+    assert out.n_kept_tokens == 4
+
+
 def test_profile_strings_golden(spark):
     from maston_spark.profiling import profile_strings
 
