@@ -587,9 +587,6 @@ def build_bloom_bitmap(
     "was this exact content in the reference corpus" with zero false
     negatives and a false-positive rate ≈ (n_hashes·n_keys/m)^n_hashes.
     """
-    import numpy as np
-    import pandas as pd
-
     if m % 8 != 0:
         raise ValueError("m must be a multiple of 8")
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
@@ -598,6 +595,18 @@ def build_bloom_bitmap(
             "pos"
         )
     )
+    return fold_positions_bitmap(pos_df, m)
+
+
+def fold_positions_bitmap(pos_df: DataFrame, m: int) -> bytes:
+    """Fold a frame of bloom bit positions (one ``pos`` long column)
+    into an m-bit bitmap: per-task numpy OR, driver OR of the
+    ``n_tasks × m/8``-byte partials. Shared by
+    :func:`build_bloom_bitmap` (positions from text) and the
+    streaming curation topology (positions replayed from its
+    accepted-docs state table on restart)."""
+    import numpy as np
+    import pandas as pd
 
     nbytes = m // 8
 
@@ -615,6 +624,58 @@ def build_bloom_bitmap(
     for row in pos_df.mapInPandas(fold, "bitmap binary").collect():
         out |= np.frombuffer(row.bitmap, dtype=np.uint8)
     return out.tobytes()
+
+
+def bloom_probe(
+    df: DataFrame,
+    bitmap: bytes,
+    text="text",
+    m: int = 1 << 20,
+    n_hashes: int = 2,
+    out_col: str = "maybe_dup",
+) -> DataFrame:
+    """Probe a prebuilt Bloom bitmap: add ``out_col`` = True when all
+    ``n_hashes`` bit positions of the row's normalized text are set.
+    ``text`` is a column name or Column expression (pass a
+    ``coalesce`` when the column can be null — positions of a null
+    text are null and the probe batch would fail).
+
+    The bitmap ships to executors via closure capture below ~4 MiB
+    and ``SparkContext.broadcast`` above it (one torrent transfer per
+    executor, not per task). Shared by
+    :func:`bloom_incremental_dedup` (one-shot batch dedup) and the
+    streaming curation topology (whose bitmap accretes accepted docs
+    across micro-batches)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    if m // 8 > (4 << 20):
+        bc = spark.sparkContext.broadcast(bitmap)
+
+        def _bm() -> bytes:
+            return bc.value
+
+    else:
+
+        def _bm() -> bytes:
+            return bitmap
+
+    @pandas_udf("boolean")
+    def bits_set(pos_arrays: pd.Series) -> pd.Series:
+        bm = np.frombuffer(_bm(), dtype=np.uint8)
+        pv = np.stack(pos_arrays.to_numpy())  # (batch, n_hashes) int64
+        hit = ((bm[pv // 8] >> (pv % 8).astype(np.uint8)) & 1).astype(bool)
+        return pd.Series(hit.all(axis=1))
+
+    tcol = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.trim(F.regexp_replace(tcol, r"\s+", " ")))
+    return df.withColumn(
+        out_col,
+        bits_set(F.array(*[_bloom_position(norm, i, m) for i in range(n_hashes)])),
+    )
 
 
 def bloom_incremental_dedup(
@@ -644,36 +705,9 @@ def bloom_incremental_dedup(
     and `SparkContext.broadcast` above it (one torrent transfer per
     executor, not per task).
     """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.functions import pandas_udf
-
     bitmap = build_bloom_bitmap(ref_df, text_col=text_col, m=m, n_hashes=n_hashes)
-
-    spark = new_df.sparkSession
-    if m // 8 > (4 << 20):
-        bc = spark.sparkContext.broadcast(bitmap)
-
-        def _bm() -> bytes:
-            return bc.value
-
-    else:
-
-        def _bm() -> bytes:
-            return bitmap
-
-    @pandas_udf("boolean")
-    def bits_set(pos_arrays: pd.Series) -> pd.Series:
-        bm = np.frombuffer(_bm(), dtype=np.uint8)
-        pv = np.stack(pos_arrays.to_numpy())  # (batch, n_hashes) int64
-        hit = ((bm[pv // 8] >> (pv % 8).astype(np.uint8)) & 1).astype(bool)
-        return pd.Series(hit.all(axis=1))
-
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    probed = new_df.withColumn(
-        "maybe_dup",
-        bits_set(F.array(*[_bloom_position(norm, i, m) for i in range(n_hashes)])),
+    probed = bloom_probe(
+        new_df, bitmap, text=text_col, m=m, n_hashes=n_hashes
     )
     ref_hashes = (
         ref_df.select(content_hash(F.col(text_col)).alias("__h")).distinct()

@@ -370,3 +370,278 @@ def delta_topology(
     if log_records:
         fn = with_record_logging(fn)
     return _start_foreach_batch(validated, fn, checkpoint, trigger)
+
+
+def curation_topology(
+    source: DataFrame,
+    value_schema,
+    ref_corpus: DataFrame,
+    *,
+    app_id: str,
+    checkpoint: str,
+    write_valid: Callable[[DataFrame], None],
+    write_error: Callable[[DataFrame], None],
+    value_col: str = "value",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate_kwargs: dict | None = None,
+    bloom_m: int = 1 << 20,
+    bloom_hashes: int = 2,
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+    on_metrics: Callable[[int, dict[str, int]], None] | None = None,
+    value_format: str = "json",
+    serialize=None,
+):
+    """Streaming CURATION pipeline — the maston validated-ingest
+    semantics fused with the LLM-corpus curation battery, per batch:
+
+    1. safe deserialize (``value_format``) — parse failures carry the
+       reference ``err`` struct;
+    2. :func:`maston_spark.llm.text.gopher_gate` quality battery —
+       rule failures become ``err`` rows
+       (``QualityGateRejected``, ordered fail reasons in the message);
+    3. incremental dedup against the historical corpus AND everything
+       this stream already accepted: Bloom-bitmap probe (fixed-size,
+       executor-local — no shuffle for the clean majority) →
+       exact-confirm hash join for probe hits → within-batch
+       first-copy-wins; duplicates become ``err`` rows
+       (``DuplicateRecord``);
+    4. the reference fan-out (:func:`maston_spark.sinks.split_sink_batch`):
+       survivors serialize to the valid sink, every reject reaches the
+       DLQ with the 11 ``maston.error.*`` provenance headers — one
+       error channel for parse, quality, and duplicate rejects alike.
+
+    Cross-batch dedup state is DURABLE, delta_topology-style: accepted
+    (content-hash, bloom positions) rows live in a compacted parquet
+    table under ``state_dir`` (default ``<checkpoint>/curation_state``),
+    versioned per batch id so a retry rewrites its own version
+    idempotently; the driver-resident bitmap accretes each batch's
+    accepted positions via the same distributed per-partition OR fold
+    as the reference-corpus build, and is replayed from the state
+    table on restart — a doc accepted before a crash still suppresses
+    its copies after recovery.
+
+    Scale shape: the reference corpus is touched ONCE at topology
+    start (bitmap build + exact-hash table, persisted); per batch the
+    Bloom probe is a fixed ``m/8``-byte broadcast with no false
+    negatives, so only probe-positive rows reach the hash join, and
+    the join's right side is the hash table — hashes, never text. The
+    bitmap never grows (FP rate, not memory, is what degrades as
+    accepted docs accrete — size ``m`` for the corpus lifetime).
+
+    Parity anchors: topology/TopologyBuilder.java:30-50 (validate →
+    branch → DLQ shape), error/KafkaErrorToHeaderBuilder.java:16-26
+    (headers); the curation stages follow Rae et al. 2021 (gate) and
+    the Bloom-prefilter incremental dedup of
+    :func:`maston_spark.llm.dedup.bloom_incremental_dedup`.
+    """
+    import numpy as np
+
+    from maston_spark import errors as E
+    from maston_spark.llm.dedup import (
+        _bloom_position,
+        bloom_probe,
+        build_bloom_bitmap,
+        content_hash,
+        fold_positions_bitmap,
+    )
+    from maston_spark.llm.text import gopher_gate
+    from maston_spark.sinks import split_sink_batch
+    from maston_spark.validated import ERR, _mk_err
+
+    spark = source.sparkSession
+    validated = _parse_validated(source, value_col, value_schema, value_format)
+    sdir = (
+        f"{checkpoint.rstrip('/')}/curation_state"
+        if state_dir == "auto"
+        else state_dir
+    )
+    if sdir is not None:
+        _ensure_state_owner(spark, sdir, checkpoint)
+
+    # reference-corpus structures build ONCE at topology start
+    bitmap = np.frombuffer(
+        build_bloom_bitmap(
+            ref_corpus, text_col=text_col, m=bloom_m, n_hashes=bloom_hashes
+        ),
+        dtype=np.uint8,
+    ).copy()
+    ref_hashes = (
+        ref_corpus.select(content_hash(F.col(text_col)).alias("__h"))
+        .distinct()
+        .persist()
+    )
+    if sdir is not None:
+        # restart: replay accepted-doc bloom positions from the state
+        versions = _state_versions(spark, sdir)
+        if versions:
+            prev = spark.read.parquet(f"{sdir}/v{versions[-1]}")
+            bitmap |= np.frombuffer(
+                fold_positions_bitmap(
+                    prev.select(F.explode("positions").alias("pos")), bloom_m
+                ),
+                dtype=np.uint8,
+            )
+    state = {"bitmap": bitmap}
+
+    id_of = F.col(OK)[id_col]
+    text_of = F.coalesce(F.col(OK)[text_col], F.lit(""))
+    norm = F.lower(F.trim(F.regexp_replace(text_of, r"\s+", " ")))
+    positions = F.array(
+        *[_bloom_position(norm, i, bloom_m) for i in range(bloom_hashes)]
+    )
+    helper_cols = [
+        "__gid", "__keep", "__reasons", "__maybe", "__h", "__hh", "__hit",
+        "__elig", "__rn", "__positions",
+    ]
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        out = None
+        try:
+            docs = batch_df.filter(
+                F.col(ERR).isNull() & F.col(OK).isNotNull()
+            ).select(id_of.alias(id_col), text_of.alias(text_col))
+            verdict = gopher_gate(
+                docs, id_col=id_col, text_col=text_col, **(gate_kwargs or {})
+            ).select(
+                F.col(id_col).alias("__gid"),
+                F.col("keep").alias("__keep"),
+                F.col("fail_reasons").alias("__reasons"),
+            )
+            j = batch_df.join(verdict, id_of == F.col("__gid"), "left")
+            probed = bloom_probe(
+                j,
+                bytes(state["bitmap"]),
+                text=text_of,
+                m=bloom_m,
+                n_hashes=bloom_hashes,
+                out_col="__maybe",
+            ).withColumn("__h", content_hash(text_of))
+
+            # exact-confirm table: historical corpus + durable state
+            # (delta_topology's retry-safe version seeding)
+            hist = ref_hashes
+            seed = None
+            if sdir is not None:
+                versions = _state_versions(spark, sdir)
+                prior = [v for v in versions if v < batch_id]
+                seed_v = prior[-1] if prior else (
+                    batch_id if batch_id in versions else None
+                )
+                if seed_v is not None:
+                    seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                    if seed_v == batch_id:
+                        seed = seed.localCheckpoint(eager=True)
+                    hist = ref_hashes.unionByName(
+                        seed.select("__h")
+                    ).distinct()
+            hist_hits = hist.select(
+                F.col("__h").alias("__hh"), F.lit(True).alias("__hit")
+            )
+            # equi-join on the hash, gated on the bloom verdict — only
+            # probe-positive rows can match (bloom has no false
+            # negatives, so this is exact overall)
+            j2 = probed.join(
+                hist_hits,
+                (F.col("__h") == F.col("__hh")) & F.col("__maybe"),
+                "left",
+            )
+            elig = (
+                F.col(ERR).isNull()
+                & F.col(OK).isNotNull()
+                & F.coalesce("__keep", F.lit(False))
+                & F.col("__hit").isNull()
+            )
+            w = Window.partitionBy("__h").orderBy(
+                F.col("__elig").desc(), id_of.asc()
+            )
+            j3 = (
+                j2.withColumn("__elig", elig)
+                .withColumn("__rn", F.row_number().over(w))
+            )
+            # gopher_gate emits fail_reasons pre-joined as a string
+            reasons = F.coalesce(F.col("__reasons"), F.lit("no_gate_verdict"))
+            gate_err = _mk_err(
+                code=F.lit(E.FAILED_TO_PROCESS_RECORD),
+                message=F.concat(
+                    F.lit("rejected by quality gate: "), reasons
+                ),
+                target_class=F.lit("curation"),
+                exception_class=F.lit("QualityGateRejected"),
+                exception_message=reasons,
+                stacktrace=F.lit(None).cast("string"),
+                raw_bytes=F.col(value_col).cast("binary"),
+                source_record=F.col(OK),
+            )
+            dup_err = _mk_err(
+                code=F.lit(E.FAILED_TO_PROCESS_RECORD),
+                message=F.concat(
+                    F.lit("duplicate content, hash "), F.col("__h")
+                ),
+                target_class=F.lit("curation"),
+                exception_class=F.lit("DuplicateRecord"),
+                exception_message=F.concat(
+                    F.lit("duplicate of content hash "), F.col("__h")
+                ),
+                stacktrace=F.lit(None).cast("string"),
+                raw_bytes=F.col(value_col).cast("binary"),
+                source_record=F.col(OK),
+            )
+            out = j3.withColumn(
+                ERR,
+                F.when(F.col(ERR).isNotNull(), F.col(ERR))
+                .when(F.col(OK).isNull(), F.col(ERR))  # tombstones stay valid
+                .when(~F.coalesce("__keep", F.lit(False)), gate_err)
+                .when(
+                    F.col("__hit").isNotNull()
+                    | (F.col("__elig") & (F.col("__rn") > 1)),
+                    dup_err,
+                ),
+            ).persist()
+
+            accepted = (
+                out.filter(F.col(ERR).isNull() & F.col(OK).isNotNull())
+                .select("__h", positions.alias("positions"))
+                .dropDuplicates(["__h"])
+            )
+            prior_to_drop: list[int] = []
+            if sdir is not None:
+                new_state = (
+                    accepted
+                    if seed is None
+                    else seed.unionByName(accepted).dropDuplicates(["__h"])
+                )
+                new_state.write.mode("overwrite").parquet(
+                    f"{sdir}/v{batch_id}"
+                )
+                prior_to_drop = prior
+            counts = split_sink_batch(
+                out.drop(*[c for c in helper_cols if c in out.columns]),
+                write_valid,
+                write_error,
+                app_id=app_id,
+                serialize=serialize,
+                batch_id=batch_id,
+            )
+            # accrete this batch's accepted positions into the probe
+            # bitmap — same distributed per-partition OR as the build
+            state["bitmap"] = state["bitmap"] | np.frombuffer(
+                fold_positions_bitmap(
+                    out.filter(F.col(ERR).isNull() & F.col(OK).isNotNull())
+                    .select(F.explode(positions).alias("pos")),
+                    bloom_m,
+                ),
+                dtype=np.uint8,
+            )
+            if on_metrics is not None:
+                on_metrics(batch_id, counts)
+            if sdir is not None and prior_to_drop:
+                _drop_state_versions(spark, sdir, prior_to_drop)
+        finally:
+            if out is not None:
+                out.unpersist()
+            batch_df.unpersist()
+
+    return _start_foreach_batch(validated, fn, checkpoint, trigger)

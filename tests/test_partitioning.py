@@ -255,3 +255,77 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:1500]
     assert n == len(rows) == ev.filter(F.col("event_type") == "purchase").count()
     assert all(r.event_type == "purchase" for r in rows)
+
+
+def test_salted_join_spreads_planted_hot_key(spark):
+    """Planted pathological skew (one key = 20% of the left side):
+    key_skew_report flags it, and salted_join removes the single-task
+    straggler the plain shuffle join has — the hot key's rows spread
+    across ~salt_n partitions instead of landing in one. AQE
+    skew-splitting is disabled to simulate the key AQE can't split
+    (a single key larger than an executor — salting's raison d'etre);
+    auto-broadcast is disabled so both joins actually shuffle."""
+    from maston_spark.partitioning import salted_join
+    from maston_spark.profiling import key_skew_report
+
+    n = 120_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("id") % 997 + 1)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(998).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+    )
+
+    # the report flags the planted key BEFORE any join runs — this is
+    # the pre-flight that decides salting is needed
+    top = key_skew_report(left, "k", top_k=1).collect()[0]
+    assert top.key == "0"
+    assert top.row_frac >= 0.19 and top.skew_ratio > 100
+
+    def max_partition_rows(df):
+        counts = [
+            r.c
+            for r in df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        return max(counts), sum(counts)
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # the conftest default of 4 drowns the signal: uniform load
+        # per partition rivals the hot key itself
+        conf.set("spark.sql.shuffle.partitions", "32")
+
+        plain_max, plain_total = max_partition_rows(left.join(right, "k"))
+        salted_max, salted_total = max_partition_rows(
+            salted_join(left, right, "k", salt_n=8)
+        )
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+    # row multiplicity unchanged by salting
+    assert salted_total == plain_total
+    # plain: the hot key's ~24k rows land in ONE task's partition
+    assert plain_max >= 0.19 * plain_total
+    # salted: no single-task straggler — the hot key spreads across
+    # salt_n (key, salt) combos, so the max partition shrinks
+    # severalfold (measured 26213 -> 8870 rows; the residue above
+    # total/32 is uniform-key hash collision, not the hot key)
+    assert salted_max <= plain_max / 2.5, (salted_max, plain_max)

@@ -235,6 +235,161 @@ def test_delta_topology_state_survives_micro_batches(spark, cleanup):
     assert sorted(r.ok.seq for r in sunk["valid"]) == [0, 2, 3, 5]
 
 
+DOC_SCHEMA = "doc_id bigint, text string"
+
+# permissive gate: only the token-count floor can fire, so the test
+# controls exactly which rule rejects
+GATE = dict(
+    min_tokens=3,
+    max_tokens=1000,
+    min_avg_token_len=0.0,
+    max_avg_token_len=1000.0,
+    min_stopword_ratio=0.0,
+    max_top_bigram_frac=1.0,
+    max_dup_bigram_frac=1.0,
+)
+
+
+def _doc(i, text):
+    return json.dumps({"doc_id": i, "text": text})
+
+
+def _hdr(row, key):
+    for h in row.headers:
+        if h.key == key:
+            return bytes(h.value).decode()
+    return None
+
+
+def test_curation_topology_multi_batch_golden(spark, cleanup):
+    """The full curation stream through 4 micro-batches: parse
+    failures, quality-gate rejects, historical duplicates,
+    CROSS-BATCH duplicates (doc accepted in batch 0 suppresses its
+    copy arriving in batch 2 — the durable bloom+state path), and
+    within-batch first-copy-wins — every reject on the one error
+    channel with provenance headers, survivors on the valid sink.
+    Golden style mirrors VavrKStreamWithDeltaTopologyTest.java:263-331."""
+    from maston_spark.streaming.topology import curation_topology
+
+    a_text = "the quick brown fox jumps over the lazy dog"
+    hist_text = "historical document text alpha beta gamma"
+    d_text = "pack my box with five dozen liquor jugs"
+    records = [
+        (0, _doc(0, a_text)),            # batch 0: accepted
+        (0, "not-json{{"),               # batch 0: parse error
+        (1, _doc(2, hist_text)),         # batch 1: dup of ref corpus
+        (1, _doc(3, "hi yo")),           # batch 1: gate reject (<3 tokens)
+        (2, _doc(4, a_text)),            # batch 2: CROSS-BATCH dup of doc 0
+        (2, _doc(5, "sphinx of black quartz judge my vow")),  # accepted
+        (3, _doc(6, d_text)),            # batch 3: accepted (first copy)
+        (3, _doc(7, d_text)),            # batch 3: within-batch dup
+    ]
+    src_df = spark.createDataFrame(
+        [Row(value=v, __replay_batch=b) for b, v in records]
+    )
+    stream, src = replay_stream(src_df, batches=4)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    ref = spark.createDataFrame([(100, hist_text)], DOC_SCHEMA)
+    sunk: dict[str, list] = {"valid": [], "error": []}
+    metrics: list = []
+
+    q = curation_topology(
+        stream,
+        DOC_SCHEMA,
+        ref,
+        app_id="t-curation",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        gate_kwargs=GATE,
+        on_metrics=lambda bid, c: metrics.append((bid, c)),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(r.ok.doc_id for r in sunk["valid"]) == [0, 5, 6]
+    errs = {r.ok.doc_id if r.ok else None: r for r in sunk["error"]}
+    assert set(errs) == {None, 2, 3, 4, 7}
+    # every reject carries the 11 provenance headers
+    for r in sunk["error"]:
+        assert len(r.headers) == 11
+    k_exc = "maston.error.exception.class"
+    assert _hdr(errs[None], k_exc) == "JsonParseException"
+    assert _hdr(errs[3], k_exc) == "QualityGateRejected"
+    assert "too_few_tokens" in _hdr(errs[3], "maston.error.exception.message")
+    assert _hdr(errs[2], k_exc) == "DuplicateRecord"   # vs historical corpus
+    assert _hdr(errs[4], k_exc) == "DuplicateRecord"   # vs batch-0 accept
+    assert _hdr(errs[7], k_exc) == "DuplicateRecord"   # within-batch copy
+    assert len(metrics) >= 2, "replay must span multiple micro-batches"
+    assert sum(c["valid"] for _, c in metrics) == 3
+    assert sum(c["error"] for _, c in metrics) == 5
+
+
+def test_curation_topology_state_survives_restart(spark, cleanup):
+    """Stop the stream after batch 0, start a NEW query on the same
+    checkpoint: a copy of the batch-0-accepted doc arriving after the
+    restart is still suppressed — the bitmap is replayed from the
+    durable state table, not just driver memory."""
+    from maston_spark.streaming.topology import curation_topology
+
+    a_text = "the quick brown fox jumps over the lazy dog"
+    chk = _tmp()
+    src = tempfile.mkdtemp(prefix="replay_src_")
+    cleanup.extend([src, chk])
+    ref = spark.createDataFrame(
+        [(100, "historical document text alpha beta gamma")], DOC_SCHEMA
+    )
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    def start():
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/b*")
+        )
+        return curation_topology(
+            stream,
+            DOC_SCHEMA,
+            ref,
+            app_id="t-curation-restart",
+            checkpoint=chk,
+            write_valid=lambda df: sunk["valid"].extend(df.collect()),
+            write_error=lambda df: sunk["error"].extend(df.collect()),
+            gate_kwargs=GATE,
+        )
+
+    spark.createDataFrame([Row(value=_doc(0, a_text))]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [r.ok.doc_id for r in sunk["valid"]] == [0]
+
+    # second file lands while the stream is DOWN; a fresh query (new
+    # curation_topology instance → fresh driver bitmap) must rebuild
+    # suppression state from the parquet state table
+    spark.createDataFrame([Row(value=_doc(9, a_text))]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r.ok.doc_id for r in sunk["valid"]) == [0]
+    assert [r.ok.doc_id for r in sunk["error"]] == [9]
+    assert (
+        _hdr(sunk["error"][0], "maston.error.exception.class")
+        == "DuplicateRecord"
+    )
+
+
 def test_delta_topology_explicit_state_dir_not_mistaken_for_retry(spark, cleanup):
     """An explicit state_dir reused with a FRESH checkpoint must start
     empty. Batch ids restart at 0 for a new checkpoint, so without the
