@@ -1796,3 +1796,141 @@ def ivf_pq_recall(
         )
         .orderBy("query_id")
     )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k_neighbors: int = 3,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    iterations: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the formulation Jegou et al.
+    2011 actually specify (and faiss's IndexIVFPQ implements):
+    each vector is PQ-encoded as ``r = x − centroid(cell(x))``
+    instead of raw ``x``. Residuals concentrate around the origin,
+    so the same m·k codebook budget quantizes them with far less
+    error than raw vectors spread across all cells —
+    :func:`ivf_pq_topk` (raw encoding) is the simpler sibling; this
+    is what a production index stores.
+
+    The search-side consequence: the query's ADC table is built from
+    the query's residual AGAINST EACH PROBED CELL's centroid (the
+    residual is cell-relative), so there are ``nprobe`` m×k tables
+    per query instead of one — still KB-sized, still broadcast.
+    Candidates in cell L are scored by the (query, L) table on their
+    stored codes; the float vectors are never read after encoding.
+
+    100 TB shape is identical to ``ivf_pq_topk`` — cell-partitioned
+    code table, broadcast probe set and ADC tables, one shuffle-free
+    scan of the probed partitions — plus one extra broadcast join
+    (cells → centroids) at ENCODING time to form residuals.
+    Deterministic end-to-end; the SQL oracle replays it exactly.
+    """
+    # one shared fit: assignment for encoding, centroids for both the
+    # residuals and the probe distances (the _ivf_pq_build plumbing,
+    # inlined so the fit runs once)
+    assigned, cents = _kmeans_fit(corpus, n_cells, iterations, id_col, vec_col)
+    cells = assigned.select(
+        F.col("__id").alias("__nid"),
+        F.col("__cid").alias("cell"),
+    )
+    qv = assigned.filter(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__pd").asc(), F.col("__cid").asc()
+    )
+    probes = (
+        qv.join(F.broadcast(cents))
+        .select(
+            "query_id", "__qv", "__cid",
+            _sq_l2(F.col("__qv"), F.col("__c")).alias("__pd"),
+        )
+        .withColumn("__prn", F.row_number().over(wp))
+        .filter(F.col("__prn") <= nprobe)
+        .select("query_id", "__qv", F.col("__cid").alias("cell"))
+    )
+    build = cells.join(F.broadcast(probes), "cell").filter(
+        F.col("__nid") != F.col("query_id")
+    )
+    residual = F.zip_with(
+        F.col("__v"), F.col("__c"), lambda x, y: x - y
+    )  # plain IEEE subtraction — bit-identical cross-engine
+    res = assigned.join(F.broadcast(cents), "__cid").select(
+        F.col("__id").alias("rid"), residual.alias("rv")
+    )
+    sub, codebook = _pq_train(res, m, sub_dim, k, "rid", "rv")
+    codes = _pq_assign(sub, codebook).select(
+        F.col("__id").alias("__nid"), "__s", "__cid"
+    )
+    # per-(query, probed cell) residual → nprobe ADC tables per query
+    qres = (
+        probes.select("query_id", "cell", "__qv")
+        .join(
+            F.broadcast(cents.select(F.col("__cid").alias("cell"), "__c")),
+            "cell",
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(F.col("__qv"), F.col("__c"), lambda x, y: x - y).alias(
+                "__rq"
+            ),
+        )
+    )
+    qsub = qres.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("__s"),
+                        F.slice(F.col("__rq"), s * sub_dim + 1, sub_dim).alias(
+                            "__sv"
+                        ),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(
+        "query_id", "cell",
+        F.col("__e.__s").alias("__s"), F.col("__e.__sv").alias("__sv"),
+    )
+    qtable = qsub.join(F.broadcast(codebook), "__s").select(
+        "query_id", "cell", "__s", "__cid", _pq_dist().alias("__qd")
+    )
+    adc = (
+        build.select("query_id", "__nid", "cell")
+        .join(codes, "__nid")
+        .join(F.broadcast(qtable), ["query_id", "cell", "__s", "__cid"])
+        .groupBy("query_id", F.col("__nid").alias("neighbor_id"), "cell")
+        .agg(
+            F.sum(F.col("__qd").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("__dist")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k_neighbors)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (F.round("__dist", 6) + F.lit(0.0)).alias("adc_dist"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )

@@ -985,6 +985,157 @@ def bm25_rank(
     ).limit(top_k)
 
 
+def query_likelihood_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 2000.0,
+    top_k: int = 20,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    2001 — the language-modeling retrieval baseline, BM25's standard
+    fusion partner): ``score(q,d) = Σ_t ln((tf_{t,d} + μ·P(t|C)) /
+    (|d| + μ))``. Query terms absent from the corpus (P(t|C)=0, a
+    −∞ contribution for every document equally) are dropped from the
+    query, the usual OOV convention.
+
+    Distributed shape — every document gets a score WITHOUT an
+    all-(term, doc) product: the score decomposes as
+    ``Σ_t ln(μP_t)  −  |q|·ln(|d|+μ)  +  Σ_{t∈hits}[ln(tf+μP_t) −
+    ln(μP_t)]`` — a query-level constant (1-row agg over the ≤|q|
+    term table, broadcast), a per-doc projection of the doc length,
+    and hit-only adjustment rows. Token arrays filter to the query
+    vocabulary BEFORE exploding (|hits| rows, not |tokens|); corpus
+    stats are one slim agg. Per-term contributions round to 9
+    decimals into DECIMAL(28,9) sums, so the score is independent of
+    partition merge order (exact cross-engine parity).
+    """
+    qset = F.array(*[F.lit(t) for t in query_terms])
+    base = df.select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        F.size("__toks").cast("long").alias("dl"),
+        F.filter(F.col("__toks"), lambda x: F.array_contains(qset, x)).alias(
+            "__hits"
+        ),
+    )
+    stats = base.agg(F.sum("dl").alias("__total"))
+    hits = base.filter(F.size("__hits") > 0).select(
+        id_col, F.explode("__hits").alias("term")
+    )
+    # corpus frequency of each query term (absent terms vanish here —
+    # the OOV drop); P(t|C) = cf/total as one exact double division
+    tt = (
+        hits.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            (F.col("cf").cast("double") / F.col("__total")).alias("__p"),
+        )
+    )
+    consts = tt.agg(
+        F.sum(
+            F.round(F.log(F.lit(mu) * F.col("__p")), 9).cast("decimal(28,9)")
+        ).alias("__c0"),
+        F.count(F.lit(1)).alias("__nq"),
+    )
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    adj = tf.join(F.broadcast(tt), "term").select(
+        id_col,
+        F.round(
+            F.log(F.col("tf") + F.lit(mu) * F.col("__p"))
+            - F.log(F.lit(mu) * F.col("__p")),
+            9,
+        ).cast("decimal(28,9)").alias("__adj"),
+    )
+    per_doc = adj.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.sum("__adj").alias("__a"),
+    )
+    zero = F.lit(0).cast("decimal(28,9)")
+    return (
+        base.select(id_col, "dl")
+        .join(per_doc, id_col, "left")
+        .join(F.broadcast(consts))
+        .select(
+            id_col,
+            F.coalesce("n_terms_matched", F.lit(0)).cast("long").alias(
+                "n_terms_matched"
+            ),
+            # both operands sit on the 1e-9 grid, so the difference
+            # is a grid POINT — round to 9 (exact), never to a coarser
+            # grid whose midpoints the difference can land on exactly
+            # (doc 428 at sf0.001 lands on -16.6604465, a round-6
+            # midpoint the two engines break differently). The two
+            # decimal sums are re-cast to (28,9) before adding:
+            # (38,9)+(38,9) needs precision 39, which Spark resolves
+            # by silently dropping the scale to 8 — losing the 9th
+            # decimal this whole discipline exists to keep.
+            F.round(
+                (
+                    F.col("__c0").cast("decimal(28,9)")
+                    + F.coalesce("__a", zero).cast("decimal(28,9)")
+                ).cast("double")
+                - F.round(
+                    F.col("__nq") * F.log(F.col("dl") + F.lit(mu)), 9
+                ),
+                9,
+            ).alias("ql"),
+        )
+        .orderBy(F.col("ql").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    standard hybrid-retrieval combiner (lexical BM25 × vector ANN ×
+    anything else that emits a ranking): ``fused(d) = Σ_i
+    1/(k + rank_i(d))`` over every list containing d. Rank-based, so
+    systems with incomparable score scales fuse without calibration.
+
+    Distributed shape: union the (id, rank) lists (each already
+    top-N-bounded by its producer — the input is |lists|·N rows, not
+    corpus-sized), one hash agg for the fused sum, and a
+    TakeOrderedAndProject top-k. Contributions round to 9 decimals
+    into a DECIMAL(28,9) sum (order-independent, exact cross-engine);
+    ties break on the id.
+    """
+    from functools import reduce
+
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [r.select(F.col(id_col), F.col(rank_col).alias("__r")) for r in rankings],
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            # the decimal sum is on the 1e-9 grid — round to 9
+            # (grid-exact), not coarser (midpoint hazard)
+            F.round(
+                F.sum(
+                    F.round(
+                        F.lit(1.0) / (F.lit(float(k)) + F.col("__r")), 9
+                    ).cast("decimal(28,9)")
+                ).cast("double"),
+                9,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
 def top_pmi_bigrams(
     df: DataFrame,
     text_col: str = "text",

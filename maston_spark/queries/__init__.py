@@ -145,7 +145,8 @@ _PRIORITY = [
     "q140_waiting_supplier", "q142_ann_recall",
     "q144_multiprobe_recall", "q145_int8_recall", "q146_gapfill_interp",
     "q147_ccnet_buckets", "q149_k_anonymity",
-    "q155_keep_first_substring",
+    "q155_keep_first_substring", "q156_query_likelihood", "q157_hybrid_rrf",
+    "q158_ivfpq_residual",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships

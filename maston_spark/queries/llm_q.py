@@ -2130,6 +2130,137 @@ def q123_bm25_rank(spark, sf_dir):
 
 
 @query(
+    "q156_query_likelihood",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS dl,
+                    list_filter(toks, x -> list_contains(
+                      ['spark', 'window', 'merge', 'dup'], x)) AS hits
+             FROM t),
+    stats AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM base),
+    h AS (SELECT doc_id, unnest(hits) AS term FROM base WHERE len(hits) > 0),
+    tt AS (SELECT term,
+                  CAST(count(*) AS DOUBLE) / (SELECT total FROM stats) AS p
+           FROM h GROUP BY term),
+    consts AS (SELECT sum(CAST(round(ln(2000.0 * p), 9) AS DECIMAL(28,9)))
+                        AS c0,
+                      count(*) AS nq
+               FROM tt),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2),
+    adj AS (SELECT doc_id,
+                   sum(CAST(round(ln(tf + 2000.0 * p) - ln(2000.0 * p), 9)
+                            AS DECIMAL(28,9))) AS a,
+                   count(*) AS m
+            FROM tf JOIN tt USING (term) GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(coalesce(adj.m, 0) AS BIGINT) AS n_terms_matched,
+           round(CAST(consts.c0 + coalesce(adj.a, CAST(0 AS DECIMAL(28,9)))
+                      AS DOUBLE)
+                 - round(consts.nq * ln(b.dl + 2000.0), 9), 9) AS ql
+    FROM base b LEFT JOIN adj ON adj.doc_id = b.doc_id, consts
+    ORDER BY ql DESC, b.doc_id ASC LIMIT 20
+    """,
+)
+def q156_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001): top-20 documents for the same 4-term query q123 uses, so
+    the two lexical systems are directly comparable. See
+    :func:`maston_spark.llm.text.query_likelihood_rank`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.query_likelihood_rank(d, ["spark", "window", "merge", "dup"])
+
+
+@query(
+    "q157_hybrid_rrf",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS dl,
+                    list_filter(toks, x -> list_contains(
+                      ['spark', 'window', 'merge', 'dup'], x)) AS hits
+             FROM t),
+    -- BM25 system (q123's scoring, top-30)
+    bstats AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+               FROM base),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(hits) AS term
+                 FROM base WHERE len(hits) > 0)
+           GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    bsc AS (SELECT doc_id,
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     AS score_t
+            FROM tf JOIN dft USING (term), bstats),
+    bpd AS (SELECT doc_id,
+                   round(CAST(sum(CAST(round(score_t, 9) AS DECIMAL(28,9)))
+                              AS DOUBLE), 6) AS bm25
+            FROM bsc GROUP BY doc_id),
+    btop AS (SELECT doc_id, bm25 FROM bpd
+             ORDER BY bm25 DESC, doc_id ASC LIMIT 30),
+    br AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+           FROM btop),
+    -- query-likelihood system (q156's scoring, top-30)
+    stats AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM base),
+    h AS (SELECT doc_id, unnest(hits) AS term FROM base WHERE len(hits) > 0),
+    tt AS (SELECT term,
+                  CAST(count(*) AS DOUBLE) / (SELECT total FROM stats) AS p
+           FROM h GROUP BY term),
+    consts AS (SELECT sum(CAST(round(ln(2000.0 * p), 9) AS DECIMAL(28,9)))
+                        AS c0,
+                      count(*) AS nq
+               FROM tt),
+    qtf AS (SELECT doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2),
+    adj AS (SELECT doc_id,
+                   sum(CAST(round(ln(tf + 2000.0 * p) - ln(2000.0 * p), 9)
+                            AS DECIMAL(28,9))) AS a
+            FROM qtf JOIN tt USING (term) GROUP BY doc_id),
+    qpd AS (SELECT b.doc_id,
+                   round(CAST(consts.c0
+                              + coalesce(adj.a, CAST(0 AS DECIMAL(28,9)))
+                              AS DOUBLE)
+                         - round(consts.nq * ln(b.dl + 2000.0), 9), 9) AS ql
+            FROM base b LEFT JOIN adj ON adj.doc_id = b.doc_id, consts),
+    qtop AS (SELECT doc_id, ql FROM qpd
+             ORDER BY ql DESC, doc_id ASC LIMIT 30),
+    qr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY ql DESC, doc_id ASC) AS r
+           FROM qtop),
+    u AS (SELECT doc_id, r FROM br UNION ALL SELECT doc_id, r FROM qr)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+           round(CAST(sum(CAST(round(1.0 / (60.0 + r), 9) AS DECIMAL(28,9)))
+                      AS DOUBLE), 9) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 15
+    """,
+)
+def q157_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: BM25 (q123's
+    system) and Dirichlet query-likelihood (q156's system) each rank
+    their top-30 for the same query; RRF fuses the two rankings
+    without score calibration. See
+    :func:`maston_spark.llm.text.rrf_fuse`."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = ["spark", "window", "merge", "dup"]
+    bm = TXT.bm25_rank(d, terms, top_k=30).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    ql = TXT.query_likelihood_rank(d, terms, top_k=30).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("ql").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    return TXT.rrf_fuse([bm, ql], k=60, top_k=15)
+
+
+@query(
     "q124_pmi_bigrams",
     oracle="""
     WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
@@ -3326,6 +3457,61 @@ def q152_dedup_report(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+# Residual IVF-PQ oracle: the q153 chain, with the PQ half trained on
+# r = x − centroid(cell(x)) and the query ADC tables built per
+# (query, probed cell) from the query's cell-relative residual.
+_IVFPQ_RES_CTES = _IVFPQ_CTES.split(_PQ_CTES)[0] + """
+    res AS (SELECT cells.id,
+                   list_transform(range(1, len(e.v) + 1),
+                                  i -> e.v[i] - kc1.c[i]) AS v
+            FROM cells JOIN e USING (id) JOIN kc1 ON kc1.cid = cells.cell),
+""" + _PQ_CTES.replace(
+    "FROM e, range(0, 8) t(s)", "FROM res, range(0, 8) t(s)"
+) + """,
+    qres AS (SELECT p.query_id, p.cell,
+                    list_transform(range(1, len(e.v) + 1),
+                                   i -> e.v[i] - kc1.c[i]) AS v
+             FROM probes p JOIN e ON e.id = p.query_id
+             JOIN kc1 ON kc1.cid = p.cell),
+    qsub AS (SELECT query_id, cell, s, v[(s*8+1):(s*8+8)] AS sv
+             FROM qres, range(0, 8) t(s)),
+    qt AS (SELECT q.query_id, q.cell, c1.s, c1.cid,
+                  round(list_sum(list_transform(range(1, 9),
+                        i -> (q.sv[i] - c1.c[i]) * (q.sv[i] - c1.c[i]))), 9)
+                    AS qd
+           FROM qsub q JOIN c1 ON c1.s = q.s),
+    adc AS (SELECT cand.query_id, cand.nid AS neighbor_id, cand.cell,
+                   CAST(sum(CAST(qd AS DECIMAL(38,9))) AS DOUBLE) AS dist
+            FROM cand
+            JOIN codes ON codes.id = cand.nid
+            JOIN qt ON qt.query_id = cand.query_id AND qt.cell = cand.cell
+                   AND qt.s = codes.s AND qt.cid = codes.cid
+            GROUP BY 1, 2, 3)
+"""
+
+
+@query(
+    "q158_ivfpq_residual",
+    oracle=_IVFPQ_RES_CTES
+    + """
+    SELECT query_id, neighbor_id, cell, round(dist, 6) + 0.0 AS adc_dist, rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, neighbor_id) AS rn
+          FROM adc) WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+)
+def q158_ivfpq_residual(spark, sf_dir):
+    """Residual-encoded IVF-PQ (the Jégou et al. 2011 formulation
+    faiss's IndexIVFPQ implements): vectors PQ-encode their residual
+    against their cell centroid, and each query builds one ADC table
+    per probed cell from its cell-relative residual. q153 is the
+    raw-encoding sibling. See
+    :func:`maston_spark.llm.similarity.ivf_pq_residual_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.ivf_pq_residual_topk(emb, query_ids=list(range(10)))
 
 
 @query(

@@ -1050,6 +1050,93 @@ def test_exact_substring_dedup_keep_first_within_doc_repeat(spark):
     assert out.n_kept_tokens == 4
 
 
+def test_ivfpq_residual_finds_planted_twin(spark):
+    """Residual encoding: vectors live in two far-apart clusters, so
+    raw-vector PQ spends its codebook on the cluster offset while
+    residual PQ spends it on within-cell structure. The planted twin
+    (query + tiny delta) must rank #1 with a near-zero ADC distance."""
+    import numpy as np
+
+    from maston_spark.llm.similarity import ivf_pq_residual_topk
+
+    rng = np.random.default_rng(11)
+    d = 64
+    rows = []
+    for i in range(80):
+        center = 50.0 if i % 2 == 0 else -50.0
+        v = center + rng.normal(size=d)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # twin of vector 4 (even → +50 cluster)
+    twin = [x + 1e-4 for x in rows[4].embedding]
+    rows.append(Row(vec_id=500, embedding=twin))
+    df = spark.createDataFrame(rows)
+    got = ivf_pq_residual_topk(
+        df, query_ids=[4], k_neighbors=3, n_cells=2, nprobe=1,
+        m=8, sub_dim=8, k=8,
+    ).collect()
+    assert [r.rn for r in got] == [1, 2, 3]
+    assert got[0].neighbor_id == 500, got
+    # residual ADC distance of a near-identical twin ~ quantization
+    # noise only — far below the typical within-cluster distance (~2d)
+    assert got[0].adc_dist < got[1].adc_dist
+    # all candidates come from the query's own probed cell
+    assert len({r.cell for r in got}) == 1
+
+
+def test_query_likelihood_golden(spark):
+    """Dirichlet-smoothed QL against a hand-computed corpus: matching
+    docs score above non-matching; the no-hit doc still gets the
+    analytic baseline (all-smoothing) score; OOV query terms drop."""
+    import math
+
+    from maston_spark.llm.text import query_likelihood_rank
+
+    rows = [
+        (1, "apple banana apple cherry"),   # tf(apple)=2
+        (2, "banana cherry date elder"),    # tf(apple)=0
+        (3, "apple fig grape honey"),       # tf(apple)=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # query: one in-corpus term + one OOV term (must be dropped)
+    got = {r.doc_id: r for r in
+           query_likelihood_rank(df, ["apple", "zzz_oov"], mu=10.0).collect()}
+    assert set(got) == {1, 2, 3}
+    total = 12  # tokens
+    p = 3 / 12  # cf(apple)=3
+    mu = 10.0
+
+    def expected(tf, dl):
+        c0 = round(math.log(mu * p), 9)
+        adj = round(math.log(tf + mu * p) - math.log(mu * p), 9) if tf else 0
+        return round(c0 + adj - round(1 * math.log(dl + mu), 9), 9)
+
+    assert abs(got[1].ql - expected(2, 4)) < 1e-9
+    assert abs(got[2].ql - expected(0, 4)) < 1e-9
+    assert abs(got[3].ql - expected(1, 4)) < 1e-9
+    assert got[1].n_terms_matched == 1 and got[2].n_terms_matched == 0
+    # more apple occurrences => higher likelihood
+    assert got[1].ql > got[3].ql > got[2].ql
+
+
+def test_rrf_fuse_golden(spark):
+    """RRF fuses two rankings: a doc ranked #1 in both beats a doc
+    ranked #1 in only one list; single-list docs still score."""
+    from maston_spark.llm.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(10, 1), (13, 2), (11, 3)], "doc_id long, rank int"
+    )
+    got = {r.doc_id: r for r in rrf_fuse([a, b], k=60, top_k=10).collect()}
+    assert got[10].n_lists == 2 and got[13].n_lists == 1
+    # 10: 2/(60+1); 11: 1/62 + 1/63; 13: 1/62; 12: 1/63
+    assert abs(got[10].rrf_score - round(2 * round(1 / 61, 9), 9)) < 1e-9
+    assert got[10].rrf_score > got[11].rrf_score > got[13].rrf_score
+    assert got[13].rrf_score > got[12].rrf_score
+
+
 def test_profile_strings_golden(spark):
     from maston_spark.profiling import profile_strings
 
