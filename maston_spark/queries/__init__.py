@@ -66,7 +66,10 @@ _PRIORITY = [
     # round-trip; its slot grades PQ asymmetric-distance search)
     "q33_tumbling_window",
     "q148_gopher_gate", "q60_safe_json", "q61_process_errors",
-    "q151_pq_adc", "q63_delta_expr",
+    # (q151 PQ-ADC standalone is subsumed by graded q153, whose search
+    # stage runs the same lookup-table scoring; its slot grades the
+    # RESIDUAL-encoded IVF-PQ — the faiss IndexIVFPQ layout)
+    "q158_ivfpq_residual", "q63_delta_expr",
     # (q64_delta_fold is the within-family sibling of q63 — same S11
     # delta operator, fold predicate path; demoted so the graded
     # window spends its slot on the BM25 retrieval family instead)
@@ -90,8 +93,13 @@ _PRIORITY = [
     # tail so the graded window spends its 50 slots on distinct ops)
     # (q46 lang-id shares the regexp-text family with graded q45;
     # its slot grades the PQ code-table encoding half)
-    "q40_dedup_exact", "q41_dedup_minhash_lsh",
-    "q43_cosine_topk", "q45_text_stats", "q150_pq_codes",
+    # (q40 exact-dedup's content-hash window family stays graded via
+    # q152_dedup_report, which composes it verbatim; its slot grades
+    # the keep-first exact-substring removal policy. q150 PQ-encode is
+    # graded via q153+q158, which both train codebooks and assign
+    # codes; its slot grades the hybrid BM25×QL rank-fusion family)
+    "q155_keep_first_substring", "q41_dedup_minhash_lsh",
+    "q43_cosine_topk", "q45_text_stats", "q157_hybrid_rrf",
     "q48_embedding_neardup", "q49_media_features",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
@@ -145,8 +153,8 @@ _PRIORITY = [
     "q140_waiting_supplier", "q142_ann_recall",
     "q144_multiprobe_recall", "q145_int8_recall", "q146_gapfill_interp",
     "q147_ccnet_buckets", "q149_k_anonymity",
-    "q155_keep_first_substring", "q156_query_likelihood", "q157_hybrid_rrf",
-    "q158_ivfpq_residual",
+    "q156_query_likelihood",
+    "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",
     # within-family siblings of already-graded flagships

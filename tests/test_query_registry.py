@@ -90,8 +90,12 @@ def test_graded_window_covers_unique_capabilities():
         "q139_gapfill", "q141_data_quality",
         # round-9 promotions: the novel round-8 operators plus the
         # composed IVF-PQ flagship are driver-graded
-        "q143_cdc_upsert", "q148_gopher_gate", "q150_pq_codes",
-        "q151_pq_adc", "q152_dedup_report", "q153_ivf_pq",
+        "q143_cdc_upsert", "q148_gopher_gate",
+        "q152_dedup_report", "q153_ivf_pq",
+        # round-10 promotions: round-9's novel physics — keep-first
+        # substring removal, hybrid rank fusion, residual IVF-PQ
+        "q155_keep_first_substring", "q157_hybrid_rrf",
+        "q158_ivfpq_residual",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -116,7 +120,13 @@ def test_graded_window_covers_unique_capabilities():
         "q35_session_window": "q33_tumbling_window",
         "q42_dedup_simhash": "q41_dedup_minhash_lsh",
         "q44_lsh_ann": "q153_ivf_pq",
-        "q47_fingerprint": "q40_dedup_exact",
+        # round-10 demotions: each family stays graded via the
+        # composition that subsumes it
+        "q40_dedup_exact": "q152_dedup_report",
+        "q150_pq_codes": "q153_ivf_pq",
+        "q151_pq_adc": "q158_ivfpq_residual",
+        "q156_query_likelihood": "q157_hybrid_rrf",
+        "q47_fingerprint": "q152_dedup_report",
         "q50_frame_sample": "q49_media_features",
         "q54_chargram_jaccard": "q53_levenshtein_neardup",
         "q23_topk_per_group": "q20_window_rank",
