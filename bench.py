@@ -38,6 +38,10 @@ HEADLINE = [
     "q123_bm25_rank",           # BM25 lexical retrieval (filter-before-explode)
     "q127_budget_select",       # global token-budget cut (two-phase prefix sum)
     "q140_waiting_supplier",    # TPC-H Q21 shape (fact semi+anti join chain)
+    # round-9 additions: the new flagships
+    "q153_ivf_pq",              # composed IVF-PQ ANN (cells + codes + ADC)
+    "q157_hybrid_rrf",          # hybrid retrieval (BM25 x QL rank fusion)
+    "q158_ivfpq_residual",      # residual-encoded IVF-PQ (faiss layout)
 ]
 
 

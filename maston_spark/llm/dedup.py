@@ -335,6 +335,71 @@ def jaccard_from_lanes(
     )
 
 
+def rare_shingle_candidates(lf: DataFrame, max_df: int = 20) -> DataFrame:
+    """Inverted-index candidate pairs for CONTAINMENT detection: two
+    docs are candidates when they share a RARE hashed shingle
+    (document frequency in [2, max_df]). MinHash-LSH candidates
+    (:func:`candidates_from_minhash`) recall pairs with probability
+    ~J^band_size — an excerpt fully contained in a 100× larger doc
+    has near-zero Jaccard and essentially never collides in a band,
+    yet shares EVERY one of its shingles with the container; the
+    inverted index finds it from any single shared rare shingle.
+
+    Scale shape: one doc-frequency agg (map-side combinable, shuffle
+    = distinct lanes), then a self-equi-join restricted to the rare
+    lanes — ``max_df`` bounds the per-lane fan-out at ≤ max_df² pairs
+    AND drops boilerplate shingles (the lanes a web corpus shares
+    millions of ways) exactly as a production dedup must. ``lf`` is a
+    :func:`minhash_frame` (reads its ``hv`` lane sets)."""
+    lanes = lf.select("id", F.explode("hv").alias("lane"))
+    rare = lanes.join(
+        lanes.groupBy("lane")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("lane"),
+        "lane",
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lane") == F.col("b.lane"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def containment_from_lanes(
+    lf: DataFrame, candidates: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """One-sided set containment on candidate pairs (Broder 1997):
+    ``c_a = |A∩B| / |A|`` and ``c_b = |A∩B| / |B|`` over the hashed
+    shingle sets — the duplication the symmetric Jaccard misses: a
+    100-token excerpt inside a 10k-token page has J ≈ 0.01 but
+    containment 1.0. A pair survives when EITHER direction clears
+    ``threshold`` (quote, boilerplate block, or prefix republication).
+    Same integer-lane determinism as :func:`jaccard_from_lanes`, so
+    an oracle replays it exactly."""
+    a = lf.select(F.col("id").alias("id_a"), F.col("hv").alias("hv_a"))
+    b = lf.select(F.col("id").alias("id_b"), F.col("hv").alias("hv_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("hv_a", "hv_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("hv_a"), 6).alias("containment_a"),
+            F.round(inter / F.size("hv_b"), 6).alias("containment_b"),
+        )
+        .filter(
+            F.greatest("containment_a", "containment_b") >= threshold
+        )
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     candidates: DataFrame,

@@ -153,7 +153,8 @@ _PRIORITY = [
     "q140_waiting_supplier", "q142_ann_recall",
     "q144_multiprobe_recall", "q145_int8_recall", "q146_gapfill_interp",
     "q147_ccnet_buckets", "q149_k_anonymity",
-    "q156_query_likelihood",
+    "q156_query_likelihood", "q159_top_supplier", "q160_dormant_customers",
+    "q161_containment_neardup",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

@@ -1041,3 +1041,133 @@ def q143_cdc_upsert(spark, sf_dir):
     return cdc_apply(
         o, updates.unionByName(deletes), key_cols=["o_orderkey"], seq_col="seq"
     )
+
+
+@query(
+    "q159_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                                 AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey),
+    mx AS (SELECT max(total_rev) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey, mx
+    WHERE r.total_rev = mx.m
+    ORDER BY s.s_suppkey
+    """,
+)
+def q159_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-style top supplier: the supplier(s) whose revenue in
+    one quarter equals the maximum over the per-supplier revenue
+    view — the scalar-max-over-an-aggregate-view de-correlation
+    shape (Q15's CREATE VIEW + MAX subquery).
+
+    Spark-first shape: the revenue view is ONE map-side-combinable
+    agg over the date-pruned scan (the shipdate predicate reaches
+    the parquet scan); the max is a 1-row agg broadcast back — never
+    a per-row subquery. Equality on the max is exact because revenue
+    rounds through DECIMAL(18,4) before the comparison (ties — the
+    Q15 subtlety — surface deterministically).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    ).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("__m"))
+    return (
+        sup.join(rev, sup.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__m"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q160_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS a
+      FROM customer WHERE c_acctbal > 0),
+    rich AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer, avg_bal WHERE c_acctbal > avg_bal.a),
+    dormant AS (
+      SELECT r.* FROM rich r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = r.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'))
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_bal
+    FROM dormant GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q160_dormant_customers(spark, sf_dir):
+    """TPC-H-Q22-style sales opportunity: above-average-balance
+    customers with NO recent orders, aggregated per market segment —
+    the scalar-avg subquery + anti-join + segment rollup composition
+    (Q22's phone-prefix grouping adapted to this schema's
+    mktsegment).
+
+    Spark-first shape: the average is a 1-row decimal-exact agg
+    broadcast into the filter (never per-row); the "no recent
+    orders" predicate is a LEFT ANTI join against the date-pruned
+    orders scan (Catalyst's NOT EXISTS rewrite — the date predicate
+    pushes to the orders scan, so at 100 TB the anti side reads only
+    the recent partitions); the final rollup is one combiner agg on
+    |segments| groups.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__a")
+    )
+    rich = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(
+            recent, rich.c_custkey == recent.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -97,6 +97,71 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
 """
 
 
+@query(
+    "q161_containment_neardup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(string_split(text, ' ')[1:25], ' ')
+  FROM documents WHERE doc_id % 6 = 0),
+toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' '))
+           ELSE [] END) AS sh
+  FROM toks),
+sh2 AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+hv AS (
+  SELECT id, list_distinct(
+           list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hv
+  FROM sh2),
+lanes AS (SELECT id, unnest(hv) AS lane FROM hv),
+rare AS (SELECT lane FROM lanes GROUP BY lane
+         HAVING count(*) BETWEEN 2 AND 20),
+rl AS (SELECT l.id, l.lane FROM lanes l JOIN rare USING (lane)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM rl a JOIN rl b ON a.lane = b.lane AND a.id < b.id),
+cont AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(ha.hv, hb.hv))::DOUBLE / len(ha.hv), 6)
+           AS containment_a,
+         round(len(list_intersect(ha.hv, hb.hv))::DOUBLE / len(hb.hv), 6)
+           AS containment_b
+  FROM cand c
+  JOIN hv ha ON ha.id = c.id_a
+  JOIN hv hb ON hb.id = c.id_b)
+SELECT id_a, id_b, containment_a, containment_b
+FROM cont WHERE greatest(containment_a, containment_b) >= 0.9
+""",
+)
+def q161_containment_neardup(spark, sf_dir):
+    """Containment near-dup detection (Broder 1997): the corpus gets
+    PLANTED EXCERPTS — every 6th document's first 25 tokens as a new
+    doc — whose Jaccard to the source is far below any LSH band's
+    reach but whose containment is ~1.0. Candidates come from a
+    rare-shingle inverted index (df ≤ 20 — boilerplate lanes
+    dropped, fan-out bounded), then exact directional containment on
+    the hashed-lane sets. The subset-duplication detector a
+    quote/boilerplate-heavy corpus needs alongside q41's symmetric
+    Jaccard. See
+    :func:`maston_spark.llm.dedup.containment_from_lanes`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 25)
+        ).alias("text"),
+    )
+    corpus = d.unionByName(excerpts)
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
+    cands = DD.rare_shingle_candidates(mf, max_df=20)
+    return DD.containment_from_lanes(mf, cands, threshold=0.9)
+
+
 @query("q41_dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def q41_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH fuzzy dedup: shingle → 16-hash signature → 4

@@ -625,6 +625,29 @@ def curation_topology(
                 serialize=serialize,
                 batch_id=batch_id,
             )
+            if on_metrics is not None:
+                # per-cause reject breakdown — the reference's
+                # error-count metric (observability.py ↔
+                # metrics/MicrometerService.java) refined by curation
+                # stage: one slim agg over the persisted batch frame
+                by_cause = {
+                    r["__cause"]: r["__n"]
+                    for r in out.filter(F.col(ERR).isNotNull())
+                    .groupBy(
+                        F.col(ERR)["exception_class"].alias("__cause")
+                    )
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .collect()
+                }
+                counts["gate_rejected"] = by_cause.get(
+                    "QualityGateRejected", 0
+                )
+                counts["duplicate"] = by_cause.get("DuplicateRecord", 0)
+                counts["parse_error"] = (
+                    counts["error"]
+                    - counts["gate_rejected"]
+                    - counts["duplicate"]
+                )
             # accrete this batch's accepted positions into the probe
             # bitmap — same distributed per-partition OR as the build
             state["bitmap"] = state["bitmap"] | np.frombuffer(

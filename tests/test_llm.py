@@ -1050,6 +1050,53 @@ def test_exact_substring_dedup_keep_first_within_doc_repeat(spark):
     assert out.n_kept_tokens == 4
 
 
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A 1/3-length excerpt has low Jaccard to its source (symmetric
+    dedup misses it) but containment ~1.0 — the rare-shingle index
+    must surface the pair and the directional score must flag it."""
+    from maston_spark.llm.dedup import (
+        containment_from_lanes,
+        jaccard_from_lanes,
+        minhash_frame,
+        rare_shingle_candidates,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    rows = [
+        (1, " ".join(words)),            # source
+        (2, " ".join(words[:20])),       # excerpt: fully contained
+        (3, " ".join(f"z{i}" for i in range(40))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mf = minhash_frame(df, shingle_n=3, num_hashes=16)
+    cands = rare_shingle_candidates(mf, max_df=20)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    cont = {
+        (r.id_a, r.id_b): r
+        for r in containment_from_lanes(mf, cands, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont
+    assert cont[(1, 2)].containment_b == 1.0   # excerpt side
+    assert cont[(1, 2)].containment_a < 0.5    # source side
+    jac = jaccard_from_lanes(mf, cands).collect()
+    j12 = [r.jaccard for r in jac if (r.id_a, r.id_b) == (1, 2)][0]
+    assert j12 < 0.4  # the score symmetric dedup would have used
+
+
+def test_rare_shingle_candidates_drop_boilerplate(spark):
+    """A shingle present in MORE than max_df docs (boilerplate) must
+    not generate pairs on its own — the df cap bounds fan-out."""
+    from maston_spark.llm.dedup import minhash_frame, rare_shingle_candidates
+
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"doc{i} unique{i} tokens{i} " + boiler) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mf = minhash_frame(df, shingle_n=3, num_hashes=16)
+    # boilerplate shingles appear in all 10 docs > max_df=5 → no pairs
+    assert rare_shingle_candidates(mf, max_df=5).count() == 0
+
+
 def test_ivfpq_residual_finds_planted_twin(spark):
     """Residual encoding: vectors live in two far-apart clusters, so
     raw-vector PQ spends its codebook on the cluster offset while

@@ -326,6 +326,10 @@ def test_curation_topology_multi_batch_golden(spark, cleanup):
     assert len(metrics) >= 2, "replay must span multiple micro-batches"
     assert sum(c["valid"] for _, c in metrics) == 3
     assert sum(c["error"] for _, c in metrics) == 5
+    # per-cause reject breakdown (the refined error-count metric)
+    assert sum(c["parse_error"] for _, c in metrics) == 1
+    assert sum(c["gate_rejected"] for _, c in metrics) == 1
+    assert sum(c["duplicate"] for _, c in metrics) == 3
 
 
 def test_curation_topology_state_survives_restart(spark, cleanup):
