@@ -631,6 +631,37 @@ def quantize_embeddings(
     )
 
 
+def _semantic_cells(
+    corpus: DataFrame,
+    n_centroids: int | None,
+    target_cell_rows: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared SemDeDup prologue: decimal-exact L2 normalization +
+    corpus-scaled Lloyd assignment. Returns (__id, __vec, cell) with
+    __vec the 9-decimal-rounded normalized embedding."""
+    import math
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ss = F.round(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, t: a + t
+        ),
+        9,
+    )
+    nv = F.transform(v, lambda x: F.round(x / F.sqrt(ss), 9))
+    normed = corpus.select(F.col(id_col).alias("__id"), nv.alias("__nv"))
+    k = n_centroids
+    if k is None:
+        k = max(1, math.ceil(corpus.count() / target_cell_rows))
+    assigned, _ = _kmeans_fit(normed, k, iterations, "__id", "__nv")
+    return assigned.select(
+        "__id", F.col("__v").alias("__vec"), F.col("__cid").alias("cell")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -679,26 +710,11 @@ def semantic_dedup(
     id), whether it is KEPT, and the id of the smaller-id
     near-duplicate that evicted it (null for keepers).
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    ss = F.round(
-        F.aggregate(
-            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, t: a + t
-        ),
-        9,
-    )
-    nv = F.transform(v, lambda x: F.round(x / F.sqrt(ss), 9))
-    normed = corpus.select(F.col(id_col).alias("__id"), nv.alias("__nv"))
-    k = n_centroids
-    if k is None:
-        k = max(1, math.ceil(corpus.count() / target_cell_rows))
-    assigned, _ = _kmeans_fit(normed, k, iterations, "__id", "__nv")
-    cells = assigned.select(
-        "__id", F.col("__v").alias("__vec"), F.col("__cid").alias("cell")
+    cells = _semantic_cells(
+        corpus, n_centroids, target_cell_rows, iterations, id_col, vec_col
     )
 
     def _process_block(ids_blk, Mn_blk, cell, prefix):
@@ -768,6 +784,171 @@ def semantic_dedup(
         cells.repartition("cell")
         .sortWithinPartitions("cell", "__id")
         .mapInPandas(dedup_cells, "vec_id long, cell int, kept boolean, evicted_by long")
+    )
+
+
+def semantic_dedup_quantized(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int | None = None,
+    target_cell_rows: int = 4096,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 1024,
+) -> DataFrame:
+    """:func:`semantic_dedup` with an INT8-QUANTIZED prefix — same
+    exact keep-one rule, same output, ~6× less per-task residency.
+
+    The per-cell state the exact rule cannot avoid is the prefix of
+    already-seen vectors. Here it is held as int8 (per-row absmax
+    scale) plus each row's true quantization-residual norm ‖e‖; the
+    rule is order-free (ANY smaller-id vector within ``threshold``
+    evicts, evictor's own fate irrelevant), so eviction decomposes
+    into pairwise checks that can run in two passes:
+
+    1. **Screen (streaming, int8):** for a block row a and prefix
+       row b, the integer dot (exact int32 arithmetic) dequantizes to
+       ``D̂ = cos + e_a·b + a·e_b + e_a·e_b``, so
+       ``cos ≥ th ⟹ D̂ ≥ th − (‖e_a‖+‖e_b‖+‖e_a‖‖e_b‖)`` by
+       Cauchy-Schwarz — a SOUND screen: every true eviction pair
+       passes it (plus a small near-threshold shell of false
+       candidates; ~1% of ‖e‖ at int8/d=64). Within-block pairs are
+       checked exactly in float (the block is float-resident anyway).
+    2. **Confirm (set-based):** candidate pairs join the normalized
+       vectors on both sides and evaluate the EXACT rounded-cosine
+       rule as JVM fold expressions — the same comparison the
+       all-float path and the SQL oracle make. ``evicted_by`` is the
+       min confirmed evictor.
+
+    Per-task prefix bytes: ``cell × (d + 24)`` vs the float path's
+    ``cell × 8d`` — 88 vs 512 bytes/row at d=64. The confirm join
+    moves only |candidate pairs| rows (true near-dups plus the
+    ε-shell), never the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cells = _semantic_cells(
+        corpus, n_centroids, target_cell_rows, iterations, id_col, vec_col
+    )
+
+    def screen_cells(batches):
+        # prefix per cell: (ids, Q int8, scales, enorms)
+        cur_cell = None
+        prefix: list = []
+
+        def quantize(Mn):
+            s = np.abs(Mn).max(axis=1)
+            s[s == 0] = 1.0
+            Q = np.round(Mn / s[:, None] * 127.0).astype(np.int8)
+            e = Q.astype(np.float64) * (s[:, None] / 127.0) - Mn
+            return Q, s, np.linalg.norm(e, axis=1)
+
+        def emit(ids_blk, Mn_blk, cell):
+            nb = len(ids_blk)
+            out_id, out_cand = [], []
+            Qb, sb, eb = quantize(Mn_blk)
+            for p_ids, pQ, ps, pe in prefix:
+                # exact int32 dot, then dequantize
+                ID = Qb.astype(np.int32) @ pQ.T.astype(np.int32)
+                Dhat = ID.astype(np.float64) * (
+                    sb[:, None] * ps[None, :] / (127.0 * 127.0)
+                )
+                eps = eb[:, None] + pe[None, :] + eb[:, None] * pe[None, :]
+                rr, cc = np.nonzero(Dhat >= threshold - eps - 1e-9)
+                out_id.append(ids_blk[rr])
+                out_cand.append(p_ids[cc])
+            # within-block pairs: exact float (block is resident)
+            if nb > 1:
+                tri = np.tril(Mn_blk @ Mn_blk.T >= threshold, k=-1)
+                rr, cc = np.nonzero(tri)
+                out_id.append(ids_blk[rr])
+                out_cand.append(ids_blk[cc])
+            prefix.append((ids_blk, Qb, sb, eb))
+            base = pd.DataFrame(
+                {
+                    "vec_id": ids_blk,
+                    "cell": np.full(nb, cell, dtype=np.int32),
+                    "cand": np.full(nb, -1, dtype=np.int64),
+                }
+            )
+            if out_id and sum(len(x) for x in out_id):
+                cands = pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(out_id),
+                        "cell": cell,
+                        "cand": np.concatenate(out_cand),
+                    }
+                )
+                return pd.concat([base, cands], ignore_index=True)
+            return base
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells_np = pdf["cell"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, cells_np[1:] != cells_np[:-1]])
+            for st, en in zip(starts, np.r_[starts[1:], len(pdf)]):
+                cell = int(cells_np[st])
+                if cell != cur_cell:
+                    cur_cell, prefix = cell, []
+                g = pdf.iloc[st:en]
+                ids = g["__id"].to_numpy(dtype=np.int64)
+                order = np.argsort(ids)
+                ids = ids[order]
+                M = np.array(list(g["__vec"]), dtype=np.float64)[order]
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                for b in range(0, len(ids), block_size):
+                    yield emit(
+                        ids[b : b + block_size], Mn[b : b + block_size], cell
+                    )
+
+    screened = (
+        cells.repartition("cell")
+        .sortWithinPartitions("cell", "__id")
+        .mapInPandas(screen_cells, "vec_id long, cell int, cand long")
+    )
+    base = screened.filter(F.col("cand") < 0).select("vec_id", "cell")
+    pairs = screened.filter(F.col("cand") >= 0).select(
+        "vec_id", F.col("cand").alias("__evictor")
+    )
+    nvs = cells.select("__id", "__vec")
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, t: acc + t
+        )
+    )
+    confirmed = (
+        pairs.join(
+            nvs.select(
+                F.col("__id").alias("vec_id"), F.col("__vec").alias("__va")
+            ),
+            "vec_id",
+        )
+        .join(
+            nvs.select(
+                F.col("__id").alias("__evictor"), F.col("__vec").alias("__vb")
+            ),
+            "__evictor",
+        )
+        .filter(
+            dot / (nrm(F.col("__va")) * nrm(F.col("__vb")))
+            >= F.lit(threshold)
+        )
+        .groupBy("vec_id")
+        .agg(F.min("__evictor").alias("evicted_by"))
+    )
+    return base.join(confirmed, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("evicted_by").isNull().alias("kept"),
+        "evicted_by",
     )
 
 

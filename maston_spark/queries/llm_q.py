@@ -1317,9 +1317,7 @@ def q93_winnow_neardup(spark, sf_dir):
     )
 
 
-@query(
-    "q94_semantic_dedup",
-    oracle="""
+_SEMDEDUP_ORACLE = """
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (
       SELECT vec_id, v FROM base
@@ -1369,7 +1367,12 @@ def q93_winnow_neardup(spark, sf_dir):
            (e2.evicted_by IS NULL) AS kept,
            e2.evicted_by
     FROM cells c2 LEFT JOIN ev e2 ON e2.vec_id = c2.vec_id
-    """,
+    """
+
+
+@query(
+    "q94_semantic_dedup",
+    oracle=_SEMDEDUP_ORACLE,
 )
 def q94_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic deduplication: quantize normalized
@@ -1390,6 +1393,32 @@ def q94_semantic_dedup(spark, sf_dir):
     )
     corpus = emb.unionByName(twins)
     return SIM.semantic_dedup(corpus, threshold=0.9, target_cell_rows=64)
+
+@query(
+    "q162_semantic_dedup_q",
+    oracle=_SEMDEDUP_ORACLE,
+)
+def q162_semantic_dedup_q(spark, sf_dir):
+    """SemDeDup with the INT8-QUANTIZED prefix: identical corpus,
+    identical keep-one rule, identical oracle as q94 — but the
+    per-task prefix is int8 + an exact-confirm join (6x residency
+    cut; the int8 screen is a Cauchy-Schwarz-sound superset). Two
+    independent engine paths against one oracle. See
+    :func:`maston_spark.llm.similarity.semantic_dedup_quantized`."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 0.1 * embedding[(i + 1) % 64])"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    return SIM.semantic_dedup_quantized(
+        corpus, threshold=0.9, target_cell_rows=64
+    )
+
 
 @query(
     "q95_exact_substring",

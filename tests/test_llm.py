@@ -526,6 +526,45 @@ def test_semantic_dedup_corpus_scaled_k_bounds_prefix(spark):
     assert max(sizes.values()) <= 1.5 * target, sizes
 
 
+def test_semantic_dedup_quantized_equals_float(spark):
+    """The int8-screen + exact-confirm path must reproduce the
+    all-float path exactly: the screen is a sound superset (every
+    true eviction pair passes the Cauchy-Schwarz bound) and the
+    confirm re-evaluates the exact rule — so kept/evicted_by match
+    row for row, including planted twins and within-block pairs."""
+    import numpy as np
+
+    from maston_spark.llm.similarity import (
+        semantic_dedup,
+        semantic_dedup_quantized,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(300):
+        v = rng.normal(size=16)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # planted twins: near-dup (evicts), plus a just-below-threshold
+    # perturbation (must NOT evict — exercises the epsilon shell)
+    rows.append(Row(vec_id=900, embedding=[x * 1.0002 for x in rows[7].embedding]))
+    rows.append(
+        Row(
+            vec_id=901,
+            embedding=[
+                float(x + rng.normal() * 0.6) for x in rows[9].embedding
+            ],
+        )
+    )
+    df = spark.createDataFrame(rows)
+    kw = dict(threshold=0.95, target_cell_rows=64, block_size=32)
+    flt = {r.vec_id: (r.kept, r.evicted_by, r.cell)
+           for r in semantic_dedup(df, **kw).collect()}
+    qnt = {r.vec_id: (r.kept, r.evicted_by, r.cell)
+           for r in semantic_dedup_quantized(df, **kw).collect()}
+    assert flt == qnt
+    assert qnt[900] == (False, 7, qnt[7][2])  # twin evicted by source
+
+
 def test_winnowing_sharded_equals_unsharded(spark):
     """Position-block sharding is a pure parallelism change: with the
     window+k-2 overlap, every shard computes the same window-mins the
