@@ -466,3 +466,33 @@ def budget_select(
                 return
 
     return ordered.mapInPandas(cut, out_schema)
+
+
+def cluster_safe_split(
+    verts: DataFrame,
+    edges: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: near-duplicate
+    clusters are split as a UNIT — every member takes the split of
+    its cluster label (the component min id), so a document and its
+    near-duplicates can never straddle train and test. The
+    constructive counterpart of the cross-split leakage AUDIT
+    (``split_leakage``): the audit detects the contamination a
+    doc-hash split produces; this splitter makes it impossible by
+    construction (dedup-aware splitting, the Lee et al. 2021 / GPT-3
+    decontamination discipline applied at split time).
+
+    Scale shape: :func:`maston_spark.llm.dedup.connected_components`
+    supplies (id, cluster); the assignment is then ONE codegen
+    projection on the cluster label — no extra shuffle beyond the
+    clustering itself, and the same md5-bucket determinism as
+    :func:`split_assign` (any engine replays it).
+
+    Output: (id, cluster, split).
+    """
+    from maston_spark.llm.dedup import connected_components
+
+    comp = connected_components(verts, edges)
+    return comp.withColumn("split", split_expr("cluster", weights, salt))

@@ -718,6 +718,79 @@ def q54_chargram_jaccard(spark, sf_dir):
 
 
 @query(
+    "q164_cluster_safe_split",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xyz xyz xyz' FROM documents WHERE doc_id % 5 = 0),
+    toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+      SELECT id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS sh
+      FROM toks),
+    sh2 AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+    hv AS (
+      SELECT id, list_distinct(
+               list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hv
+      FROM sh2),
+    sig AS (
+      SELECT id,
+             list_transform(range(0, 16),
+               s -> list_min(list_transform(hv,
+                      h -> ((1664525 + 2*s) * h + 1013904223 + s) % 4294967311))) AS sig
+      FROM hv),
+    buckets AS (
+      SELECT id, b,
+             md5(array_to_string(sig[(b*4+1):(b*4+4)], '|')) AS bucket
+      FROM sig CROSS JOIN range(0, 4) r(b)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+    jac AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN hv ha ON ha.id = c.id_a
+      JOIN hv hb ON hb.id = c.id_b
+      WHERE round(len(list_intersect(ha.hv, hb.hv))::DOUBLE
+                  / len(list_distinct(ha.hv || hb.hv)), 6) >= 0.2),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION SELECT id_b, id_a FROM jac),
+    reach AS (
+      SELECT id, id AS r FROM corpus
+      UNION
+      SELECT s.b AS id, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    SELECT id, cluster,
+           CASE WHEN ('0x' || substr(md5('split:' || cluster), 1, 8))::BIGINT % 1000 < 800
+                THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || cluster), 1, 8))::BIGINT % 1000 < 900
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """,
+)
+def q164_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe splitting: the q55 near-dup clusters are assigned
+    to train/val/test as a UNIT (split = hash of the cluster label,
+    not the doc id), so planted near-duplicates can never straddle
+    splits — the constructive counterpart of the q126 leakage audit.
+    See :func:`maston_spark.llm.sampling.cluster_safe_split`."""
+    from maston_spark.llm import sampling as SAMP
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
+    cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
+    edges = DD.jaccard_from_lanes(mf, cands, threshold=0.2)
+    verts = corpus.select(F.col("doc_id").alias("id"))
+    return SAMP.cluster_safe_split(verts, edges)
+
+
+@query(
     "q55_dup_clusters",
     oracle="""
     WITH RECURSIVE corpus AS (

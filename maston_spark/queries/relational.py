@@ -1436,3 +1436,63 @@ def q128_robust_outliers(spark, sf_dir):
         "n_outliers",
         "outlier_frac",
     )
+
+
+@query(
+    "q163_interval_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS s, event_type
+               FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 s AS p_start, s + 86400000000 AS p_end
+          FROM e WHERE event_type = 'purchase'),
+    r AS (SELECT event_id AS error_id, user_id,
+                 s AS e_start, s + 600000000 AS e_end
+          FROM e WHERE event_type = 'error')
+    SELECT p.user_id AS user_id, purchase_id, error_id,
+           least(p_end, e_end) - greatest(p_start, e_start) AS overlap_us
+    FROM p JOIN r ON p.user_id = r.user_id
+                 AND p_start <= e_end AND e_start <= p_end
+    ORDER BY p.user_id, purchase_id, error_id
+    """,
+)
+def q163_interval_join(spark, sf_dir):
+    """Interval-overlap join: which error windows (10 min) overlap
+    each customer's day-long purchase-attribution window — the
+    non-equi range×range join, executed as a bucketized EQUI-join
+    (4-hour buckets, first-shared-bucket dedup) instead of the
+    |L|·|R| theta scan. See
+    :func:`maston_spark.relational.interval_join`."""
+    from maston_spark.relational import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        micros.alias("p_start"),
+        (micros + 86_400_000_000).alias("p_end"),
+    )
+    r = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("__r_uid"),
+        micros.alias("e_start"),
+        (micros + 600_000_000).alias("e_end"),
+    )
+    out = interval_join(
+        p,
+        r.withColumnRenamed("__r_uid", "user_id"),
+        "p_start", "p_end", "e_start", "e_end",
+        bucket_width=14_400_000_000,
+        partition_cols=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        (
+            F.least("p_end", "e_end") - F.greatest("p_start", "e_start")
+        ).alias("overlap_us"),
+    ).orderBy("user_id", "purchase_id", "error_id")

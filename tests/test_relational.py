@@ -499,3 +499,51 @@ def test_cdc_apply_matches_sequential_replay(spark, changes):
     ) if ch_rows else spark.createDataFrame([], "k long, v string, op string, seq long")
     got = {r.k: r.v for r in cdc_apply(base, ch, ["k"], "seq").collect()}
     assert got == state
+
+
+def test_interval_join_overlap_and_contains(spark):
+    """Bucketized interval join: exact overlap semantics, ONE output
+    row per overlapping pair even when the pair shares several
+    buckets, and the plan is an equi-join on the bucket key (never a
+    nested-loop theta scan)."""
+    from pyspark.sql import functions as F
+
+    from maston_spark.relational import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 200, 300), (3, 50, 260)],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 110), (11, 250, 255), (12, 400, 500)],
+        "rid long, rs long, re long",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=10
+        ).collect()
+    }
+    # pair (3,11) shares buckets 25 — and (1,10) spans buckets 9..11
+    # on both sides: still exactly one row each
+    assert got == {(1, 10), (3, 10), (2, 11), (3, 11)}
+    rows = interval_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=10
+    ).collect()
+    assert len(rows) == 4  # no duplicate bucket hits
+    # contains mode: only l fully containing r
+    got_c = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, "ls", "le", "rs", "re",
+            bucket_width=10, how_overlap="contains",
+        ).collect()
+    }
+    assert got_c == {(3, 10), (3, 11), (2, 11)}
+    # the plan is an equi join on the bucket (SortMergeJoin /
+    # BroadcastHashJoin), never BroadcastNestedLoopJoin
+    plan = (
+        interval_join(left, right, "ls", "le", "rs", "re", bucket_width=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan, plan[:800]
