@@ -985,6 +985,111 @@ def bm25_rank(
     ).limit(top_k)
 
 
+def nb_classify(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial naive-Bayes text classifier, trained and applied
+    in-engine — the fastText-style model-based curation filter slot
+    (quality/domain classifiers run after the rule gates; public
+    algorithm, McCallum & Nigam 1998). Laplace-``alpha`` smoothing
+    over the TRAINING vocabulary; test tokens outside it are dropped
+    (standard NB convention).
+
+    Distributed shape: training is two combiner aggs — (label, term)
+    counts and label totals/priors — densified to the |labels|×|V|
+    log-prob table (labels are few; the table is vocab-bounded and
+    map-side joinable). Scoring filters each test doc's token array
+    to the vocabulary BEFORE exploding, joins term log-probs
+    (|hits|×|labels| rows), and takes one decimal-exact sum + argmax
+    per (doc, label) — never a dense doc×vocab product. Ties break
+    on the label string ascending.
+
+    Exactness: log-probs round to 9 decimals; per-doc sums accumulate
+    in DECIMAL(28,9) (order-independent); the argmax compares rounded
+    decimal scores — an oracle replays every step bit-for-bit.
+
+    Output: one row per test doc — (id, label_pred, and the winning
+    rounded log-score ``nb_score``).
+    """
+    toks = tokens(F.col(text_col))
+    tr = train.select(
+        F.col(label_col).alias("__lab"), F.explode(toks).alias("term")
+    )
+    counts = tr.groupBy("__lab", "term").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    lab_tot = counts.groupBy("__lab").agg(F.sum("__c").alias("__tot"))
+    vocab = counts.select("term").distinct()
+    vsz = vocab.agg(F.count(F.lit(1)).alias("__v"))
+    n_docs = train.groupBy(F.col(label_col).alias("__lab")).agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    n_all = train.agg(F.count(F.lit(1)).alias("__n"))
+    # dense (label, term) log-prob table: ln((c+α)/(tot+α·V))
+    dense = (
+        lab_tot.join(vocab)
+        .join(counts, ["__lab", "term"], "left")
+        .join(F.broadcast(vsz))
+        .select(
+            "__lab",
+            "term",
+            F.round(
+                F.log(
+                    (F.coalesce("__c", F.lit(0)) + F.lit(alpha))
+                    / (F.col("__tot") + F.lit(alpha) * F.col("__v"))
+                ),
+                9,
+            ).cast("decimal(28,9)").alias("__lp"),
+        )
+    )
+    priors = (
+        n_docs.join(F.broadcast(n_all))
+        .select(
+            "__lab",
+            F.round(
+                F.log(F.col("__nd").cast("double") / F.col("__n")), 9
+            ).cast("decimal(28,9)").alias("__prior"),
+        )
+    )
+    hits = test.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    ).join(vocab, "term", "left_semi")
+    scores = (
+        hits.join(dense, "term")
+        .groupBy(id_col, "__lab")
+        .agg(F.sum("__lp").alias("__s"))
+        .join(F.broadcast(priors), "__lab")
+        .select(
+            id_col,
+            "__lab",
+            # re-cast the (38,9) sum to (28,9) BEFORE adding: Spark
+            # resolves (38,9)+(28,9) by dropping the scale to 8
+            (
+                F.col("__s").cast("decimal(28,9)") + F.col("__prior")
+            ).cast("decimal(28,9)").alias("__score"),
+        )
+    )
+    # argmax with min-label tie-break: lexicographic min of
+    # (-score, label) — decimal negation is exact
+    w_best = scores.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("__score")).alias("__neg"), F.col("__lab").alias("__l")
+            )
+        ).alias("__b")
+    )
+    return w_best.select(
+        id_col,
+        F.col("__b.__l").alias("label_pred"),
+        F.round((-F.col("__b.__neg")).cast("double"), 6).alias("nb_score"),
+    )
+
+
 def query_likelihood_rank(
     df: DataFrame,
     query_terms: list[str],

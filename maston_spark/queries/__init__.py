@@ -155,7 +155,8 @@ _PRIORITY = [
     "q147_ccnet_buckets", "q149_k_anonymity",
     "q156_query_likelihood", "q159_top_supplier", "q160_dormant_customers",
     "q161_containment_neardup", "q162_semantic_dedup_q", "q163_interval_join",
-    "q164_cluster_safe_split",
+    "q164_cluster_safe_split", "q165_nb_classifier",
+    "q166_dedup_threshold_sweep",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

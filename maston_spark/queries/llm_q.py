@@ -718,6 +718,149 @@ def q54_chargram_jaccard(spark, sf_dir):
 
 
 @query(
+    "q166_dedup_threshold_sweep",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' xyz xyz xyz' FROM documents WHERE doc_id % 5 = 0),
+toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' '))
+           ELSE [] END) AS sh
+  FROM toks),
+sh2 AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+hv AS (
+  SELECT id, list_distinct(
+           list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hv
+  FROM sh2),
+sig AS (
+  SELECT id,
+         list_transform(range(0, 16),
+           s -> list_min(list_transform(hv,
+                  h -> ((1664525 + 2*s) * h + 1013904223 + s) % 4294967311))) AS sig
+  FROM hv),
+buckets AS (
+  SELECT id, b,
+         md5(array_to_string(sig[(b*4+1):(b*4+4)], '|')) AS bucket
+  FROM sig CROSS JOIN range(0, 4) r(b)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+jac AS (
+  SELECT c.id_a, c.id_b,
+         CAST(round(round(len(list_intersect(ha.hv, hb.hv))::DOUBLE
+               / len(list_distinct(ha.hv || hb.hv)), 6) * 1000000)
+              AS BIGINT) AS jint
+  FROM cand c
+  JOIN hv ha ON ha.id = c.id_a
+  JOIN hv hb ON hb.id = c.id_b),
+planted AS (SELECT count(*) AS np FROM corpus WHERE id >= 1000000),
+pair_hist AS (
+  SELECT least(9, jint // 100000) AS b, count(*) AS n FROM jac GROUP BY 1),
+doc_max AS (SELECT id_b, max(jint) AS mj FROM jac GROUP BY 1),
+doc_hist AS (
+  SELECT least(9, mj // 100000) AS b, count(*) AS n,
+         sum(CASE WHEN id_b >= 1000000 THEN 1 ELSE 0 END) AS npl
+  FROM doc_max GROUP BY 1),
+grid AS (SELECT unnest(range(1, 10)) AS t),
+sw AS (
+  SELECT g.t,
+         (SELECT coalesce(sum(n), 0) FROM pair_hist WHERE b >= g.t)
+           AS n_pairs,
+         (SELECT coalesce(sum(n), 0) FROM doc_hist WHERE b >= g.t)
+           AS n_flagged_docs,
+         (SELECT coalesce(sum(npl), 0) FROM doc_hist WHERE b >= g.t)
+           AS n_planted_flagged
+  FROM grid g)
+SELECT round(t / 10.0, 1) AS threshold,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_flagged_docs AS BIGINT) AS n_flagged_docs,
+       CAST(n_planted_flagged AS BIGINT) AS n_planted_flagged,
+       round(n_planted_flagged::DOUBLE / planted.np, 6) AS planted_recall
+FROM sw, planted ORDER BY threshold
+    """,
+)
+def q166_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold tuning curve: pairs kept, docs flagged, and
+    planted-near-dup recall at each of 9 Jaccard thresholds — the
+    knob-selection report an operator reads before fixing the
+    production threshold (q152 is the single-threshold effectiveness
+    report; this is its tuning sweep).
+
+    Distributed shape: the verified pair table is computed ONCE;
+    everything threshold-dependent reduces to two tiny histograms —
+    pairs per Jaccard bucket, and docs per max-Jaccard bucket (one
+    combiner agg each, integer buckets so bucketing is exact
+    cross-engine) — and the 9-row sweep is a reverse-cumulative over
+    ≤10 histogram rows. No per-threshold scan, no countDistinct
+    expand, nothing corpus-sized moves more than once.
+    """
+    corpus = _neardup_corpus(spark, sf_dir)
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
+    cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
+    pairs = DD.jaccard_from_lanes(mf, cands, threshold=0.0).select(
+        "id_b",
+        F.round(F.round("jaccard", 6) * 1000000)
+        .cast("long")
+        .alias("__jint"),
+    )
+    planted = corpus.filter(F.col("doc_id") >= 1000000).agg(
+        F.count(F.lit(1)).alias("__np")
+    )
+    bucket = F.least(F.lit(9), F.floor(F.col("__jint") / 100000)).alias("__b")
+    pair_hist = pairs.groupBy(bucket).agg(F.count(F.lit(1)).alias("__n"))
+    doc_hist = (
+        pairs.groupBy("id_b")
+        .agg(F.max("__jint").alias("__jint"))
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.sum(
+                F.when(F.col("id_b") >= 1000000, 1).otherwise(0)
+            ).alias("__npl"),
+        )
+    )
+    grid = spark.range(1, 10).select(F.col("id").alias("__t"))
+    sw = (
+        grid.join(F.broadcast(pair_hist), F.col("__b") >= F.col("__t"), "left")
+        .groupBy("__t")
+        .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_pairs"))
+        .join(
+            grid.join(
+                F.broadcast(doc_hist), F.col("__b") >= F.col("__t"), "left"
+            )
+            .groupBy("__t")
+            .agg(
+                F.coalesce(F.sum("__nd"), F.lit(0)).alias("n_flagged_docs"),
+                F.coalesce(F.sum("__npl"), F.lit(0)).alias(
+                    "n_planted_flagged"
+                ),
+            ),
+            "__t",
+        )
+    )
+    return (
+        sw.join(F.broadcast(planted))
+        .select(
+            F.round(F.col("__t") / 10.0, 1).alias("threshold"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_flagged_docs").cast("long").alias("n_flagged_docs"),
+            F.col("n_planted_flagged").cast("long").alias(
+                "n_planted_flagged"
+            ),
+            F.round(
+                F.col("n_planted_flagged") / F.col("__np"), 6
+            ).alias("planted_recall"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@query(
     "q164_cluster_safe_split",
     oracle="""
     WITH RECURSIVE corpus AS (
@@ -2294,6 +2437,88 @@ def q123_bm25_rank(spark, sf_dir):
     See :func:`maston_spark.llm.text.bm25_rank`."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.bm25_rank(d, ["spark", "window", "merge", "dup"])
+
+
+@query(
+    "q165_nb_classifier",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id AS id, text, 'plain' AS lab FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zq xk vv zq xk', 'shifted'
+      FROM documents),
+    tr AS (SELECT lab, unnest(string_split(text, ' ')) AS term
+           FROM corpus WHERE id % 2 = 0),
+    counts AS (SELECT lab, term, count(*) AS c FROM tr GROUP BY 1, 2),
+    lab_tot AS (SELECT lab, sum(c) AS tot FROM counts GROUP BY 1),
+    vocab AS (SELECT DISTINCT term FROM counts),
+    vsz AS (SELECT count(*) AS v FROM vocab),
+    nd AS (SELECT lab, count(*) AS ndl FROM corpus WHERE id % 2 = 0
+           GROUP BY 1),
+    na AS (SELECT count(*) AS n FROM corpus WHERE id % 2 = 0),
+    dense AS (SELECT lt.lab, v.term,
+                     CAST(round(ln((coalesce(c.c, 0) + 1.0)
+                                   / (lt.tot + 1.0 * vsz.v)), 9)
+                          AS DECIMAL(28,9)) AS lp
+              FROM lab_tot lt CROSS JOIN vocab v
+              LEFT JOIN counts c ON c.lab = lt.lab AND c.term = v.term,
+              vsz),
+    priors AS (SELECT nd.lab,
+                      CAST(round(ln(CAST(ndl AS DOUBLE) / na.n), 9)
+                           AS DECIMAL(28,9)) AS prior
+               FROM nd, na),
+    hits AS (SELECT t.id, t.term
+             FROM (SELECT id, unnest(string_split(text, ' ')) AS term
+                   FROM corpus WHERE id % 2 = 1) t
+             JOIN vocab USING (term)),
+    ssum AS (SELECT id, d.lab, sum(d.lp) AS s
+             FROM hits h JOIN dense d ON d.term = h.term GROUP BY 1, 2),
+    sc AS (SELECT id, ssum.lab,
+                  CAST(CAST(ssum.s AS DECIMAL(28,9)) + p.prior
+                       AS DECIMAL(28,9)) AS score
+           FROM ssum JOIN priors p ON p.lab = ssum.lab),
+    best AS (SELECT id, lab, score FROM (
+               SELECT *, row_number() OVER (PARTITION BY id
+                        ORDER BY score DESC, lab ASC) AS rn
+               FROM sc) WHERE rn = 1)
+    SELECT CASE WHEN id >= 1000000 THEN 'shifted' ELSE 'plain' END
+             AS label_actual,
+           lab AS label_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM best GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q165_nb_classifier(spark, sf_dir):
+    """In-engine multinomial naive-Bayes curation classifier (the
+    fastText-style model-based filter slot): the corpus plants a
+    learnable distribution shift — every doc re-appears with 5
+    marker tokens appended, labeled 'shifted' — trains on the even
+    ids and reports the held-out confusion matrix. The planted
+    markers make the task learnable, so the graded matrix proves the
+    TRAINED log-probs drive predictions (near-perfect recall on
+    'shifted'), not just the priors. See
+    :func:`maston_spark.llm.text.nb_classify`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zq xk vv zq xk")).alias("text"),
+    )
+    corpus = (
+        d.withColumn("label", F.lit("plain"))
+        .unionByName(shifted.withColumn("label", F.lit("shifted")))
+    )
+    train = corpus.filter(F.col("doc_id") % 2 == 0)
+    test = corpus.filter(F.col("doc_id") % 2 == 1)
+    pred = TXT.nb_classify(train, test.select("doc_id", "text"))
+    actual = F.when(
+        F.col("doc_id") >= 1000000, F.lit("shifted")
+    ).otherwise(F.lit("plain"))
+    return (
+        pred.select(actual.alias("label_actual"), "label_pred")
+        .groupBy("label_actual", "label_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("label_actual", "label_pred")
+    )
 
 
 @query(

@@ -1089,6 +1089,39 @@ def test_exact_substring_dedup_keep_first_within_doc_repeat(spark):
     assert out.n_kept_tokens == 4
 
 
+def test_nb_classify_golden(spark):
+    """Hand-checkable naive Bayes: 'ham' docs use fruit words, 'spam'
+    docs use pitch words; a held-out doc of each kind classifies
+    correctly, and a doc of only OOV tokens falls back to the prior
+    argmax (min label on a prior tie)."""
+    from maston_spark.llm.text import nb_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "apple banana apple", "ham"),
+            (2, "banana cherry apple", "ham"),
+            (3, "buy now cheap", "spam"),
+            (4, "cheap buy deal", "spam"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "apple banana"),
+            (11, "buy cheap cheap"),
+            (12, "zzz qqq"),  # all OOV -> dropped -> no score row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in nb_classify(train, test).collect()}
+    assert got[10].label_pred == "ham"
+    assert got[11].label_pred == "spam"
+    # all-OOV doc produces no hits, hence no prediction row (NB's
+    # drop-OOV convention; documented)
+    assert 12 not in got
+    assert got[10].nb_score < 0  # log-domain
+
+
 def test_cluster_safe_split_never_straddles_neardups(spark):
     """Every edge's endpoints land in the SAME split (the defining
     property), and singleton docs still get a split — unlike a
