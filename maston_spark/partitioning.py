@@ -100,3 +100,55 @@ def explain_has_exchange_below_join(df: DataFrame) -> bool:
     if join_idx is None:
         return False
     return any("Exchange" in ln for ln in lines[join_idx:])
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 16
+) -> DataFrame:
+    """Add a Morton (Z-order) clustering key over ``cols`` — the
+    multi-column locality layout (Delta's OPTIMIZE ZORDER, Hudi's
+    space-filling curves) that makes parquet min/max pruning work on
+    EVERY keyed column, not just the leading sort key: a linear sort
+    on (a, b) clusters a perfectly and b not at all; bit-interleaved
+    ranks cluster both at ~sqrt fidelity.
+
+    Each column min-max-scales to a ``bits``-bit integer rank (one
+    slim agg broadcast back — constant columns rank 0), and the key
+    interleaves the rank bits round-robin. All pure column algebra
+    (shifts/masks inside codegen). Write with
+    ``df.repartitionByRange(n, '__zkey').sortWithinPartitions('__zkey')``
+    and every keyed column's range predicate prunes most files.
+    """
+    from functools import reduce as _reduce
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    out = df.join(F.broadcast(stats))
+    n = len(cols)
+    maxrank = (1 << bits) - 1
+    parts = []
+    for j, c in enumerate(cols):
+        rng = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+        rank = F.when(rng <= 0, F.lit(0)).otherwise(
+            F.floor(
+                (F.col(c).cast("double") - F.col(f"__mn_{c}"))
+                * maxrank
+                / rng
+            )
+        ).cast("long")
+        for b in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(rank, b).bitwiseAND(F.lit(1)),
+                    b * n + j,
+                )
+            )
+    zkey = _reduce(lambda a, x: a.bitwiseOR(x), parts)
+    return out.withColumn("__zkey", zkey).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )

@@ -329,3 +329,44 @@ def test_salted_join_spreads_planted_hot_key(spark):
     # severalfold (measured 26213 -> 8870 rows; the residue above
     # total/32 is uniform-key hash collision, not the hot key)
     assert salted_max <= plain_max / 2.5, (salted_max, plain_max)
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """Z-order layout evidence: after writing 16 files clustered by
+    the interleaved key, a RANGE predicate on EITHER column finds its
+    matches concentrated in a small subset of files — while a linear
+    sort on column a alone leaves column b's matches smeared across
+    ~all files. This file concentration is exactly what parquet
+    min/max stats then turn into skipped IO."""
+    from maston_spark.partitioning import zorder_key
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") / 200).cast("long") % 200).alias("b"),
+    )
+
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder_key(df, ["a", "b"], bits=8).repartitionByRange(
+        16, "__zkey"
+    ).sortWithinPartitions("__zkey").write.mode("overwrite").parquet(zpath)
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.mode(
+        "overwrite"
+    ).parquet(lpath)
+
+    def files_with_matches(path, col):
+        return (
+            spark.read.parquet(path)
+            .filter((F.col(col) >= 40) & (F.col(col) < 50))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    # column a: both layouts cluster it
+    assert files_with_matches(zpath, "a") <= 8
+    assert files_with_matches(lpath, "a") <= 4
+    # column b: z-order concentrates it, the linear layout smears it
+    zb, lb = files_with_matches(zpath, "b"), files_with_matches(lpath, "b")
+    assert zb <= 8, zb
+    assert lb >= 14, lb  # nearly every file touched
