@@ -15,8 +15,12 @@ is measured and real — see the call sites) but registers the frame in
 a small FIFO: when more than ``MAX_LIVE`` scoped frames are live, the
 oldest is unpersisted. By the time a frame ages out of the window its
 consuming query has long since run its action; if something ever DOES
-re-execute it, Spark just recomputes — unpersist is always
-correctness-safe. Net: executor cache residency is bounded by the
+re-execute it, Spark just recomputes — for content-derived frames
+recompute is always correctness-safe. The ONE exception is a frame
+whose driver-collected metadata is keyed by its physical partition
+layout (budget_select's per-partition offsets: repartitionByRange
+re-samples boundaries on re-execution) — such frames pin a bare
+``.persist()`` instead and say so at the call site. Net: executor cache residency is bounded by the
 ``MAX_LIVE`` newest intermediates instead of growing monotonically.
 """
 

@@ -422,12 +422,20 @@ def budget_select(
 
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    from maston_spark.caching import scoped_persist
 
-    ordered = scoped_persist(
+    # PINNED persist, deliberately NOT scoped_persist: the driver
+    # collects per-__pid totals from THIS materialization, and the
+    # returned frame replays __pid -> offset against the same blocks.
+    # If the cache were evicted, re-execution would re-sample
+    # repartitionByRange's boundaries (RangePartitioner sampling is
+    # seeded by fresh RDD ids), rows could land in different
+    # partitions, and the collected offsets would silently misalign
+    # — the one shape where "unpersist is recompute-safe" is false.
+    ordered = (
         df.repartitionByRange(p, F.col(score_col).desc(), F.col(id_col).asc())
         .sortWithinPartitions(F.col(score_col).desc(), F.col(id_col).asc())
         .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     totals = {
         r["__pid"]: r["t"]

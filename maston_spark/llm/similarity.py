@@ -829,8 +829,14 @@ def semantic_dedup_quantized(
     import numpy as np
     import pandas as pd
 
-    cells = _semantic_cells(
-        corpus, n_centroids, target_cell_rows, iterations, id_col, vec_col
+    from maston_spark.caching import scoped_persist
+
+    # three consumers (the screen scan + both sides of the confirm
+    # join) — persist so the normalize+Lloyd chain runs once
+    cells = scoped_persist(
+        _semantic_cells(
+            corpus, n_centroids, target_cell_rows, iterations, id_col, vec_col
+        )
     )
 
     def screen_cells(batches):
@@ -859,9 +865,13 @@ def semantic_dedup_quantized(
                 rr, cc = np.nonzero(Dhat >= threshold - eps - 1e-9)
                 out_id.append(ids_blk[rr])
                 out_cand.append(p_ids[cc])
-            # within-block pairs: exact float (block is resident)
+            # within-block pairs: BLAS screen with the same 1e-9
+            # slack as the prefix path (the confirm join re-applies
+            # the exact rule, so slack only widens candidates — a
+            # no-slack screen could drop a boundary pair the exact
+            # fold accepts)
             if nb > 1:
-                tri = np.tril(Mn_blk @ Mn_blk.T >= threshold, k=-1)
+                tri = np.tril(Mn_blk @ Mn_blk.T >= threshold - 1e-9, k=-1)
                 rr, cc = np.nonzero(tri)
                 out_id.append(ids_blk[rr])
                 out_cand.append(ids_blk[cc])
@@ -1133,13 +1143,15 @@ def _kmeans_fit(
                 win_d = np.empty(len(X), dtype=np.float64)
                 for s in range(0, len(X), blk):
                     Xb = X[s : s + blk]
-                    D = (
-                        (Xb * Xb).sum(axis=1)[:, None]
-                        - 2.0 * (Xb @ Cb.T)
-                        + cn2[None, :]
-                    )
+                    xx = (Xb * Xb).sum(axis=1)
+                    D = xx[:, None] - 2.0 * (Xb @ Cb.T) + cn2[None, :]
                     m = D.min(axis=1)
-                    rr, cc = np.nonzero(D <= m[:, None] + 1e-6)
+                    # shortlist margin scales with the squared norms:
+                    # the expansion's cancellation error is
+                    # ~eps_mach x (||x||^2 + ||c||^2), so a fixed
+                    # 1e-6 would under-cover large-magnitude vectors
+                    marg = 1e-6 + 1e-9 * (xx + cn2.max())
+                    rr, cc = np.nonzero(D <= (m + marg)[:, None])
                     # exact left fold, same IEEE op order as
                     # F.aggregate / the oracle's list_sum
                     acc = np.zeros(len(rr))
@@ -1875,6 +1887,26 @@ def ivf_pq_topk(
     cand = _ivf_pq_build(
         corpus, query_ids, n_cells, nprobe, iterations, id_col, vec_col
     ).select("query_id", "__nid", "cell")
+    return _ivf_pq_adc(
+        cand, corpus, query_ids, k_neighbors, m, sub_dim, k, id_col, vec_col
+    )
+
+
+def _ivf_pq_adc(
+    cand: DataFrame,
+    corpus: DataFrame,
+    query_ids: list[int],
+    k_neighbors: int,
+    m: int,
+    sub_dim: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ADC-scoring back half of IVF-PQ over a prebuilt candidate
+    frame (query_id, __nid, cell) — factored out so harnesses that
+    already ran :func:`_ivf_pq_build` (e.g. :func:`ivf_pq_recall`)
+    score its candidates without re-training the coarse cells."""
     sub, codebook = _pq_train(corpus, m, sub_dim, k, id_col, vec_col)
     codes = _pq_assign(sub, codebook).select(
         F.col("__id").alias("__nid"), "__s", "__cid"
@@ -1955,10 +1987,9 @@ def ivf_pq_recall(
         .filter(F.col("__rn") <= k_neighbors)
         .select("query_id", F.col("__nid").alias("neighbor_id"), F.lit(1).alias("__f"))
     )
-    pq = ivf_pq_topk(
-        corpus, query_ids, k_neighbors=k_neighbors, n_cells=n_cells,
-        nprobe=nprobe, iterations=iterations, m=m, sub_dim=sub_dim, k=k,
-        id_col=id_col, vec_col=vec_col,
+    pq = _ivf_pq_adc(
+        cand.select("query_id", "__nid", "cell"),
+        corpus, query_ids, k_neighbors, m, sub_dim, k, id_col, vec_col,
     ).select("query_id", "neighbor_id", F.lit(1).alias("__p"))
     j = (
         exact.select("query_id", "neighbor_id")

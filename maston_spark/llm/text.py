@@ -1013,8 +1013,11 @@ def nb_classify(
     in DECIMAL(28,9) (order-independent); the argmax compares rounded
     decimal scores — an oracle replays every step bit-for-bit.
 
-    Output: one row per test doc — (id, label_pred, and the winning
-    rounded log-score ``nb_score``).
+    Output: one row per test doc THAT HAS at least one in-vocabulary
+    token — (id, label_pred, winning rounded log-score ``nb_score``).
+    A doc of only OOV tokens produces no row (all its evidence was
+    dropped); callers needing total coverage should coalesce missing
+    ids to the prior argmax.
     """
     toks = tokens(F.col(text_col))
     tr = train.select(
@@ -1058,9 +1061,9 @@ def nb_classify(
     )
     hits = test.select(
         F.col(id_col), F.explode(toks).alias("term")
-    ).join(vocab, "term", "left_semi")
+    ).join(F.broadcast(vocab), "term", "left_semi")
     scores = (
-        hits.join(dense, "term")
+        hits.join(F.broadcast(dense), "term")
         .groupBy(id_col, "__lab")
         .agg(F.sum("__lp").alias("__s"))
         .join(F.broadcast(priors), "__lab")

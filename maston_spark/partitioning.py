@@ -121,6 +121,12 @@ def zorder_key(
     """
     from functools import reduce as _reduce
 
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits = {len(cols) * bits} key bits; "
+            "a signed long holds 63 (bit 63 flips the sign and breaks range "
+            f"ordering; higher bits wrap) — use bits<={63 // len(cols)}"
+        )
     aggs = []
     for c in cols:
         aggs += [

@@ -748,8 +748,10 @@ def interval_join(
 
     ``how_overlap='contains'`` keeps only pairs where l contains r.
     """
-    import math  # noqa: F401  (documented knob math in docstring)
-
+    if how_overlap not in ("overlap", "contains"):
+        raise ValueError(
+            f"how_overlap must be 'overlap' or 'contains', got {how_overlap!r}"
+        )
     w = int(bucket_width)
     lb = left.withColumn(
         "__bucket",

@@ -500,17 +500,29 @@ def curation_topology(
         batch_df = batch_df.persist()
         out = None
         try:
-            docs = batch_df.filter(
-                F.col(ERR).isNull() & F.col(OK).isNotNull()
-            ).select(id_of.alias(id_col), text_of.alias(text_col))
+            # gate key = (id, content) composite: a batch can carry
+            # the same doc id twice (at-least-once redelivery, or an
+            # edited payload under the same id) — keying the verdict
+            # on the id alone would fan the join out AND merge the
+            # two payloads' repetition stats. The composite gives
+            # each distinct payload its own verdict, joined back
+            # without multiplying rows.
+            gid = F.md5(
+                F.concat_ws("\x00", id_of.cast("string"), text_of)
+            )
+            docs = (
+                batch_df.filter(F.col(ERR).isNull() & F.col(OK).isNotNull())
+                .select(gid.alias("__gid"), text_of.alias(text_col))
+                .dropDuplicates(["__gid"])
+            )
             verdict = gopher_gate(
-                docs, id_col=id_col, text_col=text_col, **(gate_kwargs or {})
+                docs, id_col="__gid", text_col=text_col, **(gate_kwargs or {})
             ).select(
-                F.col(id_col).alias("__gid"),
+                "__gid",
                 F.col("keep").alias("__keep"),
                 F.col("fail_reasons").alias("__reasons"),
             )
-            j = batch_df.join(verdict, id_of == F.col("__gid"), "left")
+            j = batch_df.join(verdict, gid == F.col("__gid"), "left")
             probed = bloom_probe(
                 j,
                 bytes(state["bitmap"]),
@@ -527,13 +539,20 @@ def curation_topology(
             if sdir is not None:
                 versions = _state_versions(spark, sdir)
                 prior = [v for v in versions if v < batch_id]
-                seed_v = prior[-1] if prior else (
-                    batch_id if batch_id in versions else None
-                )
-                if seed_v is not None:
-                    seed = spark.read.parquet(f"{sdir}/v{seed_v}")
-                    if seed_v == batch_id:
-                        seed = seed.localCheckpoint(eager=True)
+                # retry corner — deliberately NOT delta_topology's
+                # self-seed: there, seeding from the batch's own
+                # version only re-suppresses an already-stored record
+                # (harmless); HERE it would reclassify every doc the
+                # failed attempt accepted as a DuplicateRecord, so a
+                # crash between the state write and the sink delivery
+                # would drop those docs from the valid stream forever.
+                # Seeding strictly from versions < batch_id means a
+                # retried batch re-accepts its own docs (at-least-once
+                # delivery to the valid sink — the correct failure
+                # mode for ingest), and the own-version overwrite at
+                # the end of this function stays idempotent.
+                if prior:
+                    seed = spark.read.parquet(f"{sdir}/v{prior[-1]}")
                     hist = ref_hashes.unionByName(
                         seed.select("__h")
                     ).distinct()

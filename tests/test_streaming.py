@@ -332,6 +332,59 @@ def test_curation_topology_multi_batch_golden(spark, cleanup):
     assert sum(c["duplicate"] for _, c in metrics) == 3
 
 
+def test_curation_topology_duplicate_ids_within_batch(spark, cleanup):
+    """At-least-once redelivery puts the SAME doc_id in one batch
+    twice: identical payloads yield one accept + one DuplicateRecord;
+    an edited payload under the same id gets its OWN gate verdict
+    (keyed on (id, content), never the sibling's) — no join fan-out,
+    no cross-attributed verdicts."""
+    from maston_spark.streaming.topology import curation_topology
+
+    a_text = "the quick brown fox jumps over the lazy dog"
+    records = [
+        _doc(1, a_text),        # accepted
+        _doc(1, a_text),        # identical redelivery → duplicate
+        _doc(2, "sphinx of black quartz judge my vow"),   # accepted
+        _doc(2, "hi yo"),       # same id, edited payload → gate reject
+    ]
+    src_df = spark.createDataFrame([Row(value=v) for v in records])
+    stream, src = replay_stream(src_df)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    ref = spark.createDataFrame(
+        [(100, "historical document text alpha beta gamma")], DOC_SCHEMA
+    )
+    sunk: dict[str, list] = {"valid": [], "error": []}
+    q = curation_topology(
+        stream,
+        DOC_SCHEMA,
+        ref,
+        app_id="t-curation-dupid",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        gate_kwargs=GATE,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # exactly 4 rows total — the dup-id join must not fan out
+    assert len(sunk["valid"]) + len(sunk["error"]) == 4
+    valid_ids = sorted(r.ok.doc_id for r in sunk["valid"])
+    assert valid_ids == [1, 2]
+    k_exc = "maston.error.exception.class"
+    errs = sorted(_hdr(r, k_exc) for r in sunk["error"])
+    assert errs == ["DuplicateRecord", "QualityGateRejected"]
+    # the gate reject is the short payload, not the good doc-2 text
+    gate_row = [
+        r for r in sunk["error"]
+        if _hdr(r, k_exc) == "QualityGateRejected"
+    ][0]
+    assert gate_row.ok.text == "hi yo"
+
+
 def test_curation_topology_state_survives_restart(spark, cleanup):
     """Stop the stream after batch 0, start a NEW query on the same
     checkpoint: a copy of the batch-0-accepted doc arriving after the
