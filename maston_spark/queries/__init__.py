@@ -37,7 +37,7 @@ def query(name: str, oracle: str | None = None):
 
 def load_all_query_modules() -> None:
     """Import every module that registers queries (idempotent)."""
-    from maston_spark.queries import relational, validated_q, llm_q, complex, avro_q  # noqa: F401
+    from maston_spark.queries import relational, validated_q, llm_q, complex, avro_q, analytics_q  # noqa: F401
 
 
 # Registration order drives the correctness harness's grading window
@@ -157,6 +157,7 @@ _PRIORITY = [
     "q161_containment_neardup", "q162_semantic_dedup_q", "q163_interval_join",
     "q164_cluster_safe_split", "q165_nb_classifier",
     "q166_dedup_threshold_sweep",
+    "q167_kmv_distinct", "q168_kmv_set_ops", "q169_cms_heavy_hitters",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

@@ -1,0 +1,193 @@
+"""Sketch / graph / dominance analytics queries (SURVEY.md §2.2
+engine-extension rows): mergeable-sketch estimation and the graph
+analytics family beyond PageRank, each with a DuckDB oracle that
+replays the estimator bit-for-bit (the estimates are graded, not
+trusted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maston_spark.queries import query
+from maston_spark.session import load_table
+
+
+# ------------------------------------------------------- KMV cardinality
+
+
+@query(
+    "q167_kmv_distinct",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type,
+                 ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM d),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+    s AS (SELECT event_type, count(*) AS n_seen,
+                 max(CASE WHEN rn = 32 THEN h END) AS kth
+          FROM r WHERE rn <= 32 GROUP BY event_type),
+    e AS (SELECT event_type, count(*) AS n_exact FROM d GROUP BY event_type),
+    est AS (SELECT s.event_type,
+                   CASE WHEN n_seen < 32 THEN n_seen::DOUBLE
+                        ELSE round(31.0 / (kth / 1152921504606846976.0), 4)
+                   END AS n_distinct_est,
+                   n_exact
+            FROM s JOIN e ON s.event_type = e.event_type)
+    SELECT event_type, n_distinct_est,
+           n_exact AS n_distinct_exact,
+           round(abs(n_distinct_est - n_exact), 4) AS abs_err
+    FROM est
+    """,
+)
+def q167_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-cardinality sketch per event
+    type, graded against its own exact count. See
+    :func:`maston_spark.sketches.kmv_distinct_by`.
+
+    Scale shape: the sketch builds with NO shuffle of the corpus
+    (per-partition k-smallest partials; only partitions × groups × k
+    survivor rows move); the exact count here is report garnish and
+    the one full distinct — at 100 TB you'd run the sketch alone.
+    """
+    from maston_spark.sketches import kmv_distinct_by
+
+    ev = load_table(spark, sf_dir, "events")
+    est = kmv_distinct_by(ev, "event_type", "user_id", k=32)
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_exact"))
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_distinct_est",
+        "n_distinct_exact",
+        F.round(
+            F.abs(F.col("n_distinct_est") - F.col("n_distinct_exact")), 4
+        ).alias("abs_err"),
+    )
+
+
+# ------------------------------------------------- KMV set operations
+
+
+@query(
+    "q168_kmv_set_ops",
+    oracle="""
+    WITH el AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+    h AS (SELECT DISTINCT source,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM el),
+    r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT source AS s, h FROM r WHERE rn <= 64),
+    pairs AS (SELECT a.s AS set_a, b.s AS set_b
+              FROM (SELECT DISTINCT s FROM sk) a,
+                   (SELECT DISTINCT s FROM sk) b
+              WHERE a.s < b.s),
+    u0 AS (
+      SELECT p.set_a, p.set_b, sk.h FROM pairs p JOIN sk ON sk.s = p.set_a
+      UNION
+      SELECT p.set_a, p.set_b, sk.h FROM pairs p JOIN sk ON sk.s = p.set_b),
+    ur AS (SELECT set_a, set_b, h,
+                  row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rn
+           FROM u0),
+    uk AS (SELECT * FROM ur WHERE rn <= 64),
+    m AS (SELECT uk.set_a, uk.set_b, uk.h, uk.rn,
+                 (a.h IS NOT NULL AND b.h IS NOT NULL) AS in_both
+          FROM uk
+          LEFT JOIN sk a ON a.s = uk.set_a AND a.h = uk.h
+          LEFT JOIN sk b ON b.s = uk.set_b AND b.h = uk.h),
+    agg AS (SELECT set_a, set_b, count(*) AS n_seen,
+                   max(CASE WHEN rn = 64 THEN h END) AS kth,
+                   sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS n_both
+            FROM m GROUP BY 1, 2),
+    fin AS (SELECT set_a, set_b, n_seen, n_both,
+                   CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                        ELSE round(63.0 / (kth / 1152921504606846976.0), 4)
+                   END AS est_union
+            FROM agg)
+    SELECT set_a, set_b, est_union,
+           round(n_both::DOUBLE / n_seen, 6) AS est_jaccard,
+           round((n_both::DOUBLE / n_seen) * est_union, 6) AS est_intersection
+    FROM fin
+    """,
+)
+def q168_kmv_set_ops(spark, sf_dir):
+    """Theta-sketch-style set-operation estimates between every pair
+    of document sources' token vocabularies (union / Jaccard /
+    intersection from merged KMV sketches). See
+    :func:`maston_spark.sketches.kmv_set_ops`.
+
+    Scale shape: one corpus pass builds the per-source sketches
+    (shuffle-free partials); the all-pairs stage touches ONLY sketch
+    rows (|sources| × k), so comparing 10k sources costs the same
+    corpus work as comparing 2.
+    """
+    from maston_spark.sketches import kmv_set_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    return kmv_set_ops(toks, "source", "tok", k=64)
+
+
+# ------------------------------------------- count-min heavy hitters
+
+
+@query(
+    "q169_cms_heavy_hitters",
+    oracle="""
+    WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+    cells AS (
+      SELECT seed,
+             ('0x' || substr(md5(seed::VARCHAR || ':' || user_id::VARCHAR),
+                             1, 15))::BIGINT % 64 AS bucket
+      FROM events, seeds),
+    sk AS (SELECT seed, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    items AS (SELECT DISTINCT user_id FROM events),
+    probe AS (
+      SELECT user_id, seed,
+             ('0x' || substr(md5(seed::VARCHAR || ':' || user_id::VARCHAR),
+                             1, 15))::BIGINT % 64 AS bucket
+      FROM items, seeds),
+    est AS (SELECT p.user_id, min(coalesce(sk.cnt, 0)) AS est_count
+            FROM probe p
+            LEFT JOIN sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+            GROUP BY 1),
+    ex AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1)
+    SELECT est.user_id, est_count, exact_count
+    FROM est JOIN ex ON est.user_id = ex.user_id
+    ORDER BY est_count DESC, est.user_id
+    LIMIT 20
+    """,
+)
+def q169_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: top-20 users by ESTIMATED
+    event count from a 4×64 sketch, with the exact count beside (the
+    one-sided `est ≥ exact` guarantee is visible in the output). See
+    :func:`maston_spark.sketches.cms_estimate`.
+
+    Scale shape: the sketch is one map-side-combinable aggregation to
+    ≤ d·w rows; the probe is a broadcast join of that grid — neither
+    the corpus nor the probe set shuffles. Deterministic md5 lanes
+    make the estimates oracle-checkable.
+    """
+    from maston_spark.sketches import cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    est = cms_estimate(ev, ev, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.withColumnRenamed("item", "user_id")
+        .join(exact, "user_id")
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )

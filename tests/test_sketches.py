@@ -1,0 +1,103 @@
+"""Golden tests for the mergeable-sketch module (KMV, count-min).
+
+The oracle harness grades the estimators cross-engine; these tests
+pin the sketch PROPERTIES that the oracle can't see: partition-count
+invariance (merge correctness), the one-sided CMS error bound, and
+the exact-branch behavior for small sets.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from maston_spark.sketches import (
+    cms_estimate,
+    kmv_distinct_by,
+    kmv_set_ops,
+    kmv_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # 400 distinct values, duplicated with different multiplicities,
+    # across two groups.
+    rows = [(("g1" if v % 2 else "g0"), f"v{v}") for v in range(400) for _ in range(1 + v % 3)]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_kmv_partition_invariance(spark, items):
+    """The sketch is a pure function of the SET — repartitioning the
+    input must not change a single survivor row (this is the merge
+    property that makes the per-partition partial lossless)."""
+    a = kmv_sketch(items.repartition(1), "g", "v", k=16).orderBy("g", "rn")
+    b = kmv_sketch(items.repartition(13), "g", "v", k=16).orderBy("g", "rn")
+    assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
+
+
+def test_kmv_exact_branch_small_set(spark):
+    """Fewer distinct values than k → the sketch IS the set and the
+    estimate is exactly the distinct count."""
+    df = spark.createDataFrame(
+        [("g", f"v{i % 7}") for i in range(50)], "g string, v string"
+    )
+    [row] = kmv_distinct_by(df, "g", "v", k=32).collect()
+    assert row.n_distinct_est == 7.0
+
+
+def test_kmv_estimate_within_tolerance(spark, items):
+    """k=64 on 200-element sets: the (k-1)/r_k estimator should land
+    within the ~3/sqrt(k) relative-error band (generous 3x margin —
+    the value itself is pinned by the oracle harness, this guards
+    against estimator-formula regressions)."""
+    out = {r.g: r.n_distinct_est for r in kmv_distinct_by(items, "g", "v", 64).collect()}
+    for g in ("g0", "g1"):
+        assert abs(out[g] - 200) / 200 < 3 * 3 / 8, out
+
+
+def test_kmv_set_ops_identical_sets(spark):
+    """Two identical sets: jaccard estimate must be exactly 1 and the
+    union estimate equals each set's own estimate."""
+    rows = [(s, f"v{v}") for s in ("a", "b") for v in range(30)]
+    df = spark.createDataFrame(rows, "s string, v string")
+    [r] = kmv_set_ops(df, "s", "v", k=64).collect()
+    assert (r.set_a, r.set_b) == ("a", "b")
+    assert r.est_jaccard == 1.0
+    assert r.est_union == 30.0
+    assert r.est_intersection == 30.0
+
+
+def test_kmv_set_ops_disjoint_sets(spark):
+    """Disjoint sets: jaccard estimate exactly 0; union = sum."""
+    rows = [("a", f"x{v}") for v in range(20)] + [("b", f"y{v}") for v in range(25)]
+    df = spark.createDataFrame(rows, "s string, v string")
+    [r] = kmv_set_ops(df, "s", "v", k=64).collect()
+    assert r.est_jaccard == 0.0
+    assert r.est_intersection == 0.0
+    assert r.est_union == 45.0
+
+
+def test_cms_one_sided_error(spark):
+    """CMS never underestimates: est ≥ exact for every item, and
+    items that fit without collision are exact."""
+    rows = [(f"u{i % 10}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "item string")
+    est = {r.item: r.est_count for r in cms_estimate(df, df, "item", 4, 64).collect()}
+    exact = {
+        r.item: r.cnt
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert set(est) == set(exact)
+    for it, e in est.items():
+        assert e >= exact[it], (it, e, exact[it])
+
+
+def test_cms_sketch_bounded_size(spark):
+    """The sketch never exceeds depth × width rows no matter the
+    input size — the bounded-memory contract."""
+    from maston_spark.sketches import cms_sketch
+
+    rows = [(f"u{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "item string")
+    assert cms_sketch(df, "item", 4, 32).count() <= 4 * 32
