@@ -98,8 +98,12 @@ _PRIORITY = [
     # the keep-first exact-substring removal policy. q150 PQ-encode is
     # graded via q153+q158, which both train codebooks and assign
     # codes; its slot grades the hybrid BM25×QL rank-fusion family)
+    # (q45 text-stats' length/punct/regexp family stays graded via
+    # q148_gopher_gate, whose rule battery computes the same word/
+    # repetition statistics; its slot grades the KMV set-operation
+    # sketch family — bounded-memory distinct/Jaccard estimation)
     "q155_keep_first_substring", "q41_dedup_minhash_lsh",
-    "q43_cosine_topk", "q45_text_stats", "q157_hybrid_rrf",
+    "q43_cosine_topk", "q168_kmv_set_ops", "q157_hybrid_rrf",
     "q48_embedding_neardup", "q49_media_features",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
@@ -120,14 +124,18 @@ _PRIORITY = [
     "q95_exact_substring", "q96_bigram_perplexity", "q98_bloom_incremental",
     "q152_dedup_report", "q100_dsir_weights",
     # Avro serde round-trips (Confluent wire format, schema evolution)
-    "q73_safe_avro", "q87_avro_evolution", "q92_avro_roundtrip",
+    # (q73 safe-avro's deserialize dispatch is graded via q87, whose
+    # evolution path exercises the same registry-dispatch decode, and
+    # q92's full round-trip; its slot grades the count-min frequency
+    # sketch family — broadcast-probe heavy-hitter estimation)
+    "q169_cms_heavy_hitters", "q87_avro_evolution", "q92_avro_roundtrip",
     # past the driver's 50-query graded window (locally
     # oracle-verified; first in line if the window widens).
     # The round-9 demotions lead: each one's physical family is
     # graded by the flagship named in the comments above.
     "q31_json_fns", "q36_drop_duplicates", "q46_lang_id",
     "q62_safe_serialize", "q99_chunk_overlap", "q57_ivf_ann",
-    "q154_ivfpq_recall",
+    "q154_ivfpq_recall", "q45_text_stats", "q73_safe_avro",
     "q74_repetition_stats", "q75_pii_scrub", "q76_pack_sequences",
     "q77_contamination", "q78_top_ngrams", "q79_market_share",
     "q80_promo_revenue", "q81_priority_linestatus", "q82_corr_covar",
@@ -157,7 +165,7 @@ _PRIORITY = [
     "q161_containment_neardup", "q162_semantic_dedup_q", "q163_interval_join",
     "q164_cluster_safe_split", "q165_nb_classifier",
     "q166_dedup_threshold_sweep",
-    "q167_kmv_distinct", "q168_kmv_set_ops", "q169_cms_heavy_hitters",
+    "q167_kmv_distinct",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

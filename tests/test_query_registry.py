@@ -96,20 +96,29 @@ def test_graded_window_covers_unique_capabilities():
         # substring removal, hybrid rank fusion, residual IVF-PQ
         "q155_keep_first_substring", "q157_hybrid_rrf",
         "q158_ivfpq_residual",
+        # round-10 promotions: the mergeable-sketch family (KMV
+        # set-op estimation and count-min heavy hitters)
+        "q168_kmv_set_ops", "q169_cms_heavy_hitters",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
     siblings = {
         "q31_json_fns": "q26_string_fns",
         "q36_drop_duplicates": "q33_tumbling_window",
-        "q46_lang_id": "q45_text_stats",
+        "q46_lang_id": "q148_gopher_gate",
         "q62_safe_serialize": "q92_avro_roundtrip",
+        # q45's length/punct/regexp text family is graded via the
+        # gopher rule battery, which computes the same statistics;
+        # q73's registry-dispatch decode is graded via q87+q92
+        "q45_text_stats": "q148_gopher_gate",
+        "q73_safe_avro": "q87_avro_evolution",
+        "q167_kmv_distinct": "q168_kmv_set_ops",
         "q99_chunk_overlap": "q88_domain_cap",
         "q57_ivf_ann": "q153_ivf_pq",
         "q22_window_frames": "q20_window_rank",
         "q67_exists_subquery": "q07_join_semi",
         "q71_in_subquery": "q07_join_semi",
-        "q101_lexical_diversity": "q45_text_stats",
+        "q101_lexical_diversity": "q148_gopher_gate",
         "q59_source_mix": "q88_domain_cap",
         "q58_hash_split": "q88_domain_cap",
         "q64_delta_fold": "q63_delta_expr",
@@ -130,7 +139,7 @@ def test_graded_window_covers_unique_capabilities():
         "q50_frame_sample": "q49_media_features",
         "q54_chargram_jaccard": "q53_levenshtein_neardup",
         "q23_topk_per_group": "q20_window_rank",
-        "q51_quality_score": "q45_text_stats",
+        "q51_quality_score": "q148_gopher_gate",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
