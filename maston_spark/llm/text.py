@@ -1468,6 +1468,58 @@ def bpe_merges(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    joiner: str = "+",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Apply a trained BPE merge table (the output of
+    :func:`bpe_merges`) to tokenize the corpus — the serving half of
+    the tokenizer story (Sennrich et al. 2016 §3: merges learned once,
+    then replayed in training order on any text). Returns per-document
+    token accounting: ``(id..., n_base_tokens, n_bpe_tokens,
+    n_fused_tokens, compression)`` where ``compression =
+    n_base / n_bpe ≥ 1`` — the per-doc token-budget planner's input
+    (how many sequence positions a document really costs after
+    merging).
+
+    Distributed shape: the merge table is collected ordered by step —
+    it is the trained artifact a tokenizer SHIPS, bounded by
+    ``n_merges`` rows regardless of corpus size — and replayed as a
+    chain of literal ``replace`` projections, identical to the
+    training-side application in :func:`bpe_merges`. The whole
+    operator is ONE scan with zero shuffles (pure codegen
+    projection); at 100 TB it parallelizes embarrassingly.
+
+    ``compression`` rounds at 9 decimals: token counts are a few
+    hundred at most, so the reduced denominator of the quotient never
+    reaches the 2^10 needed to land exactly on a 1e-9 grid midpoint —
+    both engines round the same IEEE double identically.
+    """
+    rows = merges.orderBy("step").collect()  # ≤ n_merges rows by construction
+    s = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    for r in rows:
+        pair = r["pair"]
+        s = F.replace(
+            s,
+            F.lit(f" {pair} "),
+            F.lit(" " + pair.replace(" ", joiner) + " "),
+        )
+    toks = F.split(F.trim(s), r"\s+")
+    base = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.select(
+        *id_cols,
+        F.size(base).cast("long").alias("n_base_tokens"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda x: x.contains(joiner)))
+        .cast("long")
+        .alias("n_fused_tokens"),
+        F.round(F.size(base) / F.size(toks), 9).alias("compression"),
+    )
+
+
 def source_vocab_overlap(
     df: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

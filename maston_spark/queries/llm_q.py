@@ -3983,3 +3983,54 @@ def q154_ivfpq_recall(spark, sf_dir):
         emb, query_ids=list(range(10)), k_neighbors=3,
         n_cells=4, nprobe=2, iterations=2, m=8, sub_dim=8, k=4,
     )
+
+
+@query(
+    "q170_bpe_encode",
+    oracle="""
+    WITH t0 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
+    p1 AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair, count(*) AS c
+           FROM (SELECT string_split(trim(s), ' ') AS toks FROM t0),
+                LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+           GROUP BY 1),
+    b1 AS (SELECT pair FROM p1 ORDER BY c DESC, pair LIMIT 1),
+    t1 AS (SELECT doc_id, replace(s, ' ' || (SELECT pair FROM b1) || ' ',
+                          ' ' || replace((SELECT pair FROM b1), ' ', '+') || ' ')
+                  AS s FROM t0),
+    p2 AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair, count(*) AS c
+           FROM (SELECT string_split(trim(s), ' ') AS toks FROM t1),
+                LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+           GROUP BY 1),
+    b2 AS (SELECT pair FROM p2 ORDER BY c DESC, pair LIMIT 1),
+    t2 AS (SELECT doc_id, replace(s, ' ' || (SELECT pair FROM b2) || ' ',
+                          ' ' || replace((SELECT pair FROM b2), ' ', '+') || ' ')
+                  AS s FROM t1),
+    p3 AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair, count(*) AS c
+           FROM (SELECT string_split(trim(s), ' ') AS toks FROM t2),
+                LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+           GROUP BY 1),
+    b3 AS (SELECT pair FROM p3 ORDER BY c DESC, pair LIMIT 1),
+    t3 AS (SELECT doc_id, replace(s, ' ' || (SELECT pair FROM b3) || ' ',
+                          ' ' || replace((SELECT pair FROM b3), ' ', '+') || ' ')
+                  AS s FROM t2)
+    SELECT d.doc_id,
+           CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_base_tokens,
+           CAST(len(string_split(trim(t3.s), ' ')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split(trim(t3.s), ' '),
+                                x -> contains(x, '+'))) AS BIGINT)
+             AS n_fused_tokens,
+           round(CAST(len(string_split(trim(d.text), ' ')) AS DOUBLE)
+                 / len(string_split(trim(t3.s), ' ')), 9) AS compression
+    FROM t3 JOIN documents d USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q170_bpe_encode(spark, sf_dir):
+    """Train 3 BPE merges on the corpus, then REPLAY them to tokenize
+    every document — the apply half of the tokenizer story (q136
+    trains; this encodes). Per-doc token accounting feeds the
+    token-budget planner. See
+    :func:`maston_spark.llm.text.bpe_encode`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = TXT.bpe_merges(d.select("text"), n_merges=3)
+    return TXT.bpe_encode(d, merges).orderBy("doc_id")

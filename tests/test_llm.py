@@ -1574,6 +1574,31 @@ def test_bpe_merges_golden(spark):
     assert bpe_merges(empty, n_merges=2).count() == 0
 
 
+def test_bpe_encode_golden(spark):
+    from maston_spark.llm.text import bpe_encode, bpe_merges
+
+    rows = [(0, "low low low lower"), (1, "low low low lower"), (2, "new new")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_merges(df.select("text"), n_merges=2)
+    got = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    # step 1 fuses 'low low' (leftmost, separator consumed): doc 0/1
+    # become [low+low, low, lower] (3 tokens); step 2 fuses the
+    # lexicographically-smallest count-2 pair 'low lower' ->
+    # [low+low, low+lower] (2 tokens, both fused)
+    assert got[0].n_base_tokens == 4
+    assert got[0].n_bpe_tokens == 2
+    assert got[0].n_fused_tokens == 2
+    assert got[0].compression == 2.0
+    assert got[1].n_bpe_tokens == 2
+    # 'new new' matches no trained merge: untouched
+    assert got[2].n_base_tokens == 2 and got[2].n_bpe_tokens == 2
+    assert got[2].n_fused_tokens == 0 and got[2].compression == 1.0
+
+    # an EMPTY merge table (untrained tokenizer) is the identity
+    ident = bpe_encode(df, bpe_merges(df.limit(0), n_merges=2)).collect()
+    assert all(r.n_base_tokens == r.n_bpe_tokens for r in ident)
+
+
 def test_source_vocab_overlap_golden(spark):
     from maston_spark.llm.text import source_vocab_overlap
 
