@@ -423,6 +423,108 @@ def jaccard_verify(
     )
 
 
+def source_dup_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-source duplication-rate matrix: for every unordered pair
+    of corpus sources, how many near-duplicate pairs span them and
+    what fraction of each source's documents is implicated —
+    ``(source_a, source_b, n_dup_pairs, n_docs_a, n_docs_b,
+    dup_rate_a, dup_rate_b)``. This is the mixing-weights audit that
+    answers "which of my crawls mirror each other?" BEFORE sources
+    are weighted (complements :func:`~maston_spark.llm.text
+    .source_vocab_overlap`, which compares vocabularies, not
+    documents). Same-source rows report within-source duplication.
+
+    Distributed shape: candidate generation is the banded MinHash-LSH
+    equi-join (never all-pairs); sources attach to the surviving
+    pairs via two equi-joins on the doc id (pair table ≪ corpus);
+    the matrix aggregations combine map-side down to ≤ |sources|²
+    rows, and the per-source totals are a broadcast-joined
+    |sources|-row table.
+    """
+    from maston_spark.caching import scoped_persist
+
+    mf = scoped_persist(
+        minhash_frame(df, text_col, id_col, shingle_n, num_hashes)
+    )
+    cands = candidates_from_minhash(mf, num_hashes, band_size)
+    pairs = jaccard_from_lanes(mf, cands, threshold)
+    srcmap = df.select(
+        F.col(id_col).alias("id"), F.col(source_col).alias("src")
+    )
+    p = (
+        pairs.join(
+            srcmap.select(F.col("id").alias("id_a"), F.col("src").alias("src_a")),
+            "id_a",
+        )
+        .join(
+            srcmap.select(F.col("id").alias("id_b"), F.col("src").alias("src_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "src_a",
+            "src_b",
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+    )
+    pair_counts = p.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
+    )
+    ends = p.select(
+        "source_a", "source_b", F.col("src_a").alias("src_end"), F.col("id_a").alias("id")
+    ).unionByName(
+        p.select(
+            "source_a", "source_b", F.col("src_b").alias("src_end"), F.col("id_b").alias("id")
+        )
+    )
+    doc_counts = ends.groupBy("source_a", "source_b").agg(
+        F.count_distinct(
+            F.when(F.col("src_end") == F.col("source_a"), F.col("id"))
+        )
+        .cast("long")
+        .alias("n_docs_a"),
+        F.count_distinct(
+            F.when(F.col("src_end") == F.col("source_b"), F.col("id"))
+        )
+        .cast("long")
+        .alias("n_docs_b"),
+    )
+    totals = df.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+    return (
+        pair_counts.join(doc_counts, ["source_a", "source_b"])
+        .join(
+            F.broadcast(totals.select(F.col("src").alias("source_a"), F.col("total").alias("__ta"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("src").alias("source_b"), F.col("total").alias("__tb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            F.round(F.col("n_docs_a") / F.col("__ta"), 6).alias("dup_rate_a"),
+            F.round(F.col("n_docs_b") / F.col("__tb"), 6).alias("dup_rate_b"),
+        )
+    )
+
+
 def simhash16(
     df: DataFrame,
     text_col: str = "text",

@@ -55,12 +55,12 @@ def q40_dedup_exact(spark, sf_dir):
     return DD.exact_dedup_groups(_dup_corpus(spark, sf_dir))
 
 
-_MINHASH_ORACLE = """
-WITH corpus AS (
-  SELECT doc_id AS id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text || ' xyz xyz xyz' FROM documents WHERE doc_id % 5 = 0),
-toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+# The MinHash-LSH pipeline body (shingle -> 16-hash signature -> 4
+# banded buckets -> candidate equi-join -> hashed-shingle Jaccard) as
+# a reusable CTE chain: prepend a `corpus AS (id, text)` CTE, append a
+# final SELECT over `jac (id_a, id_b, jaccard)`. Shared by q41 and the
+# q171 source-duplication matrix so the two oracles can't drift.
+_MINHASH_BODY = """toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
 sh AS (
   SELECT id,
          list_distinct(CASE WHEN len(t) >= 3
@@ -92,7 +92,14 @@ jac AS (
                / len(list_distinct(ha.hv || hb.hv)), 6) AS jaccard
   FROM cand c
   JOIN hv ha ON ha.id = c.id_a
-  JOIN hv hb ON hb.id = c.id_b)
+  JOIN hv hb ON hb.id = c.id_b)"""
+
+_MINHASH_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' xyz xyz xyz' FROM documents WHERE doc_id % 5 = 0),
+""" + _MINHASH_BODY + """
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
 """
 
@@ -4034,3 +4041,66 @@ def q170_bpe_encode(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = TXT.bpe_merges(d.select("text"), n_merges=3)
     return TXT.bpe_encode(d, merges).orderBy("doc_id")
+
+
+@query(
+    "q171_source_dup_matrix",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xyz xyz xyz'
+      FROM documents WHERE doc_id % 5 = 0),
+    """ + _MINHASH_BODY + """,
+    srcmap AS (
+      SELECT doc_id AS id, source AS src FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'mirror' FROM documents WHERE doc_id % 5 = 0),
+    pairs AS (
+      SELECT j.id_a, j.id_b, sa.src AS src_a, sb.src AS src_b,
+             least(sa.src, sb.src) AS source_a,
+             greatest(sa.src, sb.src) AS source_b
+      FROM jac j
+      JOIN srcmap sa ON sa.id = j.id_a
+      JOIN srcmap sb ON sb.id = j.id_b
+      WHERE j.jaccard >= 0.5),
+    pc AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+           FROM pairs GROUP BY 1, 2),
+    ends AS (
+      SELECT source_a, source_b, src_a AS src_end, id_a AS id FROM pairs
+      UNION ALL
+      SELECT source_a, source_b, src_b, id_b FROM pairs),
+    dc AS (SELECT source_a, source_b,
+                  CAST(count(DISTINCT CASE WHEN src_end = source_a THEN id END)
+                       AS BIGINT) AS n_docs_a,
+                  CAST(count(DISTINCT CASE WHEN src_end = source_b THEN id END)
+                       AS BIGINT) AS n_docs_b
+           FROM ends GROUP BY 1, 2),
+    totals AS (SELECT src, CAST(count(*) AS BIGINT) AS total
+               FROM srcmap GROUP BY 1)
+    SELECT p.source_a, p.source_b, p.n_dup_pairs, d.n_docs_a, d.n_docs_b,
+           round(CAST(d.n_docs_a AS DOUBLE) / ta.total, 6) AS dup_rate_a,
+           round(CAST(d.n_docs_b AS DOUBLE) / tb.total, 6) AS dup_rate_b
+    FROM pc p
+    JOIN dc d ON d.source_a = p.source_a AND d.source_b = p.source_b
+    JOIN totals ta ON ta.src = p.source_a
+    JOIN totals tb ON tb.src = p.source_b
+    ORDER BY p.source_a, p.source_b
+    """,
+)
+def q171_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication-rate matrix over documents plus a
+    planted 'mirror' source (near-dup mutations of every 5th doc):
+    which sources mirror which, and what fraction of each is
+    implicated — the mixing-weights audit run before sources are
+    weighted. See :func:`maston_spark.llm.dedup.source_dup_matrix`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirror = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        F.concat("text", F.lit(" xyz xyz xyz")).alias("text"),
+    )
+    corpus = d.unionByName(mirror)
+    return DD.source_dup_matrix(corpus, threshold=0.5).orderBy(
+        "source_a", "source_b"
+    )

@@ -1848,3 +1848,26 @@ def test_pq_adc_exact_on_planted_codebook(spark):
         order = ids[mask][np.lexsort((ids[mask], d[mask]))][:3]
         for rn, nid in enumerate(order, start=1):
             assert got[(q, rn)] == nid, (q, rn, got[(q, rn)], nid)
+
+
+def test_source_dup_matrix_golden(spark):
+    from maston_spark.llm.dedup import source_dup_matrix
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "crawlA", base),
+        (1, "crawlA", "totally different words here nothing shared at all ok"),
+        (2, "crawlB", base + " mu"),  # near-copy of doc 0 across sources
+        (3, "crawlB", "another unrelated document with its own vocabulary set"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_dup_matrix(df, threshold=0.5).collect()
+    }
+    assert set(got) == {("crawlA", "crawlB")}
+    r = got[("crawlA", "crawlB")]
+    assert r.n_dup_pairs == 1
+    assert r.n_docs_a == 1 and r.n_docs_b == 1
+    # one of crawlA's two docs and one of crawlB's two docs implicated
+    assert r.dup_rate_a == 0.5 and r.dup_rate_b == 0.5
