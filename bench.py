@@ -42,6 +42,7 @@ HEADLINE = [
     "q153_ivf_pq",              # composed IVF-PQ ANN (cells + codes + ADC)
     "q157_hybrid_rrf",          # hybrid retrieval (BM25 x QL rank fusion)
     "q158_ivfpq_residual",      # residual-encoded IVF-PQ (faiss layout)
+    "q168_kmv_set_ops",         # KMV sketch set-op estimation (bounded memory)
 ]
 
 
