@@ -4104,3 +4104,63 @@ def q171_source_dup_matrix(spark, sf_dir):
     return DD.source_dup_matrix(corpus, threshold=0.5).orderBy(
         "source_a", "source_b"
     )
+
+
+@query(
+    "q172_dup_transitivity",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xyz xyz xyz'
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' pqr pqr pqr'
+      FROM documents WHERE doc_id % 5 = 0),
+    """ + _MINHASH_BODY + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5),
+    deg AS (SELECT x, count(*) AS d
+            FROM (SELECT a AS x FROM edges UNION ALL SELECT b FROM edges) u
+            GROUP BY 1),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges),
+    nw AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS src,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS dst
+          FROM edges e
+          JOIN deg da ON da.x = e.a
+          JOIN deg db ON db.x = e.b),
+    wcand AS (SELECT least(o1.dst, o2.dst) AS a, greatest(o1.dst, o2.dst) AS b
+             FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM wcand c JOIN edges e ON e.a = c.a AND e.b = c.b)
+    SELECT ne.n_edges, nw.n_wedges, nt.n_triangles,
+           CASE WHEN nw.n_wedges > 0
+                THEN (3.0 * nt.n_triangles) / nw.n_wedges END AS transitivity
+    FROM ne, nw, nt
+    """,
+)
+def q172_dup_transitivity(spark, sf_dir):
+    """Threshold-transitivity audit of the near-dup graph: triangle
+    census (degree-oriented forward counting) over MinHash-LSH pairs
+    at Jaccard >= 0.5, on documents plus TWO planted mirror variants
+    of every 5th doc (so orig/mirror-a/mirror-b triangles exist by
+    construction). Low transitivity = connected-component clusters
+    merge docs far below the pairwise bar. See
+    :func:`maston_spark.graph.triangle_stats`."""
+    from maston_spark.graph import triangle_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mirrors = [
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.concat("text", F.lit(suffix)).alias("text"),
+        )
+        for off, suffix in ((1000000, " xyz xyz xyz"), (2000000, " pqr pqr pqr"))
+    ]
+    corpus = d.unionByName(mirrors[0]).unionByName(mirrors[1])
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
+    cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
+    pairs = DD.jaccard_from_lanes(mf, cands, threshold=0.5)
+    return triangle_stats(pairs)

@@ -52,3 +52,30 @@ def test_pagerank_matches_numpy_reference_on_random_graphs(spark):
         df = spark.createDataFrame(elist, "src long, dst long")
         got = {x.node: x.rank for x in pagerank(df, iterations=iters).collect()}
         assert got == expected, (trial, got, expected)
+
+
+def test_triangle_stats_golden(spark):
+    from maston_spark.graph import triangle_stats
+
+    # 4-cycle with the 1-3 chord: triangles {1,2,3} and {1,3,4};
+    # degrees 3,2,3,2 -> wedges C(3,2)*2 + C(2,2=1)*2 = 8.
+    # Includes a reversed duplicate (2,1) to prove canonicalization.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3), (2, 1)],
+        "id_a long, id_b long",
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert r.n_edges == 5
+    assert r.n_wedges == 8
+    assert r.n_triangles == 2
+    assert r.transitivity == 0.75
+
+    # triangle-free graph (a path): zero triangles, defined wedges
+    path = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    r = triangle_stats(path).collect()[0]
+    assert r.n_triangles == 0 and r.n_wedges == 1 and r.transitivity == 0.0
+
+    # no wedges at all -> transitivity is NULL, not a division error
+    single = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = triangle_stats(single).collect()[0]
+    assert r.n_wedges == 0 and r.transitivity is None
