@@ -504,3 +504,98 @@ def cluster_safe_split(
 
     comp = connected_components(verts, edges)
     return comp.withColumn("split", split_expr("cluster", weights, salt))
+
+
+def pareto_frontier(
+    df: DataFrame,
+    maximize_col: str,
+    minimize_col: str,
+) -> DataFrame:
+    """Rows on the 2-D Pareto frontier: keep a row iff NO other row
+    weakly dominates it (other has ``maximize_col`` ≥ and
+    ``minimize_col`` ≤, with at least one strict). Rows that tie on
+    BOTH coordinates all survive (standard skyline semantics). The
+    curation framing: the quality-vs-token-cost efficient set —
+    every off-frontier document is strictly worse than some kept one
+    on at least one axis and no better on the other.
+
+    Distributed shape (local-prune + exact-confirm, the same
+    superset-guarantee pattern as
+    :func:`maston_spark.sketches.mg_heavy_hitters`): each partition
+    computes its LOCAL skyline inside ``mapInPandas`` — dominance is
+    transitive, so a globally undominated row is undominated in its
+    partition, making the union of local skylines a guaranteed
+    superset — then the exact window test runs on that (small)
+    candidate set only. The global sort-and-scan never touches the
+    full corpus, avoiding the single-task global-window trap
+    (a partition-less ``Window.orderBy`` pulls ALL rows through one
+    task — the same reason budget_select is two-phase).
+
+    The local prune is a sort + running-max scan (O(p log p) per
+    partition, vectorized numpy), not the O(p²) pairwise test.
+    """
+    import pandas as pd  # noqa: F401
+
+    from maston_spark.caching import scoped_persist
+
+    cols = df.columns
+    mx, mn = maximize_col, minimize_col
+
+    def local_skyline(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cur = None
+        for pdf in batches:
+            cur = pdf if cur is None else pd.concat([cur, pdf], ignore_index=True)
+            # sort by (cost asc, quality desc); a row survives iff its
+            # quality strictly exceeds the running max over all
+            # strictly-cheaper rows AND it is not beaten at equal cost
+            # (the sort puts the best equal-cost row first).
+            cur = cur.sort_values([mn, mx], ascending=[True, False], kind="mergesort")
+            q = cur[mx].to_numpy()
+            c = cur[mn].to_numpy()
+            import numpy as np
+
+            best_so_far = np.maximum.accumulate(q)
+            # strictly-cheaper running max: shift the accumulate past
+            # each equal-cost block's start
+            first_of_block = np.r_[True, c[1:] != c[:-1]]
+            block_start = np.maximum.accumulate(
+                np.where(first_of_block, np.arange(len(c)), 0)
+            )
+            prev_max = np.where(
+                block_start > 0, best_so_far[np.maximum(block_start - 1, 0)], -np.inf
+            )
+            block_best = q[block_start]  # highest quality at this cost
+            keep = (q > prev_max) & (q == block_best)
+            cur = cur[keep]
+        if cur is not None and len(cur):
+            yield cur
+
+    cands = scoped_persist(df.mapInPandas(local_skyline, schema=df.schema))
+    # exact confirm on the candidate set: a candidate is dominated iff
+    # a (distinct-coordinate) candidate pair beats it — the survivors
+    # of every partition include all global winners, so testing
+    # against candidates alone is exact.
+    pts = cands.select(
+        F.col(mx).alias("__q"), F.col(mn).alias("__c")
+    ).distinct()
+    dominators = pts.alias("p").join(
+        pts.alias("o"),
+        (F.col("o.__q") >= F.col("p.__q"))
+        & (F.col("o.__c") <= F.col("p.__c"))
+        & (
+            (F.col("o.__q") > F.col("p.__q"))
+            | (F.col("o.__c") < F.col("p.__c"))
+        ),
+        "left_semi",
+    )
+    return (
+        cands.join(
+            dominators.select(
+                F.col("__q").alias(mx), F.col("__c").alias(mn)
+            ),
+            [mx, mn],
+            "left_anti",
+        ).select(*cols)
+    )

@@ -4164,3 +4164,44 @@ def q172_dup_transitivity(spark, sf_dir):
     cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
     pairs = DD.jaccard_from_lanes(mf, cands, threshold=0.5)
     return triangle_stats(pairs)
+
+
+@query(
+    "q174_pareto_frontier",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+               FROM documents),
+    m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                 round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+                   AS quality
+          FROM t)
+    SELECT d.doc_id, d.n_tokens, d.quality
+    FROM m d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m o
+      WHERE o.quality >= d.quality AND o.n_tokens <= d.n_tokens
+        AND (o.quality > d.quality OR o.n_tokens < d.n_tokens))
+    ORDER BY d.n_tokens, d.doc_id
+    """,
+)
+def q174_pareto_frontier(spark, sf_dir):
+    """Quality-vs-cost Pareto frontier over documents (quality =
+    distinct-token ratio, cost = token count): the efficient set a
+    budget-constrained curator picks from — every dropped doc is
+    beaten on one axis and matched on the other by a kept one. See
+    :func:`maston_spark.llm.sampling.pareto_frontier` (local-skyline
+    prefilter + exact confirm; the oracle is the naive NOT EXISTS
+    dominance test, so the pruned plan is graded against the
+    definition itself)."""
+    from maston_spark.llm.sampling import pareto_frontier
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = F.split(F.trim("text"), r"\s+")
+    m = d.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(tk)) / F.size(tk), 6).alias("quality"),
+    )
+    return pareto_frontier(m, "quality", "n_tokens").select(
+        "doc_id", "n_tokens", "quality"
+    ).orderBy("n_tokens", "doc_id")

@@ -1871,3 +1871,25 @@ def test_source_dup_matrix_golden(spark):
     assert r.n_docs_a == 1 and r.n_docs_b == 1
     # one of crawlA's two docs and one of crawlB's two docs implicated
     assert r.dup_rate_a == 0.5 and r.dup_rate_b == 0.5
+
+
+def test_pareto_frontier_golden(spark):
+    from maston_spark.llm.sampling import pareto_frontier
+
+    # (quality, cost): frontier is {(9,1), (10,3)}; (9,3) is beaten
+    # on quality at equal cost, (8,2) is beaten on BOTH by (9,1),
+    # (10,5) is beaten on cost at equal quality by (10,3). The tied
+    # duplicate of (9,1) survives (skyline keeps coordinate ties).
+    rows = [
+        (0, 9.0, 1), (1, 8.0, 2), (2, 10.0, 3), (3, 9.0, 3),
+        (4, 10.0, 5), (5, 9.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "id long, q double, c long").repartition(3)
+    got = sorted(
+        (r.id, r.q, r.c) for r in pareto_frontier(df, "q", "c").collect()
+    )
+    assert got == [(0, 9.0, 1), (2, 10.0, 3), (5, 9.0, 1)]
+
+    # single row is trivially on the frontier
+    one = spark.createDataFrame([(7, 1.0, 1)], "id long, q double, c long")
+    assert pareto_frontier(one, "q", "c").count() == 1
