@@ -4205,3 +4205,46 @@ def q174_pareto_frontier(spark, sf_dir):
     return pareto_frontier(m, "quality", "n_tokens").select(
         "doc_id", "n_tokens", "quality"
     ).orderBy("n_tokens", "doc_id")
+
+
+@query(
+    "q175_cusum_changepoint",
+    oracle="""
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bkt,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, bkt, c,
+                 CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bkt)
+                      AS BIGINT) AS cum,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY bkt)
+                      AS BIGINT) AS idx
+          FROM b),
+    t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(c) AS BIGINT) AS total_events
+          FROM b GROUP BY 1),
+    s AS (SELECT w.event_type, w.bkt, t.n_buckets, t.total_events,
+                 t.n_buckets * w.cum - w.idx * t.total_events AS scaled
+          FROM w JOIN t ON t.event_type = w.event_type),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                     ORDER BY abs(scaled) DESC, bkt) AS rn
+          FROM s)
+    SELECT event_type, bkt AS changepoint_ts, n_buckets, total_events,
+           CAST(scaled AS BIGINT) AS cusum_scaled,
+           CAST(scaled AS DOUBLE) / n_buckets AS cusum
+    FROM r WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def q175_cusum_changepoint(spark, sf_dir):
+    """Per-event-type CUSUM changepoint over hourly event counts
+    (Page 1954): the bucket where cumulative deviation from the mean
+    rate peaks — the rate-shift locator an ingest-volume anomaly
+    alert hands to an operator. Integer-scaled statistic, raw-IEEE
+    reported value. See
+    :func:`maston_spark.relational.cusum_changepoint`."""
+    from maston_spark.relational import cusum_changepoint
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return cusum_changepoint(ev, "event_type", "ts", unit="hour").orderBy(
+        "event_type"
+    )

@@ -782,3 +782,70 @@ def interval_join(
         F.floor(F.col(l_start) / w), F.floor(F.col(r_start) / w)
     )
     return joined.filter(overlap & first_shared).drop("__bucket")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Per-group CUSUM changepoint over the event-COUNT series: one
+    row per group — ``(group, changepoint_ts, n_buckets,
+    total_events, cusum_scaled, cusum)`` where ``changepoint_ts`` is
+    the time bucket maximizing |S_i|, ``S_i = Σ_{t≤i}(x_t - x̄)`` the
+    classic CUSUM statistic (Page 1954) over per-bucket counts
+    ``x_t``. The bucket where cumulative deviation from the mean
+    peaks is the single most likely rate-shift point — the first
+    question an ingest-volume anomaly triggers.
+
+    Cross-engine exactness: S_i involves the rational mean x̄ =
+    total/n, so the operator works in the n-SCALED integer domain —
+    ``n·S_i = n·cum_i − i·total`` is exact int64 arithmetic, the
+    argmax is over integers (ties break to the earliest bucket), and
+    the reported ``cusum`` is the raw IEEE quotient
+    ``cusum_scaled / n_buckets`` of two exact integers — identical
+    on any engine, no rounding grid at all.
+
+    Scale shape: ONE bucket aggregation reduces the corpus to
+    |groups| × |buckets| rows (combiner-reduced); every window below
+    is PARTITIONED by group over that bounded series — never a
+    partition-less corpus window. Totals join broadcast
+    (|groups| rows).
+    """
+    b = (
+        df.groupBy(
+            F.col(group_col), F.date_trunc(unit, F.col(ts_col)).alias("__bkt")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy(group_col).orderBy("__bkt")
+    wc = b.select(
+        group_col,
+        "__bkt",
+        F.sum("__c").over(w).alias("__cum"),
+        F.row_number().over(w).cast("long").alias("__idx"),
+    )
+    t = b.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("__c").cast("long").alias("total_events"),
+    )
+    s = wc.join(F.broadcast(t), group_col).withColumn(
+        "__scaled",
+        F.col("n_buckets") * F.col("__cum") - F.col("__idx") * F.col("total_events"),
+    )
+    pick = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("__scaled")).desc(), F.col("__bkt").asc()
+    )
+    return (
+        s.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            group_col,
+            F.col("__bkt").alias("changepoint_ts"),
+            "n_buckets",
+            "total_events",
+            F.col("__scaled").alias("cusum_scaled"),
+            (F.col("__scaled").cast("double") / F.col("n_buckets")).alias("cusum"),
+        )
+    )

@@ -547,3 +547,30 @@ def test_interval_join_overlap_and_contains(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan, plan[:800]
+
+
+def test_cusum_changepoint_golden(spark):
+    from datetime import datetime
+
+    from maston_spark.relational import cusum_changepoint
+
+    # hourly counts [2,2,2,8,8]: the rate jumps after hour 3, so the
+    # scaled CUSUM n*S = [-12,-24,-36,-18,0] peaks (in |.|) at hour 3
+    rows = []
+    for hour, n in enumerate([2, 2, 2, 8, 8]):
+        for i in range(n):
+            rows.append(("a", datetime(2026, 1, 1, hour, 7 * i % 60)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = cusum_changepoint(df, "event_type", "ts", unit="hour").collect()[0]
+    assert r.n_buckets == 5 and r.total_events == 22
+    assert r.changepoint_ts == datetime(2026, 1, 1, 2)
+    assert r.cusum_scaled == -36
+    assert r.cusum == -36 / 5
+
+    # flat series: S is identically 0 -> earliest bucket wins the tie
+    flat = spark.createDataFrame(
+        [("b", datetime(2026, 1, 1, h)) for h in range(4)],
+        "event_type string, ts timestamp",
+    )
+    r = cusum_changepoint(flat, "event_type", "ts", unit="hour").collect()[0]
+    assert r.cusum_scaled == 0 and r.changepoint_ts == datetime(2026, 1, 1, 0)
