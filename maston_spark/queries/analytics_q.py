@@ -248,3 +248,38 @@ def q173_mg_heavy_hitters(spark, sf_dir):
         .alias("item")
     )
     return mg_heavy_hitters(items, "item", k=256).orderBy("item")
+
+
+# ------------------------------------------------------------- AMS F2
+
+
+@query(
+    "q176_ams_f2",
+    oracle="""
+    WITH lanes AS (
+      SELECT l,
+             CAST(sum(CASE WHEN substring(md5('f2:' || l || ':'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1) >= '8'
+                           THEN 1 ELSE -1 END) AS BIGINT) AS t
+      FROM orders, (SELECT unnest(range(0, 16)) AS l) r
+      GROUP BY l),
+    est AS (SELECT CAST(sum(t * t) AS DOUBLE) / 16.0 AS f2_est FROM lanes),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+    ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
+           FROM (SELECT CAST(count(*) AS BIGINT) AS f
+                 FROM orders GROUP BY o_custkey) g)
+    SELECT n.n_rows, ex.f2_exact, est.f2_est,
+           abs(est.f2_est - ex.f2_exact) / ex.f2_exact AS rel_err
+    FROM n, ex, est
+    """,
+)
+def q176_ams_f2(spark, sf_dir):
+    """AMS second-moment estimate of the orders.o_custkey self-join
+    size — the one-pass, O(lanes)-state answer to "how large would
+    an equi-join on this key get?", graded against the exact
+    Σf² it approximates. See
+    :func:`maston_spark.sketches.ams_f2`."""
+    from maston_spark.sketches import ams_f2
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return ams_f2(o, "o_custkey", n_lanes=16)

@@ -400,3 +400,64 @@ def mg_heavy_hitters(
         .filter(F.col("n_occurrences") > F.col("__n") / F.lit(float(k)))
         .select("item", "n_occurrences")
     )
+
+
+def ams_f2(df: DataFrame, item_col: str, n_lanes: int = 16) -> DataFrame:
+    """AMS second-moment (F₂) sketch (Alon-Matias-Szegedy 1996): one
+    row ``(n_rows, f2_exact, f2_est, rel_err)`` where ``f2_est``
+    averages ``(Σ_v s_l(v)·f_v)²`` over ``n_lanes`` deterministic ±1
+    hash lanes. F₂ = Σ f_v² is the SELF-JOIN SIZE of the column —
+    the estimator answers "how big would this equi-join get?" in one
+    combiner-reduced pass with O(n_lanes) state per task, no
+    shuffle of the value domain (contrast ``f2_exact``, computed
+    here as report garnish, which needs the full groupBy).
+
+    Everything is integer-exact: each lane total is an int64 sum of
+    ±1, its square an int64, and the lane mean a quotient of exact
+    integers (< 2⁵³) — the oracle replays the identical arithmetic,
+    so the ESTIMATE is graded, not trusted. Signs come from one md5
+    lane per (lane, value), the same balanced first-hex-digit
+    convention as ``rp_project``.
+    """
+    v = F.col(item_col).cast("string")
+    lane_sums = [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.concat(F.lit(f"f2:{l}:"), v)), 1, 1) >= "8",
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        )
+        .cast("long")
+        .alias(f"__t{l}")
+        for l in range(n_lanes)
+    ]
+    lanes = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *lane_sums)
+    est = lanes.select(
+        "n_rows",
+        (
+            sum(
+                (F.col(f"__t{l}") * F.col(f"__t{l}") for l in range(n_lanes)),
+                F.lit(0).cast("long"),
+            )
+            / F.lit(float(n_lanes))
+        ).alias("f2_est"),
+    )
+    exact = (
+        df.groupBy(F.col(item_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__f"))
+        .agg(F.sum(F.col("__f") * F.col("__f")).cast("long").alias("f2_exact"))
+    )
+    one = F.lit(1).alias("__k")
+    return (
+        est.select(one, "n_rows", "f2_est")
+        .join(F.broadcast(exact.select(one, "f2_exact")), "__k")
+        .select(
+            "n_rows",
+            "f2_exact",
+            "f2_est",
+            (
+                F.abs(F.col("f2_est") - F.col("f2_exact"))
+                / F.col("f2_exact")
+            ).alias("rel_err"),
+        )
+    )
