@@ -1709,3 +1709,64 @@ def gopher_gate(
         F.array_join(reasons, ",").alias("fail_reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+def strip_boilerplate_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_tokens: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Frequent-prefix boilerplate removal (the anchored cousin of
+    CCNet's shared-paragraph dedup, Wenzek et al. 2020 — crawls
+    prepend the same cookie banner / license header to thousands of
+    pages): any exact ``k_tokens``-token document prefix shared by at
+    least ``min_docs`` documents is treated as boilerplate and
+    stripped from every document carrying it. Returns
+    ``(id, stripped, text_out)`` with ``stripped`` flagging affected
+    docs; documents shorter than ``k_tokens`` pass through untouched.
+
+    Distributed shape: ONE combiner-reduced groupBy over the k-token
+    prefixes (each doc contributes exactly one row, so the agg input
+    is |docs| rows, not corpus tokens) filtered by the document
+    threshold, then one equi-join back on the prefix — no gram
+    explosion (contrast :func:`exact_substring_spans`, the unanchored
+    general case), no window, no driver state. The rewrite is a pure
+    slice projection.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        toks.alias("__toks"),
+    ).withColumn(
+        "__prefix",
+        F.when(
+            F.size("__toks") >= k_tokens,
+            F.array_join(F.slice("__toks", 1, k_tokens), " "),
+        ),
+    )
+    frequent = (
+        base.filter(F.col("__prefix").isNotNull())
+        .groupBy("__prefix")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_docs)
+        .select("__prefix", F.lit(True).alias("__hit"))
+    )
+    joined = base.join(frequent, "__prefix", "left")
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("stripped"),
+        F.when(
+            F.col("__hit"),
+            F.array_join(
+                F.slice(
+                    "__toks", k_tokens + 1, F.greatest(F.size("__toks") - k_tokens, F.lit(0))
+                ),
+                " ",
+            ),
+        )
+        .otherwise(F.col("__text"))
+        .alias("text_out"),
+    )

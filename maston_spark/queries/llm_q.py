@@ -4248,3 +4248,50 @@ def q175_cusum_changepoint(spark, sf_dir):
     return cusum_changepoint(ev, "event_type", "ts", unit="hour").orderBy(
         "event_type"
     )
+
+
+@query(
+    "q177_boilerplate_strip",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'header boilerplate notice legal text ' || text
+                  ELSE text END AS text
+      FROM documents),
+    p AS (SELECT doc_id, text, string_split(trim(text), ' ') AS tk
+          FROM corpus),
+    q AS (SELECT doc_id, text, tk,
+                 CASE WHEN len(tk) >= 5
+                      THEN array_to_string(tk[1:5], ' ') END AS prefix
+          FROM p),
+    f AS (SELECT prefix FROM q WHERE prefix IS NOT NULL
+          GROUP BY 1 HAVING count(*) >= 3)
+    SELECT q.doc_id,
+           (f.prefix IS NOT NULL) AS stripped,
+           CASE WHEN f.prefix IS NOT NULL
+                THEN array_to_string(tk[6:len(tk)], ' ')
+                ELSE q.text END AS text_out
+    FROM q LEFT JOIN f ON f.prefix = q.prefix
+    ORDER BY q.doc_id
+    """,
+)
+def q177_boilerplate_strip(spark, sf_dir):
+    """Frequent-prefix boilerplate removal over documents with a
+    planted 5-token banner on every 3rd doc (the crawl cookie-banner
+    / license-header case): the shared prefix is detected by a
+    document-threshold groupBy and sliced off affected docs only.
+    See :func:`maston_spark.llm.text.strip_boilerplate_prefix`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("header boilerplate notice legal text "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TXT.strip_boilerplate_prefix(
+        corpus, k_tokens=5, min_docs=3
+    ).orderBy("doc_id")

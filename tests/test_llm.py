@@ -1893,3 +1893,30 @@ def test_pareto_frontier_golden(spark):
     # single row is trivially on the frontier
     one = spark.createDataFrame([(7, 1.0, 1)], "id long, q double, c long")
     assert pareto_frontier(one, "q", "c").count() == 1
+
+
+def test_strip_boilerplate_prefix_golden(spark):
+    from maston_spark.llm.text import strip_boilerplate_prefix
+
+    banner = "one two three four five"
+    rows = [
+        (0, banner + " body a"),
+        (1, banner + " body b longer"),
+        (2, banner),            # exactly the banner -> strips to ""
+        (3, "unrelated text that stays put"),
+        (4, "one two three"),   # < k tokens: never considered
+        (5, banner + " body c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in strip_boilerplate_prefix(df, k_tokens=5, min_docs=3).collect()}
+    assert got[0].stripped and got[0].text_out == "body a"
+    assert got[1].stripped and got[1].text_out == "body b longer"
+    assert got[2].stripped and got[2].text_out == ""
+    assert not got[3].stripped and got[3].text_out == rows[3][1]
+    assert not got[4].stripped and got[4].text_out == "one two three"
+    assert got[5].stripped and got[5].text_out == "body c"
+
+    # below the document threshold: nothing strips
+    few = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    out = strip_boilerplate_prefix(few, k_tokens=5, min_docs=3).collect()
+    assert all(not r.stripped for r in out)
