@@ -10,7 +10,7 @@ deterministic across partitionings; this is.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -326,4 +326,88 @@ def k_anonymity_report(
             (F.col("class_size") < k).alias("at_risk"),
         )
         .orderBy(*quasi_cols)
+    )
+
+
+def ks_drift(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic of each group's
+    ``value_col`` distribution against THE REST of the table — one
+    row per group: ``(group, n_group, n_rest, ks_scaled, ks)`` with
+    ``ks = max_x |F_group(x) − F_rest(x)|``, the standard
+    continuous-distribution drift test (the numeric counterpart of
+    :func:`chi2_contingency`'s categorical audit; run it on per-doc
+    token counts to ask "does this source's length profile diverge
+    from the corpus?").
+
+    Cross-engine exactness: the difference of two empirical CDFs is
+    rational, so the max runs in the scaled INTEGER domain —
+    ``|n_rest·cum_g(x) − n_g·cum_rest(x)|`` over the merged value
+    grid — and the reported ``ks`` is the raw IEEE quotient
+    ``ks_scaled / (n_g · n_rest)`` of exact int64s (magnitudes
+    ≤ ~n², far under 2⁶³). No rounding anywhere.
+
+    Distributed shape: ONE combiner-reduced aggregation collapses the
+    corpus to |values|×|groups| count rows; the grid completion
+    (every group needs a CDF step at every distinct value) is an
+    equi-keyed join of the two SMALL distinct frames, and the
+    cumulative windows are partitioned per group over that bounded
+    grid — the corpus is scanned once and never re-shuffled.
+    """
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vals = counts.select("v").distinct().withColumn("__k", F.lit(1))
+    groups = counts.select("g").distinct().withColumn("__k", F.lit(1))
+    grid = vals.join(groups, "__k").drop("__k")
+    filled = grid.join(counts, ["g", "v"], "left").select(
+        "g", "v", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum = filled.withColumn("cum_g", F.sum("c").over(w))
+    # total cumulative per value from the per-value totals — a
+    # |values|-row frame, so its partition-less window is over the
+    # BOUNDED distinct-value domain (same pattern as
+    # exact_percentiles' value histogram), never the corpus
+    per_val = (
+        counts.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("cv"))
+        .withColumn("cum_all", F.sum("cv").over(Window.orderBy("v")))
+        .select("v", "cum_all")
+    )
+    sizes = counts.groupBy("g").agg(F.sum("c").cast("long").alias("n_group"))
+    total = counts.agg(F.sum("c").cast("long").alias("__n")).withColumn(
+        "__k", F.lit(1)
+    )
+    scored = (
+        cum.join(F.broadcast(per_val), "v")
+        .join(F.broadcast(sizes), "g")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k")
+        .withColumn("n_rest", F.col("__n") - F.col("n_group"))
+        .withColumn("cum_rest", F.col("cum_all") - F.col("cum_g"))
+        .withColumn(
+            "__d",
+            F.abs(
+                F.col("n_rest") * F.col("cum_g")
+                - F.col("n_group") * F.col("cum_rest")
+            ),
+        )
+    )
+    return (
+        scored.groupBy("g", "n_group", "n_rest")
+        .agg(F.max("__d").cast("long").alias("ks_scaled"))
+        .select(
+            F.col("g").alias(group_col),
+            "n_group",
+            "n_rest",
+            "ks_scaled",
+            (
+                F.col("ks_scaled").cast("double")
+                / (F.col("n_group") * F.col("n_rest")).cast("double")
+            ).alias("ks"),
+        )
     )

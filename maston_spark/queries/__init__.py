@@ -168,7 +168,7 @@ _PRIORITY = [
     "q167_kmv_distinct", "q170_bpe_encode", "q171_source_dup_matrix",
     "q172_dup_transitivity", "q173_mg_heavy_hitters",
     "q174_pareto_frontier", "q175_cusum_changepoint", "q176_ams_f2",
-    "q177_boilerplate_strip",
+    "q177_boilerplate_strip", "q178_ks_drift",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

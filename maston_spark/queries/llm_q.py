@@ -4295,3 +4295,58 @@ def q177_boilerplate_strip(spark, sf_dir):
     return TXT.strip_boilerplate_prefix(
         corpus, k_tokens=5, min_docs=3
     ).orderBy("doc_id")
+
+
+@query(
+    "q178_ks_drift",
+    oracle="""
+    WITH m AS (SELECT source AS g,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS v
+               FROM documents),
+    counts AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+               FROM m GROUP BY 1, 2),
+    grid AS (SELECT gv.v, gg.g
+             FROM (SELECT DISTINCT v FROM counts) gv,
+                  (SELECT DISTINCT g FROM counts) gg),
+    filled AS (SELECT grid.g, grid.v, coalesce(c.c, 0) AS c
+               FROM grid LEFT JOIN counts c
+                 ON c.g = grid.g AND c.v = grid.v),
+    cum AS (SELECT g, v,
+                   CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                     AS cum_g
+            FROM filled),
+    pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM counts GROUP BY 1),
+    pv2 AS (SELECT v, CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) AS cum_all
+            FROM pv),
+    sizes AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_group
+              FROM counts GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+    sc AS (SELECT cum.g, sizes.n_group,
+                  tot.n - sizes.n_group AS n_rest,
+                  abs((tot.n - sizes.n_group) * cum.cum_g
+                      - sizes.n_group * (pv2.cum_all - cum.cum_g)) AS d
+           FROM cum
+           JOIN pv2 ON pv2.v = cum.v
+           JOIN sizes ON sizes.g = cum.g, tot)
+    SELECT g AS source, n_group, n_rest,
+           CAST(max(d) AS BIGINT) AS ks_scaled,
+           CAST(max(d) AS DOUBLE) / (n_group * n_rest) AS ks
+    FROM sc GROUP BY 1, 2, 3
+    ORDER BY source
+    """,
+)
+def q178_ks_drift(spark, sf_dir):
+    """Kolmogorov-Smirnov drift of each source's per-doc token-count
+    distribution against the rest of the corpus — the continuous
+    counterpart of the chi-square categorical audit (q130), run
+    before trusting a new crawl's length profile. Integer-scaled
+    statistic, raw-IEEE reported value. See
+    :func:`maston_spark.profiling.ks_drift`."""
+    from maston_spark.profiling import ks_drift
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    m = d.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return ks_drift(m, "source", "n_tokens").orderBy("source")

@@ -574,3 +574,24 @@ def test_cusum_changepoint_golden(spark):
     )
     r = cusum_changepoint(flat, "event_type", "ts", unit="hour").collect()[0]
     assert r.cusum_scaled == 0 and r.changepoint_ts == datetime(2026, 1, 1, 0)
+
+
+def test_ks_drift_golden(spark):
+    from maston_spark.profiling import ks_drift
+
+    # A: [1,1,2]  B: [2,3,3] -> F_A=[2/3,1,1], F_B=[0,1/3,1];
+    # max gap 2/3 at v=1 (scaled: |3*2 - 3*0| = 6 over n_a*n_b = 9)
+    rows = [("A", 1), ("A", 1), ("A", 2), ("B", 2), ("B", 3), ("B", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in ks_drift(df, "g", "v").collect()}
+    for g in ("A", "B"):
+        assert got[g].n_group == 3 and got[g].n_rest == 3
+        assert got[g].ks_scaled == 6
+        assert got[g].ks == 6 / 9
+
+    # identical distributions -> zero drift
+    same = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 1), ("B", 2)], "g string, v long"
+    )
+    got = {r.g: r.ks_scaled for r in ks_drift(same, "g", "v").collect()}
+    assert got == {"A": 0, "B": 0}
