@@ -64,8 +64,11 @@ _PRIORITY = [
     # q33+q63; its slot grades the composed Gopher rule-battery gate.
     # q62 safe-serialize's produce side is graded via the q92 Avro
     # round-trip; its slot grades PQ asymmetric-distance search)
+    # (q60 safe-json's deserialize is graded via q61, whose topology-1
+    # pipeline runs the same safe_from_json parse end-to-end; its slot
+    # grades the Kolmogorov-Smirnov drift family)
     "q33_tumbling_window",
-    "q148_gopher_gate", "q60_safe_json", "q61_process_errors",
+    "q148_gopher_gate", "q178_ks_drift", "q61_process_errors",
     # (q151 PQ-ADC standalone is subsumed by graded q153, whose search
     # stage runs the same lookup-table scoring; its slot grades the
     # RESIDUAL-encoded IVF-PQ — the faiss IndexIVFPQ layout)
@@ -102,8 +105,14 @@ _PRIORITY = [
     # q148_gopher_gate, whose rule battery computes the same word/
     # repetition statistics; its slot grades the KMV set-operation
     # sketch family — bounded-memory distinct/Jaccard estimation)
-    "q155_keep_first_substring", "q41_dedup_minhash_lsh",
-    "q43_cosine_topk", "q168_kmv_set_ops", "q157_hybrid_rrf",
+    # (q41 minhash-LSH is composed VERBATIM inside graded q152's
+    # dedup-effectiveness report — same signature table, same banded
+    # candidates; its slot grades the dup-graph triangle/transitivity
+    # census. q43 brute-force cosine's normalized-dot physics is
+    # graded via q48's exact-confirm stage and the ANN family via
+    # q153; its slot grades Pareto-frontier skyline selection)
+    "q155_keep_first_substring", "q172_dup_transitivity",
+    "q174_pareto_frontier", "q168_kmv_set_ops", "q157_hybrid_rrf",
     "q48_embedding_neardup", "q49_media_features",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
@@ -136,6 +145,7 @@ _PRIORITY = [
     "q31_json_fns", "q36_drop_duplicates", "q46_lang_id",
     "q62_safe_serialize", "q99_chunk_overlap", "q57_ivf_ann",
     "q154_ivfpq_recall", "q45_text_stats", "q73_safe_avro",
+    "q60_safe_json", "q41_dedup_minhash_lsh", "q43_cosine_topk",
     "q74_repetition_stats", "q75_pii_scrub", "q76_pack_sequences",
     "q77_contamination", "q78_top_ngrams", "q79_market_share",
     "q80_promo_revenue", "q81_priority_linestatus", "q82_corr_covar",
@@ -166,9 +176,8 @@ _PRIORITY = [
     "q164_cluster_safe_split", "q165_nb_classifier",
     "q166_dedup_threshold_sweep",
     "q167_kmv_distinct", "q170_bpe_encode", "q171_source_dup_matrix",
-    "q172_dup_transitivity", "q173_mg_heavy_hitters",
-    "q174_pareto_frontier", "q175_cusum_changepoint", "q176_ams_f2",
-    "q177_boilerplate_strip", "q178_ks_drift",
+    "q173_mg_heavy_hitters", "q175_cusum_changepoint", "q176_ams_f2",
+    "q177_boilerplate_strip",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

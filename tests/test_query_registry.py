@@ -97,8 +97,11 @@ def test_graded_window_covers_unique_capabilities():
         "q155_keep_first_substring", "q157_hybrid_rrf",
         "q158_ivfpq_residual",
         # round-10 promotions: the mergeable-sketch family (KMV
-        # set-op estimation and count-min heavy hitters)
+        # set-op estimation and count-min heavy hitters), dup-graph
+        # transitivity, skyline selection, and KS drift
         "q168_kmv_set_ops", "q169_cms_heavy_hitters",
+        "q172_dup_transitivity", "q174_pareto_frontier",
+        "q178_ks_drift",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -113,6 +116,14 @@ def test_graded_window_covers_unique_capabilities():
         "q45_text_stats": "q148_gopher_gate",
         "q73_safe_avro": "q87_avro_evolution",
         "q167_kmv_distinct": "q168_kmv_set_ops",
+        # q61's topology-1 pipeline runs the same safe_from_json
+        # parse; q152 composes q41's minhash pipeline verbatim; q48's
+        # exact-confirm stage grades normalized-dot cosine physics
+        "q60_safe_json": "q61_process_errors",
+        "q41_dedup_minhash_lsh": "q152_dedup_report",
+        "q43_cosine_topk": "q48_embedding_neardup",
+        "q173_mg_heavy_hitters": "q168_kmv_set_ops",
+        "q175_cusum_changepoint": "q178_ks_drift",
         "q99_chunk_overlap": "q88_domain_cap",
         "q57_ivf_ann": "q153_ivf_pq",
         "q22_window_frames": "q20_window_rank",
@@ -127,7 +138,7 @@ def test_graded_window_covers_unique_capabilities():
         "q72_uncorrelated_scalar": "q69_scalar_subquery",
         "q34_sliding_window": "q33_tumbling_window",
         "q35_session_window": "q33_tumbling_window",
-        "q42_dedup_simhash": "q41_dedup_minhash_lsh",
+        "q42_dedup_simhash": "q152_dedup_report",
         "q44_lsh_ann": "q153_ivf_pq",
         # round-10 demotions: each family stays graded via the
         # composition that subsumes it
