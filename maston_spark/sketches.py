@@ -104,27 +104,28 @@ def kmv_sketch(
     survivors = hashed.mapInPandas(partial, schema=hashed.schema).dropDuplicates(
         ["g", "h"]
     )
-    w = Window.partitionBy("g").orderBy("h")
-    return (
-        survivors.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(F.col("g").alias(group_col), "h", "rn")
+    return kmv_truncate(survivors, k).select(
+        F.col("g").alias(group_col), "h", "rn"
     )
 
 
-def kmv_distinct_by(
-    df: DataFrame, group_col: str, value_col: str, k: int
-) -> DataFrame:
-    """Estimated distinct ``value_col`` per ``group_col`` from a KMV
-    sketch: ``(group, n_distinct_est)``.
+def kmv_truncate(gh: DataFrame, k: int) -> DataFrame:
+    """Re-truncate a ``(g, h)`` hash table to the k smallest distinct
+    hashes per group, ranked — the KMV MERGE operation (union two
+    sketches, keep the k minima). Input is sketch-sized (survivors /
+    state rows), so the per-group window runs over bounded
+    partitions."""
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        gh.dropDuplicates(["g", "h"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
 
-    Estimator (Beyer et al. 2007): if the group yielded fewer than k
-    distinct hashes the sketch IS the distinct set (estimate = seen
-    count, exact); otherwise ``(k-1) / r_k`` with ``r_k`` the kth
-    smallest hash as a fraction of 2^60. Rounded to 4 decimals so the
-    identical IEEE division is hashable cross-engine.
-    """
-    sk = kmv_sketch(df, group_col, value_col, k)
+
+def kmv_estimate(sk: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Distinct-count estimate from a ranked KMV sketch ``(group, h,
+    rn)`` (see :func:`kmv_distinct_by` for the estimator)."""
     return (
         sk.groupBy(group_col)
         .agg(
@@ -142,6 +143,21 @@ def kmv_distinct_by(
             .alias("n_distinct_est"),
         )
     )
+
+
+def kmv_distinct_by(
+    df: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Estimated distinct ``value_col`` per ``group_col`` from a KMV
+    sketch: ``(group, n_distinct_est)``.
+
+    Estimator (Beyer et al. 2007): if the group yielded fewer than k
+    distinct hashes the sketch IS the distinct set (estimate = seen
+    count, exact); otherwise ``(k-1) / r_k`` with ``r_k`` the kth
+    smallest hash as a fraction of 2^60. Rounded to 4 decimals so the
+    identical IEEE division is hashable cross-engine.
+    """
+    return kmv_estimate(kmv_sketch(df, group_col, value_col, k), group_col, k)
 
 
 def kmv_set_ops(

@@ -687,3 +687,86 @@ def curation_topology(
             batch_df.unpersist()
 
     return _start_foreach_batch(validated, fn, checkpoint, trigger)
+
+
+def sketch_metrics_topology(
+    source: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int,
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+):
+    """Streaming cardinality monitoring: maintain a per-group KMV
+    sketch across micro-batches and emit per-batch running
+    distinct-count estimates ``(group, n_seen, n_distinct_est)`` —
+    "how many distinct users has each event type touched SO FAR",
+    answerable at any batch without ever storing the distinct set.
+
+    The cross-batch state IS the sketch — at most ``groups × k``
+    ``(g, h)`` hash rows, durable in a compacted parquet table under
+    ``state_dir`` (default ``<checkpoint>/kmv_state``), versioned per
+    batch id exactly like ``delta_topology``'s store (a batch retry
+    rewrites its own version idempotently; restart resumes from the
+    last committed version, so estimates never regress). Merging a
+    batch is the KMV union property
+    (:func:`maston_spark.sketches.kmv_truncate`): union the stored
+    survivors with the batch's distinct hashes and re-keep the k
+    minima — the result is bit-identical to sketching the whole
+    history in one pass, which is what makes the emitted estimate
+    deterministic and restart-invariant.
+
+    Scale shape per batch: one distinct over (group, hash) — the only
+    corpus-sized shuffle — then sketch-sized work: the merge window
+    runs over ≤ state+batch-survivor rows per group, the state write
+    is ≤ groups×k rows, the metrics frame ≤ |groups| rows.
+    """
+    from maston_spark.sketches import h60, kmv_estimate, kmv_truncate
+
+    sdir = f"{checkpoint.rstrip('/')}/kmv_state" if state_dir == "auto" else state_dir
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    hashed = source.select(
+        F.col(group_col).alias("g"), h60(F.col(value_col).cast("string")).alias("h")
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        combined = batch_df.dropDuplicates(["g", "h"])
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            seed_v = prior[-1] if prior else (batch_id if batch_id in versions else None)
+            if seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                if seed_v == batch_id:
+                    seed = seed.localCheckpoint(eager=True)
+                combined = combined.unionByName(seed)
+        sk = kmv_truncate(combined, k).persist()
+        try:
+            if sdir is not None:
+                sk.select("g", "h").write.mode("overwrite").parquet(
+                    f"{sdir}/v{batch_id}"
+                )
+            est = kmv_estimate(
+                sk.select(F.col("g").alias(group_col), "h", "rn"), group_col, k
+            )
+            seen = sk.groupBy(F.col("g").alias(group_col)).agg(
+                F.count(F.lit(1)).cast("long").alias("n_seen")
+            )
+            write_metrics(
+                seen.join(est, group_col).select(
+                    group_col, "n_seen", "n_distinct_est"
+                ),
+                batch_id,
+            )
+            if sdir is not None:
+                _drop_state_versions(spark, sdir, prior)
+        finally:
+            sk.unpersist()
+
+    return _start_foreach_batch(hashed, fn, checkpoint, trigger)

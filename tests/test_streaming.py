@@ -944,3 +944,59 @@ def test_streaming_cdc_upsert_maintains_snapshot(spark, cleanup):
         q.stop()
     got = {r.k: r.v for r in spark.read.parquet(snap_path).collect()}
     assert got == {2: "b2", 3: "c2"}
+
+
+def test_sketch_metrics_topology_golden(spark, cleanup):
+    """Streaming KMV cardinality monitoring over 3 micro-batches:
+    running per-group distinct-user estimates, exact below k, and —
+    the merge property — the final streamed estimate is bit-identical
+    to sketching the whole history in one batch pass."""
+    from maston_spark.sketches import kmv_distinct_by
+    from maston_spark.streaming.topology import sketch_metrics_topology
+
+    rows = []
+    # group 'a': cumulative distinct users 2 -> 3 -> 3 (k=8 exact branch)
+    for b, users in enumerate([["u1", "u2", "u2"], ["u2", "u3"], ["u1"]]):
+        rows += [Row(g="a", user=u, __replay_batch=b) for u in users]
+    # group 'b': 50 distinct users split across batches (estimator branch)
+    for i in range(50):
+        rows.append(Row(g="b", user=f"v{i}", __replay_batch=i % 3))
+    src_df = spark.createDataFrame(rows)
+    stream, src = replay_stream(src_df, batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    q = sketch_metrics_topology(
+        stream,
+        group_col="g",
+        value_col="user",
+        k=8,
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append(
+            (bid, {r.g: (r.n_seen, r.n_distinct_est) for r in df.collect()})
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) >= 3
+    by_batch = dict(seen)
+    # group 'a' stays under k: the estimate IS the exact running count
+    assert by_batch[0]["a"] == (2, 2.0)
+    assert by_batch[1]["a"] == (3, 3.0)
+    assert by_batch[2]["a"] == (3, 3.0)
+    # merge property: final streamed estimate == one-shot batch sketch
+    final = seen[-1][1]
+    oneshot = {
+        r.g: r.n_distinct_est
+        for r in kmv_distinct_by(
+            src_df.select("g", "user"), "g", "user", k=8
+        ).collect()
+    }
+    assert final["b"][1] == oneshot["b"]
+    assert final["a"][1] == oneshot["a"]
+    # the estimator branch engaged for 'b' (n_seen capped at k)
+    assert final["b"][0] == 8
