@@ -18,7 +18,7 @@ prune to their split.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # resolution of the hash bucket in which rates are expressed; rates
 # are exact multiples of 1/1000 so the filter compares integers only
@@ -599,3 +599,121 @@ def pareto_frontier(
             "left_anti",
         ).select(*cols)
     )
+
+
+def domain_water_fill(
+    df: DataFrame,
+    domain_col: str,
+    budget_num: int,
+    budget_den: int = 1,
+) -> DataFrame:
+    """Water-filling allocation of a document budget across domains:
+    ``(domain, n_docs, alloc)`` where every domain is capped at a
+    common level L (the "water line") chosen so the total allocation
+    exactly meets ``budget = floor(total · budget_num / budget_den)``
+    — the most-even mixture that respects each domain's actual size
+    (small domains keep everything, large ones are cut to the line).
+    This is the quota PLANNER that precedes :func:`domain_cap`, which
+    enforces a per-domain quota row-wise.
+
+    Exact integer construction: with sizes sorted ascending and
+    prefix sums ``cum_i``, the level bracket containing the answer is
+    the unique row where ``L_i = (budget − cum_{i−1}) div (n − i + 1)``
+    falls in ``[s_{i−1}, s_i)`` (water fills past every smaller
+    domain, not the current one); the remainder
+    ``budget − Σ min(size, L)`` (< number of above-line domains) goes
+    one extra to the first remainder domains above the line, ordered
+    by domain name. Every quantity is int64 — the oracle replays the
+    arithmetic bit-for-bit. If ``budget ≥ total`` every domain keeps
+    its full size.
+
+    Distributed shape: ONE combiner-reduced count collapses the
+    corpus to |domains| rows; the bracket search is a window over
+    that table; the chosen level broadcasts back as a 1-row join.
+    """
+    sizes = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = sizes.agg(
+        F.sum("n_docs").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    ).select(
+        (F.col("__total") * F.lit(int(budget_num)))
+        .cast("long")
+        .alias("__scaled"),
+        "__total",
+        "__n",
+    ).select(
+        F.expr(f"__scaled div {int(budget_den)}").alias("budget"),
+        "__total",
+        "__n",
+    ).withColumn("__k", F.lit(1))
+    w = Window.orderBy("n_docs", "domain")  # |domains| rows — bounded
+    ranked = (
+        sizes.withColumn("__i", F.row_number().over(w).cast("long"))
+        .withColumn("__cum", F.sum("n_docs").over(w))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+    )
+    # bracket i: water past domains 1..i-1 (cum_{i-1} = cum - n_docs of
+    # nothing... use cum of previous row), level shared by n - i + 1
+    # domains. L_i = (budget - prev_cum) div (n - i + 1); valid when
+    # prev_size <= L_i < size_i. Edge rows use 0 / +inf sentinels.
+    wprev = Window.orderBy("__i")
+    ranked = ranked.withColumn(
+        "__prev_cum", F.coalesce(F.lag("__cum").over(wprev), F.lit(0))
+    ).withColumn(
+        "__prev_size", F.coalesce(F.lag("n_docs").over(wprev), F.lit(0))
+    )
+    li = F.expr("(budget - __prev_cum) div (__n - __i + 1)").cast("long")
+    level_row = (
+        ranked.withColumn("__li", li)
+        .filter(
+            (F.col("budget") < F.col("__total"))
+            & (F.col("__li") >= F.col("__prev_size"))
+            & (F.col("__li") < F.col("n_docs"))
+        )
+        .orderBy("__i")
+        .limit(1)
+        .select("__k", F.col("__li").alias("level"))
+    )
+    # budget >= total: no bracket matches -> level = max size (keep all)
+    fallback = tot.select(
+        "__k", F.greatest(F.col("__total"), F.lit(0)).alias("__fb")
+    )
+    alloc_base = (
+        ranked.join(F.broadcast(level_row), "__k", "left")
+        .join(F.broadcast(fallback), "__k")
+        .withColumn("__lvl", F.coalesce(F.col("level"), F.col("__fb")))
+        .withColumn("__base", F.least(F.col("n_docs"), F.col("__lvl")))
+    )
+    used = alloc_base.groupBy("__k").agg(
+        F.sum("__base").cast("long").alias("__used")
+    )
+    out = (
+        alloc_base.join(F.broadcast(used), "__k")
+        .withColumn(
+            "__rem",
+            F.least(F.col("budget"), F.col("__total")) - F.col("__used"),
+        )
+        .withColumn(
+            "__extra_rank",
+            F.row_number().over(
+                Window.partitionBy("__k")
+                .orderBy(
+                    (F.col("n_docs") > F.col("__lvl")).desc(), F.col("domain")
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "alloc",
+            F.col("__base")
+            + F.when(
+                (F.col("n_docs") > F.col("__lvl"))
+                & (F.col("__extra_rank") <= F.col("__rem")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return out.select("domain", "n_docs", "alloc")

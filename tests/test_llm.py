@@ -1920,3 +1920,31 @@ def test_strip_boilerplate_prefix_golden(spark):
     few = spark.createDataFrame(rows[:2], "doc_id long, text string")
     out = strip_boilerplate_prefix(few, k_tokens=5, min_docs=3).collect()
     assert all(not r.stripped for r in out)
+
+
+def test_domain_water_fill_golden(spark):
+    from maston_spark.llm.sampling import domain_water_fill
+
+    # sizes: a=1, b=5, c=5 (total 11). budget = 9 -> level 4:
+    # alloc = [1, 4, 4], remainder 0.
+    rows = (
+        [("a", 0)] + [("b", i) for i in range(5)] + [("c", i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "d string, x long")
+    got = {r.domain: (r.n_docs, r.alloc)
+           for r in domain_water_fill(df, "d", 9, 11).collect()}
+    assert got == {"a": (1, 1), "b": (5, 4), "c": (5, 4)}
+
+    # budget 7 of 15 over [5,5,5] -> level 2, remainder 1 to the
+    # name-first above-line domain
+    df2 = spark.createDataFrame(
+        [(d, i) for d in "abc" for i in range(5)], "d string, x long"
+    )
+    got = {r.domain: r.alloc for r in domain_water_fill(df2, "d", 7, 15).collect()}
+    assert got == {"a": 3, "b": 2, "c": 2}
+    # budget >= total: everything kept
+    got = {r.domain: r.alloc for r in domain_water_fill(df2, "d", 2, 1).collect()}
+    assert got == {"a": 5, "b": 5, "c": 5}
+    # zero budget: nothing kept
+    got = {r.domain: r.alloc for r in domain_water_fill(df2, "d", 0, 1).collect()}
+    assert got == {"a": 0, "b": 0, "c": 0}
