@@ -131,8 +131,11 @@ def triangle_stats(
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
     n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    # d*(d-1) is always even — integer `div` keeps the whole sum in
+    # exact int64 (float division would lose bits past 2^53 wedges on
+    # exactly the power-law graphs this operator is built for)
     n_wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges")
     )
     da = deg.select(F.col("x").alias("a"), F.col("d").alias("__da"))
     db = deg.select(F.col("x").alias("b"), F.col("d").alias("__db"))

@@ -547,6 +547,8 @@ def pareto_frontier(
         cur = None
         for pdf in batches:
             cur = pdf if cur is None else pd.concat([cur, pdf], ignore_index=True)
+            if not len(cur):
+                continue  # empty arrow batch: nothing to prune yet
             # sort by (cost asc, quality desc); a row survives iff its
             # quality strictly exceeds the running max over all
             # strictly-cheaper rows AND it is not beaten at equal cost

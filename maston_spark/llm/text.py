@@ -1393,6 +1393,22 @@ def source_token_kl(
     )
 
 
+def _apply_merges(col, pairs: list[str], joiner: str) -> Column:
+    """Replay BPE merges in training order on a space-padded text
+    column — THE one merge-application semantics, shared by training
+    (:func:`bpe_merges` re-derives its working column through it each
+    round) and serving (:func:`bpe_encode`), so the two sides cannot
+    drift."""
+    s = F.concat(F.lit(" "), col, F.lit(" "))
+    for pair in pairs:
+        s = F.replace(
+            s,
+            F.lit(f" {pair} "),
+            F.lit(" " + pair.replace(" ", joiner) + " "),
+        )
+    return s
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -1427,14 +1443,7 @@ def bpe_merges(
     merges: list[tuple[int, str, int]] = []
 
     def current(col):
-        s = F.concat(F.lit(" "), col, F.lit(" "))
-        for _, pair, _ in merges:
-            s = F.replace(
-                s,
-                F.lit(f" {pair} "),
-                F.lit(" " + pair.replace(" ", joiner) + " "),
-            )
-        return s
+        return _apply_merges(col, [p for _, p, _ in merges], joiner)
 
     for step in range(1, int(n_merges) + 1):
         toks = F.split(F.trim(current(F.col(text_col))), r"\s+")
@@ -1499,14 +1508,7 @@ def bpe_encode(
     both engines round the same IEEE double identically.
     """
     rows = merges.orderBy("step").collect()  # ≤ n_merges rows by construction
-    s = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
-    for r in rows:
-        pair = r["pair"]
-        s = F.replace(
-            s,
-            F.lit(f" {pair} "),
-            F.lit(" " + pair.replace(" ", joiner) + " "),
-        )
+    s = _apply_merges(F.col(text_col), [r["pair"] for r in rows], joiner)
     toks = F.split(F.trim(s), r"\s+")
     base = F.split(F.trim(F.col(text_col)), r"\s+")
     return df.select(

@@ -355,7 +355,12 @@ def ks_drift(
     cumulative windows are partitioned per group over that bounded
     grid — the corpus is scanned once and never re-shuffled.
     """
-    counts = (
+    from maston_spark.caching import scoped_persist
+
+    # counts feeds six consumers (vals, groups, filled, per_val,
+    # sizes, total) — persist it or the corpus aggregation re-runs
+    # per consumer.
+    counts = scoped_persist(
         df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))

@@ -4172,7 +4172,7 @@ def q172_dup_transitivity(spark, sf_dir):
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
                FROM documents),
     m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-                 round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+                 round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 9)
                    AS quality
           FROM t)
     SELECT d.doc_id, d.n_tokens, d.quality
@@ -4200,7 +4200,11 @@ def q174_pareto_frontier(spark, sf_dir):
     m = d.select(
         "doc_id",
         F.size(tk).cast("long").alias("n_tokens"),
-        F.round(F.size(F.array_distinct(tk)) / F.size(tk), 6).alias("quality"),
+        # round at 9, not 6: distinct/total with a dyadic denominator
+        # >= 2^7 (a 128-token doc) lands exactly on a 1e-6 midpoint,
+        # which HALF_UP (Spark) vs HALF_EVEN (DuckDB) break apart; no
+        # reachable denominator gets near 2^10, so grid 9 is midpoint-free
+        F.round(F.size(F.array_distinct(tk)) / F.size(tk), 9).alias("quality"),
     )
     return pareto_frontier(m, "quality", "n_tokens").select(
         "doc_id", "n_tokens", "quality"

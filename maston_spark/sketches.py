@@ -74,14 +74,18 @@ def kmv_sketch(
     Determinism: hashes are md5-derived (no RNG); equal hashes from a
     60-bit collision rank arbitrarily between engines but produce the
     same rank SET and the same kth VALUE, so downstream estimates are
-    unaffected.
+    unaffected. NULL values are excluded (md5(NULL) is NULL and a
+    NULL hash would otherwise rank FIRST in Spark's ascending window
+    but LAST in pandas/DuckDB, corrupting the sketch differently per
+    engine and partitioning) — distinct counts are of non-null
+    values, the COUNT(DISTINCT x) convention.
     """
     import pandas as pd  # noqa: F401  (mapInPandas runtime dep)
 
     hashed = df.select(
         F.col(group_col).alias("g"),
         h60(F.col(value_col).cast("string")).alias("h"),
-    )
+    ).filter(F.col("h").isNotNull())
 
     def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -181,8 +185,15 @@ def kmv_set_ops(
     corpus never re-enters. With thousands of sets the pair
     enumeration is |sets|² × k sketch rows, still corpus-independent.
     """
-    sk = kmv_sketch(df, set_col, value_col, k).select(
-        F.col(set_col).alias("s"), "h"
+    from maston_spark.caching import scoped_persist
+
+    # sk feeds SIX downstream branches (the pair enumeration twice,
+    # both union sides, both membership sides) — persist it or the
+    # corpus-scanning mapInPandas sketch chain re-runs per consumer.
+    sk = scoped_persist(
+        kmv_sketch(df, set_col, value_col, k).select(
+            F.col(set_col).alias("s"), "h"
+        )
     )
     # Pair enumeration over the tiny per-set sketch table. The join
     # key is the hash value itself: a hash contributes to a pair's
@@ -267,6 +278,25 @@ def kmv_set_ops(
     )
 
 
+def _cms_cells(item: "F.Column", depth: int, width: int) -> "F.Column":
+    """The d hashed (seed, bucket) cells of one item — ONE shared
+    derivation for the sketch build and the probe side (they must
+    hash identically or the one-sided ``est ≥ true`` guarantee breaks
+    silently)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.pmod(
+                    h60(F.concat_ws(":", F.lit(str(s)), item.cast("string"))),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for s in range(depth)
+        ]
+    )
+
+
 def cms_sketch(df: DataFrame, item_col: str, depth: int, width: int) -> DataFrame:
     """Count-min sketch of ``item_col`` frequencies: ``(seed, bucket,
     cnt)`` rows, at most depth × width of them.
@@ -275,29 +305,14 @@ def cms_sketch(df: DataFrame, item_col: str, depth: int, width: int) -> DataFram
     aggregation collapses each task's contribution to ≤ d·w rows
     before the (tiny) shuffle, which is exactly the sketch's merge
     property. Hash lanes are md5(seed ':' item), so the sketch is
-    deterministic and a SQL oracle rebuilds it exactly.
+    deterministic and a SQL oracle rebuilds it exactly. NULL items
+    are excluded on both the sketch and probe sides (``concat_ws``
+    would otherwise silently hash just the seed, inflating one cell
+    per lane in a way the ``||``-based oracle — where NULL
+    propagates — never sees).
     """
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        F.pmod(
-                            h60(
-                                F.concat_ws(
-                                    ":",
-                                    F.lit(str(s)),
-                                    F.col(item_col).cast("string"),
-                                )
-                            ),
-                            F.lit(width),
-                        ).alias("bucket"),
-                    )
-                    for s in range(depth)
-                ]
-            )
-        ).alias("c")
+    cells = df.filter(F.col(item_col).isNotNull()).select(
+        F.explode(_cms_cells(F.col(item_col), depth, width)).alias("c")
     )
     return cells.groupBy(
         F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket")
@@ -320,27 +335,13 @@ def cms_estimate(
     once (the sketch build).
     """
     sk = cms_sketch(df, item_col, depth, width)
-    probes = items.select(F.col(item_col).alias("item")).distinct()
+    probes = (
+        items.select(F.col(item_col).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
     probe_cells = probes.select(
-        "item",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        F.pmod(
-                            h60(
-                                F.concat_ws(
-                                    ":", F.lit(str(s)), F.col("item").cast("string")
-                                )
-                            ),
-                            F.lit(width),
-                        ).alias("bucket"),
-                    )
-                    for s in range(depth)
-                ]
-            )
-        ).alias("c"),
+        "item", F.explode(_cms_cells(F.col("item"), depth, width)).alias("c")
     ).select("item", F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
     joined = probe_cells.join(F.broadcast(sk), ["seed", "bucket"], "left").select(
         "item", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
