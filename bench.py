@@ -43,6 +43,9 @@ HEADLINE = [
     "q157_hybrid_rrf",          # hybrid retrieval (BM25 x QL rank fusion)
     "q158_ivfpq_residual",      # residual-encoded IVF-PQ (faiss layout)
     "q168_kmv_set_ops",         # KMV sketch set-op estimation (bounded memory)
+    "q172_dup_transitivity",    # degree-oriented triangle census (dup graph)
+    "q174_pareto_frontier",     # skyline selection (local-prune + confirm)
+    "q178_ks_drift",            # KS drift (integer-scaled, bounded grid)
 ]
 
 
