@@ -770,3 +770,98 @@ def sketch_metrics_topology(
             sk.unpersist()
 
     return _start_foreach_batch(hashed, fn, checkpoint, trigger)
+
+
+def cms_watchlist_topology(
+    source: DataFrame,
+    *,
+    item_col: str,
+    watch: list[str],
+    depth: int,
+    width: int,
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+):
+    """Streaming frequency monitoring: maintain a count-min sketch of
+    ``item_col`` across micro-batches and emit, per batch, running
+    frequency estimates for a fixed ``watch`` list — "how many times
+    has each watched key appeared SO FAR" with state bounded at
+    depth × width counter rows no matter how many distinct keys flow
+    past (the complement of :func:`sketch_metrics_topology`'s
+    cardinality monitor: that one asks how MANY distinct, this one
+    asks HOW OFTEN for known keys).
+
+    Cross-batch state IS the sketch grid (≤ d·w ``(seed, bucket,
+    cnt)`` rows), durable in the same versioned compacted parquet
+    layout as ``delta_topology``'s store; merging a batch is the CMS
+    merge property — cell-wise SUM of the stored grid with the
+    batch's grid — so every emitted estimate equals sketching the
+    whole history at once, and ``est ≥ true`` (one-sided) holds at
+    every batch.
+
+    Scale shape per batch: the batch grid is ONE combiner-reduced
+    aggregation (≤ d·w rows per task before the tiny shuffle); the
+    merge touches 2·d·w rows; the probe joins the broadcast grid
+    against the |watch|-row list.
+    """
+    from maston_spark.sketches import _cms_cells
+
+    sdir = f"{checkpoint.rstrip('/')}/cms_state" if state_dir == "auto" else state_dir
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    def grid(df: DataFrame) -> DataFrame:
+        cells = df.filter(F.col("item").isNotNull()).select(
+            F.explode(_cms_cells(F.col("item"), depth, width)).alias("c")
+        )
+        return cells.groupBy(
+            F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket")
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    items = source.select(F.col(item_col).alias("item"))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        g = grid(batch_df)
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            seed_v = prior[-1] if prior else (batch_id if batch_id in versions else None)
+            if seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                if seed_v == batch_id:
+                    seed = seed.localCheckpoint(eager=True)
+                g = (
+                    g.unionByName(seed)
+                    .groupBy("seed", "bucket")
+                    .agg(F.sum("cnt").cast("long").alias("cnt"))
+                )
+        g = g.persist()
+        try:
+            if sdir is not None:
+                g.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+            probes = spark.createDataFrame(
+                [(w,) for w in watch], "item string"
+            )
+            probe_cells = probes.select(
+                "item", F.explode(_cms_cells(F.col("item"), depth, width)).alias("c")
+            ).select(
+                "item",
+                F.col("c.seed").alias("seed"),
+                F.col("c.bucket").alias("bucket"),
+            )
+            est = (
+                probe_cells.join(F.broadcast(g), ["seed", "bucket"], "left")
+                .select("item", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+                .groupBy("item")
+                .agg(F.min("cnt").cast("long").alias("est_count"))
+            )
+            write_metrics(est, batch_id)
+            if sdir is not None:
+                _drop_state_versions(spark, sdir, prior)
+        finally:
+            g.unpersist()
+
+    return _start_foreach_batch(items, fn, checkpoint, trigger)

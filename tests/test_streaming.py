@@ -1000,3 +1000,48 @@ def test_sketch_metrics_topology_golden(spark, cleanup):
     assert final["a"][1] == oneshot["a"]
     # the estimator branch engaged for 'b' (n_seen capped at k)
     assert final["b"][0] == 8
+
+
+def test_cms_watchlist_topology_golden(spark, cleanup):
+    """Streaming count-min watchlist monitoring over 3 batches:
+    running per-item estimates accumulate cross-batch, est >= true at
+    every batch, and with a wide grid (no collisions) the estimates
+    are exactly the running true counts."""
+    from maston_spark.streaming.topology import cms_watchlist_topology
+
+    per_batch = [
+        ["u1", "u1", "u2"],          # running: u1=2, u2=1
+        ["u2", "u3", "u1"],          # running: u1=3, u2=2
+        ["u9", "u9", "u9", "u1"],    # running: u1=4, u2=2
+    ]
+    rows = [
+        Row(item=u, __replay_batch=b)
+        for b, us in enumerate(per_batch)
+        for u in us
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    q = cms_watchlist_topology(
+        stream,
+        item_col="item",
+        watch=["u1", "u2", "missing"],
+        depth=4,
+        width=1024,
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append(
+            (bid, {r.item: r.est_count for r in df.collect()})
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) >= 3
+    by_batch = dict(seen)
+    assert by_batch[0] == {"u1": 2, "u2": 1, "missing": 0}
+    assert by_batch[1] == {"u1": 3, "u2": 2, "missing": 0}
+    assert by_batch[2] == {"u1": 4, "u2": 2, "missing": 0}
