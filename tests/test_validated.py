@@ -156,3 +156,56 @@ def test_process_validated_pandas_arrow_path(spark):
 
     out = process_validated_pandas(df, upper_values, df.schema)
     assert out.collect()[0].ok.string_value == "V1"
+
+
+def test_replay_dlq_roundtrip(spark):
+    """The DLQ second half: a record rejected by a buggy business
+    rule is quarantined with full provenance, then REPLAYED from its
+    verbatim bytes through the fixed rule — accepted, with the prior
+    attempt's headers preserved as lineage."""
+    from maston_spark.validated import replay_dlq
+
+    # first ingest: buggy rule rejects k > 80 (should have been > 800)
+    payload = json.dumps(
+        {"business_key": "key-9", "string_value": "v9", "decimal_value": 90}
+    )
+    df = process_validated(
+        _parse(spark, [payload]),
+        error_when=F.col("ok.decimal_value") > 80,
+        error_message=F.lit("decimal_value out of range"),
+    )
+    _, invalid = branch_valid(df)
+    dlq = safe_serialize_json(with_error_headers(invalid, app_id="t-replay"))
+    dlq_records = dlq.select(
+        F.col("value_out").alias("value"), "headers"
+    )
+    assert dlq_records.count() == 1
+
+    # replay through the FIXED rule
+    replayed = replay_dlq(
+        dlq_records.withColumn("value", F.col("value").cast("string")),
+        SCHEMA,
+    )
+    fixed = process_validated(
+        replayed,
+        error_when=F.col("ok.decimal_value") > 800,
+        error_message=F.lit("decimal_value out of range"),
+    )
+    [r] = fixed.collect()
+    assert r.err is None and r.ok.business_key == "key-9"
+    # prior attempt's provenance rides along as lineage
+    lineage = {
+        h.key: (bytes(h.value).decode() if h.value is not None else None)
+        for h in r.replay_lineage
+    }
+    assert lineage["maston.error.application.message"] == "decimal_value out of range"
+    assert len(r.replay_lineage) == 11
+
+    # a record that fails AGAIN gets fresh headers while keeping lineage
+    refail = process_validated(
+        replayed, error_when=F.lit(True), error_message=F.lit("still bad")
+    )
+    _, still_bad = branch_valid(refail)
+    enriched = with_error_headers(still_bad, app_id="t-replay-2")
+    [r2] = enriched.collect()
+    assert len(r2.headers) == 11 and len(r2.replay_lineage) == 11
