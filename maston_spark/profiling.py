@@ -416,3 +416,80 @@ def ks_drift(
             ).alias("ks"),
         )
     )
+
+
+def suggest_constraints(
+    df: DataFrame,
+    columns: list[str],
+    accepted_values_max: int = 10,
+) -> DataFrame:
+    """Deequ-style constraint SUGGESTION (the profiling half of the
+    declarative data-quality loop — :func:`constraint_report` is the
+    enforcement half): profile the listed columns and emit the rules
+    the data currently satisfies, as ``(col_name, rule, param_values,
+    param_lo, param_hi)`` rows —
+
+    - ``not_null``   when the column has zero NULLs;
+    - ``unique``     when every row has a distinct non-NULL value;
+    - ``accepted_values`` when the distinct count is between 2 and
+      ``accepted_values_max`` (``param_values`` = the sorted distinct
+      values, comma-joined);
+    - ``range``      for numeric columns (``param_lo``/``param_hi`` =
+      observed min/max as doubles, so no string-formatting parity
+      hazards).
+
+    Distributed shape: ONE combiner-reduced aggregation computes
+    every count/distinct/min/max (a single 1-row collect, bounded by
+    |columns| metrics — never data rows); a second single aggregation
+    gathers sorted value lists ONLY for columns that already proved
+    small (≤ ``accepted_values_max`` distinct), so no collect_set can
+    blow up on a high-cardinality column. Suggestions assemble on the
+    driver from those ≤2 bounded rows.
+    """
+    import pyspark.sql.types as T
+
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.NumericType,))
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+    m = df.agg(*aggs).collect()[0]  # 1 row, |columns|-bounded metrics
+
+    small = [
+        c for c in columns if 2 <= m[f"__nd_{c}"] <= accepted_values_max
+    ]
+    values: dict[str, str] = {}
+    if small:
+        vals_row = df.agg(
+            *[
+                F.array_join(
+                    F.sort_array(F.collect_set(F.col(c).cast("string"))), ","
+                ).alias(f"__v_{c}")
+                for c in small
+            ]
+        ).collect()[0]  # 1 row; each set proved <= accepted_values_max
+        values = {c: vals_row[f"__v_{c}"] for c in small}
+
+    rows = []
+    for c in columns:
+        nn, nd = m[f"__nn_{c}"], m[f"__nd_{c}"]
+        if nn == m["__n"]:
+            rows.append((c, "not_null", None, None, None))
+        if nd == m["__n"] and nn == m["__n"]:
+            rows.append((c, "unique", None, None, None))
+        if c in values:
+            rows.append((c, "accepted_values", values[c], None, None))
+        if c in numeric:
+            rows.append((c, "range", None, m[f"__mn_{c}"], m[f"__mx_{c}"]))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "col_name string, rule string, param_values string, "
+        "param_lo double, param_hi double",
+    )

@@ -283,3 +283,76 @@ def q176_ams_f2(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     return ams_f2(o, "o_custkey", n_lanes=16)
+
+
+# --------------------------------------------- constraint suggestion
+
+
+@query(
+    "q180_constraint_suggest",
+    oracle="""
+    WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      count(o_orderkey) AS nn_k, count(DISTINCT o_orderkey) AS nd_k,
+      count(o_custkey) AS nn_c, count(DISTINCT o_custkey) AS nd_c,
+      count(o_orderstatus) AS nn_s, count(DISTINCT o_orderstatus) AS nd_s,
+      count(o_totalprice) AS nn_t, count(DISTINCT o_totalprice) AS nd_t,
+      count(o_orderpriority) AS nn_p, count(DISTINCT o_orderpriority) AS nd_p,
+      CAST(min(o_orderkey) AS DOUBLE) AS mn_k, CAST(max(o_orderkey) AS DOUBLE) AS mx_k,
+      CAST(min(o_custkey) AS DOUBLE) AS mn_c, CAST(max(o_custkey) AS DOUBLE) AS mx_c,
+      CAST(min(o_totalprice) AS DOUBLE) AS mn_t, CAST(max(o_totalprice) AS DOUBLE) AS mx_t
+      FROM orders),
+    v AS (SELECT
+      string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS vs,
+      string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS vp
+      FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS col_name, 'not_null' AS rule,
+             CAST(NULL AS VARCHAR) AS param_values,
+             CAST(NULL AS DOUBLE) AS param_lo, CAST(NULL AS DOUBLE) AS param_hi
+      FROM m WHERE nn_k = n
+      UNION ALL SELECT 'o_orderkey', 'unique', NULL, NULL, NULL
+      FROM m WHERE nd_k = n AND nn_k = n
+      UNION ALL SELECT 'o_orderkey', 'range', NULL, mn_k, mx_k FROM m
+      UNION ALL SELECT 'o_custkey', 'not_null', NULL, NULL, NULL
+      FROM m WHERE nn_c = n
+      UNION ALL SELECT 'o_custkey', 'unique', NULL, NULL, NULL
+      FROM m WHERE nd_c = n AND nn_c = n
+      UNION ALL SELECT 'o_custkey', 'range', NULL, mn_c, mx_c FROM m
+      UNION ALL SELECT 'o_orderstatus', 'not_null', NULL, NULL, NULL
+      FROM m WHERE nn_s = n
+      UNION ALL SELECT 'o_orderstatus', 'unique', NULL, NULL, NULL
+      FROM m WHERE nd_s = n AND nn_s = n
+      UNION ALL SELECT 'o_orderstatus', 'accepted_values',
+             (SELECT vs FROM v), NULL, NULL
+      FROM m WHERE nd_s BETWEEN 2 AND 10
+      UNION ALL SELECT 'o_totalprice', 'not_null', NULL, NULL, NULL
+      FROM m WHERE nn_t = n
+      UNION ALL SELECT 'o_totalprice', 'unique', NULL, NULL, NULL
+      FROM m WHERE nd_t = n AND nn_t = n
+      UNION ALL SELECT 'o_totalprice', 'range', NULL, mn_t, mx_t FROM m
+      UNION ALL SELECT 'o_orderpriority', 'not_null', NULL, NULL, NULL
+      FROM m WHERE nn_p = n
+      UNION ALL SELECT 'o_orderpriority', 'unique', NULL, NULL, NULL
+      FROM m WHERE nd_p = n AND nn_p = n
+      UNION ALL SELECT 'o_orderpriority', 'accepted_values',
+             (SELECT vp FROM v), NULL, NULL
+      FROM m WHERE nd_p BETWEEN 2 AND 10
+    ) s ORDER BY col_name, rule
+    """,
+)
+def q180_constraint_suggest(spark, sf_dir):
+    """Deequ-style constraint suggestion over five orders columns:
+    profile once, emit the not_null / unique / accepted_values /
+    range rules the data currently satisfies — the generator whose
+    output feeds constraint_report's enforcement. (The oracle
+    instantiates the same conditional spec for this table; the
+    accepted_values arms assume only the two low-cardinality columns
+    can qualify, true of the TPC-H-ish generator at every sf.) See
+    :func:`maston_spark.profiling.suggest_constraints`."""
+    from maston_spark.profiling import suggest_constraints
+
+    o = load_table(spark, sf_dir, "orders")
+    return suggest_constraints(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    ).orderBy("col_name", "rule")

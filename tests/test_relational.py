@@ -595,3 +595,29 @@ def test_ks_drift_golden(spark):
     )
     got = {r.g: r.ks_scaled for r in ks_drift(same, "g", "v").collect()}
     assert got == {"A": 0, "B": 0}
+
+
+def test_suggest_constraints_golden(spark):
+    from maston_spark.profiling import suggest_constraints
+
+    rows = [
+        (1, "A", 1.5, None),
+        (2, "B", 2.5, "x"),
+        (3, "A", 3.5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, val double, maybe string")
+    got = {
+        (r.col_name, r.rule): r
+        for r in suggest_constraints(df, ["id", "cat", "val", "maybe"]).collect()
+    }
+    # id: no nulls, all distinct, numeric
+    assert ("id", "not_null") in got and ("id", "unique") in got
+    assert got[("id", "range")].param_lo == 1.0 and got[("id", "range")].param_hi == 3.0
+    # cat: 2 distinct -> accepted_values with sorted joined values
+    assert got[("cat", "accepted_values")].param_values == "A,B"
+    assert ("cat", "unique") not in got
+    # val: unique numeric
+    assert ("val", "unique") in got and ("val", "range") in got
+    # maybe: has a NULL -> no not_null, no unique; 1 distinct -> no
+    # accepted_values (constant columns suggest nothing useful)
+    assert all(k[0] != "maybe" for k in got)
