@@ -356,3 +356,89 @@ def q180_constraint_suggest(spark, sf_dir):
         o,
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
     ).orderBy("col_name", "rule")
+
+
+# ------------------------------------------------- join planning report
+
+
+@query(
+    "q181_join_planning",
+    oracle="""
+    WITH hc AS (SELECT DISTINCT
+                  ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+                FROM orders),
+    rc AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hc),
+    sc AS (SELECT count(*) AS n_seen, max(CASE WHEN rn = 64 THEN h END) AS kth
+           FROM rc WHERE rn <= 64),
+    lc AS (SELECT l,
+             CAST(sum(CASE WHEN substring(md5('f2:' || l || ':'
+                     || CAST(o_custkey AS VARCHAR)), 1, 1) >= '8'
+                   THEN 1 ELSE -1 END) AS BIGINT) AS t
+           FROM orders, (SELECT unnest(range(0, 16)) AS l) r GROUP BY l),
+    kc AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+        (SELECT CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                ELSE round(63.0 / (kth / 1152921504606846976.0), 4) END
+         FROM sc) AS n_distinct_est,
+        (SELECT CAST(sum(t * t) AS DOUBLE) / 16.0 FROM lc) AS f2_est,
+        (SELECT CAST(sum(f * f) AS BIGINT)
+         FROM (SELECT CAST(count(*) AS BIGINT) AS f
+               FROM orders GROUP BY o_custkey) g) AS f2_exact),
+    ho AS (SELECT DISTINCT
+                  ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+                FROM lineitem),
+    ro AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ho),
+    so AS (SELECT count(*) AS n_seen, max(CASE WHEN rn = 64 THEN h END) AS kth
+           FROM ro WHERE rn <= 64),
+    lo AS (SELECT l,
+             CAST(sum(CASE WHEN substring(md5('f2:' || l || ':'
+                     || CAST(l_orderkey AS VARCHAR)), 1, 1) >= '8'
+                   THEN 1 ELSE -1 END) AS BIGINT) AS t
+           FROM lineitem, (SELECT unnest(range(0, 16)) AS l) r GROUP BY l),
+    ko AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+        (SELECT CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                ELSE round(63.0 / (kth / 1152921504606846976.0), 4) END
+         FROM so) AS n_distinct_est,
+        (SELECT CAST(sum(t * t) AS DOUBLE) / 16.0 FROM lo) AS f2_est,
+        (SELECT CAST(sum(f * f) AS BIGINT)
+         FROM (SELECT CAST(count(*) AS BIGINT) AS f
+               FROM lineitem GROUP BY l_orderkey) g) AS f2_exact)
+    SELECT 'orders.o_custkey' AS key_name, n_rows, n_distinct_est,
+           f2_est, f2_exact FROM kc
+    UNION ALL
+    SELECT 'lineitem.l_orderkey', n_rows, n_distinct_est, f2_est, f2_exact
+    FROM ko
+    ORDER BY key_name
+    """,
+)
+def q181_join_planning(spark, sf_dir):
+    """Join-planning dashboard composing the sketch family: for each
+    candidate join key, row count, KMV distinct-count estimate
+    (k=64), and AMS F2 self-join-size estimate next to the exact
+    sum(f^2) — the one-pass numbers that decide broadcast vs shuffle
+    vs salt BEFORE a 100 TB join runs. See q167/q176 for the
+    individual estimators."""
+    from maston_spark.sketches import ams_f2, kmv_distinct_by
+
+    def report(df, col, name):
+        kmv = (
+            kmv_distinct_by(df.withColumn("__g", F.lit(name)), "__g", col, 64)
+            .select(
+                F.col("__g").alias("key_name"), "n_distinct_est"
+            )
+        )
+        f2 = ams_f2(df, col, 16).select(
+            F.lit(name).alias("key_name"), "n_rows", "f2_est", "f2_exact"
+        )
+        return f2.join(kmv, "key_name").select(
+            "key_name", "n_rows", "n_distinct_est", "f2_est", "f2_exact"
+        )
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        report(o, "o_custkey", "orders.o_custkey")
+        .unionByName(report(li, "l_orderkey", "lineitem.l_orderkey"))
+        .orderBy("key_name")
+    )
