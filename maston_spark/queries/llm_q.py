@@ -4411,3 +4411,36 @@ def q179_water_fill(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("source")
     return domain_water_fill(d, "source", 3, 5).orderBy("domain")
+
+
+@query(
+    "q182_seasonal_anomalies",
+    oracle="""
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                      hour(ts) AS how, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2, 3),
+    s AS (SELECT event_type, how, CAST(count(*) AS BIGINT) AS s_cnt,
+                 CAST(sum(n_events) AS BIGINT) AS s_sum
+          FROM b GROUP BY 1, 2)
+    SELECT b.event_type, b.bucket_ts, b.n_events,
+           s.s_cnt AS season_buckets, s.s_sum AS season_events,
+           CASE WHEN b.n_events * s.s_cnt > 2 * s.s_sum THEN 'high'
+                ELSE 'low' END AS direction
+    FROM b JOIN s ON s.event_type = b.event_type AND s.how = b.how
+    WHERE b.n_events * s.s_cnt > 2 * s.s_sum
+       OR 2 * b.n_events * s.s_cnt < s.s_sum
+    ORDER BY b.event_type, b.bucket_ts
+    """,
+)
+def q182_seasonal_anomalies(spark, sf_dir):
+    """Hour-of-day seasonal-profile anomalies per event type: buckets
+    at >2x or <0.5x their group's recurring hourly mean, compared in
+    the cross-multiplied integer domain (no division, no rounding).
+    The per-bucket complement of q175's persistent-shift CUSUM. See
+    :func:`maston_spark.relational.seasonal_anomalies`."""
+    from maston_spark.relational import seasonal_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return seasonal_anomalies(ev, "event_type", "ts", unit="hour", factor=2).orderBy(
+        "event_type", "bucket_ts"
+    )

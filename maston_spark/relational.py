@@ -849,3 +849,56 @@ def cusum_changepoint(
             (F.col("__scaled").cast("double") / F.col("n_buckets")).alias("cusum"),
         )
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    unit: str = "hour",
+    factor: int = 2,
+) -> DataFrame:
+    """Seasonal-baseline rate anomalies: bucket events per
+    (``group``, truncated ``unit``), learn each group's
+    season-of-day profile (mean count per hour-of-day), and flag
+    buckets whose count exceeds ``factor``× their seasonal mean
+    (``direction='high'``) or falls below 1/``factor`` of it
+    (``'low'``) — the complement of :func:`cusum_changepoint`: CUSUM
+    finds the one persistent level shift, this finds the individual
+    buckets that break their own recurring profile.
+
+    Cross-engine exactness: the seasonal mean is the rational
+    ``s_sum / s_cnt``, so both comparisons run cross-multiplied in
+    exact int64 (``c·s_cnt > factor·s_sum`` / ``factor·c·s_cnt <
+    s_sum``) — no division, no rounding, nothing for two engines to
+    disagree on.
+
+    Scale shape: ONE combiner-reduced bucket aggregation collapses
+    the corpus; the seasonal profile is a second agg over those
+    bucket rows (≤ |groups|×24 output) joined back broadcast; the
+    flag is a pure projection.
+    """
+    b = df.groupBy(
+        F.col(group_col),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
+        F.hour(F.col(ts_col)).alias("__how"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    s = b.groupBy(group_col, "__how").agg(
+        F.count(F.lit(1)).cast("long").alias("__s_cnt"),
+        F.sum("n_events").cast("long").alias("__s_sum"),
+    )
+    fac = F.lit(int(factor))
+    joined = b.join(F.broadcast(s), [group_col, "__how"])
+    high = F.col("n_events") * F.col("__s_cnt") > fac * F.col("__s_sum")
+    low = fac * F.col("n_events") * F.col("__s_cnt") < F.col("__s_sum")
+    return (
+        joined.filter(high | low)
+        .select(
+            group_col,
+            "bucket_ts",
+            "n_events",
+            F.col("__s_cnt").alias("season_buckets"),
+            F.col("__s_sum").alias("season_events"),
+            F.when(high, F.lit("high")).otherwise(F.lit("low")).alias("direction"),
+        )
+    )

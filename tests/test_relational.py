@@ -621,3 +621,34 @@ def test_suggest_constraints_golden(spark):
     # maybe: has a NULL -> no not_null, no unique; 1 distinct -> no
     # accepted_values (constant columns suggest nothing useful)
     assert all(k[0] != "maybe" for k in got)
+
+
+def test_seasonal_anomalies_golden(spark):
+    from datetime import datetime
+
+    from maston_spark.relational import seasonal_anomalies
+
+    # hour-of-day 3 across four days: counts [2, 2, 2, 10] -> seasonal
+    # mean 4; the 10-bucket is > 2x mean (high), the 2-buckets are
+    # NOT < 0.5x mean (2*2*4=16 !< 16) -> exactly one flag
+    rows = []
+    for day, n in zip(range(1, 5), [2, 2, 2, 10]):
+        for i in range(n):
+            rows.append(("a", datetime(2026, 1, day, 3, i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = seasonal_anomalies(df, "event_type", "ts", factor=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.direction == "high" and r.n_events == 10
+    assert r.bucket_ts == datetime(2026, 1, 4, 3)
+    assert r.season_buckets == 4 and r.season_events == 16
+
+    # a clearly-low bucket: counts [8, 8, 8, 1] -> mean 6.25;
+    # 2*1*4 = 8 < 25 -> low flag on the 1-bucket
+    rows = []
+    for day, n in zip(range(1, 5), [8, 8, 8, 1]):
+        for i in range(n):
+            rows.append(("b", datetime(2026, 2, day, 5, i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = seasonal_anomalies(df, "event_type", "ts", factor=2).collect()
+    assert [(r.direction, r.n_events) for r in out] == [("low", 1)]
