@@ -1772,3 +1772,58 @@ def strip_boilerplate_prefix(
         .otherwise(F.col("__text"))
         .alias("text_out"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_source: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary audit: per source, the fraction of token
+    OCCURRENCES not present in a reference vocabulary (the distinct
+    tokens of ``vocab_source``, typically the train split) —
+    ``(source, n_tokens, n_oov, oov_rate)``. The tokenizer/corpus QA
+    gate run before mixing in a new crawl: a high OOV rate against
+    the tokenizer-training corpus means the new source will shatter
+    into byte-fallback garbage.
+
+    Scale shape: the vocabulary reduces to a distinct-token table
+    (combiner-reduced, |vocab| rows); corpus tokens aggregate to
+    (source, token, count) — also combiner-reduced — before the
+    vocab join, so the join input is bounded by |sources|×|vocab'|,
+    never raw token occurrences. ``oov_rate`` is the raw IEEE
+    quotient of two exact int64s.
+    """
+    vocab = (
+        vocab_source.select(F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .filter(F.col("__tok") != "")
+        .distinct()
+    )
+    tok_counts = (
+        df.select(
+            F.col(source_col).alias("__src"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .groupBy("__src", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    marked = tok_counts.join(
+        vocab.withColumn("__in", F.lit(1)), "__tok", "left"
+    )
+    return (
+        marked.groupBy("__src")
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), F.col("__c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col("__src").alias(source_col),
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

@@ -4444,3 +4444,51 @@ def q182_seasonal_anomalies(spark, sf_dir):
     return seasonal_anomalies(ev, "event_type", "ts", unit="hour", factor=2).orderBy(
         "event_type", "bucket_ts"
     )
+
+
+@query(
+    "q183_oov_rate",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT w AS tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE doc_id % 2 = 0) u
+      WHERE w <> ''),
+    tc AS (SELECT source, w AS tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT source, unnest(string_split(
+                   CASE WHEN doc_id % 10 = 1
+                        THEN text || ' zzqx' || CAST(doc_id AS VARCHAR)
+                        ELSE text END, ' ')) AS w
+                 FROM documents) u
+           WHERE w <> '' GROUP BY 1, 2)
+    SELECT tc.source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c) AS oov_rate
+    FROM tc LEFT JOIN vocab v ON v.tok = tc.tok
+    GROUP BY tc.source
+    ORDER BY tc.source
+    """,
+)
+def q183_oov_rate(spark, sf_dir):
+    """Per-source OOV rate against the even-doc_id half's vocabulary
+    (a stand-in train split), with a planted novel token appended to
+    every 10th doc so non-zero OOV mass exists at every scale — the
+    tokenizer-coverage QA gate for a new source. See
+    :func:`maston_spark.llm.text.oov_rate`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(
+                F.col("text"), F.lit(" zzqx"), F.col("doc_id").cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    vocab_src = d.filter(F.col("doc_id") % 2 == 0).select("text")
+    return TXT.oov_rate(corpus, vocab_src).orderBy("source")

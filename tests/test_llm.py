@@ -1948,3 +1948,23 @@ def test_domain_water_fill_golden(spark):
     # zero budget: nothing kept
     got = {r.domain: r.alloc for r in domain_water_fill(df2, "d", 0, 1).collect()}
     assert got == {"a": 0, "b": 0, "c": 0}
+
+
+def test_oov_rate_golden(spark):
+    from maston_spark.llm.text import oov_rate
+
+    vocab_src = spark.createDataFrame(
+        [("alpha beta gamma",)], "text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("s1", "alpha beta beta"),          # fully in-vocab
+            ("s2", "alpha NOVEL beta NOVEL"),   # 2 of 4 occurrences OOV
+        ],
+        "source string, text string",
+    )
+    got = {r.source: r for r in oov_rate(corpus, vocab_src).collect()}
+    assert got["s1"].n_tokens == 3 and got["s1"].n_oov == 0
+    assert got["s1"].oov_rate == 0.0
+    assert got["s2"].n_tokens == 4 and got["s2"].n_oov == 2
+    assert got["s2"].oov_rate == 0.5
