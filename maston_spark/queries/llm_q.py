@@ -4492,3 +4492,33 @@ def q183_oov_rate(spark, sf_dir):
     )
     vocab_src = d.filter(F.col("doc_id") % 2 == 0).select("text")
     return TXT.oov_rate(corpus, vocab_src).orderBy("source")
+
+
+@query(
+    "q184_grouped_quantile_bins",
+    oracle="""
+    WITH e AS (SELECT source,
+                      quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+               FROM documents GROUP BY source),
+    b AS (SELECT d.source, d.n_chars AS x,
+                 CAST(len(list_filter(e.qs, q -> d.n_chars > q)) AS INT)
+                   AS bin
+          FROM documents d JOIN e ON e.source = d.source
+          WHERE d.n_chars IS NOT NULL)
+    SELECT source, bin, CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_val, max(x) AS max_val
+    FROM b GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+)
+def q184_grouped_quantile_bins(spark, sf_dir):
+    """Per-source quartile binning of document lengths — the
+    calibration that makes 'top quartile' mean top quartile OF THAT
+    SOURCE before a cross-source budget cut. Cut points are each
+    group's exact percentiles (distributed order statistics), never
+    a per-group corpus sort. See
+    :func:`maston_spark.relational.grouped_quantile_bins`."""
+    from maston_spark.relational import grouped_quantile_bins
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return grouped_quantile_bins(d, "source", "n_chars", n_bins=4)

@@ -902,3 +902,44 @@ def seasonal_anomalies(
             F.when(high, F.lit("high")).otherwise(F.lit("low")).alias("direction"),
         )
     )
+
+
+def grouped_quantile_bins(
+    df: DataFrame, group_col: str, value_col: str, n_bins: int = 4
+) -> DataFrame:
+    """Per-GROUP equal-frequency binning: every row assigned to one
+    of ``n_bins`` buckets cut at its OWN group's exact ``i/n_bins``
+    percentiles — the calibration step that makes a quality score
+    comparable across sources before a global budget cut (a source's
+    top quartile means "top quartile OF THAT SOURCE", regardless of
+    how its absolute score distribution sits). Returns per
+    (group, bin) row counts and observed value ranges.
+
+    Same physics as :func:`quantile_bins`, with the group threaded
+    through: cut points come from :func:`exact_percentiles`
+    (distributed order statistics, one row PER GROUP), broadcast
+    back as a |groups|-row join, and the bin id is the pure
+    projection ``Σ (x > edge_i)`` — never a per-group sort of the
+    corpus, so a hot source cannot create a straggler partition.
+    """
+    n = int(n_bins)
+    if n < 2:
+        raise ValueError("n_bins must be >= 2")
+    ps = [i / n for i in range(1, n)]
+    als = [f"__e{i}" for i in range(1, n)]
+    edges = exact_percentiles(df, group_col, value_col, ps, als)
+    bucket = None
+    for a in als:
+        term = F.when(F.col(value_col) > F.col(a), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(edges), group_col)
+        .groupBy(F.col(group_col), bucket.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
+        .orderBy(group_col, "bin")
+    )

@@ -652,3 +652,25 @@ def test_seasonal_anomalies_golden(spark):
     df = spark.createDataFrame(rows, "event_type string, ts timestamp")
     out = seasonal_anomalies(df, "event_type", "ts", factor=2).collect()
     assert [(r.direction, r.n_events) for r in out] == [("low", 1)]
+
+
+def test_grouped_quantile_bins_golden(spark):
+    from maston_spark.relational import grouped_quantile_bins
+
+    # group A: 1..8 -> quartile edges (percentile_cont) 2.75/4.5/6.25:
+    # bins of 2 rows each; group B shifted by 100 bins independently
+    rows = [("A", float(i)) for i in range(1, 9)] + [
+        ("B", float(100 + i)) for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.bin): (r.n_rows, r.min_val, r.max_val)
+        for r in grouped_quantile_bins(df, "g", "v", n_bins=4).collect()
+    }
+    assert got[("A", 0)] == (2, 1.0, 2.0)
+    assert got[("A", 1)] == (2, 3.0, 4.0)
+    assert got[("A", 2)] == (2, 5.0, 6.0)
+    assert got[("A", 3)] == (2, 7.0, 8.0)
+    # B's bins cut at B's OWN percentiles, not A's
+    assert got[("B", 0)] == (2, 101.0, 102.0)
+    assert got[("B", 3)] == (2, 107.0, 108.0)
