@@ -4522,3 +4522,32 @@ def q184_grouped_quantile_bins(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     return grouped_quantile_bins(d, "source", "n_chars", n_bins=4)
+
+
+@query(
+    "q185_table_fingerprint",
+    oracle="""
+    WITH h AS (SELECT ('0x' || substr(md5(
+                 coalesce(CAST(l_orderkey AS VARCHAR), '<NULL>') || chr(31) ||
+                 coalesce(CAST(l_linenumber AS VARCHAR), '<NULL>') || chr(31) ||
+                 coalesce(CAST(l_quantity AS VARCHAR), '<NULL>') || chr(31) ||
+                 coalesce(l_returnflag, '<NULL>')), 1, 15))::BIGINT AS h
+               FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_fp,
+           CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR) AS sum_fp
+    FROM h
+    """,
+)
+def q185_table_fingerprint(spark, sf_dir):
+    """Order-insensitive content fingerprint of four lineitem columns
+    — the O(1)-output pipeline-equivalence check run before a full
+    table_diff (commutative XOR + exact decimal sum + count pin the
+    row multiset independent of partitioning or ordering). See
+    :func:`maston_spark.relational.table_fingerprint`."""
+    from maston_spark.relational import table_fingerprint
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    return table_fingerprint(li)

@@ -674,3 +674,39 @@ def test_grouped_quantile_bins_golden(spark):
     # B's bins cut at B's OWN percentiles, not A's
     assert got[("B", 0)] == (2, 101.0, 102.0)
     assert got[("B", 3)] == (2, 107.0, 108.0)
+
+
+def test_table_fingerprint_golden(spark):
+    from maston_spark.relational import table_fingerprint
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    base = table_fingerprint(df).collect()[0]
+    assert base.n_rows == 3
+
+    # order/partitioning-insensitive: same multiset -> same fingerprint
+    shuffled = spark.createDataFrame(list(reversed(rows)), "id long, s string")
+    alt = table_fingerprint(shuffled.repartition(5)).collect()[0]
+    assert (alt.n_rows, alt.xor_fp, alt.sum_fp) == (
+        base.n_rows, base.xor_fp, base.sum_fp
+    )
+
+    # any changed cell changes the fingerprint
+    mut = spark.createDataFrame([(1, "a"), (2, "b"), (3, "x")], "id long, s string")
+    m = table_fingerprint(mut).collect()[0]
+    assert m.xor_fp != base.xor_fp
+
+    # NULL sentinel keeps (NULL,'x') distinct from ('x',NULL)
+    a = table_fingerprint(
+        spark.createDataFrame([(None, "x")], "p string, q string")
+    ).collect()[0]
+    b = table_fingerprint(
+        spark.createDataFrame([("x", None)], "p string, q string")
+    ).collect()[0]
+    assert a.xor_fp != b.xor_fp
+
+    # duplicate-pair insertion is invisible to XOR but not to sum/count
+    dup = spark.createDataFrame(rows + [rows[0], rows[0]], "id long, s string")
+    d = table_fingerprint(dup).collect()[0]
+    assert d.xor_fp == base.xor_fp and d.n_rows != base.n_rows
+    assert d.sum_fp != base.sum_fp
