@@ -4551,3 +4551,89 @@ def q185_table_fingerprint(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
     return table_fingerprint(li)
+
+
+@query(
+    "q186_curation_funnel",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, text,
+                      string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, source, text,
+             round(
+               (CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                              / length(text), 6) < 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN round(len(list_filter(toks,
+                                x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE
+                              / len(toks), 6) > 0.01 THEN 0.3 ELSE 0.0 END), 6
+             ) AS quality_score
+      FROM t),
+    gated AS (SELECT * FROM scored WHERE quality_score >= 0.7),
+    hashed AS (SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                      AS content_hash FROM gated),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_hash
+                                     ORDER BY doc_id) AS __rn
+        FROM hashed) WHERE __rn = 1),
+    capped AS (
+      SELECT * FROM (
+        SELECT doc_id, source, quality_score,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id) AS domain_rank
+        FROM deduped) WHERE domain_rank <= 15)
+    SELECT 'input' AS stage, 1 AS stage_order,
+           CAST((SELECT count(*) FROM t) AS BIGINT) AS n_rows
+    UNION ALL SELECT 'quality_gate', 2,
+           CAST((SELECT count(*) FROM gated) AS BIGINT)
+    UNION ALL SELECT 'exact_dedup', 3,
+           CAST((SELECT count(*) FROM deduped) AS BIGINT)
+    UNION ALL SELECT 'domain_cap', 4,
+           CAST((SELECT count(*) FROM capped) AS BIGINT)
+    ORDER BY stage_order
+    """,
+)
+def q186_curation_funnel(spark, sf_dir):
+    """The curation RUN REPORT for q113's pipeline: per-stage
+    surviving-row counts (input → quality gate → exact dedup →
+    domain cap) — the funnel every production curation job prints
+    before anyone trusts its output corpus. The shared post-gate
+    frame is persisted once; each stage count is a combiner-reduced
+    1-row aggregate."""
+    from pyspark.sql import Window
+    from maston_spark.caching import scoped_persist
+    from maston_spark.llm import dedup as _DD
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    gated = scoped_persist(
+        TXT.quality_score(d).filter(F.col("quality_score") >= 0.7)
+    )
+    hashed = gated.withColumn("content_hash", _DD.content_hash(F.col("text")))
+    w_dedup = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = scoped_persist(
+        hashed.withColumn("__rn", F.row_number().over(w_dedup)).filter(
+            F.col("__rn") == 1
+        )
+    )
+    w_cap = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    capped = deduped.withColumn(
+        "domain_rank", F.row_number().over(w_cap)
+    ).filter(F.col("domain_rank") <= 15)
+
+    def stage(df, name, order):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+            F.lit(name).alias("stage"),
+            F.lit(order).cast("int").alias("stage_order"),
+            "n_rows",
+        )
+
+    return (
+        stage(d, "input", 1)
+        .unionByName(stage(gated, "quality_gate", 2))
+        .unionByName(stage(deduped, "exact_dedup", 3))
+        .unionByName(stage(capped, "domain_cap", 4))
+        .orderBy("stage_order")
+    )
