@@ -1809,8 +1809,11 @@ def oov_rate(
         .groupBy("__src", "__tok")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
+    # explicit broadcast: a freshly aggregated distinct-token frame has
+    # no size statistics, and an unhinted vocab-shaped side may plan a
+    # full shuffle (the q165 lesson — worth 3-4x at 10x data)
     marked = tok_counts.join(
-        vocab.withColumn("__in", F.lit(1)), "__tok", "left"
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "__tok", "left"
     )
     return (
         marked.groupBy("__src")

@@ -461,6 +461,14 @@ def suggest_constraints(
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
     m = df.agg(*aggs).collect()[0]  # 1 row, |columns|-bounded metrics
+    if m["__n"] == 0:
+        # an empty table satisfies every rule vacuously — suggesting
+        # not_null/unique for all columns would be garbage advice
+        return df.sparkSession.createDataFrame(
+            [],
+            "col_name string, rule string, param_values string, "
+            "param_lo double, param_hi double",
+        )
 
     small = [
         c for c in columns if 2 <= m[f"__nd_{c}"] <= accepted_values_max
@@ -486,7 +494,9 @@ def suggest_constraints(
             rows.append((c, "unique", None, None, None))
         if c in values:
             rows.append((c, "accepted_values", values[c], None, None))
-        if c in numeric:
+        # range only when the column has at least one value — an
+        # all-NULL numeric column has no observed bounds to suggest
+        if c in numeric and nn > 0:
             rows.append((c, "range", None, m[f"__mn_{c}"], m[f"__mx_{c}"]))
     return df.sparkSession.createDataFrame(
         rows,

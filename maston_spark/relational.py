@@ -875,13 +875,23 @@ def seasonal_anomalies(
 
     Scale shape: ONE combiner-reduced bucket aggregation collapses
     the corpus; the seasonal profile is a second agg over those
-    bucket rows (≤ |groups|×24 output) joined back broadcast; the
-    flag is a pure projection.
+    bucket rows (≤ |groups|×|season| output) joined back broadcast;
+    the flag is a pure projection.
+
+    Supported units and their season keys: ``hour`` → hour-of-day
+    (24 seasons), ``day`` → day-of-week (7 seasons). A coarser or
+    finer unit has no meaningful recurring key here and is rejected
+    (a mismatched pair would silently fragment buckets).
     """
+    season_keys = {"hour": F.hour, "day": F.dayofweek}
+    if unit not in season_keys:
+        raise ValueError(
+            f"unit must be one of {sorted(season_keys)} (got {unit!r})"
+        )
     b = df.groupBy(
         F.col(group_col),
         F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
-        F.hour(F.col(ts_col)).alias("__how"),
+        season_keys[unit](F.col(ts_col)).alias("__how"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     s = b.groupBy(group_col, "__how").agg(
         F.count(F.lit(1)).cast("long").alias("__s_cnt"),

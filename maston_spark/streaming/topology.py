@@ -806,33 +806,32 @@ def cms_watchlist_topology(
     merge touches 2·d·w rows; the probe joins the broadcast grid
     against the |watch|-row list.
     """
-    from maston_spark.sketches import _cms_cells
+    from maston_spark.sketches import _cms_cells, cms_sketch
 
     sdir = f"{checkpoint.rstrip('/')}/cms_state" if state_dir == "auto" else state_dir
     if sdir is not None:
         _ensure_state_owner(source.sparkSession, sdir, checkpoint)
 
-    def grid(df: DataFrame) -> DataFrame:
-        cells = df.filter(F.col("item").isNotNull()).select(
-            F.explode(_cms_cells(F.col("item"), depth, width)).alias("c")
-        )
-        return cells.groupBy(
-            F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket")
-        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-
     items = source.select(F.col(item_col).alias("item"))
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        g = grid(batch_df)
+        g = cms_sketch(batch_df, "item", depth, width)
         if sdir is not None:
             versions = _state_versions(spark, sdir)
             prior = [v for v in versions if v < batch_id]
             seed_v = prior[-1] if prior else (batch_id if batch_id in versions else None)
-            if seed_v is not None:
+            if seed_v is not None and seed_v == batch_id:
+                # Retry corner: the stored v{batch_id} ALREADY contains
+                # this batch's counts. Unlike delta's dedup fold or
+                # KMV's set union, the CMS merge is ADDITIVE — merging
+                # the recomputed batch grid on top would double-count —
+                # so the stored grid is the whole truth: use it as-is.
+                g = spark.read.parquet(f"{sdir}/v{batch_id}").localCheckpoint(
+                    eager=True
+                )
+            elif seed_v is not None:
                 seed = spark.read.parquet(f"{sdir}/v{seed_v}")
-                if seed_v == batch_id:
-                    seed = seed.localCheckpoint(eager=True)
                 g = (
                     g.unionByName(seed)
                     .groupBy("seed", "bucket")

@@ -942,7 +942,18 @@ def replay_dlq(
     shuffle; replaying a 100 TB DLQ is exactly as parallel as the
     original ingest.
     """
-    if headers_col in dlq.columns:
+    if headers_col in dlq.columns and lineage_col in dlq.columns:
+        # second-pass replay: the frame already carries lineage from a
+        # prior attempt — STACK the latest headers onto it (full audit
+        # trail) instead of silently producing two same-named columns
+        src = dlq.withColumn(
+            lineage_col,
+            F.concat(
+                F.coalesce(F.col(lineage_col), F.array().cast(E.HEADERS_TYPE)),
+                F.coalesce(F.col(headers_col), F.array().cast(E.HEADERS_TYPE)),
+            ),
+        ).drop(headers_col)
+    elif headers_col in dlq.columns:
         src = dlq.withColumnRenamed(headers_col, lineage_col)
     else:
         src = dlq.withColumn(lineage_col, F.lit(None).cast(E.HEADERS_TYPE))

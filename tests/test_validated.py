@@ -209,3 +209,39 @@ def test_replay_dlq_roundtrip(spark):
     enriched = with_error_headers(still_bad, app_id="t-replay-2")
     [r2] = enriched.collect()
     assert len(r2.headers) == 11 and len(r2.replay_lineage) == 11
+
+
+def test_replay_dlq_stacks_lineage_on_second_pass(spark):
+    """A frame carrying BOTH headers and replay_lineage (a re-failed
+    record re-entering replay) stacks the new headers onto the prior
+    lineage instead of colliding column names."""
+    from maston_spark.validated import replay_dlq
+
+    payload = json.dumps(
+        {"business_key": "k", "string_value": "v", "decimal_value": 1}
+    )
+    df = process_validated(
+        _parse(spark, [payload]), error_when=F.lit(True), error_message=F.lit("x")
+    )
+    _, invalid = branch_valid(df)
+    first = safe_serialize_json(with_error_headers(invalid, app_id="a1")).select(
+        F.col("value_out").cast("string").alias("value"), "headers"
+    )
+    r1 = replay_dlq(first, SCHEMA)
+    # re-fail and re-quarantine: the frame now has headers AND lineage
+    refail = process_validated(
+        r1, error_when=F.lit(True), error_message=F.lit("y")
+    )
+    _, still_bad = branch_valid(refail)
+    second = safe_serialize_json(
+        with_error_headers(still_bad, app_id="a2")
+    ).select(
+        F.col("value_out").cast("string").alias("value"),
+        "headers",
+        "replay_lineage",
+    )
+    r2 = replay_dlq(second, SCHEMA)
+    [row] = r2.collect()
+    assert row.err is None and row.ok.business_key == "k"
+    # full audit trail: 11 headers from each of the two prior attempts
+    assert len(row.replay_lineage) == 22
