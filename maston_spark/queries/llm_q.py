@@ -4637,3 +4637,28 @@ def q186_curation_funnel(spark, sf_dir):
         .unionByName(stage(capped, "domain_cap", 4))
         .orderBy("stage_order")
     )
+
+
+@query(
+    "q187_cumulative_reach",
+    oracle="""
+    WITH first AS (SELECT user_id, min(date_trunc('day', ts)) AS bucket_ts
+                   FROM events WHERE user_id IS NOT NULL
+                   GROUP BY user_id),
+    pb AS (SELECT bucket_ts, CAST(count(*) AS BIGINT) AS new_users
+           FROM first GROUP BY bucket_ts)
+    SELECT bucket_ts, new_users,
+           CAST(sum(new_users) OVER (ORDER BY bucket_ts) AS BIGINT)
+             AS cumulative_users
+    FROM pb ORDER BY bucket_ts
+    """,
+)
+def q187_cumulative_reach(spark, sf_dir):
+    """Daily audience-growth curve: distinct users seen to date via
+    the first-touch reduction (one min-agg per user, never a
+    count-distinct window or self-join over the corpus). See
+    :func:`maston_spark.relational.cumulative_reach`."""
+    from maston_spark.relational import cumulative_reach
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return cumulative_reach(ev, "user_id", "ts", unit="day")

@@ -987,3 +987,41 @@ def table_fingerprint(df: DataFrame, columns: list[str] | None = None) -> DataFr
         # neither engine's DataFrame->pandas float conversion
         F.sum(F.col("__h").cast("decimal(38,0)")).cast("string").alias("sum_fp"),
     )
+
+
+def cumulative_reach(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Exact cumulative-reach growth curve: for every time bucket,
+    how many DISTINCT users have been seen up to and including it —
+    ``(bucket_ts, new_users, cumulative_users)``. The audience-growth
+    report naive SQL writes as a quadratic self-join or a giant
+    count-distinct window; both die at scale.
+
+    The first-touch reduction makes it one pass: each user collapses
+    to their FIRST bucket (a min aggregation — combiner-reduced, the
+    shuffle carries one row per user), new-user counts per bucket
+    follow (|buckets| rows), and the cumulative sum is a window over
+    that bounded series. Every number is an exact integer. Buckets
+    with no NEW users are absent (their cumulative value is the
+    previous row's — gap-fill downstream if a dense axis is needed).
+    """
+    first = (
+        df.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(F.date_trunc(unit, F.col(ts_col))).alias("bucket_ts"))
+    )
+    per_bucket = first.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    # |buckets|-row series — the partition-less window is bounded by
+    # the time range / bucket width, never by data volume
+    w = Window.orderBy("bucket_ts")
+    return per_bucket.select(
+        "bucket_ts",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("bucket_ts")

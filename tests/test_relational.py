@@ -710,3 +710,26 @@ def test_table_fingerprint_golden(spark):
     d = table_fingerprint(dup).collect()[0]
     assert d.xor_fp == base.xor_fp and d.n_rows != base.n_rows
     assert d.sum_fp != base.sum_fp
+
+
+def test_cumulative_reach_golden(spark):
+    from datetime import datetime
+
+    from maston_spark.relational import cumulative_reach
+
+    rows = [
+        ("u1", datetime(2026, 1, 1, 5)),
+        ("u1", datetime(2026, 1, 2, 6)),   # returning: not new
+        ("u2", datetime(2026, 1, 1, 9)),
+        ("u3", datetime(2026, 1, 3, 1)),
+        (None, datetime(2026, 1, 3, 2)),   # null user excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        r.bucket_ts: (r.new_users, r.cumulative_users)
+        for r in cumulative_reach(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        datetime(2026, 1, 1): (2, 2),
+        datetime(2026, 1, 3): (1, 3),
+    }
