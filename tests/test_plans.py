@@ -265,3 +265,48 @@ def test_exact_percentiles_no_object_hash_aggregate(spark, sf_dir, qs):
     p = plan_of(qs["q15_agg_percentile"](spark, sf_dir))
     assert "ObjectHashAggregate" not in p, p
     assert "percentile" not in p.lower(), p
+
+
+def test_mg_heavy_hitters_no_corpus_shuffle_before_confirm(spark, sf_dir, qs):
+    """q173's candidate pass is a mapInPandas fold (corpus never
+    shuffles); the confirm pass broadcasts the candidate set (a
+    BroadcastHashJoin semi, never a shuffled join of the corpus) and
+    the exact count is a partial+final hash aggregate."""
+    p = plan_of(qs["q173_mg_heavy_hitters"](spark, sf_dir))
+    assert "MapInPandas" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_pareto_frontier_local_prune_then_candidates_only(spark, sf_dir, qs):
+    """q174 must show the mapInPandas local skyline and NO
+    partition-less global window over the corpus (the single-task
+    trap the local-prune exists to avoid)."""
+    p = plan_of(qs["q174_pareto_frontier"](spark, sf_dir))
+    assert "MapInPandas" in p, p
+    assert "SinglePartition" not in p or "Window" not in p, p
+
+
+def test_ks_drift_windows_only_on_bounded_grid(spark, sf_dir, qs):
+    """q178's corpus work is ONE hash aggregate; every window runs
+    over the persisted |values|x|groups| counts frame (InMemoryRelation
+    in the plan), so re-running six consumers costs no extra scans."""
+    p = plan_of(qs["q178_ks_drift"](spark, sf_dir))
+    assert "InMemoryTableScan" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_oov_rate_broadcasts_vocab(spark, sf_dir, qs):
+    """q183's vocab side must reach the membership join as a
+    broadcast — the unhinted-mid-size-aggregate lesson (q165)."""
+    p = plan_of(qs["q183_oov_rate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_seasonal_anomalies_broadcast_profile(spark, sf_dir, qs):
+    """q182's seasonal profile (<= |groups|x24 rows) joins back
+    broadcast; the corpus sees exactly one aggregation."""
+    p = plan_of(qs["q182_seasonal_anomalies"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SinglePartition" not in p, p
