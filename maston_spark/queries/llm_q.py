@@ -4662,3 +4662,47 @@ def q187_cumulative_reach(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return cumulative_reach(ev, "user_id", "ts", unit="day")
+
+
+@query(
+    "q188_schema_drift",
+    oracle="""
+    WITH p AS (SELECT CASE
+                 WHEN event_id % 4 = 0
+                   THEN replace(props, '}', ',"beta_flag":true}')
+                 WHEN event_id % 7 = 0
+                   THEN replace(props, '}', ',"debug_ts":"x"}')
+                 ELSE props END AS props
+               FROM events),
+    kv AS (SELECT k AS field,
+                  json_extract_string(props, '$.' || k) AS v
+           FROM (SELECT props, unnest(json_keys(props)) AS k FROM p) u)
+    SELECT field, CAST(count(*) AS BIGINT) AS n_records,
+           min(v) AS sample_value
+    FROM kv WHERE field <> 'k'
+    GROUP BY field
+    ORDER BY field
+    """,
+)
+def q188_schema_drift(spark, sf_dir):
+    """Schema-drift report over events.props with planted novel
+    fields (every 4th event grows beta_flag, every non-overlapping
+    7th grows debug_ts) against the declared schema {k} — the
+    how-consumers-find-out report for fields from_json silently
+    drops. See :func:`maston_spark.validated.schema_drift_report`."""
+    from maston_spark.validated import schema_drift_report
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    planted = ev.select(
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.replace(F.col("props"), F.lit("}"), F.lit(',"beta_flag":true}')),
+        )
+        .when(
+            F.col("event_id") % 7 == 0,
+            F.replace(F.col("props"), F.lit("}"), F.lit(',"debug_ts":"x"}')),
+        )
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    return schema_drift_report(planted, "props", ["k"]).orderBy("field")

@@ -962,3 +962,34 @@ def replay_dlq(
     if value_format == "avro":
         return safe_from_avro_arrow(src, value_col, value_schema)
     raise ValueError(f"unsupported value_format {value_format!r}")
+
+
+def schema_drift_report(
+    df: DataFrame,
+    json_col: str,
+    declared_fields: list[str],
+) -> DataFrame:
+    """Ingestion schema-drift detector: which fields are ARRIVING in
+    the JSON payloads that the declared schema doesn't know —
+    ``(field, n_records, sample_value)``. The operational complement
+    of the Avro evolution path (there the registry names the writer
+    schema; JSON producers just start sending new fields, and
+    ``from_json`` silently drops them — this report is how the
+    consumer team finds out before the data is lost for good).
+
+    Scale shape: one pass parses each payload as an open
+    ``map<string,string>`` (values stringified), explodes to
+    (field, value) pairs, filters to undeclared fields (a literal
+    isin — no join), and combiner-reduces to one row per novel field
+    with a deterministic ``min`` sample value.
+    """
+    m = F.from_json(F.col(json_col), "map<string,string>")
+    pairs = df.select(F.explode(m).alias("field", "__v"))
+    return (
+        pairs.filter(~F.col("field").isin(*declared_fields))
+        .groupBy("field")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.min("__v").alias("sample_value"),
+        )
+    )

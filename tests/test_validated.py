@@ -245,3 +245,26 @@ def test_replay_dlq_stacks_lineage_on_second_pass(spark):
     assert row.err is None and row.ok.business_key == "k"
     # full audit trail: 11 headers from each of the two prior attempts
     assert len(row.replay_lineage) == 22
+
+
+def test_schema_drift_report_golden(spark):
+    from maston_spark.validated import schema_drift_report
+
+    payloads = [
+        '{"k": 1}',
+        '{"k": 2, "novel_a": true}',
+        '{"k": 3, "novel_a": false, "novel_b": "zz"}',
+        None,                       # tombstone: no fields at all
+        "not-json{{",               # malformed: from_json map -> null
+    ]
+    df = spark.createDataFrame([Row(value=p) for p in payloads], "value string")
+    got = {r.field: r for r in schema_drift_report(df, "value", ["k"]).collect()}
+    assert set(got) == {"novel_a", "novel_b"}
+    assert got["novel_a"].n_records == 2
+    # deterministic min sample over stringified values
+    assert got["novel_a"].sample_value == "false"
+    assert got["novel_b"].n_records == 1 and got["novel_b"].sample_value == "zz"
+
+    # fully conformant payloads -> empty report
+    clean = spark.createDataFrame([Row(value='{"k": 9}')], "value string")
+    assert schema_drift_report(clean, "value", ["k"]).count() == 0
