@@ -733,3 +733,56 @@ def test_cumulative_reach_golden(spark):
         datetime(2026, 1, 1): (2, 2),
         datetime(2026, 1, 3): (1, 3),
     }
+
+
+_point = st.tuples(
+    st.integers(min_value=0, max_value=9),   # quality (maximize)
+    st.integers(min_value=0, max_value=9),   # cost (minimize)
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(pts=st.lists(_point, min_size=1, max_size=14))
+def test_pareto_frontier_matches_bruteforce(spark, pts):
+    from maston_spark.llm.sampling import pareto_frontier
+
+    rows = [(i, float(q), int(c)) for i, (q, c) in enumerate(pts)]
+
+    def dominated(a, b):  # does b weakly dominate a (one strict)?
+        return b[1] >= a[1] and b[2] <= a[2] and (b[1] > a[1] or b[2] < a[2])
+
+    expect = sorted(
+        r[0] for r in rows if not any(dominated(r, o) for o in rows)
+    )
+    df = spark.createDataFrame(rows, "id long, q double, c long").repartition(3)
+    got = sorted(r.id for r in pareto_frontier(df, "q", "c").collect())
+    assert got == expect, (rows, got, expect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=6),
+    num=st.integers(min_value=0, max_value=5),
+)
+def test_water_fill_invariants(spark, sizes, num):
+    """For any domain sizes and budget fraction num/5: allocations
+    never exceed sizes, sum to min(budget, total) exactly, and the
+    water line is even — no above-line domain differs from another
+    by more than the one remainder unit."""
+    from maston_spark.llm.sampling import domain_water_fill
+
+    rows = [(f"d{i}", j) for i, n in enumerate(sizes) for j in range(n)]
+    if not rows:
+        return  # all-empty domains produce no rows at all
+    df = spark.createDataFrame(rows, "d string, x long")
+    got = {r.domain: (r.n_docs, r.alloc)
+           for r in domain_water_fill(df, "d", num, 5).collect()}
+    total = sum(n for n, _ in got.values())
+    budget = (total * num) // 5
+    assert all(0 <= a <= n for n, a in got.values()), got
+    assert sum(a for _, a in got.values()) == min(budget, total), (got, budget)
+    # evenness: among domains NOT capped by their own size, the
+    # allocations differ by at most 1
+    uncapped = [a for n, a in got.values() if a < n]
+    if uncapped:
+        assert max(uncapped) - min(uncapped) <= 1, got

@@ -146,3 +146,31 @@ def test_ams_f2_golden(spark):
     # deterministic: same input -> bit-identical estimate
     r2 = ams_f2(df, "k", n_lanes=16).collect()[0]
     assert r2.f2_est == r.f2_est
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    items=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=2, max_value=6),
+)
+def test_mg_heavy_hitters_matches_definition(spark, items, k):
+    """For any stream and k: the output is EXACTLY
+    {item: freq > n/k} with exact counts — the sketch is an
+    implementation detail the result must never show."""
+    from collections import Counter
+
+    from maston_spark.sketches import mg_heavy_hitters
+
+    counts = Counter(items)
+    n = len(items)
+    expect = {i: c for i, c in counts.items() if c * k > n}
+    df = spark.createDataFrame([(i,) for i in items], "item string").repartition(3)
+    got = {r.item: r.n_occurrences for r in mg_heavy_hitters(df, "item", k).collect()}
+    assert got == expect, (items, k, got, expect)
