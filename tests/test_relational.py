@@ -786,3 +786,68 @@ def test_water_fill_invariants(spark, sizes, num):
     uncapped = [a for n, a in got.values() if a < n]
     if uncapped:
         assert max(uncapped) - min(uncapped) <= 1, got
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 8)),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_ks_drift_matches_bruteforce(spark, vals):
+    """ks_drift equals the brute-force max CDF gap (scaled-integer)
+    for any group/value multiset with at least two groups."""
+    from maston_spark.profiling import ks_drift
+
+    groups = {g for g, _ in vals}
+    if len(groups) < 2:
+        return
+    df = spark.createDataFrame(vals, "g string, v long").repartition(3)
+    got = {r.g: (r.n_group, r.n_rest, r.ks_scaled) for r in ks_drift(df, "g", "v").collect()}
+    domain = sorted({v for _, v in vals})
+    for g in groups:
+        mine = sorted(v for gg, v in vals if gg == g)
+        rest = sorted(v for gg, v in vals if gg != g)
+        best = 0
+        for x in domain:
+            cg = sum(1 for v in mine if v <= x)
+            cr = sum(1 for v in rest if v <= x)
+            best = max(best, abs(len(rest) * cg - len(mine) * cr))
+        assert got[g] == (len(mine), len(rest), best), (vals, g, got[g], best)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=10)
+)
+def test_cusum_matches_bruteforce(spark, counts):
+    """cusum_changepoint equals the brute-force argmax of |n*S_i| over
+    the hourly bucket series, earliest-bucket tiebreak."""
+    from datetime import datetime
+
+    from maston_spark.relational import cusum_changepoint
+
+    rows = []
+    buckets = []
+    for h, n in enumerate(counts):
+        if n:
+            buckets.append((h, n))
+            rows.extend(("g", datetime(2026, 3, 1, h, m)) for m in range(n))
+    if not buckets:
+        return
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = cusum_changepoint(df, "event_type", "ts", unit="hour").collect()[0]
+    nb = len(buckets)
+    tot = sum(n for _, n in buckets)
+    cum = 0
+    best = None
+    for i, (h, n) in enumerate(buckets, start=1):
+        cum += n
+        scaled = nb * cum - i * tot
+        if best is None or abs(scaled) > abs(best[1]):
+            best = (h, scaled)
+    assert r.n_buckets == nb and r.total_events == tot
+    assert r.cusum_scaled == best[1], (counts, r.cusum_scaled, best)
+    assert r.changepoint_ts == datetime(2026, 3, 1, best[0])
