@@ -608,8 +608,9 @@ def domain_water_fill(
     domain_col: str,
     budget_num: int,
     budget_den: int = 1,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Water-filling allocation of a document budget across domains:
+    """Water-filling allocation of a budget across domains:
     ``(domain, n_docs, alloc)`` where every domain is capped at a
     common level L (the "water line") chosen so the total allocation
     exactly meets ``budget = floor(total · budget_num / budget_den)``
@@ -617,6 +618,11 @@ def domain_water_fill(
     (small domains keep everything, large ones are cut to the line).
     This is the quota PLANNER that precedes :func:`domain_cap`, which
     enforces a per-domain quota row-wise.
+
+    With ``weight_col`` the budget is in WEIGHT units (the usual
+    case: a TOKEN budget, each doc weighing its token count) — a
+    domain's size is its integer weight sum and ``alloc`` is its
+    allocated weight; without it, sizes are document counts.
 
     Exact integer construction: with sizes sorted ascending and
     prefix sums ``cum_i``, the level bracket containing the answer is
@@ -633,8 +639,11 @@ def domain_water_fill(
     corpus to |domains| rows; the bracket search is a window over
     that table; the chosen level broadcasts back as a 1-row join.
     """
+    size_agg = (
+        F.sum(F.col(weight_col)) if weight_col is not None else F.count(F.lit(1))
+    )
     sizes = df.groupBy(F.col(domain_col).alias("domain")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+        size_agg.cast("long").alias("n_docs")
     )
     tot = sizes.agg(
         F.sum("n_docs").cast("long").alias("__total"),

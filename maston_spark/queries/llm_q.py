@@ -4706,3 +4706,68 @@ def q188_schema_drift(spark, sf_dir):
         .alias("props")
     )
     return schema_drift_report(planted, "props", ["k"]).orderBy("field")
+
+
+@query(
+    "q189_token_water_fill",
+    oracle="""
+    WITH sizes AS (SELECT source AS domain,
+                          CAST(sum(len(string_split(trim(text), ' ')))
+                               AS BIGINT) AS n_docs
+                   FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST((sum(n_docs) * 1) // 2 AS BIGINT) AS budget
+            FROM sizes),
+    ranked AS (SELECT domain, n_docs,
+                      CAST(row_number() OVER (ORDER BY n_docs, domain)
+                           AS BIGINT) AS i,
+                      CAST(sum(n_docs) OVER (ORDER BY n_docs, domain)
+                           AS BIGINT) AS cum
+               FROM sizes),
+    r2 AS (SELECT r.*, 
+                  CAST(coalesce(lag(cum) OVER (ORDER BY i), 0) AS BIGINT)
+                    AS prev_cum,
+                  CAST(coalesce(lag(n_docs) OVER (ORDER BY i), 0) AS BIGINT)
+                    AS prev_size,
+                  t.budget, t.total, t.n
+           FROM ranked r, tot t),
+    lvl AS (SELECT CAST((budget - prev_cum) // (n - i + 1) AS BIGINT) AS li
+            FROM r2
+            WHERE budget < total
+              AND (budget - prev_cum) // (n - i + 1) >= prev_size
+              AND (budget - prev_cum) // (n - i + 1) < n_docs
+            ORDER BY i LIMIT 1),
+    base AS (SELECT r2.domain, r2.n_docs, r2.budget, r2.total,
+                    coalesce((SELECT li FROM lvl), r2.total) AS lvl,
+                    least(r2.n_docs,
+                          coalesce((SELECT li FROM lvl), r2.total)) AS b
+             FROM r2),
+    u AS (SELECT CAST(sum(b) AS BIGINT) AS used FROM base),
+    fin AS (SELECT base.*, least(budget, total) - u.used AS rem,
+                   row_number() OVER
+                     (ORDER BY (n_docs > lvl) DESC, domain) AS er
+            FROM base, u)
+    SELECT domain, n_docs,
+           CAST(b + CASE WHEN n_docs > lvl AND er <= rem
+                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM fin ORDER BY domain
+    """,
+)
+def q189_token_water_fill(spark, sf_dir):
+    """Water-filling a TOKEN budget (half the corpus's tokens) across
+    sources: the weighted form of q179 — domain sizes are token sums
+    and the water line caps allocated tokens per source. Same exact
+    int64 bracket math on the |domains|-row weighted size table. See
+    :func:`maston_spark.llm.sampling.domain_water_fill` with
+    ``weight_col``."""
+    from maston_spark.llm.sampling import domain_water_fill
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    weighted = d.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return domain_water_fill(
+        weighted, "source", 1, 2, weight_col="n_tokens"
+    ).orderBy("domain")

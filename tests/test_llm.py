@@ -1968,3 +1968,18 @@ def test_oov_rate_golden(spark):
     assert got["s1"].oov_rate == 0.0
     assert got["s2"].n_tokens == 4 and got["s2"].n_oov == 2
     assert got["s2"].oov_rate == 0.5
+
+
+def test_domain_water_fill_weighted_golden(spark):
+    from maston_spark.llm.sampling import domain_water_fill
+
+    # domain weights: a=3 (1+2), b=10 (10), c=7 (3+4); budget half of
+    # 20 = 10 -> bracket: level 3? sorted sizes [3,7,10], cum [3,10,20]
+    # i=1: L=(10-0)//3=3, valid 0<=3<3? no (3 !< 3). i=2: L=(10-3)//2=3,
+    # valid 3<=3<7 yes -> level 3: base [3,3,3]=9, rem 1 -> first
+    # above-line domain by name ('b' or 'c'; both >3 -> 'b') gets +1
+    rows = [("a", 1), ("a", 2), ("b", 10), ("c", 3), ("c", 4)]
+    df = spark.createDataFrame(rows, "d string, w long")
+    got = {r.domain: (r.n_docs, r.alloc)
+           for r in domain_water_fill(df, "d", 1, 2, weight_col="w").collect()}
+    assert got == {"a": (3, 3), "b": (10, 4), "c": (7, 3)}
