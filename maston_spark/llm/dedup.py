@@ -892,3 +892,72 @@ def bloom_incremental_dedup(
             ),
         )
     )
+
+
+def neardup_evidence(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    top_n: int = 3,
+) -> DataFrame:
+    """Human-readable EVIDENCE for near-duplicate pairs: for each
+    candidate pair, the ``top_n`` shingles both documents share, as
+    text — ``(id_a, id_b, rank, shingle)``. The review artifact a
+    curation run attaches when a flagged pair is disputed ("show me
+    WHY these two matched"), ranked by the shingle's hash lane (the
+    MinHash-relevant ordering — the smallest lanes are the ones the
+    signatures agreed on) with a lexicographic tiebreak.
+
+    Distributed shape: shared shingles come from an equi-join of the
+    distinct (id, shingle) table against BOTH pair endpoints — keyed
+    on the pair ids and the shingle string, never all-pairs — and the
+    per-pair top-n is a ranked window over pair-bounded partitions.
+    Output is |pairs| × top_n rows.
+    """
+    from pyspark.sql import Window
+
+    # re-derive shingle text rows (same construction as
+    # shingle_lane_rows, text retained)
+    toks2 = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    cols = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, shingle_n)
+    ]
+    last = F.lead("tok", shingle_n - 1).over(w)
+    sh = (
+        toks2.select("id", *cols, last.alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(
+                " ", "tok", *[f"__t{i}" for i in range(1, shingle_n)]
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("__s2"))
+    shared = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("__idb"))
+            & (F.col("shingle") == F.col("__s2")),
+        )
+        .select("id_a", "id_b", "shingle")
+    )
+    lane = shingle_hash_lane(F.col("shingle"))
+    wr = Window.partitionBy("id_a", "id_b").orderBy(lane.asc(), F.col("shingle"))
+    return (
+        shared.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("id_a", "id_b", "rank", "shingle")
+    )

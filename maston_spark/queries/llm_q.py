@@ -4771,3 +4771,44 @@ def q189_token_water_fill(spark, sf_dir):
     return domain_water_fill(
         weighted, "source", 1, 2, weight_col="n_tokens"
     ).orderBy("domain")
+
+
+@query(
+    "q190_neardup_evidence",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xyz xyz xyz'
+      FROM documents WHERE doc_id % 5 = 0),
+    """ + _MINHASH_BODY + """,
+    sd AS (SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM (SELECT id, string_split(trim(text), ' ') AS t FROM corpus),
+                LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+           WHERE len(t) >= 3),
+    pr AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    shared AS (SELECT p.id_a, p.id_b, s.shingle,
+                      ('0x' || substr(md5(s.shingle), 1, 8))::BIGINT AS lane
+               FROM pr p
+               JOIN sd s ON s.id = p.id_a
+               JOIN sd s2 ON s2.id = p.id_b AND s2.shingle = s.shingle),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                        ORDER BY lane, shingle) AS rn
+           FROM shared)
+    SELECT id_a, id_b, CAST(rn AS INT) AS rank, shingle
+    FROM rk WHERE rn <= 3
+    ORDER BY id_a, id_b, rank
+    """,
+)
+def q190_neardup_evidence(spark, sf_dir):
+    """Match EVIDENCE for near-dup pairs at Jaccard >= 0.5 (q41's
+    corpus): the three lowest-lane shared shingles per pair, as text
+    — the review artifact attached when a flagged pair is disputed.
+    See :func:`maston_spark.llm.dedup.neardup_evidence`."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
+    cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
+    pairs = DD.jaccard_from_lanes(mf, cands, threshold=0.5)
+    return DD.neardup_evidence(corpus, pairs, top_n=3).orderBy(
+        "id_a", "id_b", "rank"
+    )

@@ -1983,3 +1983,23 @@ def test_domain_water_fill_weighted_golden(spark):
     got = {r.domain: (r.n_docs, r.alloc)
            for r in domain_water_fill(df, "d", 1, 2, weight_col="w").collect()}
     assert got == {"a": (3, 3), "b": (10, 4), "c": (7, 3)}
+
+
+def test_neardup_evidence_golden(spark):
+    from maston_spark.llm.dedup import neardup_evidence
+
+    base = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " seven"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    got = neardup_evidence(docs, pairs, top_n=2).collect()
+    assert len(got) == 2
+    assert all(r.id_a == 0 and r.id_b == 1 for r in got)
+    # evidence shingles must genuinely occur in BOTH docs
+    shared = {
+        "one two three", "two three four", "three four five", "four five six"
+    }
+    assert {r.shingle for r in got} <= shared
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
