@@ -56,9 +56,12 @@ _PRIORITY = [
     # (q23 top-k-per-group is a row_number window — the same physical
     # family as graded q20; its slot grades the time-series gap-fill
     # family instead)
-    # (q31 json-fns is a scalar-function sibling of graded q26; its
-    # slot grades the CDC upsert-apply family instead)
-    "q139_gapfill", "q25_set_ops", "q26_string_fns", "q143_cdc_upsert",
+    # (q31 json-fns is a scalar-function sibling of q26; both the
+    # string/json scalar family members are graded via the regexp/
+    # substring-heavy q148 gopher battery + q155 substring removal;
+    # the freed slots grade the CDC upsert-apply family and the
+    # order-insensitive table fingerprint — XOR-fold multiset check)
+    "q139_gapfill", "q25_set_ops", "q185_table_fingerprint", "q143_cdc_upsert",
     # streaming-semantics + validated-ingest family
     # (q36 drop_duplicates' streaming-dedup family stays graded via
     # q33+q63; its slot grades the composed Gopher rule-battery gate.
@@ -84,7 +87,11 @@ _PRIORITY = [
     # siblings: q65+q79 cover the multi-join agg family and q69
     # covers scalar subqueries; the freed slots grade the iterative
     # families instead)
-    "q65_shipping_priority", "q118_pagerank",
+    # (q65 shipping-priority's TPC-H multi-join-agg family is graded
+    # richly via q01/q03/q07/q19/q68/q69/q79-composites; its slot
+    # grades Misra-Gries deterministic-recall heavy hitters — the
+    # counter-based frequent-items physics CMS q169 does NOT cover)
+    "q173_mg_heavy_hitters", "q118_pagerank",
     "q68_not_exists_antijoin", "q69_scalar_subquery",
     # (q70 customer-distribution is a join+group-count histogram —
     # its join family is graded via q03/q04/q07 and its histogram
@@ -111,16 +118,25 @@ _PRIORITY = [
     # census. q43 brute-force cosine's normalized-dot physics is
     # graded via q48's exact-confirm stage and the ANN family via
     # q153; its slot grades Pareto-frontier skyline selection)
+    # (q49 media-features held a graded slot rounds 1–9, always
+    # green; the multimodal mapInPandas plumbing it exercises is the
+    # same Arrow-batch physics as graded q94/q119's pandas kernels.
+    # Its slot grades the AMS F2 moment sketch — self-join-size
+    # estimation, the third mergeable-sketch physics after KMV/CMS)
     "q155_keep_first_substring", "q172_dup_transitivity",
     "q174_pareto_frontier", "q168_kmv_set_ops", "q157_hybrid_rrf",
-    "q48_embedding_neardup", "q49_media_features",
+    "q48_embedding_neardup", "q176_ams_f2",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
     # data-quality constraint family instead)
     # (q57 IVF-flat's coarse-cell pruning family stays graded via
     # q153, which composes the SAME nprobe plumbing with trained
     # cells + ADC scoring — the full 100 TB index)
-    "q141_data_quality", "q53_levenshtein_neardup",
+    # (q53 levenshtein near-dup's candidate-pair + confirm family is
+    # graded via q152's minhash pipeline and q48's exact-confirm; its
+    # slot grades the cross-source duplication-rate matrix — LSH-pair
+    # attribution joined back to source metadata)
+    "q141_data_quality", "q171_source_dup_matrix",
     "q55_dup_clusters", "q153_ivf_pq",
     # (q58_hash_split is a pure projection whose hash-sampling family
     # stays graded via q88_domain_cap; its slot grades the two-phase
@@ -130,8 +146,12 @@ _PRIORITY = [
     # (q99 chunk-overlap is map-only chunking, family kept by
     # q88/q127; its slot grades the planted-dup dedup-effectiveness
     # report, which composes q40+q41 end-to-end)
+    # (q100 DSIR importance weights share the n-gram-LM scoring
+    # physics with graded q96 bigram-perplexity and the tf-scoring
+    # physics with graded q123 BM25; its slot grades token-weighted
+    # water-fill budget allocation — the capped-proportional planner)
     "q95_exact_substring", "q96_bigram_perplexity", "q98_bloom_incremental",
-    "q152_dedup_report", "q100_dsir_weights",
+    "q152_dedup_report", "q189_token_water_fill",
     # Avro serde round-trips (Confluent wire format, schema evolution)
     # (q73 safe-avro's deserialize dispatch is graded via q87, whose
     # evolution path exercises the same registry-dispatch decode, and
@@ -142,6 +162,10 @@ _PRIORITY = [
     # oracle-verified; first in line if the window widens).
     # The round-9 demotions lead: each one's physical family is
     # graded by the flagship named in the comments above.
+    # round-10 demotions lead (each family's graded flagship named in
+    # the promotion comments above)
+    "q26_string_fns", "q65_shipping_priority", "q49_media_features",
+    "q53_levenshtein_neardup", "q100_dsir_weights",
     "q31_json_fns", "q36_drop_duplicates", "q46_lang_id",
     "q62_safe_serialize", "q99_chunk_overlap", "q57_ivf_ann",
     "q154_ivfpq_recall", "q45_text_stats", "q73_safe_avro",
@@ -175,13 +199,13 @@ _PRIORITY = [
     "q161_containment_neardup", "q162_semantic_dedup_q", "q163_interval_join",
     "q164_cluster_safe_split", "q165_nb_classifier",
     "q166_dedup_threshold_sweep",
-    "q167_kmv_distinct", "q170_bpe_encode", "q171_source_dup_matrix",
-    "q173_mg_heavy_hitters", "q175_cusum_changepoint", "q176_ams_f2",
+    "q167_kmv_distinct", "q170_bpe_encode",
+    "q175_cusum_changepoint",
     "q177_boilerplate_strip", "q179_water_fill", "q180_constraint_suggest",
     "q181_join_planning", "q182_seasonal_anomalies", "q183_oov_rate",
-    "q184_grouped_quantile_bins", "q185_table_fingerprint",
+    "q184_grouped_quantile_bins",
     "q186_curation_funnel", "q187_cumulative_reach", "q188_schema_drift",
-    "q189_token_water_fill", "q190_neardup_evidence",
+    "q190_neardup_evidence",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",
