@@ -442,3 +442,188 @@ def q181_join_planning(spark, sf_dir):
         .unionByName(report(li, "l_orderkey", "lineitem.l_orderkey"))
         .orderBy("key_name")
     )
+
+
+# ----------------------------------------------- quantile sketches
+
+
+@query(
+    "q191_quantile_sketch",
+    oracle="""
+    WITH src AS (SELECT l_returnflag AS g,
+                        ('0x' || substr(md5(l_orderkey::VARCHAR || '#' ||
+                                            l_linenumber::VARCHAR), 1, 15))::BIGINT AS h,
+                        l_extendedprice::DOUBLE AS value
+                 FROM lineitem),
+    r AS (SELECT g, h, value,
+                 row_number() OVER (PARTITION BY g ORDER BY h, value) AS rn
+          FROM src),
+    s AS (SELECT g, h, value FROM r WHERE rn <= 128),
+    sv AS (SELECT g, value,
+                  row_number() OVER (PARTITION BY g ORDER BY value, h) AS vr
+           FROM s),
+    m AS (SELECT g, count(*) AS m FROM s GROUP BY g),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS qq),
+    pk AS (SELECT g, qq, CAST(ceil(qq * m) AS INT) AS pick FROM m, qs),
+    est AS (SELECT pk.g, pk.qq, sv.value AS est_q
+            FROM pk JOIN sv ON sv.g = pk.g AND sv.vr = pk.pick),
+    ev AS (SELECT g, value,
+                  row_number() OVER (PARTITION BY g ORDER BY value) AS er
+           FROM src),
+    n AS (SELECT g, count(*) AS n FROM src GROUP BY g),
+    pk2 AS (SELECT g, qq, CAST(ceil(qq * n) AS BIGINT) AS pick FROM n, qs),
+    ex AS (SELECT pk2.g, pk2.qq, ev.value AS exact_q
+           FROM pk2 JOIN ev ON ev.g = pk2.g AND ev.er = pk2.pick)
+    SELECT est.g AS l_returnflag, est.qq, est.est_q, ex.exact_q,
+           round(abs(est.est_q - ex.exact_q), 4) AS abs_err
+    FROM est JOIN ex ON ex.g = est.g AND ex.qq = est.qq
+    """,
+)
+def q191_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch per return flag, graded BIT-FOR-BIT:
+    the bottom-k-by-row-hash sample sketch (KMV discipline on the row
+    domain, values carried) estimates four quantiles of
+    l_extendedprice; the oracle replays the identical md5 sample and
+    rank picks. See :func:`maston_spark.sketches.
+    quantile_sample_sketch` for why the deterministic member of the
+    quantile-sketch family is a hash sample and not KLL compaction
+    (which is arrival-order-dependent; its rank-error contract is
+    graded by q192 instead).
+
+    Scale shape: the sketch builds in one corpus pass with no corpus
+    shuffle (per-partition bottom-k fold, survivors only). The exact
+    order statistics computed alongside are report garnish — the one
+    full per-group sort — exactly like q167's exact distinct count;
+    at 100 TB you'd run the sketch alone.
+    """
+    from pyspark.sql import Window
+
+    from maston_spark.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_sketch,
+    )
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("#", "l_orderkey", "l_linenumber")
+    sk = quantile_sample_sketch(li, "l_returnflag", key, "l_extendedprice", 128)
+    est = quantile_sample_estimate(sk, "l_returnflag", qs).withColumnRenamed(
+        "l_returnflag", "g"
+    )
+
+    src = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").cast("double").alias("value"),
+    )
+    w = Window.partitionBy("g").orderBy("value")
+    ranked = src.withColumn("er", F.row_number().over(w))
+    n = src.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "qq double")
+    pk2 = (
+        n.crossJoin(F.broadcast(qdf))
+        .withColumn("pick", F.ceil(F.col("qq") * F.col("n")).cast("long"))
+        .select(F.col("g").alias("pg"), "qq", F.col("pick").alias("er"))
+    )
+    exact = ranked.join(
+        F.broadcast(pk2),
+        (ranked["g"] == pk2["pg"]) & (ranked["er"] == pk2["er"]),
+    ).select(F.col("pg").alias("g"), "qq", F.col("value").alias("exact_q"))
+
+    return est.join(exact, ["g", "qq"]).select(
+        F.col("g").alias("l_returnflag"),
+        "qq",
+        "est_q",
+        "exact_q",
+        F.round(F.abs(F.col("est_q") - F.col("exact_q")), 4).alias("abs_err"),
+    )
+
+
+@query(
+    "q192_kll_quantiles",
+    oracle="""
+    WITH src AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS value
+                 FROM lineitem),
+    ev AS (SELECT g, value,
+                  row_number() OVER (PARTITION BY g ORDER BY value) AS er
+           FROM src),
+    n AS (SELECT g, count(*) AS n FROM src GROUP BY g),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS qq),
+    pk AS (SELECT g, qq, CAST(ceil(qq * n) AS BIGINT) AS pick FROM n, qs),
+    ex AS (SELECT pk.g, pk.qq, ev.value AS exact_q
+           FROM pk JOIN ev ON ev.g = pk.g AND ev.er = pk.pick)
+    SELECT g AS l_returnflag, qq, exact_q, TRUE AS within_bound FROM ex
+    """,
+)
+def q192_kll_quantiles(spark, sf_dir):
+    """Genuine KLL quantile sketch (Karnin-Lang-Liberty 2016) per
+    return flag, graded by its rank-error CONTRACT: the sketch's
+    estimate for each q must sit within eps=0.05 RANK error of q
+    (|rank(est) - q*n| <= eps*n), far looser than KLL's actual
+    ~1/k error at k=256 — the oracle computes the same exact order
+    statistics and asserts every bound holds. The estimate itself
+    cannot be hash-graded because KLL compaction is arrival-order-
+    dependent (see q191's deterministic sibling for the bit-for-bit
+    member of the family); compaction offsets here are md5-seeded
+    (no RNG), so a rerun over the same partition layout IS
+    reproducible.
+
+    Scale shape: per-partition KLL partials fold inside the scan
+    (O(k log n) state per group), only sketch rows shuffle into one
+    per-group merge; the corpus moves never. The contract check is
+    one broadcast join of the ~|groups x qs|-row estimate table
+    against the corpus plus one combiner-reduced agg.
+    """
+    from maston_spark.sketches import kll_quantiles, kll_sketch
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    eps = 0.05
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = kll_sketch(li, "l_returnflag", "l_extendedprice", k=256)
+    est = kll_quantiles(sk, "l_returnflag", qs).withColumnRenamed(
+        "l_returnflag", "g"
+    )
+
+    src = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").cast("double").alias("value"),
+    )
+    ranks = (
+        src.join(F.broadcast(est), "g")
+        .groupBy("g", "qq")
+        .agg(
+            F.max("est_q").alias("est_q"),
+            F.sum(F.when(F.col("value") < F.col("est_q"), 1).otherwise(0))
+            .alias("lo"),
+            F.sum(F.when(F.col("value") <= F.col("est_q"), 1).otherwise(0))
+            .alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("value")
+    ranked = src.withColumn("er", F.row_number().over(w))
+    n = src.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "qq double")
+    pk = (
+        n.crossJoin(F.broadcast(qdf))
+        .withColumn("pick", F.ceil(F.col("qq") * F.col("n")).cast("long"))
+        .select(F.col("g").alias("pg"), "qq", F.col("pick").alias("er"))
+    )
+    exact = ranked.join(
+        F.broadcast(pk),
+        (ranked["g"] == pk["pg"]) & (ranked["er"] == pk["er"]),
+    ).select(F.col("pg").alias("g"), "qq", F.col("value").alias("exact_q"))
+
+    return (
+        ranks.join(exact, ["g", "qq"])
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "qq",
+            "exact_q",
+            (
+                (F.col("lo") <= F.col("qq") * F.col("n") + F.lit(eps) * F.col("n"))
+                & (F.col("hi") >= F.col("qq") * F.col("n") - F.lit(eps) * F.col("n"))
+            ).alias("within_bound"),
+        )
+    )

@@ -478,3 +478,283 @@ def ams_f2(df: DataFrame, item_col: str, n_lanes: int = 16) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ----------------------------------------------- quantile sketches
+
+
+def quantile_sample_sketch(
+    df: DataFrame, group_col: str, key_col, value_col: str, k: int
+) -> DataFrame:
+    """Per-group mergeable quantile sketch: the rows whose 60-bit
+    row-key hashes are the k smallest in the group, carrying the
+    value column — ``(group, h, value)``.
+
+    This is the KMV discipline applied to the ROW domain: hashing a
+    unique row key (not the value) makes the survivors a uniform
+    size-k sample WITHOUT replacement of the group's rows, and
+    "k smallest hashes" makes the sketch a canonical function of the
+    row multiset — order-insensitive, partition-insensitive, and
+    EXACTLY mergeable (the k minima of a union are the k minima of
+    the union of each side's k minima). Sample quantiles off the
+    sketch carry the classical O(1/sqrt(k)) rank error.
+
+    Why not KLL compaction here? KLL's compactor keeps every other
+    element of whichever buffer happens to overflow first, so the
+    summary depends on arrival order and partition boundaries — two
+    runs (or Spark vs a SQL oracle) legitimately produce different
+    sketches. The bottom-k-by-hash sample is the canonical
+    deterministic member of the mergeable-quantile family: the
+    DuckDB oracle replays it bit-for-bit, and merge-equality holds
+    as set identity, not in expectation. The genuine KLL (better
+    rank error per byte, order-dependent) is :func:`kll_quantiles`
+    below, graded by its rank-error CONTRACT instead.
+
+    ``key_col`` is a Column expression that should be unique per
+    row; where it is not, tied hashes are ordered by value (in BOTH
+    engines), so the survivor MULTISET is still a canonical function
+    of the row multiset — duplicate keys merely correlate their
+    rows' inclusion, a mild bias a genuinely unique key avoids.
+
+    Scale shape: one corpus pass; a ``mapInPandas`` fold keeps at
+    most k rows per group per partition (lossless for a global
+    bottom-k), so only ``partitions x groups x k`` survivor rows
+    shuffle into the final re-truncate window.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas runtime dep)
+
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        h60(key_col.cast("string")).alias("h"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("h").isNotNull() & F.col("value").isNotNull())
+
+    def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cur = None
+        for pdf in batches:
+            cur = pdf if cur is None else pd.concat([cur, pdf], ignore_index=True)
+            cur = (
+                cur.sort_values(["g", "h", "value"])
+                .groupby("g", sort=False)
+                .head(k)
+            )
+        if cur is not None:
+            yield cur
+
+    survivors = hashed.mapInPandas(partial, schema=hashed.schema)
+    w = Window.partitionBy("g").orderBy("h", "value")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("g").alias(group_col), "h", "value")
+    )
+
+
+def quantile_sample_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Merge two :func:`quantile_sample_sketch` results: union and
+    re-truncate to the k smallest (h, value) rows per group — the
+    bottom-k of a union is the bottom-k of the union of bottom-ks,
+    so this IS the sketch of the concatenated inputs (set identity,
+    not approximation). Input is sketch-sized."""
+    u = a.unionByName(b)
+    gcol = [c for c in u.columns if c not in ("h", "value")][0]
+    w = Window.partitionBy(gcol).orderBy("h", "value")
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_sample_estimate(
+    sk: DataFrame, group_col: str, qs: list[float]
+) -> DataFrame:
+    """Quantile estimates from a :func:`quantile_sample_sketch`:
+    ``(group, qq, est_q)`` — for each q, the value at rank
+    ``ceil(q*m)`` among the m sketch rows sorted by (value, h) (the
+    classical sample quantile; both engines evaluate the identical
+    IEEE ``ceil(q*m)``, and m = min(k, n) needs no separate count —
+    it IS the sketch size)."""
+    w = Window.partitionBy("g").orderBy("value", "h")
+    ranked = sk.select(F.col(group_col).alias("g"), "h", "value").withColumn(
+        "vr", F.row_number().over(w)
+    )
+    m = ranked.groupBy("g").agg(F.max("vr").alias("m"))
+    qdf = ranked.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "qq double"
+    )
+    picks = (
+        m.crossJoin(F.broadcast(qdf))
+        .withColumn("pick", F.ceil(F.col("qq") * F.col("m")).cast("int"))
+        .select(F.col("g").alias("pg"), "qq", F.col("pick").alias("vr"))
+    )
+    return (
+        ranked.join(
+            F.broadcast(picks),
+            (ranked["g"] == picks["pg"]) & (ranked["vr"] == picks["vr"]),
+        )
+        .select(F.col("pg").alias(group_col), "qq", F.col("value").alias("est_q"))
+    )
+
+
+class _KLL:
+    """Single-machine KLL compactor core (Karnin-Lang-Liberty 2016,
+    "Optimal Quantile Approximation in Streams"), used per-partition
+    (partials) and per-group (merge) inside Arrow-batched UDFs.
+
+    Level l holds items of weight 2**l. Capacity decays geometrically
+    from k at the top level (c = 2/3 per the paper, floor 8). When
+    over budget, the lowest over-capacity level sorts its buffer and
+    promotes every other element — offset chosen by an md5 parity
+    seeded with (tag, level, compaction#), the engine's h60
+    discipline, so a rerun over the same partition stream is
+    bit-identical (no RNG). An odd buffer leaves one end element
+    behind (which end also hash-chosen), so TOTAL WEIGHT IS CONSERVED
+    EXACTLY: sum(2**l * |level l|) == number of items fed in.
+    """
+
+    __slots__ = ("k", "tag", "levels", "size", "ncompact")
+
+    def __init__(self, k: int, tag: str):
+        self.k = k
+        self.tag = tag
+        self.levels: list[list[float]] = [[]]
+        self.size = 0
+        self.ncompact: dict[int, int] = {}
+
+    def _cap(self, l: int) -> int:
+        h = len(self.levels)
+        return max(8, int(-(-self.k * (2.0 / 3.0) ** (h - 1 - l) // 1)))
+
+    def _budget(self) -> int:
+        return sum(self._cap(l) for l in range(len(self.levels)))
+
+    def extend(self, values, level: int = 0) -> None:
+        while level >= len(self.levels):
+            self.levels.append([])
+        self.levels[level].extend(values)
+        self.size += len(values)
+        while self.size > self._budget():
+            for l in range(len(self.levels)):
+                if len(self.levels[l]) > self._cap(l):
+                    self._compact(l)
+                    break
+            else:
+                break
+
+    def _parity(self, l: int) -> int:
+        import hashlib
+
+        c = self.ncompact.get(l, 0)
+        self.ncompact[l] = c + 1
+        seed = f"kll:{self.tag}:{l}:{c}".encode()
+        return int(hashlib.md5(seed).hexdigest()[:8], 16) & 1
+
+    def _compact(self, l: int) -> None:
+        buf = sorted(self.levels[l])
+        off = self._parity(l)
+        leftover: list[float] = []
+        if len(buf) % 2:
+            # hash-chosen end element stays at this level (weight
+            # conservation: the promoted half must pair up exactly)
+            leftover = [buf[-1]] if off == 0 else [buf[0]]
+            buf = buf[:-1] if off == 0 else buf[1:]
+        promoted = buf[off::2]
+        self.levels[l] = leftover
+        if l + 1 == len(self.levels):
+            self.levels.append([])
+        self.levels[l + 1].extend(promoted)
+        self.size = sum(len(x) for x in self.levels)
+
+    def items(self):
+        for l, buf in enumerate(self.levels):
+            for v in buf:
+                yield l, v
+
+
+def kll_partials(
+    df: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Per-partition KLL partial sketches: ``(group, level, value)``
+    rows, at most O(k log n) per group per partition. The corpus is
+    never shuffled — only sketch rows leave the scan."""
+    import pandas as pd  # noqa: F401
+
+    src = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+
+    def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        sketches: dict[str, _KLL] = {}
+        for pdf in batches:
+            for g, grp in pdf.groupby("g", sort=False):
+                sk = sketches.get(g)
+                if sk is None:
+                    sk = sketches[g] = _KLL(k, tag=str(g))
+                sk.extend(grp["value"].tolist())
+        rows = [
+            (g, l, v) for g, sk in sketches.items() for l, v in sk.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["g", "level", "value"])
+
+    return src.mapInPandas(partial, schema="g string, level int, value double")
+
+
+def kll_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Per-group merged KLL sketch ``(group, level, value)``: partial
+    sketches per partition, then one ``applyInPandas`` merge per
+    group over sketch-sized input (``partitions x O(k log n)`` rows,
+    never the corpus). Merge = feed each level's items into a fresh
+    compactor at their own level, highest first (so re-compaction
+    cascades downward deterministically)."""
+    parts = kll_partials(df, group_col, value_col, k)
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = pdf["g"].iloc[0]
+        sk = _KLL(k, tag=f"m:{g}")
+        for lvl in sorted(pdf["level"].unique(), reverse=True):
+            vals = pdf.loc[pdf["level"] == lvl, "value"]
+            sk.extend(sorted(vals.tolist()), level=int(lvl))
+        rows = list(sk.items())
+        return pd.DataFrame(
+            {"g": g, "level": [l for l, _ in rows], "value": [v for _, v in rows]}
+        )
+
+    return parts.groupBy("g").applyInPandas(
+        merge, schema="g string, level int, value double"
+    ).select(F.col("g").alias(group_col), "level", "value")
+
+
+def kll_quantiles(
+    sk: DataFrame, group_col: str, qs: list[float]
+) -> DataFrame:
+    """Quantile estimates off a KLL sketch: ``(group, qq, est_q)`` —
+    the smallest sketch value whose running weight (items sorted by
+    value, weight 2**level) reaches ``q x W``. W equals the exact row
+    count by the compactor's weight-conservation invariant."""
+    wv = sk.select(
+        F.col(group_col).alias("g"),
+        "value",
+        F.pow(F.lit(2.0), F.col("level").cast("double")).alias("wt"),
+    )
+    w = Window.partitionBy("g").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = wv.withColumn("cw", F.sum("wt").over(w))
+    tot = wv.groupBy("g").agg(F.sum("wt").alias("W"))
+    qdf = sk.sparkSession.createDataFrame([(float(q),) for q in qs], "qq double")
+    tq = tot.crossJoin(F.broadcast(qdf))
+    hit = cum.join(tq, "g").filter(F.col("cw") >= F.col("qq") * F.col("W"))
+    return hit.groupBy("g", "qq").agg(F.min("value").alias("est_q")).select(
+        F.col("g").alias(group_col), "qq", "est_q"
+    )

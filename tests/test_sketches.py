@@ -174,3 +174,144 @@ def test_mg_heavy_hitters_matches_definition(spark, items, k):
     df = spark.createDataFrame([(i,) for i in items], "item string").repartition(3)
     got = {r.item: r.n_occurrences for r in mg_heavy_hitters(df, "item", k).collect()}
     assert got == expect, (items, k, got, expect)
+
+
+# ----------------------------------------------- quantile sketches
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # Deterministic skewed doubles across two groups, unique row keys.
+    rows = [
+        (("a" if i % 3 else "b"), f"k{i}", float((i * 37) % 1000) ** 1.5)
+        for i in range(3000)
+    ]
+    return spark.createDataFrame(rows, "g string, key string, v double")
+
+
+def _sample_sketch(df, k=64):
+    from maston_spark.sketches import quantile_sample_sketch
+
+    return quantile_sample_sketch(df, "g", F.col("key"), "v", k)
+
+
+def test_quantile_sample_merge_equality(spark, values):
+    """Sketch of union == union of sketches, as SET identity (the
+    bottom-k minima of a union are the bottom-k of the union of each
+    side's bottom-k) — the exact-merge property the KMV family
+    shares and KLL compaction cannot offer."""
+    from maston_spark.sketches import quantile_sample_merge
+
+    left = values.filter(F.length("key") <= 3)  # k0..k99 etc
+    right = values.subtract(left)
+    whole = _sample_sketch(values)
+    merged = quantile_sample_merge(
+        _sample_sketch(left), _sample_sketch(right), 64
+    ).select("g", "h", "value")
+    a = {tuple(r) for r in whole.collect()}
+    b = {tuple(r) for r in merged.collect()}
+    assert a == b
+
+
+def test_quantile_sample_partition_invariance(spark, values):
+    sk1 = _sample_sketch(values.repartition(1)).collect()
+    sk8 = _sample_sketch(values.repartition(8)).collect()
+    assert sorted(map(tuple, sk1)) == sorted(map(tuple, sk8))
+
+
+def test_quantile_sample_estimate_rank_error(spark, values):
+    """Sample quantiles off a k=256 sketch stay within ~2/sqrt(k)
+    rank error of the exact order statistics."""
+    from maston_spark.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_sketch,
+    )
+
+    qs = [0.1, 0.5, 0.9]
+    sk = quantile_sample_sketch(values, "g", F.col("key"), "v", 256)
+    est = {
+        (r["g"], r["qq"]): r["est_q"]
+        for r in quantile_sample_estimate(sk, "g", qs).collect()
+    }
+    data = {}
+    for r in values.collect():
+        data.setdefault(r["g"], []).append(r["v"])
+    tol = 2.0 / (256 ** 0.5)
+    for (g, qq), v in est.items():
+        xs = sorted(data[g])
+        rank = sum(1 for x in xs if x <= v) / len(xs)
+        assert abs(rank - qq) <= tol, (g, qq, rank)
+
+
+def test_kll_weight_conservation(spark, values):
+    """The compactor's invariant: total sketch weight equals the
+    exact row count, per group (odd buffers leave an element behind
+    instead of destroying weight)."""
+    from maston_spark.sketches import kll_sketch
+
+    sk = kll_sketch(values, "g", "v", k=64)
+    w = (
+        sk.groupBy("g")
+        .agg(F.sum(F.pow(F.lit(2.0), F.col("level"))).alias("w"))
+        .collect()
+    )
+    exact = {r["g"]: r["n"] for r in values.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in w:
+        assert int(r["w"]) == exact[r["g"]], r
+
+
+def test_kll_rank_error(spark, values):
+    from maston_spark.sketches import kll_quantiles, kll_sketch
+
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    sk = kll_sketch(values, "g", "v", k=128)
+    est = {
+        (r["g"], r["qq"]): r["est_q"]
+        for r in kll_quantiles(sk, "g", qs).collect()
+    }
+    data = {}
+    for r in values.collect():
+        data.setdefault(r["g"], []).append(r["v"])
+    for (g, qq), v in est.items():
+        xs = sorted(data[g])
+        rank = sum(1 for x in xs if x <= v) / len(xs)
+        assert abs(rank - qq) <= 0.05, (g, qq, rank)
+
+
+def test_kll_bounded_size(spark, values):
+    """Sketch rows per group stay O(k log n), far below n."""
+    from maston_spark.sketches import kll_sketch
+
+    sizes = {
+        r["g"]: r["c"]
+        for r in kll_sketch(values, "g", "v", k=64)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for g, c in sizes.items():
+        assert c <= 64 * 12, (g, c)
+
+
+def test_kll_single_machine_matches_definition():
+    """The compactor core on one stream: exact weight conservation,
+    deterministic rerun equality, and rank error within bound."""
+    from maston_spark.sketches import _KLL
+
+    xs = [float((i * 17) % 500) for i in range(5000)]
+    a, b = _KLL(96, "t"), _KLL(96, "t")
+    a.extend(xs)
+    b.extend(xs)
+    assert sorted(a.items()) == sorted(b.items())
+    total_w = sum(2 ** l for l, _ in a.items())
+    assert total_w == len(xs)
+    # rank error at the median
+    items = sorted(a.items(), key=lambda t: t[1])
+    cum, est = 0, None
+    for l, v in items:
+        cum += 2 ** l
+        if cum >= 0.5 * len(xs):
+            est = v
+            break
+    rank = sum(1 for x in xs if x <= est) / len(xs)
+    assert abs(rank - 0.5) <= 0.04
