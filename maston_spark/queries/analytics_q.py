@@ -258,8 +258,8 @@ def q173_mg_heavy_hitters(spark, sf_dir):
     oracle="""
     WITH lanes AS (
       SELECT l,
-             CAST(sum(CASE WHEN substring(md5('f2:' || l || ':'
-                                 || CAST(o_custkey AS VARCHAR)), 1, 1) >= '8'
+             CAST(sum(CASE WHEN substring(md5('f2:'
+                                 || CAST(o_custkey AS VARCHAR)), 17 + l, 1) >= '8'
                            THEN 1 ELSE -1 END) AS BIGINT) AS t
       FROM orders, (SELECT unnest(range(0, 16)) AS l) r
       GROUP BY l),
@@ -371,8 +371,8 @@ def q180_constraint_suggest(spark, sf_dir):
     sc AS (SELECT count(*) AS n_seen, max(CASE WHEN rn = 64 THEN h END) AS kth
            FROM rc WHERE rn <= 64),
     lc AS (SELECT l,
-             CAST(sum(CASE WHEN substring(md5('f2:' || l || ':'
-                     || CAST(o_custkey AS VARCHAR)), 1, 1) >= '8'
+             CAST(sum(CASE WHEN substring(md5(
+                     CAST(o_custkey AS VARCHAR)), 17 + l, 1) >= '8'
                    THEN 1 ELSE -1 END) AS BIGINT) AS t
            FROM orders, (SELECT unnest(range(0, 16)) AS l) r GROUP BY l),
     kc AS (SELECT
@@ -391,8 +391,8 @@ def q180_constraint_suggest(spark, sf_dir):
     so AS (SELECT count(*) AS n_seen, max(CASE WHEN rn = 64 THEN h END) AS kth
            FROM ro WHERE rn <= 64),
     lo AS (SELECT l,
-             CAST(sum(CASE WHEN substring(md5('f2:' || l || ':'
-                     || CAST(l_orderkey AS VARCHAR)), 1, 1) >= '8'
+             CAST(sum(CASE WHEN substring(md5(
+                     CAST(l_orderkey AS VARCHAR)), 17 + l, 1) >= '8'
                    THEN 1 ELSE -1 END) AS BIGINT) AS t
            FROM lineitem, (SELECT unnest(range(0, 16)) AS l) r GROUP BY l),
     ko AS (SELECT
@@ -418,28 +418,40 @@ def q181_join_planning(spark, sf_dir):
     (k=64), and AMS F2 self-join-size estimate next to the exact
     sum(f^2) — the one-pass numbers that decide broadcast vs shuffle
     vs salt BEFORE a 100 TB join runs. See q167/q176 for the
-    individual estimators."""
-    from maston_spark.sketches import ams_f2, kmv_distinct_by
+    individual estimators.
 
-    def report(df, col, name):
-        kmv = (
-            kmv_distinct_by(df.withColumn("__g", F.lit(name)), "__g", col, 64)
-            .select(
-                F.col("__g").alias("key_name"), "n_distinct_est"
-            )
-        )
-        f2 = ams_f2(df, col, 16).select(
-            F.lit(name).alias("key_name"), "n_rows", "f2_est", "f2_exact"
-        )
-        return f2.join(kmv, "key_name").select(
-            "key_name", "n_rows", "n_distinct_est", "f2_est", "f2_exact"
-        )
+    All sketch numbers for ALL candidate keys come from ONE fused
+    job (:func:`maston_spark.sketches.join_key_profile` — one md5
+    per row, unioned scans, one mapInPandas fold, one sketch-sized
+    finisher shuffle); only ``f2_exact``, the report's declared
+    garnish, takes its own combiner-reduced groupBy — also unioned
+    across keys into a single shuffle. At 100 TB you'd run the
+    profile alone."""
+    from maston_spark.sketches import join_key_profile
 
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keys = [
+        (o, "o_custkey", "orders.o_custkey"),
+        (li, "l_orderkey", "lineitem.l_orderkey"),
+    ]
+    prof = join_key_profile(keys, k=64, n_lanes=16)
+
+    vals = None
+    for df, col, name in keys:
+        part = df.select(
+            F.lit(name).alias("key_name"), F.col(col).cast("string").alias("__v")
+        )
+        vals = part if vals is None else vals.unionByName(part)
+    f2x = (
+        vals.groupBy("key_name", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__f"))
+        .groupBy("key_name")
+        .agg(F.sum(F.col("__f") * F.col("__f")).cast("long").alias("f2_exact"))
+    )
     return (
-        report(o, "o_custkey", "orders.o_custkey")
-        .unionByName(report(li, "l_orderkey", "lineitem.l_orderkey"))
+        prof.join(F.broadcast(f2x), "key_name")
+        .select("key_name", "n_rows", "n_distinct_est", "f2_est", "f2_exact")
         .orderBy("key_name")
     )
 

