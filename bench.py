@@ -46,6 +46,13 @@ HEADLINE = [
     "q172_dup_transitivity",    # degree-oriented triangle census (dup graph)
     "q174_pareto_frontier",     # skyline selection (local-prune + confirm)
     "q178_ks_drift",            # KS drift (integer-scaled, bounded grid)
+    # round-10 additions: the most expensive catalog member (fused),
+    # the counter/moment sketch family, and the quantile sketches
+    "q181_join_planning",       # fused multi-key sketch profile (1 pass/table)
+    "q173_mg_heavy_hitters",    # Misra-Gries frequent items (2-pass exact)
+    "q176_ams_f2",              # AMS F2 moment sketch (single-md5 lanes)
+    "q191_quantile_sketch",     # bottom-k hash-sample quantiles (bit-exact)
+    "q192_kll_quantiles",       # genuine KLL (partials + per-group merge)
 ]
 
 

@@ -4812,3 +4812,98 @@ def q190_neardup_evidence(spark, sf_dir):
     return DD.neardup_evidence(corpus, pairs, top_n=3).orderBy(
         "id_a", "id_b", "rank"
     )
+
+
+@query(
+    "q193_funnel_attribution",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, text,
+                      string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, source, text,
+             round(
+               (CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                              / length(text), 6) < 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN round(len(list_filter(toks,
+                                x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE
+                              / len(toks), 6) > 0.01 THEN 0.3 ELSE 0.0 END), 6
+             ) AS quality_score
+      FROM t),
+    gated AS (SELECT * FROM scored WHERE quality_score >= 0.7),
+    hashed AS (SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                      AS content_hash FROM gated),
+    ranked AS (
+      SELECT source,
+             row_number() OVER (PARTITION BY content_hash
+                                ORDER BY doc_id) AS __rn,
+             first_value(source) OVER (PARTITION BY content_hash
+                                       ORDER BY doc_id) AS keeper_source
+      FROM hashed)
+    SELECT 'quality_gate' AS stage, CAST(NULL AS VARCHAR) AS keeper_source,
+           source AS dropped_source, CAST(count(*) AS BIGINT) AS n_dropped
+    FROM scored WHERE quality_score < 0.7
+    GROUP BY source
+    UNION ALL
+    SELECT 'exact_dedup', keeper_source, source,
+           CAST(count(*) AS BIGINT)
+    FROM ranked WHERE __rn > 1
+    GROUP BY keeper_source, source
+    ORDER BY stage, keeper_source NULLS FIRST, dropped_source
+    """,
+)
+def q193_funnel_attribution(spark, sf_dir):
+    """Per-source attribution of the curation funnel's drops: for
+    the quality-gate stage, how many docs each source lost; for the
+    exact-dedup stage, which source KEPT the surviving copy of each
+    dropped doc — ``(stage, keeper_source, dropped_source,
+    n_dropped)``. The question a production run asks right after
+    reading the q186 funnel ("which sources caused the losses, and
+    to whom"), the q171 dup-matrix idea applied INSIDE the pipeline
+    instead of as a separate LSH pass.
+
+    Scale shape: zero additional corpus passes — the keeper's source
+    rides the SAME content-hash window the dedup stage already runs
+    (``first_value`` over the rank ordering), and both attributions
+    are combiner-reduced aggregations whose outputs are bounded by
+    |sources| and |sources|², not by rows."""
+    from pyspark.sql import Window
+    from maston_spark.caching import scoped_persist
+    from maston_spark.llm import dedup as _DD
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = scoped_persist(TXT.quality_score(d))
+    gate_drops = (
+        scored.filter(F.col("quality_score") < 0.7)
+        .groupBy(F.col("source").alias("dropped_source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+        .select(
+            F.lit("quality_gate").alias("stage"),
+            F.lit(None).cast("string").alias("keeper_source"),
+            "dropped_source",
+            "n_dropped",
+        )
+    )
+    hashed = scored.filter(F.col("quality_score") >= 0.7).withColumn(
+        "content_hash", _DD.content_hash(F.col("text"))
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    ranked = hashed.select(
+        "source",
+        F.row_number().over(w).alias("__rn"),
+        F.first("source").over(w).alias("keeper_source"),
+    )
+    dedup_drops = (
+        ranked.filter(F.col("__rn") > 1)
+        .groupBy("keeper_source", F.col("source").alias("dropped_source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+        .select(
+            F.lit("exact_dedup").alias("stage"),
+            "keeper_source",
+            "dropped_source",
+            "n_dropped",
+        )
+    )
+    return gate_drops.unionByName(dedup_drops).orderBy(
+        "stage", F.col("keeper_source").asc_nulls_first(), "dropped_source"
+    )

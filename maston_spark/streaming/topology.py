@@ -392,6 +392,11 @@ def curation_topology(
     on_metrics: Callable[[int, dict[str, int]], None] | None = None,
     value_format: str = "json",
     serialize=None,
+    neardup: bool = False,
+    minhash_n: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    neardup_tau: float = 0.7,
 ):
     """Streaming CURATION pipeline — the maston validated-ingest
     semantics fused with the LLM-corpus curation battery, per batch:
@@ -430,11 +435,30 @@ def curation_topology(
     bitmap never grows (FP rate, not memory, is what degrades as
     accepted docs accrete — size ``m`` for the corpus lifetime).
 
+    With ``neardup=True`` stage 3 also rejects NEAR-duplicates
+    (``NearDuplicateRecord``, reason ``near_duplicate``): each doc
+    gets a ``minhash_n``-component MinHash signature over word
+    ``shingle_n``-shingles, LSH band buckets (``band_size`` rows per
+    band) are matched against the buckets of everything previously
+    accepted (historical corpus + durable stream state), and a
+    band-bucket hit is CONFIRMED by signature agreement ≥
+    ``neardup_tau`` (the unbiased Jaccard estimate). Within a batch,
+    first-occurrence-wins among confirmed-similar eligible docs.
+    The band buckets and signatures ride in the same versioned state
+    table as the exact hashes; crucially the state is a SET under
+    union (idempotent, unlike additive counters), so the versioned
+    crash-retry overwrite is safe — the CMS-vs-KMV merge lesson
+    (SCALE.md) applied to dedup state. State written before this
+    feature existed lacks the columns and is read as empty arrays
+    (older docs suppress exact copies only).
+
     Parity anchors: topology/TopologyBuilder.java:30-50 (validate →
     branch → DLQ shape), error/KafkaErrorToHeaderBuilder.java:16-26
     (headers); the curation stages follow Rae et al. 2021 (gate) and
     the Bloom-prefilter incremental dedup of
-    :func:`maston_spark.llm.dedup.bloom_incremental_dedup`.
+    :func:`maston_spark.llm.dedup.bloom_incremental_dedup`; the
+    near-dup stage composes the q41/q152 MinHash-LSH pipeline
+    (Broder 1997) incrementally.
     """
     import numpy as np
 
@@ -445,6 +469,9 @@ def curation_topology(
         build_bloom_bitmap,
         content_hash,
         fold_positions_bitmap,
+        minhash_signature,
+        shingle_hashes,
+        shingles,
     )
     from maston_spark.llm.text import gopher_gate
     from maston_spark.sinks import split_sink_batch
@@ -485,6 +512,61 @@ def curation_topology(
             )
     state = {"bitmap": bitmap}
 
+    # ---- near-dup machinery (MinHash-LSH, incremental) ----
+    import math
+
+    n_match_req = max(1, int(math.ceil(neardup_tau * minhash_n)))
+
+    def _sig_bands(df: DataFrame, text_expr, key_cols: list[str]) -> DataFrame:
+        """(keys…, __sig array<long>, __bands array<string>) per row —
+        signature + band-bucket keys, md5 materialized once per
+        stage boundary (shingle_hashes contract)."""
+        shf = df.select(*key_cols, shingles(text_expr, shingle_n).alias("__sh"))
+        hsf = shf.select(*key_cols, shingle_hashes(F.col("__sh")).alias("__hs"))
+        sigf = hsf.select(
+            *key_cols, minhash_signature(F.col("__hs"), minhash_n).alias("__sig")
+        )
+        n_bands = minhash_n // band_size
+        bands = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice(F.col("__sig"), b * band_size + 1, band_size),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sigf.select(*key_cols, "__sig", bands.alias("__bands"))
+
+    def _sim_ge(a, b):
+        """signature agreement ≥ tau: count of equal components."""
+        return (
+            F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+            >= F.lit(n_match_req)
+        )
+
+    ref_nd = None
+    if neardup:
+        # historical corpus band table, built once: (bucket key,
+        # signature) — hash rows only, like ref_hashes
+        ref_nd = (
+            _sig_bands(ref_corpus, F.col(text_col), [])
+            .select(
+                F.col("__sig").alias("__ssig"),
+                F.explode("__bands").alias("__bk"),
+            )
+            .persist()
+        )
+
     id_of = F.col(OK)[id_col]
     text_of = F.coalesce(F.col(OK)[text_col], F.lit(""))
     norm = F.lower(F.trim(F.regexp_replace(text_of, r"\s+", " ")))
@@ -493,12 +575,13 @@ def curation_topology(
     )
     helper_cols = [
         "__gid", "__keep", "__reasons", "__maybe", "__h", "__hh", "__hit",
-        "__elig", "__rn", "__positions",
+        "__elig", "__rn", "__positions", "__near",
     ]
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         out = None
+        cand = None
         try:
             # gate key = (id, content) composite: a batch can carry
             # the same doc id twice (at-least-once redelivery, or an
@@ -512,7 +595,11 @@ def curation_topology(
             )
             docs = (
                 batch_df.filter(F.col(ERR).isNull() & F.col(OK).isNotNull())
-                .select(gid.alias("__gid"), text_of.alias(text_col))
+                .select(
+                    gid.alias("__gid"),
+                    id_of.cast("string").alias("__id"),
+                    text_of.alias(text_col),
+                )
                 .dropDuplicates(["__gid"])
             )
             verdict = gopher_gate(
@@ -580,6 +667,74 @@ def curation_topology(
                 j2.withColumn("__elig", elig)
                 .withColumn("__rn", F.row_number().over(w))
             )
+
+            if neardup:
+                # near-dup verdicts over the exact-dedup SURVIVORS:
+                # band-bucket equi-join against (historical corpus +
+                # durable accepted state + earlier docs this batch),
+                # confirmed by signature agreement — never all-pairs
+                sb = _sig_bands(docs, F.col(text_col), ["__gid", "__id"])
+                elig_g = (
+                    j3.filter(F.col("__elig") & (F.col("__rn") == 1))
+                    .select("__gid")
+                    .distinct()
+                )
+                cand = sb.join(elig_g, "__gid", "left_semi").persist()
+                cx = cand.select(
+                    "__gid", "__sig", F.explode("__bands").alias("__bk")
+                )
+                st_nd = ref_nd
+                if seed is not None and "bands" in seed.columns:
+                    st_nd = st_nd.unionByName(
+                        seed.filter(F.col("bands").isNotNull()).select(
+                            F.col("sig").alias("__ssig"),
+                            F.explode("bands").alias("__bk"),
+                        )
+                    )
+                cross_near = (
+                    cx.join(st_nd, "__bk")
+                    .filter(_sim_ge(F.col("__sig"), F.col("__ssig")))
+                    .select("__gid")
+                )
+                a_side = cand.select(
+                    F.col("__gid").alias("__ga"),
+                    F.col("__id").alias("__ia"),
+                    F.col("__sig").alias("__siga"),
+                    F.explode("__bands").alias("__bk"),
+                )
+                b_side = cand.select(
+                    F.col("__gid").alias("__gb"),
+                    F.col("__id").alias("__ib"),
+                    F.col("__sig").alias("__sigb"),
+                    F.explode("__bands").alias("__bk"),
+                )
+                within_near = (
+                    a_side.join(b_side, "__bk")
+                    .filter(
+                        (F.col("__ia") < F.col("__ib"))
+                        | (
+                            (F.col("__ia") == F.col("__ib"))
+                            & (F.col("__ga") < F.col("__gb"))
+                        )
+                    )
+                    .filter(_sim_ge(F.col("__siga"), F.col("__sigb")))
+                    .select(F.col("__gb").alias("__gid"))
+                )
+                near_gids = (
+                    cross_near.unionByName(within_near)
+                    .distinct()
+                    .select(
+                        F.col("__gid").alias("__ngid"),
+                        F.lit(True).alias("__near"),
+                    )
+                )
+                j3 = j3.join(
+                    F.broadcast(near_gids),
+                    j3["__gid"] == near_gids["__ngid"],
+                    "left",
+                ).drop("__ngid")
+            else:
+                j3 = j3.withColumn("__near", F.lit(None).cast("boolean"))
             # gopher_gate emits fail_reasons pre-joined as a string
             reasons = F.coalesce(F.col("__reasons"), F.lit("no_gate_verdict"))
             gate_err = _mk_err(
@@ -608,6 +763,22 @@ def curation_topology(
                 raw_bytes=F.col(value_col).cast("binary"),
                 source_record=F.col(OK),
             )
+            near_err = _mk_err(
+                code=F.lit(E.FAILED_TO_PROCESS_RECORD),
+                message=F.concat(
+                    F.lit("near_duplicate of accepted content, hash "),
+                    F.col("__h"),
+                ),
+                target_class=F.lit("curation"),
+                exception_class=F.lit("NearDuplicateRecord"),
+                exception_message=F.lit(
+                    "near_duplicate: minhash band-bucket hit confirmed by "
+                    "signature agreement"
+                ),
+                stacktrace=F.lit(None).cast("string"),
+                raw_bytes=F.col(value_col).cast("binary"),
+                source_record=F.col(OK),
+            )
             out = j3.withColumn(
                 ERR,
                 F.when(F.col(ERR).isNotNull(), F.col(ERR))
@@ -617,20 +788,34 @@ def curation_topology(
                     F.col("__hit").isNotNull()
                     | (F.col("__elig") & (F.col("__rn") > 1)),
                     dup_err,
-                ),
+                )
+                .when(F.coalesce("__near", F.lit(False)), near_err),
             ).persist()
 
             accepted = (
                 out.filter(F.col(ERR).isNull() & F.col(OK).isNotNull())
-                .select("__h", positions.alias("positions"))
+                .select("__gid", "__h", positions.alias("positions"))
                 .dropDuplicates(["__h"])
             )
+            if neardup:
+                accepted = accepted.join(
+                    sb.select(
+                        F.col("__gid").alias("__sgid"),
+                        F.col("__sig").alias("sig"),
+                        F.col("__bands").alias("bands"),
+                    ),
+                    accepted["__gid"] == F.col("__sgid"),
+                    "left",
+                ).drop("__sgid")
+            accepted = accepted.drop("__gid")
             prior_to_drop: list[int] = []
             if sdir is not None:
                 new_state = (
                     accepted
                     if seed is None
-                    else seed.unionByName(accepted).dropDuplicates(["__h"])
+                    else seed.unionByName(
+                        accepted, allowMissingColumns=True
+                    ).dropDuplicates(["__h"])
                 )
                 new_state.write.mode("overwrite").parquet(
                     f"{sdir}/v{batch_id}"
@@ -662,10 +847,14 @@ def curation_topology(
                     "QualityGateRejected", 0
                 )
                 counts["duplicate"] = by_cause.get("DuplicateRecord", 0)
+                counts["near_duplicate"] = by_cause.get(
+                    "NearDuplicateRecord", 0
+                )
                 counts["parse_error"] = (
                     counts["error"]
                     - counts["gate_rejected"]
                     - counts["duplicate"]
+                    - counts["near_duplicate"]
                 )
             # accrete this batch's accepted positions into the probe
             # bitmap — same distributed per-partition OR as the build
@@ -684,6 +873,8 @@ def curation_topology(
         finally:
             if out is not None:
                 out.unpersist()
+            if cand is not None:
+                cand.unpersist()
             batch_df.unpersist()
 
     return _start_foreach_batch(validated, fn, checkpoint, trigger)

@@ -1045,3 +1045,161 @@ def test_cms_watchlist_topology_golden(spark, cleanup):
     assert by_batch[0] == {"u1": 2, "u2": 1, "missing": 0}
     assert by_batch[1] == {"u1": 3, "u2": 2, "missing": 0}
     assert by_batch[2] == {"u1": 4, "u2": 2, "missing": 0}
+
+
+# --------------------------------------------- near-dup curation
+
+NEARDUP_KW = dict(
+    neardup=True, minhash_n=16, band_size=4, shingle_n=3, neardup_tau=0.7
+)
+
+# long docs so a one-word edit leaves Jaccard high; pairs verified
+# against the md5/LCG minhash math (A/A2 agree 16/16 signature
+# components, C/C2 14/16, H/H2 12/16 — all >= ceil(0.7*16)=12 with
+# >=1 band-bucket collision; unrelated pairs agree on 0)
+T_A = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong coffee beneath the ancient oak tree near the river "
+    "bend every quiet morning in autumn"
+)
+T_A2 = T_A.replace("wizards", "goblins")
+T_C = (
+    "pack my box with five dozen liquor jugs then carry them across "
+    "the frozen lake to the wooden cabin where the old keeper waits "
+    "patiently for winter supplies"
+)
+T_C2 = T_C.replace("wooden", "stone")
+T_H = (
+    "historical archive document describing the construction of the "
+    "great canal through the mountain valley completed after twelve "
+    "years of labor by thousands of workers"
+)
+T_H2 = T_H.replace("twelve", "forty")
+T_B = (
+    "sphinx of black quartz judge my vow as the lighthouse beam "
+    "sweeps across the harbor guiding fishing boats home through "
+    "the evening fog banks"
+)
+
+
+def test_curation_topology_neardup_golden(spark, cleanup):
+    """Near-duplicate suppression across every path: batch 1 carries
+    a one-word-edited copy of a batch-0-accepted doc (cross-batch,
+    via the durable band-bucket state), an edited copy of a REF
+    corpus doc, an exact copy of the batch-0 doc (exact-dup
+    precedence over near-dup), and an unrelated doc (accepted);
+    batch 2 carries an original and its edited copy in the SAME
+    batch (within-batch first-occurrence-wins). Every near-dup lands
+    on the one error channel as ``NearDuplicateRecord`` with a
+    ``near_duplicate`` reason in the message."""
+    from maston_spark.streaming.topology import curation_topology
+
+    records = [
+        (0, _doc(0, T_A)),    # accepted
+        (1, _doc(1, T_A2)),   # near-dup of doc 0 (cross-batch)
+        (1, _doc(2, T_H2)),   # near-dup of the ref corpus doc
+        (1, _doc(3, T_A)),    # EXACT dup of doc 0 — exact wins
+        (1, _doc(4, T_B)),    # unrelated: accepted
+        (2, _doc(5, T_C)),    # accepted (first occurrence)
+        (2, _doc(6, T_C2)),   # near-dup of doc 5 (within-batch)
+    ]
+    src_df = spark.createDataFrame(
+        [Row(value=v, __replay_batch=b) for b, v in records]
+    )
+    stream, src = replay_stream(src_df, batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    ref = spark.createDataFrame([(100, T_H)], DOC_SCHEMA)
+    sunk: dict[str, list] = {"valid": [], "error": []}
+    metrics: list = []
+
+    q = curation_topology(
+        stream,
+        DOC_SCHEMA,
+        ref,
+        app_id="t-curation-neardup",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        gate_kwargs=GATE,
+        on_metrics=lambda bid, c: metrics.append((bid, c)),
+        **NEARDUP_KW,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(r.ok.doc_id for r in sunk["valid"]) == [0, 4, 5]
+    errs = {r.ok.doc_id: r for r in sunk["error"]}
+    assert set(errs) == {1, 2, 3, 6}
+    k_exc = "maston.error.exception.class"
+    k_msg = "maston.error.exception.message"
+    assert _hdr(errs[1], k_exc) == "NearDuplicateRecord"
+    assert _hdr(errs[2], k_exc) == "NearDuplicateRecord"
+    assert _hdr(errs[3], k_exc) == "DuplicateRecord"
+    assert _hdr(errs[6], k_exc) == "NearDuplicateRecord"
+    for d in (1, 2, 6):
+        assert "near_duplicate" in _hdr(errs[d], k_msg)
+        assert len(errs[d].headers) == 11
+    assert sum(c.get("near_duplicate", 0) for _, c in metrics) == 3
+    assert sum(c.get("duplicate", 0) for _, c in metrics) == 1
+
+
+def test_curation_topology_neardup_state_survives_restart(spark, cleanup):
+    """Stop the stream after batch 0, start a NEW query on the same
+    checkpoint: a one-word-edited copy of the batch-0-accepted doc
+    arriving after the restart is still rejected as a near-dup — the
+    band-bucket + signature state is replayed from the versioned
+    parquet state table, not just topology memory (the state is a
+    SET under union, so the replay is idempotent)."""
+    from maston_spark.streaming.topology import curation_topology
+
+    chk = _tmp()
+    src = tempfile.mkdtemp(prefix="replay_src_")
+    cleanup.extend([src, chk])
+    ref = spark.createDataFrame([(100, T_H)], DOC_SCHEMA)
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    def start():
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/b*")
+        )
+        return curation_topology(
+            stream,
+            DOC_SCHEMA,
+            ref,
+            app_id="t-curation-neardup-restart",
+            checkpoint=chk,
+            write_valid=lambda df: sunk["valid"].extend(df.collect()),
+            write_error=lambda df: sunk["error"].extend(df.collect()),
+            gate_kwargs=GATE,
+            **NEARDUP_KW,
+        )
+
+    spark.createDataFrame([Row(value=_doc(0, T_A))]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [r.ok.doc_id for r in sunk["valid"]] == [0]
+
+    spark.createDataFrame([Row(value=_doc(9, T_A2))]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r.ok.doc_id for r in sunk["valid"]) == [0]
+    assert [r.ok.doc_id for r in sunk["error"]] == [9]
+    assert (
+        _hdr(sunk["error"][0], "maston.error.exception.class")
+        == "NearDuplicateRecord"
+    )
