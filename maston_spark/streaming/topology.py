@@ -1055,3 +1055,108 @@ def cms_watchlist_topology(
             g.unpersist()
 
     return _start_foreach_batch(items, fn, checkpoint, trigger)
+
+
+def quantile_metrics_topology(
+    source: DataFrame,
+    *,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int,
+    qs: list[float],
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+):
+    """Streaming quantile monitoring: maintain a per-group
+    hash-sample quantile sketch across micro-batches and emit, per
+    batch, running quantile estimates ``(group, qq, est_q)`` — "what
+    do the p50/p95 of this metric look like over everything seen SO
+    FAR", answerable at any batch with ``groups × k`` state and
+    without ever sorting (or storing) the history.
+
+    The cross-batch state IS the sketch
+    (:func:`maston_spark.sketches.quantile_sample_sketch` — the k
+    rows per group with the smallest row-key hashes, values
+    carried), durable in the same versioned compacted parquet layout
+    as ``delta_topology``'s store. Merging a batch is the bottom-k
+    union property (:func:`maston_spark.sketches.
+    quantile_sample_merge`): union the stored survivors with the
+    batch's survivors and re-keep the k (h, value) minima — a SET
+    identity, so every emitted estimate is bit-identical to
+    sketching the whole history in one pass (the property
+    :func:`kll_quantiles` deliberately trades away for better rank
+    error per byte; monitoring wants restart-invariance). The
+    idempotent-union property also makes the retry corner trivial:
+    self-seeding from the batch's own crashed version cannot
+    double-count, exactly the KMV-not-CMS state discipline.
+
+    Scale shape per batch: the batch (not history) is hashed and
+    bottom-k-folded inside its scan; the merge window runs over ≤
+    state + batch-survivor rows per group; the state write is ≤
+    groups × k rows; the metrics frame is |groups × qs| rows.
+    """
+    from maston_spark.sketches import (
+        h60,
+        quantile_sample_estimate,
+        quantile_sample_merge,
+    )
+
+    sdir = (
+        f"{checkpoint.rstrip('/')}/quantile_state"
+        if state_dir == "auto"
+        else state_dir
+    )
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    hashed = source.select(
+        F.col(group_col).alias("g"),
+        h60(F.col(key_col).cast("string")).alias("h"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("h").isNotNull() & F.col("value").isNotNull())
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("g").orderBy("h", "value")
+        batch_sk = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        combined = batch_sk
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            # bottom-k union is idempotent, so self-seeding from this
+            # batch's own crashed version is harmless (KMV-not-CMS)
+            seed_v = (
+                prior[-1]
+                if prior
+                else (batch_id if batch_id in versions else None)
+            )
+            if seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                if seed_v == batch_id:
+                    seed = seed.localCheckpoint(eager=True)
+                combined = quantile_sample_merge(batch_sk, seed, k)
+        sk = combined.persist()
+        try:
+            if sdir is not None:
+                sk.select("g", "h", "value").write.mode("overwrite").parquet(
+                    f"{sdir}/v{batch_id}"
+                )
+            write_metrics(
+                quantile_sample_estimate(sk, "g", qs).withColumnRenamed(
+                    "g", group_col
+                ),
+                batch_id,
+            )
+            if sdir is not None and prior:
+                _drop_state_versions(spark, sdir, prior)
+        finally:
+            sk.unpersist()
+
+    return _start_foreach_batch(hashed, fn, checkpoint, trigger)

@@ -1203,3 +1203,123 @@ def test_curation_topology_neardup_state_survives_restart(spark, cleanup):
         _hdr(sunk["error"][0], "maston.error.exception.class")
         == "NearDuplicateRecord"
     )
+
+
+def test_quantile_metrics_topology_golden(spark, cleanup):
+    """Streaming quantile monitoring over 3 micro-batches: running
+    per-group estimates at every batch, and — the bottom-k union
+    set identity — the final streamed estimate is bit-identical to
+    one-shot sketching the whole history."""
+    from maston_spark.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_sketch,
+    )
+    from maston_spark.streaming.topology import quantile_metrics_topology
+
+    rows = [
+        Row(g="a" if i % 2 else "b", key=f"k{i}",
+            v=float((i * 37) % 100), __replay_batch=i % 3)
+        for i in range(300)
+    ]
+    src_df = spark.createDataFrame(rows)
+    stream, src = replay_stream(src_df, batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+    qs = [0.5, 0.9]
+
+    q = quantile_metrics_topology(
+        stream,
+        group_col="g",
+        key_col="key",
+        value_col="v",
+        k=32,
+        qs=qs,
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append(
+            (bid, {(r.g, r.qq): r.est_q for r in df.collect()})
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) >= 3
+    # every batch emitted estimates for both groups and both qs
+    for _, m in seen:
+        assert set(m) == {("a", 0.5), ("a", 0.9), ("b", 0.5), ("b", 0.9)}
+    # set identity: final streamed == one-shot over the whole history
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    oneshot_sk = quantile_sample_sketch(src_df, "g", F.col("key"), "v", 32)
+    oneshot = {
+        (r.g, r.qq): r.est_q
+        for r in quantile_sample_estimate(oneshot_sk, "g", qs).collect()
+    }
+    assert seen[-1][1] == oneshot
+
+
+def test_quantile_metrics_topology_state_survives_restart(spark, cleanup):
+    """Stop after batch 0, start a NEW query on the same checkpoint:
+    the post-restart estimate reflects batch-0 history (replayed from
+    the versioned sketch state), bit-identical to one-shot sketching
+    both batches together."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from maston_spark.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_sketch,
+    )
+    from maston_spark.streaming.topology import quantile_metrics_topology
+
+    chk = _tmp()
+    src = tempfile.mkdtemp(prefix="replay_src_")
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    def start():
+        stream = (
+            spark.readStream.schema("g string, key string, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/b*")
+        )
+        return quantile_metrics_topology(
+            stream,
+            group_col="g",
+            key_col="key",
+            value_col="v",
+            k=16,
+            qs=[0.5],
+            checkpoint=chk,
+            write_metrics=lambda df, bid: seen.append(
+                {(r.g, r.qq): r.est_q for r in df.collect()}
+            ),
+        )
+
+    b0 = [Row(g="a", key=f"k{i}", v=float(i)) for i in range(40)]
+    b1 = [Row(g="a", key=f"m{i}", v=float(100 + i)) for i in range(40)]
+    spark.createDataFrame(b0).coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    both = spark.createDataFrame(b0 + b1)
+    oneshot_sk = quantile_sample_sketch(both, "g", F.col("key"), "v", 16)
+    oneshot = {
+        (r.g, r.qq): r.est_q
+        for r in quantile_sample_estimate(oneshot_sk, "g", [0.5]).collect()
+    }
+    assert seen[-1] == oneshot
+    # and the restarted estimate actually SEES batch-0 values (the
+    # median of the union can't be a pure-b1 median if state replayed)
+    assert seen[-1][("a", 0.5)] < 100.0
