@@ -639,3 +639,48 @@ def q192_kll_quantiles(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+# ------------------------------------------------ binned TVD drift
+
+
+@query(
+    "q194_binned_tvd_drift",
+    oracle="""
+    WITH e AS (SELECT quantile_cont(value,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+               FROM events WHERE value IS NOT NULL),
+    b AS (SELECT event_type AS g,
+                 CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin
+          FROM events, e WHERE value IS NOT NULL),
+    c AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+    gs AS (SELECT DISTINCT g FROM c),
+    bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+    grid AS (SELECT g, bin FROM gs, bins),
+    f AS (SELECT grid.g, grid.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+          FROM grid LEFT JOIN c ON c.g = grid.g AND c.bin = grid.bin),
+    gl AS (SELECT bin, sum(n) AS t FROM f GROUP BY bin),
+    sz AS (SELECT g, sum(n) AS ng FROM f GROUP BY g),
+    tot AS (SELECT sum(n) AS nt FROM f),
+    j AS (SELECT f.g, f.n, gl.t - f.n AS m, sz.ng, tot.nt - sz.ng AS mg
+          FROM f JOIN gl ON gl.bin = f.bin JOIN sz ON sz.g = f.g, tot)
+    SELECT g AS event_type, CAST(ng AS BIGINT) AS n_group,
+           CAST(mg AS BIGINT) AS n_rest,
+           CAST(sum(abs(n * mg - m * ng)) AS BIGINT)
+             / (2.0 * ng * mg) AS tvd
+    FROM j GROUP BY g, ng, mg ORDER BY event_type
+    """,
+)
+def q194_binned_tvd_drift(spark, sf_dir):
+    """Binned total-variation drift of each event type's value
+    distribution vs the rest of the stream, over global-decile bins
+    — the PSI monitoring shape with the exactly-computable L1
+    distance (cross-multiplied int64, one IEEE quotient; PSI's ln
+    would break bit-parity between engines). Complements q178's KS
+    (sup-norm on the full CDF grid) with the bounded-state per-bin
+    form production monitors alert on. See
+    :func:`maston_spark.profiling.binned_tvd_drift`."""
+    from maston_spark.profiling import binned_tvd_drift
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return binned_tvd_drift(ev, "event_type", "value", n_bins=10)

@@ -851,3 +851,52 @@ def test_cusum_matches_bruteforce(spark, counts):
     assert r.n_buckets == nb and r.total_events == tot
     assert r.cusum_scaled == best[1], (counts, r.cusum_scaled, best)
     assert r.changepoint_ts == datetime(2026, 3, 1, best[0])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 20)),
+        min_size=4,
+        max_size=30,
+    ),
+    n_bins=st.integers(min_value=2, max_value=5),
+)
+def test_binned_tvd_drift_matches_bruteforce(spark, vals, n_bins):
+    """binned_tvd_drift equals the brute-force half-L1 distance of
+    the two binned pmfs for any multiset, bin count, and grouping —
+    with bin edges the exact percentile_cont cut points of the
+    pooled values (replicated here with numpy's linear method)."""
+    import numpy as np
+
+    from maston_spark.profiling import binned_tvd_drift
+
+    groups = {g for g, _ in vals}
+    if len(groups) < 2:
+        return
+    df = spark.createDataFrame(vals, "g string, v long").repartition(3)
+    got = {
+        r.g: (r.n_group, r.n_rest, r.tvd)
+        for r in binned_tvd_drift(df, "g", "v", n_bins=n_bins).collect()
+    }
+    pooled = np.array(sorted(float(v) for _, v in vals))
+    edges = [
+        float(np.quantile(pooled, i / n_bins, method="linear"))
+        for i in range(1, n_bins)
+    ]
+
+    def bin_of(x):
+        return sum(1 for e in edges if x > e)
+
+    for g in groups:
+        mine = [float(v) for gg, v in vals if gg == g]
+        rest = [float(v) for gg, v in vals if gg != g]
+        ng, mg = len(mine), len(rest)
+        num = 0
+        for b in range(n_bins):
+            n_i = sum(1 for x in mine if bin_of(x) == b)
+            m_i = sum(1 for x in rest if bin_of(x) == b)
+            num += abs(n_i * mg - m_i * ng)
+        expect = num / (2.0 * ng * mg)
+        assert got[g][:2] == (ng, mg), (g, got[g])
+        assert abs(got[g][2] - expect) < 1e-12, (vals, n_bins, g, got[g][2], expect)

@@ -315,3 +315,59 @@ def test_kll_single_machine_matches_definition():
             break
     rank = sum(1 for x in xs if x <= est) / len(xs)
     assert abs(rank - 0.5) <= 0.04
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=4, max_value=32),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_quantile_sample_is_canonical_bottom_k(spark, vals, k, parts):
+    """For ANY multiset, k, and partitioning: the sketch is exactly
+    the k smallest (h(key), value) rows — a pure function of the row
+    multiset, never of layout."""
+    from maston_spark.sketches import h60, quantile_sample_sketch
+
+    rows = [("g", f"r{i}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, key string, v double").repartition(
+        parts
+    )
+    got = sorted(
+        (r.h, r.value)
+        for r in quantile_sample_sketch(df, "g", F.col("key"), "v", k).collect()
+    )
+    hs = {
+        r.key: r.h
+        for r in df.select("key", h60(F.col("key")).alias("h")).collect()
+    }
+    expect = sorted((hs[f"r{i}"], v) for i, v in enumerate(vals))[:k]
+    assert got == expect, (k, parts, got, expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0, max_value=1e4, allow_nan=False),
+        min_size=1,
+        max_size=400,
+    ),
+    k=st.integers(min_value=16, max_value=64),
+)
+def test_kll_core_invariants_any_stream(vals, k):
+    """For ANY stream and k: total weight is conserved exactly, the
+    sketch holds values FROM the stream, and size stays within the
+    compactor budget."""
+    from maston_spark.sketches import _KLL
+
+    sk = _KLL(k, "p")
+    sk.extend(vals)
+    items = list(sk.items())
+    assert sum(2 ** l for l, _ in items) == len(vals)
+    vset = set(vals)
+    assert all(v in vset for _, v in items)
+    assert len(items) <= max(len(vals), k * 12)
