@@ -1160,3 +1160,133 @@ def quantile_metrics_topology(
             sk.unpersist()
 
     return _start_foreach_batch(hashed, fn, checkpoint, trigger)
+
+
+def drift_monitor_topology(
+    source: DataFrame,
+    ref: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int,
+    threshold: float,
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+):
+    """Streaming distribution-drift monitor: bin every arriving value
+    on the REFERENCE distribution's exact decile edges (computed once
+    at topology start from the static ``ref`` frame), accumulate
+    running per-bin counts across micro-batches, and emit per batch
+    the binned total-variation distance between everything-seen-so-far
+    and the reference — ``(n_stream, n_ref, tvd, drifted)`` with
+    ``drifted = tvd > threshold``. The streaming twin of
+    :func:`maston_spark.profiling.binned_tvd_drift` and the alert
+    production pipelines actually page on ("has the feature
+    distribution moved since training"), with n_bins cells of state
+    no matter how many rows flow past.
+
+    State discipline: the per-bin counters are ADDITIVE (the CMS
+    case, not the KMV case), so the retry corner reads the batch's
+    own stored version AS the whole truth instead of re-merging —
+    re-adding a recomputed batch would double-count
+    (:func:`cms_watchlist_topology`'s documented discipline). The
+    reference pmf and edges are fixed at start; every emitted TVD is
+    the exact cross-multiplied int64 statistic over
+    (running counts, reference counts).
+    """
+    from maston_spark.relational import exact_percentiles
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    sdir = (
+        f"{checkpoint.rstrip('/')}/drift_state"
+        if state_dir == "auto"
+        else state_dir
+    )
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    ps = [i / n_bins for i in range(1, n_bins)]
+    als = [f"__e{i}" for i in range(1, n_bins)]
+    refv = ref.filter(F.col(value_col).isNotNull()).select(
+        F.lit(1).alias("__g"), F.col(value_col).cast("double").alias("v")
+    )
+    edge_row = exact_percentiles(refv, "__g", "v", ps, als).collect()[0]
+    edges = [float(edge_row[a]) for a in als]
+
+    def bucket_of(col):
+        b = None
+        for e in edges:
+            term = F.when(col > F.lit(e), 1).otherwise(0)
+            b = term if b is None else b + term
+        return b.cast("int")
+
+    # reference pmf: n_bins counts, computed once
+    ref_counts = {
+        r["bin"]: r["n"]
+        for r in refv.groupBy(bucket_of(F.col("v")).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    m_ref = [int(ref_counts.get(b, 0)) for b in range(n_bins)]
+    n_ref_total = sum(m_ref)
+
+    binned = source.filter(F.col(value_col).isNotNull()).select(
+        bucket_of(F.col(value_col).cast("double")).alias("bin")
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        g = batch_df.groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            seed_v = (
+                prior[-1]
+                if prior
+                else (batch_id if batch_id in versions else None)
+            )
+            if seed_v is not None and seed_v == batch_id:
+                # additive counters: the stored version already holds
+                # this batch — re-adding would double-count
+                g = spark.read.parquet(f"{sdir}/v{batch_id}").localCheckpoint(
+                    eager=True
+                )
+            elif seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                g = (
+                    g.unionByName(seed)
+                    .groupBy("bin")
+                    .agg(F.sum("n").cast("long").alias("n"))
+                )
+        g = g.persist()
+        try:
+            if sdir is not None:
+                g.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+            stream_counts = {r["bin"]: r["n"] for r in g.collect()}
+            n_i = [int(stream_counts.get(b, 0)) for b in range(n_bins)]
+            n_tot = sum(n_i)
+            if n_tot and n_ref_total:
+                num = sum(
+                    abs(n_i[b] * n_ref_total - m_ref[b] * n_tot)
+                    for b in range(n_bins)
+                )
+                tvd = num / (2.0 * n_tot * n_ref_total)
+            else:
+                tvd = 0.0
+            write_metrics(
+                spark.createDataFrame(
+                    [(n_tot, n_ref_total, float(tvd), bool(tvd > threshold))],
+                    "n_stream long, n_ref long, tvd double, drifted boolean",
+                ),
+                batch_id,
+            )
+            if sdir is not None:
+                _drop_state_versions(spark, sdir, prior)
+        finally:
+            g.unpersist()
+
+    return _start_foreach_batch(binned, fn, checkpoint, trigger)

@@ -1323,3 +1323,102 @@ def test_quantile_metrics_topology_state_survives_restart(spark, cleanup):
     # and the restarted estimate actually SEES batch-0 values (the
     # median of the union can't be a pure-b1 median if state replayed)
     assert seen[-1][("a", 0.5)] < 100.0
+
+
+def test_drift_monitor_topology_golden(spark, cleanup):
+    """Streaming drift monitor over 2 batches: batch 0 draws from
+    the reference distribution (TVD small, no alert), batch 1 shifts
+    the mass into the top bins and the RUNNING TVD crosses the
+    threshold — with the emitted statistic equal to the brute-force
+    half-L1 between the cumulative stream histogram and the
+    reference, on reference-decile bins."""
+    from maston_spark.streaming.topology import drift_monitor_topology
+
+    # reference: uniform over 0..99 (deciles at 9.9, 19.8, ...)
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(500)], "v double")
+    # batch 0: same uniform shape; batch 1: everything >= 90
+    rows = [Row(v=float(i % 100), __replay_batch=0) for i in range(200)]
+    rows += [Row(v=float(90 + i % 10), __replay_batch=1) for i in range(400)]
+    src_df = spark.createDataFrame(rows)
+    stream, src = replay_stream(src_df, batches=2)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    q = drift_monitor_topology(
+        stream,
+        ref,
+        value_col="v",
+        n_bins=10,
+        threshold=0.3,
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append((bid, df.collect()[0])),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) == 2
+    b0, b1 = seen[0][1], seen[1][1]
+    assert b0.n_stream == 200 and b0.n_ref == 500
+    assert not b0.drifted and b0.tvd < 0.05
+    # running: 200 uniform + 400 top-decile rows; brute force:
+    # per-bin stream counts 20 each + 400 extra in the last bin
+    n_i = [20] * 9 + [420]
+    m_i = [50] * 10
+    num = sum(abs(n * 500 - m * 600) for n, m in zip(n_i, m_i))
+    expect = num / (2.0 * 600 * 500)
+    assert b1.n_stream == 600
+    assert abs(b1.tvd - expect) < 1e-12
+    assert b1.drifted
+
+
+def test_drift_monitor_topology_state_survives_restart(spark, cleanup):
+    """Stop after batch 0, restart on the same checkpoint: the
+    running histogram resumes from versioned state, so the
+    post-restart TVD reflects BOTH batches, not just the new one."""
+    from maston_spark.streaming.topology import drift_monitor_topology
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(500)], "v double")
+    chk = _tmp()
+    src = tempfile.mkdtemp(prefix="replay_src_")
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    def start():
+        stream = (
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/b*")
+        )
+        return drift_monitor_topology(
+            stream,
+            ref,
+            value_col="v",
+            n_bins=10,
+            threshold=0.3,
+            checkpoint=chk,
+            write_metrics=lambda df, bid: seen.append(df.collect()[0]),
+        )
+
+    spark.createDataFrame(
+        [Row(v=float(i % 100)) for i in range(200)]
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen[-1].n_stream == 200 and not seen[-1].drifted
+
+    spark.createDataFrame(
+        [Row(v=float(90 + i % 10)) for i in range(400)]
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen[-1].n_stream == 600, "state must carry batch-0 counts"
+    assert seen[-1].drifted
