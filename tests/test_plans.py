@@ -310,3 +310,53 @@ def test_seasonal_anomalies_broadcast_profile(spark, sf_dir, qs):
     p = plan_of(qs["q182_seasonal_anomalies"](spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "SinglePartition" not in p, p
+
+
+def test_join_key_profile_one_scan_per_table(spark, sf_dir, qs):
+    """q181's fused profile reads each candidate table ONCE for the
+    sketch pipeline (plus once for the declared f2_exact garnish) —
+    the whole point of the fusion. Scans are counted in the
+    optimized plan; the sketch side's scans project only md5-derived
+    int64 columns (no full-row reads)."""
+    p = plan_of(qs["q181_join_planning"](spark, sf_dir))
+    # 2 sketch scans + 2 garnish scans across orders+lineitem
+    assert p.count("Scan parquet") <= 4, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_quantile_sample_sketch_folds_in_scan(spark, sf_dir, qs):
+    """q191's sketch half is a mapInPandas fold over the scan; the
+    only windows in the plan run over survivor/garnish frames and
+    the plan carries no cartesian or object-hash aggregate."""
+    p = plan_of(qs["q191_quantile_sketch"](spark, sf_dir))
+    assert "MapInPandas" in p, p
+    assert "ObjectHashAggregate" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_kll_partials_then_group_merge(spark, sf_dir, qs):
+    """q192: per-partition KLL partials (MapInPandas) feed one
+    per-group applyInPandas merge (FlatMapGroupsInPandas) — sketch
+    rows shuffle, the corpus does not re-shuffle for the sketch."""
+    p = plan_of(qs["q192_kll_quantiles"](spark, sf_dir))
+    assert "MapInPandas" in p, p
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_funnel_attribution_single_window_no_extra_pass(spark, sf_dir, qs):
+    """q193's keeper source rides the SAME content-hash window as
+    the dedup rank (one Window node computing both), and the scored
+    frame is persisted across the two stage attributions."""
+    p = plan_of(qs["q193_funnel_attribution"](spark, sf_dir))
+    assert "InMemoryTableScan" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_binned_tvd_edges_broadcast(spark, sf_dir, qs):
+    """q194: the decile edge row and the bin/size tables join back
+    broadcast; the corpus sees one aggregation after the edge pass
+    and no single-partition window."""
+    p = plan_of(qs["q194_binned_tvd_drift"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
