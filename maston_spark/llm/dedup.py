@@ -961,3 +961,137 @@ def neardup_evidence(
         .filter(F.col("rank") <= top_n)
         .select("id_a", "id_b", "rank", "shingle")
     )
+
+
+def sig_bands_frame(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    minhash_n: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Per-document MinHash signature + LSH band-bucket keys in one
+    frame: ``(key, __sig array<long>, __bands array<string>)`` —
+    the building block of INCREMENTAL near-dup (batch
+    :func:`incremental_neardup` and the streaming curation
+    topology's band-bucket state share this construction, so the
+    two paths cannot drift apart). Band key b is
+    ``"{b}:" + md5(sig[b*r .. b*r+r-1] joined by '|')``; documents
+    with no shingles (fewer than ``shingle_n`` tokens) are excluded
+    — they have no LSH identity and can never near-dup.
+
+    Built on :func:`shingle_lane_rows` + one codegen aggregation
+    (the :func:`minhash_frame` shape): higher-order array
+    transforms drop out of whole-stage codegen into interpreted
+    per-element evaluation — measured ~25x slower on a 5k-doc
+    single-partition batch — so the signature comes from plain
+    ``min()`` aggregates over exploded lane rows instead.
+    """
+    rows = shingle_lane_rows(df, text_col, key_col, shingle_n)
+    mins = [
+        F.min(
+            (F.lit(MINHASH_A0 + 2 * s) * F.col("lane") + F.lit(MINHASH_B0 + s))
+            % F.lit(MINHASH_PRIME)
+        ).alias(f"__mh{s}")
+        for s in range(minhash_n)
+    ]
+    mf = rows.groupBy("id").agg(*mins)
+    sig = F.array(*[F.col(f"__mh{s}") for s in range(minhash_n)])
+    n_bands = minhash_n // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"__mh{b * band_size + i}").cast("string")
+                            for i in range(band_size)
+                        ],
+                    )
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mf.select(
+        F.col("id").alias(key_col), sig.alias("__sig"), bands.alias("__bands")
+    )
+
+
+def sig_agreement_ge(a, b, minhash_n: int, tau: float):
+    """Column predicate: >= ceil(tau*minhash_n) signature components
+    agree — the integer-exact MinHash Jaccard confirm."""
+    import math
+
+    req = max(1, int(math.ceil(tau * minhash_n)))
+    return (
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+        >= F.lit(req)
+    )
+
+
+def incremental_neardup(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    minhash_n: int = 16,
+    band_size: int = 4,
+    tau: float = 0.7,
+) -> DataFrame:
+    """Which NEW documents are near-duplicates of an already-accepted
+    OLD corpus — ``(doc_id, n_sig_agree, is_near_dup)`` per new doc,
+    with ``n_sig_agree`` the best signature agreement over band-hit
+    candidates (0 when no band collides) and ``is_near_dup`` true at
+    agreement ≥ ceil(tau·minhash_n). The BATCH form of the curation
+    topology's ``neardup=True`` stage (same :func:`sig_bands_frame`
+    construction, same confirm), which makes the streaming physics
+    oracle-gradeable: candidates come ONLY from band-bucket
+    equi-joins (never all-pairs), and the agreement count is exact
+    integer arithmetic a SQL engine replays bit-for-bit.
+
+    Scale shape: both sides shingle+hash once; the join key is the
+    band bucket, so cost scales with collisions, not |old|×|new|;
+    the per-new-doc max is a combiner-reduced agg over candidates.
+    """
+    oldb = sig_bands_frame(old, id_col, text_col, shingle_n, minhash_n, band_size)
+    newb = sig_bands_frame(new, id_col, text_col, shingle_n, minhash_n, band_size)
+    o = oldb.select(
+        F.col("__sig").alias("__osig"), F.explode("__bands").alias("__bk")
+    )
+    n = newb.select(
+        F.col(id_col).alias("__nid"),
+        "__sig",
+        F.explode("__bands").alias("__bk"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sig"), F.col("__osig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    best = (
+        n.join(o, "__bk")
+        .groupBy("__nid")
+        .agg(F.max(agree).alias("n_sig_agree"))
+    )
+    import math
+
+    req = max(1, int(math.ceil(tau * minhash_n)))
+    return (
+        new.select(F.col(id_col))
+        .distinct()
+        .join(best, F.col(id_col) == F.col("__nid"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_sig_agree", F.lit(0)).cast("int").alias("n_sig_agree"),
+            (F.coalesce("n_sig_agree", F.lit(0)) >= F.lit(req)).alias(
+                "is_near_dup"
+            ),
+        )
+    )

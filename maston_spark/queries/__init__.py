@@ -207,6 +207,7 @@ _PRIORITY = [
     "q186_curation_funnel", "q187_cumulative_reach", "q188_schema_drift",
     "q190_neardup_evidence", "q191_quantile_sketch", "q192_kll_quantiles",
     "q193_funnel_attribution", "q194_binned_tvd_drift",
+    "q195_incremental_neardup",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

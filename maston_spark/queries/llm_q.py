@@ -4907,3 +4907,93 @@ def q193_funnel_attribution(spark, sf_dir):
     return gate_drops.unionByName(dedup_drops).orderBy(
         "stage", F.col("keeper_source").asc_nulls_first(), "dropped_source"
     )
+
+
+@query(
+    "q195_incremental_neardup",
+    oracle="""
+WITH old AS (SELECT doc_id AS id, text FROM documents),
+new_docs AS (
+  SELECT doc_id + 5000000 AS id, text || ' xyz xyz xyz' AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 6000000,
+         'fresh unseen content block ' || CAST(doc_id AS VARCHAR)
+         || ' with enough words to shingle cleanly beyond any match'
+  FROM documents WHERE doc_id % 11 = 0),
+sb AS (
+  SELECT id, sig, list_transform(range(0, 4),
+           b -> CAST(b AS VARCHAR) || ':' ||
+                md5(array_to_string(sig[(b*4+1):(b*4+4)], '|'))) AS bands
+  FROM (
+    SELECT id, list_transform(range(0, 16),
+             s -> list_min(list_transform(hv,
+                    h -> ((1664525 + 2*s) * h + 1013904223 + s)
+                         % 4294967311))) AS sig
+    FROM (
+      SELECT id, list_distinct(list_transform(sh,
+               x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hv
+      FROM (
+        SELECT id,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))
+                 ELSE [] END) AS sh
+        FROM (SELECT id, string_split(text, ' ') AS t
+              FROM (SELECT id, text FROM old
+                    UNION ALL SELECT id, text FROM new_docs)) tt
+      ) ss WHERE len(sh) > 0
+    ) hh
+  ) gg),
+ob AS (SELECT sb.sig AS osig, unnest(sb.bands) AS bk
+       FROM sb WHERE id < 5000000),
+nb AS (SELECT sb.id, sb.sig, unnest(sb.bands) AS bk
+       FROM sb WHERE id >= 5000000),
+best AS (
+  SELECT nb.id,
+         max(len(list_filter(range(1, 17),
+                 i -> nb.sig[i] = ob.osig[i]))) AS agree
+  FROM nb JOIN ob ON nb.bk = ob.bk
+  GROUP BY nb.id),
+allnew AS (SELECT DISTINCT id FROM new_docs)
+SELECT a.id AS doc_id,
+       CAST(coalesce(best.agree, 0) AS INT) AS n_sig_agree,
+       coalesce(best.agree, 0) >= 12 AS is_near_dup
+FROM allnew a LEFT JOIN best ON best.id = a.id
+""",
+)
+def q195_incremental_neardup(spark, sf_dir):
+    """Incremental near-dup gate, batch form: which NEW documents
+    (planted: every 7th corpus doc with a 3-token suffix — true
+    near-dups — plus every 11th doc's id as genuinely fresh text)
+    are MinHash-band + signature-confirmed near-duplicates of the
+    already-accepted corpus. EXACTLY the physics of
+    ``curation_topology(neardup=True)``'s cross-batch stage — the
+    same :func:`maston_spark.llm.dedup.sig_bands_frame` construction
+    and integer agreement confirm — made oracle-gradeable (the
+    streaming topology itself is golden-tested but not
+    SQL-replayable). Shingle width 3, 16-hash signatures, 4 bands,
+    tau=0.7 → agreement ≥ 12 of 16."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xyz xyz xyz")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 6000000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh unseen content block "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(
+                        " with enough words to shingle cleanly beyond any match"
+                    ),
+                ).alias("text"),
+            )
+        )
+    )
+    return DD.incremental_neardup(
+        d, new, shingle_n=3, minhash_n=16, band_size=4, tau=0.7
+    ).orderBy("doc_id")

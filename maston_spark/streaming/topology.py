@@ -469,9 +469,6 @@ def curation_topology(
         build_bloom_bitmap,
         content_hash,
         fold_positions_bitmap,
-        minhash_signature,
-        shingle_hashes,
-        shingles,
     )
     from maston_spark.llm.text import gopher_gate
     from maston_spark.sinks import split_sink_batch
@@ -513,53 +510,35 @@ def curation_topology(
     state = {"bitmap": bitmap}
 
     # ---- near-dup machinery (MinHash-LSH, incremental) ----
-    import math
+    # construction + confirm SHARED with the batch operator
+    # (llm.dedup.incremental_neardup / q195), so the streaming path
+    # and the oracle-graded path cannot drift apart
+    from maston_spark.llm.dedup import sig_agreement_ge, sig_bands_frame
 
-    n_match_req = max(1, int(math.ceil(neardup_tau * minhash_n)))
-
-    def _sig_bands(df: DataFrame, text_expr, key_cols: list[str]) -> DataFrame:
-        """(keys…, __sig array<long>, __bands array<string>) per row —
-        signature + band-bucket keys, md5 materialized once per
-        stage boundary (shingle_hashes contract)."""
-        shf = df.select(*key_cols, shingles(text_expr, shingle_n).alias("__sh"))
-        hsf = shf.select(*key_cols, shingle_hashes(F.col("__sh")).alias("__hs"))
-        sigf = hsf.select(
-            *key_cols, minhash_signature(F.col("__hs"), minhash_n).alias("__sig")
+    def _sig_bands(df: DataFrame, text_expr, key_col: str) -> DataFrame:
+        return sig_bands_frame(
+            df.select(F.col(key_col), text_expr.alias("__ndtext")),
+            key_col,
+            "__ndtext",
+            shingle_n,
+            minhash_n,
+            band_size,
         )
-        n_bands = minhash_n // band_size
-        bands = F.array(
-            *[
-                F.concat_ws(
-                    ":",
-                    F.lit(str(b)),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.transform(
-                                F.slice(F.col("__sig"), b * band_size + 1, band_size),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ),
-                )
-                for b in range(n_bands)
-            ]
-        )
-        return sigf.select(*key_cols, "__sig", bands.alias("__bands"))
 
     def _sim_ge(a, b):
-        """signature agreement ≥ tau: count of equal components."""
-        return (
-            F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
-            >= F.lit(n_match_req)
-        )
+        return sig_agreement_ge(a, b, minhash_n, neardup_tau)
 
     ref_nd = None
     if neardup:
         # historical corpus band table, built once: (bucket key,
-        # signature) — hash rows only, like ref_hashes
+        # signature) — hash rows only, like ref_hashes. Keyed by
+        # content hash: duplicate reference texts collapse to one
+        # state row, which is exactly right for a dedup reference.
+        ref_keyed = ref_corpus.select(
+            F.md5(F.col(text_col)).alias("__rk"), F.col(text_col)
+        )
         ref_nd = (
-            _sig_bands(ref_corpus, F.col(text_col), [])
+            _sig_bands(ref_keyed, F.col(text_col), "__rk")
             .select(
                 F.col("__sig").alias("__ssig"),
                 F.explode("__bands").alias("__bk"),
@@ -673,7 +652,9 @@ def curation_topology(
                 # band-bucket equi-join against (historical corpus +
                 # durable accepted state + earlier docs this batch),
                 # confirmed by signature agreement — never all-pairs
-                sb = _sig_bands(docs, F.col(text_col), ["__gid", "__id"])
+                sb = _sig_bands(docs, F.col(text_col), "__gid").join(
+                    docs.select("__gid", "__id"), "__gid"
+                )
                 elig_g = (
                     j3.filter(F.col("__elig") & (F.col("__rn") == 1))
                     .select("__gid")
