@@ -123,9 +123,16 @@ _PRIORITY = [
     # same Arrow-batch physics as graded q94/q119's pandas kernels.
     # Its slot grades the AMS F2 moment sketch — self-join-size
     # estimation, the third mergeable-sketch physics after KMV/CMS)
+    # (q48 adaptive-LSH embedding near-dup held a graded slot rounds
+    # 1–9, always green; the bucketed-candidates + exact-confirm
+    # physics stays graded FOUR ways — q153 IVF-PQ, q158 residual
+    # IVF-PQ, q152's MinHash-LSH pipeline, q94 SemDeDup. Its slot
+    # grades the round-10 mergeable QUANTILE sketch — the bit-exact
+    # bottom-k-by-row-hash member, the one sketch physics the
+    # KMV/CMS/MG/AMS quartet does not cover)
     "q155_keep_first_substring", "q172_dup_transitivity",
     "q174_pareto_frontier", "q168_kmv_set_ops", "q157_hybrid_rrf",
-    "q48_embedding_neardup", "q176_ams_f2",
+    "q191_quantile_sketch", "q176_ams_f2",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
     # data-quality constraint family instead)
@@ -164,6 +171,7 @@ _PRIORITY = [
     # graded by the flagship named in the comments above.
     # round-10 demotions lead (each family's graded flagship named in
     # the promotion comments above)
+    "q48_embedding_neardup",
     "q26_string_fns", "q65_shipping_priority", "q49_media_features",
     "q53_levenshtein_neardup", "q100_dsir_weights",
     "q31_json_fns", "q36_drop_duplicates", "q46_lang_id",
@@ -205,7 +213,7 @@ _PRIORITY = [
     "q181_join_planning", "q182_seasonal_anomalies", "q183_oov_rate",
     "q184_grouped_quantile_bins",
     "q186_curation_funnel", "q187_cumulative_reach", "q188_schema_drift",
-    "q190_neardup_evidence", "q191_quantile_sketch", "q192_kll_quantiles",
+    "q190_neardup_evidence", "q192_kll_quantiles",
     "q193_funnel_attribution", "q194_binned_tvd_drift",
     "q195_incremental_neardup",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",

@@ -108,6 +108,8 @@ def test_graded_window_covers_unique_capabilities():
         "q173_mg_heavy_hitters", "q176_ams_f2",
         "q171_source_dup_matrix", "q185_table_fingerprint",
         "q189_token_water_fill",
+        # the round-10 mergeable quantile sketch (bit-exact member)
+        "q191_quantile_sketch",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -126,7 +128,11 @@ def test_graded_window_covers_unique_capabilities():
         # exact-confirm stage grades normalized-dot cosine physics
         "q60_safe_json": "q61_process_errors",
         "q41_dedup_minhash_lsh": "q152_dedup_report",
-        "q43_cosine_topk": "q48_embedding_neardup",
+        "q43_cosine_topk": "q153_ivf_pq",
+        # q48's bucketed-candidates + exact-confirm physics stays
+        # graded four ways (q153/q158/q152/q94); its slot grades the
+        # quantile sketch
+        "q48_embedding_neardup": "q153_ivf_pq",
         "q175_cusum_changepoint": "q178_ks_drift",
         "q99_chunk_overlap": "q88_domain_cap",
         "q57_ivf_ann": "q153_ivf_pq",
