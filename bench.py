@@ -53,6 +53,9 @@ HEADLINE = [
     "q176_ams_f2",              # AMS F2 moment sketch (single-md5 lanes)
     "q191_quantile_sketch",     # bottom-k hash-sample quantiles (bit-exact)
     "q192_kll_quantiles",       # genuine KLL (partials + per-group merge)
+    "q193_funnel_attribution",  # funnel drop attribution (shared window)
+    "q194_binned_tvd_drift",    # PSI-shape drift (exact L1 over decile bins)
+    "q195_incremental_neardup", # batch twin of streaming near-dup state
 ]
 
 
