@@ -684,3 +684,52 @@ def q194_binned_tvd_drift(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return binned_tvd_drift(ev, "event_type", "value", n_bins=10)
+
+
+# ---------------------------------------------- table sketch profile
+
+
+def _col_profile_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name,
+      (SELECT CAST(count({col}) AS BIGINT) FROM orders) AS n_rows,
+      (WITH h AS (SELECT DISTINCT
+            ('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT AS h
+          FROM orders WHERE {col} IS NOT NULL),
+        r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+        s AS (SELECT count(*) AS n_seen,
+                     max(CASE WHEN rn = 64 THEN h END) AS kth
+              FROM r WHERE rn <= 64)
+        SELECT CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+               ELSE round(63.0 / (kth / 1152921504606846976.0), 4) END
+        FROM s) AS n_distinct_est,
+      (WITH l AS (SELECT l,
+            CAST(sum(CASE WHEN substring(md5({col}::VARCHAR), 17 + l, 1) >= '8'
+                     THEN 1 ELSE -1 END) AS BIGINT) AS t
+          FROM orders, (SELECT unnest(range(0, 16)) AS l) r
+          WHERE {col} IS NOT NULL GROUP BY l)
+        SELECT CAST(sum(t * t) AS DOUBLE) / 16.0 FROM l) AS f2_est"""
+
+
+@query(
+    "q196_table_sketch_profile",
+    oracle=" UNION ALL ".join(
+        _col_profile_sql(c)
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+    + " ORDER BY col_name",
+)
+def q196_table_sketch_profile(spark, sf_dir):
+    """Single-scan sketch profile of four orders columns — per
+    column the non-null count, KMV distinct estimate, and AMS F2
+    skew estimate — the "which columns are keys, which are skewed,
+    can I broadcast this" table pre-flight, at a cost of ONE corpus
+    scan no matter how many columns (q181's fusion taken from
+    per-key to per-table). See
+    :func:`maston_spark.sketches.table_sketch_profile`."""
+    from maston_spark.sketches import table_sketch_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return table_sketch_profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ).withColumnRenamed("column", "col_name").orderBy("col_name")

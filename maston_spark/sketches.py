@@ -903,3 +903,100 @@ def join_key_profile(
         finish,
         schema="key_name string, n_rows long, n_distinct_est double, f2_est double",
     )
+
+
+def table_sketch_profile(
+    df: DataFrame, cols: "list[str]", k: int = 64, n_lanes: int = 16
+) -> DataFrame:
+    """Sketch profile of MANY columns of ONE table from a SINGLE
+    corpus scan: ``(column, n_rows, n_distinct_est, f2_est)`` per
+    column — non-null count, KMV distinct estimate, AMS F2
+    (self-join-size / skew) estimate.
+
+    :func:`join_key_profile` fuses estimators per KEY but still
+    scans once per key; profiling a TABLE (the "can I broadcast it,
+    which columns are keys, which are skewed" pre-flight) wants all
+    columns off one scan — at 100 TB the scan IS the cost. Here the
+    projection computes one md5 per (row, column) and the scan emits
+    three int64 lanes per column (same digit split as
+    join_key_profile: 1..15 → KMV hash, 17..32 → sign bits via two
+    conv integers); one ``mapInPandas`` kernel folds every column's
+    partials per partition (nulls drop per column — md5(NULL) is
+    NULL, the COUNT(col) convention); one sketch-sized
+    ``applyInPandas`` finisher per column reduces them.
+
+    Estimator arithmetic is identical to the standalone operators
+    (integer-exact ±1 lanes, ``(k-1)/r_k`` rounded to 4) — the
+    oracle replays each column bit-for-bit. Columns should be
+    int/string-typed: float-to-string rendering differs between
+    engines, so hash float columns after an explicit cast upstream.
+    """
+    import pandas as pd  # noqa: F401
+
+    if n_lanes > 16:
+        raise ValueError("table_sketch_profile lanes come from 16 hex digits")
+    names = list(cols)
+    sel = []
+    for i, c in enumerate(names):
+        m = F.md5(F.col(c).cast("string"))
+        sel += [
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias(f"h{i}"),
+            F.conv(F.substring(m, 17, 8), 16, 10).cast("long").alias(f"a{i}"),
+            F.conv(F.substring(m, 25, 8), 16, 10).cast("long").alias(f"b{i}"),
+        ]
+    src = df.select(*sel)
+
+    out_schema = "kid int, n long, ones array<long>, kmv array<long>"
+
+    def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        nib = 4 * np.arange(8, dtype="int64") + 3
+        empty = np.empty(0, dtype="int64")
+        state = {
+            i: [0, np.zeros(n_lanes, dtype="int64"), empty]
+            for i in range(len(names))
+        }
+        for pdf in batches:
+            for i in range(len(names)):
+                trip = pdf[[f"h{i}", f"a{i}", f"b{i}"]].dropna()
+                if not len(trip):
+                    continue
+                st = state[i]
+                st[0] += len(trip)
+                c1 = trip[f"a{i}"].to_numpy(dtype="int64")
+                c2 = trip[f"b{i}"].to_numpy(dtype="int64")
+                st[1][:8] += ((c1[:, None] >> nib) & 1).sum(axis=0)
+                st[1][8:] += ((c2[:, None] >> nib) & 1).sum(axis=0)
+                h = trip[f"h{i}"].to_numpy(dtype="int64")
+                st[2] = np.union1d(st[2], h)[:k]
+        rows = [(i, st[0], st[1].tolist(), st[2].tolist()) for i, st in state.items() if st[0]]
+        if rows:
+            yield pd.DataFrame(rows, columns=["kid", "n", "ones", "kmv"])
+
+    parts = src.mapInPandas(partial, schema=out_schema)
+
+    def finish(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        n = int(pdf["n"].sum())
+        ones = np.sum(np.vstack(pdf["ones"].to_numpy()), axis=0, dtype="int64")
+        t = 2 * ones - n
+        f2_est = float(int((t * t).sum())) / float(n_lanes)
+        hs = sorted(set(h for arr in pdf["kmv"] for h in arr))[:k]
+        nd = float(len(hs)) if len(hs) < k else round((k - 1) / (hs[-1] / _TWO_60), 4)
+        return pd.DataFrame(
+            {
+                "column": [names[int(pdf["kid"].iloc[0])]],
+                "n_rows": [n],
+                "n_distinct_est": [nd],
+                "f2_est": [f2_est],
+            }
+        )
+
+    return parts.groupBy("kid").applyInPandas(
+        finish,
+        schema="column string, n_rows long, n_distinct_est double, f2_est double",
+    )
