@@ -216,6 +216,7 @@ _PRIORITY = [
     "q190_neardup_evidence", "q192_kll_quantiles",
     "q193_funnel_attribution", "q194_binned_tvd_drift",
     "q195_incremental_neardup", "q196_table_sketch_profile",
+    "q197_weighted_percentiles",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

@@ -733,3 +733,46 @@ def q196_table_sketch_profile(spark, sf_dir):
     return table_sketch_profile(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     ).withColumnRenamed("column", "col_name").orderBy("col_name")
+
+
+# ------------------------------------------- weighted percentiles
+
+
+@query(
+    "q197_weighted_percentiles",
+    oracle="""
+    WITH d AS (SELECT source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT source, n_tok, sum(n_tok) AS w
+          FROM d WHERE n_tok > 0 GROUP BY source, n_tok),
+    c AS (SELECT source, n_tok,
+                 sum(w) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+                 sum(w) OVER (PARTITION BY source) AS W
+          FROM g)
+    SELECT source,
+           min(CASE WHEN cum >= 0.5 * W THEN n_tok END) AS tok_p50,
+           min(CASE WHEN cum >= 0.9 * W THEN n_tok END) AS tok_p90
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def q197_weighted_percentiles(spark, sf_dir):
+    """Token-weighted length percentiles per source: the document
+    length below which half (p50) / 90% (p90) of the source's TOKENS
+    live — the weighted order statistic a token-budget planner
+    needs, where the document-count median misleads whenever long
+    docs carry most of the mass. See
+    :func:`maston_spark.relational.weighted_percentiles`."""
+    from maston_spark.relational import weighted_percentiles
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        )
+    )
+    return weighted_percentiles(
+        d, "source", "n_tok", "n_tok", [0.5, 0.9], ["tok_p50", "tok_p90"]
+    ).orderBy("source")

@@ -277,6 +277,66 @@ def exact_percentiles(
     return out.select(*cols)
 
 
+def weighted_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    percentiles: "Sequence[float]",
+    aliases: "Sequence[str]",
+) -> DataFrame:
+    """Exact WEIGHTED percentiles per group: for each p, the smallest
+    value whose cumulative weight reaches ``p x total_weight`` — the
+    weighted ``percentile_disc`` contract (lower weighted quantile).
+    The question a token-budget planner actually asks: "half the
+    TOKENS live in documents longer than what?" is the
+    token-weighted median of document length, not the document-count
+    median :func:`exact_percentiles` gives.
+
+    Shape mirrors :func:`exact_percentiles` — bounded state
+    everywhere: one combiner-reduced ``groupBy(group, value)``
+    weight-sum (shuffle bounded by distinct values per group, not
+    rows), one cumulative window over the value-ordered weight
+    histogram, then ``min(when(...))`` flag aggregates pick the
+    target rows; |groups|x|percentiles| scalars reach the finish.
+
+    Cross-engine exactness: with integer weights every cumulative
+    sum is exact int64 and the threshold test runs cross-multiplied
+    (``cum x 1 >= p x W`` evaluated as the identical IEEE product
+    ``p*W`` of a double literal and an exact-int64-valued double) —
+    the picked value is raw data, no arithmetic on it. Null values
+    and null/non-positive weights are excluded.
+    """
+    if len(percentiles) != len(aliases):
+        raise ValueError("percentiles and aliases must align")
+    g = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .groupBy(group_col, value_col)
+        .agg(F.sum(weight_col).cast("long").alias("__w"))
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = F.sum("__w").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("__w").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    g2 = g.select(
+        group_col, value_col, cum.alias("__cum"), tot.alias("__W")
+    )
+    aggs = []
+    for p, al in zip(percentiles, aliases):
+        thresh = F.lit(float(p)) * F.col("__W")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= thresh, F.col(value_col))).alias(al)
+        )
+    return g2.groupBy(group_col).agg(*aggs)
+
+
 def robust_outlier_stats(
     df: DataFrame,
     group_col: str,

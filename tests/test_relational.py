@@ -900,3 +900,48 @@ def test_binned_tvd_drift_matches_bruteforce(spark, vals, n_bins):
         expect = num / (2.0 * ng * mg)
         assert got[g][:2] == (ng, mg), (g, got[g])
         assert abs(got[g][2] - expect) < 1e-12, (vals, n_bins, g, got[g][2], expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(0, 30),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_weighted_percentiles_match_bruteforce(spark, vals):
+    """weighted_percentiles equals the brute-force smallest value
+    whose cumulative weight reaches p*W, for any multiset of
+    (group, value, weight)."""
+    from maston_spark.relational import weighted_percentiles
+
+    df = spark.createDataFrame(vals, "g string, v long, w long").repartition(3)
+    got = {
+        r.g: (r.p50, r.p90)
+        for r in weighted_percentiles(
+            df, "g", "v", "w", [0.5, 0.9], ["p50", "p90"]
+        ).collect()
+    }
+    for g in {x for x, _, _ in vals}:
+        rows = sorted((v, w) for gg, v, w in vals if gg == g)
+        W = sum(w for _, w in rows)
+        expect = []
+        for p in (0.5, 0.9):
+            cum = 0
+            pick = None
+            seen = {}
+            for v, w in rows:
+                seen[v] = seen.get(v, 0) + w
+            cum = 0
+            for v in sorted(seen):
+                cum += seen[v]
+                if cum >= p * W:
+                    pick = v
+                    break
+            expect.append(pick)
+        assert got[g] == tuple(expect), (vals, g, got[g], expect)
