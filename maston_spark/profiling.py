@@ -519,10 +519,13 @@ def binned_tvd_drift(
     the L1 distance in place of PSI's ``Σ(p−q)·ln(p/q)`` — TVD is
     the member of the family computable EXACTLY: a difference of two
     rational pmfs needs no logarithm, so the whole statistic runs in
-    cross-multiplied int64 (``|n_i·M − m_i·N|`` summed, one final
-    IEEE quotient by ``2·N·M`` — every intermediate < 2⁵³) and the
-    oracle reproduces it bit-for-bit, where PSI's ``ln`` would be at
-    the mercy of two engines' libm. Complements
+    exact integer arithmetic (``|n_i·M − m_i·N|`` summed as
+    decimal(38,0) — no int64 overflow even at trillion-row N·M; the
+    oracle's HUGEINT matches — with one final IEEE quotient by
+    ``2·N·M``) and the oracle reproduces it bit-for-bit, where PSI's
+    ``ln`` would be at the mercy of two engines' libm. A group that
+    is the entire table (``n_rest`` = 0) has no rest distribution
+    and gets an explicit NULL ``tvd``. Complements
     :func:`ks_drift` (sup-norm on the full CDF grid): TVD on decile
     bins is what production monitors actually alert on — bounded
     state (n_bins cells per group) even when the value domain is
@@ -579,20 +582,32 @@ def binned_tvd_drift(
             (F.col("nt") - F.col("ng")).alias("mg"),
         )
     )
+    # cross-products in decimal(38,0): n*mg overflows int64 once
+    # N*M > ~9.2e18 (trillion-row corpora), well before the final
+    # double's 2^53 mantissa matters — the SUM stays exact integer
+    # arithmetic in both engines (DuckDB: HUGEINT), only the one
+    # closing quotient is IEEE. A group that IS the whole table has
+    # mg=0 — no rest distribution to compare against — and emits an
+    # explicit NULL tvd rather than an engine-dependent /0 artifact.
+    dec = "decimal(38,0)"
     return (
         j.groupBy("g", "ng", "mg")
         .agg(
-            F.sum(F.abs(F.col("n") * F.col("mg") - F.col("m") * F.col("ng")))
-            .cast("long")
-            .alias("__num")
+            F.sum(
+                F.abs(
+                    F.col("n").cast(dec) * F.col("mg").cast(dec)
+                    - F.col("m").cast(dec) * F.col("ng").cast(dec)
+                )
+            ).alias("__num")
         )
         .select(
             F.col("g").alias(group_col),
             F.col("ng").alias("n_group"),
             F.col("mg").alias("n_rest"),
-            (
-                F.col("__num")
-                / (F.lit(2.0) * F.col("ng") * F.col("mg"))
+            F.when(
+                F.col("mg") > 0,
+                F.col("__num").cast("double")
+                / (F.lit(2.0) * F.col("ng") * F.col("mg")),
             ).alias("tvd"),
         )
         .orderBy(group_col)

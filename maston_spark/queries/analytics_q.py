@@ -374,16 +374,18 @@ def q180_constraint_suggest(spark, sf_dir):
              CAST(sum(CASE WHEN substring(md5(
                      CAST(o_custkey AS VARCHAR)), 17 + l, 1) >= '8'
                    THEN 1 ELSE -1 END) AS BIGINT) AS t
-           FROM orders, (SELECT unnest(range(0, 16)) AS l) r GROUP BY l),
+           FROM orders, (SELECT unnest(range(0, 16)) AS l) r
+           WHERE o_custkey IS NOT NULL GROUP BY l),
     kc AS (SELECT
-        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+        (SELECT CAST(count(o_custkey) AS BIGINT) FROM orders) AS n_rows,
         (SELECT CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
                 ELSE round(63.0 / (kth / 1152921504606846976.0), 4) END
          FROM sc) AS n_distinct_est,
         (SELECT CAST(sum(t * t) AS DOUBLE) / 16.0 FROM lc) AS f2_est,
         (SELECT CAST(sum(f * f) AS BIGINT)
          FROM (SELECT CAST(count(*) AS BIGINT) AS f
-               FROM orders GROUP BY o_custkey) g) AS f2_exact),
+               FROM orders WHERE o_custkey IS NOT NULL
+               GROUP BY o_custkey) g) AS f2_exact),
     ho AS (SELECT DISTINCT
                   ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
                 FROM lineitem),
@@ -394,16 +396,18 @@ def q180_constraint_suggest(spark, sf_dir):
              CAST(sum(CASE WHEN substring(md5(
                      CAST(l_orderkey AS VARCHAR)), 17 + l, 1) >= '8'
                    THEN 1 ELSE -1 END) AS BIGINT) AS t
-           FROM lineitem, (SELECT unnest(range(0, 16)) AS l) r GROUP BY l),
+           FROM lineitem, (SELECT unnest(range(0, 16)) AS l) r
+           WHERE l_orderkey IS NOT NULL GROUP BY l),
     ko AS (SELECT
-        (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+        (SELECT CAST(count(l_orderkey) AS BIGINT) FROM lineitem) AS n_rows,
         (SELECT CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
                 ELSE round(63.0 / (kth / 1152921504606846976.0), 4) END
          FROM so) AS n_distinct_est,
         (SELECT CAST(sum(t * t) AS DOUBLE) / 16.0 FROM lo) AS f2_est,
         (SELECT CAST(sum(f * f) AS BIGINT)
          FROM (SELECT CAST(count(*) AS BIGINT) AS f
-               FROM lineitem GROUP BY l_orderkey) g) AS f2_exact)
+               FROM lineitem WHERE l_orderkey IS NOT NULL
+               GROUP BY l_orderkey) g) AS f2_exact)
     SELECT 'orders.o_custkey' AS key_name, n_rows, n_distinct_est,
            f2_est, f2_exact FROM kc
     UNION ALL
@@ -439,7 +443,7 @@ def q181_join_planning(spark, sf_dir):
 
     vals = None
     for df, col, name in keys:
-        part = df.select(
+        part = df.filter(F.col(col).isNotNull()).select(
             F.lit(name).alias("key_name"), F.col(col).cast("string").alias("__v")
         )
         vals = part if vals is None else vals.unionByName(part)
@@ -666,8 +670,10 @@ def q192_kll_quantiles(spark, sf_dir):
           FROM f JOIN gl ON gl.bin = f.bin JOIN sz ON sz.g = f.g, tot)
     SELECT g AS event_type, CAST(ng AS BIGINT) AS n_group,
            CAST(mg AS BIGINT) AS n_rest,
-           CAST(sum(abs(n * mg - m * ng)) AS BIGINT)
-             / (2.0 * ng * mg) AS tvd
+           CASE WHEN mg > 0 THEN
+             CAST(sum(abs(n::HUGEINT * mg - m::HUGEINT * ng)) AS DOUBLE)
+               / (2.0 * ng * mg)
+           END AS tvd
     FROM j GROUP BY g, ng, mg ORDER BY event_type
     """,
 )
@@ -689,12 +695,17 @@ def q194_binned_tvd_drift(spark, sf_dir):
 # ---------------------------------------------- table sketch profile
 
 
-def _col_profile_sql(col: str) -> str:
+def _col_profile_sql(col: str, hashed: str | None = None) -> str:
+    # `hashed` = the canonicalized hash-input expression; defaults to
+    # the column itself. Float columns pass the micro-unit fixed
+    # point (round(x*1e6) as BIGINT) — the operator's own
+    # canonicalization, replayed here verbatim.
+    hx = f"({hashed if hashed is not None else col})::VARCHAR"
     return f"""
     SELECT '{col}' AS col_name,
       (SELECT CAST(count({col}) AS BIGINT) FROM orders) AS n_rows,
       (WITH h AS (SELECT DISTINCT
-            ('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT AS h
+            ('0x' || substr(md5({hx}), 1, 15))::BIGINT AS h
           FROM orders WHERE {col} IS NOT NULL),
         r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
         s AS (SELECT count(*) AS n_seen,
@@ -704,7 +715,7 @@ def _col_profile_sql(col: str) -> str:
                ELSE round(63.0 / (kth / 1152921504606846976.0), 4) END
         FROM s) AS n_distinct_est,
       (WITH l AS (SELECT l,
-            CAST(sum(CASE WHEN substring(md5({col}::VARCHAR), 17 + l, 1) >= '8'
+            CAST(sum(CASE WHEN substring(md5({hx}), 17 + l, 1) >= '8'
                      THEN 1 ELSE -1 END) AS BIGINT) AS t
           FROM orders, (SELECT unnest(range(0, 16)) AS l) r
           WHERE {col} IS NOT NULL GROUP BY l)
@@ -714,24 +725,39 @@ def _col_profile_sql(col: str) -> str:
 @query(
     "q196_table_sketch_profile",
     oracle=" UNION ALL ".join(
-        _col_profile_sql(c)
-        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        _col_profile_sql(c, hx)
+        for c, hx in (
+            ("o_orderkey", None),
+            ("o_custkey", None),
+            ("o_orderstatus", None),
+            ("o_totalprice", "CAST(round(o_totalprice * 1e6) AS BIGINT)"),
+            ("o_orderpriority", None),
+        )
     )
     + " ORDER BY col_name",
 )
 def q196_table_sketch_profile(spark, sf_dir):
-    """Single-scan sketch profile of four orders columns — per
+    """Single-scan sketch profile of five orders columns — per
     column the non-null count, KMV distinct estimate, and AMS F2
     skew estimate — the "which columns are keys, which are skewed,
     can I broadcast this" table pre-flight, at a cost of ONE corpus
     scan no matter how many columns (q181's fusion taken from
-    per-key to per-table). See
-    :func:`maston_spark.sketches.table_sketch_profile`."""
+    per-key to per-table). o_totalprice exercises the operator's own
+    FLOAT canonicalization (micro-unit fixed point — the one
+    rendering Spark and DuckDB compute bit-identically; see
+    :func:`maston_spark.sketches.table_sketch_profile`)."""
     from maston_spark.sketches import table_sketch_profile
 
     o = load_table(spark, sf_dir, "orders")
     return table_sketch_profile(
-        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ],
     ).withColumnRenamed("column", "col_name").orderBy("col_name")
 
 

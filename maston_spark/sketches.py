@@ -581,7 +581,16 @@ def quantile_sample_estimate(
     ``ceil(q*m)`` among the m sketch rows sorted by (value, h) (the
     classical sample quantile; both engines evaluate the identical
     IEEE ``ceil(q*m)``, and m = min(k, n) needs no separate count —
-    it IS the sketch size)."""
+    it IS the sketch size). Quantiles must satisfy ``0 < q <= 1``:
+    the rank pick joins back into the sketch, so an out-of-range q
+    (pick 0 or > m) would silently DROP its output row rather than
+    error — rejected up front instead."""
+    bad = [q for q in qs if not (0.0 < float(q) <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"quantiles must be in (0, 1], got {bad!r} — q=0 has no "
+            "ceil-rank element and would silently drop its row"
+        )
     w = Window.partitionBy("g").orderBy("value", "h")
     ranked = sk.select(F.col(group_col).alias("g"), "h", "value").withColumn(
         "vr", F.row_number().over(w)
@@ -817,8 +826,15 @@ def join_key_profile(
     def lanes_of(df: DataFrame, key_col: str, kid: int) -> DataFrame:
         # key IDENTITY travels as a 4-byte int, not a per-row string
         # (the name column through Arrow measurably dominated the
-        # transfer); the finisher maps ids back to names
-        stage = df.select(F.md5(F.col(key_col).cast("string")).alias("m"))
+        # transfer); the finisher maps ids back to names.
+        # Null keys are dropped HERE, Spark-side: md5(NULL) is NULL,
+        # and a null in the int64 lanes would make Arrow deliver the
+        # batch as float64 (values > 2^53 round before the kernel can
+        # see them) — and a null key is not a join key anyway, so n
+        # follows the COUNT(col) convention.
+        stage = df.select(
+            F.md5(F.col(key_col).cast("string")).alias("m")
+        ).filter(F.col("m").isNotNull())
         return stage.select(
             F.lit(kid).cast("int").alias("kid"),
             F.conv(F.substring(F.col("m"), 1, 15), 16, 10)
@@ -927,22 +943,50 @@ def table_sketch_profile(
 
     Estimator arithmetic is identical to the standalone operators
     (integer-exact ±1 lanes, ``(k-1)/r_k`` rounded to 4) — the
-    oracle replays each column bit-for-bit. Columns should be
-    int/string-typed: float-to-string rendering differs between
-    engines, so hash float columns after an explicit cast upstream.
+    oracle replays each column bit-for-bit. Float/double columns are
+    canonicalized INSIDE the operator (float-to-string rendering
+    differs between engines and even between paths in one engine):
+    the hash input is the micro-unit fixed point
+    ``CAST(round(x * 1e6) AS BIGINT)`` — both engines compute the
+    identical IEEE product and round half away from zero, and
+    integer rendering is unambiguous, so the oracle replays it with
+    the same one-line cast (measured bit-equal across Spark/DuckDB
+    incl. negative-half and 1e10-magnitude cases; decimal-cast
+    rendering was NOT bit-stable: Spark rounds the decimal
+    expansion, DuckDB prints the exact binary value). The 1e-6
+    quantum is the profile's distinctness resolution; |x| > ~9.2e12
+    overflows the fixed point and belongs upstream.
+
+    Nulls drop per column, the COUNT(col) convention — filtered via
+    a ``-1`` lane sentinel coalesced Spark-side, NOT pandas
+    ``dropna()``: a nullable int64 crosses Arrow→pandas as float64,
+    which silently rounds hash values > 2^53 before any dropna could
+    run (the KMV minima and sign lanes would corrupt, not crash).
+    The sentinel keeps the lane columns non-nullable end to end, so
+    the kernel sees true int64; a float64 batch is a loud error.
     """
     import pandas as pd  # noqa: F401
 
     if n_lanes > 16:
         raise ValueError("table_sketch_profile lanes come from 16 hex digits")
     names = list(cols)
+    ftypes = dict(df.dtypes)
     sel = []
     for i, c in enumerate(names):
-        m = F.md5(F.col(c).cast("string"))
+        v = F.col(c)
+        if ftypes.get(c) in ("float", "double"):
+            v = F.round(v * F.lit(1e6)).cast("long")
+        m = F.md5(v.cast("string"))
         sel += [
-            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias(f"h{i}"),
-            F.conv(F.substring(m, 17, 8), 16, 10).cast("long").alias(f"a{i}"),
-            F.conv(F.substring(m, 25, 8), 16, 10).cast("long").alias(f"b{i}"),
+            F.coalesce(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long"), F.lit(-1)
+            ).alias(f"h{i}"),
+            F.coalesce(
+                F.conv(F.substring(m, 17, 8), 16, 10).cast("long"), F.lit(-1)
+            ).alias(f"a{i}"),
+            F.coalesce(
+                F.conv(F.substring(m, 25, 8), 16, 10).cast("long"), F.lit(-1)
+            ).alias(f"b{i}"),
         ]
     src = df.select(*sel)
 
@@ -960,17 +1004,27 @@ def table_sketch_profile(
         }
         for pdf in batches:
             for i in range(len(names)):
-                trip = pdf[[f"h{i}", f"a{i}", f"b{i}"]].dropna()
-                if not len(trip):
+                h = pdf[f"h{i}"].to_numpy()
+                if h.dtype != np.int64:
+                    # float64 here means a null leaked past the
+                    # Spark-side sentinel: values > 2^53 have already
+                    # been rounded, so the sketch would be silently
+                    # wrong — fail loudly instead
+                    raise TypeError(
+                        f"table_sketch_profile: lane h{i} arrived as "
+                        f"{h.dtype}, not int64 — nullable lane leaked "
+                        "past the -1 sentinel"
+                    )
+                mask = h != -1  # -1 = null input (md5 range can't hit it)
+                if not mask.any():
                     continue
                 st = state[i]
-                st[0] += len(trip)
-                c1 = trip[f"a{i}"].to_numpy(dtype="int64")
-                c2 = trip[f"b{i}"].to_numpy(dtype="int64")
+                st[0] += int(mask.sum())
+                c1 = pdf[f"a{i}"].to_numpy(dtype="int64")[mask]
+                c2 = pdf[f"b{i}"].to_numpy(dtype="int64")[mask]
                 st[1][:8] += ((c1[:, None] >> nib) & 1).sum(axis=0)
                 st[1][8:] += ((c2[:, None] >> nib) & 1).sum(axis=0)
-                h = trip[f"h{i}"].to_numpy(dtype="int64")
-                st[2] = np.union1d(st[2], h)[:k]
+                st[2] = np.union1d(st[2], h[mask])[:k]
         rows = [(i, st[0], st[1].tolist(), st[2].tolist()) for i, st in state.items() if st[0]]
         if rows:
             yield pd.DataFrame(rows, columns=["kid", "n", "ones", "kmv"])

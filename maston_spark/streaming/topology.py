@@ -443,7 +443,16 @@ def curation_topology(
     accepted (historical corpus + durable stream state), and a
     band-bucket hit is CONFIRMED by signature agreement ≥
     ``neardup_tau`` (the unbiased Jaccard estimate). Within a batch,
-    first-occurrence-wins among confirmed-similar eligible docs.
+    the SMALLEST ID WINS among confirmed-similar eligible docs (an
+    id-order tie-break, not arrival order — a micro-batch frame has
+    no stable arrival order to key on; ties on id break by the
+    composite gate key). Docs rejected against cross-batch state
+    never enter state and do NOT suppress their batch-mates; the
+    within-batch pass itself is single-hop and conservative — in an
+    id-ordered similarity chain a→b→c (a∼b, b∼c, a≁c) both b and c
+    are rejected, where a sequential scan would re-accept c. The
+    conservative side errs toward dropping a borderline near-copy,
+    never toward accepting a duplicate.
     The band buckets and signatures ride in the same versioned state
     table as the exact hashes; crucially the state is a SET under
     union (idempotent, unlike additive counters), so the versioned
@@ -561,6 +570,7 @@ def curation_topology(
         batch_df = batch_df.persist()
         out = None
         cand = None
+        xg = None
         try:
             # gate key = (id, content) composite: a batch can carry
             # the same doc id twice (at-least-once redelivery, or an
@@ -676,8 +686,15 @@ def curation_topology(
                     cx.join(st_nd, "__bk")
                     .filter(_sim_ge(F.col("__sig"), F.col("__ssig")))
                     .select("__gid")
+                    .distinct()
+                    .persist()  # tiny gid list, reused as a-side guard
                 )
-                a_side = cand.select(
+                xg = cross_near
+                # a cross-rejected doc never enters state, so it must
+                # not suppress batch-mates either (a doc similar ONLY
+                # to it would otherwise drop with no accepted
+                # near-copy anywhere)
+                a_side = cand.join(cross_near, "__gid", "left_anti").select(
                     F.col("__gid").alias("__ga"),
                     F.col("__id").alias("__ia"),
                     F.col("__sig").alias("__siga"),
@@ -856,6 +873,8 @@ def curation_topology(
                 out.unpersist()
             if cand is not None:
                 cand.unpersist()
+            if xg is not None:
+                xg.unpersist()
             batch_df.unpersist()
 
     return _start_foreach_batch(validated, fn, checkpoint, trigger)

@@ -945,3 +945,14 @@ def test_weighted_percentiles_match_bruteforce(spark, vals):
                     break
             expect.append(pick)
         assert got[g] == tuple(expect), (vals, g, got[g], expect)
+
+
+def test_binned_tvd_drift_single_group_emits_null(spark):
+    """A group that IS the whole table has no rest distribution:
+    n_rest = 0 and tvd is an explicit NULL, not a /0 artifact."""
+    from maston_spark.profiling import binned_tvd_drift
+
+    df = spark.createDataFrame([("g", float(v)) for v in range(20)], "g string, v double")
+    [r] = binned_tvd_drift(df, "g", "v", n_bins=4).collect()
+    assert r.n_group == 20 and r.n_rest == 0
+    assert r.tvd is None

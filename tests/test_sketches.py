@@ -371,3 +371,88 @@ def test_kll_core_invariants_any_stream(vals, k):
     vset = set(vals)
     assert all(v in vset for _, v in items)
     assert len(items) <= max(len(vals), k * 12)
+
+
+# ------------------------- null handling in the fused profilers
+
+
+def test_join_key_profile_null_keys_dropped_not_crash(spark):
+    """A null join-key value must neither crash the partial kernel
+    (md5(NULL) → NaN → float64 lanes → to_numpy(int64) ValueError)
+    nor count toward n_rows: the profile follows the COUNT(col)
+    convention and is bit-identical to profiling the pre-filtered
+    frame."""
+    from maston_spark.sketches import join_key_profile
+
+    rows = [(f"k{i % 9}",) for i in range(40)] + [(None,)] * 7
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r.key_name: r.asDict()
+        for r in join_key_profile([(df, "k", "t.k")], k=16).collect()
+    }
+    clean = {
+        r.key_name: r.asDict()
+        for r in join_key_profile(
+            [(df.filter(F.col("k").isNotNull()), "k", "t.k")], k=16
+        ).collect()
+    }
+    assert got == clean
+    assert got["t.k"]["n_rows"] == 40
+    assert got["t.k"]["n_distinct_est"] == 9.0  # < k → exact branch
+
+
+def test_table_sketch_profile_nullable_column_bit_identical(spark):
+    """A nullable column's profile must be BIT-IDENTICAL to profiling
+    the pre-filtered frame — the regression this pins: a null in any
+    Arrow batch used to deliver the int64 hash lanes as float64, and
+    values > 2^53 rounded BEFORE the kernel's dropna, silently
+    corrupting the KMV minima (no crash, wrong answer)."""
+    from maston_spark.sketches import table_sketch_profile
+
+    rows = [(f"v{i}", i % 5) for i in range(200)] + [(None, 99)] * 11
+    df = spark.createDataFrame(rows, "s string, n int").repartition(7)
+    got = [
+        r.asDict()
+        for r in table_sketch_profile(df, ["s", "n"], k=64)
+        .orderBy("column")
+        .collect()
+    ]
+    clean_s = table_sketch_profile(
+        df.filter(F.col("s").isNotNull()), ["s"], k=64
+    ).collect()[0]
+    assert got[1]["n_rows"] == 200
+    assert got[1]["n_distinct_est"] == clean_s.n_distinct_est
+    assert got[1]["f2_est"] == clean_s.f2_est
+    # the int column sees every row (nulls only in s)
+    assert got[0]["n_rows"] == 211 and got[0]["n_distinct_est"] == 6.0
+
+
+def test_table_sketch_profile_float_canonicalization(spark):
+    """Float columns hash through the operator-owned micro-unit fixed
+    point: the profile of a double column equals the profile of the
+    explicitly pre-canonicalized long column (same distinct structure,
+    same hashes → identical rows)."""
+    from maston_spark.sketches import table_sketch_profile
+
+    rows = [(float(i % 13) + 0.25,) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double")
+    prof_f = table_sketch_profile(df, ["x"], k=32).collect()[0]
+    canon = df.select(
+        F.round(F.col("x") * 1e6).cast("long").alias("x")
+    )
+    prof_l = table_sketch_profile(canon, ["x"], k=32).collect()[0]
+    assert prof_f.n_rows == prof_l.n_rows == 100
+    assert prof_f.n_distinct_est == prof_l.n_distinct_est == 13.0
+    assert prof_f.f2_est == prof_l.f2_est
+
+
+def test_quantile_sample_estimate_rejects_out_of_range_q(spark, values):
+    """q outside (0, 1] would silently drop its output row (the rank
+    pick joins back into the sketch); it must raise instead."""
+    from maston_spark.sketches import quantile_sample_estimate
+
+    sk = _sample_sketch(values)
+    with pytest.raises(ValueError, match="quantiles"):
+        quantile_sample_estimate(sk, "g", [0.0, 0.5])
+    with pytest.raises(ValueError, match="quantiles"):
+        quantile_sample_estimate(sk, "g", [1.5])

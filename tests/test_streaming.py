@@ -1422,3 +1422,49 @@ def test_drift_monitor_topology_state_survives_restart(spark, cleanup):
         q.stop()
     assert seen[-1].n_stream == 600, "state must carry batch-0 counts"
     assert seen[-1].drifted
+
+
+def test_curation_neardup_cross_rejected_doc_does_not_suppress(spark, cleanup):
+    """A doc rejected against cross-batch state never enters state —
+    so it must not suppress its batch-mates either. One batch carries
+    X (near-dup of the REF corpus doc → rejected) and Y (similar ONLY
+    to X: 13/16 agreement with X, zero shared band buckets with the
+    ref doc — measured against the md5/LCG minhash math). Y must be
+    ACCEPTED; the pre-fix behavior dropped Y with no accepted
+    near-copy of its content anywhere."""
+    from maston_spark.streaming.topology import curation_topology
+
+    t_x = T_H.replace("twelve", "forty")          # = T_H2, rejected vs ref
+    t_y = t_x.replace("document", "xxxx", 1)      # ~X only, not ~H
+    records = [(0, _doc(1, t_x)), (0, _doc(2, t_y))]
+    src_df = spark.createDataFrame(
+        [Row(value=v, __replay_batch=b) for b, v in records]
+    )
+    stream, src = replay_stream(src_df, batches=1)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    ref = spark.createDataFrame([(100, T_H)], DOC_SCHEMA)
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    q = curation_topology(
+        stream,
+        DOC_SCHEMA,
+        ref,
+        app_id="t-curation-neardup-nochain",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        gate_kwargs=GATE,
+        **NEARDUP_KW,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert [r.ok.doc_id for r in sunk["valid"]] == [2]
+    assert [r.ok.doc_id for r in sunk["error"]] == [1]
+    assert (
+        _hdr(sunk["error"][0], "maston.error.exception.class")
+        == "NearDuplicateRecord"
+    )
