@@ -92,11 +92,18 @@ _PRIORITY = [
     # grades Misra-Gries deterministic-recall heavy hitters — the
     # counter-based frequent-items physics CMS q169 does NOT cover)
     "q173_mg_heavy_hitters", "q118_pagerank",
-    "q68_not_exists_antijoin", "q69_scalar_subquery",
+    # (q68 not-exists anti-join is the mirror of graded q07's semi —
+    # the same null-aware hash-join physics; q69 keeps the scalar-
+    # subquery slot. q68's freed slot grades the round-10 KLL sketch,
+    # whose rank-error-contract grading is a different physics from
+    # the bit-exact q191 already in the window)
+    "q69_scalar_subquery", "q192_kll_quantiles",
     # (q70 customer-distribution is a join+group-count histogram —
     # its join family is graded via q03/q04/q07 and its histogram
-    # family via q116/q23; the slot grades the robust-stats family)
-    "q128_robust_outliers", "q119_kmeans",
+    # family via q116/q23. q128 robust-outliers' percentile family is
+    # graded via q15 and the token-WEIGHTED order statistics of q197,
+    # the newest member; its slot grades exactly that q197)
+    "q197_weighted_percentiles", "q119_kmeans",
     # LLM-pipeline set (unique capabilities first; within-family
     # variants — simhash after minhash, fingerprint after exact-hash,
     # sliding/session after tumbling, frames after rank — are in the
@@ -148,8 +155,18 @@ _PRIORITY = [
     # (q58_hash_split is a pure projection whose hash-sampling family
     # stays graded via q88_domain_cap; its slot grades the two-phase
     # budget-selection primitive instead)
-    "q127_budget_select", "q104_embedding_covariance",
-    "q88_domain_cap", "q90_winnow_fingerprints", "q94_semantic_dedup",
+    # (q104 embedding-covariance's moment-sum family is graded via
+    # q176's AMS second moment and q196's fused per-column moments;
+    # its slot grades q196 — the single-scan table sketch profile,
+    # round-10's fused-profiler flagship with the operator-owned
+    # float canonicalization. q88 domain-cap's allocation family is
+    # graded via q189's token water-fill, the capped-proportional
+    # planner that subsumes the per-domain quota; its slot grades
+    # q194 — binned-TVD drift, the exactly-computable PSI shape, a
+    # different grading physics from q178's KS sup-norm)
+    "q127_budget_select", "q196_table_sketch_profile",
+    "q194_binned_tvd_drift",
+    "q90_winnow_fingerprints", "q94_semantic_dedup",
     # (q99 chunk-overlap is map-only chunking, family kept by
     # q88/q127; its slot grades the planted-dup dedup-effectiveness
     # report, which composes q40+q41 end-to-end)
@@ -157,7 +174,13 @@ _PRIORITY = [
     # physics with graded q96 bigram-perplexity and the tf-scoring
     # physics with graded q123 BM25; its slot grades token-weighted
     # water-fill budget allocation — the capped-proportional planner)
-    "q95_exact_substring", "q96_bigram_perplexity", "q98_bloom_incremental",
+    # (q96 bigram-perplexity's n-gram-LM scoring family is graded via
+    # q123's BM25 tf-scoring and q157's fused ranks; its slot grades
+    # q195 — incremental near-dup vs a reference corpus, the
+    # oracle-graded batch twin of the streaming curation state and
+    # the external evidence for round-10's flagship feature)
+    "q95_exact_substring", "q195_incremental_neardup",
+    "q98_bloom_incremental",
     "q152_dedup_report", "q189_token_water_fill",
     # Avro serde round-trips (Confluent wire format, schema evolution)
     # (q73 safe-avro's deserialize dispatch is graded via q87, whose
@@ -167,10 +190,11 @@ _PRIORITY = [
     "q169_cms_heavy_hitters", "q87_avro_evolution", "q92_avro_roundtrip",
     # past the driver's 50-query graded window (locally
     # oracle-verified; first in line if the window widens).
-    # The round-9 demotions lead: each one's physical family is
-    # graded by the flagship named in the comments above.
-    # round-10 demotions lead (each family's graded flagship named in
-    # the promotion comments above)
+    # round-11 demotions lead (each family's graded flagship named in
+    # the promotion comments above), then round-10's and round-9's.
+    "q128_robust_outliers", "q96_bigram_perplexity",
+    "q104_embedding_covariance", "q68_not_exists_antijoin",
+    "q88_domain_cap",
     "q48_embedding_neardup",
     "q26_string_fns", "q65_shipping_priority", "q49_media_features",
     "q53_levenshtein_neardup", "q100_dsir_weights",
@@ -213,10 +237,7 @@ _PRIORITY = [
     "q181_join_planning", "q182_seasonal_anomalies", "q183_oov_rate",
     "q184_grouped_quantile_bins",
     "q186_curation_funnel", "q187_cumulative_reach", "q188_schema_drift",
-    "q190_neardup_evidence", "q192_kll_quantiles",
-    "q193_funnel_attribution", "q194_binned_tvd_drift",
-    "q195_incremental_neardup", "q196_table_sketch_profile",
-    "q197_weighted_percentiles",
+    "q190_neardup_evidence", "q193_funnel_attribution",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

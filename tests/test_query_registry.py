@@ -81,11 +81,11 @@ def test_graded_window_covers_unique_capabilities():
 
     window = list(all_queries())[:50]
     for must in (
-        "q87_avro_evolution", "q88_domain_cap", "q90_winnow_fingerprints",
+        "q87_avro_evolution", "q90_winnow_fingerprints",
         "q92_avro_roundtrip", "q94_semantic_dedup", "q95_exact_substring",
-        "q96_bigram_perplexity", "q98_bloom_incremental",
-        "q104_embedding_covariance", "q118_pagerank", "q119_kmeans",
-        "q123_bm25_rank", "q127_budget_select", "q128_robust_outliers",
+        "q98_bloom_incremental",
+        "q118_pagerank", "q119_kmeans",
+        "q123_bm25_rank", "q127_budget_select",
         "q139_gapfill", "q141_data_quality",
         # round-9 promotions: the novel round-8 operators plus the
         # composed IVF-PQ flagship are driver-graded
@@ -110,6 +110,15 @@ def test_graded_window_covers_unique_capabilities():
         "q189_token_water_fill",
         # the round-10 mergeable quantile sketch (bit-exact member)
         "q191_quantile_sketch",
+        # round-11 promotions: round-10's ungraded novel physics —
+        # KLL rank-error-contract grading, incremental near-dup (the
+        # batch twin of the streaming curation state), binned-TVD
+        # drift, the single-scan table sketch profile (now with
+        # operator-owned float canonicalization), and token-weighted
+        # order statistics
+        "q192_kll_quantiles", "q194_binned_tvd_drift",
+        "q195_incremental_neardup", "q196_table_sketch_profile",
+        "q197_weighted_percentiles",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -134,14 +143,14 @@ def test_graded_window_covers_unique_capabilities():
         # quantile sketch
         "q48_embedding_neardup": "q153_ivf_pq",
         "q175_cusum_changepoint": "q178_ks_drift",
-        "q99_chunk_overlap": "q88_domain_cap",
+        "q99_chunk_overlap": "q189_token_water_fill",
         "q57_ivf_ann": "q153_ivf_pq",
         "q22_window_frames": "q20_window_rank",
         "q67_exists_subquery": "q07_join_semi",
         "q71_in_subquery": "q07_join_semi",
         "q101_lexical_diversity": "q148_gopher_gate",
-        "q59_source_mix": "q88_domain_cap",
-        "q58_hash_split": "q88_domain_cap",
+        "q59_source_mix": "q189_token_water_fill",
+        "q58_hash_split": "q189_token_water_fill",
         "q64_delta_fold": "q63_delta_expr",
         "q70_customer_distribution": "q03_join_inner",
         "q72_uncorrelated_scalar": "q69_scalar_subquery",
@@ -173,7 +182,17 @@ def test_graded_window_covers_unique_capabilities():
         "q50_frame_sample": "q94_semantic_dedup",
         "q53_levenshtein_neardup": "q152_dedup_report",
         "q54_chargram_jaccard": "q152_dedup_report",
-        "q100_dsir_weights": "q96_bigram_perplexity",
+        "q100_dsir_weights": "q123_bm25_rank",
+        # round-11 demotions: the percentile family stays graded via
+        # q15 + the promoted q197; the n-gram-LM scoring family via
+        # q123/q157; the moment-sum family via q176 + promoted q196;
+        # the anti-join rewrite is the mirror of q07's semi-join
+        # physics; the allocation family via q189's water-fill
+        "q128_robust_outliers": "q197_weighted_percentiles",
+        "q96_bigram_perplexity": "q123_bm25_rank",
+        "q104_embedding_covariance": "q196_table_sketch_profile",
+        "q68_not_exists_antijoin": "q07_join_semi",
+        "q88_domain_cap": "q189_token_water_fill",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
