@@ -105,6 +105,133 @@ def _drop_state_versions(spark, state_dir: str, versions: list[int]) -> None:
         fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir, f"v{v}"), True)
 
 
+# Curation-state segment layout (curation_topology only — the other
+# topologies' state IS a bounded sketch, so their full-rewrite v<N>
+# snapshots are already O(sketch), not O(history)):
+#   d<N>  per-batch DELTA — only batch N's accepted rows
+#   c<N>  COMPACTED run — the merged live rows of every segment < N+1
+#   v<N>  legacy full snapshot (pre-segment layout), read-compatible
+# A batch appends one delta (O(batch) write); a compaction pass folds
+# accumulated segments into one run so the reader's file count stays
+# bounded. Rows carry their accepting batch id in column `b`, which
+# is what makes age-based retention a row filter rather than a
+# file-granularity guess.
+_SEG_KINDS = ("v", "d", "c")
+
+
+def _curation_segments(spark, state_dir: str) -> list[tuple[str, int]]:
+    """Live curation state segments as sorted ``(kind, id)`` pairs."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name[:1] in _SEG_KINDS and name[1:].isdigit():
+            out.append((name[:1], int(name[1:])))
+    return sorted(out, key=lambda kv: (kv[1], kv[0]))
+
+
+def _drop_segments(spark, state_dir: str, segs: list[tuple[str, int]]) -> None:
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    for kind, v in segs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir, f"{kind}{v}"), True)
+
+
+def _read_curation_state(
+    spark,
+    state_dir: str,
+    upto: int,
+    retention: int | None,
+    segs: list[tuple[str, int]] | None = None,
+):
+    """The curation state visible to batch ``upto``: union of every
+    live segment with id < upto, row-filtered to accepting batch
+    ``b`` < upto (belt and braces for the retry corner: a batch must
+    never see its own failed attempt's rows) and, with retention R,
+    ``b >= upto - R`` (batch B probes only the R most recent
+    batches). Returns None when no state exists. The union is a SET
+    (dropDuplicates on the content hash), so a crash between a
+    compaction write and the consumed-segment delete — which leaves
+    the same rows visible twice — is harmless."""
+    from functools import reduce
+
+    if segs is None:
+        segs = _curation_segments(spark, state_dir)
+    segs = [s for s in segs if s[1] < upto]
+    frames = []
+    for kind, sid in segs:
+        df = spark.read.parquet(f"{state_dir}/{kind}{sid}")
+        if "b" not in df.columns:
+            # legacy v<N> snapshot: no per-row batch id; every row was
+            # committed by batch N at the latest
+            df = df.withColumn("b", F.lit(sid).cast("long"))
+        frames.append(df)
+    if not frames:
+        return None
+    st = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    ).filter(F.col("b") < F.lit(upto))
+    if retention is not None:
+        st = st.filter(F.col("b") >= F.lit(upto - retention))
+    return st.dropDuplicates(["__h"])
+
+
+def _maybe_compact_curation_state(
+    spark,
+    state_dir: str,
+    batch_id: int,
+    retention: int | None,
+    compact_every: int,
+) -> None:
+    """End-of-batch state maintenance. Two independent jobs:
+
+    1. RETENTION SWEEP — whole delta segments older than the
+       retention horizon (every row aged out) are deleted outright,
+       no read needed (a delta's rows all share one ``b``).
+    2. COMPACTION — once ``compact_every`` segments PRIOR to this
+       batch accumulate, fold them into one run ``c<batch_id-1>`` so
+       the per-batch state read stays bounded in file count. The
+       current batch's own delta is never consumed (the retry corner:
+       a retried batch must still see strictly-prior state), and the
+       fold applies the retention filter relative to the NEXT batch,
+       so aged rows leave disk here. Crash safety: the run is written
+       before the consumed segments are deleted; a crash in between
+       leaves rows visible twice, which the set-under-union read
+       dedups. If ``c<batch_id-1>`` already exists (a retried batch
+       re-compacting), compaction is SKIPPED rather than read-and-
+       overwritten in place — the next batch folds it safely.
+    """
+    segs = [
+        s for s in _curation_segments(spark, state_dir) if s[1] < batch_id
+    ]
+    if retention is not None:
+        horizon = batch_id + 1 - retention  # rows probed by batch B+1
+        dead = [s for s in segs if s[0] == "d" and s[1] < horizon]
+        if dead:
+            _drop_segments(spark, state_dir, dead)
+            segs = [s for s in segs if s not in dead]
+    if len(segs) < compact_every:
+        return
+    target = ("c", batch_id - 1)
+    if target in segs:
+        return
+    # fold keeps exactly the rows this batch could still probe
+    # (b >= batch_id - R); anything older is invisible to every
+    # future batch too and leaves disk here
+    merged = _read_curation_state(spark, state_dir, batch_id, retention, segs)
+    if merged is None:
+        return
+    merged.write.mode("overwrite").parquet(
+        f"{state_dir}/{target[0]}{target[1]}"
+    )
+    _drop_segments(spark, state_dir, segs)
+
+
 def _ensure_state_owner(spark, state_dir: str, checkpoint: str) -> None:
     """Guard against an explicit ``state_dir`` being reused with a
     FRESH checkpoint: batch ids restart at 0 there, so the previous
@@ -128,7 +255,7 @@ def _ensure_state_owner(spark, state_dir: str, checkpoint: str) -> None:
             ins.close()
         if existing == owner:
             return
-        _drop_state_versions(spark, state_dir, _state_versions(spark, state_dir))
+        _drop_segments(spark, state_dir, _curation_segments(spark, state_dir))
     out = fs.create(marker, True)
     try:
         out.write(bytearray(owner.encode("utf-8")))
@@ -397,6 +524,8 @@ def curation_topology(
     band_size: int = 4,
     shingle_n: int = 3,
     neardup_tau: float = 0.7,
+    state_retention_batches: int | None = None,
+    compact_every: int = 8,
 ):
     """Streaming CURATION pipeline — the maston validated-ingest
     semantics fused with the LLM-corpus curation battery, per batch:
@@ -417,11 +546,26 @@ def curation_topology(
        DLQ with the 11 ``maston.error.*`` provenance headers — one
        error channel for parse, quality, and duplicate rejects alike.
 
-    Cross-batch dedup state is DURABLE, delta_topology-style: accepted
-    (content-hash, bloom positions) rows live in a compacted parquet
-    table under ``state_dir`` (default ``<checkpoint>/curation_state``),
-    versioned per batch id so a retry rewrites its own version
-    idempotently; the driver-resident bitmap accretes each batch's
+    Cross-batch dedup state is DURABLE: accepted (content-hash,
+    bloom positions[, signature, bands]) rows live in a SEGMENTED
+    parquet table under ``state_dir`` (default
+    ``<checkpoint>/curation_state``). Each batch appends ONE delta
+    segment holding only its own accepted rows — the state write is
+    O(batch), never O(history) (the pre-round-11 layout rewrote the
+    full accepted set every batch, the reference's unbounded-store
+    flaw with an extra linear rewrite on top,
+    topology/TopologyBuilder.java:66-69); a retry overwrites its own
+    delta idempotently (state is a set under union). Once
+    ``compact_every`` segments accumulate, one compaction pass folds
+    all prior segments into a single run so the per-batch read stays
+    bounded in file count. ``state_retention_batches=R`` bounds the
+    state's VOLUME: batch B probes only rows accepted in the last R
+    batches (rows carry their accepting batch id), and compaction
+    physically drops older rows — the documented tradeoff being
+    recall, not correctness: a duplicate of content accepted more
+    than R batches ago is re-accepted (same contract as any TTL'd
+    dedup state, delta_topology's ``state_ttl_ms`` applied to
+    curation). The driver-resident bitmap accretes each batch's
     accepted positions via the same distributed per-partition OR fold
     as the reference-corpus build, and is replayed from the state
     table on restart — a doc accepted before a crash still suppresses
@@ -506,16 +650,23 @@ def curation_topology(
         .persist()
     )
     if sdir is not None:
-        # restart: replay accepted-doc bloom positions from the state
-        versions = _state_versions(spark, sdir)
-        if versions:
-            prev = spark.read.parquet(f"{sdir}/v{versions[-1]}")
-            bitmap |= np.frombuffer(
-                fold_positions_bitmap(
-                    prev.select(F.explode("positions").alias("pos")), bloom_m
-                ),
-                dtype=np.uint8,
+        # restart: replay accepted-doc bloom positions from the live
+        # state segments (retention applies relative to the next
+        # batch — aged-out rows stay out of the probe, by design)
+        segs = _curation_segments(spark, sdir)
+        if segs:
+            nxt = max(sid for _, sid in segs) + 1
+            prev = _read_curation_state(
+                spark, sdir, nxt, state_retention_batches, segs
             )
+            if prev is not None:
+                bitmap |= np.frombuffer(
+                    fold_positions_bitmap(
+                        prev.select(F.explode("positions").alias("pos")),
+                        bloom_m,
+                    ),
+                    dtype=np.uint8,
+                )
     state = {"bitmap": bitmap}
 
     # ---- near-dup machinery (MinHash-LSH, incremental) ----
@@ -608,27 +759,26 @@ def curation_topology(
                 out_col="__maybe",
             ).withColumn("__h", content_hash(text_of))
 
-            # exact-confirm table: historical corpus + durable state
-            # (delta_topology's retry-safe version seeding)
+            # exact-confirm table: historical corpus + durable state.
+            # Retry corner — deliberately NOT delta_topology's
+            # self-seed: there, seeding from the batch's own version
+            # only re-suppresses an already-stored record (harmless);
+            # HERE it would reclassify every doc the failed attempt
+            # accepted as a DuplicateRecord, so a crash between the
+            # state write and the sink delivery would drop those docs
+            # from the valid stream forever. Seeding strictly from
+            # rows with b < batch_id (enforced inside
+            # _read_curation_state) means a retried batch re-accepts
+            # its own docs (at-least-once delivery to the valid sink —
+            # the correct failure mode for ingest), and the own-delta
+            # overwrite at the end of this function stays idempotent.
             hist = ref_hashes
             seed = None
             if sdir is not None:
-                versions = _state_versions(spark, sdir)
-                prior = [v for v in versions if v < batch_id]
-                # retry corner — deliberately NOT delta_topology's
-                # self-seed: there, seeding from the batch's own
-                # version only re-suppresses an already-stored record
-                # (harmless); HERE it would reclassify every doc the
-                # failed attempt accepted as a DuplicateRecord, so a
-                # crash between the state write and the sink delivery
-                # would drop those docs from the valid stream forever.
-                # Seeding strictly from versions < batch_id means a
-                # retried batch re-accepts its own docs (at-least-once
-                # delivery to the valid sink — the correct failure
-                # mode for ingest), and the own-version overwrite at
-                # the end of this function stays idempotent.
-                if prior:
-                    seed = spark.read.parquet(f"{sdir}/v{prior[-1]}")
+                seed = _read_curation_state(
+                    spark, sdir, batch_id, state_retention_batches
+                )
+                if seed is not None:
                     hist = ref_hashes.unionByName(
                         seed.select("__h")
                     ).distinct()
@@ -806,19 +956,14 @@ def curation_topology(
                     "left",
                 ).drop("__sgid")
             accepted = accepted.drop("__gid")
-            prior_to_drop: list[int] = []
             if sdir is not None:
-                new_state = (
-                    accepted
-                    if seed is None
-                    else seed.unionByName(
-                        accepted, allowMissingColumns=True
-                    ).dropDuplicates(["__h"])
-                )
-                new_state.write.mode("overwrite").parquet(
-                    f"{sdir}/v{batch_id}"
-                )
-                prior_to_drop = prior
+                # O(batch) state write: ONLY this batch's accepted
+                # rows, stamped with their accepting batch id — never
+                # the accumulated history (that was the pre-segment
+                # layout's full rewrite)
+                accepted.withColumn(
+                    "b", F.lit(batch_id).cast("long")
+                ).write.mode("overwrite").parquet(f"{sdir}/d{batch_id}")
             counts = split_sink_batch(
                 out.drop(*[c for c in helper_cols if c in out.columns]),
                 write_valid,
@@ -866,8 +1011,14 @@ def curation_topology(
             )
             if on_metrics is not None:
                 on_metrics(batch_id, counts)
-            if sdir is not None and prior_to_drop:
-                _drop_state_versions(spark, sdir, prior_to_drop)
+            if sdir is not None:
+                _maybe_compact_curation_state(
+                    spark,
+                    sdir,
+                    batch_id,
+                    state_retention_batches,
+                    compact_every,
+                )
         finally:
             if out is not None:
                 out.unpersist()

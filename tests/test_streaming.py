@@ -1468,3 +1468,165 @@ def test_curation_neardup_cross_rejected_doc_does_not_suppress(spark, cleanup):
         _hdr(sunk["error"][0], "maston.error.exception.class")
         == "NearDuplicateRecord"
     )
+
+
+# ------------------- curation state: segments, compaction, retention
+
+
+def _live_segments(spark, chk):
+    from maston_spark.streaming.topology import _curation_segments
+
+    return _curation_segments(spark, chk + "/curation_state")
+
+
+def test_curation_state_write_is_o_batch_and_compacts(spark, cleanup):
+    """The round-11 state layout: each batch writes ONE delta segment
+    holding only its own accepted rows — O(batch), not O(history) —
+    and compaction folds prior segments into a single run so the
+    per-batch read stays bounded in file count. Cross-batch dedup
+    still holds THROUGH a compaction: a batch-5 copy of a batch-0 doc
+    is rejected even though batch 0's delta no longer exists."""
+    from maston_spark.streaming.topology import curation_topology
+
+    texts = {}
+    records = []
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    did = 0
+    for b in range(6):
+        for j in range(3):
+            if b == 5 and j == 2:
+                continue  # slot reserved for the duplicate below
+            t = (f"document {words[did % 20]} number {did} carries enough "
+                 f"distinct tokens to pass the permissive gate settings")
+            texts[did] = t
+            records.append((b, _doc(did, t)))
+            did += 1
+    records.append((5, _doc(99, texts[0])))  # exact copy of batch-0 doc
+    src_df = spark.createDataFrame(
+        [Row(value=v, __replay_batch=b) for b, v in records]
+    )
+    stream, src = replay_stream(src_df, batches=6)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    ref = spark.createDataFrame([], DOC_SCHEMA)
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    q = curation_topology(
+        stream,
+        DOC_SCHEMA,
+        ref,
+        app_id="t-curation-segments",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        gate_kwargs=GATE,
+        compact_every=3,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(r.ok.doc_id for r in sunk["valid"]) == sorted(texts)
+    assert [r.ok.doc_id for r in sunk["error"]] == [99]
+    assert (
+        _hdr(sunk["error"][0], "maston.error.exception.class")
+        == "DuplicateRecord"
+    )
+    segs = _live_segments(spark, chk)
+    sdir = chk + "/curation_state"
+    # compaction ran: fewer live segments than batches, and at least
+    # one compacted run exists
+    assert len(segs) < 6
+    assert any(k == "c" for k, _ in segs)
+    # O(batch): every surviving DELTA holds only its own batch's rows
+    for kind, sid in segs:
+        n = spark.read.parquet(f"{sdir}/{kind}{sid}").count()
+        if kind == "d":
+            assert n <= 3, (kind, sid, n)
+    # the union of live segments is the full accepted set, exactly once
+    from maston_spark.streaming.topology import _read_curation_state
+
+    st = _read_curation_state(spark, sdir, 10**9, None)
+    assert st.count() == len(texts)
+
+
+def test_curation_state_retention_ages_out_old_content(spark, cleanup):
+    """state_retention_batches=R: batch B probes only rows accepted in
+    the last R batches. A copy of a doc accepted > R batches ago is
+    RE-ACCEPTED (the documented recall tradeoff of bounding state);
+    a copy of a recent doc is still rejected."""
+    from maston_spark.streaming.topology import curation_topology
+
+    t_old = ("the oldest document in the stream speaks about ancient "
+             "harbors and long forgotten trade routes across the sea")
+    t_fill1 = ("a first filler document concerning gardens and the slow "
+               "growth of fruit trees during mild and rainy seasons")
+    t_fill2 = ("a second filler document describing mountain weather "
+               "patterns and the yearly return of migratory birds")
+    records = [
+        (0, _doc(0, t_old)),
+        (1, _doc(1, t_fill1)),
+        (2, _doc(2, t_fill2)),
+        (3, _doc(30, t_old)),    # aged out (b=0 < 3-2+1): re-accepted
+        (3, _doc(31, t_fill2)),  # recent (b=2 >= 1): still rejected
+    ]
+    src_df = spark.createDataFrame(
+        [Row(value=v, __replay_batch=b) for b, v in records]
+    )
+    stream, src = replay_stream(src_df, batches=4)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    ref = spark.createDataFrame([], DOC_SCHEMA)
+    sunk: dict[str, list] = {"valid": [], "error": []}
+
+    q = curation_topology(
+        stream,
+        DOC_SCHEMA,
+        ref,
+        app_id="t-curation-retention",
+        checkpoint=chk,
+        write_valid=lambda df: sunk["valid"].extend(df.collect()),
+        write_error=lambda df: sunk["error"].extend(df.collect()),
+        gate_kwargs=GATE,
+        state_retention_batches=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(r.ok.doc_id for r in sunk["valid"]) == [0, 1, 2, 30]
+    assert [r.ok.doc_id for r in sunk["error"]] == [31]
+
+
+def test_read_curation_state_legacy_v_snapshot(spark, cleanup):
+    """Pre-segment state (full v<N> snapshots without the per-row
+    batch-id column) stays readable: rows get b=N synthesized, the
+    strictly-prior filter applies, and the set-union dedup holds when
+    a legacy snapshot and a delta carry the same hash."""
+    import tempfile
+
+    from maston_spark.streaming.topology import _read_curation_state
+
+    sdir = tempfile.mkdtemp(prefix="curation_state_legacy_")
+    cleanup.append(sdir)
+    legacy = spark.createDataFrame(
+        [("h1", [1, 2]), ("h2", [3, 4])], "__h string, positions array<int>"
+    )
+    legacy.write.mode("overwrite").parquet(f"{sdir}/v0")
+    delta = spark.createDataFrame(
+        [("h2", [3, 4], 1), ("h3", [5, 6], 1)],
+        "__h string, positions array<int>, b long",
+    )
+    delta.write.mode("overwrite").parquet(f"{sdir}/d1")
+
+    st = _read_curation_state(spark, sdir, 2, None)
+    assert sorted(r["__h"] for r in st.collect()) == ["h1", "h2", "h3"]
+    # strictly-prior: a retry of batch 1 must not see d1's rows
+    st0 = _read_curation_state(spark, sdir, 1, None)
+    assert sorted(r["__h"] for r in st0.collect()) == ["h1", "h2"]
+    # retention window: upto=2 R=1 keeps only b >= 1
+    st1 = _read_curation_state(spark, sdir, 2, 1)
+    assert sorted(r["__h"] for r in st1.collect()) == ["h2", "h3"]
