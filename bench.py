@@ -56,7 +56,35 @@ HEADLINE = [
     "q193_funnel_attribution",  # funnel drop attribution (shared window)
     "q194_binned_tvd_drift",    # PSI-shape drift (exact L1 over decile bins)
     "q195_incremental_neardup", # batch twin of streaming near-dup state
+    # round-11 additions: the fused table profile, weighted order
+    # statistics, and the sketch-SOLO rows (q191/q192 minus their
+    # exact-order-statistics oracle garnish — these carry the
+    # operators' true data ratios; the graded twins' ratios are
+    # dominated by the per-group sort that exists only for grading)
+    "q196_table_sketch_profile",  # single-scan per-table sketch pre-flight
+    "q197_weighted_percentiles",  # token-weighted order statistics
+    "q198_quantile_sketch_solo",  # bottom-k sample sketch, no garnish
+    "q199_kll_sketch_solo",       # KLL folds + weight check, no garnish
 ]
+
+# Fixed-work calibration (data-independent): a pure JVM codegen loop
+# whose cost depends only on host speed. Cross-round bench deltas on
+# untouched code have twice been adjudicated as host drift
+# (VERDICT r10); this row lets any round normalize recorded numbers
+# by host speed instead of re-measuring per query.
+_CALIBRATION_N = 2_000_000_000  # ~0.5 s on the round-11 host: big
+# enough to resolve host-speed drift, small enough to not tax the run
+
+
+def _calibration_sec(spark) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(_CALIBRATION_N).selectExpr(
+            "sum(id * 2654435761 % 1000000007) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -128,6 +156,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "dispersion": dispersion,
+                "calibration": {"range_mulmod_sum_5e8": _calibration_sec(spark)},
                 "sf": sf,
             }
         )

@@ -238,6 +238,10 @@ _PRIORITY = [
     "q184_grouped_quantile_bins",
     "q186_curation_funnel", "q187_cumulative_reach", "q188_schema_drift",
     "q190_neardup_evidence", "q193_funnel_attribution",
+    # sketch-SOLO bench rows: q191/q192 minus their exact-order-
+    # statistics oracle garnish — the queries you'd run at 100 TB,
+    # benched so the flat-at-scale claim is measured, not argued
+    "q198_quantile_sketch_solo", "q199_kll_sketch_solo",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

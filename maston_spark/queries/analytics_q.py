@@ -645,6 +645,95 @@ def q192_kll_quantiles(spark, sf_dir):
     )
 
 
+@query(
+    "q198_quantile_sketch_solo",
+    oracle="""
+    WITH src AS (SELECT l_returnflag AS g,
+                        ('0x' || substr(md5(l_orderkey::VARCHAR || '#' ||
+                                            l_linenumber::VARCHAR), 1, 15))::BIGINT AS h,
+                        l_extendedprice::DOUBLE AS value
+                 FROM lineitem),
+    r AS (SELECT g, h, value,
+                 row_number() OVER (PARTITION BY g ORDER BY h, value) AS rn
+          FROM src),
+    s AS (SELECT g, h, value FROM r WHERE rn <= 128),
+    sv AS (SELECT g, value,
+                  row_number() OVER (PARTITION BY g ORDER BY value, h) AS vr
+           FROM s),
+    m AS (SELECT g, count(*) AS m FROM s GROUP BY g),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS qq),
+    pk AS (SELECT g, qq, CAST(ceil(qq * m) AS INT) AS pick FROM m, qs)
+    SELECT pk.g AS l_returnflag, pk.qq, sv.value AS est_q
+    FROM pk JOIN sv ON sv.g = pk.g AND sv.vr = pk.pick
+    ORDER BY l_returnflag, qq
+    """,
+)
+def q198_quantile_sketch_solo(spark, sf_dir):
+    """The quantile-sample sketch ALONE — q191 without its exact
+    order-statistics garnish (the one full per-group sort that
+    exists so abs_err can be graded). This is the query you'd run at
+    100 TB, and the bench row that shows the operator's true data
+    ratio: one corpus pass, per-partition bottom-k fold inside the
+    scan, only the <= k survivors per group shuffle — still
+    bit-for-bit oracle-graded, because the sketch is a pure function
+    of the row multiset."""
+    from maston_spark.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("#", "l_orderkey", "l_linenumber")
+    sk = quantile_sample_sketch(li, "l_returnflag", key, "l_extendedprice", 128)
+    return quantile_sample_estimate(
+        sk, "l_returnflag", [0.25, 0.5, 0.75, 0.95]
+    ).orderBy("l_returnflag", "qq")
+
+
+@query(
+    "q199_kll_sketch_solo",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS weight_conserved
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q199_kll_sketch_solo(spark, sf_dir):
+    """The KLL sketch ALONE — q192 without the exact-rank contract
+    garnish (the full per-group sort). The oracle-gradeable invariant
+    that survives without exact ranks is WEIGHT CONSERVATION: the
+    compactor's promote-pairs-keep-leftover discipline makes
+    sum(2^level) over the sketch equal the exact row count, so the
+    Spark side reports it really and the oracle asserts it equals
+    count(*) — a cross-engine check that the sketch saw every row
+    exactly once (the estimate itself is arrival-order-dependent and
+    is graded by q192's rank contract). Bench-wise this row carries
+    the operator's true cost: per-partition KLL folds inside the
+    scan, sketch-sized merge per group, plus one combiner-reduced
+    count."""
+    from maston_spark.sketches import kll_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = kll_sketch(li, "l_returnflag", "l_extendedprice", k=256)
+    wt = sk.groupBy("l_returnflag").agg(
+        F.sum(F.pow(F.lit(2.0), F.col("level").cast("double")))
+        .cast("long")
+        .alias("__w")
+    )
+    n = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return (
+        n.join(wt, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (F.col("__w") == F.col("n_rows")).alias("weight_conserved"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ------------------------------------------------ binned TVD drift
 
 
