@@ -10,7 +10,7 @@ deterministic across partitionings; this is.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -503,6 +503,61 @@ def suggest_constraints(
         "col_name string, rule string, param_values string, "
         "param_lo double, param_hi double",
     )
+
+
+def ref_bin_edges(ref: DataFrame, value_col: str, n_bins: int) -> list[float]:
+    """Reference-distribution bin edges: the exact ``i/n_bins``
+    percentiles (percentile_cont, linear interpolation) of the
+    non-null values — a bounded ``n_bins - 1``-value driver list,
+    computed ONCE per reference. Shared by the streaming
+    :func:`maston_spark.streaming.topology.drift_monitor_topology`
+    (fixed at topology start) and its oracle-graded batch twin
+    (q201), so the two paths cannot drift apart."""
+    from maston_spark.relational import exact_percentiles
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    ps = [i / n_bins for i in range(1, n_bins)]
+    als = [f"__e{i}" for i in range(1, n_bins)]
+    refv = ref.filter(F.col(value_col).isNotNull()).select(
+        F.lit(1).alias("__g"), F.col(value_col).cast("double").alias("v")
+    )
+    row = exact_percentiles(refv, "__g", "v", ps, als).collect()[0]
+    return [float(row[a]) for a in als]
+
+
+def bucket_of_edges(col: Column, edges: "list[float]") -> Column:
+    """Bin index of ``col`` against fixed edges: count of edges the
+    value exceeds (bin 0 = lowest). The streaming drift monitor and
+    its batch twin evaluate this identical expression."""
+    b = None
+    for e in edges:
+        term = F.when(col > F.lit(e), 1).otherwise(0)
+        b = term if b is None else b + term
+    return b.cast("int")
+
+
+def merge_bin_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive-counter merge for ``(bin, n)`` frames — the drift
+    monitor's cross-batch state fold (the CMS discipline: counters
+    ADD, so a retry must never re-merge — callers own that corner)."""
+    return (
+        a.unionByName(b)
+        .groupBy("bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def tvd_from_counts(n_i: "list[int]", m_i: "list[int]") -> float:
+    """Exact binned TVD from two aligned count vectors: one IEEE
+    quotient over exact integer cross-products (Python ints never
+    overflow). Shared by the streaming drift monitor's per-batch
+    emit and the oracle-graded batch twin."""
+    n_tot, m_tot = sum(n_i), sum(m_i)
+    if not n_tot or not m_tot:
+        return 0.0
+    num = sum(abs(n * m_tot - m * n_tot) for n, m in zip(n_i, m_i))
+    return num / (2.0 * n_tot * m_tot)
 
 
 def binned_tvd_drift(

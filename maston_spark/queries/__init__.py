@@ -242,6 +242,10 @@ _PRIORITY = [
     # statistics oracle garnish — the queries you'd run at 100 TB,
     # benched so the flat-at-scale claim is measured, not argued
     "q198_quantile_sketch_solo", "q199_kll_sketch_solo",
+    # streaming topologies' batch twins: the quantile-metrics and
+    # drift-monitor emitted-estimate-equals-one-shot claims, graded
+    # cross-engine through the SAME merge helpers the topologies call
+    "q200_quantile_metrics_prefix", "q201_drift_monitor_prefix",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

