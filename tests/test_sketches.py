@@ -456,3 +456,46 @@ def test_quantile_sample_estimate_rejects_out_of_range_q(spark, values):
         quantile_sample_estimate(sk, "g", [0.0, 0.5])
     with pytest.raises(ValueError, match="quantiles"):
         quantile_sample_estimate(sk, "g", [1.5])
+
+
+# --------------------------------------------------- HyperLogLog
+
+
+def test_hll_registers_partition_invariant_and_mergeable(spark):
+    """HLL registers are a pure function of the SET (repartitioning
+    changes nothing) and merge by per-bucket MAX: registers of a
+    union == max-merge of the halves' registers — the property that
+    makes HLL state foldable across partitions and streams."""
+    from maston_spark.sketches import hll_registers
+
+    rows = [("g", f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    a = {
+        (r.bucket): r.mj
+        for r in hll_registers(df.repartition(1), "g", "v").collect()
+    }
+    b = {
+        (r.bucket): r.mj
+        for r in hll_registers(df.repartition(17), "g", "v").collect()
+    }
+    assert a == b
+    half1 = df.filter(F.col("v") < "v5")
+    half2 = df.filter(F.col("v") >= "v5")
+    r1 = {r.bucket: r.mj for r in hll_registers(half1, "g", "v").collect()}
+    r2 = {r.bucket: r.mj for r in hll_registers(half2, "g", "v").collect()}
+    merged = {
+        k: max(r1.get(k, 0), r2.get(k, 0)) for k in set(r1) | set(r2)
+    }
+    assert merged == a
+
+
+def test_hll_estimate_within_tolerance(spark):
+    """p=8 (256 registers, ~6.5% standard error): the estimate of a
+    5000-element set lands within a generous 4-sigma band, and
+    duplicates don't move it (cardinality, not count)."""
+    from maston_spark.sketches import hll_estimate, hll_registers
+
+    rows = [("g", f"item{i % 5000}") for i in range(12000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    [r] = hll_estimate(hll_registers(df, "g", "v"), "g").collect()
+    assert abs(r.n_distinct_est - 5000) / 5000 < 4 * 1.04 / 16, r
