@@ -728,3 +728,114 @@ def domain_water_fill(
         )
     )
     return out.select("domain", "n_docs", "alloc")
+
+
+def greedy_token_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    ngram: int = 1,
+) -> DataFrame:
+    """Greedy maximum-coverage corpus selection: pick ``k`` documents
+    one at a time, each maximizing the number of NOT-YET-COVERED
+    distinct tokens (ties → smallest id) — one row per pick:
+    ``(step, doc_id, n_new_tokens, n_covered_total)``. This is the
+    classic (1 - 1/e)-approximate submodular greedy (Nemhauser,
+    Wolsey, Fisher 1978) behind coreset / data-mixture selection:
+    "which handful of docs covers the most vocabulary" — a selection
+    physics none of the hash/score-based samplers
+    (:func:`weighted_sample`, :func:`budget_select`, DSIR) cover,
+    because each pick CHANGES every other doc's value.
+
+    Distributed shape: the token table builds once and persists; each
+    of the k iterations is one anti-join (uncovered tokens only) +
+    combiner-reduced per-doc count + a 1-ROW argmax collect — the
+    bounded driver coordination of the Lloyd/PageRank discipline
+    (k scans, never k² and never a corpus collect). Docs whose tokens
+    are fully covered vanish from the candidate aggregation, so a
+    pick always adds coverage; if every remaining doc is fully
+    covered the loop stops early. Deterministic end to end — the
+    oracle replays all k stages as chained SQL.
+    """
+    spark = docs.sparkSession
+    base = docs.filter(F.col(text_col).isNotNull())
+    if ngram <= 1:
+        tok = base.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+    else:
+        # coverage units = word n-grams (``ngram`` > 1) for templated
+        # corpora whose unigram vocabulary is tiny — the explode+lead
+        # codegen shingle shape shared with exact_jaccard_simjoin
+        from pyspark.sql import Window
+
+        toks = base.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, id_col
+        ).select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tk"),
+        )
+        w = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("tk")] + [
+            F.lead("tk", i).over(w).alias(f"__t{i}") for i in range(1, ngram)
+        ]
+        last = F.lead("tk", ngram - 1).over(w)
+        tok = (
+            toks.select("id", *parts, last.alias("__last"))
+            .filter(F.col("__last").isNotNull())
+            .select(
+                "id",
+                F.concat_ws(
+                    " ", "tk", *[f"__t{i}" for i in range(1, ngram)]
+                ).alias("tok"),
+            )
+        )
+    tok = tok.distinct().persist()
+    covered = None
+    out_rows = []
+    total = 0
+    try:
+        for step in range(1, k + 1):
+            # the covered set descends from `tok` itself, so its
+            # column is RENAMED before the anti-join — joining two
+            # frames that share attribute lineage on a same-named
+            # column silently resolves to a self-comparison (measured:
+            # the anti-join dropped every row)
+            cand = (
+                tok
+                if covered is None
+                else tok.join(
+                    covered, tok["tok"] == covered["ctok"], "left_anti"
+                )
+            )
+            top = (
+                cand.groupBy("id")
+                .agg(F.count(F.lit(1)).alias("gain"))
+                .orderBy(F.desc("gain"), F.asc("id"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pick, gain = top[0]["id"], int(top[0]["gain"])
+            total += gain
+            out_rows.append((step, pick, gain, total))
+            new_cov = tok.filter(F.col("id") == pick).select(
+                F.col("tok").alias("ctok")
+            )
+            covered = (
+                new_cov
+                if covered is None
+                else covered.unionByName(new_cov).distinct()
+            )
+            # bound lineage growth across iterations (k is small, but
+            # the covered set is query-lineage otherwise k-deep)
+            covered = covered.localCheckpoint(eager=True)
+        return spark.createDataFrame(
+            out_rows,
+            "step int, doc_id long, n_new_tokens long, n_covered_total long",
+        )
+    finally:
+        tok.unpersist()

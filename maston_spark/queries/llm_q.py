@@ -5037,3 +5037,75 @@ def q203_exact_simjoin(spark, sf_dir):
     return exact_jaccard_simjoin(
         d, "doc_id", "text", tau=0.6, shingle_n=3
     ).orderBy("doc_a", "doc_b")
+
+
+def _greedy_cov_sql(k: int) -> str:
+    """k chained greedy stages — the oracle replays each pick with
+    scalar subqueries (deterministic ties by id)."""
+    stages = [
+        "w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws "
+        "FROM documents WHERE text IS NOT NULL)",
+        "tok AS (SELECT DISTINCT id, "
+        "ws[i.i] || ' ' || ws[i.i+1] || ' ' || ws[i.i+2] AS tok "
+        "FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) i "
+        "WHERE i.i + 2 <= len(ws))"
+    ]
+    selects = []
+    prev = None
+    for i in range(1, k + 1):
+        if prev is None:
+            stages.append(
+                f"g{i} AS (SELECT id, count(*) AS gain FROM tok GROUP BY id)"
+            )
+        else:
+            stages.append(
+                f"g{i} AS (SELECT t.id, count(*) AS gain FROM tok t "
+                f"LEFT JOIN {prev} c ON c.tok = t.tok "
+                f"WHERE c.tok IS NULL GROUP BY t.id)"
+            )
+        stages.append(
+            f"p{i} AS (SELECT id, gain FROM g{i} "
+            f"ORDER BY gain DESC, id LIMIT 1)"
+        )
+        if prev is None:
+            stages.append(
+                f"c{i} AS (SELECT DISTINCT tok FROM tok "
+                f"WHERE id = (SELECT id FROM p{i}))"
+            )
+        else:
+            stages.append(
+                f"c{i} AS (SELECT tok FROM {prev} UNION "
+                f"SELECT tok FROM tok WHERE id = (SELECT id FROM p{i}))"
+            )
+        prev = f"c{i}"
+        selects.append(
+            f"SELECT {i} AS step, (SELECT id FROM p{i}) AS doc_id, "
+            f"CAST((SELECT gain FROM p{i}) AS BIGINT) AS n_new_tokens, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM c{i}) AS n_covered_total "
+            f"WHERE (SELECT count(*) FROM p{i}) > 0"  # early stop: no
+            # candidate with uncovered units left -> stage emits nothing
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + "\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY step"
+    )
+
+
+@query("q204_greedy_coverage", oracle=_greedy_cov_sql(6))
+def q204_greedy_coverage(spark, sf_dir):
+    """Greedy maximum-coverage selection of 6 documents over
+    3-shingle units (the templated corpus has a 31-word unigram
+    vocabulary — one doc covers it; shingles make coverage real) — the
+    (1-1/e)-approximate submodular greedy behind coreset /
+    data-mixture selection, a selection physics the hash/score
+    samplers can't express because each pick devalues the rest. The
+    oracle replays all 6 argmax stages as chained SQL (deterministic
+    ties by id). See
+    :func:`maston_spark.llm.sampling.greedy_token_coverage`."""
+    from maston_spark.llm.sampling import greedy_token_coverage
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return greedy_token_coverage(d, "doc_id", "text", k=6, ngram=3)

@@ -2055,3 +2055,35 @@ def test_exact_simjoin_matches_bruteforce(spark, docs, tau):
     assert set(got) == set(expect), (got, expect, tau)
     for k, n in expect.items():
         assert got[k][0] == n, (k, got[k], n)
+
+
+def test_greedy_coverage_matches_python_greedy(spark):
+    """The distributed greedy equals a sequential python greedy on a
+    hand corpus (including the early-stop when everything is
+    covered and the smallest-id tie-break)."""
+    from maston_spark.llm.sampling import greedy_token_coverage
+
+    docs = {
+        0: "a b c d",
+        1: "a b c d",      # tie with doc 0 -> 0 wins
+        2: "e f g",
+        3: "e f",
+        4: "h",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = [
+        (r.step, r.doc_id, r.n_new_tokens, r.n_covered_total)
+        for r in greedy_token_coverage(df, "doc_id", "text", k=10).collect()
+    ]
+    # python greedy
+    sets = {i: set(t.split()) for i, t in docs.items()}
+    covered, expect, step = set(), [], 0
+    while True:
+        gains = {i: len(s - covered) for i, s in sets.items() if len(s - covered) > 0}
+        if not gains:
+            break
+        best = min(gains, key=lambda i: (-gains[i], i))
+        covered |= sets[best]
+        step += 1
+        expect.append((step, best, gains[best], len(covered)))
+    assert out == expect, (out, expect)

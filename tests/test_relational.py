@@ -956,3 +956,44 @@ def test_binned_tvd_drift_single_group_emits_null(spark):
     [r] = binned_tvd_drift(df, "g", "v", n_bins=4).collect()
     assert r.n_group == 20 and r.n_rest == 0
     assert r.tvd is None
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """zorder_key(x, y) == the reference Morton interleave for a grid
+    of small values (bit i of x at position 2i, y at 2i+1)."""
+    from maston_spark.relational import zorder_key
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 4).alias("z")).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(4):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """On a uniform 2-D grid: every z-order file bounds BOTH
+    normalized spans strictly below the domain, while the
+    single-column layout leaves x_span at (nearly) full domain —
+    the pruning property the report exists to expose."""
+    from maston_spark.relational import zorder_layout_report
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+    rep = zorder_layout_report(df, "x", "y", bits=16, file_bits=4).collect()
+    z = [r for r in rep if r.layout == "zorder"]
+    s = [r for r in rep if r.layout == "single"]
+    assert len(z) == 16 and len(s) == 16
+    assert all(r.x_span < 40000 and r.y_span < 40000 for r in z), z
+    assert all(r.x_span > 60000 for r in s), s
+    # file assignment partitions all rows
+    assert sum(r.n_rows for r in z) == 64 * 64
