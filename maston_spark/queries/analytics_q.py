@@ -1140,3 +1140,83 @@ def q205_zorder_layout(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders")
     return zorder_layout_report(o, "o_custkey", "o_orderkey", bits=16, file_bits=5)
+
+
+@query(
+    "q206_scd2_history",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+               FROM events),
+    r AS (SELECT user_id, event_type, us, event_id,
+                 lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id) AS pv,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY us, event_id) AS rn
+          FROM e),
+    c AS (SELECT user_id, event_type, us, event_id FROM r
+          WHERE rn = 1 OR pv IS DISTINCT FROM event_type),
+    h AS (SELECT user_id, event_type AS state, us AS valid_from_us,
+                 lead(us) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id)
+                   AS valid_to_us
+          FROM c)
+    SELECT user_id, state, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM h ORDER BY user_id, valid_from_us
+    """,
+)
+def q206_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension history built from the events change log:
+    one validity interval per per-user event-type RUN, half-open
+    microsecond intervals, NULL-terminated current row — the
+    temporal-table CONSTRUCTION half of the CDC family (q143 replays
+    a log into the latest snapshot; this builds the full
+    point-in-time history an as-of join then queries). One hash
+    shuffle on the key serves all window passes. See
+    :func:`maston_spark.relational.scd2_history`."""
+    from maston_spark.relational import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_history(ev, "user_id", "ts", "event_type", "event_id").orderBy(
+        "user_id", "valid_from_us"
+    )
+
+
+@query(
+    "q207_salted_join",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def q207_salted_join(spark, sf_dir):
+    """Revenue by part brand through a SALTED fact-dim join — graded
+    against the PLAIN unsalted join, certifying cross-engine that
+    salting is a pure partitioning trick with identical semantics
+    (the property that makes it safe to deploy against a hot key at
+    100 TB). Fact side salted per row, dim side posexplode-replicated
+    n_salts ways, join on (key, salt). See
+    :func:`maston_spark.relational.salted_join` — the "act" half of
+    q129's skew diagnostic."""
+    from maston_spark.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, p, "p_partkey", n_salts=8)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

