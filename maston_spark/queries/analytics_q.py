@@ -1220,3 +1220,64 @@ def q207_salted_join(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "q208_ts_pattern_search",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+               FROM events WHERE value IS NOT NULL),
+    w AS (SELECT user_id, us, value AS w0,
+            lead(value, 1) OVER win AS w1,
+            lead(value, 2) OVER win AS w2,
+            lead(value, 3) OVER win AS w3,
+            lead(value, 4) OVER win AS w4,
+            lead(value, 5) OVER win AS w5,
+            lead(value, 6) OVER win AS w6,
+            lead(value, 7) OVER win AS w7
+          FROM e
+          WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id)),
+    f AS (SELECT * FROM w WHERE w7 IS NOT NULL),
+    s AS (SELECT user_id, us AS start_us,
+            (w0+w1+w2+w3+w4+w5+w6+w7) AS sx,
+            (w0*w0+w1*w1+w2*w2+w3*w3+w4*w4+w5*w5+w6*w6+w7*w7) AS sxx,
+            (w0*1.0+w1*2.0+w2*4.0+w3*8.0+w4*6.0+w5*3.0+w6*2.0+w7*1.0)
+              AS sxy
+          FROM f),
+    c AS (SELECT user_id, start_us,
+            CASE WHEN (8.0*sxx - sx*sx) * 351.0 > 0
+                 THEN round((8.0*sxy - sx*27.0)
+                            / sqrt((8.0*sxx - sx*sx) * 351.0), 6)
+            END AS corr
+          FROM s)
+    SELECT user_id, start_us, corr FROM c WHERE corr IS NOT NULL
+    ORDER BY corr DESC, user_id, start_us LIMIT 20
+    """,
+)
+def q208_ts_pattern_search(spark, sf_dir):
+    """Time-series pattern-similarity search: the top-20 8-step
+    windows across every user's value series by Pearson correlation
+    with a fixed spike shape [1,2,4,8,6,3,2,1] — "find every place
+    the metric did THIS" (the matrix-profile-lite core of the
+    EDBT'19 streaming time-series similarity family). Every sum is
+    an explicit left-associated 8-term expression replayed verbatim
+    by the oracle, so the float arithmetic is the identical IEEE
+    sequence in both engines. One hash shuffle on the key; windows
+    are lead-column projections; the global top-k is a TakeOrdered.
+    See :func:`maston_spark.relational.pattern_corr_topk`."""
+    from maston_spark.relational import pattern_corr_topk
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return pattern_corr_topk(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        [1.0, 2.0, 4.0, 8.0, 6.0, 3.0, 2.0, 1.0],
+        k=20,
+    )

@@ -1276,3 +1276,75 @@ def salted_join(
     ).drop("__pos")
     out = lj.join(rj, [on, "__salt"], "inner").drop("__salt")
     return out
+
+
+def pattern_corr_topk(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    pattern: "Sequence[float]",
+    k: int = 20,
+) -> DataFrame:
+    """Time-series PATTERN SIMILARITY search: slide a fixed
+    m-step query pattern over every key's value series and return
+    the top-k windows by Pearson correlation —
+    ``(key, start_us, corr)`` — the distributed matrix-profile-lite
+    behind "find me every place the metric did THIS shape" (EDBT'19
+    streaming time-series similarity family; UCR-suite z-normalized
+    matching reduced to its correlation core).
+
+    Cross-engine bit-parity by construction: windows come from
+    ``lead`` columns (one hash shuffle per key, deterministic
+    (ts, tiebreak) order), and every sum in the correlation is an
+    EXPLICIT m-term left-associated expression tree — the engines
+    evaluate the identical IEEE operation sequence, so no summation
+    -order divergence exists to round away (the same discipline as
+    the engine's fixed-order dot products). Zero-variance windows
+    (den = 0) are excluded in both engines. Scale shape: the corpus
+    shuffles ONCE on the key; each window is a pure projection over
+    m lead columns; the global top-k is a TakeOrdered, never a full
+    sort.
+    """
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs >= 2 steps")
+    p = [float(v) for v in pattern]
+    sp = 0.0
+    spp = 0.0
+    for v in p:  # fixed left-to-right fold, mirrored in the oracle
+        sp += v
+        spp += v * v
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    cols = [F.col(value_col).alias("w0")] + [
+        F.lead(value_col, i).over(w).alias(f"w{i}") for i in range(1, m)
+    ]
+    base = df.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("start_us"),
+        *cols,
+    ).filter(F.col(f"w{m-1}").isNotNull())
+
+    def chain(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        return e
+
+    sx = chain([F.col(f"w{i}") for i in range(m)])
+    sxx = chain([F.col(f"w{i}") * F.col(f"w{i}") for i in range(m)])
+    sxy = chain([F.col(f"w{i}") * F.lit(p[i]) for i in range(m)])
+    num = F.lit(float(m)) * sxy - sx * F.lit(sp)
+    den = F.sqrt(
+        (F.lit(float(m)) * sxx - sx * sx)
+        * F.lit(float(m) * spp - sp * sp)
+    )
+    scored = base.select(
+        F.col(key_col),
+        "start_us",
+        F.when(den > 0, F.round(num / den, 6)).alias("corr"),
+    ).filter(F.col("corr").isNotNull())
+    return scored.orderBy(
+        F.desc("corr"), F.asc(key_col), F.asc("start_us")
+    ).limit(k)
