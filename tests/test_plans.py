@@ -360,3 +360,34 @@ def test_binned_tvd_edges_broadcast(spark, sf_dir, qs):
     p = plan_of(qs["q194_binned_tvd_drift"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_hll_registers_no_corpus_shuffle_of_values(spark, sf_dir, qs):
+    """q202's plan: the corpus reaches the register aggregation as a
+    partial (map-side) hash agg — the only exchange carries (group,
+    bucket) register partials, never raw values, and no sort/window
+    touches the corpus."""
+    p = plan_of(qs["q202_hll_distinct"](spark, sf_dir))
+    assert "partial_max" in p  # registers fold map-side, pre-exchange
+    assert p.count("Sort") == 1  # only the 3-row output orderBy
+
+
+def test_salted_join_key_includes_salt(spark, sf_dir, qs):
+    """q207's join condition carries the salt column next to the
+    key, and the replicated dim side generates its salts with
+    posexplode (no Python, no crossJoin)."""
+    p = optimized_of(qs["q207_salted_join"](spark, sf_dir))
+    assert "__salt" in p
+    assert "Generate" in p  # posexplode replication
+    assert "Cartesian" not in p
+
+
+def test_zorder_layout_no_sort(spark, sf_dir, qs):
+    """q205 is sort-free: file assignment is a projection of the
+    z key, the report one aggregation (plus the 1-row bounds agg) —
+    a global sort would defeat the 'layout planning without laying
+    out' point."""
+    p = plan_of(qs["q205_zorder_layout"](spark, sf_dir))
+    # the only Sort allowed is the output orderBy on the 64-row report
+    body = p.split("TakeOrdered")[0]
+    assert body.count("Sort") <= 1, p
