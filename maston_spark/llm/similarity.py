@@ -2146,3 +2146,100 @@ def ivf_pq_residual_topk(
         )
         .orderBy("query_id", "rn")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    query_ids: "list[int]",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: for each anchor
+    vector, the top-k most-similar vectors with a DIFFERENT label —
+    ``(query_id, neighbor_id, neighbor_label, sim, rn)``. The
+    highest-similarity wrong-label examples are the negatives that
+    actually move a contrastive loss (random negatives are trivially
+    separated); this is the corpus sweep every embedding-training
+    pipeline runs between epochs (e.g. the ANCE/DPR hard-negative
+    refresh), expressed as :func:`cosine_topk`'s broadcast-anchor
+    scan with a label-exclusion mask.
+
+    Scale shape identical to cosine_topk: anchors + labels ship in
+    the closure (broadcast), the corpus is scanned once, each Arrow
+    batch emits only its local top-k per anchor (safe — the global
+    (sim desc, id asc) order is total), and the exact global top-k
+    window runs over k·batches·|anchors| rows.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    q_rows = (
+        corpus.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("ql"),
+        )
+        .collect()
+    )
+    qids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    qlab = np.array([r.ql for r in q_rows], dtype=np.int64)
+    Q = np.array([r.qv for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            labs = pdf["__lab"].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf["__vec"]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qn.T
+            out = []
+            for j in range(len(qids)):
+                s = S[:, j]
+                mask = (labs != qlab[j]) & (ids != qids[j])
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                order = cand_idx[np.lexsort((ids[cand_idx], -s[cand_idx]))][:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": ids[order],
+                            "neighbor_label": labs[order],
+                            "__sim": s[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    sims = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.col(label_col).cast("long").alias("__lab"),
+    ).mapInPandas(
+        batches,
+        "query_id long, neighbor_id long, neighbor_label long, __sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("__sim", 6).alias("sim"),
+            "rn",
+        )
+    )

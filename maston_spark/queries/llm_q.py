@@ -5109,3 +5109,37 @@ def q204_greedy_coverage(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return greedy_token_coverage(d, "doc_id", "text", k=6, ngram=3)
+
+
+@query(
+    "q209_hard_negatives",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS ql
+          FROM c WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(c.label AS BIGINT) AS neighbor_label,
+             list_cosine_similarity(q.qv, c.v) AS s
+      FROM c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id AND c.label <> q.ql)
+    SELECT query_id, neighbor_id, neighbor_label, round(s, 6) AS sim, rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id) AS rn
+      FROM sims) WHERE rn <= 5
+    """,
+)
+def q209_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each of 10
+    anchor vectors, the 5 most-similar vectors with a DIFFERENT
+    label — the ANCE/DPR-style between-epochs negative refresh, the
+    one similarity sweep whose output feeds a TRAINING loop rather
+    than dedup. Same broadcast-anchor single-scan shape as q43 with
+    the label-exclusion mask; graded against the brute-force oracle.
+    See :func:`maston_spark.llm.similarity.hard_negatives`."""
+    from maston_spark.llm import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(emb, query_ids=list(range(10)), k=5)
