@@ -1281,3 +1281,115 @@ def q208_ts_pattern_search(spark, sf_dir):
         [1.0, 2.0, 4.0, 8.0, 6.0, 3.0, 2.0, 1.0],
         k=20,
     )
+
+
+_HLL_EST = (
+    "CASE WHEN (47072.71267120224::DOUBLE * 9007199254740992.0::DOUBLE /"
+    " CAST(sp + (256 - np) * 9007199254740992 AS DOUBLE)) <= 640.0"
+    " AND np < 256"
+    " THEN round(256.0 * ln(256.0 / CAST(256 - np AS DOUBLE)), 4)"
+    " ELSE round(47072.71267120224::DOUBLE * 9007199254740992.0::DOUBLE /"
+    " CAST(sp + (256 - np) * 9007199254740992 AS DOUBLE), 4) END"
+)
+
+
+@query(
+    "q210_hll_set_ops",
+    oracle=f"""
+    WITH src AS (SELECT l_returnflag AS g, md5(l_orderkey::VARCHAR) AS h
+                 FROM lineitem WHERE l_orderkey IS NOT NULL),
+    b AS (SELECT g, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+                 ('0x' || substr(h, 3, 13))::BIGINT AS w
+          FROM src),
+    r AS (SELECT g, bucket,
+                 CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+          FROM b),
+    regs AS (SELECT g, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+    gs AS (SELECT DISTINCT g FROM regs),
+    pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+    pregs AS (SELECT ga, gb, bucket, max(mj) AS mj FROM (
+        SELECT p.ga, p.gb, r.bucket, r.mj
+        FROM pairs p JOIN regs r ON r.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, r.bucket, r.mj
+        FROM pairs p JOIN regs r ON r.g = p.gb) u
+      GROUP BY 1, 2, 3),
+    se0 AS (SELECT g, CAST(sum(CAST(power(2.0, 53 - mj) AS BIGINT))
+                           AS BIGINT) AS sp,
+                   count(*) AS np
+            FROM regs GROUP BY g),
+    se AS (SELECT g, {_HLL_EST} AS est FROM se0),
+    pe0 AS (SELECT ga, gb, CAST(sum(CAST(power(2.0, 53 - mj) AS BIGINT))
+                                AS BIGINT) AS sp,
+                   count(*) AS np
+            FROM pregs GROUP BY 1, 2),
+    pe AS (SELECT ga, gb, {_HLL_EST} AS est_union FROM pe0)
+    SELECT pe.ga AS set_a, pe.gb AS set_b,
+           sa.est AS est_a, sb.est AS est_b, pe.est_union,
+           round(sa.est + sb.est - pe.est_union, 4) AS est_intersection
+    FROM pe JOIN se sa ON sa.g = pe.ga JOIN se sb ON sb.g = pe.gb
+    ORDER BY set_a, set_b
+    """,
+)
+def q210_hll_set_ops(spark, sf_dir):
+    """HLL set operations between the per-return-flag orderkey sets:
+    union cardinality from MAX-MERGED registers (the HLL merge
+    identity: registers of a union ARE the per-bucket max of the
+    parts — exact, not approximate) and intersection via
+    inclusion-exclusion — the HyperLogLog counterpart of q168's KMV
+    set-ops quartet (HLL: fixed 2^p registers, best per byte at
+    extreme cardinalities, intersections only via ±; KMV: k hashes,
+    native Jaccard/intersection). Same integer-exact estimator
+    arithmetic as q202, graded bit-for-bit. See
+    :func:`maston_spark.sketches.hll_registers` /
+    :func:`maston_spark.sketches.hll_estimate`."""
+    from maston_spark.sketches import hll_estimate, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_returnflag", "l_orderkey", p=8)
+    gs = regs.select(F.col("l_returnflag").alias("g")).distinct()
+    pairs = (
+        gs.alias("x")
+        .crossJoin(gs.alias("y"))
+        .filter(F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    )
+    ra = regs.select(F.col("l_returnflag").alias("ga"), "bucket", "mj")
+    rb = regs.select(F.col("l_returnflag").alias("gb"), "bucket", "mj")
+    pregs = (
+        pairs.join(ra, "ga")
+        .select("ga", "gb", "bucket", "mj")
+        .unionByName(pairs.join(rb, "gb").select("ga", "gb", "bucket", "mj"))
+        .groupBy("ga", "gb", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    pest = hll_estimate(
+        pregs.select(F.concat_ws("|", "ga", "gb").alias("pk"), "bucket", "mj"),
+        "pk",
+    ).select(
+        F.split(F.col("pk"), r"\|")[0].alias("set_a"),
+        F.split(F.col("pk"), r"\|")[1].alias("set_b"),
+        F.col("n_distinct_est").alias("est_union"),
+    )
+    sest = hll_estimate(regs, "l_returnflag")
+    sa = sest.select(
+        F.col("l_returnflag").alias("set_a"), F.col("n_distinct_est").alias("est_a")
+    )
+    sb = sest.select(
+        F.col("l_returnflag").alias("set_b"), F.col("n_distinct_est").alias("est_b")
+    )
+    return (
+        pest.join(sa, "set_a")
+        .join(sb, "set_b")
+        .select(
+            "set_a",
+            "set_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersection"),
+        )
+        .orderBy("set_a", "set_b")
+    )
