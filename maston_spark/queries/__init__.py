@@ -250,7 +250,7 @@ _PRIORITY = [
     "q202_hll_distinct", "q203_exact_simjoin", "q204_greedy_coverage",
     "q205_zorder_layout", "q206_scd2_history", "q207_salted_join",
     "q208_ts_pattern_search", "q209_hard_negatives",
-    "q210_hll_set_ops",
+    "q210_hll_set_ops", "q211_cms_watchlist_prefix",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

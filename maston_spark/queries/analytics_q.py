@@ -1393,3 +1393,61 @@ def q210_hll_set_ops(spark, sf_dir):
         )
         .orderBy("set_a", "set_b")
     )
+
+
+@query(
+    "q211_cms_watchlist_prefix",
+    oracle="""
+    WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+    cells AS (
+      SELECT seed,
+             ('0x' || substr(md5(seed::VARCHAR || ':' || user_id::VARCHAR),
+                             1, 15))::BIGINT % 64 AS bucket
+      FROM events, seeds WHERE user_id IS NOT NULL),
+    sk AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY 1, 2),
+    watch AS (SELECT unnest(['1','2','3','4','5','6','7','8','9','10',
+                             '999999']) AS item),
+    probe AS (
+      SELECT item, seed,
+             ('0x' || substr(md5(seed::VARCHAR || ':' || item),
+                             1, 15))::BIGINT % 64 AS bucket
+      FROM watch, seeds)
+    SELECT p.item, min(coalesce(sk.cnt, 0)) AS est_count
+    FROM probe p LEFT JOIN sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+    GROUP BY 1 ORDER BY item
+    """,
+)
+def q211_cms_watchlist_prefix(spark, sf_dir):
+    """The CMS-watchlist TOPOLOGY's fold identity, graded
+    cross-engine: events split into 3 deterministic micro-batches
+    (event_id mod 3), each batch's count-min grid folded with the
+    SAME :func:`maston_spark.sketches.cms_merge` the streaming
+    topology calls (cell-wise sum — the ADDITIVE merge), then the
+    watchlist probed through the shared :func:`maston_spark.
+    sketches.cms_probe` — while the oracle sketches the whole
+    history in one shot. Sum-of-grids ≡ grid-of-union exactly;
+    this completes the topology-twin matrix (curation q195, quantile
+    q200, drift q201, CMS q211 — every streaming state fold now has
+    an oracle-graded batch twin). The absent watch item ('999999')
+    pins the zero-cell path."""
+    from maston_spark.sketches import cms_merge, cms_probe, cms_sketch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("item"), "event_id")
+    )
+    grid = None
+    for b in range(3):
+        g = cms_sketch(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == b),
+            "item",
+            depth=4,
+            width=64,
+        )
+        grid = g if grid is None else cms_merge(grid, g)
+    watch = spark.createDataFrame(
+        [(str(i),) for i in range(1, 11)] + [("999999",)], "item string"
+    )
+    return cms_probe(grid, watch, "item", depth=4, width=64).orderBy("item")

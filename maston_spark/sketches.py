@@ -319,6 +319,46 @@ def cms_sketch(df: DataFrame, item_col: str, depth: int, width: int) -> DataFram
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count-min grids: cell-wise SUM — the ADDITIVE merge
+    (the CMS discipline: a retry must never re-merge, unlike the
+    idempotent KMV/HLL folds). Shared by the streaming
+    ``cms_watchlist_topology``'s cross-batch state fold and its
+    oracle-graded batch twin (q211), so the streaming path and the
+    graded path cannot drift apart."""
+    return (
+        a.unionByName(b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_probe(
+    grid: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Estimated frequency of each row of ``items`` against a
+    PRE-BUILT count-min grid: ``(item, est_count)`` — the probe half
+    of :func:`cms_estimate`, exposed so merged/streamed grids can be
+    queried. The d·w-row grid is broadcast; the probe set never
+    shuffles."""
+    probes = (
+        items.select(F.col(item_col).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    probe_cells = probes.select(
+        "item", F.explode(_cms_cells(F.col("item"), depth, width)).alias("c")
+    ).select("item", F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
+    joined = probe_cells.join(F.broadcast(grid), ["seed", "bucket"], "left").select(
+        "item", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("item").agg(F.min("cnt").alias("est_count"))
+
+
 def cms_estimate(
     df: DataFrame,
     items: DataFrame,
@@ -334,19 +374,9 @@ def cms_estimate(
     the probe set never shuffles, and the corpus is touched exactly
     once (the sketch build).
     """
-    sk = cms_sketch(df, item_col, depth, width)
-    probes = (
-        items.select(F.col(item_col).alias("item"))
-        .filter(F.col("item").isNotNull())
-        .distinct()
+    return cms_probe(
+        cms_sketch(df, item_col, depth, width), items, item_col, depth, width
     )
-    probe_cells = probes.select(
-        "item", F.explode(_cms_cells(F.col("item"), depth, width)).alias("c")
-    ).select("item", F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
-    joined = probe_cells.join(F.broadcast(sk), ["seed", "bucket"], "left").select(
-        "item", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
-    )
-    return joined.groupBy("item").agg(F.min("cnt").alias("est_count"))
 
 
 def mg_heavy_hitters(

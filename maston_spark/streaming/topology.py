@@ -1173,12 +1173,10 @@ def cms_watchlist_topology(
                     eager=True
                 )
             elif seed_v is not None:
+                from maston_spark.sketches import cms_merge
+
                 seed = spark.read.parquet(f"{sdir}/v{seed_v}")
-                g = (
-                    g.unionByName(seed)
-                    .groupBy("seed", "bucket")
-                    .agg(F.sum("cnt").cast("long").alias("cnt"))
-                )
+                g = cms_merge(g, seed)
         g = g.persist()
         try:
             if sdir is not None:
