@@ -5043,9 +5043,9 @@ def _greedy_cov_sql(k: int) -> str:
     """k chained greedy stages — the oracle replays each pick with
     scalar subqueries (deterministic ties by id)."""
     stages = [
-        "w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws "
+        "w AS MATERIALIZED (SELECT doc_id AS id, string_split(text, ' ') AS ws "
         "FROM documents WHERE text IS NOT NULL)",
-        "tok AS (SELECT DISTINCT id, "
+        "tok AS MATERIALIZED (SELECT DISTINCT id, "
         "ws[i.i] || ' ' || ws[i.i+1] || ' ' || ws[i.i+2] AS tok "
         "FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) i "
         "WHERE i.i + 2 <= len(ws))"
@@ -5055,26 +5055,26 @@ def _greedy_cov_sql(k: int) -> str:
     for i in range(1, k + 1):
         if prev is None:
             stages.append(
-                f"g{i} AS (SELECT id, count(*) AS gain FROM tok GROUP BY id)"
+                f"g{i} AS MATERIALIZED (SELECT id, count(*) AS gain FROM tok GROUP BY id)"
             )
         else:
             stages.append(
-                f"g{i} AS (SELECT t.id, count(*) AS gain FROM tok t "
+                f"g{i} AS MATERIALIZED (SELECT t.id, count(*) AS gain FROM tok t "
                 f"LEFT JOIN {prev} c ON c.tok = t.tok "
                 f"WHERE c.tok IS NULL GROUP BY t.id)"
             )
         stages.append(
-            f"p{i} AS (SELECT id, gain FROM g{i} "
+            f"p{i} AS MATERIALIZED (SELECT id, gain FROM g{i} "
             f"ORDER BY gain DESC, id LIMIT 1)"
         )
         if prev is None:
             stages.append(
-                f"c{i} AS (SELECT DISTINCT tok FROM tok "
+                f"c{i} AS MATERIALIZED (SELECT DISTINCT tok FROM tok "
                 f"WHERE id = (SELECT id FROM p{i}))"
             )
         else:
             stages.append(
-                f"c{i} AS (SELECT tok FROM {prev} UNION "
+                f"c{i} AS MATERIALIZED (SELECT tok FROM {prev} UNION "
                 f"SELECT tok FROM tok WHERE id = (SELECT id FROM p{i}))"
             )
         prev = f"c{i}"
