@@ -2087,3 +2087,24 @@ def test_greedy_coverage_matches_python_greedy(spark):
         step += 1
         expect.append((step, best, gains[best], len(covered)))
     assert out == expect, (out, expect)
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    """Hard-negative mining: every returned neighbor has a DIFFERENT
+    label than its anchor, the anchor itself never appears, and
+    ranking is by similarity with id tie-break."""
+    from maston_spark.llm.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [1.0, 0.01], 0),  # same label, most similar -> excluded
+        (2, [1.0, 0.1], 1),   # different label, very similar
+        (3, [0.9, 0.3], 1),
+        (4, [0.0, 1.0], 2),   # different label, orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives(df, [0], k=2).collect()
+    assert [(r.neighbor_id, r.rn) for r in out] == [(2, 1), (3, 2)]
+    assert all(r.neighbor_label != 0 for r in out)
