@@ -103,7 +103,7 @@ _PRIORITY = [
     # family via q116/q23. q128 robust-outliers' percentile family is
     # graded via q15 and the token-WEIGHTED order statistics of q197,
     # the newest member; its slot grades exactly that q197)
-    "q197_weighted_percentiles", "q119_kmeans",
+    "q197_weighted_percentiles", "q202_hll_distinct",
     # LLM-pipeline set (unique capabilities first; within-family
     # variants — simhash after minhash, fingerprint after exact-hash,
     # sliding/session after tumbling, frames after rank — are in the
@@ -179,8 +179,22 @@ _PRIORITY = [
     # q195 — incremental near-dup vs a reference corpus, the
     # oracle-graded batch twin of the streaming curation state and
     # the external evidence for round-10's flagship feature)
-    "q95_exact_substring", "q195_incremental_neardup",
-    "q98_bloom_incremental",
+    # (round-11 swaps, preempting the per-round promote-the-novel-
+    # physics rotation: q95 exact-substring's Lee-et-al span-dedup
+    # family stays graded via q155's keep-first removal — the same
+    # gram-table physics with the harder policy; its slot grades
+    # q203, the COMPLETE exact Jaccard pair join whose oracle is
+    # brute-force GROUND TRUTH, a grading physics nothing else in
+    # the window has. q98 bloom-incremental's dedup-vs-corpus family
+    # stays graded via q195's incremental near-dup (band-state probe
+    # + confirm, the richer member); its slot grades q204 — the
+    # submodular greedy max-coverage selection, chained-argmax
+    # oracle. q119 kmeans' Lloyd iterations are graded INSIDE q153's
+    # IVF-PQ (which trains the same coarse quantizer end-to-end);
+    # its slot grades q202 — HyperLogLog, the third distinct-count
+    # physics, integer-exact harmonic estimator)
+    "q203_exact_simjoin", "q195_incremental_neardup",
+    "q204_greedy_coverage",
     "q152_dedup_report", "q189_token_water_fill",
     # Avro serde round-trips (Confluent wire format, schema evolution)
     # (q73 safe-avro's deserialize dispatch is graded via q87, whose
@@ -194,7 +208,8 @@ _PRIORITY = [
     # the promotion comments above), then round-10's and round-9's.
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
-    "q88_domain_cap",
+    "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",
+    "q119_kmeans",
     "q48_embedding_neardup",
     "q26_string_fns", "q65_shipping_priority", "q49_media_features",
     "q53_levenshtein_neardup", "q100_dsir_weights",
@@ -246,8 +261,7 @@ _PRIORITY = [
     # drift-monitor emitted-estimate-equals-one-shot claims, graded
     # cross-engine through the SAME merge helpers the topologies call
     "q200_quantile_metrics_prefix", "q201_drift_monitor_prefix",
-    # round-11 new physics
-    "q202_hll_distinct", "q203_exact_simjoin", "q204_greedy_coverage",
+    # round-11 new physics (q202/q203/q204 hold graded slots)
     "q205_zorder_layout", "q206_scd2_history", "q207_salted_join",
     "q208_ts_pattern_search", "q209_hard_negatives",
     "q210_hll_set_ops", "q211_cms_watchlist_prefix",

@@ -82,9 +82,8 @@ def test_graded_window_covers_unique_capabilities():
     window = list(all_queries())[:50]
     for must in (
         "q87_avro_evolution", "q90_winnow_fingerprints",
-        "q92_avro_roundtrip", "q94_semantic_dedup", "q95_exact_substring",
-        "q98_bloom_incremental",
-        "q118_pagerank", "q119_kmeans",
+        "q92_avro_roundtrip", "q94_semantic_dedup",
+        "q118_pagerank",
         "q123_bm25_rank", "q127_budget_select",
         "q139_gapfill", "q141_data_quality",
         # round-9 promotions: the novel round-8 operators plus the
@@ -119,6 +118,11 @@ def test_graded_window_covers_unique_capabilities():
         "q192_kll_quantiles", "q194_binned_tvd_drift",
         "q195_incremental_neardup", "q196_table_sketch_profile",
         "q197_weighted_percentiles",
+        # round-11 in-round promotions: the round's own novel physics
+        # graded immediately rather than waiting a round — HLL (third
+        # distinct-count physics), the brute-force-ground-truth-graded
+        # complete similarity join, and submodular greedy coverage
+        "q202_hll_distinct", "q203_exact_simjoin", "q204_greedy_coverage",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -193,6 +197,13 @@ def test_graded_window_covers_unique_capabilities():
         "q104_embedding_covariance": "q196_table_sketch_profile",
         "q68_not_exists_antijoin": "q07_join_semi",
         "q88_domain_cap": "q189_token_water_fill",
+        # round-11 in-round swaps: the span-dedup gram-table family
+        # stays graded via the keep-first policy member; incremental
+        # dedup-vs-corpus via the richer band-state near-dup twin;
+        # Lloyd iterations inside the graded IVF-PQ end-to-end
+        "q95_exact_substring": "q155_keep_first_substring",
+        "q98_bloom_incremental": "q195_incremental_neardup",
+        "q119_kmeans": "q153_ivf_pq",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
