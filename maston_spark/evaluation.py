@@ -1,0 +1,140 @@
+"""In-engine MODEL-EVALUATION metrics over scored, labeled rows —
+the half of a curation pipeline that decides whether the quality
+classifier/scorer is trustworthy before its scores gate a 100 TB
+corpus. Every metric here is an EXACT rational of integer
+rank/count sums with one closing IEEE division, so the DuckDB
+oracle replays it bit-for-bit (no libm, no summation-order
+hazards) — the same determinism discipline as the sketch library.
+
+Parity anchor: the reference has no evaluation surface (it is a
+Kafka Streams plumbing library); this extends the engine the way
+its NB classifier (llm/text.py, q165) already implied — train,
+apply, AND evaluate without leaving the DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def group_auc(
+    df: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC per group from the Mann-Whitney rank form:
+    ``AUC = (Σ_{positives} midrank − n₊(n₊+1)/2) / (n₊·n₋)`` —
+    ``(group, n_pos, n_neg, auc)``. Ties get MIDRANKS (the standard
+    tie correction), computed exactly: positions of a tied score run
+    are rank..rank+cnt−1, so ``2·midrank = 2·rank + cnt − 1`` is an
+    INTEGER — the whole numerator stays in int64 and only the final
+    quotient is IEEE (both engines agree to the bit; round(…, 6)
+    output). Groups with no positives or no negatives emit NULL auc
+    (undefined, not 0).
+
+    Scale shape: one hash shuffle on the group for the rank window,
+    one combiner-reduced aggregation — AUC over a trillion rows
+    costs one sort per group partition, never a pairwise
+    positive×negative comparison (the naive definition is n₊·n₋
+    pairs)."""
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    wt = Window.partitionBy(group_col, score_col)
+    lab = F.col(label_col).cast("int")
+    ranked = df.select(
+        F.col(group_col),
+        lab.alias("__y"),
+        (
+            F.lit(2) * F.rank().over(w) + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).alias("__mid2"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("__y")).cast("long").alias("n_neg"),
+        F.sum(F.col("__y") * F.col("__mid2")).cast("long").alias("__pos_mid2"),
+    )
+    num = F.col("__pos_mid2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer:
+    ``(bin, n_rows, mean_score, pos_rate)`` over equal-WIDTH score
+    bins on [0, 1] — a calibrated scorer has mean_score ≈ pos_rate
+    per bin; the systematic gap IS the calibration error the popular
+    ECE summarizes. Equal-width (not equal-frequency) bins keep the
+    whole statistic exact-rational: bin = floor(score·n_bins)
+    clamped to n_bins−1, pos_rate = exact int ratio, mean_score =
+    round(sum)/count with the sum rounded first (the engine's
+    fixed avg discipline). One combiner-reduced aggregation."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    )
+    lab = F.col(label_col).cast("int")
+    return (
+        df.filter(s.isNotNull() & (s >= 0) & (s <= 1))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.round(F.sum(s), 6) / F.count(F.lit(1)), 6
+            ).alias("mean_score"),
+            F.round(
+                F.sum(lab).cast("double") / F.count(F.lit(1)), 6
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def group_gini(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Gini concentration coefficient of a non-negative integer
+    quantity per group — ``(group, n_rows, total, gini)`` with
+    ``G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`` over values sorted
+    ascending (ties broken by the sort's stable rank — the formula
+    is tie-invariant because tied values commute). The
+    "does one domain own the corpus" number a mixture planner reads
+    next to the water-fill allocation: G=0 is uniform, →1 is
+    winner-take-all. Exact int64 cross-products (decimal(38,0) for
+    the rank-weighted sum), one closing IEEE quotient, round 6.
+    One rank window + one combiner agg per group."""
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    v = F.col(value_col).cast("long")
+    ranked = df.select(
+        F.col(group_col),
+        v.alias("__x"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__x").cast("long").alias("total"),
+        F.sum(F.col("__i").cast(dec) * F.col("__x").cast(dec)).alias("__iw"),
+    )
+    num = (
+        F.lit(2).cast(dec) * F.col("__iw")
+        - (F.col("n_rows") + 1).cast(dec) * F.col("total").cast(dec)
+    )
+    den = F.col("n_rows").cast(dec) * F.col("total").cast(dec)
+    return agg.select(
+        group_col,
+        "n_rows",
+        "total",
+        F.when(
+            F.col("total") > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("gini"),
+    )

@@ -265,6 +265,10 @@ _PRIORITY = [
     "q205_zorder_layout", "q206_scd2_history", "q207_salted_join",
     "q208_ts_pattern_search", "q209_hard_negatives",
     "q210_hll_set_ops", "q211_cms_watchlist_prefix",
+    # model-evaluation family: exact rank-form AUC, reliability
+    # bins, Gini concentration — train/apply/EVALUATE without
+    # leaving the DataFrame algebra
+    "q212_group_auc", "q213_calibration_bins", "q214_token_gini",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

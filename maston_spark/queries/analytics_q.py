@@ -1451,3 +1451,127 @@ def q211_cms_watchlist_prefix(spark, sf_dir):
         [(str(i),) for i in range(1, 11)] + [("999999",)], "item string"
     )
     return cms_probe(grid, watch, "item", depth=4, width=64).orderBy("item")
+
+
+# ------------------------------------------- model-evaluation family
+
+
+@query(
+    "q212_group_auc",
+    oracle="""
+    WITH e AS (SELECT user_id % 4 AS cohort, value AS s,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+               FROM events WHERE value IS NOT NULL),
+    r AS (SELECT cohort, y,
+                 2 * rank() OVER (PARTITION BY cohort ORDER BY s)
+                   + count(*) OVER (PARTITION BY cohort, s) - 1 AS mid2
+          FROM e),
+    a AS (SELECT cohort, CAST(sum(y) AS BIGINT) AS n_pos,
+                 CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+                 CAST(sum(y * mid2) AS BIGINT) AS pm2
+          FROM r GROUP BY cohort)
+    SELECT cohort, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(pm2 - n_pos * (n_pos + 1) AS DOUBLE)
+                   / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+           END AS auc
+    FROM a ORDER BY cohort
+    """,
+)
+def q212_group_auc(spark, sf_dir):
+    """Exact ROC-AUC per user cohort: does the event value rank
+    purchases above non-purchases — the ranking-quality number a
+    score-gated curation pipeline checks before trusting its scorer,
+    computed in the Mann-Whitney rank form with exact-integer
+    midrank tie correction (one rank window + one agg; never the
+    naive n_pos x n_neg pair comparison). See
+    :func:`maston_spark.evaluation.group_auc`."""
+    from maston_spark.evaluation import group_auc
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 4).alias("cohort"),
+            F.col("value").alias("s"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+    )
+    return group_auc(ev, "cohort", "s", "y").orderBy("cohort")
+
+
+@query(
+    "q213_calibration_bins",
+    oracle="""
+    WITH m AS (SELECT max(value) AS vmax FROM events
+               WHERE value IS NOT NULL),
+    e AS (SELECT value / vmax AS s,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events, m WHERE value IS NOT NULL),
+    f AS (SELECT s, y FROM e WHERE s >= 0 AND s <= 1),
+    b AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin, s, y FROM f)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+           round(round(sum(s), 6) / count(*), 6) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def q213_calibration_bins(spark, sf_dir):
+    """Reliability diagram of a max-normalized value score against
+    the purchase label: equal-width decile bins, exact per-bin
+    positive rate beside the mean score — the calibration check
+    (mean_score vs pos_rate gap = per-bin calibration error) run
+    before a threshold on the score gates anything. See
+    :func:`maston_spark.evaluation.calibration_bins`."""
+    from maston_spark.evaluation import calibration_bins
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vmax = ev.agg(F.max("value").alias("__vmax"))
+    scored = ev.crossJoin(F.broadcast(vmax)).select(
+        (F.col("value") / F.col("__vmax")).alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return calibration_bins(scored, "s", "y", n_bins=10)
+
+
+@query(
+    "q214_token_gini",
+    oracle="""
+    WITH d AS (SELECT source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+               FROM documents WHERE text IS NOT NULL),
+    r AS (SELECT source, x,
+                 row_number() OVER (PARTITION BY source ORDER BY x) AS i
+          FROM d),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(x) AS BIGINT) AS total,
+                 sum(i::HUGEINT * x) AS iw
+          FROM r GROUP BY source)
+    SELECT source, n_rows, total,
+           CASE WHEN total > 0 THEN
+             round(CAST(2::HUGEINT * iw - (n_rows + 1)::HUGEINT * total
+                        AS DOUBLE)
+                   / CAST(n_rows::HUGEINT * total AS DOUBLE), 6)
+           END AS gini
+    FROM a ORDER BY source
+    """,
+)
+def q214_token_gini(spark, sf_dir):
+    """Gini concentration of per-document token counts within each
+    source — the "is this domain a few giant docs or many small
+    ones" number a mixture planner reads next to the water-fill
+    allocation (G=0 uniform, ->1 winner-take-all). Exact
+    rank-weighted integer sums (decimal/HUGEINT cross products), one
+    closing IEEE quotient. See
+    :func:`maston_spark.evaluation.group_gini`."""
+    from maston_spark.evaluation import group_gini
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
+        )
+    )
+    return group_gini(d, "source", "x").orderBy("source")

@@ -1,0 +1,62 @@
+"""Goldens for the in-engine model-evaluation metrics: exact
+rank-form AUC (vs the pairwise definition), calibration bins, and
+Gini (vs known closed forms)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0.1, 0.2, 0.5, 0.5, 0.9]),  # deliberate ties
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_group_auc_matches_pairwise_definition(spark, rows):
+    """For ANY scored labeled multiset (ties included): the rank-form
+    AUC equals the pairwise P(score_pos > score_neg) + 0.5 P(tie)."""
+    from maston_spark.evaluation import group_auc
+
+    df = spark.createDataFrame(
+        [("g", float(s), int(y)) for s, y in rows], "g string, s double, y int"
+    ).repartition(3)
+    [r] = group_auc(df, "g", "s", "y").collect()
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        assert r.auc is None
+        return
+    wins = sum(1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg)
+    assert r.auc == pytest.approx(wins / (len(pos) * len(neg)), abs=1e-6)
+
+
+def test_group_gini_known_cases(spark):
+    """Uniform values -> G = 0; one owner of everything (n=4) ->
+    G = (n-1)/n = 0.75."""
+    from maston_spark.evaluation import group_gini
+
+    rows = [("u", 5)] * 6 + [("w", 0), ("w", 0), ("w", 0), ("w", 12)]
+    df = spark.createDataFrame(rows, "g string, x int")
+    out = {r.g: r.gini for r in group_gini(df, "g", "x").collect()}
+    assert out["u"] == 0.0
+    assert out["w"] == 0.75
+
+
+def test_calibration_bins_exact_rates(spark):
+    """Hand case: scores cluster in two bins with known positive
+    rates; boundary score 1.0 clamps into the last bin."""
+    from maston_spark.evaluation import calibration_bins
+
+    rows = [(0.05, 0), (0.05, 0), (0.05, 1), (1.0, 1), (0.95, 1), (0.95, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r.bin: (r.n_rows, r.pos_rate) for r in calibration_bins(df, "s", "y").collect()}
+    assert out[0] == (3, pytest.approx(1 / 3, abs=1e-6))
+    assert out[9] == (3, pytest.approx(2 / 3, abs=1e-6))
