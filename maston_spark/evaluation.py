@@ -138,3 +138,63 @@ def group_gini(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("gini"),
     )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical raters (Cohen 1960): one row
+    ``(n_rows, po, pe, kappa)``. The labeling-pipeline gate: raw
+    agreement ``po`` flatters any pair of raters that both say
+    "keep" 95% of the time; kappa subtracts the agreement their
+    marginals would produce by chance. Exact-rational form:
+    ``kappa = (N·Σ n_kk − Σ row_k·col_k) / (N² − Σ row_k·col_k)`` —
+    integer (decimal(38,0)) numerator and denominator, one closing
+    IEEE division, round 6; ``po`` and ``pe`` are exact int ratios.
+    Degenerate marginals (pe = 1: both raters constant and equal)
+    emit NULL kappa.
+
+    Scale shape: one combiner-reduced (a, b) contingency aggregation
+    (≤ |A|·|B| cells), marginals derived from the cells — the corpus
+    is scanned once and never re-shuffled."""
+    cells = (
+        df.select(
+            F.col(a_col).cast("string").alias("__a"),
+            F.col(b_col).cast("string").alias("__b"),
+        )
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    rows = cells.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    colsum = cells.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    dec = "decimal(38,0)"
+    s = (
+        rows.join(colsum, rows["__a"] == colsum["__b"])
+        .agg(
+            F.sum(F.col("__ra").cast(dec) * F.col("__cb").cast(dec)).alias(
+                "__s"
+            )
+        )
+        .select(F.coalesce("__s", F.lit(0).cast(dec)).alias("__s"))
+    )
+    tot = cells.agg(
+        F.sum("__n").cast("long").alias("__N"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("__d"),
+    )
+    j = tot.crossJoin(s)
+    num = F.col("__N").cast(dec) * F.col("__d").cast(dec) - F.col("__s")
+    den = F.col("__N").cast(dec) * F.col("__N").cast(dec) - F.col("__s")
+    return j.select(
+        F.col("__N").alias("n_rows"),
+        F.round(F.col("__d").cast("double") / F.col("__N"), 6).alias("po"),
+        F.round(
+            F.col("__s").cast("double")
+            / (F.col("__N").cast("double") * F.col("__N")),
+            6,
+        ).alias("pe"),
+        F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).alias("kappa"),
+    )

@@ -2243,3 +2243,101 @@ def hard_negatives(
             "rn",
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_id: int,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998): pick ``k`` results one at a time maximizing
+    ``lam·rel(c) − mu·max_{s∈selected} cos(c, s)`` — relevance
+    traded against redundancy, the diversified-retrieval step every
+    RAG stack runs after ANN so the context window isn't k copies of
+    the same passage. One row per pick:
+    ``(step, vec_id, score, rel)``. Pass ``mu`` explicitly when bit
+    parity with an external replay matters (``1 - lam`` computed in
+    IEEE is NOT the decimal literal: 1 − 0.7 = 0.30000000000000004).
+
+    Greedy selection is the same driver-bounded iteration discipline
+    as Lloyd/greedy-coverage: the relevance table computes once (one
+    corpus scan); each of the k steps joins candidates against the
+    ≤k-row broadcast selected set for the redundancy penalty, takes
+    a 1-row argmax (ties → smallest id), and never collects the
+    corpus. Cosines evaluate through the fold-form :func:`cosine`,
+    measured bit-equal to DuckDB's list_cosine_similarity, so the
+    chained argmax replays cross-engine."""
+    if mu is None:
+        mu = 1.0 - lam
+    spark = corpus.sparkSession
+    q_row = (
+        corpus.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>").alias("qv"))
+        .collect()
+    )
+    if not q_row:
+        raise ValueError(f"query id {query_id!r} not in corpus")
+    qlit = F.array(*[F.lit(float(x)) for x in q_row[0].qv])
+    rel_df = (
+        corpus.filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("rel", cosine(F.col("cv"), qlit))
+        .persist()
+    )
+    sel: list = []
+    out_rows = []
+    try:
+        for step in range(1, k + 1):
+            cand = rel_df
+            if sel:
+                cand = cand.filter(
+                    ~F.col("cid").isin([i for i, _ in sel])
+                )
+                sel_df = spark.createDataFrame(
+                    [(i, list(v)) for i, v in sel], "sid long, sv array<double>"
+                )
+                cand = (
+                    cand.crossJoin(F.broadcast(sel_df))
+                    .groupBy("cid", "rel")
+                    .agg(F.max(cosine(F.col("cv"), F.col("sv"))).alias("mp"))
+                )
+            else:
+                cand = cand.select("cid", "rel", F.lit(0.0).alias("mp"))
+            scored = cand.withColumn(
+                "score", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("mp")
+            )
+            top = (
+                scored.orderBy(F.desc("score"), F.asc("cid")).limit(1).collect()
+            )
+            if not top:
+                break
+            pick = top[0]
+            vec = (
+                rel_df.filter(F.col("cid") == pick["cid"])
+                .select("cv")
+                .collect()[0]
+                .cv
+            )
+            sel.append((pick["cid"], vec))
+            out_rows.append(
+                (step, pick["cid"], float(pick["score"]), float(pick["rel"]))
+            )
+        res = spark.createDataFrame(
+            out_rows, "step int, vec_id long, score double, rel double"
+        )
+        return res.select(
+            "step",
+            "vec_id",
+            F.round("score", 6).alias("score"),
+            F.round("rel", 6).alias("rel"),
+        )
+    finally:
+        rel_df.unpersist()

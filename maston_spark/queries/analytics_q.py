@@ -1575,3 +1575,55 @@ def q214_token_gini(spark, sf_dir):
         )
     )
     return group_gini(d, "source", "x").orderBy("source")
+
+
+@query(
+    "q216_rater_kappa",
+    oracle="""
+    WITH d AS (SELECT
+                 CAST(len(string_split(text, ' ')) >= 50 AS VARCHAR) AS a,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                      * 2 >= len(string_split(text, ' ')) AS VARCHAR) AS b
+               FROM documents WHERE text IS NOT NULL),
+    cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY a, b),
+    r AS (SELECT a, sum(n) AS ra FROM cells GROUP BY a),
+    c AS (SELECT b, sum(n) AS cb FROM cells GROUP BY b),
+    s AS (SELECT coalesce(sum(ra::HUGEINT * cb), 0) AS s
+          FROM r JOIN c ON c.b = r.a),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS N,
+                 CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS dg
+          FROM cells)
+    SELECT N AS n_rows,
+           round(CAST(dg AS DOUBLE) / N, 6) AS po,
+           round(CAST(s AS DOUBLE) / (CAST(N AS DOUBLE) * N), 6) AS pe,
+           CASE WHEN N::HUGEINT * N - s > 0 THEN
+             round(CAST(N::HUGEINT * dg - s AS DOUBLE)
+                   / CAST(N::HUGEINT * N - s AS DOUBLE), 6)
+           END AS kappa
+    FROM t, s
+    """,
+)
+def q216_rater_kappa(spark, sf_dir):
+    """Cohen's kappa between two cheap quality raters over the
+    corpus — rater A: doc has >= 50 tokens; rater B: at least half
+    the tokens are distinct (low repetition). Raw agreement flatters
+    any pair of mostly-keep raters; kappa subtracts the agreement
+    their marginals produce by chance — the labeling-pipeline gate
+    run before trusting heuristic labels. Exact contingency
+    arithmetic, one closing IEEE division. See
+    :func:`maston_spark.evaluation.cohens_kappa` (Cohen 1960)."""
+    from maston_spark.evaluation import cohens_kappa
+
+    toks = F.split(F.col("text"), " ")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.size(toks) >= 50).cast("string").alias("a"),
+            (
+                F.size(F.array_distinct(toks)) * 2 >= F.size(toks)
+            ).cast("string").alias("b"),
+        )
+    )
+    return cohens_kappa(d, "a", "b")

@@ -5143,3 +5143,76 @@ def q209_hard_negatives(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.hard_negatives(emb, query_ids=list(range(10)), k=5)
+
+
+def _mmr_sql(k: int, lam: float, mu: float) -> str:
+    """k chained MMR argmax stages, every CTE MATERIALIZED (plain
+    CTEs re-inline per reference — the q204 lesson)."""
+    stages = [
+        "c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings)",
+        "qv AS MATERIALIZED (SELECT v AS q FROM c WHERE vec_id = 0)",
+        "rel AS MATERIALIZED (SELECT c.vec_id, c.v, "
+        "list_cosine_similarity(q, v) AS rel FROM c, qv "
+        "WHERE c.vec_id <> 0)",
+    ]
+    selects = []
+    prev_sel = None
+    for i in range(1, k + 1):
+        if prev_sel is None:
+            stages.append(
+                f"p{i} AS MATERIALIZED (SELECT vec_id, {lam!r} * rel AS score, "
+                f"rel FROM rel ORDER BY score DESC, vec_id LIMIT 1)"
+            )
+            stages.append(
+                f"s{i} AS MATERIALIZED (SELECT vec_id, v FROM rel "
+                f"WHERE vec_id = (SELECT vec_id FROM p{i}))"
+            )
+        else:
+            stages.append(
+                f"g{i} AS MATERIALIZED (SELECT r.vec_id, r.rel, "
+                f"max(list_cosine_similarity(r.v, s.v)) AS mp "
+                f"FROM rel r, {prev_sel} s "
+                f"WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev_sel}) "
+                f"GROUP BY r.vec_id, r.rel)"
+            )
+            stages.append(
+                f"p{i} AS MATERIALIZED (SELECT vec_id, "
+                f"{lam!r} * rel - {mu!r} * mp AS score, rel FROM g{i} "
+                f"ORDER BY score DESC, vec_id LIMIT 1)"
+            )
+            stages.append(
+                f"s{i} AS MATERIALIZED (SELECT vec_id, v FROM {prev_sel} "
+                f"UNION ALL SELECT r.vec_id, r.v FROM rel r "
+                f"WHERE r.vec_id = (SELECT vec_id FROM p{i}))"
+            )
+        prev_sel = f"s{i}"
+        selects.append(
+            f"SELECT {i} AS step, (SELECT vec_id FROM p{i}) AS vec_id, "
+            f"round((SELECT score FROM p{i}), 6) AS score, "
+            f"round((SELECT rel FROM p{i}), 6) AS rel"
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + "\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY step"
+    )
+
+
+@query("q215_mmr_rerank", oracle=_mmr_sql(5, 0.7, 0.3))
+def q215_mmr_rerank(spark, sf_dir):
+    """Maximal-Marginal-Relevance re-ranking of the corpus against
+    anchor vector 0: five picks trading relevance against redundancy
+    (lam=0.7) — the diversified-retrieval step a RAG stack runs
+    after ANN so the context window isn't five copies of one
+    passage. The oracle replays all five argmax stages as chained
+    MATERIALIZED SQL; cosines are the fold-form dot measured
+    bit-equal to list_cosine_similarity. See
+    :func:`maston_spark.llm.similarity.mmr_rerank` (Carbonell &
+    Goldstein 1998)."""
+    from maston_spark.llm import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.mmr_rerank(emb, query_id=0, k=5, lam=0.7, mu=0.3)

@@ -60,3 +60,21 @@ def test_calibration_bins_exact_rates(spark):
     out = {r.bin: (r.n_rows, r.pos_rate) for r in calibration_bins(df, "s", "y").collect()}
     assert out[0] == (3, pytest.approx(1 / 3, abs=1e-6))
     assert out[9] == (3, pytest.approx(2 / 3, abs=1e-6))
+
+
+def test_cohens_kappa_textbook_case(spark):
+    """Cohen 1960 textbook confusion matrix: diag (20, 15), off-diag
+    (5, 10), N=50 -> po=0.7, pe=0.5, kappa=0.4; perfect constant
+    agreement (pe=1) -> NULL."""
+    from maston_spark.evaluation import cohens_kappa
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = cohens_kappa(df, "a", "b").collect()
+    assert (r.n_rows, r.po, r.pe, r.kappa) == (50, 0.7, 0.5, 0.4)
+    [r2] = cohens_kappa(
+        spark.createDataFrame([("k", "k")] * 9, "a string, b string"), "a", "b"
+    ).collect()
+    assert r2.kappa is None and r2.po == 1.0
