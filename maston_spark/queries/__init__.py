@@ -269,7 +269,7 @@ _PRIORITY = [
     # bins, Gini concentration — train/apply/EVALUATE without
     # leaving the DataFrame algebra
     "q212_group_auc", "q213_calibration_bins", "q214_token_gini",
-    "q215_mmr_rerank", "q216_rater_kappa",
+    "q215_mmr_rerank", "q216_rater_kappa", "q217_join_size_estimate",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

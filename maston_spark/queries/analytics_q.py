@@ -1627,3 +1627,61 @@ def q216_rater_kappa(spark, sf_dir):
         )
     )
     return cohens_kappa(d, "a", "b")
+
+
+@query(
+    "q217_join_size_estimate",
+    oracle="""
+    WITH ls AS (SELECT unnest(range(0, 16)) AS l),
+    la AS (SELECT l, CAST(sum(CASE WHEN substring(
+                 md5(o_orderkey::VARCHAR), 17 + l, 1) >= '8'
+               THEN 1 ELSE -1 END) AS BIGINT) AS t
+           FROM orders, ls WHERE o_orderkey IS NOT NULL GROUP BY l),
+    lb AS (SELECT l, CAST(sum(CASE WHEN substring(
+                 md5(l_orderkey::VARCHAR), 17 + l, 1) >= '8'
+               THEN 1 ELSE -1 END) AS BIGINT) AS t
+           FROM lineitem, ls WHERE l_orderkey IS NOT NULL GROUP BY l),
+    d AS (SELECT CAST(sum(la.t * lb.t) AS BIGINT) AS dt
+          FROM la JOIN lb ON lb.l = la.l),
+    n AS (SELECT
+            (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders) AS n_a,
+            (SELECT CAST(count(l_orderkey) AS BIGINT) FROM lineitem) AS n_b,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM orders o JOIN lineitem li
+               ON li.l_orderkey = o.o_orderkey) AS exact_join_size)
+    SELECT n_a, n_b, CAST(dt AS DOUBLE) / 16.0 AS est_join_size,
+           exact_join_size,
+           round(abs(CAST(dt AS DOUBLE) / 16.0 - exact_join_size), 4)
+             AS abs_err
+    FROM n, d
+    """,
+)
+def q217_join_size_estimate(spark, sf_dir):
+    """Join-size prediction WITHOUT running the join: the AMS
+    inner-product estimator (Alon, Gibbons, Matias, Szegedy 1999)
+    predicts |orders ⋈ lineitem on orderkey| from two independent
+    one-pass sign sketches — mean over 16 lanes of tA·tB, exact
+    integer lane totals, one IEEE division — graded bit-for-bit
+    beside the exact join count (the garnish: at 100 TB you'd run
+    the estimate precisely to decide whether the join is runnable).
+    Completes the join-planning battery: q167/q181 profile key
+    distinctness and per-side skew, this prices the OUTPUT. See
+    :func:`maston_spark.sketches.ams_join_size`."""
+    from maston_spark.sketches import ams_join_size
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    est = ams_join_size(o, "o_orderkey", li, "l_orderkey", n_lanes=16)
+    exact = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact).select(
+        "n_a",
+        "n_b",
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            F.abs(F.col("est_join_size") - F.col("exact_join_size")), 4
+        ).alias("abs_err"),
+    )

@@ -1169,3 +1169,60 @@ def table_sketch_profile(
         finish,
         schema="column string, n_rows long, n_distinct_est double, f2_est double",
     )
+
+
+def ams_join_size(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    n_lanes: int = 16,
+) -> DataFrame:
+    """Join-SIZE estimate from AMS sign sketches (Alon, Gibbons,
+    Matias, Szegedy 1999 — the inner-product extension of the F₂
+    sketch): ``|A ⋈ B on key| = Σ_k f_A(k)·f_B(k)`` is estimated by
+    ``mean_l(tA_l · tB_l)`` where ``t_l = Σ_rows ±1`` are per-side
+    lane totals under the SAME hash lanes — one row:
+    ``(n_a, n_b, est_join_size)``. The third member of the
+    join-planning battery: q167/q181 estimate key distinctness and
+    per-side skew; this predicts the JOIN OUTPUT itself — the number
+    that decides whether the join is even runnable — from two
+    one-pass scans that never touch each other.
+
+    Deterministic and oracle-replayable like :func:`ams_f2`: the 16
+    sign lanes are the high bits of md5(key) hex digits 17..32 (the
+    q181 single-hash convention), lane totals are exact int64
+    (combiner-reduced, O(lanes) state), the dot product is exact
+    integer arithmetic, and the single IEEE operation is the final
+    /n_lanes. Variance is O(F₂(A)·F₂(B)/L) — tight when neither
+    side is pathologically skewed, which q181's per-side F₂ columns
+    already report."""
+    if n_lanes > 16:
+        raise ValueError("ams_join_size lanes come from 16 hex digits")
+
+    def lane_totals(df: DataFrame, col: str, prefix: str) -> DataFrame:
+        m = F.md5(F.col(col).cast("string"))
+        aggs = [F.count(F.lit(1)).cast("long").alias(f"{prefix}n")]
+        for l in range(n_lanes):
+            sign = F.when(
+                F.substring(m, 17 + l, 1) >= "8", F.lit(1)
+            ).otherwise(F.lit(-1))
+            aggs.append(F.sum(sign).cast("long").alias(f"{prefix}t{l}"))
+        return df.filter(F.col(col).isNotNull()).agg(*aggs)
+
+    ta = lane_totals(a, a_col, "a")
+    tb = lane_totals(b, b_col, "b")
+    dot = None
+    for l in range(n_lanes):
+        term = F.col(f"at{l}") * F.col(f"bt{l}")
+        dot = term if dot is None else dot + term
+    return (
+        ta.crossJoin(tb)  # two 1-row frames
+        .select(
+            F.col("an").alias("n_a"),
+            F.col("bn").alias("n_b"),
+            (dot.cast("double") / F.lit(float(n_lanes))).alias(
+                "est_join_size"
+            ),
+        )
+    )

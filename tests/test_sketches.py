@@ -499,3 +499,25 @@ def test_hll_estimate_within_tolerance(spark):
     df = spark.createDataFrame(rows, "g string, v string")
     [r] = hll_estimate(hll_registers(df, "g", "v"), "g").collect()
     assert abs(r.n_distinct_est - 5000) / 5000 < 4 * 1.04 / 16, r
+
+
+def test_ams_join_size_reasonable_and_exact_lanes(spark):
+    """The AMS inner-product join-size estimate lands within the
+    O(sqrt(F2a*F2b/L)) error band of the true join size on a
+    fan-out join, and lane totals are partition-invariant."""
+    import math
+
+    from maston_spark.sketches import ams_join_size
+
+    # A: keys 0..99 once; B: key k repeated (k % 5 + 1) times
+    a = spark.createDataFrame([(k,) for k in range(100)], "ka long")
+    b = spark.createDataFrame(
+        [(k,) for k in range(100) for _ in range(k % 5 + 1)], "kb long"
+    )
+    true = sum(k % 5 + 1 for k in range(100))
+    [r1] = ams_join_size(a.repartition(1), "ka", b.repartition(1), "kb").collect()
+    [r7] = ams_join_size(a.repartition(7), "ka", b.repartition(3), "kb").collect()
+    assert r1.est_join_size == r7.est_join_size  # exact lane sums
+    f2a, f2b = 100, sum((k % 5 + 1) ** 2 for k in range(100))
+    sigma = math.sqrt(f2a * f2b / 16)
+    assert abs(r1.est_join_size - true) < 4 * sigma, (r1, true, sigma)
