@@ -198,3 +198,68 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             den > 0, F.round(num.cast("double") / den.cast("double"), 6)
         ).alias("kappa"),
     )
+
+
+def spearman_corr(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact Spearman rank correlation per group —
+    ``(group, n_rows, rho)`` — the MONOTONE-association check between
+    two signals (do two quality scores order documents the same way),
+    robust where Pearson on raw values is leverage-dominated. Ties
+    get midranks (the standard correction), and the whole statistic
+    is Pearson on DOUBLED midranks ``2·mid = 2·rank + cnt − 1``
+    (integers!): every sum is exact decimal(38,0), the two sqrt are
+    correctly-rounded IEEE, one closing division, round 6 — the
+    oracle replays it bit-for-bit. Constant columns (zero rank
+    variance) emit NULL.
+
+    Scale shape: two rank windows on the SAME group partitioning
+    (one hash shuffle, sorts reused) + one combiner-reduced moment
+    aggregation — never an n² pair comparison (Kendall's tau is the
+    pairwise member; Spearman is the one with a distributed
+    rank-sum form)."""
+    wx = Window.partitionBy(group_col).orderBy(x_col)
+    wxt = Window.partitionBy(group_col, x_col)
+    wy = Window.partitionBy(group_col).orderBy(y_col)
+    wyt = Window.partitionBy(group_col, y_col)
+    ranked = df.select(
+        F.col(group_col),
+        (
+            F.lit(2) * F.rank().over(wx)
+            + F.count(F.lit(1)).over(wxt)
+            - F.lit(1)
+        ).alias("__x2"),
+        (
+            F.lit(2) * F.rank().over(wy)
+            + F.count(F.lit(1)).over(wyt)
+            - F.lit(1)
+        ).alias("__y2"),
+    )
+    dec = "decimal(38,0)"
+    x2 = F.col("__x2").cast(dec)
+    y2 = F.col("__y2").cast(dec)
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(x2).alias("__sx"),
+        F.sum(y2).alias("__sy"),
+        F.sum(x2 * y2).alias("__sxy"),
+        F.sum(x2 * x2).alias("__sxx"),
+        F.sum(y2 * y2).alias("__syy"),
+    )
+    n = F.col("n_rows").cast(dec)
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        group_col,
+        "n_rows",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ),
+        ).alias("rho"),
+    )

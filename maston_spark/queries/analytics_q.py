@@ -1685,3 +1685,56 @@ def q217_join_size_estimate(spark, sf_dir):
             F.abs(F.col("est_join_size") - F.col("exact_join_size")), 4
         ).alias("abs_err"),
     )
+
+
+@query(
+    "q218_spearman_corr",
+    oracle="""
+    WITH d AS (SELECT source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                      CAST(len(list_distinct(string_split(text, ' ')))
+                           AS BIGINT) AS y
+               FROM documents WHERE text IS NOT NULL),
+    r AS (SELECT source,
+                 2 * rank() OVER (PARTITION BY source ORDER BY x)
+                   + count(*) OVER (PARTITION BY source, x) - 1 AS x2,
+                 2 * rank() OVER (PARTITION BY source ORDER BY y)
+                   + count(*) OVER (PARTITION BY source, y) - 1 AS y2
+          FROM d),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                 sum(x2::HUGEINT) AS sx, sum(y2::HUGEINT) AS sy,
+                 sum(x2::HUGEINT * y2) AS sxy,
+                 sum(x2::HUGEINT * x2) AS sxx,
+                 sum(y2::HUGEINT * y2) AS syy
+          FROM r GROUP BY source)
+    SELECT source, n_rows,
+           CASE WHEN n_rows::HUGEINT * sxx - sx * sx > 0
+                 AND n_rows::HUGEINT * syy - sy * sy > 0 THEN
+             round(CAST(n_rows::HUGEINT * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n_rows::HUGEINT * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n_rows::HUGEINT * syy - sy * sy
+                                  AS DOUBLE))), 6)
+           END AS rho
+    FROM a ORDER BY source
+    """,
+)
+def q218_spearman_corr(spark, sf_dir):
+    """Exact Spearman rank correlation per source between document
+    length and vocabulary size — do the two signals order documents
+    the same way (the monotone-association check run before one
+    score proxies for another). Midrank tie correction keeps every
+    sum an exact integer; two rank windows share one hash shuffle.
+    See :func:`maston_spark.evaluation.spearman_corr`."""
+    from maston_spark.evaluation import spearman_corr
+
+    toks = F.split(F.col("text"), " ")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.size(toks).cast("long").alias("x"),
+            F.size(F.array_distinct(toks)).cast("long").alias("y"),
+        )
+    )
+    return spearman_corr(d, "source", "x", "y").orderBy("source")

@@ -78,3 +78,51 @@ def test_cohens_kappa_textbook_case(spark):
         spark.createDataFrame([("k", "k")] * 9, "a string, b string"), "a", "b"
     ).collect()
     assert r2.kappa is None and r2.po == 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_spearman_matches_scipy_free_reference(spark, pairs):
+    """For ANY integer pairs (ties included): spearman_corr equals
+    Pearson on midranks computed in plain python."""
+    from maston_spark.evaluation import spearman_corr
+
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pairs], "g string, x long, y long"
+    ).repartition(3)
+    [r] = spearman_corr(df, "g", "x", "y").collect()
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for t in range(i, j):
+                out[order[t]] = mid
+            i = j
+        return out
+
+    xs = midranks([x for x, _ in pairs])
+    ys = midranks([y for _, y in pairs])
+    n = len(pairs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    vx = sum((a - mx) ** 2 for a in xs)
+    vy = sum((b - my) ** 2 for b in ys)
+    if vx == 0 or vy == 0:
+        assert r.rho is None
+    else:
+        assert r.rho == pytest.approx(cov / (vx**0.5 * vy**0.5), abs=1e-6)
