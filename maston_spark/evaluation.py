@@ -263,3 +263,43 @@ def spearman_corr(
             ),
         ).alias("rho"),
     )
+
+
+def wilson_interval(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score interval per group for a binary rate —
+    ``(group, n_rows, n_pos, rate, lo, hi)`` — the error bar a
+    keep-rate / defect-rate dashboard should carry instead of the
+    raw proportion (the normal approximation collapses at small n
+    or extreme rates; Wilson 1927 stays inside [0,1] and behaves at
+    n_pos = 0). Deterministic cross-engine: inputs are exact integer
+    counts, ``z`` is an embedded literal (default: the double
+    nearest the 97.5% normal quantile), and the formula is a fixed
+    IEEE expression tree both engines evaluate identically (sqrt is
+    correctly rounded); outputs round to 6. One combiner-reduced
+    aggregation."""
+    lab = F.col(flag_col).cast("int")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(lab).cast("long").alias("n_pos"),
+    )
+    n = F.col("n_rows").cast("double")
+    p = F.col("n_pos").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return agg.select(
+        group_col,
+        "n_rows",
+        "n_pos",
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("lo"),
+        F.round((center + margin) / denom, 6).alias("hi"),
+    )

@@ -271,6 +271,7 @@ _PRIORITY = [
     "q212_group_auc", "q213_calibration_bins", "q214_token_gini",
     "q215_mmr_rerank", "q216_rater_kappa", "q217_join_size_estimate",
     "q218_spearman_corr", "q219_compaction_plan",
+    "q220_wilson_keep_rate",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
     "q23_topk_per_group", "q51_quality_score",
     "q67_exists_subquery", "q71_in_subquery",

@@ -1778,3 +1778,51 @@ def q219_compaction_plan(spark, sf_dir):
         )
     )
     return compaction_plan(d, "id", "sz", target=500)
+
+
+@query(
+    "q220_wilson_keep_rate",
+    oracle="""
+    WITH d AS (SELECT source,
+                 CASE WHEN len(string_split(text, ' ')) >= 50
+                      THEN 1 ELSE 0 END AS y
+               FROM documents WHERE text IS NOT NULL),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(y) AS BIGINT) AS n_pos
+          FROM d GROUP BY source),
+    w AS (SELECT source, n_rows, n_pos,
+                 CAST(n_pos AS DOUBLE) / n_rows AS p,
+                 CAST(n_rows AS DOUBLE) AS n,
+                 1.959963984540054 * 1.959963984540054 AS z2
+          FROM a)
+    SELECT source, n_rows, n_pos, round(p, 6) AS rate,
+           round((p + z2 / (2.0 * n)
+                  - 1.959963984540054
+                    * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)))
+                 / (1.0 + z2 / n), 6) AS lo,
+           round((p + z2 / (2.0 * n)
+                  + 1.959963984540054
+                    * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)))
+                 / (1.0 + z2 / n), 6) AS hi
+    FROM w ORDER BY source
+    """,
+)
+def q220_wilson_keep_rate(spark, sf_dir):
+    """Wilson 95% score interval on each source's keep rate (>= 50
+    tokens) — the error bar a curation dashboard should print next
+    to every per-source rate before anyone compares them (Wilson
+    1927: stays in [0,1], sane at extreme rates, unlike the normal
+    approximation). Exact counts in, one fixed IEEE expression tree
+    replayed by the oracle. See
+    :func:`maston_spark.evaluation.wilson_interval`."""
+    from maston_spark.evaluation import wilson_interval
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            (F.size(F.split(F.col("text"), " ")) >= 50).cast("int").alias("y"),
+        )
+    )
+    return wilson_interval(d, "source", "y").orderBy("source")

@@ -126,3 +126,24 @@ def test_spearman_matches_scipy_free_reference(spark, pairs):
         assert r.rho is None
     else:
         assert r.rho == pytest.approx(cov / (vx**0.5 * vy**0.5), abs=1e-6)
+
+
+def test_wilson_interval_textbook_and_edges(spark):
+    """Wilson 95% for 8/10 -> (0.49, 0.943) (textbook values); the
+    n_pos=0 edge stays inside [0,1] with a nonzero upper bound."""
+    from maston_spark.evaluation import wilson_interval
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("z", 0)] * 20
+    df = spark.createDataFrame(rows, "g string, y int")
+    out = {r.g: r for r in wilson_interval(df, "g", "y").collect()}
+    a = out["a"]
+    assert (a.n_rows, a.n_pos, a.rate) == (10, 8, 0.8)
+    z95 = 1.959963984540054
+    n, p = 10.0, 0.8
+    z2 = z95 * z95
+    center, denom = p + z2 / (2 * n), 1 + z2 / n
+    margin = z95 * ((p * (1 - p) / n + z2 / (4 * n * n)) ** 0.5)
+    assert abs(a.lo - (center - margin) / denom) < 1e-6
+    assert abs(a.hi - (center + margin) / denom) < 1e-6
+    z = out["z"]
+    assert z.rate == 0.0 and z.lo == 0.0 and 0 < z.hi < 0.2
