@@ -65,6 +65,12 @@ HEADLINE = [
     "q197_weighted_percentiles",  # token-weighted order statistics
     "q198_quantile_sketch_solo",  # bottom-k sample sketch, no garnish
     "q199_kll_sketch_solo",       # KLL folds + weight check, no garnish
+    # round-12 additions: the newly graded round-11 physics
+    "q206_scd2_history",          # SCD2 gaps-and-islands construction
+    "q207_salted_join",           # skew-salted join (identity-graded)
+    "q208_ts_pattern_search",     # pattern correlation top-k
+    "q212_group_auc",             # exact rank-form AUC (midranks)
+    "q217_join_size_estimate",    # AMS join-size prediction
 ]
 
 # Fixed-work calibration (data-independent): a pure JVM codegen loop
@@ -148,6 +154,14 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    calib = _calibration_sec(spark)
+    # calibration-normalized medians: each query's median divided by
+    # the fixed-work calibration time, so cross-round comparisons are
+    # host-independent by construction (a host 20% slower inflates
+    # both numerator and denominator; the ratio is invariant)
+    queries_norm = {
+        n: round(dispersion[n]["median"] / calib, 3) for n in timings
+    }
     print(
         json.dumps(
             {
@@ -156,7 +170,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "dispersion": dispersion,
-                "calibration": {"range_mulmod_sum_5e8": _calibration_sec(spark)},
+                "calibration": {
+                    "key": "range_mulmod_sum_2e9",
+                    "n": _CALIBRATION_N,
+                    "sec": calib,
+                },
+                "queries_norm_by_calibration": queries_norm,
+                "value_norm_by_calibration": round(total / calib, 3),
                 "sf": sf,
             }
         )

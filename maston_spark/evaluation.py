@@ -34,10 +34,18 @@ def group_auc(
     one combiner-reduced aggregation — AUC over a trillion rows
     costs one sort per group partition, never a pairwise
     positive×negative comparison (the naive definition is n₊·n₋
-    pairs)."""
+    pairs).
+
+    Null convention: rows with a NULL label or NULL score are
+    DROPPED before ranking (the library's COUNT(col) null-drop
+    convention — join_key_profile, table_sketch_profile); counting
+    a NULL label as a negative would silently skew every midrank."""
     w = Window.partitionBy(group_col).orderBy(score_col)
     wt = Window.partitionBy(group_col, score_col)
     lab = F.col(label_col).cast("int")
+    df = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    )
     ranked = df.select(
         F.col(group_col),
         lab.alias("__y"),

@@ -833,9 +833,27 @@ def greedy_token_coverage(
             # bound lineage growth across iterations (k is small, but
             # the covered set is query-lineage otherwise k-deep)
             covered = covered.localCheckpoint(eager=True)
+        # the doc-id field inherits the INPUT id column's type —
+        # hardcoding `long` made string-id corpora fail at the very
+        # end, after all k iterations of work
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        id_type = docs.schema[id_col].dataType
         return spark.createDataFrame(
             out_rows,
-            "step int, doc_id long, n_new_tokens long, n_covered_total long",
+            StructType(
+                [
+                    StructField("step", IntegerType()),
+                    StructField("doc_id", id_type),
+                    StructField("n_new_tokens", LongType()),
+                    StructField("n_covered_total", LongType()),
+                ]
+            ),
         )
     finally:
         tok.unpersist()

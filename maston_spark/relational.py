@@ -1087,26 +1087,6 @@ def cumulative_reach(
     ).orderBy("bucket_ts")
 
 
-def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
-    """Morton / Z-order interleave of the low ``bits`` bits of two
-    integer columns — the space-filling-curve clustering key behind
-    Delta/Iceberg ``ZORDER BY``: sorting (or range-bucketing) rows by
-    this key gives every contiguous run BOUNDED ranges in BOTH
-    dimensions, so a lakehouse's per-file min/max stats can prune
-    scans on EITHER predicate (a single-column sort prunes only its
-    own column). Pure integer codegen expression (shift/mask/add, no
-    UDF); bit i of x lands at position 2i, bit i of y at 2i+1."""
-    xl = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-    yl = y.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-    z = None
-    for i in range(bits):
-        term = F.shiftright(xl, i).bitwiseAND(F.lit(1)) * F.lit(
-            1 << (2 * i)
-        ) + F.shiftright(yl, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
-        z = term if z is None else z + term
-    return z
-
-
 def zorder_layout_report(
     df: DataFrame,
     x_col: str,
@@ -1123,7 +1103,8 @@ def zorder_layout_report(
     decide whether a file can be SKIPPED for a predicate.
 
     ``layout='zorder'`` buckets by the top bits of
-    :func:`zorder_key`; ``layout='single'`` buckets by the top bits
+    :func:`maston_spark.partitioning.morton_interleave` (the shared
+    Z-order primitive); ``layout='single'`` buckets by the top bits
     of ``y`` alone (the sort-by-primary-key default). The report
     makes the 100 TB layout tradeoff measurable: the single-column
     layout drives ``y_span`` to ~1/2^file_bits of the domain but
@@ -1136,8 +1117,13 @@ def zorder_layout_report(
     (hi - lo + 1)`` against the column's observed bounds — raw keys
     that occupy only the low bits of their type would otherwise
     leave the interleave's file-selecting TOP bits constant (one
-    file, no demonstration; measured on TPC-H-ish keys). Spans are
-    reported in normalized units, directly comparable across
+    file, no demonstration; measured on TPC-H-ish keys). The scaling
+    runs in DECIMAL(38,0): int64 math would overflow the
+    ``(v - lo) * 2^bits`` product for column spans ≥ ~2^47
+    (snowflake ids, epoch nanos) and silently corrupt file
+    assignment; decimal holds the full 2^63·2^16 product exactly and
+    the quotient (< 2^bits) casts back to BIGINT losslessly. Spans
+    are reported in normalized units, directly comparable across
     layouts. One bounds aggregation (broadcast 1 row) + one
     projection + one combiner-reduced aggregation per layout — no
     sort, no shuffle beyond the 2·2^file_bits-row agg."""
@@ -1152,10 +1138,14 @@ def zorder_layout_report(
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
     ).crossJoin(F.broadcast(bounds)).selectExpr(
-        f"CAST(((__x - __xlo) * {m}) div (__xhi - __xlo + 1) AS BIGINT) AS xl",
-        f"CAST(((__y - __ylo) * {m}) div (__yhi - __ylo + 1) AS BIGINT) AS yl",
+        f"CAST((CAST(__x AS DECIMAL(38,0)) - __xlo) * {m}"
+        " div (CAST(__xhi AS DECIMAL(38,0)) - __xlo + 1) AS BIGINT) AS xl",
+        f"CAST((CAST(__y AS DECIMAL(38,0)) - __ylo) * {m}"
+        " div (CAST(__yhi AS DECIMAL(38,0)) - __ylo + 1) AS BIGINT) AS yl",
     )
-    z = zorder_key(F.col("xl"), F.col("yl"), bits)
+    from maston_spark.partitioning import morton_interleave
+
+    z = morton_interleave([F.col("xl"), F.col("yl")], bits)
     zf = norm.select(
         F.lit("zorder").alias("layout"),
         F.shiftright(z, 2 * bits - file_bits).cast("int").alias("file_id"),
@@ -1233,6 +1223,18 @@ def scd2_history(
     )
 
 
+_SALTED_JOIN_TYPES = {
+    "inner",
+    "left",
+    "left_outer",
+    "leftouter",
+    "left_semi",
+    "leftsemi",
+    "left_anti",
+    "leftanti",
+}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -1240,33 +1242,55 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-defeating INNER equi-join: the big (skewed) ``left`` side
-    gets a per-row salt in ``[0, n_salts)``; the smaller ``right``
-    side replicates each row ``n_salts`` times (posexplode of a
-    constant array — no Python); the join key becomes
-    ``(on, salt)``, splitting every hot key's rows across n_salts
-    tasks. The RESULT is exactly the plain join (salting is a
-    partitioning trick, not a semantics change — q207 grades that
-    identity against the unsalted oracle). The "act" half of the
-    :func:`key_skew_report` diagnostic (q129): when one key carries
-    far above 1/tasks of the rows and the right side is too big to
-    broadcast, AQE's skew-join split handles moderate skew at
-    runtime; explicit salting is the deterministic heavy hammer for
-    the "one key is half the table" regime and for non-AQE engines.
+    """Skew-defeating equi-join: the big (skewed) ``left`` side gets
+    a per-row salt in ``[0, n_salts)``; the smaller ``right`` side
+    replicates each row ``n_salts`` times (posexplode of a constant
+    array — no Python); the join key becomes ``(on, salt)``,
+    splitting every hot key's rows across n_salts tasks. The RESULT
+    is exactly the plain join (salting is a partitioning trick, not
+    a semantics change — q207 grades that identity against the
+    unsalted oracle). The "act" half of the :func:`key_skew_report`
+    diagnostic (q129): when one key carries far above 1/tasks of the
+    rows and the right side is too big to broadcast, AQE's skew-join
+    split handles moderate skew at runtime; explicit salting is the
+    deterministic heavy hammer for the "one key is half the table"
+    regime and for non-AQE engines.
 
-    Only ``how='inner'`` is supported: under replication an OUTER
-    join would emit one unmatched row PER SALT for a right row with
-    no left partner — correct outer salting needs a post-join
-    dedup/anti pass that costs more than it saves; keep outer joins
-    unsalted (or pre-filter to the hot keys and union two plans).
+    Only LEFT-preserving join types are supported (``inner``,
+    ``left``/``left_outer``, ``left_semi``, ``left_anti``): each left
+    row carries exactly one salt, so it matches (or misses) exactly
+    the one right replica carrying that salt — multiplicity is
+    unchanged. ``right``/``full`` would emit each UNMATCHED right row
+    once per replica (n_salts copies instead of one); flip the sides
+    (salting is asymmetric by design) or keep outer joins unsalted.
 
-    The salt is ``pmod(xxhash64(<left columns>), n_salts)`` — a pure
-    projection, deterministic per row content, uniform enough to
-    split a hot key's occurrences evenly."""
-    if how != "inner":
-        raise ValueError("salted_join supports inner joins only (see docstring)")
+    The salt mixes the row content with a per-row disambiguator:
+    ``pmod(xxhash64(<left columns>, monotonically_increasing_id()),
+    n_salts)``. Content alone degenerates exactly where salting
+    matters most — when a hot key's rows are IDENTICAL (a key-only
+    projection, a deduplicated fact, repeated events), a pure
+    content hash sends every occurrence to ONE salt and the hot key
+    still lands in a single task while every query pays the
+    n_salts× replication. The id term splits identical rows evenly;
+    it is partition-layout-dependent, which is safe here because the
+    join output is salt-INVARIANT (each row matches the same right
+    partner whatever its salt — certified by q207 and the
+    repartition-identity test)."""
+    if how not in _SALTED_JOIN_TYPES:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTED_JOIN_TYPES)}; got {how!r} — "
+            "right/full would duplicate unmatched right rows n_salts times "
+            "(swap the sides instead: salting is left-side-specific)"
+        )
     lj = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in left.columns],
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(n_salts),
+        ).cast("int"),
     )
     rj = right.select(
         "*",
@@ -1274,7 +1298,7 @@ def salted_join(
             "__pos", "__salt"
         ),
     ).drop("__pos")
-    out = lj.join(rj, [on, "__salt"], "inner").drop("__salt")
+    out = lj.join(rj, [on, "__salt"], how).drop("__salt")
     return out
 
 

@@ -38,6 +38,24 @@ def test_group_auc_matches_pairwise_definition(spark, rows):
     assert r.auc == pytest.approx(wins / (len(pos) * len(neg)), abs=1e-6)
 
 
+def test_group_auc_drops_null_labels_and_scores(spark):
+    """Regression (round-12 advice): rows with a NULL label were
+    counted as NEGATIVES (count(*) - sum(y)) and their midranks
+    entered the rank sums, silently skewing AUC. The null convention
+    is COUNT(col)-style DROP — the AUC over (labeled, scored) rows
+    only."""
+    from maston_spark.evaluation import group_auc
+
+    clean = [("g", 0.2, 0), ("g", 0.5, 1), ("g", 0.8, 1), ("g", 0.4, 0)]
+    noisy = clean + [("g", 0.9, None), ("g", 0.1, None), ("g", None, 1)]
+    df_clean = spark.createDataFrame(clean, "g string, s double, y int")
+    df_noisy = spark.createDataFrame(noisy, "g string, s double, y int")
+    [rc] = group_auc(df_clean, "g", "s", "y").collect()
+    [rn] = group_auc(df_noisy, "g", "s", "y").collect()
+    assert (rn.n_pos, rn.n_neg, rn.auc) == (rc.n_pos, rc.n_neg, rc.auc)
+    assert rn.n_neg == 2  # NULL labels did NOT count as negatives
+
+
 def test_group_gini_known_cases(spark):
     """Uniform values -> G = 0; one owner of everything (n=4) ->
     G = (n-1)/n = 0.75."""

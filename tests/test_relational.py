@@ -959,15 +959,19 @@ def test_binned_tvd_drift_single_group_emits_null(spark):
 
 
 def test_zorder_key_interleaves_bits(spark):
-    """zorder_key(x, y) == the reference Morton interleave for a grid
-    of small values (bit i of x at position 2i, y at 2i+1)."""
-    from maston_spark.relational import zorder_key
+    """morton_interleave(x, y) == the reference Morton interleave for
+    a grid of small values (bit i of x at position 2i, y at 2i+1) —
+    the shared primitive under both zorder_key and
+    zorder_layout_report."""
+    from maston_spark.partitioning import morton_interleave
 
     rows = [(x, y) for x in range(8) for y in range(8)]
     df = spark.createDataFrame(rows, "x int, y int")
     got = {
         (r.x, r.y): r.z
-        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 4).alias("z")).collect()
+        for r in df.select(
+            "x", "y", morton_interleave([F.col("x"), F.col("y")], 4).alias("z")
+        ).collect()
     }
 
     def morton(x, y):
@@ -1046,7 +1050,7 @@ def test_scd2_history_runs_and_intervals(spark):
 def test_salted_join_equals_plain_join(spark):
     """Salting is a pure partitioning trick: the salted inner join's
     result multiset equals the plain join's, including duplicate
-    keys on both sides; outer joins are rejected."""
+    keys on both sides; right/full joins are rejected."""
     import pytest as _pytest
 
     from maston_spark.relational import salted_join
@@ -1066,8 +1070,39 @@ def test_salted_join_equals_plain_join(spark):
         (r.k, r.lv, r.rv) for r in left.join(right, "k", "inner").collect()
     )
     assert got == plain and len(plain) == 7
-    with _pytest.raises(ValueError, match="inner"):
-        salted_join(left, right, "k", how="left")
+    with _pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(left, right, "k", how="full")
+
+
+def test_salted_join_spreads_identical_rows(spark):
+    """Regression (round-12 advice): a pure content-hash salt
+    degenerates exactly where salting matters most — when a hot
+    key's rows are byte-identical (key-only projection, deduplicated
+    fact, repeated events), every occurrence hashes to ONE salt and
+    the hot key still lands in a single task. The per-row
+    disambiguator must spread identical rows across salts."""
+    from maston_spark.relational import salted_join
+
+    # 4000 IDENTICAL left rows (one key, no payload variation)
+    left = spark.range(4000).select(F.lit(7).alias("k")).repartition(8)
+    right = spark.createDataFrame([(7, "hot")], "k int, name string")
+    n_salts = 8
+    lj = left.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in left.columns],
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(n_salts),
+        ).cast("int"),
+    )
+    distinct_salts = lj.select("__salt").distinct().count()
+    assert distinct_salts >= n_salts - 1, distinct_salts
+    # and the join result is still exactly the plain join
+    out = salted_join(left, right, "k", n_salts=n_salts)
+    assert out.count() == 4000
+    assert out.select("name").distinct().collect()[0].name == "hot"
 
 
 @settings(max_examples=8, deadline=None)
