@@ -638,6 +638,13 @@ def domain_water_fill(
     Distributed shape: ONE combiner-reduced count collapses the
     corpus to |domains| rows; the bracket search is a window over
     that table; the chosen level broadcasts back as a 1-row join.
+
+    PRECONDITION — bounded domain count: the bracket-search windows
+    are partition-less ``Window.orderBy`` over the |domains|-row
+    sizes table, so ``domain_col`` must be a genuinely LOW-cardinality
+    grouping (sources, languages, buckets — thousands, not millions).
+    For an unbounded key (per-URL, per-user), pre-bucket the key or
+    rank with :func:`maston_spark.relational.global_rank` first.
     """
     size_agg = (
         F.sum(F.col(weight_col)) if weight_col is not None else F.count(F.lit(1))

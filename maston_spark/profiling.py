@@ -354,6 +354,17 @@ def ks_drift(
     equi-keyed join of the two SMALL distinct frames, and the
     cumulative windows are partitioned per group over that bounded
     grid — the corpus is scanned once and never re-shuffled.
+
+    PRECONDITION — bounded distinct-value domain: the merged-grid CDF
+    (including one partition-less cumulative window over the
+    |values|-row per-value totals) is sized by DISTINCT values, so
+    ``value_col`` must be discrete or pre-binned (counts, grades,
+    bucketed scores). For genuinely continuous columns whose distinct
+    count approaches the row count, bin first —
+    :func:`binned_tvd_drift` is the bounded-by-construction drift
+    twin (fixed decile edges), or quantize via
+    :func:`ref_bin_edges` + :func:`bucket_of_edges` and run the KS
+    max over bin boundaries.
     """
     from maston_spark.caching import scoped_persist
 

@@ -2168,12 +2168,17 @@ def q117_zipf_fit(spark, sf_dir):
 
     Scale shape: term frequencies are one combiner-reduced hash agg
     (shuffle carries the VOCABULARY, not the corpus); the global
-    rank window runs over vocabulary rows only (bounded by distinct
-    terms, not corpus size); the regression sums are
-    round-to-9 → DECIMAL(28,9) so the single-row answer is
-    summation-order-exact across engines.
+    vocabulary rank uses the TWO-PHASE prefix pattern
+    (:func:`maston_spark.relational.global_rank` — range-partition by
+    (freq desc, tok), per-partition offsets from a |partitions|-row
+    collect, rank = offset + local position): a partition-less
+    ``Window.orderBy`` would pull the whole vocabulary through ONE
+    task, and web-scale text has an effectively unbounded vocabulary
+    (~10⁹ distinct tokens at 100 TB — typos, numbers, URLs). The
+    regression sums are round-to-9 → DECIMAL(28,9) so the single-row
+    answer is summation-order-exact across engines.
     """
-    from pyspark.sql import Window
+    from maston_spark.relational import global_rank
 
     d = load_table(spark, sf_dir, "documents").select("text")
     tf = (
@@ -2181,8 +2186,9 @@ def q117_zipf_fit(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
-    ranked = tf.select("freq", F.row_number().over(w).alias("rank"))
+    ranked = global_rank(
+        tf, [F.col("freq").desc(), F.col("tok").asc()], rank_col="rank"
+    ).select("freq", "rank")
     lx, ly = F.log("rank"), F.log("freq")
     dec = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
     xy = ranked.select(

@@ -277,6 +277,81 @@ def exact_percentiles(
     return out.select(*cols)
 
 
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number over an UNBOUNDED domain without the
+    single-task window. The naive formulation —
+    ``row_number() OVER (ORDER BY ...)`` with no partition — pulls
+    every row through one reducer (Spark logs ``WindowExec: No
+    Partition Defined``): fine for a bounded series, a genuine
+    scale-killer for web-scale domains (a 100 TB corpus's vocabulary
+    is ~10⁹ distinct tokens). Two-phase prefix ranking instead — the
+    same distributed-prefix pattern as
+    :func:`maston_spark.llm.sampling.budget_select`:
+
+    1. ``repartitionByRange`` on the sort key (the only full-data
+       shuffle) + ``sortWithinPartitions``, then a PINNED persist so
+       both phases see identical partition boundaries
+       (RangePartitioner samples boundaries per execution; an
+       evicted cache would re-sample and the offsets would silently
+       misalign — same rationale as budget_select's pin).
+    2. A |partitions|-row count aggregate; the driver folds it into
+       exclusive prefix OFFSETS (one long per partition).
+    3. One Arrow-batched ``mapInPandas`` pass emits
+       ``offset[partition] + local position`` — no Window node
+       anywhere in the plan (pinned by a plan test).
+
+    ``order_by`` must be a TOTAL order (include a tiebreaker) for the
+    rank to be deterministic; with ties unbroken, tied rows receive
+    the arbitrary-but-valid ranks of some linearization."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ordered = (
+        df.repartitionByRange(p, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in ordered.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += int(counts[pid])
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(rank_col, LongType())]
+    )
+
+    def number(batches):
+        import numpy as np
+
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["__pid"].iloc[0])]
+            n = len(pdf)
+            out = pdf.drop(columns="__pid")
+            out[rank_col] = np.arange(run + 1, run + n + 1, dtype="int64")
+            run += n
+            yield out
+
+    return ordered.mapInPandas(number, out_schema)
+
+
 def weighted_percentiles(
     df: DataFrame,
     group_col: str,

@@ -391,3 +391,17 @@ def test_zorder_layout_no_sort(spark, sf_dir, qs):
     # the only Sort allowed is the output orderBy on the 64-row report
     body = p.split("TakeOrdered")[0]
     assert body.count("Sort") <= 1, p
+
+
+def test_zipf_rank_has_no_partitionless_window(spark, sf_dir, qs):
+    """q117's vocabulary rank is two-phase (range partition +
+    per-partition offsets + mapInPandas numbering) — no Window node
+    may appear anywhere in the plan: a partition-less
+    ``row_number() OVER (ORDER BY ...)`` pulls the whole vocabulary
+    through ONE task (Spark logs 'WindowExec: No Partition Defined'),
+    and web-scale text has an effectively unbounded vocabulary."""
+    p = plan_of(qs["q117_zipf_fit"](spark, sf_dir))
+    assert "Window" not in p, p
+    # the two-phase shape: one range exchange + the Arrow numbering pass
+    assert "rangepartitioning" in p.lower(), p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p

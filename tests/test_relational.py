@@ -1047,6 +1047,37 @@ def test_scd2_history_runs_and_intervals(spark):
     assert len(cur) == 2
 
 
+def test_global_rank_matches_windowed_row_number(spark):
+    """Two-phase global_rank == the single-task row_number window for
+    a multiset with duplicate sort keys (total order via tiebreaker),
+    across an input partitioning the range exchange must override."""
+    from maston_spark.relational import global_rank
+
+    rows = [(i % 17, f"t{i:04d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "freq int, tok string").repartition(7)
+    got = {
+        (r.freq, r.tok): r.rank
+        for r in global_rank(
+            df, [F.col("freq").desc(), F.col("tok").asc()], rank_col="rank"
+        ).collect()
+    }
+    expected_order = sorted(rows, key=lambda t: (-t[0], t[1]))
+    expected = {kv: i + 1 for i, kv in enumerate(expected_order)}
+    assert got == expected
+    # ranks are a dense 1..n permutation
+    assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_global_rank_empty_and_single_partition(spark):
+    from maston_spark.relational import global_rank
+
+    empty = spark.createDataFrame([], "v int")
+    assert global_rank(empty, [F.col("v").asc()]).count() == 0
+    one = spark.createDataFrame([(5,), (3,), (9,)], "v int")
+    out = {r.v: r.rank for r in global_rank(one, [F.col("v").asc()], num_partitions=1).collect()}
+    assert out == {3: 1, 5: 2, 9: 3}
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting is a pure partitioning trick: the salted inner join's
     result multiset equals the plain join's, including duplicate
