@@ -162,9 +162,7 @@ def main() -> None:
     queries_norm = {
         n: round(dispersion[n]["median"] / calib, 3) for n in timings
     }
-    print(
-        json.dumps(
-            {
+    record = {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
@@ -179,8 +177,18 @@ def main() -> None:
                 "value_norm_by_calibration": round(total / calib, 3),
                 "sf": sf,
             }
-        )
-    )
+    # full local copy: the driver's BENCH_r*.json keeps only a
+    # truncated stdout tail; the sweep's absolute-anomaly flagger
+    # reads per-query medians from here
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "_bench_latest.json"),
+            "w",
+        ) as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout is still the contract
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

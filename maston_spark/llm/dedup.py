@@ -1040,6 +1040,8 @@ def exact_jaccard_simjoin(
     text_col: str = "text",
     tau: float = 0.6,
     shingle_n: int = 3,
+    hot_df_threshold: int = 65536,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard similarity join over word n-shingle
     sets: every pair ``(doc_a, doc_b, n_common, jaccard)`` with
@@ -1073,8 +1075,25 @@ def exact_jaccard_simjoin(
     explode+lead codegen shape (:func:`shingle_lane_rows`'
     measured-10x-faster construction), kept as strings so the join
     and the oracle share keys.
+
+    HOT-SHINGLE skew mitigation: Σ df² witness rows are intrinsic to
+    exactness, but their DISTRIBUTION is not — a stop-shingle like
+    "the of the" with df=10⁶ puts 10¹² join rows inside ONE task's
+    key. Shingles whose document frequency exceeds
+    ``hot_df_threshold`` take a BLOCK-PARTITIONED path: each side
+    buckets its doc id into ``n_blocks`` blocks and replicates across
+    the other side's block index, so the join key becomes
+    ``(sh, u, v)`` and every (a, b) pair is witnessed EXACTLY once —
+    in the one block cell (u=block(a), v=block(b)) — while per-task
+    input drops from df to ~2·df/n_blocks (input replication cost:
+    2·n_blocks·df rows for hot shingles only; the hot set itself is
+    tiny and broadcast). Cold shingles keep the plain equi-join.
+    Completeness is unchanged — this is the algebraic salting of an
+    intersection COUNT (two-level count-sum), not an approximation.
     """
     from pyspark.sql import Window
+
+    from maston_spark.caching import scoped_persist
 
     toks = (
         docs.filter(F.col(text_col).isNotNull())
@@ -1091,7 +1110,7 @@ def exact_jaccard_simjoin(
         F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, shingle_n)
     ]
     last = F.lead("tok", shingle_n - 1).over(w)
-    sh = (
+    sh = scoped_persist(
         toks.select("id", *parts, last.alias("__last"))
         .filter(F.col("__last").isNotNull())
         .select(
@@ -1103,16 +1122,56 @@ def exact_jaccard_simjoin(
         .distinct()
     )
     sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # document frequency per shingle: one combiner-reduced pass over
+    # the (tiny relative to the corpus) shingle table; the HOT set —
+    # shingles above the threshold — is by construction small enough
+    # to broadcast (|hot| <= |corpus shingle rows| / threshold)
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > F.lit(hot_df_threshold))
+        .select("sh")
+    )
     shz = sh.join(sz, "id")
-    ja = shz.select(F.col("id").alias("ida"), "sh", F.col("n").alias("na"))
-    jb = shz.select(F.col("id").alias("idb"), "sh", F.col("n").alias("nb"))
-    inter = (
+    shz_c = shz.join(F.broadcast(hot), "sh", "left_anti")
+    shz_h = shz.join(F.broadcast(hot), "sh", "left_semi")
+    size_ok = F.least("na", "nb").cast("double") >= F.lit(tau) * F.greatest(
+        "na", "nb"
+    )
+    # cold path: the plain shared-shingle equi-join
+    ja = shz_c.select(F.col("id").alias("ida"), "sh", F.col("n").alias("na"))
+    jb = shz_c.select(F.col("id").alias("idb"), "sh", F.col("n").alias("nb"))
+    cold = (
         ja.join(jb, "sh")
         .filter(F.col("ida") < F.col("idb"))
-        .filter(
-            F.least("na", "nb").cast("double")
-            >= F.lit(tau) * F.greatest("na", "nb")
-        )
+        .filter(size_ok)
+        .select("ida", "idb", "na", "nb")
+    )
+    # hot path: block-partitioned pair generation — join key (sh, u, v)
+    blk = lambda c: F.pmod(F.xxhash64(c), F.lit(n_blocks)).cast("int")  # noqa: E731
+    rep = F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+    ja_h = shz_h.select(
+        F.col("id").alias("ida"),
+        "sh",
+        F.col("n").alias("na"),
+        blk(F.col("id")).alias("__u"),
+        rep.alias("__v"),
+    )
+    jb_h = shz_h.select(
+        F.col("id").alias("idb"),
+        "sh",
+        F.col("n").alias("nb"),
+        rep.alias("__u"),
+        blk(F.col("id")).alias("__v"),
+    )
+    hotp = (
+        ja_h.join(jb_h, ["sh", "__u", "__v"])
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(size_ok)
+        .select("ida", "idb", "na", "nb")
+    )
+    inter = (
+        cold.unionByName(hotp)
         .groupBy("ida", "idb", "na", "nb")
         .agg(F.count(F.lit(1)).alias("i"))
     )

@@ -2057,6 +2057,65 @@ def test_exact_simjoin_matches_bruteforce(spark, docs, tau):
         assert got[k][0] == n, (k, got[k], n)
 
 
+def test_exact_simjoin_hot_shingle_block_path(spark):
+    """Planted pathological shingle skew (one stop-shingle in ~30% of
+    docs): with the threshold forcing the hot path, (a) the result
+    still EXACTLY matches brute force — block partitioning is
+    algebraic salting of the intersection count, not an
+    approximation; (b) the hot path's join-key groups are bounded by
+    ~df/n_blocks per side instead of df — no single-task key."""
+    import itertools
+
+    from maston_spark.llm.dedup import exact_jaccard_simjoin
+
+    rng_words = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp".split()
+    docs = {}
+    n = 60
+    for i in range(n):
+        # deterministic distinct body per doc
+        body = [rng_words[(i * 3 + k) % len(rng_words)] for k in range(6)]
+        if i % 3 == 0:  # ~30% of docs carry the planted hot bigram
+            body = ["the", "of"] + body
+        docs[i] = " ".join(body)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string").repartition(5)
+
+    def sh_set(text):
+        ws = text.split()
+        return {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}
+
+    tau = 0.5
+    expect = {}
+    for i, j in itertools.combinations(range(n), 2):
+        a, b = sh_set(docs[i]), sh_set(docs[j])
+        inter, uni = len(a & b), len(a | b)
+        if uni and inter / uni >= tau:
+            expect[(i, j)] = inter
+
+    got = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in exact_jaccard_simjoin(
+            df, "doc_id", "text", tau=tau, shingle_n=2,
+            hot_df_threshold=10, n_blocks=4,
+        ).collect()
+    }
+    assert got == expect, (got, expect)
+
+    # the planted shingle "the of" has df = 20 > 10: on the hot path
+    # its per-(sh, u, v) group carries ~df/n_blocks rows per side
+    hot_df = sum(1 for i in range(n) if i % 3 == 0)
+    per_block = (
+        df.filter(F.col("text").startswith("the of"))
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("u"))
+        .groupBy("u")
+        .count()
+        .collect()
+    )
+    max_block = max(r["count"] for r in per_block)
+    assert max_block < hot_df, (max_block, hot_df)  # genuinely split
+    # a fair hash spreads 20 ids over 4 blocks well below the full df
+    assert max_block <= hot_df // 2, per_block
+
+
 def test_greedy_coverage_matches_python_greedy(spark):
     """The distributed greedy equals a sequential python greedy on a
     hand corpus (including the early-stop when everything is

@@ -47,6 +47,83 @@ JUSTIFIED = {
 }
 
 
+def ratio_flags(ok: dict) -> dict:
+    """Superlinear candidates: 10x data costing >5x time AND a
+    meaningful absolute cost — sub-second queries ratio-flag on pure
+    noise/startup (q115 measured 0.52 -> 2.64 single-shot but
+    0.61 -> 2.1 min-of-4: sublinear for 10x rows, not a hazard)."""
+    return {
+        k: v
+        for k, v in ok.items()
+        if v["b"] > max(5 * v["a"], v["a"] + 2) and v["b"] > 5
+    }
+
+
+def abs_flags(ok: dict, medians: dict, factor: float = 3.0) -> dict:
+    """ABSOLUTE anomalies the ratio gate can't see: a single-shot
+    time on EITHER side that exceeds ``factor``x the query's headline
+    bench median (where one exists) is suspicious even when the a/b
+    ratio looks fine — round 11's q118 recorded 67.5 s at sf0.1
+    (headline median ~23 s) and produced a 'good' 0.35x ratio that
+    was never re-measured. Flagged queries get the same min-of-3
+    adjudication as ratio candidates."""
+    flags = {}
+    for k, v in ok.items():
+        med = medians.get(k)
+        if med and med > 0 and v["a"] > factor * med and v["a"] > 5:
+            flags[k] = {"side": "a", "single_shot": v["a"], "headline_median": med}
+        elif v["a"] > 2.5 * v["b"] and v["a"] > 5:
+            # inverse-ratio anomaly, no median needed: 10x MORE data
+            # running 2.5x FASTER means the small side's number is an
+            # artifact (q118's exact shape: 67.5 s at sf0.1, 23.5 s
+            # at 10x — a 'good' 0.35x ratio hiding a bad measurement)
+            flags[k] = {"side": "a", "single_shot": v["a"], "b_side": v["b"]}
+    return flags
+
+
+def load_headline_medians(repo_dir: str) -> dict:
+    """Per-query sf0.1 medians (the sweep's a-side reference):
+    prefer bench.py's full local record (_bench_latest.json); fall
+    back to regex-scavenging the newest driver BENCH_r*.json, whose
+    stdout tail is TRUNCATED and may start mid-JSON. Empty dict when
+    neither exists — the absolute gate simply stays quiet."""
+    import glob
+    import re
+
+    local = os.path.join(repo_dir, "_bench_latest.json")
+    if os.path.exists(local):
+        try:
+            data = json.load(open(local))
+            return {
+                k: d.get("median")
+                for k, d in (data.get("dispersion") or {}).items()
+            }
+        except Exception:  # noqa: BLE001
+            pass
+    benches = sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {}
+    try:
+        data = json.load(open(benches[-1]))
+    except Exception:  # noqa: BLE001
+        return {}
+    parsed = data.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("dispersion"), dict):
+        return {k: d.get("median") for k, d in parsed["dispersion"].items()}
+    # dispersion entries are the only {"min": .., "median": ..} shapes
+    # in the (possibly mid-JSON-truncated) stdout tail
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(
+            r'"(q\w+)":\s*\{"min":\s*[\d.]+,\s*"median":\s*([\d.]+)',
+            str(data.get("tail", "")),
+        )
+    }
+
+
 def main() -> None:
     a_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     b_dir = sys.argv[2] if len(sys.argv) > 2 else "./_scale_data/sf1"
@@ -87,21 +164,21 @@ def main() -> None:
     tot_a = round(sum(v["a"] for v in ok.values()), 1)
     tot_b = round(sum(v["b"] for v in ok.values()), 1)
     print(f"TOTAL {a_dir}: {tot_a}s  {b_dir}: {tot_b}s")
-    # outlier = 10x data costing >5x time AND a meaningful absolute
-    # cost — sub-second queries ratio-flag on pure noise/startup
-    # (q115 measured 0.52 -> 2.64 single-shot but 0.61 -> 2.1
-    # min-of-4: sublinear for 10x rows, not a hazard)
-    flagged = {
-        k: v
-        for k, v in ok.items()
-        if v["b"] > max(5 * v["a"], v["a"] + 2) and v["b"] > 5
-    }
+    flagged = ratio_flags(ok)
+    medians = load_headline_medians(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    anomalies = abs_flags(ok, medians)
+    for k, info in anomalies.items():
+        print(f"ABS-ANOMALY {k}: {json.dumps(info)}")
+        flagged.setdefault(k, ok[k])
     # Single-shot flags are CANDIDATES, not verdicts: iterative /
     # multi-stage queries pay per-iteration codegen on their first
     # run at a new data size (round 11: q123 flagged 1.54->11.75
     # single-shot, measured 1.71->1.84 min-of-3 — flat). Re-measure
     # every flagged query min-of-3 before declaring it an outlier.
     bad = {}
+    adjudicated = {}
     for k in flagged:
         adj = {}
         for sf_dir, tag in ((a_dir, "a"), (b_dir, "b")):
@@ -122,11 +199,18 @@ def main() -> None:
                 3,
             )
         print(f"ADJUDICATE {k}: single-shot {flagged[k]} -> min-of-3 {adj}")
+        adjudicated[k] = adj
         if adj["b"] > max(5 * adj["a"], adj["a"] + 2) and adj["b"] > 5:
             if k in JUSTIFIED:
                 print(f"JUSTIFIED {k}: {JUSTIFIED[k]} ({adj})")
             else:
                 bad[k] = adj
+    # persist adjudications next to the raw single-shots so the
+    # recorded artifact carries the corrected numbers, not just the
+    # noisy flags
+    for k, adj in adjudicated.items():
+        res[k]["min_of_3"] = adj
+    json.dump(res, open(out, "w"), indent=1)
     print("OUTLIERS:", json.dumps(bad))
     errs = {k: v for k, v in res.items() if k not in ok}
     print("ERRORS:", json.dumps(errs))
