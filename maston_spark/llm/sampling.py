@@ -864,3 +864,163 @@ def greedy_token_coverage(
         )
     finally:
         tok.unpersist()
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ps",
+) -> DataFrame:
+    """Deterministic weight-proportional sample WITHOUT replacement:
+    the k rows with the highest integer priority
+    ``w · 2³² div (lane + 1)``, where ``lane`` is the 32-bit md5 hash
+    lane of ``salt:id`` — the Duffield-Lund-Thorup priority-sampling
+    scheme (priority = w/u with u uniform) carried out in EXACT
+    integer arithmetic so any engine with md5 draws the identical
+    sample (no libm ``ln``/``pow`` whose last ulp differs across
+    engines; floor quantization of the priority only merges keys an
+    integer apart, astronomically finer than the hash's resolution).
+    Heavier rows win proportionally more often; re-salting redraws.
+
+    The distributed shape weighted reservoir sampling wants at
+    100 TB: one stateless projection (hash + two integer ops per
+    row) and a TakeOrdered top-k — no state, no sequential scan, and
+    the same rows win on any partitioning/cluster size.
+
+    PRECONDITION: integer weights in [1, 2³¹) — ``w · 2³²`` must fit
+    int64 (token/char counts qualify); w ≤ 0 rows never win (they
+    are dropped, matching "weight 0 = never sampled")."""
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.col(weight_col).cast("long")
+    out = (
+        df.filter(w > 0)
+        .withColumn("__lane", lane)
+        .withColumn(
+            "priority",
+            F.expr(
+                f"(CAST({weight_col} AS BIGINT) * 4294967296) div (__lane + 1)"
+            ),
+        )
+        .drop("__lane")
+    )
+    return out.orderBy(F.desc("priority"), F.asc(id_col)).limit(k)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n_total: int,
+) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation (Neyman 1934):
+    split a sampling budget ``n_total`` across strata proportionally
+    to ``N_h · σ_h`` (stratum size × stratum standard deviation) —
+    the allocation that minimizes the variance of the stratified
+    mean estimator; the "where should my eval sample come from"
+    planner next to :func:`domain_water_fill`'s evenness planner.
+    Output: ``(stratum, n_rows, sd, share, alloc)`` with every
+    ``alloc ≤ n_rows`` (a stratum can't contribute more rows than it
+    has). Apportionment is SINGLE-ROUND largest-remainder with the
+    population cap applied after the +1 round, so ``Σ alloc ≤
+    n_total`` with a (deterministic, documented) shortfall only when
+    caps bind — the iterative re-apportionment a binding cap would
+    need is a driver loop this planner deliberately avoids.
+
+    Determinism discipline: per-stratum moment sums run on the
+    9-decimal grid in DECIMAL (exact); population variance
+    ``(Σx² − (Σx)²/N)/N`` and its sqrt are IEEE but sqrt is
+    CORRECTLY ROUNDED by the standard (unlike ln/pow — identical in
+    every engine); the weights ``N_h·σ_h`` round to 6 before the
+    share normalization so the cross-strata sum is decimal-exact;
+    integer apportionment is largest-remainder (Hamilton) on the
+    scaled shares with (remainder desc, stratum) tie-break — every
+    step replayable bit-for-bit in SQL.
+
+    PRECONDITION — bounded stratum count: the apportionment windows
+    are partition-less over the |strata|-row weights table
+    (sources/languages/buckets — thousands, not millions); the
+    corpus itself is touched by ONE combiner-reduced moment
+    aggregation only."""
+    x = F.col(value_col).cast("decimal(18,9)")
+    per = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(stratum_col).alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    nd = F.col("n_rows").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    var = (sxx - sx * sx / nd) / nd
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    weighted = per.select(
+        "stratum",
+        "n_rows",
+        F.round(sd, 6).alias("sd"),
+        F.round(nd * sd, 6).cast("decimal(28,6)").alias("__w"),
+    )
+    tot = weighted.agg(F.sum("__w").alias("__wtot"))
+    shared = weighted.join(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "sd",
+        F.when(
+            F.col("__wtot") > 0,
+            F.col("__w").cast("double") / F.col("__wtot").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__share"),
+    )
+    # largest-remainder apportionment over the |strata|-row table,
+    # capped at each stratum's population
+    quota = F.least(
+        F.col("__share") * F.lit(float(n_total)), F.col("n_rows").cast("double")
+    )
+    base = shared.select(
+        "stratum",
+        "n_rows",
+        "sd",
+        F.round(F.col("__share"), 6).alias("share"),
+        F.floor(quota).cast("long").alias("__base"),
+        F.round(quota - F.floor(quota), 9).alias("__rem"),
+    )
+    tot2 = base.agg(F.sum("__base").alias("__btot"))
+    wrem = Window.orderBy(F.col("__rem").desc(), F.col("stratum").asc())
+    ranked = base.join(F.broadcast(tot2)).select(
+        "stratum",
+        "n_rows",
+        "sd",
+        "share",
+        "__base",
+        "__btot",
+        F.row_number().over(wrem).cast("long").alias("__rk"),
+    )
+    extra = F.least(
+        F.lit(int(n_total)) - F.col("__btot"), F.lit(int(n_total))
+    )
+    return ranked.select(
+        "stratum",
+        "n_rows",
+        "sd",
+        "share",
+        F.least(
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= extra, F.lit(1)).otherwise(F.lit(0))
+            ),
+            F.col("n_rows"),
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("stratum")

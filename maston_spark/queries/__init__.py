@@ -170,8 +170,14 @@ _PRIORITY = [
     # graded via q152's minhash pipeline and q48's exact-confirm; its
     # slot grades the cross-source duplication-rate matrix — LSH-pair
     # attribution joined back to source metadata)
+    # (round-12 in-round promotion: q153's composed IVF-PQ physics —
+    # Lloyd-trained cells, nprobe pruning, PQ codebooks, ADC scoring —
+    # is graded end-to-end INSIDE q158's residual variant, which runs
+    # every one of those stages plus residual encoding; its slot
+    # grades q221 CUPED — covariate-adjusted experiment readout, the
+    # pooled-regression grading physics nothing in the window has)
     "q141_data_quality", "q171_source_dup_matrix",
-    "q55_dup_clusters", "q153_ivf_pq",
+    "q55_dup_clusters", "q221_cuped",
     # (q58_hash_split is a pure projection whose hash-sampling family
     # stays graded via q88_domain_cap; its slot grades the two-phase
     # budget-selection primitive instead)
@@ -232,7 +238,12 @@ _PRIORITY = [
     # round-12 demotions lead (each family's graded flagship named in
     # the promotion comments above), then round-11's, round-10's...
     "q12_asof_join", "q33_tumbling_window", "q69_scalar_subquery",
-    "q168_kmv_set_ops", "q90_winnow_fingerprints",
+    "q168_kmv_set_ops", "q90_winnow_fingerprints", "q153_ivf_pq",
+    # round-12 additions past the window (locally oracle-verified):
+    # market-basket pair census, exact-integer priority sampling,
+    # Neyman stratified allocation
+    "q222_brand_basket_pairs", "q223_priority_sample",
+    "q224_neyman_allocation",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

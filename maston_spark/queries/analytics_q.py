@@ -1828,3 +1828,114 @@ def q220_wilson_keep_rate(spark, sf_dir):
         )
     )
     return wilson_interval(d, "source", "y").orderBy("source")
+
+
+# ------------------------------------------- experimentation analytics
+
+
+@query(
+    "q221_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 2 AS INT) AS variant,
+             CAST(COALESCE(round(sum(value) FILTER (WHERE ts < TIMESTAMP '2024-01-15'), 9), 0)
+                  AS DECIMAL(18,9)) AS x,
+             CAST(COALESCE(round(sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-15'), 9), 0)
+                  AS DECIMAL(18,9)) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    p AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy
+          FROM u),
+    v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(sum(x) AS DOUBLE) AS svx, CAST(sum(y) AS DOUBLE) AS svy
+          FROM u GROUP BY variant)
+    SELECT variant, n_units,
+           round(svy / n_units, 6) AS mean_y,
+           round(svy / n_units
+                 - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                   * (svx / n_units - sx / n), 6) AS mean_y_cuped,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta
+    FROM v, p ORDER BY variant
+    """,
+)
+def q221_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout over the events
+    stream: units are users, the metric is the post-period
+    (>= Jan 15) value sum, the covariate the PRE-period sum, the
+    variant a deterministic md5 lane of the user id — per variant,
+    the raw and CUPED-adjusted means plus the pooled θ =
+    cov(x,y)/var(x) (Deng, Xu, Kohavi & Walker, WSDM 2013). All
+    moment sums are decimal-exact on the 9-decimal grid; θ and the
+    closing means are one fixed IEEE expression tree both engines
+    replay. See
+    :func:`maston_spark.evaluation.cuped_adjusted_means`."""
+    from maston_spark.evaluation import cuped_adjusted_means
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    split = F.lit("2024-01-15").cast("timestamp")
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.round(F.sum(F.when(F.col("ts") < split, F.col("value"))), 9),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.round(F.sum(F.when(F.col("ts") >= split, F.col("value"))), 9),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    units = units.select(
+        (lane % 2).cast("int").alias("variant"), "x", "y"
+    )
+    return cuped_adjusted_means(units, "variant", "y", "x").orderBy("variant")
+
+
+# ------------------------------------------------- market-basket pairs
+
+
+@query(
+    "q222_brand_basket_pairs",
+    oracle="""
+    WITH it AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    ok AS (SELECT b FROM it GROUP BY b HAVING count(*) <= 1024),
+    bd AS (SELECT it.b, it.i FROM it JOIN ok USING (b))
+    SELECT a.i AS item_a, b2.i AS item_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM bd a JOIN bd b2 ON a.b = b2.b AND a.i < b2.i
+    GROUP BY a.i, b2.i
+    HAVING count(*) >= 2
+    ORDER BY support DESC, item_a, item_b LIMIT 20
+    """,
+)
+def q222_brand_basket_pairs(spark, sf_dir):
+    """Frequent co-occurring brand PAIRS across order baskets — the
+    Apriori 2-itemset census (Agrawal & Srikant 1994): top-20
+    (brand_a, brand_b) by the number of distinct orders containing
+    both. Pair generation is a self-join on the basket key (per-
+    basket work bounded by C(|basket|,2); oversized baskets excluded
+    by contract), the top-k a TakeOrdered. See
+    :func:`maston_spark.relational.cooccurrence_pairs`."""
+    from maston_spark.relational import cooccurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return cooccurrence_pairs(
+        j, "l_orderkey", "p_brand", min_support=2, top_k=20
+    )

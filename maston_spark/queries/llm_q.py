@@ -5222,3 +5222,87 @@ def q215_mmr_rerank(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.mmr_rerank(emb, query_id=0, k=5, lam=0.7, mu=0.3)
+
+
+@query(
+    "q223_priority_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           (CAST(n_chars AS BIGINT) * 4294967296)
+           // (('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+             AS priority
+    FROM documents WHERE n_chars > 0
+    ORDER BY priority DESC, doc_id LIMIT 50
+    """,
+)
+def q223_priority_sample(spark, sf_dir):
+    """Deterministic weight-proportional sample without replacement:
+    top-50 documents by the exact-integer Duffield-Lund-Thorup
+    priority ``n_chars · 2³² div (md5 lane + 1)`` — weighted
+    reservoir sampling as a stateless projection + TakeOrdered, the
+    same rows on any engine, partitioning, or rerun (no libm ln/pow
+    in the priority). See
+    :func:`maston_spark.llm.sampling.priority_sample`."""
+    from maston_spark.llm.sampling import priority_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample(d, "doc_id", "n_chars", k=50)
+
+
+@query(
+    "q224_neyman_allocation",
+    oracle="""
+    WITH per AS (
+      SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(n_chars AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(n_chars AS DECIMAL(18,9))
+                      * CAST(n_chars AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+    sdw AS (
+      SELECT stratum, n_rows,
+             sqrt(greatest((sxx - sx * sx / CAST(n_rows AS DOUBLE))
+                           / CAST(n_rows AS DOUBLE), 0.0)) AS sd_raw
+      FROM per),
+    w2 AS (
+      SELECT stratum, n_rows, round(sd_raw, 6) AS sd,
+             CAST(round(CAST(n_rows AS DOUBLE) * sd_raw, 6)
+                  AS DECIMAL(28,6)) AS w
+      FROM sdw),
+    t AS (SELECT sum(w) AS wtot FROM w2),
+    sh AS (
+      SELECT stratum, n_rows, sd,
+             CASE WHEN wtot > 0
+                  THEN CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)
+                  ELSE 0.0 END AS share_raw
+      FROM w2, t),
+    q AS (
+      SELECT stratum, n_rows, sd, round(share_raw, 6) AS share,
+             CAST(floor(least(share_raw * 100.0, CAST(n_rows AS DOUBLE)))
+                  AS BIGINT) AS fbase,
+             round(least(share_raw * 100.0, CAST(n_rows AS DOUBLE))
+                   - floor(least(share_raw * 100.0,
+                                 CAST(n_rows AS DOUBLE))), 9) AS rem
+      FROM sh),
+    b AS (SELECT sum(fbase) AS btot FROM q),
+    r AS (SELECT q.*, btot,
+                 row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+          FROM q, b)
+    SELECT stratum, n_rows, sd, share,
+           CAST(least(fbase + CASE WHEN rk <= least(100 - btot, 100)
+                                   THEN 1 ELSE 0 END,
+                      n_rows) AS BIGINT) AS alloc
+    FROM r ORDER BY stratum
+    """,
+)
+def q224_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal allocation of a 100-row eval-sample budget
+    across sources, proportional to N_h·σ_h of document length —
+    variance-minimizing stratified sampling (Neyman 1934) with
+    exact decimal moments, correctly-rounded sqrt, and deterministic
+    largest-remainder integer apportionment, all replayed by the
+    oracle. See
+    :func:`maston_spark.llm.sampling.neyman_allocation`."""
+    from maston_spark.llm.sampling import neyman_allocation
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return neyman_allocation(d, "source", "n_chars", n_total=100)

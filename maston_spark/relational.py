@@ -1495,3 +1495,50 @@ def compaction_plan(
         )
         .orderBy("group_id")
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    top_k: int = 20,
+    max_basket_size: int = 1024,
+) -> DataFrame:
+    """Frequent co-occurring item PAIRS (the Apriori/market-basket
+    2-itemset census, Agrawal & Srikant 1994): the top-k
+    ``(item_a, item_b, support)`` pairs by the number of distinct
+    baskets containing BOTH items, with ``item_a < item_b``
+    canonical ordering and support ≥ ``min_support``. The
+    "which token types / sources / categories travel together"
+    question a mixture planner asks before building composite
+    filters.
+
+    Scale shape: pair generation is a SELF-JOIN ON THE BASKET KEY of
+    the deduplicated (basket, item) table — per-basket work is
+    C(|basket|, 2), bounded by the basket size, never corpus². The
+    quadratic hazard is a pathological giant basket (the market-
+    basket analogue of exact_jaccard_simjoin's hot shingle), so
+    baskets larger than ``max_basket_size`` are EXCLUDED up front
+    (one combiner-reduced size aggregation; the cutoff is part of
+    the operator's deterministic contract — a 10⁶-item basket
+    contributes 10¹² pairs and no meaningful signal). The global
+    top-k is a TakeOrdered, never a full sort."""
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+    bounded = items.join(
+        sizes.filter(F.col("__sz") <= max_basket_size).select("__b"), "__b"
+    )
+    a = bounded.select("__b", F.col("__i").alias("item_a"))
+    b = bounded.select("__b", F.col("__i").alias("item_b"))
+    return (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= F.lit(min_support))
+        .orderBy(F.desc("support"), F.asc("item_a"), F.asc("item_b"))
+        .limit(top_k)
+    )

@@ -165,3 +165,35 @@ def test_wilson_interval_textbook_and_edges(spark):
     assert abs(a.hi - (center + margin) / denom) < 1e-6
     z = out["z"]
     assert z.rate == 0.0 and z.lo == 0.0 and 0 < z.hi < 0.2
+
+
+def test_cuped_removes_covariate_explained_imbalance(spark):
+    """Hand experiment: y = 2x + effect(variant) + 0. With variant B
+    unluckily assigned higher-x units, the raw means exaggerate the
+    effect; CUPED with theta = cov/var = 2 recovers the true lift
+    exactly."""
+    from maston_spark.evaluation import cuped_adjusted_means
+
+    rows = [
+        # variant A: x in 1..4, effect 0 -> y = 2x
+        ("A", 1.0, 2.0), ("A", 2.0, 4.0), ("A", 3.0, 6.0), ("A", 4.0, 8.0),
+        # variant B: x in 3..6 (imbalanced), effect +1 -> y = 2x + 1
+        ("B", 3.0, 7.0), ("B", 4.0, 9.0), ("B", 5.0, 11.0), ("B", 6.0, 13.0),
+    ]
+    df = spark.createDataFrame(rows, "variant string, x double, y double")
+    out = {r.variant: r for r in cuped_adjusted_means(df, "variant", "y", "x").collect()}
+    # pooled theta replays the exact regression arithmetic (the
+    # pooled slope absorbs part of the confounded effect: 320/144,
+    # not the within-variant 2.0 — standard CUPED behavior)
+    assert out["A"].theta == round(320 / 144, 6) == out["B"].theta
+    raw_gap = out["B"].mean_y - out["A"].mean_y
+    adj_gap = out["B"].mean_y_cuped - out["A"].mean_y_cuped
+    assert round(raw_gap, 6) == 5.0  # exaggerated by the x imbalance
+    # exact python replay of the operator's closing expression
+    theta, xbar = 320 / 144, 3.5
+    exp_a = 5.0 - theta * (2.5 - xbar)
+    exp_b = 10.0 - theta * (4.5 - xbar)
+    assert out["A"].mean_y_cuped == round(exp_a, 6)
+    assert out["B"].mean_y_cuped == round(exp_b, 6)
+    # and the adjusted gap is far closer to the true +1 effect
+    assert abs(adj_gap - 1.0) < abs(raw_gap - 1.0) / 5

@@ -2167,3 +2167,47 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     out = hard_negatives(df, [0], k=2).collect()
     assert [(r.neighbor_id, r.rn) for r in out] == [(2, 1), (3, 2)]
     assert all(r.neighbor_label != 0 for r in out)
+
+
+def test_priority_sample_matches_python_replay_and_weighting(spark):
+    """The sample equals a python replay of the exact integer
+    priority (md5 lane), weight<=0 rows never win, and a 100x-heavier
+    row beats uniform-weight rows with overwhelming frequency."""
+    import hashlib
+
+    from maston_spark.llm.sampling import priority_sample
+
+    rows = [(i, 100 if i == 7 else 1) for i in range(200)] + [(900, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").repartition(4)
+    got = [(r.doc_id, r.priority) for r in priority_sample(df, "doc_id", "w", k=10).collect()]
+
+    def pr(i, w):
+        lane = int(hashlib.md5(f"ps:{i}".encode()).hexdigest()[:8], 16)
+        return (w * (1 << 32)) // (lane + 1)
+
+    expect = sorted(
+        ((i, pr(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == expect
+    assert all(i != 900 for i, _ in got)
+    assert any(i == 7 for i, _ in got)  # P(miss) ~ (1/101)^10-ish
+
+
+def test_neyman_allocation_hand_case(spark):
+    """Constant stratum (sd=0) gets 0; allocation tracks N_h*sd_h,
+    never exceeds a stratum's population, and sums to n_total when
+    caps don't bind."""
+    from maston_spark.llm.sampling import neyman_allocation
+
+    rows = (
+        [("const", 10.0)] * 50
+        + [("wild", float(v)) for v in range(100)]      # sd ~ 28.9
+        + [("mild", float(v % 10)) for v in range(100)]  # sd ~ 2.87
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {r.stratum: r for r in neyman_allocation(df, "s", "v", n_total=60).collect()}
+    assert out["const"].alloc == 0 and out["const"].sd == 0.0
+    assert out["wild"].alloc + out["mild"].alloc + out["const"].alloc == 60
+    assert out["wild"].alloc > out["mild"].alloc
+    assert all(r.alloc <= r.n_rows for r in out.values())

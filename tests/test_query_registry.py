@@ -103,7 +103,7 @@ def test_graded_window_covers_unique_capabilities():
         # round-9 promotions: the novel round-8 operators plus the
         # composed IVF-PQ flagship are driver-graded
         "q143_cdc_upsert", "q148_gopher_gate",
-        "q152_dedup_report", "q153_ivf_pq",
+        "q152_dedup_report",
         # round-10 promotions: round-9's novel physics — keep-first
         # substring removal, hybrid rank fusion, residual IVF-PQ
         "q155_keep_first_substring", "q157_hybrid_rrf",
@@ -137,6 +137,9 @@ def test_graded_window_covers_unique_capabilities():
         # distinct-count physics), the brute-force-ground-truth-graded
         # complete similarity join, and submodular greedy coverage
         "q202_hll_distinct", "q203_exact_simjoin", "q204_greedy_coverage",
+        # round-12 in-round promotion: covariate-adjusted experiment
+        # readout (pooled-regression grading physics)
+        "q221_cuped",
         # round-12 promotions: round-11's ungraded novel physics —
         # SCD2 history construction, the salted-join identity claim,
         # fixed-IEEE-sequence pattern correlation, integer-midrank
@@ -162,14 +165,14 @@ def test_graded_window_covers_unique_capabilities():
         # exact-confirm stage grades normalized-dot cosine physics
         "q60_safe_json": "q61_process_errors",
         "q41_dedup_minhash_lsh": "q152_dedup_report",
-        "q43_cosine_topk": "q153_ivf_pq",
+        "q43_cosine_topk": "q158_ivfpq_residual",
         # q48's bucketed-candidates + exact-confirm physics stays
         # graded four ways (q153/q158/q152/q94); its slot grades the
         # quantile sketch
-        "q48_embedding_neardup": "q153_ivf_pq",
+        "q48_embedding_neardup": "q158_ivfpq_residual",
         "q175_cusum_changepoint": "q178_ks_drift",
         "q99_chunk_overlap": "q189_token_water_fill",
-        "q57_ivf_ann": "q153_ivf_pq",
+        "q57_ivf_ann": "q158_ivfpq_residual",
         "q22_window_frames": "q20_window_rank",
         "q67_exists_subquery": "q07_join_semi",
         "q71_in_subquery": "q07_join_semi",
@@ -182,11 +185,11 @@ def test_graded_window_covers_unique_capabilities():
         "q34_sliding_window": "q63_delta_expr",
         "q35_session_window": "q63_delta_expr",
         "q42_dedup_simhash": "q152_dedup_report",
-        "q44_lsh_ann": "q153_ivf_pq",
+        "q44_lsh_ann": "q158_ivfpq_residual",
         # round-10 demotions: each family stays graded via the
         # composition that subsumes it
         "q40_dedup_exact": "q152_dedup_report",
-        "q150_pq_codes": "q153_ivf_pq",
+        "q150_pq_codes": "q158_ivfpq_residual",
         "q151_pq_adc": "q158_ivfpq_residual",
         "q156_query_likelihood": "q157_hybrid_rrf",
         "q47_fingerprint": "q152_dedup_report",
@@ -224,7 +227,7 @@ def test_graded_window_covers_unique_capabilities():
         # Lloyd iterations inside the graded IVF-PQ end-to-end
         "q95_exact_substring": "q155_keep_first_substring",
         "q98_bloom_incremental": "q195_incremental_neardup",
-        "q119_kmeans": "q153_ivf_pq",
+        "q119_kmeans": "q158_ivfpq_residual",
         # round-12 demotions: as-of join's latest-row-before-timestamp
         # physics stays graded via the CDC apply; tumbling via the
         # durable delta topology; scalar subquery via the two-phase
@@ -235,6 +238,9 @@ def test_graded_window_covers_unique_capabilities():
         "q69_scalar_subquery": "q127_budget_select",
         "q168_kmv_set_ops": "q202_hll_distinct",
         "q90_winnow_fingerprints": "q155_keep_first_substring",
+        # round-12 in-round swap: q153's composed IVF-PQ stages all
+        # run inside the graded residual variant
+        "q153_ivf_pq": "q158_ivfpq_residual",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted

@@ -1155,3 +1155,29 @@ def test_compaction_plan_bound_and_conservation(spark, sizes, target):
     assert sum(r.total_size for r in out) == sum(sizes)
     for r in out:
         assert r.total_size <= target + r.max_file, (r, target)
+
+
+def test_cooccurrence_pairs_hand_case_and_giant_basket_excluded(spark):
+    from maston_spark.relational import cooccurrence_pairs
+
+    rows = (
+        [(1, "a"), (1, "b"), (1, "c"),
+         (2, "a"), (2, "b"),
+         (3, "a"), (3, "b"), (3, "b"),  # duplicate item dedups
+         (4, "c")]
+        # giant basket: co-occurs everything with everything — excluded
+        + [(9, f"z{i}") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = [
+        (r.item_a, r.item_b, r.support)
+        for r in cooccurrence_pairs(
+            df, "basket", "item", min_support=2, top_k=10, max_basket_size=30
+        ).collect()
+    ]
+    assert got == [("a", "b", 3)]
+    # with the giant basket admitted, its pairs flood the census
+    flood = cooccurrence_pairs(
+        df, "basket", "item", min_support=1, top_k=1000, max_basket_size=50
+    ).count()
+    assert flood > 700  # C(40,2) = 780 z-pairs present
