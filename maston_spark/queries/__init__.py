@@ -243,7 +243,7 @@ _PRIORITY = [
     # market-basket pair census, exact-integer priority sampling,
     # Neyman stratified allocation
     "q222_brand_basket_pairs", "q223_priority_sample",
-    "q224_neyman_allocation",
+    "q224_neyman_allocation", "q225_hll_rolling_distinct",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

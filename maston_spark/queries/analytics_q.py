@@ -1939,3 +1939,58 @@ def q222_brand_basket_pairs(spark, sf_dir):
     return cooccurrence_pairs(
         j, "l_orderkey", "p_brand", min_support=2, top_k=20
     )
+
+
+# --------------------------------------------- rolling sketch windows
+
+
+@query(
+    "q225_hll_rolling_distinct",
+    oracle="""
+    WITH src AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                        md5(user_id::VARCHAR) AS h
+                 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    b AS (SELECT d, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+                 ('0x' || substr(h, 3, 13))::BIGINT AS w
+          FROM src),
+    r AS (SELECT d, bucket,
+                 CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+          FROM b),
+    regs AS (SELECT d, bucket, max(rho) AS mj FROM r GROUP BY d, bucket),
+    days AS (SELECT DISTINCT d AS day FROM regs),
+    wnd AS (SELECT days.day, regs.bucket, max(regs.mj) AS mj
+            FROM days JOIN regs
+              ON regs.d <= days.day AND regs.d >= days.day - INTERVAL 6 DAY
+            GROUP BY days.day, regs.bucket),
+    ag AS (SELECT day,
+                  CAST(sum(CAST(power(2.0, 53 - mj) AS BIGINT)) AS BIGINT) AS sp,
+                  count(*) AS npres
+           FROM wnd GROUP BY day)
+    SELECT CAST(day AS VARCHAR) AS day,
+           round(47072.71267120224::DOUBLE * 9007199254740992.0::DOUBLE /
+                 CAST(sp + (256 - npres) * 9007199254740992 AS DOUBLE), 4)
+             AS n_distinct_est_raw,
+           CAST(256 - npres AS BIGINT) AS v_zero_registers
+    FROM ag ORDER BY day
+    """,
+)
+def q225_hll_rolling_distinct(spark, sf_dir):
+    """Trailing-7-day distinct users per day from MERGED daily HLL
+    sketches — sketch once at ingest, answer any trailing-window
+    question by per-bucket register MAX over the day grid, never
+    re-scanning the corpus (the mergeability deployment pattern that
+    justifies sketches at 100 TB). Raw harmonic estimate only
+    (exact integer S, one IEEE quotient — the linear-counting
+    correction stays graded in q202). See
+    :func:`maston_spark.sketches.hll_rolling_distinct`."""
+    from maston_spark.sketches import hll_rolling_distinct
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    out = hll_rolling_distinct(ev, "ts", "user_id", window_days=7, p=8)
+    # date-typed outputs survive the pandas round-trip differently in
+    # the two engines (date vs Timestamp) — grade as ISO strings
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "n_distinct_est_raw",
+        "v_zero_registers",
+    ).orderBy("day")

@@ -521,3 +521,37 @@ def test_ams_join_size_reasonable_and_exact_lanes(spark):
     f2a, f2b = 100, sum((k % 5 + 1) ** 2 for k in range(100))
     sigma = math.sqrt(f2a * f2b / 16)
     assert abs(r1.est_join_size - true) < 4 * sigma, (r1, true, sigma)
+
+
+def test_hll_rolling_merge_equals_one_shot_union(spark):
+    """Mergeability identity: a rolling window wide enough to cover
+    ALL days produces, on its last day, exactly the one-shot HLL raw
+    estimate of the whole value set — register MAX over days is the
+    same state as sketching the union directly. Narrow windows only
+    see their trailing days (a value absent from the window stops
+    influencing the estimate)."""
+    from maston_spark.sketches import hll_rolling_distinct
+
+    rows = []
+    for d in range(1, 11):
+        for v in range(d * 100, d * 100 + 30):  # 30 fresh users per day
+            rows.append((f"2024-03-{d:02d} 12:00:00", v))
+    df = spark.createDataFrame(rows, "ts string, uid long").select(
+        F.col("ts").cast("timestamp").alias("ts"), "uid"
+    )
+    wide = {
+        str(r.day): r.n_distinct_est_raw
+        for r in hll_rolling_distinct(df, "ts", "uid", window_days=30, p=8).collect()
+    }
+    # one-shot: every row mapped to a single day, window 1
+    one = df.select(F.lit("2024-03-01 00:00:00").cast("timestamp").alias("ts"), "uid")
+    [r1] = hll_rolling_distinct(one, "ts", "uid", window_days=1, p=8).collect()
+    assert wide["2024-03-10"] == r1.n_distinct_est_raw
+    # narrow window: day 10 with window 3 covers days 8-10 (90 users),
+    # strictly less state than the full union
+    narrow = {
+        str(r.day): r
+        for r in hll_rolling_distinct(df, "ts", "uid", window_days=3, p=8).collect()
+    }
+    assert narrow["2024-03-10"].v_zero_registers > 256 - 90
+    assert narrow["2024-03-10"].n_distinct_est_raw < wide["2024-03-10"]
