@@ -1024,3 +1024,73 @@ def neyman_allocation(
         .cast("long")
         .alias("alloc"),
     ).orderBy("stratum")
+
+
+def ipf_rake(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    iterations: int = 2,
+) -> DataFrame:
+    """Iterative proportional fitting / raking (Deming & Stephan
+    1940): reweight the observed (row, col) contingency cells toward
+    UNIFORM row and column margins — ``(row, col, n, weight)`` —
+    the survey-calibration step a sampling pipeline runs when the
+    collected mix over-/under-represents strata on two axes at once
+    (the 2-D generalization of the 1-D rate adjustments in
+    :func:`mix_sources`). Each iteration scales every cell by
+    (row_target / row_sum) then (col_target / col_sum); a fixed,
+    unrolled ``iterations`` count keeps the computation a finite
+    expression sequence an oracle replays exactly.
+
+    Determinism discipline: cell counts are exact integers; each
+    multiplicative scaling is IEEE but is followed by round-to-9 →
+    DECIMAL, so every margin sum between steps is decimal-EXACT
+    (summation order across cells cannot perturb a bit — the same
+    grid trick as the drift family).
+
+    Scale shape: ONE combiner-reduced count collapses the corpus to
+    |rows|×|cols| cells; every subsequent window/aggregate runs on
+    that bounded cell table (PRECONDITION: both axes are genuinely
+    low-cardinality groupings — sources, languages, buckets)."""
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("double").alias("__N"),
+        F.countDistinct("__r").cast("double").alias("__nr"),
+        F.countDistinct("__c").cast("double").alias("__nc"),
+    )
+    w = cells.join(F.broadcast(tot)).withColumn(
+        "__w", F.col("n").cast("decimal(28,9)")
+    )
+    wr = Window.partitionBy("__r")
+    wc = Window.partitionBy("__c")
+    dec = "decimal(28,9)"
+    for _ in range(iterations):
+        rs = F.sum("__w").over(wr).cast("double")
+        w = w.withColumn(
+            "__w",
+            F.round(
+                F.col("__w").cast("double")
+                * ((F.col("__N") / F.col("__nr")) / rs),
+                9,
+            ).cast(dec),
+        )
+        cs = F.sum("__w").over(wc).cast("double")
+        w = w.withColumn(
+            "__w",
+            F.round(
+                F.col("__w").cast("double")
+                * ((F.col("__N") / F.col("__nc")) / cs),
+                9,
+            ).cast(dec),
+        )
+    return w.select(
+        F.col("__r").alias(row_col),
+        F.col("__c").alias(col_col),
+        "n",
+        F.round(F.col("__w").cast("double"), 6).alias("weight"),
+    ).orderBy(row_col, col_col)

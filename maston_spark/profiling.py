@@ -678,3 +678,61 @@ def binned_tvd_drift(
         )
         .orderBy(group_col)
     )
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, max_magnitude: int = 12
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    ``(digit, n_obs, obs_freq, exp_freq, abs_dev)`` for digits 1-9,
+    with ``exp_freq = log10(1 + 1/d)`` (Benford 1938; Newcomb 1881) —
+    the classic fabricated-/synthetic-data tell for naturally
+    scale-spanning quantities (amounts, populations, file sizes):
+    genuine multiplicative data leads with 1 ~30% of the time;
+    uniform generators lead with every digit ~11%.
+
+    Determinism: the expected frequencies are PYTHON-precomputed
+    literals (no libm on the data path); the first significant digit
+    comes from a fixed UNROLLED power-of-ten cascade
+    (``floor(v / 10^k)`` for the magnitude bracket, IEEE division by
+    an exact power of ten — identical in every engine), never from
+    casting the float to a string (engines format doubles
+    differently). Rows with ``value < 1`` or null are excluded (the
+    sub-1 branch needs a multiply cascade; out of scope for the
+    audit's usual targets). One combiner-reduced aggregation; the
+    9-row output joins the 1-row total broadcast-side."""
+    import math
+
+    v = F.col(value_col).cast("double")
+    digit = None
+    for k in range(max_magnitude, -1, -1):
+        p = float(10**k)
+        clause = (v >= p) & (v < p * 10.0)
+        d = F.floor(v / F.lit(p)).cast("int")
+        digit = F.when(clause, d) if digit is None else digit.when(clause, d)
+    counts = (
+        df.filter(v.isNotNull() & (v >= 1) & (v < float(10 ** (max_magnitude + 1))))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").cast("double").alias("__N"))
+    exp_expr = None
+    for d in range(1, 10):
+        e = F.lit(math.log10(1.0 + 1.0 / d))
+        exp_expr = (
+            F.when(F.col("digit") == d, e)
+            if exp_expr is None
+            else exp_expr.when(F.col("digit") == d, e)
+        )
+    obs_raw = F.col("n_obs") / F.col("__N")
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(obs_raw, 6).alias("obs_freq"),
+            F.round(exp_expr, 6).alias("exp_freq"),
+            F.round(F.abs(obs_raw - exp_expr), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

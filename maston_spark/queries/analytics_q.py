@@ -1994,3 +1994,102 @@ def q225_hll_rolling_distinct(spark, sf_dir):
         "n_distinct_est_raw",
         "v_zero_registers",
     ).orderBy("day")
+
+
+# ------------------------------------------------ robust aggregation
+
+
+@query(
+    "q226_trimmed_mean",
+    oracle="""
+    WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                      row_number() OVER
+                        (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                        AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS n
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    c AS (SELECT g, v, rn, n,
+                 CAST(floor(n * 0.1) AS BIGINT) AS lo,
+                 n - CAST(floor(n * 0.1) AS BIGINT) AS hi
+          FROM b),
+    a AS (SELECT g,
+                 CAST(max(n) AS BIGINT) AS n_rows,
+                 CAST(count(*) FILTER (WHERE rn > lo AND rn <= hi) AS BIGINT)
+                   AS n_kept,
+                 round(sum(v) FILTER (WHERE rn > lo AND rn <= hi), 9) AS sk,
+                 min(v) FILTER (WHERE rn = lo + 1) AS vlo,
+                 min(v) FILTER (WHERE rn = hi) AS vhi,
+                 CAST(max(lo) AS BIGINT) AS lo
+          FROM c GROUP BY g)
+    SELECT g AS l_returnflag, n_rows, n_kept,
+           round(sk / n_kept, 6) AS trimmed_mean,
+           round((sk + lo * vlo + lo * vhi) / n_rows, 6) AS winsorized_mean
+    FROM a ORDER BY l_returnflag
+    """,
+)
+def q226_trimmed_mean(spark, sf_dir):
+    """10%-trimmed and winsorized mean of extended price per return
+    flag — robust location via exact order statistics (one rank
+    window per group, min-when boundary picks, combiner-reduced
+    aggregation); the average a dashboard should print when tail
+    rows would otherwise own it. See
+    :func:`maston_spark.relational.trimmed_stats`."""
+    from maston_spark.relational import trimmed_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return trimmed_stats(li, "l_returnflag", "l_extendedprice", trim=0.1).orderBy(
+        "l_returnflag"
+    )
+
+
+@query(
+    "q228_benford_audit",
+    oracle="""
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_totalprice IS NOT NULL
+                 AND o_totalprice >= 1 AND o_totalprice < 1e13),
+    d AS (SELECT CASE
+            WHEN v >= 1e12 THEN CAST(floor(v / 1e12) AS INT)
+            WHEN v >= 1e11 THEN CAST(floor(v / 1e11) AS INT)
+            WHEN v >= 1e10 THEN CAST(floor(v / 1e10) AS INT)
+            WHEN v >= 1e9  THEN CAST(floor(v / 1e9)  AS INT)
+            WHEN v >= 1e8  THEN CAST(floor(v / 1e8)  AS INT)
+            WHEN v >= 1e7  THEN CAST(floor(v / 1e7)  AS INT)
+            WHEN v >= 1e6  THEN CAST(floor(v / 1e6)  AS INT)
+            WHEN v >= 1e5  THEN CAST(floor(v / 1e5)  AS INT)
+            WHEN v >= 1e4  THEN CAST(floor(v / 1e4)  AS INT)
+            WHEN v >= 1e3  THEN CAST(floor(v / 1e3)  AS INT)
+            WHEN v >= 1e2  THEN CAST(floor(v / 1e2)  AS INT)
+            WHEN v >= 1e1  THEN CAST(floor(v / 1e1)  AS INT)
+            ELSE CAST(floor(v) AS INT) END AS digit
+          FROM v),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS nn FROM c),
+    e AS (SELECT * FROM (VALUES
+            (1, 0.3010299956639812), (2, 0.17609125905568124),
+            (3, 0.12493873660829992), (4, 0.09691001300805642),
+            (5, 0.07918124604762482), (6, 0.06694678963061322),
+            (7, 0.05799194697768673), (8, 0.05115252244738129),
+            (9, 0.04575749056067514)) AS e(digit, exp))
+    SELECT c.digit, c.n_obs,
+           round(c.n_obs / nn, 6) AS obs_freq,
+           round(e.exp, 6) AS exp_freq,
+           round(abs(c.n_obs / nn - e.exp), 6) AS abs_dev
+    FROM c JOIN e ON e.digit = c.digit, t
+    ORDER BY c.digit
+    """,
+)
+def q228_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals — observed vs the
+    log10(1+1/d) law per leading digit (Newcomb 1881 / Benford
+    1938), the fabricated-data tell every financial/data-quality
+    audit runs. Expected frequencies are python-precomputed literals
+    (no libm on the data path); the first digit comes from a fixed
+    power-of-ten cascade, never float-to-string formatting. See
+    :func:`maston_spark.profiling.benford_audit`."""
+    from maston_spark.profiling import benford_audit
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    return benford_audit(o, "o_totalprice")

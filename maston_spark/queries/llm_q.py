@@ -5306,3 +5306,56 @@ def q224_neyman_allocation(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     return neyman_allocation(d, "source", "n_chars", n_total=100)
+
+
+@query(
+    "q227_ipf_raking",
+    oracle="""
+    WITH cells AS (SELECT source AS r, lang AS c,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM documents
+                   WHERE source IS NOT NULL AND lang IS NOT NULL
+                   GROUP BY source, lang),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                 CAST(count(DISTINCT r) AS DOUBLE) AS nr,
+                 CAST(count(DISTINCT c) AS DOUBLE) AS nc
+          FROM cells),
+    w0 AS (SELECT r, c, n, CAST(n AS DECIMAL(28,9)) AS w FROM cells),
+    s1 AS (SELECT w0.*, nn, nr, nc,
+                  sum(w) OVER (PARTITION BY r) AS ms
+           FROM w0, t),
+    w1 AS (SELECT r, c, n, nn, nr, nc,
+                  CAST(round(CAST(w AS DOUBLE) * ((nn / nr) / CAST(ms AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM s1),
+    s2 AS (SELECT w1.*, sum(w) OVER (PARTITION BY c) AS ms FROM w1),
+    w2 AS (SELECT r, c, n, nn, nr, nc,
+                  CAST(round(CAST(w AS DOUBLE) * ((nn / nc) / CAST(ms AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM s2),
+    s3 AS (SELECT w2.*, sum(w) OVER (PARTITION BY r) AS ms FROM w2),
+    w3 AS (SELECT r, c, n, nn, nr, nc,
+                  CAST(round(CAST(w AS DOUBLE) * ((nn / nr) / CAST(ms AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM s3),
+    s4 AS (SELECT w3.*, sum(w) OVER (PARTITION BY c) AS ms FROM w3),
+    w4 AS (SELECT r, c, n,
+                  CAST(round(CAST(w AS DOUBLE) * ((nn / nc) / CAST(ms AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM s4)
+    SELECT r AS source, c AS lang, n,
+           round(CAST(w AS DOUBLE), 6) AS weight
+    FROM w4 ORDER BY source, lang
+    """,
+)
+def q227_ipf_raking(spark, sf_dir):
+    """Iterative proportional fitting (raking) of the source x lang
+    contingency cells toward uniform margins — the Deming-Stephan
+    1940 survey-calibration weights, 2 fixed iterations, every
+    scaling IEEE with round-to-9 decimal margins in between so both
+    engines replay the sequence bit-for-bit. See
+    :func:`maston_spark.llm.sampling.ipf_rake`."""
+    from maston_spark.llm.sampling import ipf_rake
+
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    return ipf_rake(d, "source", "lang", iterations=2)

@@ -1542,3 +1542,65 @@ def cooccurrence_pairs(
         .orderBy(F.desc("support"), F.asc("item_a"), F.asc("item_b"))
         .limit(top_k)
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Trimmed and winsorized means per group —
+    ``(group, n_rows, n_kept, trimmed_mean, winsorized_mean)`` with
+    the bottom/top ``floor(n·trim)`` order statistics dropped
+    (trimmed) or clamped to the kept boundary values (winsorized) —
+    the robust-location family member next to
+    :func:`robust_outlier_stats`' median/MAD: the mean a metrics
+    pipeline should report when a handful of wild rows (bot traffic,
+    unit errors) would otherwise own the average.
+
+    Exact order-statistics construction: one rank window per group
+    (row_number — tie order is irrelevant because equal values
+    commute in every sum), cut ranks ``lo = floor(n·trim)``,
+    ``hi = n − lo``; the kept-range sum, the kept boundary values
+    (min-when flag picks, the exact_percentiles trick), and the
+    winsorized reconstruction ``sum_kept + lo·v_lo + lo·v_hi`` are
+    one combiner-reduced aggregation. Sums round to the 9-grid
+    before the closing division (the engine's avg discipline).
+    ``trim`` must be < 0.5."""
+    if not 0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wg = Window.partitionBy(group_col)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(value_col).alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+    )
+    lo = F.floor(F.col("__n") * F.lit(float(trim))).cast("long")
+    hi = F.col("__n") - lo
+    kept = (F.col("__rn") > lo) & (F.col("__rn") <= hi)
+    agg = base.groupBy(group_col).agg(
+        F.max("__n").cast("long").alias("n_rows"),
+        F.sum(F.when(kept, F.lit(1))).cast("long").alias("n_kept"),
+        F.round(F.sum(F.when(kept, F.col("__v"))), 9).alias("__sk"),
+        F.min(F.when(F.col("__rn") == lo + 1, F.col("__v"))).alias("__vlo"),
+        F.min(F.when(F.col("__rn") == hi, F.col("__v"))).alias("__vhi"),
+        F.max(lo).cast("long").alias("__lo"),
+    )
+    return agg.select(
+        group_col,
+        "n_rows",
+        "n_kept",
+        F.round(F.col("__sk") / F.col("n_kept"), 6).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("__sk")
+                + F.col("__lo") * F.col("__vlo")
+                + F.col("__lo") * F.col("__vhi")
+            )
+            / F.col("n_rows"),
+            6,
+        ).alias("winsorized_mean"),
+    )

@@ -2211,3 +2211,26 @@ def test_neyman_allocation_hand_case(spark):
     assert out["wild"].alloc + out["mild"].alloc + out["const"].alloc == 60
     assert out["wild"].alloc > out["mild"].alloc
     assert all(r.alloc <= r.n_rows for r in out.values())
+
+
+def test_ipf_rake_converges_margins_toward_uniform(spark):
+    """On a skewed 2x2 table, two raking iterations pull both margins
+    close to uniform (exactly uniform in the raked-last axis), and
+    total weight mass stays ~N."""
+    from maston_spark.llm.sampling import ipf_rake
+
+    rows = (
+        [("a", "x")] * 70 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(x.r, x.c): x.weight for x in ipf_rake(df, "r", "c", 2).collect()}
+    n = 100.0
+    col_x = out[("a", "x")] + out[("b", "x")]
+    col_y = out[("a", "y")] + out[("b", "y")]
+    # columns were raked last -> exactly uniform (to the 9-grid)
+    assert abs(col_x - n / 2) < 1e-5 and abs(col_y - n / 2) < 1e-5
+    row_a = out[("a", "x")] + out[("a", "y")]
+    # rows converged toward 50 (raw margin was 80)
+    assert abs(row_a - n / 2) < 6.0
+    assert abs(sum(out.values()) - n) < 1e-4

@@ -1181,3 +1181,22 @@ def test_cooccurrence_pairs_hand_case_and_giant_basket_excluded(spark):
         df, "basket", "item", min_support=1, top_k=1000, max_basket_size=50
     ).count()
     assert flood > 700  # C(40,2) = 780 z-pairs present
+
+
+def test_trimmed_stats_hand_case(spark):
+    """1..9 plus a wild 1000: 10% trim drops rank 1 and rank 10, so
+    the trimmed mean is mean(2..9) = 5.5; winsorized clamps 1 -> 2
+    and 1000 -> 9 giving mean 5.5 as well (by symmetry of this set);
+    untrimmed mean is 104.5."""
+    from maston_spark.relational import trimmed_stats
+
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(3)
+    [r] = trimmed_stats(df, "g", "v", trim=0.1).collect()
+    assert (r.n_rows, r.n_kept) == (10, 8)
+    assert r.trimmed_mean == 5.5
+    # winsorized: (sum(2..9) + 1*2 + 1*9) / 10 = (44 + 11) / 10
+    assert r.winsorized_mean == 5.5
+    # trim=0 degenerates to the plain mean
+    [r0] = trimmed_stats(df, "g", "v", trim=0.0).collect()
+    assert r0.trimmed_mean == 104.5 and r0.n_kept == 10

@@ -555,3 +555,26 @@ def test_hll_rolling_merge_equals_one_shot_union(spark):
     }
     assert narrow["2024-03-10"].v_zero_registers > 256 - 90
     assert narrow["2024-03-10"].n_distinct_est_raw < wide["2024-03-10"]
+
+
+def test_benford_audit_detects_uniform_vs_multiplicative(spark):
+    """A geometric (scale-spanning) series follows Benford closely;
+    a uniform [100, 999] series leads with every digit ~equally and
+    deviates. Also pins the digit cascade itself (no float-to-string
+    anywhere)."""
+    from maston_spark.profiling import benford_audit
+
+    geo = [("g", 1.5**k) for k in range(1, 71)]  # stays under 10^13
+    df = spark.createDataFrame(geo, "g string, v double")
+    out = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert sum(r.n_obs for r in out.values()) == 70
+    assert out[1].obs_freq > out[9].obs_freq  # Benford shape
+    assert out[1].abs_dev < 0.05  # close to log10(2) = 0.30103
+    uni = spark.createDataFrame(
+        [("u", float(v)) for v in range(100, 1000)], "g string, v double"
+    )
+    u = {r.digit: r for r in benford_audit(uni, "v").collect()}
+    # uniform: every digit ~1/9 = 0.111 -> digit 1 under-represented
+    assert abs(u[1].obs_freq - 1 / 9) < 0.01
+    assert u[1].abs_dev > 0.15
