@@ -374,3 +374,72 @@ def cuped_adjusted_means(
         F.round(mean_y - theta * (mean_x - xbar), 6).alias("mean_y_cuped"),
         F.round(theta, 6).alias("theta"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table for a scorer — per score-ordered
+    decile: ``(bucket, n_rows, n_pos, cum_capture, lift)`` where
+    ``cum_capture`` is the fraction of ALL positives captured by the
+    top buckets so far and ``lift`` the bucket-cumulative positive
+    rate over the base rate — the marketing/classifier-triage chart
+    ("the top 20% of scores hold 64% of the positives") that
+    complements :func:`group_auc`'s single number.
+
+    Scale shape: the score ordering uses the TWO-PHASE
+    :func:`maston_spark.relational.global_rank` (range partition +
+    per-partition offsets + Arrow numbering) — a naive
+    ``ntile() OVER (ORDER BY score)`` is a partition-less window
+    that pulls the whole corpus through one task. Bucket assignment
+    is the exact integer ``((rank−1)·n_buckets) div n``; everything
+    after runs on the |buckets|-row table. Null scores/labels drop
+    (the library convention); ties break by ``tiebreak_col`` so the
+    table is engine-independent."""
+    from maston_spark.relational import global_rank
+
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+        F.col(tiebreak_col).alias("__t"),
+    )
+    ranked = global_rank(
+        base, [F.col("__s").desc(), F.col("__t").asc()], rank_col="__rn"
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__np"),
+    )
+    b = ranked.join(F.broadcast(tot)).select(
+        F.expr(f"((__rn - 1) * {int(n_buckets)}) div __n").cast("int").alias("bucket"),
+        "__y",
+        "__n",
+        "__np",
+    )
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.max("__n").alias("__n"),
+        F.max("__np").alias("__np"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # |buckets|-row frame — bounded by n_buckets, never the corpus
+    cum_rows = F.sum("n_rows").over(w)
+    cum_pos = F.sum("n_pos").over(w)
+    capture = cum_pos.cast("double") / F.col("__np").cast("double")
+    rate = cum_pos.cast("double") / cum_rows.cast("double")
+    base_rate = F.col("__np").cast("double") / F.col("__n").cast("double")
+    return per.select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        F.round(capture, 6).alias("cum_capture"),
+        F.round(rate / base_rate, 6).alias("lift"),
+    ).orderBy("bucket")

@@ -578,3 +578,32 @@ def test_benford_audit_detects_uniform_vs_multiplicative(spark):
     # uniform: every digit ~1/9 = 0.111 -> digit 1 under-represented
     assert abs(u[1].obs_freq - 1 / 9) < 0.01
     assert u[1].abs_dev > 0.15
+
+
+def test_hll_cube_levels_derive_from_one_register_build(spark):
+    """Cube consistency: each rolled-up level's registers are the MAX
+    of its children's, so the grand-total estimate equals a direct
+    one-level HLL of the whole value set, and a single-valued axis
+    level equals its only child cell."""
+    from maston_spark.sketches import hll_raw_estimate, hll_registers, hll_rollup_cube
+
+    rows = [("click", f"d{i % 3}", i % 500) for i in range(3000)]
+    df = spark.createDataFrame(rows, "et string, day string, uid long")
+    cube = {
+        (r.level, r.et, r.day): r.n_distinct_est_raw
+        for r in hll_rollup_cube(df, "et", "day", "uid", p=8).collect()
+    }
+    # direct one-shot over everything == the cube's grand total
+    direct = hll_raw_estimate(
+        hll_registers(
+            df.select(F.lit("k").alias("g"), F.col("uid")), "g", "uid", p=8
+        ),
+        ["g"],
+        p=8,
+    ).collect()[0].n_distinct_est_raw
+    assert cube[("all", "ALL", "ALL")] == direct
+    # single event_type: the 'a' level equals the grand total too
+    assert cube[("a", "click", "ALL")] == direct
+    # cells exist for all 3 days and estimate fewer than the union
+    for d in ("d0", "d1", "d2"):
+        assert ("a,b", "click", d) in cube
