@@ -2198,3 +2198,89 @@ def q230_hll_cube(spark, sf_dir):
         "user_id",
     )
     return hll_rollup_cube(ev, "event_type", "day", "user_id", p=8)
+
+
+@query(
+    "q231_hll_rolling_prefix",
+    oracle="""
+    WITH src AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                        md5(user_id::VARCHAR) AS h
+                 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    b AS (SELECT d, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+                 ('0x' || substr(h, 3, 13))::BIGINT AS w
+          FROM src),
+    r AS (SELECT d, bucket,
+                 CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+          FROM b),
+    regs AS (SELECT d, bucket, max(rho) AS mj FROM r GROUP BY d, bucket),
+    days AS (SELECT DISTINCT d AS day FROM regs),
+    wnd AS (SELECT days.day, regs.bucket, max(regs.mj) AS mj
+            FROM days JOIN regs
+              ON regs.d <= days.day AND regs.d >= days.day - INTERVAL 6 DAY
+            GROUP BY days.day, regs.bucket),
+    ag AS (SELECT day,
+                  CAST(sum(CAST(power(2.0, 53 - mj) AS BIGINT)) AS BIGINT) AS sp,
+                  count(*) AS npres
+           FROM wnd GROUP BY day)
+    SELECT CAST(day AS VARCHAR) AS day,
+           round(47072.71267120224::DOUBLE * 9007199254740992.0::DOUBLE /
+                 CAST(sp + (256 - npres) * 9007199254740992 AS DOUBLE), 4)
+             AS n_distinct_est_raw,
+           CAST(256 - npres AS BIGINT) AS v_zero_registers
+    FROM ag ORDER BY day
+    """,
+)
+def q231_hll_rolling_prefix(spark, sf_dir):
+    """The rolling-HLL TOPOLOGY's emitted-estimate-equals-one-shot
+    claim graded cross-engine: events split into 3 deterministic
+    micro-batches (event_id mod 3), each batch's day registers folded
+    into the running state by the SAME per-(day, bucket) MAX the
+    streaming topology applies, final emit compared against the
+    oracle's ONE-SHOT registers of the whole history — register MAX
+    merge is a set identity, so the incremental path is
+    bit-identical. The sixth streaming state fold with an
+    oracle-graded batch twin (see
+    :func:`maston_spark.streaming.topology.hll_rolling_topology`)."""
+    from maston_spark.sketches import hll_raw_estimate, hll_registers
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("__day"),
+            F.col("user_id").alias("__v"),
+            "event_id",
+        )
+    )
+    state = None
+    for b in range(3):
+        batch = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == b).select(
+            "__day", "__v"
+        )
+        regs_b = hll_registers(batch, "__day", "__v", p=8)
+        state = (
+            regs_b
+            if state is None
+            else state.unionByName(regs_b)
+            .groupBy("__day", "bucket")
+            .agg(F.max("mj").alias("mj"))
+        )
+    days = state.select(F.col("__day").alias("day")).distinct()
+    merged = (
+        F.broadcast(days)
+        .join(
+            state,
+            F.datediff(F.col("day"), F.col("__day")).between(0, 6),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    return (
+        hll_raw_estimate(merged, ["day"], p=8)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_distinct_est_raw",
+            "v_zero_registers",
+        )
+        .orderBy("day")
+    )

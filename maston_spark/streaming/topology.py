@@ -1427,3 +1427,111 @@ def drift_monitor_topology(
             g.unpersist()
 
     return _start_foreach_batch(binned, fn, checkpoint, trigger)
+
+
+def hll_rolling_topology(
+    source: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    p: int = 8,
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    state_dir: str | None = "auto",
+    retention_days: int | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming rolling-window distinct monitoring: maintain per-DAY
+    HyperLogLog registers across micro-batches and emit, per batch,
+    the trailing-``window_days`` distinct-count estimate for every
+    day in state — "7-day distinct users, updated every batch",
+    without ever storing a distinct set. The streaming twin of the
+    oracle-graded batch operator
+    :func:`maston_spark.sketches.hll_rolling_distinct` (q225), the
+    sixth member of the sketch-topology family (KMV, CMS watchlist,
+    quantile metrics, drift monitor, curation).
+
+    The cross-batch state is the register table — ≤ days×2^p
+    ``(__day, bucket, mj)`` rows, durable in versioned parquet under
+    ``state_dir`` (default ``<checkpoint>/hll_state``), versioned per
+    batch id like the other stores. Merging a batch is the HLL union
+    property: per-(day, bucket) MAX of stored and batch registers —
+    MAX is IDEMPOTENT, so a crash-retry overwrite of the same
+    version is harmless (the KMV-not-CMS discipline), and the merged
+    state is bit-identical to sketching the whole history in one
+    pass — which makes every emitted estimate equal to the batch
+    twin's one-shot answer over the data so far (golden-tested).
+
+    ``retention_days`` bounds state for unbounded streams: days older
+    than the newest day minus ``retention_days`` are dropped at write
+    time (they can no longer contribute to any emitted window once
+    ``retention_days ≥ window_days``; smaller values trade old-window
+    accuracy for state, the delta-TTL discipline).
+
+    Scale shape per batch: ONE combiner-reduced register aggregation
+    over the batch (the only corpus-sized work), then sketch-sized
+    merges; the emit is the |days|-row grid against register rows.
+    """
+    from maston_spark.sketches import hll_raw_estimate, hll_registers
+
+    sdir = f"{checkpoint.rstrip('/')}/hll_state" if state_dir == "auto" else state_dir
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    proj = source.select(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("__day"),
+        F.col(value_col).alias("__v"),
+    ).filter(F.col("__day").isNotNull() & F.col("__v").isNotNull())
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        combined = hll_registers(batch_df, "__day", "__v", p=p)
+        prior: list[int] = []
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            seed_v = prior[-1] if prior else (batch_id if batch_id in versions else None)
+            if seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                if seed_v == batch_id:
+                    seed = seed.localCheckpoint(eager=True)
+                combined = combined.unionByName(seed)
+        state = combined.groupBy("__day", "bucket").agg(
+            F.max("mj").alias("mj")
+        )
+        if retention_days is not None:
+            newest = state.agg(F.max("__day").alias("__newest"))
+            state = (
+                state.join(F.broadcast(newest))
+                .filter(
+                    F.datediff(F.col("__newest"), F.col("__day"))
+                    < F.lit(int(retention_days))
+                )
+                .drop("__newest")
+            )
+        state = state.persist()
+        try:
+            if sdir is not None:
+                state.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+            days = state.select(F.col("__day").alias("day")).distinct()
+            merged = (
+                F.broadcast(days)
+                .join(
+                    state,
+                    F.datediff(F.col("day"), F.col("__day")).between(
+                        0, window_days - 1
+                    ),
+                )
+                .groupBy("day", "bucket")
+                .agg(F.max("mj").alias("mj"))
+            )
+            write_metrics(
+                hll_raw_estimate(merged, ["day"], p=p).orderBy("day"), batch_id
+            )
+            if sdir is not None:
+                _drop_state_versions(spark, sdir, prior)
+        finally:
+            state.unpersist()
+
+    return _start_foreach_batch(proj, fn, checkpoint, trigger)

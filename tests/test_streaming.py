@@ -1630,3 +1630,122 @@ def test_read_curation_state_legacy_v_snapshot(spark, cleanup):
     # retention window: upto=2 R=1 keeps only b >= 1
     st1 = _read_curation_state(spark, sdir, 2, 1)
     assert sorted(r["__h"] for r in st1.collect()) == ["h2", "h3"]
+
+
+def test_hll_rolling_topology_golden_and_restart(spark, cleanup):
+    """Streaming rolling-HLL over 3 micro-batches: every emitted
+    estimate equals the ORACLE-GRADED batch twin's one-shot answer
+    over the data so far (register MAX merge is a set identity), and
+    a cold restart from the durable state resumes without regressing.
+    Retention ages old days out of state."""
+    import datetime as dt
+
+    from maston_spark.sketches import hll_rolling_distinct
+    from maston_spark.streaming.topology import hll_rolling_topology
+
+    rows = []
+    for b in range(3):
+        for d in range(1 + b * 2, 3 + b * 2):  # days advance per batch
+            for u in range(d * 50, d * 50 + 20):
+                rows.append(
+                    Row(
+                        ts=dt.datetime(2024, 5, d, 12, 0, 0),
+                        uid=u,
+                        __replay_batch=b,
+                    )
+                )
+    src_df = spark.createDataFrame(rows)
+    stream, src = replay_stream(src_df, batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    q = hll_rolling_topology(
+        stream,
+        ts_col="ts",
+        value_col="uid",
+        window_days=3,
+        p=8,
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append(
+            (bid, {str(r.day): r.n_distinct_est_raw for r in df.collect()})
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) >= 3
+    # golden: final emit == batch twin one-shot over the whole history
+    oneshot = {
+        str(r.day): r.n_distinct_est_raw
+        for r in hll_rolling_distinct(
+            src_df.select("ts", "uid"), "ts", "uid", window_days=3, p=8
+        ).collect()
+    }
+    assert dict(seen)[2] == oneshot
+    # and every intermediate emit equals the twin over its prefix
+    prefix = src_df.filter(F.col("__replay_batch") <= 0).select("ts", "uid")
+    first = {
+        str(r.day): r.n_distinct_est_raw
+        for r in hll_rolling_distinct(prefix, "ts", "uid", 3, 8).collect()
+    }
+    assert dict(seen)[0] == first
+
+    # restart from durable state: a fresh query over one more batch
+    more = spark.createDataFrame(
+        [
+            Row(ts=dt.datetime(2024, 5, 8, 9, 0, 0), uid=u, __replay_batch=0)
+            for u in range(900, 930)
+        ]
+    )
+    stream2, src2 = replay_stream(more, batches=1)
+    cleanup.append(src2)
+    seen2: list = []
+    q2 = hll_rolling_topology(
+        stream2,
+        ts_col="ts",
+        value_col="uid",
+        window_days=3,
+        p=8,
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen2.append(
+            {str(r.day): r.n_distinct_est_raw for r in df.collect()}
+        ),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    both = src_df.select("ts", "uid").unionByName(more.select("ts", "uid"))
+    oneshot2 = {
+        str(r.day): r.n_distinct_est_raw
+        for r in hll_rolling_distinct(both, "ts", "uid", 3, 8).collect()
+    }
+    assert seen2[-1] == oneshot2
+
+    # retention: with retention_days=2, state drops days older than
+    # newest-1 and the emit only covers retained days
+    chk3 = _tmp()
+    cleanup.append(chk3)
+    stream3, src3 = replay_stream(src_df, batches=3)
+    cleanup.append(src3)
+    seen3: list = []
+    q3 = hll_rolling_topology(
+        stream3,
+        ts_col="ts",
+        value_col="uid",
+        window_days=3,
+        p=8,
+        checkpoint=chk3,
+        retention_days=2,
+        write_metrics=lambda df, bid: seen3.append(
+            {str(r.day): r.n_distinct_est_raw for r in df.collect()}
+        ),
+    )
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    assert set(seen3[-1]) == {"2024-05-05", "2024-05-06"}
