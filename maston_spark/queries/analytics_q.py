@@ -2284,3 +2284,65 @@ def q231_hll_rolling_prefix(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q232_pruning_effectiveness",
+    oracle="""
+    WITH b AS (SELECT min(o_custkey) AS xlo, max(o_custkey) AS xhi,
+                      min(o_orderkey) AS ylo, max(o_orderkey) AS yhi
+               FROM orders),
+    s AS (SELECT CAST((CAST(o_custkey AS HUGEINT) - xlo) * 65536
+                      // (CAST(xhi AS HUGEINT) - xlo + 1)
+                      AS BIGINT) AS xl,
+                 CAST((CAST(o_orderkey AS HUGEINT) - ylo) * 65536
+                      // (CAST(yhi AS HUGEINT) - ylo + 1)
+                      AS BIGINT) AS yl
+          FROM orders, b),
+    z AS (SELECT xl, yl, ({_ZT})::BIGINT AS zv FROM s),
+    lay AS (
+      SELECT 'zorder' AS layout, CAST(zv >> 27 AS INT) AS file_id, xl, yl
+      FROM z
+      UNION ALL
+      SELECT 'single', CAST(yl >> 11 AS INT), xl, yl FROM z),
+    f AS (SELECT layout, file_id,
+                 min(xl) AS x_min, max(xl) AS x_max,
+                 min(yl) AS y_min, max(yl) AS y_max
+          FROM lay GROUP BY layout, file_id),
+    p AS (SELECT i * 8192 AS p_lo, (i + 1) * 8192 AS p_hi
+          FROM (SELECT unnest(range(8)) AS i)),
+    fx AS (SELECT layout, 'x' AS pred_dim,
+                  CAST(count(DISTINCT file_id) AS BIGINT) AS n_files,
+                  CAST(sum(CASE WHEN x_max < p_lo OR x_min >= p_hi
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                    AS prunable_file_checks,
+                  count(*) AS checks
+           FROM f, p GROUP BY layout),
+    fy AS (SELECT layout, 'y' AS pred_dim,
+                  CAST(count(DISTINCT file_id) AS BIGINT) AS n_files,
+                  CAST(sum(CASE WHEN y_max < p_lo OR y_min >= p_hi
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                    AS prunable_file_checks,
+                  count(*) AS checks
+           FROM f, p GROUP BY layout)
+    SELECT layout, pred_dim, CAST(8 AS BIGINT) AS n_predicates, n_files,
+           prunable_file_checks,
+           round(prunable_file_checks / CAST(checks AS DOUBLE), 6)
+             AS prune_frac
+    FROM (SELECT * FROM fx UNION ALL SELECT * FROM fy)
+    ORDER BY layout, pred_dim
+    """.replace("{_ZT}", _zorder_terms("xl", "yl")),
+)
+def q232_pruning_effectiveness(spark, sf_dir):
+    """Measured file-skip rates for z-order vs single-column layout
+    under an 8-predicate range workload per dimension — the decision
+    number behind ZORDER BY, computed from the same simulated-file
+    min/max stats a lakehouse footer keeps: z-order prunes on BOTH
+    axes, the primary-key sort only on its own. See
+    :func:`maston_spark.relational.pruning_effectiveness`."""
+    from maston_spark.relational import pruning_effectiveness
+
+    o = load_table(spark, sf_dir, "orders")
+    return pruning_effectiveness(
+        o, "o_custkey", "o_orderkey", bits=16, file_bits=5, n_predicates=8
+    )

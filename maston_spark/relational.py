@@ -1202,6 +1202,28 @@ def zorder_layout_report(
     layouts. One bounds aggregation (broadcast 1 row) + one
     projection + one combiner-reduced aggregation per layout — no
     sort, no shuffle beyond the 2·2^file_bits-row agg."""
+    return (
+        _layout_file_frame(df, x_col, y_col, bits, file_bits)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.max("xl") - F.min("xl")).cast("long").alias("x_span"),
+            (F.max("yl") - F.min("yl")).cast("long").alias("y_span"),
+        )
+        .orderBy("layout", "file_id")
+    )
+
+
+def _layout_file_frame(
+    df: DataFrame, x_col: str, y_col: str, bits: int, file_bits: int
+) -> DataFrame:
+    """Shared normalize + simulate-files stage of the layout family:
+    ``(layout, file_id, xl, yl)`` per row for BOTH layouts ('zorder'
+    buckets by the interleave's top bits, 'single' by y's) — the
+    frame :func:`zorder_layout_report` (q205) aggregates to spans and
+    :func:`pruning_effectiveness` (q232) aggregates to min/max for
+    predicate skip tests. Normalization runs in DECIMAL(38,0) (see
+    the report's overflow note)."""
     m = 1 << bits
     bounds = df.agg(
         F.min(F.col(x_col).cast("long")).alias("__xlo"),
@@ -1233,16 +1255,73 @@ def zorder_layout_report(
         "xl",
         "yl",
     )
-    return (
-        zf.unionByName(sf)
+    return zf.unionByName(sf)
+
+
+def pruning_effectiveness(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    file_bits: int = 5,
+    n_predicates: int = 8,
+) -> DataFrame:
+    """Measured file-SKIP rates per layout — the decision number the
+    span report (q205) only implies: for a fixed grid of
+    ``n_predicates`` equal-width range predicates on EACH dimension,
+    how many of the 2^file_bits simulated files can min/max stats
+    prune — ``(layout, pred_dim, n_predicates, n_files,
+    prunable_file_checks, prune_frac)``. A file is prunable for a
+    predicate iff the predicate's [lo, hi) window misses the file's
+    [min, max] — exactly the footer-stats test a lakehouse scan
+    performs. The headline: z-order prunes on BOTH dimensions;
+    single-column sort prunes only its own.
+
+    Scale shape: one pass builds per-file min/max (2·2^file_bits
+    rows); the predicate grid is a broadcast ``n_predicates``-row
+    frame; everything after is metadata-sized."""
+    m = 1 << bits
+    files = (
+        _layout_file_frame(df, x_col, y_col, bits, file_bits)
         .groupBy("layout", "file_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            (F.max("xl") - F.min("xl")).cast("long").alias("x_span"),
-            (F.max("yl") - F.min("yl")).cast("long").alias("y_span"),
+            F.min("xl").alias("x_min"),
+            F.max("xl").alias("x_max"),
+            F.min("yl").alias("y_min"),
+            F.max("yl").alias("y_max"),
         )
-        .orderBy("layout", "file_id")
     )
+    spark = df.sparkSession
+    width = m // n_predicates
+    preds = spark.range(n_predicates).select(
+        (F.col("id") * width).alias("p_lo"),
+        ((F.col("id") + 1) * width).alias("p_hi"),
+    )
+    both = files.crossJoin(F.broadcast(preds))
+    out = []
+    for dim, mn, mx in (("x", "x_min", "x_max"), ("y", "y_min", "y_max")):
+        prunable = (F.col(mx) < F.col("p_lo")) | (F.col(mn) >= F.col("p_hi"))
+        out.append(
+            both.groupBy("layout")
+            .agg(
+                F.countDistinct("file_id").cast("long").alias("n_files"),
+                F.sum(prunable.cast("long")).cast("long").alias(
+                    "prunable_file_checks"
+                ),
+                F.count(F.lit(1)).alias("__checks"),
+            )
+            .select(
+                "layout",
+                F.lit(dim).alias("pred_dim"),
+                F.lit(n_predicates).cast("long").alias("n_predicates"),
+                "n_files",
+                "prunable_file_checks",
+                F.round(
+                    F.col("prunable_file_checks") / F.col("__checks"), 6
+                ).alias("prune_frac"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("layout", "pred_dim")
 
 
 def scd2_history(

@@ -1200,3 +1200,26 @@ def test_trimmed_stats_hand_case(spark):
     # trim=0 degenerates to the plain mean
     [r0] = trimmed_stats(df, "g", "v", trim=0.0).collect()
     assert r0.trimmed_mean == 104.5 and r0.n_kept == 10
+
+
+def test_pruning_effectiveness_zorder_prunes_both_axes(spark):
+    """On a uniform 2-D grid: the single-column (y-sorted) layout
+    prunes ~0 files for x predicates while z-order prunes most files
+    on BOTH axes — the measured version of the q205 span claim."""
+    from maston_spark.relational import pruning_effectiveness
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 149).alias("y"),
+    )
+    out = {
+        (r.layout, r.pred_dim): r.prune_frac
+        for r in pruning_effectiveness(
+            df, "x", "y", bits=16, file_bits=4, n_predicates=8
+        ).collect()
+    }
+    assert out[("single", "x")] < 0.1
+    assert out[("single", "y")] > 0.5
+    assert out[("zorder", "x")] > 0.5
+    assert out[("zorder", "y")] > 0.5
