@@ -736,3 +736,58 @@ def benford_audit(
         )
         .orderBy("digit")
     )
+
+
+def period_delta_topk(
+    df: DataFrame,
+    ts_col: str,
+    item_col: str,
+    split_ts: str,
+    k: int = 15,
+) -> DataFrame:
+    """Period-over-period traffic-shift report: the k items whose row
+    counts moved most between the before/after halves of ``split_ts``
+    — ``(item, n_before, n_after, delta, pct_change)`` ordered by
+    |delta| desc — the "what just became hot / went quiet" monitoring
+    question a drift dashboard answers next to the distributional
+    tests (:func:`ks_drift` asks IF the mix moved; this names WHO).
+
+    Exact integer counts (one combiner-reduced aggregation with the
+    period as a pivot condition — the corpus is scanned once, never
+    joined against itself), a |items|-bounded shuffle, and a
+    TakeOrdered top-k. ``pct_change`` is NULL for new items (no
+    before-base); ties break by item for a total order."""
+    split = F.lit(split_ts).cast("timestamp")
+    per = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(F.col(item_col).alias("item"))
+        .agg(
+            F.sum(
+                F.when(F.col(ts_col) < split, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_before"),
+            F.sum(
+                F.when(F.col(ts_col) >= split, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_after"),
+        )
+    )
+    delta = F.col("n_after") - F.col("n_before")
+    return (
+        per.select(
+            "item",
+            "n_before",
+            "n_after",
+            delta.alias("delta"),
+            F.when(
+                F.col("n_before") > 0,
+                F.round(
+                    delta.cast("double") / F.col("n_before").cast("double"), 6
+                ),
+            ).alias("pct_change"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), F.asc("item"))
+        .limit(k)
+    )

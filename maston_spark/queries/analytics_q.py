@@ -2346,3 +2346,36 @@ def q232_pruning_effectiveness(spark, sf_dir):
     return pruning_effectiveness(
         o, "o_custkey", "o_orderkey", bits=16, file_bits=5, n_predicates=8
     )
+
+
+@query(
+    "q233_heavy_hitter_delta",
+    oracle="""
+    WITH per AS (
+      SELECT user_id AS item,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id)
+    SELECT item, n_before, n_after,
+           n_after - n_before AS delta,
+           CASE WHEN n_before > 0
+                THEN round((n_after - n_before) / CAST(n_before AS DOUBLE), 6)
+           END AS pct_change
+    FROM per
+    ORDER BY abs(n_after - n_before) DESC, item LIMIT 15
+    """,
+)
+def q233_heavy_hitter_delta(spark, sf_dir):
+    """Which users' event volume shifted most across the mid-month
+    split — exact period-over-period counts from ONE pivoted
+    aggregation, TakeOrdered top-15 by |delta|: the "who became
+    hot / went quiet" half of drift monitoring (q178/q194 ask IF the
+    mix moved; this names WHO). See
+    :func:`maston_spark.profiling.period_delta_topk`."""
+    from maston_spark.profiling import period_delta_topk
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    return period_delta_topk(ev, "ts", "user_id", "2024-01-15", k=15)

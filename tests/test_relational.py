@@ -1223,3 +1223,28 @@ def test_pruning_effectiveness_zorder_prunes_both_axes(spark):
     assert out[("single", "y")] > 0.5
     assert out[("zorder", "x")] > 0.5
     assert out[("zorder", "y")] > 0.5
+
+
+def test_period_delta_topk_hand_case(spark):
+    """New item (NULL pct), vanished item (-1.0), surge ordering by
+    |delta| with item tiebreak."""
+    import datetime as dt
+
+    from maston_spark.profiling import period_delta_topk
+
+    before, after = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    rows = (
+        [("steady", before)] * 5 + [("steady", after)] * 5
+        + [("surge", before)] * 1 + [("surge", after)] * 9
+        + [("gone", before)] * 6
+        + [("new", after)] * 4
+    )
+    df = spark.createDataFrame(rows, "item string, ts timestamp")
+    out = [
+        (r.item, r.n_before, r.n_after, r.delta, r.pct_change)
+        for r in period_delta_topk(df, "ts", "item", "2024-01-15", k=10).collect()
+    ]
+    assert out[0] == ("surge", 1, 9, 8, 8.0)
+    assert out[1] == ("gone", 6, 0, -6, -1.0)
+    assert out[2] == ("new", 0, 4, 4, None)
+    assert out[3] == ("steady", 5, 5, 0, 0.0)
