@@ -443,3 +443,95 @@ def gains_table(
         F.round(capture, 6).alias("cum_capture"),
         F.round(rate / base_rate, 6).alias("lift"),
     ).orderBy("bucket")
+
+
+# Poisson(1) CDF thresholds scaled to the 32-bit hash-lane domain
+# (floor(cdf_k * 2^32), python-precomputed) — weights come from EXACT
+# integer compares of the md5 lane against these literals, so the
+# "random" resample is a pure deterministic function of (salt,
+# replicate, id) both engines replay bit-for-bit. Tail capped at 7
+# (P ≈ 1e-5 of the cap binding per draw).
+_POISSON1_THRESHOLDS = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777,
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 32,
+    salt: str = "bs",
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% confidence interval for a
+    column mean — one row ``(n_replicates, est_mean, ci_lo, ci_hi)``.
+    The classic distributed bootstrap (each row enters replicate r
+    with an independent Poisson(1) multiplicity — Chamandy et al.,
+    Google 2012 "Estimating Uncertainty for Massive Data Streams")
+    made REPRODUCIBLE: the multiplicity is an exact integer-compare
+    of the md5 lane of ``(salt, r, id)`` against precomputed
+    Poisson-CDF thresholds, so the same rows, ids and salt produce
+    the same interval on any engine, partitioning, or rerun — and
+    the DuckDB oracle replays the whole Monte-Carlo construction
+    bit-for-bit (resampling inference as a GRADED computation, not a
+    trusted one).
+
+    Scale shape: each row emits ``b`` (replicate, weight, w·x) triples
+    inline (a b-struct explode — no data movement, no resampled
+    copies of the corpus) that combiner-reduce immediately; the
+    shuffle carries ≤ b rows per task, the replicate means are a
+    b-row frame, and the percentile pick is an exact order statistic
+    over those b rows (indices round(0.025·(b−1)) /
+    round(0.975·(b−1)) — the standard percentile bootstrap). Sums
+    round to the 9-grid before each replicate's closing division."""
+    if b < 8:
+        raise ValueError("need at least 8 replicates for a percentile CI")
+    lane = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("__rep").cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(len(_POISSON1_THRESHOLDS))
+    for k in range(len(_POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(lane < F.lit(_POISSON1_THRESHOLDS[k]), F.lit(k)).otherwise(w)
+    x = F.col(value_col).cast("double")
+    exploded = (
+        df.filter(x.isNotNull())
+        .select(
+            F.col(id_col),
+            x.alias("__x"),
+            F.explode(F.array(*[F.lit(r) for r in range(b)])).alias("__rep"),
+        )
+        .select("__rep", w.alias("__w"), (w * F.col("__x")).alias("__wx"))
+    )
+    reps = exploded.groupBy("__rep").agg(
+        F.sum("__w").cast("long").alias("__sw"),
+        F.round(F.sum("__wx"), 9).alias("__swx"),
+    )
+    mean_r = F.round(F.col("__swx") / F.col("__sw").cast("double"), 6)
+    # exact order statistics over the b-row replicate frame (bounded
+    # partition-less window — b rows by construction)
+    wd = Window.orderBy("__m", "__rep")
+    lo_i = round(0.025 * (b - 1)) + 1
+    hi_i = round(0.975 * (b - 1)) + 1
+    ranked = reps.select(mean_r.alias("__m"), "__rep").select(
+        "__m", F.row_number().over(wd).alias("__rn")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.round(F.sum("__m") / F.count(F.lit(1)), 6).alias("est_mean"),
+        F.min(F.when(F.col("__rn") == lo_i, F.col("__m"))).alias("ci_lo"),
+        F.min(F.when(F.col("__rn") == hi_i, F.col("__m"))).alias("ci_hi"),
+    )

@@ -2379,3 +2379,58 @@ def q233_heavy_hitter_delta(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
     return period_delta_topk(ev, "ts", "user_id", "2024-01-15", k=15)
+
+
+@query(
+    "q234_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(32)) AS rep),
+    e AS (SELECT rep,
+                 ('0x' || substr(md5('bs:' || rep || ':' ||
+                                     l_orderkey || '#' || l_linenumber),
+                                 1, 8))::BIGINT AS lane,
+                 CAST(l_extendedprice AS DOUBLE) AS x
+          FROM lineitem, reps
+          WHERE l_extendedprice IS NOT NULL),
+    ww AS (SELECT rep,
+                  CASE WHEN lane < 1580030168 THEN 0
+                       WHEN lane < 3160060337 THEN 1
+                       WHEN lane < 3950075421 THEN 2
+                       WHEN lane < 4213413783 THEN 3
+                       WHEN lane < 4279248373 THEN 4
+                       WHEN lane < 4292415291 THEN 5
+                       WHEN lane < 4294609777 THEN 6
+                       ELSE 7 END AS w,
+                  x
+           FROM e),
+    agg AS (SELECT rep, CAST(sum(w) AS BIGINT) AS sw,
+                   round(sum(w * x), 9) AS swx
+            FROM ww GROUP BY rep),
+    m AS (SELECT rep, round(swx / CAST(sw AS DOUBLE), 6) AS mm FROM agg),
+    rk AS (SELECT mm, row_number() OVER (ORDER BY mm, rep) AS rn FROM m)
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           round(sum(mm) / count(*), 6) AS est_mean,
+           min(CASE WHEN rn = 2 THEN mm END) AS ci_lo,
+           min(CASE WHEN rn = 31 THEN mm END) AS ci_hi
+    FROM rk
+    """,
+)
+def q234_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap 95% CI for the mean extended
+    price — distributed resampling inference (Chamandy et al. 2012)
+    with md5-derived integer Poisson(1) multiplicities, so the
+    Monte-Carlo construction itself is GRADED cross-engine rather
+    than trusted: no RNG, no resampled data copies, 32 replicates
+    folded in one combiner-reduced pass. See
+    :func:`maston_spark.evaluation.poisson_bootstrap_ci`."""
+    from maston_spark.evaluation import poisson_bootstrap_ci
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        "l_extendedprice",
+    )
+    return poisson_bootstrap_ci(li, "l_extendedprice", "rid", b=32)

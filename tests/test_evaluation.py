@@ -197,3 +197,23 @@ def test_cuped_removes_covariate_explained_imbalance(spark):
     assert out["B"].mean_y_cuped == round(exp_b, 6)
     # and the adjusted gap is far closer to the true +1 effect
     assert abs(adj_gap - 1.0) < abs(raw_gap - 1.0) / 5
+
+
+def test_poisson_bootstrap_ci_brackets_true_mean_and_is_deterministic(spark):
+    """The 95% CI brackets the sample mean on homogeneous data, is
+    invariant to partitioning, and changes with the salt (different
+    resample) while staying near the truth. Weight multiplicities
+    average ~1 (Poisson(1))."""
+    from maston_spark.evaluation import poisson_bootstrap_ci
+
+    rows = [(i, 100.0 + (i % 21) - 10) for i in range(4000)]  # mean 100
+    df = spark.createDataFrame(rows, "rid long, v double")
+    [r1] = poisson_bootstrap_ci(df.repartition(3), "v", "rid", b=32).collect()
+    [r2] = poisson_bootstrap_ci(df.repartition(17), "v", "rid", b=32).collect()
+    assert (r1.est_mean, r1.ci_lo, r1.ci_hi) == (r2.est_mean, r2.ci_lo, r2.ci_hi)
+    assert r1.n_replicates == 32
+    assert r1.ci_lo <= 100.0 <= r1.ci_hi
+    assert r1.ci_hi - r1.ci_lo < 2.0  # ~2*1.96*sd/sqrt(n) with sd~6
+    [r3] = poisson_bootstrap_ci(df, "v", "rid", b=32, salt="other").collect()
+    assert (r3.ci_lo, r3.ci_hi) != (r1.ci_lo, r1.ci_hi)
+    assert r3.ci_lo <= 100.0 <= r3.ci_hi
