@@ -247,7 +247,7 @@ _PRIORITY = [
     "q226_trimmed_mean", "q227_ipf_raking", "q228_benford_audit",
     "q229_gains_table", "q230_hll_cube", "q231_hll_rolling_prefix",
     "q232_pruning_effectiveness", "q233_heavy_hitter_delta",
-    "q234_bootstrap_ci",
+    "q234_bootstrap_ci", "q235_transition_lift",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

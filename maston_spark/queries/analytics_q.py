@@ -2434,3 +2434,43 @@ def q234_bootstrap_ci(spark, sf_dir):
         "l_extendedprice",
     )
     return poisson_bootstrap_ci(li, "l_extendedprice", "rid", b=32)
+
+
+@query(
+    "q235_transition_lift",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+               FROM events WHERE event_type IS NOT NULL),
+    t AS (SELECT event_type AS event_a,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id) AS event_b
+          FROM e),
+    p AS (SELECT event_a, event_b, CAST(count(*) AS BIGINT) AS n_ab
+          FROM t WHERE event_b IS NOT NULL GROUP BY event_a, event_b),
+    oa AS (SELECT event_a, sum(n_ab) AS na FROM p GROUP BY event_a),
+    ib AS (SELECT event_b, sum(n_ab) AS nb FROM p GROUP BY event_b),
+    tt AS (SELECT sum(n_ab) AS n FROM p)
+    SELECT p.event_a, p.event_b, p.n_ab,
+           round(p.n_ab / CAST(na AS DOUBLE), 6) AS confidence,
+           round(CAST(CAST(p.n_ab AS HUGEINT) * n AS DOUBLE)
+                 / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6) AS lift
+    FROM p JOIN oa USING (event_a) JOIN ib USING (event_b), tt
+    WHERE p.n_ab >= 2
+    ORDER BY lift DESC, event_a, event_b LIMIT 20
+    """,
+)
+def q235_transition_lift(spark, sf_dir):
+    """Directed event-transition lift over per-user streams — which
+    event genuinely LEADS to which, scored against independent
+    marginals (association-rule confidence/lift on sequences; q110
+    counts paths, q222 unordered pairs, this scores adjacency).
+    Integer cross-multiplied lift, one closing IEEE division. See
+    :func:`maston_spark.relational.transition_lift`."""
+    from maston_spark.relational import transition_lift
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return transition_lift(
+        ev, "user_id", "ts", "event_type", "event_id", min_support=2, top_k=20
+    )

@@ -1716,3 +1716,70 @@ def trimmed_stats(
             6,
         ).alias("winsorized_mean"),
     )
+
+
+def transition_lift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    tiebreak_col: str,
+    min_support: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Event-transition association strength: for every observed
+    consecutive pair (a → b) within a key's time-ordered stream —
+    ``(event_a, event_b, n_ab, confidence, lift)`` — where
+    ``confidence = P(b follows | a)`` and ``lift`` compares the
+    transition rate against what independent marginals would produce
+    (``lift = n_ab·N / (n_a→ · n_→b)``; > 1 means a genuinely leads
+    to b). The association-rule confidence/lift physics (Agrawal &
+    Srikant 1994) applied to SEQUENCES — q110 counts raw paths, q222
+    counts unordered co-occurrence; this scores directed adjacency
+    against independence.
+
+    Exactness: all marginals are int64 counts off the one transition
+    table; lift cross-multiplies integers with a single closing IEEE
+    division (round 6), confidence one exact ratio. Scale shape: one
+    hash shuffle on the key for the lead window, one combiner-reduced
+    pair count (≤ |events|² rows), marginals derived from the pair
+    table, top-k a TakeOrdered. Ties break (lift desc, a, b)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.filter(F.col(event_col).isNotNull())
+        .select(
+            F.col(event_col).alias("event_a"),
+            F.lead(event_col).over(w).alias("event_b"),
+        )
+        .filter(F.col("event_b").isNotNull())
+        .groupBy("event_a", "event_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    out_m = pairs.groupBy("event_a").agg(F.sum("n_ab").alias("__na"))
+    in_m = pairs.groupBy("event_b").agg(F.sum("n_ab").alias("__nb"))
+    tot = pairs.agg(F.sum("n_ab").alias("__n"))
+    dec = "decimal(38,0)"
+    j = (
+        pairs.join(F.broadcast(out_m), "event_a")
+        .join(F.broadcast(in_m), "event_b")
+        .join(F.broadcast(tot))
+    )
+    lift = (
+        F.col("n_ab").cast(dec) * F.col("__n").cast(dec)
+    ).cast("double") / (
+        F.col("__na").cast(dec) * F.col("__nb").cast(dec)
+    ).cast("double")
+    return (
+        j.filter(F.col("n_ab") >= F.lit(min_support))
+        .select(
+            "event_a",
+            "event_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("__na").cast("double"), 6
+            ).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("event_a"), F.asc("event_b"))
+        .limit(top_k)
+    )

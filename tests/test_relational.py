@@ -1248,3 +1248,38 @@ def test_period_delta_topk_hand_case(spark):
     assert out[1] == ("gone", 6, 0, -6, -1.0)
     assert out[2] == ("new", 0, 4, 4, None)
     assert out[3] == ("steady", 5, 5, 0, 0.0)
+
+
+def test_transition_lift_hand_case(spark):
+    """a->b always follows (confidence 1), c->d never co-occurs with
+    a's outgoing mass; lift of a->b exceeds 1 exactly as the
+    cross-multiplied marginals dictate."""
+    import datetime as dt
+
+    from maston_spark.relational import transition_lift
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    eid = 0
+    # 3 users: a b a b (transitions a->b x2, b->a x1 each)
+    for u in range(3):
+        for i, e in enumerate(["a", "b", "a", "b"]):
+            eid += 1
+            rows.append((u, e, t0 + dt.timedelta(minutes=i), eid))
+    # 1 user: c d c d
+    for i, e in enumerate(["c", "d", "c", "d"]):
+        eid += 1
+        rows.append((9, e, t0 + dt.timedelta(minutes=i), eid))
+    df = spark.createDataFrame(rows, "u long, e string, ts timestamp, eid long")
+    out = {
+        (r.event_a, r.event_b): (r.n_ab, r.confidence, r.lift)
+        for r in transition_lift(df, "u", "ts", "e", "eid", 1, 20).collect()
+    }
+    # totals: a->b 6, b->a 3, c->d 2, d->c 1 => N=12
+    assert out[("a", "b")][0] == 6
+    assert out[("a", "b")][1] == 1.0  # a only ever goes to b
+    # lift(a->b) = 6*12 / (6 * 9)... n_a.=6, n_.b=6 -> 72/36 = 2.0
+    assert out[("a", "b")][2] == 2.0
+    assert out[("c", "d")][1] == 1.0
+    # lift(c->d) = 2*12 / (2*2) = 6.0 — rarer pair, stronger lift
+    assert out[("c", "d")][2] == 6.0
