@@ -535,3 +535,99 @@ def poisson_bootstrap_ci(
         F.min(F.when(F.col("__rn") == lo_i, F.col("__m"))).alias("ci_lo"),
         F.min(F.when(F.col("__rn") == hi_i, F.col("__m"))).alias("ci_hi"),
     )
+
+
+def diff_in_diff(
+    units: DataFrame,
+    treat_col: str,
+    period_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Difference-in-differences point estimate from a 2×2 design —
+    one row ``(n_rows, m_ctrl_pre, m_ctrl_post, m_treat_pre,
+    m_treat_post, did)`` with
+    ``did = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)``
+    — the parallel-trends estimator (Card & Krueger 1994 canon) for
+    rollouts where randomization wasn't possible and the control's
+    pre→post drift stands in for the counterfactual. ``treat_col``
+    and ``period_col`` are 0/1 ints.
+
+    One combiner-reduced aggregation (conditional decimal sums per
+    cell off one scan — no 4-way self-join); each cell mean is
+    sum/count off the 9-grid with the closing subtraction a fixed
+    IEEE tree both engines replay."""
+    t = F.col(treat_col).cast("int")
+    p = F.col(period_col).cast("int")
+    y = F.col(metric_col).cast("decimal(18,9)")
+
+    def cell(ti, pi):
+        cond = (t == ti) & (p == pi)
+        return (
+            F.sum(F.when(cond, y)).alias(f"__s{ti}{pi}"),
+            F.sum(F.when(cond, F.lit(1))).cast("long").alias(f"__n{ti}{pi}"),
+        )
+
+    aggs = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            aggs += list(cell(ti, pi))
+    agg = units.filter(y.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"), *aggs
+    )
+
+    def mean(ti, pi):
+        return F.col(f"__s{ti}{pi}").cast("double") / F.col(
+            f"__n{ti}{pi}"
+        ).cast("double")
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    return agg.select(
+        "n_rows",
+        F.round(mean(0, 0), 6).alias("m_ctrl_pre"),
+        F.round(mean(0, 1), 6).alias("m_ctrl_post"),
+        F.round(mean(1, 0), 6).alias("m_treat_pre"),
+        F.round(mean(1, 1), 6).alias("m_treat_post"),
+        F.round(did, 6).alias("did"),
+    )
+
+
+def mde_power(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    z_alpha: float = 1.959963984540054,
+    z_beta: float = 0.8416212335729143,
+) -> DataFrame:
+    """Minimum detectable effect per group at 95% confidence / 80%
+    power for a two-sample mean comparison —
+    ``(group, n, mean, sd, mde_abs, mde_rel)`` with
+    ``MDE = (z_α/2 + z_β) · sqrt(2σ²/n)`` — the pre-experiment
+    sizing number that says whether a planned test CAN see the
+    effect you care about (run it before q221's readout, not after).
+    z quantiles are embedded double literals; σ comes from
+    decimal-exact moment sums with one correctly-rounded sqrt; the
+    closing products are a fixed IEEE tree. One combiner-reduced
+    aggregation."""
+    x = F.col(metric_col).cast("decimal(18,9)")
+    agg = df.filter(x.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    var = (sxx - sx * sx / nd) / nd
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    mean = sx / nd
+    mde = F.lit(z_alpha + z_beta) * F.sqrt(
+        F.lit(2.0) * F.greatest(var, F.lit(0.0)) / nd
+    )
+    return agg.select(
+        group_col,
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(sd, 6).alias("sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.when(mean != 0, F.round(mde / mean, 6)).alias("mde_rel"),
+    ).orderBy(group_col)

@@ -1830,3 +1830,59 @@ def oov_rate(
             (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+def chao1_vocab_richness(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-richness estimation per group — ``(group, n_tokens,
+    v_observed, n_singletons, n_doubletons, chao1, gt_unseen_mass)``
+    — the "how much vocabulary haven't we crawled yet" planning
+    numbers: bias-corrected Chao1 species richness
+    ``V + n₁(n₁−1)/(2(n₂+1))`` (Chao 1984; the n₂=0-safe form) and
+    the Good-Turing unseen probability mass ``n₁/N`` (Good 1953) —
+    both EXACT rationals of integer frequency-of-frequency counts
+    with one closing IEEE division each, so the estimators grade
+    cross-engine bit-for-bit. A corpus whose singleton share keeps
+    growing is nowhere near vocabulary saturation; one whose
+    gt_unseen_mass ≈ 0 has been crawled to exhaustion — the
+    diminishing-returns signal a crawl budget reads.
+
+    Scale shape: one combiner-reduced (group, token) frequency
+    aggregation (the shuffle carries the vocabulary, never the
+    corpus), then a second |vocab|-bounded aggregation folds the
+    frequency-of-frequencies."""
+    tf = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    agg = tf.groupBy("g").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum((F.col("f") == 1).cast("long")).cast("long").alias("n_singletons"),
+        F.sum((F.col("f") == 2).cast("long")).cast("long").alias("n_doubletons"),
+    )
+    n1 = F.col("n_singletons").cast("double")
+    n2 = F.col("n_doubletons").cast("double")
+    chao1 = F.col("v_observed").cast("double") + n1 * (n1 - 1.0) / (
+        2.0 * (n2 + 1.0)
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "v_observed",
+        "n_singletons",
+        "n_doubletons",
+        F.round(chao1, 4).alias("chao1"),
+        F.round(n1 / F.col("n_tokens").cast("double"), 6).alias(
+            "gt_unseen_mass"
+        ),
+    ).orderBy(group_col)

@@ -2474,3 +2474,135 @@ def q235_transition_lift(spark, sf_dir):
     return transition_lift(
         ev, "user_id", "ts", "event_type", "event_id", min_support=2, top_k=20
     )
+
+
+@query(
+    "q236_diff_in_diff",
+    oracle="""
+    WITH u AS (SELECT CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 2 AS INT) AS t,
+                      CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS p,
+                      CAST(value AS DECIMAL(18,9)) AS y
+               FROM events WHERE value IS NOT NULL),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(y) FILTER (WHERE t=0 AND p=0) AS DOUBLE) AS s00,
+                 CAST(count(*) FILTER (WHERE t=0 AND p=0) AS DOUBLE) AS n00,
+                 CAST(sum(y) FILTER (WHERE t=0 AND p=1) AS DOUBLE) AS s01,
+                 CAST(count(*) FILTER (WHERE t=0 AND p=1) AS DOUBLE) AS n01,
+                 CAST(sum(y) FILTER (WHERE t=1 AND p=0) AS DOUBLE) AS s10,
+                 CAST(count(*) FILTER (WHERE t=1 AND p=0) AS DOUBLE) AS n10,
+                 CAST(sum(y) FILTER (WHERE t=1 AND p=1) AS DOUBLE) AS s11,
+                 CAST(count(*) FILTER (WHERE t=1 AND p=1) AS DOUBLE) AS n11
+          FROM u)
+    SELECT n_rows,
+           round(s00 / n00, 6) AS m_ctrl_pre,
+           round(s01 / n01, 6) AS m_ctrl_post,
+           round(s10 / n10, 6) AS m_treat_pre,
+           round(s11 / n11, 6) AS m_treat_post,
+           round((s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00), 6) AS did
+    FROM a
+    """,
+)
+def q236_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences readout over the events stream —
+    the parallel-trends estimator for unrandomized rollouts (Card &
+    Krueger 1994 canon), same deterministic md5 cohorting and
+    mid-month period split as q221's CUPED: four conditional
+    decimal-sum cells off ONE scan, closing subtractions a fixed
+    IEEE tree. See :func:`maston_spark.evaluation.diff_in_diff`."""
+    from maston_spark.evaluation import diff_in_diff
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    units = ev.select(
+        (lane % 2).cast("int").alias("t"),
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        .cast("int")
+        .alias("p"),
+        F.col("value").alias("y"),
+    )
+    return diff_in_diff(units, "t", "p", "y")
+
+
+@query(
+    "q237_chao1_vocab",
+    oracle="""
+    WITH tf AS (
+      SELECT source AS g, tok, count(*) AS f
+      FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+      WHERE tok <> '' GROUP BY source, tok),
+    a AS (SELECT g, CAST(sum(f) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS v_observed,
+                 CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons,
+                 CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_doubletons
+          FROM tf GROUP BY g)
+    SELECT g AS source, n_tokens, v_observed, n_singletons, n_doubletons,
+           round(v_observed + CAST(n_singletons AS DOUBLE)
+                 * (CAST(n_singletons AS DOUBLE) - 1.0)
+                 / (2.0 * (CAST(n_doubletons AS DOUBLE) + 1.0)), 4) AS chao1,
+           round(CAST(n_singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS gt_unseen_mass
+    FROM a ORDER BY source
+    """,
+)
+def q237_chao1_vocab(spark, sf_dir):
+    """Per-source vocabulary-richness planning: bias-corrected Chao1
+    species estimate and Good-Turing unseen probability mass — the
+    "is this crawl saturated" numbers a data-acquisition budget
+    reads, exact rationals of frequency-of-frequency counts. See
+    :func:`maston_spark.llm.text.chao1_vocab_richness`."""
+    from maston_spark.llm.text import chao1_vocab_richness
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return chao1_vocab_richness(d, "source", "text")
+
+
+@query(
+    "q238_mde_power",
+    oracle="""
+    WITH u AS (SELECT source AS g, CAST(n_chars AS DECIMAL(18,9)) AS x
+               FROM documents WHERE n_chars IS NOT NULL),
+    a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx
+          FROM u GROUP BY g)
+    SELECT g AS source, n,
+           round(sx / CAST(n AS DOUBLE), 6) AS mean,
+           round(sqrt(greatest((sxx - sx * sx / CAST(n AS DOUBLE))
+                               / CAST(n AS DOUBLE), 0.0)), 6) AS sd,
+           round((1.959963984540054 + 0.8416212335729143)
+                 * sqrt(2.0 * greatest((sxx - sx * sx / CAST(n AS DOUBLE))
+                                       / CAST(n AS DOUBLE), 0.0)
+                        / CAST(n AS DOUBLE)), 6) AS mde_abs,
+           CASE WHEN sx / CAST(n AS DOUBLE) <> 0 THEN
+             round(((1.959963984540054 + 0.8416212335729143)
+                    * sqrt(2.0 * greatest((sxx - sx * sx / CAST(n AS DOUBLE))
+                                          / CAST(n AS DOUBLE), 0.0)
+                           / CAST(n AS DOUBLE)))
+                   / (sx / CAST(n AS DOUBLE)), 6) END AS mde_rel
+    FROM a ORDER BY source
+    """,
+)
+def q238_mde_power(spark, sf_dir):
+    """Minimum detectable effect per source at 95%/80% for a
+    two-sample mean test on document length — the pre-experiment
+    sizing gate that belongs BEFORE q221/q236's readouts: embedded z
+    literals, decimal-exact moments, correctly-rounded sqrt. See
+    :func:`maston_spark.evaluation.mde_power`."""
+    from maston_spark.evaluation import mde_power
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return mde_power(d, "source", "n_chars")

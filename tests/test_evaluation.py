@@ -217,3 +217,34 @@ def test_poisson_bootstrap_ci_brackets_true_mean_and_is_deterministic(spark):
     [r3] = poisson_bootstrap_ci(df, "v", "rid", b=32, salt="other").collect()
     assert (r3.ci_lo, r3.ci_hi) != (r1.ci_lo, r1.ci_hi)
     assert r3.ci_lo <= 100.0 <= r3.ci_hi
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    """Treated units drift +5 like everyone, plus a planted +3
+    treatment effect in the post period; DiD recovers exactly +3."""
+    from maston_spark.evaluation import diff_in_diff
+
+    rows = []
+    for t in (0, 1):
+        for i in range(50):
+            base = 10.0 + (i % 7)
+            rows.append((t, 0, base))
+            rows.append((t, 1, base + 5.0 + (3.0 if t else 0.0)))
+    df = spark.createDataFrame(rows, "t int, p int, y double")
+    [r] = diff_in_diff(df, "t", "p", "y").collect()
+    assert r.did == 3.0
+    assert round(r.m_ctrl_post - r.m_ctrl_pre, 6) == 5.0
+
+
+def test_mde_power_closed_form(spark):
+    """Constant group -> sd 0, MDE 0; known-variance group matches
+    the (z_a + z_b) * sqrt(2 var / n) closed form."""
+    from maston_spark.evaluation import mde_power
+
+    rows = [("c", 7.0)] * 40 + [("v", float(x)) for x in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r.g: r for r in mde_power(df, "g", "x").collect()}
+    assert out["c"].sd == 0.0 and out["c"].mde_abs == 0.0
+    var = sum((x - 49.5) ** 2 for x in range(100)) / 100
+    exp = (1.959963984540054 + 0.8416212335729143) * (2 * var / 100) ** 0.5
+    assert abs(out["v"].mde_abs - exp) < 1e-6

@@ -2234,3 +2234,16 @@ def test_ipf_rake_converges_margins_toward_uniform(spark):
     # rows converged toward 50 (raw margin was 80)
     assert abs(row_a - n / 2) < 6.0
     assert abs(sum(out.values()) - n) < 1e-4
+
+
+def test_chao1_known_frequency_profile(spark):
+    """Hand corpus with known frequency-of-frequencies: V=5, n1=2,
+    n2=2 -> chao1 = 5 + 2*1/(2*3) = 5.333...; GT unseen = 2/9."""
+    from maston_spark.llm.text import chao1_vocab_richness
+
+    docs = [("s", "a a a b b c c d e")]
+    df = spark.createDataFrame(docs, "source string, text string")
+    [r] = chao1_vocab_richness(df, "source", "text").collect()
+    assert (r.n_tokens, r.v_observed, r.n_singletons, r.n_doubletons) == (9, 5, 2, 2)
+    assert r.chao1 == round(5 + 2 * 1 / (2 * 3), 4)
+    assert r.gt_unseen_mass == round(2 / 9, 6)
