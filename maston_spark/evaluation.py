@@ -631,3 +631,58 @@ def mde_power(
         F.round(mde, 6).alias("mde_abs"),
         F.when(mean != 0, F.round(mde / mean, 6)).alias("mde_rel"),
     ).orderBy(group_col)
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    count_cols: "list[str]",
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among m ≥ 2 raters
+    assigning items to categories (Fleiss 1971), the multi-rater
+    generalization of :func:`cohens_kappa`: one row
+    ``(n_items, p_bar, p_bar_e, kappa)``. Input is at ITEM grain:
+    one column per category holding how many of the ``n_raters``
+    raters chose it (each row's counts must sum to ``n_raters``).
+
+    Exact-rational form: per-item agreement
+    ``P_i = (Σ_j n_ij² − m) / (m(m−1))`` needs only integer squares;
+    ``P̄`` folds Σ_i Σ_j n_ij² exactly (decimal(38,0));
+    ``P̄_e = Σ_j p_j²`` comes from the exact category totals; the one
+    IEEE step is the closing ``(P̄ − P̄e)/(1 − P̄e)`` quotient
+    (round 6). Perfect chance agreement (P̄e = 1: every rater one
+    category) emits NULL kappa. One combiner-reduced aggregation —
+    the corpus is scanned once."""
+    m = int(n_raters)
+    if m < 2:
+        raise ValueError("need at least 2 raters")
+    dec = "decimal(38,0)"
+    sq = None
+    for c in count_cols:
+        t = (F.col(c).cast(dec) * F.col(c).cast(dec))
+        sq = t if sq is None else sq + t
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(sq).alias("__ss"),
+    ]
+    for c in count_cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"__t_{c}"))
+    agg = df.agg(*aggs)
+    n = F.col("n_items").cast("double")
+    total = n * F.lit(float(m))
+    pbar = (
+        F.col("__ss").cast("double") - n * F.lit(float(m))
+    ) / (n * F.lit(float(m * (m - 1))))
+    pe = None
+    for c in count_cols:
+        pj = F.col(f"__t_{c}").cast("double") / total
+        t = pj * pj
+        pe = t if pe is None else pe + t
+    return agg.select(
+        "n_items",
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_bar_e"),
+        F.when(
+            pe < 1.0, F.round((pbar - pe) / (F.lit(1.0) - pe), 6)
+        ).alias("kappa"),
+    )

@@ -249,6 +249,7 @@ _PRIORITY = [
     "q232_pruning_effectiveness", "q233_heavy_hitter_delta",
     "q234_bootstrap_ci", "q235_transition_lift",
     "q236_diff_in_diff", "q237_chao1_vocab", "q238_mde_power",
+    "q239_fleiss_kappa",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

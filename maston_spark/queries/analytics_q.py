@@ -2606,3 +2606,68 @@ def q238_mde_power(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     return mde_power(d, "source", "n_chars")
+
+
+@query(
+    "q239_fleiss_kappa",
+    oracle="""
+    WITH it AS (
+      SELECT CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END
+             + CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END
+             + CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END
+               AS n_yes
+      FROM documents WHERE text IS NOT NULL),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 sum(CAST(n_yes AS HUGEINT) * n_yes
+                     + CAST(3 - n_yes AS HUGEINT) * (3 - n_yes)) AS ss,
+                 sum(CAST(n_yes AS HUGEINT)) AS ty,
+                 sum(CAST(3 - n_yes AS HUGEINT)) AS tn
+          FROM it)
+    SELECT n_items,
+           round((CAST(ss AS DOUBLE) - CAST(n_items AS DOUBLE) * 3.0)
+                 / (CAST(n_items AS DOUBLE) * 6.0), 6) AS p_bar,
+           round((CAST(ty AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                 * (CAST(ty AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                 + (CAST(tn AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                 * (CAST(tn AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0)), 6)
+             AS p_bar_e,
+           CASE WHEN (CAST(ty AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                     * (CAST(ty AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                     + (CAST(tn AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                     * (CAST(tn AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                     < 1.0
+                THEN round(((CAST(ss AS DOUBLE) - CAST(n_items AS DOUBLE) * 3.0)
+                            / (CAST(n_items AS DOUBLE) * 6.0)
+                            - ((CAST(ty AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                               * (CAST(ty AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                               + (CAST(tn AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                               * (CAST(tn AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))))
+                           / (1.0 - ((CAST(ty AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                                     * (CAST(ty AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                                     + (CAST(tn AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+                                     * (CAST(tn AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0)))), 6)
+           END AS kappa
+    FROM a
+    """,
+)
+def q239_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa across three deterministic keep/drop 'raters'
+    (length gates at 30/40/50 tokens — raters that genuinely
+    disagree on mid-length documents): multi-rater chance-corrected
+    agreement (Fleiss 1971), the m>2 generalization of q216's
+    Cohen's kappa; exact integer squares, one closing quotient. See
+    :func:`maston_spark.evaluation.fleiss_kappa`."""
+    from maston_spark.evaluation import fleiss_kappa
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    wc = F.size(F.split(F.col("text"), " "))
+    items = d.select(
+        (
+            (wc >= 30).cast("int")
+            + (wc >= 40).cast("int")
+            + (wc >= 50).cast("int")
+        ).alias("n_yes")
+    ).select("n_yes", (F.lit(3) - F.col("n_yes")).alias("n_no"))
+    return fleiss_kappa(items, ["n_yes", "n_no"], n_raters=3)

@@ -248,3 +248,28 @@ def test_mde_power_closed_form(spark):
     var = sum((x - 49.5) ** 2 for x in range(100)) / 100
     exp = (1.959963984540054 + 0.8416212335729143) * (2 * var / 100) ** 0.5
     assert abs(out["v"].mde_abs - exp) < 1e-6
+
+
+def test_fleiss_kappa_textbook_invariants(spark):
+    """Perfect unanimous agreement with MIXED categories -> kappa 1;
+    constant single category -> NULL (pe = 1); the worked 2-category
+    shape matches a plain-python replay of Fleiss' formulas."""
+    from maston_spark.evaluation import fleiss_kappa
+
+    perfect = spark.createDataFrame(
+        [(3, 0)] * 6 + [(0, 3)] * 4, "a int, b int"
+    )
+    [r] = fleiss_kappa(perfect, ["a", "b"], 3).collect()
+    assert r.p_bar == 1.0 and r.kappa == 1.0
+    constant = spark.createDataFrame([(3, 0)] * 5, "a int, b int")
+    [rc] = fleiss_kappa(constant, ["a", "b"], 3).collect()
+    assert rc.kappa is None and rc.p_bar_e == 1.0
+    mixed_rows = [(3, 0)] * 4 + [(2, 1)] * 3 + [(1, 2)] * 2 + [(0, 3)] * 1
+    mixed = spark.createDataFrame(mixed_rows, "a int, b int")
+    [rm] = fleiss_kappa(mixed, ["a", "b"], 3).collect()
+    n, m = len(mixed_rows), 3
+    pbar = sum(a * a + b * b - m for a, b in mixed_rows) / (n * m * (m - 1))
+    ty = sum(a for a, _ in mixed_rows) / (n * m)
+    pe = ty * ty + (1 - ty) * (1 - ty)
+    assert rm.p_bar == round(pbar, 6)
+    assert rm.kappa == round((pbar - pe) / (1 - pe), 6)
