@@ -14,6 +14,8 @@ apply, AND evaluate without leaving the DataFrame algebra.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -686,3 +688,377 @@ def fleiss_kappa(
             pe < 1.0, F.round((pbar - pe) / (F.lit(1.0) - pe), 6)
         ).alias("kappa"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected: "dict[object, float]",
+    chi2_critical: float = 10.827566170662733,
+) -> DataFrame:
+    """Sample-ratio-mismatch guard for experiment assignment — the
+    chi-square goodness-of-fit of observed arm counts against the
+    DESIGNED split, the first sanity gate any experiment readout
+    must pass (a 50.5/49.5 drift at scale almost always means a
+    broken assignment or logging path, and every downstream metric
+    — q221's CUPED, q236's DiD — is silently biased if it fires).
+    One row per arm: ``(variant, n_obs, expected_share, n_exp,
+    chi2, srm_detected)`` with ``chi2`` / ``srm_detected`` repeated
+    on each row (the statistic is global). The default critical
+    value is chi-square(df=1) at α = 0.001 — the conventional SRM
+    alarm threshold (Fabijan et al. 2019); pass the df-appropriate
+    literal for >2 arms so the flag is an exact compare against an
+    embedded constant rather than an in-engine CDF.
+
+    Exact shape: arm counts are integers off one combiner-reduced
+    aggregation; each arm's ``(o − e)²/e`` term is rounded to the
+    9-grid before the |arms|-term sum (bounded by the design, never
+    the corpus) rounds at 6. Missing designed
+    arms chi-square against a zero observed count (the worst SRM of
+    all); an OBSERVED arm missing from ``expected`` raises, because
+    a rogue arm is an assignment bug, not a ratio question."""
+    shares = {k: float(v) for k, v in expected.items()}
+    tot_share = sum(shares.values())
+    if not shares or abs(tot_share - 1.0) > 1e-9:
+        raise ValueError("expected shares must sum to 1")
+    spark = df.sparkSession
+    obs = (
+        df.filter(F.col(variant_col).isNotNull())
+        .groupBy(F.col(variant_col).alias("variant"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    design = spark.createDataFrame(
+        [(k, v) for k, v in sorted(shares.items(), key=lambda kv: str(kv[0]))],
+        f"variant {df.schema[variant_col].dataType.simpleString()}, expected_share double",
+    )
+    # outer on the design side: a designed arm with zero traffic must
+    # still contribute (0 - e)^2/e; a rogue observed arm is an error
+    rogue = obs.join(F.broadcast(design), "variant", "left_anti")
+    if rogue.limit(1).count() > 0:
+        bad = [r.variant for r in rogue.collect()]
+        raise ValueError(f"observed arms not in the design: {bad}")
+    arms = design.join(obs, "variant", "left").select(
+        "variant",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        "expected_share",
+    )
+    tot = arms.agg(F.sum("n_obs").cast("long").alias("__n"))
+    a = arms.join(F.broadcast(tot))
+    n_exp = F.col("expected_share") * F.col("__n").cast("double")
+    contrib = (F.col("n_obs").cast("double") - n_exp) * (
+        F.col("n_obs").cast("double") - n_exp
+    ) / n_exp
+    per = a.select(
+        "variant",
+        "n_obs",
+        "expected_share",
+        F.round(n_exp, 6).alias("n_exp"),
+        F.round(contrib, 9).alias("__c"),
+    )
+    chi = per.agg(F.round(F.sum("__c"), 6).alias("chi2"))
+    return (
+        per.join(F.broadcast(chi))
+        .select(
+            "variant",
+            "n_obs",
+            "expected_share",
+            "n_exp",
+            "chi2",
+            (F.col("chi2") > F.lit(float(chi2_critical))).alias("srm_detected"),
+        )
+        .orderBy("variant")
+    )
+
+
+def jackknife_ratio_ci(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+    salt: str = "jk",
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Leave-one-bucket-out jackknife 95% CI for a RATIO metric
+    (revenue per order, tokens per document, clicks per view) — the
+    estimator whose variance the naive per-row formula gets wrong
+    because numerator and denominator are correlated (the delta
+    method's empirical twin; the bucketed form is Google's standard
+    for massive data, Chamandy et al. 2012). One row:
+    ``(n_rows, n_buckets, ratio, se_jack, ci_lo, ci_hi)``.
+
+    Deterministic and one-pass: rows hash to ``n_buckets`` buckets
+    by an md5 lane of ``(salt, id)`` (engine-replayable, no RNG);
+    per-bucket decimal sums reduce map-side; each leave-one-out
+    ratio is ALGEBRAIC — ``r_b = (S_num − s_b)/(S_den − d_b)`` off
+    the bucket row joined to the broadcast grand totals — so the
+    corpus is scanned once, never B times. The jackknife variance
+    ``(B−1)/B · Σ(r_b − r̄)²`` folds over the B-row bucket table.
+    Rounding: sums land on the 9-grid before any division."""
+    if n_buckets < 8:
+        raise ValueError("need at least 8 buckets for a stable jackknife")
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    num = F.col(num_col).cast("decimal(18,9)")
+    den = F.col(den_col).cast("decimal(18,9)")
+    b = (
+        df.filter(num.isNotNull() & den.isNotNull())
+        .select((lane % n_buckets).alias("__b"), num.alias("__n"), den.alias("__d"))
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum("__n").alias("__sn"),
+            F.sum("__d").alias("__sd"),
+        )
+    )
+    tot = b.agg(
+        F.sum("__cnt").cast("long").alias("__rows"),
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.sum("__sn").alias("__tn"),
+        F.sum("__sd").alias("__td"),
+    )
+    j = b.join(F.broadcast(tot))
+    loo = F.round(
+        (F.col("__tn") - F.col("__sn")).cast("double")
+        / (F.col("__td") - F.col("__sd")).cast("double"),
+        9,
+    )
+    reps = j.select(
+        "__rows", "__nb", "__tn", "__td", loo.alias("__r")
+    )
+    out = reps.groupBy("__rows", "__nb", "__tn", "__td").agg(
+        F.round(F.sum("__r"), 9).alias("__sr"),
+        F.round(F.sum(F.col("__r") * F.col("__r")), 9).alias("__srr"),
+    )
+    nb = F.col("__nb").cast("double")
+    var = (nb - 1.0) / nb * (F.col("__srr") - F.col("__sr") * F.col("__sr") / nb)
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ratio = F.col("__tn").cast("double") / F.col("__td").cast("double")
+    return out.select(
+        F.col("__rows").alias("n_rows"),
+        F.col("__nb").cast("int").alias("n_buckets"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se_jack"),
+        F.round(ratio - F.lit(float(z)) * se, 6).alias("ci_lo"),
+        F.round(ratio + F.lit(float(z)) * se, 6).alias("ci_hi"),
+    )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    tiebreak_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k + MRR per query group — the graded-relevance ranking
+    metrics (Järvelin & Kekäläinen 2002) that judge a retrieval or
+    curation scorer by WHERE it puts the good documents, not just
+    how many it keeps: one row per group ``(group, n_docs, dcg_at_k,
+    idcg_at_k, ndcg_at_k, mrr)``. Ranks come from partitioned
+    windows (per-group, never a global sort); ties break by
+    ``tiebreak_col`` so the ranking is engine-independent.
+
+    Float discipline: the log2 discounts ``1/log2(r+1)`` for
+    r = 1..k are PRECOMPUTED python literals embedded in the plan
+    (and mirrored as a VALUES table in the oracle), so no in-engine
+    libm call can diverge; each ``rel·discount`` term rounds to the
+    9-grid before the ≤k-term per-group sum, and NDCG's closing
+    DCG/IDCG quotient rounds at 6. IDCG ranks by relevance
+    descending — equal-relevance order can't change the sum. Groups
+    with IDCG = 0 (nothing relevant) emit NULL ndcg; MRR is
+    1/first-relevant-rank, 0.0 when nothing relevant is in view."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    disc = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    darr = F.array(*[F.lit(d) for d in disc])
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc()
+    )
+    wi = Window.partitionBy(group_col).orderBy(
+        F.col(rel_col).desc(), F.col(tiebreak_col).asc()
+    )
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        F.col(rel_col).cast("double").alias("__rel"),
+        F.row_number().over(w).alias("__r"),
+        F.row_number().over(wi).alias("__ri"),
+    )
+    # F.get (not element_at): past-k ranks index off the end of the
+    # weight array and must yield NULL, not an ANSI error
+    term = F.round(F.col("__rel") * F.get(darr, F.col("__r") - 1), 9)
+    iterm = F.round(F.col("__rel") * F.get(darr, F.col("__ri") - 1), 9)
+    per = base.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum(F.when(F.col("__r") <= k, term)), 9).alias("__dcg"),
+        F.round(F.sum(F.when(F.col("__ri") <= k, iterm)), 9).alias("__idcg"),
+        F.min(
+            F.when((F.col("__r") <= k) & (F.col("__rel") > 0), F.col("__r"))
+        ).alias("__fr"),
+    )
+    return per.select(
+        "group",
+        "n_docs",
+        F.coalesce(F.col("__dcg"), F.lit(0.0)).alias("dcg_at_k"),
+        F.coalesce(F.col("__idcg"), F.lit(0.0)).alias("idcg_at_k"),
+        F.when(
+            F.col("__idcg") > 0, F.round(F.col("__dcg") / F.col("__idcg"), 6)
+        ).alias("ndcg_at_k"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("__fr").cast("double"), 6), F.lit(0.0)
+        ).alias("mrr"),
+    ).orderBy("group")
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    max_raters: int,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal level) — chance-corrected
+    agreement that, unlike :func:`fleiss_kappa`, tolerates MISSING
+    ratings: units rated by any 2..``max_raters`` raters all
+    contribute, weighted by how many pairable values they carry
+    (Krippendorff 2004, the content-analysis standard). Input is
+    LONG format — one row per (unit, rating value); one output row
+    ``(n_units, n_pairable, d_o, d_e, alpha)``.
+
+    Exact-rational form: with n_uc the count of value c in unit u
+    and m_u = Σ_c n_uc, observed disagreement needs
+    Σ_u Σ_c n_uc(m_u − n_uc)/(m_u − 1) — a sum of rationals whose
+    denominators all divide L = lcm(1..max_raters−1), so
+    ``X = Σ n_uc(m_u − n_uc) · (L div (m_u − 1))`` folds as EXACT
+    integers (decimal(38,0)); expected disagreement's
+    Σ_c N_c(N − N_c) is integer off the value totals; and
+    ``alpha = 1 − X(N−1) / (L · Σ_c N_c(N−N_c))`` is one closing
+    IEEE quotient (round 6). Single-rater units drop (no pairable
+    values — the Krippendorff rule, not an approximation); zero
+    expected disagreement (all kept ratings one value) emits NULL.
+    Two combiner-reduced aggregations — (unit, value) counts, then
+    the fold; the corpus never collects."""
+    if max_raters < 2:
+        raise ValueError("need at least 2 raters")
+    L = 1
+    for d in range(1, max_raters):
+        L = L * d // math.gcd(L, d)
+    dec = "decimal(38,0)"
+    uc = (
+        df.filter(F.col(unit_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(unit_col).alias("__u"), F.col(value_col).alias("__c")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    wu = Window.partitionBy("__u")
+    kept = uc.withColumn("__m", F.sum("__n").over(wu)).filter(F.col("__m") >= 2)
+    x_term = (
+        F.col("__n").cast(dec)
+        * (F.col("__m") - F.col("__n")).cast(dec)
+        * F.expr(f"CAST({L} DIV (__m - 1) AS {dec})")
+    )
+    # value totals over kept units only (pairable values)
+    per_c = kept.groupBy("__c").agg(
+        F.sum(F.col("__n").cast(dec)).alias("__nc"),
+        F.sum(x_term).alias("__x"),
+    )
+    units = kept.select("__u").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_units")
+    )
+    tot = per_c.agg(
+        F.sum("__nc").alias("__tot_n"),
+        F.sum("__x").alias("__tot_x"),
+    )
+    de_num = per_c.join(F.broadcast(tot)).agg(
+        F.sum(F.col("__nc") * (F.col("__tot_n") - F.col("__nc"))).alias("__de"),
+        F.max("__tot_n").alias("__tot_n"),
+        F.max("__tot_x").alias("__tot_x"),
+    )
+    nn = F.col("__tot_n").cast("double")
+    d_o = F.col("__tot_x").cast("double") / (F.lit(float(L)) * nn)
+    d_e = F.col("__de").cast("double") / (nn * (nn - 1.0))
+    alpha = F.lit(1.0) - (
+        F.col("__tot_x").cast("double") * (nn - 1.0)
+    ) / (F.lit(float(L)) * F.col("__de").cast("double"))
+    return de_num.join(F.broadcast(units)).select(
+        "n_units",
+        F.col("__tot_n").cast("long").alias("n_pairable"),
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.when(F.col("__de") > 0, F.round(alpha, 6)).alias("alpha"),
+    )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-group rates —
+    the fix for the small-sample pathology in any per-domain /
+    per-source keep-rate or CTR table, where a 2-document source
+    with 2 keeps outranks a 10,000-document source at 95%: fit a
+    beta prior to the OBSERVED spread of group rates by method of
+    moments (Robbins 1956 lineage), then report each group's
+    posterior mean ``(k + μM)/(n + M)``. One row per group:
+    ``(group, n, k, rate_raw, rate_shrunk, prior_strength)``.
+
+    Deterministic shape: per-group (n, k) are integer sums; the
+    prior needs only the G-row group table's moments (μ̂ from the
+    POOLED rate — exact integer ratio; s² from Σp, Σp² with each
+    group rate pre-rounded to the 9-grid), so the corpus is scanned
+    once and the fit never touches it again. When the observed
+    spread is no wider than binomial noise (M ≤ 0 or s² = 0) the
+    prior is undefined — ``prior_strength`` and ``rate_shrunk`` go
+    NULL rather than fabricating infinite confidence. G (number of
+    groups) is assumed bounded (domains/sources), as the per-group
+    output already implies."""
+    g = (
+        df.filter(F.col(y_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(y_col).cast("int")).cast("long").alias("k"),
+        )
+    )
+    p = F.round(F.col("k").cast("double") / F.col("n").cast("double"), 9)
+    gg = g.select("group", "n", "k", p.alias("__p"))
+    prior = gg.agg(
+        F.count(F.lit(1)).cast("long").alias("__G"),
+        F.sum("k").cast("long").alias("__tk"),
+        F.sum("n").cast("long").alias("__tn"),
+        F.round(F.sum("__p"), 9).alias("__sp"),
+        F.round(F.sum(F.col("__p") * F.col("__p")), 9).alias("__spp"),
+    )
+    j = gg.join(F.broadcast(prior))
+    gd = F.col("__G").cast("double")
+    mu = F.col("__tk").cast("double") / F.col("__tn").cast("double")
+    # greatest(G-1, 1): at G=1 this yields s2 = 0, which the guard
+    # below already rejects — ANSI mode would otherwise raise on the
+    # /(G-1) inside the guard's own condition
+    s2 = (F.col("__spp") - F.col("__sp") * F.col("__sp") / gd) / F.greatest(
+        gd - 1.0, F.lit(1.0)
+    )
+    m_raw = mu * (F.lit(1.0) - mu) / F.greatest(s2, F.lit(1e-300)) - F.lit(1.0)
+    m = F.when((F.col("__G") > 1) & (s2 > 0) & (m_raw > 0), F.round(m_raw, 9))
+    shrunk = F.round(
+        (F.col("k").cast("double") + mu * m) / (F.col("n").cast("double") + m), 6
+    )
+    return j.select(
+        "group",
+        "n",
+        "k",
+        F.round(F.col("__p"), 6).alias("rate_raw"),
+        shrunk.alias("rate_shrunk"),
+        F.round(m, 6).alias("prior_strength"),
+    ).orderBy("group")

@@ -800,12 +800,17 @@ def bloom_probe(
     m: int = 1 << 20,
     n_hashes: int = 2,
     out_col: str = "maybe_dup",
+    normalize: bool = True,
 ) -> DataFrame:
     """Probe a prebuilt Bloom bitmap: add ``out_col`` = True when all
     ``n_hashes`` bit positions of the row's normalized text are set.
     ``text`` is a column name or Column expression (pass a
     ``coalesce`` when the column can be null — positions of a null
     text are null and the probe batch would fail).
+    ``normalize=False`` hashes the column verbatim — the join-key
+    path (:func:`maston_spark.relational.bloom_pruned_join`), where
+    text normalization would corrupt non-text keys; the build side
+    must hash the same way.
 
     The bitmap ships to executors via closure capture below ~4 MiB
     and ``SparkContext.broadcast`` above it (one torrent transfer per
@@ -838,7 +843,9 @@ def bloom_probe(
         return pd.Series(hit.all(axis=1))
 
     tcol = F.col(text) if isinstance(text, str) else text
-    norm = F.lower(F.trim(F.regexp_replace(tcol, r"\s+", " ")))
+    norm = (
+        F.lower(F.trim(F.regexp_replace(tcol, r"\s+", " "))) if normalize else tcol
+    )
     return df.withColumn(
         out_col,
         bits_set(F.array(*[_bloom_position(norm, i, m) for i in range(n_hashes)])),

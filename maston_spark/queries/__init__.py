@@ -115,10 +115,14 @@ _PRIORITY = [
     "q212_group_auc", "q192_kll_quantiles",
     # (q70 customer-distribution is a join+group-count histogram —
     # its join family is graded via q03/q04/q07 and its histogram
-    # family via q116/q23. q128 robust-outliers' percentile family is
-    # graded via q15 and the token-WEIGHTED order statistics of q197,
-    # the newest member; its slot grades exactly that q197)
-    "q197_weighted_percentiles", "q202_hll_distinct",
+    # family via q116/q23. round-12 rotation: q197 token-weighted
+    # percentiles' weighted-order-statistics physics stays graded via
+    # q15's exact percentiles and the newest member — q226's
+    # value-histogram trimmed/winsorized stats, which runs the same
+    # cumulative-multiplicity interval-overlap rank math with the
+    # harder kept-fraction policy; q197's slot grades exactly that
+    # q226)
+    "q226_trimmed_mean", "q202_hll_distinct",
     # LLM-pipeline set (unique capabilities first; within-family
     # variants — simhash after minhash, fingerprint after exact-hash,
     # sliding/session after tumbling, frames after rank — are in the
@@ -158,8 +162,22 @@ _PRIORITY = [
     # member; its slot grades AMS join-SIZE prediction — two
     # independent sketches forecasting a join's output cardinality,
     # completing the graded join-planning battery next to q181)
-    "q174_pareto_frontier", "q217_join_size_estimate", "q157_hybrid_rrf",
-    "q191_quantile_sketch", "q176_ams_f2",
+    # (round-12 rotation, second wave — the round's own novel physics
+    # graded in-round: q174 Pareto-frontier's skyline-selection family
+    # stays graded via q127/q189/q204's budget planners; its slot
+    # grades q230's HLL ROLLUP cube — register-max mergeability across
+    # grouping sets, the sketch-algebra claim q202's flat distinct
+    # does not certify. q157 hybrid-RRF's rank-fusion family stays
+    # graded via q123's BM25 scoring and q212's global midranks; its
+    # slot grades q235's directed transition lift — sequence-adjacency
+    # association physics, integer cross-multiplied marginals. q191's
+    # bit-exact quantile-sketch slot goes to q234's deterministic
+    # Poisson bootstrap (the KLL rank-contract member q192 keeps the
+    # quantile-sketch family graded): md5-thresholded Monte-Carlo
+    # resampling graded cross-engine — inference as a GRADED
+    # computation, a physics nothing else in the window has)
+    "q230_hll_cube", "q217_join_size_estimate", "q235_transition_lift",
+    "q234_bootstrap_ci", "q176_ams_f2",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
     # data-quality constraint family instead)
@@ -176,7 +194,12 @@ _PRIORITY = [
     # every one of those stages plus residual encoding; its slot
     # grades q221 CUPED — covariate-adjusted experiment readout, the
     # pooled-regression grading physics nothing in the window has)
-    "q141_data_quality", "q171_source_dup_matrix",
+    # (round-12 rotation: q171 source-dup-matrix's LSH-pair
+    # attribution family stays graded via q55's clusters + q172's
+    # transitivity census + q152's end-to-end report; its slot grades
+    # q237's Chao1 species-richness estimation — singleton/doubleton
+    # abundance physics, the vocabulary-saturation planner)
+    "q141_data_quality", "q237_chao1_vocab",
     "q55_dup_clusters", "q221_cuped",
     # (q58_hash_split is a pure projection whose hash-sampling family
     # stays graded via q88_domain_cap; its slot grades the two-phase
@@ -239,17 +262,28 @@ _PRIORITY = [
     # the promotion comments above), then round-11's, round-10's...
     "q12_asof_join", "q33_tumbling_window", "q69_scalar_subquery",
     "q168_kmv_set_ops", "q90_winnow_fingerprints", "q153_ivf_pq",
+    # round-12 second-wave demotions (each family's graded flagship
+    # named in the promotion comments above)
+    "q157_hybrid_rrf", "q171_source_dup_matrix",
+    "q174_pareto_frontier", "q191_quantile_sketch",
+    "q197_weighted_percentiles",
     # round-12 additions past the window (locally oracle-verified):
     # market-basket pair census, exact-integer priority sampling,
     # Neyman stratified allocation
     "q222_brand_basket_pairs", "q223_priority_sample",
     "q224_neyman_allocation", "q225_hll_rolling_distinct",
-    "q226_trimmed_mean", "q227_ipf_raking", "q228_benford_audit",
-    "q229_gains_table", "q230_hll_cube", "q231_hll_rolling_prefix",
+    "q227_ipf_raking", "q228_benford_audit",
+    "q229_gains_table", "q231_hll_rolling_prefix",
     "q232_pruning_effectiveness", "q233_heavy_hitter_delta",
-    "q234_bootstrap_ci", "q235_transition_lift",
-    "q236_diff_in_diff", "q237_chao1_vocab", "q238_mde_power",
+    "q236_diff_in_diff", "q238_mde_power",
     "q239_fleiss_kappa",
+    # round-12 late additions (locally oracle-verified): SRM guard,
+    # bucket-jackknife ratio CI, NDCG@10/MRR, Krippendorff's alpha,
+    # Bloom-pruned join (graded identical to the plain join),
+    # empirical-Bayes shrunk keep rates
+    "q240_srm_check", "q241_jackknife_ratio", "q242_ndcg_mrr",
+    "q243_krippendorff_alpha", "q244_bloom_pruned_join",
+    "q245_eb_keep_rates",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

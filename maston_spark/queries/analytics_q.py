@@ -2671,3 +2671,346 @@ def q239_fleiss_kappa(spark, sf_dir):
         ).alias("n_yes")
     ).select("n_yes", (F.lit(3) - F.col("n_yes")).alias("n_no"))
     return fleiss_kappa(items, ["n_yes", "n_no"], n_raters=3)
+
+
+@query(
+    "q240_srm_check",
+    oracle="""
+    WITH u AS (SELECT CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 2 AS INT) AS variant
+               FROM events),
+    o AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_obs FROM u GROUP BY variant),
+    t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM o),
+    p AS (SELECT variant, n_obs, CAST(0.5 AS DOUBLE) AS expected_share,
+                 round(0.5 * n, 6) AS n_exp,
+                 round((CAST(n_obs AS DOUBLE) - 0.5 * n)
+                       * (CAST(n_obs AS DOUBLE) - 0.5 * n) / (0.5 * n), 9) AS c
+          FROM o, t),
+    c2 AS (SELECT round(sum(c), 6) AS chi2 FROM p)
+    SELECT variant, n_obs, expected_share, n_exp, chi2,
+           chi2 > 10.827566170662733 AS srm_detected
+    FROM p, c2 ORDER BY variant
+    """,
+)
+def q240_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guard on the SAME deterministic md5
+    cohorting q221/q236 read out — the chi-square gate (df=1 critical
+    value at α=0.001 embedded as a literal, Fabijan et al. 2019) that
+    must pass before any experiment readout is trusted. See
+    :func:`maston_spark.evaluation.srm_check`."""
+    from maston_spark.evaluation import srm_check
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        .cast("int")
+        .alias("variant")
+    )
+    return srm_check(ev, "variant", {0: 0.5, 1: 0.5})
+
+
+@query(
+    "q241_jackknife_ratio",
+    oracle="""
+    WITH r AS (SELECT CAST(('0x' || substr(md5('jk:' || CAST(l_orderkey AS VARCHAR)
+                                           || '#' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                      % 32 AS BIGINT) AS b,
+                      CAST(l_extendedprice AS DECIMAL(18,9)) AS nu,
+                      CAST(l_quantity AS DECIMAL(18,9)) AS de
+               FROM lineitem),
+    bk AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt, sum(nu) AS sn, sum(de) AS sd
+           FROM r GROUP BY b),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS rows_, CAST(count(*) AS BIGINT) AS nb,
+                 sum(sn) AS tn, sum(sd) AS td
+          FROM bk),
+    reps AS (SELECT rows_, nb, tn, td,
+                    round(CAST(tn - sn AS DOUBLE) / CAST(td - sd AS DOUBLE), 9) AS rr
+             FROM bk, t),
+    o AS (SELECT rows_, nb, tn, td, round(sum(rr), 9) AS sr,
+                 round(sum(rr * rr), 9) AS srr
+          FROM reps GROUP BY rows_, nb, tn, td)
+    SELECT rows_ AS n_rows, CAST(nb AS INT) AS n_buckets,
+           round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 6) AS ratio,
+           round(sqrt(greatest((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+                               * (srr - sr * sr / CAST(nb AS DOUBLE)), 0.0)), 6) AS se_jack,
+           round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE)
+                 - 1.959963984540054
+                   * sqrt(greatest((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+                                   * (srr - sr * sr / CAST(nb AS DOUBLE)), 0.0)), 6) AS ci_lo,
+           round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE)
+                 + 1.959963984540054
+                   * sqrt(greatest((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)
+                                   * (srr - sr * sr / CAST(nb AS DOUBLE)), 0.0)), 6) AS ci_hi
+    FROM o
+    """,
+)
+def q241_jackknife_ratio(spark, sf_dir):
+    """Leave-one-bucket-out jackknife 95% CI for price-per-unit
+    (Σ extendedprice / Σ quantity) — the correlated-ratio variance
+    q234's mean bootstrap cannot answer, same md5 bucket
+    determinism. See
+    :func:`maston_spark.evaluation.jackknife_ratio_ci`."""
+    from maston_spark.evaluation import jackknife_ratio_ci
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return jackknife_ratio_ci(
+        li, "l_extendedprice", "l_quantity", "rid", n_buckets=32
+    )
+
+
+@query(
+    "q242_ndcg_mrr",
+    oracle="""
+    WITH d AS (SELECT lang AS "group", doc_id,
+                      CAST(('0x' || substr(md5('score:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 100000 AS BIGINT) AS score,
+                      CASE WHEN len(string_split(text, ' ')) >= 80 THEN 3
+                           WHEN len(string_split(text, ' ')) >= 50 THEN 2
+                           WHEN len(string_split(text, ' ')) >= 30 THEN 1
+                           ELSE 0 END AS rel
+               FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    r AS (SELECT "group", doc_id, rel,
+                 row_number() OVER (PARTITION BY "group" ORDER BY score DESC, doc_id) AS rk,
+                 row_number() OVER (PARTITION BY "group" ORDER BY rel DESC, doc_id) AS rki
+          FROM d),
+    w(wrk, disc) AS (VALUES
+      (1, 1.0), (2, 0.6309297535714575), (3, 0.5), (4, 0.43067655807339306),
+      (5, 0.38685280723454163), (6, 0.3562071871080222), (7, 0.3333333333333333),
+      (8, 0.31546487678572877), (9, 0.3010299956639812), (10, 0.2890648263178879)),
+    terms AS (SELECT r."group", r.rel, r.rk, r.rki,
+                     round(CAST(r.rel AS DOUBLE) * wd.disc, 9) AS t_dcg,
+                     round(CAST(r.rel AS DOUBLE) * wi.disc, 9) AS t_idcg
+              FROM r LEFT JOIN w wd ON r.rk = wd.wrk
+                     LEFT JOIN w wi ON r.rki = wi.wrk),
+    per AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(CASE WHEN rk <= 10 THEN t_dcg END), 9) AS dcg,
+                   round(sum(CASE WHEN rki <= 10 THEN t_idcg END), 9) AS idcg,
+                   min(CASE WHEN rk <= 10 AND rel > 0 THEN rk END) AS fr
+            FROM terms GROUP BY "group")
+    SELECT "group", n_docs,
+           COALESCE(dcg, 0.0) AS dcg_at_k,
+           COALESCE(idcg, 0.0) AS idcg_at_k,
+           CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg_at_k,
+           COALESCE(round(1.0 / CAST(fr AS DOUBLE), 6), 0.0) AS mrr
+    FROM per ORDER BY "group"
+    """,
+)
+def q242_ndcg_mrr(spark, sf_dir):
+    """NDCG@10 + MRR per language for a deterministic stand-in
+    retrieval scorer (md5-lane score, word-count graded relevance) —
+    position-aware ranking quality next to the order-blind q212 AUC;
+    log2 discounts are embedded literals mirrored in the oracle's
+    VALUES table so no in-engine libm is trusted. See
+    :func:`maston_spark.evaluation.ndcg_at_k`."""
+    from maston_spark.evaluation import ndcg_at_k
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    wc = F.size(F.split(F.col("text"), " "))
+    scored = d.select(
+        F.col("lang"),
+        F.col("doc_id"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("score:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100000
+        ).alias("score"),
+        F.when(wc >= 80, 3)
+        .when(wc >= 50, 2)
+        .when(wc >= 30, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return ndcg_at_k(scored, "lang", "score", "rel", "doc_id", k=10)
+
+
+@query(
+    "q243_krippendorff_alpha",
+    oracle="""
+    WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS wc
+                  FROM documents WHERE text IS NOT NULL),
+    ratings AS (SELECT doc_id,
+                       CASE WHEN wc >= 30 + 10 * r THEN 'keep' ELSE 'drop' END AS val
+                FROM base, (VALUES (0), (1), (2), (3)) AS t(r)
+                WHERE ('0x' || substr(md5('abst:' || CAST(doc_id AS VARCHAR)
+                                          || ':' || CAST(r AS VARCHAR)), 1, 8))::BIGINT
+                      % 5 <> 0),
+    uc AS (SELECT doc_id, val, CAST(count(*) AS BIGINT) AS n
+           FROM ratings GROUP BY doc_id, val),
+    um AS (SELECT doc_id, val, n, sum(n) OVER (PARTITION BY doc_id) AS m FROM uc),
+    kept AS (SELECT * FROM um WHERE m >= 2),
+    perc AS (SELECT val, sum(CAST(n AS HUGEINT)) AS nc,
+                    sum(CAST(n AS HUGEINT) * CAST(m - n AS HUGEINT)
+                        * CAST(6 // (m - 1) AS HUGEINT)) AS x
+             FROM kept GROUP BY val),
+    tot AS (SELECT sum(nc) AS nn, sum(x) AS xx FROM perc),
+    de AS (SELECT sum(nc * (nn - nc)) AS de_num, max(nn) AS nn, max(xx) AS xx
+           FROM perc, tot),
+    un AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_units FROM kept)
+    SELECT n_units, CAST(nn AS BIGINT) AS n_pairable,
+           round(CAST(xx AS DOUBLE) / (6.0 * CAST(nn AS DOUBLE)), 6) AS d_o,
+           round(CAST(de_num AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)), 6) AS d_e,
+           CASE WHEN de_num > 0 THEN
+             round(1.0 - CAST(xx AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)
+                   / (6.0 * CAST(de_num AS DOUBLE)), 6) END AS alpha
+    FROM de, un
+    """,
+)
+def q243_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha over four deterministic keep/drop raters
+    with md5-deterministic ABSTENTIONS (one rating in five missing) —
+    the missing-data agreement statistic q239's Fleiss kappa cannot
+    compute, exact-rational via the lcm(1..3)=6 common denominator.
+    See :func:`maston_spark.evaluation.krippendorff_alpha`."""
+    from maston_spark.evaluation import krippendorff_alpha
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wc = F.size(F.split(F.col("text"), " "))
+    pairs = d.select(
+        "doc_id",
+        wc.alias("__wc"),
+        F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("__r"),
+    )
+    lane = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("abst:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("__r").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ratings = pairs.filter(lane % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("__wc") >= 30 + 10 * F.col("__r"), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("rating"),
+    )
+    return krippendorff_alpha(ratings, "doc_id", "rating", max_raters=4)
+
+
+@query(
+    "q245_eb_keep_rates",
+    oracle="""
+    WITH d AS (SELECT source AS grp,
+                      CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END AS y
+               FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS k
+          FROM d GROUP BY grp),
+    gg AS (SELECT grp, n, k, round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p FROM g),
+    pr AS (SELECT CAST(count(*) AS BIGINT) AS ng, CAST(sum(k) AS BIGINT) AS tk,
+                  CAST(sum(n) AS BIGINT) AS tn,
+                  round(sum(p), 9) AS sp, round(sum(p * p), 9) AS spp
+           FROM gg),
+    f AS (SELECT gg.*, ng, tk, tn, sp, spp,
+                 CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE) AS mu,
+                 (spp - sp * sp / CAST(ng AS DOUBLE))
+                 / greatest(CAST(ng AS DOUBLE) - 1.0, 1.0) AS s2
+          FROM gg, pr),
+    f2 AS (SELECT *, CASE WHEN ng > 1 AND s2 > 0
+                          AND mu * (1.0 - mu) / greatest(s2, 1e-300) - 1.0 > 0
+                     THEN round(mu * (1.0 - mu) / greatest(s2, 1e-300) - 1.0, 9) END AS m
+           FROM f)
+    SELECT grp AS "group", n, k,
+           round(p, 6) AS rate_raw,
+           round((CAST(k AS DOUBLE) + mu * m) / (CAST(n AS DOUBLE) + m), 6) AS rate_shrunk,
+           round(m, 6) AS prior_strength
+    FROM f2 ORDER BY "group"
+    """,
+)
+def q245_eb_keep_rates(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-source keep
+    rates (word-count gate at 40) — the small-source fix for any
+    per-domain quality leaderboard, method-of-moments prior fit on
+    the G-row group table. See
+    :func:`maston_spark.evaluation.eb_shrunk_rates`."""
+    from maston_spark.evaluation import eb_shrunk_rates
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    wc = F.size(F.split(F.col("text"), " "))
+    flagged = d.select(
+        F.col("source"), (wc >= 40).cast("int").alias("y")
+    )
+    return eb_shrunk_rates(flagged, "source", "y")
+
+
+@query(
+    "q244_bloom_pruned_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,9))
+                     * (1 - CAST(l_discount AS DECIMAL(18,9)))), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q244_bloom_pruned_join(spark, sf_dir):
+    """Urgent-order revenue through the Bloom-pruned join: the fact
+    side is pre-filtered by a fixed-size Bloom filter of the
+    selective dim's keys before the shuffle, and the ORACLE is the
+    plain join — externally certifying the operator's zero-false-
+    negative identity claim (the same graded-identity discipline as
+    q207's salted join). See
+    :func:`maston_spark.relational.bloom_pruned_join`."""
+    from maston_spark.relational import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    joined = bloom_pruned_join(li, urgent, "l_orderkey", "o_orderkey")
+    dec = "decimal(18,9)"
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(dec)
+                    * (F.lit(1) - F.col("l_discount").cast(dec))
+                ),
+                4,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1783,3 +1783,59 @@ def transition_lift(
         .orderBy(F.desc("lift"), F.asc("event_a"), F.asc("event_b"))
         .limit(top_k)
     )
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Semi-join reduction: inner-join ``fact`` to ``dim`` after
+    pre-filtering the fact side through a fixed-size Bloom filter of
+    the dim keys — the runtime-filter pattern (Bloom 1970; the
+    explicit form of Spark 3.3's `spark.sql.optimizer.runtime.
+    bloomFilter.enabled`, owned by the operator so it applies even
+    when the optimizer's heuristics decline). The RESULT is
+    bit-identical to the plain join: the Bloom filter has zero false
+    negatives, and false positives are dropped by the real join —
+    only the SHUFFLE gets cheaper, never the answer.
+
+    100 TB shape: the filter build collapses the dim's keys to an
+    m-bit bitmap via per-task numpy folds (driver traffic
+    n_tasks·m/8 bytes, independent of dim size); the probe is one
+    Arrow-batched vectorized UDF over the fact scan, so fact rows
+    whose key cannot match never enter the join shuffle. With a 1%
+    -selective dim, the fact-side shuffle write drops ~99%·(1−fpr).
+    Size m for the dim's key cardinality: fpr ≈
+    (n_hashes·n_keys/m)^n_hashes.
+
+    Keys hash as their STRING form on both sides (md5 lanes,
+    ``normalize=False`` — no text canonicalization on join keys).
+    NULL fact keys are dropped (inner-join semantics)."""
+    from maston_spark.llm.dedup import (
+        _bloom_position,
+        bloom_probe,
+        fold_positions_bitmap,
+    )
+
+    dk = F.col(dim_key).cast("string")
+    pos = dim.filter(dk.isNotNull()).select(
+        F.explode(
+            F.array(*[_bloom_position(dk, i, m) for i in range(n_hashes)])
+        ).alias("pos")
+    )
+    bitmap = fold_positions_bitmap(pos, m)
+    probed = bloom_probe(
+        fact.filter(F.col(fact_key).isNotNull()),
+        bitmap,
+        text=F.col(fact_key).cast("string"),
+        m=m,
+        n_hashes=n_hashes,
+        out_col="__bloom_hit",
+        normalize=False,
+    )
+    pruned = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -273,3 +273,166 @@ def test_fleiss_kappa_textbook_invariants(spark):
     pe = ty * ty + (1 - ty) * (1 - ty)
     assert rm.p_bar == round(pbar, 6)
     assert rm.kappa == round((pbar - pe) / (1 - pe), 6)
+
+
+def test_srm_check_planted_mismatch_and_clean_split(spark):
+    """700/300 against a 50/50 design -> chi2 = 2*(200^2/500) = 160,
+    alarm on; exact 500/500 -> chi2 0, alarm off; a designed arm with
+    zero traffic still chi-squares; a rogue observed arm raises."""
+    from maston_spark.evaluation import srm_check
+
+    skew = spark.createDataFrame(
+        [(0,)] * 700 + [(1,)] * 300, "variant int"
+    )
+    rows = srm_check(skew, "variant", {0: 0.5, 1: 0.5}).collect()
+    assert [r.n_obs for r in rows] == [700, 300]
+    assert rows[0].chi2 == 160.0 and all(r.srm_detected for r in rows)
+    clean = spark.createDataFrame([(0,)] * 500 + [(1,)] * 500, "variant int")
+    rows = srm_check(clean, "variant", {0: 0.5, 1: 0.5}).collect()
+    assert rows[0].chi2 == 0.0 and not any(r.srm_detected for r in rows)
+    # designed-but-silent arm: all traffic on arm 0
+    silent = spark.createDataFrame([(0,)] * 100, "variant int")
+    rows = {r.variant: r for r in srm_check(silent, "variant", {0: 0.5, 1: 0.5}).collect()}
+    assert rows[1].n_obs == 0 and rows[1].srm_detected
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="not in the design"):
+        srm_check(skew, "variant", {0: 1.0})
+    with _pt.raises(ValueError, match="sum to 1"):
+        srm_check(skew, "variant", {0: 0.7, 1: 0.7})
+
+
+def test_jackknife_ratio_ci_degenerate_and_bracketing(spark):
+    """Constant per-row ratio -> zero jackknife variance and a
+    point CI at the ratio; heterogeneous rows -> CI brackets the
+    plug-in ratio and the estimate is run-deterministic."""
+    from maston_spark.evaluation import jackknife_ratio_ci
+
+    const = spark.createDataFrame(
+        [(i, 2.0 * (i + 1), float(i + 1)) for i in range(200)],
+        "id int, num double, den double",
+    )
+    [r] = jackknife_ratio_ci(const, "num", "den", "id").collect()
+    assert r.ratio == 2.0 and r.se_jack == 0.0
+    assert r.ci_lo == 2.0 and r.ci_hi == 2.0 and r.n_rows == 200
+    het = spark.createDataFrame(
+        [(i, float((i * 7) % 13 + 1), float((i * 3) % 5 + 1)) for i in range(500)],
+        "id int, num double, den double",
+    )
+    [a] = jackknife_ratio_ci(het, "num", "den", "id").collect()
+    [b] = jackknife_ratio_ci(het, "num", "den", "id").collect()
+    assert a == b
+    assert a.ci_lo < a.ratio < a.ci_hi and a.se_jack > 0
+
+
+def test_ndcg_at_k_known_rankings(spark):
+    """Scorer that ranks exactly by relevance -> NDCG 1; a scorer
+    that inverts it -> the hand-computed DCG ratio; a group with no
+    relevant docs -> NULL ndcg and 0.0 mrr; MRR = 1/first-hit."""
+    import math
+
+    from maston_spark.evaluation import ndcg_at_k
+
+    rels = [3, 2, 1, 0]
+    perfect = spark.createDataFrame(
+        [("g", i, 100 - i, rels[i]) for i in range(4)],
+        "grp string, doc int, score int, rel int",
+    )
+    [r] = ndcg_at_k(perfect, "grp", "score", "rel", "doc", k=10).collect()
+    assert r.ndcg_at_k == 1.0 and r.mrr == 1.0
+    inverted = spark.createDataFrame(
+        [("g", i, i, rels[i]) for i in range(4)],
+        "grp string, doc int, score int, rel int",
+    )
+    [ri] = ndcg_at_k(inverted, "grp", "score", "rel", "doc", k=10).collect()
+    disc = [1.0 / math.log2(rk + 1) for rk in range(1, 5)]
+    dcg = sum(round(rel * d, 9) for rel, d in zip([0, 1, 2, 3], disc))
+    idcg = sum(round(rel * d, 9) for rel, d in zip([3, 2, 1, 0], disc))
+    assert ri.ndcg_at_k == round(dcg / idcg, 6)
+    assert ri.mrr == 0.5  # first relevant (rel=1) sits at rank 2
+    barren = spark.createDataFrame(
+        [("g", i, i, 0) for i in range(3)],
+        "grp string, doc int, score int, rel int",
+    )
+    [rb] = ndcg_at_k(barren, "grp", "score", "rel", "doc", k=10).collect()
+    assert rb.ndcg_at_k is None and rb.mrr == 0.0
+
+
+def test_krippendorff_alpha_hand_replay_with_missing(spark):
+    """Small long-format matrix with missing ratings replayed in
+    plain python against Krippendorff's nominal formulas; perfect
+    agreement -> alpha 1; constant ratings -> NULL (De = 0)."""
+    from maston_spark.evaluation import krippendorff_alpha
+
+    # units: (unit, value) long rows; unit 4 has ONE rating -> drops
+    data = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "b"), (2, "b"),
+        (3, "a"), (3, "a"), (3, "a"), (3, "a"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(data, "unit int, val string")
+    [r] = krippendorff_alpha(df, "unit", "val", max_raters=4).collect()
+    kept = [u for u in data if u[0] != 4]
+    units = {}
+    for u, v in kept:
+        units.setdefault(u, {}).setdefault(v, 0)
+        units[u][v] += 1
+    N = len(kept)
+    d_o = sum(
+        n * (sum(cs.values()) - n) / (sum(cs.values()) - 1)
+        for cs in units.values()
+        for n in cs.values()
+    ) / N
+    nc = {}
+    for cs in units.values():
+        for v, n in cs.items():
+            nc[v] = nc.get(v, 0) + n
+    d_e = sum(n * (N - n) for n in nc.values()) / (N * (N - 1))
+    assert r.n_units == 3 and r.n_pairable == N
+    assert r.d_o == round(d_o, 6) and r.d_e == round(d_e, 6)
+    assert r.alpha == round(1 - d_o / d_e, 6)
+    perfect = spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "b")] * 3, "unit int, val string"
+    )
+    [rp] = krippendorff_alpha(perfect, "unit", "val", max_raters=3).collect()
+    assert rp.alpha == 1.0
+    constant = spark.createDataFrame([(1, "a")] * 3 + [(2, "a")] * 2, "unit int, val string")
+    [rc] = krippendorff_alpha(constant, "unit", "val", max_raters=3).collect()
+    assert rc.alpha is None
+
+
+def test_eb_shrunk_rates_pulls_small_groups_harder(spark):
+    """A 4-observation extreme group moves toward the pooled mean by
+    more than a 400-observation group at the same raw rate; the
+    posterior always sits between raw and pooled."""
+    from maston_spark.evaluation import eb_shrunk_rates
+
+    rows = (
+        [("tiny", 1)] * 4
+        + [("big", 1)] * 340 + [("big", 0)] * 60
+        + [("mid_lo", 0)] * 40 + [("mid_lo", 1)] * 60
+        + [("mid_hi", 1)] * 75 + [("mid_hi", 0)] * 25
+    )
+    df = spark.createDataFrame(rows, "src string, y int")
+    out = {r.group: r for r in eb_shrunk_rates(df, "src", "y").collect()}
+    pooled = (4 + 340 + 60 + 75) / (4 + 400 + 100 + 100)
+    assert out["tiny"].rate_raw == 1.0 and out["big"].rate_raw == 0.85
+    # every posterior sits between its raw rate and the pooled mean,
+    # and the 4-observation group moves FARTHER than the 400-obs one
+    for g in out.values():
+        lo, hi = sorted([g.rate_raw, round(pooled, 6)])
+        assert lo - 1e-6 <= g.rate_shrunk <= hi + 1e-6
+    assert abs(out["tiny"].rate_shrunk - out["tiny"].rate_raw) > abs(
+        out["big"].rate_shrunk - out["big"].rate_raw
+    )
+    # spread wider than beta can carry (M <= 0) -> honest NULLs
+    wide = spark.createDataFrame(
+        [("all1", 1)] * 50 + [("all0", 0)] * 50, "src string, y int"
+    )
+    for r in eb_shrunk_rates(wide, "src", "y").collect():
+        assert r.prior_strength is None and r.rate_shrunk is None
+    # degenerate: a single group -> no spread to fit -> NULL prior
+    single = spark.createDataFrame([("only", 1), ("only", 0)], "src string, y int")
+    [rs] = eb_shrunk_rates(single, "src", "y").collect()
+    assert rs.prior_strength is None and rs.rate_shrunk is None

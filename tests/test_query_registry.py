@@ -106,23 +106,20 @@ def test_graded_window_covers_unique_capabilities():
         "q152_dedup_report",
         # round-10 promotions: round-9's novel physics — keep-first
         # substring removal, hybrid rank fusion, residual IVF-PQ
-        "q155_keep_first_substring", "q157_hybrid_rrf",
+        "q155_keep_first_substring",
         "q158_ivfpq_residual",
-        # round-10 promotions: the mergeable-sketch family (KMV
-        # set-op estimation and count-min heavy hitters), dup-graph
-        # transitivity, skyline selection, and KS drift
+        # round-10 promotions: the mergeable-sketch family (count-min
+        # heavy hitters), dup-graph transitivity, and KS drift
         "q169_cms_heavy_hitters",
-        "q172_dup_transitivity", "q174_pareto_frontier",
+        "q172_dup_transitivity",
         "q178_ks_drift",
         # round-10 promotions: round-9's ungraded novel physics —
         # deterministic-recall frequent items (Misra-Gries), the AMS
         # F2 moment sketch, LSH-pair source attribution, the XOR-fold
         # table fingerprint, and token-weighted water-fill allocation
         "q173_mg_heavy_hitters", "q176_ams_f2",
-        "q171_source_dup_matrix", "q185_table_fingerprint",
+        "q185_table_fingerprint",
         "q189_token_water_fill",
-        # the round-10 mergeable quantile sketch (bit-exact member)
-        "q191_quantile_sketch",
         # round-11 promotions: round-10's ungraded novel physics —
         # KLL rank-error-contract grading, incremental near-dup (the
         # batch twin of the streaming curation state), binned-TVD
@@ -131,7 +128,6 @@ def test_graded_window_covers_unique_capabilities():
         # order statistics
         "q192_kll_quantiles", "q194_binned_tvd_drift",
         "q195_incremental_neardup", "q196_table_sketch_profile",
-        "q197_weighted_percentiles",
         # round-11 in-round promotions: the round's own novel physics
         # graded immediately rather than waiting a round — HLL (third
         # distinct-count physics), the brute-force-ground-truth-graded
@@ -147,6 +143,12 @@ def test_graded_window_covers_unique_capabilities():
         "q206_scd2_history", "q207_salted_join",
         "q208_ts_pattern_search", "q212_group_auc",
         "q217_join_size_estimate",
+        # round-12 second-wave promotions: the round's own novel
+        # physics graded in-round — value-histogram trimmed stats,
+        # HLL rollup-cube mergeability, deterministic Poisson
+        # bootstrap, directed transition lift, Chao1 richness
+        "q226_trimmed_mean", "q230_hll_cube", "q234_bootstrap_ci",
+        "q235_transition_lift", "q237_chao1_vocab",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -191,7 +193,7 @@ def test_graded_window_covers_unique_capabilities():
         "q40_dedup_exact": "q152_dedup_report",
         "q150_pq_codes": "q158_ivfpq_residual",
         "q151_pq_adc": "q158_ivfpq_residual",
-        "q156_query_likelihood": "q157_hybrid_rrf",
+        "q156_query_likelihood": "q123_bm25_rank",
         "q47_fingerprint": "q152_dedup_report",
         "q23_topk_per_group": "q20_window_rank",
         "q51_quality_score": "q148_gopher_gate",
@@ -216,7 +218,7 @@ def test_graded_window_covers_unique_capabilities():
         # q123/q157; the moment-sum family via q176 + promoted q196;
         # the anti-join rewrite is the mirror of q07's semi-join
         # physics; the allocation family via q189's water-fill
-        "q128_robust_outliers": "q197_weighted_percentiles",
+        "q128_robust_outliers": "q226_trimmed_mean",
         "q96_bigram_perplexity": "q123_bm25_rank",
         "q104_embedding_covariance": "q196_table_sketch_profile",
         "q68_not_exists_antijoin": "q07_join_semi",
@@ -241,6 +243,18 @@ def test_graded_window_covers_unique_capabilities():
         # round-12 in-round swap: q153's composed IVF-PQ stages all
         # run inside the graded residual variant
         "q153_ivf_pq": "q158_ivfpq_residual",
+        # round-12 second-wave demotions: token-weighted order stats
+        # stay graded via the value-histogram trimmed/winsorized
+        # member (same cumulative-multiplicity rank math, harder
+        # policy); the bit-exact quantile sketch via the KLL
+        # rank-contract member; LSH-pair attribution via the cluster/
+        # transitivity/report trio; skyline selection via the budget
+        # planners; rank fusion via BM25 scoring + global midranks
+        "q197_weighted_percentiles": "q226_trimmed_mean",
+        "q191_quantile_sketch": "q192_kll_quantiles",
+        "q171_source_dup_matrix": "q172_dup_transitivity",
+        "q174_pareto_frontier": "q204_greedy_coverage",
+        "q157_hybrid_rrf": "q123_bm25_rank",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted

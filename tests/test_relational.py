@@ -1283,3 +1283,26 @@ def test_transition_lift_hand_case(spark):
     assert out[("c", "d")][1] == 1.0
     # lift(c->d) = 2*12 / (2*2) = 6.0 — rarer pair, stronger lift
     assert out[("c", "d")][2] == 6.0
+
+
+def test_bloom_pruned_join_is_identity_to_plain_join(spark):
+    """The Bloom filter pre-prune must never change the inner-join
+    result (zero false negatives by construction); the pruned fact
+    side must actually shrink when the dim is selective."""
+    from maston_spark.relational import bloom_pruned_join
+
+    fact = spark.createDataFrame(
+        [(i % 1000, f"v{i}") for i in range(5000)], "k int, payload string"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 1000, 50)], "dk int, dname string"
+    )
+    got = sorted(
+        (r.k, r.payload, r.dk, r.dname)
+        for r in bloom_pruned_join(fact, dim, "k", "dk").collect()
+    )
+    want = sorted(
+        (r.k, r.payload, r.dk, r.dname)
+        for r in fact.join(dim, fact["k"] == dim["dk"], "inner").collect()
+    )
+    assert got == want and len(got) == 100
