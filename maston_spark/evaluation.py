@@ -471,53 +471,103 @@ def poisson_bootstrap_ci(
     The classic distributed bootstrap (each row enters replicate r
     with an independent Poisson(1) multiplicity — Chamandy et al.,
     Google 2012 "Estimating Uncertainty for Massive Data Streams")
-    made REPRODUCIBLE: the multiplicity is an exact integer-compare
-    of the md5 lane of ``(salt, r, id)`` against precomputed
+    made REPRODUCIBLE: replicate r's multiplicity is an exact
+    integer-compare of a 32-bit md5 lane against precomputed
     Poisson-CDF thresholds, so the same rows, ids and salt produce
     the same interval on any engine, partitioning, or rerun — and
     the DuckDB oracle replays the whole Monte-Carlo construction
     bit-for-bit (resampling inference as a GRADED computation, not a
-    trusted one).
+    trusted one). One 128-bit digest of ``(salt, r div 4, id)``
+    carries FOUR independent lanes (hex chars 8j+1..8j+8 for
+    j = r mod 4), so b replicates cost b/4 hashes per row — the md5
+    is the hot loop's whole cost.
 
     Scale shape: each row emits ``b`` (replicate, weight, w·x) triples
-    inline (a b-struct explode — no data movement, no resampled
-    copies of the corpus) that combiner-reduce immediately; the
-    shuffle carries ≤ b rows per task, the replicate means are a
-    b-row frame, and the percentile pick is an exact order statistic
-    over those b rows (indices round(0.025·(b−1)) /
-    round(0.975·(b−1)) — the standard percentile bootstrap). Sums
-    round to the 9-grid before each replicate's closing division."""
+    inline (a b/4-block explode, then a 4-struct lane explode — no
+    data movement, no resampled copies of the corpus) that
+    combiner-reduce immediately; the shuffle carries ≤ b rows per
+    task, the replicate means are a b-row frame, and the percentile
+    pick is an exact order statistic over those b rows (indices
+    round(0.025·(b−1)) / round(0.975·(b−1)) — the standard
+    percentile bootstrap). Because the explode multiplies
+    per-partition work ×b, an underparallel scan (fewer splits than
+    cluster slots) is rebalanced first — a 2-column shuffle, skipped
+    whenever the input already has enough splits. Sums round to the
+    9-grid before each replicate's closing division."""
     if b < 8:
         raise ValueError("need at least 8 replicates for a percentile CI")
-    lane = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt + ":"),
-                    F.col("__rep").cast("string"),
-                    F.lit(":"),
-                    F.col(id_col).cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    w = F.lit(len(_POISSON1_THRESHOLDS))
-    for k in range(len(_POISSON1_THRESHOLDS) - 1, -1, -1):
-        w = F.when(lane < F.lit(_POISSON1_THRESHOLDS[k]), F.lit(k)).otherwise(w)
+    if b % 4 != 0:
+        raise ValueError("b must be a multiple of 4 (4 hash lanes per md5)")
+
+    def weight(lane):
+        w = F.lit(len(_POISSON1_THRESHOLDS))
+        for k in range(len(_POISSON1_THRESHOLDS) - 1, -1, -1):
+            w = F.when(lane < F.lit(_POISSON1_THRESHOLDS[k]), F.lit(k)).otherwise(w)
+        return w
+
     x = F.col(value_col).cast("double")
-    exploded = (
-        df.filter(x.isNotNull())
-        .select(
-            F.col(id_col),
-            x.alias("__x"),
-            F.explode(F.array(*[F.lit(r) for r in range(b)])).alias("__rep"),
-        )
-        .select("__rep", w.alias("__w"), (w * F.col("__x")).alias("__wx"))
+    base = df.filter(x.isNotNull()).select(F.col(id_col), x.alias("__x"))
+    # the b-fold inline explode multiplies per-partition work by b; a
+    # scan that arrived in fewer splits than the cluster has slots
+    # (small files, coalesced inputs) would serialize it — rebalance
+    # FIRST (cheap: 2 columns), and only when actually underparallel,
+    # so a corpus that already has thousands of splits never pays a
+    # full-data shuffle for it
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < slots:
+        base = base.repartition(slots)
+    # one md5 per (row, 4-replicate block): the 128-bit digest carries
+    # four independent 32-bit lanes, so b replicates cost b/4 hashes
+    blocks = base.select(
+        F.col(id_col),
+        "__x",
+        F.explode(F.array(*[F.lit(blk) for blk in range(b // 4)])).alias("__blk"),
+    ).select(
+        "__x",
+        "__blk",
+        F.md5(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col("__blk").cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ).alias("__h"),
     )
+    # staged projections, NOT one inlined expression tree: each conv
+    # and each when-cascade materializes once per row (CollapseProject
+    # keeps non-cheap multi-use aliases; a generator input gets no
+    # subexpression elimination, so inlining the cascades into the
+    # explode re-evaluated conv ~64x per row — measured 3x slower)
+    lanes = blocks.select(
+        "__x",
+        "__blk",
+        *[
+            F.conv(F.substring(F.col("__h"), 1 + 8 * j, 8), 16, 10)
+            .cast("long")
+            .alias(f"__lane{j}")
+            for j in range(4)
+        ],
+    )
+    weights = lanes.select(
+        "__x",
+        "__blk",
+        *[weight(F.col(f"__lane{j}")).alias(f"__w{j}") for j in range(4)],
+    )
+    exploded = weights.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("__blk") * 4 + j).alias("__rep"),
+                        F.col(f"__w{j}").alias("__w"),
+                        (F.col(f"__w{j}") * F.col("__x")).alias("__wx"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("__l")
+    ).select("__l.__rep", "__l.__w", "__l.__wx")
     reps = exploded.groupBy("__rep").agg(
         F.sum("__w").cast("long").alias("__sw"),
         F.round(F.sum("__wx"), 9).alias("__swx"),

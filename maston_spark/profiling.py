@@ -791,3 +791,168 @@ def period_delta_topk(
         .orderBy(F.abs(F.col("delta")).desc(), F.asc("item"))
         .limit(k)
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of one numeric column — the credit-scoring/ML-monitoring
+    standard (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 act): one
+    row per bin ``(bin, n_ref, n_cur, p_ref, p_cur, psi_term)`` with
+    the global ``psi`` repeated on each row. The third drift lens
+    next to :func:`ks_drift` (sup-norm) and :func:`binned_tvd_drift`
+    (L1): PSI's log ratio punishes bins that nearly EMPTY, which TVD
+    underweights and KS can miss entirely off the mode.
+
+    Bins are the reference deciles (``ref_bin_edges`` — the same
+    fixed-edge discipline as the streaming drift monitor, so a
+    production monitor and this audit cannot disagree on binning).
+    Laplace(+1) smoothing keeps empty bins finite AND keeps every
+    proportion an exact integer rational; each ``(p−q)·ln(p/q)``
+    term rounds to the 9-grid before the n_bins-term decimal sum
+    (bounded by the bin count, never the data). Cost: one driver
+    percentile fit on the reference + one combiner-reduced count
+    aggregation per side."""
+    edges = ref_bin_edges(ref, value_col, n_bins)
+    spark = ref.sparkSession
+    v = F.col(value_col).cast("double")
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.filter(v.isNotNull())
+            .select(bucket_of_edges(v, edges).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    grid = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    f = (
+        grid.join(counts(ref, "__nr"), "bin", "left")
+        .join(counts(cur, "__nc"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("__nr", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("__nc", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = f.agg(
+        F.sum("n_ref").cast("long").alias("__tr"),
+        F.sum("n_cur").cast("long").alias("__tc"),
+    )
+    j = f.join(F.broadcast(tot))
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("__tr") + n_bins).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("__tc") + n_bins).cast("double")
+    term = F.round((p - q) * F.log(p / q), 9)
+    per = j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        term.alias("psi_term"),
+    )
+    tot_psi = per.agg(
+        F.round(F.sum(F.col("psi_term").cast("decimal(28,9)")).cast("double"), 6).alias(
+            "psi"
+        )
+    )
+    return (
+        per.join(F.broadcast(tot_psi))
+        .select("bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term", "psi")
+        .orderBy("bin")
+    )
+
+
+def mutual_information(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns,
+    with the entropies and the min-entropy-normalized NMI — one row
+    ``(n_rows, h_a, h_b, mi, nmi)``. The feature-selection /
+    redundancy number beside :func:`chi2_contingency`: chi-square
+    asks "dependent at all?", MI says HOW MANY nats one column
+    carries about the other (NMI = 1 ⇔ one determines the other).
+
+    Exact shape: one combiner-reduced (a, b) contingency aggregation
+    (≤ |A|·|B| cells — the corpus is scanned once); marginals derive
+    from the cells; every ``p·ln(...)`` term is an exact integer
+    rational through the log and rounds to the 9-grid before the
+    cell-bounded decimal sum. NULL in either column drops the row
+    (the library convention). Zero entropy on either side (a
+    constant column) emits NULL nmi."""
+    cells = (
+        df.select(
+            F.col(a_col).cast("string").alias("__a"),
+            F.col(b_col).cast("string").alias("__b"),
+        )
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    withm = cells.select(
+        "__a",
+        "__b",
+        "__n",
+        F.sum("__n").over(wa).alias("__na"),
+        F.sum("__n").over(wb).alias("__nb"),
+    )
+    dec = "decimal(28,9)"
+    nd = F.col("__N").cast("double")
+    agg = withm.groupBy().agg(
+        F.sum("__n").cast("long").alias("__N"),
+        F.sum(
+            F.round(
+                F.col("__n").cast("double")
+                * F.log(
+                    F.col("__n").cast("double")
+                    / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
+                ),
+                6,
+            ).cast(dec)
+        ).alias("__smi"),
+    )
+    # MI = (1/N)·Σ n·ln(n·N/(na·nb)) = (1/N)·Σ n·ln(n/(na·nb)) + ln(N)
+    mi = F.col("__smi").cast("double") / nd + F.log(nd)
+    # entropies from the marginal tables (cell-bounded)
+    ha_t = (
+        cells.groupBy("__a")
+        .agg(F.sum("__n").cast("long").alias("__na"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("__na").cast("double") * F.log(F.col("__na").cast("double")),
+                    6,
+                ).cast(dec)
+            ).alias("__sa")
+        )
+    )
+    hb_t = (
+        cells.groupBy("__b")
+        .agg(F.sum("__n").cast("long").alias("__nb"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("__nb").cast("double") * F.log(F.col("__nb").cast("double")),
+                    6,
+                ).cast(dec)
+            ).alias("__sb")
+        )
+    )
+    j = agg.join(F.broadcast(ha_t)).join(F.broadcast(hb_t))
+    h_a = F.log(nd) - F.col("__sa").cast("double") / nd
+    h_b = F.log(nd) - F.col("__sb").cast("double") / nd
+    return j.select(
+        F.col("__N").alias("n_rows"),
+        F.round(h_a, 6).alias("h_a"),
+        F.round(h_b, 6).alias("h_b"),
+        F.round(mi, 6).alias("mi"),
+        F.when(
+            F.least(h_a, h_b) > 1e-12, F.round(mi / F.least(h_a, h_b), 6)
+        ).alias("nmi"),
+    )

@@ -2384,13 +2384,14 @@ def q233_heavy_hitter_delta(spark, sf_dir):
 @query(
     "q234_bootstrap_ci",
     oracle="""
-    WITH reps AS (SELECT unnest(range(32)) AS rep),
-    e AS (SELECT rep,
-                 ('0x' || substr(md5('bs:' || rep || ':' ||
+    WITH blks AS (SELECT unnest(range(8)) AS blk),
+    lanes AS (SELECT unnest(range(4)) AS j),
+    e AS (SELECT 4 * blk + j AS rep,
+                 ('0x' || substr(md5('bs:' || blk || ':' ||
                                      l_orderkey || '#' || l_linenumber),
-                                 1, 8))::BIGINT AS lane,
+                                 1 + 8 * j, 8))::BIGINT AS lane,
                  CAST(l_extendedprice AS DOUBLE) AS x
-          FROM lineitem, reps
+          FROM lineitem, blks, lanes
           WHERE l_extendedprice IS NOT NULL),
     ww AS (SELECT rep,
                   CASE WHEN lane < 1580030168 THEN 0
