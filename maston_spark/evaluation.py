@@ -1112,3 +1112,79 @@ def eb_shrunk_rates(
         shrunk.alias("rate_shrunk"),
         F.round(m, 6).alias("prior_strength"),
     ).orderBy("group")
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate with right
+    censoring (Kaplan & Meier 1958) — one row per distinct event
+    time ``(t, n_risk, n_events, n_censored, survival)``. The
+    churn/lifetime curve a naive "mean lifetime of users who left"
+    gets wrong: censored subjects (still alive at the observation
+    cut) leave the risk set WITHOUT counting as deaths, which is
+    exactly what conditioning the hazard on the at-risk count does.
+
+    Shape: one ``groupBy(t)`` combiner aggregation (events +
+    censored per time), then cumulative windows over the
+    TIME-DISTINCT table — bounded by the duration domain (days/
+    buckets in practice; pre-bucket a continuous duration, the same
+    precondition as exact_percentiles' value histogram), never the
+    subject count. ``S(t) = Π(1 − d/n)`` folds as
+    ``exp(Σ ln(1 − d/n))`` with each log term rounded to the 9-grid
+    so the cumulative sum is an order-fixed sequence both engines
+    replay (the q125 ln discipline); a time where every at-risk
+    subject dies closes the curve at exactly 0.0. Rows with NULL
+    duration/event drop; negative durations raise at analysis time
+    via the filter (they would silently corrupt the risk set)."""
+    d = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per = d.groupBy("__t").agg(
+        F.sum("__e").cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("__e")).cast("long").alias("n_censored"),
+    )
+    tot = per.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).cast("long").alias("__n")
+    )
+    # cumulative windows over the |distinct t| table (bounded domain)
+    w_prior = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    left_before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_prior), F.lit(0)
+    )
+    j = per.join(F.broadcast(tot))
+    risk = (F.col("__n") - left_before).alias("n_risk")
+    staged = j.select(
+        "__t", "n_events", "n_censored", risk
+    )
+    # ln(1 - d/n) rounded per step; a d = n step sends the log to
+    # -inf conceptually — emit exact 0.0 from there on instead
+    frac = F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - frac), 9),
+    )
+    with_term = staged.select(
+        "__t", "n_risk", "n_events", "n_censored", term.alias("__lg")
+    )
+    dead = F.max(F.when(F.col("__lg").isNull(), 1).otherwise(0)).over(w_incl)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum("__lg").over(w_incl)), 6)
+    )
+    return with_term.select(
+        F.col("__t").alias("t"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        surv.alias("survival"),
+    ).orderBy("t")

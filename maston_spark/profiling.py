@@ -947,12 +947,23 @@ def mutual_information(
     j = agg.join(F.broadcast(ha_t)).join(F.broadcast(hb_t))
     h_a = F.log(nd) - F.col("__sa").cast("double") / nd
     h_b = F.log(nd) - F.col("__sb").cast("double") / nd
-    return j.select(
+    # NMI from the ROUNDED components: near zero dependence the
+    # unrounded mi and min-entropy are both 9-grid rounding noise
+    # (~1e-8) and their ratio is garbage; the rounded values are what
+    # both engines certify, so the quotient is stable by construction
+    staged = j.select(
         F.col("__N").alias("n_rows"),
         F.round(h_a, 6).alias("h_a"),
         F.round(h_b, 6).alias("h_b"),
         F.round(mi, 6).alias("mi"),
+    )
+    return staged.select(
+        "n_rows",
+        "h_a",
+        "h_b",
+        "mi",
         F.when(
-            F.least(h_a, h_b) > 1e-12, F.round(mi / F.least(h_a, h_b), 6)
+            F.least(F.col("h_a"), F.col("h_b")) > 0,
+            F.round(F.col("mi") / F.least(F.col("h_a"), F.col("h_b")), 6),
         ).alias("nmi"),
     )

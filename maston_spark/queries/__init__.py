@@ -284,6 +284,10 @@ _PRIORITY = [
     "q240_srm_check", "q241_jackknife_ratio", "q242_ndcg_mrr",
     "q243_krippendorff_alpha", "q244_bloom_pruned_join",
     "q245_eb_keep_rates",
+    # Kaplan-Meier right-censored survival, PSI drift (third lens),
+    # lang×source mutual information, quantile treatment effects
+    "q246_kaplan_meier", "q247_psi_drift", "q248_mutual_information",
+    "q249_quantile_treatment",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

@@ -3015,3 +3015,222 @@ def q244_bloom_pruned_join(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q246_kaplan_meier",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1,
+                      max(ts) AS last_ts
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY user_id),
+    cut AS (SELECT max(last_ts) - INTERVAL 7 DAY AS co FROM u),
+    subj AS (SELECT date_diff('day', d0, d1) AS t,
+                    CASE WHEN last_ts <= co THEN 1 ELSE 0 END AS e
+             FROM u, cut),
+    per AS (SELECT t, CAST(sum(e) AS BIGINT) AS n_events,
+                   CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+            FROM subj GROUP BY t),
+    tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n FROM per),
+    r AS (SELECT t, n_events, n_censored,
+                 CAST(n - COALESCE(sum(n_events + n_censored) OVER
+                       (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n_risk
+          FROM per, tot),
+    lg AS (SELECT t, n_risk, n_events, n_censored,
+                  CASE WHEN n_events < n_risk
+                       THEN round(ln(1.0 - CAST(n_events AS DOUBLE)
+                                          / CAST(n_risk AS DOUBLE)), 9) END AS l
+           FROM r),
+    s AS (SELECT t, n_risk, n_events, n_censored,
+                 max(CASE WHEN l IS NULL THEN 1 ELSE 0 END) OVER
+                   (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+                 sum(l) OVER
+                   (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+          FROM lg)
+    SELECT t, n_risk, n_events, n_censored,
+           CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cl), 6) END AS survival
+    FROM s ORDER BY t
+    """,
+)
+def q246_kaplan_meier(spark, sf_dir):
+    """User-activity survival: per-user lifetime in days (first to
+    last event), right-censored when the last event falls inside the
+    final week of the observation window — the product-limit curve
+    (Kaplan & Meier 1958) whose hazard conditions on the at-risk
+    count, the number a naive churned-users mean cannot produce. See
+    :func:`maston_spark.evaluation.kaplan_meier`."""
+    from maston_spark.evaluation import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__d0"),
+        F.max(F.to_date("ts")).alias("__d1"),
+        F.max("ts").alias("__last"),
+    )
+    cut = u.agg(
+        (F.max("__last") - F.expr("INTERVAL 7 DAYS")).alias("__co")
+    )
+    subj = u.join(F.broadcast(cut)).select(
+        F.datediff("__d1", "__d0").alias("dur"),
+        (F.col("__last") <= F.col("__co")).cast("int").alias("evt"),
+    )
+    return kaplan_meier(subj, "dur", "evt")
+
+
+@query(
+    "q247_psi_drift",
+    oracle="""
+    WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+                 WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-15'),
+    cur AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+            WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-15'),
+    e AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM ref),
+    rb AS (SELECT CAST(len(list_filter(qs, q -> v > q)) AS INT) AS bin FROM ref, e),
+    cb AS (SELECT CAST(len(list_filter(qs, q -> v > q)) AS INT) AS bin FROM cur, e),
+    rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rb GROUP BY bin),
+    cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY bin),
+    grid AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+    f AS (SELECT grid.bin, COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
+          FROM grid LEFT JOIN rc ON rc.bin = grid.bin LEFT JOIN cc ON cc.bin = grid.bin),
+    t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM f),
+    terms AS (SELECT bin, n_ref, n_cur,
+                     CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE) AS p,
+                     CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE) AS q
+              FROM f, t),
+    per AS (SELECT bin, n_ref, n_cur,
+                   round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+                   round((p - q) * ln(p / q), 9) AS psi_term
+            FROM terms),
+    tp AS (SELECT round(CAST(sum(CAST(psi_term AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+           FROM per)
+    SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi
+    FROM per, tp ORDER BY bin
+    """,
+)
+def q247_psi_drift(spark, sf_dir):
+    """Population Stability Index of the event-value distribution
+    across the mid-month split, binned on the BEFORE-period deciles
+    with Laplace-smoothed exact-rational proportions — the
+    log-ratio drift lens next to q178's KS and q194's TVD. See
+    :func:`maston_spark.profiling.psi_drift`."""
+    from maston_spark.profiling import psi_drift
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ref = ev.filter(F.col("ts") < "2024-01-15").select("value")
+    cur = ev.filter(F.col("ts") >= "2024-01-15").select("value")
+    return psi_drift(ref, cur, "value", n_bins=10)
+
+
+@query(
+    "q248_mutual_information",
+    oracle="""
+    WITH cells AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+                   FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+                   GROUP BY lang, source),
+    m AS (SELECT a, b, n,
+                 sum(n) OVER (PARTITION BY a) AS na,
+                 sum(n) OVER (PARTITION BY b) AS nb
+          FROM cells),
+    agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   sum(CAST(round(CAST(n AS DOUBLE)
+                                  * ln(CAST(n AS DOUBLE)
+                                       / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+                            AS DECIMAL(28,9))) AS smi
+            FROM m),
+    ha AS (SELECT sum(CAST(round(CAST(na AS DOUBLE) * ln(CAST(na AS DOUBLE)), 6)
+                           AS DECIMAL(28,9))) AS sa
+           FROM (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY a)),
+    hb AS (SELECT sum(CAST(round(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE)), 6)
+                           AS DECIMAL(28,9))) AS sb
+           FROM (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY b))
+    , staged AS (
+      SELECT nn AS n_rows,
+             round(ln(CAST(nn AS DOUBLE)) - CAST(sa AS DOUBLE) / nn, 6) AS h_a,
+             round(ln(CAST(nn AS DOUBLE)) - CAST(sb AS DOUBLE) / nn, 6) AS h_b,
+             round(CAST(smi AS DOUBLE) / nn + ln(CAST(nn AS DOUBLE)), 6) AS mi
+      FROM agg, ha, hb)
+    SELECT n_rows, h_a, h_b, mi,
+           CASE WHEN least(h_a, h_b) > 0
+                THEN round(mi / least(h_a, h_b), 6) END AS nmi
+    FROM staged
+    """,
+)
+def q248_mutual_information(spark, sf_dir):
+    """Mutual information between document language and source (with
+    entropies and min-normalized NMI) — how many nats one column
+    carries about the other; the dependence STRENGTH beside q130's
+    chi-square dependence TEST. See
+    :func:`maston_spark.profiling.mutual_information`."""
+    from maston_spark.profiling import mutual_information
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    return mutual_information(d, "lang", "source")
+
+
+@query(
+    "q249_quantile_treatment",
+    oracle="""
+    WITH u AS (SELECT CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 2 AS INT) AS variant,
+                      CAST(value AS DOUBLE) AS v
+               FROM events WHERE value IS NOT NULL),
+    p AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                 quantile_cont(v, 0.25) AS q25, quantile_cont(v, 0.5) AS q50,
+                 quantile_cont(v, 0.75) AS q75, quantile_cont(v, 0.9) AS q90
+          FROM u GROUP BY variant)
+    SELECT c.n AS n_ctrl, t.n AS n_treat,
+           round(c.q25, 6) AS ctrl_p25, round(t.q25 - c.q25, 6) AS qte_p25,
+           round(c.q50, 6) AS ctrl_p50, round(t.q50 - c.q50, 6) AS qte_p50,
+           round(c.q75, 6) AS ctrl_p75, round(t.q75 - c.q75, 6) AS qte_p75,
+           round(c.q90, 6) AS ctrl_p90, round(t.q90 - c.q90, 6) AS qte_p90
+    FROM p t, p c WHERE t.variant = 1 AND c.variant = 0
+    """,
+)
+def q249_quantile_treatment(spark, sf_dir):
+    """Quantile treatment effects on the md5 cohorting q221/q236/q240
+    share: per-arm EXACT percentiles (the value-histogram order
+    statistics of q15) differenced at p25/p50/p75/p90 — where in the
+    distribution the treatment moved mass, which a mean readout
+    hides. Composition of :func:`maston_spark.relational.
+    exact_percentiles` over the variant group."""
+    from maston_spark.relational import exact_percentiles
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        .cast("int")
+        .alias("variant"),
+        F.col("value").cast("double").alias("v"),
+    )
+    cnt = u.groupBy("variant").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pct = exact_percentiles(
+        u, "variant", "v", [0.25, 0.5, 0.75, 0.9], ["q25", "q50", "q75", "q90"]
+    ).join(cnt, "variant")
+    t = pct.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_treat"),
+        *[F.col(q).alias(f"t_{q}") for q in ("q25", "q50", "q75", "q90")],
+    )
+    c = pct.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_ctrl"),
+        *[F.col(q).alias(f"c_{q}") for q in ("q25", "q50", "q75", "q90")],
+    )
+    j = t.join(F.broadcast(c))
+    cols = [F.col("n_ctrl"), F.col("n_treat")]
+    for q, nm in (("q25", "p25"), ("q50", "p50"), ("q75", "p75"), ("q90", "p90")):
+        cols.append(F.round(F.col(f"c_{q}"), 6).alias(f"ctrl_{nm}"))
+        cols.append(F.round(F.col(f"t_{q}") - F.col(f"c_{q}"), 6).alias(f"qte_{nm}"))
+    return j.select(*cols)

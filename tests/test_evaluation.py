@@ -436,3 +436,65 @@ def test_eb_shrunk_rates_pulls_small_groups_harder(spark):
     single = spark.createDataFrame([("only", 1), ("only", 0)], "src string, y int")
     [rs] = eb_shrunk_rates(single, "src", "y").collect()
     assert rs.prior_strength is None and rs.rate_shrunk is None
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """Hand-computed product-limit curve with censoring; a final
+    time where everyone at risk dies closes the curve at exactly
+    0.0; censored subjects leave the risk set without killing S."""
+    from maston_spark.evaluation import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)], "t int, e int"
+    )
+    rows = {r.t: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert rows[1].n_risk == 5 and rows[1].survival == 0.8
+    assert rows[2].n_risk == 4 and rows[2].n_censored == 1
+    assert rows[2].survival == round(0.8 * 0.75, 6)
+    assert rows[3].n_risk == 2 and rows[3].survival == round(0.8 * 0.75 * 0.5, 6)
+    assert rows[4].n_risk == 1 and rows[4].n_events == 0
+    assert rows[4].survival == rows[3].survival  # censoring alone never drops S
+    total_death = spark.createDataFrame([(1, 1), (2, 1), (2, 1)], "t int, e int")
+    out = {r.t: r for r in kaplan_meier(total_death, "t", "e").collect()}
+    assert out[2].survival == 0.0  # d = n at the last time: exact zero
+
+
+def test_psi_drift_zero_on_identical_and_fires_on_shift(spark):
+    """Identical samples -> PSI exactly 0; a shifted current sample
+    -> PSI above the 0.25 action threshold; bin proportions are
+    Laplace-smoothed so empty bins stay finite."""
+    from maston_spark.profiling import psi_drift
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    same = psi_drift(ref, ref, "v", n_bins=10).collect()
+    assert all(r.psi == 0.0 and r.psi_term == 0.0 for r in same)
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 60.0,) for i in range(1000)], "v double"
+    )
+    out = psi_drift(ref, shifted, "v", n_bins=10).collect()
+    assert len(out) == 10
+    assert out[0].psi > 0.25
+    assert all(r.p_ref > 0 and r.p_cur > 0 for r in out)  # smoothing
+
+
+def test_mutual_information_independence_and_identity(spark):
+    """Independent columns -> MI ~ 0 (and tiny vs the entropies);
+    identical columns -> MI equals the entropy and NMI = 1; a
+    constant column -> NULL nmi."""
+    from maston_spark.profiling import mutual_information
+
+    indep = spark.createDataFrame(
+        [(str(i % 4), str((i // 4) % 5)) for i in range(400)], "a string, b string"
+    )
+    [ri] = mutual_information(indep, "a", "b").collect()
+    assert abs(ri.mi) < 1e-6 and ri.h_a > 1.0 and ri.h_b > 1.0
+    same = spark.createDataFrame(
+        [(str(i % 5), str(i % 5)) for i in range(500)], "a string, b string"
+    )
+    [rs] = mutual_information(same, "a", "b").collect()
+    assert rs.mi == rs.h_a == rs.h_b and rs.nmi == 1.0
+    const = spark.createDataFrame(
+        [("x", str(i % 3)) for i in range(30)], "a string, b string"
+    )
+    [rc] = mutual_information(const, "a", "b").collect()
+    assert rc.h_a == 0.0 and rc.nmi is None
