@@ -787,6 +787,30 @@ def srm_check(
     if rogue.limit(1).count() > 0:
         bad = [r.variant for r in rogue.collect()]
         raise ValueError(f"observed arms not in the design: {bad}")
+    return srm_from_counts(obs, expected, chi2_critical)
+
+
+def srm_from_counts(
+    obs: DataFrame,
+    expected: "dict[object, float]",
+    chi2_critical: float = 10.827566170662733,
+) -> DataFrame:
+    """The SRM closing math over a PRE-AGGREGATED ``(variant, n_obs)``
+    frame — shared by :func:`srm_check` (one batch scan) and the
+    streaming assignment monitor (:func:`maston_spark.streaming.
+    topology.srm_monitor_topology`, whose durable state IS such a
+    counts frame folded additively across micro-batches), so the two
+    paths cannot diverge on the statistic. Same output contract and
+    exactness shape as :func:`srm_check`."""
+    shares = {k: float(v) for k, v in expected.items()}
+    if not shares or abs(sum(shares.values()) - 1.0) > 1e-9:
+        raise ValueError("expected shares must sum to 1")
+    spark = obs.sparkSession
+    design = spark.createDataFrame(
+        [(k, v) for k, v in sorted(shares.items(), key=lambda kv: str(kv[0]))],
+        f"variant {obs.schema['variant'].dataType.simpleString()},"
+        " expected_share double",
+    )
     arms = design.join(obs, "variant", "left").select(
         "variant",
         F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),

@@ -288,6 +288,8 @@ _PRIORITY = [
     # lang×source mutual information, quantile treatment effects
     "q246_kaplan_meier", "q247_psi_drift", "q248_mutual_information",
     "q249_quantile_treatment",
+    # streaming SRM monitor's oracle-graded fold twin
+    "q250_srm_prefix",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

@@ -3234,3 +3234,69 @@ def q249_quantile_treatment(spark, sf_dir):
         cols.append(F.round(F.col(f"c_{q}"), 6).alias(f"ctrl_{nm}"))
         cols.append(F.round(F.col(f"t_{q}") - F.col(f"c_{q}"), 6).alias(f"qte_{nm}"))
     return j.select(*cols)
+
+
+@query(
+    "q250_srm_prefix",
+    oracle="""
+    WITH u AS (SELECT CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 2 AS INT) AS variant
+               FROM events),
+    o AS (SELECT CAST(variant AS VARCHAR) AS variant,
+                 CAST(count(*) AS BIGINT) AS n_obs FROM u GROUP BY variant),
+    t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM o),
+    p AS (SELECT variant, n_obs, CAST(0.5 AS DOUBLE) AS expected_share,
+                 round(0.5 * n, 6) AS n_exp,
+                 round((CAST(n_obs AS DOUBLE) - 0.5 * n)
+                       * (CAST(n_obs AS DOUBLE) - 0.5 * n) / (0.5 * n), 9) AS c
+          FROM o, t),
+    c2 AS (SELECT round(sum(c), 6) AS chi2 FROM p)
+    SELECT variant, n_obs, expected_share, n_exp, chi2,
+           chi2 > 10.827566170662733 AS srm_detected
+    FROM p, c2 ORDER BY variant
+    """,
+)
+def q250_srm_prefix(spark, sf_dir):
+    """The SRM monitor TOPOLOGY's fold identity, graded cross-engine:
+    events split into 3 deterministic micro-batches (event_id mod 3),
+    each batch's arm counts folded with the SAME additive union+sum
+    the streaming state uses, then the shared
+    :func:`maston_spark.evaluation.srm_from_counts` closing math —
+    while the oracle chi-squares the whole history in one shot.
+    Sum-of-counts ≡ counts-of-union exactly; extends the
+    topology-twin matrix (q195/q200/q201/q211/q231) to the
+    experimentation family."""
+    from maston_spark.evaluation import srm_from_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        .cast("string")
+        .alias("variant"),
+        "event_id",
+    )
+    counts = None
+    for b in range(3):
+        g = (
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == b)
+            .groupBy("variant")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        )
+        counts = (
+            g
+            if counts is None
+            else counts.unionByName(g)
+            .groupBy("variant")
+            .agg(F.sum("n_obs").cast("long").alias("n_obs"))
+        )
+    return srm_from_counts(counts, {"0": 0.5, "1": 0.5})

@@ -1535,3 +1535,89 @@ def hll_rolling_topology(
             state.unpersist()
 
     return _start_foreach_batch(proj, fn, checkpoint, trigger)
+
+
+def srm_monitor_topology(
+    source: DataFrame,
+    *,
+    variant_col: str,
+    expected: "dict[object, float]",
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+    chi2_critical: float = 10.827566170662733,
+):
+    """Streaming sample-ratio-mismatch monitor: maintain per-arm
+    assignment counts across micro-batches and emit, per batch, the
+    running chi-square against the designed split — the experiment
+    guard that must fire DURING the rollout, not in the post-hoc
+    readout (by the time q240's batch audit runs, a biased
+    assignment has already burned the traffic). Emits the same
+    ``(variant, n_obs, expected_share, n_exp, chi2, srm_detected)``
+    contract as the batch operator because it IS the batch closing
+    math — :func:`maston_spark.evaluation.srm_from_counts` over the
+    folded state, so the two paths cannot diverge (the q240 twin
+    grades the fold cross-engine).
+
+    Cross-batch state is the ≤|arms|-row ``(variant, n_obs)`` table,
+    durable in the same versioned compacted parquet layout as
+    ``delta_topology``'s store. The fold is ADDITIVE (counter
+    semantics — the CMS discipline), so the crash-retry corner reads
+    the stored v{batch_id} as the whole truth rather than re-adding
+    the batch. Per batch: one combiner-reduced count aggregation,
+    a ≤|arms|-row merge, and the |arms|-row closing chi-square —
+    state and emit are both design-bounded no matter the traffic."""
+    from maston_spark.evaluation import srm_from_counts
+
+    sdir = f"{checkpoint.rstrip('/')}/srm_state" if state_dir == "auto" else state_dir
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    known = sorted({str(k) for k in expected}, key=str)
+    items = source.select(F.col(variant_col).cast("string").alias("variant"))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rogue = batch_df.filter(
+            F.col("variant").isNotNull() & ~F.col("variant").isin(known)
+        )
+        if rogue.limit(1).count() > 0:
+            bad = [r.variant for r in rogue.select("variant").distinct().collect()]
+            raise ValueError(f"observed arms not in the design: {bad}")
+        counts = (
+            batch_df.filter(F.col("variant").isNotNull())
+            .groupBy("variant")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        )
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            seed_v = prior[-1] if prior else (batch_id if batch_id in versions else None)
+            if seed_v is not None and seed_v == batch_id:
+                # additive-counter retry corner: the stored version
+                # already contains this batch — it IS the state
+                counts = spark.read.parquet(f"{sdir}/v{batch_id}").localCheckpoint(
+                    eager=True
+                )
+            elif seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                counts = (
+                    counts.unionByName(seed)
+                    .groupBy("variant")
+                    .agg(F.sum("n_obs").cast("long").alias("n_obs"))
+                )
+        counts = counts.persist()
+        try:
+            if sdir is not None:
+                counts.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+            exp_str = {str(k): v for k, v in expected.items()}
+            write_metrics(
+                srm_from_counts(counts, exp_str, chi2_critical), batch_id
+            )
+            if sdir is not None:
+                _drop_state_versions(spark, sdir, prior)
+        finally:
+            counts.unpersist()
+
+    return _start_foreach_batch(items, fn, checkpoint, trigger)

@@ -1749,3 +1749,72 @@ def test_hll_rolling_topology_golden_and_restart(spark, cleanup):
     finally:
         q3.stop()
     assert set(seen3[-1]) == {"2024-05-05", "2024-05-06"}
+
+
+def test_srm_monitor_topology_golden_and_retry(spark, cleanup):
+    """Streaming SRM monitor over 3 batches: per-arm counts fold
+    additively, the running chi2 equals the batch operator over the
+    same prefix at every batch (shared closing math), the alarm
+    fires once the planted imbalance accumulates, and re-running the
+    closing math from the durable state (the retry corner's source
+    of truth) reproduces the final emit."""
+    from maston_spark.evaluation import srm_check, srm_from_counts
+    from maston_spark.streaming.topology import srm_monitor_topology
+
+    per_batch = [
+        ["0"] * 30 + ["1"] * 30,   # balanced so far
+        ["0"] * 40 + ["1"] * 10,   # drifting
+        ["0"] * 50 + ["1"] * 5,    # clearly broken
+    ]
+    rows = [
+        Row(variant=v, __replay_batch=b)
+        for b, vs in enumerate(per_batch)
+        for v in vs
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    q = srm_monitor_topology(
+        stream,
+        variant_col="variant",
+        expected={"0": 0.5, "1": 0.5},
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append(
+            (bid, {r.variant: r for r in df.collect()})
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) >= 3
+    by_batch = dict(seen)
+    # running chi2 == the batch operator over the concatenated prefix
+    prefix: list[str] = []
+    for b in range(3):
+        prefix += per_batch[b]
+        expect = {
+            r.variant: r
+            for r in srm_check(
+                spark.createDataFrame([(v,) for v in prefix], "variant string"),
+                "variant",
+                {"0": 0.5, "1": 0.5},
+            ).collect()
+        }
+        got = by_batch[b]
+        for arm in ("0", "1"):
+            assert got[arm].n_obs == expect[arm].n_obs, (b, arm)
+            assert got[arm].chi2 == expect[arm].chi2, (b, arm)
+    assert not by_batch[0]["0"].srm_detected
+    assert by_batch[2]["0"].srm_detected  # 120 vs 45 -> chi2 ~ 34
+    # durable state replay: the stored final version IS the counts
+    state = spark.read.parquet(f"{chk}/srm_state/v2")
+    replay = {
+        r.variant: r
+        for r in srm_from_counts(state, {"0": 0.5, "1": 0.5}).collect()
+    }
+    for arm in ("0", "1"):
+        assert replay[arm].chi2 == by_batch[2][arm].chi2
