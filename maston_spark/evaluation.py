@@ -1212,3 +1212,131 @@ def kaplan_meier(
         "n_censored",
         surv.alias("survival"),
     ).orderBy("t")
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    split_col: str,
+    y_col: str,
+    z_95: float = 1.959963984540054,
+    z_999: float = 3.2905267314919255,
+) -> DataFrame:
+    """Pooled two-proportion z-test per group between the two sides
+    of a binary split — ``(group, n_0, k_0, n_1, k_1, p_0, p_1, z,
+    significant_95, significant_999)``: did this source's keep rate
+    / this event type's conversion REALLY move between periods, or
+    is the delta inside binomial noise? The per-group significance
+    battery next to q220's Wilson intervals (an interval per side)
+    and q240's SRM (one global ratio): this is the DIFFERENCE test,
+    ``z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₀ + 1/n₁))`` with the pooled p̂.
+    Normal quantiles are embedded literals (no in-engine CDF);
+    groups missing a side, or with a degenerate pooled rate
+    (p̂ ∈ {0, 1}), emit NULL z.
+
+    One combiner-reduced conditional aggregation — four integer sums
+    per group off one scan, a fixed IEEE closing tree with one
+    correctly-rounded sqrt, round 6."""
+    s = F.col(split_col).cast("int")
+    y = F.col(y_col).cast("int")
+    agg = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.sum(F.when(s == 0, 1).otherwise(0)).cast("long").alias("n_0"),
+            F.sum(F.when(s == 0, y).otherwise(0)).cast("long").alias("k_0"),
+            F.sum(F.when(s == 1, 1).otherwise(0)).cast("long").alias("n_1"),
+            F.sum(F.when(s == 1, y).otherwise(0)).cast("long").alias("k_1"),
+        )
+    )
+    n0 = F.col("n_0").cast("double")
+    n1 = F.col("n_1").cast("double")
+    p0 = F.col("k_0").cast("double") / n0
+    p1 = F.col("k_1").cast("double") / n1
+    pp = (F.col("k_0") + F.col("k_1")).cast("double") / (n0 + n1)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    z = F.when(
+        (F.col("n_0") > 0) & (F.col("n_1") > 0) & (pp > 0) & (pp < 1),
+        F.round((p1 - p0) / se, 6),
+    )
+    return agg.select(
+        "group",
+        "n_0",
+        "k_0",
+        "n_1",
+        "k_1",
+        F.when(F.col("n_0") > 0, F.round(p0, 6)).alias("p_0"),
+        F.when(F.col("n_1") > 0, F.round(p1, 6)).alias("p_1"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(float(z_95))).alias("significant_95"),
+        (F.abs(z) > F.lit(float(z_999))).alias("significant_999"),
+    ).orderBy("group")
+
+
+def rbo_at_k(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    group_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 20,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated Rank-Biased Overlap between two top-k rankings per
+    group (Webber, Moffat & Zobel 2010) — ``(group, overlap_at_k,
+    rbo_at_k)``: how much do two retrieval configs / scorer versions
+    actually AGREE, weighted toward the top where users look, which
+    plain set overlap and Spearman (defined only on a shared
+    support) both miss. Inputs are two (group, item, rank) frames
+    with ranks 1..k (ties pre-broken by the ranker).
+
+    Shape: one inner join on (group, item) restricted to both top-k
+    lists (≤ k rows per group survive); a doc seen at ranks
+    (rᴬ, rivy) is inside both prefixes from depth max(rᴬ, rᴮ) on, so
+    the agreement-at-depth curve A_d is a cumulative count over the
+    ≤k-row per-group table, and
+    ``RBO@k = (1−p)/(1−p^k)·Σ_d p^(d−1)·A_d/d`` folds with the
+    ``p^(d−1)`` weights embedded as python literals (normalized to
+    sum to 1 over the k evaluated depths — the truncated-RBO
+    convention; no in-engine pow). Every A_d/d term rounds to the
+    9-grid before the k-term sum."""
+    if k < 1 or not (0 < p < 1):
+        raise ValueError("need k >= 1 and 0 < p < 1")
+    wsum = sum(p ** (d - 1) for d in range(1, k + 1))
+    weights = [p ** (d - 1) / wsum for d in range(1, k + 1)]
+    a = ranks_a.select(
+        F.col(group_col).alias("group"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("int").alias("__ra"),
+    ).filter(F.col("__ra") <= k)
+    b = ranks_b.select(
+        F.col(group_col).alias("group"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("int").alias("__rb"),
+    ).filter(F.col("__rb") <= k)
+    both = a.join(b, ["group", "item"]).select(
+        "group", F.greatest("__ra", "__rb").alias("__m")
+    )
+    # A_d = |{items: max rank <= d}| — count per max-depth, then the
+    # per-depth contribution sums the weights of depths d >= m
+    tailw = [sum(weights[d - 1] / d for d in range(m, k + 1)) for m in range(1, k + 2)]
+    # contribution of an item entering at depth m: sum_{d>=m} w_d / d
+    contrib = F.element_at(
+        F.array(*[F.lit(t) for t in tailw[:-1]]), F.col("__m")
+    )
+    per = both.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_at_k"),
+        F.round(F.sum(F.round(contrib, 9)), 6).alias("rbo_at_k"),
+    )
+    # groups present in either ranking but with ZERO shared items
+    # must emit 0, not vanish
+    gs = a.select("group").union(b.select("group")).distinct()
+    return (
+        gs.join(per, "group", "left")
+        .select(
+            "group",
+            F.coalesce("overlap_at_k", F.lit(0)).cast("long").alias("overlap_at_k"),
+            F.coalesce("rbo_at_k", F.lit(0.0)).alias("rbo_at_k"),
+        )
+        .orderBy("group")
+    )

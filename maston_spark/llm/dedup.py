@@ -1252,3 +1252,69 @@ def incremental_neardup(
             ),
         )
     )
+
+
+def survivorship_merge(
+    df: DataFrame,
+    cluster_col: str,
+    fields: "list[str]",
+) -> DataFrame:
+    """Golden-record survivorship over duplicate clusters: for every
+    (cluster, field), elect the MODAL non-null value (most votes;
+    ties break by the value's sort order so the record is
+    deterministic) and report how contested it was — long-format
+    rows ``(cluster, field, value, n_votes, n_rows, agreement)``.
+    The master-data-management step AFTER dedup finds the clusters
+    (q55 / exact_dedup_groups): keeper selection keeps one ROW,
+    survivorship composes the best VALUE per field, which matters
+    exactly when the copies disagree (a mirrored crawl with a wrong
+    language tag, a re-upload missing the source).
+
+    Scale shape: fields melt via one ``stack`` projection (k·rows
+    inline, no join per field), then ONE combiner-reduced
+    (cluster, field, value) count and one rank window per
+    (cluster, field) — two shuffles total regardless of how many
+    fields are merged. Values compare as strings (the stack
+    requires one type); agreement = votes/rows-with-a-value is an
+    exact integer ratio."""
+    from pyspark.sql import Window
+
+    if not fields:
+        raise ValueError("need at least one field to merge")
+    k = len(fields)
+    stack_args = ", ".join(
+        f"'{f}', CAST(`{f}` AS STRING)" for f in fields
+    )
+    melted = df.select(
+        F.col(cluster_col).alias("cluster"),
+        F.expr(f"stack({k}, {stack_args}) AS (field, value)"),
+    ).filter(F.col("value").isNotNull())
+    votes = melted.groupBy("cluster", "field", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    w = Window.partitionBy("cluster", "field").orderBy(
+        F.desc("n_votes"), F.asc("value")
+    )
+    wt = Window.partitionBy("cluster", "field")
+    ranked = votes.select(
+        "cluster",
+        "field",
+        "value",
+        "n_votes",
+        F.sum("n_votes").over(wt).alias("n_rows"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .select(
+            "cluster",
+            "field",
+            "value",
+            "n_votes",
+            "n_rows",
+            F.round(
+                F.col("n_votes").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("agreement"),
+        )
+        .orderBy("cluster", "field")
+    )

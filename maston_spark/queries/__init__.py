@@ -290,6 +290,8 @@ _PRIORITY = [
     "q249_quantile_treatment",
     # streaming SRM monitor's oracle-graded fold twin
     "q250_srm_prefix",
+    # golden-record survivorship, two-proportion shift test, RBO
+    "q251_golden_record", "q252_proportion_shift", "q253_rbo_rankings",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

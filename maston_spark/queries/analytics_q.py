@@ -7,7 +7,7 @@ trusted).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from maston_spark.queries import query
 from maston_spark.session import load_table
@@ -3300,3 +3300,137 @@ def q250_srm_prefix(spark, sf_dir):
             .agg(F.sum("n_obs").cast("long").alias("n_obs"))
         )
     return srm_from_counts(counts, {"0": 0.5, "1": 0.5})
+
+
+@query(
+    "q252_proportion_shift",
+    oracle="""
+    WITH e AS (SELECT event_type AS grp,
+                      CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS s,
+                      CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+               FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    a AS (SELECT grp,
+                 CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+                 CAST(sum(CASE WHEN s = 0 THEN y ELSE 0 END) AS BIGINT) AS k_0,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+                 CAST(sum(CASE WHEN s = 1 THEN y ELSE 0 END) AS BIGINT) AS k_1
+          FROM e GROUP BY grp),
+    f AS (SELECT *,
+                 CAST(k_0 AS DOUBLE) / n_0 AS p0,
+                 CAST(k_1 AS DOUBLE) / n_1 AS p1,
+                 CAST(k_0 + k_1 AS DOUBLE) / CAST(n_0 + n_1 AS DOUBLE) AS pp
+          FROM a),
+    zt AS (SELECT *,
+                  CASE WHEN n_0 > 0 AND n_1 > 0 AND pp > 0 AND pp < 1
+                       THEN round((p1 - p0) / sqrt(pp * (1.0 - pp)
+                                  * (1.0 / n_0 + 1.0 / n_1)), 6) END AS z
+           FROM f)
+    SELECT grp AS "group", n_0, k_0, n_1, k_1,
+           CASE WHEN n_0 > 0 THEN round(p0, 6) END AS p_0,
+           CASE WHEN n_1 > 0 THEN round(p1, 6) END AS p_1,
+           z,
+           abs(z) > 1.959963984540054 AS significant_95,
+           abs(z) > 3.2905267314919255 AS significant_999
+    FROM zt ORDER BY "group"
+    """,
+)
+def q252_proportion_shift(spark, sf_dir):
+    """Per-event-type pooled two-proportion z-test of the
+    high-value rate (value > 50) across the mid-month split — the
+    DIFFERENCE test beside q220's per-side Wilson intervals, normal
+    quantiles embedded as literals. See
+    :func:`maston_spark.evaluation.two_proportion_ztest`."""
+    from maston_spark.evaluation import two_proportion_ztest
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    flagged = ev.select(
+        F.col("event_type"),
+        (F.col("ts") >= "2024-01-15").cast("int").alias("period"),
+        (F.col("value") > 50).cast("int").alias("hi"),
+    )
+    return two_proportion_ztest(flagged, "event_type", "period", "hi")
+
+
+@query(
+    "q253_rbo_rankings",
+    oracle="""
+    WITH d AS (SELECT lang AS "group", doc_id,
+                      ('0x' || substr(md5('c:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000 AS lc,
+                      ('0x' || substr(md5('a:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000 AS la,
+                      ('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000 AS lb
+               FROM documents WHERE lang IS NOT NULL),
+    ra AS (SELECT "group", doc_id,
+                  row_number() OVER (PARTITION BY "group"
+                                     ORDER BY 2 * lc + la DESC, doc_id) AS r
+           FROM d),
+    rb AS (SELECT "group", doc_id,
+                  row_number() OVER (PARTITION BY "group"
+                                     ORDER BY 2 * lc + lb DESC, doc_id) AS r
+           FROM d),
+    shared AS (SELECT ra."group", greatest(ra.r, rb.r) AS m
+               FROM ra JOIN rb ON ra."group" = rb."group" AND ra.doc_id = rb.doc_id
+               WHERE ra.r <= 20 AND rb.r <= 20),
+    tw(m, c) AS (VALUES
+      (1, 0.286289412790298), (2, 0.17244908679874527), (3, 0.12122094010254651),
+      (4, 0.09048405208482725), (5, 0.06973665267286674), (6, 0.05479852509625519),
+      (7, 0.04359492941379652), (8, 0.03495215560161411), (9, 0.028145971224520464),
+      (10, 0.022701023722845555), (11, 0.01829061624648887), (12, 0.014682101038560675),
+      (13, 0.011705075992019916), (14, 0.009231855184124517), (15, 0.007164949223240502),
+      (16, 0.005428748216097931), (17, 0.003963828616321386), (18, 0.0027229555435694898),
+      (19, 0.001668213431730377), (20, 0.0007689069995307129)),
+    per AS (SELECT "group", CAST(count(*) AS BIGINT) AS overlap_at_k,
+                   round(sum(round(c, 9)), 6) AS rbo_at_k
+            FROM shared JOIN tw ON shared.m = tw.m GROUP BY "group"),
+    gs AS (SELECT DISTINCT "group" FROM d)
+    SELECT gs."group", COALESCE(overlap_at_k, 0) AS overlap_at_k,
+           COALESCE(rbo_at_k, 0.0) AS rbo_at_k
+    FROM gs LEFT JOIN per ON gs."group" = per."group"
+    ORDER BY gs."group"
+    """,
+)
+def q253_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap @20 per language between two correlated
+    deterministic scorers (a shared md5 component plus per-scorer
+    noise — the 'new model vs old model' ranking-agreement audit),
+    top-weighted by the standard p=0.9 geometric discounts embedded
+    as literals in BOTH engines. See
+    :func:`maston_spark.evaluation.rbo_at_k`."""
+    from maston_spark.evaluation import rbo_at_k
+
+    def lane(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    ).select(
+        F.col("lang"),
+        F.col("doc_id"),
+        lane("c:").alias("__lc"),
+        lane("a:").alias("__la"),
+        lane("b:").alias("__lb"),
+    )
+    wa = Window.partitionBy("lang").orderBy(
+        F.desc(F.lit(2) * F.col("__lc") + F.col("__la")), F.asc("doc_id")
+    )
+    wb = Window.partitionBy("lang").orderBy(
+        F.desc(F.lit(2) * F.col("__lc") + F.col("__lb")), F.asc("doc_id")
+    )
+    ra = d.select("lang", "doc_id", F.row_number().over(wa).alias("r"))
+    rb = d.select("lang", "doc_id", F.row_number().over(wb).alias("r"))
+    return rbo_at_k(ra, rb, "lang", "doc_id", "r", k=20, p=0.9)

@@ -5359,3 +5359,58 @@ def q227_ipf_raking(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("source", "lang")
     return ipf_rake(d, "source", "lang", iterations=2)
+
+
+@query(
+    "q251_golden_record",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text,
+             CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+             source
+      FROM documents WHERE doc_id % 7 = 0),
+    cl AS (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS cluster,
+                  lang, source
+           FROM corpus),
+    melted AS (
+      SELECT cluster, 'lang' AS field, CAST(lang AS VARCHAR) AS value FROM cl
+      UNION ALL
+      SELECT cluster, 'source' AS field, CAST(source AS VARCHAR) AS value FROM cl),
+    votes AS (SELECT cluster, field, value, CAST(count(*) AS BIGINT) AS n_votes
+              FROM melted WHERE value IS NOT NULL GROUP BY cluster, field, value),
+    ranked AS (SELECT cluster, field, value, n_votes,
+                      CAST(sum(n_votes) OVER (PARTITION BY cluster, field) AS BIGINT)
+                        AS n_rows,
+                      row_number() OVER (PARTITION BY cluster, field
+                                         ORDER BY n_votes DESC, value) AS rn
+               FROM votes)
+    SELECT cluster, field, value, n_votes, n_rows,
+           round(CAST(n_votes AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS agreement
+    FROM ranked WHERE rn = 1 ORDER BY cluster, field
+    """,
+)
+def q251_golden_record(spark, sf_dir):
+    """Survivorship merge over exact-dup clusters on a corpus with
+    planted re-uploads whose language tag was corrupted (every third
+    replica says 'xx') — per (cluster, field) the modal value wins
+    with its agreement ratio, so the golden record heals the bad
+    copies instead of inheriting whichever row the keeper pick kept.
+    See :func:`maston_spark.llm.dedup.survivorship_merge`."""
+    from maston_spark.llm.dedup import content_hash, survivorship_merge
+
+    d = load_table(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+    )
+    corpus = d.select("doc_id", "text", "lang", "source").unionByName(dup)
+    clustered = corpus.select(
+        content_hash(F.col("text")).alias("cluster"), "lang", "source"
+    )
+    return survivorship_merge(clustered, "cluster", ["lang", "source"])

@@ -498,3 +498,52 @@ def test_mutual_information_independence_and_identity(spark):
     )
     [rc] = mutual_information(const, "a", "b").collect()
     assert rc.h_a == 0.0 and rc.nmi is None
+
+
+def test_two_proportion_ztest_known_case(spark):
+    """Hand case: 40/100 vs 60/100 -> z = 0.2/sqrt(0.25)... computed
+    in plain python; missing side and degenerate pooled rate emit
+    NULL z and NULL flags stay non-crashing."""
+    from maston_spark.evaluation import two_proportion_ztest
+
+    rows = (
+        [("g", 0, 1)] * 40 + [("g", 0, 0)] * 60
+        + [("g", 1, 1)] * 60 + [("g", 1, 0)] * 40
+        + [("one_side", 0, 1)] * 10
+        + [("all_pos", 0, 1)] * 5 + [("all_pos", 1, 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, s int, y int")
+    out = {r.group: r for r in two_proportion_ztest(df, "g", "s", "y").collect()}
+    g = out["g"]
+    pp = 0.5
+    z = (0.6 - 0.4) / (pp * (1 - pp) * (1 / 100 + 1 / 100)) ** 0.5
+    assert g.z == round(z, 6) and g.significant_95
+    assert not g.significant_999  # z ~ 2.83 < 3.29
+    assert out["one_side"].z is None and out["one_side"].p_1 is None
+    assert out["all_pos"].z is None  # pooled p = 1: zero variance
+
+
+def test_rbo_at_k_identity_disjoint_and_known(spark):
+    """Identical rankings -> RBO exactly 1; disjoint top-k -> 0 (and
+    the group still emits); a single swap at the bottom scores higher
+    than a swap at the top (top-weighting)."""
+    from maston_spark.evaluation import rbo_at_k
+
+    def ranks(items):
+        return spark.createDataFrame(
+            [("g", it, i + 1) for i, it in enumerate(items)],
+            "g string, item string, r int",
+        )
+
+    base = [f"d{i}" for i in range(5)]
+    [ri] = rbo_at_k(ranks(base), ranks(base), "g", "item", "r", k=5, p=0.9).collect()
+    assert ri.rbo_at_k == 1.0 and ri.overlap_at_k == 5
+    other = [f"x{i}" for i in range(5)]
+    [rd] = rbo_at_k(ranks(base), ranks(other), "g", "item", "r", k=5, p=0.9).collect()
+    assert rd.rbo_at_k == 0.0 and rd.overlap_at_k == 0
+    top_swap = ["d1", "d0"] + base[2:]
+    bot_swap = base[:3] + ["d4", "d3"]
+    [rt] = rbo_at_k(ranks(base), ranks(top_swap), "g", "item", "r", k=5, p=0.9).collect()
+    [rb] = rbo_at_k(ranks(base), ranks(bot_swap), "g", "item", "r", k=5, p=0.9).collect()
+    assert rb.rbo_at_k > rt.rbo_at_k
+    assert rt.overlap_at_k == rb.overlap_at_k == 5

@@ -2247,3 +2247,23 @@ def test_chao1_known_frequency_profile(spark):
     assert (r.n_tokens, r.v_observed, r.n_singletons, r.n_doubletons) == (9, 5, 2, 2)
     assert r.chao1 == round(5 + 2 * 1 / (2 * 3), 4)
     assert r.gt_unseen_mass == round(2 / 9, 6)
+
+
+def test_survivorship_merge_modal_values_and_ties(spark):
+    """Golden record per cluster: the modal non-null value wins each
+    field; ties break by value sort order; NULLs don't vote; the
+    agreement ratio counts only voting rows."""
+    from maston_spark.llm.dedup import survivorship_merge
+
+    rows = [
+        ("c1", "en", "web"), ("c1", "en", "web"), ("c1", "xx", "web"),
+        ("c1", None, "arxiv"),
+        ("c2", "fr", None), ("c2", "de", None),  # tie -> 'de' (value order)
+    ]
+    df = spark.createDataFrame(rows, "cluster string, lang string, src string")
+    out = {(r.cluster, r.field): r for r in survivorship_merge(df, "cluster", ["lang", "src"]).collect()}
+    assert out[("c1", "lang")].value == "en"
+    assert out[("c1", "lang")].n_votes == 2 and out[("c1", "lang")].n_rows == 3
+    assert out[("c1", "src")].value == "web" and out[("c1", "src")].n_votes == 3
+    assert out[("c2", "lang")].value == "de"  # tie broken by value asc
+    assert ("c2", "src") not in out  # all-NULL field: nothing to elect
