@@ -58,7 +58,12 @@ _PRIORITY = [
     # construction — the other half of the CDC family, effective-range
     # intervals built from the change stream)
     "q206_scd2_history", "q15_agg_percentile",
-    "q19_grouping_sets", "q20_window_rank",
+    # (round-12 third wave: q20's rank-window physics is exercised
+    # inside FOUR graded members — q212's midranks, q206's SCD2 lead
+    # windows, q139's gap-fill frames, q229-family global ranks; its
+    # slot grades Kaplan-Meier right-censored survival — product-limit
+    # hazard physics nothing else in the window has)
+    "q19_grouping_sets", "q246_kaplan_meier",
     # (q23 top-k-per-group is a row_number window — the same physical
     # family as graded q20; its slot grades the time-series gap-fill
     # family instead)
@@ -176,8 +181,13 @@ _PRIORITY = [
     # quantile-sketch family graded): md5-thresholded Monte-Carlo
     # resampling graded cross-engine — inference as a GRADED
     # computation, a physics nothing else in the window has)
+    # (round-12 third wave: q176's AMS F2 sketch is composed VERBATIM
+    # inside graded q217, whose join-size forecast builds and folds
+    # the same sign-hash moment sketches; its slot grades the
+    # leave-one-bucket-out jackknife — the correlated-RATIO variance
+    # physics next to q234's mean bootstrap)
     "q230_hll_cube", "q217_join_size_estimate", "q235_transition_lift",
-    "q234_bootstrap_ci", "q176_ams_f2",
+    "q234_bootstrap_ci", "q241_jackknife_ratio",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
     # data-quality constraint family instead)
@@ -281,12 +291,15 @@ _PRIORITY = [
     # bucket-jackknife ratio CI, NDCG@10/MRR, Krippendorff's alpha,
     # Bloom-pruned join (graded identical to the plain join),
     # empirical-Bayes shrunk keep rates
-    "q240_srm_check", "q241_jackknife_ratio", "q242_ndcg_mrr",
+    # round-12 third-wave demotions (flagships named in the
+    # promotion comments above)
+    "q20_window_rank", "q176_ams_f2",
+    "q240_srm_check", "q242_ndcg_mrr",
     "q243_krippendorff_alpha", "q244_bloom_pruned_join",
     "q245_eb_keep_rates",
-    # Kaplan-Meier right-censored survival, PSI drift (third lens),
-    # lang×source mutual information, quantile treatment effects
-    "q246_kaplan_meier", "q247_psi_drift", "q248_mutual_information",
+    # PSI drift (third lens), lang×source mutual information,
+    # quantile treatment effects
+    "q247_psi_drift", "q248_mutual_information",
     "q249_quantile_treatment",
     # streaming SRM monitor's oracle-graded fold twin
     "q250_srm_prefix",

@@ -117,7 +117,7 @@ def test_graded_window_covers_unique_capabilities():
         # deterministic-recall frequent items (Misra-Gries), the AMS
         # F2 moment sketch, LSH-pair source attribution, the XOR-fold
         # table fingerprint, and token-weighted water-fill allocation
-        "q173_mg_heavy_hitters", "q176_ams_f2",
+        "q173_mg_heavy_hitters",
         "q185_table_fingerprint",
         "q189_token_water_fill",
         # round-11 promotions: round-10's ungraded novel physics —
@@ -149,6 +149,9 @@ def test_graded_window_covers_unique_capabilities():
         # bootstrap, directed transition lift, Chao1 richness
         "q226_trimmed_mean", "q230_hll_cube", "q234_bootstrap_ci",
         "q235_transition_lift", "q237_chao1_vocab",
+        # round-12 third wave: jackknife ratio CI (correlated-ratio
+        # variance) and Kaplan-Meier survival (product-limit hazard)
+        "q241_jackknife_ratio", "q246_kaplan_meier",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -255,6 +258,11 @@ def test_graded_window_covers_unique_capabilities():
         "q171_source_dup_matrix": "q172_dup_transitivity",
         "q174_pareto_frontier": "q204_greedy_coverage",
         "q157_hybrid_rrf": "q123_bm25_rank",
+        # round-12 third-wave demotions: rank-window physics exercised
+        # inside four graded members; the AMS F2 sketch composed
+        # verbatim inside the graded join-size forecast
+        "q20_window_rank": "q212_group_auc",
+        "q176_ams_f2": "q217_join_size_estimate",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
