@@ -178,7 +178,7 @@ def test_graded_window_covers_unique_capabilities():
         "q175_cusum_changepoint": "q178_ks_drift",
         "q99_chunk_overlap": "q189_token_water_fill",
         "q57_ivf_ann": "q158_ivfpq_residual",
-        "q22_window_frames": "q20_window_rank",
+        "q22_window_frames": "q212_group_auc",
         "q67_exists_subquery": "q07_join_semi",
         "q71_in_subquery": "q07_join_semi",
         "q101_lexical_diversity": "q148_gopher_gate",
@@ -198,7 +198,7 @@ def test_graded_window_covers_unique_capabilities():
         "q151_pq_adc": "q158_ivfpq_residual",
         "q156_query_likelihood": "q123_bm25_rank",
         "q47_fingerprint": "q152_dedup_report",
-        "q23_topk_per_group": "q20_window_rank",
+        "q23_topk_per_group": "q212_group_auc",
         "q51_quality_score": "q148_gopher_gate",
         # round-10 demotions: scalar string/json fns are exercised by
         # the regexp/substring-heavy graded gopher battery + keep-
