@@ -1886,3 +1886,62 @@ def chao1_vocab_richness(
             "gt_unseen_mass"
         ),
     ).orderBy(group_col)
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Flesch reading-ease per group from corpus-level totals — one
+    row ``(group, n_docs, n_sentences, n_words, n_syllables,
+    words_per_sentence, syllables_per_word, flesch)`` with
+    ``flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W)`` (Flesch 1948 /
+    Kincaid 1975 coefficients as literals). The classic quality
+    prior a curation mix reads beside the Gopher gate: very low
+    scores flag legalese/boilerplate, impossibly high ones flag
+    word-salad.
+
+    Determinism: sentences = runs of ``[.!?]+`` clamped to ≥1 per
+    doc (prose without terminal punctuation is one sentence, not
+    zero); words = whitespace tokens; syllables ≈ vowel-group runs
+    (the standard dictionary-free heuristic — counts [aeiouy]+
+    runs, so 'beautiful' → 4 groups ≈ syllables) — all exact
+    integer counts off ONE regexp projection per doc,
+    combiner-reduced per group, with the closing Flesch expression
+    a fixed IEEE tree (round 6). No per-word explode: the
+    vowel-group count over the whole text equals the sum over words
+    because whitespace never matches the vowel class."""
+    t = F.col(text_col)
+    sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    words = F.size(F.split(F.trim(t), r"\s+"))
+    syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    per_doc = df.filter(t.isNotNull() & (F.length(F.trim(t)) > 0)).select(
+        F.col(group_col).alias("group"),
+        sent.cast("long").alias("__s"),
+        words.cast("long").alias("__w"),
+        syll.cast("long").alias("__y"),
+    )
+    agg = per_doc.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__s").cast("long").alias("n_sentences"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__y").cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            ),
+        ).alias("flesch"),
+    ).orderBy("group")

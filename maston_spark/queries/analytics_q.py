@@ -3434,3 +3434,117 @@ def q253_rbo_rankings(spark, sf_dir):
     ra = d.select("lang", "doc_id", F.row_number().over(wa).alias("r"))
     rb = d.select("lang", "doc_id", F.row_number().over(wb).alias("r"))
     return rbo_at_k(ra, rb, "lang", "doc_id", "r", k=20, p=0.9)
+
+
+@query(
+    "q254_conformal_interval",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS y,
+                      ('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 2 AS sp
+               FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    pm AS (SELECT event_type,
+                  round(CAST(round(sum(CAST(y AS DECIMAL(18,9))), 9) AS DOUBLE)
+                        / count(*), 6) AS pred
+           FROM e WHERE sp = 0 GROUP BY event_type),
+    calres AS (SELECT round(abs(y - pred), 9) AS r
+               FROM e JOIN pm USING (event_type) WHERE sp = 0),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calres),
+    rk AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM calres),
+    qi AS (SELECT n_cal, CAST(ceil((n_cal + 1) * 0.9) AS BIGINT) AS q_index FROM n),
+    qh AS (SELECT n_cal, q_index,
+                  (SELECT r FROM rk WHERE rn = q_index) AS qhat
+           FROM qi),
+    ev AS (SELECT round(abs(y - pred), 9) AS r
+           FROM e JOIN pm USING (event_type) WHERE sp = 1),
+    cov AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+                   CASE WHEN max(qhat) IS NOT NULL THEN
+                     round(CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*), 6) END AS empirical_coverage
+            FROM ev, qh)
+    SELECT n_cal, q_index, qhat,
+           round(CAST(q_index AS DOUBLE) / (n_cal + 1), 6) AS guarantee,
+           n_eval, empirical_coverage
+    FROM qh, cov
+    """,
+)
+def q254_conformal_interval(spark, sf_dir):
+    """Split-conformal 90% prediction bound for event values around a
+    per-type calibration-split mean predictor — the finite-sample,
+    distribution-free ⌈(n+1)(1−α)⌉ order statistic (NOT an
+    interpolated percentile), plus the exact empirical coverage on
+    the held-out split. See
+    :func:`maston_spark.evaluation.split_conformal_interval`."""
+    from maston_spark.evaluation import split_conformal_interval
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    sp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cal:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    base = ev.select(
+        "event_type", F.col("value").cast("double").alias("y"), sp.alias("__sp")
+    )
+    dec = "decimal(18,9)"
+    pred = (
+        base.filter(F.col("__sp") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("y").cast(dec)), 9).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pred")
+        )
+    )
+    withp = base.join(F.broadcast(pred), "event_type")
+    cal = withp.filter(F.col("__sp") == 0)
+    ev_split = withp.filter(F.col("__sp") == 1)
+    return split_conformal_interval(cal, ev_split, "y", "pred", alpha=0.1)
+
+
+@query(
+    "q255_readability",
+    oracle="""
+    WITH d AS (SELECT source AS "group",
+                      greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+                      len(string_split_regex(trim(text), '\\s+')) AS w,
+                      len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+               FROM documents
+               WHERE text IS NOT NULL AND length(trim(text)) > 0
+                 AND source IS NOT NULL),
+    a AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(s) AS BIGINT) AS n_sentences,
+                 CAST(sum(w) AS BIGINT) AS n_words,
+                 CAST(sum(y) AS BIGINT) AS n_syllables
+          FROM d GROUP BY "group")
+    SELECT "group", n_docs, n_sentences, n_words, n_syllables,
+           round(CAST(n_words AS DOUBLE) / n_sentences, 6) AS words_per_sentence,
+           round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS syllables_per_word,
+           CASE WHEN n_words > 0 THEN
+             round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) END AS flesch
+    FROM a ORDER BY "group"
+    """,
+)
+def q255_readability(spark, sf_dir):
+    """Flesch reading-ease per source from exact corpus totals —
+    sentence/word/vowel-group counts off one regexp projection, the
+    dictionary-free readability prior beside the Gopher gate. See
+    :func:`maston_spark.llm.text.readability_scores`."""
+    from maston_spark.llm.text import readability_scores
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    return readability_scores(d, "text", "source")

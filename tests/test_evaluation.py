@@ -547,3 +547,25 @@ def test_rbo_at_k_identity_disjoint_and_known(spark):
     [rb] = rbo_at_k(ranks(base), ranks(bot_swap), "g", "item", "r", k=5, p=0.9).collect()
     assert rb.rbo_at_k > rt.rbo_at_k
     assert rt.overlap_at_k == rb.overlap_at_k == 5
+
+
+def test_split_conformal_textbook_index_and_coverage(spark):
+    """n_cal=9, alpha=0.1 -> q_index = ceil(10*0.9) = 9 (the 9th of
+    9 residuals), guarantee 0.9; coverage counts eval residuals
+    <= qhat exactly; a too-small calibration set (q_index > n)
+    certifies nothing (NULL qhat and coverage)."""
+    from maston_spark.evaluation import split_conformal_interval
+
+    cal = spark.createDataFrame(
+        [(float(i), 0.0) for i in range(1, 10)], "y double, p double"
+    )  # residuals 1..9
+    ev = spark.createDataFrame(
+        [(5.0, 0.0), (9.0, 0.0), (20.0, 0.0), (9.5, 0.0)], "y double, p double"
+    )
+    [r] = split_conformal_interval(cal, ev, "y", "p", alpha=0.1).collect()
+    assert (r.n_cal, r.q_index, r.qhat, r.guarantee) == (9, 9, 9.0, 0.9)
+    # covered: 5 <= 9 and 9 <= 9; out: 9.5, 20 -> exactly 2/4
+    assert r.n_eval == 4 and r.empirical_coverage == 0.5
+    tiny = spark.createDataFrame([(1.0, 0.0)], "y double, p double")
+    [rt] = split_conformal_interval(tiny, ev, "y", "p", alpha=0.1).collect()
+    assert rt.qhat is None and rt.empirical_coverage is None

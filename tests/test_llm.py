@@ -2267,3 +2267,23 @@ def test_survivorship_merge_modal_values_and_ties(spark):
     assert out[("c1", "src")].value == "web" and out[("c1", "src")].n_votes == 3
     assert out[("c2", "lang")].value == "de"  # tie broken by value asc
     assert ("c2", "src") not in out  # all-NULL field: nothing to elect
+
+
+def test_readability_scores_hand_counts(spark):
+    """Hand-counted sentences / words / vowel groups and the Flesch
+    closing expression; punctuation-free prose counts as ONE
+    sentence, never zero."""
+    from maston_spark.llm.text import readability_scores
+
+    rows = [
+        ("s1", "The cat sat. The dog ran!"),   # 2 sentences, 6 words
+        ("s1", "no punctuation here"),          # 1 sentence, 3 words
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    [r] = readability_scores(df, "text", "source").collect()
+    assert (r.n_docs, r.n_sentences, r.n_words) == (2, 3, 9)
+    # vowel groups: the|cat|sat -> e,a,a; the|dog|ran -> e,o,a (6);
+    # no|punctuation|here -> o, u-ua-io (u,ua,io = 3), e,e (2) -> 6
+    assert r.n_syllables == 12
+    wps, spw = 9 / 3, 12 / 9
+    assert r.flesch == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
