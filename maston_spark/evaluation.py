@@ -1268,8 +1268,14 @@ def two_proportion_ztest(
         F.when(F.col("n_0") > 0, F.round(p0, 6)).alias("p_0"),
         F.when(F.col("n_1") > 0, F.round(p1, 6)).alias("p_1"),
         z.alias("z"),
-        (F.abs(z) > F.lit(float(z_95))).alias("significant_95"),
-        (F.abs(z) > F.lit(float(z_999))).alias("significant_999"),
+        # an undefined test is "not shown significant", not NULL —
+        # boolean NULLs also hash differently across engines
+        F.coalesce(F.abs(z) > F.lit(float(z_95)), F.lit(False)).alias(
+            "significant_95"
+        ),
+        F.coalesce(F.abs(z) > F.lit(float(z_999)), F.lit(False)).alias(
+            "significant_999"
+        ),
     ).orderBy("group")
 
 
@@ -1425,4 +1431,108 @@ def split_conformal_interval(
         ).alias("guarantee"),
         "n_eval",
         "empirical_coverage",
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    chi2_95: float = 3.841458820694124,
+    chi2_999: float = 10.827566170662733,
+) -> DataFrame:
+    """Log-rank test (Mantel 1966) between TWO survival curves with
+    right censoring — one row ``(n_0, n_1, o_1, e_1, v,
+    chi2, significant_95, significant_999)``: did cohort 1's
+    time-to-churn really differ from cohort 0's, accounting for
+    censoring, which a t-test on observed lifetimes gets wrong in
+    exactly the censored tail. ``group_col`` is 0/1.
+
+    At each distinct event time t: observed events in group 1
+    (``o``), expected under the null ``e = d_t·n1_t/n_t``, and the
+    hypergeometric variance
+    ``v_t = d_t·(n1_t/n_t)·(1−n1_t/n_t)·(n_t−d_t)/(n_t−1)``;
+    ``chi2 = (O₁−E₁)²/V`` compares against embedded chi-square(1)
+    critical values. Counts and at-risk sets are exact integers off
+    one (group, t) aggregation + cumulative windows over the bounded
+    distinct-time table (the :func:`kaplan_meier` precondition);
+    each e/v term rounds to the 9-grid before the time-bounded
+    decimal sum; times where n_t = 1 contribute zero variance
+    legitimately (the factor (n_t−d_t)/(n_t−1) is guarded). Zero
+    total variance (no comparable event times) emits NULL chi2."""
+    d = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("int").alias("__g"),
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per = d.groupBy("__t").agg(
+        F.sum(F.when(F.col("__g") == 1, 1).otherwise(0)).cast("long").alias("__a1"),
+        F.sum(F.when(F.col("__g") == 0, 1).otherwise(0)).cast("long").alias("__a0"),
+        F.sum(F.when(F.col("__g") == 1, F.col("__e")).otherwise(0))
+        .cast("long")
+        .alias("__d1"),
+        F.sum(F.when(F.col("__g") == 0, F.col("__e")).otherwise(0))
+        .cast("long")
+        .alias("__d0"),
+    )
+    w_prior = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per.agg(
+        F.sum("__a1").cast("long").alias("__N1"),
+        F.sum("__a0").cast("long").alias("__N0"),
+    )
+    j = per.join(F.broadcast(tot))
+    n1 = F.col("__N1") - F.coalesce(F.sum("__a1").over(w_prior), F.lit(0))
+    n0 = F.col("__N0") - F.coalesce(F.sum("__a0").over(w_prior), F.lit(0))
+    staged = j.select(
+        "__t",
+        "__d1",
+        "__d0",
+        "__N1",
+        "__N0",
+        n1.alias("__r1"),
+        n0.alias("__r0"),
+    )
+    nt = (F.col("__r1") + F.col("__r0")).cast("double")
+    dt = (F.col("__d1") + F.col("__d0")).cast("double")
+    p1 = F.col("__r1").cast("double") / nt
+    e_term = F.round(dt * p1, 9)
+    v_term = F.round(
+        F.when(
+            F.col("__r1") + F.col("__r0") > 1,
+            dt
+            * p1
+            * (F.lit(1.0) - p1)
+            * (nt - dt)
+            / (nt - F.lit(1.0)),
+        ).otherwise(F.lit(0.0)),
+        9,
+    )
+    dec = "decimal(28,9)"
+    agg = staged.filter(F.col("__d1") + F.col("__d0") > 0).agg(
+        F.max("__N1").alias("n_1"),
+        F.max("__N0").alias("n_0"),
+        F.sum("__d1").cast("long").alias("o_1"),
+        F.round(F.sum(e_term.cast(dec)).cast("double"), 6).alias("e_1"),
+        F.round(F.sum(v_term.cast(dec)).cast("double"), 6).alias("v"),
+    )
+    diff = F.col("o_1").cast("double") - F.col("e_1")
+    chi2 = F.when(F.col("v") > 0, F.round(diff * diff / F.col("v"), 6))
+    return agg.select(
+        "n_0",
+        "n_1",
+        "o_1",
+        "e_1",
+        "v",
+        chi2.alias("chi2"),
+        F.coalesce(chi2 > F.lit(float(chi2_95)), F.lit(False)).alias(
+            "significant_95"
+        ),
+        F.coalesce(chi2 > F.lit(float(chi2_999)), F.lit(False)).alias(
+            "significant_999"
+        ),
     )

@@ -307,6 +307,8 @@ _PRIORITY = [
     "q251_golden_record", "q252_proportion_shift", "q253_rbo_rankings",
     # split-conformal bound (finite-sample order statistic), Flesch
     "q254_conformal_interval", "q255_readability",
+    # log-rank two-sample survival comparison (q246's inference half)
+    "q256_logrank_test",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

@@ -3329,8 +3329,8 @@ def q250_srm_prefix(spark, sf_dir):
            CASE WHEN n_0 > 0 THEN round(p0, 6) END AS p_0,
            CASE WHEN n_1 > 0 THEN round(p1, 6) END AS p_1,
            z,
-           abs(z) > 1.959963984540054 AS significant_95,
-           abs(z) > 3.2905267314919255 AS significant_999
+           COALESCE(abs(z) > 1.959963984540054, FALSE) AS significant_95,
+           COALESCE(abs(z) > 3.2905267314919255, FALSE) AS significant_999
     FROM zt ORDER BY "group"
     """,
 )
@@ -3548,3 +3548,93 @@ def q255_readability(spark, sf_dir):
         F.col("source").isNotNull()
     )
     return readability_scores(d, "text", "source")
+
+
+@query(
+    "q256_logrank_test",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 2 AS INT) AS g,
+                      CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1,
+                      max(ts) AS last_ts
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY user_id),
+    cut AS (SELECT max(last_ts) - INTERVAL 7 DAY AS co FROM u),
+    subj AS (SELECT g, date_diff('day', d0, d1) AS t,
+                    CASE WHEN last_ts <= co THEN 1 ELSE 0 END AS e
+             FROM u, cut),
+    per AS (SELECT t,
+                   CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                   CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+                   CAST(sum(CASE WHEN g = 1 THEN e ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(sum(CASE WHEN g = 0 THEN e ELSE 0 END) AS BIGINT) AS d0
+            FROM subj GROUP BY t),
+    tot AS (SELECT CAST(sum(a1) AS BIGINT) AS N1, CAST(sum(a0) AS BIGINT) AS N0 FROM per),
+    r AS (SELECT t, d1, d0, N1, N0,
+                 CAST(N1 - COALESCE(sum(a1) OVER
+                      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n1,
+                 CAST(N0 - COALESCE(sum(a0) OVER
+                      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n0
+          FROM per, tot),
+    terms AS (SELECT N1, N0, d1, d0,
+                     round(CAST(d1 + d0 AS DOUBLE) * (CAST(n1 AS DOUBLE) / (n1 + n0)), 9) AS et,
+                     round(CASE WHEN n1 + n0 > 1 THEN
+                       CAST(d1 + d0 AS DOUBLE) * (CAST(n1 AS DOUBLE) / (n1 + n0))
+                       * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n0))
+                       * (CAST(n1 + n0 AS DOUBLE) - (d1 + d0)) / (CAST(n1 + n0 AS DOUBLE) - 1.0)
+                     ELSE 0.0 END, 9) AS vt
+              FROM r WHERE d1 + d0 > 0),
+    a AS (SELECT max(N1) AS n_1, max(N0) AS n_0,
+                 CAST(sum(d1) AS BIGINT) AS o_1,
+                 round(CAST(sum(CAST(et AS DECIMAL(28,9))) AS DOUBLE), 6) AS e_1,
+                 round(CAST(sum(CAST(vt AS DECIMAL(28,9))) AS DOUBLE), 6) AS v
+          FROM terms)
+    SELECT n_0, n_1, o_1, e_1, v,
+           CASE WHEN v > 0 THEN
+             round((CAST(o_1 AS DOUBLE) - e_1) * (CAST(o_1 AS DOUBLE) - e_1) / v, 6)
+           END AS chi2,
+           COALESCE((CAST(o_1 AS DOUBLE) - e_1) * (CAST(o_1 AS DOUBLE) - e_1) / v
+                    > 3.841458820694124 AND v > 0, FALSE) AS significant_95,
+           COALESCE((CAST(o_1 AS DOUBLE) - e_1) * (CAST(o_1 AS DOUBLE) - e_1) / v
+                    > 10.827566170662733 AND v > 0, FALSE) AS significant_999
+    FROM a
+    """,
+)
+def q256_logrank_test(spark, sf_dir):
+    """Log-rank comparison of user-lifetime survival between the two
+    md5 experiment cohorts (the q246 construction split by the
+    q221/q240 assignment) — censoring-correct two-sample inference
+    the t-test on observed lifetimes cannot give. See
+    :func:`maston_spark.evaluation.logrank_test`."""
+    from maston_spark.evaluation import logrank_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__d0"),
+        F.max(F.to_date("ts")).alias("__d1"),
+        F.max("ts").alias("__last"),
+    )
+    g = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    cut = u.agg((F.max("__last") - F.expr("INTERVAL 7 DAYS")).alias("__co"))
+    subj = u.join(F.broadcast(cut)).select(
+        g.alias("grp"),
+        F.datediff("__d1", "__d0").alias("dur"),
+        (F.col("__last") <= F.col("__co")).cast("int").alias("evt"),
+    )
+    return logrank_test(subj, "grp", "dur", "evt")

