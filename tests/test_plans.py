@@ -405,3 +405,32 @@ def test_zipf_rank_has_no_partitionless_window(spark, sf_dir, qs):
     # the two-phase shape: one range exchange + the Arrow numbering pass
     assert "rangepartitioning" in p.lower(), p
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+
+
+def test_bloom_pruned_join_prunes_before_the_shuffle(spark, sf_dir, qs):
+    """q244's fact side must pass through the Bloom-probe filter
+    BEFORE the join (the whole point is shrinking the shuffle), and
+    the plan must stay a real equi-join — never a cartesian."""
+    p = plan_of(qs["q244_bloom_pruned_join"](spark, sf_dir))
+    assert "__bloom_hit" in p or "bits_set" in p, p
+    assert "Cartesian" not in p
+    # probe (ArrowEvalPython, the vectorized pandas UDF) sits below
+    # the join in the plan tree: the UDF section must appear after
+    # the join node in the top-down printed plan
+    join_pos = min(
+        (p.find(k) for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if p.find(k) >= 0),
+        default=-1,
+    )
+    assert join_pos >= 0, p
+    probe_pos = max(p.find("ArrowEvalPython"), p.find("bits_set"))
+    assert probe_pos > join_pos, "bloom probe is not below the join"
+
+
+def test_conformal_rank_has_no_partitionless_window(spark, sf_dir, qs):
+    """q254's residual order statistic must come from the two-phase
+    global rank — a partition-less window over continuous residuals
+    would single-task the calibration corpus."""
+    p = plan_of(qs["q254_conformal_interval"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
