@@ -71,6 +71,13 @@ HEADLINE = [
     "q208_ts_pattern_search",     # pattern correlation top-k
     "q212_group_auc",             # exact rank-form AUC (midranks)
     "q217_join_size_estimate",    # AMS join-size prediction
+    # round-12 second half: the newly graded round-12 physics
+    "q226_trimmed_mean",          # value-histogram trimmed/winsorized stats
+    "q230_hll_cube",              # HLL rollup cube (register-max mergeability)
+    "q234_bootstrap_ci",          # deterministic Poisson bootstrap (b/4-block md5)
+    "q241_jackknife_ratio",       # leave-one-bucket-out ratio CI
+    "q244_bloom_pruned_join",     # runtime-filter semi-join reduction
+    "q246_kaplan_meier",          # product-limit survival curve
 ]
 
 # Fixed-work calibration (data-independent): a pure JVM codegen loop
