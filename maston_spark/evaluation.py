@@ -492,8 +492,10 @@ def poisson_bootstrap_ci(
     percentile bootstrap). Because the explode multiplies
     per-partition work ×b, an underparallel scan (fewer splits than
     cluster slots) is rebalanced first — a 2-column shuffle, skipped
-    whenever the input already has enough splits. Sums round to the
-    9-grid before each replicate's closing division."""
+    whenever the input already has enough splits. Values fold as
+    decimal(18,9), so each replicate's Σ w·x is EXACT in any
+    partitioning/merge order; the one IEEE step per replicate is the
+    closing mean division (round 6)."""
     if b < 8:
         raise ValueError("need at least 8 replicates for a percentile CI")
     if b % 4 != 0:
@@ -505,7 +507,11 @@ def poisson_bootstrap_ci(
             w = F.when(lane < F.lit(_POISSON1_THRESHOLDS[k]), F.lit(k)).otherwise(w)
         return w
 
-    x = F.col(value_col).cast("double")
+    # decimal values: the per-replicate Σ w·x folds EXACTLY however
+    # Spark trees the partial sums — a raw double sum at corpus scale
+    # (Σ ~ 1e10) has resolution coarser than the 9-grid, so rounding
+    # after the fold could not restore a canonical value
+    x = F.col(value_col).cast("decimal(18,9)")
     base = df.filter(x.isNotNull()).select(F.col(id_col), x.alias("__x"))
     # the b-fold inline explode multiplies per-partition work by b; a
     # scan that arrived in fewer splits than the cluster has slots
@@ -570,9 +576,11 @@ def poisson_bootstrap_ci(
     ).select("__l.__rep", "__l.__w", "__l.__wx")
     reps = exploded.groupBy("__rep").agg(
         F.sum("__w").cast("long").alias("__sw"),
-        F.round(F.sum("__wx"), 9).alias("__swx"),
+        F.sum("__wx").alias("__swx"),  # decimal: exact in any fold order
     )
-    mean_r = F.round(F.col("__swx") / F.col("__sw").cast("double"), 6)
+    mean_r = F.round(
+        F.col("__swx").cast("double") / F.col("__sw").cast("double"), 6
+    )
     # exact order statistics over the b-row replicate frame (bounded
     # partition-less window — b rows by construction)
     wd = Window.orderBy("__m", "__rep")
@@ -767,25 +775,26 @@ def srm_check(
     arms chi-square against a zero observed count (the worst SRM of
     all); an OBSERVED arm missing from ``expected`` raises, because
     a rogue arm is an assignment bug, not a ratio question."""
-    shares = {k: float(v) for k, v in expected.items()}
-    tot_share = sum(shares.values())
-    if not shares or abs(tot_share - 1.0) > 1e-9:
-        raise ValueError("expected shares must sum to 1")
     spark = df.sparkSession
     obs = (
         df.filter(F.col(variant_col).isNotNull())
         .groupBy(F.col(variant_col).alias("variant"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
-    design = spark.createDataFrame(
-        [(k, v) for k, v in sorted(shares.items(), key=lambda kv: str(kv[0]))],
-        f"variant {df.schema[variant_col].dataType.simpleString()}, expected_share double",
+    design_keys = spark.createDataFrame(
+        [(k,) for k in sorted(expected, key=str)],
+        f"variant {df.schema[variant_col].dataType.simpleString()}",
     )
-    # outer on the design side: a designed arm with zero traffic must
-    # still contribute (0 - e)^2/e; a rogue observed arm is an error
-    rogue = obs.join(F.broadcast(design), "variant", "left_anti")
-    if rogue.limit(1).count() > 0:
-        bad = [r.variant for r in rogue.collect()]
+    # a rogue observed arm is an assignment bug, not a ratio question
+    # (one bounded job: |arms| rows at most; capped for the pathological
+    # everything-is-rogue feed)
+    bad = [
+        r.variant
+        for r in obs.join(F.broadcast(design_keys), "variant", "left_anti")
+        .limit(20)
+        .collect()
+    ]
+    if bad:
         raise ValueError(f"observed arms not in the design: {bad}")
     return srm_from_counts(obs, expected, chi2_critical)
 
@@ -1036,6 +1045,24 @@ def krippendorff_alpha(
     )
     wu = Window.partitionBy("__u")
     kept = uc.withColumn("__m", F.sum("__n").over(wu)).filter(F.col("__m") >= 2)
+    # contract guard: a unit with more ratings than max_raters breaks
+    # the lcm trick (L DIV (m-1) would silently truncate, understating
+    # disagreement) — fail loudly, per the library's srm_check
+    # convention, instead of corrupting alpha
+    kept = kept.withColumn(
+        "__m",
+        F.when(F.col("__m") <= max_raters, F.col("__m")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"krippendorff_alpha: unit with more than {max_raters}"
+                        " ratings (duplicate ingest?): unit "
+                    ),
+                    F.col("__u").cast("string"),
+                )
+            )
+        ),
+    )
     x_term = (
         F.col("__n").cast(dec)
         * (F.col("__m") - F.col("__n")).cast(dec)
@@ -1161,10 +1188,13 @@ def kaplan_meier(
     so the cumulative sum is an order-fixed sequence both engines
     replay (the q125 ln discipline); a time where every at-risk
     subject dies closes the curve at exactly 0.0. Rows with NULL
-    duration/event drop; negative durations raise at analysis time
-    via the filter (they would silently corrupt the risk set)."""
+    duration/event drop, and so do NEGATIVE durations (clock skew /
+    bad upstream datediff — they would silently corrupt every
+    at-risk count after them)."""
     d = df.filter(
-        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & (F.col(duration_col) >= 0)
     ).select(
         F.col(duration_col).cast("long").alias("__t"),
         F.col(event_col).cast("int").alias("__e"),
@@ -1465,6 +1495,7 @@ def logrank_test(
         F.col(group_col).isNotNull()
         & F.col(duration_col).isNotNull()
         & F.col(event_col).isNotNull()
+        & (F.col(duration_col) >= 0)  # the kaplan_meier convention
     ).select(
         F.col(group_col).cast("int").alias("__g"),
         F.col(duration_col).cast("long").alias("__t"),
@@ -1513,12 +1544,20 @@ def logrank_test(
         9,
     )
     dec = "decimal(28,9)"
-    agg = staged.filter(F.col("__d1") + F.col("__d0") > 0).agg(
-        F.max("__N1").alias("n_1"),
-        F.max("__N0").alias("n_0"),
-        F.sum("__d1").cast("long").alias("o_1"),
+    # cohort sizes come from the UNFILTERED totals: an all-censored
+    # input has no event times, but n_0/n_1 are still known and the
+    # observed event count is exactly 0, not NULL
+    core = staged.filter(F.col("__d1") + F.col("__d0") > 0).agg(
+        F.sum("__d1").cast("long").alias("__o1s"),
         F.round(F.sum(e_term.cast(dec)).cast("double"), 6).alias("e_1"),
         F.round(F.sum(v_term.cast(dec)).cast("double"), 6).alias("v"),
+    )
+    agg = core.join(F.broadcast(tot)).select(
+        F.col("__N1").alias("n_1"),
+        F.col("__N0").alias("n_0"),
+        F.coalesce(F.col("__o1s"), F.lit(0)).cast("long").alias("o_1"),
+        F.coalesce(F.col("e_1"), F.lit(0.0)).alias("e_1"),
+        F.coalesce(F.col("v"), F.lit(0.0)).alias("v"),
     )
     diff = F.col("o_1").cast("double") - F.col("e_1")
     chi2 = F.when(F.col("v") > 0, F.round(diff * diff / F.col("v"), 6))

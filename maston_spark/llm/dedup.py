@@ -1279,11 +1279,17 @@ def survivorship_merge(
     exact integer ratio."""
     from pyspark.sql import Window
 
+    from maston_spark.profiling import _sql_str
+
     if not fields:
         raise ValueError("need at least one field to merge")
     k = len(fields)
+    # _sql_str for the label literal, backtick-doubling for the
+    # identifier — a quote/backtick in a field name must not
+    # mis-parse the stack() expression
     stack_args = ", ".join(
-        f"'{f}', CAST(`{f}` AS STRING)" for f in fields
+        f"{_sql_str(f)}, CAST(`{f.replace('`', '``')}` AS STRING)"
+        for f in fields
     )
     melted = df.select(
         F.col(cluster_col).alias("cluster"),

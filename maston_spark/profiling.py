@@ -880,8 +880,8 @@ def mutual_information(
     Exact shape: one combiner-reduced (a, b) contingency aggregation
     (≤ |A|·|B| cells — the corpus is scanned once); marginals derive
     from the cells; every ``p·ln(...)`` term is an exact integer
-    rational through the log and rounds to the 9-grid before the
-    cell-bounded decimal sum. NULL in either column drops the row
+    rational through the log and rounds to the 6-grid before the
+    cell-bounded decimal sum (the oracle mirrors the same grid). NULL in either column drops the row
     (the library convention). Zero entropy on either side (a
     constant column) emits NULL nmi."""
     cells = (

@@ -2390,7 +2390,7 @@ def q233_heavy_hitter_delta(spark, sf_dir):
                  ('0x' || substr(md5('bs:' || blk || ':' ||
                                      l_orderkey || '#' || l_linenumber),
                                  1 + 8 * j, 8))::BIGINT AS lane,
-                 CAST(l_extendedprice AS DOUBLE) AS x
+                 CAST(l_extendedprice AS DECIMAL(18,9)) AS x
           FROM lineitem, blks, lanes
           WHERE l_extendedprice IS NOT NULL),
     ww AS (SELECT rep,
@@ -2405,9 +2405,10 @@ def q233_heavy_hitter_delta(spark, sf_dir):
                   x
            FROM e),
     agg AS (SELECT rep, CAST(sum(w) AS BIGINT) AS sw,
-                   round(sum(w * x), 9) AS swx
+                   sum(w * x) AS swx
             FROM ww GROUP BY rep),
-    m AS (SELECT rep, round(swx / CAST(sw AS DOUBLE), 6) AS mm FROM agg),
+    m AS (SELECT rep, round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS mm
+          FROM agg),
     rk AS (SELECT mm, row_number() OVER (ORDER BY mm, rep) AS rn FROM m)
     SELECT CAST(count(*) AS BIGINT) AS n_replicates,
            round(sum(mm) / count(*), 6) AS est_mean,
@@ -2441,7 +2442,8 @@ def q234_bootstrap_ci(spark, sf_dir):
     "q235_transition_lift",
     oracle="""
     WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
-               FROM events WHERE event_type IS NOT NULL),
+               FROM events WHERE event_type IS NOT NULL
+                 AND user_id IS NOT NULL AND ts IS NOT NULL),
     t AS (SELECT event_type AS event_a,
                  lead(event_type) OVER
                    (PARTITION BY user_id ORDER BY us, event_id) AS event_b
@@ -3587,11 +3589,15 @@ def q255_readability(spark, sf_dir):
                        * (CAST(n1 + n0 AS DOUBLE) - (d1 + d0)) / (CAST(n1 + n0 AS DOUBLE) - 1.0)
                      ELSE 0.0 END, 9) AS vt
               FROM r WHERE d1 + d0 > 0),
-    a AS (SELECT max(N1) AS n_1, max(N0) AS n_0,
-                 CAST(sum(d1) AS BIGINT) AS o_1,
-                 round(CAST(sum(CAST(et AS DECIMAL(28,9))) AS DOUBLE), 6) AS e_1,
-                 round(CAST(sum(CAST(vt AS DECIMAL(28,9))) AS DOUBLE), 6) AS v
-          FROM terms)
+    core AS (SELECT CAST(sum(d1) AS BIGINT) AS o1s,
+                    round(CAST(sum(CAST(et AS DECIMAL(28,9))) AS DOUBLE), 6) AS e1s,
+                    round(CAST(sum(CAST(vt AS DECIMAL(28,9))) AS DOUBLE), 6) AS vs
+             FROM terms),
+    a AS (SELECT CAST(N1 AS BIGINT) AS n_1, CAST(N0 AS BIGINT) AS n_0,
+                 COALESCE(o1s, 0) AS o_1,
+                 COALESCE(e1s, 0.0) AS e_1,
+                 COALESCE(vs, 0.0) AS v
+          FROM core, tot)
     SELECT n_0, n_1, o_1, e_1, v,
            CASE WHEN v > 0 THEN
              round((CAST(o_1 AS DOUBLE) - e_1) * (CAST(o_1 AS DOUBLE) - e_1) / v, 6)

@@ -1745,8 +1745,16 @@ def transition_lift(
     pair count (≤ |events|² rows), marginals derived from the pair
     table, top-k a TakeOrdered. Ties break (lift desc, a, b)."""
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # NULL keys must not share one window partition (lead() would
+    # fabricate transitions between unrelated anonymous rows), and a
+    # NULL ts sorts NULLS FIRST in Spark but NULLS LAST in DuckDB —
+    # drop both, the library's null convention
     pairs = (
-        df.filter(F.col(event_col).isNotNull())
+        df.filter(
+            F.col(event_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
         .select(
             F.col(event_col).alias("event_a"),
             F.lead(event_col).over(w).alias("event_b"),
@@ -1838,4 +1846,10 @@ def bloom_pruned_join(
         normalize=False,
     )
     pruned = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    if fact_key == dim_key:
+        # name-join: one key column out, like the plain on="key" join
+        # this operator is a drop-in for (a Column-expression join
+        # would keep BOTH copies and every downstream reference to
+        # the key would be AMBIGUOUS_REFERENCE)
+        return pruned.join(dim, fact_key, "inner")
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -602,7 +602,50 @@ def test_logrank_textbook_hand_replay(spark):
             v += round(dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1), 9)
     assert r.o_1 == o1 and r.e_1 == round(e1, 6) and r.v == round(v, 6)
     assert r.chi2 == round((o1 - round(e1, 6)) ** 2 / round(v, 6), 6)
-    # no events at all -> zero variance -> honest NULL, flags False
+    # all-censored: cohort sizes still known, zero observed events,
+    # zero variance -> NULL chi2 with False flags
     cens = spark.createDataFrame([(0, 3, 0), (1, 5, 0)], "g int, t int, e int")
-    out = logrank_test(cens, "g", "t", "e").collect()
-    assert out == [] or (out[0].chi2 is None and not out[0].significant_95)
+    [rc] = logrank_test(cens, "g", "t", "e").collect()
+    assert (rc.n_0, rc.n_1, rc.o_1, rc.v) == (1, 1, 0, 0.0)
+    assert rc.chi2 is None and not rc.significant_95
+    # negative durations (clock skew) are dropped, not ranked first
+    skew = spark.createDataFrame(
+        data + [(1, -5, 1)], "g int, t int, e int"
+    )
+    [rs] = logrank_test(skew, "g", "t", "e").collect()
+    assert (rs.o_1, rs.e_1, rs.v, rs.chi2) == (r.o_1, r.e_1, r.v, r.chi2)
+
+
+def test_krippendorff_rejects_overfull_units(spark):
+    """A unit carrying more ratings than max_raters would silently
+    truncate the lcm-exact fold (6 DIV 5 = 1, understating
+    disagreement ~17%) — the operator must fail loudly instead."""
+    import pytest as _pt
+
+    from maston_spark.evaluation import krippendorff_alpha
+
+    ok = [(1, "a")] * 2 + [(2, "b")] * 3
+    overfull = ok + [(3, "a")] * 6  # unit 3: 6 ratings > max_raters=4
+    df = spark.createDataFrame(overfull, "unit int, val string")
+    with _pt.raises(Exception, match="more than 4 ratings"):
+        krippendorff_alpha(df, "unit", "val", max_raters=4).collect()
+    # the clean frame still computes
+    good = krippendorff_alpha(
+        spark.createDataFrame(ok, "unit int, val string"), "unit", "val", 4
+    ).collect()
+    assert len(good) == 1
+
+
+def test_kaplan_meier_drops_negative_durations(spark):
+    """Clock-skew negatives must not enter the risk set as the
+    earliest 'time'."""
+    from maston_spark.evaluation import kaplan_meier
+
+    clean = spark.createDataFrame([(1, 1), (2, 1)], "t int, e int")
+    skewed = spark.createDataFrame(
+        [(1, 1), (2, 1), (-7, 1)], "t int, e int"
+    )
+    assert (
+        kaplan_meier(clean, "t", "e").collect()
+        == kaplan_meier(skewed, "t", "e").collect()
+    )

@@ -1306,3 +1306,16 @@ def test_bloom_pruned_join_is_identity_to_plain_join(spark):
         for r in fact.join(dim, fact["k"] == dim["dk"], "inner").collect()
     )
     assert got == want and len(got) == 100
+
+
+def test_bloom_pruned_join_same_name_key_single_column(spark):
+    """fact_key == dim_key must behave like the plain on=\"key\" join:
+    ONE key column out, downstream references unambiguous."""
+    from maston_spark.relational import bloom_pruned_join
+
+    fact = spark.createDataFrame([(i % 10, i) for i in range(100)], "id int, v int")
+    dim = spark.createDataFrame([(3, "x"), (7, "y")], "id int, tag string")
+    out = bloom_pruned_join(fact, dim, "id", "id")
+    assert out.columns.count("id") == 1
+    agg = out.groupBy("id").count().collect()  # no AMBIGUOUS_REFERENCE
+    assert {r.id: r["count"] for r in agg} == {3: 10, 7: 10}
