@@ -649,3 +649,66 @@ def test_kaplan_meier_drops_negative_durations(spark):
         kaplan_meier(clean, "t", "e").collect()
         == kaplan_meier(skewed, "t", "e").collect()
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    perm=st.permutations(list(range(8))),
+    rels=st.lists(st.integers(min_value=0, max_value=3), min_size=8, max_size=8),
+)
+def test_ndcg_matches_plain_python_reference(spark, perm, rels):
+    """For ANY scored permutation and relevance grades: ndcg_at_k
+    equals the plain-python DCG/IDCG replay (same per-term 9-grid
+    rounding), and MRR is 1/first-relevant-rank."""
+    import math
+
+    from maston_spark.evaluation import ndcg_at_k
+
+    k = 5
+    rows = [("g", i, perm[i], rels[i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "grp string, doc int, score int, rel int")
+    [r] = ndcg_at_k(df, "grp", "score", "rel", "doc", k=k).collect()
+    by_score = sorted(rows, key=lambda t: (-t[2], t[1]))
+    by_rel = sorted(rows, key=lambda t: (-t[3], t[1]))
+    disc = [1.0 / math.log2(d + 1) for d in range(1, k + 1)]
+    dcg = round(sum(round(t[3] * disc[i], 9) for i, t in enumerate(by_score[:k])), 9)
+    idcg = round(sum(round(t[3] * disc[i], 9) for i, t in enumerate(by_rel[:k])), 9)
+    if idcg > 0:
+        assert r.ndcg_at_k == round(dcg / idcg, 6)
+    else:
+        assert r.ndcg_at_k is None
+    first = next((i + 1 for i, t in enumerate(by_score[:k]) if t[3] > 0), None)
+    assert r.mrr == (round(1.0 / first, 6) if first else 0.0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pa=st.permutations(list(range(6))),
+    pb=st.permutations(list(range(6))),
+)
+def test_rbo_matches_plain_python_reference(spark, pa, pb):
+    """For ANY pair of rankings over a shared universe: rbo_at_k
+    equals the truncated-RBO python replay (normalized geometric
+    weights, agreement from max-rank entry depths)."""
+    from maston_spark.evaluation import rbo_at_k
+
+    k, p = 4, 0.9
+
+    def ranks(perm):
+        return spark.createDataFrame(
+            [("g", f"d{item}", i + 1) for i, item in enumerate(perm)],
+            "g string, item string, r int",
+        )
+
+    [r] = rbo_at_k(ranks(pa), ranks(pb), "g", "item", "r", k=k, p=p).collect()
+    ra = {f"d{item}": i + 1 for i, item in enumerate(pa) if i < k}
+    rb = {f"d{item}": i + 1 for i, item in enumerate(pb) if i < k}
+    shared = set(ra) & set(rb)
+    wsum = sum(p ** (d - 1) for d in range(1, k + 1))
+    w = [p ** (d - 1) / wsum for d in range(1, k + 1)]
+    tailw = [sum(w[d - 1] / d for d in range(m, k + 1)) for m in range(1, k + 1)]
+    expect = round(
+        sum(round(tailw[max(ra[i], rb[i]) - 1], 9) for i in shared), 6
+    )
+    assert r.overlap_at_k == len(shared)
+    assert r.rbo_at_k == expect
