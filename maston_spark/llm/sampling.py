@@ -1094,3 +1094,50 @@ def ipf_rake(
         "n",
         F.round(F.col("__w").cast("double"), 6).alias("weight"),
     ).orderBy(row_col, col_col)
+
+
+def effective_sample_size(
+    df: DataFrame,
+    group_col: str,
+    weight_col,
+) -> DataFrame:
+    """Kish effective sample size per group for a WEIGHTED corpus —
+    ``(group, n_rows, sum_w, n_eff, eff_ratio, max_w_share)`` with
+    ``n_eff = (Σw)² / Σw²`` (Kish 1965): after importance
+    reweighting (DSIR log-weights, token weights, dedup survival
+    weights), how much data do you EFFECTIVELY have? A source whose
+    token mass sits in a handful of giant documents contributes far
+    fewer effective documents than its row count suggests —
+    ``eff_ratio = n_eff/n`` is the honesty factor every reweighted
+    mixture report should carry, and ``max_w_share`` names the
+    single-document concentration that drags it down.
+
+    One combiner-reduced aggregation: Σw and Σw² fold as decimals
+    (exact in any merge order; weights land on the 6-grid first —
+    decimal(18,6) so the w² product's declared precision stays
+    inside Spark's 38-digit exact range), max is order-free, and the
+    two closing quotients are fixed IEEE (round 6). Non-positive or
+    NULL weights drop — a negative importance weight is an upstream
+    bug, not a sample."""
+    dec = "decimal(18,6)"
+    w = F.round(F.col(weight_col).cast("double"), 6).cast(dec)
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(F.col(group_col).alias("group"), w.alias("__w"))
+    agg = base.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__sww"),
+        F.max("__w").alias("__mw"),
+    )
+    sw = F.col("__sw").cast("double")
+    sww = F.col("__sww").cast("double")
+    n_eff = sw * sw / sww
+    return agg.select(
+        "group",
+        "n_rows",
+        F.round(sw, 6).alias("sum_w"),
+        F.round(n_eff, 6).alias("n_eff"),
+        F.round(n_eff / F.col("n_rows").cast("double"), 6).alias("eff_ratio"),
+        F.round(F.col("__mw").cast("double") / sw, 6).alias("max_w_share"),
+    ).orderBy("group")

@@ -309,6 +309,8 @@ _PRIORITY = [
     "q254_conformal_interval", "q255_readability",
     # log-rank two-sample survival comparison (q246's inference half)
     "q256_logrank_test",
+    # Kish effective sample size for weighted corpora
+    "q257_effective_sample_size",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

@@ -5414,3 +5414,41 @@ def q251_golden_record(spark, sf_dir):
         content_hash(F.col("text")).alias("cluster"), "lang", "source"
     )
     return survivorship_merge(clustered, "cluster", ["lang", "source"])
+
+
+@query(
+    "q257_effective_sample_size",
+    oracle="""
+    WITH d AS (SELECT source AS "group",
+                      CAST(round(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 6)
+                           AS DECIMAL(18,6)) AS w
+               FROM documents
+               WHERE source IS NOT NULL AND text IS NOT NULL
+                 AND len(string_split(trim(text), ' ')) > 0),
+    a AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_rows,
+                 sum(w) AS sw, sum(w * w) AS sww, max(w) AS mw
+          FROM d GROUP BY "group")
+    SELECT "group", n_rows,
+           round(CAST(sw AS DOUBLE), 6) AS sum_w,
+           round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE), 6) AS n_eff,
+           round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE), 6) AS eff_ratio,
+           round(CAST(mw AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS max_w_share
+    FROM a ORDER BY "group"
+    """,
+)
+def q257_effective_sample_size(spark, sf_dir):
+    """Kish effective sample size of each source under TOKEN
+    weighting — after any token-weighted mixture step (q189's
+    water-fill, DSIR reweighting), how many documents does a source
+    effectively contribute? ``n_eff = (Σw)²/Σw²`` with the
+    concentration culprit (max single-doc weight share) named. See
+    :func:`maston_spark.llm.sampling.effective_sample_size`."""
+    from maston_spark.llm.sampling import effective_sample_size
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    wc = F.size(F.split(F.trim(F.col("text")), " "))
+    weighted = d.select("source", wc.alias("w")).filter(F.col("w") > 0)
+    return effective_sample_size(weighted, "source", "w")

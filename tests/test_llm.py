@@ -2287,3 +2287,23 @@ def test_readability_scores_hand_counts(spark):
     assert r.n_syllables == 12
     wps, spw = 9 / 3, 12 / 9
     assert r.flesch == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+
+
+def test_effective_sample_size_kish_known_cases(spark):
+    """Uniform weights -> n_eff = n exactly (eff_ratio 1); one giant
+    weight among ones -> hand-computed Kish; non-positive weights
+    drop before the fold."""
+    from maston_spark.llm.sampling import effective_sample_size
+
+    rows = (
+        [("u", 5.0)] * 8
+        + [("c", 1.0)] * 9 + [("c", 91.0)]
+        + [("z", -3.0), ("z", 0.0), ("z", 2.0)]
+    )
+    df = spark.createDataFrame(rows, "src string, w double")
+    out = {r.group: r for r in effective_sample_size(df, "src", "w").collect()}
+    assert out["u"].n_eff == 8.0 and out["u"].eff_ratio == 1.0
+    sw, sww = 9 * 1.0 + 91.0, 9 * 1.0 + 91.0**2
+    assert out["c"].n_eff == round(sw * sw / sww, 6)
+    assert out["c"].max_w_share == round(91.0 / sw, 6)
+    assert out["z"].n_rows == 1 and out["z"].sum_w == 2.0
