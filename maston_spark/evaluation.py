@@ -1575,3 +1575,88 @@ def logrank_test(
             "significant_999"
         ),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition over
+    equal-width score bins — one row ``(n_rows, brier, reliability,
+    resolution, uncertainty, brier_decomposed)``: REL − RES + UNC
+    re-assembles the Brier score of the BINNED forecast
+    (``brier_decomposed``), so reliability says how far the scorer's
+    probabilities are from honest, resolution says how much it
+    actually separates outcomes, and uncertainty is the base-rate
+    floor no scorer can beat. The gap ``brier − brier_decomposed``
+    is the within-bin score variance — small when the bins are fine
+    enough. The summary numbers behind :func:`calibration_bins`'
+    per-bin diagram.
+
+    Exact shape: scores land on the 9-grid; ``Σ(s−y)²`` folds as
+    decimal(38,18) (exact in any merge order — a corpus-scale double
+    sum would be order-dependent); the per-bin REL/RES terms round
+    to the 9-grid before the n_bins-bounded decimal sum; base rates
+    are exact integer ratios. One combiner-reduced bin aggregation —
+    the corpus is scanned once. Scores outside [0, 1] drop (same
+    contract as calibration_bins)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    s_raw = F.col(score_col).cast("double")
+    base = df.filter(
+        s_raw.isNotNull()
+        & (s_raw >= 0)
+        & (s_raw <= 1)
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.round(s_raw, 9).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+        F.least(
+            F.floor(s_raw * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+        ).alias("__b"),
+    )
+    # the (s−y)² fold as INTEGER lanes: d = (s−y)·1e9 is integral on
+    # the 9-grid (|d| ≤ 1e9, d² ≤ 1e18 fits int64) and Σ d² in
+    # decimal(38,0) is exact in any merge order in BOTH engines —
+    # a decimal(38,18) square overflows DuckDB's 38-digit space
+    d_int = F.round((F.col("__s") - F.col("__y")) * F.lit(1e9), 0).cast("long")
+    per = base.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__nk"),
+        F.sum("__y").cast("long").alias("__syk"),
+        F.sum(F.col("__s").cast("decimal(19,9)")).alias("__ssk"),
+        F.sum((d_int * d_int).cast("decimal(38,0)")).alias("__sqk"),
+    )
+    tot = per.agg(
+        F.sum("__nk").cast("long").alias("__n"),
+        F.sum("__syk").cast("long").alias("__sy"),
+        F.sum("__sqk").alias("__sq"),
+    )
+    j = per.join(F.broadcast(tot))
+    nd = F.col("__n").cast("double")
+    obar = F.col("__sy").cast("double") / nd
+    ok = F.col("__syk").cast("double") / F.col("__nk").cast("double")
+    sk = F.col("__ssk").cast("double") / F.col("__nk").cast("double")
+    rel_t = F.round(F.col("__nk").cast("double") * (sk - ok) * (sk - ok), 9)
+    res_t = F.round(F.col("__nk").cast("double") * (ok - obar) * (ok - obar), 9)
+    dec = "decimal(28,9)"
+    agg = j.groupBy("__n", "__sy", "__sq").agg(
+        F.sum(rel_t.cast(dec)).alias("__rel"),
+        F.sum(res_t.cast(dec)).alias("__res"),
+    )
+    nd2 = F.col("__n").cast("double")
+    ob = F.col("__sy").cast("double") / nd2
+    rel = F.col("__rel").cast("double") / nd2
+    res = F.col("__res").cast("double") / nd2
+    unc = ob * (F.lit(1.0) - ob)
+    return agg.select(
+        F.col("__n").alias("n_rows"),
+        F.round(
+            F.col("__sq").cast("double") / (nd2 * F.lit(1e18)), 6
+        ).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("brier_decomposed"),
+    )

@@ -311,6 +311,8 @@ _PRIORITY = [
     "q256_logrank_test",
     # Kish effective sample size for weighted corpora
     "q257_effective_sample_size",
+    # Brier score + Murphy decomposition (calibration scalar summary)
+    "q258_brier_decomposition",
     "q128_robust_outliers", "q96_bigram_perplexity",
     "q104_embedding_covariance", "q68_not_exists_antijoin",
     "q88_domain_cap", "q95_exact_substring", "q98_bloom_incremental",

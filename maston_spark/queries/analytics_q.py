@@ -3644,3 +3644,62 @@ def q256_logrank_test(spark, sf_dir):
         (F.col("__last") <= F.col("__co")).cast("int").alias("evt"),
     )
     return logrank_test(subj, "grp", "dur", "evt")
+
+
+@query(
+    "q258_brier_decomposition",
+    oracle="""
+    WITH m AS (SELECT max(value) AS vmax FROM events WHERE value IS NOT NULL),
+    e AS (SELECT value / vmax AS sr,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events, m WHERE value IS NOT NULL),
+    f AS (SELECT round(sr, 9) AS s, y,
+                 least(CAST(floor(sr * 10) AS INT), 9) AS b
+          FROM e WHERE sr >= 0 AND sr <= 1),
+    per AS (SELECT b, CAST(count(*) AS BIGINT) AS nk,
+                   CAST(sum(y) AS BIGINT) AS syk,
+                   sum(CAST(s AS DECIMAL(19,9))) AS ssk,
+                   sum(CAST(CAST(round((s - y) * 1e9) AS BIGINT)
+                            * CAST(round((s - y) * 1e9) AS BIGINT) AS HUGEINT)) AS sqk
+            FROM f GROUP BY b),
+    tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(syk) AS BIGINT) AS sy,
+                   sum(sqk) AS sq
+            FROM per),
+    terms AS (SELECT n, sy, sq,
+                     round(CAST(nk AS DOUBLE)
+                           * (CAST(ssk AS DOUBLE) / nk - CAST(syk AS DOUBLE) / nk)
+                           * (CAST(ssk AS DOUBLE) / nk - CAST(syk AS DOUBLE) / nk), 9) AS rel_t,
+                     round(CAST(nk AS DOUBLE)
+                           * (CAST(syk AS DOUBLE) / nk - CAST(sy AS DOUBLE) / n)
+                           * (CAST(syk AS DOUBLE) / nk - CAST(sy AS DOUBLE) / n), 9) AS res_t
+              FROM per, tot),
+    a AS (SELECT n, sy, sq,
+                 sum(CAST(rel_t AS DECIMAL(28,9))) AS rels,
+                 sum(CAST(res_t AS DECIMAL(28,9))) AS ress
+          FROM terms GROUP BY n, sy, sq)
+    SELECT n AS n_rows,
+           round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e18), 6) AS brier,
+           round(CAST(rels AS DOUBLE) / n, 6) AS reliability,
+           round(CAST(ress AS DOUBLE) / n, 6) AS resolution,
+           round((CAST(sy AS DOUBLE) / n) * (1.0 - CAST(sy AS DOUBLE) / n), 6) AS uncertainty,
+           round(CAST(rels AS DOUBLE) / n - CAST(ress AS DOUBLE) / n
+                 + (CAST(sy AS DOUBLE) / n) * (1.0 - CAST(sy AS DOUBLE) / n), 6)
+             AS brier_decomposed
+    FROM a
+    """,
+)
+def q258_brier_decomposition(spark, sf_dir):
+    """Brier score + Murphy reliability/resolution/uncertainty of the
+    max-normalized value score against the purchase label (q213's
+    construction) — the scalar decomposition behind the reliability
+    diagram: is the scorer miscalibrated, or just uninformative? See
+    :func:`maston_spark.evaluation.brier_decomposition`."""
+    from maston_spark.evaluation import brier_decomposition
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vmax = ev.agg(F.max("value").alias("__vmax"))
+    scored = ev.crossJoin(F.broadcast(vmax)).select(
+        (F.col("value") / F.col("__vmax")).alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return brier_decomposition(scored, "s", "y", n_bins=10)

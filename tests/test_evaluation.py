@@ -712,3 +712,26 @@ def test_rbo_matches_plain_python_reference(spark, pa, pb):
     )
     assert r.overlap_at_k == len(shared)
     assert r.rbo_at_k == expect
+
+
+def test_brier_decomposition_hand_case_and_identity(spark):
+    """Hand case on two discrete forecast values: brier equals the
+    plain mean of (s-y)^2; with forecasts constant within bins the
+    Murphy identity REL - RES + UNC reproduces the Brier score
+    EXACTLY (no within-bin variance)."""
+    from maston_spark.evaluation import brier_decomposition
+
+    rows = [(0.25, 1)] * 3 + [(0.25, 0)] * 7 + [(0.85, 1)] * 8 + [(0.85, 0)] * 2
+    df = spark.createDataFrame(rows, "s double, y int")
+    [r] = brier_decomposition(df, "s", "y", n_bins=10).collect()
+    brier = sum((s - y) ** 2 for s, y in rows) / len(rows)
+    assert r.brier == round(brier, 6)
+    obar = 11 / 20
+    rel = (10 * (0.25 - 0.3) ** 2 + 10 * (0.85 - 0.8) ** 2) / 20
+    res = (10 * (0.3 - obar) ** 2 + 10 * (0.8 - obar) ** 2) / 20
+    unc = obar * (1 - obar)
+    assert r.reliability == round(rel, 6)
+    assert r.resolution == round(res, 6)
+    assert r.uncertainty == round(unc, 6)
+    # discrete forecasts: the decomposition IS the Brier score
+    assert r.brier_decomposed == r.brier == round(rel - res + unc, 6)
