@@ -465,6 +465,7 @@ def poisson_bootstrap_ci(
     id_col: str,
     b: int = 32,
     salt: str = "bs",
+    input_splits: "int | None" = None,
 ) -> DataFrame:
     """Deterministic Poisson-bootstrap 95% confidence interval for a
     column mean — one row ``(n_replicates, est_mean, ci_lo, ci_hi)``.
@@ -491,15 +492,23 @@ def poisson_bootstrap_ci(
     round(0.025·(b−1)) / round(0.975·(b−1)) — the standard
     percentile bootstrap). Because the explode multiplies
     per-partition work ×b, an underparallel scan (fewer splits than
-    cluster slots) is rebalanced first — a 2-column shuffle, skipped
-    whenever the input already has enough splits. Values fold as
-    decimal(18,9), so each replicate's Σ w·x is EXACT in any
-    partitioning/merge order; the one IEEE step per replicate is the
-    closing mean division (round 6)."""
+    cluster slots) is rebalanced first — a 2-column shuffle, applied
+    only when the scan's file count (a metadata-only probe — no RDD
+    conversion of the plan) is below the cluster's slot count; a
+    non-file upstream is assumed already parallel, and callers that
+    know their split count can pass ``input_splits`` to decide the
+    guard directly. Values fold as INTEGER 1e9-grid lanes: x lands
+    on the 9-grid, ``xi = x·1e9`` is extracted exactly through
+    decimal, each replicate's Σ w·xi sums int64 products into
+    decimal(38,0) — exact in any partitioning/merge order, without
+    per-row decimal multiplies in the hot fold — and the one IEEE
+    step per replicate is the closing ``Σw·xi / (Σw · 1e9)``
+    division (round 6). Any ``b ≥ 8`` is accepted: lanes are
+    generated in blocks of 4 per md5 and replicates ≥ b are dropped,
+    so a non-multiple-of-4 request costs one partial block."""
     if b < 8:
         raise ValueError("need at least 8 replicates for a percentile CI")
-    if b % 4 != 0:
-        raise ValueError("b must be a multiple of 4 (4 hash lanes per md5)")
+    n_blocks = (b + 3) // 4
 
     def weight(lane):
         w = F.lit(len(_POISSON1_THRESHOLDS))
@@ -507,12 +516,16 @@ def poisson_bootstrap_ci(
             w = F.when(lane < F.lit(_POISSON1_THRESHOLDS[k]), F.lit(k)).otherwise(w)
         return w
 
-    # decimal values: the per-replicate Σ w·x folds EXACTLY however
-    # Spark trees the partial sums — a raw double sum at corpus scale
-    # (Σ ~ 1e10) has resolution coarser than the 9-grid, so rounding
-    # after the fold could not restore a canonical value
+    # integer 1e9-grid values: x lands on the 9-grid and xi = x·1e9 is
+    # extracted EXACTLY through one decimal multiply per row (decimal,
+    # not double — a corpus-scale x up to 1e9 would put xi past 2^53
+    # where the double grid is coarser than 1). The per-replicate fold
+    # then runs int64 products summed into decimal(38,0): exact in any
+    # partitioning/merge order, no per-row decimal multiply in the hot
+    # loop (the q258 Brier lane pattern)
     x = F.col(value_col).cast("decimal(18,9)")
-    base = df.filter(x.isNotNull()).select(F.col(id_col), x.alias("__x"))
+    xi = (x * F.lit(1000000000)).cast("long")
+    base = df.filter(x.isNotNull()).select(F.col(id_col), xi.alias("__xi"))
     # the b-fold inline explode multiplies per-partition work by b; a
     # scan that arrived in fewer splits than the cluster has slots
     # (small files, coalesced inputs) would serialize it — rebalance
@@ -520,16 +533,23 @@ def poisson_bootstrap_ci(
     # so a corpus that already has thousands of splits never pays a
     # full-data shuffle for it
     slots = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < slots:
+    if input_splits is None:
+        try:
+            # metadata-only: no RDD conversion of the analyzed plan
+            input_splits = len(df.inputFiles()) or None
+        except Exception:
+            input_splits = None
+    if input_splits is not None and input_splits < slots:
         base = base.repartition(slots)
     # one md5 per (row, 4-replicate block): the 128-bit digest carries
-    # four independent 32-bit lanes, so b replicates cost b/4 hashes
+    # four independent 32-bit lanes, so b replicates cost ceil(b/4)
+    # hashes
     blocks = base.select(
         F.col(id_col),
-        "__x",
-        F.explode(F.array(*[F.lit(blk) for blk in range(b // 4)])).alias("__blk"),
+        "__xi",
+        F.explode(F.array(*[F.lit(blk) for blk in range(n_blocks)])).alias("__blk"),
     ).select(
-        "__x",
+        "__xi",
         "__blk",
         F.md5(
             F.concat(
@@ -546,7 +566,7 @@ def poisson_bootstrap_ci(
     # subexpression elimination, so inlining the cascades into the
     # explode re-evaluated conv ~64x per row — measured 3x slower)
     lanes = blocks.select(
-        "__x",
+        "__xi",
         "__blk",
         *[
             F.conv(F.substring(F.col("__h"), 1 + 8 * j, 8), 16, 10)
@@ -556,10 +576,13 @@ def poisson_bootstrap_ci(
         ],
     )
     weights = lanes.select(
-        "__x",
+        "__xi",
         "__blk",
         *[weight(F.col(f"__lane{j}")).alias(f"__w{j}") for j in range(4)],
     )
+    # w ≤ 7 and |xi| < 1e18, so the per-row long product stays inside
+    # int64; the decimal(38,0) cast happens once per emitted row so
+    # the SUM (not the multiply) carries the overflow headroom
     exploded = weights.select(
         F.explode(
             F.array(
@@ -567,19 +590,25 @@ def poisson_bootstrap_ci(
                     F.struct(
                         (F.col("__blk") * 4 + j).alias("__rep"),
                         F.col(f"__w{j}").alias("__w"),
-                        (F.col(f"__w{j}") * F.col("__x")).alias("__wx"),
+                        (F.col(f"__w{j}").cast("long") * F.col("__xi"))
+                        .cast("decimal(38,0)")
+                        .alias("__wxi"),
                     )
                     for j in range(4)
                 ]
             )
         ).alias("__l")
-    ).select("__l.__rep", "__l.__w", "__l.__wx")
+    ).select("__l.__rep", "__l.__w", "__l.__wxi")
+    if b != 4 * n_blocks:
+        exploded = exploded.filter(F.col("__rep") < F.lit(b))
     reps = exploded.groupBy("__rep").agg(
         F.sum("__w").cast("long").alias("__sw"),
-        F.sum("__wx").alias("__swx"),  # decimal: exact in any fold order
+        F.sum("__wxi").alias("__swxi"),  # decimal(38,0): exact any order
     )
     mean_r = F.round(
-        F.col("__swx").cast("double") / F.col("__sw").cast("double"), 6
+        F.col("__swxi").cast("double")
+        / (F.col("__sw").cast("double") * F.lit(1e9)),
+        6,
     )
     # exact order statistics over the b-row replicate frame (bounded
     # partition-less window — b rows by construction)
@@ -781,21 +810,6 @@ def srm_check(
         .groupBy(F.col(variant_col).alias("variant"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
-    design_keys = spark.createDataFrame(
-        [(k,) for k in sorted(expected, key=str)],
-        f"variant {df.schema[variant_col].dataType.simpleString()}",
-    )
-    # a rogue observed arm is an assignment bug, not a ratio question
-    # (one bounded job: |arms| rows at most; capped for the pathological
-    # everything-is-rogue feed)
-    bad = [
-        r.variant
-        for r in obs.join(F.broadcast(design_keys), "variant", "left_anti")
-        .limit(20)
-        .collect()
-    ]
-    if bad:
-        raise ValueError(f"observed arms not in the design: {bad}")
     return srm_from_counts(obs, expected, chi2_critical)
 
 
@@ -810,7 +824,12 @@ def srm_from_counts(
     topology.srm_monitor_topology`, whose durable state IS such a
     counts frame folded additively across micro-batches), so the two
     paths cannot diverge on the statistic. Same output contract and
-    exactness shape as :func:`srm_check`."""
+    exactness shape as :func:`srm_check` — including the fail-loud
+    rogue-arm contract: an observed variant absent from ``expected``
+    raises here (an assignment bug, not a ratio question), so a
+    DIRECT caller cannot silently understate the chi-square by
+    having the design left-join drop the rogue arm's count from the
+    total."""
     shares = {k: float(v) for k, v in expected.items()}
     if not shares or abs(sum(shares.values()) - 1.0) > 1e-9:
         raise ValueError("expected shares must sum to 1")
@@ -820,6 +839,18 @@ def srm_from_counts(
         f"variant {obs.schema['variant'].dataType.simpleString()},"
         " expected_share double",
     )
+    # one bounded job (|observed arms| rows at most, capped for the
+    # pathological everything-is-rogue feed) on the tiny counts frame
+    bad = [
+        r.variant
+        for r in obs.join(
+            F.broadcast(design.select("variant")), "variant", "left_anti"
+        )
+        .limit(20)
+        .collect()
+    ]
+    if bad:
+        raise ValueError(f"observed arms not in the design: {bad}")
     arms = design.join(obs, "variant", "left").select(
         "variant",
         F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),

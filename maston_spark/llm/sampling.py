@@ -1121,9 +1121,14 @@ def effective_sample_size(
     bug, not a sample."""
     dec = "decimal(18,6)"
     w = F.round(F.col(weight_col).cast("double"), 6).cast(dec)
-    base = df.filter(
-        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
-    ).select(F.col(group_col).alias("group"), w.alias("__w"))
+    # positivity is judged on the ROUNDED weight (the value that
+    # actually enters the folds): a raw weight in (0, 5e-7) rounds to
+    # exactly 0 on the 6-grid — keeping it would count a row in
+    # n_rows that carries zero weight (skewing eff_ratio), and a
+    # group made entirely of such rows would close 0/0
+    base = df.select(F.col(group_col).alias("group"), w.alias("__w")).filter(
+        F.col("__w").isNotNull() & (F.col("__w") > 0)
+    )
     agg = base.groupBy("group").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("__w").alias("__sw"),

@@ -1506,10 +1506,11 @@ def q212_group_auc(spark, sf_dir):
     "q213_calibration_bins",
     oracle="""
     WITH m AS (SELECT max(value) AS vmax FROM events
-               WHERE value IS NOT NULL),
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
     e AS (SELECT value / vmax AS s,
                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-          FROM events, m WHERE value IS NOT NULL),
+          FROM events, m
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
     f AS (SELECT s, y FROM e WHERE s >= 0 AND s <= 1),
     b AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin, s, y FROM f)
     SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
@@ -1527,7 +1528,12 @@ def q213_calibration_bins(spark, sf_dir):
     :func:`maston_spark.evaluation.calibration_bins`."""
     from maston_spark.evaluation import calibration_bins
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # event_type IS NOT NULL on BOTH sides: Spark's boolean-cast label
+    # is NULL for a NULL event_type (row dropped downstream) while the
+    # oracle's CASE would map it to 0 and keep it
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     vmax = ev.agg(F.max("value").alias("__vmax"))
     scored = ev.crossJoin(F.broadcast(vmax)).select(
         (F.col("value") / F.col("__vmax")).alias("s"),
@@ -2390,7 +2396,9 @@ def q233_heavy_hitter_delta(spark, sf_dir):
                  ('0x' || substr(md5('bs:' || blk || ':' ||
                                      l_orderkey || '#' || l_linenumber),
                                  1 + 8 * j, 8))::BIGINT AS lane,
-                 CAST(l_extendedprice AS DECIMAL(18,9)) AS x
+                 CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,9))
+                           AS DECIMAL(28,9)) * 1000000000
+                      AS BIGINT) AS xi
           FROM lineitem, blks, lanes
           WHERE l_extendedprice IS NOT NULL),
     ww AS (SELECT rep,
@@ -2402,12 +2410,14 @@ def q233_heavy_hitter_delta(spark, sf_dir):
                        WHEN lane < 4292415291 THEN 5
                        WHEN lane < 4294609777 THEN 6
                        ELSE 7 END AS w,
-                  x
+                  xi
            FROM e),
     agg AS (SELECT rep, CAST(sum(w) AS BIGINT) AS sw,
-                   sum(w * x) AS swx
+                   sum(CAST(w AS BIGINT) * xi) AS swxi
             FROM ww GROUP BY rep),
-    m AS (SELECT rep, round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS mm
+    m AS (SELECT rep,
+                 round(CAST(swxi AS DOUBLE) / (CAST(sw AS DOUBLE) * 1e9),
+                       6) AS mm
           FROM agg),
     rk AS (SELECT mm, row_number() OVER (ORDER BY mm, rep) AS rn FROM m)
     SELECT CAST(count(*) AS BIGINT) AS n_replicates,
@@ -3649,10 +3659,12 @@ def q256_logrank_test(spark, sf_dir):
 @query(
     "q258_brier_decomposition",
     oracle="""
-    WITH m AS (SELECT max(value) AS vmax FROM events WHERE value IS NOT NULL),
+    WITH m AS (SELECT max(value) AS vmax
+               FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
     e AS (SELECT value / vmax AS sr,
                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-          FROM events, m WHERE value IS NOT NULL),
+          FROM events, m
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
     f AS (SELECT round(sr, 9) AS s, y,
                  least(CAST(floor(sr * 10) AS INT), 9) AS b
           FROM e WHERE sr >= 0 AND sr <= 1),
@@ -3696,7 +3708,12 @@ def q258_brier_decomposition(spark, sf_dir):
     :func:`maston_spark.evaluation.brier_decomposition`."""
     from maston_spark.evaluation import brier_decomposition
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # event_type IS NOT NULL on BOTH sides: Spark's boolean-cast label
+    # is NULL for a NULL event_type (row dropped by the label filter)
+    # while the oracle's CASE would map it to 0 and keep it
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     vmax = ev.agg(F.max("value").alias("__vmax"))
     scored = ev.crossJoin(F.broadcast(vmax)).select(
         (F.col("value") / F.col("__vmax")).alias("s"),

@@ -1822,14 +1822,45 @@ def bloom_pruned_join(
 
     Keys hash as their STRING form on both sides (md5 lanes,
     ``normalize=False`` — no text canonicalization on join keys).
-    NULL fact keys are dropped (inner-join semantics)."""
+    When the two key columns have DIFFERENT types, both sides are
+    first cast to the type the join itself would coerce them to
+    (resolved via Catalyst's own when/otherwise coercion on a
+    zero-row probe) — otherwise type-divergent string forms (e.g.
+    decimal(18,2) ``'1.00'`` vs bigint ``'1'``) would produce Bloom
+    false NEGATIVES and silently drop rows the plain join matches,
+    violating the bit-identity contract. Keys with no common type
+    raise. NULL fact keys are dropped (inner-join semantics)."""
     from maston_spark.llm.dedup import (
         _bloom_position,
         bloom_probe,
         fold_positions_bitmap,
     )
 
-    dk = F.col(dim_key).cast("string")
+    f_type = fact.schema[fact_key].dataType
+    d_type = dim.schema[dim_key].dataType
+    if f_type == d_type:
+        fact_hash_col = F.col(fact_key)
+        dim_hash_col = F.col(dim_key)
+    else:
+        # let Catalyst name the coerced type: when/otherwise applies
+        # the same implicit-cast resolution a join condition gets
+        try:
+            probe = fact.sparkSession.range(1).select(
+                F.when(
+                    F.lit(True), F.lit(None).cast(f_type)
+                ).otherwise(F.lit(None).cast(d_type)).alias("__k")
+            )
+            common = probe.schema["__k"].dataType
+        except Exception as exc:  # no common type → the join would fail too
+            raise ValueError(
+                f"bloom_pruned_join: no common type for {fact_key} "
+                f"({f_type.simpleString()}) vs {dim_key} "
+                f"({d_type.simpleString()})"
+            ) from exc
+        fact_hash_col = F.col(fact_key).cast(common)
+        dim_hash_col = F.col(dim_key).cast(common)
+
+    dk = dim_hash_col.cast("string")
     pos = dim.filter(dk.isNotNull()).select(
         F.explode(
             F.array(*[_bloom_position(dk, i, m) for i in range(n_hashes)])
@@ -1839,7 +1870,7 @@ def bloom_pruned_join(
     probed = bloom_probe(
         fact.filter(F.col(fact_key).isNotNull()),
         bitmap,
-        text=F.col(fact_key).cast("string"),
+        text=fact_hash_col.cast("string"),
         m=m,
         n_hashes=n_hashes,
         out_col="__bloom_hit",

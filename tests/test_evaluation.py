@@ -735,3 +735,45 @@ def test_brier_decomposition_hand_case_and_identity(spark):
     assert r.uncertainty == round(unc, 6)
     # discrete forecasts: the decomposition IS the Brier score
     assert r.brier_decomposed == r.brier == round(rel - res + unc, 6)
+
+
+def test_poisson_bootstrap_ci_accepts_any_b_and_caller_split_hint(spark):
+    """b need not be a multiple of 4 (lanes come in md5 blocks of 4;
+    replicates >= b drop): b=10 yields 10 replicates, deterministic
+    across partitionings, and its replicate set is a strict prefix of
+    b=12's (same salt, same block hashes). b < 8 still raises."""
+    import pytest as _pt
+
+    from maston_spark.evaluation import poisson_bootstrap_ci
+
+    rows = [(i, 50.0 + (i % 11)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    [r1] = poisson_bootstrap_ci(df.repartition(3), "v", "rid", b=10).collect()
+    [r2] = poisson_bootstrap_ci(
+        df.repartition(13), "v", "rid", b=10, input_splits=13
+    ).collect()
+    assert r1.n_replicates == 10
+    assert (r1.est_mean, r1.ci_lo, r1.ci_hi) == (r2.est_mean, r2.ci_lo, r2.ci_hi)
+    assert r1.ci_lo <= 55.0 <= r1.ci_hi
+    with _pt.raises(ValueError, match="at least 8"):
+        poisson_bootstrap_ci(df, "v", "rid", b=7)
+
+
+def test_srm_from_counts_rogue_arm_raises_directly(spark):
+    """The fail-loud rogue-arm contract lives INSIDE srm_from_counts:
+    a direct caller with an observed arm missing from the design gets
+    a raise, not a silently understated chi-square."""
+    import pytest as _pt
+
+    from maston_spark.evaluation import srm_from_counts
+
+    counts = spark.createDataFrame(
+        [("a", 500), ("b", 480), ("rogue", 20)], "variant string, n_obs long"
+    )
+    with _pt.raises(ValueError, match="not in the design"):
+        srm_from_counts(counts, {"a": 0.5, "b": 0.5})
+    clean = spark.createDataFrame(
+        [("a", 500), ("b", 500)], "variant string, n_obs long"
+    )
+    rows = srm_from_counts(clean, {"a": 0.5, "b": 0.5}).collect()
+    assert rows[0].chi2 == 0.0 and not any(r.srm_detected for r in rows)

@@ -2307,3 +2307,17 @@ def test_effective_sample_size_kish_known_cases(spark):
     assert out["c"].n_eff == round(sw * sw / sww, 6)
     assert out["c"].max_w_share == round(91.0 / sw, 6)
     assert out["z"].n_rows == 1 and out["z"].sum_w == 2.0
+
+
+def test_effective_sample_size_judges_positivity_on_the_rounded_weight(spark):
+    """A raw weight in (0, 5e-7) rounds to exactly 0 on the 6-grid:
+    it must not count toward n_rows (it carries zero weight), and a
+    group made entirely of such weights must vanish instead of
+    closing 0/0."""
+    from maston_spark.llm.sampling import effective_sample_size
+
+    rows = [("m", 1.0)] * 4 + [("m", 2e-7)] + [("tiny", 1e-7), ("tiny", 4e-7)]
+    df = spark.createDataFrame(rows, "src string, w double")
+    out = {r.group: r for r in effective_sample_size(df, "src", "w").collect()}
+    assert "tiny" not in out
+    assert out["m"].n_rows == 4 and out["m"].n_eff == 4.0

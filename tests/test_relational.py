@@ -1319,3 +1319,29 @@ def test_bloom_pruned_join_same_name_key_single_column(spark):
     assert out.columns.count("id") == 1
     agg = out.groupBy("id").count().collect()  # no AMBIGUOUS_REFERENCE
     assert {r.id: r["count"] for r in agg} == {3: 10, 7: 10}
+
+
+def test_bloom_pruned_join_coerces_divergent_key_types(spark):
+    """decimal(18,2) fact keys vs bigint dim keys: the plain join
+    type-coerces and matches ('1.00' == 1), so the Bloom probe must
+    hash BOTH sides in the coerced type — a string-form divergence
+    would produce false negatives and break the identity contract."""
+    from pyspark.sql import functions as F
+
+    from maston_spark.relational import bloom_pruned_join
+
+    fact = spark.createDataFrame(
+        [(i % 20, i) for i in range(400)], "kraw int, v int"
+    ).select(F.col("kraw").cast("decimal(18,2)").alias("k"), "v")
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 20, 3)], "dk long, dname string"
+    )
+    got = sorted(
+        (float(r.k), r.v, r.dk, r.dname)
+        for r in bloom_pruned_join(fact, dim, "k", "dk").collect()
+    )
+    want = sorted(
+        (float(r.k), r.v, r.dk, r.dname)
+        for r in fact.join(dim, fact["k"] == dim["dk"], "inner").collect()
+    )
+    assert got == want and len(got) == 140

@@ -57,3 +57,54 @@ def test_abs_flags_ignore_fast_queries_and_missing_medians():
     # 3x over a 0.3 s median but under the 5 s absolute floor: noise
     assert abs_flags(ok, {"quick": 0.3}) == {}
     assert abs_flags(ok, {}) == {}
+
+
+def test_ratio_flags_tighten_to_2_5x_past_8s_absolute():
+    """Round 12 shipped q164 (5.0 -> 16.4 s, 3.3x) and q166
+    (5.8 -> 13.5 s, 2.3x) unadjudicated because the 5x gate ignored
+    multi-second 2-3x movers; past 8 s absolute on the 10x side the
+    gate is 2.5x."""
+    ok = {
+        "q164_like": {"a": 5.0, "b": 16.4},   # 3.3x, b > 8 -> flag
+        "q166_like": {"a": 5.8, "b": 13.5},   # 2.3x, b > 8 -> quiet (under 2.5x)
+        "linear_big": {"a": 10.0, "b": 20.0}, # 2.0x -> quiet
+        "small_3x": {"a": 2.0, "b": 6.0},     # 3x but b < 8 -> quiet
+        "blowup": {"a": 2.0, "b": 30.0},      # classic 5x gate
+    }
+    assert set(ratio_flags(ok)) == {"q164_like", "blowup"}
+
+
+def test_abs_flags_catch_b_side_artifact_via_last_adjudicated_ratio():
+    """The mirror of q118: a 10x-side single-shot artifact inflates
+    this sweep's ratio; with the query's last-adjudicated ratio known
+    (prior sweep min-of-3), the b-side must flag when it exceeds
+    factor x median x ratio."""
+    ok = {
+        "artifact_b": {"a": 6.0, "b": 80.0},   # last ratio 2.0, med 6 -> cap 36
+        "steady_b": {"a": 6.0, "b": 14.0},     # within cap
+        "no_history": {"a": 6.0, "b": 80.0},   # no prior ratio -> quiet here
+    }
+    medians = {"artifact_b": 6.0, "steady_b": 6.0, "no_history": 6.0}
+    prev = {"artifact_b": 2.0, "steady_b": 2.0}
+    flags = abs_flags(ok, medians, factor=3.0, prev_ratios=prev)
+    assert flags.get("artifact_b", {}).get("side") == "b"
+    assert flags["artifact_b"]["last_adjudicated_ratio"] == 2.0
+    assert "no_history" not in flags
+    # steady_b: 14 < 3 * 6 * 2 = 36 -> quiet
+    assert "steady_b" not in flags
+
+
+def test_load_prev_ratios_prefers_min_of_3(tmp_path):
+    import json as _json
+
+    from tools.sweep_scale import load_prev_ratios
+
+    p = tmp_path / "_sweep.json"
+    p.write_text(_json.dumps({
+        "q_adj": {"a": 5.0, "b": 50.0, "min_of_3": {"a": 5.0, "b": 10.0}},
+        "q_raw": {"a": 2.0, "b": 4.0},
+        "q_err": {"a": "ERR:X", "b": 3.0},
+    }))
+    r = load_prev_ratios(str(p))
+    assert r["q_adj"] == 2.0 and r["q_raw"] == 2.0 and "q_err" not in r
+    assert load_prev_ratios(str(tmp_path / "missing.json")) == {}

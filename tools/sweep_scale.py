@@ -51,22 +51,39 @@ def ratio_flags(ok: dict) -> dict:
     """Superlinear candidates: 10x data costing >5x time AND a
     meaningful absolute cost — sub-second queries ratio-flag on pure
     noise/startup (q115 measured 0.52 -> 2.64 single-shot but
-    0.61 -> 2.1 min-of-4: sublinear for 10x rows, not a hazard)."""
-    return {
-        k: v
-        for k, v in ok.items()
-        if v["b"] > max(5 * v["a"], v["a"] + 2) and v["b"] > 5
-    }
+    0.61 -> 2.1 min-of-4: sublinear for 10x rows, not a hazard).
+    Past 8 s absolute on the 10x side the gate tightens to 2.5x:
+    a multi-second 2-3x mover (round 12's q164 5.0 -> 16.4 s,
+    q166 5.8 -> 13.5 s) costs enough that it deserves the same
+    min-of-3 adjudication the 5x movers get, even when plausibly
+    intrinsic."""
+    return {k: v for k, v in ok.items() if _ratio_bad(v["a"], v["b"])}
 
 
-def abs_flags(ok: dict, medians: dict, factor: float = 3.0) -> dict:
+def _ratio_bad(a: float, b: float) -> bool:
+    return (b > max(5 * a, a + 2) and b > 5) or (
+        b > 8 and b > max(2.5 * a, a + 2)
+    )
+
+
+def abs_flags(
+    ok: dict,
+    medians: dict,
+    factor: float = 3.0,
+    prev_ratios: "dict | None" = None,
+) -> dict:
     """ABSOLUTE anomalies the ratio gate can't see: a single-shot
     time on EITHER side that exceeds ``factor``x the query's headline
     bench median (where one exists) is suspicious even when the a/b
     ratio looks fine — round 11's q118 recorded 67.5 s at sf0.1
     (headline median ~23 s) and produced a 'good' 0.35x ratio that
-    was never re-measured. Flagged queries get the same min-of-3
+    was never re-measured. The b-side check is the mirror image: a
+    10x-side single-shot past ``factor`` x (median x the query's
+    LAST-ADJUDICATED a->b ratio, from the previous sweep's min-of-3
+    where present) means 10x-side noise is inflating this sweep's
+    ratio unflagged. Flagged queries get the same min-of-3
     adjudication as ratio candidates."""
+    prev_ratios = prev_ratios or {}
     flags = {}
     for k, v in ok.items():
         med = medians.get(k)
@@ -78,7 +95,41 @@ def abs_flags(ok: dict, medians: dict, factor: float = 3.0) -> dict:
             # artifact (q118's exact shape: 67.5 s at sf0.1, 23.5 s
             # at 10x — a 'good' 0.35x ratio hiding a bad measurement)
             flags[k] = {"side": "a", "single_shot": v["a"], "b_side": v["b"]}
+        elif (
+            med
+            and med > 0
+            and prev_ratios.get(k)
+            and v["b"] > factor * med * prev_ratios[k]
+            and v["b"] > 5
+        ):
+            flags[k] = {
+                "side": "b",
+                "single_shot": v["b"],
+                "headline_median": med,
+                "last_adjudicated_ratio": round(prev_ratios[k], 3),
+            }
     return flags
+
+
+def load_prev_ratios(out_path: str) -> dict:
+    """Per-query a->b ratios from the PREVIOUS sweep artifact (the
+    b-side absolute gate's reference): min-of-3 numbers where that
+    sweep adjudicated, raw single-shots otherwise. Empty when no
+    prior sweep exists — the b-side gate stays quiet on first run."""
+    if not os.path.exists(out_path):
+        return {}
+    try:
+        prev = json.load(open(out_path))
+    except Exception:  # noqa: BLE001
+        return {}
+    out = {}
+    for k, v in prev.items():
+        best = v.get("min_of_3") if isinstance(v, dict) else None
+        src = best if isinstance(best, dict) else v
+        a, b = src.get("a"), src.get("b")
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)) and a > 0:
+            out[k] = b / a
+    return out
 
 
 def load_headline_medians(repo_dir: str) -> dict:
@@ -132,6 +183,7 @@ def main() -> None:
     from maston_spark.queries import all_queries
     from maston_spark.session import build_session
 
+    prev_ratios = load_prev_ratios(out)
     qs = all_queries()
     spark = build_session("sweep-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -168,7 +220,7 @@ def main() -> None:
     medians = load_headline_medians(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    anomalies = abs_flags(ok, medians)
+    anomalies = abs_flags(ok, medians, prev_ratios=prev_ratios)
     for k, info in anomalies.items():
         print(f"ABS-ANOMALY {k}: {json.dumps(info)}")
         flagged.setdefault(k, ok[k])
@@ -200,7 +252,7 @@ def main() -> None:
             )
         print(f"ADJUDICATE {k}: single-shot {flagged[k]} -> min-of-3 {adj}")
         adjudicated[k] = adj
-        if adj["b"] > max(5 * adj["a"], adj["a"] + 2) and adj["b"] > 5:
+        if _ratio_bad(adj["a"], adj["b"]):
             if k in JUSTIFIED:
                 print(f"JUSTIFIED {k}: {JUSTIFIED[k]} ({adj})")
             else:
