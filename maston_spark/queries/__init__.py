@@ -86,7 +86,13 @@ _PRIORITY = [
     # its slot grades the salted-join identity claim, externally
     # certifying that skew mitigation is result-invariant)
     "q207_salted_join",
-    "q148_gopher_gate", "q178_ks_drift", "q61_process_errors",
+    # (round-13 rotation: q148 Gopher-gate's scalar rule battery —
+    # word/length/regexp/repetition statistics — stays graded via
+    # q155's gram-table substring battery plus the q45-family text
+    # statistics it composes; its slot grades q242's NDCG@k/MRR,
+    # whose mirrored-literal log discounts are the no-libm-trusted
+    # discipline nothing else in the window certifies externally)
+    "q242_ndcg_mrr", "q178_ks_drift", "q61_process_errors",
     # (q151 PQ-ADC standalone is subsumed by graded q153, whose search
     # stage runs the same lookup-table scoring; its slot grades the
     # RESIDUAL-encoded IVF-PQ — the faiss IndexIVFPQ layout)
@@ -106,7 +112,12 @@ _PRIORITY = [
     # richly via q01/q03/q07/q19/q68/q69/q79-composites; its slot
     # grades Misra-Gries deterministic-recall heavy hitters — the
     # counter-based frequent-items physics CMS q169 does NOT cover)
-    "q173_mg_heavy_hitters", "q118_pagerank",
+    # (round-13 rotation: q173 Misra-Gries' counter-based frequent-
+    # items family stays graded via q169's count-min heavy hitters —
+    # the broadcast-probe member; its slot grades q244's Bloom-pruned
+    # runtime-filter join, whose bit-equality-to-the-plain-join
+    # identity claim is graded externally like q207's salted join)
+    "q244_bloom_pruned_join", "q118_pagerank",
     # (q68 not-exists anti-join is the mirror of graded q07's semi —
     # the same null-aware hash-join physics; q69 keeps the scalar-
     # subquery slot. q68's freed slot grades the round-10 KLL sketch,
@@ -186,7 +197,12 @@ _PRIORITY = [
     # the same sign-hash moment sketches; its slot grades the
     # leave-one-bucket-out jackknife — the correlated-RATIO variance
     # physics next to q234's mean bootstrap)
-    "q230_hll_cube", "q217_join_size_estimate", "q235_transition_lift",
+    # (round-13 rotation: q235 transition lift's one-agg integer
+    # cross-multiplied-marginals family stays graded via q234's
+    # bootstrap folds and q241's jackknife buckets; its slot grades
+    # q227's IPF raking — fixed-point IEEE+round-replay convergence,
+    # an iterative-algorithm grading physics no graded query has)
+    "q230_hll_cube", "q217_join_size_estimate", "q227_ipf_raking",
     "q234_bootstrap_ci", "q241_jackknife_ratio",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
@@ -209,7 +225,12 @@ _PRIORITY = [
     # transitivity census + q152's end-to-end report; its slot grades
     # q237's Chao1 species-richness estimation — singleton/doubleton
     # abundance physics, the vocabulary-saturation planner)
-    "q141_data_quality", "q237_chao1_vocab",
+    # (round-13 rotation: q237 Chao1's singleton/doubleton abundance
+    # family is a one-agg integer member kept graded by q234/q241's
+    # inference folds; its slot grades q254's split-conformal bound —
+    # finite-sample order-statistic coverage via the two-phase global
+    # rank, new grading physics)
+    "q141_data_quality", "q254_conformal_interval",
     "q55_dup_clusters", "q221_cuped",
     # (q58_hash_split is a pure projection whose hash-sampling family
     # stays graded via q88_domain_cap; its slot grades the two-phase
@@ -223,7 +244,13 @@ _PRIORITY = [
     # planner that subsumes the per-domain quota; its slot grades
     # q194 — binned-TVD drift, the exactly-computable PSI shape, a
     # different grading physics from q178's KS sup-norm)
-    "q127_budget_select", "q196_table_sketch_profile",
+    # (round-13 rotation: q196's fused single-scan profile family —
+    # per-column moments, HLL distincts, bounded top-k — stays graded
+    # via q202's HLL estimator and q141's constraint battery; its
+    # slot grades q250's streaming-SRM prefix twin, completing the
+    # externally-graded topology-twin matrix for the experimentation
+    # family)
+    "q127_budget_select", "q250_srm_prefix",
     "q194_binned_tvd_drift",
     # (round-12: q90 winnowing's robust-fingerprint family stays
     # graded via q155's gram-table substring removal and q152's
@@ -268,8 +295,14 @@ _PRIORITY = [
     "q169_cms_heavy_hitters", "q87_avro_evolution", "q92_avro_roundtrip",
     # past the driver's 50-query graded window (locally
     # oracle-verified; first in line if the window widens).
-    # round-12 demotions lead (each family's graded flagship named in
-    # the promotion comments above), then round-11's, round-10's...
+    # next two rotation candidates if a graded row frees up (round-12
+    # verdict #5): survivorship's planted-corruption healing and the
+    # rolling-HLL incremental-equals-one-shot topology claim
+    "q251_golden_record", "q231_hll_rolling_prefix",
+    # round-13 demotions lead (each family's graded flagship named in
+    # the promotion comments above), then round-12's, round-11's...
+    "q148_gopher_gate", "q173_mg_heavy_hitters", "q196_table_sketch_profile",
+    "q235_transition_lift", "q237_chao1_vocab",
     "q12_asof_join", "q33_tumbling_window", "q69_scalar_subquery",
     "q168_kmv_set_ops", "q90_winnow_fingerprints", "q153_ivf_pq",
     # round-12 second-wave demotions (each family's graded flagship
@@ -282,8 +315,8 @@ _PRIORITY = [
     # Neyman stratified allocation
     "q222_brand_basket_pairs", "q223_priority_sample",
     "q224_neyman_allocation", "q225_hll_rolling_distinct",
-    "q227_ipf_raking", "q228_benford_audit",
-    "q229_gains_table", "q231_hll_rolling_prefix",
+    "q228_benford_audit",
+    "q229_gains_table",
     "q232_pruning_effectiveness", "q233_heavy_hitter_delta",
     "q236_diff_in_diff", "q238_mde_power",
     "q239_fleiss_kappa",
@@ -294,19 +327,16 @@ _PRIORITY = [
     # round-12 third-wave demotions (flagships named in the
     # promotion comments above)
     "q20_window_rank", "q176_ams_f2",
-    "q240_srm_check", "q242_ndcg_mrr",
-    "q243_krippendorff_alpha", "q244_bloom_pruned_join",
+    "q240_srm_check",
+    "q243_krippendorff_alpha",
     "q245_eb_keep_rates",
     # PSI drift (third lens), lang×source mutual information,
     # quantile treatment effects
     "q247_psi_drift", "q248_mutual_information",
     "q249_quantile_treatment",
-    # streaming SRM monitor's oracle-graded fold twin
-    "q250_srm_prefix",
-    # golden-record survivorship, two-proportion shift test, RBO
-    "q251_golden_record", "q252_proportion_shift", "q253_rbo_rankings",
-    # split-conformal bound (finite-sample order statistic), Flesch
-    "q254_conformal_interval", "q255_readability",
+    # two-proportion shift test, RBO, Flesch readability
+    "q252_proportion_shift", "q253_rbo_rankings",
+    "q255_readability",
     # log-rank two-sample survival comparison (q246's inference half)
     "q256_logrank_test",
     # Kish effective sample size for weighted corpora

@@ -102,7 +102,7 @@ def test_graded_window_covers_unique_capabilities():
         "q139_gapfill", "q141_data_quality",
         # round-9 promotions: the novel round-8 operators plus the
         # composed IVF-PQ flagship are driver-graded
-        "q143_cdc_upsert", "q148_gopher_gate",
+        "q143_cdc_upsert",
         "q152_dedup_report",
         # round-10 promotions: round-9's novel physics — keep-first
         # substring removal, hybrid rank fusion, residual IVF-PQ
@@ -113,11 +113,8 @@ def test_graded_window_covers_unique_capabilities():
         "q169_cms_heavy_hitters",
         "q172_dup_transitivity",
         "q178_ks_drift",
-        # round-10 promotions: round-9's ungraded novel physics —
-        # deterministic-recall frequent items (Misra-Gries), the AMS
-        # F2 moment sketch, LSH-pair source attribution, the XOR-fold
-        # table fingerprint, and token-weighted water-fill allocation
-        "q173_mg_heavy_hitters",
+        # round-10 promotions still graded: the XOR-fold table
+        # fingerprint and token-weighted water-fill allocation
         "q185_table_fingerprint",
         "q189_token_water_fill",
         # round-11 promotions: round-10's ungraded novel physics —
@@ -127,7 +124,7 @@ def test_graded_window_covers_unique_capabilities():
         # operator-owned float canonicalization), and token-weighted
         # order statistics
         "q192_kll_quantiles", "q194_binned_tvd_drift",
-        "q195_incremental_neardup", "q196_table_sketch_profile",
+        "q195_incremental_neardup",
         # round-11 in-round promotions: the round's own novel physics
         # graded immediately rather than waiting a round — HLL (third
         # distinct-count physics), the brute-force-ground-truth-graded
@@ -146,23 +143,30 @@ def test_graded_window_covers_unique_capabilities():
         # round-12 second-wave promotions: the round's own novel
         # physics graded in-round — value-histogram trimmed stats,
         # HLL rollup-cube mergeability, deterministic Poisson
-        # bootstrap, directed transition lift, Chao1 richness
+        # bootstrap
         "q226_trimmed_mean", "q230_hll_cube", "q234_bootstrap_ci",
-        "q235_transition_lift", "q237_chao1_vocab",
         # round-12 third wave: jackknife ratio CI (correlated-ratio
         # variance) and Kaplan-Meier survival (product-limit hazard)
         "q241_jackknife_ratio", "q246_kaplan_meier",
+        # round-13 promotions: round-12's ungraded novel physics —
+        # the Bloom-pruned runtime-filter join's bit-equality identity
+        # claim, the split-conformal finite-sample order statistic,
+        # NDCG/MRR's mirrored-literal log discounts, IPF raking's
+        # fixed-point IEEE+round replay, and the streaming-SRM prefix
+        # twin that completes the topology-twin matrix
+        "q244_bloom_pruned_join", "q254_conformal_interval",
+        "q242_ndcg_mrr", "q227_ipf_raking", "q250_srm_prefix",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
     siblings = {
         "q36_drop_duplicates": "q63_delta_expr",
-        "q46_lang_id": "q148_gopher_gate",
+        "q46_lang_id": "q155_keep_first_substring",
         "q62_safe_serialize": "q92_avro_roundtrip",
         # q45's length/punct/regexp text family is graded via the
         # gopher rule battery, which computes the same statistics;
         # q73's registry-dispatch decode is graded via q87+q92
-        "q45_text_stats": "q148_gopher_gate",
+        "q45_text_stats": "q155_keep_first_substring",
         "q73_safe_avro": "q87_avro_evolution",
         "q167_kmv_distinct": "q202_hll_distinct",
         # q61's topology-1 pipeline runs the same safe_from_json
@@ -181,7 +185,7 @@ def test_graded_window_covers_unique_capabilities():
         "q22_window_frames": "q212_group_auc",
         "q67_exists_subquery": "q07_join_semi",
         "q71_in_subquery": "q07_join_semi",
-        "q101_lexical_diversity": "q148_gopher_gate",
+        "q101_lexical_diversity": "q155_keep_first_substring",
         "q59_source_mix": "q189_token_water_fill",
         "q58_hash_split": "q189_token_water_fill",
         "q64_delta_fold": "q63_delta_expr",
@@ -199,7 +203,7 @@ def test_graded_window_covers_unique_capabilities():
         "q156_query_likelihood": "q123_bm25_rank",
         "q47_fingerprint": "q152_dedup_report",
         "q23_topk_per_group": "q212_group_auc",
-        "q51_quality_score": "q148_gopher_gate",
+        "q51_quality_score": "q155_keep_first_substring",
         # round-10 demotions: scalar string/json fns are exercised by
         # the regexp/substring-heavy graded gopher battery + keep-
         # first removal; the TPC-H multi-join-agg family stays graded
@@ -208,7 +212,7 @@ def test_graded_window_covers_unique_capabilities():
         # near-dup confirm is graded via q152's pipeline; DSIR's
         # n-gram-LM scoring is graded via q96+q123
         "q26_string_fns": "q155_keep_first_substring",
-        "q31_json_fns": "q148_gopher_gate",
+        "q31_json_fns": "q155_keep_first_substring",
         "q65_shipping_priority": "q03_join_inner",
         "q66_local_supplier_volume": "q03_join_inner",
         "q49_media_features": "q94_semantic_dedup",
@@ -223,7 +227,7 @@ def test_graded_window_covers_unique_capabilities():
         # physics; the allocation family via q189's water-fill
         "q128_robust_outliers": "q226_trimmed_mean",
         "q96_bigram_perplexity": "q123_bm25_rank",
-        "q104_embedding_covariance": "q196_table_sketch_profile",
+        "q104_embedding_covariance": "q217_join_size_estimate",
         "q68_not_exists_antijoin": "q07_join_semi",
         "q88_domain_cap": "q189_token_water_fill",
         # round-11 in-round swaps: the span-dedup gram-table family
@@ -263,6 +267,17 @@ def test_graded_window_covers_unique_capabilities():
         # verbatim inside the graded join-size forecast
         "q20_window_rank": "q212_group_auc",
         "q176_ams_f2": "q217_join_size_estimate",
+        # round-13 demotions: the Gopher rule battery's scalar text
+        # statistics stay graded via the gram-table substring member
+        # (regexp/word/length physics); Misra-Gries via the count-min
+        # broadcast-probe member; the fused profile via the HLL
+        # estimator it embeds; transition lift and Chao1 are one-agg
+        # integer families kept by the graded inference folds
+        "q148_gopher_gate": "q155_keep_first_substring",
+        "q173_mg_heavy_hitters": "q169_cms_heavy_hitters",
+        "q196_table_sketch_profile": "q202_hll_distinct",
+        "q235_transition_lift": "q234_bootstrap_ci",
+        "q237_chao1_vocab": "q241_jackknife_ratio",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
