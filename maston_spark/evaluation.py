@@ -459,6 +459,48 @@ _POISSON1_THRESHOLDS = [
 ]
 
 
+def _estimate_scan_splits(df: DataFrame, slots: int) -> "int | None":
+    """Metadata-only estimate of a file-backed scan's split count (no
+    RDD conversion of the analyzed plan): Spark packs files into
+    partitions of ``maxPartitionBytes``, so splits ≈ Σ ceil(size /
+    maxPartitionBytes) over the scan's files. Returns None (= assume
+    adequately parallel) for non-file upstreams and non-local URIs —
+    an already-shuffled input arrives in shuffle-partition-count
+    splits anyway. Stats at most ``slots`` files: once the file count
+    alone reaches the slot count the answer can't be 'underparallel'."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= slots:
+        return len(files)
+    try:
+        mpb = int(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+            ).rstrip("b")
+        )
+    except Exception:
+        mpb = 128 * 1024 * 1024
+    import os
+
+    splits = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None
+        path = uri[len("file:") :]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            size = os.stat(path).st_size
+        except OSError:
+            return None
+        splits += max(1, -(-size // mpb))
+    return splits
+
+
 def poisson_bootstrap_ci(
     df: DataFrame,
     value_col: str,
@@ -534,11 +576,7 @@ def poisson_bootstrap_ci(
     # full-data shuffle for it
     slots = df.sparkSession.sparkContext.defaultParallelism
     if input_splits is None:
-        try:
-            # metadata-only: no RDD conversion of the analyzed plan
-            input_splits = len(df.inputFiles()) or None
-        except Exception:
-            input_splits = None
+        input_splits = _estimate_scan_splits(df, slots)
     if input_splits is not None and input_splits < slots:
         base = base.repartition(slots)
     # one md5 per (row, 4-replicate block): the 128-bit digest carries
