@@ -44,6 +44,18 @@ JUSTIFIED = {
         "round 10: the ~4x data ratio is the duplication profile; round "
         "11 re-adjudicated 2.07 -> 11.3 s min-of-3 on untouched code)"
     ),
+    "q111_exact_substring_dedup": (
+        "work is bounded by k*tokens and scales with the DUPLICATED-gram "
+        "occurrence mass; the replica generator saturates it 10% -> 100% "
+        "(measured), so the covered-position side grows ~100x while time "
+        "grows 5.3x min-of-3 (1.03 -> 5.43 s, SCALE.md round 13) -- the "
+        "intrinsic input-property jump, not superlinearity in corpus size"
+    ),
+    "q155_keep_first_substring": (
+        "same gram-table bound as q111 (k*tokens) plus one co-partitioned "
+        "keep-first agg; dup saturation 10% -> 100% under replicas; "
+        "min-of-3 1.63 -> 7.79 s = 4.8x (SCALE.md round 13)"
+    ),
 }
 
 
