@@ -1729,3 +1729,540 @@ def brier_decomposition(
         F.round(unc, 6).alias("uncertainty"),
         F.round(rel - res + unc, 6).alias("brier_decomposed"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) two-sample test with
+    the standard midrank tie correction — one row ``(n_0, n_1, u_1,
+    auc_1, z)``: the NONPARAMETRIC two-sample location test (does the
+    treatment arm's metric distribution stochastically dominate?),
+    the rank-based companion to :func:`welch_ttest`'s moment form.
+    ``u_1`` is group 1's U statistic, ``auc_1 = U₁/(n₀·n₁)`` is the
+    probability-of-superiority effect size (exactly q212's rank-form
+    AUC of the group label), and ``z`` is the tie-corrected normal
+    approximation ``(U₁ − n₀n₁/2) / σ`` with
+    ``σ² = n₀n₁/12 · ((n+1) − Σ(t³−t)/(n(n−1)))``.
+
+    Exact shape (the value-histogram pattern of q15/q226): ONE
+    combiner-reduced aggregation collapses the corpus to its distinct
+    6-grid values with per-group counts; midranks come from a
+    cumulative window over that BOUNDED frame (bounded-domain
+    precondition: distinct metric values, not rows), and ``2·R₁ =
+    Σ c₁·(2·C_prev + c + 1)`` stays INTEGER (decimal(38,0)) — no
+    per-row rank window, no n₊·n₋ pair comparison. The only IEEE
+    steps are the closing divisions and one correctly-rounded sqrt,
+    replayed identically by the oracle. Groups must be coded 0/1;
+    NULL values drop."""
+    g = F.col(group_col).cast("int")
+    vi = F.round(F.col(value_col).cast("double"), 6) * F.lit(1000000)
+    base = df.filter(
+        F.col(value_col).isNotNull() & g.isin(0, 1)
+    ).select(
+        F.round(vi, 0).cast("long").alias("__v"), g.alias("__g")
+    )
+    hist = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum("__g").cast("long").alias("__c1"),
+    )
+    # cumulative count of strictly-smaller values: a window over the
+    # bounded distinct-value frame (value histogram), never the corpus
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    dec = "decimal(38,0)"
+    stepped = hist.select(
+        "__c",
+        "__c1",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).cast("long").alias("__cp"),
+    )
+    agg = stepped.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum("__c1").cast("long").alias("__n1"),
+        # 2*R1 = sum over values of c1 * (2*C_prev + c + 1)  (integer)
+        F.sum(
+            (
+                F.col("__c1").cast(dec)
+                * (F.lit(2) * F.col("__cp") + F.col("__c") + F.lit(1)).cast(dec)
+            )
+        ).alias("__r2"),
+        # tie correction sum(t^3 - t) over tied runs
+        F.sum(
+            (
+                F.col("__c").cast(dec) * F.col("__c").cast(dec) * F.col("__c").cast(dec)
+                - F.col("__c").cast(dec)
+            )
+        ).alias("__tt"),
+    )
+    n = F.col("__n").cast("double")
+    n1 = F.col("__n1").cast("double")
+    n0 = (F.col("__n") - F.col("__n1")).cast("double")
+    # 2*U1 = 2*R1 - n1*(n1+1)  (integer, exact)
+    u2 = F.col("__r2").cast("double") - n1 * (n1 + F.lit(1.0))
+    var = (
+        n0
+        * n1
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("__tt").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    z = (u2 - n0 * n1) / (F.lit(2.0) * F.sqrt(var))
+    return agg.select(
+        (F.col("__n") - F.col("__n1")).alias("n_0"),
+        F.col("__n1").alias("n_1"),
+        F.round(u2 / F.lit(2.0), 6).alias("u_1"),
+        F.round(u2 / (F.lit(2.0) * n0 * n1), 6).alias("auc_1"),
+        F.when(var > 0, F.round(z, 6)).alias("z"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test — one row ``(n_0,
+    n_1, mean_0, mean_1, t_stat, df_welch)``: the moment-form
+    location test next to :func:`mann_whitney_u`'s rank form, with
+    the Satterthwaite effective degrees of freedom (the safe default
+    when arm variances differ — Welch 1947).
+
+    Exact shape: values land on the 6-grid and fold as INTEGER 1e6
+    lanes — per-group Σxᵢ and Σxᵢ² in decimal(38,0), exact in any
+    merge order (per-row square in int64: precondition |x| ≤ ~3e3 at
+    the 6-grid, the same bound family as q258's 1e9 lanes; widen the
+    grid for larger domains). The closing means/variances/t/df are a
+    fixed IEEE sequence both engines replay. Groups coded 0/1; NULL
+    values drop; the t and df are NULL when either arm has < 2 rows
+    or both sample variances are 0."""
+    g = F.col(group_col).cast("int")
+    xi = F.round(
+        F.round(F.col(value_col).cast("double"), 6) * F.lit(1000000), 0
+    ).cast("long")
+    dec = "decimal(38,0)"
+    base = df.filter(F.col(value_col).isNotNull() & g.isin(0, 1)).select(
+        g.alias("__g"), xi.alias("__x")
+    )
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__x").cast(dec)).alias("__s"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec)).alias("__ss"),
+    )
+    # two bounded rows -> one row via conditional sums
+    a = per.agg(
+        F.sum(F.when(F.col("__g") == 0, F.col("__n"))).cast("long").alias("n_0"),
+        F.sum(F.when(F.col("__g") == 1, F.col("__n"))).cast("long").alias("n_1"),
+        F.sum(F.when(F.col("__g") == 0, F.col("__s"))).alias("__s0"),
+        F.sum(F.when(F.col("__g") == 1, F.col("__s"))).alias("__s1"),
+        F.sum(F.when(F.col("__g") == 0, F.col("__ss"))).alias("__ss0"),
+        F.sum(F.when(F.col("__g") == 1, F.col("__ss"))).alias("__ss1"),
+    )
+    n0 = F.col("n_0").cast("double")
+    n1 = F.col("n_1").cast("double")
+    s0 = F.col("__s0").cast("double")
+    s1 = F.col("__s1").cast("double")
+    ss0 = F.col("__ss0").cast("double")
+    ss1 = F.col("__ss1").cast("double")
+    m0 = s0 / n0 / F.lit(1e6)
+    m1 = s1 / n1 / F.lit(1e6)
+    v0 = (n0 * ss0 - s0 * s0) / (n0 * (n0 - F.lit(1.0))) / F.lit(1e12)
+    v1 = (n1 * ss1 - s1 * s1) / (n1 * (n1 - F.lit(1.0))) / F.lit(1e12)
+    se2 = v0 / n0 + v1 / n1
+    t = (m1 - m0) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (v0 / n0) * (v0 / n0) / (n0 - F.lit(1.0))
+        + (v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+    )
+    ok = (F.col("n_0") >= 2) & (F.col("n_1") >= 2)
+    return a.select(
+        "n_0",
+        "n_1",
+        F.round(m0, 6).alias("mean_0"),
+        F.round(m1, 6).alias("mean_1"),
+        F.when(ok & (se2 > 0), F.round(t, 6)).alias("t_stat"),
+        F.when(ok & (se2 > 0), F.round(dfw, 6)).alias("df_welch"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F statistic across k groups — one row
+    ``(k_groups, n_rows, ss_between, ss_within, f_stat)``: does ANY
+    group mean differ (the k-arm generalization of the two-sample
+    tests; run it before pairwise readouts to bound the multiple-
+    comparison surface).
+
+    Exact shape: one combiner-reduced aggregation folds per-group
+    (n, Σxᵢ, Σxᵢ²) as integer 1e6 lanes in decimal(38,0) (same
+    precondition as :func:`welch_ttest`); each group's
+    ``Sx²/n`` term rounds to the 9-grid before the |groups|-bounded
+    decimal(28,9) sum (the bounded-frame fold pattern), and the
+    F ratio is one fixed IEEE close. NULL values and NULL groups
+    drop; f_stat is NULL when k < 2, n ≤ k, or SSW is 0."""
+    xi = F.round(
+        F.round(F.col(value_col).cast("double"), 6) * F.lit(1000000), 0
+    ).cast("long")
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), xi.alias("__x"))
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__x").cast(dec)).alias("__s"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec)).alias("__ss"),
+    )
+    gterm = F.round(
+        F.col("__s").cast("double")
+        * F.col("__s").cast("double")
+        / F.col("__n").cast("double")
+        / F.lit(1e12),
+        9,
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum(F.col("__s")).alias("__st"),
+        F.sum(F.col("__ss")).alias("__sst"),
+        F.sum(gterm.cast("decimal(28,9)")).alias("__gsum"),
+    )
+    nd = F.col("n_rows").cast("double")
+    ssb = F.col("__gsum").cast("double") - (
+        F.col("__st").cast("double") * F.col("__st").cast("double")
+    ) / nd / F.lit(1e12)
+    ssw = F.col("__sst").cast("double") / F.lit(1e12) - F.col(
+        "__gsum"
+    ).cast("double")
+    k = F.col("k_groups").cast("double")
+    fstat = (ssb / (k - F.lit(1.0))) / (ssw / (nd - k))
+    ok = (
+        (F.col("k_groups") >= 2)
+        & (F.col("n_rows") > F.col("k_groups"))
+        & (ssw > 0)
+    )
+    return agg.select(
+        "k_groups",
+        "n_rows",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.when(ok, F.round(fstat, 6)).alias("f_stat"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    group_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel stratified 2×2 analysis — one row
+    ``(n_strata, n_rows, or_mh, chi2_cmh, significant_95)``: the
+    common odds ratio and Cochran-Mantel-Haenszel chi-square across
+    strata (Mantel & Haenszel 1959), the confounder-adjusted readout
+    for a binary exposure/outcome when a stratifier (country,
+    surface, date bucket) would otherwise Simpson-flip the pooled
+    table. ``or_mh = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)``; the CMH statistic
+    compares Σaᵢ to its conditional expectation with the
+    hypergeometric variance, against chi-square(1) at 0.05
+    (3.841458820694124 embedded as a literal, never an in-engine
+    CDF).
+
+    Exact shape: ONE combiner-reduced aggregation collapses the
+    corpus to |strata| integer 2×2 tables; every per-stratum term
+    (ad/n, bc/n, E[a], V[a]) rounds to the 9-grid before the
+    bounded decimal(28,9) stratum sum, and the two closing
+    quotients are fixed IEEE. Strata where any margin is 0
+    contribute their exact (possibly 0) terms; groups/outcomes
+    coded 0/1; NULL in any of the three columns drops the row."""
+    g = F.col(group_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    base = df.filter(
+        F.col(stratum_col).isNotNull() & g.isin(0, 1) & y.isin(0, 1)
+    ).select(F.col(stratum_col).alias("__s"), g.alias("__g"), y.alias("__y"))
+    per = base.groupBy("__s").agg(
+        F.sum(((F.col("__g") == 1) & (F.col("__y") == 1)).cast("long")).alias("__a"),
+        F.sum(((F.col("__g") == 1) & (F.col("__y") == 0)).cast("long")).alias("__b"),
+        F.sum(((F.col("__g") == 0) & (F.col("__y") == 1)).cast("long")).alias("__c"),
+        F.sum(((F.col("__g") == 0) & (F.col("__y") == 0)).cast("long")).alias("__d"),
+    )
+    nd = (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")).cast(
+        "double"
+    )
+    a = F.col("__a").cast("double")
+    b = F.col("__b").cast("double")
+    c = F.col("__c").cast("double")
+    d = F.col("__d").cast("double")
+    r1 = a + b
+    r0 = c + d
+    c1 = a + c
+    c0 = b + d
+    dec = "decimal(28,9)"
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        (F.sum(F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")))
+        .cast("long")
+        .alias("n_rows"),
+        F.sum(F.col("__a")).cast("long").alias("__sa"),
+        F.sum(F.round(a * d / nd, 9).cast(dec)).alias("__ad"),
+        F.sum(F.round(b * c / nd, 9).cast(dec)).alias("__bc"),
+        F.sum(F.round(r1 * c1 / nd, 9).cast(dec)).alias("__e"),
+        F.sum(
+            F.round(
+                r1 * r0 * c1 * c0 / (nd * nd * (nd - F.lit(1.0))), 9
+            ).cast(dec)
+        ).alias("__v"),
+    )
+    num = F.col("__sa").cast("double") - F.col("__e").cast("double")
+    chi2 = F.round(num * num / F.col("__v").cast("double"), 6)
+    or_mh = F.when(
+        F.col("__bc").cast("double") > 0,
+        F.round(F.col("__ad").cast("double") / F.col("__bc").cast("double"), 6),
+    )
+    return agg.select(
+        "n_strata",
+        "n_rows",
+        or_mh.alias("or_mh"),
+        F.when(F.col("__v").cast("double") > 0, chi2).alias("chi2_cmh"),
+        F.coalesce(
+            F.when(
+                F.col("__v").cast("double") > 0,
+                chi2 > F.lit(3.841458820694124),
+            ),
+            F.lit(False),
+        ).alias("significant_95"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test — one row ``(n_rows, n_pos,
+    n_levels, z_trend, chi2_trend)``: is a binary outcome's rate
+    MONOTONE in an ordered exposure (dose level, priority tier,
+    quality bucket)? The chi-square-for-trend that a flat k-level
+    independence test (q130's shape) cannot see: it weights levels
+    by their integer scores (Cochran 1954, Armitage 1955).
+
+    Exact shape: one aggregation collapses the corpus to |levels|
+    integer (n_i, a_i) rows; the statistic is assembled ENTIRELY in
+    the integer domain via cross-multiplication —
+    ``z² = N·(N·Σs·a − A·Σs·n)² / (A·(N−A)·(N·Σn·s² − (Σn·s)²))``
+    with every product held in decimal(38,0) — so the only IEEE
+    steps are the closing division and one correctly-rounded sqrt.
+    ``z_trend`` carries the sign of the raw trend (positive = rate
+    rising with score). Scores must be integers; NULLs drop;
+    degenerate margins (A = 0, A = N, or zero score variance) emit
+    NULL statistics."""
+    s = F.col(score_col).cast("long")
+    y = F.col(outcome_col).cast("int")
+    base = df.filter(s.isNotNull() & y.isin(0, 1)).select(
+        s.alias("__s"), y.alias("__y")
+    )
+    per = base.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__a"),
+    )
+    dec = "decimal(38,0)"
+    agg = per.agg(
+        F.sum("__n").cast("long").alias("__nn"),
+        F.sum("__a").cast("long").alias("__aa"),
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.sum((F.col("__s") * F.col("__a")).cast(dec)).alias("__sa"),
+        F.sum((F.col("__s") * F.col("__n")).cast(dec)).alias("__sn"),
+        F.sum((F.col("__s") * F.col("__s") * F.col("__n")).cast(dec)).alias(
+            "__ssn"
+        ),
+    )
+    nn = F.col("__nn").cast(dec)
+    aa = F.col("__aa").cast(dec)
+    num_i = nn * F.col("__sa") - aa * F.col("__sn")  # decimal, exact
+    # the denominator splits into two exact decimal factors (each
+    # ≤ ~1e22, safely inside 38 digits — their single product could
+    # not be) multiplied as doubles at the close
+    den_a = aa * (nn - aa)
+    den_b = nn * F.col("__ssn") - F.col("__sn") * F.col("__sn")
+    chi2 = (
+        F.col("__nn").cast("double")
+        * num_i.cast("double")
+        * num_i.cast("double")
+        / (den_a.cast("double") * den_b.cast("double"))
+    )
+    z = F.sqrt(chi2)
+    ok = (den_a.cast("double") > 0) & (den_b.cast("double") > 0)
+    return agg.select(
+        F.col("__nn").alias("n_rows"),
+        F.col("__aa").alias("n_pos"),
+        "n_levels",
+        F.when(
+            ok,
+            F.round(
+                F.when(num_i < 0, -z).otherwise(z),
+                6,
+            ),
+        ).alias("z_trend"),
+        F.when(ok, F.round(chi2, 6)).alias("chi2_trend"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    id_col: str,
+    lane_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 20,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a battery of
+    hypotheses — per hypothesis ``(id, p_value, rank, bh_threshold,
+    rejected)``: the multiple-testing gate every per-segment metric
+    sweep needs before acting on its 'significant' cells (Benjamini
+    & Hochberg 1995). Rejects all hypotheses ranked ≤ k* where
+    ``k* = max{k : p₍ₖ₎ ≤ k·α/m}``.
+
+    p-values arrive as 32-bit integer LANES (``p = lane / 2³²`` —
+    the engine's md5-lane convention, e.g. a permutation-test rank
+    or an upstream test's discretized p), and α as the rational
+    ``alpha_num/alpha_den``, so the BH compare runs ENTIRELY in the
+    integer domain: ``lane·alpha_den·m ≤ rank·alpha_num·2³²`` in
+    decimal(38,0) — no float compare can flip a boundary case in
+    either engine. The ranking is the two-phase
+    :func:`maston_spark.relational.global_rank` (no partition-less
+    window at m = 10⁹ hypotheses); k* is one aggregate, broadcast
+    back. Ties on the lane break by id (total order)."""
+    from maston_spark.relational import global_rank
+
+    base = df.filter(F.col(lane_col).isNotNull()).select(
+        F.col(id_col), F.col(lane_col).cast("long").alias("__lane")
+    )
+    ranked = global_rank(
+        base, [F.col("__lane"), F.col(id_col)], rank_col="__rk"
+    )
+    m = ranked.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    dec = "decimal(38,0)"
+    j = ranked.join(F.broadcast(m))
+    passes = (
+        F.col("__lane").cast(dec) * F.lit(alpha_den).cast(dec) * F.col("__m").cast(dec)
+        <= F.col("__rk").cast(dec) * F.lit(alpha_num).cast(dec) * F.lit(4294967296).cast(dec)
+    )
+    flagged = j.select(
+        F.col(id_col), "__lane", "__rk", "__m", passes.alias("__ok")
+    )
+    kstar = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__ok"), F.col("__rk"))), F.lit(0)
+        ).alias("__k")
+    )
+    return (
+        flagged.join(F.broadcast(kstar))
+        .select(
+            F.col(id_col),
+            F.round(F.col("__lane") / F.lit(4294967296.0), 9).alias("p_value"),
+            F.col("__rk").alias("rank"),
+            F.round(
+                F.col("__rk").cast("double")
+                * F.lit(float(alpha_num))
+                / F.lit(float(alpha_den))
+                / F.col("__m").cast("double"),
+                9,
+            ).alias("bh_threshold"),
+            (F.col("__rk") <= F.col("__k")).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    min_rows: int = 5,
+) -> DataFrame:
+    """Kendall's tau-b per group — ``(group, n_rows, n_concordant,
+    n_discordant, tau_b)``: the PAIRWISE rank-association member
+    (Spearman's :func:`spearman_corr` is the rank-sum member), with
+    the tau-b tie normalization ``(C − D) / sqrt((n₀−T_x)(n₀−T_y))``
+    (Kendall 1945). Groups with fewer than ``min_rows`` rows drop;
+    zero tie-adjusted variance emits NULL.
+
+    Scale contract (the q203 family): this is an EXACT all-pairs
+    operator — the within-group self-join generates Σ n_g·(n_g−1)/2
+    pairs, so cost is Σn_g²-bounded BY DESIGN and the caller owns
+    the per-group size bound (per-user event sequences, per-session
+    actions — bounded-entity groups, never the corpus as one group).
+    The join is a single hash shuffle on the group key; every pair
+    classifies with integer compares on 6-grid lanes; one closing
+    sqrt."""
+    xi = F.round(
+        F.round(F.col(x_col).cast("double"), 6) * F.lit(1000000), 0
+    ).cast("long")
+    yi = F.round(
+        F.round(F.col(y_col).cast("double"), 6) * F.lit(1000000), 0
+    ).cast("long")
+    base = (
+        df.filter(
+            F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col(id_col).alias("__i"),
+            xi.alias("__x"),
+            yi.alias("__y"),
+        )
+    )
+    counts = base.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    big = counts.filter(F.col("n_rows") >= min_rows)
+    kept = base.join(F.broadcast(big.select("__g")), "__g")
+    l = kept.select(
+        F.col("__g"),
+        F.col("__i").alias("__i1"),
+        F.col("__x").alias("__x1"),
+        F.col("__y").alias("__y1"),
+    )
+    r = kept.select(
+        F.col("__g"),
+        F.col("__i").alias("__i2"),
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+    )
+    pairs = l.join(r, "__g").filter(F.col("__i1") < F.col("__i2"))
+    sx = F.when(F.col("__x1") < F.col("__x2"), 1).when(
+        F.col("__x1") > F.col("__x2"), -1
+    ).otherwise(0)
+    sy = F.when(F.col("__y1") < F.col("__y2"), 1).when(
+        F.col("__y1") > F.col("__y2"), -1
+    ).otherwise(0)
+    per = pairs.select(F.col("__g"), sx.alias("__sx"), sy.alias("__sy")).groupBy(
+        "__g"
+    ).agg(
+        F.sum(((F.col("__sx") * F.col("__sy")) == 1).cast("long")).alias(
+            "n_concordant"
+        ),
+        F.sum(((F.col("__sx") * F.col("__sy")) == -1).cast("long")).alias(
+            "n_discordant"
+        ),
+        F.sum((F.col("__sx") == 0).cast("long")).alias("__tx"),
+        F.sum((F.col("__sy") == 0).cast("long")).alias("__ty"),
+        F.count(F.lit(1)).cast("long").alias("__np"),
+    )
+    c = F.col("n_concordant").cast("double")
+    d = F.col("n_discordant").cast("double")
+    vx = (F.col("__np") - F.col("__tx")).cast("double")
+    vy = (F.col("__np") - F.col("__ty")).cast("double")
+    return (
+        per.join(big, "__g")
+        .select(
+            F.col("__g").alias("group"),
+            "n_rows",
+            "n_concordant",
+            "n_discordant",
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.round((c - d) / F.sqrt(vx * vy), 6),
+            ).alias("tau_b"),
+        )
+        .orderBy("group")
+    )

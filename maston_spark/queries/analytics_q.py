@@ -3720,3 +3720,399 @@ def q258_brier_decomposition(spark, sf_dir):
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
     return brier_decomposition(scored, "s", "y", n_bins=10)
+
+
+# ------------------------------------------- round-13 inference battery
+
+
+@query(
+    "q259_mann_whitney",
+    oracle="""
+    WITH b AS (SELECT CAST(round(round(value, 6) * 1000000) AS BIGINT) AS v,
+                      CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 2 AS INT) AS g
+               FROM events WHERE value IS NOT NULL),
+    h AS (SELECT v, CAST(count(*) AS BIGINT) AS c, CAST(sum(g) AS BIGINT) AS c1
+          FROM b GROUP BY v),
+    s AS (SELECT c, c1,
+                 CAST(coalesce(sum(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cp
+          FROM h),
+    a AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(c1) AS BIGINT) AS n1,
+                 sum(CAST(c1 AS HUGEINT) * (2 * cp + c + 1)) AS r2,
+                 sum(CAST(c AS HUGEINT) * c * c - c) AS tt
+          FROM s),
+    f AS (SELECT n, n1, CAST(n AS DOUBLE) AS nd, CAST(n1 AS DOUBLE) AS n1d,
+                 CAST(n - n1 AS DOUBLE) AS n0d,
+                 CAST(r2 AS DOUBLE) AS r2d, CAST(tt AS DOUBLE) AS ttd
+          FROM a),
+    g AS (SELECT n, n1, nd, n1d, n0d,
+                 r2d - n1d * (n1d + 1.0) AS u2,
+                 n0d * n1d / 12.0 * ((nd + 1.0) - ttd / (nd * (nd - 1.0))) AS var
+          FROM f)
+    SELECT n - n1 AS n_0, n1 AS n_1,
+           round(u2 / 2.0, 6) AS u_1,
+           round(u2 / (2.0 * n0d * n1d), 6) AS auc_1,
+           CASE WHEN var > 0
+                THEN round((u2 - n0d * n1d) / (2.0 * sqrt(var)), 6) END AS z
+    FROM g
+    """,
+)
+def q259_mann_whitney(spark, sf_dir):
+    """Mann-Whitney rank-sum test of the event value across the md5
+    experiment cohorts (q221/q240's assignment): the nonparametric
+    location readout with midrank tie correction — U, the
+    probability-of-superiority AUC, and the tie-corrected z, all
+    from ONE value-histogram aggregation (never a per-row rank
+    window or an n₊·n₋ pair join). See
+    :func:`maston_spark.evaluation.mann_whitney_u`."""
+    from maston_spark.evaluation import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cohort = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    return mann_whitney_u(ev.select(cohort.alias("g"), "value"), "g", "value")
+
+
+@query(
+    "q260_welch_ttest",
+    oracle="""
+    WITH b AS (SELECT CAST(round(round(value, 6) * 1000000) AS BIGINT) AS x,
+                      CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 2 AS INT) AS g
+               FROM events WHERE value IS NOT NULL),
+    p AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS s,
+                 sum(CAST(x * x AS HUGEINT)) AS ss
+          FROM b GROUP BY g),
+    a AS (SELECT CAST(sum(CASE WHEN g = 0 THEN n END) AS BIGINT) AS n_0,
+                 CAST(sum(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n_1,
+                 CAST(sum(CASE WHEN g = 0 THEN s END) AS DOUBLE) AS s0,
+                 CAST(sum(CASE WHEN g = 1 THEN s END) AS DOUBLE) AS s1,
+                 CAST(sum(CASE WHEN g = 0 THEN ss END) AS DOUBLE) AS ss0,
+                 CAST(sum(CASE WHEN g = 1 THEN ss END) AS DOUBLE) AS ss1
+          FROM p),
+    c AS (SELECT n_0, n_1, CAST(n_0 AS DOUBLE) AS n0, CAST(n_1 AS DOUBLE) AS n1,
+                 s0, s1, ss0, ss1 FROM a),
+    d AS (SELECT n_0, n_1, n0, n1,
+                 s0 / n0 / 1e6 AS m0, s1 / n1 / 1e6 AS m1,
+                 (n0 * ss0 - s0 * s0) / (n0 * (n0 - 1.0)) / 1e12 AS v0,
+                 (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1.0)) / 1e12 AS v1
+          FROM c),
+    e AS (SELECT n_0, n_1, n0, n1, m0, m1, v0, v1,
+                 v0 / n0 + v1 / n1 AS se2 FROM d)
+    SELECT n_0, n_1, round(m0, 6) AS mean_0, round(m1, 6) AS mean_1,
+           CASE WHEN n_0 >= 2 AND n_1 >= 2 AND se2 > 0
+                THEN round((m1 - m0) / sqrt(se2), 6) END AS t_stat,
+           CASE WHEN n_0 >= 2 AND n_1 >= 2 AND se2 > 0
+                THEN round((se2 * se2)
+                           / ((v0 / n0) * (v0 / n0) / (n0 - 1.0)
+                              + (v1 / n1) * (v1 / n1) / (n1 - 1.0)), 6) END
+             AS df_welch
+    FROM e
+    """,
+)
+def q260_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t test of the event value across the
+    md5 cohorts — the moment-form companion to q259's rank form,
+    with Satterthwaite degrees of freedom; integer 1e6-lane folds,
+    one fixed-IEEE close. See
+    :func:`maston_spark.evaluation.welch_ttest`."""
+    from maston_spark.evaluation import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cohort = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    return welch_ttest(ev.select(cohort.alias("g"), "value"), "g", "value")
+
+
+@query(
+    "q261_anova_f",
+    oracle="""
+    WITH b AS (SELECT event_type AS g,
+                      CAST(round(round(value, 6) * 1000000) AS BIGINT) AS x
+               FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    p AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS s,
+                 sum(CAST(x * x AS HUGEINT)) AS ss
+          FROM b GROUP BY g),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(sum(s) AS DOUBLE) AS st,
+                 CAST(sum(ss) AS DOUBLE) AS sst,
+                 CAST(sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                     / CAST(n AS DOUBLE) / 1e12, 9)
+                               AS DECIMAL(28,9))) AS DOUBLE) AS gsum
+          FROM p)
+    SELECT k_groups, n_rows,
+           round(gsum - st * st / CAST(n_rows AS DOUBLE) / 1e12, 6) AS ss_between,
+           round(sst / 1e12 - gsum, 6) AS ss_within,
+           CASE WHEN k_groups >= 2 AND n_rows > k_groups
+                     AND sst / 1e12 - gsum > 0
+                THEN round(((gsum - st * st / CAST(n_rows AS DOUBLE) / 1e12)
+                            / (CAST(k_groups AS DOUBLE) - 1.0))
+                           / ((sst / 1e12 - gsum)
+                              / (CAST(n_rows AS DOUBLE) - CAST(k_groups AS DOUBLE))),
+                           6) END AS f_stat
+    FROM a
+    """,
+)
+def q261_anova_f(spark, sf_dir):
+    """One-way ANOVA F of the event value across event types — the
+    k-arm mean-difference gate run before any pairwise readout;
+    integer lanes per group, 9-grid group terms summed over the
+    bounded |groups| frame. See
+    :func:`maston_spark.evaluation.anova_oneway`."""
+    from maston_spark.evaluation import anova_oneway
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return anova_oneway(ev.select("event_type", "value"), "event_type", "value")
+
+
+@query(
+    "q262_mantel_haenszel",
+    oracle="""
+    WITH b AS (SELECT event_type AS s,
+                      CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 2 AS INT) AS g,
+                      CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+               FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    p AS (SELECT s,
+                 CAST(sum(CASE WHEN g = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN g = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+                 CAST(sum(CASE WHEN g = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN g = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM b GROUP BY s),
+    t AS (SELECT a, bb, c, d,
+                 CAST(a + bb + c + d AS DOUBLE) AS nd,
+                 CAST(a AS DOUBLE) AS ad, CAST(bb AS DOUBLE) AS bd,
+                 CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd
+          FROM p),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                   CAST(sum(a + bb + c + d) AS BIGINT) AS n_rows,
+                   CAST(sum(a) AS BIGINT) AS sa,
+                   CAST(sum(CAST(round(ad * dd / nd, 9) AS DECIMAL(28,9))) AS DOUBLE) AS adn,
+                   CAST(sum(CAST(round(bd * cd / nd, 9) AS DECIMAL(28,9))) AS DOUBLE) AS bcn,
+                   CAST(sum(CAST(round((ad + bd) * (ad + cd) / nd, 9) AS DECIMAL(28,9))) AS DOUBLE) AS e,
+                   CAST(sum(CAST(round((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+                                       / (nd * nd * (nd - 1.0)), 9)
+                                 AS DECIMAL(28,9))) AS DOUBLE) AS v
+            FROM t)
+    SELECT n_strata, n_rows,
+           CASE WHEN bcn > 0 THEN round(adn / bcn, 6) END AS or_mh,
+           CASE WHEN v > 0
+                THEN round((CAST(sa AS DOUBLE) - e) * (CAST(sa AS DOUBLE) - e) / v, 6)
+           END AS chi2_cmh,
+           coalesce(CASE WHEN v > 0
+                    THEN (round((CAST(sa AS DOUBLE) - e) * (CAST(sa AS DOUBLE) - e) / v, 6)
+                          > 3.841458820694124) END, FALSE) AS significant_95
+    FROM agg
+    """,
+)
+def q262_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel common odds ratio + CMH chi-square of
+    (md5 cohort × value>50) stratified BY EVENT TYPE — the
+    confounder-adjusted 2×2 readout that a pooled table would
+    Simpson-flip when arms are imbalanced across surfaces. See
+    :func:`maston_spark.evaluation.mantel_haenszel`."""
+    from maston_spark.evaluation import mantel_haenszel
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cohort = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    subj = ev.select(
+        F.col("event_type").alias("stratum"),
+        cohort.alias("g"),
+        (F.col("value") > 50).cast("int").alias("y"),
+    )
+    return mantel_haenszel(subj, "stratum", "g", "y")
+
+
+@query(
+    "q263_cochran_armitage",
+    oracle="""
+    WITH b AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+                      CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS y
+               FROM orders
+               WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+    p AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS a
+          FROM b GROUP BY s),
+    agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(a) AS BIGINT) AS aa,
+                   CAST(count(*) AS BIGINT) AS n_levels,
+                   sum(CAST(s * a AS HUGEINT)) AS sa,
+                   sum(CAST(s * n AS HUGEINT)) AS sn,
+                   sum(CAST(s * s * n AS HUGEINT)) AS ssn
+            FROM p),
+    f AS (SELECT nn, aa, n_levels,
+                 CAST(nn AS HUGEINT) * sa - CAST(aa AS HUGEINT) * sn AS num_i,
+                 CAST(aa AS HUGEINT) * (nn - aa) AS den_a,
+                 CAST(nn AS HUGEINT) * ssn - sn * sn AS den_b
+          FROM agg),
+    g AS (SELECT nn, aa, n_levels, num_i,
+                 CAST(den_a AS DOUBLE) AS dad, CAST(den_b AS DOUBLE) AS dbd,
+                 CAST(nn AS DOUBLE) * CAST(num_i AS DOUBLE) * CAST(num_i AS DOUBLE)
+                   / (CAST(den_a AS DOUBLE) * CAST(den_b AS DOUBLE)) AS chi2
+          FROM f)
+    SELECT nn AS n_rows, aa AS n_pos, n_levels,
+           CASE WHEN dad > 0 AND dbd > 0
+                THEN round(CASE WHEN num_i < 0 THEN -sqrt(chi2)
+                                ELSE sqrt(chi2) END, 6) END AS z_trend,
+           CASE WHEN dad > 0 AND dbd > 0 THEN round(chi2, 6) END AS chi2_trend
+    FROM g
+    """,
+)
+def q263_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test: is the high-value-order rate
+    (totalprice > 100k) MONOTONE in the order-priority tier (scores
+    1-URGENT … 5-LOW)? The chi-square-for-trend assembled entirely
+    from integer cross-multiplications. See
+    :func:`maston_spark.evaluation.cochran_armitage`."""
+    from maston_spark.evaluation import cochran_armitage
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    subj = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("score"),
+        (F.col("o_totalprice") > 100000).cast("int").alias("y"),
+    )
+    return cochran_armitage(subj, "score", "y")
+
+
+@query(
+    "q264_bh_fdr",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      ('0x' || substr(md5('bh:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        AS lane
+               FROM documents),
+    r AS (SELECT doc_id, lane,
+                 row_number() OVER (ORDER BY lane, doc_id) AS rk,
+                 count(*) OVER () AS m
+          FROM b),
+    k AS (SELECT coalesce(max(CASE WHEN CAST(lane AS HUGEINT) * 20 * m
+                                        <= CAST(rk AS HUGEINT) * 1 * 4294967296
+                                   THEN rk END), 0) AS kstar
+          FROM r)
+    SELECT doc_id, round(lane / 4294967296.0, 9) AS p_value,
+           rk AS rank,
+           round(CAST(rk AS DOUBLE) * 1.0 / 20.0 / CAST(m AS DOUBLE), 9)
+             AS bh_threshold,
+           rk <= kstar AS rejected
+    FROM r, k ORDER BY rank
+    """,
+)
+def q264_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR control over one deterministic
+    md5-lane 'p-value' per document (the battery a per-segment
+    metric sweep hands downstream) at α = 1/20 — the BH compare runs
+    entirely in the integer domain and the ranking is the two-phase
+    global rank, so m = 10⁹ hypotheses never meet a partition-less
+    window. See :func:`maston_spark.evaluation.bh_fdr`."""
+    from maston_spark.evaluation import bh_fdr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bh:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("lane"),
+    )
+    return bh_fdr(d, "doc_id", "lane", alpha_num=1, alpha_den=20)
+
+
+@query(
+    "q265_kendall_tau",
+    oracle="""
+    WITH b AS (SELECT user_id AS g, event_id AS i,
+                      CAST(round(round(value, 6) * 1000000) AS BIGINT) AS x,
+                      CAST(round(round(CAST(epoch_ms(ts) AS DOUBLE), 6) * 1000000)
+                           AS BIGINT) AS y
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+    cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY g
+            HAVING count(*) >= 5),
+    k AS (SELECT b.* FROM b JOIN cnt USING (g)),
+    pairs AS (SELECT l.g,
+                     CASE WHEN l.x < r.x THEN 1 WHEN l.x > r.x THEN -1 ELSE 0 END AS sx,
+                     CASE WHEN l.y < r.y THEN 1 WHEN l.y > r.y THEN -1 ELSE 0 END AS sy
+              FROM k l JOIN k r ON l.g = r.g AND l.i < r.i),
+    per AS (SELECT g,
+                   CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+                   CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+                   CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                   CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+                   CAST(count(*) AS BIGINT) AS np
+            FROM pairs GROUP BY g)
+    SELECT per.g AS "group", cnt.n_rows, n_concordant, n_discordant,
+           CASE WHEN np - tx > 0 AND np - ty > 0
+                THEN round((CAST(n_concordant AS DOUBLE) - CAST(n_discordant AS DOUBLE))
+                           / sqrt(CAST(np - tx AS DOUBLE) * CAST(np - ty AS DOUBLE)), 6)
+           END AS tau_b
+    FROM per JOIN cnt USING (g) ORDER BY "group"
+    """,
+)
+def q265_kendall_tau(spark, sf_dir):
+    """Kendall tau-b of (value, time) per user — is each user's event
+    value TRENDING, judged pairwise (the pairwise rank-association
+    member next to q218's Spearman): a bounded-entity all-pairs
+    operator (per-user sequences, Σn_g²-bounded by contract, the
+    q203 cost family). y is epoch milliseconds (exact integer lanes).
+    See :func:`maston_spark.evaluation.kendall_tau`."""
+    from maston_spark.evaluation import kendall_tau
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    subj = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).cast("double").alias("t_ms"),
+    )
+    return kendall_tau(subj, "user_id", "event_id", "value", "t_ms", min_rows=5)

@@ -777,3 +777,221 @@ def test_srm_from_counts_rogue_arm_raises_directly(spark):
     )
     rows = srm_from_counts(clean, {"a": 0.5, "b": 0.5}).collect()
     assert rows[0].chi2 == 0.0 and not any(r.srm_detected for r in rows)
+
+
+def test_mann_whitney_matches_plain_python_with_ties(spark):
+    """Hand data with heavy ties: U, AUC and the tie-corrected z
+    match a plain-python replay of the midrank formulas; a clean
+    separation gives AUC 1 and positive z."""
+    from maston_spark.evaluation import mann_whitney_u
+
+    xs0 = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]
+    xs1 = [2.0, 4.0, 5.0, 6.0, 6.0, 9.0, 9.0]
+    rows = [(0, v) for v in xs0] + [(1, v) for v in xs1]
+    df = spark.createDataFrame(rows, "g int, v double")
+    [r] = mann_whitney_u(df, "g", "v").collect()
+    # plain-python midrank replay
+    allv = sorted(xs0 + xs1)
+    import collections
+
+    cnt = collections.Counter(allv)
+    rank_of = {}
+    pos = 1
+    for v in sorted(cnt):
+        c = cnt[v]
+        rank_of[v] = pos + (c - 1) / 2
+        pos += c
+    r1 = sum(rank_of[v] for v in xs1)
+    n0, n1 = len(xs0), len(xs1)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    n = n0 + n1
+    tt = sum(c**3 - c for c in cnt.values())
+    var = n0 * n1 / 12 * ((n + 1) - tt / (n * (n - 1)))
+    z = (u1 - n0 * n1 / 2) / var**0.5
+    assert (r.n_0, r.n_1) == (n0, n1)
+    assert r.u_1 == u1
+    assert r.auc_1 == round(u1 / (n0 * n1), 6)
+    assert abs(r.z - z) < 1e-6
+    sep = spark.createDataFrame(
+        [(0, float(v)) for v in range(10)] + [(1, float(v + 100)) for v in range(10)],
+        "g int, v double",
+    )
+    [rs] = mann_whitney_u(sep, "g", "v").collect()
+    assert rs.auc_1 == 1.0 and rs.z > 3
+
+
+def test_welch_ttest_known_case_and_guards(spark):
+    """Equal-variance equal-n case reduces to the pooled t; the
+    Satterthwaite df matches the closed form; constant-both-arms
+    emits NULL t."""
+    from maston_spark.evaluation import welch_ttest
+
+    xs0 = [float(x) for x in (1, 2, 3, 4, 5, 6)]
+    xs1 = [float(x + 2) for x in (1, 2, 3, 4, 5, 6)]
+    df = spark.createDataFrame(
+        [(0, v) for v in xs0] + [(1, v) for v in xs1], "g int, v double"
+    )
+    [r] = welch_ttest(df, "g", "v").collect()
+    import statistics
+
+    v0, v1 = statistics.variance(xs0), statistics.variance(xs1)
+    n0, n1 = len(xs0), len(xs1)
+    se2 = v0 / n0 + v1 / n1
+    t = (statistics.mean(xs1) - statistics.mean(xs0)) / se2**0.5
+    dfw = se2 * se2 / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
+    assert abs(r.t_stat - t) < 1e-6 and abs(r.df_welch - dfw) < 1e-5
+    assert r.mean_0 == 3.5 and r.mean_1 == 5.5
+    const = spark.createDataFrame(
+        [(0, 1.0)] * 5 + [(1, 1.0)] * 5, "g int, v double"
+    )
+    [rc] = welch_ttest(const, "g", "v").collect()
+    assert rc.t_stat is None and rc.df_welch is None
+
+
+def test_anova_f_matches_plain_python(spark):
+    """Three planted groups: SSB/SSW/F match the textbook sums; a
+    single group emits NULL F."""
+    from maston_spark.evaluation import anova_oneway
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0, 7.0], "c": [2.0, 2.0, 4.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = anova_oneway(df, "g", "v").collect()
+    allv = [v for vs in groups.values() for v in vs]
+    gm = sum(allv) / len(allv)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values())
+    ssw = sum(
+        sum((v - sum(vs) / len(vs)) ** 2 for v in vs) for vs in groups.values()
+    )
+    k, n = len(groups), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(r.ss_between - ssb) < 1e-5
+    assert abs(r.ss_within - ssw) < 1e-5
+    assert abs(r.f_stat - f) < 1e-5
+    [r1] = anova_oneway(
+        spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double"),
+        "g",
+        "v",
+    ).collect()
+    assert r1.f_stat is None
+
+
+def test_mantel_haenszel_textbook_and_simpson_shape(spark):
+    """Identical per-stratum odds ratios -> or_mh equals them; the
+    CMH chi-square matches a plain replay; a null-association table
+    gives chi2 ~ 0."""
+    from maston_spark.evaluation import mantel_haenszel
+
+    # stratum s1: a=10 b=10 c=5 d=10 (OR 2.0); s2: a=20 b=5 c=16 d=8 (OR 2.0)
+    def rows_for(s, a, b, c, d):
+        return (
+            [(s, 1, 1)] * a + [(s, 1, 0)] * b + [(s, 0, 1)] * c + [(s, 0, 0)] * d
+        )
+
+    rows = rows_for("s1", 10, 10, 5, 10) + rows_for("s2", 20, 5, 16, 8)
+    df = spark.createDataFrame(rows, "s string, g int, y int")
+    [r] = mantel_haenszel(df, "s", "g", "y").collect()
+    num = den = sa = e = v = 0.0
+    for (a, b, c, d) in ((10, 10, 5, 10), (20, 5, 16, 8)):
+        n = a + b + c + d
+        num += round(a * d / n, 9)
+        den += round(b * c / n, 9)
+        sa += a
+        e += round((a + b) * (a + c) / n, 9)
+        v += round((a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)), 9)
+    assert r.or_mh == round(num / den, 6) == 2.0
+    assert r.chi2_cmh == round((sa - e) ** 2 / v, 6)
+    assert r.n_strata == 2 and r.n_rows == 84
+
+
+def test_cochran_armitage_trend_and_sign(spark):
+    """Monotone-increasing rates -> positive z matching the plain
+    integer-form replay; reversed scores flip the sign exactly."""
+    from maston_spark.evaluation import cochran_armitage
+
+    design = {0: (100, 10), 1: (100, 20), 2: (100, 35)}  # score: (n, pos)
+    rows = []
+    for s, (n, a) in design.items():
+        rows += [(s, 1)] * a + [(s, 0)] * (n - a)
+    df = spark.createDataFrame(rows, "s int, y int")
+    [r] = cochran_armitage(df, "s", "y").collect()
+    N = sum(n for n, _ in design.values())
+    A = sum(a for _, a in design.values())
+    sa = sum(s * a for s, (_, a) in design.items())
+    sn = sum(s * n for s, (n, _) in design.items())
+    ssn = sum(s * s * n for s, (n, _) in design.items())
+    num = N * sa - A * sn
+    chi2 = N * num * num / ((A * (N - A)) * (N * ssn - sn * sn))
+    assert r.chi2_trend == round(chi2, 6) and r.z_trend > 0
+    assert abs(r.z_trend**2 - r.chi2_trend) < 1e-4
+    flipped = spark.createDataFrame(
+        [(-s, y) for s, y in rows], "s int, y int"
+    )
+    [rf] = cochran_armitage(flipped, "s", "y").collect()
+    assert rf.z_trend == -r.z_trend
+
+
+def test_bh_fdr_step_up_semantics(spark):
+    """The BH step-up: a hypothesis with p above its own threshold is
+    still rejected when a LATER rank passes (the step-up property);
+    everything after k* is kept. Integer-lane compares replayed in
+    plain python."""
+    from maston_spark.evaluation import bh_fdr
+
+    m, alpha = 20, 0.05
+    # lanes: 3 tiny p's, one p just under 4*alpha/m at rank 4, rest large
+    lanes = [1000, 2000, 3000, int(4 * alpha / m * 2**32) - 5] + [
+        int(0.8 * 2**32) + i for i in range(16)
+    ]
+    df = spark.createDataFrame(
+        [(i, lanes[i]) for i in range(m)], "hid int, lane long"
+    )
+    out = {r.hid: r for r in bh_fdr(df, "hid", "lane").collect()}
+    # plain replay
+    ranked = sorted(range(m), key=lambda i: (lanes[i], i))
+    kstar = max(
+        (k for k in range(1, m + 1) if lanes[ranked[k - 1]] * 20 * m <= k * 2**32),
+        default=0,
+    )
+    for k, hid in enumerate(ranked, 1):
+        assert out[hid].rejected == (k <= kstar), (hid, k, kstar)
+    assert kstar == 4  # the rank-4 boundary case passes exactly
+    assert sum(r.rejected for r in out.values()) == 4
+
+
+def test_kendall_tau_known_cases(spark):
+    """Perfect agreement -> tau 1; perfect reversal -> -1; the tied
+    worked example matches the plain-python tau-b."""
+    from maston_spark.evaluation import kendall_tau
+
+    up = [(i, float(i), float(i * 2)) for i in range(6)]
+    down = [(i, float(i), float(-i)) for i in range(6)]
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 6.0]
+    tied = [(i, xs[i], ys[i]) for i in range(7)]
+    rows = (
+        [("up", i, x, y) for i, x, y in up]
+        + [("down", i, x, y) for i, x, y in down]
+        + [("tied", i, x, y) for i, x, y in tied]
+    )
+    df = spark.createDataFrame(rows, "g string, i int, x double, y double")
+    out = {r.group: r for r in kendall_tau(df, "g", "i", "x", "y").collect()}
+    assert out["up"].tau_b == 1.0 and out["down"].tau_b == -1.0
+    # plain-python tau-b
+    C = D = tx = ty = 0
+    for i in range(7):
+        for j in range(i + 1, 7):
+            sx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+            sy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+            if sx == 0:
+                tx += 1
+            if sy == 0:
+                ty += 1
+            if sx * sy == 1:
+                C += 1
+            elif sx * sy == -1:
+                D += 1
+    n0 = 21
+    tau = (C - D) / ((n0 - tx) * (n0 - ty)) ** 0.5
+    assert out["tied"].n_concordant == C and out["tied"].n_discordant == D
+    assert out["tied"].tau_b == round(tau, 6)
