@@ -1146,3 +1146,53 @@ def effective_sample_size(
         F.round(n_eff / F.col("n_rows").cast("double"), 6).alias("eff_ratio"),
         F.round(F.col("__mw").cast("double") / sw, 6).alias("max_w_share"),
     ).orderBy("group")
+
+
+def systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    salt: str = "sys",
+) -> DataFrame:
+    """Deterministic 1-in-``k`` systematic sample —
+    ``(id, rank, sample_idx)``: order the corpus by an md5 hash of
+    the id (a reproducible pseudo-random permutation, so the
+    systematic grid cannot alias any real-world periodicity in the
+    source layout) and keep every k-th row starting at rank 1. The
+    classic design when you need an EXACTLY n/k-sized, replayable
+    sample with zero coordination — cheaper bookkeeping than
+    reservoir or priority sampling when the frame is static.
+
+    Scale shape: the ordering is the two-phase
+    :func:`maston_spark.relational.global_rank` (no partition-less
+    window); the keep test ``(rank−1) mod k = 0`` and the sample
+    index are exact integer arithmetic. Same (salt, ids) → the same
+    sample on any engine, partitioning, or rerun."""
+    from maston_spark.relational import global_rank
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hashed = df.select(
+        F.col(id_col),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h"),
+    )
+    ranked = global_rank(hashed, [F.col("__h"), F.col(id_col)], rank_col="rank")
+    return (
+        ranked.filter(F.pmod(F.col("rank") - 1, F.lit(k)) == 0)
+        .select(
+            F.col(id_col),
+            "rank",
+            F.expr(f"((rank - 1) div {int(k)}) + 1").alias("sample_idx"),
+        )
+        .orderBy("rank")
+    )

@@ -967,3 +967,72 @@ def mutual_information(
             F.round(F.col("mi") / F.least(F.col("h_a"), F.col("h_b")), 6),
         ).alias("nmi"),
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    pairs: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Functional-dependency profile for candidate ``det → dep``
+    pairs — per pair ``(determinant, dependent, n_rows, n_det_values,
+    n_violating, violation_rate, repair_rows, coverage)``: does the
+    determinant FUNCTIONALLY determine the dependent, and if not,
+    how far off is the data? ``n_violating`` counts determinant
+    values carrying >1 distinct dependent; ``repair_rows`` is the
+    MINIMUM number of rows whose dependent must change to enforce
+    the FD (rows − Σ per-determinant majority count — the exact
+    repair cost, Bohannon et al. 2005); ``coverage`` is its
+    complement share. The discovery companion to
+    :func:`constraint_report`'s enforcement (a violated FD is either
+    a data bug or a falsified schema assumption — both worth a row
+    in the audit).
+
+    Exact shape per pair: one (det, dep) count aggregation, one det
+    re-aggregation (majority via max(count)), one bounded close —
+    two combiner-reduced shuffles on the determinant key, all
+    integers; rates are single IEEE divisions (round 6). Rows with a
+    NULL determinant drop (an FD says nothing about NULL keys); a
+    NULL dependent counts as a value (two rows (k, NULL) and (k, x)
+    DO violate)."""
+    outs = []
+    for det, dep in pairs:
+        cells = (
+            df.filter(F.col(det).isNotNull())
+            .groupBy(F.col(det).alias("__k"), F.col(dep).alias("__v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        per_k = cells.groupBy("__k").agg(
+            F.count(F.lit(1)).cast("long").alias("__nv"),
+            F.max("__c").alias("__mx"),
+            F.sum("__c").cast("long").alias("__nk"),
+        )
+        agg = per_k.agg(
+            F.sum("__nk").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_det_values"),
+            F.sum((F.col("__nv") > 1).cast("long")).alias("n_violating"),
+            F.sum("__mx").cast("long").alias("__keep"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_rows",
+                "n_det_values",
+                "n_violating",
+                F.round(
+                    F.col("n_violating").cast("double")
+                    / F.col("n_det_values").cast("double"),
+                    6,
+                ).alias("violation_rate"),
+                (F.col("n_rows") - F.col("__keep")).alias("repair_rows"),
+                F.round(
+                    F.col("__keep").cast("double")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("coverage"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("determinant", "dependent")

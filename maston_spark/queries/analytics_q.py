@@ -4116,3 +4116,295 @@ def q265_kendall_tau(spark, sf_dir):
         F.unix_millis(F.col("ts").cast("timestamp")).cast("double").alias("t_ms"),
     )
     return kendall_tau(subj, "user_id", "event_id", "value", "t_ms", min_rows=5)
+
+
+@query(
+    "q266_acf",
+    oracle="""
+    WITH d AS (SELECT event_type AS s, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY event_type, CAST(ts AS DATE)),
+    tot AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sm
+            FROM d GROUP BY s),
+    lagk AS (SELECT d.s, tot.n, tot.sm, d.x, k.k,
+                    lead(d.x, CAST(k.k AS INT)) OVER
+                      (PARTITION BY d.s, k.k ORDER BY d.day) AS xl
+             FROM d JOIN tot USING (s),
+                  (SELECT unnest(range(1, 8)) AS k) k),
+    dev AS (SELECT s, n, k,
+                   CAST(n AS HUGEINT) * x - sm AS dd,
+                   CASE WHEN xl IS NULL THEN NULL
+                        ELSE CAST(n AS HUGEINT) * xl - sm END AS dl
+            FROM lagk),
+    num AS (SELECT s, k, sum(dd * dl) AS num
+            FROM dev WHERE dl IS NOT NULL GROUP BY s, k),
+    den AS (SELECT s, sum(dd * dd) AS den
+            FROM dev WHERE k = 1 GROUP BY s)
+    SELECT num.s AS series, CAST(num.k AS INT) AS lag, tot.n AS n_obs,
+           CASE WHEN CAST(den AS DOUBLE) > 0
+                THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+           END AS acf
+    FROM num JOIN den USING (s) JOIN tot USING (s)
+    ORDER BY series, lag
+    """,
+)
+def q266_acf(spark, sf_dir):
+    """Autocorrelation of each event type's DAILY volume at lags 1–7
+    — the weekly-rhythm fingerprint (a lag-7 spike = weekday
+    seasonality), integer cross-products of n-scaled deviations, one
+    closing division. See :func:`maston_spark.relational.acf`."""
+    from maston_spark.relational import acf
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.col("event_type").alias("s"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return acf(daily, "s", "day", "x", max_lag=7)
+
+
+@query(
+    "q267_seasonal_mase",
+    oracle="""
+    WITH d AS (SELECT event_type AS s, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY event_type, CAST(ts AS DATE)),
+    l AS (SELECT s, x,
+                 lag(x, 1) OVER (PARTITION BY s ORDER BY day) AS p1,
+                 lag(x, 7) OVER (PARTITION BY s ORDER BY day) AS ps
+          FROM d),
+    a AS (SELECT s, CAST(count(*) AS BIGINT) AS n_obs,
+                 sum(CAST(abs(x - ps) AS HUGEINT)) AS es,
+                 sum(CAST(abs(x - p1) AS HUGEINT)) AS e1
+          FROM l GROUP BY s)
+    SELECT s AS series, n_obs,
+           CASE WHEN n_obs > 7
+                THEN round(CAST(es AS DOUBLE) / CAST(n_obs - 7 AS DOUBLE), 6)
+           END AS mae_seasonal,
+           CASE WHEN n_obs > 1
+                THEN round(CAST(e1 AS DOUBLE) / CAST(n_obs - 1 AS DOUBLE), 6)
+           END AS mae_naive1,
+           CASE WHEN n_obs > 7 AND e1 IS NOT NULL AND CAST(e1 AS DOUBLE) > 0
+                THEN round(CAST(es * (n_obs - 1) AS DOUBLE)
+                           / CAST((n_obs - 7) * e1 AS DOUBLE), 6)
+           END AS mase
+    FROM a ORDER BY series
+    """,
+)
+def q267_seasonal_mase(spark, sf_dir):
+    """Seasonal-naive (season 7) forecast error of each event type's
+    daily volume, scaled as MASE against the naive-1 walk — is the
+    weekly structure worth a forecaster? Integer |difference| sums,
+    one exact cross-product close. See
+    :func:`maston_spark.relational.seasonal_naive_mase`."""
+    from maston_spark.relational import seasonal_naive_mase
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.col("event_type").alias("s"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return seasonal_naive_mase(daily, "s", "day", "x", season=7)
+
+
+@query(
+    "q268_quantile_normalize",
+    oracle="""
+    WITH b AS (SELECT source AS g, doc_id AS i, n_chars AS v FROM documents
+               WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+    rg AS (SELECT g, v, i, row_number() OVER (PARTITION BY g ORDER BY v, i) AS r
+           FROM b),
+    sz AS (SELECT g, CAST(max(r) AS BIGINT) AS ng FROM rg GROUP BY g),
+    gl AS (SELECT v AS ref, row_number() OVER (ORDER BY v, g, i) AS grk FROM b),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
+    qq AS (SELECT unnest(range(1, 11)) AS q),
+    picks AS (SELECT g, ng, q, (q * ng + 9) // 10 AS ri FROM sz, qq),
+    pick2 AS (SELECT p.g, p.q, p.ng, rg.r
+              FROM picks p JOIN rg ON p.g = rg.g AND p.ri = rg.r),
+    tgt AS (SELECT g, q, ng, (r * nn + ng - 1) // ng AS ti FROM pick2, nt)
+    SELECT tgt.g AS "group", CAST(q AS INT) AS quantile, ng AS n_rows,
+           gl.ref AS norm_value
+    FROM tgt JOIN gl ON tgt.ti = gl.grk
+    ORDER BY "group", quantile
+    """,
+)
+def q268_quantile_normalize(spark, sf_dir):
+    """Quantile-normalize document length across sources: each doc's
+    n_chars maps to the pooled-corpus order statistic at its
+    within-source relative rank (type-1, integer-exact), reported at
+    the per-source deciles — the batch-effect correction applied
+    before one global length threshold gates every source. See
+    :func:`maston_spark.relational.quantile_normalize`."""
+    from maston_spark.relational import quantile_normalize
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    return quantile_normalize(
+        d.select("source", "doc_id", "n_chars"),
+        "source",
+        "doc_id",
+        "n_chars",
+        n_quantiles=10,
+    )
+
+
+@query(
+    "q269_spatial_grid_join",
+    oracle="""
+    WITH p AS (SELECT c_custkey AS i,
+                      ('0x' || substr(md5('px:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                        % 1048576 AS x,
+                      ('0x' || substr(md5('py:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                        % 1048576 AS y
+               FROM customer),
+    dxy AS (SELECT a.dx, b.dy
+            FROM (SELECT unnest(range(-1, 2)) AS dx) a,
+                 (SELECT unnest(range(-1, 2)) AS dy) b),
+    stamped AS (SELECT p.i AS ia, p.x AS xa, p.y AS ya,
+                       (p.x // 4096) + dx AS kx, (p.y // 4096) + dy AS ky
+                FROM p, dxy),
+    rgt AS (SELECT i AS ib, x AS xb, y AS yb,
+                   x // 4096 AS kx, y // 4096 AS ky
+            FROM p)
+    SELECT ia AS id_a, ib AS id_b,
+           (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist_sq
+    FROM stamped JOIN rgt USING (kx, ky)
+    WHERE ia < ib
+      AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 4096 * 4096
+    ORDER BY dist_sq, id_a, id_b
+    LIMIT 100
+    """,
+)
+def q269_spatial_grid_join(spark, sf_dir):
+    """Grid-blocked spatial radius self-join: customers placed on a
+    2²⁰×2²⁰ integer plane by md5 lanes, all pairs within radius 4096
+    via 3×3-stamped cell blocking (each qualifying pair meets on
+    exactly one key — the right point's own cell), exact int64
+    distance compares, closest 100 pairs reported. Never all-pairs:
+    candidates are bounded by local density (the spatial member of
+    the bucketed-candidate family). See
+    :func:`maston_spark.relational.grid_radius_join`."""
+    from maston_spark.relational import grid_radius_join
+
+    c = load_table(spark, sf_dir, "customer")
+
+    def lane(prefix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1048576
+        )
+
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        lane("px:").alias("x"),
+        lane("py:").alias("y"),
+    )
+    return grid_radius_join(pts, "pid", "x", "y", radius=4096).limit(100)
+
+
+@query(
+    "q270_fd_profile",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'o_custkey' AS determinant, 'o_orderpriority' AS dependent,
+             o_custkey AS k, o_orderpriority AS v
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION ALL
+      SELECT 'o_orderkey', 'o_orderstatus', o_orderkey, o_orderstatus
+      FROM orders WHERE o_orderkey IS NOT NULL
+      UNION ALL
+      SELECT 'o_orderpriority', 'o_orderstatus',
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT), o_orderstatus
+      FROM orders WHERE o_orderpriority IS NOT NULL),
+    cells AS (SELECT determinant, dependent, k, v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM pairs GROUP BY determinant, dependent, k, v),
+    per_k AS (SELECT determinant, dependent, k,
+                     CAST(count(*) AS BIGINT) AS nv,
+                     max(c) AS mx, CAST(sum(c) AS BIGINT) AS nk
+              FROM cells GROUP BY determinant, dependent, k),
+    agg AS (SELECT determinant, dependent,
+                   CAST(sum(nk) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_det_values,
+                   CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating,
+                   CAST(sum(mx) AS BIGINT) AS keep
+            FROM per_k GROUP BY determinant, dependent)
+    SELECT determinant, dependent, n_rows, n_det_values, n_violating,
+           round(CAST(n_violating AS DOUBLE) / CAST(n_det_values AS DOUBLE), 6)
+             AS violation_rate,
+           n_rows - keep AS repair_rows,
+           round(CAST(keep AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS coverage
+    FROM agg ORDER BY determinant, dependent
+    """,
+)
+def q270_fd_profile(spark, sf_dir):
+    """Functional-dependency profile over orders: does the customer
+    determine the priority (no — measured violation rate), the order
+    key the status (yes — a real FD), the priority the status (no)?
+    Reports the exact minimum repair cost per candidate FD. The
+    o_orderpriority determinant is its leading tier digit so the
+    unioned determinant column types align. See
+    :func:`maston_spark.profiling.fd_violations`."""
+    from maston_spark.profiling import fd_violations
+
+    o = load_table(spark, sf_dir, "orders")
+    a = fd_violations(
+        o.select(F.col("o_custkey").cast("long").alias("o_custkey"),
+                 "o_orderpriority"),
+        [("o_custkey", "o_orderpriority")],
+    )
+    b = fd_violations(
+        o.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                 "o_orderstatus"),
+        [("o_orderkey", "o_orderstatus")],
+    )
+    c = fd_violations(
+        o.select(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("long")
+            .alias("o_orderpriority"),
+            "o_orderstatus",
+        ),
+        [("o_orderpriority", "o_orderstatus")],
+    )
+    return a.unionByName(b).unionByName(c).orderBy("determinant", "dependent")
+
+
+@query(
+    "q271_systematic_sample",
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      ('0x' || substr(md5('sys:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        AS hh
+               FROM documents),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) AS rank FROM h)
+    SELECT doc_id, rank, ((rank - 1) // 37) + 1 AS sample_idx
+    FROM r WHERE (rank - 1) % 37 = 0 ORDER BY rank
+    """,
+)
+def q271_systematic_sample(spark, sf_dir):
+    """Deterministic 1-in-37 systematic sample of the document corpus
+    over an md5-permuted order (replayable exact-size sampling with
+    zero coordination; two-phase global rank, no partition-less
+    window). See :func:`maston_spark.llm.sampling.systematic_sample`."""
+    from maston_spark.llm.sampling import systematic_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return systematic_sample(d, "doc_id", k=37, salt="sys")

@@ -1884,3 +1884,317 @@ def bloom_pruned_join(
         # the key would be AMBIGUOUS_REFERENCE)
         return pruned.join(dim, fact_key, "inner")
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
+
+
+def acf(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function per series at lags 1..``max_lag`` —
+    ``(series, lag, n_obs, acf)``: the seasonality/persistence
+    fingerprint of a metric series (a spike at lag 7 on daily data =
+    weekly rhythm), computed on OBSERVATION INDEX order (the
+    ``order_col`` sort within each series; gaps are the caller's
+    modeling choice).
+
+    Exact shape: the standard estimator
+    ``r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²`` is made
+    integer by multiplying through by n²:
+    ``Σ(n·x_t − S)(n·x_{t+k} − S) / Σ(n·x_t − S)²`` with S = Σx —
+    every term exact in decimal(38,0), one closing IEEE division
+    (round 6). One hash shuffle on the series key serves the order
+    window and both folds; lags materialize as ``max_lag`` lead
+    columns unpivoted inline (no self-join, no per-lag pass).
+    Values must be integers (pre-grid them for continuous metrics);
+    precondition |n·x| < ~1e18 per series."""
+    w = Window.partitionBy(series_col).orderBy(order_col)
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("long")
+    leads = df.select(
+        F.col(series_col).alias("__s"),
+        x.alias("__x"),
+        *[F.lead(x, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    tot = leads.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sum"),
+        # denominator sum over ALL t needs n and S; folded after join
+    )
+    j = leads.join(tot, "__s")
+    nd = F.col("__n").cast(dec)
+    dev = (nd * F.col("__x").cast(dec)) - F.col("__sum").cast(dec)
+    lag_terms = j.select(
+        "__s",
+        "__n",
+        dev.alias("__d"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("__k"),
+                        F.col(f"__l{k}").cast("long").alias("__xl"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__e"),
+        F.col("__sum"),
+    ).select(
+        "__s",
+        "__n",
+        "__d",
+        F.col("__e.__k").alias("__k"),
+        (
+            (F.col("__n").cast(dec) * F.col("__e.__xl").cast(dec))
+            - F.col("__sum").cast(dec)
+        ).alias("__dl"),
+    )
+    num = (
+        lag_terms.filter(F.col("__dl").isNotNull())
+        .groupBy("__s", "__k")
+        .agg(F.sum(F.col("__d") * F.col("__dl")).alias("__num"))
+    )
+    den = j.select("__s", dev.alias("__d")).groupBy("__s").agg(
+        F.sum(F.col("__d") * F.col("__d")).alias("__den")
+    )
+    out = num.join(den, "__s").join(tot.select("__s", "__n"), "__s")
+    return out.select(
+        F.col("__s").alias("series"),
+        F.col("__k").alias("lag"),
+        F.col("__n").alias("n_obs"),
+        F.when(
+            F.col("__den").cast("double") > 0,
+            F.round(
+                F.col("__num").cast("double") / F.col("__den").cast("double"), 6
+            ),
+        ).alias("acf"),
+    ).orderBy("series", "lag")
+
+
+def seasonal_naive_mase(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast error per series, scaled as MASE —
+    ``(series, n_obs, mae_seasonal, mae_naive1, mase)``: how much
+    better is 'same as one season ago' than 'same as yesterday'
+    (Hyndman & Koehler 2006's scale-free forecast-accuracy unit;
+    MASE < 1 = the seasonal structure is real and a forecaster
+    should exploit it).
+
+    Exact shape: one order window per series yields both lags; both
+    MAEs are integer |difference| sums (values must be integers —
+    pre-grid continuous metrics), and
+    ``mase = (Σe_s · (n−1)) / ((n−season) · Σe_1)`` closes as ONE
+    division of exact decimal(38,0) cross-products (round 6).
+    Series shorter than ``season + 1`` rows emit NULL mase."""
+    w = Window.partitionBy(series_col).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    dec = "decimal(38,0)"
+    lagged = df.select(
+        F.col(series_col).alias("__s"),
+        x.alias("__x"),
+        F.lag(x, 1).over(w).alias("__p1"),
+        F.lag(x, season).over(w).alias("__ps"),
+    )
+    agg = lagged.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.abs(F.col("__x") - F.col("__ps")).cast(dec)).alias("__es"),
+        F.sum(F.abs(F.col("__x") - F.col("__p1")).cast(dec)).alias("__e1"),
+    )
+    n = F.col("n_obs")
+    ok = (n > season) & (F.col("__e1").isNotNull()) & (
+        F.col("__e1").cast("double") > 0
+    )
+    mase = (
+        F.col("__es").cast(dec) * (n - 1).cast(dec)
+    ).cast("double") / (
+        ((n - season).cast(dec) * F.col("__e1").cast(dec)).cast("double")
+    )
+    return agg.select(
+        F.col("__s").alias("series"),
+        "n_obs",
+        F.when(
+            n > season,
+            F.round(
+                F.col("__es").cast("double") / (n - season).cast("double"), 6
+            ),
+        ).alias("mae_seasonal"),
+        F.when(
+            n > 1,
+            F.round(F.col("__e1").cast("double") / (n - 1).cast("double"), 6),
+        ).alias("mae_naive1"),
+        F.when(ok, F.round(mase, 6)).alias("mase"),
+    ).orderBy("series")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    n_quantiles: int = 10,
+) -> DataFrame:
+    """Quantile normalization across groups — per (group, quantile)
+    the NORMALIZED value at that within-group quantile:
+    ``(group, quantile, n_rows, norm_value)``. Each row's value maps
+    to the GLOBAL order statistic at its within-group relative rank
+    (type-1 / ceil quantile — no interpolation, so every output is
+    an actual corpus value and the math is integer-exact): the
+    batch-effect correction that forces every group's score
+    distribution onto the pooled reference (per-source quality
+    scores become comparable before one global threshold gates
+    them).
+
+    Scale shape: within-group ranks are one hash-partitioned window;
+    the GLOBAL reference ranking is the two-phase
+    :func:`global_rank` (no partition-less window over the corpus);
+    the value lookup is one equi-join on the integer target index
+    ``ceil(r·N/n_g) = (r·N + n_g − 1) div n_g``. The reported rows
+    are the ``n_quantiles`` within-group quantile picks, |groups| ×
+    n_quantiles of them. Ties break by (value, group, id) — a total
+    order, deterministic in both engines."""
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__i"),
+        F.col(value_col).alias("__v"),
+    )
+    wg = Window.partitionBy("__g").orderBy("__v", "__i")
+    ranked_g = base.select(
+        "__g", "__v", F.row_number().over(wg).alias("__r")
+    )
+    sizes = ranked_g.groupBy("__g").agg(F.max("__r").cast("long").alias("__ng"))
+    glob = global_rank(
+        base.select("__v", "__g", "__i"),
+        [F.col("__v"), F.col("__g"), F.col("__i")],
+        rank_col="__grk",
+    ).select(F.col("__v").alias("__ref"), "__grk")
+    n_tot = glob.agg(F.count(F.lit(1)).cast("long").alias("__nn"))
+    # the n_quantiles within-group pick indices, off the bounded sizes frame
+    picks = (
+        sizes.select(
+            "__g",
+            "__ng",
+            F.explode(
+                F.array(*[F.lit(q) for q in range(1, n_quantiles + 1)])
+            ).alias("__q"),
+        )
+        .select(
+            "__g",
+            "__ng",
+            "__q",
+            # exact int64 ceil-division (`div`, never the double `/`:
+            # past 2^53 a double quotient can truncate one off)
+            F.expr(
+                f"(__q * __ng + {n_quantiles - 1}) div {n_quantiles}"
+            ).alias("__ri"),
+        )
+    )
+    rg2 = ranked_g.select(
+        F.col("__g").alias("__g2"), F.col("__r").alias("__r2")
+    )
+    picked = picks.join(
+        rg2,
+        (picks["__g"] == rg2["__g2"]) & (picks["__ri"] == rg2["__r2"]),
+    ).select("__g", "__q", "__ng", F.col("__r2").alias("__r"))
+    tgt = picked.join(F.broadcast(n_tot)).select(
+        "__g",
+        "__q",
+        "__ng",
+        # r*N can pass int64 at corpus scale -> widen to decimal(38,0)
+        # before the exact integral `div`
+        F.expr(
+            "(CAST(__r AS DECIMAL(38,0)) * __nn + __ng - 1) div __ng"
+        ).cast("long").alias("__ti"),
+    )
+    out = tgt.join(glob, tgt["__ti"] == glob["__grk"])
+    return out.select(
+        F.col("__g").alias("group"),
+        F.col("__q").alias("quantile"),
+        F.col("__ng").alias("n_rows"),
+        F.col("__ref").alias("norm_value"),
+    ).orderBy("group", "quantile")
+
+
+def grid_radius_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+) -> DataFrame:
+    """All point pairs within ``radius`` (Euclidean, INTEGER planar
+    coordinates) — ``(id_a, id_b, dist_sq)`` with ``id_a < id_b`` —
+    via grid-cell blocking: the spatial self-join that never goes
+    all-pairs. Each point keys by its ``radius``-sized grid cell;
+    the left side stamps the 3×3 neighborhood, the right side keeps
+    its own cell, so every qualifying pair meets on EXACTLY one key
+    (the right point's cell — no post-join dedup) and candidate
+    count is bounded by local density, not n². Distance compares are
+    exact int64 (precondition: |coordinate| < ~2³⁰ so Δ² sums fit);
+    there is no floating point anywhere.
+
+    100 TB shape: one equi-join on the cell key (hash shuffle both
+    sides, the stamped side 9×); a hot cell (skewed density) is a
+    bounded 9-cell neighborhood problem, the same Σdf² contract as
+    the exact sim-join family."""
+    cx = F.floor(F.col(x_col) / F.lit(radius)).cast("long")
+    cy = F.floor(F.col(y_col) / F.lit(radius)).cast("long")
+    base = points.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__i"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+        cx.alias("__cx"),
+        cy.alias("__cy"),
+    )
+    stamped = base.select(
+        F.col("__i").alias("__ia"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("__cx") + dx).alias("__kx"),
+                        (F.col("__cy") + dy).alias("__ky"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("__c"),
+    ).select("__ia", "__xa", "__ya", "__c.__kx", "__c.__ky")
+    right = base.select(
+        F.col("__i").alias("__ib"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__cx").alias("__kx"),
+        F.col("__cy").alias("__ky"),
+    )
+    dx = F.col("__xa") - F.col("__xb")
+    dy = F.col("__ya") - F.col("__yb")
+    d2 = dx * dx + dy * dy
+    return (
+        stamped.join(right, ["__kx", "__ky"])
+        .filter(
+            (F.col("__ia") < F.col("__ib"))
+            & (d2 <= F.lit(radius).cast("long") * F.lit(radius).cast("long"))
+        )
+        .select(
+            F.col("__ia").alias("id_a"),
+            F.col("__ib").alias("id_b"),
+            d2.alias("dist_sq"),
+        )
+        .orderBy("dist_sq", "id_a", "id_b")
+    )

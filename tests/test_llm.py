@@ -2321,3 +2321,19 @@ def test_effective_sample_size_judges_positivity_on_the_rounded_weight(spark):
     out = {r.group: r for r in effective_sample_size(df, "src", "w").collect()}
     assert "tiny" not in out
     assert out["m"].n_rows == 4 and out["m"].n_eff == 4.0
+
+
+def test_systematic_sample_every_kth_and_deterministic(spark):
+    """Exactly ceil(n/k) rows, sample ranks form the arithmetic grid
+    1, k+1, ..., invariant to partitioning, and a different salt
+    picks a different set."""
+    from maston_spark.llm.sampling import systematic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id int")
+    got = systematic_sample(df.repartition(7), "id", k=10).collect()
+    got2 = systematic_sample(df.repartition(3), "id", k=10).collect()
+    assert [r.id for r in got] == [r.id for r in got2]
+    assert [r.rank for r in got] == list(range(1, 201, 10))
+    assert [r.sample_idx for r in got] == list(range(1, 21))
+    other = systematic_sample(df, "id", k=10, salt="other").collect()
+    assert {r.id for r in other} != {r.id for r in got}

@@ -1345,3 +1345,122 @@ def test_bloom_pruned_join_coerces_divergent_key_types(spark):
         for r in fact.join(dim, fact["k"] == dim["dk"], "inner").collect()
     )
     assert got == want and len(got) == 140
+
+
+def test_acf_matches_plain_python_and_flags_periodicity(spark):
+    """A period-3 series has acf(3) ~ 1 and matches the plain-python
+    estimator exactly at every lag; a constant series emits NULL."""
+    from maston_spark.relational import acf
+
+    xs = [5, 1, 2] * 6  # period 3, n=18
+    rows = [("p", i, xs[i]) for i in range(len(xs))] + [
+        ("const", i, 7) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "s string, t int, x long")
+    out = {(r.series, r.lag): r.acf for r in acf(df, "s", "t", "x", max_lag=4).collect()}
+    n = len(xs)
+    m = sum(xs) / n
+    den = sum((v - m) ** 2 for v in xs)
+    for k in range(1, 5):
+        num = sum((xs[t] - m) * (xs[t + k] - m) for t in range(n - k))
+        assert out[("p", k)] == round(num / den, 6), k
+    # lag-3 on an exactly periodic series: num has n-3 of the n
+    # denominator terms -> (n-k)/n = 15/18
+    assert out[("p", 3)] == round(15 / 18, 6)
+    assert all(out[("const", k)] is None for k in range(1, 5))
+
+
+def test_seasonal_naive_mase_recovers_planted_seasonality(spark):
+    """A strongly weekly series beats naive-1 (mase < 1) and both
+    MAEs match hand sums; a too-short series emits NULL mase."""
+    from maston_spark.relational import seasonal_naive_mase
+
+    week = [100, 10, 20, 30, 40, 50, 60]
+    xs = week * 4  # exact weekly repetition -> seasonal MAE 0
+    rows = [("w", i, xs[i]) for i in range(len(xs))] + [
+        ("short", i, i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "s string, t int, x long")
+    out = {r.series: r for r in seasonal_naive_mase(df, "s", "t", "x", season=7).collect()}
+    n = len(xs)
+    e1 = sum(abs(xs[t] - xs[t - 1]) for t in range(1, n))
+    assert out["w"].mae_seasonal == 0.0
+    assert out["w"].mae_naive1 == round(e1 / (n - 1), 6)
+    assert out["w"].mase == 0.0
+    assert out["short"].mase is None
+
+
+def test_quantile_normalize_forces_groups_onto_pooled_reference(spark):
+    """After normalization each group's quantile values are corpus
+    order statistics, and two groups drawn from shifted distributions
+    land on (near-)identical per-quantile values; hand-check the
+    type-1 index math on a tiny case."""
+    from maston_spark.relational import quantile_normalize
+
+    a = [float(v) for v in range(1, 21)]          # 1..20
+    b = [float(v + 100) for v in range(1, 21)]    # 101..120 (shifted)
+    rows = [("a", i, v) for i, v in enumerate(a)] + [
+        ("b", i + 100, v) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    out = {(r.group, r.quantile): r.norm_value
+           for r in quantile_normalize(df, "g", "i", "v", n_quantiles=4).collect()}
+    allv = sorted(a + b)
+    n, ng = len(allv), 20
+    for q in range(1, 5):
+        r = -(-q * ng // 4)              # within-group ceil index
+        ti = -(-r * n // ng)             # global ceil index
+        want = allv[ti - 1]
+        assert out[("a", q)] == want     # group a maps onto the pooled ref
+    # shifted group lands on the same pooled reference values
+    for q in range(1, 5):
+        assert out[("b", q)] == out[("a", q)]
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    """The 3x3-stamped cell join returns EXACTLY the brute-force
+    within-radius pair set (each pair once, id_a < id_b), including
+    pairs that straddle cell boundaries."""
+    from maston_spark.relational import grid_radius_join
+
+    import itertools
+
+    pts = [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(120)]
+    df = spark.createDataFrame(pts, "pid int, x long, y long")
+    r = 150
+    got = sorted(
+        (p.id_a, p.id_b, p.dist_sq)
+        for p in grid_radius_join(df, "pid", "x", "y", r).collect()
+    )
+    want = sorted(
+        (i, j, d2)
+        for (i, xi, yi), (j, xj, yj) in itertools.combinations(pts, 2)
+        if (d2 := (xi - xj) ** 2 + (yi - yj) ** 2) <= r * r
+    )
+    assert got == want and len(want) > 20
+
+
+def test_fd_violations_exact_repair_cost(spark):
+    """A true FD reports zero violations; a planted violator reports
+    the exact violating-key count and minimum repair rows (rows minus
+    per-key majority)."""
+    from maston_spark.profiling import fd_violations
+
+    rows = [
+        # k=1 -> always 'a' (clean); k=2 -> 'a','a','b' (1 repair);
+        # k=3 -> 'x','y' (1 repair); NULL det ignored
+        (1, "a"), (1, "a"),
+        (2, "a"), (2, "a"), (2, "b"),
+        (3, "x"), (3, "y"),
+        (None, "z"),
+    ]
+    df = spark.createDataFrame(rows, "k int, v string")
+    [r] = fd_violations(df, [("k", "v")]).collect()
+    assert r.n_rows == 7 and r.n_det_values == 3
+    assert r.n_violating == 2 and r.repair_rows == 2
+    assert r.violation_rate == round(2 / 3, 6)
+    assert r.coverage == round(5 / 7, 6)
+    # NULL dependents are values: (k, NULL) + (k, x) violates
+    df2 = spark.createDataFrame([(1, "a"), (1, None)], "k int, v string")
+    [r2] = fd_violations(df2, [("k", "v")]).collect()
+    assert r2.n_violating == 1 and r2.repair_rows == 1
