@@ -299,6 +299,17 @@ _PRIORITY = [
     # verdict #5): survivorship's planted-corruption healing and the
     # rolling-HLL incremental-equals-one-shot topology claim
     "q251_golden_record", "q231_hll_rolling_prefix",
+    # round-13 additions (locally oracle-verified): the statistical-
+    # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
+    # BH-FDR multiple testing, pairwise Kendall), time-series ACF +
+    # seasonal MASE, pooled quantile normalization, the grid-blocked
+    # spatial radius join, FD profiling, systematic sampling, and the
+    # seventh topology's CUSUM prefix twin
+    "q259_mann_whitney", "q260_welch_ttest", "q261_anova_f",
+    "q262_mantel_haenszel", "q263_cochran_armitage", "q264_bh_fdr",
+    "q265_kendall_tau", "q266_acf", "q267_seasonal_mase",
+    "q268_quantile_normalize", "q269_spatial_grid_join",
+    "q270_fd_profile", "q271_systematic_sample", "q272_cusum_prefix",
     # round-13 demotions lead (each family's graded flagship named in
     # the promotion comments above), then round-12's, round-11's...
     "q148_gopher_gate", "q173_mg_heavy_hitters", "q196_table_sketch_profile",

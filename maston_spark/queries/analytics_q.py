@@ -4408,3 +4408,69 @@ def q271_systematic_sample(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return systematic_sample(d, "doc_id", k=37, salt="sys")
+
+
+@query(
+    "q272_cusum_prefix",
+    oracle="""
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bkt,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2),
+    w AS (SELECT event_type, bkt, c,
+                 CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bkt)
+                      AS BIGINT) AS cum,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY bkt)
+                      AS BIGINT) AS idx
+          FROM b),
+    t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(c) AS BIGINT) AS total_events
+          FROM b GROUP BY 1),
+    s AS (SELECT w.event_type, w.bkt, t.n_buckets, t.total_events,
+                 t.n_buckets * w.cum - w.idx * t.total_events AS scaled
+          FROM w JOIN t ON t.event_type = w.event_type),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                     ORDER BY abs(scaled) DESC, bkt) AS rn
+          FROM s)
+    SELECT event_type AS "group", bkt AS changepoint_ts, n_buckets,
+           total_events, CAST(scaled AS BIGINT) AS cusum_scaled,
+           CAST(scaled AS DOUBLE) / n_buckets AS cusum
+    FROM r WHERE rn = 1
+    ORDER BY "group"
+    """,
+)
+def q272_cusum_prefix(spark, sf_dir):
+    """The CUSUM monitor TOPOLOGY's fold identity, graded
+    cross-engine: events split into 3 deterministic micro-batches
+    (event_id mod 3), each batch's (group, hour-bucket) counts
+    folded with the SAME additive union+sum the streaming state
+    uses, then the shared :func:`maston_spark.relational.
+    cusum_from_counts` closing math — while the oracle computes the
+    changepoint over the whole history in one shot. Sum-of-bucket-
+    counts ≡ counts-of-union exactly; extends the topology-twin
+    matrix (q195/q200/q201/q211/q231/q250) to the rate-shift
+    monitor, the seventh topology."""
+    from maston_spark.relational import cusum_from_counts
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_type").alias("group"),
+        F.date_trunc("hour", F.col("ts")).alias("__bkt"),
+        "event_id",
+    )
+    counts = None
+    for b in range(3):
+        g = (
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == b)
+            .groupBy("group", "__bkt")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        counts = (
+            g
+            if counts is None
+            else counts.unionByName(g)
+            .groupBy("group", "__bkt")
+            .agg(F.sum("__c").cast("long").alias("__c"))
+        )
+    return cusum_from_counts(counts, "group").orderBy("group")

@@ -954,6 +954,19 @@ def cusum_changepoint(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
+    return cusum_from_counts(b, group_col)
+
+
+def cusum_from_counts(b: DataFrame, group_col: str) -> DataFrame:
+    """The CUSUM closing math over a PRE-AGGREGATED ``(group, __bkt,
+    __c)`` bucket-count frame — shared by :func:`cusum_changepoint`
+    (one batch scan) and the streaming rate-shift monitor
+    (:func:`maston_spark.streaming.topology.cusum_monitor_topology`,
+    whose durable state IS such a count table folded additively
+    across micro-batches — late buckets simply add into their cell),
+    so the two paths cannot diverge on the statistic. Same output
+    contract and n-scaled integer exactness as
+    :func:`cusum_changepoint`."""
     w = Window.partitionBy(group_col).orderBy("__bkt")
     wc = b.select(
         group_col,

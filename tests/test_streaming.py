@@ -1818,3 +1818,71 @@ def test_srm_monitor_topology_golden_and_retry(spark, cleanup):
     }
     for arm in ("0", "1"):
         assert replay[arm].chi2 == by_batch[2][arm].chi2
+
+
+def test_cusum_monitor_topology_golden_and_prefix_identity(spark, cleanup):
+    """Streaming CUSUM monitor over 3 batches: bucket counts fold
+    additively (a late event added to an OLD bucket self-corrects
+    the statistic), the running changepoint equals the batch
+    operator over the same prefix at every batch (shared closing
+    math), and the planted level shift is located at its true hour
+    once it arrives."""
+    from maston_spark.relational import cusum_changepoint, cusum_from_counts
+    from maston_spark.streaming.topology import cusum_monitor_topology
+
+    def ev(day_hour, n):
+        return [datetime(2024, 5, 5, day_hour, 7)] * n
+
+    # steady 10/hour for hours 0-3, then a shift to 40/hour at hour 4+
+    per_batch = [
+        ev(0, 10) + ev(1, 10),
+        ev(2, 10) + ev(3, 10) + ev(4, 40),
+        ev(5, 40) + ev(1, 2),  # 2 LATE events into hour 1's old bucket
+    ]
+    rows = [
+        Row(g="ingest", ts=t, __replay_batch=b)
+        for b, ts_list in enumerate(per_batch)
+        for t in ts_list
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    q = cusum_monitor_topology(
+        stream,
+        group_col="g",
+        ts_col="ts",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append(
+            (bid, {r.group: r for r in df.collect()})
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) >= 3
+    by_batch = dict(seen)
+    prefix: list = []
+    for b in range(3):
+        prefix += per_batch[b]
+        expect = cusum_changepoint(
+            spark.createDataFrame([("ingest", t) for t in prefix], "g string, ts timestamp"),
+            "g",
+            "ts",
+            unit="hour",
+        ).collect()[0]
+        got = by_batch[b]["ingest"]
+        assert got.n_buckets == expect.n_buckets, b
+        assert got.total_events == expect.total_events, b
+        assert got.cusum_scaled == expect.cusum_scaled, b
+        assert str(got.changepoint_ts) == str(expect.changepoint_ts), b
+    # the level shift (hour 4) pins the changepoint at the pre-shift
+    # boundary: CUSUM |S_i| peaks at hour 3 (the last steady bucket)
+    assert str(by_batch[2]["ingest"].changepoint_ts).startswith("2024-05-05 03")
+    # durable state replay reproduces the final emit
+    state = spark.read.parquet(f"{chk}/cusum_state/v2")
+    [replay] = cusum_from_counts(state, "group").collect()
+    assert replay.cusum_scaled == by_batch[2]["ingest"].cusum_scaled
