@@ -78,6 +78,15 @@ HEADLINE = [
     "q241_jackknife_ratio",       # leave-one-bucket-out ratio CI
     "q244_bloom_pruned_join",     # runtime-filter semi-join reduction
     "q246_kaplan_meier",          # product-limit survival curve
+    # round-13 additions: the newly graded round-12 physics and the
+    # round's own flagships
+    "q254_conformal_interval",    # finite-sample order-statistic bound
+    "q227_ipf_raking",            # fixed-point IPF margin replay
+    "q264_bh_fdr",                # BH step-up over the two-phase rank
+    "q265_kendall_tau",           # bounded all-pairs tau-b
+    "q268_quantile_normalize",    # pooled order-statistic normalization
+    "q269_spatial_grid_join",     # grid-blocked spatial radius join
+    "q272_cusum_prefix",          # CUSUM monitor fold twin
 ]
 
 # Fixed-work calibration (data-independent): a pure JVM codegen loop

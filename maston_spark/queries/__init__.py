@@ -72,7 +72,14 @@ _PRIORITY = [
     # substring-heavy q148 gopher battery + q155 substring removal;
     # the freed slots grade the CDC upsert-apply family and the
     # order-insensitive table fingerprint — XOR-fold multiset check)
-    "q139_gapfill", "q25_set_ops", "q185_table_fingerprint", "q143_cdc_upsert",
+    # (round-13 in-round promotion: q25 set-ops' physical families
+    # stay graded through their rewrites — intersect/except are the
+    # same null-aware semi/anti hash joins as graded q07, union's
+    # dedup is the content-hash distinct graded inside q152's exact
+    # stage; its slot grades q269's grid-blocked spatial radius join,
+    # a candidate-generation physics the catalog had nowhere else)
+    "q139_gapfill", "q269_spatial_grid_join",
+    "q185_table_fingerprint", "q143_cdc_upsert",
     # streaming-semantics + validated-ingest family
     # (q36 drop_duplicates' streaming-dedup family stays graded via
     # q33+q63; its slot grades the composed Gopher rule-battery gate.
@@ -138,7 +145,13 @@ _PRIORITY = [
     # cumulative-multiplicity interval-overlap rank math with the
     # harder kept-fraction policy; q197's slot grades exactly that
     # q226)
-    "q226_trimmed_mean", "q202_hll_distinct",
+    # (round-13 in-round promotion: q202's flat HLL distinct is
+    # composed VERBATIM inside graded q230's rollup cube — the same
+    # register build, folded across grouping levels by max — so the
+    # harmonic-estimator physics stays graded by the richer member;
+    # its slot grades q272, the CUSUM monitor's additive-fold twin,
+    # completing the seventh row of the topology-twin matrix)
+    "q226_trimmed_mean", "q272_cusum_prefix",
     # LLM-pipeline set (unique capabilities first; within-family
     # variants — simhash after minhash, fingerprint after exact-hash,
     # sliding/session after tumbling, frames after rank — are in the
@@ -250,7 +263,15 @@ _PRIORITY = [
     # slot grades q250's streaming-SRM prefix twin, completing the
     # externally-graded topology-twin matrix for the experimentation
     # family)
-    "q127_budget_select", "q250_srm_prefix",
+    # (round-13 in-round promotion: q127 budget-select's two-phase
+    # global-prefix physics is now graded FOUR ways — q254's
+    # conformal order statistic, q264's BH ranking, q268's
+    # normalization ranks, q271's systematic grid — and its
+    # allocation family via q189's water-fill + q204's greedy
+    # coverage; its slot grades q264's Benjamini-Hochberg step-up,
+    # the multiple-testing boundary decided in the integer domain —
+    # a grading physics nothing else in the window has)
+    "q264_bh_fdr", "q250_srm_prefix",
     "q194_binned_tvd_drift",
     # (round-12: q90 winnowing's robust-fingerprint family stays
     # graded via q155's gram-table substring removal and q152's
@@ -306,12 +327,16 @@ _PRIORITY = [
     # spatial radius join, FD profiling, systematic sampling, and the
     # seventh topology's CUSUM prefix twin
     "q259_mann_whitney", "q260_welch_ttest", "q261_anova_f",
-    "q262_mantel_haenszel", "q263_cochran_armitage", "q264_bh_fdr",
+    "q262_mantel_haenszel", "q263_cochran_armitage",
     "q265_kendall_tau", "q266_acf", "q267_seasonal_mase",
-    "q268_quantile_normalize", "q269_spatial_grid_join",
-    "q270_fd_profile", "q271_systematic_sample", "q272_cusum_prefix",
+    "q268_quantile_normalize",
+    "q270_fd_profile", "q271_systematic_sample",
     # round-13 demotions lead (each family's graded flagship named in
     # the promotion comments above), then round-12's, round-11's...
+    # (in-round: q25's rewrites graded via q07/q152, q127's prefix
+    # physics via q254/q264/q268/q271 + planners q189/q204, q202's
+    # registers verbatim inside q230)
+    "q25_set_ops", "q127_budget_select", "q202_hll_distinct",
     "q148_gopher_gate", "q173_mg_heavy_hitters", "q196_table_sketch_profile",
     "q235_transition_lift", "q237_chao1_vocab",
     "q12_asof_join", "q33_tumbling_window", "q69_scalar_subquery",

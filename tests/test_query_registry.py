@@ -98,7 +98,7 @@ def test_graded_window_covers_unique_capabilities():
         "q87_avro_evolution",
         "q92_avro_roundtrip", "q94_semantic_dedup",
         "q118_pagerank",
-        "q123_bm25_rank", "q127_budget_select",
+        "q123_bm25_rank",
         "q139_gapfill", "q141_data_quality",
         # round-9 promotions: the novel round-8 operators plus the
         # composed IVF-PQ flagship are driver-graded
@@ -129,7 +129,7 @@ def test_graded_window_covers_unique_capabilities():
         # graded immediately rather than waiting a round — HLL (third
         # distinct-count physics), the brute-force-ground-truth-graded
         # complete similarity join, and submodular greedy coverage
-        "q202_hll_distinct", "q203_exact_simjoin", "q204_greedy_coverage",
+        "q203_exact_simjoin", "q204_greedy_coverage",
         # round-12 in-round promotion: covariate-adjusted experiment
         # readout (pooled-regression grading physics)
         "q221_cuped",
@@ -156,6 +156,13 @@ def test_graded_window_covers_unique_capabilities():
         # twin that completes the topology-twin matrix
         "q244_bloom_pruned_join", "q254_conformal_interval",
         "q242_ndcg_mrr", "q227_ipf_raking", "q250_srm_prefix",
+        # round-13 in-round promotions: the round's own novel physics
+        # graded immediately — the BH step-up multiple-testing
+        # boundary (integer-domain compares over the two-phase global
+        # rank), the grid-blocked spatial radius join (a candidate-
+        # generation physics the catalog had nowhere else), and the
+        # CUSUM monitor's additive-fold twin (seventh topology row)
+        "q264_bh_fdr", "q269_spatial_grid_join", "q272_cusum_prefix",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -168,7 +175,7 @@ def test_graded_window_covers_unique_capabilities():
         # q73's registry-dispatch decode is graded via q87+q92
         "q45_text_stats": "q155_keep_first_substring",
         "q73_safe_avro": "q87_avro_evolution",
-        "q167_kmv_distinct": "q202_hll_distinct",
+        "q167_kmv_distinct": "q230_hll_cube",
         # q61's topology-1 pipeline runs the same safe_from_json
         # parse; q152 composes q41's minhash pipeline verbatim; q48's
         # exact-confirm stage grades normalized-dot cosine physics
@@ -190,7 +197,7 @@ def test_graded_window_covers_unique_capabilities():
         "q58_hash_split": "q189_token_water_fill",
         "q64_delta_fold": "q63_delta_expr",
         "q70_customer_distribution": "q03_join_inner",
-        "q72_uncorrelated_scalar": "q127_budget_select",
+        "q72_uncorrelated_scalar": "q264_bh_fdr",
         "q34_sliding_window": "q63_delta_expr",
         "q35_session_window": "q63_delta_expr",
         "q42_dedup_simhash": "q152_dedup_report",
@@ -244,8 +251,8 @@ def test_graded_window_covers_unique_capabilities():
         # via the gram-table substring family
         "q12_asof_join": "q143_cdc_upsert",
         "q33_tumbling_window": "q63_delta_expr",
-        "q69_scalar_subquery": "q127_budget_select",
-        "q168_kmv_set_ops": "q202_hll_distinct",
+        "q69_scalar_subquery": "q264_bh_fdr",
+        "q168_kmv_set_ops": "q230_hll_cube",
         "q90_winnow_fingerprints": "q155_keep_first_substring",
         # round-12 in-round swap: q153's composed IVF-PQ stages all
         # run inside the graded residual variant
@@ -273,9 +280,13 @@ def test_graded_window_covers_unique_capabilities():
         # broadcast-probe member; the fused profile via the HLL
         # estimator it embeds; transition lift and Chao1 are one-agg
         # integer families kept by the graded inference folds
+        # round-13 in-round demotions
+        "q25_set_ops": "q07_join_semi",
+        "q127_budget_select": "q264_bh_fdr",
+        "q202_hll_distinct": "q230_hll_cube",
         "q148_gopher_gate": "q155_keep_first_substring",
         "q173_mg_heavy_hitters": "q169_cms_heavy_hitters",
-        "q196_table_sketch_profile": "q202_hll_distinct",
+        "q196_table_sketch_profile": "q230_hll_cube",
         "q235_transition_lift": "q234_bootstrap_ci",
         "q237_chao1_vocab": "q241_jackknife_ratio",
     }
