@@ -177,3 +177,67 @@ def triangle_stats(
             ).alias("transitivity"),
         )
     )
+
+
+def assortativity(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Degree assortativity of an undirected edge list — one row
+    ``(n_nodes, n_edges, r)``: the Pearson correlation of endpoint
+    degrees over edges (Newman 2002). Positive r = hubs attach to
+    hubs (a dup graph dominated by big mirror cliques), negative =
+    hub-and-spoke (one template document matched by many singletons)
+    — the one-number structural fingerprint read next to
+    :func:`triangle_stats`' transitivity before trusting
+    connected-component clusters.
+
+    Exact shape: one degree aggregation (|V| rows), two broadcast-
+    free equi-joins of the edge list against it, and one
+    combiner-reduced moment fold over the SYMMETRIZED endpoint pairs
+    (each undirected edge contributes both orientations, the
+    standard convention) — Σxy, Σx, Σx² all integer in
+    decimal(38,0), then
+    ``r = (nΣxy − ΣxΣy) / sqrt((nΣx²−(Σx)²)(nΣy²−(Σy)²))`` closes
+    with one correctly-rounded sqrt (round 6; NULL when a factor is
+    0 — a degree-regular graph has undefined assortativity)."""
+    from maston_spark.caching import scoped_persist
+
+    e = scoped_persist(
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("__dx"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("__dy"))
+    pairs = sym.join(du, "u").join(dv, "v")
+    dec = "decimal(38,0)"
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("__m2"),
+        F.sum(F.col("__dx").cast(dec)).alias("__sx"),
+        F.sum((F.col("__dx") * F.col("__dy")).cast(dec)).alias("__sxy"),
+        F.sum((F.col("__dx") * F.col("__dx")).cast(dec)).alias("__sxx"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("__nv"))
+    n = F.col("__m2").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    # symmetrized: Σy = Σx and Σy² = Σx² by construction
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    return agg.join(F.broadcast(nodes)).select(
+        F.col("__nv").alias("n_nodes"),
+        (F.col("__m2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.when(den > 0, F.round(num / den, 6)).alias("r"),
+    )

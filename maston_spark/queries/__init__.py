@@ -331,6 +331,10 @@ _PRIORITY = [
     "q265_kendall_tau", "q266_acf", "q267_seasonal_mase",
     "q268_quantile_normalize",
     "q270_fd_profile", "q271_systematic_sample",
+    # round-13 second wave: degree assortativity (graph-structure
+    # fingerprint), Theil-Sen robust slope (median-of-pairwise-slopes
+    # trend), cross-correlation (lead/lag between two series)
+    "q273_assortativity", "q274_theil_sen", "q275_cross_correlation",
     # round-13 demotions lead (each family's graded flagship named in
     # the promotion comments above), then round-12's, round-11's...
     # (in-round: q25's rewrites graded via q07/q152, q127's prefix

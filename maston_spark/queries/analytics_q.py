@@ -4474,3 +4474,174 @@ def q272_cusum_prefix(spark, sf_dir):
             .agg(F.sum("__c").cast("long").alias("__c"))
         )
     return cusum_from_counts(counts, "group").orderBy("group")
+
+
+@query(
+    "q273_assortativity",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT l_partkey AS a, 1000000000 + l_suppkey AS b
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM e0 WHERE a <> b),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY n),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    p AS (SELECT du.d AS dx, dv.d AS dy
+          FROM sym JOIN deg du ON sym.u = du.n JOIN deg dv ON sym.v = dv.n),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+                   sum(CAST(dx AS HUGEINT)) AS sx,
+                   sum(CAST(dx * dy AS HUGEINT)) AS sxy,
+                   sum(CAST(dx * dx AS HUGEINT)) AS sxx
+            FROM p),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT n_nodes, m2 // 2 AS n_edges,
+           CASE WHEN CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           END AS r
+    FROM agg, nv
+    """,
+)
+def q273_assortativity(spark, sf_dir):
+    """Degree assortativity of the part↔supplier supply graph
+    (disjoint id spaces; Newman 2002 Pearson-over-edges): do
+    high-degree parts source from high-degree suppliers? The
+    structural fingerprint beside q172's transitivity — symmetrized
+    integer moment folds, one exact-rational close (the symmetric
+    form needs NO sqrt). See
+    :func:`maston_spark.graph.assortativity`."""
+    from maston_spark.graph import assortativity
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    edges = li.select(
+        F.col("l_partkey").alias("id_a"),
+        (F.lit(1000000000) + F.col("l_suppkey")).alias("id_b"),
+    ).distinct()
+    return assortativity(edges)
+
+
+@query(
+    "q274_theil_sen",
+    oracle="""
+    WITH b AS (SELECT user_id AS g, event_id AS i,
+                      CAST(round(round(CAST(epoch_ms(ts) // 3600000 AS DOUBLE), 6)
+                                 * 1000000) AS BIGINT) AS x,
+                      CAST(round(round(value, 6) * 1000000) AS BIGINT) AS y
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+    cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY g
+            HAVING count(*) >= 5),
+    k AS (SELECT b.* FROM b JOIN cnt USING (g)),
+    pairs AS (SELECT l.g, l.i AS i1, r.i AS i2,
+                     CASE WHEN r.x - l.x < 0 THEN -(r.y - l.y)
+                          ELSE r.y - l.y END AS p,
+                     abs(r.x - l.x) AS q,
+                     CAST(r.y - l.y AS DOUBLE) / CAST(r.x - l.x AS DOUBLE) AS s
+              FROM k l JOIN k r ON l.g = r.g AND l.i < r.i AND l.x <> r.x),
+    np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY g),
+    med AS (SELECT p2.g, np.n_pairs, p2.s AS slope, p2.p, p2.q
+            FROM (SELECT g, s, p, q, row_number() OVER
+                    (PARTITION BY g ORDER BY s, i1, i2) AS rn FROM pairs) p2
+            JOIN np ON p2.g = np.g AND p2.rn = (np.n_pairs + 1) // 2),
+    res AS (SELECT k.g, med.n_pairs, med.slope, med.q, k.i,
+                   CAST(med.q AS HUGEINT) * k.y
+                     - CAST(med.p AS HUGEINT) * k.x AS rr
+            FROM k JOIN med ON k.g = med.g),
+    ic AS (SELECT r2.g, r2.n_pairs, r2.slope, r2.q, r2.rr
+           FROM (SELECT g, n_pairs, slope, q, rr, row_number() OVER
+                   (PARTITION BY g ORDER BY rr, i) AS rn FROM res) r2
+           JOIN cnt ON r2.g = cnt.g AND r2.rn = (cnt.n_rows + 1) // 2)
+    SELECT ic.g AS "group", cnt.n_rows, ic.n_pairs,
+           round(ic.slope, 6) AS slope,
+           CAST(CASE WHEN ic.rr >= 0
+                     THEN (2 * ic.rr + ic.q) // (2 * CAST(ic.q AS HUGEINT))
+                     ELSE -((2 * (-ic.rr) + ic.q) // (2 * CAST(ic.q AS HUGEINT)))
+                END AS DOUBLE) / 1e6 AS intercept
+    FROM ic JOIN cnt ON ic.g = cnt.g ORDER BY "group"
+    """,
+)
+def q274_theil_sen(spark, sf_dir):
+    """Theil-Sen robust value trend per user (slope per HOUR over the
+    event sequence): the median-of-pairwise-slopes estimate one
+    outlier event can't drag, beside q265's tau (is there a trend?)
+    and q133's least squares (how steep, if clean?). Bounded-entity
+    all-pairs contract; type-1 medians — never a midpoint average.
+    See :func:`maston_spark.relational.theil_sen_slope`."""
+    from maston_spark.relational import theil_sen_slope
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    subj = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 3600000")
+        .cast("double")
+        .alias("t_hours"),
+        "value",
+    )
+    return theil_sen_slope(
+        subj, "user_id", "event_id", "t_hours", "value", min_rows=5
+    )
+
+
+@query(
+    "q275_cross_correlation",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS x,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS y
+               FROM events WHERE ts IS NOT NULL
+               GROUP BY CAST(ts AS DATE)),
+    lagk AS (SELECT day, x, y, k.k,
+                    CASE WHEN k.k >= 0
+                         THEN lead(y, CAST(k.k AS INT)) OVER (PARTITION BY k.k ORDER BY day)
+                         ELSE lag(y, CAST(-k.k AS INT)) OVER (PARTITION BY k.k ORDER BY day)
+                    END AS yl
+             FROM d, (SELECT unnest(range(-7, 8)) AS k) k),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+            FROM d),
+    dev AS (SELECT k, CAST(n AS HUGEINT) * x - sx AS dx,
+                   CAST(n AS HUGEINT) * y - sy AS dy0,
+                   CASE WHEN yl IS NULL THEN NULL
+                        ELSE CAST(n AS HUGEINT) * yl - sy END AS dyl,
+                   n
+            FROM lagk, tot),
+    num AS (SELECT n, k, sum(dx * dyl) AS num FROM dev
+            WHERE dyl IS NOT NULL GROUP BY n, k),
+    den AS (SELECT n, sum(dx * dx) AS dxx, sum(dy0 * dy0) AS dyy
+            FROM dev WHERE k = 0 GROUP BY n)
+    SELECT CAST(num.k AS INT) AS lag, num.n AS n_obs,
+           CASE WHEN CAST(dxx AS DOUBLE) > 0 AND CAST(dyy AS DOUBLE) > 0
+                THEN round(CAST(num AS DOUBLE)
+                           / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6)
+           END AS ccf
+    FROM num JOIN den USING (n) ORDER BY lag
+    """,
+)
+def q275_cross_correlation(spark, sf_dir):
+    """Cross-correlation between the daily VIEW and PURCHASE volume
+    series at lags −7..+7 — does view traffic lead purchases (and by
+    how many days)? The lead/lag structure q266's within-series ACF
+    cannot see; n-scaled integer folds, one sqrt+division close. See
+    :func:`maston_spark.relational.cross_correlation`."""
+    from maston_spark.relational import cross_correlation
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    return cross_correlation(daily, "day", "x", "y", max_lag=7)

@@ -2211,3 +2211,253 @@ def grid_radius_join(
         )
         .orderBy("dist_sq", "id_a", "id_b")
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    min_rows: int = 5,
+) -> DataFrame:
+    """Theil-Sen robust slope per group — ``(group, n_rows, n_pairs,
+    slope, intercept)``: the median of all pairwise slopes
+    (Theil 1950, Sen 1968), the trend estimate a single outlier
+    can't drag (breakdown point ~29%, vs 0 for :func:`group_trend`'s
+    least squares). ``intercept`` is the median of ``y − slope·x``
+    (the standard completion).
+
+    Exact shape: the within-group pair join is the bounded-entity
+    all-pairs contract (Σn_g² by design — per-user sequences, never
+    the corpus as one group); each pair's slope is ONE
+    correctly-rounded IEEE division of integer 6-grid lane
+    differences (equal rationals produce identical doubles in both
+    engines), and both medians are TYPE-1 order statistics (index
+    ``(m+1) div 2`` — never the midpoint average whose half-sum
+    could land on a rounding boundary), picked by a rank window over
+    the per-group pair set with a (slope, id, id) total order.
+    Groups below ``min_rows`` drop; zero x-variance emits NULL."""
+    xi = F.round(
+        F.round(F.col(x_col).cast("double"), 6) * F.lit(1000000), 0
+    ).cast("long")
+    yi = F.round(
+        F.round(F.col(y_col).cast("double"), 6) * F.lit(1000000), 0
+    ).cast("long")
+    base = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__i"),
+        xi.alias("__x"),
+        yi.alias("__y"),
+    )
+    from maston_spark.caching import scoped_persist
+
+    counts = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    big = counts.filter(F.col("n_rows") >= min_rows)
+    # three consumers (both pair sides + the residual pass) — persist
+    # so the scan+filter+join pipeline runs once, not three times
+    kept = scoped_persist(base.join(F.broadcast(big.select("__g")), "__g"))
+    l = kept.select(
+        "__g",
+        F.col("__i").alias("__i1"),
+        F.col("__x").alias("__x1"),
+        F.col("__y").alias("__y1"),
+    )
+    r = kept.select(
+        "__g",
+        F.col("__i").alias("__i2"),
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+    )
+    # the pair's slope is the rational p/q with q NORMALIZED positive
+    # (flip both signs when x decreases) so downstream residual ORDER
+    # can run on exact integers; the double __s exists only as a sort
+    # key and the reported value (correctly rounded from the same
+    # rational in both engines)
+    p_raw = F.col("__y2") - F.col("__y1")
+    q_raw = F.col("__x2") - F.col("__x1")
+    # two consumers (the count and the rank window) — persist the
+    # pair table so the quadratic join runs once
+    pairs = scoped_persist(
+        l.join(r, "__g")
+        .filter((F.col("__i1") < F.col("__i2")) & (F.col("__x1") != F.col("__x2")))
+        .select(
+            "__g",
+            "__i1",
+            "__i2",
+            F.when(q_raw < 0, -p_raw).otherwise(p_raw).alias("__p"),
+            F.abs(q_raw).alias("__q"),
+            (p_raw.cast("double") / q_raw.cast("double")).alias("__s"),
+        )
+    )
+    wp = Window.partitionBy("__g").orderBy("__s", "__i1", "__i2")
+    np_ = pairs.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    med = (
+        pairs.select(
+            "__g", "__s", "__p", "__q", F.row_number().over(wp).alias("__rn")
+        )
+        .join(F.broadcast(np_), "__g")
+        .filter(F.col("__rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("__g", "n_pairs", F.col("__s").alias("__slope"), "__p", "__q")
+    )
+    # intercept: type-1 median of y − (p/q)·x, ORDERED and picked in
+    # the exact integer domain r_i = q·y_i − p·x_i (q > 0, so integer
+    # order == residual order) — a float product here diverged across
+    # engines (FMA contraction) at a 6-grid rounding boundary; the
+    # one double step left is r_med / (q · 1e6), a correctly-rounded
+    # division of exact values
+    dec = "decimal(38,0)"
+    resid = kept.join(
+        F.broadcast(med.select("__g", "__p", "__q")), "__g"
+    ).select(
+        "__g",
+        "__i",
+        (
+            F.col("__q").cast(dec) * F.col("__y").cast(dec)
+            - F.col("__p").cast(dec) * F.col("__x").cast(dec)
+        ).alias("__r"),
+    )
+    wr = Window.partitionBy("__g").orderBy("__r", "__i")
+    cnt2 = counts.select(F.col("__g").alias("__gc"), "n_rows")
+    icept = (
+        resid.select("__g", "__r", F.row_number().over(wr).alias("__rn"))
+        .join(F.broadcast(cnt2), F.col("__g") == F.col("__gc"))
+        .filter(F.col("__rn") == F.expr("(n_rows + 1) div 2"))
+        .select("__g", "__r", "n_rows")
+    )
+    med2 = med.select(
+        F.col("__g").alias("__gm"), "n_pairs", "__slope", F.col("__q").alias("__qm")
+    )
+    # the 6-dp intercept is rounded on the RATIONAL r/q itself
+    # (half-away-from-zero via integral arithmetic — q > 0, operands
+    # kept positive so `div` semantics agree across engines): the
+    # float quotient can land a hair off an exact grid MIDPOINT and
+    # the two engines' round() then disagree by one ulp of the grid
+    # (bit at sf0.1)
+    micro = F.expr(
+        "CASE WHEN __r >= 0 THEN (2 * __r + __qm) div (2 * __qm) "
+        "ELSE -((2 * (-__r) + __qm) div (2 * __qm)) END"
+    )
+    return (
+        icept.join(med2, F.col("__g") == F.col("__gm"))
+        .select(
+            F.col("__g").alias("group"),
+            "n_rows",
+            "n_pairs",
+            F.round(F.col("__slope"), 6).alias("slope"),
+            (micro.cast("double") / F.lit(1e6)).alias("intercept"),
+        )
+        .orderBy("group")
+    )
+
+
+def cross_correlation(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation between two aligned integer series at lags
+    −``max_lag``..``max_lag`` — ``(lag, n_obs, ccf)`` where positive
+    lag correlates x_t with y_{t+k} (x LEADS y by k): does one
+    metric's movement foreshadow another's (views → purchases,
+    ingest volume → error rate)? The lead/lag structure ACF
+    (:func:`acf`) can't see because it only looks within one series.
+
+    Exact shape: one order window yields y's ±K leads/lags unpivoted
+    inline; the estimator is made integer by multiplying through by
+    n² (``Σ(n·x_t−Sx)(n·y_{t+k}−Sy) / sqrt(Σ(n·x−Sx)²·Σ(n·y−Sy)²)``)
+    with all folds exact in decimal(38,0); the close is two
+    correctly-rounded doubles, one sqrt, one division (round 6).
+    Rows must be the ALIGNED series (one row per time point with
+    both values); values integer. The order window is partition-less
+    by design — bounded-domain precondition: the input is a BUCKETED
+    series (one row per time bucket), never raw events."""
+    wo = Window.orderBy(order_col)
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    lags = list(range(-max_lag, max_lag + 1))
+    leads = df.select(
+        x.alias("__x"),
+        y.alias("__y"),
+        *[
+            (F.lead(y, k).over(wo) if k >= 0 else F.lag(y, -k).over(wo)).alias(
+                f"__y_{k + max_lag}"
+            )
+            for k in lags
+        ],
+    )
+    tot = leads.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+    )
+    j = leads.join(F.broadcast(tot))
+    nd = F.col("__n").cast(dec)
+    dx = nd * F.col("__x").cast(dec) - F.col("__sx").cast(dec)
+    dy0 = nd * F.col("__y").cast(dec) - F.col("__sy").cast(dec)
+    terms = j.select(
+        "__n",
+        dx.alias("__dx"),
+        dy0.alias("__dy0"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("__k"),
+                        F.col(f"__y_{k + max_lag}").cast("long").alias("__yl"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("__e"),
+        F.col("__sy"),
+    ).select(
+        "__n",
+        "__dx",
+        "__dy0",
+        F.col("__e.__k").alias("__k"),
+        F.when(
+            F.col("__e.__yl").isNotNull(),
+            nd * F.col("__e.__yl").cast(dec) - F.col("__sy").cast(dec),
+        ).alias("__dyl"),
+    )
+    num = (
+        terms.filter(F.col("__dyl").isNotNull())
+        .groupBy("__n", "__k")
+        .agg(F.sum(F.col("__dx") * F.col("__dyl")).alias("__num"))
+    )
+    den = terms.filter(F.col("__k") == 0).groupBy("__n").agg(
+        F.sum(F.col("__dx") * F.col("__dx")).alias("__dxx"),
+        F.sum(F.col("__dy0") * F.col("__dy0")).alias("__dyy"),
+    )
+    ok = (F.col("__dxx").cast("double") > 0) & (
+        F.col("__dyy").cast("double") > 0
+    )
+    return (
+        num.join(F.broadcast(den), "__n")
+        .select(
+            F.col("__k").alias("lag"),
+            F.col("__n").alias("n_obs"),
+            F.when(
+                ok,
+                F.round(
+                    F.col("__num").cast("double")
+                    / F.sqrt(
+                        F.col("__dxx").cast("double")
+                        * F.col("__dyy").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

@@ -2337,3 +2337,38 @@ def test_systematic_sample_every_kth_and_deterministic(spark):
     assert [r.sample_idx for r in got] == list(range(1, 21))
     other = systematic_sample(df, "id", k=10, salt="other").collect()
     assert {r.id for r in other} != {r.id for r in got}
+
+
+def test_assortativity_known_graphs(spark):
+    """A star graph is maximally disassortative (r = -1); a graph of
+    two disjoint cliques of different sizes is degree-regular within
+    components but not overall — value matches a plain-python
+    Pearson over symmetrized endpoint degrees."""
+    from maston_spark.graph import assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a int, id_b int"
+    )
+    [rs] = assortativity(star).collect()
+    assert rs.r == -1.0 and rs.n_nodes == 6 and rs.n_edges == 5
+    # path graph P4: degrees 1,2,2,1
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a int, id_b int"
+    )
+    [rp] = assortativity(path).collect()
+    deg = {0: 1, 1: 2, 2: 2, 3: 1}
+    pts = []
+    for a, b in ((0, 1), (1, 2), (2, 3)):
+        pts += [(deg[a], deg[b]), (deg[b], deg[a])]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    want = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    assert rp.r == round(want, 6)
+    # a clique is degree-regular -> zero variance -> NULL
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "id_a int, id_b int"
+    )
+    [rk] = assortativity(k4).collect()
+    assert rk.r is None

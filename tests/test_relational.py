@@ -1464,3 +1464,57 @@ def test_fd_violations_exact_repair_cost(spark):
     df2 = spark.createDataFrame([(1, "a"), (1, None)], "k int, v string")
     [r2] = fd_violations(df2, [("k", "v")]).collect()
     assert r2.n_violating == 1 and r2.repair_rows == 1
+
+
+def test_theil_sen_ignores_outlier_and_matches_plain_python(spark):
+    """A clean line with one wild outlier: Theil-Sen recovers the
+    true slope where least squares would not; slope and intercept
+    match a plain-python type-1 median replay."""
+    from maston_spark.relational import theil_sen_slope
+
+    pts = [(i, float(i), 3.0 * i + 10) for i in range(9)] + [(9, 9.0, 500.0)]
+    df = spark.createDataFrame(
+        [("s", i, x, y) for i, x, y in pts], "g string, i int, x double, y double"
+    )
+    [r] = theil_sen_slope(df, "g", "i", "x", "y").collect()
+    slopes = sorted(
+        (
+            (y2 - y1) / (x2 - x1),
+            i1,
+            i2,
+        )
+        for (i1, x1, y1) in pts
+        for (i2, x2, y2) in pts
+        if i1 < i2 and x1 != x2
+    )
+    m = len(slopes)
+    want_slope = slopes[(m + 1) // 2 - 1][0]
+    assert r.slope == round(want_slope, 6) == 3.0
+    resid = sorted((y - want_slope * x, i) for i, x, y in pts)
+    want_icept = resid[(len(pts) + 1) // 2 - 1][0]
+    assert r.intercept == round(want_icept, 6) == 10.0
+    assert r.n_pairs == m
+
+
+def test_cross_correlation_detects_planted_lead(spark):
+    """y is x shifted by 2 steps: ccf peaks exactly at lag +2 (x
+    leads y) and every lag matches the plain-python estimator."""
+    from maston_spark.relational import cross_correlation
+
+    import random
+
+    rnd = random.Random(7)
+    xs = [rnd.randrange(0, 50) for _ in range(40)]
+    ys = [0, 0] + xs[:-2]  # y_t = x_{t-2}
+    rows = [(t, xs[t], ys[t]) for t in range(40)]
+    df = spark.createDataFrame(rows, "t int, x long, y long")
+    out = {r.lag: r.ccf for r in cross_correlation(df, "t", "x", "y", max_lag=4).collect()}
+    n = 40
+    mx, my = sum(xs) / n, sum(ys) / n
+    dxx = sum((v - mx) ** 2 for v in xs)
+    dyy = sum((v - my) ** 2 for v in ys)
+    for k in range(-4, 5):
+        ts = range(max(0, -k), n - max(0, k))
+        num = sum((xs[t] - mx) * (ys[t + k] - my) for t in ts)
+        assert out[k] == round(num / (dxx * dyy) ** 0.5, 6), k
+    assert max(out, key=lambda k: out[k]) == 2

@@ -51,6 +51,13 @@ JUSTIFIED = {
         "grows 5.3x min-of-3 (1.03 -> 5.43 s, SCALE.md round 13) -- the "
         "intrinsic input-property jump, not superlinearity in corpus size"
     ),
+    "q274_theil_sen": (
+        "the pairwise-slope table is Sigma n_g^2 by contract; the 10x dir "
+        "adds 10x users at CONSTANT per-user density (measured: 1,500 -> "
+        "15,000 users, max 99 events each), so pairs grow exactly 10x and "
+        "time grew 3.5x min-of-3 (5.7 -> 20.1 s, SCALE.md round 13) -- "
+        "sublinear per pair, linear overall"
+    ),
     "q155_keep_first_substring": (
         "same gram-table bound as q111 (k*tokens) plus one co-partitioned "
         "keep-first agg; dup saturation 10% -> 100% under replicas; "
