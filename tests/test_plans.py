@@ -434,3 +434,43 @@ def test_conformal_rank_has_no_partitionless_window(spark, sf_dir, qs):
     p = plan_of(qs["q254_conformal_interval"](spark, sf_dir))
     assert "Window" not in p, p
     assert "rangepartitioning" in p.lower(), p
+
+
+def test_bh_fdr_rank_has_no_partitionless_window(spark, sf_dir, qs):
+    """q264's hypothesis ranking is the two-phase global rank — at
+    10⁹ hypotheses a partition-less ``row_number() OVER (ORDER BY
+    lane)`` would pull the whole battery through one task."""
+    p = plan_of(qs["q264_bh_fdr"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+
+
+def test_systematic_sample_has_no_partitionless_window(spark, sf_dir, qs):
+    """q271's md5-permuted ordering is two-phase for the same
+    reason; the keep test is a modulo projection."""
+    p = plan_of(qs["q271_systematic_sample"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+
+
+def test_spatial_grid_join_is_an_equi_join(spark, sf_dir, qs):
+    """q269 must meet on the (cell_x, cell_y) hash key — never a
+    cartesian/broadcast-nested-loop pair enumeration."""
+    p = plan_of(qs["q269_spatial_grid_join"](spark, sf_dir))
+    assert "Cartesian" not in p, p
+    assert "BroadcastNestedLoop" not in p, p
+
+
+def test_quantile_normalize_windows_are_group_partitioned(spark, sf_dir, qs):
+    """q268 keeps exactly one kind of Window — the within-GROUP rank
+    (hash-partitioned); the global reference ranking must be the
+    two-phase rank (rangepartitioning present, and no partition-less
+    window over the pooled corpus)."""
+    p = plan_of(qs["q268_quantile_normalize"](spark, sf_dir))
+    assert "rangepartitioning" in p.lower(), p
+    # every Window node in the plan carries a partition spec: the
+    # within-group row_number windows are partitioned by the group
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+        assert m.group(1).strip(), p
