@@ -1036,3 +1036,35 @@ def fd_violations(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("determinant", "dependent")
+
+
+def information_gain(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: "list[str]",
+) -> DataFrame:
+    """Information-gain feature ranking — per feature ``(feature,
+    n_rows, h_label, h_feature, mi, nmi)``: the mutual information
+    of each candidate feature with the label (one
+    :func:`mutual_information` contingency pass per feature, unioned
+    — the multi-column feature-selection sweep next to the
+    single-pair q248 audit). Read ``mi`` to rank features, ``nmi``
+    to spot a feature that simply RESTATES the label (leakage).
+    Same exactness contract as :func:`mutual_information`."""
+    outs = []
+    for c in feature_cols:
+        mi = mutual_information(df, label_col, c)
+        outs.append(
+            mi.select(
+                F.lit(c).alias("feature"),
+                "n_rows",
+                F.col("h_a").alias("h_label"),
+                F.col("h_b").alias("h_feature"),
+                "mi",
+                "nmi",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("feature")

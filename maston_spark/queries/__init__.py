@@ -335,6 +335,10 @@ _PRIORITY = [
     # fingerprint), Theil-Sen robust slope (median-of-pairwise-slopes
     # trend), cross-correlation (lead/lag between two series)
     "q273_assortativity", "q274_theil_sen", "q275_cross_correlation",
+    # round-13 third wave: Apriori level-3 (prune certified lossless
+    # against the brute-force oracle), IG feature ranking, burstiness
+    "q276_frequent_triples", "q277_information_gain",
+    "q278_interarrival_burstiness",
     # round-13 demotions lead (each family's graded flagship named in
     # the promotion comments above), then round-12's, round-11's...
     # (in-round: q25's rewrites graded via q07/q152, q127's prefix

@@ -4645,3 +4645,218 @@ def q275_cross_correlation(spark, sf_dir):
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
     )
     return cross_correlation(daily, "day", "x", "y", max_lag=7)
+
+
+@query(
+    "q276_frequent_triples",
+    oracle="""
+    WITH it AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    sz AS (SELECT b FROM it GROUP BY b HAVING count(*) <= 1024),
+    bd AS (SELECT it.b, it.i FROM it JOIN sz USING (b)),
+    tri AS (SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM bd x JOIN bd y ON x.b = y.b AND x.i < y.i
+                      JOIN bd z ON y.b = z.b AND y.i < z.i
+            GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+    SELECT item_a, item_b, item_c, support
+    FROM tri ORDER BY support DESC, item_a, item_b, item_c LIMIT 20
+    """,
+)
+def q276_frequent_triples(spark, sf_dir):
+    """Frequent brand 3-itemsets across order baskets — the Apriori
+    level-3 census (downward-closure pruned: only triples whose
+    three sub-pairs are frequent ever meet the third-item join)
+    extending q222's pair census. The ORACLE is the brute-force
+    triple enumeration — a support-2 triple necessarily has
+    support-2 sub-pairs, so the pruned result must equal it exactly
+    (the prune is certified lossless cross-engine). See
+    :func:`maston_spark.relational.frequent_triples`."""
+    from maston_spark.relational import frequent_triples
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return frequent_triples(j, "l_orderkey", "p_brand", min_support=2, top_k=20)
+
+
+@query(
+    "q277_information_gain",
+    oracle="""
+    SELECT 'dow' AS feature, n_rows, h_a AS h_label, h_b AS h_feature, mi, nmi
+    FROM (
+      WITH cells AS (SELECT event_type AS a, CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS n
+                     FROM events
+                     WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                       AND value IS NOT NULL AND (CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS VARCHAR)) IS NOT NULL
+                     GROUP BY 1, 2),
+      m AS (SELECT a, b, n,
+                   sum(n) OVER (PARTITION BY a) AS na,
+                   sum(n) OVER (PARTITION BY b) AS nb
+            FROM cells),
+      agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     sum(CAST(round(CAST(n AS DOUBLE)
+                                    * ln(CAST(n AS DOUBLE)
+                                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+                              AS DECIMAL(28,9))) AS smi
+              FROM m),
+      ha AS (SELECT sum(CAST(round(CAST(na AS DOUBLE) * ln(CAST(na AS DOUBLE)), 6)
+                             AS DECIMAL(28,9))) AS sa
+             FROM (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY a)),
+      hb AS (SELECT sum(CAST(round(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE)), 6)
+                             AS DECIMAL(28,9))) AS sb
+             FROM (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY b)),
+      staged AS (
+        SELECT nn AS n_rows,
+               round(ln(CAST(nn AS DOUBLE)) - CAST(sa AS DOUBLE) / nn, 6) AS h_a,
+               round(ln(CAST(nn AS DOUBLE)) - CAST(sb AS DOUBLE) / nn, 6) AS h_b,
+               round(CAST(smi AS DOUBLE) / nn + ln(CAST(nn AS DOUBLE)), 6) AS mi
+        FROM agg, ha, hb)
+      SELECT n_rows, h_a, h_b, mi,
+             CASE WHEN least(h_a, h_b) > 0
+                  THEN round(mi / least(h_a, h_b), 6) END AS nmi
+      FROM staged)
+    
+    UNION ALL
+
+    SELECT 'hour_of_day' AS feature, n_rows, h_a AS h_label, h_b AS h_feature, mi, nmi
+    FROM (
+      WITH cells AS (SELECT event_type AS a, CAST(hour(ts) AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS n
+                     FROM events
+                     WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                       AND value IS NOT NULL AND (CAST(hour(ts) AS VARCHAR)) IS NOT NULL
+                     GROUP BY 1, 2),
+      m AS (SELECT a, b, n,
+                   sum(n) OVER (PARTITION BY a) AS na,
+                   sum(n) OVER (PARTITION BY b) AS nb
+            FROM cells),
+      agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     sum(CAST(round(CAST(n AS DOUBLE)
+                                    * ln(CAST(n AS DOUBLE)
+                                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+                              AS DECIMAL(28,9))) AS smi
+              FROM m),
+      ha AS (SELECT sum(CAST(round(CAST(na AS DOUBLE) * ln(CAST(na AS DOUBLE)), 6)
+                             AS DECIMAL(28,9))) AS sa
+             FROM (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY a)),
+      hb AS (SELECT sum(CAST(round(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE)), 6)
+                             AS DECIMAL(28,9))) AS sb
+             FROM (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY b)),
+      staged AS (
+        SELECT nn AS n_rows,
+               round(ln(CAST(nn AS DOUBLE)) - CAST(sa AS DOUBLE) / nn, 6) AS h_a,
+               round(ln(CAST(nn AS DOUBLE)) - CAST(sb AS DOUBLE) / nn, 6) AS h_b,
+               round(CAST(smi AS DOUBLE) / nn + ln(CAST(nn AS DOUBLE)), 6) AS mi
+        FROM agg, ha, hb)
+      SELECT n_rows, h_a, h_b, mi,
+             CASE WHEN least(h_a, h_b) > 0
+                  THEN round(mi / least(h_a, h_b), 6) END AS nmi
+      FROM staged)
+    
+    UNION ALL
+
+    SELECT 'val_bucket' AS feature, n_rows, h_a AS h_label, h_b AS h_feature, mi, nmi
+    FROM (
+      WITH cells AS (SELECT event_type AS a, CAST(CAST(floor(value / 50) AS INT) AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS n
+                     FROM events
+                     WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                       AND value IS NOT NULL AND (CAST(CAST(floor(value / 50) AS INT) AS VARCHAR)) IS NOT NULL
+                     GROUP BY 1, 2),
+      m AS (SELECT a, b, n,
+                   sum(n) OVER (PARTITION BY a) AS na,
+                   sum(n) OVER (PARTITION BY b) AS nb
+            FROM cells),
+      agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     sum(CAST(round(CAST(n AS DOUBLE)
+                                    * ln(CAST(n AS DOUBLE)
+                                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+                              AS DECIMAL(28,9))) AS smi
+              FROM m),
+      ha AS (SELECT sum(CAST(round(CAST(na AS DOUBLE) * ln(CAST(na AS DOUBLE)), 6)
+                             AS DECIMAL(28,9))) AS sa
+             FROM (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY a)),
+      hb AS (SELECT sum(CAST(round(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE)), 6)
+                             AS DECIMAL(28,9))) AS sb
+             FROM (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY b)),
+      staged AS (
+        SELECT nn AS n_rows,
+               round(ln(CAST(nn AS DOUBLE)) - CAST(sa AS DOUBLE) / nn, 6) AS h_a,
+               round(ln(CAST(nn AS DOUBLE)) - CAST(sb AS DOUBLE) / nn, 6) AS h_b,
+               round(CAST(smi AS DOUBLE) / nn + ln(CAST(nn AS DOUBLE)), 6) AS mi
+        FROM agg, ha, hb)
+      SELECT n_rows, h_a, h_b, mi,
+             CASE WHEN least(h_a, h_b) > 0
+                  THEN round(mi / least(h_a, h_b), 6) END AS nmi
+      FROM staged)
+    
+    ORDER BY feature
+""",
+)
+def q277_information_gain(spark, sf_dir):
+    """Information-gain feature ranking: how many nats do day-of-week,
+    hour-of-day and the value bucket each carry about the event type?
+    The multi-feature selection sweep (one contingency pass per
+    feature) next to q248's single-pair MI audit; nmi ~ 1 would flag
+    a leaky feature. All rows share the same NULL gate (every feature
+    defined) so the three MIs are computed on ONE population. See
+    :func:`maston_spark.profiling.information_gain`."""
+    from maston_spark.profiling import information_gain
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    feats = ev.select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            % 7
+        ).cast("string").alias("dow"),
+        F.hour("ts").cast("string").alias("hour_of_day"),
+        F.floor(F.col("value") / 50).cast("int").cast("string").alias("val_bucket"),
+    )
+    return information_gain(
+        feats, "event_type", ["dow", "hour_of_day", "val_bucket"]
+    )
+
+
+@query(
+    "q278_interarrival_burstiness",
+    oracle="""
+    WITH g AS (SELECT event_type AS grp,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY event_type ORDER BY ts, event_id) AS d
+               FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+    a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_gaps,
+                 sum(CAST(d AS HUGEINT)) AS sd,
+                 sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd
+          FROM g WHERE d IS NOT NULL GROUP BY grp),
+    c AS (SELECT grp, n_gaps, CAST(n_gaps AS DOUBLE) AS n,
+                 CAST(sd AS DOUBLE) AS sdv, CAST(sdd AS DOUBLE) AS sddv
+          FROM a),
+    f AS (SELECT grp, n_gaps, n, sdv,
+                 n * (n * sddv - sdv * sdv) / ((n - 1.0) * sdv * sdv) AS cv2
+          FROM c)
+    SELECT grp AS "group", n_gaps,
+           round(sdv / n / 1e6, 6) AS mean_gap_s,
+           CASE WHEN n_gaps >= 2 AND sdv > 0 THEN round(cv2, 6) END AS cv2,
+           CASE WHEN n_gaps >= 2 AND sdv > 0
+                THEN round((sqrt(cv2) - 1.0) / (sqrt(cv2) + 1.0), 6) END
+             AS burstiness
+    FROM f ORDER BY "group"
+    """,
+)
+def q278_interarrival_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness fingerprint per event type —
+    steady / Poisson-like / bursty (Goh-Barabási (σ−μ)/(σ+μ)) — the
+    traffic-shape number read before sizing streaming state or rate
+    alarms; integer microsecond gap folds in decimal(38,0), one
+    sqrt close. See
+    :func:`maston_spark.relational.interarrival_stats`."""
+    from maston_spark.relational import interarrival_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    return interarrival_stats(ev, "event_type", "ts", "event_id")

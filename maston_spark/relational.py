@@ -2461,3 +2461,122 @@ def cross_correlation(
         )
         .orderBy("lag")
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    top_k: int = 20,
+    max_basket_size: int = 1024,
+) -> DataFrame:
+    """Frequent 3-itemsets with the Apriori candidate prune
+    (Agrawal & Srikant 1994 level 3, the companion to
+    :func:`cooccurrence_pairs`' level 2): the top-k
+    ``(item_a, item_b, item_c, support)`` triples (``a < b < c``
+    canonical) by distinct-basket support ≥ ``min_support`` —
+    with every candidate triple required to have ALL THREE of its
+    sub-pairs frequent BEFORE the third-item join runs (the
+    downward-closure prune that makes level-3 affordable: the
+    enumeration touches only frequent-pair occurrences × basket
+    items, never C(|basket|, 3) raw triples).
+
+    Scale shape: one deduplicated (basket, item) table (persisted —
+    it feeds the pair join and the third-item extension), the same
+    ``max_basket_size`` hot-basket exclusion contract as the pair
+    census, the frequent-pair set broadcast three ways (one per
+    sub-pair test), and a TakeOrdered top-k. All integer counts."""
+    from maston_spark.caching import scoped_persist
+
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+    bounded = scoped_persist(
+        items.join(
+            sizes.filter(F.col("__sz") <= max_basket_size).select("__b"), "__b"
+        )
+    )
+    a = bounded.select("__b", F.col("__i").alias("item_a"))
+    b = bounded.select("__b", F.col("__i").alias("item_b"))
+    occ2 = a.join(b, "__b").filter(F.col("item_a") < F.col("item_b"))
+    f2 = scoped_persist(
+        occ2.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__s"))
+        .filter(F.col("__s") >= F.lit(min_support))
+        .select("item_a", "item_b")
+    )
+    occ2f = occ2.join(F.broadcast(f2), ["item_a", "item_b"])
+    third = bounded.select("__b", F.col("__i").alias("item_c"))
+    cand = occ2f.join(third, "__b").filter(F.col("item_c") > F.col("item_b"))
+    # downward closure: (a, c) and (b, c) must be frequent too
+    f_ac = f2.select(
+        F.col("item_a"), F.col("item_b").alias("item_c")
+    )
+    f_bc = f2.select(
+        F.col("item_a").alias("item_b"), F.col("item_b").alias("item_c")
+    )
+    pruned = cand.join(F.broadcast(f_ac), ["item_a", "item_c"]).join(
+        F.broadcast(f_bc), ["item_b", "item_c"]
+    )
+    return (
+        pruned.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= F.lit(min_support))
+        .orderBy(
+            F.desc("support"), F.asc("item_a"), F.asc("item_b"), F.asc("item_c")
+        )
+        .limit(top_k)
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Inter-arrival-time profile per group — ``(group, n_gaps,
+    mean_gap_s, cv2, burstiness)``: is the arrival process steady
+    (CV² ≈ 0), Poisson-like (CV² ≈ 1), or BURSTY (CV² > 1)?
+    ``burstiness = (σ−μ)/(σ+μ)`` (Goh & Barabási 2008) ∈ (−1, 1) —
+    the one-number traffic fingerprint read before sizing stream
+    state or rate alarms (a bursty source needs peak capacity, not
+    mean).
+
+    Exact shape: one order window per group yields integer
+    microsecond gaps; Σd and Σd² fold exact in decimal(38,0) (the
+    per-row square is decimal×decimal — a month-scale gap squared
+    passes int64); the closing CV² =
+    ``n(nΣd² − (Σd)²) / ((n−1)(Σd)²)`` and burstiness are a fixed
+    IEEE sequence with one correctly-rounded sqrt (round 6). Groups
+    with < 2 gaps or zero total gap emit NULLs."""
+    w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dec = "decimal(38,0)"
+    gaps = df.select(
+        F.col(group_col).alias("__g"),
+        (us - F.lag(us).over(w)).alias("__d"),
+    ).filter(F.col("__d").isNotNull())
+    agg = gaps.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("__d").cast(dec)).alias("__sd"),
+        F.sum(F.col("__d").cast(dec) * F.col("__d").cast(dec)).alias("__sdd"),
+    )
+    n = F.col("n_gaps").cast("double")
+    sd = F.col("__sd").cast("double")
+    sdd = F.col("__sdd").cast("double")
+    cv2 = n * (n * sdd - sd * sd) / ((n - F.lit(1.0)) * sd * sd)
+    rootcv = F.sqrt(cv2)
+    ok = (F.col("n_gaps") >= 2) & (sd > 0)
+    return agg.select(
+        F.col("__g").alias("group"),
+        "n_gaps",
+        F.round(sd / n / F.lit(1e6), 6).alias("mean_gap_s"),
+        F.when(ok, F.round(cv2, 6)).alias("cv2"),
+        F.when(
+            ok,
+            F.round((rootcv - F.lit(1.0)) / (rootcv + F.lit(1.0)), 6),
+        ).alias("burstiness"),
+    ).orderBy("group")

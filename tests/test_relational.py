@@ -1518,3 +1518,59 @@ def test_cross_correlation_detects_planted_lead(spark):
         num = sum((xs[t] - mx) * (ys[t + k] - my) for t in ts)
         assert out[k] == round(num / (dxx * dyy) ** 0.5, 6), k
     assert max(out, key=lambda k: out[k]) == 2
+
+
+def test_frequent_triples_apriori_matches_brute_force(spark):
+    """Planted baskets: the pruned triple census equals a brute-force
+    C(n,3) enumeration with the same support threshold; a triple
+    whose sub-pair is infrequent never appears."""
+    import itertools
+
+    from maston_spark.relational import frequent_triples
+
+    baskets = {
+        1: ["a", "b", "c"], 2: ["a", "b", "c", "d"], 3: ["a", "b", "c"],
+        4: ["a", "d"], 5: ["b", "d"], 6: ["c", "d"], 7: ["a", "b"],
+        8: ["x", "y", "z"],  # (x,y,z) sub-pairs all support 1 -> pruned
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "bid int, item string")
+    got = sorted(
+        (r.item_a, r.item_b, r.item_c, r.support)
+        for r in frequent_triples(df, "bid", "item", min_support=2).collect()
+    )
+    support: dict = {}
+    for items in baskets.values():
+        for t in itertools.combinations(sorted(items), 3):
+            support[t] = support.get(t, 0) + 1
+    want = sorted((a, b, c, s) for (a, b, c), s in support.items() if s >= 2)
+    assert got == want and ("a", "b", "c", 3) in got
+    assert all(t[:3] != ("x", "y", "z") for t in got)
+
+
+def test_interarrival_stats_known_processes(spark):
+    """A perfectly regular arrival stream has CV2 0 and burstiness
+    -1; a planted bursty stream matches the hand-computed CV2 and
+    lands in (0, 1)."""
+    from datetime import datetime, timedelta
+
+    from maston_spark.relational import interarrival_stats
+
+    t0 = datetime(2024, 1, 1)
+    regular = [("reg", t0 + timedelta(seconds=10 * i), i) for i in range(20)]
+    gaps = [1, 1, 1, 1, 100, 1, 1, 1, 1, 100]
+    ts, acc = [("burst", t0, 99)], t0
+    for k, g in enumerate(gaps):
+        acc = acc + timedelta(seconds=g)
+        ts.append(("burst", acc, 100 + k))
+    df = spark.createDataFrame(
+        regular + ts, "g string, ts timestamp, eid int"
+    )
+    out = {r.group: r for r in interarrival_stats(df, "g", "ts", "eid").collect()}
+    assert out["reg"].cv2 == 0.0 and out["reg"].burstiness == -1.0
+    assert out["reg"].mean_gap_s == 10.0
+    n = len(gaps)
+    sd, sdd = sum(gaps), sum(g * g for g in gaps)
+    cv2 = n * (n * sdd - sd * sd) / ((n - 1) * sd * sd)
+    assert abs(out["burst"].cv2 - round(cv2, 6)) < 1e-6
+    assert 0 < out["burst"].burstiness < 1
