@@ -2266,3 +2266,108 @@ def kendall_tau(
         )
         .orderBy("group")
     )
+
+
+def dispersion_index(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Count-data overdispersion check per group — ``(group, n_rows,
+    mean, variance, dispersion, overdispersed_95)``: the
+    variance-to-mean ratio (Fisher's index of dispersion; 1 under
+    Poisson) with the chi-square dispersion test statistic
+    ``(n−1)·s²/x̄`` compared against the normal approximation of its
+    95% upper bound ``(n−1) + 1.96·sqrt(2(n−1))`` — the 'is a
+    Poisson rate model even admissible' gate run before any
+    rate-based alarm or negative-binomial fit.
+
+    Exact shape: integer value folds (Σx, Σx² in decimal(38,0)) off
+    one combiner-reduced aggregation; the closes are a fixed IEEE
+    sequence with one correctly-rounded sqrt (round 6). Groups with
+    < 2 rows or zero mean emit NULLs."""
+    x = F.col(value_col).cast("long")
+    dec = "decimal(38,0)"
+    base = df.filter(
+        x.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), x.alias("__x"))
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("__x").cast(dec)).alias("__s"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x").cast(dec)).alias("__ss"),
+    )
+    n = F.col("n_rows").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+    disp = var / mean
+    stat = (n - F.lit(1.0)) * disp
+    bound = (n - F.lit(1.0)) + F.lit(1.959963984540054) * F.sqrt(
+        F.lit(2.0) * (n - F.lit(1.0))
+    )
+    ok = (F.col("n_rows") >= 2) & (s > 0)
+    return agg.select(
+        F.col("__g").alias("group"),
+        "n_rows",
+        F.round(mean, 6).alias("mean"),
+        F.when(F.col("n_rows") >= 2, F.round(var, 6)).alias("variance"),
+        F.when(ok, F.round(disp, 6)).alias("dispersion"),
+        F.coalesce(F.when(ok, stat > bound), F.lit(False)).alias(
+            "overdispersed_95"
+        ),
+    ).orderBy("group")
+
+
+def capture_recapture(
+    df: DataFrame,
+    id_col: str,
+    mark_col: str,
+) -> DataFrame:
+    """Chapman capture-recapture population estimate — one row
+    ``(n_first, n_second, n_both, n_observed, n_est, ci_lo, ci_hi)``:
+    treat two overlapping observation passes (two crawls, two log
+    pipelines, two dedup snapshots) as capture samples and estimate
+    the UNSEEN population ``N̂ = (n₁+1)(n₂+1)/(m+1) − 1``
+    (Chapman 1951, the bias-corrected Lincoln-Petersen) with the
+    standard normal CI from its variance — "how many documents does
+    the true universe hold that neither crawl saw?", the coverage
+    planner beside q237's Chao1 (which asks the same of vocabulary
+    from ONE sample's abundance profile).
+
+    ``mark_col`` must be 1 (first pass), 2 (second pass) or 3
+    (both). One integer aggregation; N̂ is an exact rational of
+    integer counts (one IEEE division), the CI one fixed sqrt
+    sequence (round 2 — sub-unit precision on a population count is
+    noise). Zero overlap emits NULL estimates (the estimator is
+    undefined, not infinite)."""
+    m = F.col(mark_col).cast("int")
+    agg = df.filter(m.isin(1, 2, 3)).agg(
+        F.sum(m.isin(1, 3).cast("long")).alias("n_first"),
+        F.sum(m.isin(2, 3).cast("long")).alias("n_second"),
+        F.sum((m == 3).cast("long")).alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+    )
+    n1 = F.col("n_first").cast("double")
+    n2 = F.col("n_second").cast("double")
+    mm = F.col("n_both").cast("double")
+    est = (n1 + F.lit(1.0)) * (n2 + F.lit(1.0)) / (mm + F.lit(1.0)) - F.lit(
+        1.0
+    )
+    var = (
+        (n1 + F.lit(1.0))
+        * (n2 + F.lit(1.0))
+        * (n1 - mm)
+        * (n2 - mm)
+        / ((mm + F.lit(1.0)) * (mm + F.lit(1.0)) * (mm + F.lit(2.0)))
+    )
+    se = F.sqrt(var)
+    ok = F.col("n_both") > 0
+    z = F.lit(1.959963984540054)
+    return agg.select(
+        "n_first",
+        "n_second",
+        "n_both",
+        "n_observed",
+        F.when(ok, F.round(est, 2)).alias("n_est"),
+        F.when(ok, F.round(est - z * se, 2)).alias("ci_lo"),
+        F.when(ok, F.round(est + z * se, 2)).alias("ci_hi"),
+    )

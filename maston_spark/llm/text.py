@@ -1945,3 +1945,55 @@ def readability_scores(
             ),
         ).alias("flesch"),
     ).orderBy("group")
+
+
+def good_turing_unseen(df: DataFrame, item_col: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate over an item stream — one row
+    ``(n_items, vocab, n_singletons, n_doubletons, p_unseen,
+    r1_adjusted)``: the probability the NEXT observation is a
+    never-seen item is the singleton share ``n₁/N`` (Good 1953), and
+    the Good-Turing discounted count for singletons is
+    ``r₁* = 2·n₂/n₁`` — the coverage planner beside Chao1 (q237 asks
+    'how much MORE vocabulary exists'; this asks 'how often will the
+    very next token be new', the number an OOV-rate budget needs
+    before the crawl grows).
+
+    Exact shape: one item-count aggregation, one frequency-of-
+    frequencies aggregation (both combiner-reduced; the second is
+    |distinct counts|-bounded), exact integer ratios with two IEEE
+    closes (round 6). NULL items drop; n₁ = 0 emits NULL
+    ``r1_adjusted`` (nothing to discount) and p_unseen 0."""
+    counts = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(F.col(item_col).alias("__i"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    fof = counts.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__f")
+    )
+    agg = fof.agg(
+        F.sum(F.col("__c") * F.col("__f")).cast("long").alias("n_items"),
+        F.sum("__f").cast("long").alias("vocab"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") == 1, F.col("__f"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_singletons"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") == 2, F.col("__f"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_doubletons"),
+    )
+    n1 = F.col("n_singletons").cast("double")
+    n2 = F.col("n_doubletons").cast("double")
+    return agg.select(
+        "n_items",
+        "vocab",
+        "n_singletons",
+        "n_doubletons",
+        F.round(n1 / F.col("n_items").cast("double"), 6).alias("p_unseen"),
+        F.when(
+            F.col("n_singletons") > 0, F.round(F.lit(2.0) * n2 / n1, 6)
+        ).alias("r1_adjusted"),
+    )

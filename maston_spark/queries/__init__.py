@@ -339,6 +339,11 @@ _PRIORITY = [
     # against the brute-force oracle), IG feature ranking, burstiness
     "q276_frequent_triples", "q277_information_gain",
     "q278_interarrival_burstiness",
+    # round-13 fourth wave: Poisson-admissibility dispersion test,
+    # Markov behavioral entropy rate, Chapman two-crawl
+    # capture-recapture, Good-Turing unseen mass
+    "q279_dispersion_index", "q280_markov_entropy",
+    "q281_capture_recapture", "q282_good_turing",
     # round-13 demotions lead (each family's graded flagship named in
     # the promotion comments above), then round-12's, round-11's...
     # (in-round: q25's rewrites graded via q07/q152, q127's prefix

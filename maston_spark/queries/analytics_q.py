@@ -4860,3 +4860,203 @@ def q278_interarrival_burstiness(spark, sf_dir):
         F.col("event_type").isNotNull() & F.col("ts").isNotNull()
     )
     return interarrival_stats(ev, "event_type", "ts", "event_id")
+
+
+@query(
+    "q279_dispersion_index",
+    oracle="""
+    WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2),
+    a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+                 sum(CAST(x AS HUGEINT)) AS s,
+                 sum(CAST(x AS HUGEINT) * x) AS ss
+          FROM d GROUP BY g),
+    c AS (SELECT g, n_rows, CAST(n_rows AS DOUBLE) AS n,
+                 CAST(s AS DOUBLE) AS sv, CAST(ss AS DOUBLE) AS ssv
+          FROM a),
+    f AS (SELECT g, n_rows, n, sv,
+                 sv / n AS mean,
+                 (n * ssv - sv * sv) / (n * (n - 1.0)) AS var
+          FROM c)
+    SELECT g AS "group", n_rows,
+           round(mean, 6) AS mean,
+           CASE WHEN n_rows >= 2 THEN round(var, 6) END AS variance,
+           CASE WHEN n_rows >= 2 AND sv > 0 THEN round(var / mean, 6) END
+             AS dispersion,
+           coalesce(CASE WHEN n_rows >= 2 AND sv > 0
+                    THEN (n - 1.0) * (var / mean)
+                         > (n - 1.0) + 1.959963984540054 * sqrt(2.0 * (n - 1.0))
+                    END, FALSE) AS overdispersed_95
+    FROM f ORDER BY "group"
+    """,
+)
+def q279_dispersion_index(spark, sf_dir):
+    """Overdispersion check of each event type's DAILY volume: is the
+    count series Poisson-compatible (dispersion ≈ 1) or clumped —
+    the rate-model admissibility gate run before alarms assume a
+    Poisson baseline (Fisher's dispersion index + the chi-square
+    dispersion test). See
+    :func:`maston_spark.evaluation.dispersion_index`."""
+    from maston_spark.evaluation import dispersion_index
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return dispersion_index(daily, "g", "x")
+
+
+@query(
+    "q280_markov_entropy",
+    oracle="""
+    WITH t AS (SELECT user_id, event_type AS a,
+                      lead(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) AS b
+               FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+              FROM t WHERE b IS NOT NULL GROUP BY a, b),
+    m AS (SELECT n, sum(n) OVER (PARTITION BY a) AS na FROM cells),
+    agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   sum(CAST(round(CAST(n AS DOUBLE)
+                                  * ln(CAST(n AS DOUBLE) / CAST(na AS DOUBLE)), 6)
+                            AS DECIMAL(28,9))) AS sc
+            FROM m),
+    dst AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY b),
+    h0 AS (SELECT sum(CAST(round(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE)), 6)
+                           AS DECIMAL(28,9))) AS sb
+           FROM dst)
+    SELECT nn AS n_transitions,
+           round(-(CAST(sc AS DOUBLE) / nn), 6) AS h_rate,
+           round(ln(CAST(nn AS DOUBLE)) - CAST(sb AS DOUBLE) / nn, 6) AS h_zero,
+           round((ln(CAST(nn AS DOUBLE)) - CAST(sb AS DOUBLE) / nn)
+                 - (-(CAST(sc AS DOUBLE) / nn)), 6) AS info_gain
+    FROM agg, h0
+    """,
+)
+def q280_markov_entropy(spark, sf_dir):
+    """First-order Markov entropy rate of per-user event sequences:
+    how many nats does knowing the CURRENT event type shave off
+    predicting the next one (info_gain = h_zero − h_rate)? The
+    behavioral-predictability number beside q235's per-pair
+    transition lift — one lead window + one contingency agg. See
+    :func:`maston_spark.relational.markov_entropy_rate`."""
+    from maston_spark.relational import markov_entropy_rate
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return markov_entropy_rate(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+@query(
+    "q281_capture_recapture",
+    oracle="""
+    WITH m AS (SELECT doc_id,
+                      CASE WHEN ('0x' || substr(md5('crawlA:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                % 10 < 7 THEN 1 ELSE 0 END AS in_a,
+                      CASE WHEN ('0x' || substr(md5('crawlB:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                % 10 < 5 THEN 1 ELSE 0 END AS in_b
+               FROM documents),
+    k AS (SELECT in_a + 2 * in_b AS mark FROM m WHERE in_a + 2 * in_b > 0),
+    a AS (SELECT CAST(sum(CASE WHEN mark IN (1, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+                 CAST(sum(CASE WHEN mark IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_second,
+                 CAST(sum(CASE WHEN mark = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                 CAST(count(*) AS BIGINT) AS n_observed
+          FROM k),
+    c AS (SELECT n_first, n_second, n_both, n_observed,
+                 CAST(n_first AS DOUBLE) AS n1, CAST(n_second AS DOUBLE) AS n2,
+                 CAST(n_both AS DOUBLE) AS mm
+          FROM a),
+    f AS (SELECT n_first, n_second, n_both, n_observed, n1, n2, mm,
+                 (n1 + 1.0) * (n2 + 1.0) / (mm + 1.0) - 1.0 AS est,
+                 sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - mm) * (n2 - mm)
+                      / ((mm + 1.0) * (mm + 1.0) * (mm + 2.0))) AS se
+          FROM c)
+    SELECT n_first, n_second, n_both, n_observed,
+           CASE WHEN n_both > 0 THEN round(est, 2) END AS n_est,
+           CASE WHEN n_both > 0 THEN round(est - 1.959963984540054 * se, 2) END
+             AS ci_lo,
+           CASE WHEN n_both > 0 THEN round(est + 1.959963984540054 * se, 2) END
+             AS ci_hi
+    FROM f
+    """,
+)
+def q281_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture estimate of the TRUE document
+    universe from two simulated overlapping crawls (deterministic
+    70% / 50% md5 membership): how many documents did neither crawl
+    see? The two-sample coverage planner beside q237's
+    single-sample Chao1 and q282's Good-Turing unseen mass. See
+    :func:`maston_spark.evaluation.capture_recapture`."""
+    from maston_spark.evaluation import capture_recapture
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def lane(prefix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        )
+
+    marked = d.select(
+        "doc_id",
+        (
+            (lane("crawlA:") < 7).cast("int")
+            + F.lit(2) * (lane("crawlB:") < 5).cast("int")
+        ).alias("mark"),
+    ).filter(F.col("mark") > 0)
+    return capture_recapture(marked, "doc_id", "mark")
+
+
+@query(
+    "q282_good_turing",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents WHERE text IS NOT NULL),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+               FROM toks WHERE tok IS NOT NULL GROUP BY tok),
+    fof AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM counts GROUP BY c),
+    a AS (SELECT CAST(sum(c * f) AS BIGINT) AS n_items,
+                 CAST(sum(f) AS BIGINT) AS vocab,
+                 CAST(coalesce(sum(CASE WHEN c = 1 THEN f END), 0) AS BIGINT)
+                   AS n_singletons,
+                 CAST(coalesce(sum(CASE WHEN c = 2 THEN f END), 0) AS BIGINT)
+                   AS n_doubletons
+          FROM fof)
+    SELECT n_items, vocab, n_singletons, n_doubletons,
+           round(CAST(n_singletons AS DOUBLE) / CAST(n_items AS DOUBLE), 6)
+             AS p_unseen,
+           CASE WHEN n_singletons > 0
+                THEN round(2.0 * CAST(n_doubletons AS DOUBLE)
+                           / CAST(n_singletons AS DOUBLE), 6) END AS r1_adjusted
+    FROM a
+    """,
+)
+def q282_good_turing(spark, sf_dir):
+    """Good-Turing unseen-mass estimate over the corpus vocabulary:
+    the probability the NEXT token is never-before-seen (singleton
+    share) plus the GT singleton discount — the OOV-budget number
+    beside q237's Chao1 richness and q183's against-a-reference OOV
+    rate. See :func:`maston_spark.llm.text.good_turing_unseen`."""
+    from maston_spark.llm.text import good_turing_unseen
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    return good_turing_unseen(toks, "tok")

@@ -2580,3 +2580,82 @@ def interarrival_stats(
             F.round((rootcv - F.lit(1.0)) / (rootcv + F.lit(1.0)), 6),
         ).alias("burstiness"),
     ).orderBy("group")
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    seq_col: str,
+    order_col,
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov entropy rate of a state sequence — one row
+    ``(n_transitions, h_rate, h_zero, info_gain)``: how predictable
+    is the NEXT state given the current one? ``h_rate =
+    −Σₐ p(a)·Σ_b p(b|a)·ln p(b|a)`` over adjacent-pair transitions
+    (pooled across sequences), ``h_zero`` the order-0 destination
+    entropy, and ``info_gain = h_zero − h_rate`` the nats one step
+    of memory buys — the behavioral-predictability number behind
+    session models and next-event caches (Shannon 1951's
+    predictability framing).
+
+    Exact shape: one lead window per sequence (hash-partitioned)
+    emits the transition pairs; ONE contingency aggregation reduces
+    them to |states|² cells; every ``n·ln(n/nₐ)`` term is an exact
+    integer rational through the log and rounds to the 6-grid before
+    the cell-bounded decimal sum (the q248 MI discipline — the
+    oracle replays the same grid). NULL states drop. ``order_col``
+    may be a list (include a tiebreaker for a total order)."""
+    order_cols = order_col if isinstance(order_col, (list, tuple)) else [order_col]
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    trans = (
+        df.filter(F.col(state_col).isNotNull() & F.col(seq_col).isNotNull())
+        .select(
+            F.col(seq_col).alias("__s"),
+            F.col(state_col).cast("string").alias("__a"),
+            F.lead(F.col(state_col).cast("string")).over(w).alias("__b"),
+        )
+        .filter(F.col("__b").isNotNull())
+    )
+    cells = trans.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    wa = Window.partitionBy("__a")
+    dec = "decimal(28,9)"
+    withm = cells.select(
+        "__n",
+        F.sum("__n").over(wa).alias("__na"),
+    )
+    agg = withm.agg(
+        F.sum("__n").cast("long").alias("__N"),
+        F.sum(
+            F.round(
+                F.col("__n").cast("double")
+                * F.log(
+                    F.col("__n").cast("double") / F.col("__na").cast("double")
+                ),
+                6,
+            ).cast(dec)
+        ).alias("__sc"),
+    )
+    # order-0 destination entropy off the same cells (marginals by b)
+    dst = cells.groupBy("__b").agg(F.sum("__n").cast("long").alias("__nb"))
+    h0a = dst.agg(
+        F.sum("__nb").cast("long").alias("__N0"),
+        F.sum(
+            F.round(
+                F.col("__nb").cast("double")
+                * F.log(F.col("__nb").cast("double")),
+                6,
+            ).cast(dec)
+        ).alias("__sb"),
+    )
+    j = agg.join(F.broadcast(h0a))
+    nd = F.col("__N").cast("double")
+    h_rate = -(F.col("__sc").cast("double") / nd)
+    h_zero = F.log(nd) - F.col("__sb").cast("double") / nd
+    return j.select(
+        F.col("__N").alias("n_transitions"),
+        F.round(h_rate, 6).alias("h_rate"),
+        F.round(h_zero, 6).alias("h_zero"),
+        F.round(h_zero - h_rate, 6).alias("info_gain"),
+    )

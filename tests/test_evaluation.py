@@ -995,3 +995,47 @@ def test_kendall_tau_known_cases(spark):
     tau = (C - D) / ((n0 - tx) * (n0 - ty)) ** 0.5
     assert out["tied"].n_concordant == C and out["tied"].n_discordant == D
     assert out["tied"].tau_b == round(tau, 6)
+
+
+def test_dispersion_index_poisson_vs_overdispersed(spark):
+    """A constant series has dispersion 0; a planted high-variance
+    count series matches the hand variance/mean and flags; a
+    near-Poisson spread does not flag."""
+    from maston_spark.evaluation import dispersion_index
+
+    import statistics
+
+    over = [0, 0, 0, 0, 20, 0, 0, 0, 0, 20] * 5
+    calm = [4, 5, 6, 5, 4, 5, 6, 5, 4, 5] * 5
+    rows = (
+        [("const", 7)] * 10
+        + [("over", v) for v in over]
+        + [("calm", v) for v in calm]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r.group: r for r in dispersion_index(df, "g", "x").collect()}
+    assert out["const"].dispersion == 0.0 and not out["const"].overdispersed_95
+    v, m = statistics.variance(over), statistics.mean(over)
+    assert out["over"].dispersion == round(v / m, 6)
+    assert out["over"].overdispersed_95
+    assert not out["calm"].overdispersed_95
+
+
+def test_capture_recapture_chapman_known_case(spark):
+    """Textbook Chapman: n1=100 marked, n2=60 second pass, m=20
+    recaptured -> N = 101*61/21 - 1; zero overlap emits NULLs."""
+    from maston_spark.evaluation import capture_recapture
+
+    rows = [(i, 1) for i in range(80)] + [(100 + i, 2) for i in range(40)] + [
+        (200 + i, 3) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "uid int, mark int")
+    [r] = capture_recapture(df, "uid", "mark").collect()
+    assert (r.n_first, r.n_second, r.n_both) == (100, 60, 20)
+    est = 101 * 61 / 21 - 1
+    assert r.n_est == round(est, 2)
+    var = 101 * 61 * 80 * 40 / (21 * 21 * 22)
+    assert r.ci_hi == round(est + 1.959963984540054 * var**0.5, 2)
+    disjoint = spark.createDataFrame([(1, 1), (2, 2)], "uid int, mark int")
+    [rd] = capture_recapture(disjoint, "uid", "mark").collect()
+    assert rd.n_est is None and rd.n_both == 0

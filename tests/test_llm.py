@@ -2372,3 +2372,20 @@ def test_assortativity_known_graphs(spark):
     )
     [rk] = assortativity(k4).collect()
     assert rk.r is None
+
+
+def test_good_turing_unseen_mass_hand_case(spark):
+    """Planted frequency profile: 3 singletons, 2 doubletons, 1
+    five-times item -> N=12, p_unseen=3/12, r1*=2*2/3; an all-
+    repeated stream has p_unseen 0 and NULL discount."""
+    from maston_spark.llm.text import good_turing_unseen
+
+    items = ["a", "b", "c"] + ["d", "d", "e", "e"] + ["f"] * 5
+    df = spark.createDataFrame([(i,) for i in items], "tok string")
+    [r] = good_turing_unseen(df, "tok").collect()
+    assert (r.n_items, r.vocab) == (12, 6)
+    assert (r.n_singletons, r.n_doubletons) == (3, 2)
+    assert r.p_unseen == 0.25 and r.r1_adjusted == round(4 / 3, 6)
+    rep = spark.createDataFrame([("x",), ("x",), ("y",), ("y",)], "tok string")
+    [rr] = good_turing_unseen(rep, "tok").collect()
+    assert rr.p_unseen == 0.0 and rr.r1_adjusted is None

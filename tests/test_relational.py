@@ -1574,3 +1574,39 @@ def test_interarrival_stats_known_processes(spark):
     cv2 = n * (n * sdd - sd * sd) / ((n - 1) * sd * sd)
     assert abs(out["burst"].cv2 - round(cv2, 6)) < 1e-6
     assert 0 < out["burst"].burstiness < 1
+
+
+def test_markov_entropy_rate_deterministic_vs_uniform_chain(spark):
+    """A deterministic cycle (a->b->c->a...) has h_rate 0 with
+    positive h_zero; an i.i.d.-uniform sequence has h_rate ~ h_zero
+    (memory buys ~nothing); values match a plain-python replay."""
+    import math
+
+    from maston_spark.relational import markov_entropy_rate
+
+    cyc = [("cyc", i, "abc"[i % 3]) for i in range(60)]
+    iid = [("iid", i, "ab"[(i * 7919 + i * i * 104729) % 2]) for i in range(200)]
+    det = markov_entropy_rate(
+        spark.createDataFrame(cyc, "s string, t int, st string"), "s", "t", "st"
+    ).collect()[0]
+    assert det.h_rate == 0.0 and det.h_zero > 1.0
+    assert det.info_gain == det.h_zero
+    uni = markov_entropy_rate(
+        spark.createDataFrame(iid, "s string, t int, st string"), "s", "t", "st"
+    ).collect()[0]
+    # plain replay
+    states = [x[2] for x in iid]
+    trans: dict = {}
+    for a, b in zip(states, states[1:]):
+        trans[(a, b)] = trans.get((a, b), 0) + 1
+    N = sum(trans.values())
+    na: dict = {}
+    nb: dict = {}
+    for (a, b), n in trans.items():
+        na[a] = na.get(a, 0) + n
+        nb[b] = nb.get(b, 0) + n
+    sc = sum(round(n * math.log(n / na[a]), 6) for (a, b), n in trans.items())
+    sb = sum(round(n * math.log(n), 6) for n in nb.values())
+    assert uni.h_rate == round(-sc / N, 6)
+    assert uni.h_zero == round(math.log(N) - sb / N, 6)
+    assert abs(uni.info_gain) < 0.05
