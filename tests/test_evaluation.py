@@ -1039,3 +1039,32 @@ def test_capture_recapture_chapman_known_case(spark):
     disjoint = spark.createDataFrame([(1, 1), (2, 2)], "uid int, mark int")
     [rd] = capture_recapture(disjoint, "uid", "mark").collect()
     assert rd.n_est is None and rd.n_both == 0
+
+
+def test_mann_whitney_auc_agrees_with_group_auc_rank_window(spark):
+    """Two INDEPENDENT implementations of the same statistic must
+    agree: mann_whitney_u's auc_1 (value-histogram midranks, no
+    per-row window) equals group_auc's AUC (per-group rank windows)
+    on identical data — the label as score-of-group-1 superiority.
+    Randomized heavy-tie data, several seeds."""
+    import random
+
+    from maston_spark.evaluation import group_auc, mann_whitney_u
+
+    for seed in (3, 17, 41):
+        rnd = random.Random(seed)
+        rows = [
+            (rnd.randrange(0, 2), float(rnd.randrange(0, 12)) / 2)
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, "g int, v double")
+        [mw] = mann_whitney_u(df, "g", "v").collect()
+        # group_auc: one group 'all', score = v, label = g
+        [ga] = group_auc(
+            df.select(F.lit("all").alias("k"), F.col("v"), F.col("g")),
+            "k",
+            "v",
+            "g",
+        ).collect()
+        assert mw.auc_1 == ga.auc, seed
+        assert (mw.n_1, mw.n_0) == (ga.n_pos, ga.n_neg), seed
