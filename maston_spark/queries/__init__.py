@@ -50,14 +50,27 @@ def load_all_query_modules() -> None:
 # sets, etc.).
 _PRIORITY = [
     # relational flagships, one per family
-    "q01_pricing_summary", "q02_filter_predicates", "q03_join_inner",
+    # (round-14 rotation: q01 pricing-summary's scan+hash-agg family
+    # is the most-graded physics in the window — q02's predicate
+    # battery, q03/q07/q11's join+agg composites, q19's grouping
+    # sets all run the same scan/filter/agg pipeline; its slot grades
+    # q251's survivorship golden record — planted-corruption healing
+    # with per-column repair provenance, a repair-semantics physics
+    # nothing else in the window certifies externally)
+    "q251_golden_record", "q02_filter_predicates", "q03_join_inner",
     "q07_join_semi", "q11_join_range",
     # (round-12 rotation: q12 as-of join's event-time-match family is
     # graded via q143's CDC apply, which runs the same latest-row-
     # before-timestamp physics; its slot grades the SCD2 HISTORY
     # construction — the other half of the CDC family, effective-range
     # intervals built from the change stream)
-    "q206_scd2_history", "q15_agg_percentile",
+    # (round-14 rotation: q15 exact-percentiles' order-statistics
+    # family stays graded via q226's value-histogram trimmed stats —
+    # the same cumulative-multiplicity rank math with the harder
+    # kept-fraction policy — and q192's KLL rank contract; its slot
+    # grades q259's Mann-Whitney rank-sum, the one-value-histogram
+    # U-statistic now property-tied to q212's group_auc)
+    "q206_scd2_history", "q259_mann_whitney",
     # (round-12 third wave: q20's rank-window physics is exercised
     # inside FOUR graded members — q212's midranks, q206's SCD2 lead
     # windows, q139's gap-fill frames, q229-family global ranks; its
@@ -272,7 +285,13 @@ _PRIORITY = [
     # the multiple-testing boundary decided in the integer domain —
     # a grading physics nothing else in the window has)
     "q264_bh_fdr", "q250_srm_prefix",
-    "q194_binned_tvd_drift",
+    # (round-14 rotation: q194 binned-TVD's exact-L1-over-bins drift
+    # lens stays graded via q178's KS sup-norm — the same two-sample
+    # integer-scaled drift physics, harder statistic; its slot grades
+    # q274's Theil-Sen slope — the catalog's hardest cross-engine
+    # determinism discipline: integer-domain residual ordering plus
+    # rational half-away rounding done in exact arithmetic)
+    "q274_theil_sen",
     # (round-12: q90 winnowing's robust-fingerprint family stays
     # graded via q155's gram-table substring removal and q152's
     # minhash pipeline; its slot grades fixed-IEEE-sequence float
@@ -313,20 +332,36 @@ _PRIORITY = [
     # evolution path exercises the same registry-dispatch decode, and
     # q92's full round-trip; its slot grades the count-min frequency
     # sketch family — broadcast-probe heavy-hitter estimation)
-    "q169_cms_heavy_hitters", "q87_avro_evolution", "q92_avro_roundtrip",
+    # (round-14 rotation: q169 count-min's broadcast-probe frequency
+    # estimation is a mergeable-sketch family member whose sketch-
+    # algebra grading stays via q230's HLL register-max cube and
+    # q217's AMS sign-hash folds; its slot grades q231's rolling-HLL
+    # prefix twin — the incremental-equals-one-shot topology claim,
+    # externally certifying that the streaming register fold matches
+    # the batch cube. q92 avro-roundtrip's produce-side framing is
+    # composed inside q87's evolution path (same registry-dispatch
+    # encode/decode wire format); its slot grades q276's Apriori
+    # frequent triples, whose downward-closure prune is certified
+    # lossless against a brute-force oracle)
+    "q231_hll_rolling_prefix", "q87_avro_evolution",
+    "q276_frequent_triples",
     # past the driver's 50-query graded window (locally
     # oracle-verified; first in line if the window widens).
-    # next two rotation candidates if a graded row frees up (round-12
-    # verdict #5): survivorship's planted-corruption healing and the
-    # rolling-HLL incremental-equals-one-shot topology claim
-    "q251_golden_record", "q231_hll_rolling_prefix",
+    # round-14 demotions lead (each family's graded flagship named in
+    # the promotion comments above): q01's scan+agg via the whole
+    # relational battery, q15's order statistics via q226+q192,
+    # q194's drift lens via q178, q169's sketch algebra via
+    # q230+q217, q92's wire framing via q87
+    "q01_pricing_summary", "q15_agg_percentile",
+    "q194_binned_tvd_drift", "q169_cms_heavy_hitters",
+    "q92_avro_roundtrip",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +
     # seasonal MASE, pooled quantile normalization, the grid-blocked
     # spatial radius join, FD profiling, systematic sampling, and the
     # seventh topology's CUSUM prefix twin
-    "q259_mann_whitney", "q260_welch_ttest", "q261_anova_f",
+    "q260_welch_ttest", "q261_anova_f",
     "q262_mantel_haenszel", "q263_cochran_armitage",
     "q265_kendall_tau", "q266_acf", "q267_seasonal_mase",
     "q268_quantile_normalize",
@@ -334,10 +369,10 @@ _PRIORITY = [
     # round-13 second wave: degree assortativity (graph-structure
     # fingerprint), Theil-Sen robust slope (median-of-pairwise-slopes
     # trend), cross-correlation (lead/lag between two series)
-    "q273_assortativity", "q274_theil_sen", "q275_cross_correlation",
+    "q273_assortativity", "q275_cross_correlation",
     # round-13 third wave: Apriori level-3 (prune certified lossless
     # against the brute-force oracle), IG feature ranking, burstiness
-    "q276_frequent_triples", "q277_information_gain",
+    "q277_information_gain",
     "q278_interarrival_burstiness",
     # round-13 fourth wave: Poisson-admissibility dispersion test,
     # Markov behavioral entropy rate, Chapman two-crawl
