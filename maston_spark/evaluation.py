@@ -463,11 +463,17 @@ def _estimate_scan_splits(df: DataFrame, slots: int) -> "int | None":
     """Metadata-only estimate of a file-backed scan's split count (no
     RDD conversion of the analyzed plan): Spark packs files into
     partitions of ``maxPartitionBytes``, so splits ≈ Σ ceil(size /
-    maxPartitionBytes) over the scan's files. Returns None (= assume
-    adequately parallel) for non-file upstreams and non-local URIs —
-    an already-shuffled input arrives in shuffle-partition-count
-    splits anyway. Stats at most ``slots`` files: once the file count
-    alone reaches the slot count the answer can't be 'underparallel'."""
+    maxPartitionBytes) over the scan's files. Returns None for
+    non-file upstreams, non-local URIs, and failed ``os.stat`` —
+    which the caller treats as UNKNOWN-assume-parallel, a deliberate
+    tradeoff: an already-shuffled input does arrive in
+    shuffle-partition-count splits, but an in-memory / coalesced /
+    unstat-able upstream that is genuinely narrow will NOT be
+    rebalanced by this probe (a perf miss, never a correctness one) —
+    callers that know their split count pass ``input_splits`` to
+    decide the guard directly. Stats at most ``slots`` files: once
+    the file count alone reaches the slot count the answer can't be
+    'underparallel'."""
     try:
         files = df.inputFiles()
     except Exception:

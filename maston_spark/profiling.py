@@ -994,6 +994,8 @@ def fd_violations(
     NULL determinant drop (an FD says nothing about NULL keys); a
     NULL dependent counts as a value (two rows (k, NULL) and (k, x)
     DO violate)."""
+    if not pairs:
+        raise ValueError("fd_violations: need at least one (det, dep) pair")
     outs = []
     for det, dep in pairs:
         cells = (
@@ -1051,6 +1053,8 @@ def information_gain(
     single-pair q248 audit). Read ``mi`` to rank features, ``nmi``
     to spot a feature that simply RESTATES the label (leakage).
     Same exactness contract as :func:`mutual_information`."""
+    if not feature_cols:
+        raise ValueError("information_gain: need at least one feature column")
     outs = []
     for c in feature_cols:
         mi = mutual_information(df, label_col, c)

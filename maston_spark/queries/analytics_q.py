@@ -4558,13 +4558,14 @@ def q273_assortativity(spark, sf_dir):
            FROM (SELECT g, n_pairs, slope, q, rr, row_number() OVER
                    (PARTITION BY g ORDER BY rr, i) AS rn FROM res) r2
            JOIN cnt ON r2.g = cnt.g AND r2.rn = (cnt.n_rows + 1) // 2)
-    SELECT ic.g AS "group", cnt.n_rows, ic.n_pairs,
+    SELECT cnt.g AS "group", cnt.n_rows,
+           coalesce(ic.n_pairs, 0) AS n_pairs,
            round(ic.slope, 6) AS slope,
            CAST(CASE WHEN ic.rr >= 0
                      THEN (2 * ic.rr + ic.q) // (2 * CAST(ic.q AS HUGEINT))
                      ELSE -((2 * (-ic.rr) + ic.q) // (2 * CAST(ic.q AS HUGEINT)))
                 END AS DOUBLE) / 1e6 AS intercept
-    FROM ic JOIN cnt ON ic.g = cnt.g ORDER BY "group"
+    FROM cnt LEFT JOIN ic ON ic.g = cnt.g ORDER BY "group"
     """,
 )
 def q274_theil_sen(spark, sf_dir):

@@ -1573,24 +1573,62 @@ def compaction_plan(
     marginally tighter but is inherently sequential state — wrong
     trade for a plan that must be reproducible across engines).
 
-    Scale note: the input is FILE METADATA (a manifest listing —
-    millions of rows for a 100 TB table, not the table), so the one
-    global ordering window is the point, not a hazard; the output is
-    |groups| rows."""
-    w = Window.orderBy(F.col(size_col).desc(), F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    Scale shape: the input is FILE METADATA (a manifest listing),
+    but a 100 TB table's manifest is itself MILLIONS of rows — a
+    partition-less ``sum() OVER (ORDER BY ...)`` window would pull
+    all of them through one task. The running sum is therefore the
+    TWO-PHASE distributed prefix (the :func:`global_rank` /
+    budget_select pattern): range-repartition on (size desc, id) +
+    sort within partitions (pinned persist so both phases see the
+    same boundaries), a |partitions|-row per-partition size total
+    folded on the driver into exclusive prefix offsets, then one
+    Arrow-batched ``mapInPandas`` emits ``offset[pid] + local
+    cumsum`` — no Window node anywhere in the plan (plan-pinned).
+    The output is |groups| rows."""
+    spark = files.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     s = F.col(size_col).cast("long")
-    planned = files.select(
-        F.col(id_col),
-        s.alias("__sz"),
-        F.sum(s).over(w).alias("__cum"),
-    ).select(
-        "*",
-        F.floor((F.col("__cum") - F.col("__sz")) / F.lit(target))
-        .cast("long")
-        .alias("group_id"),
+    ordered = (
+        files.select(F.col(id_col).alias("__id"), s.alias("__sz"))
+        .repartitionByRange(p, F.col("__sz").desc(), F.col("__id").asc())
+        .sortWithinPartitions(F.col("__sz").desc(), F.col("__id").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
+    sums = {
+        r["__pid"]: int(r["s"])
+        for r in ordered.groupBy("__pid").agg(F.sum("__sz").alias("s")).collect()
+    }
+    offsets: "dict[int, int]" = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("__sz", LongType()), StructField("group_id", LongType())]
+    )
+    tgt = int(target)
+
+    def assign(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["__pid"].iloc[0])]
+            sz = pdf["__sz"].to_numpy(dtype="int64")
+            cum = run + sz.cumsum()
+            run = int(cum[-1])
+            out = pdf[["__sz"]].copy()
+            # floor((cum − size) / target): nonneg operands, so int
+            # floordiv == the old window formulation exactly
+            out["group_id"] = (cum - sz) // tgt
+            yield out
+
+    planned = ordered.mapInPandas(assign, out_schema)
     return (
         planned.groupBy("group_id")
         .agg(
@@ -1922,10 +1960,14 @@ def acf(
     window and both folds; lags materialize as ``max_lag`` lead
     columns unpivoted inline (no self-join, no per-lag pass).
     Values must be integers (pre-grid them for continuous metrics);
-    precondition |n·x| < ~1e18 per series."""
+    precondition |n·x| < ~1e18 per series. NULL values are dropped
+    up front — a NULL row would otherwise count in n (and shift the
+    observation index) while contributing nothing to the sums,
+    silently skewing every r_k."""
     w = Window.partitionBy(series_col).orderBy(order_col)
     dec = "decimal(38,0)"
     x = F.col(value_col).cast("long")
+    df = df.filter(F.col(value_col).isNotNull())
     leads = df.select(
         F.col(series_col).alias("__s"),
         x.alias("__x"),
@@ -2006,10 +2048,14 @@ def seasonal_naive_mase(
     pre-grid continuous metrics), and
     ``mase = (Σe_s · (n−1)) / ((n−season) · Σe_1)`` closes as ONE
     division of exact decimal(38,0) cross-products (round 6).
-    Series shorter than ``season + 1`` rows emit NULL mase."""
+    Series shorter than ``season + 1`` rows emit NULL mase. NULL
+    values are dropped up front — they would otherwise count in
+    n_obs while the |difference| sums skip them, skewing both MAE
+    denominators."""
     w = Window.partitionBy(series_col).orderBy(order_col)
     x = F.col(value_col).cast("long")
     dec = "decimal(38,0)"
+    df = df.filter(F.col(value_col).isNotNull())
     lagged = df.select(
         F.col(series_col).alias("__s"),
         x.alias("__x"),
@@ -2237,7 +2283,11 @@ def theil_sen_slope(
     ``(m+1) div 2`` — never the midpoint average whose half-sum
     could land on a rounding boundary), picked by a rank window over
     the per-group pair set with a (slope, id, id) total order.
-    Groups below ``min_rows`` drop; zero x-variance emits NULL."""
+    Groups below ``min_rows`` drop; a group with zero x-variance
+    (every pair vertical → no defined pairwise slope) emits
+    ``(group, n_rows, 0, NULL, NULL)`` — it met the row threshold,
+    so silence would read as "below threshold" rather than "no
+    trend is estimable"."""
     xi = F.round(
         F.round(F.col(x_col).cast("double"), 6) * F.lit(1000000), 0
     ).cast("long")
@@ -2344,17 +2394,26 @@ def theil_sen_slope(
         "CASE WHEN __r >= 0 THEN (2 * __r + __qm) div (2 * __qm) "
         "ELSE -((2 * (-__r) + __qm) div (2 * __qm)) END"
     )
-    return (
-        icept.join(med2, F.col("__g") == F.col("__gm"))
-        .select(
-            F.col("__g").alias("group"),
-            "n_rows",
-            "n_pairs",
-            F.round(F.col("__slope"), 6).alias("slope"),
-            (micro.cast("double") / F.lit(1e6)).alias("intercept"),
-        )
-        .orderBy("group")
+    fitted = icept.join(med2, F.col("__g") == F.col("__gm")).select(
+        F.col("__g").alias("group"),
+        "n_rows",
+        "n_pairs",
+        F.round(F.col("__slope"), 6).alias("slope"),
+        (micro.cast("double") / F.lit(1e6)).alias("intercept"),
     )
+    # pair-less groups (zero x-variance at >= min_rows rows): the
+    # pair frame is empty so every join above drops them — surface
+    # them with NULL estimates instead of silently vanishing
+    pairless = big.join(
+        med.select("__g"), "__g", "left_anti"
+    ).select(
+        F.col("__g").alias("group"),
+        "n_rows",
+        F.lit(0).cast("long").alias("n_pairs"),
+        F.lit(None).cast("double").alias("slope"),
+        F.lit(None).cast("double").alias("intercept"),
+    )
+    return fitted.unionByName(pairless).orderBy("group")
 
 
 def cross_correlation(

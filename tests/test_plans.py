@@ -407,6 +407,19 @@ def test_zipf_rank_has_no_partitionless_window(spark, sf_dir, qs):
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
 
 
+def test_compaction_plan_has_no_partitionless_window(spark, sf_dir, qs):
+    """q219's running prefix sum over the file manifest is the
+    two-phase distributed prefix (range partition + per-partition
+    size offsets + mapInPandas cumsum) — a 100 TB table's manifest
+    is millions of rows, and the old partition-less ``sum() OVER
+    (ORDER BY size DESC)`` pulled all of them through one task
+    (round-14 verdict fix; pattern at relational.global_rank)."""
+    p = plan_of(qs["q219_compaction_plan"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+
+
 def test_bloom_pruned_join_prunes_before_the_shuffle(spark, sf_dir, qs):
     """q244's fact side must pass through the Bloom-probe filter
     BEFORE the join (the whole point is shrinking the shuffle), and

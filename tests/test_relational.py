@@ -1496,6 +1496,46 @@ def test_theil_sen_ignores_outlier_and_matches_plain_python(spark):
     assert r.n_pairs == m
 
 
+def test_theil_sen_pairless_group_emits_null_row(spark):
+    """A group meeting min_rows but with ZERO x-variance (every pair
+    vertical, so no pairwise slope is defined) emits
+    (group, n_rows, 0, NULL, NULL) instead of silently dropping —
+    silence would read as 'below threshold' (round-14 ADVICE fix)."""
+    from maston_spark.relational import theil_sen_slope
+
+    rows = [("flat", i, 5.0, float(i)) for i in range(6)] + [
+        ("ok", i, float(i), 2.0 * i + 1.0) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, x double, y double")
+    out = {r.group: r for r in theil_sen_slope(df, "g", "i", "x", "y").collect()}
+    assert set(out) == {"flat", "ok"}
+    r = out["flat"]
+    assert (r.n_rows, r.n_pairs, r.slope, r.intercept) == (6, 0, None, None)
+    assert out["ok"].slope == 2.0 and out["ok"].n_pairs == 15
+
+
+def test_acf_and_mase_drop_null_values(spark):
+    """NULL values are dropped BEFORE the order window, so the result
+    equals running on the pre-filtered series — previously a NULL row
+    counted in n while contributing nothing to the sums, silently
+    skewing r_k / both MAEs (round-14 ADVICE fix)."""
+    from maston_spark.relational import acf, seasonal_naive_mase
+
+    xs = [5, 1, 2] * 6
+    clean = [("p", i, xs[i]) for i in range(len(xs))]
+    dirty = clean + [("p", 3 * i + 1, None) for i in range(4)]  # interleaved NULLs
+    sch = "s string, t int, x long"
+    dfc = spark.createDataFrame(clean, sch)
+    dfd = spark.createDataFrame(dirty, sch)
+    want = sorted(map(tuple, acf(dfc, "s", "t", "x", max_lag=3).collect()))
+    got = sorted(map(tuple, acf(dfd, "s", "t", "x", max_lag=3).collect()))
+    assert got == want
+    assert want[0][2] == len(xs)  # n_obs counts only non-NULL rows
+    wantm = [tuple(r) for r in seasonal_naive_mase(dfc, "s", "t", "x", season=3).collect()]
+    gotm = [tuple(r) for r in seasonal_naive_mase(dfd, "s", "t", "x", season=3).collect()]
+    assert gotm == wantm
+
+
 def test_cross_correlation_detects_planted_lead(spark):
     """y is x shifted by 2 steps: ccf peaks exactly at lag +2 (x
     leads y) and every lag matches the plain-python estimator."""
