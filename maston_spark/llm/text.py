@@ -1832,6 +1832,63 @@ def oov_rate(
     )
 
 
+def vocab_richness_from_counts(
+    counts: DataFrame,
+    group_col: str = "group",
+    count_col: str = "__c",
+) -> DataFrame:
+    """Closing math of the vocabulary-saturation family, shared by
+    the batch operators AND the streaming monitor so the two paths
+    cannot diverge (the cusum_from_counts discipline): from a
+    per-(group, token) count table — one row per distinct token with
+    its TOTAL count — emit per group ``(group, n_tokens, v_observed,
+    n_singletons, n_doubletons, chao1, gt_unseen_mass,
+    r1_adjusted)``: bias-corrected Chao1 richness
+    ``V + n₁(n₁−1)/(2(n₂+1))`` (Chao 1984), the Good-Turing unseen
+    probability mass ``n₁/N`` (Good 1953), and the GT singleton
+    discount ``r₁* = 2·n₂/n₁`` — each an exact rational of integer
+    frequency-of-frequency counts with one closing IEEE step
+    (chao1 round 4, the ratios round 6; n₁ = 0 emits NULL
+    r1_adjusted). The token identity never reaches this close —
+    only its count — so the caller owns tokenization.
+
+    Scale shape: ONE combiner-reduced aggregation over the count
+    table (|vocab| rows in, |groups| rows out); the counts must be
+    TRUE totals, not clamped — ``n_tokens = Σ count`` is part of
+    the contract (a {1,2,≥3} clamp would halve state width but
+    break it)."""
+    agg = counts.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(count_col).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum((F.col(count_col) == 1).cast("long"))
+        .cast("long")
+        .alias("n_singletons"),
+        F.sum((F.col(count_col) == 2).cast("long"))
+        .cast("long")
+        .alias("n_doubletons"),
+    )
+    n1 = F.col("n_singletons").cast("double")
+    n2 = F.col("n_doubletons").cast("double")
+    chao1 = F.col("v_observed").cast("double") + n1 * (n1 - 1.0) / (
+        2.0 * (n2 + 1.0)
+    )
+    return agg.select(
+        "group",
+        "n_tokens",
+        "v_observed",
+        "n_singletons",
+        "n_doubletons",
+        F.round(chao1, 4).alias("chao1"),
+        F.round(n1 / F.col("n_tokens").cast("double"), 6).alias(
+            "gt_unseen_mass"
+        ),
+        F.when(
+            F.col("n_singletons") > 0,
+            F.round(F.lit(2.0) * n2 / n1, 6),
+        ).alias("r1_adjusted"),
+    ).orderBy("group")
+
+
 def chao1_vocab_richness(
     docs: DataFrame,
     group_col: str = "source",
@@ -1852,8 +1909,9 @@ def chao1_vocab_richness(
 
     Scale shape: one combiner-reduced (group, token) frequency
     aggregation (the shuffle carries the vocabulary, never the
-    corpus), then a second |vocab|-bounded aggregation folds the
-    frequency-of-frequencies."""
+    corpus), then :func:`vocab_richness_from_counts` — the shared
+    |vocab|-bounded frequency-of-frequencies close the streaming
+    saturation monitor folds over its durable state."""
     tf = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
@@ -1864,28 +1922,12 @@ def chao1_vocab_richness(
         .groupBy("g", "tok")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    agg = tf.groupBy("g").agg(
-        F.sum("f").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("v_observed"),
-        F.sum((F.col("f") == 1).cast("long")).cast("long").alias("n_singletons"),
-        F.sum((F.col("f") == 2).cast("long")).cast("long").alias("n_doubletons"),
+    return (
+        vocab_richness_from_counts(tf, "g", "f")
+        .drop("r1_adjusted")
+        .withColumnRenamed("group", group_col)
+        .orderBy(group_col)
     )
-    n1 = F.col("n_singletons").cast("double")
-    n2 = F.col("n_doubletons").cast("double")
-    chao1 = F.col("v_observed").cast("double") + n1 * (n1 - 1.0) / (
-        2.0 * (n2 + 1.0)
-    )
-    return agg.select(
-        F.col("g").alias(group_col),
-        "n_tokens",
-        "v_observed",
-        "n_singletons",
-        "n_doubletons",
-        F.round(chao1, 4).alias("chao1"),
-        F.round(n1 / F.col("n_tokens").cast("double"), 6).alias(
-            "gt_unseen_mass"
-        ),
-    ).orderBy(group_col)
 
 
 def readability_scores(

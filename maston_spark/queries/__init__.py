@@ -355,6 +355,12 @@ _PRIORITY = [
     "q01_pricing_summary", "q15_agg_percentile",
     "q194_binned_tvd_drift", "q169_cms_heavy_hitters",
     "q92_avro_roundtrip",
+    # round-14 additions (locally oracle-verified; first in line if
+    # a graded row frees up): the EIGHTH topology's fold-identity
+    # twin — per-source Good-Turing unseen mass + Chao1 richness
+    # over 3 additively-folded micro-batches (its counter fold is
+    # graded via q272, its fof close via q282/q237)
+    "q283_vocab_saturation_prefix",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -4477,6 +4477,75 @@ def q272_cusum_prefix(spark, sf_dir):
 
 
 @query(
+    "q283_vocab_saturation_prefix",
+    oracle="""
+    WITH toks AS (SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+                  FROM documents
+                  WHERE text IS NOT NULL AND source IS NOT NULL),
+    counts AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+               FROM toks WHERE tok IS NOT NULL AND tok <> ''
+               GROUP BY g, tok),
+    a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS v_observed,
+                 CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+                   AS n_singletons,
+                 CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT)
+                   AS n_doubletons
+          FROM counts GROUP BY g)
+    SELECT g AS "group", n_tokens, v_observed, n_singletons, n_doubletons,
+           round(CAST(v_observed AS DOUBLE)
+                 + CAST(n_singletons AS DOUBLE)
+                   * (CAST(n_singletons AS DOUBLE) - 1.0)
+                   / (2.0 * (CAST(n_doubletons AS DOUBLE) + 1.0)), 4) AS chao1,
+           round(CAST(n_singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS gt_unseen_mass,
+           CASE WHEN n_singletons > 0
+                THEN round(2.0 * CAST(n_doubletons AS DOUBLE)
+                           / CAST(n_singletons AS DOUBLE), 6)
+           END AS r1_adjusted
+    FROM a ORDER BY "group"
+    """,
+)
+def q283_vocab_saturation_prefix(spark, sf_dir):
+    """The vocabulary-saturation monitor TOPOLOGY's fold identity,
+    graded cross-engine: documents split into 3 deterministic
+    micro-batches (doc_id mod 3), each batch's (source, token)
+    counts folded with the SAME additive union+sum the streaming
+    state uses, then the shared :func:`maston_spark.llm.text.
+    vocab_richness_from_counts` closing math — while the oracle
+    computes Good-Turing + Chao1 over the whole corpus in one shot.
+    Counts-of-union ≡ sum-of-batch-counts exactly (fof is NOT
+    additive, which is exactly why the state holds token counts);
+    extends the topology-twin matrix (q195/q200/q201/q211/q231/
+    q250/q272) to the crawl-saturation gauge, the eighth topology."""
+    from maston_spark.llm.text import vocab_richness_from_counts
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    toks = d.select(
+        F.col("source").alias("group"),
+        F.col("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("__tok"),
+    ).filter(F.col("__tok").isNotNull() & (F.col("__tok") != ""))
+    counts = None
+    for b in range(3):
+        g = (
+            toks.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+            .groupBy("group", "__tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        counts = (
+            g
+            if counts is None
+            else counts.unionByName(g)
+            .groupBy("group", "__tok")
+            .agg(F.sum("__c").cast("long").alias("__c"))
+        )
+    return vocab_richness_from_counts(counts, "group")
+
+
+@query(
     "q273_assortativity",
     oracle="""
     WITH e0 AS (SELECT DISTINCT l_partkey AS a, 1000000000 + l_suppkey AS b

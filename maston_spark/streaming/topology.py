@@ -1703,3 +1703,98 @@ def cusum_monitor_topology(
             counts.unpersist()
 
     return _start_foreach_batch(items, fn, checkpoint, trigger)
+
+
+def vocab_saturation_topology(
+    source: DataFrame,
+    *,
+    group_col: str,
+    text_col: str,
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+):
+    """Streaming vocabulary-saturation monitor (the EIGHTH topology):
+    maintain per-(group, token) frequency counts across micro-batches
+    and emit, per batch, each group's running Good-Turing unseen mass
+    + Chao1 richness + GT singleton discount — the "is this crawl
+    still finding new vocabulary" gauge read live: a group whose
+    ``gt_unseen_mass`` keeps sinking toward 0 has been crawled to
+    exhaustion and its budget should move elsewhere. Emits the exact
+    contract of :func:`maston_spark.llm.text.
+    vocab_richness_from_counts` because it IS that closing math over
+    the folded state, so the streaming and batch paths cannot
+    diverge (the q283 prefix twin grades the fold cross-engine).
+
+    The durable cross-batch state is the per-(group, token) COUNT
+    table, not the frequency-of-frequencies: fof is NOT additive (a
+    token seen once in batch 1 and once in batch 2 is one doubleton,
+    not two singletons), while token counts fold with plain
+    union+sum — the q272 counter discipline, so a late or replayed
+    document self-corrects the statistic on the next emission with
+    no watermark surgery. Counts are TRUE totals (a {1,2,≥3} clamp
+    would shrink nothing that matters — the state's row count is
+    |vocab| either way — and would break ``n_tokens = Σ count``).
+    Same versioned compacted parquet layout and crash-retry corner
+    as ``delta_topology``/``cusum_monitor_topology``: a stored
+    v{batch_id} is read as the whole truth, never re-added.
+
+    Scale shape per batch: one combiner-reduced (group, token)
+    aggregation over the BATCH (the shuffle carries the batch's
+    distinct tokens), one |state|-sized merge, one |vocab|-bounded
+    fof close — state and rewrite cost are vocabulary-bounded no
+    matter the traffic (Heaps' law: |vocab| grows ~√corpus, so the
+    state is sublinear in everything ingested). Tokenization is
+    single-space split (the engine's cross-engine-gradeable
+    convention; empty tokens drop)."""
+    from maston_spark.llm.text import vocab_richness_from_counts
+
+    sdir = (
+        f"{checkpoint.rstrip('/')}/vocab_state" if state_dir == "auto" else state_dir
+    )
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    toks = source.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).filter(
+        F.col("group").isNotNull()
+        & F.col("__tok").isNotNull()
+        & (F.col("__tok") != "")
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = batch_df.groupBy("group", "__tok").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            seed_v = prior[-1] if prior else (batch_id if batch_id in versions else None)
+            if seed_v is not None and seed_v == batch_id:
+                # additive-counter retry corner: the stored version
+                # already contains this batch — it IS the state
+                counts = spark.read.parquet(f"{sdir}/v{batch_id}").localCheckpoint(
+                    eager=True
+                )
+            elif seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                counts = (
+                    counts.unionByName(seed)
+                    .groupBy("group", "__tok")
+                    .agg(F.sum("__c").cast("long").alias("__c"))
+                )
+        counts = counts.persist()
+        try:
+            if sdir is not None:
+                counts.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+            write_metrics(vocab_richness_from_counts(counts, "group"), batch_id)
+            if sdir is not None:
+                _drop_state_versions(spark, sdir, prior)
+        finally:
+            counts.unpersist()
+
+    return _start_foreach_batch(toks, fn, checkpoint, trigger)

@@ -1886,3 +1886,118 @@ def test_cusum_monitor_topology_golden_and_prefix_identity(spark, cleanup):
     state = spark.read.parquet(f"{chk}/cusum_state/v2")
     [replay] = cusum_from_counts(state, "group").collect()
     assert replay.cusum_scaled == by_batch[2]["ingest"].cusum_scaled
+
+
+def test_vocab_saturation_topology_golden_and_restart(spark, cleanup):
+    """Streaming vocabulary-saturation monitor over 3 batches: the
+    per-(group, token) counts fold additively, so every emitted
+    Good-Turing/Chao1 row equals the shared closing math over the
+    data so far — INCLUDING the singleton→doubleton transitions a
+    naive fof fold would double-count (the token seen once in batch
+    0 and once more in batch 2 must become ONE doubleton). A cold
+    restart from the durable state resumes without regressing, and
+    replaying the stored state reproduces the final emit."""
+    from maston_spark.llm.text import vocab_richness_from_counts
+    from maston_spark.streaming.topology import vocab_saturation_topology
+
+    per_batch = [
+        # batch 0: 'rare' is a web singleton, 'the' repeats
+        [("web", "the cat sat on the mat rare"), ("books", "alpha beta beta")],
+        # batch 1: new web doc; 'gamma' first appearance for books
+        [("web", "a dog sat"), ("books", "gamma alpha")],
+        # batch 2: 'rare' appears ONCE MORE -> web doubleton now;
+        # empty-token noise (double space) must drop
+        [("web", "rare  bird"), ("books", "delta")],
+    ]
+    rows = [
+        Row(src=g, text=t, __replay_batch=b)
+        for b, docs in enumerate(per_batch)
+        for g, t in docs
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    q = vocab_saturation_topology(
+        stream,
+        group_col="src",
+        text_col="text",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append(
+            (bid, {r.group: tuple(r) for r in df.collect()})
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) >= 3
+    by_batch = dict(seen)
+
+    def oneshot(docs):
+        df = spark.createDataFrame(docs, "group string, text string")
+        counts = (
+            df.select(
+                "group", F.explode(F.split("text", " ")).alias("__tok")
+            )
+            .filter((F.col("__tok") != "") & F.col("__tok").isNotNull())
+            .groupBy("group", "__tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        return {
+            r.group: tuple(r)
+            for r in vocab_richness_from_counts(counts, "group").collect()
+        }
+
+    prefix: list = []
+    for b in range(3):
+        prefix += per_batch[b]
+        assert by_batch[b] == oneshot(prefix), b
+    # the non-additive-fof trap, explicitly: 'rare' (once in batch 0,
+    # once in batch 2) is exactly one web DOUBLETON at the end
+    final_web = by_batch[2]["web"]
+    assert final_web[4] >= 1  # n_doubletons includes 'rare'
+    w0 = by_batch[0]["web"]
+    assert w0[3] >= 2  # 'rare' and others start as singletons
+
+    # restart: a fresh query on the same checkpoint folds on top of
+    # the durable state
+    more = [("web", "rare again"), ("books", "alpha")]
+    stream2, src2 = replay_stream(
+        spark.createDataFrame(
+            [Row(src=g, text=t, __replay_batch=0) for g, t in more]
+        ),
+        batches=1,
+    )
+    cleanup.append(src2)
+    seen2: list = []
+    q2 = vocab_saturation_topology(
+        stream2,
+        group_col="src",
+        text_col="text",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen2.append(
+            {r.group: tuple(r) for r in df.collect()}
+        ),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert seen2[-1] == oneshot(prefix + more)
+
+    # durable state replay reproduces the final emit
+    import glob as _glob
+
+    vdirs = sorted(
+        _glob.glob(f"{chk}/vocab_state/v*"),
+        key=lambda p: int(p.rsplit("v", 1)[-1]),
+    )
+    state = spark.read.parquet(vdirs[-1])
+    got = {
+        r.group: tuple(r)
+        for r in vocab_richness_from_counts(state, "group").collect()
+    }
+    assert got == seen2[-1]
