@@ -2341,3 +2341,175 @@ def mmr_rerank(
         )
     finally:
         rel_df.unpersist()
+
+
+def davies_bouldin(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Davies-Bouldin cluster-quality audit over the
+    :func:`kmeans_lloyd` cells — per cluster ``(cluster, n_rows,
+    scatter, r_max, db_index)``: within-cluster scatter
+    ``S_i = sqrt(mean ‖x−c_i‖²)`` (the q=2 Davies-Bouldin 1979
+    form), the worst similarity ratio ``R_i = max_{j≠i}
+    (S_i+S_j)/‖c_i−c_j‖``, and the overall index (mean R_i, lower =
+    tighter/better-separated cells) — the "are these cells even
+    good" check that semantic dedup's keep-one-per-cell step
+    (:func:`semantic_dedup`) otherwise assumes. A cell with r_max ≫
+    the others overlaps its neighbor: its keep-one deletions are
+    suspect.
+
+    Exactness/scale: ONE corpus pass (the Lloyd assignment's own
+    ``‖x−c‖²``, already on the 9-grid, sums per cluster as exact
+    decimal(38,9)); everything after is k-bounded — centroid pair
+    distances fold 9-grid NANO-INTEGER coordinate diffs into exact
+    decimal(38,0) (one sqrt each; precondition |coordinate| < 10),
+    r_max is a max over k−1 identical IEEE doubles, and the index
+    averages round-9 lanes exactly before its one closing division.
+    Empty cells (possible under Lloyd) drop — scatter is undefined,
+    so they simply don't compete. Rows/centroids never meet in a
+    shuffle: centroids are a broadcast k-row frame."""
+    assigned, cent = _kmeans_fit(df, k, iterations, id_col, vec_col)
+    per = assigned.groupBy("__cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("__d").cast("decimal(38,9)")).alias("__sd"),
+    )
+    scat = per.select(
+        "__cid",
+        "n_rows",
+        F.sqrt(
+            F.col("__sd").cast("double") / F.col("n_rows").cast("double")
+        ).alias("__s"),
+    )
+    nano = lambda c: F.round(c * F.lit(1000000000.0), 0).cast("decimal(19,0)")  # noqa: E731
+    ci = cent.select(F.col("__cid").alias("__ci"), F.col("__c").alias("__ca"))
+    cj = cent.select(F.col("__cid").alias("__cj"), F.col("__c").alias("__cb"))
+    m2 = F.aggregate(
+        F.zip_with(
+            "__ca", "__cb", lambda a, b: (nano(a) - nano(b)) * (nano(a) - nano(b))
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        ci.crossJoin(F.broadcast(cj))
+        .filter(F.col("__ci") != F.col("__cj"))
+        .select(
+            "__ci",
+            "__cj",
+            F.sqrt(m2.cast("double") / F.lit(1e18)).alias("__m"),
+        )
+    )
+    si = scat.select(F.col("__cid").alias("__ci"), F.col("__s").alias("__si"))
+    sj = scat.select(F.col("__cid").alias("__cj"), F.col("__s").alias("__sj"))
+    r = (
+        pairs.join(F.broadcast(si), "__ci")
+        .join(F.broadcast(sj), "__cj")
+        .groupBy("__ci")
+        .agg(
+            F.max(
+                (F.col("__si") + F.col("__sj")) / F.col("__m")
+            ).alias("__rmax")
+        )
+    )
+    ix = r.agg(
+        (
+            F.sum(F.round(F.col("__rmax"), 9).cast("decimal(38,9)")).cast(
+                "double"
+            )
+            / F.count("__rmax").cast("double")
+        ).alias("__dbi")
+    )
+    return (
+        scat.join(F.broadcast(r), scat["__cid"] == r["__ci"], "left")
+        .crossJoin(F.broadcast(ix))
+        .select(
+            F.col("__cid").alias("cluster"),
+            "n_rows",
+            F.round(F.col("__s"), 6).alias("scatter"),
+            F.round(F.col("__rmax"), 6).alias("r_max"),
+            F.round(F.col("__dbi"), 6).alias("db_index"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def silhouette_centroid(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-approximated (simplified) silhouette over the
+    :func:`kmeans_lloyd` cells — per cluster ``(cluster, n_rows,
+    mean_silhouette, n_negative)`` with per-point
+    ``s = (b−a)/max(a,b)`` where ``a = ‖x−c_own‖`` and ``b = min_{j≠
+    own} ‖x−c_j‖`` (Hruschka et al.'s simplified silhouette; s→1
+    well-placed, s<0 likely mis-assigned). ``n_negative`` is the
+    per-cell count of points that sit closer to ANOTHER centroid —
+    the direct list of candidates semantic dedup would delete from
+    the wrong cell.
+
+    The EXACT silhouette is rejected by contract: its ``a``/``b``
+    are means over all point PAIRS — Σn_i² work that a 100 TB corpus
+    turns into the all-pairs explosion every operator here is built
+    to avoid. The centroid approximation is the standard bounded
+    form: one broadcast of k centroid rows against the corpus (k·N
+    slim distance folds, no shuffle of vectors), per-point close,
+    one combiner-reduced per-cluster aggregation. Exactness: the
+    distance folds are the Lloyd assignment's own round-9 sequential
+    folds; per-point s rounds to the 9-grid and per-cluster means
+    fold the integer nano-lanes exactly before ONE closing division
+    (round 6); a point exactly on its centroid with no nearer rival
+    at 0 emits s = 0 (degenerate, documented)."""
+    assigned, cent = _kmeans_fit(df, k, iterations, id_col, vec_col)
+    allp = assigned.select("__id", "__v", "__cid", "__d").crossJoin(
+        F.broadcast(cent.select(F.col("__cid").alias("__cj"), "__c"))
+    )
+    sq = F.round(
+        F.aggregate(
+            F.zip_with("__v", "__c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    o = (
+        allp.filter(F.col("__cj") != F.col("__cid"))
+        .select("__id", "__cid", "__d", sq.alias("__sq"))
+        .groupBy("__id", "__cid", "__d")
+        .agg(F.min("__sq").alias("__bsq"))
+    )
+    a = F.sqrt(F.col("__d"))
+    b = F.sqrt(F.col("__bsq"))
+    sil = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    lane = F.round(F.round(sil, 9) * F.lit(1000000000.0), 0).cast("long")
+    per = (
+        o.select(F.col("__cid"), lane.alias("__l"))
+        .groupBy("__cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("__l").cast("decimal(38,0)")).alias("__sl"),
+            F.coalesce(
+                F.sum((F.col("__l") < 0).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_negative"),
+        )
+    )
+    return per.select(
+        F.col("__cid").alias("cluster"),
+        "n_rows",
+        F.round(
+            F.col("__sl").cast("double")
+            / (F.col("n_rows").cast("double") * F.lit(1e9)),
+            6,
+        ).alias("mean_silhouette"),
+        "n_negative",
+    ).orderBy("cluster")

@@ -361,6 +361,12 @@ _PRIORITY = [
     # over 3 additively-folded micro-batches (its counter fold is
     # graded via q272, its fof close via q282/q237)
     "q283_vocab_saturation_prefix",
+    # round-14 cluster-quality audit pair: Davies-Bouldin scatter/
+    # separation index and the centroid-approximated silhouette over
+    # the q119 Lloyd cells — the "are these cells even good" gate in
+    # front of semantic dedup's keep-one-per-cell deletions (both
+    # grade the SAME fit as q119 via a shared oracle CTE)
+    "q284_davies_bouldin", "q285_silhouette",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -5452,3 +5452,111 @@ def q257_effective_sample_size(spark, sf_dir):
     wc = F.size(F.split(F.trim(F.col("text")), " "))
     weighted = d.select("source", wc.alias("w")).filter(F.col("w") > 0)
     return effective_sample_size(weighted, "source", "w")
+
+
+# Shared Lloyd-replay oracle prefix (identical to q119's fit: k=4
+# seeds by smallest vec_id, one decimal-exact centroid update, final
+# round-9 assignment) — q284/q285 extend it with their closing math
+# so all three queries grade the SAME fit.
+_KMEANS_CTE = """
+    WITH e AS (SELECT vec_id AS id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cid, v AS c
+           FROM (SELECT id, v FROM e ORDER BY id LIMIT 4)),
+    p1 AS (SELECT e.id, e.v, c0.cid,
+                  round(list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))), 9) AS d
+           FROM e, c0),
+    a1 AS (SELECT id, v, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM p1) WHERE rn = 1),
+    dims AS (SELECT cid, i - 1 AS dim, v[i] AS x
+             FROM a1, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) t),
+    upd AS (SELECT cid, dim,
+                   round(CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9)))
+                         AS DOUBLE) / count(*), 9) AS m
+            FROM dims GROUP BY 1, 2),
+    c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM upd GROUP BY cid),
+    p2 AS (SELECT e.id, c1.cid,
+                  round(list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))), 9) AS d
+           FROM e, c1),
+    a2 AS (SELECT id, cid, d FROM (
+             SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM p2) WHERE rn = 1)
+"""
+
+
+@query(
+    "q284_davies_bouldin",
+    oracle=_KMEANS_CTE
+    + """,
+    sc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_rows,
+                  sqrt(CAST(sum(CAST(d AS DECIMAL(38,9))) AS DOUBLE)
+                       / count(*)) AS s
+           FROM a2 GROUP BY cid),
+    cd AS (SELECT ca.cid AS ci, cb.cid AS cj,
+                  CAST(round(ca.c[t.ix] * 1e9) AS HUGEINT) AS xa,
+                  CAST(round(cb.c[t.ix] * 1e9) AS HUGEINT) AS xb
+           FROM c1 ca, c1 cb,
+                LATERAL (SELECT unnest(range(1, len(ca.c) + 1)) AS ix) t
+           WHERE ca.cid <> cb.cid),
+    cp AS (SELECT ci, cj,
+                  sqrt(CAST(sum((xa - xb) * (xa - xb)) AS DOUBLE) / 1e18) AS m
+           FROM cd GROUP BY ci, cj),
+    r AS (SELECT cp.ci, max((si.s + sj.s) / cp.m) AS rmax
+          FROM cp JOIN sc si ON si.cid = cp.ci
+                  JOIN sc sj ON sj.cid = cp.cj
+          GROUP BY cp.ci),
+    ix AS (SELECT CAST(sum(CAST(round(rmax, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                  / count(rmax) AS dbi FROM r)
+    SELECT sc.cid AS cluster, sc.n_rows, round(sc.s, 6) AS scatter,
+           round(r.rmax, 6) AS r_max, round(ix.dbi, 6) AS db_index
+    FROM sc LEFT JOIN r ON r.ci = sc.cid CROSS JOIN ix
+    ORDER BY cluster
+    """,
+)
+def q284_davies_bouldin(spark, sf_dir):
+    """Davies-Bouldin audit of the q119 k-means cells: within-cell
+    scatter, worst neighbor-similarity ratio per cell, and the
+    overall index — the "are these cells even good" gate before
+    trusting semantic dedup's keep-one-per-cell deletions. See
+    :func:`maston_spark.llm.similarity.davies_bouldin`."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.davies_bouldin(e, k=4, iterations=2)
+
+
+@query(
+    "q285_silhouette",
+    oracle=_KMEANS_CTE
+    + """,
+    o AS (SELECT p2.id, a2.cid, a2.d, min(p2.d) AS bsq
+          FROM p2 JOIN a2 ON p2.id = a2.id AND p2.cid <> a2.cid
+          GROUP BY p2.id, a2.cid, a2.d),
+    sl AS (SELECT id, cid,
+                  CASE WHEN greatest(sqrt(d), sqrt(bsq)) > 0
+                       THEN (sqrt(bsq) - sqrt(d))
+                            / greatest(sqrt(d), sqrt(bsq))
+                       ELSE 0.0 END AS sil
+           FROM o),
+    lane AS (SELECT cid,
+                    CAST(round(round(sil, 9) * 1e9) AS BIGINT) AS l
+             FROM sl)
+    SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(l AS HUGEINT)) AS DOUBLE)
+                 / (count(*) * 1e9), 6) AS mean_silhouette,
+           CAST(coalesce(sum(CASE WHEN l < 0 THEN 1 END), 0) AS BIGINT)
+             AS n_negative
+    FROM lane GROUP BY cid ORDER BY cluster
+    """,
+)
+def q285_silhouette(spark, sf_dir):
+    """Centroid-approximated silhouette of the q119 k-means cells:
+    per-cell mean s and the count of points sitting closer to a
+    RIVAL centroid — the mis-assignment list semantic dedup should
+    check before deleting. Exact O(n²) silhouette rejected by
+    contract (all-pairs); see
+    :func:`maston_spark.llm.similarity.silhouette_centroid`."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.silhouette_centroid(e, k=4, iterations=2)

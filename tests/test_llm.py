@@ -2389,3 +2389,42 @@ def test_good_turing_unseen_mass_hand_case(spark):
     rep = spark.createDataFrame([("x",), ("x",), ("y",), ("y",)], "tok string")
     [rr] = good_turing_unseen(rep, "tok").collect()
     assert rr.p_unseen == 0.0 and rr.r1_adjusted is None
+
+
+def test_cluster_quality_audit_flags_overlap(spark):
+    """Two tight far-apart blobs score near-perfect (silhouette ≈ 1,
+    n_negative 0, small Davies-Bouldin); pushing the blobs into
+    overlap must worsen BOTH audits monotonically. db_index equals
+    the mean of the per-cluster r_max by definition."""
+    from maston_spark.llm.similarity import davies_bouldin, silhouette_centroid
+
+    def blobs(sep, spread):
+        pts = [(i, [0.0 + spread * i, 0.0]) for i in range(6)] + [
+            (10 + i, [sep, sep + spread * i]) for i in range(6)
+        ]
+        return spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+
+    good = blobs(8.0, 0.01)
+    bad = blobs(0.4, 0.3)  # blobs bleed into each other
+
+    db_g = {r.cluster: r for r in davies_bouldin(good, k=2, iterations=3).collect()}
+    db_b = {r.cluster: r for r in davies_bouldin(bad, k=2, iterations=3).collect()}
+    assert len(db_g) == 2 and len(db_b) == 2
+    for rows in (db_g, db_b):
+        want = round(sum(round(r.r_max, 9) for r in rows.values()) / len(rows), 6)
+        assert all(abs(r.db_index - want) < 2e-6 for r in rows.values()), rows
+    assert all(r.scatter < 0.1 for r in db_g.values())
+    dbi_g = next(iter(db_g.values())).db_index
+    dbi_b = next(iter(db_b.values())).db_index
+    assert dbi_b > dbi_g
+
+    sil_g = {r.cluster: r for r in silhouette_centroid(good, k=2, iterations=3).collect()}
+    sil_b = {r.cluster: r for r in silhouette_centroid(bad, k=2, iterations=3).collect()}
+    for rows in (sil_g, sil_b):
+        for r in rows.values():
+            assert -1.0 <= r.mean_silhouette <= 1.0
+    assert all(r.mean_silhouette > 0.9 for r in sil_g.values())
+    assert all(r.n_negative == 0 for r in sil_g.values())
+    assert min(r.mean_silhouette for r in sil_b.values()) < min(
+        r.mean_silhouette for r in sil_g.values()
+    )
