@@ -120,6 +120,14 @@ def main() -> None:
     from maston_spark.queries import all_queries
     from maston_spark.session import build_session
 
+    # pre-run loadavg: captured BEFORE the bench's own threads ramp
+    # up, so it reflects pre-existing host activity (the bench itself
+    # drives the 1-min average toward the core count as it runs)
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
+
     qs = all_queries()
     spark = build_session("maston-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -171,6 +179,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     calib = _calibration_sec(spark)
+    # host-contention fingerprint: the round-13 bench recorded 4-8x
+    # inflated heavy rows because ANOTHER process shared the cores
+    # (SCALE.md round-14 adjudication). A pre-run 1-min loadavg well
+    # above ~0 (idle) — or an end loadavg well above the bench's own
+    # core count — marks the run contended, so the per-query numbers
+    # are NOT the quotable ones (SCALE.md min-of-3 is)
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
     # calibration-normalized medians: each query's median divided by
     # the fixed-work calibration time, so cross-round comparisons are
     # host-independent by construction (a host 20% slower inflates
@@ -191,6 +209,7 @@ def main() -> None:
                 },
                 "queries_norm_by_calibration": queries_norm,
                 "value_norm_by_calibration": round(total / calib, 3),
+                "loadavg": {"start": load_start, "end": load_end},
                 "sf": sf,
             }
     # full local copy: the driver's BENCH_r*.json keeps only a
