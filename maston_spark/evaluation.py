@@ -2377,3 +2377,115 @@ def capture_recapture(
         F.when(ok, F.round(est - z * se, 2)).alias("ci_lo"),
         F.when(ok, F.round(est + z * se, 2)).alias("ci_hi"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (PAV) calibration curve per group — per (group,
+    score-bin) ``(group, bin, n_rows, n_pos, raw_rate, fitted_rate)``:
+    the monotone-nondecreasing fit of the empirical positive rate
+    over fixed-width score bins — the calibration MAP one actually
+    deploys (Zadrozny & Elkan 2002), next to q258's Murphy
+    decomposition (which only scores the miscalibration) and q213's
+    reliability bins (which only display it). ``fitted_rate`` is the
+    isotonic regression of ``raw_rate`` with bin counts as weights;
+    reading it at a model score de-biases the score without ever
+    crossing order.
+
+    Exactness — isotonic regression decided ENTIRELY in integers:
+    instead of iterative pool-adjacent-violators (sequential state,
+    engine-unfriendly), the fit uses the minimax characterization
+    ``ŷ_i = max_{j≤i} min_{k≥i} avg(y over bins j..k)`` (Robertson/
+    Wright/Dykstra 1988 — provably the PAV solution), and every
+    interval average is first rounded to the 9-grid AS A RATIONAL
+    with integral half-away arithmetic (``(2p·10⁹ + q) div (2q)``,
+    positive operands — Spark ``div`` and DuckDB ``//`` agree there),
+    so the max-of-min runs over plain int64 nanos; a float quotient
+    of p/q could land exactly ON a rounding midpoint where the
+    engines' round() disagree (the q274 lesson — labels are 0/1, so
+    p/q is maximally midpoint-prone). ``raw_rate``'s 6-grid uses the
+    same trick. Scores must lie in [0, 1] (probability outputs; the
+    boundary score 1.0 clamps into the top bin).
+
+    Scale shape: ONE corpus pass (combiner-reduced (group, bin)
+    agg); everything after is |bins|-bounded per group — prefix sums
+    over ≤n_bins rows, an intervals table of n_bins(n_bins+1)/2
+    rows, and a (position × interval) bounded join of ~n_bins³/6
+    rows per group. The per-group window is over the BIN table, not
+    the corpus."""
+    g = F.col(group_col)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.lit(int(n_bins) - 1),
+        F.greatest(F.lit(0), F.floor(s * F.lit(int(n_bins))).cast("int")),
+    )
+    bins = (
+        df.filter(g.isNotNull() & s.isNotNull() & y.isNotNull())
+        .select(g.alias("__g"), b.alias("__b"), y.alias("__y"))
+        .groupBy("__g", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__y").cast("long").alias("__s"),
+        )
+    )
+    w = Window.partitionBy("__g").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # |bins|-row frame per group — bounded by n_bins, never the corpus
+    cum = bins.select(
+        "__g",
+        "__b",
+        "__n",
+        "__s",
+        F.sum("__n").over(w).alias("__cn"),
+        F.sum("__s").over(w).alias("__cs"),
+    )
+    l = cum.select(
+        "__g",
+        F.col("__b").alias("__j"),
+        (F.col("__cn") - F.col("__n")).alias("__pn"),
+        (F.col("__cs") - F.col("__s")).alias("__ps"),
+    )
+    r = cum.select(
+        "__g",
+        F.col("__b").alias("__k"),
+        F.col("__cn").alias("__kn"),
+        F.col("__cs").alias("__ks"),
+    )
+    # 9-grid nano average of the interval, half-away, all-integer:
+    # decimal(38,0) `div` is exact integral division returning
+    # bigint (positive operands — Spark div and DuckDB // agree)
+    nano = F.expr(
+        "(2 * CAST(__ks - __ps AS DECIMAL(38,0)) * 1000000000"
+        " + CAST(__kn - __pn AS DECIMAL(38,0)))"
+        " div (2 * CAST(__kn - __pn AS DECIMAL(38,0)))"
+    )
+    intervals = (
+        l.join(r, "__g")
+        .filter(F.col("__k") >= F.col("__j"))
+        .select("__g", "__j", "__k", nano.alias("__a"))
+    )
+    pos = bins.select("__g", F.col("__b").alias("__i"), "__n", "__s")
+    inner = (
+        pos.join(intervals, "__g")
+        .filter((F.col("__j") <= F.col("__i")) & (F.col("__k") >= F.col("__i")))
+        .groupBy("__g", "__i", "__n", "__s", "__j")
+        .agg(F.min("__a").alias("__mn"))
+    )
+    fit = inner.groupBy("__g", "__i", "__n", "__s").agg(
+        F.max("__mn").alias("__fit")
+    )
+    raw_micro = F.expr("(2 * __s * 1000000 + __n) div (2 * __n)")
+    return fit.select(
+        F.col("__g").alias("group"),
+        F.col("__i").alias("bin"),
+        F.col("__n").alias("n_rows"),
+        F.col("__s").alias("n_pos"),
+        (raw_micro.cast("double") / F.lit(1e6)).alias("raw_rate"),
+        (F.col("__fit").cast("double") / F.lit(1e9)).alias("fitted_rate"),
+    ).orderBy("group", "bin")

@@ -367,6 +367,10 @@ _PRIORITY = [
     # front of semantic dedup's keep-one-per-cell deletions (both
     # grade the SAME fit as q119 via a shared oracle CTE)
     "q284_davies_bouldin", "q285_silhouette",
+    # round-14 second wave: isotonic (PAV) calibration via the
+    # integer-nano minimax characterization — the deployable
+    # monotone score→rate map beside q258's decomposition
+    "q286_isotonic_calibration",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

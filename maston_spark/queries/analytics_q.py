@@ -5130,3 +5130,63 @@ def q282_good_turing(spark, sf_dir):
         F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).filter(F.col("tok").isNotNull())
     return good_turing_unseen(toks, "tok")
+
+
+@query(
+    "q286_isotonic_calibration",
+    oracle="""
+    WITH m AS (SELECT max(value) AS vmax FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                 AND user_id IS NOT NULL),
+    e AS (SELECT CAST(user_id % 3 AS INT) AS g,
+                 value / m.vmax AS sc,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events, m
+          WHERE value IS NOT NULL AND event_type IS NOT NULL
+            AND user_id IS NOT NULL),
+    b AS (SELECT g, least(19, greatest(0, CAST(floor(sc * 20) AS INT))) AS bin,
+                 CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+          FROM e GROUP BY 1, 2),
+    c AS (SELECT g, bin, n, s,
+                 sum(n) OVER (PARTITION BY g ORDER BY bin) AS cn,
+                 sum(s) OVER (PARTITION BY g ORDER BY bin) AS cs
+          FROM b),
+    iv AS (SELECT l.g, l.bin AS j, r.bin AS k,
+                  (2 * CAST(r.cs - (l.cs - l.s) AS HUGEINT) * 1000000000
+                   + CAST(r.cn - (l.cn - l.n) AS HUGEINT))
+                  // (2 * CAST(r.cn - (l.cn - l.n) AS HUGEINT)) AS a
+           FROM c l JOIN c r ON l.g = r.g AND r.bin >= l.bin),
+    inr AS (SELECT p.g, p.bin AS i, p.n, p.s, iv.j,
+                   min(iv.a) AS mn
+            FROM b p JOIN iv ON iv.g = p.g AND iv.j <= p.bin
+                            AND iv.k >= p.bin
+            GROUP BY 1, 2, 3, 4, 5),
+    f AS (SELECT g, i, n, s, max(mn) AS fit FROM inr GROUP BY 1, 2, 3, 4)
+    SELECT g AS "group", i AS bin, n AS n_rows, s AS n_pos,
+           CAST((2 * CAST(s AS HUGEINT) * 1000000 + n) // (2 * n) AS DOUBLE)
+             / 1e6 AS raw_rate,
+           CAST(fit AS DOUBLE) / 1e9 AS fitted_rate
+    FROM f ORDER BY "group", bin
+    """,
+)
+def q286_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration of the max-normalized value score
+    against the purchase label (q258's construction), per user
+    cohort (user_id mod 3): the deployable monotone score→rate map,
+    decided entirely in integer nanos via the minimax
+    characterization. See
+    :func:`maston_spark.evaluation.isotonic_calibration`."""
+    from maston_spark.evaluation import isotonic_calibration
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    vmax = ev.agg(F.max("value").alias("__vmax"))
+    scored = ev.crossJoin(F.broadcast(vmax)).select(
+        F.pmod(F.col("user_id"), F.lit(3)).cast("int").alias("cohort"),
+        (F.col("value") / F.col("__vmax")).alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return isotonic_calibration(scored, "cohort", "s", "y", n_bins=20)

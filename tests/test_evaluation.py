@@ -1068,3 +1068,55 @@ def test_mann_whitney_auc_agrees_with_group_auc_rank_window(spark):
         ).collect()
         assert mw.auc_1 == ga.auc, seed
         assert (mw.n_1, mw.n_0) == (ga.n_pos, ga.n_neg), seed
+
+
+def test_isotonic_calibration_matches_plain_pav(spark):
+    """The minimax integer-nano fit equals a plain-python weighted
+    pool-adjacent-violators replay (exact Fraction pooling, half-away
+    round to 9) on a curve with planted violations, and the fitted
+    rates are monotone nondecreasing in the bin index."""
+    from fractions import Fraction
+
+    from maston_spark.evaluation import isotonic_calibration
+
+    # scores engineered to land in bins 0..4 of 5; bin rates
+    # 0.2, 0.5, 0.3, 0.3, 0.9 -> bins 1-3 must pool to 11/30
+    per_bin = [(10, 2), (10, 5), (10, 3), (10, 3), (10, 9)]
+    rows = []
+    rid = 0
+    for b, (n, pos) in enumerate(per_bin):
+        for i in range(n):
+            rows.append(("g", (b + 0.5) / 5.0, 1 if i < pos else 0))
+            rid += 1
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    out = {r.bin: r for r in isotonic_calibration(df, "g", "s", "y", n_bins=5).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4]
+
+    # plain PAV with exact rationals
+    blocks = [
+        [Fraction(pos), Fraction(n), [b]] for b, (n, pos) in enumerate(per_bin)
+    ]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            blocks[i][2] += blocks[i + 1][2]
+            del blocks[i + 1]
+            i = max(0, i - 1)
+        else:
+            i += 1
+    # nano from the pooled (pos, n) integers mirrors the operator's
+    # (2*P*1e9 + N) div (2*N) half-away grid exactly
+    want = {}
+    for P, N, bs in blocks:
+        nano = (2 * int(P) * 10**9 + int(N)) // (2 * int(N))
+        for b in bs:
+            want[b] = nano
+    for b in range(5):
+        assert out[b].fitted_rate == want[b] / 1e9, (b, out[b], want[b])
+    fitted = [out[b].fitted_rate for b in range(5)]
+    assert fitted == sorted(fitted)
+    assert out[1].fitted_rate == out[2].fitted_rate == out[3].fitted_rate
+    assert abs(out[1].fitted_rate - 11 / 30) < 1e-8
+    assert out[0].raw_rate == 0.2 and out[4].raw_rate == 0.9
