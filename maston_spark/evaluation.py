@@ -2489,3 +2489,108 @@ def isotonic_calibration(
         (raw_micro.cast("double") / F.lit(1e6)).alias("raw_rate"),
         (F.col("__fit").cast("double") / F.lit(1e9)).alias("fitted_rate"),
     ).orderBy("group", "bin")
+
+
+def cem_att(
+    df: DataFrame,
+    stratum_cols: "list[str]",
+    treat_col: str,
+    outcome_cents_col: str,
+) -> DataFrame:
+    """Coarsened-Exact-Matching ATT (Iacus, King & Porro 2012) — one
+    row ``(n_strata_total, n_strata_matched, n_treated_total,
+    n_treated_matched, n_control_matched, att)``: coarsen covariates
+    (caller-side — the stratum columns ARE the coarsening), keep
+    only strata containing BOTH a treated and a control unit, and
+    estimate the average treatment effect on the treated as the
+    treated-weighted mean of within-stratum mean differences —
+    causal inference that needs no model fit, no iteration, and no
+    randomness, unlike propensity scores (which need a fitted
+    logistic) — which is what makes it the matching estimator a SQL
+    oracle can replay bit-for-bit. Read beside q221's CUPED (which
+    adjusts a RANDOMIZED readout) — CEM is for the observational
+    question where treatment correlated with covariates.
+
+    Exactness: outcomes enter as INTEGER CENTS; within-stratum means
+    are rounded to the 6-grid AS RATIONALS with integral half-away
+    arithmetic (``(2·cents·10⁴ + n) div (2n)``, nonneg operands), so
+    the stratum diff is an exact int, the ATT numerator
+    ``Σ n_t,s·diff_s`` is an exact int, and the single signed close
+    divides by the matched treated count with the sign-split
+    ``div`` (negative numerators split so truncation == floor ==
+    half-away on positive operands — the q274 discipline).
+
+    Scale shape: one combiner-reduced (strata, treat) aggregation —
+    the shuffle carries |strata|·2 rows, never units; everything
+    after is strata-bounded. Unmatched treated units are REPORTED
+    (n_treated_total vs matched), not silently dropped — the
+    estimand changes when support is poor, and the gap is the
+    caller's warning."""
+    if not stratum_cols:
+        raise ValueError("cem_att: need at least one stratum column")
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_cents_col).cast("long")
+    base = df.filter(t.isNotNull() & y.isNotNull())
+    for c in stratum_cols:
+        base = base.filter(F.col(c).isNotNull())
+    cells = base.groupBy(*stratum_cols, t.alias("__t")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(y).cast("long").alias("__s"),
+    )
+    strata = cells.groupBy(*stratum_cols).agg(
+        F.coalesce(F.sum(F.when(F.col("__t") == 1, F.col("__n"))), F.lit(0))
+        .cast("long")
+        .alias("__nt"),
+        F.coalesce(F.sum(F.when(F.col("__t") == 1, F.col("__s"))), F.lit(0))
+        .cast("long")
+        .alias("__st"),
+        F.coalesce(F.sum(F.when(F.col("__t") == 0, F.col("__n"))), F.lit(0))
+        .cast("long")
+        .alias("__nc"),
+        F.coalesce(F.sum(F.when(F.col("__t") == 0, F.col("__s"))), F.lit(0))
+        .cast("long")
+        .alias("__sc"),
+    )
+    matched = F.col("__nt") > 0
+    both = matched & (F.col("__nc") > 0)
+    # 6-grid dollar mean from integer cents: (2*cents*1e4 + n) div (2n)
+    mt = F.expr("(2 * __st * 10000 + __nt) div (2 * __nt)")
+    mc = F.expr("(2 * __sc * 10000 + __nc) div (2 * __nc)")
+    per = strata.select(
+        F.lit(1).alias("__one"),
+        F.when(both, F.lit(1)).otherwise(F.lit(0)).alias("__m"),
+        "__nt",
+        "__nc",
+        F.when(both, mt - mc).alias("__d"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_total"),
+        F.sum("__m").cast("long").alias("n_strata_matched"),
+        F.sum("__nt").cast("long").alias("n_treated_total"),
+        F.sum(F.when(F.col("__m") == 1, F.col("__nt")))
+        .cast("long")
+        .alias("n_treated_matched"),
+        F.coalesce(F.sum(F.when(F.col("__m") == 1, F.col("__nc"))), F.lit(0))
+        .cast("long")
+        .alias("n_control_matched"),
+        F.sum(
+            F.when(F.col("__m") == 1, F.col("__nt") * F.col("__d"))
+        ).alias("__num"),
+    )
+    att_micro = F.expr(
+        "CASE WHEN __num >= 0"
+        " THEN (2 * __num + n_treated_matched) div (2 * n_treated_matched)"
+        " ELSE -((2 * (-__num) + n_treated_matched)"
+        "        div (2 * n_treated_matched)) END"
+    )
+    return agg.select(
+        "n_strata_total",
+        "n_strata_matched",
+        "n_treated_total",
+        "n_treated_matched",
+        "n_control_matched",
+        F.when(
+            F.col("n_treated_matched") > 0,
+            att_micro.cast("double") / F.lit(1e6),
+        ).alias("att"),
+    )

@@ -371,6 +371,10 @@ _PRIORITY = [
     # integer-nano minimax characterization — the deployable
     # monotone score→rate map beside q258's decomposition
     "q286_isotonic_calibration",
+    # coarsened-exact-matching ATT — the observational causal
+    # estimator next to q221's randomized CUPED; stratum-bounded
+    # shuffle, integral-grid close
+    "q287_cem_att",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -5190,3 +5190,93 @@ def q286_isotonic_calibration(spark, sf_dir):
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
     return isotonic_calibration(scored, "cohort", "s", "y", n_bins=20)
+
+
+@query(
+    "q287_cem_att",
+    oracle="""
+    WITH rev AS (SELECT o_custkey AS ck,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+                 FROM orders GROUP BY o_custkey),
+    u AS (SELECT c.c_nationkey AS nat,
+                 (CAST(round(c.c_acctbal * 100) AS BIGINT) + 100000)
+                   // 100000 AS bal_bin,
+                 CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+                 coalesce(rev.cents, 0) AS y
+          FROM customer c LEFT JOIN rev ON rev.ck = c.c_custkey
+          WHERE c.c_nationkey IS NOT NULL AND c.c_acctbal IS NOT NULL
+            AND c.c_mktsegment IS NOT NULL),
+    cells AS (SELECT nat, bal_bin, t, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS s
+              FROM u GROUP BY 1, 2, 3),
+    st AS (SELECT nat, bal_bin,
+                  CAST(coalesce(sum(CASE WHEN t = 1 THEN n END), 0) AS BIGINT) AS nt,
+                  CAST(coalesce(sum(CASE WHEN t = 1 THEN s END), 0) AS BIGINT) AS stc,
+                  CAST(coalesce(sum(CASE WHEN t = 0 THEN n END), 0) AS BIGINT) AS nc,
+                  CAST(coalesce(sum(CASE WHEN t = 0 THEN s END), 0) AS BIGINT) AS scc
+           FROM cells GROUP BY 1, 2),
+    per AS (SELECT nt, nc,
+                   CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END AS m,
+                   CASE WHEN nt > 0 AND nc > 0
+                        THEN (2 * CAST(stc AS HUGEINT) * 10000 + nt) // (2 * nt)
+                             - (2 * CAST(scc AS HUGEINT) * 10000 + nc) // (2 * nc)
+                   END AS d
+            FROM st),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_total,
+                   CAST(sum(m) AS BIGINT) AS n_strata_matched,
+                   CAST(sum(nt) AS BIGINT) AS n_treated_total,
+                   CAST(sum(CASE WHEN m = 1 THEN nt END) AS BIGINT)
+                     AS n_treated_matched,
+                   CAST(coalesce(sum(CASE WHEN m = 1 THEN nc END), 0) AS BIGINT)
+                     AS n_control_matched,
+                   sum(CASE WHEN m = 1 THEN nt * d END) AS num
+            FROM per)
+    SELECT n_strata_total, n_strata_matched, n_treated_total,
+           n_treated_matched, n_control_matched,
+           CASE WHEN n_treated_matched > 0 THEN
+             CAST(CASE WHEN num >= 0
+                       THEN (2 * num + n_treated_matched)
+                            // (2 * CAST(n_treated_matched AS HUGEINT))
+                       ELSE -((2 * (-num) + n_treated_matched)
+                              // (2 * CAST(n_treated_matched AS HUGEINT)))
+                  END AS DOUBLE) / 1e6
+           END AS att
+    FROM agg
+    """,
+)
+def q287_cem_att(spark, sf_dir):
+    """Coarsened-exact-matching ATT of the BUILDING market segment
+    on customer lifetime order revenue, matched on (nation,
+    account-balance band): the observational causal readout beside
+    q221's randomized CUPED — strata holding both a treated and a
+    control customer weight their mean difference by treated count;
+    unmatched treated are reported, not silently dropped. See
+    :func:`maston_spark.evaluation.cem_att`."""
+    from maston_spark.evaluation import cem_att
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isNotNull()
+        & F.col("c_acctbal").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * F.lit(100), 0).cast("long")
+            ).alias("__cents")
+        )
+    )
+    u = cust.join(
+        rev, cust["c_custkey"] == rev["o_custkey"], "left"
+    ).select(
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 100000"
+        ).alias("bal_bin"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("t"),
+        F.coalesce(F.col("__cents"), F.lit(0)).cast("long").alias("y"),
+    )
+    return cem_att(u, ["nat", "bal_bin"], "t", "y")

@@ -1120,3 +1120,27 @@ def test_isotonic_calibration_matches_plain_pav(spark):
     assert out[1].fitted_rate == out[2].fitted_rate == out[3].fitted_rate
     assert abs(out[1].fitted_rate - 11 / 30) < 1e-8
     assert out[0].raw_rate == 0.2 and out[4].raw_rate == 0.9
+
+
+def test_cem_att_hand_case_and_unmatched_reporting(spark):
+    """Two matched strata + one treated-only stratum: ATT is the
+    treated-weighted mean of stratum diffs over MATCHED strata only
+    ((2*$10 + 1*$5)/3 = $8.333333 on the half-away 6-grid), and the
+    unmatched treated unit shows up in total-vs-matched counts."""
+    import pytest
+
+    from maston_spark.evaluation import cem_att
+
+    rows = [
+        ("A", 1, 1000), ("A", 1, 2000), ("A", 0, 500),
+        ("B", 1, 800), ("B", 0, 200), ("B", 0, 400),
+        ("C", 1, 9900),  # no control in C -> unmatched
+    ]
+    df = spark.createDataFrame(rows, "s string, t int, y long")
+    [r] = cem_att(df, ["s"], "t", "y").collect()
+    assert r.n_strata_total == 3 and r.n_strata_matched == 2
+    assert r.n_treated_total == 4 and r.n_treated_matched == 3
+    assert r.n_control_matched == 3
+    assert r.att == 8.333333  # (2*10e6 + 1*5e6) div-half-away 3 / 1e6
+    with pytest.raises(ValueError, match="at least one"):
+        cem_att(df, [], "t", "y")
