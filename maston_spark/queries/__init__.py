@@ -375,6 +375,11 @@ _PRIORITY = [
     # estimator next to q221's randomized CUPED; stratum-bounded
     # shuffle, integral-grid close
     "q287_cem_att",
+    # existential precedence census — the non-contiguous sequence
+    # lens beside q110's contiguous paths and q235's adjacent
+    # transitions; per-(entity,type) min/max makes "∃ a before b"
+    # one bounded self-join, never an event-pair scan
+    "q288_precedence_census",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -5280,3 +5280,45 @@ def q287_cem_att(spark, sf_dir):
         F.coalesce(F.col("__cents"), F.lit(0)).cast("long").alias("y"),
     )
     return cem_att(u, ["nat", "bal_bin"], "t", "y")
+
+
+@query(
+    "q288_precedence_census",
+    oracle="""
+    WITH b AS (SELECT user_id AS e, event_type AS t, epoch_us(ts) AS us
+               FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                 AND ts IS NOT NULL),
+    per AS (SELECT e, t, min(us) AS mn, max(us) AS mx FROM b GROUP BY e, t),
+    nt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM per GROUP BY t),
+    ntot AS (SELECT CAST(count(DISTINCT e) AS BIGINT) AS n FROM per),
+    pre AS (SELECT l.t AS type_a, r.t AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_precede
+            FROM per l JOIN per r ON l.e = r.e AND l.t <> r.t
+                                  AND l.mn < r.mx
+            GROUP BY 1, 2
+            HAVING count(*) >= 5)
+    SELECT pre.type_a, pre.type_b,
+           na.n AS n_entities_a, nb.n AS n_entities_b, pre.n_precede,
+           CAST((2 * pre.n_precede * 1000000 + na.n) // (2 * na.n)
+                AS DOUBLE) / 1e6 AS confidence,
+           CAST((2 * CAST(pre.n_precede AS HUGEINT) * ntot.n * 1000000
+                 + CAST(na.n AS HUGEINT) * nb.n)
+                // (2 * CAST(na.n AS HUGEINT) * nb.n) AS DOUBLE) / 1e6 AS lift
+    FROM pre JOIN nt na ON na.t = pre.type_a
+             JOIN nt nb ON nb.t = pre.type_b
+             CROSS JOIN ntot
+    ORDER BY type_a, type_b
+    """,
+)
+def q288_precedence_census(spark, sf_dir):
+    """Existential event-precedence census per user: for every
+    ordered event-type pair, how many users did ``a`` strictly
+    before ``b`` (any gap), with confidence and independence lift —
+    the non-contiguous sequence lens beside q110's contiguous paths
+    and q235's adjacent transitions. See
+    :func:`maston_spark.relational.precedence_census`."""
+    from maston_spark.relational import precedence_census
+
+    ev = load_table(spark, sf_dir, "events")
+    return precedence_census(ev, "user_id", "event_type", "ts", min_support=5)

@@ -2718,3 +2718,100 @@ def markov_entropy_rate(
         F.round(h_zero, 6).alias("h_zero"),
         F.round(h_zero - h_rate, 6).alias("info_gain"),
     )
+
+
+def precedence_census(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    min_support: int = 5,
+) -> DataFrame:
+    """Existential precedence census over event sequences — per
+    ordered type pair ``(type_a, type_b, n_entities_a, n_entities_b,
+    n_precede, confidence, lift)``: how many entities have SOME
+    ``a`` event strictly before SOME ``b`` event (the
+    non-contiguous sequential pattern — "signed up … eventually
+    purchased", any number of steps apart), with
+    ``confidence = n_precede / n_a`` and
+    ``lift = n_precede·N / (n_a·n_b)`` against independence. The
+    third lens of the sequence family: q110 counts CONTIGUOUS
+    3-step paths, q235 scores ADJACENT transitions, this one asks
+    the existential ordering question both of those miss when steps
+    are separated by noise events.
+
+    Exact shape: "∃ a before b" ⟺ ``min_ts(a) < max_ts(b)`` within
+    the entity, so ONE per-(entity, type) min/max aggregation
+    (combiner-reduced; the shuffle carries |entities|·|types| rows)
+    replaces any pair-of-events scan; the pair meeting is the
+    bounded-entity self-join on the entity key (Σ|types_e|² rows —
+    |types| is the event vocabulary, bounded by design, never
+    traffic). Timestamps compare as integer MICROSECONDS (strict
+    <; equal-stamp pairs do not count as ordered). confidence/lift
+    round via integral half-away arithmetic on the exact counts
+    (nonneg operands), never a float quotient."""
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.filter(
+        F.col(entity_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(type_col).alias("__t"),
+        micros.alias("__us"),
+    )
+    per = base.groupBy("__e", "__t").agg(
+        F.min("__us").alias("__mn"), F.max("__us").alias("__mx")
+    )
+    from maston_spark.caching import scoped_persist
+
+    per = scoped_persist(per)
+    n_by_type = per.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    n_total = per.select("__e").distinct().count()
+    l = per.select(
+        "__e", F.col("__t").alias("type_a"), F.col("__mn").alias("__amn")
+    )
+    r = per.select(
+        "__e", F.col("__t").alias("type_b"), F.col("__mx").alias("__bmx")
+    )
+    pre = (
+        l.join(r, "__e")
+        .filter(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("__amn") < F.col("__bmx"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_precede"))
+        .filter(F.col("n_precede") >= int(min_support))
+    )
+    na = n_by_type.select(
+        F.col("__t").alias("type_a"), F.col("__n").alias("n_entities_a")
+    )
+    nb = n_by_type.select(
+        F.col("__t").alias("type_b"), F.col("__n").alias("n_entities_b")
+    )
+    dec = "decimal(38,0)"
+    conf = F.expr(
+        "(2 * n_precede * 1000000 + n_entities_a) div (2 * n_entities_a)"
+    )
+    lift = F.expr(
+        f"(2 * CAST(n_precede AS {dec}) * {int(n_total)} * 1000000"
+        f" + CAST(n_entities_a AS {dec}) * n_entities_b)"
+        f" div (2 * CAST(n_entities_a AS {dec}) * n_entities_b)"
+    )
+    return (
+        pre.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_entities_a",
+            "n_entities_b",
+            "n_precede",
+            (conf.cast("double") / F.lit(1e6)).alias("confidence"),
+            (lift.cast("double") / F.lit(1e6)).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

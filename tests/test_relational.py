@@ -1650,3 +1650,32 @@ def test_markov_entropy_rate_deterministic_vs_uniform_chain(spark):
     assert uni.h_rate == round(-sc / N, 6)
     assert uni.h_zero == round(math.log(N) - sb / N, 6)
     assert abs(uni.info_gain) < 0.05
+
+
+def test_precedence_census_hand_case(spark):
+    """Existential ordering: an entity with a@1,b@5,a@9 supports BOTH
+    a-before-b and b-before-a; equal timestamps never count; counts,
+    confidence and lift match hand arithmetic."""
+    from datetime import datetime
+
+    from maston_spark.relational import precedence_census
+
+    def ts(sec):
+        return datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        (1, "a", ts(1)), (1, "b", ts(5)), (1, "a", ts(9)),
+        (2, "a", ts(3)), (2, "b", ts(3)),       # equal stamp: unordered
+        (3, "b", ts(1)), (3, "a", ts(2)),
+        (4, "a", ts(7)),                         # a only
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts timestamp")
+    out = {
+        (r.type_a, r.type_b): r
+        for r in precedence_census(df, "u", "t", "ts", min_support=1).collect()
+    }
+    ab, ba = out[("a", "b")], out[("b", "a")]
+    assert (ab.n_entities_a, ab.n_entities_b, ab.n_precede) == (4, 3, 1)
+    assert (ba.n_entities_a, ba.n_entities_b, ba.n_precede) == (3, 4, 2)
+    assert ab.confidence == 0.25 and ab.lift == 0.333333
+    assert ba.confidence == 0.666667 and ba.lift == 0.666667
