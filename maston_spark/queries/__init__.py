@@ -380,6 +380,10 @@ _PRIORITY = [
     # transitions; per-(entity,type) min/max makes "∃ a before b"
     # one bounded self-join, never an event-pair scan
     "q288_precedence_census",
+    # two-level binary segmentation — hierarchical changepoints via
+    # the q175/q272 n-scaled integer statistic re-run per half, the
+    # "did it shift once or twice" extension of the CUSUM family
+    "q289_binseg_changepoints",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -5322,3 +5322,66 @@ def q288_precedence_census(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return precedence_census(ev, "user_id", "event_type", "ts", min_support=5)
+
+
+@query(
+    "q289_binseg_changepoints",
+    oracle="""
+    WITH b AS (SELECT event_type AS g, date_trunc('hour', ts) AS bkt,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2),
+    wc AS (SELECT g, bkt,
+                  CAST(sum(c) OVER (PARTITION BY g ORDER BY bkt) AS BIGINT)
+                    AS cum,
+                  CAST(row_number() OVER (PARTITION BY g ORDER BY bkt)
+                       AS BIGINT) AS idx
+           FROM b),
+    t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS tot FROM b GROUP BY g),
+    s0 AS (SELECT wc.g, wc.bkt, wc.cum, wc.idx, t.n, t.tot,
+                  t.n * wc.cum - wc.idx * t.tot AS sc
+           FROM wc JOIN t ON t.g = wc.g),
+    cp0 AS (SELECT g, bkt AS cp0, idx AS i0, cum AS cum0, n, tot, sc
+            FROM (SELECT *, row_number() OVER (PARTITION BY g
+                          ORDER BY abs(sc) DESC, bkt ASC) AS rn FROM s0)
+            WHERE rn = 1),
+    l0 AS (SELECT g AS "group", 'all' AS segment, n AS seg_buckets,
+                  tot AS seg_events, cp0 AS changepoint_ts,
+                  CAST(sc AS BIGINT) AS cusum_scaled
+           FROM cp0),
+    sided AS (SELECT wc.g, wc.bkt,
+                     CASE WHEN wc.idx <= cp0.i0 THEN 'left'
+                          ELSE 'right' END AS segment,
+                     CASE WHEN wc.idx <= cp0.i0 THEN wc.idx
+                          ELSE wc.idx - cp0.i0 END AS si,
+                     CASE WHEN wc.idx <= cp0.i0 THEN wc.cum
+                          ELSE wc.cum - cp0.cum0 END AS scum
+              FROM wc JOIN cp0 ON cp0.g = wc.g),
+    seg_t AS (SELECT g, segment, CAST(count(*) AS BIGINT) AS sn,
+                     CAST(max(scum) AS BIGINT) AS stot
+              FROM sided GROUP BY 1, 2),
+    s1 AS (SELECT sided.g, sided.bkt, sided.segment, seg_t.sn, seg_t.stot,
+                  seg_t.sn * sided.scum - sided.si * seg_t.stot AS sc
+           FROM sided JOIN seg_t ON seg_t.g = sided.g
+                               AND seg_t.segment = sided.segment),
+    l1 AS (SELECT g AS "group", segment, sn AS seg_buckets,
+                  stot AS seg_events, bkt AS changepoint_ts,
+                  CAST(sc AS BIGINT) AS cusum_scaled
+           FROM (SELECT *, row_number() OVER (PARTITION BY g, segment
+                         ORDER BY abs(sc) DESC, bkt ASC) AS rn FROM s1)
+           WHERE rn = 1 AND sn >= 2)
+    SELECT * FROM l0 UNION ALL SELECT * FROM l1
+    ORDER BY "group", segment
+    """,
+)
+def q289_binseg_changepoints(spark, sf_dir):
+    """Two-level binary segmentation of each event type's hourly
+    rate: the global CUSUM changepoint, then the same n-scaled
+    integer statistic inside each half — finds a double rate shift a
+    single CUSUM peak would blur. See
+    :func:`maston_spark.relational.binseg_changepoints`."""
+    from maston_spark.relational import binseg_changepoints
+
+    ev = load_table(spark, sf_dir, "events")
+    return binseg_changepoints(ev, "event_type", "ts", unit="hour")

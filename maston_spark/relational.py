@@ -2815,3 +2815,124 @@ def precedence_census(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Two-level binary-segmentation changepoints per group — up to
+    three rows ``(group, segment ∈ {all, left, right}, seg_buckets,
+    seg_events, changepoint_ts, cusum_scaled)``: the global CUSUM
+    changepoint (Page 1954; the q175/q272 statistic), then the SAME
+    statistic re-run inside each resulting half (Scott & Knott 1974
+    binary segmentation, unrolled two levels) — the
+    "did the rate shift once or repeatedly" question a single
+    changepoint can't answer (a double shift makes one CUSUM peak
+    land between the true breaks; the second level finds both).
+
+    Exactness: every segment statistic is the n-scaled integer form
+    ``n_seg·(cum_i − base) − (i − i_base)·total_seg`` — exact int64,
+    ties broken on the earlier bucket, no division anywhere until
+    the (omitted) cusum display value. Sub-segment cumulative sums
+    REUSE the level-0 prefix sums (base = cum at the split), so the
+    second level costs no new corpus pass.
+
+    Scale shape: one combiner-reduced (group, bucket) aggregation
+    collapses traffic; everything after runs on the BOUNDED bucket
+    series (the cusum_changepoint precondition — per-group windows
+    over bucket counts, never events). Segments with fewer than 2
+    buckets drop (no interior point to test)."""
+    b = (
+        df.filter(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.date_trunc(unit, F.col(ts_col)).alias("__bkt"),
+        )
+        .groupBy("__g", "__bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy("__g").orderBy("__bkt")
+    wc = b.select(
+        "__g",
+        "__bkt",
+        F.sum("__c").over(w).alias("__cum"),
+        F.row_number().over(w).cast("long").alias("__idx"),
+    )
+    from maston_spark.caching import scoped_persist
+
+    wc = scoped_persist(wc)
+    t = b.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__c").cast("long").alias("__tot"),
+    )
+    s0 = wc.join(F.broadcast(t), "__g").withColumn(
+        "__sc", F.col("__n") * F.col("__cum") - F.col("__idx") * F.col("__tot")
+    )
+    pick = Window.partitionBy("__g").orderBy(
+        F.abs(F.col("__sc")).desc(), F.col("__bkt").asc()
+    )
+    cp0 = (
+        s0.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__g",
+            F.col("__bkt").alias("__cp0"),
+            F.col("__idx").alias("__i0"),
+            F.col("__cum").alias("__cum0"),
+            F.col("__n").alias("__n0"),
+            F.col("__tot").alias("__tot0"),
+            F.col("__sc").alias("__sc0"),
+        )
+    )
+    level0 = cp0.select(
+        F.col("__g").alias("group"),
+        F.lit("all").alias("segment"),
+        F.col("__n0").alias("seg_buckets"),
+        F.col("__tot0").alias("seg_events"),
+        F.col("__cp0").alias("changepoint_ts"),
+        F.col("__sc0").alias("cusum_scaled"),
+    )
+    sided = wc.join(F.broadcast(cp0), "__g").select(
+        "__g",
+        "__bkt",
+        F.when(F.col("__idx") <= F.col("__i0"), F.lit("left"))
+        .otherwise(F.lit("right"))
+        .alias("segment"),
+        # side-local index and cumulative reuse the level-0 prefix
+        F.when(
+            F.col("__idx") <= F.col("__i0"), F.col("__idx")
+        )
+        .otherwise(F.col("__idx") - F.col("__i0"))
+        .alias("__si"),
+        F.when(
+            F.col("__idx") <= F.col("__i0"), F.col("__cum")
+        )
+        .otherwise(F.col("__cum") - F.col("__cum0"))
+        .alias("__scum"),
+    )
+    seg_t = sided.groupBy("__g", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("__sn"),
+        F.max("__scum").alias("__stot"),  # max cumulative == segment total
+    )
+    s1 = sided.join(F.broadcast(seg_t), ["__g", "segment"]).withColumn(
+        "__sc", F.col("__sn") * F.col("__scum") - F.col("__si") * F.col("__stot")
+    )
+    pick1 = Window.partitionBy("__g", "segment").orderBy(
+        F.abs(F.col("__sc")).desc(), F.col("__bkt").asc()
+    )
+    level1 = (
+        s1.withColumn("__rn", F.row_number().over(pick1))
+        .filter((F.col("__rn") == 1) & (F.col("__sn") >= 2))
+        .select(
+            F.col("__g").alias("group"),
+            "segment",
+            F.col("__sn").alias("seg_buckets"),
+            F.col("__stot").alias("seg_events"),
+            F.col("__bkt").alias("changepoint_ts"),
+            F.col("__sc").alias("cusum_scaled"),
+        )
+    )
+    return level0.unionByName(level1).orderBy("group", "segment")

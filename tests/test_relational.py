@@ -1679,3 +1679,46 @@ def test_precedence_census_hand_case(spark):
     assert (ba.n_entities_a, ba.n_entities_b, ba.n_precede) == (3, 4, 2)
     assert ab.confidence == 0.25 and ab.lift == 0.333333
     assert ba.confidence == 0.666667 and ba.lift == 0.666667
+
+
+def test_binseg_finds_both_planted_shifts(spark):
+    """Rate 10/hr (hours 0-3) -> 40/hr (4-7) -> 100/hr (8-11): the
+    two level-1 changepoints recover BOTH true breaks (hour 3 and
+    hour 7 boundaries), and every segment statistic matches a plain
+    python replay of the n-scaled CUSUM."""
+    from datetime import datetime
+
+    from maston_spark.relational import binseg_changepoints
+
+    counts = [10] * 4 + [40] * 4 + [100] * 4
+    rows = [
+        ("ingest", datetime(2024, 5, 5, h, 30))
+        for h, c in enumerate(counts)
+        for _ in range(c)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r.segment: r for r in binseg_changepoints(df, "g", "ts").collect()}
+    assert set(out) == {"all", "left", "right"}
+
+    def best(cs, idx_off=0):
+        n, tot = len(cs), sum(cs)
+        cum, scores = 0, []
+        for i, c in enumerate(cs, start=1):
+            cum += c
+            scores.append((abs(n * cum - i * tot), -(i + idx_off), n * cum - i * tot, i))
+        _, _, sc, i = max(scores)
+        return i, sc
+
+    i0, sc0 = best(counts)
+    assert out["all"].cusum_scaled == sc0
+    assert out["all"].changepoint_ts.hour == i0 - 1
+    li, lsc = best(counts[:i0])
+    ri, rsc = best(counts[i0:])
+    assert out["left"].cusum_scaled == lsc
+    assert out["left"].changepoint_ts.hour == li - 1
+    assert out["right"].cusum_scaled == rsc
+    assert out["right"].changepoint_ts.hour == i0 + ri - 1
+    # both true breaks (after hour 3 and hour 7) are found across
+    # the two levels
+    found = {out[s].changepoint_ts.hour for s in ("all", "left", "right")}
+    assert {3, 7} <= found
