@@ -1072,3 +1072,80 @@ def information_gain(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("feature")
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: "list[str]",
+    sensitive_col: str,
+    thresholds: "tuple[int, ...]" = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) — one row ``(n_rows, n_classes, k_min, l_min,
+    rows_unique_share, rows_below_k{t}_share..., rows_l1_share)``:
+    group rows into equivalence classes on the quasi-identifier
+    columns, then report the smallest class (``k_min`` — the
+    re-identification floor), the share of rows in classes below
+    each ``k`` threshold, the smallest per-class count of DISTINCT
+    sensitive values (``l_min``), and the share of rows in classes
+    where every member shares ONE sensitive value (``rows_l1_share``
+    — attribute disclosure needs no re-identification at all). The
+    release gate a training-data pipeline runs before shipping
+    user-derived rows: PII scrubbing (q75) removes direct
+    identifiers; THIS measures whether the quasi-identifiers still
+    single people out.
+
+    Exactness: pure integer counting — two combiner-reduced
+    aggregations (``(QI, sensitive)`` then ``QI``), a |classes|-row
+    close, and micro-grid shares via integral half-away arithmetic
+    (nonneg operands). NULL QI values form their own class (NULL is
+    a value an attacker observes); NULL sensitive counts as a
+    distinct value.
+
+    Scale shape: the shuffle carries equivalence classes, never raw
+    rows twice — |classes| ≤ rows and typically ≪; the output is
+    ONE row."""
+    if not qi_cols:
+        raise ValueError("k_anonymity_audit: need at least one QI column")
+    cells = df.groupBy(
+        *[F.col(c) for c in qi_cols], F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    classes = cells.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.sum("__n").cast("long").alias("__k"),
+        F.count(F.lit(1)).cast("long").alias("__l"),
+    )
+    share = lambda num: F.expr(  # noqa: E731
+        f"(2 * {num} * 1000000 + n_rows) div (2 * n_rows)"
+    ).cast("double") / F.lit(1e6)
+    aggs = [
+        F.sum("__k").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__k").alias("k_min"),
+        F.min("__l").alias("l_min"),
+        F.coalesce(F.sum(F.when(F.col("__k") == 1, F.col("__k"))), F.lit(0))
+        .cast("long")
+        .alias("__u"),
+        F.coalesce(F.sum(F.when(F.col("__l") == 1, F.col("__k"))), F.lit(0))
+        .cast("long")
+        .alias("__l1"),
+    ]
+    for t in thresholds:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("__k") < int(t), F.col("__k"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"__b{int(t)}")
+        )
+    agg = classes.agg(*aggs)
+    out = [
+        F.col("n_rows"),
+        F.col("n_classes"),
+        F.col("k_min"),
+        F.col("l_min"),
+        share("__u").alias("rows_unique_share"),
+    ]
+    for t in thresholds:
+        out.append(share(f"__b{int(t)}").alias(f"rows_below_k{int(t)}_share"))
+    out.append(share("__l1").alias("rows_l1_share"))
+    return agg.select(*out)

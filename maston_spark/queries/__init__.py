@@ -384,6 +384,11 @@ _PRIORITY = [
     # the q175/q272 n-scaled integer statistic re-run per half, the
     # "did it shift once or twice" extension of the CUSUM family
     "q289_binseg_changepoints",
+    # k-anonymity / l-diversity release gate — the privacy audit in
+    # front of shipping user-derived training rows (q75 scrubs
+    # direct identifiers; this measures what the quasi-identifiers
+    # still give away)
+    "q290_k_anonymity",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

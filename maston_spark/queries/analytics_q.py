@@ -5385,3 +5385,59 @@ def q289_binseg_changepoints(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return binseg_changepoints(ev, "event_type", "ts", unit="hour")
+
+
+@query(
+    "q290_k_anonymity",
+    oracle="""
+    WITH u AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                      (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+                        // 100000 AS band,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS sv
+               FROM customer),
+    cells AS (SELECT nat, seg, band, sv, CAST(count(*) AS BIGINT) AS n
+              FROM u GROUP BY 1, 2, 3, 4),
+    cls AS (SELECT nat, seg, band, CAST(sum(n) AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS l
+            FROM cells GROUP BY 1, 2, 3),
+    a AS (SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(min(k) AS BIGINT) AS k_min,
+                 CAST(min(l) AS BIGINT) AS l_min,
+                 CAST(coalesce(sum(CASE WHEN k = 1 THEN k END), 0) AS BIGINT) AS u_rows,
+                 CAST(coalesce(sum(CASE WHEN l = 1 THEN k END), 0) AS BIGINT) AS l1_rows,
+                 CAST(coalesce(sum(CASE WHEN k < 2 THEN k END), 0) AS BIGINT) AS b2,
+                 CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT) AS b5,
+                 CAST(coalesce(sum(CASE WHEN k < 10 THEN k END), 0) AS BIGINT) AS b10
+          FROM cls)
+    SELECT n_rows, n_classes, k_min, l_min,
+           CAST((2 * u_rows * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_unique_share,
+           CAST((2 * b2 * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_below_k2_share,
+           CAST((2 * b5 * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_below_k5_share,
+           CAST((2 * b10 * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_below_k10_share,
+           CAST((2 * l1_rows * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_l1_share
+    FROM a
+    """,
+)
+def q290_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity release gate over customers:
+    equivalence classes on (nation, segment, balance band) with the
+    exact balance as the sensitive attribute — how re-identifiable
+    is a row after PII scrubbing removed the direct identifiers?
+    See :func:`maston_spark.profiling.k_anonymity_audit`."""
+    from maston_spark.profiling import k_anonymity_audit
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 100000"
+        ).alias("band"),
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("sv"),
+    )
+    return k_anonymity_audit(c, ["nat", "seg", "band"], "sv")

@@ -30,3 +30,28 @@ def test_information_gain_ranks_the_leaky_feature_first(spark):
     assert out["leak"].nmi == 1.0
     assert out["leak"].mi > out["coin"].mi
     assert abs(out["coin"].mi) < 1e-6
+
+
+def test_k_anonymity_audit_hand_case(spark):
+    """Hand-built classes: sizes {1, 2, 3} with sensitive diversity
+    {1, 1, 2}: k_min=1, l_min=1, unique share 1/6, below-k2 share
+    1/6, below-k5 share 1 (all classes < 5), l1 share (1+2)/6."""
+    import pytest
+
+    from maston_spark.profiling import k_anonymity_audit
+
+    rows = [
+        ("a", 1, 100),                      # class A: k=1, l=1
+        ("b", 1, 200), ("b", 1, 200),       # class B: k=2, l=1
+        ("c", 2, 300), ("c", 2, 400), ("c", 2, 300),  # class C: k=3, l=2
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sv int")
+    [r] = k_anonymity_audit(df, ["q1", "q2"], "sv").collect()
+    assert (r.n_rows, r.n_classes, r.k_min, r.l_min) == (6, 3, 1, 1)
+    assert r.rows_unique_share == 0.166667
+    assert r.rows_below_k2_share == 0.166667
+    assert r.rows_below_k5_share == 1.0
+    assert r.rows_below_k10_share == 1.0
+    assert r.rows_l1_share == 0.5
+    with pytest.raises(ValueError, match="at least one"):
+        k_anonymity_audit(df, [], "sv")
