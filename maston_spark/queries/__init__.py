@@ -389,6 +389,11 @@ _PRIORITY = [
     # direct identifiers; this measures what the quasi-identifiers
     # still give away)
     "q290_k_anonymity",
+    # leakage-safe split — whole near-dup clusters assigned to
+    # train/test by a cluster-label md5 lane; zero cross-split dup
+    # pairs by construction, with the doc-level split's leaked pair
+    # count reported as the counterfactual
+    "q291_leakage_safe_split",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

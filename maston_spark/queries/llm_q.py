@@ -5560,3 +5560,168 @@ def q285_silhouette(spark, sf_dir):
     :func:`maston_spark.llm.similarity.silhouette_centroid`."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.silhouette_centroid(e, k=4, iterations=2)
+
+
+@query(
+    "q291_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xyz xyz xyz' FROM documents WHERE doc_id % 5 = 0),
+    toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+      SELECT id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END) AS sh
+      FROM toks),
+    sh2 AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+    hv AS (
+      SELECT id, list_distinct(
+               list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hv
+      FROM sh2),
+    sig AS (
+      SELECT id,
+             list_transform(range(0, 16),
+               s -> list_min(list_transform(hv,
+                      h -> ((1664525 + 2*s) * h + 1013904223 + s) % 4294967311))) AS sig
+      FROM hv),
+    buckets AS (
+      SELECT id, b,
+             md5(array_to_string(sig[(b*4+1):(b*4+4)], '|')) AS bucket
+      FROM sig CROSS JOIN range(0, 4) r(b)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+    jac AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN hv ha ON ha.id = c.id_a
+      JOIN hv hb ON hb.id = c.id_b
+      WHERE round(len(list_intersect(ha.hv, hb.hv))::DOUBLE
+                  / len(list_distinct(ha.hv || hb.hv)), 6) >= 0.2),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION SELECT id_b, id_a FROM jac),
+    reach AS (
+      SELECT id, id AS r FROM corpus
+      UNION
+      SELECT s.b AS id, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+    cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    marked AS (
+      SELECT id, cluster,
+             ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT
+               % 5 = 0 AS is_test,
+             ('0x' || substr(md5('split:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT
+               % 5 = 0 AS naive_test
+      FROM cl),
+    ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+             CAST(coalesce(sum(CASE WHEN ma.is_test <> mb.is_test
+                                    THEN 1 END), 0) AS BIGINT)
+               AS cluster_cross_pairs,
+             CAST(coalesce(sum(CASE WHEN ma.naive_test <> mb.naive_test
+                                    THEN 1 END), 0) AS BIGINT)
+               AS naive_cross_pairs
+      FROM jac JOIN marked ma ON ma.id = jac.id_a
+               JOIN marked mb ON mb.id = jac.id_b),
+    d AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+             CAST(coalesce(sum(CASE WHEN is_test THEN 1 END), 0) AS BIGINT)
+               AS test_docs,
+             CAST(count(DISTINCT CASE WHEN is_test THEN cluster END) AS BIGINT)
+               AS test_clusters
+      FROM marked)
+    SELECT d.n_docs, d.n_clusters, d.test_docs,
+           d.n_docs - d.test_docs AS train_docs,
+           d.test_clusters, d.n_clusters - d.test_clusters AS train_clusters,
+           ev.n_dup_pairs, ev.cluster_cross_pairs, ev.naive_cross_pairs
+    FROM d CROSS JOIN ev
+    """,
+)
+def q291_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split: assign WHOLE near-dup clusters
+    (q55's components) to splits by an md5 lane on the CLUSTER label
+    (~20% test), so no verified near-dup pair ever crosses the
+    boundary — ``cluster_cross_pairs`` is 0 BY CONSTRUCTION while
+    ``naive_cross_pairs`` counts the contamination a doc-level hash
+    split (q58's shape) would have leaked into held-out data. The
+    split every eval pipeline needs before it can trust its test
+    loss; composes q55 verbatim so the oracle replays clustering,
+    lane assignment, and both violation counts end-to-end."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
+    cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
+    edges = scoped_persist(DD.jaccard_from_lanes(mf, cands, threshold=0.2))
+    verts = corpus.select(F.col("doc_id").alias("id"))
+    clusters = DD.connected_components(verts, edges)
+
+    def lane(c):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), c.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    marked = scoped_persist(
+        clusters.select(
+            "id",
+            "cluster",
+            (F.pmod(lane(F.col("cluster")), F.lit(5)) == 0).alias("is_test"),
+            (F.pmod(lane(F.col("id")), F.lit(5)) == 0).alias("naive_test"),
+        )
+    )
+    ma = marked.select(
+        F.col("id").alias("id_a"),
+        F.col("is_test").alias("__ta"),
+        F.col("naive_test").alias("__na"),
+    )
+    mb = marked.select(
+        F.col("id").alias("id_b"),
+        F.col("is_test").alias("__tb"),
+        F.col("naive_test").alias("__nb"),
+    )
+    ev = (
+        edges.select("id_a", "id_b")
+        .join(ma, "id_a")
+        .join(mb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+            F.coalesce(
+                F.sum((F.col("__ta") != F.col("__tb")).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("cluster_cross_pairs"),
+            F.coalesce(
+                F.sum((F.col("__na") != F.col("__nb")).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("naive_cross_pairs"),
+        )
+    )
+    d = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+        F.coalesce(F.sum(F.col("is_test").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("test_docs"),
+        F.countDistinct(F.when(F.col("is_test"), F.col("cluster")))
+        .cast("long")
+        .alias("test_clusters"),
+    )
+    return d.crossJoin(F.broadcast(ev)).select(
+        "n_docs",
+        "n_clusters",
+        "test_docs",
+        (F.col("n_docs") - F.col("test_docs")).alias("train_docs"),
+        "test_clusters",
+        (F.col("n_clusters") - F.col("test_clusters")).alias("train_clusters"),
+        "n_dup_pairs",
+        "cluster_cross_pairs",
+        "naive_cross_pairs",
+    )

@@ -2428,3 +2428,21 @@ def test_cluster_quality_audit_flags_overlap(spark):
     assert min(r.mean_silhouette for r in sil_b.values()) < min(
         r.mean_silhouette for r in sil_g.values()
     )
+
+
+def test_leakage_safe_split_invariant(spark):
+    """On the sf0.001 corpus: the cluster-aware split NEVER places a
+    verified near-dup pair across train/test (the invariant), the
+    naive doc-level split does (the counterfactual it reports), and
+    split doc counts partition the corpus."""
+    from maston_spark.queries import all_queries
+
+    [r] = (
+        all_queries()["q291_leakage_safe_split"](spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert r.cluster_cross_pairs == 0
+    assert r.n_dup_pairs > 0
+    assert r.naive_cross_pairs > 0  # the leakage a doc-level hash split causes
+    assert r.test_docs + r.train_docs == r.n_docs
+    assert r.test_clusters + r.train_clusters == r.n_clusters
