@@ -93,6 +93,14 @@ _PRIORITY = [
     # a candidate-generation physics the catalog had nowhere else)
     "q139_gapfill", "q269_spatial_grid_join",
     "q185_table_fingerprint", "q143_cdc_upsert",
+    # (round-14 in-round promotion: q207 salted-join's grading
+    # physics — a rewrite certified bit-identical to the plain join —
+    # stays graded via q244's Bloom-pruned identity claim, the same
+    # external-certification shape; its slot grades q284's
+    # Davies-Bouldin cell audit — centroid-based cluster-quality
+    # physics nothing else in the window has, the gate in front of
+    # graded q94's keep-one-per-cell deletions)
+    "q284_davies_bouldin",
     # streaming-semantics + validated-ingest family
     # (q36 drop_duplicates' streaming-dedup family stays graded via
     # q33+q63; its slot grades the composed Gopher rule-battery gate.
@@ -102,10 +110,12 @@ _PRIORITY = [
     # pipeline runs the same safe_from_json parse end-to-end; its slot
     # grades the Kolmogorov-Smirnov drift family)
     # (round-12: q33 tumbling's streaming-window family stays graded
-    # via q63's durable delta topology — the richer streaming member;
-    # its slot grades the salted-join identity claim, externally
-    # certifying that skew mitigation is result-invariant)
-    "q207_salted_join",
+    # via q63's durable delta topology — the richer streaming member.
+    # round-14 in-round: q207's slot — the salted-join identity claim
+    # now demoted behind q244's same-shape identity grading — goes to
+    # q286's isotonic calibration, whose integer-nano interval-
+    # minimax is an ordering physics nothing else in the window has)
+    "q286_isotonic_calibration",
     # (round-13 rotation: q148 Gopher-gate's scalar rule battery —
     # word/length/regexp/repetition statistics — stays graded via
     # q155's gram-table substring battery plus the q45-family text
@@ -324,7 +334,13 @@ _PRIORITY = [
     # IVF-PQ (which trains the same coarse quantizer end-to-end);
     # its slot grades q202 — HyperLogLog, the third distinct-count
     # physics, integer-exact harmonic estimator)
-    "q203_exact_simjoin", "q195_incremental_neardup",
+    # (round-14 in-round: q195 incremental-neardup's fold-twin
+    # discipline — streaming state equals one-shot batch replay —
+    # stays graded THREE ways (q231's register fold, q250's counter
+    # fold, q272's counter fold), and its band-probe + exact-confirm
+    # dedup physics via graded q152's end-to-end pipeline; its slot
+    # frees the window for the round's novel physics)
+    "q203_exact_simjoin",
     "q204_greedy_coverage",
     "q152_dedup_report", "q189_token_water_fill",
     # Avro serde round-trips (Confluent wire format, schema evolution)
@@ -355,22 +371,21 @@ _PRIORITY = [
     "q01_pricing_summary", "q15_agg_percentile",
     "q194_binned_tvd_drift", "q169_cms_heavy_hitters",
     "q92_avro_roundtrip",
+    # round-14 in-round demotions (flagships named in the promotion
+    # comments above): q207's identity-claim grading via q244,
+    # q195's fold-twin discipline via q231/q250/q272
+    "q207_salted_join", "q195_incremental_neardup",
     # round-14 additions (locally oracle-verified; first in line if
     # a graded row frees up): the EIGHTH topology's fold-identity
     # twin — per-source Good-Turing unseen mass + Chao1 richness
     # over 3 additively-folded micro-batches (its counter fold is
     # graded via q272, its fof close via q282/q237)
     "q283_vocab_saturation_prefix",
-    # round-14 cluster-quality audit pair: Davies-Bouldin scatter/
-    # separation index and the centroid-approximated silhouette over
-    # the q119 Lloyd cells — the "are these cells even good" gate in
-    # front of semantic dedup's keep-one-per-cell deletions (both
-    # grade the SAME fit as q119 via a shared oracle CTE)
-    "q284_davies_bouldin", "q285_silhouette",
-    # round-14 second wave: isotonic (PAV) calibration via the
-    # integer-nano minimax characterization — the deployable
-    # monotone score→rate map beside q258's decomposition
-    "q286_isotonic_calibration",
+    # round-14 cluster-quality pair's silhouette half (Davies-Bouldin
+    # promoted in-round above; both grade the SAME Lloyd fit as q119
+    # via a shared oracle CTE, so the centroid-distance physics stays
+    # graded through q284)
+    "q285_silhouette",
     # coarsened-exact-matching ATT — the observational causal
     # estimator next to q221's randomized CUPED; stratum-bounded
     # shuffle, integral-grid close

@@ -122,7 +122,6 @@ def test_graded_window_covers_unique_capabilities():
         # operator-owned float canonicalization), and token-weighted
         # order statistics
         "q192_kll_quantiles",
-        "q195_incremental_neardup",
         # round-11 in-round promotions: the round's own novel physics
         # graded immediately rather than waiting a round — HLL (third
         # distinct-count physics), the brute-force-ground-truth-graded
@@ -135,7 +134,7 @@ def test_graded_window_covers_unique_capabilities():
         # SCD2 history construction, the salted-join identity claim,
         # fixed-IEEE-sequence pattern correlation, integer-midrank
         # AUC, and AMS join-size prediction
-        "q206_scd2_history", "q207_salted_join",
+        "q206_scd2_history",
         "q208_ts_pattern_search", "q212_group_auc",
         "q217_join_size_estimate",
         # round-12 second-wave promotions: the round's own novel
@@ -171,6 +170,12 @@ def test_graded_window_covers_unique_capabilities():
         "q251_golden_record", "q231_hll_rolling_prefix",
         "q259_mann_whitney", "q274_theil_sen",
         "q276_frequent_triples",
+        # round-14 in-round promotions: the round's own novel physics
+        # graded immediately — the Davies-Bouldin cell audit
+        # (centroid-based cluster-quality, the gate in front of
+        # graded q94's deletions) and isotonic calibration's
+        # integer-nano interval minimax
+        "q284_davies_bouldin", "q286_isotonic_calibration",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -250,7 +255,7 @@ def test_graded_window_covers_unique_capabilities():
         # dedup-vs-corpus via the richer band-state near-dup twin;
         # Lloyd iterations inside the graded IVF-PQ end-to-end
         "q95_exact_substring": "q155_keep_first_substring",
-        "q98_bloom_incremental": "q195_incremental_neardup",
+        "q98_bloom_incremental": "q152_dedup_report",
         "q119_kmeans": "q158_ivfpq_residual",
         # round-12 demotions: as-of join's latest-row-before-timestamp
         # physics stays graded via the CDC apply; tumbling via the
@@ -310,6 +315,16 @@ def test_graded_window_covers_unique_capabilities():
         "q194_binned_tvd_drift": "q178_ks_drift",
         "q169_cms_heavy_hitters": "q230_hll_cube",
         "q92_avro_roundtrip": "q87_avro_evolution",
+        # round-14 in-round demotions: q207's rewrite-certified-
+        # bit-identical grading shape stays via q244's Bloom-pruned
+        # identity claim; q195's streaming-equals-batch fold-twin
+        # discipline via the rolling-HLL prefix twin (with q250/q272
+        # as further graded members) and its dedup physics via q152
+        "q207_salted_join": "q244_bloom_pruned_join",
+        "q195_incremental_neardup": "q231_hll_rolling_prefix",
+        # the silhouette half of the round-14 cluster audit stays
+        # graded through the Davies-Bouldin member's shared fit
+        "q285_silhouette": "q284_davies_bouldin",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
