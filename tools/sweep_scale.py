@@ -58,6 +58,13 @@ JUSTIFIED = {
         "time grew 3.5x min-of-3 (5.7 -> 20.1 s, SCALE.md round 13) -- "
         "sublinear per pair, linear overall"
     ),
+    "q291_leakage_safe_split": (
+        "composes q55's cluster pipeline verbatim (q55 adjudicated "
+        "1.5 -> 4.2 s = 2.8x round 13: replica cliques grow the "
+        "verified-edge mass superlinearly by the duplication profile); "
+        "min-of-3 3.27 -> 8.77 s = 2.68x (SCALE.md round 14) -- the "
+        "split close on top is edges-bounded"
+    ),
     "q155_keep_first_substring": (
         "same gram-table bound as q111 (k*tokens) plus one co-partitioned "
         "keep-first agg; dup saturation 10% -> 100% under replicas; "
