@@ -2594,3 +2594,111 @@ def cem_att(
             att_micro.cast("double") / F.lit(1e6),
         ).alias("att"),
     )
+
+
+def regression_discontinuity(
+    df: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; Imbens & Lemieux 2008) — one row ``(n_below,
+    n_above, slope_below, slope_above, intercept_below,
+    intercept_above, rd_effect)``: fit one least-squares line on
+    each side of the cutoff within ``bandwidth`` of it, and read the
+    treatment effect as the gap between the two intercepts AT the
+    cutoff — the third causal lens beside q221's CUPED (randomized)
+    and q287's CEM (matched observational): here assignment is a
+    deterministic threshold on the running variable, and the local
+    comparison at the boundary is the identification.
+
+    Exactness: the OLS normal equations close over EXACT integer
+    folds — running/outcome values land on the 6-grid as 1e6-lanes,
+    the five sufficient statistics (n, Σx, Σy, Σxx, Σxy) sum int64
+    products into decimal(38,0), the common denominator
+    ``n·Σxx − (Σx)²`` is nonnegative by Cauchy-Schwarz, and each
+    signed rational (slope, intercept) rounds to its reporting grid
+    with the sign-split integral ``div`` — no float accumulates
+    anywhere, so the oracle replays the whole fit bit-for-bit. A
+    side with zero x-variance reports NULL slope/intercept (and a
+    NULL rd_effect); a side with NO rows inside the bandwidth makes
+    the result empty — there is no discontinuity to estimate.
+
+    Scale shape: ONE filtered corpus pass into a 2-row aggregation
+    (combiner-reduced); the close is constant work. The bandwidth
+    filter reaches the scan as a pushable range predicate."""
+    x = F.col(running_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    lo, hi = float(cutoff) - float(bandwidth), float(cutoff) + float(bandwidth)
+    xl = F.round(F.round(x - F.lit(float(cutoff)), 6) * F.lit(1e6), 0).cast(
+        "long"
+    )
+    yl = F.round(F.round(y, 6) * F.lit(1e6), 0).cast("long")
+    dec = "decimal(38,0)"
+    base = df.filter(
+        x.isNotNull() & y.isNotNull() & (x >= F.lit(lo)) & (x <= F.lit(hi))
+    ).select(
+        (x >= F.lit(float(cutoff))).alias("__above"),
+        xl.alias("__x"),
+        yl.alias("__y"),
+    )
+    side = base.groupBy("__above").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("__x") * F.col("__y")).cast(dec)).alias("__sxy"),
+    )
+    den = F.expr("CAST(__n AS DECIMAL(38,0)) * __sxx - __sx * __sx")
+    b_num = F.expr(
+        "(CAST(__n AS DECIMAL(38,0)) * __sxy - __sx * __sy) * 1000000"
+    )
+    a_num = F.expr("__sy * __sxx - __sx * __sxy")
+    side = side.select(
+        "__above",
+        "__n",
+        F.col("__sx"),
+        den.alias("__den"),
+        b_num.alias("__bn"),
+        a_num.alias("__an"),
+    )
+    micro = lambda n, d: (  # noqa: E731  — half-away signed integral round
+        F.when(
+            F.col(d) > 0,
+            F.when(
+                F.col(n) >= 0,
+                F.expr(f"(2 * {n} + {d}) div (2 * {d})"),
+            ).otherwise(F.expr(f"-((2 * (-{n}) + {d}) div (2 * {d}))")),
+        )
+    )
+    per = side.select(
+        "__above",
+        "__n",
+        micro("__bn", "__den").alias("__b"),
+        micro("__an", "__den").alias("__a"),
+    )
+    below = per.filter(~F.col("__above")).select(
+        F.col("__n").alias("n_below"),
+        (F.col("__b").cast("double") / F.lit(1e6)).alias("slope_below"),
+        (F.col("__a").cast("double") / F.lit(1e6)).alias("intercept_below"),
+        F.col("__a").alias("__ab"),
+    )
+    above = per.filter(F.col("__above")).select(
+        F.col("__n").alias("n_above"),
+        (F.col("__b").cast("double") / F.lit(1e6)).alias("slope_above"),
+        (F.col("__a").cast("double") / F.lit(1e6)).alias("intercept_above"),
+        F.col("__a").alias("__aa"),
+    )
+    return below.crossJoin(F.broadcast(above)).select(
+        "n_below",
+        "n_above",
+        "slope_below",
+        "slope_above",
+        "intercept_below",
+        "intercept_above",
+        ((F.col("__aa") - F.col("__ab")).cast("double") / F.lit(1e6)).alias(
+            "rd_effect"
+        ),
+    )

@@ -409,6 +409,10 @@ _PRIORITY = [
     # pairs by construction, with the doc-level split's leaked pair
     # count reported as the counterfactual
     "q291_leakage_safe_split",
+    # sharp regression discontinuity — third causal lens (threshold
+    # assignment) after CUPED (randomized) and CEM (matched); exact
+    # integer normal equations both sides of the cutoff
+    "q292_regression_discontinuity",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -5441,3 +5441,59 @@ def q290_k_anonymity(spark, sf_dir):
         F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("sv"),
     )
     return k_anonymity_audit(c, ["nat", "seg", "band"], "sv")
+
+
+@query(
+    "q292_regression_discontinuity",
+    oracle="""
+    WITH b AS (SELECT CAST(event_id % 1000 AS DOUBLE) AS x, value AS y
+               FROM events
+               WHERE event_id IS NOT NULL AND value IS NOT NULL),
+    w AS (SELECT x >= 500 AS above,
+                 CAST(round(round(x - 500, 6) * 1e6) AS BIGINT) AS xl,
+                 CAST(round(round(y, 6) * 1e6) AS BIGINT) AS yl
+          FROM b WHERE x >= 300 AND x <= 700),
+    s AS (SELECT above, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(xl AS HUGEINT)) AS sx,
+                 sum(CAST(yl AS HUGEINT)) AS sy,
+                 sum(CAST(xl AS HUGEINT) * xl) AS sxx,
+                 sum(CAST(xl AS HUGEINT) * yl) AS sxy
+          FROM w GROUP BY above),
+    p AS (SELECT above, n,
+                 n * sxx - sx * sx AS den,
+                 (n * sxy - sx * sy) * 1000000 AS bn,
+                 sy * sxx - sx * sxy AS an
+          FROM s),
+    m AS (SELECT above, n,
+                 CASE WHEN den > 0 THEN
+                   CASE WHEN bn >= 0 THEN (2 * bn + den) // (2 * den)
+                        ELSE -((2 * (-bn) + den) // (2 * den)) END
+                 END AS bmic,
+                 CASE WHEN den > 0 THEN
+                   CASE WHEN an >= 0 THEN (2 * an + den) // (2 * den)
+                        ELSE -((2 * (-an) + den) // (2 * den)) END
+                 END AS amic
+          FROM p)
+    SELECT lo.n AS n_below, hi.n AS n_above,
+           CAST(lo.bmic AS DOUBLE) / 1e6 AS slope_below,
+           CAST(hi.bmic AS DOUBLE) / 1e6 AS slope_above,
+           CAST(lo.amic AS DOUBLE) / 1e6 AS intercept_below,
+           CAST(hi.amic AS DOUBLE) / 1e6 AS intercept_above,
+           CAST(hi.amic - lo.amic AS DOUBLE) / 1e6 AS rd_effect
+    FROM (SELECT * FROM m WHERE NOT above) lo
+         CROSS JOIN (SELECT * FROM m WHERE above) hi
+    """,
+)
+def q292_regression_discontinuity(spark, sf_dir):
+    """Sharp regression discontinuity of event value on the event-id
+    running variable (cutoff 500, bandwidth 200) — the third causal
+    lens (threshold assignment) beside q221's CUPED and q287's CEM;
+    both side fits close over exact integer normal equations. See
+    :func:`maston_spark.evaluation.regression_discontinuity`."""
+    from maston_spark.evaluation import regression_discontinuity
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("event_id"), F.lit(1000)).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return regression_discontinuity(ev, "x", "y", cutoff=500.0, bandwidth=200.0)

@@ -1144,3 +1144,24 @@ def test_cem_att_hand_case_and_unmatched_reporting(spark):
     assert r.att == 8.333333  # (2*10e6 + 1*5e6) div-half-away 3 / 1e6
     with pytest.raises(ValueError, match="at least one"):
         cem_att(df, [], "t", "y")
+
+
+def test_regression_discontinuity_recovers_planted_jump(spark):
+    """y = 2 + 0.5(x−c) below the cutoff and 7 + 0.5(x−c) above:
+    both side fits recover slope 0.5 and their intercepts exactly,
+    rd_effect = 5; points outside the bandwidth are ignored."""
+    from maston_spark.evaluation import regression_discontinuity
+
+    c, h = 50.0, 20.0
+    rows = []
+    for x in range(30, 50):
+        rows.append((float(x), 2.0 + 0.5 * (x - c)))
+    for x in range(50, 71):
+        rows.append((float(x), 7.0 + 0.5 * (x - c)))
+    rows.append((500.0, 999999.0))  # far outside bandwidth: ignored
+    df = spark.createDataFrame(rows, "x double, y double")
+    [r] = regression_discontinuity(df, "x", "y", cutoff=c, bandwidth=h).collect()
+    assert (r.n_below, r.n_above) == (20, 21)
+    assert r.slope_below == 0.5 and r.slope_above == 0.5
+    assert r.intercept_below == 2.0 and r.intercept_above == 7.0
+    assert r.rd_effect == 5.0
