@@ -413,6 +413,11 @@ _PRIORITY = [
     # assignment) after CUPED (randomized) and CEM (matched); exact
     # integer normal equations both sides of the cutoff
     "q292_regression_discontinuity",
+    # v-optimal histogram — SSE-minimizing bucket boundaries by
+    # exact-integer interval DP (chained-min recurrence), the
+    # optimizer-statistics construction next to q116's equi-width
+    # and q15's equi-depth cuts
+    "q293_voptimal_histogram",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

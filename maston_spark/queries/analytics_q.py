@@ -5497,3 +5497,70 @@ def q292_regression_discontinuity(spark, sf_dir):
         F.col("value").alias("y"),
     )
     return regression_discontinuity(ev, "x", "y", cutoff=500.0, bandwidth=200.0)
+
+
+@query(
+    "q293_voptimal_histogram",
+    oracle="""
+    WITH h AS (SELECT CAST(round(value) AS BIGINT) AS v,
+                      CAST(count(*) AS BIGINT) AS w
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    c AS (SELECT v, w, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS i,
+                 sum(CAST(w AS HUGEINT)) OVER (ORDER BY v) AS cw,
+                 sum(CAST(v * w AS HUGEINT)) OVER (ORDER BY v) AS cs,
+                 sum(CAST(v * v * w AS HUGEINT)) OVER (ORDER BY v) AS cs2
+          FROM h),
+    lo AS (SELECT i AS j, v AS vj, cw - w AS pw, cs - v * w AS ps,
+                  cs2 - v * v * w AS ps2 FROM c),
+    hi AS (SELECT i AS k, v AS vk, cw AS kw, cs AS ks, cs2 AS ks2 FROM c),
+    iv AS (SELECT j, k, vj, vk, CAST(kw - pw AS BIGINT) AS n,
+                  ((kw - pw) * (ks2 - ps2) - (ks - ps) * (ks - ps))
+                    // (kw - pw) AS sse
+           FROM lo, hi WHERE k >= j),
+    e1 AS (SELECT k AS i, sse AS cost FROM iv WHERE j = 1),
+    c2 AS (SELECT iv.k AS i, e1.i AS s, e1.cost + iv.sse AS cost
+           FROM e1 JOIN iv ON iv.j = e1.i + 1),
+    b2 AS (SELECT i, min(cost) AS cost FROM c2 GROUP BY i),
+    a2 AS (SELECT c2.i, c2.cost, min(c2.s) AS split
+           FROM c2 JOIN b2 ON b2.i = c2.i AND b2.cost = c2.cost
+           GROUP BY 1, 2),
+    c3 AS (SELECT iv.k AS i, a2.i AS s, a2.cost + iv.sse AS cost
+           FROM a2 JOIN iv ON iv.j = a2.i + 1),
+    b3 AS (SELECT i, min(cost) AS cost FROM c3 GROUP BY i),
+    a3 AS (SELECT c3.i, c3.cost, min(c3.s) AS split
+           FROM c3 JOIN b3 ON b3.i = c3.i AND b3.cost = c3.cost
+           GROUP BY 1, 2),
+    c4 AS (SELECT iv.k AS i, a3.i AS s, a3.cost + iv.sse AS cost
+           FROM a3 JOIN iv ON iv.j = a3.i + 1),
+    b4 AS (SELECT i, min(cost) AS cost FROM c4 GROUP BY i),
+    a4 AS (SELECT c4.i, c4.cost, min(c4.s) AS split
+           FROM c4 JOIN b4 ON b4.i = c4.i AND b4.cost = c4.cost
+           GROUP BY 1, 2),
+    mm AS (SELECT max(i) AS m FROM c),
+    f3 AS (SELECT a4.split AS cut3 FROM a4, mm WHERE a4.i = mm.m),
+    f2 AS (SELECT a3.split AS cut2 FROM a3, f3 WHERE a3.i = f3.cut3),
+    f1 AS (SELECT a2.split AS cut1 FROM a2, f2 WHERE a2.i = f2.cut2),
+    spans AS (
+      SELECT 1 AS bucket, CAST(1 AS BIGINT) AS j, f1.cut1 AS k
+      FROM f1
+      UNION ALL SELECT 2, f1.cut1 + 1, f2.cut2 FROM f1, f2
+      UNION ALL SELECT 3, f2.cut2 + 1, f3.cut3 FROM f2, f3
+      UNION ALL SELECT 4, f3.cut3 + 1, mm.m FROM f3, mm)
+    SELECT spans.bucket, iv.vj AS v_lo, iv.vk AS v_hi, iv.n AS n_rows,
+           CAST(iv.sse AS DOUBLE) AS sse
+    FROM spans JOIN iv ON iv.j = spans.j AND iv.k = spans.k
+    ORDER BY bucket
+    """,
+)
+def q293_voptimal_histogram(spark, sf_dir):
+    """V-optimal 4-bucket histogram of the (integer-gridded) event
+    value — the SSE-minimizing boundaries an optimizer's column
+    statistics should store; the whole DP runs over exact integers
+    so the oracle replays the recurrence level by level. See
+    :func:`maston_spark.profiling.voptimal_histogram`."""
+    from maston_spark.profiling import voptimal_histogram
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value"), 0).cast("long").alias("v")
+    )
+    return voptimal_histogram(ev, "v", n_buckets=4)

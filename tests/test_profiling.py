@@ -55,3 +55,47 @@ def test_k_anonymity_audit_hand_case(spark):
     assert r.rows_l1_share == 0.5
     with pytest.raises(ValueError, match="at least one"):
         k_anonymity_audit(df, [], "sv")
+
+
+def test_voptimal_histogram_matches_bruteforce_dp(spark):
+    """4-bucket DP on a spiky weighted grid equals the brute-force
+    enumeration of all boundary triples (exact integer SSE, floor
+    grid), and an isolated heavy spike gets its own bucket."""
+    from itertools import combinations
+
+    from maston_spark.profiling import voptimal_histogram
+
+    vals = [(1, 5), (2, 5), (3, 5), (50, 20), (51, 20), (90, 3), (91, 3), (200, 1)]
+    rows = [(v,) for v, w in vals for _ in range(w)]
+    df = spark.createDataFrame(rows, "v long")
+    out = voptimal_histogram(df, "v", n_buckets=4).collect()
+    assert [r.bucket for r in out] == [1, 2, 3, 4]
+
+    def sse(seg):
+        n = sum(w for _, w in seg)
+        s = sum(v * w for v, w in seg)
+        s2 = sum(v * v * w for v, w in seg)
+        return (n * s2 - s * s) // n
+
+    m = len(vals)
+    best = None
+    for cuts in combinations(range(1, m), 3):
+        e = [0, *cuts, m]
+        tot = sum(sse(vals[a:b]) for a, b in zip(e, e[1:]))
+        key = (tot, cuts)
+        if best is None or key < best:
+            best = key
+    tot, cuts = best
+    e = [0, *cuts, m]
+    want = []
+    for bi, (a, b) in enumerate(zip(e, e[1:]), start=1):
+        seg = vals[a:b]
+        want.append(
+            (bi, seg[0][0], seg[-1][0], sum(w for _, w in seg), float(sse(seg)))
+        )
+    got = [(r.bucket, r.v_lo, r.v_hi, r.n_rows, r.sse) for r in out]
+    assert got == want, (got, want)
+    assert sum(r.sse for r in out) == float(tot)
+    # the lone far-out value (200) sits in the last bucket with the
+    # light 90/91 pair rather than widening the heavy 50/51 bucket
+    assert out[2].v_lo >= 50
