@@ -2702,3 +2702,124 @@ def regression_discontinuity(
             "rd_effect"
         ),
     )
+
+
+def qini_uplift(
+    df: DataFrame,
+    treat_col: str,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Qini uplift curve (Radcliffe 2007) — per score-ordered bucket
+    ``(bucket, n_treated, n_control, pos_treated, pos_control,
+    uplift_rate, qini)``: rank ALL units by the uplift model's score
+    (two-phase global rank — the q229 discipline), then per
+    cumulative top-k bucket compare treated vs control response and
+    read ``qini = cum_pos_t − cum_pos_c·(cum_n_t/cum_n_c)`` — the
+    incremental conversions the targeting actually caused, the
+    evaluation an uplift model needs where a plain gains table
+    (:func:`gains_table`) would credit it for conversions that
+    happened in the control arm too. A model that only predicts
+    RESPONSE (not uplift) shows a flat-to-negative qini even with a
+    great-looking gains curve.
+
+    Exactness: bucket assignment is the exact integer
+    ``((rank−1)·n) div N``; all counts fold as int64; the per-bucket
+    ``uplift_rate`` (treated minus control rate, micro grid) and the
+    cumulative ``qini`` (rounded on the RATIONAL
+    ``(pt·nc − pc·nt)/nc`` with the sign-split integral div) never
+    pass through a float until the one reporting division each.
+    Buckets with an empty cumulative control arm emit NULL qini.
+
+    Scale shape: one two-phase rank (the only full shuffle), one
+    (bucket, arm) aggregation, then |buckets|-row cumulative frames."""
+    from maston_spark.relational import global_rank
+
+    base = df.filter(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(treat_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+        F.col(treat_col).cast("int").alias("__tr"),
+        F.col(tiebreak_col).alias("__t"),
+    )
+    ranked = global_rank(
+        base, [F.col("__s").desc(), F.col("__t").asc()], rank_col="__rn"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    cells = (
+        ranked.join(F.broadcast(tot))
+        .select(
+            F.expr(f"((__rn - 1) * {int(n_buckets)}) div __n")
+            .cast("int")
+            .alias("bucket"),
+            "__tr",
+            "__y",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("__tr")).cast("long").alias("n_treated"),
+            F.sum(1 - F.col("__tr")).cast("long").alias("n_control"),
+            F.sum(F.col("__tr") * F.col("__y")).cast("long").alias("pos_treated"),
+            F.sum((1 - F.col("__tr")) * F.col("__y"))
+            .cast("long")
+            .alias("pos_control"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # |buckets|-row frame — bounded by n_buckets, never the corpus
+    ct = F.sum("n_treated").over(w)
+    cc = F.sum("n_control").over(w)
+    pt = F.sum("pos_treated").over(w)
+    pc = F.sum("pos_control").over(w)
+    cum = cells.select(
+        "bucket",
+        "n_treated",
+        "n_control",
+        "pos_treated",
+        "pos_control",
+        ct.alias("__ct"),
+        cc.alias("__cc"),
+        pt.alias("__pt"),
+        pc.alias("__pc"),
+    )
+    # per-bucket uplift rate on the micro grid: the signed rational
+    # (pos_t*n_c - pos_c*n_t) / (n_t*n_c)
+    uplift = F.when(
+        (F.col("n_treated") > 0) & (F.col("n_control") > 0),
+        F.expr(
+            "CASE WHEN pos_treated * n_control - pos_control * n_treated >= 0"
+            " THEN (2 * (pos_treated * n_control - pos_control * n_treated)"
+            "       * 1000000 + n_treated * n_control)"
+            "      div (2 * n_treated * n_control)"
+            " ELSE -((2 * (pos_control * n_treated - pos_treated * n_control)"
+            "         * 1000000 + n_treated * n_control)"
+            "        div (2 * n_treated * n_control)) END"
+        ).cast("double")
+        / F.lit(1e6),
+    )
+    qini = F.when(
+        F.col("__cc") > 0,
+        F.expr(
+            "CASE WHEN __pt * __cc - __pc * __ct >= 0"
+            " THEN (2 * (__pt * __cc - __pc * __ct) * 1000000 + __cc)"
+            "      div (2 * __cc)"
+            " ELSE -((2 * (__pc * __ct - __pt * __cc) * 1000000 + __cc)"
+            "        div (2 * __cc)) END"
+        ).cast("double")
+        / F.lit(1e6),
+    )
+    return cum.select(
+        "bucket",
+        "n_treated",
+        "n_control",
+        "pos_treated",
+        "pos_control",
+        uplift.alias("uplift_rate"),
+        qini.alias("qini"),
+    ).orderBy("bucket")

@@ -418,6 +418,10 @@ _PRIORITY = [
     # optimizer-statistics construction next to q116's equi-width
     # and q15's equi-depth cuts
     "q293_voptimal_histogram",
+    # Qini uplift curve — the causal model-evaluation member beside
+    # q229's gains table: two-arm differencing over the two-phase
+    # score rank, incremental conversions on the exact grid
+    "q294_qini_uplift",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -5564,3 +5564,89 @@ def q293_voptimal_histogram(spark, sf_dir):
         F.round(F.col("value"), 0).cast("long").alias("v")
     )
     return voptimal_histogram(ev, "v", n_buckets=4)
+
+
+@query(
+    "q294_qini_uplift",
+    oracle="""
+    WITH m AS (SELECT max(value) AS vmax FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                 AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    e AS (SELECT value / m.vmax AS s,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                 CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)),
+                                      1, 8))::BIGINT % 2 AS INT) AS tr,
+                 event_id AS tb
+          FROM events, m
+          WHERE value IS NOT NULL AND event_type IS NOT NULL
+            AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    r AS (SELECT *, row_number() OVER (ORDER BY s DESC, tb ASC) AS rn,
+                 count(*) OVER () AS n
+          FROM e),
+    cells AS (SELECT CAST(((rn - 1) * 10) // n AS INT) AS bucket,
+                     CAST(sum(tr) AS BIGINT) AS n_treated,
+                     CAST(sum(1 - tr) AS BIGINT) AS n_control,
+                     CAST(sum(tr * y) AS BIGINT) AS pos_treated,
+                     CAST(sum((1 - tr) * y) AS BIGINT) AS pos_control
+              FROM r GROUP BY 1),
+    cum AS (SELECT *,
+                   CAST(sum(n_treated) OVER (ORDER BY bucket) AS HUGEINT) AS ct,
+                   CAST(sum(n_control) OVER (ORDER BY bucket) AS HUGEINT) AS cc,
+                   CAST(sum(pos_treated) OVER (ORDER BY bucket) AS HUGEINT) AS pt,
+                   CAST(sum(pos_control) OVER (ORDER BY bucket) AS HUGEINT) AS pc
+            FROM cells)
+    SELECT bucket, n_treated, n_control, pos_treated, pos_control,
+           CASE WHEN n_treated > 0 AND n_control > 0 THEN
+             CAST(CASE WHEN pos_treated * n_control - pos_control * n_treated >= 0
+                  THEN (2 * (CAST(pos_treated AS HUGEINT) * n_control
+                             - CAST(pos_control AS HUGEINT) * n_treated)
+                        * 1000000 + CAST(n_treated AS HUGEINT) * n_control)
+                       // (2 * CAST(n_treated AS HUGEINT) * n_control)
+                  ELSE -((2 * (CAST(pos_control AS HUGEINT) * n_treated
+                               - CAST(pos_treated AS HUGEINT) * n_control)
+                          * 1000000 + CAST(n_treated AS HUGEINT) * n_control)
+                         // (2 * CAST(n_treated AS HUGEINT) * n_control))
+                  END AS DOUBLE) / 1e6
+           END AS uplift_rate,
+           CASE WHEN cc > 0 THEN
+             CAST(CASE WHEN pt * cc - pc * ct >= 0
+                  THEN (2 * (pt * cc - pc * ct) * 1000000 + cc) // (2 * cc)
+                  ELSE -((2 * (pc * ct - pt * cc) * 1000000 + cc) // (2 * cc))
+                  END AS DOUBLE) / 1e6
+           END AS qini
+    FROM cum ORDER BY bucket
+    """,
+)
+def q294_qini_uplift(spark, sf_dir):
+    """Qini uplift curve of the value score against the purchase
+    label under the deterministic md5 arm split (q259's 'exp:'
+    convention): per score decile, treated-vs-control response and
+    the cumulative incremental conversions — the causal evaluation
+    q229's gains table can't give (it credits control-arm
+    conversions too). See
+    :func:`maston_spark.evaluation.qini_uplift`."""
+    from maston_spark.evaluation import qini_uplift
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    vmax = ev.agg(F.max("value").alias("__vmax"))
+    arm = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = ev.crossJoin(F.broadcast(vmax)).select(
+        (F.col("value") / F.col("__vmax")).alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.pmod(arm, F.lit(2)).cast("int").alias("tr"),
+        F.col("event_id").alias("tb"),
+    )
+    return qini_uplift(scored, "tr", "s", "y", "tb", n_buckets=10)

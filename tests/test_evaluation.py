@@ -1165,3 +1165,31 @@ def test_regression_discontinuity_recovers_planted_jump(spark):
     assert r.slope_below == 0.5 and r.slope_above == 0.5
     assert r.intercept_below == 2.0 and r.intercept_above == 7.0
     assert r.rd_effect == 5.0
+
+
+def test_qini_uplift_separates_causal_from_correlational(spark):
+    """Planted uplift: the treated arm converts at 0.8 in the top
+    score half vs control 0.2; bottom half both 0.2. Per-bucket
+    uplift is +0.6 on top, ~0 below, cumulative qini matches the
+    hand formula pt - pc*(ct/cc) on the exact grid."""
+    from maston_spark.evaluation import qini_uplift
+
+    rows = []
+    rid = 0
+    for half, (rt, rc) in (("hi", (0.8, 0.2)), ("lo", (0.2, 0.2))):
+        s = 0.9 if half == "hi" else 0.1
+        for arm, rate in ((1, rt), (0, rc)):
+            for i in range(50):
+                rows.append((arm, s, 1 if i < int(rate * 50) else 0, rid))
+                rid += 1
+    df = spark.createDataFrame(rows, "tr int, s double, y int, tb long")
+    out = {r.bucket: r for r in qini_uplift(df, "tr", "s", "y", "tb", n_buckets=2).collect()}
+    assert set(out) == {0, 1}
+    top = out[0]
+    assert (top.n_treated, top.n_control) == (50, 50)
+    assert (top.pos_treated, top.pos_control) == (40, 10)
+    assert top.uplift_rate == 0.6
+    assert top.qini == 30.0  # 40 - 10*(50/50)
+    bot = out[1]
+    assert bot.uplift_rate == 0.0
+    assert bot.qini == 30.0  # no incremental conversions added below
