@@ -9,7 +9,7 @@ reproducible and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny deterministic stopword lists per language for the n-gram/stopword
 # language-ID heuristic (extend freely; heuristic quality is not the point —
@@ -2039,3 +2039,111 @@ def good_turing_unseen(df: DataFrame, item_col: str) -> DataFrame:
             F.col("n_singletons") > 0, F.round(F.lit(2.0) * n2 / n1, 6)
         ).alias("r1_adjusted"),
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: "tuple[str, ...] | None" = None,
+    top_k: int = 20,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the corpus
+    top-k ``(phrase, n_words, support, score)``: candidate phrases
+    are maximal runs of content tokens between stopword/punctuation
+    breaks, each word scores ``degree/frequency`` over the phrase
+    co-occurrence graph, and a phrase scores the sum of its word
+    scores — the phrase-level vocabulary lens the token-level PMI/
+    tf-idf family can't give (those rank WORDS and bigrams; this
+    surfaces 'supply chain disruption' as one unit).
+
+    Determinism: tokens lowercase and must match ``^[a-z]+$`` to be
+    content words (digits/punctuation break phrases, like the
+    stopword list — the engine's fixed deterministic list by
+    default); word scores round to the micro grid AS RATIONALS
+    (``(2·deg·10⁶ + freq) div (2·freq)``, nonneg), so phrase scores
+    are exact integer sums of grid values and the top-k order
+    (score desc, phrase asc) is engine-independent.
+
+    Scale shape: runs are found with ONE per-document
+    gaps-and-islands window (partitioned by doc — bounded by doc
+    length, never corpus); word statistics are combiner-reduced
+    aggs over phrase words; scoring re-joins the |phrase-vocab| word
+    table; the top-k is a TakeOrdered. Runs longer than
+    ``max_phrase_len`` drop (a degenerate stopword-free wall of text
+    is not a keyphrase; the cap bounds the phrase-word explode)."""
+    sw = tuple(stopwords) if stopwords is not None else STOPWORDS["en"]
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    toks = (
+        docs.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "__pos", "__tok"
+            ),
+        )
+        .filter(
+            F.col("__tok").rlike("^[a-z]+$")
+            & ~F.array_contains(sw_arr, F.col("__tok"))
+        )
+    )
+    wd = Window.partitionBy("__doc").orderBy("__pos")
+    runs = toks.select(
+        "__doc",
+        "__pos",
+        "__tok",
+        (F.col("__pos") - F.row_number().over(wd)).alias("__run"),
+    )
+    phrases = (
+        runs.groupBy("__doc", "__run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__tok"))
+                    ),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= int(max_phrase_len))
+    )
+    from maston_spark.caching import scoped_persist
+
+    phrases = scoped_persist(phrases)
+    words = phrases.select(
+        "n_words", F.explode(F.split("phrase", " ")).alias("__w")
+    )
+    wstats = words.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum("n_words").cast("long").alias("__deg"),
+    )
+    wscore = wstats.select(
+        "__w",
+        F.expr("(2 * __deg * 1000000 + __freq) div (2 * __freq)").alias(
+            "__ws"
+        ),
+    )
+    distinct = phrases.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    scored = (
+        distinct.select(
+            "phrase",
+            "n_words",
+            "support",
+            F.explode(F.split("phrase", " ")).alias("__w"),
+        )
+        .join(wscore, "__w")
+        .groupBy("phrase", "n_words", "support")
+        .agg(F.sum("__ws").alias("__score"))
+    )
+    return scored.select(
+        "phrase",
+        "n_words",
+        "support",
+        (F.col("__score").cast("double") / F.lit(1e6)).alias("score"),
+    ).orderBy(F.desc("score"), F.asc("phrase")).limit(int(top_k))

@@ -422,6 +422,10 @@ _PRIORITY = [
     # q229's gains table: two-arm differencing over the two-phase
     # score rank, incremental conversions on the exact grid
     "q294_qini_uplift",
+    # RAKE keyphrases — phrase-level vocabulary (gaps-and-islands
+    # runs + degree/frequency word graph) beside token-level
+    # PMI/tf-idf
+    "q295_rake_keyphrases",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -5725,3 +5725,54 @@ def q291_leakage_safe_split(spark, sf_dir):
         "cluster_cross_pairs",
         "naive_cross_pairs",
     )
+
+
+@query(
+    "q295_rake_keyphrases",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc, i - 1 AS pos, t[i] AS tok
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL) d,
+           LATERAL (SELECT unnest(range(1, len(d.t) + 1)) AS i) u),
+    good AS (
+      SELECT doc, pos, tok
+      FROM toks
+      WHERE regexp_matches(tok, '^[a-z]+$')
+        AND tok NOT IN ('the', 'a', 'of', 'and', 'to')),
+    runs AS (
+      SELECT doc, pos, tok,
+             pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS r
+      FROM good),
+    phrases AS (
+      SELECT doc, r, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS INT) AS n_words
+      FROM runs GROUP BY doc, r
+      HAVING count(*) <= 4),
+    pw AS (
+      SELECT n_words, unnest(string_split(phrase, ' ')) AS w FROM phrases),
+    ws AS (
+      SELECT w, (2 * CAST(sum(n_words) AS HUGEINT) * 1000000
+                 + count(*)) // (2 * CAST(count(*) AS HUGEINT)) AS s
+      FROM pw GROUP BY w),
+    dp AS (
+      SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS support
+      FROM phrases GROUP BY phrase, n_words),
+    scored AS (
+      SELECT dp.phrase, dp.n_words, dp.support,
+             sum(ws.s) AS sc
+      FROM dp, LATERAL (SELECT unnest(string_split(dp.phrase, ' ')) AS w) x
+           JOIN ws ON ws.w = x.w
+      GROUP BY dp.phrase, dp.n_words, dp.support)
+    SELECT phrase, n_words, support, CAST(sc AS DOUBLE) / 1e6 AS score
+    FROM scored ORDER BY score DESC, phrase ASC LIMIT 20
+    """,
+)
+def q295_rake_keyphrases(spark, sf_dir):
+    """Corpus top-20 RAKE keyphrases: maximal content-token runs
+    scored by the degree/frequency word graph — the phrase-level
+    vocabulary lens beside token-level PMI (q147-family) and tf-idf
+    (q97). See :func:`maston_spark.llm.text.rake_keyphrases`."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.rake_keyphrases(d, "doc_id", "text", top_k=20)

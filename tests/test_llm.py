@@ -2446,3 +2446,36 @@ def test_leakage_safe_split_invariant(spark):
     assert r.naive_cross_pairs > 0  # the leakage a doc-level hash split causes
     assert r.test_docs + r.train_docs == r.n_docs
     assert r.test_clusters + r.train_clusters == r.n_clusters
+
+
+def test_rake_keyphrases_hand_scores(spark):
+    """Classic RAKE arithmetic on a tiny corpus: stopwords and
+    punctuation break phrases, word score = degree/frequency, phrase
+    score = sum of word scores; over-long runs drop."""
+    from maston_spark.llm.text import rake_keyphrases
+
+    rows = [
+        (1, "the red fox and blue fox"),
+        (2, "red fox! of deep learning"),
+        (3, "a b1 c d e f g h"),  # b1 breaks; c..h run of 6 drops (cap 4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.phrase: r for r in rake_keyphrases(df, "doc_id", "text", top_k=50).collect()}
+    # phrases: doc1 {red fox, blue fox}; doc2 {red, deep learning}
+    # ('fox!' fails ^[a-z]+$ and breaks the run). Word stats:
+    # fox freq2 deg4 -> 2.0; red freq2 deg3 -> 1.5; blue freq1
+    # deg2 -> 2.0; deep/learning freq1 deg2 -> 2.0 each
+    assert out["red fox"].score == 3.5 and out["red fox"].support == 1
+    assert out["red"].score == 1.5
+    assert out["blue fox"].score == 4.0 and out["blue fox"].support == 1
+    assert out["deep learning"].score == 4.0
+    assert out["a"].score if "a" in out else True  # stopword 'a' never a phrase
+    assert "a" not in out
+    # 'fox!' is not ^[a-z]+$: it breaks the run, so no 'fox fox' phrase
+    assert all("!" not in p for p in out)
+    # the 6-token run c..h exceeded max_phrase_len and dropped
+    assert not any(p.startswith("c d e") for p in out)
+    # multi-word phrases outscore singletons (RAKE's known bias)
+    assert out["red fox"].score > max(
+        r.score for p, r in out.items() if " " not in p
+    )

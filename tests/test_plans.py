@@ -420,6 +420,16 @@ def test_compaction_plan_has_no_partitionless_window(spark, sf_dir, qs):
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
 
 
+def test_qini_rank_is_two_phase(spark, sf_dir, qs):
+    """q294's score ordering must be the two-phase global rank
+    (range partition + Arrow numbering) — a partition-less
+    ntile/row_number over the corpus would single-task it; the only
+    Window allowed is the |buckets|-row cumulative frame."""
+    p = plan_of(qs["q294_qini_uplift"](spark, sf_dir))
+    assert "rangepartitioning" in p.lower(), p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+
+
 def test_bloom_pruned_join_prunes_before_the_shuffle(spark, sf_dir, qs):
     """q244's fact side must pass through the Bloom-probe filter
     BEFORE the join (the whole point is shrinking the shuffle), and
