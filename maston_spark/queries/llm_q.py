@@ -5609,20 +5609,26 @@ def q285_silhouette(spark, sf_dir):
       SELECT id, id AS r FROM corpus
       UNION
       SELECT s.b AS id, reach.r FROM reach JOIN sym s ON s.a = reach.id),
-    cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
     marked AS (
       SELECT id, cluster,
-             ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT
-               % 5 = 0 AS is_test,
-             ('0x' || substr(md5('split:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT
-               % 5 = 0 AS naive_test
-      FROM cl),
+             CASE WHEN ('0x' || substr(md5('split:' || cluster), 1, 8))::BIGINT
+                       % 1000 < 800 THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || cluster), 1, 8))::BIGINT
+                       % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN ('0x' || substr(md5('split:' || id), 1, 8))::BIGINT
+                       % 1000 < 800 THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || id), 1, 8))::BIGINT
+                       % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM comp),
     ev AS (
       SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
-             CAST(coalesce(sum(CASE WHEN ma.is_test <> mb.is_test
+             CAST(coalesce(sum(CASE WHEN ma.split <> mb.split
                                     THEN 1 END), 0) AS BIGINT)
                AS cluster_cross_pairs,
-             CAST(coalesce(sum(CASE WHEN ma.naive_test <> mb.naive_test
+             CAST(coalesce(sum(CASE WHEN ma.naive_split <> mb.naive_split
                                     THEN 1 END), 0) AS BIGINT)
                AS naive_cross_pairs
       FROM jac JOIN marked ma ON ma.id = jac.id_a
@@ -5630,61 +5636,51 @@ def q285_silhouette(spark, sf_dir):
     d AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
-             CAST(coalesce(sum(CASE WHEN is_test THEN 1 END), 0) AS BIGINT)
-               AS test_docs,
-             CAST(count(DISTINCT CASE WHEN is_test THEN cluster END) AS BIGINT)
-               AS test_clusters
+             CAST(coalesce(sum(CASE WHEN split = 'train' THEN 1 END), 0)
+                  AS BIGINT) AS train_docs,
+             CAST(coalesce(sum(CASE WHEN split = 'val' THEN 1 END), 0)
+                  AS BIGINT) AS val_docs,
+             CAST(coalesce(sum(CASE WHEN split = 'test' THEN 1 END), 0)
+                  AS BIGINT) AS test_docs
       FROM marked)
-    SELECT d.n_docs, d.n_clusters, d.test_docs,
-           d.n_docs - d.test_docs AS train_docs,
-           d.test_clusters, d.n_clusters - d.test_clusters AS train_clusters,
+    SELECT d.n_docs, d.n_clusters, d.train_docs, d.val_docs, d.test_docs,
            ev.n_dup_pairs, ev.cluster_cross_pairs, ev.naive_cross_pairs
     FROM d CROSS JOIN ev
     """,
 )
 def q291_leakage_safe_split(spark, sf_dir):
-    """Leakage-safe train/test split: assign WHOLE near-dup clusters
-    (q55's components) to splits by an md5 lane on the CLUSTER label
-    (~20% test), so no verified near-dup pair ever crosses the
-    boundary — ``cluster_cross_pairs`` is 0 BY CONSTRUCTION while
-    ``naive_cross_pairs`` counts the contamination a doc-level hash
-    split (q58's shape) would have leaked into held-out data. The
-    split every eval pipeline needs before it can trust its test
-    loss; composes q55 verbatim so the oracle replays clustering,
-    lane assignment, and both violation counts end-to-end."""
+    """The leakage-safety CERTIFICATION row for q164's splitter —
+    the identity-claim grading pattern of q207/q244 applied to
+    dedup-aware splitting: run :func:`maston_spark.llm.sampling.
+    cluster_safe_split` (q164's exact assignment — whole q55
+    clusters to train/val/test by the cluster-label md5 lane), then
+    count verified near-dup pairs whose endpoints straddle splits.
+    ``cluster_cross_pairs`` must be 0 — the claim q164 makes but
+    nothing previously GRADED — while ``naive_cross_pairs`` replays
+    q126's doc-hash audit on the same frame as the counterfactual
+    (44 of 134 pairs would leak at sf0.01). One row; the oracle
+    replays clustering, both lane conventions, and both counts."""
     corpus = _neardup_corpus(spark, sf_dir)
     mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
     cands = DD.candidates_from_minhash(mf, num_hashes=16, band_size=4)
     edges = scoped_persist(DD.jaccard_from_lanes(mf, cands, threshold=0.2))
     verts = corpus.select(F.col("doc_id").alias("id"))
-    clusters = DD.connected_components(verts, edges)
-
-    def lane(c):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), c.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
+    from maston_spark.llm import sampling as SAMP
 
     marked = scoped_persist(
-        clusters.select(
-            "id",
-            "cluster",
-            (F.pmod(lane(F.col("cluster")), F.lit(5)) == 0).alias("is_test"),
-            (F.pmod(lane(F.col("id")), F.lit(5)) == 0).alias("naive_test"),
+        SAMP.cluster_safe_split(verts, edges).withColumn(
+            "naive_split", SAMP.split_expr("id")
         )
     )
     ma = marked.select(
         F.col("id").alias("id_a"),
-        F.col("is_test").alias("__ta"),
-        F.col("naive_test").alias("__na"),
+        F.col("split").alias("__sa"),
+        F.col("naive_split").alias("__na"),
     )
     mb = marked.select(
         F.col("id").alias("id_b"),
-        F.col("is_test").alias("__tb"),
-        F.col("naive_test").alias("__nb"),
+        F.col("split").alias("__sb"),
+        F.col("naive_split").alias("__nb"),
     )
     ev = (
         edges.select("id_a", "id_b")
@@ -5693,7 +5689,7 @@ def q291_leakage_safe_split(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
             F.coalesce(
-                F.sum((F.col("__ta") != F.col("__tb")).cast("long")), F.lit(0)
+                F.sum((F.col("__sa") != F.col("__sb")).cast("long")), F.lit(0)
             )
             .cast("long")
             .alias("cluster_cross_pairs"),
@@ -5707,20 +5703,24 @@ def q291_leakage_safe_split(spark, sf_dir):
     d = marked.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("cluster").cast("long").alias("n_clusters"),
-        F.coalesce(F.sum(F.col("is_test").cast("long")), F.lit(0))
+        F.coalesce(
+            F.sum((F.col("split") == "train").cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("train_docs"),
+        F.coalesce(F.sum((F.col("split") == "val").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("val_docs"),
+        F.coalesce(F.sum((F.col("split") == "test").cast("long")), F.lit(0))
         .cast("long")
         .alias("test_docs"),
-        F.countDistinct(F.when(F.col("is_test"), F.col("cluster")))
-        .cast("long")
-        .alias("test_clusters"),
     )
     return d.crossJoin(F.broadcast(ev)).select(
         "n_docs",
         "n_clusters",
+        "train_docs",
+        "val_docs",
         "test_docs",
-        (F.col("n_docs") - F.col("test_docs")).alias("train_docs"),
-        "test_clusters",
-        (F.col("n_clusters") - F.col("test_clusters")).alias("train_clusters"),
         "n_dup_pairs",
         "cluster_cross_pairs",
         "naive_cross_pairs",

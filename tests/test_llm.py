@@ -2444,8 +2444,7 @@ def test_leakage_safe_split_invariant(spark):
     assert r.cluster_cross_pairs == 0
     assert r.n_dup_pairs > 0
     assert r.naive_cross_pairs > 0  # the leakage a doc-level hash split causes
-    assert r.test_docs + r.train_docs == r.n_docs
-    assert r.test_clusters + r.train_clusters == r.n_clusters
+    assert r.train_docs + r.val_docs + r.test_docs == r.n_docs
 
 
 def test_rake_keyphrases_hand_scores(spark):
