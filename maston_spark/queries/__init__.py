@@ -404,10 +404,10 @@ _PRIORITY = [
     # direct identifiers; this measures what the quasi-identifiers
     # still give away)
     "q290_k_anonymity",
-    # leakage-safe split — whole near-dup clusters assigned to
-    # train/test by a cluster-label md5 lane; zero cross-split dup
-    # pairs by construction, with the doc-level split's leaked pair
-    # count reported as the counterfactual
+    # leakage-safe split certification — grades q164's
+    # cluster_safe_split claim (zero cross-split dup pairs) the way
+    # q207/q244 grade their rewrite identities, with q126's doc-hash
+    # audit replayed on the same frame as the counterfactual
     "q291_leakage_safe_split",
     # sharp regression discontinuity — third causal lens (threshold
     # assignment) after CUPED (randomized) and CEM (matched); exact

@@ -5658,7 +5658,7 @@ def q291_leakage_safe_split(spark, sf_dir):
     ``cluster_cross_pairs`` must be 0 — the claim q164 makes but
     nothing previously GRADED — while ``naive_cross_pairs`` replays
     q126's doc-hash audit on the same frame as the counterfactual
-    (44 of 134 pairs would leak at sf0.01). One row; the oracle
+    (40 of 134 pairs would leak at sf0.01). One row; the oracle
     replays clustering, both lane conventions, and both counts."""
     corpus = _neardup_corpus(spark, sf_dir)
     mf = scoped_persist(DD.minhash_frame(corpus, shingle_n=3, num_hashes=16))
