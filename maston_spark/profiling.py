@@ -1110,6 +1110,22 @@ def k_anonymity_audit(
     cells = df.groupBy(
         *[F.col(c) for c in qi_cols], F.col(sensitive_col).alias("__sv")
     ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return k_anonymity_from_counts(cells, qi_cols, thresholds)
+
+
+def k_anonymity_from_counts(
+    cells: DataFrame,
+    qi_cols: "list[str]",
+    thresholds: "tuple[int, ...]" = (2, 5, 10),
+) -> DataFrame:
+    """The k-anonymity/l-diversity closing math over a
+    PRE-AGGREGATED ``(qi..., __sv, __n)`` cell-count frame — shared
+    by :func:`k_anonymity_audit` (one batch scan) and the streaming
+    privacy gate (:func:`maston_spark.streaming.topology.
+    privacy_gate_topology`, whose durable state IS such a cell table
+    folded additively across micro-batches), so the two paths cannot
+    diverge on the statistic. Same output contract and integer
+    exactness as :func:`k_anonymity_audit`."""
     classes = cells.groupBy(*[F.col(c) for c in qi_cols]).agg(
         F.sum("__n").cast("long").alias("__k"),
         F.count(F.lit(1)).cast("long").alias("__l"),

@@ -426,6 +426,10 @@ _PRIORITY = [
     # runs + degree/frequency word graph) beside token-level
     # PMI/tf-idf
     "q295_rake_keyphrases",
+    # NINTH topology's fold-identity twin — running k-anonymity/
+    # l-diversity over additively-folded cell counts (k and l are
+    # non-additive at class granularity; cells fold exactly)
+    "q296_k_anonymity_prefix",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

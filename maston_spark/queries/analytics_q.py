@@ -5650,3 +5650,80 @@ def q294_qini_uplift(spark, sf_dir):
         F.col("event_id").alias("tb"),
     )
     return qini_uplift(scored, "tr", "s", "y", "tb", n_buckets=10)
+
+
+@query(
+    "q296_k_anonymity_prefix",
+    oracle="""
+    WITH u AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                      (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+                        // 100000 AS band,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS sv
+               FROM customer),
+    cells AS (SELECT nat, seg, band, sv, CAST(count(*) AS BIGINT) AS n
+              FROM u GROUP BY 1, 2, 3, 4),
+    cls AS (SELECT nat, seg, band, CAST(sum(n) AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS l
+            FROM cells GROUP BY 1, 2, 3),
+    a AS (SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(min(k) AS BIGINT) AS k_min,
+                 CAST(min(l) AS BIGINT) AS l_min,
+                 CAST(coalesce(sum(CASE WHEN k = 1 THEN k END), 0) AS BIGINT) AS u_rows,
+                 CAST(coalesce(sum(CASE WHEN l = 1 THEN k END), 0) AS BIGINT) AS l1_rows,
+                 CAST(coalesce(sum(CASE WHEN k < 2 THEN k END), 0) AS BIGINT) AS b2,
+                 CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT) AS b5,
+                 CAST(coalesce(sum(CASE WHEN k < 10 THEN k END), 0) AS BIGINT) AS b10
+          FROM cls)
+    SELECT n_rows, n_classes, k_min, l_min,
+           CAST((2 * u_rows * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_unique_share,
+           CAST((2 * b2 * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_below_k2_share,
+           CAST((2 * b5 * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_below_k5_share,
+           CAST((2 * b10 * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_below_k10_share,
+           CAST((2 * l1_rows * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+             / 1e6 AS rows_l1_share
+    FROM a
+    """,
+)
+def q296_k_anonymity_prefix(spark, sf_dir):
+    """The privacy-gate TOPOLOGY's fold identity, graded
+    cross-engine: customers split into 3 deterministic micro-batches
+    (c_custkey mod 3), each batch's (QI..., sensitive) cell counts
+    folded with the SAME additive union+sum the streaming state
+    uses, then the shared :func:`maston_spark.profiling.
+    k_anonymity_from_counts` closing math — while the oracle audits
+    the whole table in one shot. Counts-of-union ≡
+    sum-of-batch-counts exactly (neither k nor l is additive at
+    CLASS granularity, which is exactly why the state holds cells);
+    extends the topology-twin matrix to the NINTH topology, the
+    privacy release gate."""
+    from maston_spark.profiling import k_anonymity_from_counts
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 100000"
+        ).alias("band"),
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("__sv"),
+    )
+    counts = None
+    for b in range(3):
+        g = (
+            c.filter(F.pmod(F.col("c_custkey"), F.lit(3)) == b)
+            .groupBy("nat", "seg", "band", "__sv")
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        counts = (
+            g
+            if counts is None
+            else counts.unionByName(g)
+            .groupBy("nat", "seg", "band", "__sv")
+            .agg(F.sum("__n").cast("long").alias("__n"))
+        )
+    return k_anonymity_from_counts(counts, ["nat", "seg", "band"])

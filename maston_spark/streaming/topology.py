@@ -1798,3 +1798,93 @@ def vocab_saturation_topology(
             counts.unpersist()
 
     return _start_foreach_batch(toks, fn, checkpoint, trigger)
+
+
+def privacy_gate_topology(
+    source: DataFrame,
+    *,
+    qi_cols: "list[str]",
+    sensitive_col: str,
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    thresholds: "tuple[int, ...]" = (2, 5, 10),
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+):
+    """Streaming privacy gate (the NINTH topology): maintain
+    per-(quasi-identifier..., sensitive-value) counts across
+    micro-batches and emit, per batch, the running k-anonymity /
+    l-diversity audit over EVERYTHING ingested so far — the release
+    gate read live: a sink that only ships when ``k_min`` clears
+    policy watches this row, and the moment a batch makes some
+    equivalence class unique the gauge says so, not the quarterly
+    audit. Emits the exact contract of :func:`maston_spark.
+    profiling.k_anonymity_from_counts` because it IS that closing
+    math over the folded state, so the streaming and batch paths
+    cannot diverge (the q296 prefix twin grades the fold
+    cross-engine).
+
+    The durable cross-batch state is the CELL count table — k and l
+    are both anti-monotone under row arrival ONLY at cell
+    granularity (a class's k grows but its l can also grow; neither
+    per-class summary is additive, while cell counts fold with
+    plain union+sum — the q272/q283 counter discipline). Late or
+    replayed rows self-correct on the next emission; the
+    crash-retry corner reads a stored v{batch_id} as the whole
+    truth. Same versioned compacted parquet layout as
+    ``delta_topology``.
+
+    Scale shape per batch: one combiner-reduced cell aggregation
+    over the BATCH, one |state|-sized merge, one |classes|-bounded
+    close — state is bounded by |QI-domain × sensitive-domain|, the
+    audit's own working set."""
+    from maston_spark.profiling import k_anonymity_from_counts
+
+    if not qi_cols:
+        raise ValueError("privacy_gate_topology: need at least one QI column")
+    sdir = (
+        f"{checkpoint.rstrip('/')}/privacy_state" if state_dir == "auto" else state_dir
+    )
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    rows = source.select(
+        *[F.col(c) for c in qi_cols],
+        F.col(sensitive_col).alias("__sv"),
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = batch_df.groupBy(*qi_cols, "__sv").agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            seed_v = prior[-1] if prior else (batch_id if batch_id in versions else None)
+            if seed_v is not None and seed_v == batch_id:
+                # additive-counter retry corner: the stored version
+                # already contains this batch — it IS the state
+                counts = spark.read.parquet(f"{sdir}/v{batch_id}").localCheckpoint(
+                    eager=True
+                )
+            elif seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                counts = (
+                    counts.unionByName(seed)
+                    .groupBy(*qi_cols, "__sv")
+                    .agg(F.sum("__n").cast("long").alias("__n"))
+                )
+        counts = counts.persist()
+        try:
+            if sdir is not None:
+                counts.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+            write_metrics(
+                k_anonymity_from_counts(counts, qi_cols, thresholds), batch_id
+            )
+            if sdir is not None:
+                _drop_state_versions(spark, sdir, prior)
+        finally:
+            counts.unpersist()
+
+    return _start_foreach_batch(rows, fn, checkpoint, trigger)

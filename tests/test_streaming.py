@@ -2001,3 +2001,86 @@ def test_vocab_saturation_topology_golden_and_restart(spark, cleanup):
         for r in vocab_richness_from_counts(state, "group").collect()
     }
     assert got == seen2[-1]
+
+
+def test_privacy_gate_topology_golden_and_restart(spark, cleanup):
+    """Streaming privacy gate over 3 batches: cell counts fold
+    additively, every emitted k-anonymity/l-diversity row equals the
+    shared closing math over the data so far — including the
+    k=1→k=2 healing and the l growth that make class-level
+    summaries non-additive — and a cold restart resumes from the
+    durable state."""
+    from maston_spark.profiling import k_anonymity_from_counts
+    from maston_spark.streaming.topology import privacy_gate_topology
+
+    per_batch = [
+        # batch 0: class (a,1) has 2 rows 1 sv; class (b,1) UNIQUE
+        [("a", 1, 100), ("a", 1, 100), ("b", 1, 200)],
+        # batch 1: (b,1) heals to k=2; (a,1) gains a 2nd sv (l=2)
+        [("b", 1, 250), ("a", 1, 150)],
+        # batch 2: a brand-new unique class appears -> k_min back to 1
+        [("c", 9, 300)],
+    ]
+    rows = [
+        Row(q1=q, q2=n, sv=s, __replay_batch=b)
+        for b, batch in enumerate(per_batch)
+        for q, n, s in batch
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    q = privacy_gate_topology(
+        stream,
+        qi_cols=["q1", "q2"],
+        sensitive_col="sv",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append((bid, tuple(df.collect()[0]))),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) >= 3
+    by_batch = dict(seen)
+
+    def oneshot(batches):
+        flat = [r for b in batches for r in b]
+        df = spark.createDataFrame(flat, "q1 string, q2 int, __sv long")
+        cells = df.groupBy("q1", "q2", "__sv").agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        return tuple(k_anonymity_from_counts(cells, ["q1", "q2"]).collect()[0])
+
+    for b in range(3):
+        assert by_batch[b] == oneshot(per_batch[: b + 1]), b
+    # the non-additive transitions, explicitly: batch 0 has a unique
+    # class (k_min 1); batch 1 heals it (k_min 2, and class (a,1)
+    # reaches l=2); batch 2's new singleton drops k_min back to 1
+    assert by_batch[0][2] == 1 and by_batch[1][2] == 2 and by_batch[2][2] == 1
+
+    # restart on the same checkpoint folds on top of durable state
+    more = [("c", 9, 300)]  # heals the batch-2 singleton
+    stream2, src2 = replay_stream(
+        spark.createDataFrame(
+            [Row(q1=q, q2=n, sv=s, __replay_batch=0) for q, n, s in more]
+        ),
+        batches=1,
+    )
+    cleanup.append(src2)
+    seen2: list = []
+    q2 = privacy_gate_topology(
+        stream2,
+        qi_cols=["q1", "q2"],
+        sensitive_col="sv",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen2.append(tuple(df.collect()[0])),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert seen2[-1] == oneshot(per_batch + [more])
+    assert seen2[-1][2] == 2  # every class k >= 2 after the heal
