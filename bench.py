@@ -87,6 +87,13 @@ HEADLINE = [
     "q268_quantile_normalize",    # pooled order-statistic normalization
     "q269_spatial_grid_join",     # grid-blocked spatial radius join
     "q272_cusum_prefix",          # CUSUM monitor fold twin
+    # round-14 additions: the newly graded round-13 physics and the
+    # round's own flagships
+    "q274_theil_sen",             # bounded all-pairs robust slope (Σn_g²)
+    "q284_davies_bouldin",        # cluster-quality audit (Lloyd fit + k close)
+    "q286_isotonic_calibration",  # integer-nano PAV minimax
+    "q291_leakage_safe_split",    # cluster-split certification (q55 pipeline)
+    "q293_voptimal_histogram",    # exact-integer interval DP
 ]
 
 # Fixed-work calibration (data-independent): a pure JVM codegen loop
