@@ -104,6 +104,20 @@ HEADLINE = [
 _CALIBRATION_N = 2_000_000_000  # ~0.5 s on the round-11 host: big
 # enough to resolve host-speed drift, small enough to not tax the run
 
+# 1-min loadavg ABOVE this at bench start marks the record invalid
+# for cross-round comparison: an idle host reads ~0-0.5; anything
+# past ~2 means a concurrent workload owned whole cores for a
+# meaningful slice of the last minute (the r13/r14 contended records
+# started at 11-19)
+_LOADAVG_VALID_MAX = 2.0
+
+
+def bench_valid(load_start) -> bool:
+    """True when a record's pre-run loadavg marks an idle-enough host
+    for its raw seconds to be quotable cross-round (see BASELINE.md:
+    cross-round comparison = raw min-of-N on valid records only)."""
+    return load_start is None or load_start[0] <= _LOADAVG_VALID_MAX
+
 
 def _calibration_sec(spark) -> float:
     best = float("inf")
@@ -203,6 +217,14 @@ def main() -> None:
     queries_norm = {
         n: round(dispersion[n]["median"] / calib, 3) for n in timings
     }
+    # machine-checked validity (round-14 verdict): a pre-run 1-min
+    # loadavg above ~2 means another process shared the cores while
+    # this record was taken — its per-query seconds must not feed
+    # cross-round comparison (r13's contended calibration divisor
+    # inverted the r13→r14 normalized trend while raw idle seconds
+    # improved on every query). Cross-round comparison uses raw
+    # min-of-N seconds from records with valid=true only (BASELINE.md).
+    valid = bench_valid(load_start)
     record = {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -217,6 +239,7 @@ def main() -> None:
                 "queries_norm_by_calibration": queries_norm,
                 "value_norm_by_calibration": round(total / calib, 3),
                 "loadavg": {"start": load_start, "end": load_end},
+                "valid": valid,
                 "sf": sf,
             }
     # full local copy: the driver's BENCH_r*.json keeps only a

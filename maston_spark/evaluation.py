@@ -2553,9 +2553,16 @@ def cem_att(
     )
     matched = F.col("__nt") > 0
     both = matched & (F.col("__nc") > 0)
-    # 6-grid dollar mean from integer cents: (2*cents*1e4 + n) div (2n)
-    mt = F.expr("(2 * __st * 10000 + __nt) div (2 * __nt)")
-    mc = F.expr("(2 * __sc * 10000 + __nc) div (2 * __nc)")
+    # 6-grid dollar mean from integer cents: (2*cents*1e4 + n) div (2n).
+    # Summed cents go through decimal(38,0) — 2*__st*1e4 wraps int64
+    # once a stratum's cents exceed ~4.6e14, while the DuckDB oracle
+    # computes the mean in HUGEINT (round-14 ADVICE low).
+    mt = F.expr(
+        "(2 * cast(__st as decimal(38,0)) * 10000 + __nt) div (2 * __nt)"
+    )
+    mc = F.expr(
+        "(2 * cast(__sc as decimal(38,0)) * 10000 + __nc) div (2 * __nc)"
+    )
     per = strata.select(
         F.lit(1).alias("__one"),
         F.when(both, F.lit(1)).otherwise(F.lit(0)).alias("__m"),
@@ -2574,7 +2581,10 @@ def cem_att(
         .cast("long")
         .alias("n_control_matched"),
         F.sum(
-            F.when(F.col("__m") == 1, F.col("__nt") * F.col("__d"))
+            F.when(
+                F.col("__m") == 1,
+                F.col("__nt").cast("decimal(38,0)") * F.col("__d"),
+            )
         ).alias("__num"),
     )
     att_micro = F.expr(
@@ -2790,27 +2800,39 @@ def qini_uplift(
     )
     # per-bucket uplift rate on the micro grid: the signed rational
     # (pos_t*n_c - pos_c*n_t) / (n_t*n_c)
+    # all products in decimal(38,0): cum pos×count reaches ~9.2e18 at
+    # sf10-scale events, wrapping int64 in non-ANSI Spark while the
+    # DuckDB oracle computes in HUGEINT (round-14 ADVICE medium)
     uplift = F.when(
         (F.col("n_treated") > 0) & (F.col("n_control") > 0),
         F.expr(
-            "CASE WHEN pos_treated * n_control - pos_control * n_treated >= 0"
-            " THEN (2 * (pos_treated * n_control - pos_control * n_treated)"
-            "       * 1000000 + n_treated * n_control)"
-            "      div (2 * n_treated * n_control)"
-            " ELSE -((2 * (pos_control * n_treated - pos_treated * n_control)"
-            "         * 1000000 + n_treated * n_control)"
-            "        div (2 * n_treated * n_control)) END"
+            "CASE WHEN cast(pos_treated as decimal(38,0)) * n_control"
+            "          - cast(pos_control as decimal(38,0)) * n_treated >= 0"
+            " THEN (2 * (cast(pos_treated as decimal(38,0)) * n_control"
+            "            - cast(pos_control as decimal(38,0)) * n_treated)"
+            "       * 1000000 + cast(n_treated as decimal(38,0)) * n_control)"
+            "      div (2 * cast(n_treated as decimal(38,0)) * n_control)"
+            " ELSE -((2 * (cast(pos_control as decimal(38,0)) * n_treated"
+            "              - cast(pos_treated as decimal(38,0)) * n_control)"
+            "         * 1000000 + cast(n_treated as decimal(38,0)) * n_control)"
+            "        div (2 * cast(n_treated as decimal(38,0)) * n_control))"
+            " END"
         ).cast("double")
         / F.lit(1e6),
     )
     qini = F.when(
         F.col("__cc") > 0,
         F.expr(
-            "CASE WHEN __pt * __cc - __pc * __ct >= 0"
-            " THEN (2 * (__pt * __cc - __pc * __ct) * 1000000 + __cc)"
-            "      div (2 * __cc)"
-            " ELSE -((2 * (__pc * __ct - __pt * __cc) * 1000000 + __cc)"
-            "        div (2 * __cc)) END"
+            "CASE WHEN cast(__pt as decimal(38,0)) * __cc"
+            "          - cast(__pc as decimal(38,0)) * __ct >= 0"
+            " THEN (2 * (cast(__pt as decimal(38,0)) * __cc"
+            "            - cast(__pc as decimal(38,0)) * __ct)"
+            "       * 1000000 + __cc)"
+            "      div (2 * cast(__cc as decimal(38,0)))"
+            " ELSE -((2 * (cast(__pc as decimal(38,0)) * __ct"
+            "              - cast(__pt as decimal(38,0)) * __cc)"
+            "         * 1000000 + __cc)"
+            "        div (2 * cast(__cc as decimal(38,0)))) END"
         ).cast("double")
         / F.lit(1e6),
     )

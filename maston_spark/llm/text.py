@@ -2079,7 +2079,13 @@ def rake_keyphrases(
         docs.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
         .select(
             F.col(id_col).alias("__doc"),
-            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            # literal single-space split (the repo's vocab/chao1
+            # tokenization convention): consecutive whitespace yields
+            # empty/non-content tokens that OCCUPY a position and so
+            # BREAK a phrase run — `\s+` instead kept runs adjacent
+            # across multi-space gaps, diverging from the oracle
+            # (round-14 ADVICE low)
+            F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
                 "__pos", "__tok"
             ),
         )

@@ -1286,19 +1286,24 @@ def voptimal_histogram(
             [],
             "bucket int, v_lo long, v_hi long, n_rows long, sse double",
         )
-    # walk the argmin chain down from the full range (bounded:
-    # n_buckets-1 single-row lookups)
-    splits = []
-    i = m
-    for arg in reversed(arg_tables):
-        row = arg.filter(F.col("__i") == i).select("__split").collect()
-        if not row:  # fewer distinct values than buckets
-            break
-        s = int(row[0]["__split"])
-        splits.append(s)
-        i = s
-    bounds = sorted(set(splits))
-    edges = [0] + bounds + [m]
+    if m < int(n_buckets):
+        # degenerate: fewer distinct values than buckets — the DP has
+        # no level-m split, so emit the natural answer (one zero-SSE
+        # bucket per distinct value; round-14 ADVICE low — the oracle
+        # replays the same branch)
+        edges = list(range(0, m + 1))
+    else:
+        # walk the argmin chain down from the full range (bounded:
+        # n_buckets-1 single-row lookups)
+        splits = []
+        i = m
+        for arg in reversed(arg_tables):
+            row = arg.filter(F.col("__i") == i).select("__split").collect()
+            s = int(row[0]["__split"])
+            splits.append(s)
+            i = s
+        bounds = sorted(set(splits))
+        edges = [0] + bounds + [m]
     ranges = [
         (b + 1, e) for b, e in zip(edges, edges[1:]) if e >= b + 1
     ]

@@ -116,13 +116,13 @@ _PRIORITY = [
     # q286's isotonic calibration, whose integer-nano interval-
     # minimax is an ordering physics nothing else in the window has)
     "q286_isotonic_calibration",
-    # (round-13 rotation: q148 Gopher-gate's scalar rule battery —
-    # word/length/regexp/repetition statistics — stays graded via
-    # q155's gram-table substring battery plus the q45-family text
-    # statistics it composes; its slot grades q242's NDCG@k/MRR,
-    # whose mirrored-literal log discounts are the no-libm-trusted
-    # discipline nothing else in the window certifies externally)
-    "q242_ndcg_mrr", "q178_ks_drift", "q61_process_errors",
+    # (round-15 rotation, per the round-14 verdict: q242 NDCG/MRR's
+    # rank-metric family stays graded via q212's midrank AUC — the
+    # same rank-fold physics with the harder tie discipline; its slot
+    # grades q294's Qini uplift curve, the causal model-evaluation
+    # member — two-arm differencing over the two-phase global score
+    # rank with every rational closed in decimal(38,0))
+    "q294_qini_uplift", "q178_ks_drift", "q61_process_errors",
     # (q151 PQ-ADC standalone is subsumed by graded q153, whose search
     # stage runs the same lookup-table scoring; its slot grades the
     # RESIDUAL-encoded IVF-PQ — the faiss IndexIVFPQ layout)
@@ -130,7 +130,13 @@ _PRIORITY = [
     # (q64_delta_fold is the within-family sibling of q63 — same S11
     # delta operator, fold predicate path; demoted so the graded
     # window spends its slot on the BM25 retrieval family instead)
-    "q123_bm25_rank",
+    # (round-15 rotation: q123 BM25's lexical-retrieval scoring stays
+    # graded via q155/q148's text battery and q157's fused-rank
+    # composition of the same tf scoring; its slot grades q288's
+    # existential precedence census — per-(entity,type) min/max-agg
+    # sequence physics ("∃ a before b" as one bounded self-join,
+    # never an event-pair scan) that nothing graded has)
+    "q288_precedence_census",
     # multi-join / subquery family (q67 exists / q71 in-subquery are
     # demoted siblings: both rewrite to the same semi-join physical
     # family as graded q07; q68 stays for the anti-join rewrite)
@@ -238,8 +244,20 @@ _PRIORITY = [
     # bootstrap folds and q241's jackknife buckets; its slot grades
     # q227's IPF raking — fixed-point IEEE+round-replay convergence,
     # an iterative-algorithm grading physics no graded query has)
-    "q230_hll_cube", "q217_join_size_estimate", "q227_ipf_raking",
-    "q234_bootstrap_ci", "q241_jackknife_ratio",
+    # (round-15 rotation: q230 HLL-cube's register-max sketch algebra
+    # stays graded via q231's rolling-HLL prefix twin — the same
+    # register fold certified incremental-equals-one-shot; its slot
+    # grades q296's k-anonymity prefix twin, the NINTH topology's
+    # fold identity — one row grading both q290's k/l audit math and
+    # the additive cell-count state discipline)
+    "q296_k_anonymity_prefix", "q217_join_size_estimate", "q227_ipf_raking",
+    # (round-15 rotation: q234 bootstrap-CI's resampling-inference
+    # family stays graded via q241's jackknife ratio and q254's
+    # conformal order statistic; its slot grades q292's sharp
+    # regression discontinuity — the third causal lens (threshold
+    # assignment) beside graded q221 CUPED and q287 CEM, both-side
+    # OLS closed over exact integer normal equations)
+    "q292_regression_discontinuity", "q241_jackknife_ratio",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
     # data-quality constraint family instead)
@@ -294,7 +312,13 @@ _PRIORITY = [
     # coverage; its slot grades q264's Benjamini-Hochberg step-up,
     # the multiple-testing boundary decided in the integer domain —
     # a grading physics nothing else in the window has)
-    "q264_bh_fdr", "q250_srm_prefix",
+    # (round-15 rotation: q250 SRM-prefix's fold-identity family is
+    # graded THREE other ways — q272's CUSUM counter fold, q231's
+    # register fold, q296's cell-count fold; its slot grades q293's
+    # v-optimal histogram — the exact-integer interval DP (chained
+    # min recurrence over m²-bounded tables), optimizer-statistics
+    # physics nothing graded has)
+    "q264_bh_fdr", "q293_voptimal_histogram",
     # (round-14 rotation: q194 binned-TVD's exact-L1-over-bins drift
     # lens stays graded via q178's KS sup-norm — the same two-sample
     # integer-scaled drift physics, harder statistic; its slot grades
@@ -375,6 +399,13 @@ _PRIORITY = [
     # comments above): q207's identity-claim grading via q244,
     # q195's fold-twin discipline via q231/q250/q272
     "q207_salted_join", "q195_incremental_neardup",
+    # round-15 demotions (each family's graded flagship named in the
+    # promotion comments above): q242's rank metrics via q212,
+    # q123's retrieval scoring via q155/q148/q157, q230's sketch
+    # algebra via q231, q234's resampling inference via q241/q254,
+    # q250's fold identity via q272/q231/q296
+    "q242_ndcg_mrr", "q123_bm25_rank", "q230_hll_cube",
+    "q234_bootstrap_ci", "q250_srm_prefix",
     # round-14 additions (locally oracle-verified; first in line if
     # a graded row frees up): the EIGHTH topology's fold-identity
     # twin — per-source Good-Turing unseen mass + Chao1 richness
@@ -390,11 +421,6 @@ _PRIORITY = [
     # estimator next to q221's randomized CUPED; stratum-bounded
     # shuffle, integral-grid close
     "q287_cem_att",
-    # existential precedence census — the non-contiguous sequence
-    # lens beside q110's contiguous paths and q235's adjacent
-    # transitions; per-(entity,type) min/max makes "∃ a before b"
-    # one bounded self-join, never an event-pair scan
-    "q288_precedence_census",
     # two-level binary segmentation — hierarchical changepoints via
     # the q175/q272 n-scaled integer statistic re-run per half, the
     # "did it shift once or twice" extension of the CUSUM family
@@ -409,27 +435,10 @@ _PRIORITY = [
     # q207/q244 grade their rewrite identities, with q126's doc-hash
     # audit replayed on the same frame as the counterfactual
     "q291_leakage_safe_split",
-    # sharp regression discontinuity — third causal lens (threshold
-    # assignment) after CUPED (randomized) and CEM (matched); exact
-    # integer normal equations both sides of the cutoff
-    "q292_regression_discontinuity",
-    # v-optimal histogram — SSE-minimizing bucket boundaries by
-    # exact-integer interval DP (chained-min recurrence), the
-    # optimizer-statistics construction next to q116's equi-width
-    # and q15's equi-depth cuts
-    "q293_voptimal_histogram",
-    # Qini uplift curve — the causal model-evaluation member beside
-    # q229's gains table: two-arm differencing over the two-phase
-    # score rank, incremental conversions on the exact grid
-    "q294_qini_uplift",
     # RAKE keyphrases — phrase-level vocabulary (gaps-and-islands
     # runs + degree/frequency word graph) beside token-level
     # PMI/tf-idf
     "q295_rake_keyphrases",
-    # NINTH topology's fold-identity twin — running k-anonymity/
-    # l-diversity over additively-folded cell counts (k and l are
-    # non-additive at class granularity; cells fold exactly)
-    "q296_k_anonymity_prefix",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

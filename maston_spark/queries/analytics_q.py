@@ -5541,11 +5541,18 @@ def q292_regression_discontinuity(spark, sf_dir):
     f2 AS (SELECT a3.split AS cut2 FROM a3, f3 WHERE a3.i = f3.cut3),
     f1 AS (SELECT a2.split AS cut1 FROM a2, f2 WHERE a2.i = f2.cut2),
     spans AS (
+      -- m >= 4: the DP chain; m < 4 (degenerate — fewer distinct
+      -- values than buckets): one zero-SSE bucket per value, the
+      -- same branch the engine takes
       SELECT 1 AS bucket, CAST(1 AS BIGINT) AS j, f1.cut1 AS k
-      FROM f1
-      UNION ALL SELECT 2, f1.cut1 + 1, f2.cut2 FROM f1, f2
-      UNION ALL SELECT 3, f2.cut2 + 1, f3.cut3 FROM f2, f3
-      UNION ALL SELECT 4, f3.cut3 + 1, mm.m FROM f3, mm)
+      FROM f1, mm WHERE mm.m >= 4
+      UNION ALL SELECT 2, f1.cut1 + 1, f2.cut2 FROM f1, f2, mm
+      WHERE mm.m >= 4
+      UNION ALL SELECT 3, f2.cut2 + 1, f3.cut3 FROM f2, f3, mm
+      WHERE mm.m >= 4
+      UNION ALL SELECT 4, f3.cut3 + 1, mm.m FROM f3, mm WHERE mm.m >= 4
+      UNION ALL SELECT CAST(c.i AS INT), c.i, c.i FROM c, mm
+      WHERE mm.m < 4)
     SELECT spans.bucket, iv.vj AS v_lo, iv.vk AS v_hi, iv.n AS n_rows,
            CAST(iv.sse AS DOUBLE) AS sse
     FROM spans JOIN iv ON iv.j = spans.j AND iv.k = spans.k

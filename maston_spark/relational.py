@@ -1585,15 +1585,21 @@ def compaction_plan(
     Arrow-batched ``mapInPandas`` emits ``offset[pid] + local
     cumsum`` — no Window node anywhere in the plan (plan-pinned).
     The output is |groups| rows."""
+    from maston_spark.caching import scoped_persist
+
     spark = files.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     s = F.col(size_col).cast("long")
-    ordered = (
-        files.select(F.col(id_col).alias("__id"), s.alias("__sz"))
+    ordered = scoped_persist(
+        # NULL sizes dropped up front: the old window form emitted a
+        # NULL group for them (unplannable files); mapInPandas would
+        # instead crash in to_numpy — filtering matches "skip what we
+        # can't pack" and keeps the cumsum pure-int64
+        files.filter(s.isNotNull())
+        .select(F.col(id_col).alias("__id"), s.alias("__sz"))
         .repartitionByRange(p, F.col("__sz").desc(), F.col("__id").asc())
         .sortWithinPartitions(F.col("__sz").desc(), F.col("__id").asc())
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
     sums = {
         r["__pid"]: int(r["s"])

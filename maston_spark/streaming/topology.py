@@ -1714,6 +1714,7 @@ def vocab_saturation_topology(
     write_metrics: Callable[[DataFrame, int], None],
     state_dir: str | None = "auto",
     trigger: dict | None = None,
+    compact_every: int = 8,
 ):
     """Streaming vocabulary-saturation monitor (the EIGHTH topology):
     maintain per-(group, token) frequency counts across micro-batches
@@ -1736,18 +1737,48 @@ def vocab_saturation_topology(
     no watermark surgery. Counts are TRUE totals (a {1,2,≥3} clamp
     would shrink nothing that matters — the state's row count is
     |vocab| either way — and would break ``n_tokens = Σ count``).
-    Same versioned compacted parquet layout and crash-retry corner
-    as ``delta_topology``/``cusum_monitor_topology``: a stored
-    v{batch_id} is read as the whole truth, never re-added.
+
+    State layout — SEGMENTED count deltas (the curation topology's
+    delta+compaction discipline adapted to ADDITIVE counters; the
+    other counter topologies rewrite whole snapshots because their
+    state is intrinsically tiny — cusum: groups×buckets, srm: arms,
+    privacy gate: QI-domain cells — but vocab state is |vocab|-sized,
+    potentially 10⁸–10⁹ (group, token) rows at 100 TB, so a full
+    rewrite per batch would be O(batches × |vocab|) write
+    amplification):
+
+    - ``d<N>`` — batch N's (group, token) count DELTA: an O(batch)
+      append per micro-batch, the only per-batch state write;
+    - ``c<K>`` — a compacted run holding the summed counts of
+      EVERYTHING through batch K, written every ``compact_every``
+      batches FROM the already-persisted merged frame (compaction
+      costs one O(|vocab|) write amortized over ``compact_every``
+      batches, never an extra read);
+    - ``v<N>`` — legacy full snapshot (pre-segment layout),
+      read-compatible as a run.
+
+    Read rule — coverage, not row dedup (additive counts can't dedup
+    the way the curation topology's content-hash SET state does): the
+    NEWEST run with id <= batch covers every segment at or below its
+    id, so the reader takes that run plus only the deltas ABOVE it. A
+    crash between a compaction write and the consumed-segment delete
+    leaves both visible, and the coverage rule keeps the sum exact.
+    Retry corners: a stored run at ``batch_id`` means the previous
+    attempt already folded this batch — it IS the state, never
+    re-added; a failed attempt's own ``d{batch_id}`` is overwritten
+    in place (same replayed source rows, same delta).
 
     Scale shape per batch: one combiner-reduced (group, token)
     aggregation over the BATCH (the shuffle carries the batch's
-    distinct tokens), one |state|-sized merge, one |vocab|-bounded
-    fof close — state and rewrite cost are vocabulary-bounded no
-    matter the traffic (Heaps' law: |vocab| grows ~√corpus, so the
-    state is sublinear in everything ingested). Tokenization is
-    single-space split (the engine's cross-engine-gradeable
-    convention; empty tokens drop)."""
+    distinct tokens), one O(batch) delta WRITE, one |state|-bounded
+    merge read, one |vocab|-bounded fof close — write cost is
+    batch-bounded and state size vocabulary-bounded no matter the
+    traffic (Heaps' law: |vocab| grows ~√corpus, so the state is
+    sublinear in everything ingested). Tokenization is single-space
+    split (the engine's cross-engine-gradeable convention; empty
+    tokens drop)."""
+    from functools import reduce
+
     from maston_spark.llm.text import vocab_richness_from_counts
 
     sdir = (
@@ -1770,32 +1801,68 @@ def vocab_saturation_topology(
         counts = batch_df.groupBy("group", "__tok").agg(
             F.count(F.lit(1)).cast("long").alias("__c")
         )
-        if sdir is not None:
-            versions = _state_versions(spark, sdir)
-            prior = [v for v in versions if v < batch_id]
-            seed_v = prior[-1] if prior else (batch_id if batch_id in versions else None)
-            if seed_v is not None and seed_v == batch_id:
-                # additive-counter retry corner: the stored version
-                # already contains this batch — it IS the state
-                counts = spark.read.parquet(f"{sdir}/v{batch_id}").localCheckpoint(
-                    eager=True
-                )
-            elif seed_v is not None:
-                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
-                counts = (
-                    counts.unionByName(seed)
-                    .groupBy("group", "__tok")
-                    .agg(F.sum("__c").cast("long").alias("__c"))
-                )
-        counts = counts.persist()
+        if sdir is None:
+            merged = counts.persist()
+            try:
+                write_metrics(vocab_richness_from_counts(merged, "group"), batch_id)
+            finally:
+                merged.unpersist()
+            return
+        segs = _curation_segments(spark, sdir)
+        runs = [s for s in segs if s[0] in ("c", "v") and s[1] <= batch_id]
+        run = max(runs, key=lambda s: s[1], default=None)
+        if run is not None and run[1] == batch_id:
+            # retry corner: the previous attempt already compacted
+            # this batch — the stored run IS the state, never re-added
+            merged = spark.read.parquet(
+                f"{sdir}/{run[0]}{run[1]}"
+            ).localCheckpoint(eager=True)
+            consumed = [
+                s
+                for s in segs
+                if s != run
+                and s[1] <= batch_id
+                and (s[0] == "d" or s[1] < batch_id)
+            ]
+            try:
+                write_metrics(vocab_richness_from_counts(merged, "group"), batch_id)
+                _drop_segments(spark, sdir, consumed)
+            finally:
+                merged.unpersist()
+            return
+        # O(batch) state write: this batch's delta (a failed prior
+        # attempt's d{batch_id} holds the same rows — overwrite)
+        counts.write.mode("overwrite").parquet(f"{sdir}/d{batch_id}")
+        floor = run[1] if run is not None else -1
+        deltas = [
+            s for s in segs if s[0] == "d" and floor < s[1] < batch_id
+        ]
+        frames = [counts] + [
+            spark.read.parquet(f"{sdir}/{k}{i}") for k, i in ([run] if run else []) + deltas
+        ]
+        merged = (
+            reduce(lambda a, b: a.unionByName(b), frames)
+            .groupBy("group", "__tok")
+            .agg(F.sum("__c").cast("long").alias("__c"))
+            .persist()
+        )
         try:
-            if sdir is not None:
-                counts.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
-            write_metrics(vocab_richness_from_counts(counts, "group"), batch_id)
-            if sdir is not None:
-                _drop_state_versions(spark, sdir, prior)
+            write_metrics(vocab_richness_from_counts(merged, "group"), batch_id)
+            # amortized compaction: fold once `compact_every` live
+            # segments accumulate, reusing the persisted merge (no
+            # extra read); write-then-delete + the coverage read rule
+            # make a crash between the two harmless
+            if len(frames) >= int(compact_every):
+                merged.write.mode("overwrite").parquet(f"{sdir}/c{batch_id}")
+                _drop_segments(
+                    spark,
+                    sdir,
+                    ([run] if run else [])
+                    + deltas
+                    + [("d", batch_id)],
+                )
         finally:
-            counts.unpersist()
+            merged.unpersist()
 
     return _start_foreach_batch(toks, fn, checkpoint, trigger)
 

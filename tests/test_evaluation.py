@@ -1193,3 +1193,17 @@ def test_qini_uplift_separates_causal_from_correlational(spark):
     bot = out[1]
     assert bot.uplift_rate == 0.0
     assert bot.qini == 30.0  # no incremental conversions added below
+
+
+def test_cem_att_exact_beyond_int64_products(spark):
+    """Summed stratum cents large enough that 2*cents*1e4 wraps int64
+    (round-14 ADVICE): the decimal(38,0) mean/numerator path keeps the
+    ATT exact — two treated units at $5e12 each vs a $0 control."""
+    from maston_spark.evaluation import cem_att
+
+    big = 5 * 10**14  # cents: 2*__st*1e4 = 2e19 > int64 max
+    rows = [("A", 1, big), ("A", 1, big), ("A", 0, 0)]
+    df = spark.createDataFrame(rows, "s string, t int, y long")
+    [r] = cem_att(df, ["s"], "t", "y").collect()
+    assert r.n_treated_matched == 2
+    assert r.att == float(big) / 100.0  # exact: 5e12 dollars

@@ -2478,3 +2478,17 @@ def test_rake_keyphrases_hand_scores(spark):
     assert out["red fox"].score > max(
         r.score for p, r in out.items() if " " not in p
     )
+
+
+def test_rake_keyphrases_multispace_breaks_runs(spark):
+    """Consecutive whitespace breaks a phrase run (round-14 ADVICE):
+    the single-space split leaves an empty/non-content token OCCUPYING
+    a position, so 'alpha  beta' is two one-word phrases, never the
+    two-word phrase — matching the oracle's split(' ') semantics."""
+    from maston_spark.llm.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "alpha  beta"), (2, "gamma\t\tdelta")], "doc_id long, text string"
+    )
+    out = {r.phrase for r in rake_keyphrases(df, "doc_id", "text", top_k=50).collect()}
+    assert out == {"alpha", "beta"}  # tab-glued gamma\t\tdelta fails [a-z]+

@@ -99,3 +99,15 @@ def test_voptimal_histogram_matches_bruteforce_dp(spark):
     # the lone far-out value (200) sits in the last bucket with the
     # light 90/91 pair rather than widening the heavy 50/51 bucket
     assert out[2].v_lo >= 50
+
+
+def test_voptimal_histogram_degenerate_fewer_values_than_buckets(spark):
+    """m < n_buckets (round-14 ADVICE): the DP has no level-m split,
+    so the engine emits the natural answer — one zero-SSE bucket per
+    distinct value — instead of one bucket spanning everything."""
+    from maston_spark.profiling import voptimal_histogram
+
+    df = spark.createDataFrame([(7,), (7,), (9,)], "v long")
+    out = voptimal_histogram(df, "v", n_buckets=4).collect()
+    got = [(r.bucket, r.v_lo, r.v_hi, r.n_rows, r.sse) for r in out]
+    assert got == [(1, 7, 7, 2, 0.0), (2, 9, 9, 1, 0.0)]

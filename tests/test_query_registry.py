@@ -98,7 +98,6 @@ def test_graded_window_covers_unique_capabilities():
         "q87_avro_evolution",
         "q94_semantic_dedup",
         "q118_pagerank",
-        "q123_bm25_rank",
         "q139_gapfill", "q141_data_quality",
         # round-9 promotions: the novel round-8 operators plus the
         # composed IVF-PQ flagship are driver-graded
@@ -141,7 +140,7 @@ def test_graded_window_covers_unique_capabilities():
         # physics graded in-round — value-histogram trimmed stats,
         # HLL rollup-cube mergeability, deterministic Poisson
         # bootstrap
-        "q226_trimmed_mean", "q230_hll_cube", "q234_bootstrap_ci",
+        "q226_trimmed_mean",
         # round-12 third wave: jackknife ratio CI (correlated-ratio
         # variance) and Kaplan-Meier survival (product-limit hazard)
         "q241_jackknife_ratio", "q246_kaplan_meier",
@@ -152,7 +151,7 @@ def test_graded_window_covers_unique_capabilities():
         # fixed-point IEEE+round replay, and the streaming-SRM prefix
         # twin that completes the topology-twin matrix
         "q244_bloom_pruned_join", "q254_conformal_interval",
-        "q242_ndcg_mrr", "q227_ipf_raking", "q250_srm_prefix",
+        "q227_ipf_raking",
         # round-13 in-round promotions: the round's own novel physics
         # graded immediately — the BH step-up multiple-testing
         # boundary (integer-domain compares over the two-phase global
@@ -176,6 +175,16 @@ def test_graded_window_covers_unique_capabilities():
         # graded q94's deletions) and isotonic calibration's
         # integer-nano interval minimax
         "q284_davies_bouldin", "q286_isotonic_calibration",
+        # round-15 promotions (round-14 verdict task 3): round-14's
+        # ungraded novel physics — the exact-integer interval DP
+        # (optimizer statistics), the third causal lens (threshold
+        # RD), the ninth topology's fold-identity twin (grades both
+        # the k/l audit math and the additive cell-count state
+        # discipline), the Qini uplift curve, and the min/max-agg
+        # existential precedence census
+        "q293_voptimal_histogram", "q292_regression_discontinuity",
+        "q296_k_anonymity_prefix", "q294_qini_uplift",
+        "q288_precedence_census",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -188,7 +197,7 @@ def test_graded_window_covers_unique_capabilities():
         # q73's registry-dispatch decode is graded via q87+q92
         "q45_text_stats": "q155_keep_first_substring",
         "q73_safe_avro": "q87_avro_evolution",
-        "q167_kmv_distinct": "q230_hll_cube",
+        "q167_kmv_distinct": "q231_hll_rolling_prefix",
         # q61's topology-1 pipeline runs the same safe_from_json
         # parse; q152 composes q41's minhash pipeline verbatim; q48's
         # exact-confirm stage grades normalized-dot cosine physics
@@ -220,7 +229,7 @@ def test_graded_window_covers_unique_capabilities():
         "q40_dedup_exact": "q152_dedup_report",
         "q150_pq_codes": "q158_ivfpq_residual",
         "q151_pq_adc": "q158_ivfpq_residual",
-        "q156_query_likelihood": "q123_bm25_rank",
+        "q156_query_likelihood": "q155_keep_first_substring",
         "q47_fingerprint": "q152_dedup_report",
         "q23_topk_per_group": "q212_group_auc",
         "q51_quality_score": "q155_keep_first_substring",
@@ -239,14 +248,14 @@ def test_graded_window_covers_unique_capabilities():
         "q50_frame_sample": "q94_semantic_dedup",
         "q53_levenshtein_neardup": "q152_dedup_report",
         "q54_chargram_jaccard": "q152_dedup_report",
-        "q100_dsir_weights": "q123_bm25_rank",
+        "q100_dsir_weights": "q155_keep_first_substring",
         # round-11 demotions: the percentile family stays graded via
         # q15 + the promoted q197; the n-gram-LM scoring family via
         # q123/q157; the moment-sum family via q176 + promoted q196;
         # the anti-join rewrite is the mirror of q07's semi-join
         # physics; the allocation family via q189's water-fill
         "q128_robust_outliers": "q226_trimmed_mean",
-        "q96_bigram_perplexity": "q123_bm25_rank",
+        "q96_bigram_perplexity": "q155_keep_first_substring",
         "q104_embedding_covariance": "q217_join_size_estimate",
         "q68_not_exists_antijoin": "q07_join_semi",
         "q88_domain_cap": "q189_token_water_fill",
@@ -265,7 +274,7 @@ def test_graded_window_covers_unique_capabilities():
         "q12_asof_join": "q143_cdc_upsert",
         "q33_tumbling_window": "q63_delta_expr",
         "q69_scalar_subquery": "q264_bh_fdr",
-        "q168_kmv_set_ops": "q230_hll_cube",
+        "q168_kmv_set_ops": "q231_hll_rolling_prefix",
         "q90_winnow_fingerprints": "q155_keep_first_substring",
         # round-12 in-round swap: q153's composed IVF-PQ stages all
         # run inside the graded residual variant
@@ -281,7 +290,7 @@ def test_graded_window_covers_unique_capabilities():
         "q191_quantile_sketch": "q192_kll_quantiles",
         "q171_source_dup_matrix": "q172_dup_transitivity",
         "q174_pareto_frontier": "q204_greedy_coverage",
-        "q157_hybrid_rrf": "q123_bm25_rank",
+        "q157_hybrid_rrf": "q212_group_auc",
         # round-12 third-wave demotions: rank-window physics exercised
         # inside four graded members; the AMS F2 sketch composed
         # verbatim inside the graded join-size forecast
@@ -296,11 +305,11 @@ def test_graded_window_covers_unique_capabilities():
         # round-13 in-round demotions
         "q25_set_ops": "q07_join_semi",
         "q127_budget_select": "q264_bh_fdr",
-        "q202_hll_distinct": "q230_hll_cube",
+        "q202_hll_distinct": "q231_hll_rolling_prefix",
         "q148_gopher_gate": "q155_keep_first_substring",
-        "q173_mg_heavy_hitters": "q230_hll_cube",
-        "q196_table_sketch_profile": "q230_hll_cube",
-        "q235_transition_lift": "q234_bootstrap_ci",
+        "q173_mg_heavy_hitters": "q231_hll_rolling_prefix",
+        "q196_table_sketch_profile": "q231_hll_rolling_prefix",
+        "q235_transition_lift": "q241_jackknife_ratio",
         "q237_chao1_vocab": "q241_jackknife_ratio",
         # round-14 demotions: q01's scan+hash-agg pipeline is the
         # most-replicated physics in the window (every relational
@@ -313,7 +322,7 @@ def test_graded_window_covers_unique_capabilities():
         "q01_pricing_summary": "q19_grouping_sets",
         "q15_agg_percentile": "q226_trimmed_mean",
         "q194_binned_tvd_drift": "q178_ks_drift",
-        "q169_cms_heavy_hitters": "q230_hll_cube",
+        "q169_cms_heavy_hitters": "q231_hll_rolling_prefix",
         "q92_avro_roundtrip": "q87_avro_evolution",
         # round-14 in-round demotions: q207's rewrite-certified-
         # bit-identical grading shape stays via q244's Bloom-pruned
@@ -325,6 +334,17 @@ def test_graded_window_covers_unique_capabilities():
         # the silhouette half of the round-14 cluster audit stays
         # graded through the Davies-Bouldin member's shared fit
         "q285_silhouette": "q284_davies_bouldin",
+        # round-15 demotions (round-14 verdict task 3): each family's
+        # in-window flagship — rank metrics via the midrank AUC,
+        # retrieval tf scoring via the gram-table text battery,
+        # register-max sketch algebra via the rolling-HLL twin,
+        # resampling inference via the jackknife ratio, and the
+        # fold-identity family via the CUSUM prefix twin
+        "q242_ndcg_mrr": "q212_group_auc",
+        "q123_bm25_rank": "q155_keep_first_substring",
+        "q230_hll_cube": "q231_hll_rolling_prefix",
+        "q234_bootstrap_ci": "q241_jackknife_ratio",
+        "q250_srm_prefix": "q272_cusum_prefix",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted

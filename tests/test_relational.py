@@ -1722,3 +1722,20 @@ def test_binseg_finds_both_planted_shifts(spark):
     # the two levels
     found = {out[s].changepoint_ts.hour for s in ("all", "left", "right")}
     assert {3, 7} <= found
+
+
+def test_compaction_plan_skips_null_sizes_and_scopes_persist(spark):
+    """NULL file sizes are dropped up front (documented precondition:
+    unplannable files are skipped, not crashed on — round-14 ADVICE),
+    and the manifest persist routes through the bounded scoped
+    registry rather than a bare leak-forever .persist()."""
+    from maston_spark.caching import _live
+    from maston_spark.relational import compaction_plan
+
+    rows = [(0, 100), (1, None), (2, 300), (3, None), (4, 250)]
+    df = spark.createDataFrame(rows, "id long, sz long")
+    before = set(_live)
+    out = compaction_plan(df, "id", "sz", 400).collect()
+    assert sum(r.n_files for r in out) == 3
+    assert sum(r.total_size for r in out) == 650
+    assert len(set(_live) - before) == 1  # registered, hence bounded

@@ -1988,19 +1988,138 @@ def test_vocab_saturation_topology_golden_and_restart(spark, cleanup):
         q2.stop()
     assert seen2[-1] == oneshot(prefix + more)
 
-    # durable state replay reproduces the final emit
-    import glob as _glob
-
-    vdirs = sorted(
-        _glob.glob(f"{chk}/vocab_state/v*"),
-        key=lambda p: int(p.rsplit("v", 1)[-1]),
-    )
-    state = spark.read.parquet(vdirs[-1])
+    # durable state replay reproduces the final emit — read the
+    # segmented layout through the coverage rule (newest run + the
+    # deltas above it)
+    state = _read_vocab_state(spark, f"{chk}/vocab_state")
     got = {
         r.group: tuple(r)
         for r in vocab_richness_from_counts(state, "group").collect()
     }
     assert got == seen2[-1]
+
+
+def _read_vocab_state(spark, sdir):
+    """Reconstruct the vocab topology's durable counts via its
+    coverage read rule: newest run (c/v) + every delta above it."""
+    import glob as _glob
+    import os as _os
+    from functools import reduce
+
+    segs = []
+    for p in _glob.glob(f"{sdir}/*"):
+        name = _os.path.basename(p)
+        if name[:1] in ("v", "d", "c") and name[1:].isdigit():
+            segs.append((name[:1], int(name[1:])))
+    runs = [s for s in segs if s[0] in ("c", "v")]
+    run = max(runs, key=lambda s: s[1], default=None)
+    floor = run[1] if run else -1
+    live = ([run] if run else []) + sorted(
+        s for s in segs if s[0] == "d" and s[1] > floor
+    )
+    frames = [spark.read.parquet(f"{sdir}/{k}{i}") for k, i in live]
+    return (
+        reduce(lambda a, b: a.unionByName(b), frames)
+        .groupBy("group", "__tok")
+        .agg(F.sum("__c").cast("long").alias("__c"))
+    )
+
+
+def test_vocab_saturation_state_is_segmented_o_batch(spark, cleanup):
+    """The round-14 scale-killer fix: each micro-batch appends ONE
+    O(batch) count delta (d<N> holds only the batch's tokens, not the
+    full |vocab|), compaction folds segments into a run whose counts
+    stay exact THROUGH the crash window (coverage rule, not row
+    dedup), and the q283-shared closing math over the reconstructed
+    state equals the one-shot batch computation."""
+    import glob as _glob
+    import os as _os
+
+    from maston_spark.llm.text import vocab_richness_from_counts
+    from maston_spark.streaming.topology import vocab_saturation_topology
+
+    # batch k introduces ONE new token and repeats the base token:
+    # a full-state rewrite would write k+2 rows at batch k; an
+    # O(batch) delta writes exactly 2
+    per_batch = [[("web", f"base tok{b}")] for b in range(6)]
+    rows = [
+        Row(src=g, text=t, __replay_batch=b)
+        for b, docs in enumerate(per_batch)
+        for g, t in docs
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=6)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+    q = vocab_saturation_topology(
+        stream,
+        group_col="src",
+        text_col="text",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append(
+            (bid, {r.group: tuple(r) for r in df.collect()})
+        ),
+        compact_every=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sdir = f"{chk}/vocab_state"
+    segs = sorted(
+        (_os.path.basename(p)[:1], int(_os.path.basename(p)[1:]))
+        for p in _glob.glob(f"{sdir}/*")
+        if _os.path.basename(p)[:1] in ("v", "d", "c")
+        and _os.path.basename(p)[1:].isdigit()
+    )
+    kinds = {k for k, _ in segs}
+    assert "v" not in kinds  # no legacy full-snapshot rewrites
+    assert "c" in kinds  # compaction ran (compact_every=4, 6 batches)
+    # O(batch) deltas: every live delta holds exactly its batch's
+    # (group, token) rows — 2 per batch here, never |vocab|
+    for k, i in segs:
+        n = spark.read.parquet(f"{sdir}/{k}{i}").count()
+        if k == "d":
+            assert n == 2, (k, i, n)
+        else:
+            assert n == i + 2, (k, i, n)  # run = full state through i
+    # consumed segments left disk: strictly fewer live than batches
+    assert len(segs) < 6
+    # dedup-through-compaction: reconstructed state == one-shot math
+    state = _read_vocab_state(spark, sdir)
+    got = {
+        r.group: tuple(r)
+        for r in vocab_richness_from_counts(state, "group").collect()
+    }
+    flat = [(g, t) for docs in per_batch for g, t in docs]
+    df = spark.createDataFrame(flat, "group string, text string")
+    counts = (
+        df.select("group", F.explode(F.split("text", " ")).alias("__tok"))
+        .filter((F.col("__tok") != "") & F.col("__tok").isNotNull())
+        .groupBy("group", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    want = {
+        r.group: tuple(r)
+        for r in vocab_richness_from_counts(counts, "group").collect()
+    }
+    assert got == want
+    assert dict(seen)[5] == want  # final emit saw the whole prefix
+    # crash window: a leftover ALREADY-CONSUMED delta under the newest
+    # run must not change the reconstruction (coverage, not dedup) —
+    # simulate by re-writing d0 beneath the compacted run
+    b0 = spark.createDataFrame(
+        [("web", "base", 1), ("web", "tok0", 1)], "group string, __tok string, __c long"
+    )
+    b0.write.mode("overwrite").parquet(f"{sdir}/d0")
+    again = {
+        r.group: tuple(r)
+        for r in vocab_richness_from_counts(
+            _read_vocab_state(spark, sdir), "group"
+        ).collect()
+    }
+    assert again == want
 
 
 def test_privacy_gate_topology_golden_and_restart(spark, cleanup):

@@ -108,3 +108,16 @@ def test_load_prev_ratios_prefers_min_of_3(tmp_path):
     r = load_prev_ratios(str(p))
     assert r["q_adj"] == 2.0 and r["q_raw"] == 2.0 and "q_err" not in r
     assert load_prev_ratios(str(tmp_path / "missing.json")) == {}
+
+
+def test_bench_validity_gate_on_loadavg():
+    """bench.py stamps valid=false when the pre-run 1-min loadavg
+    says another workload owned the cores (round-14 verdict: the r13
+    contended calibration divisor inverted the cross-round normalized
+    trend; raw min-of-N on valid-only records is the metric)."""
+    import bench
+
+    assert bench.bench_valid([0.21, 0.3, 0.4]) is True
+    assert bench.bench_valid([2.0, 5.0, 9.0]) is True  # boundary
+    assert bench.bench_valid([11.24, 9.8, 7.7]) is False  # the r14 record
+    assert bench.bench_valid(None) is True  # platform without getloadavg
