@@ -1320,3 +1320,144 @@ def voptimal_histogram(
         )
         out = piece if out is None else out.unionByName(piece)
     return out.orderBy("bucket")
+
+
+def selectivity_audit(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    n_preds: int = 6,
+) -> DataFrame:
+    """Histogram selectivity audit — the readout that justifies (or
+    indicts) the optimizer's column statistics: for ``n_preds``
+    deterministic range predicates over the column's domain, compare
+    the TRUE row count against the estimate each histogram family
+    gives under the uniform-within-bucket assumption — one row
+    ``(pred_id, p_lo, p_hi, true_rows, est_equiwidth, est_voptimal,
+    err_equiwidth, err_voptimal)`` per predicate. Equi-width is what
+    engines default to; :func:`voptimal_histogram` is what Jagadish
+    et al. argue they should store — this operator measures the
+    difference in estimated-vs-actual rows on the same predicates,
+    i.e. exactly the error a cost model would eat.
+
+    Exactness: predicates are integer-derived from (vmin, vmax)
+    (``p_lo = vmin + (k·span) div (n_preds+2)``, two-eighths wide);
+    both histograms store ``(v_lo, v_hi, n_rows)`` with OBSERVED
+    bounds; a bucket's contribution to a predicate is the exact
+    rational ``(n·overlap·10⁶) div width`` in decimal(38,0) (the
+    products exceed int64 at corpus scale); true counts are
+    conditional folds in ONE corpus pass. The oracle replays every
+    formula, including the v-optimal DP.
+
+    Scale shape: one histogram pass (the voptimal precondition:
+    integer pre-grid values, m distinct ≤ ~10³), one single-pass
+    conditional-count agg for truths, then |preds|×|buckets|
+    broadcast arithmetic — driver traffic is two scalars (vmin,
+    vmax)."""
+    if n_preds < 1:
+        raise ValueError("selectivity_audit: need n_preds >= 1")
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("long")
+    base = df.filter(v.isNotNull()).select(v.alias("__v"))
+    row = base.agg(
+        F.min("__v").alias("lo"), F.max("__v").alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            "pred_id int, p_lo long, p_hi long, true_rows long,"
+            " est_equiwidth double, est_voptimal double,"
+            " err_equiwidth double, err_voptimal double",
+        )
+    vmin, vmax = int(row["lo"]), int(row["hi"])
+    span = vmax - vmin + 1
+    denom = int(n_preds) + 2
+    preds = []
+    for k in range(int(n_preds)):
+        p_lo = vmin + (k * span) // denom
+        p_hi = vmin + ((k + 2) * span) // denom - 1
+        preds.append((k, p_lo, max(p_lo, p_hi)))
+    spark = df.sparkSession
+    pred_df = spark.createDataFrame(preds, "pred_id int, p_lo long, p_hi long")
+
+    # true selectivity: one corpus pass, |preds| conditional folds
+    true_aggs = [
+        F.sum(
+            F.when((F.col("__v") >= p_lo) & (F.col("__v") <= p_hi), 1)
+            .otherwise(0)
+        ).cast("long").alias(f"__t{k}")
+        for k, p_lo, p_hi in preds
+    ]
+    t_row = base.agg(*true_aggs).collect()[0]
+    trues = spark.createDataFrame(
+        [(k, int(t_row[f"__t{k}"])) for k, _, _ in preds],
+        "pred_id int, true_rows long",
+    )
+
+    # equi-width histogram: observed (v_lo, v_hi, n) per nominal cell
+    ew = (
+        base.groupBy(
+            F.expr(f"((__v - {vmin}) * {int(n_buckets)}) div {span}")
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.min("__v").alias("v_lo"),
+            F.max("__v").alias("v_hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    vo = voptimal_histogram(base, "__v", n_buckets=n_buckets).select(
+        "bucket", "v_lo", "v_hi", "n_rows"
+    )
+
+    def estimate(hist, out_col):
+        ov_lo = F.greatest(F.col("p_lo"), F.col("v_lo"))
+        ov_hi = F.least(F.col("p_hi"), F.col("v_hi"))
+        contrib = F.when(
+            ov_hi >= ov_lo,
+            F.expr(
+                f"(cast(n_rows as {dec})"
+                " * (least(p_hi, v_hi) - greatest(p_lo, v_lo) + 1)"
+                " * 1000000) div (v_hi - v_lo + 1)"
+            ),
+        ).otherwise(F.lit(0).cast(dec))
+        return (
+            pred_df.crossJoin(F.broadcast(hist))
+            .select("pred_id", contrib.alias("__c"))
+            .groupBy("pred_id")
+            .agg(F.sum("__c").alias(out_col))
+        )
+
+    e_ew = estimate(ew, "__ew")
+    e_vo = estimate(vo, "__vo")
+    return (
+        pred_df.join(trues, "pred_id")
+        .join(e_ew, "pred_id")
+        .join(e_vo, "pred_id")
+        .select(
+            "pred_id",
+            "p_lo",
+            "p_hi",
+            "true_rows",
+            (F.col("__ew").cast("double") / F.lit(1e6)).alias(
+                "est_equiwidth"
+            ),
+            (F.col("__vo").cast("double") / F.lit(1e6)).alias(
+                "est_voptimal"
+            ),
+            (
+                F.abs(
+                    F.col("__ew") - F.col("true_rows").cast(dec) * 1000000
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("err_equiwidth"),
+            (
+                F.abs(
+                    F.col("__vo") - F.col("true_rows").cast(dec) * 1000000
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("err_voptimal"),
+        )
+        .orderBy("pred_id")
+    )

@@ -439,6 +439,12 @@ _PRIORITY = [
     # runs + degree/frequency word graph) beside token-level
     # PMI/tf-idf
     "q295_rake_keyphrases",
+    # round-15 additions (locally oracle-verified; first in line if a
+    # graded row frees up):
+    # HITS hubs/authorities — the mutual-reinforcement link-analysis
+    # pair beside q118's single PageRank score; max-normalized
+    # iteration replay in DECIMAL(28,9)
+    "q297_hits",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

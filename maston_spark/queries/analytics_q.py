@@ -5734,3 +5734,199 @@ def q296_k_anonymity_prefix(spark, sf_dir):
             .agg(F.sum("__n").cast("long").alias("__n"))
         )
     return k_anonymity_from_counts(counts, ["nat", "seg", "band"])
+
+
+@query(
+    "q297_hits",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                   FROM lineitem),
+    edges AS (SELECT 1000000 + s AS src, p AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+    a1r AS (SELECT e.dst AS node,
+                   sum(CAST(h.hub AS DECIMAL(28,9))) AS raw
+            FROM edges e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+    a1m AS (SELECT max(raw) AS m FROM a1r),
+    a1 AS (SELECT n.node,
+                  COALESCE(round(CAST(r.raw AS DOUBLE)
+                                 / CAST(m.m AS DOUBLE), 9), 0.0)
+                    AS authority
+           FROM nodes n LEFT JOIN a1r r ON n.node = r.node
+                CROSS JOIN a1m m),
+    h1r AS (SELECT e.src AS node,
+                   sum(CAST(a.authority AS DECIMAL(28,9))) AS raw
+            FROM edges e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+    h1m AS (SELECT max(raw) AS m FROM h1r),
+    h1 AS (SELECT n.node,
+                  COALESCE(round(CAST(r.raw AS DOUBLE)
+                                 / CAST(m.m AS DOUBLE), 9), 0.0) AS hub
+           FROM nodes n LEFT JOIN h1r r ON n.node = r.node
+                CROSS JOIN h1m m),
+    a2r AS (SELECT e.dst AS node,
+                   sum(CAST(h.hub AS DECIMAL(28,9))) AS raw
+            FROM edges e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+    a2m AS (SELECT max(raw) AS m FROM a2r),
+    a2 AS (SELECT n.node,
+                  COALESCE(round(CAST(r.raw AS DOUBLE)
+                                 / CAST(m.m AS DOUBLE), 9), 0.0)
+                    AS authority
+           FROM nodes n LEFT JOIN a2r r ON n.node = r.node
+                CROSS JOIN a2m m),
+    h2r AS (SELECT e.src AS node,
+                   sum(CAST(a.authority AS DECIMAL(28,9))) AS raw
+            FROM edges e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+    h2m AS (SELECT max(raw) AS m FROM h2r),
+    h2 AS (SELECT n.node,
+                  COALESCE(round(CAST(r.raw AS DOUBLE)
+                                 / CAST(m.m AS DOUBLE), 9), 0.0) AS hub
+           FROM nodes n LEFT JOIN h2r r ON n.node = r.node
+                CROSS JOIN h2m m)
+    SELECT h2.node, round(h2.hub, 6) AS hub,
+           round(a2.authority, 6) AS authority
+    FROM h2 JOIN a2 ON h2.node = a2.node
+    ORDER BY authority DESC, hub DESC, h2.node LIMIT 20
+    """,
+)
+def q297_hits(spark, sf_dir):
+    """HITS hubs/authorities over the supplier→part supply graph
+    (suppliers offset by 1e6, the q118 node convention): top-20 by
+    authority — the mutual-reinforcement link-analysis pair beside
+    q118's single PageRank score. Two fixed iterations; every
+    half-iteration folds the opposite score as DECIMAL(28,9) and
+    max-normalizes with a round-9 quotient, so the oracle replays
+    the exact vectors as inlined CTE stages. See
+    :func:`maston_spark.graph.hits`."""
+    from maston_spark.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") + F.lit(1000000)).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    ).distinct()
+    return (
+        hits(li, iterations=2)
+        .orderBy(F.desc("authority"), F.desc("hub"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@query(
+    "q298_selectivity_audit",
+    oracle="""
+    WITH h AS (SELECT CAST(round(value) AS BIGINT) AS v,
+                      CAST(count(*) AS BIGINT) AS w
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    c AS (SELECT v, w, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS i,
+                 sum(CAST(w AS HUGEINT)) OVER (ORDER BY v) AS cw,
+                 sum(CAST(v * w AS HUGEINT)) OVER (ORDER BY v) AS cs,
+                 sum(CAST(v * v * w AS HUGEINT)) OVER (ORDER BY v) AS cs2
+          FROM h),
+    lo AS (SELECT i AS j, v AS vj, cw - w AS pw, cs - v * w AS ps,
+                  cs2 - v * v * w AS ps2 FROM c),
+    hi AS (SELECT i AS k, v AS vk, cw AS kw, cs AS ks, cs2 AS ks2 FROM c),
+    iv AS (SELECT j, k, vj, vk, CAST(kw - pw AS BIGINT) AS n,
+                  ((kw - pw) * (ks2 - ps2) - (ks - ps) * (ks - ps))
+                    // (kw - pw) AS sse
+           FROM lo, hi WHERE k >= j),
+    e1 AS (SELECT k AS i, sse AS cost FROM iv WHERE j = 1),
+    c2 AS (SELECT iv.k AS i, e1.i AS s, e1.cost + iv.sse AS cost
+           FROM e1 JOIN iv ON iv.j = e1.i + 1),
+    b2 AS (SELECT i, min(cost) AS cost FROM c2 GROUP BY i),
+    a2 AS (SELECT c2.i, c2.cost, min(c2.s) AS split
+           FROM c2 JOIN b2 ON b2.i = c2.i AND b2.cost = c2.cost
+           GROUP BY 1, 2),
+    c3 AS (SELECT iv.k AS i, a2.i AS s, a2.cost + iv.sse AS cost
+           FROM a2 JOIN iv ON iv.j = a2.i + 1),
+    b3 AS (SELECT i, min(cost) AS cost FROM c3 GROUP BY i),
+    a3 AS (SELECT c3.i, c3.cost, min(c3.s) AS split
+           FROM c3 JOIN b3 ON b3.i = c3.i AND b3.cost = c3.cost
+           GROUP BY 1, 2),
+    c4 AS (SELECT iv.k AS i, a3.i AS s, a3.cost + iv.sse AS cost
+           FROM a3 JOIN iv ON iv.j = a3.i + 1),
+    b4 AS (SELECT i, min(cost) AS cost FROM c4 GROUP BY i),
+    a4 AS (SELECT c4.i, c4.cost, min(c4.s) AS split
+           FROM c4 JOIN b4 ON b4.i = c4.i AND b4.cost = c4.cost
+           GROUP BY 1, 2),
+    mm AS (SELECT max(i) AS m FROM c),
+    f3 AS (SELECT a4.split AS cut3 FROM a4, mm WHERE a4.i = mm.m),
+    f2 AS (SELECT a3.split AS cut2 FROM a3, f3 WHERE a3.i = f3.cut3),
+    f1 AS (SELECT a2.split AS cut1 FROM a2, f2 WHERE a2.i = f2.cut2),
+    spans AS (
+      SELECT CAST(1 AS BIGINT) AS j, f1.cut1 AS k FROM f1, mm
+      WHERE mm.m >= 4
+      UNION ALL SELECT f1.cut1 + 1, f2.cut2 FROM f1, f2, mm
+      WHERE mm.m >= 4
+      UNION ALL SELECT f2.cut2 + 1, f3.cut3 FROM f2, f3, mm
+      WHERE mm.m >= 4
+      UNION ALL SELECT f3.cut3 + 1, mm.m FROM f3, mm WHERE mm.m >= 4
+      UNION ALL SELECT c.i, c.i FROM c, mm WHERE mm.m < 4),
+    vopt AS (SELECT iv.vj AS v_lo, iv.vk AS v_hi, iv.n AS n_rows
+             FROM spans JOIN iv ON iv.j = spans.j AND iv.k = spans.k),
+    bounds AS (SELECT min(v) AS vmin, max(v) AS vmax,
+                      max(v) - min(v) + 1 AS span
+               FROM h),
+    ew AS (SELECT min(v) AS v_lo, max(v) AS v_hi,
+                  CAST(sum(w) AS BIGINT) AS n_rows
+           FROM h, bounds
+           GROUP BY ((v - bounds.vmin) * 4) // bounds.span),
+    preds AS (SELECT t.k AS pred_id,
+                     b.vmin + (t.k * b.span) // 8 AS p_lo,
+                     greatest(b.vmin + (t.k * b.span) // 8,
+                              b.vmin + ((t.k + 2) * b.span) // 8 - 1)
+                       AS p_hi
+              FROM (VALUES (0),(1),(2),(3),(4),(5)) t(k), bounds b),
+    truths AS (SELECT p.pred_id,
+                      CAST(COALESCE(sum(CASE WHEN h.v >= p.p_lo
+                                              AND h.v <= p.p_hi
+                                             THEN h.w END), 0) AS BIGINT)
+                        AS true_rows
+               FROM preds p, h GROUP BY 1),
+    est_ew AS (SELECT p.pred_id,
+                      sum(CASE WHEN least(p.p_hi, e.v_hi)
+                                    >= greatest(p.p_lo, e.v_lo)
+                               THEN (CAST(e.n_rows AS HUGEINT)
+                                     * (least(p.p_hi, e.v_hi)
+                                        - greatest(p.p_lo, e.v_lo) + 1)
+                                     * 1000000)
+                                    // (e.v_hi - e.v_lo + 1)
+                               ELSE 0 END) AS em
+               FROM preds p, ew e GROUP BY 1),
+    est_vo AS (SELECT p.pred_id,
+                      sum(CASE WHEN least(p.p_hi, o.v_hi)
+                                    >= greatest(p.p_lo, o.v_lo)
+                               THEN (CAST(o.n_rows AS HUGEINT)
+                                     * (least(p.p_hi, o.v_hi)
+                                        - greatest(p.p_lo, o.v_lo) + 1)
+                                     * 1000000)
+                                    // (o.v_hi - o.v_lo + 1)
+                               ELSE 0 END) AS em
+               FROM preds p, vopt o GROUP BY 1)
+    SELECT CAST(p.pred_id AS INT) AS pred_id, p.p_lo, p.p_hi,
+           t.true_rows,
+           CAST(w.em AS DOUBLE) / 1e6 AS est_equiwidth,
+           CAST(v.em AS DOUBLE) / 1e6 AS est_voptimal,
+           CAST(abs(w.em - CAST(t.true_rows AS HUGEINT) * 1000000)
+                AS DOUBLE) / 1e6 AS err_equiwidth,
+           CAST(abs(v.em - CAST(t.true_rows AS HUGEINT) * 1000000)
+                AS DOUBLE) / 1e6 AS err_voptimal
+    FROM preds p JOIN truths t ON t.pred_id = p.pred_id
+         JOIN est_ew w ON w.pred_id = p.pred_id
+         JOIN est_vo v ON v.pred_id = p.pred_id
+    ORDER BY pred_id
+    """,
+)
+def q298_selectivity_audit(spark, sf_dir):
+    """Histogram selectivity audit over the integer-gridded event
+    value: for 6 deterministic range predicates, TRUE row counts vs
+    the uniform-within-bucket estimates from the default equi-width
+    histogram and from q293's v-optimal histogram — the
+    estimated-vs-actual error a cost model would eat, i.e. the
+    readout that justifies storing the better statistics. See
+    :func:`maston_spark.profiling.selectivity_audit`."""
+    from maston_spark.profiling import selectivity_audit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value"), 0).cast("long").alias("v")
+    )
+    return selectivity_audit(ev, "v", n_buckets=4, n_preds=6)
