@@ -2845,3 +2845,170 @@ def qini_uplift(
         uplift.alias("uplift_rate"),
         qini.alias("qini"),
     ).orderBy("bucket")
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    quantiles: "tuple[float, ...]" = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974; Firpo 2007) — one row
+    per quantile ``(quantile, n_treated, n_control, q_treated,
+    q_control, qte)``: the horizontal gap between the treated and
+    control outcome DISTRIBUTIONS at each quantile — the
+    distributional readout the mean-effect family (CUPED, CEM ATT,
+    DiD, RD) cannot give: a treatment that helps the median user but
+    hurts the tail shows qte(0.5) > 0 > qte(0.9) while every mean
+    estimator reports a wash.
+
+    Exactness: each arm's quantiles are
+    :func:`maston_spark.relational.exact_percentiles` order
+    statistics (value-histogram ranks, the ``percentile_cont``
+    interpolation form pinned bit-identical to DuckDB's
+    quantile_cont); the qte is one IEEE subtraction of two
+    bit-parity doubles — no rounding anywhere, so the oracle matches
+    exactly or the build fails loudly.
+
+    Scale shape: ONE value-histogram aggregation per arm (shuffle
+    bounded by distinct outcome values), |quantiles| flag rows to
+    the close — the q15 discipline with the treatment arm as the
+    group key."""
+    from maston_spark.relational import exact_percentiles
+
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col)
+    base = df.filter(t.isNotNull() & y.isNotNull()).select(
+        t.alias("__arm"), y.alias("__y")
+    )
+    aliases = [f"q{int(round(q * 100)):02d}" for q in quantiles]
+    pct = exact_percentiles(base, "__arm", "__y", list(quantiles), aliases)
+    counts = base.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    both = pct.join(counts, "__arm")
+    tr = both.filter(F.col("__arm") == 1)
+    ct = both.filter(F.col("__arm") == 0)
+    out = None
+    for q, a in zip(quantiles, aliases):
+        piece = (
+            tr.select(
+                F.lit(float(q)).alias("quantile"),
+                F.col("__n").alias("n_treated"),
+                F.col(a).alias("q_treated"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    ct.select(
+                        F.col("__n").alias("n_control"),
+                        F.col(a).alias("q_control"),
+                    )
+                )
+            )
+            .select(
+                "quantile",
+                "n_treated",
+                "n_control",
+                "q_treated",
+                "q_control",
+                (F.col("q_treated") - F.col("q_control")).alias("qte"),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("quantile")
+
+
+def ips_offpolicy_value(
+    df: DataFrame,
+    action_col: str,
+    reward_col: str,
+    target_action_col: str,
+) -> DataFrame:
+    """Off-policy value estimate of a deterministic target policy
+    from logged bandit feedback (Horvitz-Thompson IPS; SNIPS —
+    Swaminathan & Joachims 2015) — one row ``(n, n_matched,
+    ips_value, snips_value, ess)``: what reward-per-decision the
+    TARGET policy would have earned, estimated from logs collected
+    under a DIFFERENT policy by weighting each matching decision
+    with the inverse of its logging propensity. The propensities are
+    the plug-in marginal action frequencies ``p(a) = n_a/n`` (the
+    standard estimator when the logger didn't record them), so the
+    per-action weight is the exact rational ``n/n_a``. SNIPS
+    self-normalizes by the realized weight mass (kills the IPS
+    variance blow-up when the target prefers rare logged actions);
+    ESS ``(Σw)²/Σw²`` says how many effective samples the estimate
+    really rests on — the triple every RLHF/bandit data pipeline
+    reports before trusting an off-policy number.
+
+    Exactness: per-action numerators fold as int64 micro-lanes of
+    the reward; every division is a sign-split half-away integral
+    div in decimal(38,0) at a documented lane (per-action micro/nano
+    rounding, then exact sums — the oracle replays each lane).
+
+    Scale shape: ONE combiner-reduced per-action aggregation
+    (shuffle bounded by |actions|), then |actions|-row closing
+    arithmetic."""
+    dec = "decimal(38,0)"
+    a = F.col(action_col)
+    r = F.round(F.col(reward_col).cast("double"), 6) * 1e6
+    base = df.filter(
+        a.isNotNull()
+        & F.col(reward_col).isNotNull()
+        & F.col(target_action_col).isNotNull()
+    ).select(
+        a.alias("__a"),
+        F.round(r, 0).cast("long").alias("__r"),
+        (a == F.col(target_action_col)).cast("int").alias("__m"),
+    )
+    per = base.groupBy("__a").agg(
+        F.count(F.lit(1)).cast("long").alias("__na"),
+        F.sum(F.when(F.col("__m") == 1, F.col("__r"))).alias("__num"),
+        F.sum("__m").cast("long").alias("__ma"),
+    )
+
+    def halfdiv(num, den):
+        return (
+            f"CASE WHEN {num} >= 0"
+            f" THEN (2 * ({num}) + ({den})) div (2 * ({den}))"
+            f" ELSE -((2 * (-({num})) + ({den})) div (2 * ({den}))) END"
+        )
+
+    lanes = per.select(
+        "__na",
+        "__ma",
+        F.expr(
+            halfdiv(f"coalesce(cast(__num as {dec}), cast(0 as {dec}))", "__na")
+        ).alias("__c"),  # micro: num_a / n_a
+        F.expr(
+            halfdiv(f"cast(__ma as {dec}) * 1000000000", "__na")
+        ).alias("__w1"),  # nano: m_a / n_a
+        F.expr(
+            halfdiv(
+                f"cast(__ma as {dec}) * 1000000000000",
+                f"cast(__na as {dec}) * __na",
+            )
+        ).alias("__w2"),  # pico: m_a / n_a²
+    )
+    agg = lanes.agg(
+        F.sum("__na").cast("long").alias("n"),
+        F.sum("__ma").cast("long").alias("n_matched"),
+        F.sum(F.col("__c").cast(dec)).alias("__s0"),
+        F.sum(F.col("__w1").cast(dec)).alias("__s1"),
+        F.sum(F.col("__w2").cast(dec)).alias("__s2"),
+    )
+    ips = F.col("__s0").cast("double") / F.lit(1e6)
+    snips = F.when(
+        F.col("__s1") > 0,
+        F.expr(halfdiv("__s0 * 1000000000", "__s1")).cast("double")
+        / F.lit(1e6),
+    )
+    # ess·1e6 = (s1/1e9)² / (s2/1e12) · 1e6 = __s1²/__s2 exactly
+    ess = F.when(
+        F.col("__s2") > 0,
+        F.expr(halfdiv("__s1 * __s1", "__s2")).cast("double")
+        / F.lit(1e6),
+    )
+    return agg.select(
+        "n", "n_matched", ips.alias("ips_value"),
+        snips.alias("snips_value"), ess.alias("ess"),
+    )

@@ -1461,3 +1461,103 @@ def selectivity_audit(
         )
         .orderBy("pred_id")
     )
+
+
+def disproportionality_signals(
+    df: DataFrame,
+    item_col: str,
+    event_col: str,
+    min_count: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Disproportionality signal detection (Evans et al. 2001 PRR;
+    Rothman ROR — pharmacovigilance canon, applied here as a corpus
+    surveillance audit): for each (item, event) cell of a 2-way
+    reporting table, the proportional reporting ratio
+    ``PRR = [a/(a+b)] / [c/(c+d)]`` and reporting odds ratio
+    ``ROR = ad/bc`` against the rest-of-table background — "which
+    sources disproportionately carry which flags" ranked by signal
+    strength, the screening statistic that flags a (source, defect)
+    association BEFORE anyone hypothesizes it (chi-square q-family
+    tests a chosen pair; this scans all cells).
+
+    Exactness: a/b/c/d are exact int64 cell/margin counts off ONE
+    combiner-reduced aggregation; PRR and ROR close as half-away
+    micro-grid rationals in decimal(38,0) (``a·(c+d)`` style products
+    overflow int64 at corpus scale). Cells with ``c = 0`` emit NULL
+    prr (no background to compare against); ``b·c = 0`` emits NULL
+    ror. Cells below ``min_count`` reports are suppressed (the
+    standard screening floor — a 1-report cell "signals" on noise).
+
+    Scale shape: shuffle bounded by |items|×|events| cells; margins
+    are two slim aggs broadcast back; top-k is a TakeOrdered."""
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(item_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("item"), F.col(event_col).alias("event")
+    )
+    cells = base.groupBy("item", "event").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    item_m = cells.groupBy("item").agg(
+        F.sum("a").cast("long").alias("__ni")
+    )
+    event_m = cells.groupBy("event").agg(
+        F.sum("a").cast("long").alias("__ne")
+    )
+    total = cells.agg(F.sum("a").cast("long").alias("__nt"))
+    j = (
+        cells.join(F.broadcast(item_m), "item")
+        .join(F.broadcast(event_m), "event")
+        .join(F.broadcast(total))
+        .select(
+            "item",
+            "event",
+            "a",
+            (F.col("__ni") - F.col("a")).alias("b"),
+            (F.col("__ne") - F.col("a")).alias("c"),
+            (F.col("__nt") - F.col("__ni") - F.col("__ne") + F.col("a")).alias(
+                "d"
+            ),
+            F.col("__ni").alias("n_item"),
+            F.col("__ne").alias("n_event"),
+            F.col("__nt").alias("n_total"),
+        )
+        .filter(F.col("a") >= int(min_count))
+    )
+    prr = F.when(
+        F.col("c") > 0,
+        F.expr(
+            f"(2 * cast(a as {dec}) * (c + d) * 1000000"
+            f" + cast(a + b as {dec}) * c)"
+            f" div (2 * cast(a + b as {dec}) * c)"
+        ).cast("double")
+        / F.lit(1e6),
+    )
+    ror = F.when(
+        (F.col("b") > 0) & (F.col("c") > 0),
+        F.expr(
+            f"(2 * cast(a as {dec}) * d * 1000000"
+            f" + cast(b as {dec}) * c)"
+            f" div (2 * cast(b as {dec}) * c)"
+        ).cast("double")
+        / F.lit(1e6),
+    )
+    return (
+        j.select(
+            "item",
+            "event",
+            F.col("a").alias("n_item_event"),
+            "n_item",
+            "n_event",
+            "n_total",
+            prr.alias("prr"),
+            ror.alias("ror"),
+        )
+        .orderBy(
+            F.desc_nulls_last("prr"), F.asc("item"), F.asc("event")
+        )  # explicit NULLS LAST: Spark's desc default, pinned so the
+        # oracle's ORDER BY ... DESC NULLS LAST is identical
+        .limit(top_k)
+    )

@@ -445,6 +445,29 @@ _PRIORITY = [
     # pair beside q118's single PageRank score; max-normalized
     # iteration replay in DECIMAL(28,9)
     "q297_hits",
+    # histogram selectivity audit — true-vs-estimated rows for range
+    # predicates under equi-width AND q293's v-optimal statistics:
+    # the estimated-vs-actual error a cost model would eat, exact
+    # uniform-within-bucket rationals in decimal(38,0)
+    "q298_selectivity_audit",
+    # PRR/ROR disproportionality screen — hypothesis-free
+    # surveillance scan of the source×lang reporting table, the
+    # screening member beside the chi-square chosen-pair family
+    "q299_prr_signals",
+    # truncated-EWMA fast/slow trend — smoothing-based drift lens
+    # beside the CUSUM changepoint family; decay weights are
+    # pre-computed integer nano-lanes mirrored into the oracle
+    # (q242's no-in-engine-libm discipline)
+    "q300_ewma_trend",
+    # quantile treatment effects — the distributional causal readout
+    # beside the mean-effect family (CUPED/CEM/DiD/RD); per-arm exact
+    # order statistics bit-pinned to quantile_cont
+    "q301_quantile_treatment_effects",
+    # IPS/SNIPS off-policy value + ESS — counterfactual policy
+    # evaluation from logged feedback with plug-in propensities, the
+    # RLHF/bandit-pipeline readout; every division a documented
+    # half-away integer lane
+    "q302_ips_offpolicy",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

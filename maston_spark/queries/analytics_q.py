@@ -5930,3 +5930,274 @@ def q298_selectivity_audit(spark, sf_dir):
         F.round(F.col("value"), 0).cast("long").alias("v")
     )
     return selectivity_audit(ev, "v", n_buckets=4, n_preds=6)
+
+
+@query(
+    "q299_prr_signals",
+    oracle="""
+    WITH base AS (SELECT source AS item, lang AS event FROM documents
+                  WHERE source IS NOT NULL AND lang IS NOT NULL),
+    cells AS (SELECT item, event, CAST(count(*) AS BIGINT) AS a
+              FROM base GROUP BY 1, 2),
+    im AS (SELECT item, CAST(sum(a) AS BIGINT) AS ni FROM cells
+           GROUP BY 1),
+    em AS (SELECT event, CAST(sum(a) AS BIGINT) AS ne FROM cells
+           GROUP BY 1),
+    tt AS (SELECT CAST(sum(a) AS BIGINT) AS nt FROM cells),
+    j AS (SELECT cells.item, cells.event, cells.a,
+                 im.ni - cells.a AS b, em.ne - cells.a AS cc,
+                 tt.nt - im.ni - em.ne + cells.a AS d,
+                 im.ni, em.ne, tt.nt
+          FROM cells JOIN im ON im.item = cells.item
+               JOIN em ON em.event = cells.event CROSS JOIN tt
+          WHERE cells.a >= 3)
+    SELECT item, event, a AS n_item_event, ni AS n_item,
+           ne AS n_event, nt AS n_total,
+           CASE WHEN cc > 0 THEN
+             CAST((2 * CAST(a AS HUGEINT) * (cc + d) * 1000000
+                   + CAST(a + b AS HUGEINT) * cc)
+                  // (2 * CAST(a + b AS HUGEINT) * cc) AS DOUBLE) / 1e6
+           END AS prr,
+           CASE WHEN b > 0 AND cc > 0 THEN
+             CAST((2 * CAST(a AS HUGEINT) * d * 1000000
+                   + CAST(b AS HUGEINT) * cc)
+                  // (2 * CAST(b AS HUGEINT) * cc) AS DOUBLE) / 1e6
+           END AS ror
+    FROM j
+    ORDER BY prr DESC NULLS LAST, item, event LIMIT 20
+    """,
+)
+def q299_prr_signals(spark, sf_dir):
+    """Disproportionality screen over the corpus reporting table
+    (source × language): PRR/ROR per cell vs the rest-of-table
+    background — "which sources disproportionately carry which
+    languages", the hypothesis-free surveillance scan beside the
+    chi-square family's chosen-pair tests. All rationals half-away
+    on the micro grid in decimal(38,0). See
+    :func:`maston_spark.profiling.disproportionality_signals`."""
+    from maston_spark.profiling import disproportionality_signals
+
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    return disproportionality_signals(
+        d, "source", "lang", min_count=3, top_k=20
+    )
+
+
+@query(
+    "q300_ewma_trend",
+    oracle="""
+    WITH w(rn, wf, ws) AS (VALUES
+      (1,500000000,125000000),
+      (2,250000000,109375000),
+      (3,125000000,95703125),
+      (4,62500000,83740234),
+      (5,31250000,73272705),
+      (6,15625000,64113617),
+      (7,7812500,56099415),
+      (8,3906250,49086988),
+      (9,1953125,42951114),
+      (10,976562,37582225),
+      (11,488281,32884447),
+      (12,244141,28773891),
+      (13,122070,25177155),
+      (14,61035,22030010),
+      (15,30518,19276259),
+      (16,15259,16866727),
+      (17,7629,14758386),
+      (18,3815,12913588),
+      (19,1907,11299389),
+      (20,954,9886966),
+      (21,477,8651095),
+      (22,238,7569708),
+      (23,119,6623494),
+      (24,60,5795558)),
+    b AS (SELECT event_type AS series,
+                 CAST(round(round(value, 6) * 1e6) AS BIGINT) AS y,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rn
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL
+            AND ts IS NOT NULL AND event_id IS NOT NULL),
+    n AS (SELECT series, CAST(count(*) AS BIGINT) AS n_obs
+          FROM b GROUP BY 1),
+    s AS (SELECT b.series,
+                 sum(CAST(w.wf AS HUGEINT) * b.y) AS fn,
+                 sum(CAST(w.wf AS HUGEINT)) AS fd,
+                 sum(CAST(w.ws AS HUGEINT) * b.y) AS sn,
+                 sum(CAST(w.ws AS HUGEINT)) AS sd
+          FROM b JOIN w ON w.rn = b.rn GROUP BY 1),
+    m AS (SELECT series,
+                 CASE WHEN fn >= 0 THEN (2 * fn + fd) // (2 * fd)
+                      ELSE -((2 * (-fn) + fd) // (2 * fd)) END AS fm,
+                 CASE WHEN sn >= 0 THEN (2 * sn + sd) // (2 * sd)
+                      ELSE -((2 * (-sn) + sd) // (2 * sd)) END AS sm
+          FROM s)
+    SELECT n.series, n.n_obs,
+           CAST(m.fm AS DOUBLE) / 1e6 AS ewma_fast,
+           CAST(m.sm AS DOUBLE) / 1e6 AS ewma_slow,
+           CAST(m.fm > m.sm AS INT) AS trend
+    FROM n JOIN m ON n.series = m.series
+    ORDER BY n.series
+    """,
+)
+def q300_ewma_trend(spark, sf_dir):
+    """Truncated-EWMA level trend per event type (fast α=0.5 vs slow
+    α=0.125 over the last 24 observations by time): where each
+    series is running against its own long-run level — the
+    smoothing-based drift lens beside the CUSUM changepoint family.
+    Decay weights are pre-computed integer nano-lanes mirrored into
+    the oracle's VALUES table (the q242 discipline — no in-engine
+    float pow), and each EWMA closes as one sign-split half-away
+    division of decimal(38,0) sums. See
+    :func:`maston_spark.relational.ewma_trend`."""
+    from maston_spark.relational import ewma_trend
+
+    wf = (500000000, 250000000, 125000000, 62500000, 31250000, 15625000, 7812500, 3906250, 1953125, 976562, 488281, 244141, 122070, 61035, 30518, 15259, 7629, 3815, 1907, 954, 477, 238, 119, 60)
+    ws = (125000000, 109375000, 95703125, 83740234, 73272705, 64113617, 56099415, 49086988, 42951114, 37582225, 32884447, 28773891, 25177155, 22030010, 19276259, 16866727, 14758386, 12913588, 11299389, 9886966, 8651095, 7569708, 6623494, 5795558)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    return ewma_trend(
+        ev, "event_type", ["ts", "event_id"], "value", wf, ws
+    )
+
+
+@query(
+    "q301_quantile_treatment_effects",
+    oracle="""
+    WITH e AS (SELECT value AS y,
+                      CAST(('0x' || substr(md5('exp:'
+                           || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 2 AS INT) AS tr
+               FROM events
+               WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    q AS (SELECT tr, CAST(count(*) AS BIGINT) AS n,
+                 quantile_cont(y, 0.25) AS q25,
+                 quantile_cont(y, 0.5) AS q50,
+                 quantile_cont(y, 0.75) AS q75
+          FROM e GROUP BY tr),
+    t AS (SELECT * FROM q WHERE tr = 1),
+    c AS (SELECT * FROM q WHERE tr = 0)
+    SELECT u.quantile, t.n AS n_treated, c.n AS n_control,
+           CASE u.quantile WHEN 0.25 THEN t.q25
+                WHEN 0.5 THEN t.q50 ELSE t.q75 END AS q_treated,
+           CASE u.quantile WHEN 0.25 THEN c.q25
+                WHEN 0.5 THEN c.q50 ELSE c.q75 END AS q_control,
+           CASE u.quantile WHEN 0.25 THEN t.q25 - c.q25
+                WHEN 0.5 THEN t.q50 - c.q50
+                ELSE t.q75 - c.q75 END AS qte
+    FROM (VALUES (0.25), (0.5), (0.75)) u(quantile), t, c
+    ORDER BY u.quantile
+    """,
+)
+def q301_quantile_treatment_effects(spark, sf_dir):
+    """Quantile treatment effects of the q294 experiment assignment
+    (md5 'exp:' user split) on event value: the treated-vs-control
+    distribution gap at the quartiles — the distributional causal
+    readout beside the mean-effect family (q221 CUPED / q287 CEM /
+    q236 DiD / q292 RD). Each arm's quantiles are exact order
+    statistics bit-pinned to quantile_cont. See
+    :func:`maston_spark.evaluation.quantile_treatment_effects`."""
+    from maston_spark.evaluation import quantile_treatment_effects
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.col("value").alias("y"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("exp:"),
+                F.col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2
+        ).cast("int").alias("tr"),
+    )
+    return quantile_treatment_effects(ev, "tr", "y")
+
+
+@query(
+    "q302_ips_offpolicy",
+    oracle="""
+    WITH types AS (SELECT a, row_number() OVER (ORDER BY a) - 1 AS idx
+                   FROM (SELECT DISTINCT event_type AS a FROM events
+                         WHERE event_type IS NOT NULL)),
+    kk AS (SELECT count(*) AS k FROM types),
+    e AS (SELECT ev.event_type AS a,
+                 CAST(round(round(ev.value, 6) * 1e6) AS BIGINT) AS rl,
+                 t.a AS tgt
+          FROM events ev, kk
+               JOIN types t ON t.idx = ev.user_id % kk.k
+          WHERE ev.event_type IS NOT NULL AND ev.value IS NOT NULL
+            AND ev.user_id IS NOT NULL),
+    per AS (SELECT a, CAST(count(*) AS BIGINT) AS na,
+                   sum(CASE WHEN a = tgt
+                            THEN CAST(rl AS HUGEINT) END) AS num,
+                   CAST(sum(CASE WHEN a = tgt THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ma
+            FROM e GROUP BY a),
+    lanes AS (SELECT na, ma,
+                     CASE WHEN COALESCE(num, 0) >= 0
+                          THEN (2 * COALESCE(num, 0) + na) // (2 * na)
+                          ELSE -((2 * (-COALESCE(num, 0)) + na)
+                                 // (2 * na)) END AS c,
+                     (2 * CAST(ma AS HUGEINT) * 1000000000 + na)
+                       // (2 * na) AS w1,
+                     (2 * CAST(ma AS HUGEINT) * 1000000000000
+                      + CAST(na AS HUGEINT) * na)
+                       // (2 * CAST(na AS HUGEINT) * na) AS w2
+              FROM per),
+    agg AS (SELECT CAST(sum(na) AS BIGINT) AS n,
+                   CAST(sum(ma) AS BIGINT) AS n_matched,
+                   sum(CAST(c AS HUGEINT)) AS s0,
+                   sum(CAST(w1 AS HUGEINT)) AS s1,
+                   sum(CAST(w2 AS HUGEINT)) AS s2
+            FROM lanes)
+    SELECT n, n_matched,
+           CAST(s0 AS DOUBLE) / 1e6 AS ips_value,
+           CASE WHEN s1 > 0 THEN
+             CAST(CASE WHEN s0 >= 0
+                       THEN (2 * s0 * 1000000000 + s1) // (2 * s1)
+                       ELSE -((2 * (-s0) * 1000000000 + s1)
+                              // (2 * s1)) END AS DOUBLE) / 1e6
+           END AS snips_value,
+           CASE WHEN s2 > 0 THEN
+             CAST((2 * s1 * s1 + s2) // (2 * s2) AS DOUBLE) / 1e6
+           END AS ess
+    FROM agg
+    """,
+)
+def q302_ips_offpolicy(spark, sf_dir):
+    """IPS / SNIPS off-policy value of a deterministic target policy
+    (recommend the event type indexed by user_id mod |types|) from
+    the logged event stream, with plug-in marginal propensities and
+    the effective-sample-size diagnostic — the counterfactual "what
+    would that policy have earned" readout an RLHF/bandit data
+    pipeline runs before an online test. See
+    :func:`maston_spark.evaluation.ips_offpolicy_value`."""
+    from maston_spark.evaluation import ips_offpolicy_value
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    types = (
+        ev.select(F.col("event_type").alias("a"))
+        .distinct()
+        .select(
+            "a",
+            (F.row_number().over(W.orderBy("a")) - 1).alias("idx"),
+        )
+    )  # |event types| rows — the partition-less window is bounded
+    k = types.count()
+    tagged = ev.join(
+        F.broadcast(types),
+        F.pmod(F.col("user_id"), F.lit(k)) == F.col("idx"),
+    ).select(
+        "event_type",
+        "value",
+        F.col("a").alias("__tgt"),
+    )
+    return ips_offpolicy_value(tagged, "event_type", "value", "__tgt")

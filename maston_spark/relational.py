@@ -2942,3 +2942,92 @@ def binseg_changepoints(
         )
     )
     return level0.unionByName(level1).orderBy("group", "segment")
+
+
+def ewma_trend(
+    df: DataFrame,
+    series_col: str,
+    order_cols: "list[str]",
+    value_col: str,
+    weights_fast: "tuple[int, ...]",
+    weights_slow: "tuple[int, ...]",
+) -> DataFrame:
+    """Truncated-EWMA trend readout per series — one row ``(series,
+    n_obs, ewma_fast, ewma_slow, trend)``: the exponentially-weighted
+    mean of the LAST ``len(weights)`` observations under a fast and a
+    slow decay, plus the crossover state (fast above slow = the
+    series is running above its own long-run level) — the
+    smoothing-based drift lens beside the CUSUM family's
+    changepoint tests (those ask "did the rate shift"; this reads
+    the current level against the long memory).
+
+    Exactness — NO in-engine float pow anywhere (the q242
+    mirrored-literal discipline): the decay weights arrive as
+    PRE-COMPUTED integer nano-lanes (``round(α(1−α)^r·10⁹)``,
+    generated once, pasted identically into the oracle's VALUES
+    table), values land on the 6-grid as micro-lanes, and each EWMA
+    closes as ONE sign-split half-away division of decimal(38,0)
+    sums — normalized by the weights actually PRESENT, so series
+    shorter than the truncation window stay exact instead of
+    decaying toward zero.
+
+    Scale shape: one hash shuffle on the series key (window rank
+    descending by the order columns), a rank filter keeps the last
+    ``L`` rows per series, and the close is one combiner-reduced
+    aggregation reusing the window's partitioning — per-series cost
+    is O(series length) scan + O(L) arithmetic, never a per-lag
+    pass."""
+    if not weights_fast or not weights_slow:
+        raise ValueError("ewma_trend: need non-empty weight lanes")
+    dec = "decimal(38,0)"
+    L = max(len(weights_fast), len(weights_slow))
+    wf = F.array(*[F.lit(int(x)).cast("long") for x in weights_fast])
+    ws = F.array(*[F.lit(int(x)).cast("long") for x in weights_slow])
+    w = Window.partitionBy("series").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    y = F.round(F.col(value_col).cast("double"), 6) * 1e6
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(series_col).alias("series"),
+            F.round(y, 0).cast("long").alias("__y"),
+            *[F.col(c) for c in order_cols],
+        )
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    counts = base.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    # rank-filter BEFORE indexing the weight arrays: under ANSI mode
+    # (this engine's default) element_at past the array end throws,
+    # and rows beyond the truncation window contribute nothing anyway
+    recent = base.filter(F.col("__rn") <= F.lit(L))
+    fidx = F.col("__rn") <= F.lit(len(weights_fast))
+    sidx = F.col("__rn") <= F.lit(len(weights_slow))
+    fw = F.element_at(wf, F.least(F.col("__rn"), F.lit(len(weights_fast))))
+    sw = F.element_at(ws, F.least(F.col("__rn"), F.lit(len(weights_slow))))
+    sums = recent.groupBy("series").agg(
+        F.sum(F.when(fidx, fw.cast(dec) * F.col("__y"))).alias("__fn"),
+        F.sum(F.when(fidx, fw.cast(dec))).alias("__fd"),
+        F.sum(F.when(sidx, sw.cast(dec) * F.col("__y"))).alias("__sn"),
+        F.sum(F.when(sidx, sw.cast(dec))).alias("__sd"),
+    )
+    agg = counts.join(sums, "series")
+
+    def close(num, den):
+        return F.expr(
+            f"CASE WHEN {num} >= 0"
+            f" THEN (2 * {num} + {den}) div (2 * {den})"
+            f" ELSE -((2 * (-{num}) + {den}) div (2 * {den})) END"
+        ).cast("double") / F.lit(1e6)
+
+    ef = close("__fn", "__fd")
+    es = close("__sn", "__sd")
+    return agg.select(
+        "series",
+        "n_obs",
+        ef.alias("ewma_fast"),
+        es.alias("ewma_slow"),
+        (ef > es).cast("int").alias("trend"),
+    ).orderBy("series")

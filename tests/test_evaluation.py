@@ -1207,3 +1207,38 @@ def test_cem_att_exact_beyond_int64_products(spark):
     [r] = cem_att(df, ["s"], "t", "y").collect()
     assert r.n_treated_matched == 2
     assert r.att == float(big) / 100.0  # exact: 5e12 dollars
+
+
+def test_quantile_treatment_effects_planted_distribution_shift(spark):
+    """Treatment adds +10 above the median only: qte(0.25) = 0,
+    qte(0.75) = 10 — the distributional effect a mean estimator
+    smears into one number; quantiles are exact order statistics."""
+    from maston_spark.evaluation import quantile_treatment_effects
+
+    ctrl = [(0, float(v)) for v in range(1, 101)]
+    trt = [(1, float(v) if v <= 50 else float(v + 10)) for v in range(1, 101)]
+    df = spark.createDataFrame(ctrl + trt, "tr int, y double")
+    out = {r.quantile: r for r in
+           quantile_treatment_effects(df, "tr", "y").collect()}
+    assert out[0.25].qte == 0.0
+    assert out[0.75].qte == 10.0
+    assert out[0.5].n_treated == 100 and out[0.5].n_control == 100
+
+
+def test_ips_offpolicy_hand_case(spark):
+    """Logged uniform over {A,B} (4 each); target always-A. IPS =
+    sum(num_a/n_a) over matched = (mean reward of logged A) weighted
+    up: num_A = 40 micro-lanes of 10.0 -> IPS = 10.0; SNIPS equals
+    IPS here (constant weights); ESS = n_matched under a single
+    matched action."""
+    from maston_spark.evaluation import ips_offpolicy_value
+
+    rows = [("A", 10.0, "A")] * 4 + [("B", 99.0, "A")] * 4
+    df = spark.createDataFrame(rows, "a string, r double, tgt string")
+    [r] = ips_offpolicy_value(df, "a", "r", "tgt").collect()
+    assert (r.n, r.n_matched) == (8, 4)
+    # IPS = num_A/n_A = 40/4 = 10.0 (B contributes nothing: no match)
+    assert r.ips_value == 10.0
+    assert r.snips_value == 10.0
+    # weights: matched A rows carry w = n/n_A = 2 -> ESS = (4*2)^2/(4*4) = 4
+    assert r.ess == 4.0

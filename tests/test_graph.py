@@ -79,3 +79,23 @@ def test_triangle_stats_golden(spark):
     single = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     r = triangle_stats(single).collect()[0]
     assert r.n_wedges == 0 and r.transitivity is None
+
+
+def test_hits_hand_case_mutual_reinforcement(spark):
+    """Two strong hubs pointing at {10,11} vs one weak hub at 12:
+    after 2 max-normalized iterations the co-cited pair holds
+    authority 1.0 and the singleton decays to 0.125; hubs mirror
+    (1, 1, 0.0625). Exact: every fold is DECIMAL(28,9), every
+    normalize a round-9 quotient."""
+    from maston_spark.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 12)], "src int, dst int"
+    )
+    out = {r.node: r for r in hits(edges, iterations=2).collect()}
+    assert out[10].authority == 1.0 and out[11].authority == 1.0
+    assert out[12].authority == 0.125
+    assert out[1].hub == 1.0 and out[2].hub == 1.0
+    assert out[3].hub == 0.0625
+    # sources never gain authority, sinks never gain hub mass
+    assert out[1].authority == 0.0 and out[10].hub == 0.0

