@@ -2153,3 +2153,80 @@ def rake_keyphrases(
         "support",
         (F.col("__score").cast("double") / F.lit(1e6)).alias("score"),
     ).orderBy(F.desc("score"), F.asc("phrase")).limit(int(top_k))
+
+
+def contamination_counts(
+    df: DataFrame,
+    benchmark_grams: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-group ADDITIVE contamination counters — ``(group, n_docs,
+    n_grams, n_hits, n_docs_hit)`` — the fold-ready half of the
+    contamination gate: every column is a plain sum, so batch
+    counters union+sum into running totals exactly (the q272/q283
+    counter discipline), while :func:`contamination_check`'s per-doc
+    fractions do not fold. ``benchmark_grams`` is the distinct
+    eval-set gram frame (one column ``__gram``) — an eval suite is
+    tiny, so it broadcasts and the corpus grams never shuffle for
+    the probe. Docs with fewer than ``n`` tokens have no grams and
+    drop (the :func:`contamination_check` contract)."""
+    gram_expr = (
+        f"explode(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
+    )
+    grams = (
+        df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("group"),
+            F.col(id_col).alias("__id"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .filter(F.size("__toks") >= n)
+        .select("group", "__id", F.expr(gram_expr).alias("__gram"))
+        .distinct()
+    )
+    probed = grams.join(
+        F.broadcast(benchmark_grams.withColumn("__hit", F.lit(1))),
+        on="__gram",
+        how="left",
+    )
+    per_doc = probed.groupBy("group", "__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__g"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("__h"),
+    )
+    return per_doc.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__g").cast("long").alias("n_grams"),
+        F.sum("__h").cast("long").alias("n_hits"),
+        F.sum((F.col("__h") > 0).cast("long")).cast("long").alias(
+            "n_docs_hit"
+        ),
+    )
+
+
+def contamination_from_counts(counts: DataFrame) -> DataFrame:
+    """Close the contamination gate over (possibly folded)
+    :func:`contamination_counts` counters — per group ``(group,
+    n_docs, n_grams, n_contaminated, n_docs_contaminated,
+    gram_frac, doc_rate)``. Shared verbatim by the streaming
+    contamination-gate topology and its q303 batch twin, so the two
+    paths CANNOT diverge (the q283/q296 shared-close discipline).
+    Fractions round at 6 off exact integer counters."""
+    return counts.select(
+        "group",
+        "n_docs",
+        "n_grams",
+        F.col("n_hits").alias("n_contaminated"),
+        F.col("n_docs_hit").alias("n_docs_contaminated"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_hits") / F.col("n_grams"), 6),
+        ).alias("gram_frac"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(F.col("n_docs_hit") / F.col("n_docs"), 6),
+        ).alias("doc_rate"),
+    ).orderBy("group")

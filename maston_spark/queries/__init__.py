@@ -468,6 +468,11 @@ _PRIORITY = [
     # RLHF/bandit-pipeline readout; every division a documented
     # half-away integer lane
     "q302_ips_offpolicy",
+    # TENTH topology's fold-identity twin — the streaming
+    # contamination gate's additive per-source counters replayed as
+    # a 3-batch fold and closed with the SAME shared math (per-doc
+    # fractions don't fold; counters do)
+    "q303_contamination_prefix",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -5776,3 +5776,98 @@ def q295_rake_keyphrases(spark, sf_dir):
     (q97). See :func:`maston_spark.llm.text.rake_keyphrases`."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return TXT.rake_keyphrases(d, "doc_id", "text", top_k=20)
+
+
+@query(
+    "q303_contamination_prefix",
+    oracle="""
+    WITH t AS (SELECT doc_id, source,
+                      string_split(text, ' ') AS toks
+               FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND source IS NOT NULL),
+    g AS (SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS gram
+          FROM t WHERE len(toks) >= 3),
+    dg AS (SELECT DISTINCT doc_id, source, gram FROM g),
+    bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM dg WHERE doc_id % 97 <> 0),
+    per_doc AS (SELECT c.source, c.doc_id,
+                       CAST(count(*) AS BIGINT) AS g,
+                       CAST(sum(CASE WHEN b.gram IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS h
+                FROM corpus c LEFT JOIN bench b USING (gram)
+                GROUP BY 1, 2),
+    counts AS (SELECT source AS "group",
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(g) AS BIGINT) AS n_grams,
+                      CAST(sum(h) AS BIGINT) AS n_hits,
+                      CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_docs_hit
+               FROM per_doc GROUP BY 1)
+    SELECT "group", n_docs, n_grams,
+           n_hits AS n_contaminated,
+           n_docs_hit AS n_docs_contaminated,
+           CASE WHEN n_grams > 0
+                THEN round(n_hits::DOUBLE / n_grams, 6) END AS gram_frac,
+           CASE WHEN n_docs > 0
+                THEN round(n_docs_hit::DOUBLE / n_docs, 6) END AS doc_rate
+    FROM counts ORDER BY "group"
+    """,
+)
+def q303_contamination_prefix(spark, sf_dir):
+    """TENTH topology's fold-identity twin: the streaming
+    contamination gate's per-source counters replayed as a 3-batch
+    additive fold (docs split by doc_id % 3, probed against the q77
+    eval set) and closed with the SAME
+    :func:`maston_spark.llm.text.contamination_from_counts` math the
+    topology emits — the incremental-equals-one-shot claim graded
+    cross-engine: per-doc fractions don't fold, counters do."""
+    from maston_spark.llm.text import (
+        contamination_counts,
+        contamination_from_counts,
+        tokens as _toks,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("source").isNotNull()
+    ).select("doc_id", "source", "text")
+    bench_grams = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(_toks(F.col("text")).alias("__toks"))
+        .filter(F.size("__toks") >= 3)
+        .select(
+            F.expr(
+                "explode(transform(sequence(0, size(__toks) - 3), "
+                "i -> concat_ws(' ', slice(__toks, i + 1, 3))))"
+            ).alias("__gram")
+        )
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    folded = None
+    for b in range(3):
+        c = contamination_counts(
+            corpus.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b),
+            bench_grams,
+            "source",
+            id_col="doc_id",
+            text_col="text",
+            n=3,
+        )
+        folded = (
+            c
+            if folded is None
+            else folded.unionByName(c)
+            .groupBy("group")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_grams").cast("long").alias("n_grams"),
+                F.sum("n_hits").cast("long").alias("n_hits"),
+                F.sum("n_docs_hit").cast("long").alias("n_docs_hit"),
+            )
+        )
+    return contamination_from_counts(folded)

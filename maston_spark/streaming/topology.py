@@ -1955,3 +1955,123 @@ def privacy_gate_topology(
             counts.unpersist()
 
     return _start_foreach_batch(rows, fn, checkpoint, trigger)
+
+
+def contamination_gate_topology(
+    source: DataFrame,
+    benchmark: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    n: int = 3,
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+):
+    """Streaming benchmark-contamination gate (the TENTH topology):
+    probe every arriving document's distinct n-grams against a
+    static eval-set gram table and emit, per batch, each group's
+    RUNNING contamination report over everything ingested so far —
+    the decontamination gauge read live while a crawl runs, instead
+    of the post-hoc q77 scan: the moment a source's `gram_frac`
+    jumps, that crawler is pulling eval data and its output should
+    quarantine, not land in the training mix.
+
+    The durable cross-batch state is the per-group ADDITIVE counter
+    row ``(n_docs, n_grams, n_hits, n_docs_hit)`` — per-doc
+    fractions don't fold, counters do (the q272/q283/q296 counter
+    discipline), and a document's contribution is decided entirely
+    within its own batch (its grams probe a STATIC benchmark), so
+    the fold is exact under replay. Emits the exact contract of
+    :func:`maston_spark.llm.text.contamination_from_counts` because
+    it IS that closing math over the folded state (the q303 prefix
+    twin grades the fold cross-engine). State is |groups| rows —
+    intrinsically tiny, so the versioned compacted snapshot layout
+    (``v{batch_id}`` read as the whole truth on retry, priors
+    dropped after the write) is the right shape, not the vocab
+    topology's segment log.
+
+    Scale shape per batch: the benchmark gram table is materialized
+    ONCE at topology start (an eval suite is tiny — broadcast side),
+    each batch pays one doc-id-partitioned gram explode + distinct
+    + broadcast probe + two combiner-reduced aggs, and the state
+    merge is |groups|-bounded no matter the traffic."""
+    from maston_spark.llm.text import (
+        contamination_counts,
+        contamination_from_counts,
+        tokens,
+    )
+
+    sdir = (
+        f"{checkpoint.rstrip('/')}/contamination_state"
+        if state_dir == "auto"
+        else state_dir
+    )
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    gram_expr = (
+        f"explode(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
+    )
+    bench_grams = (
+        benchmark.filter(F.col(text_col).isNotNull())
+        .select(tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(F.expr(gram_expr).alias("__gram"))
+        .distinct()
+        .localCheckpoint(eager=True)  # probe table: computed once,
+        # reused every micro-batch without re-scanning the eval set
+    )
+
+    rows = source.select(
+        F.col(group_col).alias("__grp"),
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__txt"),
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = contamination_counts(
+            batch_df, bench_grams, "__grp", id_col="__id",
+            text_col="__txt", n=n,
+        )
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            seed_v = prior[-1] if prior else (
+                batch_id if batch_id in versions else None
+            )
+            if seed_v is not None and seed_v == batch_id:
+                # additive-counter retry corner: the stored version
+                # already contains this batch — it IS the state
+                counts = spark.read.parquet(
+                    f"{sdir}/v{batch_id}"
+                ).localCheckpoint(eager=True)
+            elif seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                counts = (
+                    counts.unionByName(seed)
+                    .groupBy("group")
+                    .agg(
+                        F.sum("n_docs").cast("long").alias("n_docs"),
+                        F.sum("n_grams").cast("long").alias("n_grams"),
+                        F.sum("n_hits").cast("long").alias("n_hits"),
+                        F.sum("n_docs_hit").cast("long").alias(
+                            "n_docs_hit"
+                        ),
+                    )
+                )
+        counts = counts.persist()
+        try:
+            if sdir is not None:
+                counts.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+            write_metrics(contamination_from_counts(counts), batch_id)
+            if sdir is not None:
+                _drop_state_versions(spark, sdir, prior if sdir else [])
+        finally:
+            counts.unpersist()
+
+    return _start_foreach_batch(rows, fn, checkpoint, trigger)

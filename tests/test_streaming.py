@@ -2203,3 +2203,117 @@ def test_privacy_gate_topology_golden_and_restart(spark, cleanup):
         q2.stop()
     assert seen2[-1] == oneshot(per_batch + [more])
     assert seen2[-1][2] == 2  # every class k >= 2 after the heal
+
+
+def test_contamination_gate_topology_golden_and_restart(spark, cleanup):
+    """Streaming contamination gate over 3 batches: per-source
+    counters fold additively, every emitted row equals the shared
+    closing math over everything ingested so far (probing a STATIC
+    benchmark gram table), and a cold restart resumes from the
+    durable counters without regressing. Includes the fold trap:
+    per-doc FRACTIONS don't fold — batch 1's clean doc must dilute
+    batch 0's contaminated one in the running doc_rate."""
+    from maston_spark.llm.text import (
+        contamination_counts,
+        contamination_from_counts,
+        tokens as _toks,
+    )
+    from maston_spark.streaming.topology import contamination_gate_topology
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is blue")], "doc_id long, text string"
+    )
+    bench_grams = (
+        bench.select(_toks(F.col("text")).alias("__toks"))
+        .select(
+            F.expr(
+                "explode(transform(sequence(0, size(__toks) - 3), "
+                "i -> concat_ws(' ', slice(__toks, i + 1, 3))))"
+            ).alias("__gram")
+        )
+        .distinct()
+    )
+    per_batch = [
+        # batch 0: web doc quotes the eval verbatim -> contaminated
+        [("web", 1, "the secret eval answer is blue today"),
+         ("books", 2, "alpha beta gamma delta")],
+        # batch 1: clean web doc dilutes the running doc_rate
+        [("web", 3, "totally original prose here")],
+        # batch 2: partial overlap (one shared trigram)
+        [("books", 4, "eval answer is what they asked")],
+    ]
+    rows = [
+        Row(src=s, doc_id=i, text=t, __replay_batch=b)
+        for b, docs in enumerate(per_batch)
+        for s, i, t in docs
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+    q = contamination_gate_topology(
+        stream,
+        bench,
+        group_col="src",
+        id_col="doc_id",
+        text_col="text",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append(
+            (bid, {r.group: tuple(r) for r in df.collect()})
+        ),
+        n=3,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) >= 3
+    by_batch = dict(seen)
+
+    def oneshot(docs):
+        df = spark.createDataFrame(
+            [(s, i, t) for s, i, t in docs],
+            "src string, doc_id long, text string",
+        )
+        c = contamination_counts(
+            df, bench_grams, "src", id_col="doc_id", text_col="text", n=3
+        )
+        return {r.group: tuple(r) for r in contamination_from_counts(c).collect()}
+
+    prefix: list = []
+    for b in range(3):
+        prefix += per_batch[b]
+        assert by_batch[b] == oneshot(prefix), b
+    # the fraction-fold trap, explicitly: web doc_rate halves when
+    # the clean doc arrives (1/1 -> 1/2), which a fraction-state
+    # fold would have averaged wrong
+    assert by_batch[0]["web"][6] == 1.0
+    assert by_batch[1]["web"][6] == 0.5
+
+    # cold restart folds on the durable counters
+    more = [("web", 9, "the secret eval answer is blue again")]
+    stream2, src2 = replay_stream(
+        spark.createDataFrame(
+            [Row(src=s, doc_id=i, text=t, __replay_batch=0) for s, i, t in more]
+        ),
+        batches=1,
+    )
+    cleanup.append(src2)
+    seen2: list = []
+    q2 = contamination_gate_topology(
+        stream2,
+        bench,
+        group_col="src",
+        id_col="doc_id",
+        text_col="text",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen2.append(
+            {r.group: tuple(r) for r in df.collect()}
+        ),
+        n=3,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert seen2[-1] == oneshot(prefix + more)

@@ -410,6 +410,50 @@ def run_privacy(spark, n, chk):
     return src, q, tr
 
 
+def run_contamination(spark, n, chk):
+    from maston_spark.streaming.topology import contamination_gate_topology
+
+    bench = spark.createDataFrame(
+        [(i, " ".join(f"ev{i}_{j}" for j in range(12))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    rows = [
+        (
+            f"src{i % 3}",
+            b * DOCS + i,
+            # ~5% of docs quote an eval doc verbatim; the rest are clean
+            (
+                " ".join(f"ev{(i // 20) % 200}_{j}" for j in range(12))
+                if i % 20 == 0
+                else " ".join(
+                    f"w{(b * DOCS + i + j) % 9000}" for j in range(12)
+                )
+            ),
+            b,
+        )
+        for b in range(n)
+        for i in range(DOCS)
+    ]
+    stream, src = _mk(
+        spark,
+        rows,
+        "src string, doc_id long, text string, __replay_batch int",
+        n,
+    )
+    tr = _StateTracker(f"{chk}/contamination_state")
+    q = contamination_gate_topology(
+        stream,
+        bench,
+        group_col="src",
+        id_col="doc_id",
+        text_col="text",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: (df.collect(), tr.snap(bid)),
+        n=3,
+    )
+    return src, q, tr
+
+
 TOPOLOGIES = {
     "delta": (run_delta, 5_000),
     "curation": (run_curation, DOCS),
@@ -422,6 +466,7 @@ TOPOLOGIES = {
     "cusum_monitor": (run_cusum, ROWS),
     "vocab_saturation": (run_vocab, DOCS),
     "privacy_gate": (run_privacy, ROWS),
+    "contamination_gate": (run_contamination, DOCS),
 }
 
 

@@ -75,7 +75,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, "_scale_curve.json")
     out: dict[str, dict] = {}
+    if os.path.exists(out_path):  # merge with prior partial runs
+        try:
+            with open(out_path) as f:
+                out = json.load(f).get("queries", {})
+        except Exception:
+            out = {}
     for name in names:
         row: dict[str, float] = {}
         for label, d in DIRS:
@@ -108,8 +116,7 @@ def main() -> None:
             "loadavg_start": load,
             "queries": out,
         }
-        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(here, "_scale_curve.json"), "w") as f:
+        with open(out_path, "w") as f:
             json.dump(record, f, indent=1)
     print(json.dumps(record))
 
