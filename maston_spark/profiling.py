@@ -1561,3 +1561,205 @@ def disproportionality_signals(
         # oracle's ORDER BY ... DESC NULLS LAST is identical
         .limit(top_k)
     )
+
+
+def wasserstein_drift(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Two-sample Wasserstein-1 (earth-mover) drift of each group's
+    ``value_col`` distribution against THE REST of the table — one
+    row per group ``(group, n_group, n_rest, w1)`` with
+    ``W1 = ∫|F_group − F_rest| dx`` — the third drift geometry beside
+    :func:`ks_drift`'s sup-norm and :func:`binned_tvd_drift`'s
+    bin-mass L1: KS sees only the worst single crossing, TVD ignores
+    HOW FAR mass moved, W1 charges mass × distance, which is what a
+    "the whole length profile shifted 40 tokens right" drift looks
+    like (big W1, modest KS).
+
+    Cross-engine exactness: over the merged value grid, the scaled
+    integrand ``|n·cum_g(x) − n_g·cum_all(x)| · gap(x)`` (the
+    rest-CDF eliminated algebraically) folds EXACTLY in
+    decimal(38,0), and the reported ``w1`` is ONE sign-free
+    half-away micro division by ``n_g · n_rest``.
+
+    Distributed shape + PRECONDITION: identical to :func:`ks_drift`
+    — one corpus aggregation to |values|×|groups| count rows,
+    per-group cumulative windows over the bounded grid, one
+    |values|-row partition-less window; ``value_col`` must be
+    discrete or pre-binned."""
+    from maston_spark.caching import scoped_persist
+
+    dec = "decimal(38,0)"
+    counts = scoped_persist(
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vals = counts.select("v").distinct().withColumn("__k", F.lit(1))
+    groups = counts.select("g").distinct().withColumn("__k", F.lit(1))
+    grid = vals.join(groups, "__k").drop("__k")
+    filled = grid.join(counts, ["g", "v"], "left").select(
+        "g", "v", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum = filled.select(
+        "g",
+        "v",
+        F.sum("c").over(w).alias("cum_g"),
+        F.lead("v").over(w).alias("__nv"),
+    )
+    per_val = (
+        counts.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("cv"))
+        .withColumn("cum_all", F.sum("cv").over(Window.orderBy("v")))
+        .select("v", "cum_all")
+    )  # |values|-row frame — bounded by the discrete-domain contract
+    sizes = counts.groupBy("g").agg(F.sum("c").cast("long").alias("n_group"))
+    total = counts.agg(F.sum("c").cast("long").alias("__n"))
+    sc = (
+        cum.join(per_val, "v")
+        .join(F.broadcast(sizes), "g")
+        .join(F.broadcast(total))
+        .filter(F.col("__nv").isNotNull())  # last grid point: both
+        # CDFs are 1, the integrand past it is 0 — no gap to charge
+        .select(
+            "g",
+            "n_group",
+            (F.col("__n") - F.col("n_group")).alias("n_rest"),
+            F.expr(
+                f"abs(cast(__n as {dec}) * cum_g"
+                f"    - cast(n_group as {dec}) * cum_all)"
+                " * (__nv - v)"
+            ).alias("__d"),
+        )
+    )
+    return (
+        sc.groupBy("g", "n_group", "n_rest")
+        .agg(F.sum("__d").alias("__s"))
+        .select(
+            F.col("g").alias("group"),
+            "n_group",
+            "n_rest",
+            F.expr(
+                "(2 * __s * 1000000 + cast(n_group as decimal(38,0)) * n_rest)"
+                " div (2 * cast(n_group as decimal(38,0)) * n_rest)"
+            ).cast("double").alias("__w1m"),
+        )
+        .select(
+            "group",
+            "n_group",
+            "n_rest",
+            (F.col("__w1m") / F.lit(1e6)).alias("w1"),
+        )
+        .orderBy("group")
+    )
+
+
+def encoding_advisor(
+    df: DataFrame,
+    columns: "list[str]",
+    order_cols: "list[str]",
+) -> DataFrame:
+    """Columnar encoding advisor — per column, the EXACT byte cost a
+    writer would pay under the three classic parquet-ish encodings
+    and the winner: ``(column, n_rows, n_distinct, n_runs,
+    plain_bytes, dict_bytes, rle_bytes, best_encoding)`` — the
+    physical-design statistic beside the compaction planner (q219),
+    the z-order layout (q205) and the optimizer histograms
+    (q293/q298): a 100 TB table's storage bill is decided by exactly
+    these counts, and "should this column be dictionary- or
+    run-length-encoded" is answerable from one profile pass instead
+    of a rewrite experiment.
+
+    Cost model (documented, exact integers): values are their string
+    form (NULL → empty, counted); ``plain = Σlen + n`` (terminator
+    per value), ``dict = (Σlen over distinct + d) + n·code_bytes``
+    with ``code_bytes`` the smallest of {1,2,4,8} addressing ``d``
+    values, ``rle = (Σlen over run heads + n_runs) + 4·n_runs``
+    (a 4-byte run length per run). Runs are counted under the
+    caller's ``order_cols`` sort — RLE is meaningless without a
+    declared order, so the order IS part of the advisor's contract
+    (pair with the z-order/compaction layout the table actually
+    uses).
+
+    Scale shape: ONE stacked-generator scan (the profile_* pattern —
+    n×|columns| slim rows), per-column windows keyed by the column
+    name (|columns| partitions, each a full sort by the order key —
+    the same distribution a writer's encoder sees), then
+    combiner-reduced aggs; distinct costs shuffle only the distinct
+    set."""
+    pairs = df.select(
+        *[F.col(c) for c in order_cols],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("")
+                        ).alias("v"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("s"),
+    ).select(*order_cols, "s.column", "s.v")
+    # ties in the caller's order sort by the value itself — without
+    # a total order, run counting is engine-dependent (the synthetic
+    # lineitem's (orderkey, linenumber) is not unique)
+    w = Window.partitionBy("column").orderBy(
+        *[F.col(c).asc() for c in order_cols], F.col("v").asc()
+    )
+    runs = pairs.select(
+        "column",
+        "v",
+        (~F.lag("v").over(w).eqNullSafe(F.col("v")))
+        .cast("long")
+        .alias("__head"),
+    ).withColumn("__head", F.coalesce(F.col("__head"), F.lit(1)))
+    agg = runs.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("v")).cast("long").alias("__sl"),
+        F.sum("__head").cast("long").alias("n_runs"),
+        F.sum(F.when(F.col("__head") == 1, F.length("v")))
+        .cast("long")
+        .alias("__rl"),
+    )
+    dist = (
+        pairs.select("column", "v")
+        .distinct()
+        .groupBy("column")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.length("v")).cast("long").alias("__dl"),
+        )
+    )
+    code = (
+        F.when(F.col("n_distinct") <= 256, 1)
+        .when(F.col("n_distinct") <= 65536, 2)
+        .when(F.col("n_distinct") <= 4294967296, 4)
+        .otherwise(8)
+    )
+    j = agg.join(dist, "column").select(
+        "column",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        (F.col("__sl") + F.col("n_rows")).alias("plain_bytes"),
+        (
+            F.col("__dl")
+            + F.col("n_distinct")
+            + F.col("n_rows") * code
+        ).alias("dict_bytes"),
+        (F.col("__rl") + F.lit(5) * F.col("n_runs")).alias("rle_bytes"),
+    )
+    best = (
+        F.when(
+            (F.col("dict_bytes") <= F.col("plain_bytes"))
+            & (F.col("dict_bytes") <= F.col("rle_bytes")),
+            F.lit("dict"),
+        )
+        .when(F.col("rle_bytes") <= F.col("plain_bytes"), F.lit("rle"))
+        .otherwise(F.lit("plain"))
+    )
+    return j.select("*", best.alias("best_encoding")).orderBy("column")

@@ -473,6 +473,14 @@ _PRIORITY = [
     # a 3-batch fold and closed with the SAME shared math (per-doc
     # fractions don't fold; counters do)
     "q303_contamination_prefix",
+    # Wasserstein-1 drift — the mass×distance drift geometry beside
+    # q178's KS sup-norm and q194's binned L1; exact decimal fold
+    # over the merged CDF grid
+    "q304_wasserstein_drift",
+    # columnar encoding advisor — exact plain/dict/RLE byte costs
+    # per column under a declared total order, the storage-side
+    # physical-design statistic beside q219/q205/q293
+    "q305_encoding_advisor",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -6201,3 +6201,73 @@ def q302_ips_offpolicy(spark, sf_dir):
         F.col("a").alias("__tgt"),
     )
     return ips_offpolicy_value(tagged, "event_type", "value", "__tgt")
+
+
+@query(
+    "q305_encoding_advisor",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln, 'l_returnflag' AS col,
+             COALESCE(CAST(l_returnflag AS VARCHAR), '') AS v FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_linestatus',
+             COALESCE(CAST(l_linestatus AS VARCHAR), '') FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_shipdate',
+             COALESCE(CAST(l_shipdate AS VARCHAR), '') FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_suppkey',
+             COALESCE(CAST(l_suppkey AS VARCHAR), '') FROM lineitem),
+    r AS (SELECT col, v,
+                 CASE WHEN lag(v) OVER (PARTITION BY col
+                                        ORDER BY ok, ln, v)
+                           IS DISTINCT FROM v THEN 1 ELSE 0 END AS head
+          FROM base),
+    agg AS (SELECT col, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(len(v)) AS BIGINT) AS sl,
+                   CAST(sum(head) AS BIGINT) AS n_runs,
+                   CAST(COALESCE(sum(CASE WHEN head = 1
+                                          THEN len(v) END), 0) AS BIGINT)
+                     AS rl
+            FROM r GROUP BY 1),
+    dist AS (SELECT col, CAST(count(*) AS BIGINT) AS n_distinct,
+                    CAST(sum(len(v)) AS BIGINT) AS dl
+             FROM (SELECT DISTINCT col, v FROM base) GROUP BY 1),
+    j AS (SELECT agg.col AS "column", n_rows, n_distinct, n_runs,
+                 sl + n_rows AS plain_bytes,
+                 dl + n_distinct + n_rows *
+                   (CASE WHEN n_distinct <= 256 THEN 1
+                         WHEN n_distinct <= 65536 THEN 2
+                         WHEN n_distinct <= 4294967296 THEN 4
+                         ELSE 8 END) AS dict_bytes,
+                 rl + 5 * n_runs AS rle_bytes
+          FROM agg JOIN dist ON dist.col = agg.col)
+    SELECT "column", n_rows, n_distinct, n_runs,
+           plain_bytes, dict_bytes, rle_bytes,
+           CASE WHEN dict_bytes <= plain_bytes
+                 AND dict_bytes <= rle_bytes THEN 'dict'
+                WHEN rle_bytes <= plain_bytes THEN 'rle'
+                ELSE 'plain' END AS best_encoding
+    FROM j ORDER BY "column"
+    """,
+)
+def q305_encoding_advisor(spark, sf_dir):
+    """Columnar encoding advisor over four lineitem columns (two
+    low-cardinality flags, a date, a key) under the table's natural
+    (orderkey, linenumber)
+    order: exact plain/dict/RLE byte costs and the winner — the
+    storage-side physical-design statistic beside the compaction
+    planner (q219), z-order layout (q205) and optimizer histograms
+    (q293/q298). See
+    :func:`maston_spark.profiling.encoding_advisor`."""
+    from maston_spark.profiling import encoding_advisor
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey",
+    )
+    return encoding_advisor(
+        li,
+        ["l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey"],
+        ["l_orderkey", "l_linenumber"],
+    )

@@ -5871,3 +5871,64 @@ def q303_contamination_prefix(spark, sf_dir):
             )
         )
     return contamination_from_counts(folded)
+
+
+@query(
+    "q304_wasserstein_drift",
+    oracle="""
+    WITH m AS (SELECT source AS g,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS v
+               FROM documents),
+    counts AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+               FROM m GROUP BY 1, 2),
+    grid AS (SELECT gv.v, gg.g
+             FROM (SELECT DISTINCT v FROM counts) gv,
+                  (SELECT DISTINCT g FROM counts) gg),
+    filled AS (SELECT grid.g, grid.v, coalesce(c.c, 0) AS c
+               FROM grid LEFT JOIN counts c
+                 ON c.g = grid.g AND c.v = grid.v),
+    cum AS (SELECT g, v,
+                   CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                     AS cum_g,
+                   lead(v) OVER (PARTITION BY g ORDER BY v) AS nv
+            FROM filled),
+    pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM counts GROUP BY 1),
+    pv2 AS (SELECT v, CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) AS cum_all
+            FROM pv),
+    sizes AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_group
+              FROM counts GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+    sc AS (SELECT cum.g, sizes.n_group,
+                  tot.n - sizes.n_group AS n_rest,
+                  abs(CAST(tot.n AS HUGEINT) * cum.cum_g
+                      - CAST(sizes.n_group AS HUGEINT) * pv2.cum_all)
+                    * (cum.nv - cum.v) AS d
+           FROM cum
+           JOIN pv2 ON pv2.v = cum.v
+           JOIN sizes ON sizes.g = cum.g, tot
+           WHERE cum.nv IS NOT NULL)
+    SELECT g AS "group", n_group, n_rest,
+           CAST((2 * sum(d) * 1000000
+                 + CAST(n_group AS HUGEINT) * n_rest)
+                // (2 * CAST(n_group AS HUGEINT) * n_rest) AS DOUBLE)
+             / 1e6 AS w1
+    FROM sc GROUP BY 1, 2, 3
+    ORDER BY "group"
+    """,
+)
+def q304_wasserstein_drift(spark, sf_dir):
+    """Wasserstein-1 (earth-mover) drift of each source's per-doc
+    token-count distribution against the rest of the corpus — the
+    mass×distance drift geometry beside q178's KS sup-norm and
+    q194's binned L1: a profile that SHIFTED far reads big here even
+    when its worst single CDF crossing is modest. Exact decimal fold
+    over the merged grid, one half-away micro close. See
+    :func:`maston_spark.profiling.wasserstein_drift`."""
+    from maston_spark.profiling import wasserstein_drift
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    m = d.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return wasserstein_drift(m, "source", "n_tokens")
