@@ -158,3 +158,53 @@ def test_disproportionality_signals_hand_case(spark):
     assert sx.prr == 8.0
     # ROR = ad/bc = (8*18)/(2*2) = 36
     assert sx.ror == 36.0
+
+
+def test_wasserstein_drift_hand_case_shift_vs_ks(spark):
+    """Group A = {0..9}, group B = A + 100 (pure location shift,
+    one of each): W1(A vs B) = 100 exactly (all mass moves 100),
+    which is the geometry KS compresses to its max crossing. Also
+    the degenerate same-distribution case reads 0."""
+    from maston_spark.profiling import wasserstein_drift
+
+    rows = [("A", v) for v in range(10)] + [("B", v + 100) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.group: r for r in wasserstein_drift(df, "g", "v").collect()}
+    assert out["A"].n_group == 10 and out["A"].n_rest == 10
+    assert out["A"].w1 == 100.0 and out["B"].w1 == 100.0
+    same = spark.createDataFrame(
+        [("A", v) for v in range(5)] + [("B", v) for v in range(5)],
+        "g string, v long",
+    )
+    out2 = {r.group: r.w1 for r in wasserstein_drift(same, "g", "v").collect()}
+    assert out2 == {"A": 0.0, "B": 0.0}
+
+
+def test_encoding_advisor_hand_case(spark):
+    """Three planted shapes under id order: a constant column wins
+    RLE (1 run), a low-cardinality alternating column wins DICT
+    (runs = rows, but 1-byte codes beat 6-char plain), and a unique
+    long-string column stays PLAIN (dict pays the dictionary AND the
+    codes). Costs are exact integers from the documented model."""
+    from maston_spark.profiling import encoding_advisor
+
+    rows = [
+        (i, "same", "optA" if i % 2 == 0 else "optBBB", f"unique-value-{i:04d}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, c_const string, c_alt string, c_uniq string")
+    out = {r.column: r for r in
+           encoding_advisor(df, ["c_const", "c_alt", "c_uniq"], ["id"]).collect()}
+    const = out["c_const"]
+    assert (const.n_rows, const.n_distinct, const.n_runs) == (100, 1, 1)
+    assert const.plain_bytes == 400 + 100  # 100x'same' + terminators
+    assert const.rle_bytes == 4 + 5 * 1
+    assert const.best_encoding == "rle"
+    alt = out["c_alt"]
+    assert alt.n_distinct == 2
+    # dict: (4+6 chars + 2 entries) + 100 x 1-byte codes = 112
+    assert alt.dict_bytes == 10 + 2 + 100
+    assert alt.best_encoding == "dict"
+    uniq = out["c_uniq"]
+    assert uniq.n_distinct == 100 and uniq.n_runs == 100
+    assert uniq.best_encoding == "plain"
