@@ -94,6 +94,15 @@ HEADLINE = [
     "q286_isotonic_calibration",  # integer-nano PAV minimax
     "q291_leakage_safe_split",    # cluster-split certification (q55 pipeline)
     "q293_voptimal_histogram",    # exact-integer interval DP
+    # round-15 additions: the round's own flagships
+    "q297_hits",                  # HITS iteration replay (graph pair to q118)
+    "q298_selectivity_audit",     # true-vs-estimated optimizer statistics
+    "q300_ewma_trend",            # nano-lane truncated EWMA fast/slow
+    "q302_ips_offpolicy",         # IPS/SNIPS off-policy value + ESS
+    "q303_contamination_prefix",  # tenth-topology contamination fold twin
+    "q304_wasserstein_drift",     # earth-mover drift over the CDF grid
+    "q305_encoding_advisor",      # plain/dict/RLE storage cost model
+    "q306_dbscan",                # grid-blocked density clustering
 ]
 
 # Fixed-work calibration (data-independent): a pure JVM codegen loop

@@ -55,9 +55,18 @@ DIRS = [
 def main() -> None:
     args = sys.argv[1:]
     reps = 3
-    if args and args[0] == "--reps":
-        reps = int(args[1])
-        args = args[2:]
+    dirs = list(DIRS)
+    while args and args[0].startswith("--"):
+        if args[0] == "--reps":
+            reps = int(args[1])
+            args = args[2:]
+        elif args[0] == "--two":
+            # two-scale mode for per-addition min-of-3 entries (the
+            # 100x tier is reserved for the documented heavy hitters)
+            dirs = list(DIRS[:2])
+            args = args[1:]
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
     names = args or DEFAULT
 
     from maston_spark.queries import all_queries
@@ -86,7 +95,7 @@ def main() -> None:
             out = {}
     for name in names:
         row: dict[str, float] = {}
-        for label, d in DIRS:
+        for label, d in dirs:
             if not os.path.isdir(d.lstrip("./")) and not os.path.isdir(d):
                 print(f"# missing dir {d}; skipping {label}", file=sys.stderr)
                 continue
