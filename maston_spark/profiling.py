@@ -1683,11 +1683,22 @@ def encoding_advisor(
     uses).
 
     Scale shape: ONE stacked-generator scan (the profile_* pattern —
-    n×|columns| slim rows), per-column windows keyed by the column
-    name (|columns| partitions, each a full sort by the order key —
-    the same distribution a writer's encoder sees), then
-    combiner-reduced aggs; distinct costs shuffle only the distinct
+    n×|columns| slim rows), then the TWO-PHASE distributed run count
+    (the :func:`~maston_spark.relational.compaction_plan` /
+    global_rank discipline): a ``Window.partitionBy(column)`` would
+    make each profiled column ONE window partition — a single-task
+    sort of the whole column, measured 8.4× at 10× data — so runs
+    are instead counted per range-partition of the
+    (column, order, value) sort inside one Arrow-batched
+    ``mapInPandas``, each partition's |columns|-bounded boundary
+    summary is folded on the driver (adjacent partitions whose edge
+    values match merge one run), and the remaining aggs are
+    combiner-reduced; distinct costs shuffle only the distinct
     set."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = df.select(
         *[F.col(c) for c in order_cols],
         F.explode(
@@ -1707,23 +1718,72 @@ def encoding_advisor(
     # ties in the caller's order sort by the value itself — without
     # a total order, run counting is engine-dependent (the synthetic
     # lineitem's (orderkey, linenumber) is not unique)
-    w = Window.partitionBy("column").orderBy(
-        *[F.col(c).asc() for c in order_cols], F.col("v").asc()
+    sort_cols = (
+        [F.col("column").asc()]
+        + [F.col(c).asc() for c in order_cols]
+        + [F.col("v").asc()]
     )
-    runs = pairs.select(
-        "column",
-        "v",
-        (~F.lag("v").over(w).eqNullSafe(F.col("v")))
-        .cast("long")
-        .alias("__head"),
-    ).withColumn("__head", F.coalesce(F.col("__head"), F.lit(1)))
-    agg = runs.groupBy("column").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.length("v")).cast("long").alias("__sl"),
-        F.sum("__head").cast("long").alias("n_runs"),
-        F.sum(F.when(F.col("__head") == 1, F.length("v")))
-        .cast("long")
-        .alias("__rl"),
+    ordered = (
+        pairs.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    part_schema = (
+        "__pid int, column string, n_rows long, sl long,"
+        " runs long, rl long, first_v string, last_v string"
+    )
+
+    def fold(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for col_name, g in pdf.groupby("column", sort=True):
+                v = g["v"]
+                head = v.ne(v.shift())
+                head.iloc[0] = True
+                lens = v.str.len()
+                out.append(
+                    {
+                        "__pid": int(g["__pid"].iloc[0]),
+                        "column": col_name,
+                        "n_rows": int(len(g)),
+                        "sl": int(lens.sum()),
+                        "runs": int(head.sum()),
+                        "rl": int(lens[head].sum()),
+                        "first_v": v.iloc[0],
+                        "last_v": v.iloc[-1],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    # |partitions|×|columns| boundary rows — driver-bounded fold:
+    # when partition p ends with the same (column, value) partition
+    # p+1 starts with, their adjacent runs are ONE run
+    parts = sorted(
+        ordered.mapInPandas(fold, part_schema).collect(),
+        key=lambda r: (r["column"], r["__pid"]),
+    )
+    totals: dict = {}
+    prev_col, prev_last = None, None
+    for r in parts:
+        t = totals.setdefault(
+            r["column"], {"n_rows": 0, "sl": 0, "runs": 0, "rl": 0}
+        )
+        t["n_rows"] += r["n_rows"]
+        t["sl"] += r["sl"]
+        t["runs"] += r["runs"]
+        t["rl"] += r["rl"]
+        if prev_col == r["column"] and prev_last == r["first_v"]:
+            t["runs"] -= 1
+            t["rl"] -= len(r["first_v"])
+        prev_col, prev_last = r["column"], r["last_v"]
+    agg = spark.createDataFrame(
+        [
+            (c, t["n_rows"], t["sl"], t["runs"], t["rl"])
+            for c, t in sorted(totals.items())
+        ],
+        "column string, n_rows long, __sl long, n_runs long, __rl long",
     )
     dist = (
         pairs.select("column", "v")

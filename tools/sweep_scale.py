@@ -65,6 +65,14 @@ JUSTIFIED = {
         "min-of-3 3.27 -> 8.77 s = 2.68x (SCALE.md round 14) -- the "
         "split close on top is edges-bounded"
     ),
+    "q306_dbscan": (
+        "epsilon-density pair-mass contract: the scale generator grows "
+        "point count 10x on a FIXED 2^18 plane, so per-cell density and "
+        "the grid-radius candidate mass grow ~100x (n^2 r^2/area) while "
+        "time grew 11.4x min-of-3 (4.38 -> 49.8 s, SCALE.md round 15) -- "
+        "sublinear in the pair mass; real deployments pick epsilon for "
+        "the data's density (the sim-join threshold discipline)"
+    ),
     "q155_keep_first_substring": (
         "same gram-table bound as q111 (k*tokens) plus one co-partitioned "
         "keep-first agg; dup saturation 10% -> 100% under replicas; "
