@@ -485,6 +485,11 @@ _PRIORITY = [
     # deterministic border assignment, composed from the graded
     # grid-radius join + connected components
     "q306_dbscan",
+    # Selinger-lite left-deep join-order enumeration — the optimizer
+    # trilogy's third member (q217 prices one join, q298 audits the
+    # histograms, this picks the order); containment estimator in
+    # exact integers off one stats pass per table
+    "q307_join_order_plan",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -6363,3 +6363,115 @@ def q306_dbscan(spark, sf_dir):
         lane("py:").alias("y"),
     )
     return dbscan_clusters(pts, "i", "x", "y", eps=4096, min_pts=3)
+
+
+@query(
+    "q307_join_order_plan",
+    oracle="""
+    WITH s AS (
+      SELECT (SELECT count(*) FROM customer) AS nc,
+             (SELECT count(DISTINCT c_custkey) FROM customer) AS dcc,
+             (SELECT count(*) FROM orders) AS no_,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS doc,
+             (SELECT count(DISTINCT o_orderkey) FROM orders) AS doo,
+             (SELECT count(*) FROM lineitem) AS nl,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS dlo,
+             (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS dls,
+             (SELECT count(*) FROM supplier) AS ns,
+             (SELECT count(DISTINCT s_suppkey) FROM supplier) AS dss),
+    costs AS (
+      SELECT 'customer>orders>lineitem>supplier' AS join_order,
+             nc * no_ // greatest(dcc, doc) AS e2,
+             (nc * no_ // greatest(dcc, doc)) * nl
+               // greatest(doo, dlo) AS e3,
+             ((nc * no_ // greatest(dcc, doc)) * nl
+               // greatest(doo, dlo)) * ns // greatest(dls, dss) AS e4
+      FROM s
+      UNION ALL
+      SELECT 'orders>customer>lineitem>supplier',
+             no_ * nc // greatest(doc, dcc),
+             (no_ * nc // greatest(doc, dcc)) * nl
+               // greatest(doo, dlo),
+             ((no_ * nc // greatest(doc, dcc)) * nl
+               // greatest(doo, dlo)) * ns // greatest(dls, dss)
+      FROM s
+      UNION ALL
+      SELECT 'orders>lineitem>customer>supplier',
+             no_ * nl // greatest(doo, dlo),
+             (no_ * nl // greatest(doo, dlo)) * nc
+               // greatest(doc, dcc),
+             ((no_ * nl // greatest(doo, dlo)) * nc
+               // greatest(doc, dcc)) * ns // greatest(dls, dss)
+      FROM s
+      UNION ALL
+      SELECT 'orders>lineitem>supplier>customer',
+             no_ * nl // greatest(doo, dlo),
+             (no_ * nl // greatest(doo, dlo)) * ns
+               // greatest(dls, dss),
+             ((no_ * nl // greatest(doo, dlo)) * ns
+               // greatest(dls, dss)) * nc // greatest(doc, dcc)
+      FROM s
+      UNION ALL
+      SELECT 'lineitem>orders>customer>supplier',
+             nl * no_ // greatest(dlo, doo),
+             (nl * no_ // greatest(dlo, doo)) * nc
+               // greatest(doc, dcc),
+             ((nl * no_ // greatest(dlo, doo)) * nc
+               // greatest(doc, dcc)) * ns // greatest(dls, dss)
+      FROM s
+      UNION ALL
+      SELECT 'lineitem>orders>supplier>customer',
+             nl * no_ // greatest(dlo, doo),
+             (nl * no_ // greatest(dlo, doo)) * ns
+               // greatest(dls, dss),
+             ((nl * no_ // greatest(dlo, doo)) * ns
+               // greatest(dls, dss)) * nc // greatest(doc, dcc)
+      FROM s
+      UNION ALL
+      SELECT 'lineitem>supplier>orders>customer',
+             nl * ns // greatest(dls, dss),
+             (nl * ns // greatest(dls, dss)) * no_
+               // greatest(dlo, doo),
+             ((nl * ns // greatest(dls, dss)) * no_
+               // greatest(dlo, doo)) * nc // greatest(doc, dcc)
+      FROM s
+      UNION ALL
+      SELECT 'supplier>lineitem>orders>customer',
+             ns * nl // greatest(dss, dls),
+             (ns * nl // greatest(dss, dls)) * no_
+               // greatest(dlo, doo),
+             ((ns * nl // greatest(dss, dls)) * no_
+               // greatest(dlo, doo)) * nc // greatest(doc, dcc)
+      FROM s)
+    SELECT CAST(row_number() OVER (ORDER BY e2 + e3 + e4, join_order)
+                AS INT) AS rank,
+           join_order,
+           CAST(e2 + e3 + e4 AS BIGINT) AS est_cost,
+           CAST(e4 AS BIGINT) AS est_final_rows
+    FROM costs
+    ORDER BY rank
+    """,
+)
+def q307_join_order_plan(spark, sf_dir):
+    """Selinger-lite left-deep join-order enumeration over the
+    customer–orders–lineitem–supplier chain: all 8 connected orders
+    priced by the containment estimator off one stats pass per
+    table, cheapest first — the optimizer trilogy's third member
+    (q217 prices one join, q298 audits the histograms, this picks
+    the order the statistics exist for). See
+    :func:`maston_spark.relational.join_order_plan`."""
+    from maston_spark.relational import join_order_plan
+
+    return join_order_plan(
+        {
+            "customer": load_table(spark, sf_dir, "customer"),
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+            "supplier": load_table(spark, sf_dir, "supplier"),
+        },
+        [
+            ("customer", "orders", "c_custkey", "o_custkey"),
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+        ],
+    )

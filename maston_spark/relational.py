@@ -3119,3 +3119,99 @@ def dbscan_clusters(
         )
         .orderBy("cluster")
     )
+
+
+def join_order_plan(
+    tables: "dict[str, DataFrame]",
+    joins: "list[tuple[str, str, str, str]]",
+) -> DataFrame:
+    """Selinger-lite LEFT-DEEP join-order enumeration (Selinger et
+    al. 1979) — one row per VALID order ``(rank, join_order,
+    est_cost, est_final_rows)``: enumerate every left-deep order of
+    the join graph that never crosses (each next table must join a
+    table already in the prefix), price each with the textbook
+    containment estimator ``|X ⋈_k Y| = |X|·|Y| div max(d_X(k),
+    d_Y(k))``, and charge an order the SUM of its intermediate
+    cardinalities — the optimizer step that q217's AMS sketch prices
+    ONE join for and q298's histograms feed: picking the order is
+    what the statistics exist FOR. Ranked cheapest first (ties on
+    the order string).
+
+    Estimation contract (documented, exact integers): per-key
+    distinct counts come from the BASE table carrying the key
+    (containment assumption — a join never invents key values);
+    every product/div is exact integer arithmetic in Python's
+    unbounded ints off |tables| collected scalars, so the oracle
+    replays the identical formula. This is an ESTIMATOR audit
+    surface, not a guarantee — pair with q217 for sketch-priced
+    single joins.
+
+    Scale shape: ONE count + |keys| distinct aggregations per table
+    (combiner-reduced; the corpus never shuffles), then pure
+    driver arithmetic on ~|tables|·|keys| scalars and a
+    ≤|orders|-row result. Guarded to ≤ 7 tables (8! orders would be
+    a driver loop, not a plan)."""
+    from itertools import permutations
+
+    if len(tables) > 7:
+        raise ValueError("join_order_plan: too many tables (> 7)")
+    if not joins:
+        raise ValueError("join_order_plan: need at least one join edge")
+    some_df = next(iter(tables.values()))
+    spark = some_df.sparkSession
+
+    # one pass per table: row count + every join key's distinct count
+    keys_by_table: "dict[str, set[str]]" = {t: set() for t in tables}
+    for lt, rt, lk, rk in joins:
+        keys_by_table[lt].add(lk)
+        keys_by_table[rt].add(rk)
+    stats: "dict[str, dict]" = {}
+    for t, d in tables.items():
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")] + [
+            F.countDistinct(F.col(k)).cast("long").alias(f"__d_{k}")
+            for k in sorted(keys_by_table[t])
+        ]
+        row = d.agg(*aggs).collect()[0]
+        stats[t] = {
+            "n": int(row["__n"]),
+            "d": {k: int(row[f"__d_{k}"]) for k in keys_by_table[t]},
+        }
+
+    edges = [(lt, rt, lk, rk) for lt, rt, lk, rk in joins]
+
+    def connecting(prefix, t):
+        for lt, rt, lk, rk in edges:
+            if lt in prefix and rt == t:
+                return lt, lk, rk
+            if rt in prefix and lt == t:
+                return rt, rk, lk
+        return None
+
+    rows = []
+    names = sorted(tables)
+    for perm in permutations(names):
+        prefix = {perm[0]}
+        est = stats[perm[0]]["n"]
+        cost = 0
+        ok = True
+        for t in perm[1:]:
+            conn = connecting(prefix, t)
+            if conn is None:
+                ok = False
+                break
+            anchor, ak, tk = conn
+            da = stats[anchor]["d"][ak]  # containment: the base
+            dt = stats[t]["d"][tk]  # table's distincts survive joins
+            est = (est * stats[t]["n"]) // max(da, dt, 1)
+            cost += est
+            prefix.add(t)
+        if ok:
+            rows.append((">".join(perm), int(cost), int(est)))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    out = [
+        (i + 1, order, cost, final)
+        for i, (order, cost, final) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out, "rank int, join_order string, est_cost long, est_final_rows long"
+    )

@@ -1773,3 +1773,35 @@ def test_ewma_trend_hand_case_and_short_series(spark):
     assert out["jump"].ewma_fast > out["jump"].ewma_slow
     assert out["one"].n_obs == 1
     assert out["one"].ewma_fast == 42.0 and out["one"].ewma_slow == 42.0
+
+
+def test_join_order_plan_prefers_selective_start_and_prunes_cross(spark):
+    """Three-table chain A(1000)-B(10)-C(1000) on shared keys: every
+    emitted order is CONNECTED (no cross-join prefixes), costs replay
+    the containment estimator exactly, and the cheapest order starts
+    from the small middle table (classic Selinger intuition: shrink
+    early)."""
+    import pytest
+
+    from maston_spark.relational import join_order_plan
+
+    a = spark.range(1000).selectExpr("id AS ka")
+    b = spark.range(10).selectExpr("id AS ka", "id AS kc")
+    c = spark.range(1000).selectExpr("id % 10 AS kc")
+    out = join_order_plan(
+        {"a": a, "b": b, "c": c},
+        [("a", "b", "ka", "ka"), ("b", "c", "kc", "kc")],
+    ).collect()
+    orders = [r.join_order for r in out]
+    # connected left-deep orders of a chain a-b-c: 4 of 6 perms
+    assert sorted(orders) == ["a>b>c", "b>a>c", "b>c>a", "c>b>a"]
+    by = {r.join_order: r for r in out}
+    # replay: |a⋈b| = 1000*10 // max(1000,10) = 10; then ⋈c:
+    # 10*1000 // max(10,10) = 1000 -> cost 1010 for a>b>c
+    assert by["a>b>c"].est_cost == 10 + 1000
+    assert by["a>b>c"].est_final_rows == 1000
+    # b-first orders tie at the same cost here; rank 1 is the
+    # lexicographically first of the cheapest
+    assert out[0].rank == 1 and out[0].est_cost == min(r.est_cost for r in out)
+    with pytest.raises(ValueError, match="at least one join"):
+        join_order_plan({"a": a}, [])
