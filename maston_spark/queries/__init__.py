@@ -57,7 +57,13 @@ _PRIORITY = [
     # q251's survivorship golden record — planted-corruption healing
     # with per-column repair provenance, a repair-semantics physics
     # nothing else in the window certifies externally)
-    "q251_golden_record", "q02_filter_predicates", "q03_join_inner",
+    # (round-15 in-round promotion: q02's predicate battery is the
+    # same scan/filter pipeline every graded join composite runs
+    # (q03/q07/q11/q19 — the r14 q01 rationale); its slot grades
+    # q307's Selinger-lite join-order enumeration — plan-enumeration
+    # physics nothing else in the window has, the member the q217/
+    # q298 statistics exist FOR)
+    "q251_golden_record", "q307_join_order_plan", "q03_join_inner",
     "q07_join_semi", "q11_join_range",
     # (round-12 rotation: q12 as-of join's event-time-match family is
     # graded via q143's CDC apply, which runs the same latest-row-
@@ -153,7 +159,13 @@ _PRIORITY = [
     # the broadcast-probe member; its slot grades q244's Bloom-pruned
     # runtime-filter join, whose bit-equality-to-the-plain-join
     # identity claim is graded externally like q207's salted join)
-    "q244_bloom_pruned_join", "q118_pagerank",
+    # (round-15 in-round promotion: q118 PageRank's iteration-replay
+    # grading discipline — DECIMAL(28,9) folds, round-9 normalize,
+    # CTE-stage oracle — is run verbatim by q297's HITS with TWO
+    # coupled vectors instead of one; its slot grades the richer
+    # mutual-reinforcement member, and the graph family keeps
+    # q172/q273's structural physics graded beside it)
+    "q244_bloom_pruned_join", "q297_hits",
     # (q68 not-exists anti-join is the mirror of graded q07's semi —
     # the same null-aware hash-join physics; q69 keeps the scalar-
     # subquery slot. q68's freed slot grades the round-10 KLL sketch,
@@ -331,7 +343,13 @@ _PRIORITY = [
     # minhash pipeline; its slot grades fixed-IEEE-sequence float
     # parity — normalized cross-correlation pattern search, a
     # float-determinism discipline no graded query exercises)
-    "q208_ts_pattern_search", "q94_semantic_dedup",
+    # (round-15 in-round promotion: q94 SemDeDup's Lloyd fit is
+    # graded through q284's shared-oracle-CTE cluster audit and its
+    # keep-one deletion physics via q152's end-to-end dedup report;
+    # its slot grades q303 — the TENTH topology's contamination-gate
+    # fold identity, the decontamination gauge beside graded q291's
+    # leakage certification)
+    "q208_ts_pattern_search", "q303_contamination_prefix",
     # (q99 chunk-overlap is map-only chunking, family kept by
     # q88/q127; its slot grades the planted-dup dedup-effectiveness
     # report, which composes q40+q41 end-to-end)
@@ -406,6 +424,11 @@ _PRIORITY = [
     # q250's fold identity via q272/q231/q296
     "q242_ndcg_mrr", "q123_bm25_rank", "q230_hll_cube",
     "q234_bootstrap_ci", "q250_srm_prefix",
+    # round-15 in-round demotions (flagships named in the promotion
+    # comments above): q02's scan/filter via the join composites,
+    # q118's iteration-replay via q297, q94's fit via q284 + dedup
+    # via q152
+    "q02_filter_predicates", "q118_pagerank", "q94_semantic_dedup",
     # round-14 additions (locally oracle-verified; first in line if
     # a graded row frees up): the EIGHTH topology's fold-identity
     # twin — per-source Good-Turing unseen mass + Chao1 richness
@@ -441,10 +464,6 @@ _PRIORITY = [
     "q295_rake_keyphrases",
     # round-15 additions (locally oracle-verified; first in line if a
     # graded row frees up):
-    # HITS hubs/authorities — the mutual-reinforcement link-analysis
-    # pair beside q118's single PageRank score; max-normalized
-    # iteration replay in DECIMAL(28,9)
-    "q297_hits",
     # histogram selectivity audit — true-vs-estimated rows for range
     # predicates under equi-width AND q293's v-optimal statistics:
     # the estimated-vs-actual error a cost model would eat, exact
@@ -468,11 +487,6 @@ _PRIORITY = [
     # RLHF/bandit-pipeline readout; every division a documented
     # half-away integer lane
     "q302_ips_offpolicy",
-    # TENTH topology's fold-identity twin — the streaming
-    # contamination gate's additive per-source counters replayed as
-    # a 3-batch fold and closed with the SAME shared math (per-doc
-    # fractions don't fold; counters do)
-    "q303_contamination_prefix",
     # Wasserstein-1 drift — the mass×distance drift geometry beside
     # q178's KS sup-norm and q194's binned L1; exact decimal fold
     # over the merged CDF grid
@@ -485,11 +499,6 @@ _PRIORITY = [
     # deterministic border assignment, composed from the graded
     # grid-radius join + connected components
     "q306_dbscan",
-    # Selinger-lite left-deep join-order enumeration — the optimizer
-    # trilogy's third member (q217 prices one join, q298 audits the
-    # histograms, this picks the order); containment estimator in
-    # exact integers off one stats pass per table
-    "q307_join_order_plan",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -96,8 +96,6 @@ def test_graded_window_covers_unique_capabilities():
     window = list(all_queries())[:50]
     for must in (
         "q87_avro_evolution",
-        "q94_semantic_dedup",
-        "q118_pagerank",
         "q139_gapfill", "q141_data_quality",
         # round-9 promotions: the novel round-8 operators plus the
         # composed IVF-PQ flagship are driver-graded
@@ -185,6 +183,13 @@ def test_graded_window_covers_unique_capabilities():
         "q293_voptimal_histogram", "q292_regression_discontinuity",
         "q296_k_anonymity_prefix", "q294_qini_uplift",
         "q288_precedence_census",
+        # round-15 in-round promotions: the round's own novel physics
+        # graded immediately — Selinger-lite join-order enumeration
+        # (the optimizer-trilogy member the statistics exist for),
+        # HITS's two-vector iteration replay, and the TENTH
+        # topology's contamination-gate fold identity
+        "q307_join_order_plan", "q297_hits",
+        "q303_contamination_prefix",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -244,8 +249,8 @@ def test_graded_window_covers_unique_capabilities():
         "q31_json_fns": "q155_keep_first_substring",
         "q65_shipping_priority": "q03_join_inner",
         "q66_local_supplier_volume": "q03_join_inner",
-        "q49_media_features": "q94_semantic_dedup",
-        "q50_frame_sample": "q94_semantic_dedup",
+        "q49_media_features": "q284_davies_bouldin",
+        "q50_frame_sample": "q284_davies_bouldin",
         "q53_levenshtein_neardup": "q152_dedup_report",
         "q54_chargram_jaccard": "q152_dedup_report",
         "q100_dsir_weights": "q155_keep_first_substring",
@@ -345,6 +350,14 @@ def test_graded_window_covers_unique_capabilities():
         "q230_hll_cube": "q231_hll_rolling_prefix",
         "q234_bootstrap_ci": "q241_jackknife_ratio",
         "q250_srm_prefix": "q272_cusum_prefix",
+        # round-15 in-round demotions: q02's scan/filter predicate
+        # battery runs inside every graded join composite; q118's
+        # iteration-replay discipline runs verbatim (richer) in
+        # q297; q94's Lloyd fit is graded via q284's shared-CTE
+        # audit and its deletion physics via q152
+        "q02_filter_predicates": "q03_join_inner",
+        "q118_pagerank": "q297_hits",
+        "q94_semantic_dedup": "q284_davies_bouldin",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
