@@ -3012,3 +3012,90 @@ def ips_offpolicy_value(
         "n", "n_matched", ips.alias("ips_value"),
         snips.alias("snips_value"), ess.alias("ess"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate with right censoring
+    (Nelson 1972; Aalen 1978) — one row per distinct event time
+    ``(t, n_risk, n_events, n_censored, cum_hazard,
+    cum_hazard_var)``: the additive-hazard companion to
+    :func:`kaplan_meier`'s product-limit curve. The hazard SCALE is
+    what the survival scale hides: H(t) plots ~linear under a
+    constant rate, so a bend IS a rate change (the q272 CUSUM
+    question asked of lifetimes), and ``exp(−H)`` ≥ KM gives the
+    Fleming-Harrington cross-check. Variance is the Poisson-type
+    ``Σ d/n²``.
+
+    Exactness — unlike KM's ln/exp replay, the NA estimator is PURE
+    RATIONAL: per event time the increments ``d/n`` and ``d/n²``
+    close as half-away integer lanes (nano and pico respectively,
+    the denominators exact in decimal(38,0)), the cumulative sums
+    fold exact integers, and the two reporting divisions are the
+    only IEEE steps. Same preconditions as KM: NULL and negative
+    durations drop; cumulative windows run over the |distinct t|
+    table, bounded by the duration domain, never the subject
+    count."""
+    dec = "decimal(38,0)"
+    d = df.filter(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & (F.col(duration_col) >= 0)
+    ).select(
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per = d.groupBy("__t").agg(
+        F.sum("__e").cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("__e")).cast("long").alias("n_censored"),
+    )
+    tot = per.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).cast("long").alias("__n")
+    )
+    w_prior = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # |distinct t| table — bounded-domain precondition
+    w_incl = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    left_before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_prior), F.lit(0)
+    )
+    staged = (
+        per.join(F.broadcast(tot))
+        .select(
+            "__t",
+            "n_events",
+            "n_censored",
+            (F.col("__n") - left_before).alias("n_risk"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "(2 * cast(n_events as decimal(38,0)) * 1000000000 + n_risk)"
+                " div (2 * n_risk)"
+            ).alias("__h"),  # nano lane of d/n
+            F.expr(
+                "(2 * cast(n_events as decimal(38,0)) * 1000000000000"
+                " + cast(n_risk as decimal(38,0)) * n_risk)"
+                " div (2 * cast(n_risk as decimal(38,0)) * n_risk)"
+            ).alias("__v"),  # pico lane of d/n²
+        )
+    )
+    return staged.select(
+        F.col("__t").alias("t"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(F.col("__h").cast(dec)).over(w_incl).cast("double")
+            / F.lit(1e9)
+        ).alias("cum_hazard"),
+        (
+            F.sum(F.col("__v").cast(dec)).over(w_incl).cast("double")
+            / F.lit(1e12)
+        ).alias("cum_hazard_var"),
+    ).orderBy("t")

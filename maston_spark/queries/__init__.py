@@ -491,6 +491,10 @@ _PRIORITY = [
     # q178's KS sup-norm and q194's binned L1; exact decimal fold
     # over the merged CDF grid
     "q304_wasserstein_drift",
+    # Nelson-Aalen cumulative hazard — the additive-hazard companion
+    # to graded q246's product-limit curve, pure-rational lanes (no
+    # ln/exp replay) + the Poisson-type variance
+    "q308_nelson_aalen",
     # columnar encoding advisor — exact plain/dict/RLE byte costs
     # per column under a declared total order, the storage-side
     # physical-design statistic beside q219/q205/q293

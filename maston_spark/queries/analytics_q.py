@@ -6475,3 +6475,68 @@ def q307_join_order_plan(spark, sf_dir):
             ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
         ],
     )
+
+
+@query(
+    "q308_nelson_aalen",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0,
+                      CAST(max(ts) AS DATE) AS d1, max(ts) AS last_ts
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY user_id),
+    cut AS (SELECT max(last_ts) - INTERVAL 7 DAY AS co FROM u),
+    subj AS (SELECT date_diff('day', d0, d1) AS t,
+                    CASE WHEN last_ts <= co THEN 1 ELSE 0 END AS e
+             FROM u, cut),
+    per AS (SELECT t, CAST(sum(e) AS BIGINT) AS n_events,
+                   CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+            FROM subj GROUP BY t),
+    tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n
+            FROM per),
+    r AS (SELECT t, n_events, n_censored,
+                 CAST(n - COALESCE(sum(n_events + n_censored) OVER
+                       (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM per, tot),
+    lanes AS (SELECT t, n_risk, n_events, n_censored,
+                     (2 * CAST(n_events AS HUGEINT) * 1000000000
+                      + n_risk) // (2 * n_risk) AS h,
+                     (2 * CAST(n_events AS HUGEINT) * 1000000000000
+                      + CAST(n_risk AS HUGEINT) * n_risk)
+                       // (2 * CAST(n_risk AS HUGEINT) * n_risk) AS v
+              FROM r)
+    SELECT t, n_risk, n_events, n_censored,
+           CAST(sum(h) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1e9 AS cum_hazard,
+           CAST(sum(v) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1e12 AS cum_hazard_var
+    FROM lanes ORDER BY t
+    """,
+)
+def q308_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of user-activity lifetimes
+    (q246's frame: days from first to last event, right-censored in
+    the final week): the additive-hazard companion to the KM curve —
+    PURE RATIONAL (nano/pico half-away lanes, no ln/exp replay),
+    with the Poisson-type Σd/n² variance. See
+    :func:`maston_spark.evaluation.nelson_aalen`."""
+    from maston_spark.evaluation import nelson_aalen
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__d0"),
+        F.max(F.to_date("ts")).alias("__d1"),
+        F.max("ts").alias("__last"),
+    )
+    cut = u.agg(
+        (F.max("__last") - F.expr("INTERVAL 7 DAYS")).alias("__co")
+    )
+    subj = u.join(F.broadcast(cut)).select(
+        F.datediff("__d1", "__d0").alias("dur"),
+        (F.col("__last") <= F.col("__co")).cast("int").alias("evt"),
+    )
+    return nelson_aalen(subj, "dur", "evt")

@@ -1242,3 +1242,26 @@ def test_ips_offpolicy_hand_case(spark):
     assert r.snips_value == 10.0
     # weights: matched A rows carry w = n/n_A = 2 -> ESS = (4*2)^2/(4*4) = 4
     assert r.ess == 4.0
+
+
+def test_nelson_aalen_hand_case_and_km_consistency(spark):
+    """Hand case: 4 subjects, events at t=1 (d=1/n=4) and t=3
+    (d=2/n=2 after a censor at t=2): H = 0.25 then 1.25, variance
+    0.0625 then 0.5625 — exact rationals. exp(−H) upper-bounds the
+    KM survival at every time (Fleming-Harrington), tight early."""
+    import math
+
+    from maston_spark.evaluation import kaplan_meier, nelson_aalen
+
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1)]
+    df = spark.createDataFrame(rows, "dur long, evt int")
+    na = {r.t: r for r in nelson_aalen(df, "dur", "evt").collect()}
+    assert (na[1].n_risk, na[1].n_events) == (4, 1)
+    assert na[1].cum_hazard == 0.25
+    assert na[1].cum_hazard_var == 0.0625
+    assert (na[3].n_risk, na[3].n_events) == (2, 2)
+    assert na[3].cum_hazard == 1.25
+    assert na[3].cum_hazard_var == 0.5625
+    km = {r.t: r.survival for r in kaplan_meier(df, "dur", "evt").collect()}
+    for t, s in km.items():
+        assert math.exp(-na[t].cum_hazard) >= s - 1e-9, t
