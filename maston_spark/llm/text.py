@@ -2172,7 +2172,13 @@ def contamination_counts(
     eval-set gram frame (one column ``__gram``) — an eval suite is
     tiny, so it broadcasts and the corpus grams never shuffle for
     the probe. Docs with fewer than ``n`` tokens have no grams and
-    drop (the :func:`contamination_check` contract)."""
+    drop (the :func:`contamination_check` contract).
+
+    Tokenization is the LITERAL single-space split (the rake
+    convention), not the ``\\s+`` regex — DuckDB oracles replay it
+    as ``string_split(text, ' ')`` with identical empty-token
+    semantics on every input (tabs, double spaces), so the q303
+    cross-engine parity is by construction, not corpus luck."""
     gram_expr = (
         f"explode(transform(sequence(0, size(__toks) - {n}), "
         f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
@@ -2182,7 +2188,7 @@ def contamination_counts(
         .select(
             F.col(group_col).alias("group"),
             F.col(id_col).alias("__id"),
-            tokens(F.col(text_col)).alias("__toks"),
+            F.split(F.col(text_col), " ").alias("__toks"),
         )
         .filter(F.size("__toks") >= n)
         .select("group", "__id", F.expr(gram_expr).alias("__gram"))

@@ -1641,8 +1641,15 @@ def wasserstein_drift(
             "n_group",
             "n_rest",
             F.expr(
-                "(2 * __s * 1000000 + cast(n_group as decimal(38,0)) * n_rest)"
-                " div (2 * cast(n_group as decimal(38,0)) * n_rest)"
+                # greatest(·,1): ANSI evaluates the division even
+                # under a when-guard, so a single-group input
+                # (n_rest = 0) must never reach a 0 denominator —
+                # the when() then degrades it to NULL, mirroring
+                # ks_drift's NaN degradation under double division.
+                "CASE WHEN n_rest > 0 THEN"
+                " (2 * __s * 1000000 + cast(n_group as decimal(38,0)) * n_rest)"
+                " div greatest(2 * cast(n_group as decimal(38,0)) * n_rest, 1)"
+                " END"
             ).cast("double").alias("__w1m"),
         )
         .select(
@@ -1655,47 +1662,18 @@ def wasserstein_drift(
     )
 
 
-def encoding_advisor(
+def _encoding_run_summary(
     df: DataFrame,
     columns: "list[str]",
     order_cols: "list[str]",
 ) -> DataFrame:
-    """Columnar encoding advisor — per column, the EXACT byte cost a
-    writer would pay under the three classic parquet-ish encodings
-    and the winner: ``(column, n_rows, n_distinct, n_runs,
-    plain_bytes, dict_bytes, rle_bytes, best_encoding)`` — the
-    physical-design statistic beside the compaction planner (q219),
-    the z-order layout (q205) and the optimizer histograms
-    (q293/q298): a 100 TB table's storage bill is decided by exactly
-    these counts, and "should this column be dictionary- or
-    run-length-encoded" is answerable from one profile pass instead
-    of a rewrite experiment.
-
-    Cost model (documented, exact integers): values are their string
-    form (NULL → empty, counted); ``plain = Σlen + n`` (terminator
-    per value), ``dict = (Σlen over distinct + d) + n·code_bytes``
-    with ``code_bytes`` the smallest of {1,2,4,8} addressing ``d``
-    values, ``rle = (Σlen over run heads + n_runs) + 4·n_runs``
-    (a 4-byte run length per run). Runs are counted under the
-    caller's ``order_cols`` sort — RLE is meaningless without a
-    declared order, so the order IS part of the advisor's contract
-    (pair with the z-order/compaction layout the table actually
-    uses).
-
-    Scale shape: ONE stacked-generator scan (the profile_* pattern —
-    n×|columns| slim rows), then the TWO-PHASE distributed run count
-    (the :func:`~maston_spark.relational.compaction_plan` /
-    global_rank discipline): a ``Window.partitionBy(column)`` would
-    make each profiled column ONE window partition — a single-task
-    sort of the whole column, measured 8.4× at 10× data — so rows
-    range-partition on the (column, order, value) total order, runs
-    are counted per (column, RANGE-partition) window — a fully
-    JVM-side codegen path, measured 2.6× faster at 10× than the
-    Arrow/`mapInPandas` alternative — and each partition's
-    |columns|-bounded boundary summary is folded on the driver
-    (adjacent partitions whose edge values match merge one run);
-    the remaining aggs are combiner-reduced and distinct costs
-    shuffle only the distinct set."""
+    """The distributed half of :func:`encoding_advisor`: stacked
+    generator scan + range partition on the (column, order, value)
+    total order + per-(column, RANGE-partition) run-count window —
+    one summary row per (column, __pid). Split out so the plan test
+    can assert every Window carries the (column, __pid) partition
+    spec (the single-task ``Window.partitionBy(column)`` regression
+    q305 escaped once, measured 8.4× worse at 10×)."""
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = df.select(
@@ -1751,6 +1729,55 @@ def encoding_advisor(
         F.min_by("v", "__rn").alias("first_v"),
         F.max_by("v", "__rn").alias("last_v"),
     )
+    return summary
+
+
+def encoding_advisor(
+    df: DataFrame,
+    columns: "list[str]",
+    order_cols: "list[str]",
+) -> DataFrame:
+    """Columnar encoding advisor — per column, the EXACT byte cost a
+    writer would pay under the three classic parquet-ish encodings
+    and the winner: ``(column, n_rows, n_distinct, n_runs,
+    plain_bytes, dict_bytes, rle_bytes, best_encoding)`` — the
+    physical-design statistic beside the compaction planner (q219),
+    the z-order layout (q205) and the optimizer histograms
+    (q293/q298): a 100 TB table's storage bill is decided by exactly
+    these counts, and "should this column be dictionary- or
+    run-length-encoded" is answerable from one profile pass instead
+    of a rewrite experiment.
+
+    Cost model (documented, exact integers): values are their string
+    form (NULL → empty, counted); ``plain = Σlen + n`` (terminator
+    per value), ``dict = (Σlen over distinct + d) + n·code_bytes``
+    with ``code_bytes`` the smallest of {1,2,4,8} addressing ``d``
+    values, ``rle = (Σlen over run heads + n_runs) + 4·n_runs``
+    (a 4-byte run length per run). Runs are counted under the
+    caller's ``order_cols`` sort — RLE is meaningless without a
+    declared order, so the order IS part of the advisor's contract
+    (pair with the z-order/compaction layout the table actually
+    uses).
+
+    Scale shape: ONE stacked-generator scan (the profile_* pattern —
+    n×|columns| slim rows), then the TWO-PHASE distributed run count
+    (the :func:`~maston_spark.relational.compaction_plan` /
+    global_rank discipline): a ``Window.partitionBy(column)`` would
+    make each profiled column ONE window partition — a single-task
+    sort of the whole column, measured 8.4× at 10× data — so rows
+    range-partition on the (column, order, value) total order, runs
+    are counted per (column, RANGE-partition) window — a fully
+    JVM-side codegen path, measured 2.6× faster at 10× than the
+    Arrow/`mapInPandas` alternative — and each partition's
+    |columns|-bounded boundary summary is folded on the driver
+    (adjacent partitions whose edge values match merge one run);
+    the remaining aggs are combiner-reduced and distinct costs
+    shuffle only the distinct set. The windowed phase lives in
+    :func:`_encoding_run_summary` so ``tests/test_plans.py`` can pin
+    its (column, __pid) partition spec — the collect() fold below
+    otherwise hides the Window from the returned frame's plan."""
+    spark = df.sparkSession
+    summary = _encoding_run_summary(df, columns, order_cols)
     # |partitions|×|columns| boundary rows — driver-bounded fold:
     # when partition p ends with the same (column, value) partition
     # p+1 starts with, their adjacent runs are ONE run
@@ -1778,8 +1805,25 @@ def encoding_advisor(
         ],
         "column string, n_rows long, __sl long, n_runs long, __rl long",
     )
+    # distinct costs re-stack (column, value) pairs without the
+    # order columns — the distinct set is all this branch shuffles
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("")
+                        ).alias("v"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("s")
+    ).select("s.column", "s.v")
     dist = (
-        pairs.select("column", "v")
+        stacked
         .distinct()
         .groupBy("column")
         .agg(

@@ -63,7 +63,14 @@ _PRIORITY = [
     # q307's Selinger-lite join-order enumeration — plan-enumeration
     # physics nothing else in the window has, the member the q217/
     # q298 statistics exist FOR)
-    "q251_golden_record", "q307_join_order_plan", "q03_join_inner",
+    # (round-16 rotation, per the round-15 verdict: q307's
+    # plan-enumeration slot grades q298's selectivity audit — the
+    # optimizer-trilogy member that measures the estimated-vs-true
+    # row error the q307 estimator EATS; the enumeration physics
+    # stays certified by q298+q217 pricing the same containment
+    # arithmetic, and q307 keeps its hand-replay + cyclic-graph
+    # unit tests)
+    "q251_golden_record", "q298_selectivity_audit", "q03_join_inner",
     "q07_join_semi", "q11_join_range",
     # (round-12 rotation: q12 as-of join's event-time-match family is
     # graded via q143's CDC apply, which runs the same latest-row-
@@ -142,7 +149,13 @@ _PRIORITY = [
     # existential precedence census — per-(entity,type) min/max-agg
     # sequence physics ("∃ a before b" as one bounded self-join,
     # never an event-pair scan) that nothing graded has)
-    "q288_precedence_census",
+    # (round-16 rotation: q288's min/max-agg sequence physics stays
+    # graded via q208's pattern search — the same per-entity ordered
+    # event-window discipline with the harder correlation close; its
+    # slot grades q306's grid-blocked DBSCAN — density clustering
+    # with the always-emitted noise row, composed from the graded
+    # grid-radius join + connected-components primitives)
+    "q306_dbscan",
     # multi-join / subquery family (q67 exists / q71 in-subquery are
     # demoted siblings: both rewrite to the same semi-join physical
     # family as graded q07; q68 stays for the anti-join rewrite)
@@ -192,7 +205,13 @@ _PRIORITY = [
     # harmonic-estimator physics stays graded by the richer member;
     # its slot grades q272, the CUSUM monitor's additive-fold twin,
     # completing the seventh row of the topology-twin matrix)
-    "q226_trimmed_mean", "q272_cusum_prefix",
+    # (round-16 rotation: q226's cumulative-multiplicity rank math
+    # stays graded via q192's KLL rank contract and its robust-stats
+    # family via q274's Theil-Sen integer-rational lanes; its slot
+    # grades q305's encoding advisor — exact plain/dict/RLE byte
+    # costs under the pinned two-phase (column, __pid) run count,
+    # the storage-side physical-design statistic)
+    "q305_encoding_advisor", "q272_cusum_prefix",
     # LLM-pipeline set (unique capabilities first; within-family
     # variants — simhash after minhash, fingerprint after exact-hash,
     # sliding/session after tumbling, frames after rank — are in the
@@ -262,14 +281,25 @@ _PRIORITY = [
     # grades q296's k-anonymity prefix twin, the NINTH topology's
     # fold identity — one row grading both q290's k/l audit math and
     # the additive cell-count state discipline)
-    "q296_k_anonymity_prefix", "q217_join_size_estimate", "q227_ipf_raking",
+    # (round-16 rotation: q296's fold-identity discipline stays
+    # graded via q272's CUSUM counter fold and q303's contamination
+    # twin — the same additive-state-equals-batch claim; its slot
+    # grades q304's Wasserstein-1 drift — the mass×distance geometry
+    # beside graded q178's KS sup-norm, exact decimal CDF-gap fold)
+    "q304_wasserstein_drift", "q217_join_size_estimate", "q227_ipf_raking",
     # (round-15 rotation: q234 bootstrap-CI's resampling-inference
     # family stays graded via q241's jackknife ratio and q254's
     # conformal order statistic; its slot grades q292's sharp
     # regression discontinuity — the third causal lens (threshold
     # assignment) beside graded q221 CUPED and q287 CEM, both-side
     # OLS closed over exact integer normal equations)
-    "q292_regression_discontinuity", "q241_jackknife_ratio",
+    # (round-16 rotation: q292's threshold-assignment causal lens
+    # stays graded via q294's Qini differencing and q221's CUPED
+    # regression — the same exact-integer normal-equation close; its
+    # slot grades q308's Nelson-Aalen cumulative hazard — the
+    # additive-hazard companion to graded q246's product-limit
+    # curve, pure-rational lanes + Poisson-type variance)
+    "q308_nelson_aalen", "q241_jackknife_ratio",
     # (q51 quality-score shares the length/punct/stopword-ratio family
     # with graded q45 text_stats; its slot grades the declarative
     # data-quality constraint family instead)
@@ -462,13 +492,15 @@ _PRIORITY = [
     # runs + degree/frequency word graph) beside token-level
     # PMI/tf-idf
     "q295_rake_keyphrases",
-    # round-15 additions (locally oracle-verified; first in line if a
-    # graded row frees up):
-    # histogram selectivity audit — true-vs-estimated rows for range
-    # predicates under equi-width AND q293's v-optimal statistics:
-    # the estimated-vs-actual error a cost model would eat, exact
-    # uniform-within-bucket rationals in decimal(38,0)
-    "q298_selectivity_audit",
+    # round-16 demotions (promotion rationale at each freed slot
+    # above): q307's plan enumeration via q298+q217's containment
+    # pricing, q288's sequence census via q208, q226's rank math via
+    # q192+q274, q296's fold identity via q272+q303, q292's causal
+    # lens via q294+q221
+    "q307_join_order_plan", "q288_precedence_census",
+    "q226_trimmed_mean", "q296_k_anonymity_prefix",
+    "q292_regression_discontinuity",
+    # round-15 additions:
     # PRR/ROR disproportionality screen — hypothesis-free
     # surveillance scan of the source×lang reporting table, the
     # screening member beside the chi-square chosen-pair family
@@ -487,22 +519,6 @@ _PRIORITY = [
     # RLHF/bandit-pipeline readout; every division a documented
     # half-away integer lane
     "q302_ips_offpolicy",
-    # Wasserstein-1 drift — the mass×distance drift geometry beside
-    # q178's KS sup-norm and q194's binned L1; exact decimal fold
-    # over the merged CDF grid
-    "q304_wasserstein_drift",
-    # Nelson-Aalen cumulative hazard — the additive-hazard companion
-    # to graded q246's product-limit curve, pure-rational lanes (no
-    # ln/exp replay) + the Poisson-type variance
-    "q308_nelson_aalen",
-    # columnar encoding advisor — exact plain/dict/RLE byte costs
-    # per column under a declared total order, the storage-side
-    # physical-design statistic beside q219/q205/q293
-    "q305_encoding_advisor",
-    # grid-blocked DBSCAN — arbitrary-shape density clustering with
-    # deterministic border assignment, composed from the graded
-    # grid-radius join + connected components
-    "q306_dbscan",
     # round-13 additions (locally oracle-verified): the statistical-
     # test battery (rank-sum, Welch, ANOVA, stratified MH, trend,
     # BH-FDR multiple testing, pairwise Kendall), time-series ACF +

@@ -6323,11 +6323,18 @@ def q305_encoding_advisor(spark, sf_dir):
            JOIN cc ON cc.id = sym.nb
       WHERE NOT m.core GROUP BY m.id),
     allp AS (SELECT id, cluster, 1 AS c FROM cc
-             UNION ALL SELECT id, cluster, 0 FROM border)
-    SELECT cluster, CAST(sum(c) AS BIGINT) AS n_core,
-           CAST(sum(1 - c) AS BIGINT) AS n_border,
-           CAST(count(*) AS BIGINT) AS n_points
-    FROM allp GROUP BY cluster ORDER BY cluster
+             UNION ALL SELECT id, cluster, 0 FROM border),
+    summary AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n_core,
+                       CAST(sum(1 - c) AS BIGINT) AS n_border,
+                       CAST(count(*) AS BIGINT) AS n_points
+                FROM allp GROUP BY cluster),
+    noise AS (SELECT -1 AS cluster, CAST(0 AS BIGINT) AS n_core,
+                     CAST(0 AS BIGINT) AS n_border,
+                     CAST((SELECT count(*) FROM p)
+                          - (SELECT count(*) FROM allp) AS BIGINT)
+                       AS n_points)
+    SELECT * FROM summary UNION ALL SELECT * FROM noise
+    ORDER BY cluster
     """,
 )
 def q306_dbscan(spark, sf_dir):

@@ -5827,7 +5827,6 @@ def q303_contamination_prefix(spark, sf_dir):
     from maston_spark.llm.text import (
         contamination_counts,
         contamination_from_counts,
-        tokens as _toks,
     )
 
     d = load_table(spark, sf_dir, "documents").filter(
@@ -5837,7 +5836,9 @@ def q303_contamination_prefix(spark, sf_dir):
     ).select("doc_id", "source", "text")
     bench_grams = (
         d.filter(F.col("doc_id") % 97 == 0)
-        .select(_toks(F.col("text")).alias("__toks"))
+        # literal single-space split — the contamination_counts
+        # tokenization, so bench and corpus grams can never diverge
+        .select(F.split(F.col("text"), " ").alias("__toks"))
         .filter(F.size("__toks") >= 3)
         .select(
             F.expr(
@@ -5929,6 +5930,9 @@ def q304_wasserstein_drift(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("source", "text")
     m = d.select(
         "source",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        # literal single-space split (the rake convention): matches
+        # the oracle's string_split(trim(text), ' ') on EVERY input,
+        # not just the single-spaced synthetic corpus
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tokens"),
     )
     return wasserstein_drift(m, "source", "n_tokens")

@@ -3046,7 +3046,11 @@ def dbscan_clusters(
     over integer planar points, the spatial clustering member beside
     the centroid family (q119 k-means assumes convex equal-ish
     blobs; DBSCAN finds arbitrary-shape dense regions and calls the
-    sparse rest NOISE — no k to guess). Composition of two graded
+    sparse rest NOISE — no k to guess). Noise is a first-class row:
+    ``cluster = -1`` (always emitted, possibly 0) carries every
+    unclustered point — non-core points with no core neighbor and
+    points with NULL coordinates — so ``sum(n_points)`` over the
+    result equals ``|points|`` exactly. Composition of two graded
     primitives: ``grid_radius_join`` generates the ε-neighbor pairs
     (never all-pairs — candidates bounded by local density), and
     ``connected_components`` merges core points into clusters.
@@ -3110,15 +3114,29 @@ def dbscan_clusters(
     both = cc.select("id", "cluster", F.lit(1).alias("__c")).unionByName(
         border.select("id", "cluster", F.lit(0).alias("__c"))
     )
-    return (
-        both.groupBy("cluster")
-        .agg(
-            F.sum("__c").cast("long").alias("n_core"),
-            F.sum(1 - F.col("__c")).cast("long").alias("n_border"),
-            F.count(F.lit(1)).cast("long").alias("n_points"),
-        )
-        .orderBy("cluster")
+    summary = both.groupBy("cluster").agg(
+        F.sum("__c").cast("long").alias("n_core"),
+        F.sum(1 - F.col("__c")).cast("long").alias("n_border"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
     )
+    # NOISE row, always emitted as cluster = -1 (a sentinel, not
+    # NULL — NULL sorts first in Spark and last in DuckDB): points
+    # in no cluster (non-core with no core neighbor, incl. NULL
+    # coordinates, which the grid join drops), so sum(n_points)
+    # over the result equals |points| by construction. Two 1-row
+    # aggs cross-joined — driver-bounded scalars.
+    cluster_t = dict(both.dtypes)["cluster"]
+    noise = (
+        ids.agg(F.count(F.lit(1)).alias("__t"))
+        .join(both.agg(F.count(F.lit(1)).alias("__k")))
+        .select(
+            F.lit(-1).cast(cluster_t).alias("cluster"),
+            F.lit(0).cast("long").alias("n_core"),
+            F.lit(0).cast("long").alias("n_border"),
+            (F.col("__t") - F.col("__k")).cast("long").alias("n_points"),
+        )
+    )
+    return summary.unionByName(noise).orderBy("cluster")
 
 
 def join_order_plan(
@@ -3142,7 +3160,12 @@ def join_order_plan(
     (containment assumption — a join never invents key values);
     every product/div is exact integer arithmetic in Python's
     unbounded ints off |tables| collected scalars, so the oracle
-    replays the identical formula. This is an ESTIMATOR audit
+    replays the identical formula. When a table joins the prefix
+    through MULTIPLE edges (a cycle in the join graph), EVERY
+    connecting predicate applies its own containment factor —
+    ``div max(d_anchor, d_t)`` once per edge, edges in sorted
+    ``(anchor, anchor_key, t_key)`` order so equivalent inputs
+    price identically regardless of the ``joins`` list order. This is an ESTIMATOR audit
     surface, not a guarantee — pair with q217 for sketch-priced
     single joins.
 
@@ -3180,12 +3203,17 @@ def join_order_plan(
     edges = [(lt, rt, lk, rk) for lt, rt, lk, rk in joins]
 
     def connecting(prefix, t):
+        # EVERY edge joining t to the prefix, deterministically
+        # ordered — cyclic graphs apply one containment factor per
+        # connecting predicate (not just the first edge found).
+        found = []
         for lt, rt, lk, rk in edges:
             if lt in prefix and rt == t:
-                return lt, lk, rk
-            if rt in prefix and lt == t:
-                return rt, rk, lk
-        return None
+                found.append((lt, lk, rk))
+            elif rt in prefix and lt == t:
+                found.append((rt, rk, lk))
+        found.sort()
+        return found
 
     rows = []
     names = sorted(tables)
@@ -3195,14 +3223,15 @@ def join_order_plan(
         cost = 0
         ok = True
         for t in perm[1:]:
-            conn = connecting(prefix, t)
-            if conn is None:
+            conns = connecting(prefix, t)
+            if not conns:
                 ok = False
                 break
-            anchor, ak, tk = conn
-            da = stats[anchor]["d"][ak]  # containment: the base
-            dt = stats[t]["d"][tk]  # table's distincts survive joins
-            est = (est * stats[t]["n"]) // max(da, dt, 1)
+            est = est * stats[t]["n"]
+            for anchor, ak, tk in conns:
+                da = stats[anchor]["d"][ak]  # containment: the base
+                dt = stats[t]["d"][tk]  # table's distincts survive
+                est //= max(da, dt, 1)
             cost += est
             prefix.add(t)
         if ok:

@@ -497,3 +497,29 @@ def test_quantile_normalize_windows_are_group_partitioned(spark, sf_dir, qs):
 
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
         assert m.group(1).strip(), p
+
+
+def test_encoding_advisor_windows_are_pid_partitioned(spark, sf_dir):
+    """q305's run-count phase must keep the two-phase shape: range
+    partition on the (column, order, value) total order, then
+    per-(column, __pid) windows. A ``Window.partitionBy(column)``
+    (one task per profiled column — the shape q305 escaped once,
+    measured 8.4× worse at 10×) or a partition-less window must
+    fail this test (round-15 verdict finding #1)."""
+    import re
+
+    from maston_spark.profiling import _encoding_run_summary
+    from maston_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    summary = _encoding_run_summary(
+        li,
+        ["l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey"],
+        ["l_orderkey", "l_linenumber"],
+    )
+    p = plan_of(summary)
+    assert "rangepartitioning" in p.lower(), p
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert wins, "expected the run-count Window in the plan:\n" + p
+    for spec in wins:
+        assert "column" in spec and "__pid" in spec, (spec, p)

@@ -208,3 +208,18 @@ def test_encoding_advisor_hand_case(spark):
     uniq = out["c_uniq"]
     assert uniq.n_distinct == 100 and uniq.n_runs == 100
     assert uniq.best_encoding == "plain"
+
+
+def test_wasserstein_drift_single_group_degrades_to_null(spark):
+    """One group only: n_rest = 0 — the close must degrade to NULL
+    w1 (the ks_drift NaN discipline) instead of raising a decimal
+    division-by-zero under ANSI (r15 ADVICE)."""
+    from maston_spark.profiling import wasserstein_drift
+
+    df = spark.createDataFrame(
+        [("A", v) for v in range(5)], "g string, v long"
+    )
+    out = wasserstein_drift(df, "g", "v").collect()
+    assert len(out) == 1
+    assert out[0].n_group == 5 and out[0].n_rest == 0
+    assert out[0].w1 is None

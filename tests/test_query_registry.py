@@ -134,11 +134,8 @@ def test_graded_window_covers_unique_capabilities():
         "q206_scd2_history",
         "q208_ts_pattern_search", "q212_group_auc",
         "q217_join_size_estimate",
-        # round-12 second-wave promotions: the round's own novel
-        # physics graded in-round — value-histogram trimmed stats,
-        # HLL rollup-cube mergeability, deterministic Poisson
-        # bootstrap
-        "q226_trimmed_mean",
+        # (round-16: q226's second-wave slot rotated to q305 — the
+        # rank-math family stays via q192+q274)
         # round-12 third wave: jackknife ratio CI (correlated-ratio
         # variance) and Kaplan-Meier survival (product-limit hazard)
         "q241_jackknife_ratio", "q246_kaplan_meier",
@@ -180,16 +177,28 @@ def test_graded_window_covers_unique_capabilities():
         # the k/l audit math and the additive cell-count state
         # discipline), the Qini uplift curve, and the min/max-agg
         # existential precedence census
-        "q293_voptimal_histogram", "q292_regression_discontinuity",
-        "q296_k_anonymity_prefix", "q294_qini_uplift",
-        "q288_precedence_census",
+        # (round-16: the q292/q296/q288 slots rotated to
+        # q308/q304/q306 — families held per the sibling map below)
+        "q293_voptimal_histogram", "q294_qini_uplift",
         # round-15 in-round promotions: the round's own novel physics
         # graded immediately — Selinger-lite join-order enumeration
         # (the optimizer-trilogy member the statistics exist for),
         # HITS's two-vector iteration replay, and the TENTH
         # topology's contamination-gate fold identity
-        "q307_join_order_plan", "q297_hits",
+        # (round-16: q307's slot rotated to q298 — the optimizer
+        # trilogy keeps the containment arithmetic graded)
+        "q297_hits",
         "q303_contamination_prefix",
+        # round-16 promotions (round-15 verdict task 1): round-15's
+        # never-driver-graded novel physics — the histogram
+        # selectivity audit (estimated-vs-true row error), the
+        # Wasserstein-1 mass×distance drift geometry, the encoding
+        # advisor's exact byte-cost model under the pinned two-phase
+        # run count, grid-blocked DBSCAN with the first-class noise
+        # row, and Nelson-Aalen's additive cumulative hazard
+        "q298_selectivity_audit", "q304_wasserstein_drift",
+        "q305_encoding_advisor", "q306_dbscan",
+        "q308_nelson_aalen",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -259,7 +268,7 @@ def test_graded_window_covers_unique_capabilities():
         # q123/q157; the moment-sum family via q176 + promoted q196;
         # the anti-join rewrite is the mirror of q07's semi-join
         # physics; the allocation family via q189's water-fill
-        "q128_robust_outliers": "q226_trimmed_mean",
+        "q128_robust_outliers": "q274_theil_sen",
         "q96_bigram_perplexity": "q155_keep_first_substring",
         "q104_embedding_covariance": "q217_join_size_estimate",
         "q68_not_exists_antijoin": "q07_join_semi",
@@ -291,7 +300,7 @@ def test_graded_window_covers_unique_capabilities():
         # rank-contract member; LSH-pair attribution via the cluster/
         # transitivity/report trio; skyline selection via the budget
         # planners; rank fusion via BM25 scoring + global midranks
-        "q197_weighted_percentiles": "q226_trimmed_mean",
+        "q197_weighted_percentiles": "q192_kll_quantiles",
         "q191_quantile_sketch": "q192_kll_quantiles",
         "q171_source_dup_matrix": "q172_dup_transitivity",
         "q174_pareto_frontier": "q204_greedy_coverage",
@@ -325,7 +334,7 @@ def test_graded_window_covers_unique_capabilities():
         # q92's Confluent wire framing via the evolution round-trip
         # that composes the same encode/decode dispatch
         "q01_pricing_summary": "q19_grouping_sets",
-        "q15_agg_percentile": "q226_trimmed_mean",
+        "q15_agg_percentile": "q192_kll_quantiles",
         "q194_binned_tvd_drift": "q178_ks_drift",
         "q169_cms_heavy_hitters": "q231_hll_rolling_prefix",
         "q92_avro_roundtrip": "q87_avro_evolution",
@@ -358,6 +367,18 @@ def test_graded_window_covers_unique_capabilities():
         "q02_filter_predicates": "q03_join_inner",
         "q118_pagerank": "q297_hits",
         "q94_semantic_dedup": "q284_davies_bouldin",
+        # round-16 demotions (round-15 verdict task 1): q307's
+        # containment pricing is replayed by q298's audit + q217's
+        # sketch forecast; q288's per-entity ordered-event census via
+        # q208's pattern windows; q226's cumulative-multiplicity rank
+        # math via q192's KLL contract (robust family via q274);
+        # q296's additive fold identity via q272 + the q303 twin;
+        # q292's causal threshold lens via q294 + q221
+        "q307_join_order_plan": "q298_selectivity_audit",
+        "q288_precedence_census": "q208_ts_pattern_search",
+        "q226_trimmed_mean": "q192_kll_quantiles",
+        "q296_k_anonymity_prefix": "q272_cusum_prefix",
+        "q292_regression_discontinuity": "q294_qini_uplift",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted

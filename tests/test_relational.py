@@ -1805,3 +1805,70 @@ def test_join_order_plan_prefers_selective_start_and_prunes_cross(spark):
     assert out[0].rank == 1 and out[0].est_cost == min(r.est_cost for r in out)
     with pytest.raises(ValueError, match="at least one join"):
         join_order_plan({"a": a}, [])
+
+
+def test_join_order_plan_cyclic_graph_prices_every_edge(spark):
+    """Triangle a-b-c: when the third table joins the prefix through
+    TWO edges, BOTH containment factors apply (r15 ADVICE: the old
+    first-edge-found pricing made est_cost depend on the joins-list
+    order). Hand replay: a>b>c step 2 joins c via (b,c,y) AND
+    (a,c,z) -> 100*100 // max(2,2) // max(5,5) = 1000, and the plan
+    is identical under a reversed joins list."""
+    from maston_spark.relational import join_order_plan
+
+    a = spark.range(100).selectExpr("id % 10 AS x", "id % 5 AS z")
+    b = spark.range(10).selectExpr("id AS x", "id % 2 AS y")
+    c = spark.range(100).selectExpr("id % 2 AS y", "id % 5 AS z")
+    joins = [("a", "b", "x", "x"), ("b", "c", "y", "y"), ("a", "c", "z", "z")]
+    tables = {"a": a, "b": b, "c": c}
+    out1 = join_order_plan(tables, joins).collect()
+    out2 = join_order_plan(tables, list(reversed(joins))).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    by = {r.join_order: r for r in out1}
+    # a>b>c: |a ⋈ b| = 100*10 // max(10,10) = 100; c connects via
+    # two edges -> 100*100 // 2 // 5 = 1000 (single-edge bug: 5000)
+    assert by["a>b>c"].est_cost == 100 + 1000
+    assert by["a>b>c"].est_final_rows == 1000
+    # triangle: every permutation is connected
+    assert len(out1) == 6
+
+
+def test_dbscan_noise_row_balances_point_count(spark):
+    """Hand case: three collinear cores (mutual eps-neighbors), one
+    border hanging off the end, one far-away noise point and one
+    NULL-coordinate point. The always-emitted cluster=-1 row carries
+    both unclustered points, so sum(n_points) == |points| (r15
+    ADVICE: noise used to be reported only by omission)."""
+    from maston_spark.relational import dbscan_clusters
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0, 0),
+            (2, 1, 0),
+            (3, 2, 0),
+            (4, 3, 1),  # border: only neighbor is core 3
+            (5, 100, 100),  # noise: no neighbors
+            (6, 50, None),  # NULL y -> never enters the grid join
+        ],
+        "id long, x long, y long",
+    )
+    out = {r.cluster: r for r in
+           dbscan_clusters(pts, "id", "x", "y", eps=2, min_pts=3).collect()}
+    assert set(out) == {1, -1}
+    assert (out[1].n_core, out[1].n_border, out[1].n_points) == (3, 1, 4)
+    assert (out[-1].n_core, out[-1].n_border, out[-1].n_points) == (0, 0, 2)
+    assert sum(r.n_points for r in out.values()) == 6
+
+
+def test_dbscan_all_clustered_emits_zero_noise_row(spark):
+    """No noise: the -1 row is still emitted (deterministic schema,
+    n_points = 0) rather than appearing only when noise exists."""
+    from maston_spark.relational import dbscan_clusters
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, 0), (3, 0, 1)], "id long, x long, y long"
+    )
+    out = {r.cluster: r for r in
+           dbscan_clusters(pts, "id", "x", "y", eps=2, min_pts=3).collect()}
+    assert out[-1].n_points == 0
+    assert out[1].n_points == 3
