@@ -3099,3 +3099,137 @@ def nelson_aalen(
             / F.lit(1e12)
         ).alias("cum_hazard_var"),
     ).orderBy("t")
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING RISKS
+    (Aalen & Johansen 1978) — one row per (distinct time, cause)
+    ``(t, cause, n_risk, n_events, cif)``: the probability of
+    failing FROM cause k by time t when other causes can claim a
+    subject first. ``1 − KM_k`` (treating other causes as censoring)
+    over-counts — a subject taken by cause 2 at time 5 was never
+    available to fail from cause 1 at time 9 — while
+    ``CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s)`` (S = ALL-cause KM
+    survival) partitions the probability space exactly:
+    ``Σ_k CIF_k(t) = 1 − S(t)``, the identity the single-cause hand
+    case reduces to (one cause → CIF = 1 − KM).
+
+    ``cause_col``: 0 = right-censored, any positive integer = a
+    failure cause. Cross-engine determinism is the q246+q308 hybrid:
+    S(t−) replays the KM ln/exp discipline (per-step logs rounded to
+    the 9-grid, order-fixed prefix sum, exp rounded back ONTO an
+    integer nano lane ``s9``), then each increment closes EXACTLY as
+    the pico half-away lane ``(2·s9·d_k·1000 + n) div (2n)`` — so
+    the per-cause cumulative sum folds exact integers and the one
+    reporting division ``/1e12`` is the only remaining IEEE step
+    (the q274/q308 positive-operand div contract). A time where the
+    whole risk set dies sends every later S(t−) to exact 0.
+
+    Scale shape: one groupBy(t) census + one groupBy(t, cause)
+    split, cumulative windows over the |distinct t| table (bounded
+    duration domain — pre-bucket continuous durations, the KM
+    precondition), a broadcast |causes| grid fill so every cause has
+    a row at every time (CIFs are flat where the cause is quiet),
+    and |distinct t|·|causes| result rows. NULL and negative
+    durations drop, as do NULL causes."""
+    dec = "decimal(38,0)"
+    d = df.filter(
+        F.col(duration_col).isNotNull()
+        & F.col(cause_col).isNotNull()
+        & (F.col(duration_col) >= 0)
+    ).select(
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(cause_col).cast("int").alias("__k"),
+    )
+    per = d.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum((F.col("__k") > 0).cast("long")).cast("long").alias("__d_all"),
+    )
+    perk = (
+        d.filter(F.col("__k") > 0)
+        .groupBy("__t", F.col("__k").alias("cause"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__dk"))
+    )
+    tot = per.agg(F.sum("__m").cast("long").alias("__n"))
+    w_prior = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # |distinct t| table — bounded-domain precondition
+    risk = (
+        per.join(F.broadcast(tot))
+        .select(
+            "__t",
+            "__d_all",
+            (
+                F.col("__n")
+                - F.coalesce(F.sum("__m").over(w_prior), F.lit(0))
+            ).alias("n_risk"),
+        )
+    )
+    # KM ln-lane for the ALL-cause survival prefix S(t−)
+    lg = risk.select(
+        "__t",
+        "n_risk",
+        "__d_all",
+        F.when(
+            F.col("__d_all") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("__d_all").cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+                9,
+            ),
+        ).alias("__lg"),
+    )
+    dead_prev = F.coalesce(
+        F.max(F.when(F.col("__lg").isNull(), 1).otherwise(0)).over(w_prior),
+        F.lit(0),
+    )
+    s9 = F.when(dead_prev == 1, F.lit(0).cast("long")).otherwise(
+        F.round(
+            F.exp(F.coalesce(F.sum("__lg").over(w_prior), F.lit(0.0)))
+            * F.lit(1e9),
+            0,
+        ).cast("long")
+    )
+    st = lg.select("__t", "n_risk", s9.alias("__s9"))
+    causes = (
+        d.filter(F.col("__k") > 0)
+        .select(F.col("__k").alias("cause"))
+        .distinct()
+    )  # |causes| rows — tiny by contract, broadcast grid fill
+    grid = st.join(F.broadcast(causes))
+    g2 = grid.join(perk, ["__t", "cause"], "left").select(
+        "__t",
+        "cause",
+        "n_risk",
+        "__s9",
+        F.coalesce(F.col("__dk"), F.lit(0)).cast("long").alias("n_events"),
+    )
+    inc = g2.select(
+        "*",
+        F.expr(
+            "(2 * cast(__s9 as decimal(38,0)) * n_events * 1000 + n_risk)"
+            " div (2 * n_risk)"
+        ).alias("__pico"),
+    )
+    w_cause = (
+        Window.partitionBy("cause")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return inc.select(
+        F.col("__t").alias("t"),
+        "cause",
+        "n_risk",
+        "n_events",
+        (
+            F.sum(F.col("__pico").cast(dec)).over(w_cause).cast("double")
+            / F.lit(1e12)
+        ).alias("cif"),
+    ).orderBy("t", "cause")

@@ -89,7 +89,13 @@ _PRIORITY = [
     # windows, q139's gap-fill frames, q229-family global ranks; its
     # slot grades Kaplan-Meier right-censored survival — product-limit
     # hazard physics nothing else in the window has)
-    "q19_grouping_sets", "q246_kaplan_meier",
+    # (round-16 in-round promotion: q246 KM's product-limit ln-lane
+    # replay runs VERBATIM inside q309's S(t−) prefix, and its
+    # risk-set census is graded twice more — q308's hazard lanes and
+    # q309's shared frame; its slot grades the richer member:
+    # Aalen-Johansen competing-risks cumulative incidence, the
+    # product×hazard fold that partitions 1−S(t) across causes)
+    "q19_grouping_sets", "q309_aalen_johansen",
     # (q23 top-k-per-group is a row_number window — the same physical
     # family as graded q20; its slot grades the time-series gap-fill
     # family instead)
@@ -492,6 +498,9 @@ _PRIORITY = [
     # runs + degree/frequency word graph) beside token-level
     # PMI/tf-idf
     "q295_rake_keyphrases",
+    # round-16 in-round demotion: q246's product-limit replay runs
+    # verbatim inside graded q309's survival prefix
+    "q246_kaplan_meier",
     # round-16 demotions (promotion rationale at each freed slot
     # above): q307's plan enumeration via q298+q217's containment
     # pricing, q288's sequence census via q208, q226's rank math via

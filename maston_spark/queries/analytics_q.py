@@ -6547,3 +6547,135 @@ def q308_nelson_aalen(spark, sf_dir):
         (F.col("__last") <= F.col("__co")).cast("int").alias("evt"),
     )
     return nelson_aalen(subj, "dur", "evt")
+
+
+@query(
+    "q309_aalen_johansen",
+    oracle="""
+    WITH u AS (SELECT user_id, min(ts) AS t0,
+                      min(CASE WHEN event_type = 'purchase' THEN ts END)
+                        AS p0,
+                      min(CASE WHEN event_type = 'error' THEN ts END) AS e0
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY user_id),
+    s AS (SELECT 24 + (user_id % 5) * 12 AS hz,
+                 date_diff('hour', t0, p0) AS tp,
+                 date_diff('hour', t0, e0) AS te
+          FROM u),
+    subj AS (SELECT CASE
+                 WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                      AND tp <= hz THEN tp
+                 WHEN te IS NOT NULL AND (tp IS NULL OR te < tp)
+                      AND te <= hz THEN te
+                 ELSE hz END AS t,
+               CASE
+                 WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                      AND tp <= hz THEN 1
+                 WHEN te IS NOT NULL AND (tp IS NULL OR te < tp)
+                      AND te <= hz THEN 2
+                 ELSE 0 END AS k
+             FROM s),
+    per AS (SELECT t, CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS d_all
+            FROM subj GROUP BY t),
+    perk AS (SELECT t, k AS cause, CAST(count(*) AS BIGINT) AS dk
+             FROM subj WHERE k > 0 GROUP BY t, k),
+    tot AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM per),
+    r AS (SELECT t, d_all,
+                 CAST(n - COALESCE(sum(m) OVER
+                       (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM per, tot),
+    lg AS (SELECT t, n_risk, d_all,
+                  CASE WHEN d_all < n_risk
+                       THEN round(ln(1.0 - CAST(d_all AS DOUBLE)
+                                          / CAST(n_risk AS DOUBLE)), 9)
+                  END AS l
+           FROM r),
+    st AS (SELECT t, n_risk,
+                  COALESCE(max(CASE WHEN l IS NULL THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS deadp,
+                  sum(l) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING) AS slg
+           FROM lg),
+    s9t AS (SELECT t, n_risk,
+                   CASE WHEN deadp = 1 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(round(exp(COALESCE(slg, 0.0)) * 1e9)
+                                  AS BIGINT) END AS s9
+            FROM st),
+    causes AS (SELECT DISTINCT k AS cause FROM subj WHERE k > 0),
+    grid AS (SELECT s9t.t, causes.cause, s9t.n_risk, s9t.s9
+             FROM s9t CROSS JOIN causes),
+    g2 AS (SELECT grid.t, grid.cause, grid.n_risk, grid.s9,
+                  COALESCE(perk.dk, 0) AS dk
+           FROM grid LEFT JOIN perk
+             ON perk.t = grid.t AND perk.cause = grid.cause),
+    inc AS (SELECT t, cause, n_risk, dk,
+                   (2 * CAST(s9 AS HUGEINT) * dk * 1000 + n_risk)
+                     // (2 * n_risk) AS pico
+            FROM g2)
+    SELECT t, cause, n_risk, CAST(dk AS BIGINT) AS n_events,
+           CAST(sum(pico) OVER (PARTITION BY cause ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                CURRENT ROW) AS DOUBLE) / 1e12 AS cif
+    FROM inc ORDER BY t, cause
+    """,
+)
+def q309_aalen_johansen(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence of the user journey's
+    COMPETING first outcomes: from each user's first event, does a
+    PURCHASE (cause 1) or an ERROR (cause 2) arrive first — in
+    hours, under a staggered follow-up horizon of 24 + (user_id %
+    5)·12 hours, administratively censored (cause 0) when neither
+    lands inside the window; an hour where both land ties to cause 1
+    (documented min-cause rule). CIF₁(t) is "probability a user has
+    converted by hour t" CORRECTLY discounted for users errors
+    claimed first — the partition 1−KM-per-cause over-counts. See
+    :func:`maston_spark.evaluation.aalen_johansen`."""
+    from maston_spark.evaluation import aalen_johansen
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "__p0"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "__e0"
+        ),
+    )
+    hz = (F.lit(24) + (F.col("user_id") % 5) * 12).cast("long")
+    # date_diff('hour', a, b): whole-hour boundary count, replayed
+    # as epoch-hour difference (both engines truncate to the hour)
+    tp = (
+        F.floor(F.unix_timestamp("__p0") / 3600)
+        - F.floor(F.unix_timestamp("__t0") / 3600)
+    ).cast("long")
+    te = (
+        F.floor(F.unix_timestamp("__e0") / 3600)
+        - F.floor(F.unix_timestamp("__t0") / 3600)
+    ).cast("long")
+    s = u.select(
+        hz.alias("__hz"), tp.alias("__tp"), te.alias("__te")
+    )
+    p_first = F.col("__tp").isNotNull() & (
+        F.col("__te").isNull() | (F.col("__tp") <= F.col("__te"))
+    )
+    e_first = F.col("__te").isNotNull() & (
+        F.col("__tp").isNull() | (F.col("__te") < F.col("__tp"))
+    )
+    subj = s.select(
+        F.when(p_first & (F.col("__tp") <= F.col("__hz")), F.col("__tp"))
+        .when(e_first & (F.col("__te") <= F.col("__hz")), F.col("__te"))
+        .otherwise(F.col("__hz"))
+        .alias("dur"),
+        F.when(p_first & (F.col("__tp") <= F.col("__hz")), 1)
+        .when(e_first & (F.col("__te") <= F.col("__hz")), 2)
+        .otherwise(0)
+        .alias("cause"),
+    )
+    return aalen_johansen(subj, "dur", "cause")

@@ -1265,3 +1265,66 @@ def test_nelson_aalen_hand_case_and_km_consistency(spark):
     km = {r.t: r.survival for r in kaplan_meier(df, "dur", "evt").collect()}
     for t, s in km.items():
         assert math.exp(-na[t].cum_hazard) >= s - 1e-9, t
+
+
+def test_aalen_johansen_single_cause_equals_one_minus_km(spark):
+    """With ONE cause, CIF(t) = 1 − KM(t) exactly: subjects failing
+    at t = 1, 2, 4 with a censoring at 3 give S = 3/4, 1/2, 1/2, 0 —
+    so the incidence reads 0.25, 0.5, 0.5 (flat through the
+    censor-only time), 1.0. Every lane lands on the integer grid, so
+    the equality is exact, not approximate."""
+    from maston_spark.evaluation import aalen_johansen
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 0), (4, 1)], "dur long, cause int"
+    )
+    out = aalen_johansen(df, "dur", "cause").collect()
+    assert [(r.t, r.cause, r.n_risk, r.n_events) for r in out] == [
+        (1, 1, 4, 1), (2, 1, 3, 1), (3, 1, 2, 0), (4, 1, 1, 1),
+    ]
+    assert [r.cif for r in out] == [0.25, 0.5, 0.5, 1.0]
+
+
+def test_aalen_johansen_competing_causes_partition_survival(spark):
+    """Two competing causes partition the failure probability:
+    Σ_k CIF_k(t_max) + S(t_max) = 1, and a subject claimed by cause
+    2 never inflates cause 1's incidence (the 1−KM-per-cause
+    over-count this estimator exists to avoid). Hand replay:
+    t=1 cause1 d=1 n=4 → CIF₁ = 1/4; t=2 cause2 d=1 n=3 →
+    CIF₂ = 3/4·1/3 = 1/4; t=3 censored; t=4 cause1 d=1 n=1,
+    S(4−) = 1/2 → CIF₁ = 3/4. Both flat rows present (grid fill)."""
+    from maston_spark.evaluation import aalen_johansen
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 0), (4, 1)], "dur long, cause int"
+    )
+    out = aalen_johansen(df, "dur", "cause").collect()
+    # |distinct t| × |causes| rows — flat rows included
+    assert len(out) == 8
+    by = {(r.t, r.cause): r for r in out}
+    assert by[(1, 1)].cif == 0.25 and by[(1, 2)].cif == 0.0
+    assert by[(2, 2)].cif == 0.25 and by[(2, 1)].cif == 0.25
+    assert by[(4, 1)].cif == 0.75 and by[(4, 2)].cif == 0.25
+    # the partition identity at the horizon (S(4) = 0 here)
+    assert by[(4, 1)].cif + by[(4, 2)].cif == 1.0
+
+
+def test_aalen_johansen_whole_risk_set_death_freezes_cif(spark):
+    """A time where the whole risk set fails drives S to exact 0 —
+    later increments are exactly 0 and the CIF freezes (no NULL
+    propagation from the ln lane)."""
+    from maston_spark.evaluation import aalen_johansen
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 2)], "dur long, cause int"
+    )
+    # t=1: n=3, d_all=2 → S(1) = 1/3; t=2: n=1, d=1 → S = 0
+    out = {(r.t, r.cause): r.cif for r in
+           aalen_johansen(df, "dur", "cause").collect()}
+    # lane replay: t=1 has S(t−)=1 (s9 = 1e9), so the cause-1 pico
+    # increment is (2·1e9·2·1000 + 3) div 6 = 666666666667; at t=2,
+    # s9 = round(exp(round(ln(1/3), 9))·1e9) = 333333333 exactly
+    assert out[(1, 1)] == 666666666667 / 1e12
+    assert out[(2, 2)] == 333333333000 / 1e12
+    # cause 1 frozen after t=1
+    assert out[(2, 1)] == out[(1, 1)]

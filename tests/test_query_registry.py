@@ -137,8 +137,9 @@ def test_graded_window_covers_unique_capabilities():
         # (round-16: q226's second-wave slot rotated to q305 — the
         # rank-math family stays via q192+q274)
         # round-12 third wave: jackknife ratio CI (correlated-ratio
-        # variance) and Kaplan-Meier survival (product-limit hazard)
-        "q241_jackknife_ratio", "q246_kaplan_meier",
+        # variance); (round-16: KM's slot rotated to q309 — the
+        # product-limit replay stays graded inside its prefix)
+        "q241_jackknife_ratio",
         # round-13 promotions: round-12's ungraded novel physics —
         # the Bloom-pruned runtime-filter join's bit-equality identity
         # claim, the split-conformal finite-sample order statistic,
@@ -199,6 +200,12 @@ def test_graded_window_covers_unique_capabilities():
         "q298_selectivity_audit", "q304_wasserstein_drift",
         "q305_encoding_advisor", "q306_dbscan",
         "q308_nelson_aalen",
+        # round-16 in-round promotion: the round's own novel physics
+        # graded immediately — Aalen-Johansen competing-risks
+        # cumulative incidence (the product×hazard fold partitioning
+        # 1−S(t) across causes; KM's ln-lane replay runs verbatim
+        # inside its survival prefix)
+        "q309_aalen_johansen",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -379,6 +386,10 @@ def test_graded_window_covers_unique_capabilities():
         "q226_trimmed_mean": "q192_kll_quantiles",
         "q296_k_anonymity_prefix": "q272_cusum_prefix",
         "q292_regression_discontinuity": "q294_qini_uplift",
+        # round-16 in-round demotion: q246's product-limit ln/exp
+        # replay runs verbatim inside q309's S(t−) prefix, and the
+        # shared risk-set census is graded by q308's hazard lanes
+        "q246_kaplan_meier": "q309_aalen_johansen",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
