@@ -141,7 +141,14 @@ _PRIORITY = [
     # grades q294's Qini uplift curve, the causal model-evaluation
     # member — two-arm differencing over the two-phase global score
     # rank with every rational closed in decimal(38,0))
-    "q294_qini_uplift", "q178_ks_drift", "q61_process_errors",
+    # (round-16 in-round promotion: q178 KS-drift's two-sample
+    # merged-grid CDF census is run verbatim by graded q304's
+    # Wasserstein fold — the same census, mass×distance close
+    # instead of sup-norm — so the drift family stays graded by the
+    # richer member; its slot grades q310's Shapley channel
+    # attribution, the factorial-weighted marginal-contribution DP
+    # (exact-rational coalition credit) beside q193's last-touch)
+    "q294_qini_uplift", "q310_shapley_attribution", "q61_process_errors",
     # (q151 PQ-ADC standalone is subsumed by graded q153, whose search
     # stage runs the same lookup-table scoring; its slot grades the
     # RESIDUAL-encoded IVF-PQ — the faiss IndexIVFPQ layout)
@@ -501,6 +508,9 @@ _PRIORITY = [
     # round-16 in-round demotion: q246's product-limit replay runs
     # verbatim inside graded q309's survival prefix
     "q246_kaplan_meier",
+    # round-16 in-round demotion: q178's sup-norm drift lens — the
+    # same merged-grid two-sample CDF census graded via q304
+    "q178_ks_drift",
     # round-16 demotions (promotion rationale at each freed slot
     # above): q307's plan enumeration via q298+q217's containment
     # pricing, q288's sequence census via q208, q226's rank math via

@@ -6679,3 +6679,86 @@ def q309_aalen_johansen(spark, sf_dir):
         .alias("cause"),
     )
     return aalen_johansen(subj, "dur", "cause")
+
+
+@query(
+    "q310_shapley_attribution",
+    oracle="""
+    WITH d AS (SELECT user_id, event_type FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    convu AS (SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS conv
+              FROM d GROUP BY user_id),
+    tch AS (SELECT DISTINCT user_id, event_type AS c FROM d
+            WHERE event_type <> 'purchase'),
+    chan AS (SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT)
+                    AS i
+             FROM (SELECT DISTINCT c FROM tch)),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS u FROM chan),
+    umask AS (SELECT t.user_id, CAST(sum(1 << chan.i) AS BIGINT) AS m
+              FROM tch t JOIN chan ON chan.c = t.c
+              GROUP BY t.user_id),
+    setc AS (SELECT m, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(conv) AS BIGINT) AS k
+             FROM umask JOIN convu ON convu.user_id = umask.user_id
+             GROUP BY m),
+    masks AS (SELECT CAST(unnest(range(0, 1 << u)) AS BIGINT) AS T
+              FROM nu),
+    v AS (SELECT masks.T,
+                 CAST(COALESCE(sum(setc.k), 0) AS BIGINT) AS v
+          FROM masks LEFT JOIN setc ON (setc.m & masks.T) = setc.m
+          GROUP BY masks.T),
+    marg AS (SELECT chan.c, CAST(sum(
+                 factorial(CAST(bit_count(v0.T) AS INTEGER))
+                 * factorial(CAST(u - 1 - bit_count(v0.T) AS INTEGER))
+                 * (v1.v - v0.v)) AS HUGEINT) AS phi
+             FROM chan, nu, v v0
+             JOIN v v1 ON TRUE
+             WHERE (v0.T & (1 << chan.i)) = 0
+               AND v1.T = (v0.T | (1 << chan.i))
+             GROUP BY chan.c),
+    chanstat AS (SELECT chan.c,
+                        CAST(count(*) AS BIGINT) AS n_sets,
+                        CAST(sum(setc.n) AS BIGINT) AS n_users,
+                        CAST(sum(setc.k) AS BIGINT) AS n_conversions
+                 FROM chan JOIN setc ON (setc.m & (1 << chan.i)) <> 0
+                 GROUP BY chan.c)
+    SELECT marg.c AS channel, chanstat.n_sets, chanstat.n_users,
+           chanstat.n_conversions,
+           CAST((2 * marg.phi * 1000000
+                 + factorial(CAST(u AS INTEGER)))
+                // (2 * factorial(CAST(u AS INTEGER))) AS DOUBLE)
+             / 1e6 AS shapley
+    FROM marg JOIN chanstat ON chanstat.c = marg.c, nu
+    ORDER BY channel
+    """,
+)
+def q310_shapley_attribution(spark, sf_dir):
+    """Shapley conversion credit across the four non-purchase
+    channels (click / error / signup / view): each user's distinct
+    touched-channel set, conversion = the user ever purchased,
+    count-based coalition worth v(T) = conversions by users whose
+    whole set fits in T, factorial-weighted marginal DP over the
+    2⁴ subsets in exact integers — the principled split beside
+    q193's last-touch (which hands the whole conversion to the
+    final touch). See
+    :func:`maston_spark.relational.shapley_attribution`."""
+    from maston_spark.relational import shapley_attribution
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        )
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", F.col("event_type").alias("channel"))
+        .join(conv, "user_id")
+    )
+    return shapley_attribution(
+        touches, "user_id", "channel", "converted"
+    )

@@ -3244,3 +3244,126 @@ def join_order_plan(
     return spark.createDataFrame(
         out, "rank int, join_order string, est_cost long, est_final_rows long"
     )
+
+
+def shapley_attribution(
+    touches: DataFrame,
+    user_col: str,
+    channel_col: str,
+    converted_col: str,
+    max_channels: int = 8,
+) -> DataFrame:
+    """Shapley-value channel attribution (Shapley 1953; Shao & Li
+    2011) — one row per channel ``(channel, n_sets, n_users,
+    n_conversions, shapley)``: conversion credit split by each
+    channel's factorial-weighted AVERAGE marginal contribution
+    across all join orders, the principled-credit sibling of
+    :func:`last_touch_attribution` (last-touch hands the whole
+    conversion to whoever arrived last; Shapley is the unique
+    symmetric/efficient/dummy-respecting split). Coalition worth is
+    the count-based ``v(T) = Σ_{S ⊆ T} C(S)`` — conversions by users
+    whose ENTIRE touched-channel set fits inside T — so channels
+    only earn credit for conversions they were actually part of,
+    and ``Σ_c shapley_c = v(U) =`` total conversions (the
+    efficiency identity, asserted by the 2-channel hand case:
+    disjoint singles keep their own, the overlap splits evenly).
+
+    Exactness: Φ_c = Σ_{T ⊆ U∖{c}} |T|!·(u−1−|T|)!·[v(T∪c)−v(T)]
+    folds exact Python integers; ``shapley = Φ_c / u!`` closes on
+    the micro half-away lane ``(2·Φ·10⁶ + u!) div (2·u!)`` — one
+    reporting division, oracle-replayable bit-for-bit.
+
+    Scale shape: the corpus-side work is ONE distinct + one
+    sort-canonicalized set aggregation per user and one groupBy
+    over the ≤2^u distinct channel sets (combiner-reduced); only
+    those ≤2^u count rows reach the driver (the q307
+    driver-bounded-scalars contract), where the 2^u DP runs in
+    exact ints. Guarded to ``u ≤ max_channels ≤ ~8`` — 2^u·u
+    driver work and u!-denominator rationals both stay trivial
+    there; a wider universe needs sampling-based Shapley, a
+    different operator. NULL users/channels drop; users whose
+    distinct set exceeds the universe cannot occur (the universe IS
+    the union of observed sets)."""
+    from math import factorial
+
+    d = touches.filter(
+        F.col(user_col).isNotNull() & F.col(channel_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(channel_col).cast("string").alias("__c"),
+        F.col(converted_col).cast("int").alias("__y"),
+    )
+    per_user = (
+        d.groupBy("__u")
+        .agg(
+            F.array_sort(F.collect_set("__c")).alias("__set"),
+            F.max("__y").cast("int").alias("__conv"),
+        )
+        .select(
+            F.concat_ws("|", F.col("__set")).alias("__key"),
+            "__conv",
+        )
+    )
+    sets = (
+        per_user.groupBy("__key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__conv").cast("long").alias("__k"),
+        )
+        .collect()
+    )  # ≤ 2^u rows by construction — driver-bounded contract
+    spark = touches.sparkSession
+    universe = sorted({c for r in sets for c in r["__key"].split("|") if c})
+    u = len(universe)
+    if u == 0:
+        return spark.createDataFrame(
+            [],
+            "channel string, n_sets long, n_users long,"
+            " n_conversions long, shapley double",
+        )
+    if u > max_channels:
+        raise ValueError(
+            f"shapley_attribution: {u} channels > max_channels="
+            f"{max_channels}; exact 2^u Shapley needs a bounded universe"
+        )
+    bit = {c: 1 << i for i, c in enumerate(universe)}
+    conv = [0] * (1 << u)
+    n_users_by_mask = [0] * (1 << u)
+    for r in sets:
+        chans = [c for c in r["__key"].split("|") if c]
+        if not chans:
+            continue  # untouched users carry no attributable credit
+        m = 0
+        for c in chans:
+            m |= bit[c]
+        conv[m] += int(r["__k"])
+        n_users_by_mask[m] += int(r["__n"])
+    # v(T) = Σ_{S ⊆ T} C(S): subset-sum (zeta) transform, 2^u·u ops
+    v = list(conv)
+    for i in range(u):
+        for m in range(1 << u):
+            if m & (1 << i):
+                v[m] += v[m ^ (1 << i)]
+    fact = [factorial(i) for i in range(u + 1)]
+    rows = []
+    for c in universe:
+        b = bit[c]
+        phi = 0
+        n_sets = n_usr = n_conv = 0
+        for m in range(1 << u):
+            if m & b:
+                continue
+            w = fact[bin(m).count("1")] * fact[u - 1 - bin(m).count("1")]
+            phi += w * (v[m | b] - v[m])
+        for m in range(1 << u):
+            if m & b and (n_users_by_mask[m] or conv[m]):
+                n_sets += 1
+                n_usr += n_users_by_mask[m]
+                n_conv += conv[m]
+        micro = (2 * phi * 10**6 + fact[u]) // (2 * fact[u])
+        rows.append((c, n_sets, n_usr, n_conv, micro / 1e6))
+    return spark.createDataFrame(
+        sorted(rows),
+        "channel string, n_sets long, n_users long,"
+        " n_conversions long, shapley double",
+    )

@@ -105,9 +105,10 @@ def test_graded_window_covers_unique_capabilities():
         # substring removal, hybrid rank fusion, residual IVF-PQ
         "q155_keep_first_substring",
         "q158_ivfpq_residual",
-        # round-10 promotions: dup-graph transitivity and KS drift
+        # round-10 promotions: dup-graph transitivity; (round-16:
+        # KS drift's slot rotated to q310 — the shared CDF census
+        # stays graded via q304's Wasserstein fold)
         "q172_dup_transitivity",
-        "q178_ks_drift",
         # round-10 promotions still graded: the XOR-fold table
         # fingerprint and token-weighted water-fill allocation
         "q185_table_fingerprint",
@@ -206,6 +207,10 @@ def test_graded_window_covers_unique_capabilities():
         # 1−S(t) across causes; KM's ln-lane replay runs verbatim
         # inside its survival prefix)
         "q309_aalen_johansen",
+        # round-16 in-round promotion: Shapley channel attribution —
+        # exact-rational factorial-weighted coalition credit, the
+        # principled split beside q193's last-touch
+        "q310_shapley_attribution",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -229,7 +234,7 @@ def test_graded_window_covers_unique_capabilities():
         # graded four ways (q153/q158/q152/q94); its slot grades the
         # quantile sketch
         "q48_embedding_neardup": "q158_ivfpq_residual",
-        "q175_cusum_changepoint": "q178_ks_drift",
+        "q175_cusum_changepoint": "q304_wasserstein_drift",
         "q99_chunk_overlap": "q189_token_water_fill",
         "q57_ivf_ann": "q158_ivfpq_residual",
         "q22_window_frames": "q212_group_auc",
@@ -342,7 +347,7 @@ def test_graded_window_covers_unique_capabilities():
         # that composes the same encode/decode dispatch
         "q01_pricing_summary": "q19_grouping_sets",
         "q15_agg_percentile": "q192_kll_quantiles",
-        "q194_binned_tvd_drift": "q178_ks_drift",
+        "q194_binned_tvd_drift": "q304_wasserstein_drift",
         "q169_cms_heavy_hitters": "q231_hll_rolling_prefix",
         "q92_avro_roundtrip": "q87_avro_evolution",
         # round-14 in-round demotions: q207's rewrite-certified-
@@ -390,6 +395,9 @@ def test_graded_window_covers_unique_capabilities():
         # replay runs verbatim inside q309's S(t−) prefix, and the
         # shared risk-set census is graded by q308's hazard lanes
         "q246_kaplan_meier": "q309_aalen_johansen",
+        # round-16 in-round demotion: the KS sup-norm reads off the
+        # same merged-grid CDF census q304's Wasserstein fold grades
+        "q178_ks_drift": "q304_wasserstein_drift",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted

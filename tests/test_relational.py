@@ -1872,3 +1872,53 @@ def test_dbscan_all_clustered_emits_zero_noise_row(spark):
            dbscan_clusters(pts, "id", "x", "y", eps=2, min_pts=3).collect()}
     assert out[-1].n_points == 0
     assert out[1].n_points == 3
+
+
+def test_shapley_attribution_two_channel_hand_case(spark):
+    """Disjoint conversions keep their own credit; the overlap
+    splits evenly (2-channel Shapley). Sets: {A} 1 conv, {B} 1 conv,
+    {A,B} 2 conv → v(A)=1, v(B)=1, v(AB)=4; φ_A = ½·1 + ½·(4−1) = 2
+    = φ_B, and Σφ = v(U) = total conversions (efficiency)."""
+    from maston_spark.relational import shapley_attribution
+
+    rows = [
+        (1, "A", 1),
+        (2, "B", 1),
+        (3, "A", 1), (3, "B", 1),
+        (4, "A", 1), (4, "B", 1),
+        (5, "A", 0),  # non-converting A-only user: no credit
+    ]
+    df = spark.createDataFrame(rows, "u long, c string, y int")
+    out = {r.channel: r for r in
+           shapley_attribution(df, "u", "c", "y").collect()}
+    assert out["A"].shapley == 2.0 and out["B"].shapley == 2.0
+    assert out["A"].n_users == 4  # users 1, 3, 4, 5 touched A
+    assert out["A"].n_conversions == 3
+    assert out["A"].n_sets == 2  # {A}, {A,B}
+
+
+def test_shapley_attribution_dummy_channel_gets_zero(spark):
+    """A channel only ever touched by non-converting users is a
+    DUMMY: v(T∪{c}) = v(T) for every T, so its Shapley credit is
+    exactly 0 (the axiom last-touch violates when the dummy happens
+    to arrive last)."""
+    from maston_spark.relational import shapley_attribution
+
+    rows = [(1, "A", 1), (2, "C", 0), (3, "C", 0)]
+    df = spark.createDataFrame(rows, "u long, c string, y int")
+    out = {r.channel: r.shapley for r in
+           shapley_attribution(df, "u", "c", "y").collect()}
+    assert out == {"A": 1.0, "C": 0.0}
+
+
+def test_shapley_attribution_guards_wide_universe(spark):
+    """> max_channels distinct channels must raise, not melt the
+    driver with a 2^u DP."""
+    import pytest
+
+    from maston_spark.relational import shapley_attribution
+
+    rows = [(i, f"c{i}", 1) for i in range(9)]
+    df = spark.createDataFrame(rows, "u long, c string, y int")
+    with pytest.raises(ValueError, match="channels"):
+        shapley_attribution(df, "u", "c", "y", max_channels=8)
