@@ -323,3 +323,90 @@ def hits(
             F.round("authority", 6).alias("authority"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983) — one row per peel
+    round ``(round, n_vertices, n_edges, converged)``: the k-core is
+    the maximal subgraph where every vertex keeps degree ≥ k, found
+    by repeatedly deleting under-degree vertices; the census of each
+    round IS the cohesion profile (how fast the graph collapses to
+    its dense core), and the converged tail rows give the core's
+    size. The density member beside :func:`triangle_stats`' local
+    clustering and :func:`hits`/:func:`pagerank`'s spectral ranks —
+    a k-core survives ANY vertex ordering, which no degree cutoff
+    applied once can claim.
+
+    Round semantics (the q297 bounded-iteration discipline — a FIXED
+    round count, never data-dependent recursion, so a SQL oracle
+    replays the rounds as chained CTE stages): round r deletes every
+    vertex whose degree in round r−1's subgraph is < k, then keeps
+    only edges with both endpoints alive. ``converged`` is true once
+    the edge count stops changing; peeling provably needs ≤ |V|
+    rounds but collapses geometrically in practice — pick ``rounds``
+    so the last row reads converged (the hand case pins both the
+    converged and the mid-peel shapes). Edges are undirected and
+    deduped on the canonical (min, max) pair; self-loops drop.
+
+    Scale shape: each round is ONE degree aggregation (combiner-
+    reduced |E|→|V|) plus two semi-joins back onto the pair list —
+    O(|E|) per round, ``rounds`` a small constant; per-round counts
+    are 1-row aggs unioned into the ≤``rounds``-row result, and each
+    round's shrinking pair list is localCheckpoint-ed — each round
+    references the previous pair list FOUR times (degree union +
+    both semi-joins), so without lineage truncation the logical
+    plan quadruples per round and plan stringification alone OOMs
+    by round 6 (the pagerank/hits ``checkpoint_every`` discipline,
+    here every round because of the 4× fan-out)."""
+    pairs = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spark = edges.sparkSession
+    stats = []
+    prev_edges = None
+    for r in range(1, rounds + 1):
+        deg = (
+            pairs.select(F.col("a").alias("id"))
+            .unionByName(pairs.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        keep = deg.filter(F.col("__d") >= k).select("id")
+        pairs = (
+            pairs.join(
+                keep.withColumnRenamed("id", "a"), "a", "left_semi"
+            )
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_edges = pairs.count()  # bounded: one scalar per round
+        n_vertices = (
+            pairs.select(F.col("a").alias("id"))
+            .unionByName(pairs.select(F.col("b").alias("id")))
+            .distinct()
+            .count()
+        )
+        stats.append(
+            (
+                r,
+                int(n_vertices),
+                int(n_edges),
+                prev_edges is not None and n_edges == prev_edges,
+            )
+        )
+        prev_edges = n_edges
+    return spark.createDataFrame(
+        stats, "round int, n_vertices long, n_edges long, converged boolean"
+    )

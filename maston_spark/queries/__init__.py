@@ -111,7 +111,14 @@ _PRIORITY = [
     # stage; its slot grades q269's grid-blocked spatial radius join,
     # a candidate-generation physics the catalog had nowhere else)
     "q139_gapfill", "q269_spatial_grid_join",
-    "q185_table_fingerprint", "q143_cdc_upsert",
+    # (round-16 in-round promotion: q143 CDC-apply's latest-row-
+    # per-key physics is graded via q206's SCD2 history — the same
+    # change-stream census with the richer effective-range close;
+    # its slot grades q311's k-core peeling census — fixed-round
+    # cascade deletion, the graph-cohesion physics beside q297's
+    # spectral ranks and q172's wedge census, with the
+    # MATERIALIZED-chained-CTE oracle discipline)
+    "q185_table_fingerprint", "q311_k_core",
     # (round-14 in-round promotion: q207 salted-join's grading
     # physics — a rewrite certified bit-identical to the plain join —
     # stays graded via q244's Bloom-pruned identity claim, the same
@@ -511,6 +518,9 @@ _PRIORITY = [
     # round-16 in-round demotion: q178's sup-norm drift lens — the
     # same merged-grid two-sample CDF census graded via q304
     "q178_ks_drift",
+    # round-16 in-round demotion: q143's latest-row apply physics
+    # graded via q206's SCD2 change-stream construction
+    "q143_cdc_upsert",
     # round-16 demotions (promotion rationale at each freed slot
     # above): q307's plan enumeration via q298+q217's containment
     # pricing, q288's sequence census via q208, q226's rank math via

@@ -6762,3 +6762,68 @@ def q310_shapley_attribution(spark, sf_dir):
     return shapley_attribution(
         touches, "user_id", "channel", "converted"
     )
+
+
+def _q311_oracle() -> str:
+    """Chained peel rounds as MATERIALIZED CTEs — without the
+    MATERIALIZED hint DuckDB re-inlines each round into every
+    reference and the chain re-evaluates exponentially (measured:
+    a 6-round chain on 6k edges ran >120 s inlined, 0.04 s
+    materialized). The q306 recursive-CTE lesson's sibling: bounded
+    chains are the right oracle shape, but they must materialize."""
+    k, rounds = 7, 6
+    sql = """
+    WITH p0 AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS a, l_partkey + 10000000 AS b
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    d{r} AS MATERIALIZED (
+      SELECT id, count(*) AS c
+      FROM (SELECT a AS id FROM p{r-1}
+            UNION ALL SELECT b FROM p{r-1})
+      GROUP BY id),
+    k{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE c >= {k}),
+    p{r} AS MATERIALIZED (
+      SELECT a, b FROM p{r-1}
+      WHERE a IN (SELECT id FROM k{r})
+        AND b IN (SELECT id FROM k{r}))"""
+    stages = " UNION ALL ".join(
+        f"""SELECT {r} AS round,
+            (SELECT count(*) FROM
+              (SELECT a AS id FROM p{r} UNION SELECT b FROM p{r}))
+              AS n_vertices,
+            (SELECT count(*) FROM p{r}) AS n_edges"""
+        for r in range(1, rounds + 1)
+    )
+    sql += f""",
+    u AS ({stages})
+    SELECT CAST(round AS INT) AS round,
+           CAST(n_vertices AS BIGINT) AS n_vertices,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           COALESCE(n_edges = lag(n_edges) OVER (ORDER BY round),
+                    FALSE) AS converged
+    FROM u ORDER BY round"""
+    return sql
+
+
+@query("q311_k_core", oracle=_q311_oracle())
+def q311_k_core(spark, sf_dir):
+    """7-core peeling census of the order–part incidence graph
+    (orders keep ≥7 distinct parts, parts stay in ≥7 surviving
+    orders): the cascade census — TPC-H order baskets cap at 7
+    items, so the 7-core demands maximal baskets of co-popular
+    parts and the graph collapses over a few rounds, each round's
+    shrink measuring how much of the previous core was propped up
+    by just-deleted neighbors. Fixed 6 rounds, chained-CTE oracle
+    (never recursive). See :func:`maston_spark.graph.k_core`."""
+    from maston_spark.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    ).select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10000000)).alias("dst"),
+    )
+    return k_core(li, k=7, rounds=6)

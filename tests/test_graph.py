@@ -99,3 +99,42 @@ def test_hits_hand_case_mutual_reinforcement(spark):
     assert out[3].hub == 0.0625
     # sources never gain authority, sinks never gain hub mass
     assert out[1].authority == 0.0 and out[10].hub == 0.0
+
+
+def test_k_core_hand_case_peels_pendant_then_converges(spark):
+    """Triangle {1,2,3} plus a pendant chain 3-4-5: the 2-core must
+    peel vertex 5 (degree 1) in round 1, then 4 (its degree fell to
+    1) in round 2, and hold the triangle from round 3 on — the
+    cascade no single degree cutoff reproduces. Edges arrive in both
+    orientations + a self-loop to pin canonicalization."""
+    from maston_spark.graph import k_core
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),
+            (3, 4), (4, 3),  # duplicate in the other orientation
+            (4, 5),
+            (5, 5),  # self-loop: dropped
+        ],
+        "src long, dst long",
+    )
+    out = k_core(edges, k=2, rounds=4).collect()
+    assert [(r.round, r.n_vertices, r.n_edges, r.converged) for r in out] == [
+        (1, 4, 4, False),   # 5 peeled, edge 4-5 gone
+        (2, 3, 3, False),   # 4 peeled (degree fell to 1)
+        (3, 3, 3, True),    # triangle is the 2-core
+        (4, 3, 3, True),
+    ]
+
+
+def test_k_core_collapse_to_empty(spark):
+    """A path graph has no 2-core: the census must collapse to the
+    empty graph and report converged zero rows, not error."""
+    from maston_spark.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = k_core(edges, k=2, rounds=3).collect()
+    assert [(r.n_vertices, r.n_edges) for r in out] == [(2, 1), (0, 0), (0, 0)]
+    assert [r.converged for r in out] == [False, False, True]

@@ -98,8 +98,9 @@ def test_graded_window_covers_unique_capabilities():
         "q87_avro_evolution",
         "q139_gapfill", "q141_data_quality",
         # round-9 promotions: the novel round-8 operators plus the
-        # composed IVF-PQ flagship are driver-graded
-        "q143_cdc_upsert",
+        # composed IVF-PQ flagship are driver-graded; (round-16:
+        # q143's slot rotated to q311 — the latest-row apply stays
+        # graded via q206's SCD2 construction)
         "q152_dedup_report",
         # round-10 promotions: round-9's novel physics — keep-first
         # substring removal, hybrid rank fusion, residual IVF-PQ
@@ -211,6 +212,8 @@ def test_graded_window_covers_unique_capabilities():
         # exact-rational factorial-weighted coalition credit, the
         # principled split beside q193's last-touch
         "q310_shapley_attribution",
+        # round-16 in-round promotion: the k-core peeling census
+        "q311_k_core",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -297,7 +300,7 @@ def test_graded_window_covers_unique_capabilities():
         # durable delta topology; scalar subquery via the two-phase
         # global-threshold planners; KMV set ops via HLL; winnowing
         # via the gram-table substring family
-        "q12_asof_join": "q143_cdc_upsert",
+        "q12_asof_join": "q206_scd2_history",
         "q33_tumbling_window": "q63_delta_expr",
         "q69_scalar_subquery": "q264_bh_fdr",
         "q168_kmv_set_ops": "q231_hll_rolling_prefix",
@@ -398,6 +401,9 @@ def test_graded_window_covers_unique_capabilities():
         # round-16 in-round demotion: the KS sup-norm reads off the
         # same merged-grid CDF census q304's Wasserstein fold grades
         "q178_ks_drift": "q304_wasserstein_drift",
+        # round-16 in-round demotion: the CDC apply's latest-row
+        # physics runs inside the SCD2 history construction
+        "q143_cdc_upsert": "q206_scd2_history",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted
