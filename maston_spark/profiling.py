@@ -1860,3 +1860,93 @@ def encoding_advisor(
         .otherwise(F.lit("plain"))
     )
     return j.select("*", best.alias("best_encoding")).orderBy("column")
+
+
+def zone_map_audit(
+    df: DataFrame,
+    order_candidates: "list[str]",
+    tiebreak_cols: "list[str]",
+    predicates: "list[tuple[str, int, int]]",
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Zone-map data-skipping audit — for every (candidate sort
+    column, range predicate) pair, the EXACT fraction of
+    ``block_rows``-row zones a reader could prune under per-zone
+    min/max statistics: ``(order_col, pred_col, lo, hi, n_blocks,
+    n_read, skipped_frac)``. The physical-design trilogy's missing
+    lens: q205's z-order WRITES a layout, q219 compacts it, q305
+    prices its encodings — this one prices the SKIPPING, which is
+    the number a 100 TB scan bill actually depends on ("sort by
+    ship-date and the quantity predicate still reads every zone" is
+    a measured fact here, not a guess, because sorting by one column
+    clusters exactly the columns correlated with it).
+
+    Zone semantics (both engines replay it bit-for-bit): rows take
+    the TOTAL order (candidate, then ``tiebreak_cols`` — the caller
+    must make it unique or block membership is ill-defined), zone id
+    = (rank−1) div block_rows, and a zone must be READ by predicate
+    [lo, hi] iff ``max(pred_col) ≥ lo AND min(pred_col) ≤ hi``
+    (min/max ignore NULLs; an all-NULL zone never reads — the
+    parquet row-group rule). ``skipped_frac`` rounds at 6 off exact
+    integer zone counts.
+
+    Scale shape: one two-phase :func:`~maston_spark.relational.
+    global_rank` pass per candidate (the only full shuffles —
+    |candidates| of them), a combiner-reduced per-zone min/max
+    aggregation onto n/block_rows slim rows, and
+    |candidates|·|predicates| result rows closed by broadcast
+    arithmetic over the zone table. Never a partition-less window
+    (plan-pinned at q305's standard)."""
+    from maston_spark.relational import global_rank
+
+    pred_cols = sorted({p for p, _, _ in predicates})
+    out = None
+    for c in order_candidates:
+        ranked = global_rank(
+            df.select(c, *tiebreak_cols, *[p for p in pred_cols if p != c and p not in tiebreak_cols]),
+            [F.col(c).asc()] + [F.col(t).asc() for t in tiebreak_cols],
+            rank_col="__rn",
+        )
+        from maston_spark.caching import scoped_persist
+
+        # n/block_rows slim rows, persisted so each predicate's
+        # close reads the zone table, not the ranked corpus
+        zones = scoped_persist(
+            ranked.groupBy(
+                F.expr(f"(__rn - 1) div {int(block_rows)}")
+                .cast("long")
+                .alias("__z")
+            ).agg(
+                *[
+                    m
+                    for p in pred_cols
+                    for m in (
+                        F.min(F.col(p)).alias(f"__lo_{p}"),
+                        F.max(F.col(p)).alias(f"__hi_{p}"),
+                    )
+                ]
+            )
+        )
+        for p, lo, hi in predicates:
+            read = (
+                (F.col(f"__hi_{p}") >= F.lit(lo))
+                & (F.col(f"__lo_{p}") <= F.lit(hi))
+            ).cast("int")
+            row = zones.agg(
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.sum(F.coalesce(read, F.lit(0))).cast("long").alias(
+                    "n_read"
+                ),
+            ).select(
+                F.lit(c).alias("order_col"),
+                F.lit(p).alias("pred_col"),
+                F.lit(int(lo)).cast("long").alias("lo"),
+                F.lit(int(hi)).cast("long").alias("hi"),
+                "n_blocks",
+                "n_read",
+                F.round(
+                    1.0 - F.col("n_read") / F.col("n_blocks"), 6
+                ).alias("skipped_frac"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("order_col", "pred_col", "lo")

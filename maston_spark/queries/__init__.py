@@ -380,7 +380,14 @@ _PRIORITY = [
     # v-optimal histogram — the exact-integer interval DP (chained
     # min recurrence over m²-bounded tables), optimizer-statistics
     # physics nothing graded has)
-    "q264_bh_fdr", "q293_voptimal_histogram",
+    # (round-16 in-round promotion: q293's v-optimal interval DP is
+    # COMPOSED and audited inside graded q298 — the selectivity
+    # audit builds both the equi-width and the v-optimal statistics
+    # and prices predicates under each; its slot grades q312's
+    # zone-map skipping audit, the physical-design lens that prices
+    # what a sort order actually SKIPS (beside q205's z-order
+    # writer, q219's compaction and q305's encoding bill))
+    "q264_bh_fdr", "q312_zone_map_audit",
     # (round-14 rotation: q194 binned-TVD's exact-L1-over-bins drift
     # lens stays graded via q178's KS sup-norm — the same two-sample
     # integer-scaled drift physics, harder statistic; its slot grades
@@ -521,6 +528,9 @@ _PRIORITY = [
     # round-16 in-round demotion: q143's latest-row apply physics
     # graded via q206's SCD2 change-stream construction
     "q143_cdc_upsert",
+    # round-16 in-round demotion: q293's interval DP is composed
+    # verbatim inside graded q298's v-optimal statistics branch
+    "q293_voptimal_histogram",
     # round-16 demotions (promotion rationale at each freed slot
     # above): q307's plan enumeration via q298+q217's containment
     # pricing, q288's sequence census via q208, q226's rank math via

@@ -6827,3 +6827,105 @@ def q311_k_core(spark, sf_dir):
         (F.col("l_partkey") + F.lit(10000000)).alias("dst"),
     )
     return k_core(li, k=7, rounds=6)
+
+
+@query(
+    "q312_zone_map_audit",
+    oracle="""
+    WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE)) AS shipd,
+                      CAST(l_quantity AS BIGINT) AS qty,
+                      l_suppkey, l_orderkey, l_linenumber
+               FROM lineitem
+               WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+                 AND l_suppkey IS NOT NULL AND l_orderkey IS NOT NULL
+                 AND l_linenumber IS NOT NULL),
+    r1 AS (SELECT *, row_number() OVER
+             (ORDER BY shipd, l_orderkey, l_linenumber) AS rn FROM d),
+    z1 AS (SELECT (rn - 1) // 256 AS z,
+                  min(shipd) AS lo_shipd, max(shipd) AS hi_shipd,
+                  min(qty) AS lo_qty, max(qty) AS hi_qty,
+                  min(l_suppkey) AS lo_sk, max(l_suppkey) AS hi_sk
+           FROM r1 GROUP BY 1),
+    r2 AS (SELECT *, row_number() OVER
+             (ORDER BY l_suppkey, l_orderkey, l_linenumber) AS rn FROM d),
+    z2 AS (SELECT (rn - 1) // 256 AS z,
+                  min(shipd) AS lo_shipd, max(shipd) AS hi_shipd,
+                  min(qty) AS lo_qty, max(qty) AS hi_qty,
+                  min(l_suppkey) AS lo_sk, max(l_suppkey) AS hi_sk
+           FROM r2 GROUP BY 1),
+    stats AS (
+      SELECT 'shipd' AS order_col, 'shipd' AS pred_col,
+             CAST(9500 AS BIGINT) AS lo, CAST(9865 AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CASE WHEN hi_shipd >= 9500 AND lo_shipd <= 9865
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_read
+      FROM z1
+      UNION ALL
+      SELECT 'shipd', 'qty', 10, 20, CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN hi_qty >= 10 AND lo_qty <= 20
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM z1
+      UNION ALL
+      SELECT 'shipd', 'l_suppkey', 0, 3, CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN hi_sk >= 0 AND lo_sk <= 3
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM z1
+      UNION ALL
+      SELECT 'l_suppkey', 'shipd', 9500, 9865, CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN hi_shipd >= 9500 AND lo_shipd <= 9865
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM z2
+      UNION ALL
+      SELECT 'l_suppkey', 'qty', 10, 20, CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN hi_qty >= 10 AND lo_qty <= 20
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM z2
+      UNION ALL
+      SELECT 'l_suppkey', 'l_suppkey', 0, 3, CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN hi_sk >= 0 AND lo_sk <= 3
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM z2)
+    SELECT order_col, pred_col, lo, hi, n_blocks, n_read,
+           round(1.0 - n_read / n_blocks, 6) AS skipped_frac
+    FROM stats ORDER BY order_col, pred_col, lo
+    """,
+)
+def q312_zone_map_audit(spark, sf_dir):
+    """Zone-map skipping audit of lineitem under two candidate sort
+    orders (ship-date vs supplier) against a three-predicate
+    workload (a ship-year window, a quantity band, a supplier
+    range), 256-row zones: sorting by ship-date makes the date
+    predicate skip almost everything and leaves the quantity band
+    reading every zone — the measured skipping matrix a 100 TB
+    layout decision needs, beside q205's z-order writer and q305's
+    encoding bill. See
+    :func:`maston_spark.profiling.zone_map_audit`."""
+    from maston_spark.profiling import zone_map_audit
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_suppkey").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+    ).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("shipd"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return zone_map_audit(
+        li,
+        order_candidates=["shipd", "l_suppkey"],
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+        predicates=[
+            ("shipd", 9500, 9865),
+            ("qty", 10, 20),
+            ("l_suppkey", 0, 3),
+        ],
+        block_rows=256,
+    )

@@ -223,3 +223,53 @@ def test_wasserstein_drift_single_group_degrades_to_null(spark):
     assert len(out) == 1
     assert out[0].n_group == 5 and out[0].n_rest == 0
     assert out[0].w1 is None
+
+
+def test_zone_map_audit_hand_case(spark):
+    """8 rows, 4-row zones, anti-correlated b = 100 − a: sorted by
+    a, zone 0 holds b ∈ [97,100] and zone 1 b ∈ [93,96], so the
+    predicate b ∈ [93,94] reads exactly one zone (skipped 0.5) while
+    a ∈ [1,2] also reads one — and sorted by b the SAME a-predicate
+    still reads one zone (anti-correlation clusters both). An
+    all-NULL pred column zone is never read (the parquet row-group
+    rule)."""
+    from maston_spark.profiling import zone_map_audit
+
+    rows = [(i, 100 - i, i) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "a long, b long, id long")
+    out = {
+        (r.order_col, r.pred_col): r
+        for r in zone_map_audit(
+            df,
+            order_candidates=["a", "b"],
+            tiebreak_cols=["id"],
+            predicates=[("b", 93, 94), ("a", 1, 2)],
+            block_rows=4,
+        ).collect()
+    }
+    r = out[("a", "b")]
+    assert (r.n_blocks, r.n_read, r.skipped_frac) == (2, 1, 0.5)
+    r = out[("a", "a")]
+    assert (r.n_blocks, r.n_read) == (2, 1)
+    r = out[("b", "a")]
+    assert (r.n_blocks, r.n_read) == (2, 1)
+    r = out[("b", "b")]
+    assert (r.n_blocks, r.n_read) == (2, 1)
+
+
+def test_zone_map_audit_null_zone_not_read(spark):
+    """Zones whose predicate column is entirely NULL have NULL
+    min/max and must count as skipped, not read."""
+    from maston_spark.profiling import zone_map_audit
+
+    rows = [(1, 10, 1), (2, 20, 2), (3, None, 3), (4, None, 4)]
+    df = spark.createDataFrame(rows, "a long, b long, id long")
+    out = zone_map_audit(
+        df,
+        order_candidates=["a"],
+        tiebreak_cols=["id"],
+        predicates=[("b", 0, 100)],
+        block_rows=2,
+    ).collect()
+    assert (out[0].n_blocks, out[0].n_read) == (2, 1)
+    assert out[0].skipped_frac == 0.5

@@ -181,8 +181,9 @@ def test_graded_window_covers_unique_capabilities():
         # discipline), the Qini uplift curve, and the min/max-agg
         # existential precedence census
         # (round-16: the q292/q296/q288 slots rotated to
-        # q308/q304/q306 — families held per the sibling map below)
-        "q293_voptimal_histogram", "q294_qini_uplift",
+        # q308/q304/q306, and q293's to q312 — families held per
+        # the sibling map below)
+        "q294_qini_uplift",
         # round-15 in-round promotions: the round's own novel physics
         # graded immediately — Selinger-lite join-order enumeration
         # (the optimizer-trilogy member the statistics exist for),
@@ -214,6 +215,8 @@ def test_graded_window_covers_unique_capabilities():
         "q310_shapley_attribution",
         # round-16 in-round promotion: the k-core peeling census
         "q311_k_core",
+        # round-16 in-round promotion: the zone-map skipping audit
+        "q312_zone_map_audit",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -404,6 +407,9 @@ def test_graded_window_covers_unique_capabilities():
         # round-16 in-round demotion: the CDC apply's latest-row
         # physics runs inside the SCD2 history construction
         "q143_cdc_upsert": "q206_scd2_history",
+        # round-16 in-round demotion: the v-optimal DP runs verbatim
+        # inside the selectivity audit's statistics branch
+        "q293_voptimal_histogram": "q298_selectivity_audit",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted

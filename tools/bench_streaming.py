@@ -454,6 +454,116 @@ def run_contamination(spark, n, chk):
     return src, q, tr
 
 
+
+
+# --- grow-the-keys stress (round-15 verdict task 6) -----------------
+# The standard runs above hold key cardinality roughly constant; one
+# run per durable-state LAYOUT family below grows |keys|/|groups|/
+# |vocab| ~10x across the batches, so the written-bytes curve reveals
+# the layout's contract directly: the per-key delta store and the
+# segmented vocab store write O(touched-this-batch) regardless of how
+# big the live state has grown, while the counter-SNAPSHOT layout
+# rewrites its whole (group x counter) table each batch — written
+# bytes GROW with |groups| exactly as that layout documents.
+
+
+def run_delta_growkeys(spark, n, chk):
+    """Per-key delta-store family: keyspace grows 500 -> 500*n while
+    the batch stays 5k rows — written bytes must track the batch's
+    touched keys, not the accumulated key count."""
+    from maston_spark.streaming.topology import delta_topology
+
+    rows = [
+        (
+            _payload(
+                f"k{(i * 7) % (500 * (b + 1))}", f"v{b}.{i}", b * ROWS + i
+            ),
+            b,
+        )
+        for b in range(n)
+        for i in range(0, ROWS, 4)
+    ]
+    stream, src = _mk(spark, rows, "value string, __replay_batch int", n)
+    tr = _StateTracker(f"{chk}/delta_state")
+    q = delta_topology(
+        stream,
+        "business_key string, string_value string, seq bigint",
+        app_id="bench-delta-growkeys",
+        checkpoint=chk,
+        business_key=F.col("ok.business_key"),
+        order_cols=["ok.seq"],
+        is_updated=lambda old, new: new["ok"]["seq"] > old["ok"]["seq"],
+        write_valid=lambda df: df.count(),
+        write_error=lambda df: df.count(),
+        on_metrics=lambda bid, c: tr.snap(bid),
+    )
+    return src, q, tr
+
+
+def run_vocab_growkeys(spark, n, chk):
+    """Segmented-delta family: |vocab| grows 2k -> 2k*n (every batch
+    mints a fresh 2k-token block) while batches stay DOCS docs —
+    the segmented layout appends the new block and compacts
+    occasionally; written bytes stay O(batch), never O(|vocab|)."""
+    from maston_spark.streaming.topology import vocab_saturation_topology
+
+    rows = [
+        (
+            f"src{i % 3}",
+            " ".join(
+                f"w{(b * 2000 + (i * 10 + j) * 13 % 2000)}"
+                for j in range(10)
+            ),
+            b,
+        )
+        for b in range(n)
+        for i in range(DOCS)
+    ]
+    stream, src = _mk(
+        spark, rows, "src string, text string, __replay_batch int", n
+    )
+    tr = _StateTracker(f"{chk}/vocab_state")
+    q = vocab_saturation_topology(
+        stream,
+        group_col="src",
+        text_col="text",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: (df.collect(), tr.snap(bid)),
+    )
+    return src, q, tr
+
+
+def run_cusum_growkeys(spark, n, chk):
+    """Counter-SNAPSHOT family: the monitor keeps one counter row per
+    group and rewrites the table each batch; groups grow 3 -> 3*n, so
+    written bytes GROW with |groups| — the documented O(|state|)
+    contract of the snapshot layout (the contrast row for the two
+    O(batch) families above)."""
+    from maston_spark.streaming.topology import cusum_monitor_topology
+
+    base = 1_700_000_000
+    rows = [
+        (f"svc{i % (3 * (b + 1))}", base + b * 3_600 + (i % 3_600), b)
+        for b in range(n)
+        for i in range(ROWS)
+    ]
+    stream, src = _mk(
+        spark, rows, "g string, ts_sec long, __replay_batch int", n
+    )
+    stream = stream.select(
+        "g", F.timestamp_seconds("ts_sec").alias("ts")
+    )
+    tr = _StateTracker(f"{chk}/cusum_state")
+    q = cusum_monitor_topology(
+        stream,
+        group_col="g",
+        ts_col="ts",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: (df.collect(), tr.snap(bid)),
+    )
+    return src, q, tr
+
+
 TOPOLOGIES = {
     "delta": (run_delta, 5_000),
     "curation": (run_curation, DOCS),
@@ -467,6 +577,10 @@ TOPOLOGIES = {
     "vocab_saturation": (run_vocab, DOCS),
     "privacy_gate": (run_privacy, ROWS),
     "contamination_gate": (run_contamination, DOCS),
+    # grow-the-keys stress rows — see the runner docstrings
+    "delta_growkeys": (run_delta_growkeys, 5_000),
+    "vocab_growkeys": (run_vocab_growkeys, DOCS),
+    "cusum_growkeys": (run_cusum_growkeys, ROWS),
 }
 
 
@@ -529,14 +643,28 @@ def main():
             f"state {r['state_first_bytes']}B -> {r['state_last_bytes']}B",
             file=sys.stderr,
         )
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, "_stream_bench.json")
+    # merge with prior record (the scale_curve discipline): a
+    # partial re-run of named topologies must not clobber the rows
+    # of the ones it didn't run
+    merged: dict = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                for r in json.load(f).get("results", []):
+                    merged[r.get("topology")] = r
+        except Exception:
+            merged = {}
+    for r in results:
+        merged[r["topology"]] = r
     record = {
         "metric": "streaming_topology_bench",
         "n_batches": n_batches,
         "loadavg_start": load,
-        "results": results,
+        "results": list(merged.values()),
     }
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "_stream_bench.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
 
