@@ -83,7 +83,15 @@ _PRIORITY = [
     # kept-fraction policy — and q192's KLL rank contract; its slot
     # grades q259's Mann-Whitney rank-sum, the one-value-histogram
     # U-statistic now property-tied to q212's group_auc)
-    "q206_scd2_history", "q259_mann_whitney",
+    # (round-16 in-round promotion: q259 Mann-Whitney's one-
+    # histogram U-statistic is property-tied to graded q212's
+    # midrank AUC (U/(n₀n₁) = AUC, the identity its own test
+    # asserts), so the rank-sum physics stays doubly graded; its
+    # slot grades q313's Fellegi-Sunter linkage weights — exact
+    # value-frequency u-probabilities + log₂ evidence weights, the
+    # pairing-decision half of the data-integration family beside
+    # q251's survivorship)
+    "q206_scd2_history", "q313_fs_linkage",
     # (round-12 third wave: q20's rank-window physics is exercised
     # inside FOUR graded members — q212's midranks, q206's SCD2 lead
     # windows, q139's gap-fill frames, q229-family global ranks; its
@@ -531,6 +539,9 @@ _PRIORITY = [
     # round-16 in-round demotion: q293's interval DP is composed
     # verbatim inside graded q298's v-optimal statistics branch
     "q293_voptimal_histogram",
+    # round-16 in-round demotion: q259's U statistic is the graded
+    # q212 midrank AUC by identity (U = AUC·n₀n₁)
+    "q259_mann_whitney",
     # round-16 demotions (promotion rationale at each freed slot
     # above): q307's plan enumeration via q298+q217's containment
     # pricing, q288's sequence census via q208, q226's rank math via

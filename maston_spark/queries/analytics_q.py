@@ -6929,3 +6929,88 @@ def q312_zone_map_audit(spark, sf_dir):
         ],
         block_rows=256,
     )
+
+
+def _q313_field_sql(field: str, m: float) -> str:
+    """One Fellegi-Sunter field row: exact u lane + the two log2
+    weights off the shared rounded u (per-field m constants are the
+    documented caller parameters, mirrored in the Spark query)."""
+    return f"""
+      SELECT '{field}' AS field,
+             CAST(sum(f) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST((2 * CAST(sum(f * (f - 1)) AS HUGEINT) * 1000000
+                   + CAST(sum(f) AS HUGEINT) * (sum(f) - 1))
+                  // greatest(2 * CAST(sum(f) AS HUGEINT)
+                              * (sum(f) - 1), 1) AS DOUBLE) / 1e6
+               AS u_prob
+      FROM (SELECT v, CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT {field} AS v FROM base
+                  WHERE {field} IS NOT NULL)
+            GROUP BY v)"""
+
+
+@query(
+    "q313_fs_linkage",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+             c_mktsegment AS segment,
+             substr(c_name, length(c_name) - 2, 3) AS name3,
+             CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR)
+               AS bal100
+      FROM customer),
+    u AS (""" + " UNION ALL ".join(
+        _q313_field_sql(f, m)
+        for f, m in [
+            ("bal100", 0.85),
+            ("nation", 0.95),
+            ("name3", 0.98),
+            ("segment", 0.9),
+        ]
+    ) + """),
+    m AS (SELECT 'bal100' AS field, 0.85 AS mv UNION ALL
+          SELECT 'nation', 0.95 UNION ALL
+          SELECT 'name3', 0.98 UNION ALL
+          SELECT 'segment', 0.9)
+    SELECT u.field, n_rows, n_distinct, u_prob,
+           CASE WHEN u_prob > 0
+                THEN round(log2(mv / u_prob), 6) END AS w_agree,
+           CASE WHEN u_prob < 1
+                THEN round(log2((1 - mv) / (1 - u_prob)), 6)
+           END AS w_disagree
+    FROM u JOIN m ON m.field = u.field
+    ORDER BY u.field
+    """,
+)
+def q313_fs_linkage(spark, sf_dir):
+    """Fellegi-Sunter linkage weights over four customer comparison
+    fields (account-balance hundred, nation, name suffix, market
+    segment): the u-probabilities estimated EXACTLY from value
+    frequencies show why a name-suffix agreement is decisive
+    evidence (u ≈ 0.1%) while a segment agreement is nearly none
+    (u ≈ 20%) — the pairing-decision half of the data-integration
+    family beside q251's survivorship. m constants documented
+    (0.85/0.95/0.98/0.9). See
+    :func:`maston_spark.relational.fs_linkage_weights`."""
+    from maston_spark.relational import fs_linkage_weights
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("substr(c_name, length(c_name) - 2, 3)").alias("name3"),
+        F.floor(F.col("c_acctbal") / 100)
+        .cast("long")
+        .cast("string")
+        .alias("bal100"),
+    )
+    return fs_linkage_weights(
+        c,
+        fields=["bal100", "nation", "name3", "segment"],
+        m_probs={
+            "bal100": 0.85,
+            "nation": 0.95,
+            "name3": 0.98,
+            "segment": 0.9,
+        },
+    )

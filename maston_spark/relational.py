@@ -3367,3 +3367,93 @@ def shapley_attribution(
         "channel string, n_sets long, n_users long,"
         " n_conversions long, shapley double",
     )
+
+
+def fs_linkage_weights(
+    df: DataFrame,
+    fields: "list[str]",
+    m_probs: "dict[str, float]",
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights (Fellegi & Sunter
+    1969) — one row per comparison field ``(field, n_rows,
+    n_distinct, u_prob, w_agree, w_disagree)``: the evidence a
+    field agreement/disagreement contributes to a match decision,
+    ``w_agree = log₂(m/u)`` and ``w_disagree = log₂((1−m)/(1−u))``.
+    The probabilistic half of the data-integration family: q251's
+    golden record decides WHAT survives once records are linked —
+    this prices WHETHER two records are the same entity, field by
+    field, and is why agreeing on a phone number (u ≈ 0) outweighs
+    agreeing on a market segment (u ≈ 1/5).
+
+    ``u_k`` — the probability two DISTINCT random records agree on
+    field k — is estimated EXACTLY from the value-frequency table:
+    ``u = Σ_v f_v(f_v−1) / (N_k(N_k−1))`` over the field's non-null
+    rows, closed on the micro half-away integer lane (decimal(38,0)
+    numerators; the one division lands both engines on the same
+    double). ``m_k`` (agreement probability among true matches) has
+    no unsupervised single-pass estimator — it is a DOCUMENTED
+    caller parameter (the classic 0.9–0.95 defaults), echoed into
+    the output via the weights. The two log₂ weights round at 6 off
+    the shared exact ``u`` (the q246 libm-grid discipline); fields
+    with u = 0 (all values distinct — agreement is perfect
+    evidence) and u = 1 (constant field — agreement is no evidence)
+    emit NULL for the weight whose log diverges.
+
+    Scale shape: ONE stacked-generator scan (the q305 profile
+    pattern — n×|fields| slim pairs), a combiner-reduced
+    (field, value) count, a |fields|-row close — no pair
+    enumeration anywhere (u comes from frequencies, not from
+    sampling pairs)."""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in fields
+                ]
+            )
+        ).alias("s")
+    ).select("s.field", "s.v").filter(F.col("v").isNotNull())
+    per_val = stacked.groupBy("field", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("__f")
+    )
+    per_field = per_val.groupBy("field").agg(
+        F.sum("__f").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.expr("cast(__f as decimal(38,0)) * (__f - 1)")).alias("__s"),
+    )
+    m_map = F.create_map(
+        *[x for c in fields for x in (F.lit(c), F.lit(float(m_probs[c])))]
+    )
+    u_micro = F.expr(
+        "CASE WHEN n_rows > 1 THEN"
+        " (2 * __s * 1000000 + cast(n_rows as decimal(38,0)) * (n_rows - 1))"
+        " div greatest(2 * cast(n_rows as decimal(38,0)) * (n_rows - 1), 1)"
+        " ELSE 0 END"
+    )
+    staged = per_field.select(
+        "field",
+        "n_rows",
+        "n_distinct",
+        (u_micro.cast("double") / F.lit(1e6)).alias("u_prob"),
+        m_map[F.col("field")].alias("__m"),
+    )
+    return staged.select(
+        "field",
+        "n_rows",
+        "n_distinct",
+        "u_prob",
+        F.when(
+            F.col("u_prob") > 0,
+            F.round(F.log2(F.col("__m") / F.col("u_prob")), 6),
+        ).alias("w_agree"),
+        F.when(
+            F.col("u_prob") < 1,
+            F.round(
+                F.log2((1.0 - F.col("__m")) / (1.0 - F.col("u_prob"))), 6
+            ),
+        ).alias("w_disagree"),
+    ).orderBy("field")

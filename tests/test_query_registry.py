@@ -165,7 +165,9 @@ def test_graded_window_covers_unique_capabilities():
         # rational determinism discipline, and the brute-force-
         # certified Apriori downward-closure prune
         "q251_golden_record", "q231_hll_rolling_prefix",
-        "q259_mann_whitney", "q274_theil_sen",
+        # (round-16: q259's slot rotated to q313 — the U statistic
+        # is q212's midrank AUC by identity)
+        "q274_theil_sen",
         "q276_frequent_triples",
         # round-14 in-round promotions: the round's own novel physics
         # graded immediately — the Davies-Bouldin cell audit
@@ -217,6 +219,8 @@ def test_graded_window_covers_unique_capabilities():
         "q311_k_core",
         # round-16 in-round promotion: the zone-map skipping audit
         "q312_zone_map_audit",
+        # round-16 in-round promotion: Fellegi-Sunter linkage weights
+        "q313_fs_linkage",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -410,6 +414,9 @@ def test_graded_window_covers_unique_capabilities():
         # round-16 in-round demotion: the v-optimal DP runs verbatim
         # inside the selectivity audit's statistics branch
         "q293_voptimal_histogram": "q298_selectivity_audit",
+        # round-16 in-round demotion: U = AUC·n₀n₁ — the rank-sum
+        # physics is the graded midrank AUC by identity
+        "q259_mann_whitney": "q212_group_auc",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted

@@ -1922,3 +1922,40 @@ def test_shapley_attribution_guards_wide_universe(spark):
     df = spark.createDataFrame(rows, "u long, c string, y int")
     with pytest.raises(ValueError, match="channels"):
         shapley_attribution(df, "u", "c", "y", max_channels=8)
+
+
+def test_fs_linkage_weights_hand_case(spark):
+    """Four rows, three fields: a constant field (u = 1, agreement
+    is NO evidence → w_disagree NULL), an all-distinct field (u = 0,
+    agreement is PERFECT evidence → w_agree NULL), and a 2+2 split
+    where u = (2·1 + 2·1)/(4·3) = 1/3 exactly — w_agree =
+    log2(0.9/(1/3)) = log2(2.7), the textbook FS replay. NULLs in a
+    field drop from that field's census only."""
+    import math
+
+    from maston_spark.relational import fs_linkage_weights
+
+    rows = [
+        ("x", "a", "p1"),
+        ("x", "a", "p2"),
+        ("x", "b", "p3"),
+        ("x", "b", None),
+    ]
+    df = spark.createDataFrame(rows, "const string, half string, uniq string")
+    out = {r.field: r for r in fs_linkage_weights(
+        df, ["const", "half", "uniq"],
+        {"const": 0.9, "half": 0.9, "uniq": 0.9},
+    ).collect()}
+    c = out["const"]
+    assert (c.n_rows, c.n_distinct, c.u_prob) == (4, 1, 1.0)
+    assert c.w_agree == round(math.log2(0.9 / 1.0), 6)
+    assert c.w_disagree is None
+    h = out["half"]
+    assert (h.n_rows, h.n_distinct) == (4, 2)
+    assert h.u_prob == 0.333333  # micro half-away lane of 1/3
+    assert h.w_agree == round(math.log2(0.9 / 0.333333), 6)
+    assert h.w_disagree == round(math.log2(0.1 / (1 - 0.333333)), 6)
+    u = out["uniq"]
+    assert (u.n_rows, u.n_distinct, u.u_prob) == (3, 3, 0.0)
+    assert u.w_agree is None
+    assert u.w_disagree == round(math.log2(0.1), 6)
