@@ -239,7 +239,14 @@ _PRIORITY = [
     # grades q305's encoding advisor — exact plain/dict/RLE byte
     # costs under the pinned two-phase (column, __pid) run count,
     # the storage-side physical-design statistic)
-    "q305_encoding_advisor", "q272_cusum_prefix",
+    # (round-16 in-round promotion: q272 CUSUM-prefix's additive-
+    # counter fold identity is graded THREE other ways in-window —
+    # q303's contamination counters, q231's register fold, q296's
+    # cell counts via the q303 sibling map — and its changepoint
+    # lens via q178-family drift members; its slot grades q314's
+    # AMS fold twin, the ELEVENTH topology's incremental-equals-
+    # one-shot claim for the optimizer family's join-size monitor)
+    "q305_encoding_advisor", "q314_ams_prefix",
     # LLM-pipeline set (unique capabilities first; within-family
     # variants — simhash after minhash, fingerprint after exact-hash,
     # sliding/session after tumbling, frames after rank — are in the
@@ -542,6 +549,9 @@ _PRIORITY = [
     # round-16 in-round demotion: q259's U statistic is the graded
     # q212 midrank AUC by identity (U = AUC·n₀n₁)
     "q259_mann_whitney",
+    # round-16 in-round demotion: q272's additive-counter fold is
+    # graded via q303/q231 and the new q314 twin
+    "q272_cusum_prefix",
     # round-16 demotions (promotion rationale at each freed slot
     # above): q307's plan enumeration via q298+q217's containment
     # pricing, q288's sequence census via q208, q226's rank math via

@@ -7014,3 +7014,68 @@ def q313_fs_linkage(spark, sf_dir):
             "segment": 0.9,
         },
     )
+
+
+@query(
+    "q314_ams_prefix",
+    oracle="""
+    WITH ls AS (SELECT unnest(range(0, 16)) AS l),
+    la AS (SELECT l, CAST(sum(CASE WHEN substring(
+                 md5(o_orderkey::VARCHAR), 17 + l, 1) >= '8'
+               THEN 1 ELSE -1 END) AS BIGINT) AS t
+           FROM orders, ls WHERE o_orderkey IS NOT NULL GROUP BY l),
+    lb AS (SELECT l, CAST(sum(CASE WHEN substring(
+                 md5(l_orderkey::VARCHAR), 17 + l, 1) >= '8'
+               THEN 1 ELSE -1 END) AS BIGINT) AS t
+           FROM lineitem, ls WHERE l_orderkey IS NOT NULL GROUP BY l),
+    d AS (SELECT CAST(sum(la.t * lb.t) AS BIGINT) AS dt
+          FROM la JOIN lb ON lb.l = la.l),
+    n AS (SELECT
+            (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders) AS n_a,
+            (SELECT CAST(count(l_orderkey) AS BIGINT) FROM lineitem)
+              AS n_b)
+    SELECT n_a, n_b, CAST(dt AS DOUBLE) / 16.0 AS est_join_size
+    FROM n, d
+    """,
+)
+def q314_ams_prefix(spark, sf_dir):
+    """ELEVENTH topology's fold-identity twin: the streaming
+    join-size monitor's AMS lane totals replayed as a 3-batch
+    additive fold (both sides split by key % 3) and closed with the
+    SAME :func:`maston_spark.sketches.ams_join_from_totals` the
+    topology emits — the incremental-equals-one-shot claim graded
+    cross-engine against the one-shot lane SQL: ±1 sums fold with
+    ZERO error term, so the streamed estimate is bit-identical to
+    the batch estimate, completing the topology-twin matrix for the
+    optimizer family (q217 prices the join once; the monitor keeps
+    the price current per micro-batch)."""
+    from maston_spark.sketches import ams_join_from_totals, ams_lane_totals
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull()
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+    ).select("l_orderkey")
+    folded = None
+    for b in range(3):
+        t = ams_lane_totals(
+            o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == b),
+            "o_orderkey",
+            "a",
+        ).unionByName(
+            ams_lane_totals(
+                li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == b),
+                "l_orderkey",
+                "b",
+            )
+        )
+        sum_cols = ["n"] + [f"t{l}" for l in range(16)]
+        folded = (
+            t
+            if folded is None
+            else folded.unionByName(t)
+            .groupBy("side")
+            .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+        )
+    return ams_join_from_totals(folded, 16)

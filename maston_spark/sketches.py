@@ -1202,25 +1202,65 @@ def ams_join_size(
     already report."""
     if n_lanes > 16:
         raise ValueError("ams_join_size lanes come from 16 hex digits")
+    totals = ams_lane_totals(a, a_col, "a", n_lanes).unionByName(
+        ams_lane_totals(b, b_col, "b", n_lanes)
+    )
+    return ams_join_from_totals(totals, n_lanes)
 
-    def lane_totals(df: DataFrame, col: str, prefix: str) -> DataFrame:
-        m = F.md5(F.col(col).cast("string"))
-        aggs = [F.count(F.lit(1)).cast("long").alias(f"{prefix}n")]
+
+def ams_lane_totals(
+    df: DataFrame, key_col: str, side: str, n_lanes: int = 16
+) -> DataFrame:
+    """One side's ADDITIVE AMS state: a single row ``(side, n, t0..
+    t{n_lanes-1})`` of exact int64 ±1 lane totals under the shared
+    md5-hex-17.. sign convention. Plain sums, so batch rows
+    union+sum into running totals exactly — the counter discipline
+    that makes :func:`ams_join_from_totals` a shared close for the
+    q217 batch estimate, the q314 fold twin, and the streaming
+    join-size monitor (none of the three can diverge)."""
+    if n_lanes > 16:
+        raise ValueError("ams lane totals come from 16 hex digits")
+    m = F.md5(F.col(key_col).cast("string"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for l in range(n_lanes):
+        sign = F.when(
+            F.substring(m, 17 + l, 1) >= "8", F.lit(1)
+        ).otherwise(F.lit(-1))
+        aggs.append(F.sum(sign).cast("long").alias(f"t{l}"))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .agg(*aggs)
+        .select(F.lit(side).alias("side"), "*")
+    )
+
+
+def ams_join_from_totals(totals: DataFrame, n_lanes: int = 16) -> DataFrame:
+    """Close the join-size estimate over (possibly folded)
+    :func:`ams_lane_totals` rows — sides 'a' and 'b' — into one row
+    ``(n_a, n_b, est_join_size)``: exact integer dot product of the
+    lane totals, one IEEE division by ``n_lanes``. A side with no
+    state row closes as all-zero totals (estimate 0 — nothing has
+    streamed on that side yet)."""
+    one = F.lit(1).alias("__k")
+
+    def pick(side: str, prefix: str) -> DataFrame:
+        row = totals.filter(F.col("side") == side).drop("side")
+        cols = [F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(f"{prefix}n")]
         for l in range(n_lanes):
-            sign = F.when(
-                F.substring(m, 17 + l, 1) >= "8", F.lit(1)
-            ).otherwise(F.lit(-1))
-            aggs.append(F.sum(sign).cast("long").alias(f"{prefix}t{l}"))
-        return df.filter(F.col(col).isNotNull()).agg(*aggs)
+            cols.append(
+                F.coalesce(F.sum(f"t{l}"), F.lit(0))
+                .cast("long")
+                .alias(f"{prefix}t{l}")
+            )
+        return row.agg(*cols).select(one, "*")
 
-    ta = lane_totals(a, a_col, "a")
-    tb = lane_totals(b, b_col, "b")
+    ta, tb = pick("a", "a"), pick("b", "b")
     dot = None
     for l in range(n_lanes):
         term = F.col(f"at{l}") * F.col(f"bt{l}")
         dot = term if dot is None else dot + term
     return (
-        ta.crossJoin(tb)  # two 1-row frames
+        ta.join(F.broadcast(tb), "__k")  # two 1-row frames
         .select(
             F.col("an").alias("n_a"),
             F.col("bn").alias("n_b"),

@@ -2075,3 +2075,107 @@ def contamination_gate_topology(
             counts.unpersist()
 
     return _start_foreach_batch(rows, fn, checkpoint, trigger)
+
+
+def ams_monitor_topology(
+    source: DataFrame,
+    *,
+    side_col: str,
+    key_col: str,
+    checkpoint: str,
+    write_metrics: Callable[[DataFrame, int], None],
+    n_lanes: int = 16,
+    state_dir: str | None = "auto",
+    trigger: dict | None = None,
+):
+    """ELEVENTH topology — streaming join-size monitor: maintain the
+    two sides' AMS sign-sketch lane totals across micro-batches and
+    emit, per batch, the running join-size estimate
+    ``(n_a, n_b, est_join_size)`` — the optimizer statistic kept
+    CURRENT while the tables load (by the time q217's batch estimate
+    runs, the overnight ingest has already decided whether tonight's
+    join is runnable; this answers it after every micro-batch from
+    O(lanes) state). Rows carry ``side_col`` ∈ {'a','b'} (which
+    stream/table the key belongs to) and ``key_col`` (the join key).
+
+    The emit is the SAME close as the batch operator —
+    :func:`maston_spark.sketches.ams_join_from_totals` over the
+    folded ``(side, n, t0..t15)`` state — so the streaming path and
+    q217's batch path cannot diverge, and the q314 fold twin grades
+    the additive fold cross-engine (the q240/q272/q283/q296/q303
+    twin discipline; this completes it for the optimizer family).
+
+    Cross-batch state is the ≤2-row lane-total table, durable in the
+    versioned compacted parquet layout shared with the other
+    monitors; the fold is ADDITIVE (exact int64 counter semantics —
+    ±1 sums fold with no error term), so the crash-retry corner
+    reads the stored v{batch_id} as the whole truth rather than
+    re-adding the batch. Per batch: one combiner-reduced 2-row
+    aggregation, a ≤4-row merge, the O(lanes) closing dot product —
+    state and emit are O(lanes) no matter the traffic."""
+    from maston_spark.sketches import ams_join_from_totals, ams_lane_totals
+
+    sdir = (
+        f"{checkpoint.rstrip('/')}/ams_state"
+        if state_dir == "auto"
+        else state_dir
+    )
+    if sdir is not None:
+        _ensure_state_owner(source.sparkSession, sdir, checkpoint)
+
+    items = source.select(
+        F.col(side_col).cast("string").alias("side"),
+        F.col(key_col).cast("string").alias("key"),
+    )
+    sum_cols = ["n"] + [f"t{l}" for l in range(n_lanes)]
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rogue = batch_df.filter(
+            F.col("side").isNotNull() & ~F.col("side").isin("a", "b")
+        )
+        if rogue.limit(1).count() > 0:
+            bad = [r.side for r in rogue.select("side").distinct().collect()]
+            raise ValueError(f"ams_monitor: sides must be 'a'/'b', got {bad}")
+        totals = ams_lane_totals(
+            batch_df.filter(F.col("side") == "a"), "key", "a", n_lanes
+        ).unionByName(
+            ams_lane_totals(
+                batch_df.filter(F.col("side") == "b"), "key", "b", n_lanes
+            )
+        )
+        if sdir is not None:
+            versions = _state_versions(spark, sdir)
+            prior = [v for v in versions if v < batch_id]
+            seed_v = prior[-1] if prior else (
+                batch_id if batch_id in versions else None
+            )
+            if seed_v is not None and seed_v == batch_id:
+                # additive-counter retry corner: the stored version
+                # already contains this batch — it IS the state
+                totals = spark.read.parquet(
+                    f"{sdir}/v{batch_id}"
+                ).localCheckpoint(eager=True)
+            elif seed_v is not None:
+                seed = spark.read.parquet(f"{sdir}/v{seed_v}")
+                totals = (
+                    totals.unionByName(seed)
+                    .groupBy("side")
+                    .agg(
+                        *[
+                            F.sum(c).cast("long").alias(c)
+                            for c in sum_cols
+                        ]
+                    )
+                )
+        totals = totals.persist()
+        try:
+            if sdir is not None:
+                totals.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+            write_metrics(ams_join_from_totals(totals, n_lanes), batch_id)
+            if sdir is not None:
+                _drop_state_versions(spark, sdir, prior)
+        finally:
+            totals.unpersist()
+
+    return _start_foreach_batch(items, fn, checkpoint, trigger)

@@ -156,7 +156,9 @@ def test_graded_window_covers_unique_capabilities():
         # rank), the grid-blocked spatial radius join (a candidate-
         # generation physics the catalog had nowhere else), and the
         # CUSUM monitor's additive-fold twin (seventh topology row)
-        "q264_bh_fdr", "q269_spatial_grid_join", "q272_cusum_prefix",
+        # (round-16: q272's slot rotated to q314 — the additive fold
+        # identity stays graded via q303/q231)
+        "q264_bh_fdr", "q269_spatial_grid_join",
         # round-14 promotions: round-13's ungraded novel physics plus
         # the round-12 carryover pair — survivorship golden-record
         # repair provenance, the rolling-HLL incremental-equals-one-
@@ -221,6 +223,9 @@ def test_graded_window_covers_unique_capabilities():
         "q312_zone_map_audit",
         # round-16 in-round promotion: Fellegi-Sunter linkage weights
         "q313_fs_linkage",
+        # round-16 in-round promotion: the AMS join-size fold twin
+        # (ELEVENTH topology)
+        "q314_ams_prefix",
     ):
         assert must in window, must
     # demoted siblings: each has a same-family flagship in the window
@@ -380,7 +385,7 @@ def test_graded_window_covers_unique_capabilities():
         "q123_bm25_rank": "q155_keep_first_substring",
         "q230_hll_cube": "q231_hll_rolling_prefix",
         "q234_bootstrap_ci": "q241_jackknife_ratio",
-        "q250_srm_prefix": "q272_cusum_prefix",
+        "q250_srm_prefix": "q303_contamination_prefix",
         # round-15 in-round demotions: q02's scan/filter predicate
         # battery runs inside every graded join composite; q118's
         # iteration-replay discipline runs verbatim (richer) in
@@ -399,7 +404,7 @@ def test_graded_window_covers_unique_capabilities():
         "q307_join_order_plan": "q298_selectivity_audit",
         "q288_precedence_census": "q208_ts_pattern_search",
         "q226_trimmed_mean": "q192_kll_quantiles",
-        "q296_k_anonymity_prefix": "q272_cusum_prefix",
+        "q296_k_anonymity_prefix": "q303_contamination_prefix",
         "q292_regression_discontinuity": "q294_qini_uplift",
         # round-16 in-round demotion: q246's product-limit ln/exp
         # replay runs verbatim inside q309's S(t−) prefix, and the
@@ -417,6 +422,10 @@ def test_graded_window_covers_unique_capabilities():
         # round-16 in-round demotion: U = AUC·n₀n₁ — the rank-sum
         # physics is the graded midrank AUC by identity
         "q259_mann_whitney": "q212_group_auc",
+        # round-16 in-round demotion: the additive-counter fold
+        # discipline stays graded via the contamination twin (and
+        # q231's register fold); the new q314 grades it for AMS
+        "q272_cusum_prefix": "q303_contamination_prefix",
     }
     for demoted, flagship in siblings.items():
         assert demoted not in window, demoted

@@ -2317,3 +2317,71 @@ def test_contamination_gate_topology_golden_and_restart(spark, cleanup):
     finally:
         q2.stop()
     assert seen2[-1] == oneshot(prefix + more)
+
+
+def test_ams_monitor_topology_fold_identity_and_retry(spark, cleanup):
+    """ELEVENTH topology: the streaming join-size monitor's lane
+    totals fold additively across 3 batches, the running estimate
+    equals the BATCH ams_join_size over the same prefix at every
+    batch (shared ams_join_from_totals close — zero error term on
+    ±1 integer sums), a side that hasn't streamed yet closes as
+    estimate 0, and the durable 2-row state replays the final
+    emit."""
+    from maston_spark.sketches import (
+        ams_join_from_totals,
+        ams_join_size,
+    )
+    from maston_spark.streaming.topology import ams_monitor_topology
+
+    per_batch = [
+        [("a", k) for k in range(20)],                      # a only
+        [("b", k) for k in range(10, 30)],                  # b arrives
+        [("a", k) for k in range(5, 15)]
+        + [("b", k) for k in range(15, 25)],
+    ]
+    rows = [
+        Row(side=s, key=str(k), __replay_batch=b)
+        for b, items in enumerate(per_batch)
+        for s, k in items
+    ]
+    stream, src = replay_stream(spark.createDataFrame(rows), batches=3)
+    chk = _tmp()
+    cleanup.extend([src, chk])
+    seen: list = []
+
+    q = ams_monitor_topology(
+        stream,
+        side_col="side",
+        key_col="key",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: seen.append((bid, df.collect()[0])),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) >= 3
+    by_batch = dict(seen)
+    # batch 0: only side a has streamed -> estimate exactly 0
+    assert by_batch[0].n_a == 20 and by_batch[0].n_b == 0
+    assert by_batch[0].est_join_size == 0.0
+    # every batch: running estimate == the batch operator over the
+    # concatenated prefix (the fold identity)
+    prefix: list = []
+    for b in range(3):
+        prefix += per_batch[b]
+        a = spark.createDataFrame(
+            [(k,) for s, k in prefix if s == "a"] or [(None,)], "k string"
+        )
+        bdf = spark.createDataFrame(
+            [(k,) for s, k in prefix if s == "b"] or [(None,)], "k string"
+        )
+        expect = ams_join_size(a, "k", bdf, "k").collect()[0]
+        got = by_batch[b]
+        assert (got.n_a, got.n_b) == (expect.n_a, expect.n_b), b
+        assert got.est_join_size == expect.est_join_size, b
+    # durable state is the whole truth: closing it reproduces emit 2
+    state = spark.read.parquet(f"{chk}/ams_state/v2")
+    replay = ams_join_from_totals(state).collect()[0]
+    assert replay.est_join_size == by_batch[2].est_join_size

@@ -456,6 +456,34 @@ def run_contamination(spark, n, chk):
 
 
 
+
+
+def run_ams(spark, n, chk):
+    from maston_spark.streaming.topology import ams_monitor_topology
+
+    rows = [
+        (
+            "a" if i % 2 == 0 else "b",
+            str((b * ROWS + i * 13) % 50_000),
+            b,
+        )
+        for b in range(n)
+        for i in range(ROWS)
+    ]
+    stream, src = _mk(
+        spark, rows, "side string, key string, __replay_batch int", n
+    )
+    tr = _StateTracker(f"{chk}/ams_state")
+    q = ams_monitor_topology(
+        stream,
+        side_col="side",
+        key_col="key",
+        checkpoint=chk,
+        write_metrics=lambda df, bid: (df.collect(), tr.snap(bid)),
+    )
+    return src, q, tr
+
+
 # --- grow-the-keys stress (round-15 verdict task 6) -----------------
 # The standard runs above hold key cardinality roughly constant; one
 # run per durable-state LAYOUT family below grows |keys|/|groups|/
@@ -577,6 +605,7 @@ TOPOLOGIES = {
     "vocab_saturation": (run_vocab, DOCS),
     "privacy_gate": (run_privacy, ROWS),
     "contamination_gate": (run_contamination, DOCS),
+    "ams_monitor": (run_ams, ROWS),
     # grow-the-keys stress rows — see the runner docstrings
     "delta_growkeys": (run_delta_growkeys, 5_000),
     "vocab_growkeys": (run_vocab_growkeys, DOCS),
