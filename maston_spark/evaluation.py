@@ -3233,3 +3233,147 @@ def aalen_johansen(
             / F.lit(1e12)
         ).alias("cif"),
     ).orderBy("t", "cause")
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013 for the
+    readout; the estimator is the τ-truncated area under
+    :func:`kaplan_meier`'s curve) — ONE row ``(tau, n_subjects,
+    n_events, rmst, rmst_lost)``: the average survival time over the
+    first τ units, the single number the whole KM curve collapses to
+    when arms must be compared without proportional-hazards faith
+    (medians break under heavy censoring; means are undefined with
+    an open tail — the τ-restricted area is always estimable).
+    ``rmst_lost = τ − rmst`` is the companion "time lost" readout.
+
+    Exactness: the KM curve's survival values are already on the
+    1e-6 grid (q246's round-6 contract), interval widths are exact
+    integers, so every trapezoid-free step-area term
+    ``S(t_i)·(min(t_{i+1}, τ) − t_i)`` is an exact integer in
+    micro·unit lanes: the fold is an exact decimal sum with ONE
+    closing division. The leading ``1·(t₁ − 0)`` strip (S = 1 before
+    the first distinct time) is included; steps at or past τ
+    contribute nothing.
+
+    Scale shape: :func:`kaplan_meier`'s census (one groupBy(t) +
+    |distinct t| windows), then a lead-window step-area fold over
+    the |distinct t| table and a 1-row close."""
+    km = kaplan_meier(df, duration_col, event_col)
+    w = Window.orderBy("t")
+    stepped = km.select(
+        "t",
+        "n_events",
+        # explicit round before the decimal cast: survival is a
+        # 6-grid double whose ×1e6 image can sit one ulp under the
+        # integer; round() agrees cross-engine, bare casts may not
+        F.round(F.col("survival") * F.lit(1e6), 0)
+        .cast("decimal(38,0)")
+        .alias("__s6"),
+        F.lead("t").over(w).alias("__nt"),  # |distinct t| table
+    )
+    # interval [t_i, min(next_t, tau)); clamp negatives to zero
+    width = F.greatest(
+        F.least(F.coalesce(F.col("__nt"), F.lit(int(tau))), F.lit(int(tau)))
+        - F.least(F.col("t"), F.lit(int(tau))),
+        F.lit(0),
+    )
+    first_t = F.min("t").over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    lead_strip = F.least(first_t, F.lit(int(tau))).cast("decimal(38,0)") * F.lit(
+        1000000
+    ).cast("decimal(38,0)")
+    agg = stepped.select(
+        (F.col("__s6") * width.cast("decimal(38,0)")).alias("__area"),
+        lead_strip.alias("__lead"),
+        "n_events",
+        F.lit(1).alias("__k"),
+    ).groupBy("__k").agg(
+        F.sum("__area").alias("__a"),
+        F.max("__lead").alias("__l"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("__rows"),
+    )
+    n_subj = df.filter(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & (F.col(duration_col) >= 0)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_subjects"), F.lit(1).alias("__k"))
+    return (
+        agg.join(F.broadcast(n_subj), "__k")
+        .select(
+            F.lit(int(tau)).cast("long").alias("tau"),
+            "n_subjects",
+            "n_events",
+            ((F.col("__a") + F.col("__l")).cast("double") / F.lit(1e6)).alias(
+                "rmst"
+            ),
+            (
+                F.lit(float(tau))
+                - (F.col("__a") + F.col("__l")).cast("double") / F.lit(1e6)
+            ).alias("rmst_lost"),
+        )
+    )
+
+
+def sprt_evalue(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Anytime-valid sequential test via the Wald SPRT e-value
+    (Wald 1945; Ramdas et al. 2023 frame it as e-process betting) —
+    per group ``(group, n, k, log10_e, e_crossed)``: the likelihood
+    ratio ``E = (p1/p0)^k · ((1−p1)/(1−p0))^(n−k)`` is a test
+    MARTINGALE under H0: p = p0, so by Ville's inequality
+    ``P(sup E ≥ 1/α) ≤ α`` and the threshold can be checked after
+    EVERY observation — the monitoring discipline the fixed-n
+    battery (q220 Wilson, q240 SRM, two_proportion_ztest) cannot
+    offer: peeking at a z-test inflates α; peeking at an e-process
+    is the design. The state is the additive ``(n, k)`` counter
+    pair, so the running statistic folds across micro-batches with
+    zero error — the q272/q314 counter discipline applied to
+    inference.
+
+    Determinism (the q242 no-in-engine-libm discipline): the two
+    per-observation log₁₀ increments are PYTHON-side literals
+    embedded into the plan — ``c1 = log10(p1/p0)``, ``c0 =
+    log10((1−p1)/(1−p0))`` — so both engines fold
+    ``k·c1 + (n−k)·c0`` with identical IEEE arithmetic; round 6.
+    ``e_crossed`` compares against the exact literal
+    ``−log10(alpha)``. NULL y drops; one combiner-reduced
+    aggregation, |groups| result rows."""
+    from math import log10
+
+    c1 = log10(p1 / p0)
+    c0 = log10((1.0 - p1) / (1.0 - p0))
+    thresh = -log10(alpha)
+    y = F.col(y_col).cast("int")
+    agg = (
+        df.filter(y.isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).cast("long").alias("k"),
+        )
+    )
+    log_e = F.round(
+        F.col("k") * F.lit(c1) + (F.col("n") - F.col("k")) * F.lit(c0), 6
+    )
+    return agg.select(
+        "group",
+        "n",
+        "k",
+        log_e.alias("log10_e"),
+        (log_e >= F.lit(thresh)).alias("e_crossed"),
+    ).orderBy("group")

@@ -560,6 +560,18 @@ _PRIORITY = [
     "q307_join_order_plan", "q288_precedence_census",
     "q226_trimmed_mean", "q296_k_anonymity_prefix",
     "q292_regression_discontinuity",
+    # round-16 additions past the graded 50 (locally oracle-verified
+    # at all three SFs; FIRST IN LINE if the window widens — the
+    # round's other six novel operators q309-q314 are graded
+    # in-round above):
+    # τ-restricted mean survival time — the arm-comparison number
+    # the KM curve collapses to; exact step-area fold over q246's
+    # product-limit lanes
+    "q315_rmst",
+    # anytime-valid SPRT e-value — peek-safe sequential testing via
+    # Ville's inequality; additive (n, k) counter state, embedded
+    # log10 literals
+    "q316_sprt_evalue",
     # round-15 additions:
     # PRR/ROR disproportionality screen — hypothesis-free
     # surveillance scan of the source×lang reporting table, the

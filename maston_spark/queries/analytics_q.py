@@ -7079,3 +7079,165 @@ def q314_ams_prefix(spark, sf_dir):
             .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
         )
     return ams_join_from_totals(folded, 16)
+
+
+@query(
+    "q315_rmst",
+    oracle="""
+    WITH u AS (SELECT user_id, min(ts) AS t0,
+                      min(CASE WHEN event_type = 'purchase' THEN ts END)
+                        AS p0,
+                      min(CASE WHEN event_type = 'error' THEN ts END) AS e0
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY user_id),
+    s0 AS (SELECT 24 + (user_id % 5) * 12 AS hz,
+                  date_diff('hour', t0, p0) AS tp,
+                  date_diff('hour', t0, e0) AS te
+           FROM u),
+    subj AS (SELECT CASE
+                 WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                      AND tp <= hz THEN tp
+                 WHEN te IS NOT NULL AND (tp IS NULL OR te < tp)
+                      AND te <= hz THEN te
+                 ELSE hz END AS t,
+               CASE
+                 WHEN (tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                       AND tp <= hz)
+                   OR (te IS NOT NULL AND (tp IS NULL OR te < tp)
+                       AND te <= hz) THEN 1
+                 ELSE 0 END AS e
+             FROM s0),
+    per AS (SELECT t, CAST(sum(e) AS BIGINT) AS n_events,
+                   CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+            FROM subj GROUP BY t),
+    tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n
+            FROM per),
+    r AS (SELECT t, n_events, n_censored,
+                 CAST(n - COALESCE(sum(n_events + n_censored) OVER
+                       (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM per, tot),
+    lg AS (SELECT t, n_risk, n_events,
+                  CASE WHEN n_events < n_risk
+                       THEN round(ln(1.0 - CAST(n_events AS DOUBLE)
+                                          / CAST(n_risk AS DOUBLE)), 9)
+                  END AS l
+           FROM r),
+    s AS (SELECT t, n_events,
+                 max(CASE WHEN l IS NULL THEN 1 ELSE 0 END) OVER
+                   (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS dead,
+                 sum(l) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS cl
+          FROM lg),
+    st AS (SELECT t, n_events,
+                  CASE WHEN dead = 1 THEN 0.0
+                       ELSE round(exp(cl), 6) END AS survival
+           FROM s),
+    stepped AS (SELECT t, n_events,
+                       CAST(round(survival * 1e6) AS HUGEINT) AS s6,
+                       lead(t) OVER (ORDER BY t) AS nt
+                FROM st),
+    area AS (SELECT CAST(sum(s6 * greatest(
+                      least(coalesce(nt, 48), 48) - least(t, 48), 0))
+                    AS HUGEINT) AS a,
+                    CAST(sum(n_events) AS BIGINT) AS n_events,
+                    CAST(least(min(t), 48) AS HUGEINT) * 1000000 AS l
+             FROM stepped),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects FROM subj)
+    SELECT CAST(48 AS BIGINT) AS tau, n_subjects, n_events,
+           CAST(a + l AS DOUBLE) / 1e6 AS rmst,
+           48.0 - CAST(a + l AS DOUBLE) / 1e6 AS rmst_lost
+    FROM area, n
+    """,
+)
+def q315_rmst(spark, sf_dir):
+    """48-hour restricted mean survival time of the q309 journey
+    frame collapsed to all-cause (first purchase-or-error = the
+    event, staggered-horizon administrative censoring): the average
+    outcome-free hours in a user's first two days — the single
+    number the KM curve collapses to for arm comparisons when
+    medians break under censoring. τ-truncated exact step-area fold
+    over q246's product-limit lanes. See
+    :func:`maston_spark.evaluation.rmst`."""
+    from maston_spark.evaluation import rmst as _rmst
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "__p0"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "__e0"
+        ),
+    )
+    hz = (F.lit(24) + (F.col("user_id") % 5) * 12).cast("long")
+    tp = (
+        F.floor(F.unix_timestamp("__p0") / 3600)
+        - F.floor(F.unix_timestamp("__t0") / 3600)
+    ).cast("long")
+    te = (
+        F.floor(F.unix_timestamp("__e0") / 3600)
+        - F.floor(F.unix_timestamp("__t0") / 3600)
+    ).cast("long")
+    s = u.select(hz.alias("__hz"), tp.alias("__tp"), te.alias("__te"))
+    p_first = F.col("__tp").isNotNull() & (
+        F.col("__te").isNull() | (F.col("__tp") <= F.col("__te"))
+    )
+    e_first = F.col("__te").isNotNull() & (
+        F.col("__tp").isNull() | (F.col("__te") < F.col("__tp"))
+    )
+    hit = (p_first & (F.col("__tp") <= F.col("__hz"))) | (
+        e_first & (F.col("__te") <= F.col("__hz"))
+    )
+    subj = s.select(
+        F.when(p_first & (F.col("__tp") <= F.col("__hz")), F.col("__tp"))
+        .when(e_first & (F.col("__te") <= F.col("__hz")), F.col("__te"))
+        .otherwise(F.col("__hz"))
+        .alias("dur"),
+        hit.cast("int").alias("evt"),
+    )
+    return _rmst(subj, "dur", "evt", tau=48)
+
+
+@query(
+    "q316_sprt_evalue",
+    oracle="""
+    WITH d AS (SELECT event_type AS "group",
+                      CASE WHEN value >= 100 THEN 1 ELSE 0 END AS y
+               FROM events WHERE value IS NOT NULL),
+    a AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS k
+          FROM d GROUP BY 1)
+    SELECT "group", n, k,
+           round(k * 0.07918124604762482
+                 + (n - k) * -0.012589127308020516, 6) AS log10_e,
+           round(k * 0.07918124604762482
+                 + (n - k) * -0.012589127308020516, 6)
+             >= 1.3010299956639813 AS e_crossed
+    FROM a ORDER BY "group"
+    """,
+)
+def q316_sprt_evalue(spark, sf_dir):
+    """Anytime-valid SPRT e-value per event type for "does this
+    event's high-value rate exceed the 12.5% design" (H1: 15%),
+    y = value ≥ 100: the peek-safe sequential readout beside the
+    fixed-n battery — the e-process can be checked after every
+    micro-batch without α inflation, and its (n, k) counter state
+    folds additively (the q314 discipline applied to inference).
+    Per-observation log₁₀ increments are embedded literals (the
+    q242 no-in-engine-libm discipline). See
+    :func:`maston_spark.evaluation.sprt_evalue`."""
+    from maston_spark.evaluation import sprt_evalue
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type", (F.col("value") >= 100).cast("int").alias("y")
+    )
+    return sprt_evalue(
+        ev, "event_type", "y", p0=0.125, p1=0.15, alpha=0.05
+    )

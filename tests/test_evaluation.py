@@ -1328,3 +1328,48 @@ def test_aalen_johansen_whole_risk_set_death_freezes_cif(spark):
     assert out[(2, 2)] == 333333333000 / 1e12
     # cause 1 frozen after t=1
     assert out[(2, 1)] == out[(1, 1)]
+
+
+def test_rmst_hand_case_truncated_step_area(spark):
+    """KM from (1,e),(2,e),(3,c),(4,e): S = 3/4, 1/2, 1/2, 0. The
+    τ-restricted area is exact step arithmetic: τ=3 → 1·1 + 0.75·1
+    + 0.5·1 = 2.25; τ=10 → 2.25 + 0.5·1 + 0·6 = 2.75 (the post-death
+    tail adds nothing); τ=1 → only the S=1 lead strip. rmst_lost
+    closes the identity rmst + rmst_lost = τ."""
+    from maston_spark.evaluation import rmst
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 0), (4, 1)], "dur long, evt int"
+    )
+    r3 = rmst(df, "dur", "evt", tau=3).collect()[0]
+    assert (r3.tau, r3.n_subjects, r3.n_events) == (3, 4, 3)
+    assert r3.rmst == 2.25 and r3.rmst_lost == 0.75
+    r10 = rmst(df, "dur", "evt", tau=10).collect()[0]
+    assert r10.rmst == 2.75 and r10.rmst_lost == 7.25
+    r1 = rmst(df, "dur", "evt", tau=1).collect()[0]
+    assert r1.rmst == 1.0 and r1.rmst_lost == 0.0
+
+
+def test_sprt_evalue_hand_case_and_fold_additivity(spark):
+    """10 observations with 6 successes under H0 p=0.5 vs H1 p=0.8:
+    log10 E = 6·log10(1.6) + 4·log10(0.4) — exact literal replay —
+    and the e-value is NOT yet past 1/α = 20 (log10 ≈ 0.633 < 1.301)
+    while 20-of-22 successes cross it. The statistic is a pure
+    function of the additive (n, k) counters, so any batch split
+    folds to the identical readout."""
+    import math
+
+    from maston_spark.evaluation import sprt_evalue
+
+    rows = [("g", 1)] * 6 + [("g", 0)] * 4 + [("h", 1)] * 20 + [("h", 0)] * 2
+    df = spark.createDataFrame(rows, "g string, y int")
+    out = {r.group: r for r in
+           sprt_evalue(df, "g", "y", p0=0.5, p1=0.8).collect()}
+    g = out["g"]
+    expect_g = round(6 * math.log10(1.6) + 4 * math.log10(0.4), 6)
+    assert (g.n, g.k, g.log10_e) == (10, 6, expect_g)
+    assert not g.e_crossed
+    h = out["h"]
+    expect_h = round(20 * math.log10(1.6) + 2 * math.log10(0.4), 6)
+    assert (h.n, h.k, h.log10_e) == (22, 20, expect_h)
+    assert h.e_crossed
