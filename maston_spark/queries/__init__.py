@@ -572,6 +572,10 @@ _PRIORITY = [
     # Ville's inequality; additive (n, k) counter state, embedded
     # log10 literals
     "q316_sprt_evalue",
+    # additive seasonal decomposition — centered-MA trend +
+    # re-centered day-of-week profile + residual, exact micro lanes,
+    # RANGE frames so gaps void the trend
+    "q317_seasonal_decompose",
     # round-15 additions:
     # PRR/ROR disproportionality screen — hypothesis-free
     # surveillance scan of the source×lang reporting table, the

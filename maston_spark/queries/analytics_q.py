@@ -7241,3 +7241,65 @@ def q316_sprt_evalue(spark, sf_dir):
     return sprt_evalue(
         ev, "event_type", "y", p0=0.125, p1=0.15, alpha=0.05
     )
+
+
+@query(
+    "q317_seasonal_decompose",
+    oracle="""
+    WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS t,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    tr AS (SELECT t, y, CAST(t % 7 AS INT) AS pos,
+                  CASE WHEN count(*) OVER
+                         (ORDER BY t RANGE BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) = 7
+                       THEN (2 * CAST(sum(y) OVER
+                              (ORDER BY t RANGE BETWEEN 3 PRECEDING
+                               AND 3 FOLLOWING) AS HUGEINT) * 1000000
+                             + 7) // 14
+                  END AS trend_m
+           FROM d),
+    det AS (SELECT *, CASE WHEN trend_m IS NOT NULL
+                           THEN CAST(y AS HUGEINT) * 1000000 - trend_m
+                      END AS det_m
+            FROM tr),
+    prof AS (SELECT pos,
+                    CASE WHEN sum(det_m) >= 0
+                         THEN (2 * sum(det_m) + count(*))
+                                // (2 * count(*))
+                         ELSE -((2 * -sum(det_m) + count(*))
+                                // (2 * count(*))) END AS s_m
+             FROM det WHERE det_m IS NOT NULL GROUP BY pos),
+    grand AS (SELECT CASE WHEN sum(s_m) >= 0
+                          THEN (2 * sum(s_m) + count(*))
+                                 // (2 * count(*))
+                          ELSE -((2 * -sum(s_m) + count(*))
+                                 // (2 * count(*))) END AS g_m
+              FROM prof)
+    SELECT det.t, det.y, det.pos,
+           CAST(trend_m AS DOUBLE) / 1e6 AS trend,
+           CAST(COALESCE(prof.s_m, 0) - grand.g_m AS DOUBLE) / 1e6
+             AS seasonal,
+           CAST(det_m - (COALESCE(prof.s_m, 0) - grand.g_m) AS DOUBLE)
+             / 1e6 AS residual
+    FROM det LEFT JOIN prof ON prof.pos = det.pos, grand
+    ORDER BY det.t
+    """,
+)
+def q317_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the daily event-count
+    series, weekly period: every day's level explained as centered
+    7-day trend + re-centered day-of-week effect + residual, all in
+    exact micro lanes — the structure-extraction lens beside the
+    seasonal-anomaly gate and the ACF/MASE measures. See
+    :func:`maston_spark.relational.seasonal_decompose`."""
+    from maston_spark.relational import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return seasonal_decompose(daily, "day", "y", period=7)

@@ -3457,3 +3457,111 @@ def fs_linkage_weights(
             ),
         ).alias("w_disagree"),
     ).orderBy("field")
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    t_col: str,
+    y_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method STL descends from; period must be ODD here) — one row per
+    bucket ``(t, y, pos, trend, seasonal, residual)`` with
+    ``y = trend + seasonal + residual`` wherever trend is defined:
+    trend is the centered ``period``-wide moving average, the
+    seasonal profile is the per-position mean of the detrended
+    series re-centered to sum ~0, residual is what's left — the
+    decomposition lens beside :func:`seasonal_anomalies`' factor
+    gate (that one flags buckets; this one explains every bucket's
+    level as structure + season + noise) and the ACF/MASE pair
+    (which *measure* seasonality; this *removes* it).
+
+    Exactness: every stage is an integer micro lane — trend =
+    ``(2·S·10⁶ + p) div 2p`` off the exact window sum S, detrended =
+    ``y·10⁶ − trend_micro``, each position's seasonal mean and the
+    re-centering grand mean close as half-away lanes over exact
+    sums, residual = exact lane subtraction; the three reported
+    doubles are single ``/1e6`` divisions. Windows are RANGE frames
+    on the bucket index, so a GAP in the series correctly voids the
+    trend (a full ``period``-bucket neighborhood is required — NULL
+    trend/residual at edges and around gaps, the textbook
+    contract).
+
+    Scale shape: the |buckets| series is the bounded-domain frame
+    (pre-aggregate raw events to buckets first — the KM/NA
+    precondition); one range-window pass, one |positions|-row
+    profile aggregation broadcast back, |buckets| result rows."""
+    if period % 2 != 1:
+        raise ValueError("seasonal_decompose: period must be odd")
+    half = period // 2
+    w = Window.orderBy(F.col("t").cast("long")).rangeBetween(-half, half)
+    base = series.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(y_col).cast("long").alias("y"),
+    ).filter(F.col("t").isNotNull() & F.col("y").isNotNull())
+    dec = "decimal(38,0)"
+    with_trend = base.select(
+        "t",
+        "y",
+        F.pmod(F.col("t"), F.lit(period)).cast("int").alias("pos"),
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            F.expr(
+                f"(2 * cast(sum(y) over "
+                f"(order by cast(t as long) range between {half} preceding"
+                f" and {half} following) as decimal(38,0)) * 1000000"
+                f" + {period}) div {2 * period}"
+            ),
+        ).alias("__trend_m"),
+    )
+    det = with_trend.withColumn(
+        "__det_m",
+        F.when(
+            F.col("__trend_m").isNotNull(),
+            F.col("y").cast(dec) * 1000000 - F.col("__trend_m"),
+        ),
+    )
+    prof = (
+        det.filter(F.col("__det_m").isNotNull())
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__k"),
+            F.sum("__det_m").alias("__sd"),
+        )
+        .select(
+            "pos",
+            F.expr(
+                "case when __sd >= 0 then (2 * __sd + __k) div (2 * __k)"
+                " else -((2 * -__sd + __k) div (2 * __k)) end"
+            ).alias("__s_m"),  # half-away lane, sign-split (div
+            # truncates toward zero only for positive operands)
+        )
+    )
+    grand = prof.agg(
+        F.count(F.lit(1)).cast("long").alias("__p"),
+        F.sum("__s_m").alias("__ss"),
+    ).select(
+        F.expr(
+            "case when __ss >= 0 then (2 * __ss + __p) div (2 * __p)"
+            " else -((2 * -__ss + __p) div (2 * __p)) end"
+        ).alias("__g_m")
+    )
+    seasoned = (
+        det.join(F.broadcast(prof), "pos", "left")
+        .join(F.broadcast(grand))
+        .withColumn(
+            "__seas_m",
+            F.coalesce(F.col("__s_m"), F.lit(0).cast(dec)) - F.col("__g_m"),
+        )
+    )
+    return seasoned.select(
+        "t",
+        "y",
+        "pos",
+        (F.col("__trend_m").cast("double") / F.lit(1e6)).alias("trend"),
+        (F.col("__seas_m").cast("double") / F.lit(1e6)).alias("seasonal"),
+        (
+            (F.col("__det_m") - F.col("__seas_m")).cast("double") / F.lit(1e6)
+        ).alias("residual"),
+    ).orderBy("t")

@@ -1959,3 +1959,45 @@ def test_fs_linkage_weights_hand_case(spark):
     assert (u.n_rows, u.n_distinct, u.u_prob) == (3, 3, 0.0)
     assert u.w_agree is None
     assert u.w_disagree == round(math.log2(0.1), 6)
+
+
+def test_seasonal_decompose_hand_case(spark):
+    """Pure period-3 signal y = [10, 20, 30, 10, 20, 30, ...]: the
+    centered 3-MA trend is exactly 20 everywhere inside the edges,
+    the seasonal profile re-centers to (-10, 0, +10), residuals are
+    exactly 0, and y = trend + seasonal + residual holds row by
+    row. Edge rows (no full window) carry NULL trend/residual but
+    still get their position's seasonal."""
+    from maston_spark.relational import seasonal_decompose
+
+    rows = [(t, [10, 20, 30][t % 3]) for t in range(9)]
+    df = spark.createDataFrame(rows, "t long, y long")
+    out = seasonal_decompose(df, "t", "y", period=3).collect()
+    assert len(out) == 9
+    inner = [r for r in out if r.trend is not None]
+    assert [r.t for r in inner] == list(range(1, 8))
+    assert all(r.trend == 20.0 for r in inner)
+    by_pos = {r.pos: r.seasonal for r in out}
+    assert by_pos == {0: -10.0, 1: 0.0, 2: 10.0}
+    assert all(r.residual == 0.0 for r in inner)
+    for r in inner:
+        assert r.y == r.trend + r.seasonal + r.residual
+    edge = [r for r in out if r.trend is None]
+    assert {r.t for r in edge} == {0, 8}
+    assert all(r.residual is None for r in edge)
+
+
+def test_seasonal_decompose_gap_voids_trend(spark):
+    """A missing bucket voids the trend for every row whose RANGE
+    window spans the gap — rows-based frames would silently treat
+    non-adjacent days as neighbors."""
+    from maston_spark.relational import seasonal_decompose
+
+    rows = [(t, 10) for t in [0, 1, 2, 3, 5, 6, 7, 8]]  # 4 missing
+    df = spark.createDataFrame(rows, "t long, y long")
+    out = {r.t: r for r in
+           seasonal_decompose(df, "t", "y", period=3).collect()}
+    assert out[1].trend == 10.0 and out[2].trend == 10.0
+    # windows centered at 3, 5 span the missing bucket 4
+    assert out[3].trend is None and out[5].trend is None
+    assert out[6].trend == 10.0
