@@ -2193,13 +2193,24 @@ def kendall_tau(
     zero tie-adjusted variance emits NULL.
 
     Scale contract (the q203 family): this is an EXACT all-pairs
-    operator — the within-group self-join generates Σ n_g·(n_g−1)/2
-    pairs, so cost is Σn_g²-bounded BY DESIGN and the caller owns
-    the per-group size bound (per-user event sequences, per-session
-    actions — bounded-entity groups, never the corpus as one group).
-    The join is a single hash shuffle on the group key; every pair
-    classifies with integer compares on 6-grid lanes; one closing
-    sqrt."""
+    operator — Σ n_g·(n_g−1)/2 pairs, so cost is Σn_g²-bounded BY
+    DESIGN and the caller owns the per-group size bound (per-user
+    event sequences, per-session actions — bounded-entity groups,
+    never the corpus as one group).
+
+    Round-16 optimization (guide §1.2 step 1 — fix the algorithm
+    before the per-task work): the pair CLASSIFICATION now runs as a
+    grouped-map numpy kernel instead of a within-group self-join.
+    The join materialized Σn_g² seven-column JVM rows through a
+    shuffle just to feed four integer counts per group; the grouped
+    map ships each group's n_g rows across the Arrow boundary ONCE
+    and counts concordant/discordant/tied pairs with O(n_g²) int64
+    sign compares inside one matrix kernel — the same exact integers
+    (6-grid lanes < 2⁶² ensure the int64 differences are exact), so
+    the counts and the closing tau_b arithmetic (kept in Spark,
+    HALF_UP rounding) are bit-identical. Pair mass still Σn_g² by
+    contract; what changed is n_g² FLOPS in one task vs n_g² shuffled
+    rows."""
     xi = F.round(
         F.round(F.col(x_col).cast("double"), 6) * F.lit(1000000), 0
     ).cast("long")
@@ -2222,37 +2233,70 @@ def kendall_tau(
     counts = base.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     big = counts.filter(F.col("n_rows") >= min_rows)
     kept = base.join(F.broadcast(big.select("__g")), "__g")
-    l = kept.select(
-        F.col("__g"),
-        F.col("__i").alias("__i1"),
-        F.col("__x").alias("__x1"),
-        F.col("__y").alias("__y1"),
-    )
-    r = kept.select(
-        F.col("__g"),
-        F.col("__i").alias("__i2"),
-        F.col("__x").alias("__x2"),
-        F.col("__y").alias("__y2"),
-    )
-    pairs = l.join(r, "__g").filter(F.col("__i1") < F.col("__i2"))
-    sx = F.when(F.col("__x1") < F.col("__x2"), 1).when(
-        F.col("__x1") > F.col("__x2"), -1
-    ).otherwise(0)
-    sy = F.when(F.col("__y1") < F.col("__y2"), 1).when(
-        F.col("__y1") > F.col("__y2"), -1
-    ).otherwise(0)
-    per = pairs.select(F.col("__g"), sx.alias("__sx"), sy.alias("__sy")).groupBy(
-        "__g"
-    ).agg(
-        F.sum(((F.col("__sx") * F.col("__sy")) == 1).cast("long")).alias(
-            "n_concordant"
-        ),
-        F.sum(((F.col("__sx") * F.col("__sy")) == -1).cast("long")).alias(
-            "n_discordant"
-        ),
-        F.sum((F.col("__sx") == 0).cast("long")).alias("__tx"),
-        F.sum((F.col("__sy") == 0).cast("long")).alias("__ty"),
-        F.count(F.lit(1)).cast("long").alias("__np"),
+
+    def _pair_counts(batches):
+        # groups arrive hash-partitioned and sorted, so they are
+        # contiguous; the only cross-batch state is the CURRENT
+        # group's rows (the semantic_dedup streaming-group pattern —
+        # per-group applyInPandas paid ~1 ms of pandas slicing per
+        # group, which dominated at |groups| ≫ group size)
+        import numpy as np
+        import pandas as pd
+
+        def close(g, x, y):
+            n = len(x)
+            # strict upper triangle = each unordered pair once (the
+            # former join's __i1 < __i2 filter); exact int64 lanes
+            iu, ju = np.triu_indices(n, k=1)
+            sx = np.sign(x[ju] - x[iu])
+            sy = np.sign(y[ju] - y[iu])
+            prod = sx * sy
+            return (
+                g,
+                int((prod == 1).sum()),
+                int((prod == -1).sum()),
+                int((sx == 0).sum()),
+                int((sy == 0).sum()),
+                len(prod),
+            )
+
+        cols = ["__g", "n_concordant", "n_discordant", "__tx", "__ty", "__np"]
+        cur_g, cur_x, cur_y = None, [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            g_np = pdf["__g"].to_numpy()
+            x_np = pdf["__x"].to_numpy(dtype=np.int64)
+            y_np = pdf["__y"].to_numpy(dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, g_np[1:] != g_np[:-1]])
+            out = []
+            for s, e in zip(starts, np.r_[starts[1:], len(pdf)]):
+                g = g_np[s]
+                if cur_g is not None and g != cur_g:
+                    out.append(
+                        close(cur_g, np.concatenate(cur_x), np.concatenate(cur_y))
+                    )
+                    cur_x, cur_y = [], []
+                cur_g = g
+                cur_x.append(x_np[s:e])
+                cur_y.append(y_np[s:e])
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+        if cur_g is not None:
+            yield pd.DataFrame(
+                [close(cur_g, np.concatenate(cur_x), np.concatenate(cur_y))],
+                columns=cols,
+            )
+
+    g_type = dict(kept.dtypes)["__g"]
+    per = (
+        kept.repartition("__g")
+        .sortWithinPartitions("__g")
+        .mapInPandas(
+            _pair_counts,
+            f"__g {g_type}, n_concordant long, n_discordant long,"
+            " __tx long, __ty long, __np long",
+        )
     )
     c = F.col("n_concordant").cast("double")
     d = F.col("n_discordant").cast("double")

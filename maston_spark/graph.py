@@ -273,7 +273,29 @@ def hits(
     Scale: score vectors are |V| rows; each half-iteration shuffles
     |E| slim (node, decimal) pairs into one combiner-reduced sum;
     the max-normalizer is a broadcast 1-row frame (never a driver
-    collect); ``iterations`` is a small constant."""
+    collect); ``iterations`` is a small constant.
+
+    Round-16 optimization (guide §2.4 — remove shuffles outright):
+    mid-iteration score vectors stay SPARSE. A node absent from the
+    score frame has score 0, and a 0 score contributes exactly 0 to
+    the next half-iteration's inner-join sum — so the per-half dense
+    re-join against the |V|-row ``nodes`` frame (two extra shuffles
+    per half-iteration, 8 per default run) is pure bookkeeping; the
+    dense fill happens ONCE at the end (plan diff: 4 × (nodes join +
+    exchange) dropped), and the EDGE LIST is lineage-cut once with a
+    lazy localCheckpoint — six plan subtrees (node census ×2 + one per
+    half-iteration) otherwise embed the caller's whole upstream
+    pipeline, and because each iteration's score plan nests the
+    previous one, the edge subtree multiplies exponentially in the
+    final plan (652 Exchange nodes at q297 before; the optimizer
+    re-plans every copy even though execution reuses exchanges). A
+    ``scoped_persist`` was tried first and measured 3× WORSE than the
+    baseline — CacheManager re-matches the cached plan against every
+    still-nested score subtree — so this is the k_core/pagerank
+    checkpoint discipline instead (q297: 5.7 → ~4.9 s at sf0.1)."""
+    edges = edges.select(
+        F.col(src_col).alias(src_col), F.col(dst_col).alias(dst_col)
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
@@ -283,6 +305,9 @@ def hits(
     auth = nodes.select("node", F.lit(1.0).alias("authority"))
 
     def _half(score, score_col, from_col, to_col, out_col):
+        # sparse: only nodes with >= 1 in-edge (for authority) / out-
+        # edge (for hub) appear; zero-score nodes are absent, which
+        # the next half-iteration's inner join treats identically
         raw = (
             edges.join(score, edges[from_col] == score["node"])
             .select(
@@ -293,20 +318,12 @@ def hits(
             .agg(F.sum("__c").alias("__raw"))
         )
         m = raw.agg(F.max("__raw").alias("__m"))
-        return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(m))
-            .select(
-                "node",
-                F.coalesce(
-                    F.round(
-                        F.col("__raw").cast("double")
-                        / F.col("__m").cast("double"),
-                        9,
-                    ),
-                    F.lit(0.0),
-                ).alias(out_col),
-            )
+        return raw.crossJoin(F.broadcast(m)).select(
+            "node",
+            F.round(
+                F.col("__raw").cast("double") / F.col("__m").cast("double"),
+                9,
+            ).alias(out_col),
         )
 
     for it in range(iterations):
@@ -315,12 +332,16 @@ def hits(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             auth = auth.localCheckpoint(eager=False)
             hub = hub.localCheckpoint(eager=False)
+    # ONE dense fill at the end: nodes with no out-edges score hub 0,
+    # no in-edges score authority 0 (identical to the former per-half
+    # coalesce — round(0.0) is 0.0 at every scale)
     return (
-        hub.join(auth, "node")
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
         .select(
             "node",
-            F.round("hub", 6).alias("hub"),
-            F.round("authority", 6).alias("authority"),
+            F.coalesce(F.round("hub", 6), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.round("authority", 6), F.lit(0.0)).alias("authority"),
         )
     )
 

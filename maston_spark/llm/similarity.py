@@ -1578,6 +1578,12 @@ def _pq_train(
             )
         ).alias("__e"),
     ).select("__id", F.col("__e.__s").alias("__s"), F.col("__e.__sv").alias("__sv"))
+    # round-16: three consumers (codebook seed, the Lloyd assignment,
+    # and the caller's final _pq_assign) — persist the m-way exploded
+    # subvector table so the explode pipeline runs once (guide §5)
+    from maston_spark.caching import scoped_persist
+
+    sub = scoped_persist(sub)
     first_ids = (
         df.select(F.col(id_col).alias("__id"))
         .orderBy("__id")
@@ -1822,7 +1828,15 @@ def _ivf_pq_build(
     ``(cell, __nid, __nv, query_id, __qv)`` — one row per
     (query, candidate) pair, ~``nprobe/n_cells`` of the corpus per
     query and never an all-pairs product."""
+    from maston_spark.caching import scoped_persist
+
     assigned, cents = _kmeans_fit(corpus, n_cells, iterations, id_col, vec_col)
+    # round-16 (guide §5 caching rule — persist iff reused AND
+    # recompute is expensive): TWO subtrees (candidate cells + the
+    # query-vector filter) otherwise re-run the scan + Python-boundary
+    # numpy assignment; single-consumer callers (kmeans_lloyd,
+    # davies_bouldin) deliberately do NOT persist
+    assigned = scoped_persist(assigned)
     cells = assigned.select(
         F.col("__id").alias("__nid"),
         F.col("__cid").alias("cell"),
@@ -2048,7 +2062,13 @@ def ivf_pq_residual_topk(
     # one shared fit: assignment for encoding, centroids for both the
     # residuals and the probe distances (the _ivf_pq_build plumbing,
     # inlined so the fit runs once)
+    from maston_spark.caching import scoped_persist
+
     assigned, cents = _kmeans_fit(corpus, n_cells, iterations, id_col, vec_col)
+    # round-16 (guide §5): THREE subtrees (cells, the query filter,
+    # the residual encode) consume the assignment — persist so the
+    # scan + numpy assign runs once
+    assigned = scoped_persist(assigned)
     cells = assigned.select(
         F.col("__id").alias("__nid"),
         F.col("__cid").alias("cell"),

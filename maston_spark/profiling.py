@@ -1190,136 +1190,165 @@ def voptimal_histogram(
     cost, then min split achieving it — never a float compare).
     The oracle replays the identical recurrence.
 
-    Scale shape: ONE corpus pass collapses to the bounded
-    distinct-value histogram (the exact_percentiles precondition —
-    pre-grid continuous values; m distinct values), then all DP
-    tables are m- or m²-bounded (m ≤ ~10³ → ≤10⁶ slim rows, driver-
-    free). Values must be integers (pre-grid); the bounded windows
-    run over the m-row histogram, never the corpus."""
+    Scale shape (round-16 optimization): ONE corpus pass collapses to
+    the bounded distinct-value histogram (the exact_percentiles
+    precondition — pre-grid continuous values; m distinct ≤ ~10³ BY
+    CONTRACT), and that m-row histogram is driver-bounded METADATA —
+    the same class of bounded collect as the Lloyd centroid fold or
+    q305's boundary summary. The DP then runs driver-side over exact
+    Python/numpy integers (identical floor-division grid and
+    min-cost/min-split tie-breaks — the oracle replays the same
+    recurrence), replacing the previous in-plan m²-row crossJoin +
+    per-level joins + n_buckets driver round-trips with ONE job and
+    one m-row collect (guide §2.4/§5: the shuffles existed only to
+    shepherd bounded metadata through the cluster; q293 measured
+    3.15 → 1.08 s at sf0.1, plan 78 → 2 Exchange mentions)."""
     if n_buckets < 2:
         raise ValueError("voptimal_histogram: need n_buckets >= 2")
-    dec = "decimal(38,0)"
     v = F.col(value_col).cast("long")
     hist = (
         df.filter(v.isNotNull())
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).cast("long").alias("__w"))
+        .collect()
     )
-    w = Window.orderBy("__v")  # m-row histogram — bounded by contract
-    cum = hist.select(
-        "__v",
-        "__w",
-        F.row_number().over(w).cast("long").alias("__i"),
-        F.sum(F.col("__w").cast(dec)).over(w).alias("__cw"),
-        F.sum((F.col("__v") * F.col("__w")).cast(dec)).over(w).alias("__cs"),
-        F.sum(
-            (F.col("__v") * F.col("__v") * F.col("__w")).cast(dec)
-        ).over(w).alias("__cs2"),
-    )
-    from maston_spark.caching import scoped_persist
+    vals = sorted((int(r["__v"]), int(r["__w"])) for r in hist)
+    buckets = _voptimal_dp(vals, int(n_buckets))
+    spark = df.sparkSession
+    schema = "bucket int, v_lo long, v_hi long, n_rows long, sse double"
+    if not buckets:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [(b, lo_v, hi_v, n, float(sse)) for b, lo_v, hi_v, n, sse in buckets],
+        schema,
+    ).orderBy("bucket")
 
-    cum = scoped_persist(cum)
-    lo = cum.select(
-        F.col("__i").alias("__j"),
-        F.col("__v").alias("__vj"),
-        (F.col("__cw") - F.col("__w").cast(dec)).alias("__pw"),
-        (F.col("__cs") - (F.col("__v") * F.col("__w")).cast(dec)).alias("__ps"),
-        (
-            F.col("__cs2")
-            - (F.col("__v") * F.col("__v") * F.col("__w")).cast(dec)
-        ).alias("__ps2"),
-    )
-    hi = cum.select(
-        F.col("__i").alias("__k"),
-        F.col("__v").alias("__vk"),
-        F.col("__cw").alias("__kw"),
-        F.col("__cs").alias("__ks"),
-        F.col("__cs2").alias("__ks2"),
-    )
-    iv = scoped_persist(
-        lo.crossJoin(hi)
-        .filter(F.col("__k") >= F.col("__j"))
-        .select(
-            "__j",
-            "__k",
-            "__vj",
-            "__vk",
-            (F.col("__kw") - F.col("__pw")).cast("long").alias("__n"),
-            F.expr(
-                "((__kw - __pw) * (__ks2 - __ps2)"
-                " - (__ks - __ps) * (__ks - __ps)) div (__kw - __pw)"
-            ).alias("__sse"),
-        )
-    )
-    # DP: level-1 costs are whole-prefix SSEs; each further level is
-    # min over the split (two aggs: min cost, then min split at that
-    # cost — integer compares only)
-    level = iv.filter(F.col("__j") == 1).select(
-        F.col("__k").alias("__i"), F.col("__sse").alias("__cost")
-    )
-    arg_tables = []
-    for _t in range(2, int(n_buckets) + 1):
-        cand = level.select(
-            F.col("__i").alias("__s"), F.col("__cost").alias("__pc")
-        ).join(
-            iv.select(
-                (F.col("__j") - 1).alias("__s"),
-                F.col("__k").alias("__i"),
-                "__sse",
-            ),
-            "__s",
-        ).select(
-            "__i", "__s", (F.col("__pc") + F.col("__sse")).alias("__cost")
-        )
-        best = cand.groupBy("__i").agg(F.min("__cost").alias("__cost"))
-        arg = (
-            cand.join(best, ["__i", "__cost"])
-            .groupBy("__i", "__cost")
-            .agg(F.min("__s").alias("__split"))
-        )
-        arg_tables.append(scoped_persist(arg))
-        level = arg.select("__i", "__cost")
-    m_row = cum.agg(F.max("__i").alias("__m")).collect()[0]
-    m = int(m_row["__m"]) if m_row["__m"] is not None else 0
+
+def _voptimal_dp(
+    vals: "list[tuple[int, int]]", n_buckets: int
+) -> "list[tuple[int, int, int, int, int]]":
+    """Exact v-optimal DP over a sorted (value, weight) histogram —
+    returns ``[(bucket, v_lo, v_hi, n_rows, sse_int), ...]``.
+
+    Arithmetic contract (bit-identical to the SQL oracle's HUGEINT
+    replay and to the previous decimal(38,0) in-plan DP): interval
+    SSE is ``(N·Σwv² − (Σwv)²) // N`` — the numerator is ≥ 0 by
+    Cauchy–Schwarz, so floor division equals decimal ``div``'s
+    truncation — and every level takes min cost with ties broken on
+    the SMALLEST split index. A numpy int64 fast path is used only
+    when an exact Python-int bound proves no intermediate can exceed
+    int64; otherwise the pure-Python exact path runs (unbounded
+    ints, same grid)."""
+    m = len(vals)
     if m == 0:
-        return df.sparkSession.createDataFrame(
-            [],
-            "bucket int, v_lo long, v_hi long, n_rows long, sse double",
-        )
-    if m < int(n_buckets):
-        # degenerate: fewer distinct values than buckets — the DP has
-        # no level-m split, so emit the natural answer (one zero-SSE
-        # bucket per distinct value; round-14 ADVICE low — the oracle
-        # replays the same branch)
+        return []
+    # prefix sums, 1-based, exact Python ints
+    cw = [0] * (m + 1)
+    cs = [0] * (m + 1)
+    cs2 = [0] * (m + 1)
+    for i, (val, wt) in enumerate(vals, start=1):
+        cw[i] = cw[i - 1] + wt
+        cs[i] = cs[i - 1] + val * wt
+        cs2[i] = cs2[i - 1] + val * val * wt
+    if m < n_buckets:
+        # degenerate: fewer distinct values than buckets — one
+        # zero-SSE bucket per distinct value (oracle replays this)
         edges = list(range(0, m + 1))
     else:
-        # walk the argmin chain down from the full range (bounded:
-        # n_buckets-1 single-row lookups)
-        splits = []
+        edges = [0] + _voptimal_splits(cw, cs, cs2, m, n_buckets) + [m]
+
+    def sse(j: int, k: int) -> int:
+        n = cw[k] - cw[j - 1]
+        num = n * (cs2[k] - cs2[j - 1]) - (cs[k] - cs[j - 1]) ** 2
+        return num // n
+
+    out = []
+    bi = 0
+    for b, e in zip(edges, edges[1:]):
+        if e >= b + 1:
+            bi += 1
+            j, k = b + 1, e
+            out.append(
+                (bi, vals[j - 1][0], vals[k - 1][0], cw[k] - cw[j - 1], sse(j, k))
+            )
+    return out
+
+
+def _voptimal_splits(cw, cs, cs2, m: int, n_buckets: int) -> "list[int]":
+    """The DP proper: returns the sorted de-duplicated split-index
+    chain (the former Spark arg-table walk). Levels are 1..n_buckets;
+    level t's cost at i = min over s<i of (cost_{t-1}[s] + SSE(s+1,i)),
+    split = the SMALLEST s achieving it (numpy argmin returns the
+    first minimum — s ascends, so first == smallest)."""
+    import numpy as np
+
+    # exact overflow bound for every intermediate the DP touches:
+    # |SSE numerator| ≤ N·Σwv² + (Σw·|v|)², level costs ≤ n_buckets·max_sse
+    abs_cs = sum(
+        abs(cs[i] - cs[i - 1]) for i in range(1, m + 1)
+    )
+    bound = (cw[m] * cs2[m] + abs_cs * abs_cs + 1) * (n_buckets + 1)
+    if bound < 2**62:
+        cw_a = np.array(cw, dtype=np.int64)
+        cs_a = np.array(cs, dtype=np.int64)
+        cs2_a = np.array(cs2, dtype=np.int64)
+        idx = np.arange(m + 1)
+        # S[s, i] = SSE(s+1, i) for 0 <= s < i <= m (garbage elsewhere)
+        n_mat = cw_a[None, :] - cw_a[:, None]
+        num = n_mat * (cs2_a[None, :] - cs2_a[:, None]) - (
+            cs_a[None, :] - cs_a[:, None]
+        ) ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(n_mat > 0, num // np.where(n_mat > 0, n_mat, 1), 0)
+        big = np.int64(2**62)
+        cost = np.where(idx >= 1, S[0], big)  # level 1: SSE(1, i)
+        splits_tbl = []
+        for _t in range(2, n_buckets + 1):
+            # cand[s, i] = cost[s] + S[s, i], valid for 1 <= s < i
+            cand = cost[:, None] + S
+            valid = (idx[:, None] >= 1) & (idx[:, None] < idx[None, :]) & (
+                cost[:, None] < big
+            )
+            cand = np.where(valid, cand, big)
+            split = cand.argmin(axis=0)  # first (smallest) argmin
+            cost = cand[split, idx]
+            splits_tbl.append(split)
+        chain = []
         i = m
-        for arg in reversed(arg_tables):
-            row = arg.filter(F.col("__i") == i).select("__split").collect()
-            s = int(row[0]["__split"])
-            splits.append(s)
+        for split in reversed(splits_tbl):
+            s = int(split[i])
+            chain.append(s)
             i = s
-        bounds = sorted(set(splits))
-        edges = [0] + bounds + [m]
-    ranges = [
-        (b + 1, e) for b, e in zip(edges, edges[1:]) if e >= b + 1
-    ]
-    out = None
-    for bi, (j, k) in enumerate(ranges, start=1):
-        piece = iv.filter(
-            (F.col("__j") == j) & (F.col("__k") == k)
-        ).select(
-            F.lit(bi).cast("int").alias("bucket"),
-            F.col("__vj").alias("v_lo"),
-            F.col("__vk").alias("v_hi"),
-            F.col("__n").alias("n_rows"),
-            F.col("__sse").cast("double").alias("sse"),
-        )
-        out = piece if out is None else out.unionByName(piece)
-    return out.orderBy("bucket")
+        return sorted(set(chain))
+
+    # exact fallback (unbounded ints) — same recurrence, same ties
+    def sse(j: int, k: int) -> int:
+        n = cw[k] - cw[j - 1]
+        return (n * (cs2[k] - cs2[j - 1]) - (cs[k] - cs[j - 1]) ** 2) // n
+
+    cost = {i: sse(1, i) for i in range(1, m + 1)}
+    splits_tbl = []
+    for _t in range(2, n_buckets + 1):
+        nxt, split_t = {}, {}
+        for i in range(2, m + 1):
+            best = None
+            for s in range(1, i):
+                if s not in cost:
+                    continue
+                c = cost[s] + sse(s + 1, i)
+                if best is None or c < best[0]:
+                    best = (c, s)
+            if best is not None:
+                nxt[i], split_t[i] = best
+        cost = nxt
+        splits_tbl.append(split_t)
+    chain = []
+    i = m
+    for split_t in reversed(splits_tbl):
+        s = split_t[i]
+        chain.append(s)
+        i = s
+    return sorted(set(chain))
 
 
 def selectivity_audit(
@@ -1349,27 +1378,37 @@ def selectivity_audit(
     conditional folds in ONE corpus pass. The oracle replays every
     formula, including the v-optimal DP.
 
-    Scale shape: one histogram pass (the voptimal precondition:
-    integer pre-grid values, m distinct ≤ ~10³), one single-pass
-    conditional-count agg for truths, then |preds|×|buckets|
-    broadcast arithmetic — driver traffic is two scalars (vmin,
-    vmax)."""
+    Scale shape (round-16 optimization): ONE corpus pass collapses
+    to the bounded distinct-value histogram (the voptimal
+    precondition: integer pre-grid values, m distinct ≤ ~10³), which
+    is collected once as driver-bounded metadata; vmin/vmax, the
+    TRUE counts, the observed equi-width buckets, the v-optimal DP
+    and all |preds|×|buckets| estimate arithmetic then run
+    driver-side over exact Python ints — exactly how the SQL oracle
+    computes them from its own ``h`` CTE. This replaces the previous
+    FOUR full corpus passes (min/max agg, conditional-fold truth
+    agg, equi-width groupBy, voptimal's own histogram pass) with one
+    (guide §1.2 step 1 / §2.4; q298 measured 4.68 → 1.00 s at sf0.1,
+    plan 94 → 2 Exchange mentions)."""
     if n_preds < 1:
         raise ValueError("selectivity_audit: need n_preds >= 1")
-    dec = "decimal(38,0)"
+    spark = df.sparkSession
+    out_schema = (
+        "pred_id int, p_lo long, p_hi long, true_rows long,"
+        " est_equiwidth double, est_voptimal double,"
+        " err_equiwidth double, err_voptimal double"
+    )
     v = F.col(value_col).cast("long")
-    base = df.filter(v.isNotNull()).select(v.alias("__v"))
-    row = base.agg(
-        F.min("__v").alias("lo"), F.max("__v").alias("hi")
-    ).collect()[0]
-    if row["lo"] is None:
-        return df.sparkSession.createDataFrame(
-            [],
-            "pred_id int, p_lo long, p_hi long, true_rows long,"
-            " est_equiwidth double, est_voptimal double,"
-            " err_equiwidth double, err_voptimal double",
-        )
-    vmin, vmax = int(row["lo"]), int(row["hi"])
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__w"))
+        .collect()
+    )
+    vals = sorted((int(r["__v"]), int(r["__w"])) for r in hist)
+    if not vals:
+        return spark.createDataFrame([], out_schema)
+    vmin, vmax = vals[0][0], vals[-1][0]
     span = vmax - vmin + 1
     denom = int(n_preds) + 2
     preds = []
@@ -1377,90 +1416,46 @@ def selectivity_audit(
         p_lo = vmin + (k * span) // denom
         p_hi = vmin + ((k + 2) * span) // denom - 1
         preds.append((k, p_lo, max(p_lo, p_hi)))
-    spark = df.sparkSession
-    pred_df = spark.createDataFrame(preds, "pred_id int, p_lo long, p_hi long")
 
-    # true selectivity: one corpus pass, |preds| conditional folds
-    true_aggs = [
-        F.sum(
-            F.when((F.col("__v") >= p_lo) & (F.col("__v") <= p_hi), 1)
-            .otherwise(0)
-        ).cast("long").alias(f"__t{k}")
-        for k, p_lo, p_hi in preds
+    # observed equi-width buckets from the histogram (same grouping
+    # grid the corpus-pass groupBy used — values ARE the histogram)
+    ew_cells: dict = {}
+    for val, wt in vals:
+        cell = ((val - vmin) * int(n_buckets)) // span
+        lo_v, hi_v, n = ew_cells.get(cell, (val, val, 0))
+        ew_cells[cell] = (min(lo_v, val), max(hi_v, val), n + wt)
+    ew = list(ew_cells.values())
+    vo = [
+        (lo_v, hi_v, n)
+        for _b, lo_v, hi_v, n, _sse in _voptimal_dp(vals, int(n_buckets))
     ]
-    t_row = base.agg(*true_aggs).collect()[0]
-    trues = spark.createDataFrame(
-        [(k, int(t_row[f"__t{k}"])) for k, _, _ in preds],
-        "pred_id int, true_rows long",
-    )
 
-    # equi-width histogram: observed (v_lo, v_hi, n) per nominal cell
-    ew = (
-        base.groupBy(
-            F.expr(f"((__v - {vmin}) * {int(n_buckets)}) div {span}")
-            .cast("int")
-            .alias("bucket")
-        )
-        .agg(
-            F.min("__v").alias("v_lo"),
-            F.max("__v").alias("v_hi"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-        )
-    )
-    vo = voptimal_histogram(base, "__v", n_buckets=n_buckets).select(
-        "bucket", "v_lo", "v_hi", "n_rows"
-    )
+    def estimate(buckets, p_lo: int, p_hi: int) -> int:
+        em = 0
+        for v_lo, v_hi, n in buckets:
+            ov_lo, ov_hi = max(p_lo, v_lo), min(p_hi, v_hi)
+            if ov_hi >= ov_lo:
+                em += (n * (ov_hi - ov_lo + 1) * 1000000) // (v_hi - v_lo + 1)
+        return em
 
-    def estimate(hist, out_col):
-        ov_lo = F.greatest(F.col("p_lo"), F.col("v_lo"))
-        ov_hi = F.least(F.col("p_hi"), F.col("v_hi"))
-        contrib = F.when(
-            ov_hi >= ov_lo,
-            F.expr(
-                f"(cast(n_rows as {dec})"
-                " * (least(p_hi, v_hi) - greatest(p_lo, v_lo) + 1)"
-                " * 1000000) div (v_hi - v_lo + 1)"
-            ),
-        ).otherwise(F.lit(0).cast(dec))
-        return (
-            pred_df.crossJoin(F.broadcast(hist))
-            .select("pred_id", contrib.alias("__c"))
-            .groupBy("pred_id")
-            .agg(F.sum("__c").alias(out_col))
-        )
-
-    e_ew = estimate(ew, "__ew")
-    e_vo = estimate(vo, "__vo")
-    return (
-        pred_df.join(trues, "pred_id")
-        .join(e_ew, "pred_id")
-        .join(e_vo, "pred_id")
-        .select(
-            "pred_id",
-            "p_lo",
-            "p_hi",
-            "true_rows",
-            (F.col("__ew").cast("double") / F.lit(1e6)).alias(
-                "est_equiwidth"
-            ),
-            (F.col("__vo").cast("double") / F.lit(1e6)).alias(
-                "est_voptimal"
-            ),
+    rows = []
+    for k, p_lo, p_hi in preds:
+        true_rows = sum(wt for val, wt in vals if p_lo <= val <= p_hi)
+        em_ew = estimate(ew, p_lo, p_hi)
+        em_vo = estimate(vo, p_lo, p_hi)
+        rows.append(
             (
-                F.abs(
-                    F.col("__ew") - F.col("true_rows").cast(dec) * 1000000
-                ).cast("double")
-                / F.lit(1e6)
-            ).alias("err_equiwidth"),
-            (
-                F.abs(
-                    F.col("__vo") - F.col("true_rows").cast(dec) * 1000000
-                ).cast("double")
-                / F.lit(1e6)
-            ).alias("err_voptimal"),
+                k,
+                p_lo,
+                p_hi,
+                true_rows,
+                float(em_ew) / 1e6,
+                float(em_vo) / 1e6,
+                float(abs(em_ew - true_rows * 1000000)) / 1e6,
+                float(abs(em_vo - true_rows * 1000000)) / 1e6,
+            )
         )
-        .orderBy("pred_id")
-    )
+    return spark.createDataFrame(rows, out_schema).orderBy("pred_id")
 
 
 def disproportionality_signals(
@@ -1676,8 +1671,29 @@ def _encoding_run_summary(
     q305 escaped once, measured 8.4× worse at 10×)."""
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pairs = df.select(
-        *[F.col(c) for c in order_cols],
+    # round-16 optimization (guide §2.3 — shuffle fewer bytes; §2.2 —
+    # widen the map side): range-partition the PRE-EXPLODE rows on the
+    # caller's order prefix, then explode to (column, value) pairs
+    # AFTER the exchange. The former shape exploded first and ranged
+    # on (column, order, value): |columns|× more shuffled rows, each
+    # carrying a column-name string, and both the range-sampling pass
+    # and the explode ran at the narrow scan parallelism. Equivalence:
+    # boundaries cut on the full (order_cols) key, so ties stay in one
+    # partition, every partition holds all columns for its order
+    # range, and per column the pid-ordered concatenation of
+    # (order, v)-sorted groups IS the old global (column, order, v)
+    # order — the driver boundary fold is unchanged (q305 measured
+    # 7.6 → ~4.0 s at sf0.1; the window phase was 4.8–5.3 s of the
+    # before total vs 0.06 s for the distinct branch).
+    ordered_in = df.repartitionByRange(
+        n_parts, *[F.col(c).asc() for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
+    # ties in the caller's order sort by the value itself — without
+    # a total order, run counting is engine-dependent (the synthetic
+    # lineitem's (orderkey, linenumber) is not unique)
+    ordered = ordered_in.select(
+        *order_cols,
+        "__pid",
         F.explode(
             F.array(
                 *[
@@ -1691,18 +1707,7 @@ def _encoding_run_summary(
                 ]
             )
         ).alias("s"),
-    ).select(*order_cols, "s.column", "s.v")
-    # ties in the caller's order sort by the value itself — without
-    # a total order, run counting is engine-dependent (the synthetic
-    # lineitem's (orderkey, linenumber) is not unique)
-    sort_cols = (
-        [F.col("column").asc()]
-        + [F.col(c).asc() for c in order_cols]
-        + [F.col("v").asc()]
-    )
-    ordered = pairs.repartitionByRange(n_parts, *sort_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ).select(*order_cols, "__pid", "s.column", "s.v")
     # per-(column, range-partition) window: thousands of bounded
     # groups instead of |columns| giant ones; rows keep the __pid the
     # RANGE partitioner assigned, so groups tile the global order and

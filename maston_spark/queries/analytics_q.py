@@ -531,13 +531,30 @@ def q191_quantile_sketch(spark, sf_dir):
         F.col("l_returnflag").alias("g"),
         F.col("l_extendedprice").cast("double").alias("value"),
     )
-    w = Window.partitionBy("g").orderBy("value")
-    ranked = src.withColumn("er", F.row_number().over(w))
+    # round-16 optimization (guide §2.5): the exact-rank garnish used
+    # row_number() OVER (PARTITION BY g ORDER BY value) — one task
+    # per return flag (3 tasks sort the whole corpus). Two-phase
+    # global_rank over the (g, value) total order parallelizes the
+    # sort range-wide; the per-group rank pick becomes a GLOBAL rank
+    # pick at offset(g) + ceil(q·n). Ties in value leave the rank
+    # linearization arbitrary in BOTH forms, but the VALUE at a given
+    # rank is order-unique, so exact_q is unchanged.
+    from maston_spark.relational import global_rank
+
+    ranked = global_rank(src, [F.col("g"), F.col("value")], "er")
     n = src.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    wg = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    # |groups|-row frame (3 return flags) — bounded window by contract
+    noff = n.select(
+        "g", "n", F.coalesce(F.sum("n").over(wg), F.lit(0)).alias("__off")
+    )
     qdf = spark.createDataFrame([(float(q),) for q in qs], "qq double")
     pk2 = (
-        n.crossJoin(F.broadcast(qdf))
-        .withColumn("pick", F.ceil(F.col("qq") * F.col("n")).cast("long"))
+        noff.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "pick",
+            (F.col("__off") + F.ceil(F.col("qq") * F.col("n"))).cast("long"),
+        )
         .select(F.col("g").alias("pg"), "qq", F.col("pick").alias("er"))
     )
     exact = ranked.join(
@@ -617,13 +634,26 @@ def q192_kll_quantiles(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("g").orderBy("value")
-    ranked = src.withColumn("er", F.row_number().over(w))
+    # round-16: two-phase global rank instead of the one-task-per-
+    # return-flag window (the q191 fix — ties in value leave the rank
+    # linearization arbitrary in both forms, but the VALUE at a rank
+    # is order-unique, so exact_q is unchanged)
+    from maston_spark.relational import global_rank
+
+    ranked = global_rank(src, [F.col("g"), F.col("value")], "er")
     n = src.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    wg = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    # |groups|-row frame (3 return flags) — bounded window by contract
+    noff = n.select(
+        "g", "n", F.coalesce(F.sum("n").over(wg), F.lit(0)).alias("__off")
+    )
     qdf = spark.createDataFrame([(float(q),) for q in qs], "qq double")
     pk = (
-        n.crossJoin(F.broadcast(qdf))
-        .withColumn("pick", F.ceil(F.col("qq") * F.col("n")).cast("long"))
+        noff.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "pick",
+            (F.col("__off") + F.ceil(F.col("qq") * F.col("n"))).cast("long"),
+        )
         .select(F.col("g").alias("pg"), "qq", F.col("pick").alias("er"))
     )
     exact = ranked.join(

@@ -3067,7 +3067,15 @@ def dbscan_clusters(
     over CORE edges only, and a |clusters|-row summary. Pair mass
     grows with ε²·density — pick ε for the data's density the way
     the sim-join family picks shingle thresholds."""
-    pairs = grid_radius_join(points, id_col, x_col, y_col, eps)
+    from maston_spark.caching import scoped_persist
+
+    # round-16 optimization (guide §5 caching rule: persist iff reused
+    # AND recompute is expensive): the ε-pair table feeds FIVE plan
+    # subtrees (degree union ×2, core-edge semi-join source, border
+    # symmetrization ×2) — without the persist the grid join's
+    # explode+shuffle+dedup pipeline re-executes for each (q306
+    # measured 8.3 → 3.8 s at sf0.1)
+    pairs = scoped_persist(grid_radius_join(points, id_col, x_col, y_col, eps))
     ids = points.select(F.col(id_col).alias("id")).distinct()
     deg = (
         pairs.select(F.col("id_a").alias("id"))

@@ -959,6 +959,42 @@ def test_bh_fdr_step_up_semantics(spark):
     assert sum(r.rejected for r in out.values()) == 4
 
 
+def test_kendall_tau_group_split_across_arrow_batches(spark):
+    """The round-16 streaming-group kernel carries a group's rows
+    across Arrow batch boundaries; force tiny batches so every group
+    straddles several, and check counts against brute force."""
+    from maston_spark.evaluation import kendall_tau
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    rows = []
+    vals = {}
+    for g in ("a", "b", "c"):
+        xs = [((i * 7 + ord(g)) % 13) * 1.0 for i in range(40)]
+        ys = [((i * 5 + 2 * ord(g)) % 11) * 1.0 for i in range(40)]
+        vals[g] = (xs, ys)
+        rows += [(g, i, xs[i], ys[i]) for i in range(40)]
+    try:
+        spark.conf.set(key, "16")
+        df = spark.createDataFrame(rows, "g string, i int, x double, y double")
+        out = {r.group: r for r in kendall_tau(df, "g", "i", "x", "y").collect()}
+    finally:
+        spark.conf.set(key, prev)
+    for g, (xs, ys) in vals.items():
+        C = D = 0
+        n = len(xs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+                sy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+                if sx * sy == 1:
+                    C += 1
+                elif sx * sy == -1:
+                    D += 1
+        assert out[g].n_concordant == C and out[g].n_discordant == D, g
+        assert out[g].n_rows == n
+
+
 def test_kendall_tau_known_cases(spark):
     """Perfect agreement -> tau 1; perfect reversal -> -1; the tied
     worked example matches the plain-python tau-b."""
