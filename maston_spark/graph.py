@@ -124,6 +124,14 @@ def triangle_stats(
         )
         .distinct()
     )
+    # round-16 note (guide §5, measured and REJECTED): deg feeds three
+    # subtrees and o two, but persisting them costs MORE than the
+    # recompute (q172 5.0 → 8.0 s A/B on one host phase): both rebuild
+    # cheaply from the persisted `e`, and Spark runs the independent
+    # count/wedge subtrees CONCURRENTLY inside the one action — a
+    # persist serializes that materialization. Persist pays only when
+    # the re-executed upstream is expensive (the `e` persist above,
+    # dbscan's grid join), not for slim derived aggregates.
     deg = (
         e.select(F.col("a").alias("x"))
         .unionAll(e.select(F.col("b").alias("x")))

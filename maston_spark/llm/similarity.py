@@ -656,7 +656,9 @@ def _semantic_cells(
     k = n_centroids
     if k is None:
         k = max(1, math.ceil(corpus.count() / target_cell_rows))
-    assigned, _ = _kmeans_fit(normed, k, iterations, "__id", "__nv")
+    assigned, _ = _kmeans_fit(
+        normed, k, iterations, "__id", "__nv", checkpoint_base=True
+    )
     return assigned.select(
         "__id", F.col("__v").alias("__vec"), F.col("__cid").alias("cell")
     )
@@ -1085,6 +1087,7 @@ def _kmeans_fit(
     iterations: int,
     id_col: str,
     vec_col: str,
+    checkpoint_base: bool = False,
 ):
     """Shared Lloyd fit (see :func:`kmeans_lloyd` for the discipline).
     Returns ``(assigned, centroids)`` — the final assignment frame
@@ -1115,6 +1118,17 @@ def _kmeans_fit(
     spark = df.sparkSession
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    # round-16 (guide §5): the fit drives one ACTION per iteration
+    # (the centroid-update collect) plus the seed collect plus every
+    # downstream consumer — when the caller's upstream is EXPENSIVE
+    # per scan (semantic_dedup's decimal-exact normalize fold), each
+    # re-ran it without this lineage cut. Opt-in: for a cheap
+    # projected parquet scan (the IVF builds, kmeans_lloyd) the
+    # checkpoint write + lost scan fusion measured strictly WORSE
+    # (q153 3.9→4.4 s, q158 5.1→5.9 s), while the normalize-heavy
+    # path measured 4.9→3.1 s (q94).
+    if checkpoint_base:
+        base = base.localCheckpoint(eager=False)
     seed = sorted(
         base.orderBy("__id").limit(k).collect(), key=lambda r: r["__id"]
     )

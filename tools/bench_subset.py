@@ -50,6 +50,16 @@ def main() -> None:
     c0 = calib()
     print(json.dumps({"calibration_start": c0}), flush=True)
 
+    # whole-set warmup pass FIRST: in bench.py every query runs inside
+    # a session already warmed by dozens of prior queries, so a subset
+    # probe that times its first query on a cold JIT systematically
+    # inflates it (measured: the fixed-work calibration loop itself
+    # reads ~2-3x slower at session start than after ~20 queries)
+    for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        gc.collect()
+
     timings = {}
     for name in names:
         spark.catalog.clearCache()
