@@ -324,6 +324,13 @@ def hits(
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__raw"))
+            # raw feeds BOTH the max-normalizer and the quotient, so
+            # each half-iteration doubled the nested score plan —
+            # 2^(2·iterations) copies of the deepest subtree by the
+            # last half (314 Exchange nodes in q297's printed plan).
+            # The lazy checkpoint makes it a leaf: linear plan growth,
+            # one execution per half instead of a ReusedExchange pair.
+            .localCheckpoint(eager=False)
         )
         m = raw.agg(F.max("__raw").alias("__m"))
         return raw.crossJoin(F.broadcast(m)).select(

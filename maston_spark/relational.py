@@ -2316,51 +2316,97 @@ def theil_sen_slope(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
     big = counts.filter(F.col("n_rows") >= min_rows)
-    # three consumers (both pair sides + the residual pass) — persist
-    # so the scan+filter+join pipeline runs once, not three times
+    # two consumers (the pair-median kernel + the residual pass) —
+    # persist so the scan+filter+join pipeline runs once
     kept = scoped_persist(base.join(F.broadcast(big.select("__g")), "__g"))
-    l = kept.select(
-        "__g",
-        F.col("__i").alias("__i1"),
-        F.col("__x").alias("__x1"),
-        F.col("__y").alias("__y1"),
-    )
-    r = kept.select(
-        "__g",
-        F.col("__i").alias("__i2"),
-        F.col("__x").alias("__x2"),
-        F.col("__y").alias("__y2"),
-    )
     # the pair's slope is the rational p/q with q NORMALIZED positive
     # (flip both signs when x decreases) so downstream residual ORDER
     # can run on exact integers; the double __s exists only as a sort
     # key and the reported value (correctly rounded from the same
-    # rational in both engines)
-    p_raw = F.col("__y2") - F.col("__y1")
-    q_raw = F.col("__x2") - F.col("__x1")
-    # two consumers (the count and the rank window) — persist the
-    # pair table so the quadratic join runs once
-    pairs = scoped_persist(
-        l.join(r, "__g")
-        .filter((F.col("__i1") < F.col("__i2")) & (F.col("__x1") != F.col("__x2")))
-        .select(
-            "__g",
-            "__i1",
-            "__i2",
-            F.when(q_raw < 0, -p_raw).otherwise(p_raw).alias("__p"),
-            F.abs(q_raw).alias("__q"),
-            (p_raw.cast("double") / q_raw.cast("double")).alias("__s"),
-        )
-    )
-    wp = Window.partitionBy("__g").orderBy("__s", "__i1", "__i2")
-    np_ = pairs.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    # rational in both engines).
+    #
+    # Round-16 optimization (guide §1.2 step 1 — the kendall_tau
+    # discipline): the Σn_g² pair mass is generated and median-picked
+    # inside a streaming numpy kernel over group-sorted rows instead
+    # of a within-group self-join + rank window that materialized
+    # 3.3M seven-column JVM rows at sf0.1. Exactness is unchanged:
+    # the 6-grid lane differences are exact int64 (|Δ| < 2³¹·10⁶),
+    # the slope is the SAME IEEE division (y2−y1)/(x2−x1) of exactly
+    # representable integers the JVM performed, the (s, i1, i2) pick
+    # order is replayed by lexsort, and the reported (p, q) rational
+    # feeds the unchanged exact-decimal intercept path below.
+    def _pair_median(batches):
+        import numpy as np
+        import pandas as pd
+
+        def close(g, ids, x, y):
+            order = np.argsort(ids, kind="mergesort")
+            ids, x, y = ids[order], x[order], y[order]
+            r, c = np.triu_indices(len(ids), k=1)  # ids[r] < ids[c]
+            valid = x[r] != x[c]
+            if not valid.any():
+                return None
+            r, c = r[valid], c[valid]
+            p_raw = y[c] - y[r]
+            q_raw = x[c] - x[r]
+            s = p_raw.astype(np.float64) / q_raw.astype(np.float64)
+            pick = np.lexsort((ids[c], ids[r], s))[(len(s) + 1) // 2 - 1]
+            neg = q_raw[pick] < 0
+            return (
+                g,
+                len(s),
+                float(s[pick]),
+                int(-p_raw[pick] if neg else p_raw[pick]),
+                int(abs(q_raw[pick])),
+            )
+
+        cols = ["__g", "n_pairs", "__slope", "__p", "__q"]
+        cur_g, cur_i, cur_x, cur_y = None, [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            g_np = pdf["__g"].to_numpy()
+            i_np = pdf["__i"].to_numpy(dtype=np.int64)
+            x_np = pdf["__x"].to_numpy(dtype=np.int64)
+            y_np = pdf["__y"].to_numpy(dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, g_np[1:] != g_np[:-1]])
+            out = []
+            for st, en in zip(starts, np.r_[starts[1:], len(pdf)]):
+                g = g_np[st]
+                if cur_g is not None and g != cur_g:
+                    row = close(
+                        cur_g,
+                        np.concatenate(cur_i),
+                        np.concatenate(cur_x),
+                        np.concatenate(cur_y),
+                    )
+                    if row is not None:
+                        out.append(row)
+                    cur_i, cur_x, cur_y = [], [], []
+                cur_g = g
+                cur_i.append(i_np[st:en])
+                cur_x.append(x_np[st:en])
+                cur_y.append(y_np[st:en])
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+        if cur_g is not None:
+            row = close(
+                cur_g,
+                np.concatenate(cur_i),
+                np.concatenate(cur_x),
+                np.concatenate(cur_y),
+            )
+            if row is not None:
+                yield pd.DataFrame([row], columns=cols)
+
+    g_type = dict(kept.dtypes)["__g"]
     med = (
-        pairs.select(
-            "__g", "__s", "__p", "__q", F.row_number().over(wp).alias("__rn")
+        kept.repartition("__g")
+        .sortWithinPartitions("__g")
+        .mapInPandas(
+            _pair_median,
+            f"__g {g_type}, n_pairs long, __slope double, __p long, __q long",
         )
-        .join(F.broadcast(np_), "__g")
-        .filter(F.col("__rn") == F.expr("(n_pairs + 1) div 2"))
-        .select("__g", "n_pairs", F.col("__s").alias("__slope"), "__p", "__q")
     )
     # intercept: type-1 median of y − (p/q)·x, ORDERED and picked in
     # the exact integer domain r_i = q·y_i − p·x_i (q > 0, so integer

@@ -1496,6 +1496,40 @@ def test_theil_sen_ignores_outlier_and_matches_plain_python(spark):
     assert r.n_pairs == m
 
 
+def test_theil_sen_group_split_across_arrow_batches(spark):
+    """The round-16 pair-median kernel carries a group's rows across
+    Arrow batch boundaries; force tiny batches and check the slope
+    median against a plain-python replay."""
+    from maston_spark.relational import theil_sen_slope
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    pts = {
+        g: [
+            (i, float((i * 7 + ord(g)) % 13), float((i * 5 + ord(g)) % 11))
+            for i in range(40)
+        ]
+        for g in ("a", "b")
+    }
+    rows = [(g, i, x, y) for g, p in pts.items() for i, x, y in p]
+    try:
+        spark.conf.set(key, "16")
+        df = spark.createDataFrame(rows, "g string, i int, x double, y double")
+        out = {r.group: r for r in theil_sen_slope(df, "g", "i", "x", "y").collect()}
+    finally:
+        spark.conf.set(key, prev)
+    for g, p in pts.items():
+        slopes = sorted(
+            ((y2 - y1) / (x2 - x1), i1, i2)
+            for (i1, x1, y1) in p
+            for (i2, x2, y2) in p
+            if i1 < i2 and x1 != x2
+        )
+        m = len(slopes)
+        assert out[g].n_pairs == m
+        assert out[g].slope == round(slopes[(m + 1) // 2 - 1][0], 6), g
+
+
 def test_theil_sen_pairless_group_emits_null_row(spark):
     """A group meeting min_rows but with ZERO x-variance (every pair
     vertical, so no pairwise slope is defined) emits
