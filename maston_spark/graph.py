@@ -427,13 +427,24 @@ def k_core(
             .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
             .localCheckpoint(eager=False)
         )
-        n_edges = pairs.count()  # bounded: one scalar per round
-        n_vertices = (
+        # round-16 (guide §2.6 — driver barriers): ONE fused agg per
+        # round replaces the former count() + distinct().count() pair
+        # (two driver actions per round = 2·rounds fleet-wide
+        # barriers); the endpoint union has exactly 2·|E| rows, so
+        # count(*) div 2 is the edge count and count(DISTINCT id) the
+        # vertex census — flagged by the round-16 sweep at 10× as a
+        # multi-second absolute mover (17.7 → 12.1 s same-phase A/B
+        # min-of-3 at 10×)
+        row = (
             pairs.select(F.col("a").alias("id"))
             .unionByName(pairs.select(F.col("b").alias("id")))
-            .distinct()
-            .count()
+            .agg(
+                (F.count(F.lit(1)) / 2).cast("long").alias("__e"),
+                F.countDistinct("id").alias("__v"),
+            )
+            .collect()[0]
         )
+        n_edges, n_vertices = int(row["__e"]), int(row["__v"])
         stats.append(
             (
                 r,
