@@ -1081,6 +1081,136 @@ def kmeans_lloyd(
     )
 
 
+# Driver-side fit bound (rows). A Lloyd fit runs on a bounded
+# training sample by contract (the full-corpus pass is the final
+# ASSIGNMENT, which stays distributed); within this bound the whole
+# seed+iterate phase is one bounded Arrow collect (~100 MB at
+# 100k x 64d), above it the distributed per-iteration path runs.
+_DRIVER_FIT_MAX_ROWS = 100_000
+
+
+def _kmeans_assign_block(X: "np.ndarray", Cb: "np.ndarray"):
+    """Exact nearest-centroid argmin over a row block — shared by the
+    distributed mapInPandas pass and the driver-side fit loop so the
+    two are bit-identical by construction. Returns (centroid row
+    indices, rounded exact distances). Per sub-block, a BLAS
+    ``‖x‖²−2xCᵀ+‖c‖²`` matrix prunes to the candidates within a
+    norm-scaled margin of the block minimum, and only those get the
+    EXACT sequential left-fold distance (same IEEE op order as
+    F.aggregate / the oracle's list_sum); ties break on centroid
+    index after rounding to 9 decimals."""
+    import numpy as np
+
+    d_dim = Cb.shape[1]
+    cn2 = (Cb * Cb).sum(axis=1)
+    # sub-block so the BLAS distance matrix stays ~32 MB
+    blk = max(1, (1 << 22) // Cb.shape[0])
+    win_c = np.empty(len(X), dtype=np.int64)
+    win_d = np.empty(len(X), dtype=np.float64)
+    for s in range(0, len(X), blk):
+        Xb = X[s : s + blk]
+        xx = (Xb * Xb).sum(axis=1)
+        D = xx[:, None] - 2.0 * (Xb @ Cb.T) + cn2[None, :]
+        m = D.min(axis=1)
+        # shortlist margin scales with the squared norms: the
+        # expansion's cancellation error is ~eps_mach x
+        # (||x||^2 + ||c||^2), so a fixed 1e-6 would under-cover
+        # large-magnitude vectors
+        marg = 1e-6 + 1e-9 * (xx + cn2.max())
+        rr, cc = np.nonzero(D <= (m + marg)[:, None])
+        acc = np.zeros(len(rr))
+        for i in range(d_dim):
+            diff = Xb[rr, i] - Cb[cc, i]
+            acc += diff * diff
+        dr = np.round(acc, 9)
+        order = np.lexsort((cc, dr, rr))
+        first = np.unique(rr[order], return_index=True)[1]
+        win_c[s : s + len(Xb)] = cc[order][first]
+        win_d[s : s + len(Xb)] = dr[order][first]
+    return win_c, win_d
+
+
+def _round9_numerators(X: "np.ndarray") -> "np.ndarray":
+    """``round(x, 9)`` for every element, as exact int64 numerators
+    (value·10⁹). Spark's round(double, 9) is ``BigDecimal.valueOf(x)
+    .setScale(9, HALF_UP)`` — HALF_UP (away from zero) on the
+    shortest round-trip decimal string. Vectorized fast path:
+    ``floor(x·10⁹ + 0.5)`` equals that whenever x·10⁹ is not within
+    the float-product error of a halfway boundary (and rounds toward
+    +∞ at exact halves, which only differs AT a boundary); elements
+    inside a generous boundary margin fall back to the exact
+    ``Decimal(repr(x))`` path (CPython repr = shortest round-trip
+    string, same HALF_UP quantize)."""
+    import numpy as np
+
+    p = X * 1e9
+    n0 = np.floor(p + 0.5)
+    # boundary margin: |x·10⁹| · 4·eps (float product + repr offset)
+    # plus an absolute floor — far wider than the true error, and the
+    # slow path is exact anyway
+    dist = np.abs((p - np.floor(p)) - 0.5)
+    tol = 1e-6 + np.abs(p) * 1e-12
+    suspicious = (dist < tol) | ~np.isfinite(p)
+    if suspicious.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q9 = Decimal("1e-9")
+        flat = n0.reshape(-1)
+        xf = X.reshape(-1)
+        for i in np.flatnonzero(suspicious.reshape(-1)):
+            flat[i] = float(
+                Decimal(repr(float(xf[i]))).quantize(
+                    q9, rounding=ROUND_HALF_UP
+                )
+                * 1_000_000_000
+            )
+    return n0.astype(np.int64)
+
+
+def _kmeans_update_exact(X: "np.ndarray", cids: "np.ndarray"):
+    """Driver-side replay of the distributed decimal-exact centroid
+    update: per (cluster, dim), ``round(sum(round(x, 9) ::
+    decimal(28,9)) :: double / n, 9)``. The decimal(28,9) sum is an
+    exact integer-numerator sum (:func:`_round9_numerators` + int64
+    reduce — overflow-guarded into Python ints); its double cast is
+    CPython's correctly-rounded int/int true division (the same
+    correctly-rounded value BigDecimal.doubleValue returns), the /n
+    is the same IEEE division, and the final round-9 replays HALF_UP
+    on the shortest round-trip string. Returns (C, sorted present
+    cluster ids) exactly as the distributed collect did."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q9 = Decimal("1e-9")
+    N = _round9_numerators(X)
+    present = sorted(int(c) for c in np.unique(cids))
+    C = np.empty((len(present), X.shape[1]), dtype=np.float64)
+    # int64 reduce is exact while n_rows·max|numerator| < 2⁶³; past
+    # that, sum in Python ints (exact, slower — contract-violating
+    # magnitudes only)
+    amax = int(np.abs(N).max()) if N.size else 0
+    safe = amax * (len(X) + 1) < (1 << 62)
+    for row, c in enumerate(present):
+        members = N[cids == c]
+        n = len(members)
+        if safe:
+            sums = members.sum(axis=0, dtype=np.int64)
+            s_ints = [int(s) for s in sums]
+        else:
+            s_ints = [int(sum(int(v) for v in members[:, j]))
+                      for j in range(N.shape[1])]
+        for j, s_int in enumerate(s_ints):
+            # decimal(38,9) → double: correctly-rounded value of the
+            # exact rational s_int/10⁹ (CPython int/int truediv is
+            # correctly rounded); then the IEEE /n and the round-9
+            m = (s_int / 1_000_000_000) / n
+            C[row, j] = float(
+                Decimal(repr(m)).quantize(q9, rounding=ROUND_HALF_UP)
+            )
+    return C, present
+
+
 def _kmeans_fit(
     df: DataFrame,
     k: int,
@@ -1112,6 +1242,21 @@ def _kmeans_fit(
     The centroid UPDATE stays a DataFrame agg — explode to
     (cluster, dim), decimal-exact mean, collect k×d back (the
     bounded centroid collect every Lloyd implementation has).
+
+    Round-17 (guide §2.6 — driver barriers; VERDICT r16 #1): the
+    training table is bounded by the operator contract (a k-means
+    fit runs on a sampled/bounded training set, never the raw
+    100 TB corpus), so the WHOLE fit — seed + the intermediate
+    assignment/update iterations — runs driver-side over ONE
+    bounded Arrow collect when the table is within
+    ``_DRIVER_FIT_MAX_ROWS``: the per-iteration fleet-wide barriers
+    (seed collect + one full assignment scan + two-shuffle decimal
+    agg + collect PER intermediate iteration) collapse to one job.
+    The final DISTRIBUTED assignment pass is unchanged (same numpy
+    kernel), and the driver update replays the distributed decimal
+    semantics exactly (:func:`_kmeans_update_exact`). Above the
+    bound the pre-round-17 distributed iteration path runs
+    unchanged — no driver OOM risk at scale.
     """
     import numpy as np
 
@@ -1129,12 +1274,6 @@ def _kmeans_fit(
     # path measured 4.9→3.1 s (q94).
     if checkpoint_base:
         base = base.localCheckpoint(eager=False)
-    seed = sorted(
-        base.orderBy("__id").limit(k).collect(), key=lambda r: r["__id"]
-    )
-    cid_list = list(range(1, len(seed) + 1))
-    C = np.array([r["__v"] for r in seed], dtype=np.float64)
-    d_dim = C.shape[1] if len(seed) else 0
     out_schema = "__id long, __v array<double>, __cid int, __d double"
 
     def assign_with(Cm: "np.ndarray", cids: list[int]):
@@ -1146,80 +1285,99 @@ def _kmeans_fit(
             Cb, cid_arr = bc.value
             if Cb.shape[0] == 0:
                 return
-            cn2 = (Cb * Cb).sum(axis=1)
-            # sub-block so the BLAS distance matrix stays ~32 MB
-            blk = max(1, (1 << 22) // Cb.shape[0])
             for pdf in it:
                 if len(pdf) == 0:
                     continue
                 X = np.array(list(pdf["__v"]), dtype=np.float64)
-                win_c = np.empty(len(X), dtype=np.int64)
-                win_d = np.empty(len(X), dtype=np.float64)
-                for s in range(0, len(X), blk):
-                    Xb = X[s : s + blk]
-                    xx = (Xb * Xb).sum(axis=1)
-                    D = xx[:, None] - 2.0 * (Xb @ Cb.T) + cn2[None, :]
-                    m = D.min(axis=1)
-                    # shortlist margin scales with the squared norms:
-                    # the expansion's cancellation error is
-                    # ~eps_mach x (||x||^2 + ||c||^2), so a fixed
-                    # 1e-6 would under-cover large-magnitude vectors
-                    marg = 1e-6 + 1e-9 * (xx + cn2.max())
-                    rr, cc = np.nonzero(D <= (m + marg)[:, None])
-                    # exact left fold, same IEEE op order as
-                    # F.aggregate / the oracle's list_sum
-                    acc = np.zeros(len(rr))
-                    for i in range(d_dim):
-                        diff = Xb[rr, i] - Cb[cc, i]
-                        acc += diff * diff
-                    dr = np.round(acc, 9)
-                    order = np.lexsort((cc, dr, rr))
-                    first = np.unique(rr[order], return_index=True)[1]
-                    win_c[s : s + len(Xb)] = cc[order][first]
-                    win_d[s : s + len(Xb)] = dr[order][first]
+                win_c, win_d = _kmeans_assign_block(X, Cb)
                 yield pdf.assign(__cid=cid_arr[win_c], __d=win_d)
 
         return base.mapInPandas(fn, out_schema)
 
-    assigned = base.mapInPandas(lambda it: iter([]), out_schema)
-    for it in range(iterations):
-        assigned = assign_with(C, cid_list)
-        if it == iterations - 1:
-            break
-        dims = assigned.select(
-            "__cid", F.posexplode("__v").alias("__dim", "__x")
+    head = base.limit(_DRIVER_FIT_MAX_ROWS + 1).toPandas()
+    fit = None
+    if 0 < len(head) <= _DRIVER_FIT_MAX_ROWS:
+        # Bounded table: whole fit driver-side in ONE job. Seed = the
+        # k smallest-id vectors (identical to the orderBy/limit seed);
+        # intermediate assignments run the SAME exact numpy kernel the
+        # distributed pass runs; updates replay the distributed
+        # decimal agg bit-for-bit (_kmeans_update_exact).
+        srt = head.sort_values("__id", kind="mergesort").head(k)
+        ids_all = head["__id"].to_numpy()
+        X_all = np.array(
+            [list(vv) for vv in head["__v"]], dtype=np.float64
         )
-        upd = (
-            dims.groupBy("__cid", "__dim")
-            .agg(
-                F.sum(F.round(F.col("__x"), 9).cast("decimal(28,9)")).alias(
-                    "__s"
-                ),
-                F.count(F.lit(1)).alias("__n"),
-            )
-            .select(
-                "__cid",
-                "__dim",
-                F.round(F.col("__s").cast("double") / F.col("__n"), 9).alias(
-                    "__m"
-                ),
-            )
+        C = np.array([list(vv) for vv in srt["__v"]], dtype=np.float64)
+        cid_list = list(range(1, len(srt) + 1))
+        for _ in range(max(0, iterations - 1)):
+            if C.shape[0] == 0:
+                break
+            idx, _d = _kmeans_assign_block(X_all, C)
+            cids_arr = np.array(cid_list, dtype=np.int64)[idx]
+            C, cid_list = _kmeans_update_exact(X_all, cids_arr)
+        if iterations <= 0:
+            assigned = base.mapInPandas(lambda it: iter([]), out_schema)
+        else:
+            assigned = assign_with(C, cid_list)
+        # driver-side fit data for callers that can push MORE bounded
+        # metadata work driver-side (probe sets, PQ training — the
+        # q293 discipline)
+        fit = (ids_all, X_all, C, list(cid_list))
+    elif len(head) == 0:
+        cid_list = []
+        C = np.zeros((0, 0), dtype=np.float64)
+        if iterations <= 0:
+            assigned = base.mapInPandas(lambda it: iter([]), out_schema)
+        else:
+            assigned = assign_with(C, cid_list)
+    else:
+        # Above the driver-fit contract bound: the distributed
+        # iteration path (one assignment scan + decimal update agg +
+        # bounded centroid collect per intermediate iteration).
+        seed = sorted(
+            base.orderBy("__id").limit(k).collect(), key=lambda r: r["__id"]
         )
-        cent_rows = sorted(
-            upd.groupBy("__cid")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("__dim"), F.col("__m")))
+        cid_list = list(range(1, len(seed) + 1))
+        C = np.array([r["__v"] for r in seed], dtype=np.float64)
+        assigned = base.mapInPandas(lambda it: iter([]), out_schema)
+        for it in range(iterations):
+            assigned = assign_with(C, cid_list)
+            if it == iterations - 1:
+                break
+            dims = assigned.select(
+                "__cid", F.posexplode("__v").alias("__dim", "__x")
+            )
+            upd = (
+                dims.groupBy("__cid", "__dim")
+                .agg(
+                    F.sum(F.round(F.col("__x"), 9).cast("decimal(28,9)")).alias(
+                        "__s"
                     ),
-                    lambda s: s["__m"],
-                ).alias("__c")
+                    F.count(F.lit(1)).alias("__n"),
+                )
+                .select(
+                    "__cid",
+                    "__dim",
+                    F.round(F.col("__s").cast("double") / F.col("__n"), 9).alias(
+                        "__m"
+                    ),
+                )
             )
-            .collect(),
-            key=lambda r: r["__cid"],
-        )
-        cid_list = [r["__cid"] for r in cent_rows]
-        C = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
+            cent_rows = sorted(
+                upd.groupBy("__cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("__dim"), F.col("__m")))
+                        ),
+                        lambda s: s["__m"],
+                    ).alias("__c")
+                )
+                .collect(),
+                key=lambda r: r["__cid"],
+            )
+            cid_list = [r["__cid"] for r in cent_rows]
+            C = np.array([r["__c"] for r in cent_rows], dtype=np.float64)
     if cid_list:
         centroids = spark.createDataFrame(
             [

@@ -1344,6 +1344,36 @@ def test_kmeans_lloyd_separates_obvious_clusters(spark):
     assert all(rows[i].sq_dist < 1.0 for i in rows)
 
 
+def test_kmeans_driver_fit_matches_distributed_fit(spark, monkeypatch):
+    """round-17: within the bounded-table contract the Lloyd fit runs
+    driver-side (seed + intermediate iterations in one Arrow collect);
+    the result must be BIT-IDENTICAL to the distributed per-iteration
+    path on adversarial full-precision doubles (the decimal update
+    replay is the risky part — see _kmeans_update_exact)."""
+    import math
+
+    import maston_spark.llm.similarity as sim
+
+    # ugly, full-precision components: irrational-ish values, exact
+    # halves, negative zeros, values near 9-dp rounding boundaries
+    vals = [
+        math.pi, -math.e, 1 / 3, 0.1 + 0.2, -0.0, 2**-30,
+        1.2345678945, -9.87654321050, 123456.000000001, 0.5e-9,
+    ]
+    pts = [
+        (i, [vals[(i + j) % len(vals)] * (1 + 0.01 * j) for j in range(4)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    a_drv, c_drv = sim._kmeans_fit(df, 3, 3, "vec_id", "embedding")
+    drv_assigned = sorted(map(tuple, a_drv.collect()))
+    drv_cent = sorted(map(tuple, c_drv.collect()))
+    monkeypatch.setattr(sim, "_DRIVER_FIT_MAX_ROWS", 0)
+    a_dst, c_dst = sim._kmeans_fit(df, 3, 3, "vec_id", "embedding")
+    assert sorted(map(tuple, a_dst.collect())) == drv_assigned
+    assert sorted(map(tuple, c_dst.collect())) == drv_cent
+
+
 def test_weighted_sample_favors_heavy_rows_deterministically(spark):
     from maston_spark.llm.sampling import weighted_sample
 
