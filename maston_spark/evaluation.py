@@ -2243,29 +2243,46 @@ def kendall_tau(
         import numpy as np
         import pandas as pd
 
-        def close(g, x, y):
+        def close(g, ids, x, y):
             n = len(x)
-            # strict upper triangle = each unordered pair once (the
-            # former join's __i1 < __i2 filter); exact int64 lanes
-            iu, ju = np.triu_indices(n, k=1)
-            sx = np.sign(x[ju] - x[iu])
-            sy = np.sign(y[ju] - y[iu])
-            prod = sx * sy
-            return (
-                g,
-                int((prod == 1).sum()),
-                int((prod == -1).sum()),
-                int((sx == 0).sum()),
-                int((sy == 0).sum()),
-                len(prod),
-            )
+            # strict upper triangle = each unordered pair once, and
+            # pairs with EQUAL ids are dropped — the former join's
+            # __i1 < __i2 filter exactly (round-17 ADVICE: positional
+            # pairing silently counted duplicate-id pairs). Exact
+            # int64 lanes; counts are integer sums, so the row-BLOCK
+            # chunking below (round-17 ADVICE: one np.triu_indices
+            # call allocated O(n²) in one shot — a contract-violating
+            # giant group hard-OOMed the worker instead of degrading)
+            # accumulates the identical totals with O(blk·n)
+            # temporaries.
+            nc = nd = tx = ty = npairs = 0
+            blk = max(1, (1 << 22) // max(1, n))
+            for i0 in range(0, max(0, n - 1), blk):
+                i1 = min(i0 + blk, n - 1)
+                cnt = n - 1 - np.arange(i0, i1)
+                iu = np.repeat(np.arange(i0, i1), cnt)
+                csum = np.concatenate(([0], np.cumsum(cnt)))
+                ju = np.arange(csum[-1]) - np.repeat(csum[:-1], cnt) + iu + 1
+                keep = ids[iu] != ids[ju]
+                if not keep.all():
+                    iu, ju = iu[keep], ju[keep]
+                sx = np.sign(x[ju] - x[iu])
+                sy = np.sign(y[ju] - y[iu])
+                prod = sx * sy
+                nc += int((prod == 1).sum())
+                nd += int((prod == -1).sum())
+                tx += int((sx == 0).sum())
+                ty += int((sy == 0).sum())
+                npairs += len(prod)
+            return (g, nc, nd, tx, ty, npairs)
 
         cols = ["__g", "n_concordant", "n_discordant", "__tx", "__ty", "__np"]
-        cur_g, cur_x, cur_y = None, [], []
+        cur_g, cur_i, cur_x, cur_y = None, [], [], []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             g_np = pdf["__g"].to_numpy()
+            i_np = pdf["__i"].to_numpy()
             x_np = pdf["__x"].to_numpy(dtype=np.int64)
             y_np = pdf["__y"].to_numpy(dtype=np.int64)
             starts = np.flatnonzero(np.r_[True, g_np[1:] != g_np[:-1]])
@@ -2274,17 +2291,30 @@ def kendall_tau(
                 g = g_np[s]
                 if cur_g is not None and g != cur_g:
                     out.append(
-                        close(cur_g, np.concatenate(cur_x), np.concatenate(cur_y))
+                        close(
+                            cur_g,
+                            np.concatenate(cur_i),
+                            np.concatenate(cur_x),
+                            np.concatenate(cur_y),
+                        )
                     )
-                    cur_x, cur_y = [], []
+                    cur_i, cur_x, cur_y = [], [], []
                 cur_g = g
+                cur_i.append(i_np[s:e])
                 cur_x.append(x_np[s:e])
                 cur_y.append(y_np[s:e])
             if out:
                 yield pd.DataFrame(out, columns=cols)
         if cur_g is not None:
             yield pd.DataFrame(
-                [close(cur_g, np.concatenate(cur_x), np.concatenate(cur_y))],
+                [
+                    close(
+                        cur_g,
+                        np.concatenate(cur_i),
+                        np.concatenate(cur_x),
+                        np.concatenate(cur_y),
+                    )
+                ],
                 columns=cols,
             )
 
@@ -2303,7 +2333,12 @@ def kendall_tau(
     vx = (F.col("__np") - F.col("__tx")).cast("double")
     vy = (F.col("__np") - F.col("__ty")).cast("double")
     return (
-        per.join(big, "__g")
+        # __np == 0 (a group with no strict-id pairs, reachable only
+        # with min_rows < 2 or all-duplicate ids) replays the former
+        # self-join exactly: no pair rows → the inner agg dropped the
+        # group (round-17 ADVICE)
+        per.filter(F.col("__np") > 0)
+        .join(big, "__g")
         .select(
             F.col("__g").alias("group"),
             "n_rows",

@@ -2265,6 +2265,13 @@ def grid_radius_join(
     )
 
 
+# Bounded-entity contract ceiling for the theil_sen pair kernel: a
+# group materializes n_g(n_g-1)/2 pair lanes inside one task, so
+# 16384 rows (~1.3e8 pairs, ~2 GB transient) is the hard bound past
+# which the kernel raises instead of OOMing (round-17 ADVICE).
+_PAIR_GROUP_MAX_ROWS = 16384
+
+
 def theil_sen_slope(
     df: DataFrame,
     group_col: str,
@@ -2340,10 +2347,23 @@ def theil_sen_slope(
         import pandas as pd
 
         def close(g, ids, x, y):
+            if len(ids) > _PAIR_GROUP_MAX_ROWS:
+                # round-17 ADVICE: the former self-join streamed the
+                # Σn_g² pair mass; the kernel materializes it — a
+                # contract-violating giant group must fail with a
+                # diagnosis, not OOM the Python worker
+                raise ValueError(
+                    "theil_sen: group "
+                    f"{g!r} has {len(ids)} rows — past the "
+                    f"{_PAIR_GROUP_MAX_ROWS}-row bounded-entity "
+                    "contract (Σn_g² pairs are materialized per group)"
+                )
             order = np.argsort(ids, kind="mergesort")
             ids, x, y = ids[order], x[order], y[order]
-            r, c = np.triu_indices(len(ids), k=1)  # ids[r] < ids[c]
-            valid = x[r] != x[c]
+            r, c = np.triu_indices(len(ids), k=1)  # ids[r] <= ids[c]
+            # equal-id pairs drop — the former join's __i1 < __i2
+            # filter exactly (round-17 ADVICE)
+            valid = (x[r] != x[c]) & (ids[r] != ids[c])
             if not valid.any():
                 return None
             r, c = r[valid], c[valid]
@@ -2408,6 +2428,11 @@ def theil_sen_slope(
             f"__g {g_type}, n_pairs long, __slope double, __p long, __q long",
         )
     )
+    # round-17 ADVICE: THREE consumers (residual join, med2, the
+    # pairless anti-join) re-executed the O(Σn_g²) kernel per action —
+    # persist the |groups|-row result so the pair mass is generated
+    # once (guide §5: tiny frame, expensive recompute)
+    med = scoped_persist(med)
     # intercept: type-1 median of y − (p/q)·x, ORDERED and picked in
     # the exact integer domain r_i = q·y_i − p·x_i (q > 0, so integer
     # order == residual order) — a float product here diverged across
