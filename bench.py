@@ -262,7 +262,18 @@ def main() -> None:
             json.dump(record, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout is still the contract
-    print(json.dumps(record))
+    # round-17 (VERDICT r16 "what's wrong" #2): the driver's r15
+    # record line failed to parse (prev_sec: null for every query in
+    # PERF_r16), so guarantee the record is the LAST stdout line and
+    # is flushed: stop the session first (log4j writes to stderr, but
+    # a JVM teardown racing a buffered stdout write is the one thing
+    # that can corrupt the line), then print exactly one JSON line.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stdout.flush()
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
