@@ -1144,6 +1144,25 @@ def _round9_numerators(X: "np.ndarray") -> "np.ndarray":
     import numpy as np
 
     p = X * 1e9
+    # past 2⁶² the int64 cast would silently wrap — take the exact
+    # Python-int path (object array; the consumers' unsafe-sum branch
+    # already handles arbitrary ints)
+    if p.size and not np.all(np.abs(p[np.isfinite(p)]) < 2.0**62):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q9 = Decimal("1e-9")
+        return np.array(
+            [
+                int(
+                    Decimal(repr(float(v))).quantize(
+                        q9, rounding=ROUND_HALF_UP
+                    )
+                    * 1_000_000_000
+                )
+                for v in X.reshape(-1)
+            ],
+            dtype=object,
+        ).reshape(X.shape)
     n0 = np.floor(p + 0.5)
     # boundary margin: |x·10⁹| · 4·eps (float product + repr offset)
     # plus an absolute floor — far wider than the true error, and the
@@ -1218,6 +1237,7 @@ def _kmeans_fit(
     id_col: str,
     vec_col: str,
     checkpoint_base: bool = False,
+    return_fit: bool = False,
 ):
     """Shared Lloyd fit (see :func:`kmeans_lloyd` for the discipline).
     Returns ``(assigned, centroids)`` — the final assignment frame
@@ -1388,6 +1408,13 @@ def _kmeans_fit(
         )
     else:
         centroids = spark.createDataFrame([], "__cid int, __c array<double>")
+    if return_fit:
+        # (ids, X, final C, final cid_list) — None above the bound or
+        # for iterations <= 0 / empty fits (callers fall back to the
+        # distributed plumbing in those cases)
+        if fit is not None and iterations >= 1 and len(cid_list) > 0:
+            return assigned, centroids, fit
+        return assigned, centroids, None
     return assigned, centroids
 
 
@@ -1825,6 +1852,172 @@ def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
+def _round9_exact_doubles(X: "np.ndarray") -> "np.ndarray":
+    """Exact elementwise replay of Spark's ``F.round(x, 9)`` on
+    doubles: ``BigDecimal.valueOf(x).setScale(9, HALF_UP)
+    .doubleValue()``. Fast path: ``floor(x·10⁹ + 0.5) / 10⁹`` — the
+    numerator is exact HALF_UP away from boundaries and the single
+    divide by the exactly representable 1e9 is correctly rounded (=
+    ``doubleValue``). Elements near a halfway boundary, non-finite,
+    or with |x·10⁹| ≥ 2⁵² (float product loses integer precision)
+    take the exact ``Decimal(repr(x))`` path; NaN/±Inf pass through
+    unchanged, as Spark's round does."""
+    import math
+
+    import numpy as np
+
+    p = X * 1e9
+    n0 = np.floor(p + 0.5)
+    dist = np.abs((p - np.floor(p)) - 0.5)
+    tol = 1e-6 + np.abs(p) * 1e-12
+    with np.errstate(invalid="ignore"):
+        suspicious = (dist < tol) | ~np.isfinite(p) | (np.abs(p) >= 2.0**52)
+    out = n0 / 1e9
+    if suspicious.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q9 = Decimal("1e-9")
+        flat = out.reshape(-1)
+        xf = X.reshape(-1)
+        for i in np.flatnonzero(suspicious.reshape(-1)):
+            v = float(xf[i])
+            if not math.isfinite(v):
+                flat[i] = v
+            else:
+                flat[i] = float(
+                    Decimal(repr(v)).quantize(q9, rounding=ROUND_HALF_UP)
+                )
+    return out
+
+
+def _fold_round9(SV: "np.ndarray", Cs: "np.ndarray") -> "np.ndarray":
+    """The EXACT rounded doubles of the sequential-fold squared
+    distance from every row of ``SV`` (n×dim) to every centroid row
+    of ``Cs`` (k'×dim) — the same IEEE op order as :func:`_pq_dist` /
+    :func:`_sq_l2` (``((0.0+d₀)+d₁)+…``), then the exact round-9
+    replay. Spark orders/compares these as doubles, so comparing the
+    returned values replays its (distance, cid) tie-breaks."""
+    import numpy as np
+
+    acc = np.zeros((len(SV), len(Cs)))
+    for j in range(SV.shape[1]):
+        diff = SV[:, j, None] - Cs[None, :, j]
+        acc += diff * diff
+    return _round9_exact_doubles(acc)
+
+
+def _pq_subvectors(X: "np.ndarray", s: int, sub_dim: int) -> "np.ndarray":
+    """Replay ``F.slice(v, s*sub_dim+1, sub_dim)`` on the collected
+    matrix (a short final block when d is not a multiple of sub_dim
+    slices identically)."""
+    return X[:, s * sub_dim : (s + 1) * sub_dim]
+
+
+def _pq_fit_usable(X: "np.ndarray", m: int, sub_dim: int, k: int) -> bool:
+    """Driver PQ replay precondition: every subspace slice non-empty
+    (an EMPTY slice diverges — Spark's posexplode of the empty
+    subvector drops that subspace from the codebook entirely) and at
+    least one seed centroid."""
+    return k >= 1 and len(X) > 0 and X.shape[1] > (m - 1) * sub_dim
+
+
+def _pq_train_exact(ids: "np.ndarray", X: "np.ndarray", m: int, sub_dim: int, k: int):
+    """Driver-side replay of :func:`_pq_train` over the bounded
+    collected corpus: seed each subspace's codebook from the k
+    smallest-id subvectors (cid 1..k in id order), one Lloyd
+    assignment under the exact fold/round-9/(distance, cid) tie
+    discipline, then the decimal(28,9)-exact mean update
+    (:func:`_kmeans_update_exact` — the same formula _pq_train's
+    DataFrame agg computes). Returns ``{s: (cids sorted asc, Cs)}``
+    with only the non-empty clusters, exactly as the distributed
+    groupBy emits."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")[: min(k, len(ids))]
+    cb = {}
+    for s in range(m):
+        SV = _pq_subvectors(X, s, sub_dim)
+        C0 = SV[order]
+        d0 = _fold_round9(SV, C0)
+        # first min = lowest row index = lowest cid (rows are in cid
+        # order 1..k) — the (__d asc, __cid asc) row_number tie-break
+        cids1 = np.argmin(d0, axis=1) + 1
+        Cs, present = _kmeans_update_exact(SV, cids1)
+        cb[s] = (np.array(present, dtype=np.int64), Cs)
+    return cb
+
+
+def _pq_encode_exact(ids: "np.ndarray", X: "np.ndarray", cb, m: int, sub_dim: int):
+    """Replay :func:`_pq_assign` driver-side: nearest codebook
+    centroid per (vector, subspace) with the exact rounded-distance /
+    cid-ascending tie-break. Returns a pandas frame
+    ``(__id, __s, __cid, __d)`` in deterministic order."""
+    import numpy as np
+    import pandas as pd
+
+    parts = []
+    for s in sorted(cb):
+        cids, Cs = cb[s]
+        SV = _pq_subvectors(X, s, sub_dim)
+        d = _fold_round9(SV, Cs)
+        j = np.argmin(d, axis=1)  # first min = smallest cid (sorted asc)
+        parts.append(
+            pd.DataFrame(
+                {
+                    "__id": ids.astype(np.int64),
+                    "__s": np.full(len(ids), s, dtype=np.int32),
+                    "__cid": cids[j].astype(np.int32),
+                    "__d": d[np.arange(len(ids)), j],
+                }
+            )
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
+def _pq_qtable_exact(Q: "np.ndarray", cb, m: int, sub_dim: int):
+    """The ADC distance table for query-vector rows ``Q`` against the
+    FULL codebook — one row per (query row, subspace, codebook cid)
+    with the exact rounded fold distance. Returns
+    ``(row_idx, __s, __cid, __qd)`` numpy columns; the caller attaches
+    its own labels (query_id / probed cell) by ``row_idx``."""
+    import numpy as np
+
+    r_parts, s_parts, c_parts, d_parts = [], [], [], []
+    for s in sorted(cb):
+        cids, Cs = cb[s]
+        SV = _pq_subvectors(Q, s, sub_dim)
+        d = _fold_round9(SV, Cs)  # (nq, k')
+        nq, kc = d.shape
+        r_parts.append(np.repeat(np.arange(nq), kc))
+        s_parts.append(np.full(nq * kc, s, dtype=np.int32))
+        c_parts.append(np.tile(cids, nq).astype(np.int32))
+        d_parts.append(d.reshape(-1))
+    return (
+        np.concatenate(r_parts),
+        np.concatenate(s_parts),
+        np.concatenate(c_parts),
+        np.concatenate(d_parts),
+    )
+
+
+def _pq_bounded_collect(df: DataFrame, id_col: str, vec_col: str):
+    """ONE bounded Arrow collect of (id, vector-as-double) — or None
+    past :data:`_DRIVER_FIT_MAX_ROWS`, in which case the caller runs
+    the distributed PQ path unchanged (no driver OOM risk at 100 TB).
+    Same discipline as the :func:`_kmeans_fit` driver fit."""
+    import numpy as np
+
+    base = df.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    head = base.limit(_DRIVER_FIT_MAX_ROWS + 1).toPandas()
+    if 0 < len(head) <= _DRIVER_FIT_MAX_ROWS:
+        ids = head["__id"].to_numpy()
+        X = np.array([list(vv) for vv in head["__v"]], dtype=np.float64)
+        return ids, X
+    return None
+
+
 def pq_codes(
     df: DataFrame,
     m: int = 8,
@@ -1851,9 +2044,24 @@ def pq_codes(
     driver loops; the corpus is scanned once per Lloyd phase, m·k
     codebook rows broadcast.
     """
-    sub, codebook = _pq_train(df, m, sub_dim, k, id_col, vec_col)
+    # round-17 (guide §1.2 step 1 — the q293 discipline, VERDICT r16):
+    # the encode corpus is bounded by the fit contract, so within the
+    # bound the whole train+assign (explode, 2 broadcast joins, 2
+    # windows, 2 decimal aggs) collapses to one bounded collect +
+    # exact driver replay; the distributed path runs unchanged past it.
+    data = _pq_bounded_collect(df, id_col, vec_col)
+    if data is not None and _pq_fit_usable(data[1], m, sub_dim, k):
+        ids, X = data
+        cb = _pq_train_exact(ids, X, m, sub_dim, k)
+        assigned = df.sparkSession.createDataFrame(
+            _pq_encode_exact(ids, X, cb, m, sub_dim),
+            "__id long, __s int, __cid int, __d double",
+        )
+    else:
+        sub, codebook = _pq_train(df, m, sub_dim, k, id_col, vec_col)
+        assigned = _pq_assign(sub, codebook)
     return (
-        _pq_assign(sub, codebook)
+        assigned
         .select(
             F.col("__id").alias(id_col),
             F.col("__s").alias("subspace"),
@@ -1889,18 +2097,48 @@ def pq_adc_topk(
     100 TB the scan reads the compact code table; the original
     vectors are never touched after encoding.
     """
-    sub, codebook = _pq_train(corpus, m, sub_dim, k, id_col, vec_col)
-    codes = _pq_assign(sub, codebook).select("__id", "__s", "__cid")
-    qtable = (
-        sub.filter(F.col("__id").isin(query_ids))
-        .join(F.broadcast(codebook), "__s")
-        .select(
-            F.col("__id").alias("query_id"),
-            "__s",
-            "__cid",
-            _pq_dist().alias("__qd"),
+    # round-17: bounded corpus → exact driver replay of train + encode
+    # + the query ADC table (see pq_codes); distributed fallback past
+    # the bound.
+    data = _pq_bounded_collect(corpus, id_col, vec_col)
+    if data is not None and _pq_fit_usable(data[1], m, sub_dim, k):
+        import numpy as np
+
+        ids, X = data
+        spark = corpus.sparkSession
+        cb = _pq_train_exact(ids, X, m, sub_dim, k)
+        codes = spark.createDataFrame(
+            _pq_encode_exact(ids, X, cb, m, sub_dim),
+            "__id long, __s int, __cid int, __d double",
+        ).select("__id", "__s", "__cid")
+        qsel = np.flatnonzero(np.isin(ids, np.asarray(query_ids)))
+        ridx, scol, ccol, dcol = _pq_qtable_exact(X[qsel], cb, m, sub_dim)
+        import pandas as pd
+
+        qtable = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": ids[qsel][ridx].astype(np.int64),
+                    "__s": scol,
+                    "__cid": ccol,
+                    "__qd": dcol,
+                }
+            ),
+            "query_id long, __s int, __cid int, __qd double",
         )
-    )
+    else:
+        sub, codebook = _pq_train(corpus, m, sub_dim, k, id_col, vec_col)
+        codes = _pq_assign(sub, codebook).select("__id", "__s", "__cid")
+        qtable = (
+            sub.filter(F.col("__id").isin(query_ids))
+            .join(F.broadcast(codebook), "__s")
+            .select(
+                F.col("__id").alias("query_id"),
+                "__s",
+                "__cid",
+                _pq_dist().alias("__qd"),
+            )
+        )
     adc = (
         codes.join(F.broadcast(qtable), ["__s", "__cid"])
         .filter(F.col("__id") != F.col("query_id"))
@@ -1984,6 +2222,38 @@ def l2_topk(
     )
 
 
+def _ivf_probes_exact(
+    ids: "np.ndarray",
+    X: "np.ndarray",
+    C: "np.ndarray",
+    cid_list: "list[int]",
+    query_ids: list[int],
+    nprobe: int,
+):
+    """Replay the IVF probe window driver-side from the fit data:
+    per query vector present in the corpus, :func:`_sq_l2` distances
+    to every final centroid (exact fold + round-9 doubles), ordered
+    by (distance, cid), first ``nprobe``. Returns
+    ``[(query_id, qv list, cell)]`` rows — the same (query_id, __qv,
+    cell) frame the qv×cents window emitted."""
+    import numpy as np
+
+    rows = []
+    if len(cid_list) == 0 or len(X) == 0:
+        return rows
+    cids = np.array(cid_list, dtype=np.int64)
+    qsel = np.flatnonzero(np.isin(ids, np.asarray(query_ids)))
+    if len(qsel) == 0:
+        return rows
+    D = _fold_round9(X[qsel], C)
+    for row, i in enumerate(qsel):
+        order = np.lexsort((cids, D[row]))[:nprobe]
+        qv = [float(x) for x in X[i]]
+        for j in order:
+            rows.append((int(ids[i]), qv, int(cids[j])))
+    return rows
+
+
 def _ivf_pq_build(
     corpus: DataFrame,
     query_ids: list[int],
@@ -1992,7 +2262,7 @@ def _ivf_pq_build(
     iterations: int,
     id_col: str,
     vec_col: str,
-) -> DataFrame:
+):
     """Shared IVF front half: Lloyd-train ``n_cells`` coarse cells
     (:func:`_kmeans_fit`), assign the corpus, probe each query's
     ``nprobe`` nearest cells against the SAME final centroids, and
@@ -2002,37 +2272,50 @@ def _ivf_pq_build(
     query and never an all-pairs product."""
     from maston_spark.caching import scoped_persist
 
-    assigned, cents = _kmeans_fit(corpus, n_cells, iterations, id_col, vec_col)
-    # round-16 (guide §5 caching rule — persist iff reused AND
-    # recompute is expensive): TWO subtrees (candidate cells + the
-    # query-vector filter) otherwise re-run the scan + Python-boundary
-    # numpy assignment; single-consumer callers (kmeans_lloyd,
-    # davies_bouldin) deliberately do NOT persist
-    assigned = scoped_persist(assigned)
+    assigned, cents, fit = _kmeans_fit(
+        corpus, n_cells, iterations, id_col, vec_col, return_fit=True
+    )
+    if fit is not None:
+        # round-17 (q293 discipline): the probe set is pure fit
+        # metadata — replay the _sq_l2 window driver-side, leaving
+        # ONE consumer of `assigned` (the cells projection), so the
+        # whole front half is a single corpus scan and no persist.
+        ids_all, X_all, C, cid_list = fit
+        probes = corpus.sparkSession.createDataFrame(
+            _ivf_probes_exact(ids_all, X_all, C, cid_list, query_ids, nprobe),
+            "query_id long, __qv array<double>, cell int",
+        )
+    else:
+        # round-16 (guide §5 caching rule — persist iff reused AND
+        # recompute is expensive): TWO subtrees (candidate cells + the
+        # query-vector filter) otherwise re-run the scan +
+        # Python-boundary numpy assignment
+        assigned = scoped_persist(assigned)
+        qv = assigned.filter(F.col("__id").isin(query_ids)).select(
+            F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("__pd").asc(), F.col("__cid").asc()
+        )
+        probes = (
+            qv.join(F.broadcast(cents))
+            .select(
+                "query_id", "__qv", "__cid",
+                _sq_l2(F.col("__qv"), F.col("__c")).alias("__pd"),
+            )
+            .withColumn("__prn", F.row_number().over(wp))
+            .filter(F.col("__prn") <= nprobe)
+            .select("query_id", "__qv", F.col("__cid").alias("cell"))
+        )
     cells = assigned.select(
         F.col("__id").alias("__nid"),
         F.col("__cid").alias("cell"),
         F.col("__v").alias("__nv"),
     )
-    qv = assigned.filter(F.col("__id").isin(query_ids)).select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("__pd").asc(), F.col("__cid").asc()
-    )
-    probes = (
-        qv.join(F.broadcast(cents))
-        .select(
-            "query_id", "__qv", "__cid",
-            _sq_l2(F.col("__qv"), F.col("__c")).alias("__pd"),
-        )
-        .withColumn("__prn", F.row_number().over(wp))
-        .filter(F.col("__prn") <= nprobe)
-        .select("query_id", "__qv", F.col("__cid").alias("cell"))
-    )
-    return cells.join(F.broadcast(probes), "cell").filter(
+    cand = cells.join(F.broadcast(probes), "cell").filter(
         F.col("__nid") != F.col("query_id")
     )
+    return cand, fit
 
 
 def ivf_pq_topk(
@@ -2070,11 +2353,13 @@ def ivf_pq_topk(
     end-to-end (decimal-exact sums, (distance, id) tie-breaks), so a
     SQL oracle replays it bit-for-bit.
     """
-    cand = _ivf_pq_build(
+    cand, fit = _ivf_pq_build(
         corpus, query_ids, n_cells, nprobe, iterations, id_col, vec_col
-    ).select("query_id", "__nid", "cell")
+    )
     return _ivf_pq_adc(
-        cand, corpus, query_ids, k_neighbors, m, sub_dim, k, id_col, vec_col
+        cand.select("query_id", "__nid", "cell"),
+        corpus, query_ids, k_neighbors, m, sub_dim, k, id_col, vec_col,
+        fit=fit,
     )
 
 
@@ -2088,23 +2373,57 @@ def _ivf_pq_adc(
     k: int,
     id_col: str,
     vec_col: str,
+    fit=None,
 ) -> DataFrame:
     """ADC-scoring back half of IVF-PQ over a prebuilt candidate
     frame (query_id, __nid, cell) — factored out so harnesses that
     already ran :func:`_ivf_pq_build` (e.g. :func:`ivf_pq_recall`)
-    score its candidates without re-training the coarse cells."""
-    sub, codebook = _pq_train(corpus, m, sub_dim, k, id_col, vec_col)
-    codes = _pq_assign(sub, codebook).select(
-        F.col("__id").alias("__nid"), "__s", "__cid"
-    )
-    qtable = (
-        sub.filter(F.col("__id").isin(query_ids))
-        .join(F.broadcast(codebook), "__s")
-        .select(
-            F.col("__id").alias("query_id"), "__s", "__cid",
-            _pq_dist().alias("__qd"),
+    score its candidates without re-training the coarse cells.
+
+    With the coarse fit's bounded collect in hand (``fit`` — round
+    17), the PQ train/encode/query-table all replay exactly
+    driver-side (see :func:`pq_codes`) and ship as broadcast local
+    relations: the SECOND corpus scan, the m-way explode, two
+    windows and two decimal aggs disappear from the plan."""
+    if fit is not None and _pq_fit_usable(fit[1], m, sub_dim, k):
+        import numpy as np
+        import pandas as pd
+
+        ids_all, X_all = fit[0], fit[1]
+        spark = corpus.sparkSession
+        cb = _pq_train_exact(ids_all, X_all, m, sub_dim, k)
+        codes = F.broadcast(
+            spark.createDataFrame(
+                _pq_encode_exact(ids_all, X_all, cb, m, sub_dim),
+                "__id long, __s int, __cid int, __d double",
+            ).select(F.col("__id").alias("__nid"), "__s", "__cid")
         )
-    )
+        qsel = np.flatnonzero(np.isin(ids_all, np.asarray(query_ids)))
+        ridx, scol, ccol, dcol = _pq_qtable_exact(X_all[qsel], cb, m, sub_dim)
+        qtable = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": ids_all[qsel][ridx].astype(np.int64),
+                    "__s": scol,
+                    "__cid": ccol,
+                    "__qd": dcol,
+                }
+            ),
+            "query_id long, __s int, __cid int, __qd double",
+        )
+    else:
+        sub, codebook = _pq_train(corpus, m, sub_dim, k, id_col, vec_col)
+        codes = _pq_assign(sub, codebook).select(
+            F.col("__id").alias("__nid"), "__s", "__cid"
+        )
+        qtable = (
+            sub.filter(F.col("__id").isin(query_ids))
+            .join(F.broadcast(codebook), "__s")
+            .select(
+                F.col("__id").alias("query_id"), "__s", "__cid",
+                _pq_dist().alias("__qd"),
+            )
+        )
     adc = (
         cand.join(codes, "__nid")
         .join(F.broadcast(qtable), ["query_id", "__s", "__cid"])
@@ -2159,9 +2478,16 @@ def ivf_pq_recall(
     exact = l2_topk(
         corpus, query_ids, k=k_neighbors, id_col=id_col, vec_col=vec_col
     )
-    cand = _ivf_pq_build(
+    cand, fit = _ivf_pq_build(
         corpus, query_ids, n_cells, nprobe, iterations, id_col, vec_col
     )
+    if fit is not None:
+        # fit path leaves `assigned` unpersisted (single consumer in
+        # the build); here cand feeds TWO subtrees (flat + ADC), so
+        # persist the candidate frame instead (guide §5)
+        from maston_spark.caching import scoped_persist
+
+        cand = scoped_persist(cand)
     wf = Window.partitionBy("query_id").orderBy(
         F.col("__fd").asc(), F.col("__nid").asc()
     )
@@ -2176,6 +2502,7 @@ def ivf_pq_recall(
     pq = _ivf_pq_adc(
         cand.select("query_id", "__nid", "cell"),
         corpus, query_ids, k_neighbors, m, sub_dim, k, id_col, vec_col,
+        fit=fit,
     ).select("query_id", "neighbor_id", F.lit(1).alias("__p"))
     j = (
         exact.select("query_id", "neighbor_id")
@@ -2236,82 +2563,154 @@ def ivf_pq_residual_topk(
     # inlined so the fit runs once)
     from maston_spark.caching import scoped_persist
 
-    assigned, cents = _kmeans_fit(corpus, n_cells, iterations, id_col, vec_col)
-    # round-16 (guide §5): THREE subtrees (cells, the query filter,
-    # the residual encode) consume the assignment — persist so the
-    # scan + numpy assign runs once
-    assigned = scoped_persist(assigned)
-    cells = assigned.select(
-        F.col("__id").alias("__nid"),
-        F.col("__cid").alias("cell"),
+    assigned, cents, fit = _kmeans_fit(
+        corpus, n_cells, iterations, id_col, vec_col, return_fit=True
     )
-    qv = assigned.filter(F.col("__id").isin(query_ids)).select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("__pd").asc(), F.col("__cid").asc()
-    )
-    probes = (
-        qv.join(F.broadcast(cents))
-        .select(
-            "query_id", "__qv", "__cid",
-            _sq_l2(F.col("__qv"), F.col("__c")).alias("__pd"),
+    if fit is not None and _pq_fit_usable(fit[1], m, sub_dim, k):
+        # round-17 (q293 discipline): residual encoding is pure fit
+        # metadata within the bounded-collect contract — the final
+        # assignment replays the SAME numpy kernel the distributed
+        # pass runs, residuals are the same elementwise IEEE
+        # subtraction zip_with performs, and the PQ train/encode/
+        # per-(query, cell) ADC tables replay exactly driver-side
+        # (see pq_codes). The plan keeps ONE corpus scan (the
+        # distributed assignment feeding `cells`); the residual join,
+        # the second corpus scan, the m-way explodes and the train
+        # windows/aggs all disappear.
+        import numpy as np
+        import pandas as pd
+
+        ids_all, X_all, C, cid_list = fit
+        spark = corpus.sparkSession
+        idx, _d = _kmeans_assign_block(X_all, C)
+        Rall = X_all - C[idx]
+        cb = _pq_train_exact(ids_all, Rall, m, sub_dim, k)
+        codes = F.broadcast(
+            spark.createDataFrame(
+                _pq_encode_exact(ids_all, Rall, cb, m, sub_dim),
+                "__id long, __s int, __cid int, __d double",
+            ).select(F.col("__id").alias("__nid"), "__s", "__cid")
         )
-        .withColumn("__prn", F.row_number().over(wp))
-        .filter(F.col("__prn") <= nprobe)
-        .select("query_id", "__qv", F.col("__cid").alias("cell"))
-    )
-    build = cells.join(F.broadcast(probes), "cell").filter(
-        F.col("__nid") != F.col("query_id")
-    )
-    residual = F.zip_with(
-        F.col("__v"), F.col("__c"), lambda x, y: x - y
-    )  # plain IEEE subtraction — bit-identical cross-engine
-    res = assigned.join(F.broadcast(cents), "__cid").select(
-        F.col("__id").alias("rid"), residual.alias("rv")
-    )
-    sub, codebook = _pq_train(res, m, sub_dim, k, "rid", "rv")
-    codes = _pq_assign(sub, codebook).select(
-        F.col("__id").alias("__nid"), "__s", "__cid"
-    )
-    # per-(query, probed cell) residual → nprobe ADC tables per query
-    qres = (
-        probes.select("query_id", "cell", "__qv")
-        .join(
-            F.broadcast(cents.select(F.col("__cid").alias("cell"), "__c")),
-            "cell",
+        probe_rows = _ivf_probes_exact(
+            ids_all, X_all, C, cid_list, query_ids, nprobe
         )
-        .select(
+        probes = spark.createDataFrame(
+            [(q, c) for q, _qv, c in probe_rows],
+            "query_id long, cell int",
+        )
+        # per-(query, probed cell) residual ADC tables
+        row_of_id = {int(i): r for r, i in enumerate(ids_all)}
+        row_of_cid = {int(c): r for r, c in enumerate(cid_list)}
+        if probe_rows:
+            Q = np.array(
+                [
+                    X_all[row_of_id[q]] - C[row_of_cid[c]]
+                    for q, _qv, c in probe_rows
+                ],
+                dtype=np.float64,
+            )
+        else:
+            Q = np.zeros((0, X_all.shape[1]), dtype=np.float64)
+        ridx, scol, ccol, dcol = _pq_qtable_exact(Q, cb, m, sub_dim)
+        lab_q = np.array([q for q, _qv, c in probe_rows], dtype=np.int64)
+        lab_c = np.array([c for q, _qv, c in probe_rows], dtype=np.int64)
+        qtable = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": lab_q[ridx] if len(ridx) else lab_q[:0],
+                    "cell": (lab_c[ridx] if len(ridx) else lab_c[:0]).astype(
+                        np.int32
+                    ),
+                    "__s": scol,
+                    "__cid": ccol,
+                    "__qd": dcol,
+                }
+            ),
+            "query_id long, cell int, __s int, __cid int, __qd double",
+        )
+        cells = assigned.select(
+            F.col("__id").alias("__nid"),
+            F.col("__cid").alias("cell"),
+        )
+        build = cells.join(F.broadcast(probes), "cell").filter(
+            F.col("__nid") != F.col("query_id")
+        )
+    else:
+        # round-16 (guide §5): THREE subtrees (cells, the query filter,
+        # the residual encode) consume the assignment — persist so the
+        # scan + numpy assign runs once
+        assigned = scoped_persist(assigned)
+        cells = assigned.select(
+            F.col("__id").alias("__nid"),
+            F.col("__cid").alias("cell"),
+        )
+        qv = assigned.filter(F.col("__id").isin(query_ids)).select(
+            F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("__pd").asc(), F.col("__cid").asc()
+        )
+        probes = (
+            qv.join(F.broadcast(cents))
+            .select(
+                "query_id", "__qv", "__cid",
+                _sq_l2(F.col("__qv"), F.col("__c")).alias("__pd"),
+            )
+            .withColumn("__prn", F.row_number().over(wp))
+            .filter(F.col("__prn") <= nprobe)
+            .select("query_id", "__qv", F.col("__cid").alias("cell"))
+        )
+        build = cells.join(F.broadcast(probes), "cell").filter(
+            F.col("__nid") != F.col("query_id")
+        )
+        residual = F.zip_with(
+            F.col("__v"), F.col("__c"), lambda x, y: x - y
+        )  # plain IEEE subtraction — bit-identical cross-engine
+        res = assigned.join(F.broadcast(cents), "__cid").select(
+            F.col("__id").alias("rid"), residual.alias("rv")
+        )
+        sub, codebook = _pq_train(res, m, sub_dim, k, "rid", "rv")
+        codes = _pq_assign(sub, codebook).select(
+            F.col("__id").alias("__nid"), "__s", "__cid"
+        )
+        # per-(query, probed cell) residual → nprobe ADC tables per query
+        qres = (
+            probes.select("query_id", "cell", "__qv")
+            .join(
+                F.broadcast(cents.select(F.col("__cid").alias("cell"), "__c")),
+                "cell",
+            )
+            .select(
+                "query_id",
+                "cell",
+                F.zip_with(F.col("__qv"), F.col("__c"), lambda x, y: x - y).alias(
+                    "__rq"
+                ),
+            )
+        )
+        qsub = qres.select(
             "query_id",
             "cell",
-            F.zip_with(F.col("__qv"), F.col("__c"), lambda x, y: x - y).alias(
-                "__rq"
-            ),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("__s"),
+                            F.slice(F.col("__rq"), s * sub_dim + 1, sub_dim).alias(
+                                "__sv"
+                            ),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("__e"),
+        ).select(
+            "query_id", "cell",
+            F.col("__e.__s").alias("__s"), F.col("__e.__sv").alias("__sv"),
         )
-    )
-    qsub = qres.select(
-        "query_id",
-        "cell",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("__s"),
-                        F.slice(F.col("__rq"), s * sub_dim + 1, sub_dim).alias(
-                            "__sv"
-                        ),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("__e"),
-    ).select(
-        "query_id", "cell",
-        F.col("__e.__s").alias("__s"), F.col("__e.__sv").alias("__sv"),
-    )
-    qtable = qsub.join(F.broadcast(codebook), "__s").select(
-        "query_id", "cell", "__s", "__cid", _pq_dist().alias("__qd")
-    )
+        qtable = qsub.join(F.broadcast(codebook), "__s").select(
+            "query_id", "cell", "__s", "__cid", _pq_dist().alias("__qd")
+        )
     adc = (
         build.select("query_id", "__nid", "cell")
         .join(codes, "__nid")

@@ -1374,6 +1374,78 @@ def test_kmeans_driver_fit_matches_distributed_fit(spark, monkeypatch):
     assert sorted(map(tuple, c_dst.collect())) == drv_cent
 
 
+def test_pq_driver_paths_match_distributed(spark, monkeypatch):
+    """round-17: within the bounded-collect contract the PQ train /
+    encode / ADC tables (and the IVF probe window) replay driver-side;
+    every consumer must be BIT-IDENTICAL to the distributed path on
+    adversarial full-precision doubles — the round-9 HALF_UP replay,
+    the decimal(28,9) mean replay and the (distance, cid) tie-breaks
+    are the risky parts."""
+    import math
+
+    import maston_spark.llm.similarity as sim
+
+    vals = [
+        math.pi, -math.e, 1 / 3, 0.1 + 0.2, -0.0, 2**-30,
+        1.2345678945, -9.87654321050, 123456.000000001, 0.5e-9,
+        7.0710678118654755, -0.3333333333499999,
+    ]
+    pts = [
+        (i, [vals[(i + j) % len(vals)] * (1 + 0.01 * j) for j in range(8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    queries = [0, 3, 7]
+
+    def run_all():
+        return {
+            "codes": sorted(
+                map(tuple, sim.pq_codes(df, m=2, sub_dim=4, k=3).collect())
+            ),
+            "adc": sorted(
+                map(
+                    tuple,
+                    sim.pq_adc_topk(
+                        df, queries, k_neighbors=2, m=2, sub_dim=4, k=3
+                    ).collect(),
+                )
+            ),
+            "ivf": sorted(
+                map(
+                    tuple,
+                    sim.ivf_pq_topk(
+                        df, queries, k_neighbors=2, n_cells=3, nprobe=2,
+                        iterations=2, m=2, sub_dim=4, k=3,
+                    ).collect(),
+                )
+            ),
+            "res": sorted(
+                map(
+                    tuple,
+                    sim.ivf_pq_residual_topk(
+                        df, queries, k_neighbors=2, n_cells=3, nprobe=2,
+                        iterations=2, m=2, sub_dim=4, k=3,
+                    ).collect(),
+                )
+            ),
+            "recall": sorted(
+                map(
+                    tuple,
+                    sim.ivf_pq_recall(
+                        df, queries, k_neighbors=2, n_cells=3, nprobe=2,
+                        iterations=2, m=2, sub_dim=4, k=3,
+                    ).collect(),
+                )
+            ),
+        }
+
+    drv = run_all()
+    monkeypatch.setattr(sim, "_DRIVER_FIT_MAX_ROWS", 0)
+    dst = run_all()
+    for key in drv:
+        assert drv[key] == dst[key], key
+
+
 def test_weighted_sample_favors_heavy_rows_deterministically(spark):
     from maston_spark.llm.sampling import weighted_sample
 
