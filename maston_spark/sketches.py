@@ -449,6 +449,30 @@ def mg_heavy_hitters(
     )
 
 
+def _md5_lane_sign_totals(m, n_lanes: int) -> list:
+    """The EXACT ±1 sign lane totals ``t_l = Σ_rows sign_l`` under the
+    md5-hex-17.. convention, as aggregate Columns — computed from
+    integer bit tests instead of one string substring+compare per
+    (lane, row). Hex digit ``17+l`` is ≥ '8' exactly when the top bit
+    of its nibble is set (digits 0-7 < '8' < '8'..'9','a'..'f' in
+    lowercase hex), so ``t_l = 2·Σ bit_l − n_rows`` over the conv'd
+    32-bit halves of the digest — the same integers, ~2× the agg
+    throughput at 16 lanes (round-17, guide §1.2 step 2). A NULL hash
+    contributes −1 in both formulations: the null bit is skipped by
+    ``sum`` while ``count(1)`` still counts the row, matching the
+    ``when(...).otherwise(-1)`` null path."""
+    h1 = F.conv(F.substring(m, 17, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 25, 8), 16, 10).cast("long")
+    out = []
+    for l in range(n_lanes):
+        h = h1 if l < 8 else h2
+        bit = F.shiftrightunsigned(h, 31 - 4 * (l % 8)).bitwiseAND(F.lit(1))
+        out.append(
+            (F.lit(2) * F.sum(bit) - F.count(F.lit(1))).cast("long")
+        )
+    return out
+
+
 def ams_f2(df: DataFrame, item_col: str, n_lanes: int = 16) -> DataFrame:
     """AMS second-moment (F₂) sketch (Alon-Matias-Szegedy 1996): one
     row ``(n_rows, f2_exact, f2_est, rel_err)`` where ``f2_est``
@@ -474,14 +498,8 @@ def ams_f2(df: DataFrame, item_col: str, n_lanes: int = 16) -> DataFrame:
         raise ValueError("ams_f2 derives lanes from 16 hex digits; n_lanes <= 16")
     m = F.md5(F.concat(F.lit("f2:"), F.col(item_col).cast("string")))
     lane_sums = [
-        F.sum(
-            F.when(F.substring(m, 17 + l, 1) >= "8", F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        )
-        .cast("long")
-        .alias(f"__t{l}")
-        for l in range(n_lanes)
+        t.alias(f"__t{l}")
+        for l, t in enumerate(_md5_lane_sign_totals(m, n_lanes))
     ]
     lanes = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *lane_sums)
     est = lanes.select(
@@ -1221,12 +1239,10 @@ def ams_lane_totals(
     if n_lanes > 16:
         raise ValueError("ams lane totals come from 16 hex digits")
     m = F.md5(F.col(key_col).cast("string"))
-    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
-    for l in range(n_lanes):
-        sign = F.when(
-            F.substring(m, 17 + l, 1) >= "8", F.lit(1)
-        ).otherwise(F.lit(-1))
-        aggs.append(F.sum(sign).cast("long").alias(f"t{l}"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        t.alias(f"t{l}")
+        for l, t in enumerate(_md5_lane_sign_totals(m, n_lanes))
+    ]
     return (
         df.filter(F.col(key_col).isNotNull())
         .agg(*aggs)
