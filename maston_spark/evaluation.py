@@ -2140,18 +2140,29 @@ def bh_fdr(
     base = df.filter(F.col(lane_col).isNotNull()).select(
         F.col(id_col), F.col(lane_col).cast("long").alias("__lane")
     )
-    ranked = global_rank(
-        base, [F.col("__lane"), F.col(id_col)], rank_col="__rk"
+    # round-17 (guide §1.2 — don't compute things twice): m is known
+    # from global_rank's phase-2 counts action, so the old
+    # ranked.agg(count) subtree (a full re-execution of the rank
+    # kernel) and its broadcast join disappear; the ranked frame is
+    # persisted because BOTH the k* aggregate and the final projection
+    # consume it (guide §5: tiny frame, expensive recompute).
+    from maston_spark.caching import scoped_persist
+
+    ranked, total = global_rank(
+        base, [F.col("__lane"), F.col(id_col)], rank_col="__rk",
+        return_total=True,
     )
-    m = ranked.agg(F.count(F.lit(1)).cast("long").alias("__m"))
     dec = "decimal(38,0)"
-    j = ranked.join(F.broadcast(m))
+    m_lit = F.lit(int(total)).cast("long")
     passes = (
-        F.col("__lane").cast(dec) * F.lit(alpha_den).cast(dec) * F.col("__m").cast(dec)
+        F.col("__lane").cast(dec) * F.lit(alpha_den).cast(dec) * m_lit.cast(dec)
         <= F.col("__rk").cast(dec) * F.lit(alpha_num).cast(dec) * F.lit(4294967296).cast(dec)
     )
-    flagged = j.select(
-        F.col(id_col), "__lane", "__rk", "__m", passes.alias("__ok")
+    flagged = scoped_persist(
+        ranked.select(
+            F.col(id_col), "__lane", "__rk", m_lit.alias("__m"),
+            passes.alias("__ok"),
+        )
     )
     kstar = flagged.agg(
         F.coalesce(

@@ -282,7 +282,8 @@ def global_rank(
     order_by: Sequence[Column],
     rank_col: str = "rank",
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Global 1-based row_number over an UNBOUNDED domain without the
     single-task window. The naive formulation —
     ``row_number() OVER (ORDER BY ...)`` with no partition — pulls
@@ -349,7 +350,13 @@ def global_rank(
             run += n
             yield out
 
-    return ordered.mapInPandas(number, out_schema)
+    ranked = ordered.mapInPandas(number, out_schema)
+    if return_total:
+        # the total row count is already known from the phase-2
+        # counts action — callers needing m (q264's BH compare) skip
+        # a whole re-execution of the rank pass (round-17, guide §1.2)
+        return ranked, acc
+    return ranked
 
 
 def weighted_percentiles(
