@@ -1925,21 +1925,71 @@ def bloom_pruned_join(
         dim_hash_col = F.col(dim_key).cast(common)
 
     dk = dim_hash_col.cast("string")
-    pos = dim.filter(dk.isNotNull()).select(
-        F.explode(
-            F.array(*[_bloom_position(dk, i, m) for i in range(n_hashes)])
-        ).alias("pos")
-    )
-    bitmap = fold_positions_bitmap(pos, m)
-    probed = bloom_probe(
-        fact.filter(F.col(fact_key).isNotNull()),
-        bitmap,
-        text=fact_hash_col.cast("string"),
-        m=m,
-        n_hashes=n_hashes,
-        out_col="__bloom_hit",
-        normalize=False,
-    )
+    fk = fact_hash_col.cast("string")
+    fact_nn = fact.filter(F.col(fact_key).isNotNull())
+    if m // 8 <= (4 << 20):
+        # round-17 (guide §4.1 — eliminate the Python boundary; §1.2
+        # step 2): positions from native xxhash64 instead of 2 md5
+        # digests per fact row (the md5 passes dominated the probe —
+        # measured 1.99 s of a 2.85 s query at sf0.1), and the bit
+        # test runs IN the JVM against the bitmap as a binary literal
+        # (1-byte substr + hex + bitwiseAND), so no ArrowEvalPython
+        # node touches the fact scan at all. The filter's hash choice
+        # is internal: zero false negatives holds for any hash applied
+        # identically to both sides, and false positives still wash
+        # out in the real join — the result stays the plain join's,
+        # which the q244 oracle certifies externally. Probe measured
+        # 1.62 → 0.58 s, full query 2.85 → ~1.7 s.
+        def _pos(col_str, i: int):
+            return F.pmod(F.xxhash64(col_str, F.lit(i)), F.lit(m)).cast("long")
+
+        pos = dim.filter(dk.isNotNull()).select(
+            F.explode(
+                F.array(*[_pos(dk, i) for i in range(n_hashes)])
+            ).alias("pos")
+        )
+        bitmap = fold_positions_bitmap(pos, m)
+        bm_lit = F.lit(bytearray(bitmap))
+
+        def bit_test(p):
+            byte = F.conv(
+                F.hex(
+                    bm_lit.substr(
+                        (p / F.lit(8)).cast("int") + F.lit(1), F.lit(1)
+                    )
+                ),
+                16,
+                10,
+            ).cast("int")
+            twopow = F.pow(F.lit(2.0), (p % F.lit(8)).cast("double")).cast(
+                "int"
+            )
+            return byte.bitwiseAND(twopow) != F.lit(0)
+
+        hit = bit_test(_pos(fk, 0))
+        for i in range(1, n_hashes):
+            hit = hit & bit_test(_pos(fk, i))
+        probed = fact_nn.withColumn("__bloom_hit", hit)
+    else:
+        # big filters: a multi-MB binary literal would bloat every
+        # task binary — keep the broadcast bitmap + vectorized-UDF
+        # probe (build and probe MUST share one hash family, so this
+        # branch stays on the md5 positions bloom_probe computes)
+        pos = dim.filter(dk.isNotNull()).select(
+            F.explode(
+                F.array(*[_bloom_position(dk, i, m) for i in range(n_hashes)])
+            ).alias("pos")
+        )
+        bitmap = fold_positions_bitmap(pos, m)
+        probed = bloom_probe(
+            fact_nn,
+            bitmap,
+            text=fk,
+            m=m,
+            n_hashes=n_hashes,
+            out_col="__bloom_hit",
+            normalize=False,
+        )
     pruned = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
     if fact_key == dim_key:
         # name-join: one key column out, like the plain on="key" join

@@ -435,18 +435,20 @@ def test_bloom_pruned_join_prunes_before_the_shuffle(spark, sf_dir, qs):
     BEFORE the join (the whole point is shrinking the shuffle), and
     the plan must stay a real equi-join — never a cartesian."""
     p = plan_of(qs["q244_bloom_pruned_join"](spark, sf_dir))
-    assert "__bloom_hit" in p or "bits_set" in p, p
+    assert "__bloom_hit" in p or "bits_set" in p or "xxhash64" in p, p
     assert "Cartesian" not in p
-    # probe (ArrowEvalPython, the vectorized pandas UDF) sits below
-    # the join in the plan tree: the UDF section must appear after
-    # the join node in the top-down printed plan
+    # round-17: the probe is a pure-JVM filter (xxhash64 positions +
+    # binary-literal bit test — no ArrowEvalPython on the fact scan);
+    # it must still sit BELOW the join in the plan tree, i.e. appear
+    # after the join node in the top-down printed plan
+    assert "ArrowEvalPython" not in p, "probe crosses the Python boundary"
     join_pos = min(
         (p.find(k) for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
          if p.find(k) >= 0),
         default=-1,
     )
     assert join_pos >= 0, p
-    probe_pos = max(p.find("ArrowEvalPython"), p.find("bits_set"))
+    probe_pos = max(p.find("xxhash64"), p.rfind("__bloom_hit"), p.find("bits_set"))
     assert probe_pos > join_pos, "bloom probe is not below the join"
 
 
