@@ -226,7 +226,9 @@ def _maybe_compact_curation_state(
     merged = _read_curation_state(spark, state_dir, batch_id, retention, segs)
     if merged is None:
         return
-    merged.write.mode("overwrite").parquet(
+    # one part file: the folded run is still bounded by the retention
+    # window's accepted rows (round-17; guide §6 small-files)
+    merged.coalesce(1).write.mode("overwrite").parquet(
         f"{state_dir}/{target[0]}{target[1]}"
     )
     _drop_segments(spark, state_dir, segs)
@@ -946,8 +948,15 @@ def curation_topology(
                 .dropDuplicates(["__h"])
             )
             if neardup:
+                # join the PERSISTED candidate frame, not sb: accepted
+                # docs are exactly the eligible rank-1 non-near rows,
+                # i.e. a subset of elig_g, so their (sig, bands) rows
+                # are all in cand — joining sb instead re-ran the whole
+                # shingle+minhash construction once more per batch
+                # (round-17, guide §5; docs with no shingles are
+                # absent from sb AND cand identically — left join)
                 accepted = accepted.join(
-                    sb.select(
+                    cand.select(
                         F.col("__gid").alias("__sgid"),
                         F.col("__sig").alias("sig"),
                         F.col("__bands").alias("bands"),
@@ -961,9 +970,16 @@ def curation_topology(
                 # rows, stamped with their accepting batch id — never
                 # the accumulated history (that was the pre-segment
                 # layout's full rewrite)
+                # coalesce(1): the delta is O(batch) rows — one part
+                # file keeps the per-batch state READ's file count
+                # (listing + footers, which grow with history) minimal
+                # (round-17; guide §6 small-files). Layout unchanged:
+                # same segment names, schema, and row semantics.
                 accepted.withColumn(
                     "b", F.lit(batch_id).cast("long")
-                ).write.mode("overwrite").parquet(f"{sdir}/d{batch_id}")
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{sdir}/d{batch_id}"
+                )
             counts = split_sink_batch(
                 out.drop(*[c for c in helper_cols if c in out.columns]),
                 write_valid,
