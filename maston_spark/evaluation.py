@@ -1491,24 +1491,34 @@ def split_conformal_interval(
     c = cal.filter(
         F.col(truth_col).isNotNull() & F.col(pred_col).isNotNull()
     ).select(F.round(res, 9).alias("__r"))
-    n_tot = c.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
-    ranked = global_rank(c, [F.col("__r").asc()], rank_col="__rk")
-    j = ranked.join(F.broadcast(n_tot))
-    q_index = F.ceil(
-        (F.col("n_cal") + 1).cast("double") * F.lit(1.0 - alpha)
-    ).cast("long")
-    picked = (
-        j.filter(F.col("__rk") == q_index)
-        .select("n_cal", q_index.alias("q_index"), F.col("__r").alias("qhat"))
+    # round-17 (the q264 discipline, guide §1.2): n_cal is known from
+    # global_rank's phase-2 counts action — the old separate
+    # c.agg(count) re-executed the WHOLE calibration subtree
+    # (upstream predictor join included); the conformal index is then
+    # driver arithmetic replaying the same IEEE (n+1)·(1−α) product
+    # and ceil. The 1-row head is persisted: both the coverage agg
+    # and the final projection consume it, and each execution
+    # otherwise re-runs the rank-kernel filter.
+    import math
+
+    from maston_spark.caching import scoped_persist
+
+    ranked, total = global_rank(
+        c, [F.col("__r").asc()], rank_col="__rk", return_total=True
+    )
+    q_idx = int(math.ceil((total + 1) * (1.0 - alpha)))
+    spark = cal.sparkSession
+    base = spark.createDataFrame(
+        [(int(total), q_idx)], "n_cal long, q_index long"
+    )
+    picked = ranked.filter(F.col("__rk") == F.lit(q_idx)).select(
+        F.lit(int(total)).cast("long").alias("n_cal"),
+        F.col("__r").alias("qhat"),
     )
     # q_index > n: no certifiable bound — emit the row with NULL qhat
-    base = n_tot.select(
-        "n_cal",
-        F.ceil((F.col("n_cal") + 1).cast("double") * F.lit(1.0 - alpha))
-        .cast("long")
-        .alias("q_index"),
+    head = scoped_persist(
+        base.join(F.broadcast(picked), "n_cal", "left")
     )
-    head = base.join(picked.select("n_cal", "qhat"), "n_cal", "left")
     e = eval_df.filter(
         F.col(truth_col).isNotNull() & F.col(pred_col).isNotNull()
     ).select(F.round(res, 9).alias("__r"))
