@@ -86,6 +86,22 @@ JUSTIFIED = {
         "one agg, 17.7 -> 12.1 s same-phase min-of-3 at 10x) -- the "
         "multi-second absolute level is rounds x |E|, not a plan defect"
     ),
+    "q234_bootstrap_ci": (
+        "b/4 md5 digests PER ROW are the graded Monte-Carlo construction "
+        "(the oracle replays every digest), so work is exactly linear in "
+        "rows; round-17 idle min-of-3: 2.79 -> 8.69 s = 3.1x at 10x data "
+        "(sublinear; r12 recorded 5.04 s at 10x on a faster host -- the "
+        "8 s absolute arm trips on host speed, not on growth; the sf0.1 "
+        "bare-digest floor measures 1.93 of the 2.11 s total)"
+    ),
+    "q305_encoding_advisor": (
+        "two exact passes linear in n x |columns| by the declared cost "
+        "model (range-partitioned run count under the caller's order + "
+        "the distinct-set pass); round-17 idle min-of-3: 3.52 -> 9.77 s "
+        "= 2.8x at 10x data -- sublinear, the 8 s arm trips on host "
+        "speed (round-16 rebuilt this plan and measured the alternatives "
+        "out: single-partition window 8.4x, Arrow kernel 2.6x slower)"
+    ),
 }
 
 
