@@ -116,6 +116,14 @@ def _drop_state_versions(spark, state_dir: str, versions: list[int]) -> None:
 # bounded. Rows carry their accepting batch id in column `b`, which
 # is what makes age-based retention a row filter rather than a
 # file-granularity guess.
+#
+# round-17 (guide §6 small-files): every BOUNDED state write —
+# curation deltas/compactions and the sketch topologies' v<N>
+# snapshots — lands as ONE part file (coalesce(1)); a sketch-sized
+# frame written at shuffle parallelism was ~16 part files, and the
+# next batch's state read paid the listing + per-file footer cost.
+# delta_topology's active-key snapshot and vocab_saturation's vocab
+# counts are NOT coalesced: those states grow with the key domain.
 _SEG_KINDS = ("v", "d", "c")
 
 
@@ -1107,7 +1115,7 @@ def sketch_metrics_topology(
         sk = kmv_truncate(combined, k).persist()
         try:
             if sdir is not None:
-                sk.select("g", "h").write.mode("overwrite").parquet(
+                sk.select("g", "h").coalesce(1).write.mode("overwrite").parquet(
                     f"{sdir}/v{batch_id}"
                 )
             est = kmv_estimate(
@@ -1196,7 +1204,7 @@ def cms_watchlist_topology(
         g = g.persist()
         try:
             if sdir is not None:
-                g.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+                g.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
             probes = spark.createDataFrame(
                 [(w,) for w in watch], "item string"
             )
@@ -1310,7 +1318,7 @@ def quantile_metrics_topology(
         sk = combined.persist()
         try:
             if sdir is not None:
-                sk.select("g", "h", "value").write.mode("overwrite").parquet(
+                sk.select("g", "h", "value").coalesce(1).write.mode("overwrite").parquet(
                     f"{sdir}/v{batch_id}"
                 )
             write_metrics(
@@ -1425,7 +1433,7 @@ def drift_monitor_topology(
         g = g.persist()
         try:
             if sdir is not None:
-                g.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+                g.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
             stream_counts = {r["bin"]: r["n"] for r in g.collect()}
             n_i = [int(stream_counts.get(b, 0)) for b in range(n_bins)]
             n_tot = sum(n_i)
@@ -1529,7 +1537,7 @@ def hll_rolling_topology(
         state = state.persist()
         try:
             if sdir is not None:
-                state.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+                state.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
             days = state.select(F.col("__day").alias("day")).distinct()
             merged = (
                 F.broadcast(days)
@@ -1626,7 +1634,7 @@ def srm_monitor_topology(
         counts = counts.persist()
         try:
             if sdir is not None:
-                counts.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+                counts.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
             exp_str = {str(k): v for k, v in expected.items()}
             write_metrics(
                 srm_from_counts(counts, exp_str, chi2_critical), batch_id
@@ -1711,7 +1719,7 @@ def cusum_monitor_topology(
         counts = counts.persist()
         try:
             if sdir is not None:
-                counts.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+                counts.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
             write_metrics(cusum_from_counts(counts, "group"), batch_id)
             if sdir is not None:
                 _drop_state_versions(spark, sdir, prior)
@@ -1961,7 +1969,7 @@ def privacy_gate_topology(
         counts = counts.persist()
         try:
             if sdir is not None:
-                counts.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+                counts.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
             write_metrics(
                 k_anonymity_from_counts(counts, qi_cols, thresholds), batch_id
             )
@@ -2083,7 +2091,7 @@ def contamination_gate_topology(
         counts = counts.persist()
         try:
             if sdir is not None:
-                counts.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+                counts.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
             write_metrics(contamination_from_counts(counts), batch_id)
             if sdir is not None:
                 _drop_state_versions(spark, sdir, prior if sdir else [])
@@ -2187,7 +2195,7 @@ def ams_monitor_topology(
         totals = totals.persist()
         try:
             if sdir is not None:
-                totals.write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
+                totals.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/v{batch_id}")
             write_metrics(ams_join_from_totals(totals, n_lanes), batch_id)
             if sdir is not None:
                 _drop_state_versions(spark, sdir, prior)
